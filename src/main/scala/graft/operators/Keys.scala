@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{GraftTypeError, GraftValueError, errors}
+
+/** Key-discovery operators (reference: is_composite_key_candidate
+  * mack/__init__.py:415-456, find_composite_key_candidates :558-586).
+  */
+object Keys {
+
+  /** True iff `cols` uniquely identify every row. Implemented as the
+    * reference does conceptually — existence of any group with count > 1 —
+    * but as a groupBy + early-exit `isEmpty` probe (one map-side-combined
+    * shuffle on `cols`, stops at the first duplicate found) rather than a
+    * full window materialization.
+    */
+  def isCompositeKeyCandidate(df: DataFrame, cols: Seq[String]): Boolean = {
+    if (cols.isEmpty)
+      throw new GraftTypeError("At least one column must be specified.")
+    val dfCols = df.columns.toSeq
+    cols.foreach { c =>
+      if (!dfCols.contains(c))
+        throw new GraftTypeError(
+          s"The base table has these columns ${errors.pyRepr(dfCols)}, " +
+          s"but these columns are required ${errors.pyRepr(cols)}")
+    }
+    df.groupBy(cols.map(col): _*).count()
+      .filter(col("count") > 1)
+      .isEmpty
+  }
+
+  /** Smallest column combination (ascending size, positional order — the
+    * reference's `itertools.combinations` order, :581-582) whose distinct
+    * count equals the full distinct row count. Raises when only the complete
+    * column set qualifies (:584-585).
+    *
+    * Scale note vs the reference's O(2^n) exact-count jobs: an
+    * `approx_count_distinct` prefilter skips combinations whose approximate
+    * cardinality is far below the target before paying for an exact count —
+    * at 100 TB only the few plausible candidates run the exact aggregation.
+    */
+  def findCompositeKeyCandidates(df: DataFrame,
+                                 excludeCols: Seq[String] = Nil): Seq[String] = {
+    val base = df.drop(excludeCols: _*)
+    val columns = base.columns.toSeq
+    val totalCols = columns.length
+    val totalRowCount = base.distinct().count()
+
+    // approximate-cardinality prefilter (rsd 5% → accept within 15%)
+    def plausible(c: Seq[String]): Boolean = {
+      val approx = base.select(
+        approx_count_distinct(struct(c.map(col): _*)).as("a"))
+        .head().getLong(0)
+      approx >= totalRowCount * 0.85
+    }
+
+    for (n <- 1 to totalCols; c <- columns.combinations(n)) {
+      if (plausible(c) &&
+          base.select(c.map(col): _*).distinct().count() == totalRowCount) {
+        if (c.length == totalCols)
+          throw new GraftValueError("No composite key candidates could be identified.")
+        return c
+      }
+    }
+    throw new GraftValueError("No composite key candidates could be identified.")
+  }
+}

@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.GraftTypeError
+import graft.functions.{humanizeBytes, humanizeBytesBinary}
+import graft.tables.ManagedTable
+
+/** Table-metadata operators (reference: copy_table mack/__init__.py:287-325,
+  * delta_file_sizes :459-477, show_delta_file_sizes :480-509, latest_version
+  * :616-627, rename_delta_table :696-737).
+  */
+object TableOps {
+
+  /** Clone data + partitioning + properties (NOT history) to `targetPath`
+    * (reference :287-325; history exclusion per README.md:201).
+    */
+  def copyTable(table: ManagedTable, targetPath: String): ManagedTable = {
+    if (targetPath == null || targetPath.isEmpty)
+      throw new GraftTypeError("Either target_path or target_table must be specified.")
+    ManagedTable.create(table.toDF, targetPath,
+      partitionBy = table.partitionColumns,
+      properties = table.properties)
+  }
+
+  final case class FileSizes(sizeInBytes: Long, numberOfFiles: Long,
+                             averageFileSizeInBytes: Long)
+
+  /** delta_file_sizes (:459-477). */
+  def fileSizes(table: ManagedTable): FileSizes = {
+    val d = table.detail
+    FileSizes(d.sizeInBytes, d.numFiles,
+      if (d.numFiles == 0) 0 else math.round(d.sizeInBytes.toDouble / d.numFiles))
+  }
+
+  /** show_delta_file_sizes (:480-509): returns the formatted line (caller
+    * prints), matching the reference's message exactly.
+    */
+  def describeFileSizes(table: ManagedTable, humanizeBinary: Boolean = false): String = {
+    val s = fileSizes(table)
+    val h: Long => String = if (humanizeBinary) humanizeBytesBinary else humanizeBytes
+    f"The delta table contains ${s.numberOfFiles}%,d files " +
+      s"with a size of ${h(s.sizeInBytes)}. " +
+      s"The average file size is ${h(s.averageFileSizeInBytes)}"
+  }
+
+  def showFileSizes(table: ManagedTable, humanizeBinary: Boolean = false): Unit =
+    println(describeFileSizes(table, humanizeBinary))
+
+  /** latest_version (:616-627). */
+  def latestVersion(table: ManagedTable): Long = {
+    import table.spark.implicits._
+    table.history.agg(max($"version")).head().getLong(0)
+  }
+
+  /** rename_delta_table, OSS path (:735-737): re-register under a new name.
+    * Our ManagedTable equivalent is a directory move + fresh handle.
+    */
+  def renameTable(table: ManagedTable, newLocation: String): ManagedTable =
+    table.rename(newLocation)
+}

@@ -1,0 +1,186 @@
+package graft.tables
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Join-classified MERGE: the engine's replacement for Delta Lake's
+  * `DeltaTable.merge(...).whenMatchedUpdate/Delete(...).whenNotMatchedInsert(...)
+  * .execute()` chain that every mutating reference operator drives
+  * (type_2_scd_generic_upsert mack/__init__.py:125-139, kill_duplicates :190-192,
+  * drop_duplicates_pkey :253-255, append_without_duplicates :410-412).
+  *
+  * Semantics (matching Delta):
+  *  - clauses are evaluated in declaration order; the first clause whose
+  *    condition is satisfied (three-valued logic: NULL = not satisfied)
+  *    applies; rows matching no clause pass through unchanged (matched) or
+  *    are ignored (not matched);
+  *  - a target row matched by more than one source row is an error when any
+  *    whenMatched clause exists (Delta's multiple-source-row-match error);
+  *  - condition / set-expression strings resolve against the aliases given
+  *    with `as(...)` — including sources containing deliberately
+  *    non-matching rows, e.g. the SCD2 NULL-mergeKey staging pattern
+  *    (mack/__init__.py:107-114).
+  *
+  * Execution shape (scale rationale): one equi-ish join target⋈source on the
+  * merge condition classifies every row as matched / target-only /
+  * source-only; the result table is then `unchanged ∪ rewritten ∪ inserted`.
+  * Matched rows are found with an inner join (Catalyst picks broadcast when
+  * the source — usually a small staged-updates frame — fits, else
+  * shuffle-hash/SMJ with AQE), unchanged rows with a left-anti join on the
+  * same keys, so the target is scanned at most twice and shuffled on the
+  * merge key only — the same asymptotics as Delta's MergeIntoCommand
+  * find-touched-files + rewrite, minus file-level pruning.
+  */
+object Merge {
+
+  sealed trait Clause { def condition: Option[String] }
+  final case class Update(condition: Option[String], set: Map[String, String]) extends Clause
+  final case class UpdateAll(condition: Option[String]) extends Clause
+  final case class Delete(condition: Option[String]) extends Clause
+  final case class Insert(condition: Option[String], values: Map[String, String]) extends Clause
+  final case class InsertAll(condition: Option[String]) extends Clause
+
+  final case class Builder(
+      target: DataFrame, targetAlias: String,
+      source: DataFrame, sourceAlias: String,
+      mergeCondition: Column,
+      matched: Seq[Clause] = Nil, notMatched: Seq[Clause] = Nil) {
+
+    def whenMatchedUpdate(condition: String, set: Map[String, String]): Builder =
+      copy(matched = matched :+ Update(Option(condition), set))
+    def whenMatchedUpdate(set: Map[String, String]): Builder =
+      copy(matched = matched :+ Update(None, set))
+    def whenMatchedUpdateAll(): Builder =
+      copy(matched = matched :+ UpdateAll(None))
+    def whenMatchedDelete(): Builder =
+      copy(matched = matched :+ Delete(None))
+    def whenMatchedDelete(condition: String): Builder =
+      copy(matched = matched :+ Delete(Option(condition)))
+    def whenNotMatchedInsert(values: Map[String, String]): Builder =
+      copy(notMatched = notMatched :+ Insert(None, values))
+    def whenNotMatchedInsert(condition: String, values: Map[String, String]): Builder =
+      copy(notMatched = notMatched :+ Insert(Option(condition), values))
+    def whenNotMatchedInsertAll(): Builder =
+      copy(notMatched = notMatched :+ InsertAll(None))
+
+    /** Pure core: the post-merge table contents as a DataFrame. */
+    def result(): DataFrame = run()
+
+    /** Shell: atomically overwrite `table` with the merge result. */
+    def execute(table: ManagedTable): Unit =
+      table.overwrite(run(), operation = "MERGE")
+
+    // -- implementation --------------------------------------------------
+
+    /** Row-identity column. `monotonically_increasing_id` is deterministic
+      * for a fixed scan partitioning (partitionId << 33 | offset), which
+      * holds within one action over an immutable parquet snapshot; Delta
+      * itself identifies touched rows by (file, rowIndex) — the same idea.
+      */
+    private val RID = "__graft_merge_rid"
+
+    private def run(): DataFrame = {
+      val targetCols = target.columns.toSeq
+      val t = target.withColumn(RID, monotonically_increasing_id()).alias(targetAlias)
+      val s = source.alias(sourceAlias)
+
+      val matchedPairs = t.join(s, mergeCondition, "inner")
+
+      if (matched.nonEmpty) {
+        val multi = matchedPairs.groupBy(col(RID)).count()
+          .filter(col("count") > 1).limit(1)
+        if (!multi.isEmpty)
+          throw new IllegalStateException(
+            "MERGE: a target row was matched by multiple source rows; " +
+            "merge condition must identify at most one source row per target row")
+      }
+
+      // first-matching-clause index over the matched pairs (NULL = no clause)
+      def clauseIdx(clauses: Seq[Clause]): Column =
+        clauses.zipWithIndex.foldRight(lit(null).cast("int")) {
+          case ((c, i), acc) =>
+            c.condition match {
+              case Some(cond) => when(expr(cond), lit(i)).otherwise(acc)
+              case None       => lit(i) // unconditional: always matches from here
+            }
+        }
+
+      val mIdx = "__graft_clause"
+      val classified = matchedPairs.withColumn(mIdx, clauseIdx(matched))
+
+      // matched rows: per-clause rewrite, unchanged when no clause applies
+      def targetColumn(name: String): Column = {
+        val base = col(s"$targetAlias.$name")
+        matched.zipWithIndex.foldLeft(base) { case (acc, (cl, i)) =>
+          cl match {
+            case Update(_, set) =>
+              val e = set.get(name).map(expr).getOrElse(base)
+              when(col(mIdx) === i, e).otherwise(acc)
+            case UpdateAll(_) =>
+              when(col(mIdx) === i, col(s"$sourceAlias.$name")).otherwise(acc)
+            case Delete(_) => acc // handled by filter below
+            case _ => acc
+          }
+        }
+      }
+      val deleteIdxs = matched.zipWithIndex.collect { case (Delete(_), i) => i }
+      val kept = deleteIdxs.foldLeft(classified) { (df, i) =>
+        df.filter(col(mIdx).isNull || col(mIdx) =!= i)
+      }
+      val rewritten = kept.select(targetCols.map(c => targetColumn(c).as(c)): _*)
+
+      // target rows with no source match: untouched
+      val untouched = t.join(s, mergeCondition, "left_anti")
+        .select(targetCols.map(col): _*)
+
+      // source rows with no target match: insert clauses
+      val inserted: DataFrame = if (notMatched.isEmpty) {
+        emptyLike(targetCols)
+      } else {
+        val unmatchedSrc = s.join(t, mergeCondition, "left_anti")
+        val idx = unmatchedSrc.withColumn(mIdx, clauseIdx(notMatched))
+          .filter(col(mIdx).isNotNull)
+        val perClause = notMatched.zipWithIndex.map {
+          case (Insert(_, values), i) =>
+            idx.filter(col(mIdx) === i).select(targetCols.map { c =>
+              values.get(c).map(expr).getOrElse(lit(null)).as(c)
+            }: _*)
+          case (InsertAll(_), i) =>
+            idx.filter(col(mIdx) === i).select(targetCols.map { c =>
+              col(s"$sourceAlias.$c").as(c)
+            }: _*)
+          case (other, _) =>
+            throw new IllegalArgumentException(
+              s"whenNotMatched only supports insert clauses, got $other")
+        }
+        perClause.reduce(_ unionByName _)
+      }
+
+      // align inserted/rewritten types to the target schema
+      val schema = target.schema
+      def align(df: DataFrame): DataFrame =
+        df.select(schema.fields.map(f => col(f.name).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
+
+      align(untouched).union(align(rewritten)).union(align(inserted))
+    }
+
+    private def emptyLike(cols: Seq[String]): DataFrame = {
+      import org.apache.spark.sql.Row
+      target.sparkSession.createDataFrame(
+        target.sparkSession.sparkContext.emptyRDD[Row], target.schema)
+    }
+  }
+
+  /** Entry point: `Merge.into(targetDf, "base").using(srcDf, "staged_updates",
+    * expr("base.pk = mergeKey"))...`
+    */
+  def into(target: DataFrame, targetAlias: String = "base"): Into =
+    Into(target, targetAlias)
+
+  final case class Into(target: DataFrame, targetAlias: String) {
+    def using(source: DataFrame, sourceAlias: String, condition: Column): Builder =
+      Builder(target, targetAlias, source, sourceAlias, condition)
+    def using(source: DataFrame, sourceAlias: String, condition: String): Builder =
+      Builder(target, targetAlias, source, sourceAlias, expr(condition))
+  }
+}

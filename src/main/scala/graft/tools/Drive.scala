@@ -1,0 +1,88 @@
+package graft.tools
+
+import org.apache.spark.sql.{SparkSession, Row}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.functions._
+import graft.tables._
+import graft.operators._
+import graft.functions._
+
+/** End-to-end demo driver: exercises the public API against the synthetic
+  * TPC-H-ish testdata. `sbt "runMain graft.tools.Drive [sfDir]"`.
+  */
+object Drive {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def scratch(name: String): String = {
+      val p = s"/root/repo/target/tmp/drive_$name"
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(p))
+      p
+    }
+
+    // SCD2 over real customer data
+    val cust = spark.read.parquet(s"$sfDir/customer.parquet")
+    val base = cust.select(col("c_custkey").as("pkey"), col("c_mktsegment").as("attr"))
+      .withColumn("is_current", lit(true))
+      .withColumn("effective_time", lit(java.sql.Timestamp.valueOf("2019-01-01 00:00:00")))
+      .withColumn("end_time", lit(null).cast(TimestampType))
+    val t = ManagedTable.create(base, scratch("scd2"))
+    println(s"[1] created table: ${t.toDF.count} rows, version ${t.latestVersion}")
+
+    val updates = cust.limit(10).select(col("c_custkey").as("pkey"),
+        concat(col("c_mktsegment"), lit("_NEW")).as("attr"))
+      .withColumn("effective_time", lit(java.sql.Timestamp.valueOf("2021-06-01 00:00:00")))
+      .union(spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+        Row(999901L, "FRESH", java.sql.Timestamp.valueOf("2021-06-01 00:00:00")),
+        Row(999902L, "FRESH", java.sql.Timestamp.valueOf("2021-06-01 00:00:00")))),
+        StructType(Seq(StructField("pkey", LongType), StructField("attr", StringType),
+          StructField("effective_time", TimestampType)))))
+    Scd2.upsert(t, updates, "pkey", Seq("attr"))
+    println(s"[2] after SCD2 upsert: total=${t.toDF.count}, closed=${t.toDF.filter("is_current = false").count}, current=${t.toDF.filter("is_current").count}, version=${t.latestVersion}")
+    t.toDF.filter("pkey in (1, 999901)").orderBy("pkey", "effective_time").show(truncate = false)
+
+    Scd2.upsert(t, updates, "pkey", Seq("attr"))
+    println(s"[3] re-upsert same updates (no-op expected): total=${t.toDF.count}")
+
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val dt = ManagedTable.create(li, scratch("dedup"))
+    val before = dt.toDF.count
+    Dedup.killDuplicates(dt, Seq("l_orderkey"))
+    println(s"[4] kill_duplicates on l_orderkey: $before -> ${dt.toDF.count} (single-line orders only)")
+
+    val ord = spark.read.parquet(s"$sfDir/orders.parquet")
+    val ct = ManagedTable.create(ord.limit(0), scratch("ca"),
+      properties = Map("delta.constraints.price" -> "o_totalprice > 50000"))
+    val qt = ManagedTable.create(ord.limit(0), scratch("caq"))
+    Appends.constraintAppend(ct, ord, qt)
+    println(s"[5] constraint_append: in=${ord.count} -> target=${ct.toDF.count} quarantine=${qt.toDF.count} (sum=${ct.toDF.count + qt.toDF.count})")
+
+    println("[6] " + TableOps.describeFileSizes(ct))
+
+    try Scd2.upsert(t, updates.drop("effective_time"), "pkey", Seq("attr"))
+    catch { case e: graft.GraftTypeError =>
+      println(s"[7] probe bad updates -> GraftTypeError: ${e.getMessage.take(120)}") }
+
+    try {
+      val dup = updates.union(updates)
+      Merge.into(t.toDF, "base").using(dup, "u", "base.pkey = u.pkey")
+        .whenMatchedUpdate(Map("attr" -> "u.attr")).result().count
+    } catch { case e: IllegalStateException =>
+      println(s"[8] probe multi-match -> ${e.getMessage.take(80)}") }
+
+    val part = spark.read.parquet(s"$sfDir/part.parquet")
+    println("[9] md5 col sample: " + withMd5Cols(part, Seq("p_brand", "p_type"))
+      .select("md5_p_brand_p_type").head.getString(0))
+    println("[10] composite key of part: " + Keys.findCompositeKeyCandidates(part))
+    spark.stop()
+  }
+}

@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+import graft.{GraftTypeError, GraftValueError, SparkSpec}
+import graft.functions._
+import graft.tables.ManagedTable
+
+/** Vectors from tests/test_public_interface.py:673-867 and :1146-1169. */
+class KeysAndUtilSpec extends SparkSpec {
+
+  private val schema = StructType(Seq(
+    StructField("col1", IntegerType),
+    StructField("col2", StringType),
+    StructField("col3", StringType)))
+
+  test("is_composite_key_candidate (tests:~440)") {
+    val data = df(schema, Seq(
+      Row(1, "A", "A"), Row(2, "B", "B"), Row(3, "A", "A")))
+    assert(Keys.isCompositeKeyCandidate(data, Seq("col1")))
+    assert(!Keys.isCompositeKeyCandidate(data, Seq("col2", "col3")))
+    assertThrows[GraftTypeError](Keys.isCompositeKeyCandidate(data, Nil))
+    assertThrows[GraftTypeError](Keys.isCompositeKeyCandidate(data, Seq("nope")))
+  }
+
+  test("find_composite_key_candidates (tests:737-760)") {
+    val data = df(schema, Seq(
+      Row(1, "a", "z"), Row(1, "a", "b"), Row(3, "c", "b")))
+    // col1 not unique, col2 not unique, col3 not unique; (col1,col3) unique
+    assert(Keys.findCompositeKeyCandidates(data) == Seq("col1", "col3"))
+  }
+
+  test("find_composite_key_candidates no-candidate raises (tests:763-778)") {
+    // every proper subset of columns has a duplicate; only the full set is unique
+    val d2 = df(schema, Seq(
+      Row(1, "a", "x"), Row(1, "a", "y"), Row(1, "b", "x"), Row(2, "a", "x")))
+    assertThrows[GraftValueError](Keys.findCompositeKeyCandidates(d2))
+  }
+
+  test("with_md5_cols golden hashes incl. NULL skip (tests:781-812)") {
+    val data = df(schema, Seq(Row(1, "a", null), Row(2, "b", "c")))
+    val out = withMd5Cols(data, Seq("col2", "col3"))
+    assert(out.columns.contains("md5_col2_col3"))
+    val got = out.collect().map(r => r.getInt(0) -> r.getString(3)).toMap
+    // md5("a") — NULL skipped by concat_ws; md5("b||c")
+    assert(got(1) == "0cc175b9c0f1b6a831c399e269772661")
+    assert(got(2) == "6b5183c67c92a31a32ad041ebd8ca8f9")
+  }
+
+  test("humanize_bytes SI and binary (tests:723-734)") {
+    assert(humanizeBytes(12345678L) == "12.35 MB")
+    assert(humanizeBytes(1234567890L) == "1.23 GB")
+    assert(humanizeBytes(999L) == "1.00 kB") // 999 >= 900 → kB per reference
+    assert(humanizeBytes(899L) == "899 B")
+    assert(humanizeBytesBinary(12345678L) == "11.77 MB")
+    assert(humanizeBytesBinary(899L) == "899 B")
+  }
+
+  test("delta_file_sizes + show (tests:673-720)") {
+    val loc = tmpDir("fs")
+    val t = ManagedTable.create(df(schema, Seq(
+      Row(1, "A", "B"), Row(2, "C", "D"))), loc, partitionBy = Seq("col1"))
+    val s = TableOps.fileSizes(t)
+    assert(s.numberOfFiles == 2)
+    assert(s.sizeInBytes > 0)
+    assert(s.averageFileSizeInBytes == math.round(s.sizeInBytes.toDouble / 2))
+    val line = TableOps.describeFileSizes(t)
+    assert(line.startsWith("The delta table contains 2 files with a size of"))
+  }
+
+  test("latest_version counts commits (tests:815-839)") {
+    val loc = tmpDir("lv")
+    val t = ManagedTable.create(df(schema, Seq(Row(1, "A", "B"))), loc)
+    t.append(df(schema, Seq(Row(2, "C", "D"))))
+    t.append(df(schema, Seq(Row(3, "E", "F"))))
+    assert(TableOps.latestVersion(t) == 2L)
+  }
+
+  test("copy_table preserves data, partitioning, properties (tests:474-501)") {
+    val loc = tmpDir("cp")
+    val t = ManagedTable.create(
+      df(schema, Seq(Row(1, "A", "B"), Row(2, "C", "D"))), loc,
+      partitionBy = Seq("col1"), properties = Map("k" -> "v"))
+    val target = tmpDir("cp-out")
+    val c = TableOps.copyTable(t, target)
+    assertDfEquality(
+      c.toDF.select("col2", "col3", "col1"),
+      t.toDF.select("col2", "col3", "col1"))
+    assert(c.partitionColumns == Seq("col1"))
+    assert(c.properties == Map("k" -> "v"))
+    assert(c.latestVersion == 0) // history not copied
+  }
+
+  test("rename_delta_table (tests:1146-1169)") {
+    val loc = tmpDir("rn")
+    val t = ManagedTable.create(df(schema, Seq(Row(1, "A", "B"))), loc)
+    val t2 = TableOps.renameTable(t, loc + "_new")
+    assert(t2.toDF.count() == 1)
+  }
+}

@@ -1,0 +1,102 @@
+package graft.tables
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+import graft.SparkSpec
+
+class MergeSpec extends SparkSpec {
+
+  private val schema = StructType(Seq(
+    StructField("pkey", IntegerType),
+    StructField("attr", StringType)))
+
+  private def target = df(schema, Seq(Row(1, "A"), Row(2, "B"), Row(3, "C")))
+
+  test("whenMatchedUpdate rewrites matching rows, 3VL condition") {
+    val src = df(schema, Seq(Row(2, "B2"), Row(3, null), Row(4, "D")))
+    val out = Merge.into(target, "base")
+      .using(src, "src", "base.pkey = src.pkey")
+      .whenMatchedUpdate(
+        condition = "src.attr <> base.attr", // NULL for pkey=3 → no-op
+        set = Map("attr" -> "src.attr"))
+      .result()
+    assertDfEquality(out, df(schema,
+      Seq(Row(1, "A"), Row(2, "B2"), Row(3, "C"))))
+  }
+
+  test("whenMatchedDelete removes matches; others untouched") {
+    val src = df(schema, Seq(Row(1, "x"), Row(3, "y")))
+    val out = Merge.into(target, "old")
+      .using(src, "new", "old.pkey = new.pkey")
+      .whenMatchedDelete()
+      .result()
+    assertDfEquality(out, df(schema, Seq(Row(2, "B"))))
+  }
+
+  test("whenNotMatchedInsert with value map; non-matching source rows only") {
+    val src = df(schema, Seq(Row(2, "B2"), Row(5, "E")))
+    val out = Merge.into(target, "base")
+      .using(src, "src", "base.pkey = src.pkey")
+      .whenNotMatchedInsert(Map("pkey" -> "src.pkey", "attr" -> "upper(src.attr)"))
+      .result()
+    assertDfEquality(out, df(schema,
+      Seq(Row(1, "A"), Row(2, "B"), Row(3, "C"), Row(5, "E"))))
+  }
+
+  test("whenNotMatchedInsertAll copies source row") {
+    val src = df(schema, Seq(Row(5, "E"), Row(1, "dup")))
+    val out = Merge.into(target, "old")
+      .using(src, "new", "old.pkey = new.pkey")
+      .whenNotMatchedInsertAll()
+      .result()
+    assert(out.count() == 4)
+  }
+
+  test("NULL-mergeKey staging rows never match and fall to insert") {
+    // the SCD2 staging pattern: source has mergeKey column, NULL rows insert
+    val srcSchema = StructType(Seq(
+      StructField("mergeKey", IntegerType),
+      StructField("pkey", IntegerType),
+      StructField("attr", StringType)))
+    val src = df(srcSchema, Seq(Row(null, 2, "B2"), Row(2, 2, "B2")))
+    val out = Merge.into(target, "base")
+      .using(src, "staged", "base.pkey = mergeKey")
+      .whenMatchedUpdate(condition = "staged.attr <> base.attr",
+        set = Map("attr" -> "staged.attr"))
+      .whenNotMatchedInsert(Map("pkey" -> "staged.pkey", "attr" -> "staged.attr"))
+      .result()
+    // matched row 2 updated to B2; NULL-mergeKey row inserts a second (2,B2)
+    assertDfEquality(out, df(schema,
+      Seq(Row(1, "A"), Row(2, "B2"), Row(2, "B2"), Row(3, "C"))))
+  }
+
+  test("multiple source rows matching one target row errors") {
+    val src = df(schema, Seq(Row(2, "x"), Row(2, "y")))
+    val b = Merge.into(target, "base")
+      .using(src, "src", "base.pkey = src.pkey")
+      .whenMatchedUpdate(Map("attr" -> "src.attr"))
+    assertThrows[IllegalStateException](b.result())
+  }
+
+  test("clause order: first matching clause wins") {
+    val src = df(schema, Seq(Row(1, "del"), Row(2, "upd")))
+    val out = Merge.into(target, "base")
+      .using(src, "src", "base.pkey = src.pkey")
+      .whenMatchedDelete(condition = "src.attr = 'del'")
+      .whenMatchedUpdate(Map("attr" -> "src.attr"))
+      .result()
+    assertDfEquality(out, df(schema, Seq(Row(2, "upd"), Row(3, "C"))))
+  }
+
+  test("execute() overwrites a ManagedTable") {
+    val loc = tmpDir("merge")
+    val t = ManagedTable.create(target, loc)
+    val src = df(schema, Seq(Row(1, "zz")))
+    Merge.into(t.toDF, "base")
+      .using(src, "src", "base.pkey = src.pkey")
+      .whenMatchedUpdate(Map("attr" -> "src.attr"))
+      .execute(t)
+    assertDfEquality(t.toDF, df(schema,
+      Seq(Row(1, "zz"), Row(2, "B"), Row(3, "C"))))
+  }
+}
