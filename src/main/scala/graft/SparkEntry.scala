@@ -1,13 +1,310 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.operators._
+import graft.tables.ManagedTable
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Each entry is a deterministic, DuckDB-expressible formulation of one
+  * operator from SURVEY.md §2 (plus the LLM-pipeline extensions), run over
+  * the driver's synthetic TPC-H-ish tables. Column names are aligned
+  * 1:1 with `oracleSql`, and nondeterministic-survivor operators are
+  * declared in min-pkey deterministic form (SURVEY §7.4).
+  */
 object SparkEntry {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  private val cutoff = "1997-01-01 00:00:00"
+
+  /** events.parquet stores TIMESTAMP(NANOS), which Spark's parquet reader
+    * rejects by default; read nanos as long and convert to a micros
+    * timestamp column.
+    */
+  private def events(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t(s, dir, "events")
+      .withColumn("ts", expr("timestamp_micros(CAST(ts / 1000 AS BIGINT))"))
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+    queries("q1_agg")(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- flagship aggregate (TPC-H Q1 shape) --------------------------
+    "q1_agg" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit(java.sql.Timestamp.valueOf("1998-09-01 00:00:00")))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          round(sum("l_quantity"), 2).as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+    }),
+
+    // ---- SCD2 upsert over customer (operator #1/#2) -------------------
+    "scd2_upsert" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+      val base = cust.filter(col("c_custkey") % 10 =!= 0).select(
+        col("c_custkey").as("pkey"),
+        col("c_mktsegment").as("attr"),
+        lit(true).as("is_current"),
+        lit(java.sql.Timestamp.valueOf("2019-01-01 00:00:00")).as("effective_time"),
+        lit(null).cast(TimestampType).as("end_time"))
+      val updates = cust.filter(col("c_acctbal") > 5000).select(
+        col("c_custkey").as("pkey"),
+        concat(col("c_mktsegment"), lit("_U")).as("attr"),
+        lit(java.sql.Timestamp.valueOf("2021-01-01 00:00:00")).as("effective_time"))
+      Scd2(base, updates, "pkey", Seq("attr"))
+    }),
+
+    // ---- dedup family (operators #3-#5) -------------------------------
+    "kill_duplicates" -> ((s, dir) =>
+      Dedup.killDuplicates(t(s, dir, "orders"), Seq("o_custkey", "o_orderpriority"))),
+
+    "drop_duplicates_pkey" -> ((s, dir) =>
+      Dedup.dropDuplicatesPkey(t(s, dir, "orders"), "o_orderkey",
+        Seq("o_custkey", "o_orderstatus"))),
+
+    // deterministic declaration of arbitrary-survivor drop_duplicates:
+    // distinct over the full projected row set
+    "drop_duplicates" -> ((s, dir) =>
+      Dedup.dropDuplicates(
+        t(s, dir, "lineitem").select("l_returnflag", "l_linestatus"),
+        Seq("l_returnflag", "l_linestatus"))),
+
+    // ---- append family (operators #7, #8, #17) ------------------------
+    "validate_append" -> ((s, dir) => {
+      val orders = t(s, dir, "orders")
+      val base = orders.filter(col("o_orderdate") < lit(java.sql.Timestamp.valueOf(cutoff)))
+      val appendDf = orders
+        .filter(col("o_orderdate") >= lit(java.sql.Timestamp.valueOf(cutoff)))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .withColumn("o_flag", lit("late"))
+      Appends.validateAppendResult(base, appendDf,
+        requiredCols = Seq("o_orderkey", "o_custkey"),
+        optionalCols = Seq("o_flag"))
+    }),
+
+    "append_without_duplicates" -> ((s, dir) => {
+      val orders = t(s, dir, "orders")
+      val base = orders.filter(col("o_orderdate") < lit(java.sql.Timestamp.valueOf(cutoff)))
+      // deterministic min-pkey dedup of the source (SURVEY §7.4)
+      val appendDf = Dedup.dropDuplicatesPkey(orders, "o_orderkey",
+        Seq("o_custkey", "o_orderstatus"))
+      base.unionByName(
+        appendDf.join(base, Seq("o_custkey", "o_orderstatus"), "left_anti"))
+    }),
+
+    "constraint_append_target" -> ((s, dir) =>
+      Appends.constraintFilter(t(s, dir, "orders"),
+        Seq("o_totalprice > 50000", "o_orderpriority != '1-URGENT'"))),
+
+    "constraint_append_quarantine" -> ((s, dir) =>
+      Appends.constraintQuarantine(t(s, dir, "orders"),
+        Seq("o_totalprice > 50000", "o_orderpriority != '1-URGENT'"))),
+
+    // ---- key discovery (operators #9, #14) ----------------------------
+    "composite_key_candidate" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val pair = Keys.isCompositeKeyCandidate(li, Seq("l_orderkey", "l_linenumber"))
+      val single = Keys.isCompositeKeyCandidate(li, Seq("l_orderkey"))
+      import s.implicits._
+      Seq((pair, single)).toDF("pk_pair_unique", "orderkey_unique")
+    }),
+
+    "find_composite_key" -> ((s, dir) => {
+      val found = Keys.findCompositeKeyCandidates(t(s, dir, "part"))
+      import s.implicits._
+      found.toDF("column_name")
+    }),
+
+    // ---- scalar utilities (operators #12, #13, #15) -------------------
+    "with_md5_cols" -> ((s, dir) =>
+      functions.withMd5Cols(
+        t(s, dir, "part").select("p_partkey", "p_brand", "p_type"),
+        Seq("p_brand", "p_type"))),
+
+    "humanize_bytes" -> ((s, dir) => {
+      import s.implicits._
+      Seq((
+        functions.humanizeBytes(1234567890L),
+        functions.humanizeBytesBinary(1234567890L),
+        functions.humanizeBytes(999L),
+        functions.humanizeBytes(899L)))
+        .toDF("si_gb", "bin_gb", "si_kb_edge", "si_b")
+    }),
+
+    // ---- managed-table lifecycle (operators #6, #10, #16) -------------
+    // create + two appends on a scratch table; verifies version counting,
+    // file stats and round-trip row counts end-to-end
+    "table_lifecycle" -> ((s, dir) => {
+      val loc = "/root/repo/target/tmp/q_lifecycle"
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm); f.delete(); ()
+      }
+      rm(new java.io.File(loc))
+      val region = t(s, dir, "region")
+      val tbl = ManagedTable.create(region, loc)
+      tbl.append(region)
+      tbl.append(region)
+      import s.implicits._
+      Seq((TableOps.latestVersion(tbl), tbl.toDF.count(),
+        TableOps.fileSizes(tbl).numberOfFiles > 0))
+        .toDF("latest_version", "row_count", "has_files")
+    }),
+
+    // ---- extensions: text analysis ------------------------------------
+    "text_stats" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        length(col("text")).as("n_chars"),
+        size(split(col("text"), " ", -1)).cast(LongType).as("n_words"))),
+
+    "doc_fingerprint" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        md5(trim(lower(regexp_replace(col("text"), "\\s+", " ")))).as("fingerprint"))),
+
+    "dedup_exact" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .withColumn("__h", md5(col("text")))
+      Dedup.dropDuplicatesPkey(docs, "doc_id", Seq("__h")).drop("__h")
+    }),
+
+    // ---- extensions: event-time windowed aggregation ------------------
+    "events_window" -> ((s, dir) =>
+      events(s, dir)
+        .groupBy(date_trunc("hour", col("ts")).as("window_start"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum("value"), 2).as("sum_value")))
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for non-SQL-expressible ops →
+    * driver records a weaker rows-only check.
+    */
+  def oracleSql: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_base_price,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "scd2_upsert" ->
+      """WITH base AS (
+        |  SELECT c_custkey AS pkey, c_mktsegment AS attr, true AS is_current,
+        |         TIMESTAMP '2019-01-01 00:00:00' AS effective_time,
+        |         CAST(NULL AS TIMESTAMP) AS end_time
+        |  FROM customer WHERE c_custkey % 10 <> 0),
+        |upd AS (
+        |  SELECT c_custkey AS pkey, c_mktsegment || '_U' AS attr,
+        |         TIMESTAMP '2021-01-01 00:00:00' AS effective_time
+        |  FROM customer WHERE c_acctbal > 5000)
+        |SELECT b.pkey, b.attr,
+        |       CASE WHEN u.pkey IS NULL THEN true ELSE false END AS is_current,
+        |       b.effective_time,
+        |       CASE WHEN u.pkey IS NULL THEN CAST(NULL AS TIMESTAMP)
+        |            ELSE u.effective_time END AS end_time
+        |FROM base b LEFT JOIN upd u ON b.pkey = u.pkey
+        |UNION ALL
+        |SELECT u.pkey, u.attr, true AS is_current,
+        |       u.effective_time, CAST(NULL AS TIMESTAMP) AS end_time
+        |FROM upd u""".stripMargin,
+
+    "kill_duplicates" ->
+      """SELECT o.* FROM orders o
+        |JOIN (SELECT o_custkey, o_orderpriority FROM orders
+        |      GROUP BY o_custkey, o_orderpriority HAVING count(*) = 1) g
+        |ON o.o_custkey = g.o_custkey AND o.o_orderpriority = g.o_orderpriority""".stripMargin,
+
+    "drop_duplicates_pkey" ->
+      """SELECT * FROM orders
+        |WHERE o_orderkey IN
+        |  (SELECT min(o_orderkey) FROM orders GROUP BY o_custkey, o_orderstatus)""".stripMargin,
+
+    "drop_duplicates" ->
+      "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+
+    "validate_append" ->
+      s"""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+         |  o_orderpriority, CAST(NULL AS VARCHAR) AS o_flag
+         |FROM orders WHERE o_orderdate < TIMESTAMP '$cutoff'
+         |UNION ALL
+         |SELECT o_orderkey, o_custkey, CAST(NULL AS VARCHAR), o_totalprice,
+         |  CAST(NULL AS TIMESTAMP), CAST(NULL AS VARCHAR), 'late'
+         |FROM orders WHERE o_orderdate >= TIMESTAMP '$cutoff'""".stripMargin,
+
+    "append_without_duplicates" ->
+      s"""WITH base AS (
+         |  SELECT * FROM orders WHERE o_orderdate < TIMESTAMP '$cutoff'),
+         |app AS (
+         |  SELECT * FROM orders WHERE o_orderkey IN
+         |    (SELECT min(o_orderkey) FROM orders GROUP BY o_custkey, o_orderstatus))
+         |SELECT * FROM base
+         |UNION ALL
+         |SELECT a.* FROM app a
+         |WHERE NOT EXISTS (SELECT 1 FROM base b
+         |  WHERE b.o_custkey = a.o_custkey AND b.o_orderstatus = a.o_orderstatus)""".stripMargin,
+
+    "constraint_append_target" ->
+      "SELECT * FROM orders WHERE o_totalprice > 50000 AND o_orderpriority <> '1-URGENT'",
+
+    "constraint_append_quarantine" ->
+      "SELECT * FROM orders WHERE NOT (o_totalprice > 50000 AND o_orderpriority <> '1-URGENT')",
+
+    "composite_key_candidate" ->
+      """SELECT
+        |  (SELECT count(*) FROM (SELECT DISTINCT l_orderkey, l_linenumber FROM lineitem))
+        |    = (SELECT count(*) FROM lineitem) AS pk_pair_unique,
+        |  (SELECT count(DISTINCT l_orderkey) FROM lineitem)
+        |    = (SELECT count(*) FROM lineitem) AS orderkey_unique""".stripMargin,
+
+    "find_composite_key" ->
+      "SELECT 'p_partkey' AS column_name",
+
+    "with_md5_cols" ->
+      """SELECT p_partkey, p_brand, p_type,
+        |  md5(concat_ws('||', p_brand, p_type)) AS md5_p_brand_p_type
+        |FROM part""".stripMargin,
+
+    "humanize_bytes" ->
+      """SELECT '1.23 GB' AS si_gb, '1.15 GB' AS bin_gb,
+        |  '1.00 kB' AS si_kb_edge, '899 B' AS si_b""".stripMargin,
+
+    "table_lifecycle" ->
+      """SELECT CAST(2 AS BIGINT) AS latest_version,
+        |  (SELECT count(*) * 3 FROM region) AS row_count,
+        |  true AS has_files""".stripMargin,
+
+    "text_stats" ->
+      """SELECT doc_id, CAST(length(text) AS INT) AS n_chars,
+        |  CAST(array_length(string_split(text, ' ')) AS BIGINT) AS n_words
+        |FROM documents""".stripMargin,
+
+    "doc_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(trim(lower(regexp_replace(text, '\s+', ' ', 'g')))) AS fingerprint
+        |FROM documents""".stripMargin,
+
+    "dedup_exact" ->
+      """SELECT * FROM documents
+        |WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY md5(text))""".stripMargin,
+
+    "events_window" ->
+      """SELECT date_trunc('hour', ts) AS window_start, event_type,
+        |  count(*) AS n_events, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin
+  )
 }
