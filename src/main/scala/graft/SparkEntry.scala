@@ -184,7 +184,73 @@ object SparkEntry {
       events(s, dir)
         .groupBy(date_trunc("hour", col("ts")).as("window_start"), col("event_type"))
         .agg(count(lit(1)).as("n_events"),
-          round(sum("value"), 2).as("sum_value")))
+          round(sum("value"), 2).as("sum_value"))),
+
+    // ---- extensions: text analysis (heuristics → rows-only checks) ----
+    "token_count" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        text.TextAnalysis.tokenCountWhitespace(col("text")).cast(LongType).as("n_ws_tokens"),
+        text.TextAnalysis.tokenCountBpe(col("text")).cast(LongType).as("n_bpe_tokens"))),
+
+    "lang_id" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"), text.TextAnalysis.langId(col("text")).as("lang_detected"))),
+
+    "quality_score" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"), text.TextAnalysis.qualityScore(col("text")).as("quality"))),
+
+    // ---- extensions: near-duplicate detection -------------------------
+    "neardup_minhash_pairs" -> ((s, dir) =>
+      text.MinHashDedup.nearDupPairs(
+        t(s, dir, "documents"), "doc_id", "text", threshold = 0.5)
+        .select("id_a", "id_b")), // jaccard column dropped: float-free check
+
+    "dedup_minhash" -> ((s, dir) =>
+      text.MinHashDedup.dedup(
+        t(s, dir, "documents"), "doc_id", "text", threshold = 0.5)
+        .select("doc_id", "source", "n_chars")),
+
+    "dedup_simhash" -> ((s, dir) =>
+      text.SimHashDedup.dedup(
+        t(s, dir, "documents"), "doc_id", "text", maxDist = 3)
+        .select("doc_id", "source", "n_chars")),
+
+    "embedding_neardup_pairs" -> ((s, dir) =>
+      ml.Similarity.nearDupPairs(
+        t(s, dir, "embeddings"), "vec_id", "embedding",
+        // the synthetic embeddings are near-orthogonal (max cosine ≈ 0.35),
+        // so a production-style 0.9 threshold matches nothing; 0.25 keeps
+        // the check non-vacuous on this data
+        dim = 64, threshold = 0.25, nbits = 4)
+        .select("id_a", "id_b")),
+
+    // ---- extensions: similarity search --------------------------------
+    "simsearch_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      ml.Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+        emb.filter(col("vec_id") < 5), "vec_id", "embedding", k = 10)
+        .withColumn("rank", col("rank").cast(LongType))
+    }),
+
+    "simsearch_lsh" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      ml.Similarity.lshTopK(emb, "vec_id", "embedding",
+        emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+        dim = 64, k = 10, nbits = 4)
+        .withColumn("rank", col("rank").cast(LongType))
+    }),
+
+    // ---- extensions: multimodal plumbing (stubbed decode) -------------
+    "multimodal_features" -> ((s, dir) => {
+      val media = multimodal.Multimodal.syntheticMedia(
+        t(s, dir, "documents"), "doc_id", "text")
+      multimodal.Multimodal.withDecodedFeatures(media, "content", dim = 8)
+        .select(col("media_id"), col("modality"),
+          length(col("content")).as("n_bytes"),
+          size(col("features")).as("feature_dim"))
+    })
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -305,6 +371,37 @@ object SparkEntry {
     "events_window" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
         |  count(*) AS n_events, round(sum(value), 2) AS sum_value
-        |FROM events GROUP BY 1, 2""".stripMargin
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "token_count" ->
+      """SELECT doc_id,
+        |  CAST(length(list_filter(string_split_regex(text, '\s+'),
+        |    x -> length(x) > 0)) AS BIGINT) AS n_ws_tokens,
+        |  CAST(length(regexp_extract_all(text,
+        |    '[\p{L}]+|[0-9]+|[^\p{L}0-9\s]')) AS BIGINT) AS n_bpe_tokens
+        |FROM documents""".stripMargin,
+
+    "simsearch_topk" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+        |           FROM embeddings WHERE vec_id < 5),
+        |scored AS (
+        |  SELECT q.query_id, e.vec_id AS neighbor_id,
+        |         list_cosine_similarity(CAST(q.qv AS DOUBLE[]),
+        |                                CAST(e.embedding AS DOUBLE[])) AS cosine
+        |  FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.query_id),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id,
+        |         row_number() OVER (PARTITION BY query_id
+        |                            ORDER BY cosine DESC, neighbor_id) AS rank,
+        |         cosine
+        |  FROM scored)
+        |SELECT query_id, neighbor_id, rank, round(cosine, 4) AS cosine
+        |FROM ranked WHERE rank <= 10""".stripMargin,
+
+    "multimodal_features" ->
+      """SELECT doc_id AS media_id, 'image' AS modality,
+        |  CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+        |  CAST(8 AS INT) AS feature_dim
+        |FROM documents""".stripMargin
   )
 }

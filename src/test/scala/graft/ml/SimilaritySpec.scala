@@ -1,0 +1,82 @@
+package graft.ml
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def vecs = Seq(
+    (1L, Array(1f, 0f, 0f, 0f)),
+    (2L, Array(0.9f, 0.1f, 0f, 0f)),   // close to 1
+    (3L, Array(0f, 1f, 0f, 0f)),       // orthogonal to 1
+    (4L, Array(-1f, 0f, 0f, 0f)),      // opposite of 1
+    (5L, Array(1f, 0f, 0f, 0f)))       // duplicate of 1
+    .toDF("vec_id", "embedding")
+
+  test("cosine basics") {
+    val out = vecs.as("a").crossJoin(vecs.as("b"))
+      .filter($"a.vec_id" === 1 && $"b.vec_id".isin(3, 4, 5))
+      .select($"b.vec_id",
+        Similarity.cosine($"a.embedding", $"b.embedding").as("c"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(out(3L)) < 1e-9)
+    assert(math.abs(out(4L) + 1.0) < 1e-9)
+    assert(math.abs(out(5L) - 1.0) < 1e-9)
+  }
+
+  test("brute-force top-k ranking") {
+    val queries = vecs.filter($"vec_id" === 1)
+    val out = Similarity.bruteForceTopK(vecs, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 3)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(1), r.getInt(2)))
+    // expected order: 5 (identical, cos 1), 2 (cos ~.994), 3 (cos 0)
+    assert(out.toSeq == Seq((5L, 1), (2L, 2), (3L, 3)))
+  }
+
+  test("normalize produces unit vectors") {
+    val n = vecs.select(Similarity.l2Norm(
+      Similarity.normalize($"embedding")).as("n"))
+      .as[Double].collect()
+    n.foreach(v => assert(math.abs(v - 1.0) < 1e-3))
+  }
+
+  test("lsh bucket is deterministic and groups identical vectors") {
+    val b = vecs.select($"vec_id",
+      Similarity.lshBucket($"embedding", dim = 4, nbits = 6).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(b(1L) == b(5L)) // identical vectors, same bucket
+    val again = vecs.select(Similarity.lshBucket($"embedding", 4, 6).as("b"))
+      .collect().map(_.getLong(0))
+    assert(again.toSeq == Seq(b(1L), b(2L), b(3L), b(4L), b(5L)))
+  }
+
+  test("embedding near-dup pairs finds the duplicate") {
+    val pairs = Similarity.nearDupPairs(vecs, "vec_id", "embedding",
+      dim = 4, threshold = 0.98, nbits = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 5L)))
+    assert(!pairs.exists(p => p._2 == 3L || p._2 == 4L))
+  }
+
+  test("lsh top-k finds planted same-direction neighbors on real embeddings") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.filter($"vec_id" < 2)
+    // plant scaled copies (same direction → same hyperplane bucket, cosine 1)
+    val planted = queries.select(
+      ($"vec_id" + 100000).as("vec_id"),
+      transform($"embedding", x => x * 2f).as("embedding"),
+      $"label")
+    val corpus = emb.unionByName(planted)
+    val approx = Similarity.lshTopK(corpus, "vec_id", "embedding",
+      queries, "vec_id", "embedding", dim = 64, k = 3, nbits = 4)
+      .filter($"rank" === 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    assert(approx.length == 2)
+    approx.foreach { case (q, n, cos) =>
+      assert(n == q + 100000, s"expected planted copy as top-1 for $q, got $n")
+      assert(math.abs(cos - 1.0) < 1e-6)
+    }
+  }
+}

@@ -1,0 +1,72 @@
+package graft.text
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class NearDupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docA = "the quick brown fox jumps over the lazy dog while the " +
+    "sun sets slowly behind the tall green mountains of the western range"
+  private val docANear = "the quick brown fox jumps over the lazy dog while the " +
+    "sun sets slowly behind the tall green mountains of the eastern range"
+  private val docB = "completely unrelated content about database engines and " +
+    "columnar storage formats with vectorized execution and code generation"
+  private val docBDup = docB
+
+  private def docs = Seq(
+    (1L, docA), (2L, docANear), (3L, docB), (4L, docBDup),
+    (5L, "tiny doc"), (6L, "another entirely distinct piece of writing about cooking pasta al dente"))
+    .toDF("doc_id", "text")
+
+  test("minhash signature shape and determinism") {
+    val sig = docs.select(
+      MinHashDedup.minHashSignature(
+        MinHashDedup.wordShingles(col("text")), 64).as("sig"))
+    val first = sig.head().getSeq[Long](0)
+    assert(first.length == 64)
+    val again = sig.head().getSeq[Long](0)
+    assert(first == again)
+  }
+
+  test("minhash LSH finds near-dup and exact-dup pairs, not unrelated") {
+    val pairs = MinHashDedup.nearDupPairs(docs, "doc_id", "text", threshold = 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val keys = pairs.map(p => (p._1, p._2)).toSet
+    assert(keys.contains((1L, 2L)), s"near-dup pair missing: ${keys.mkString(",")}")
+    assert(keys.contains((3L, 4L)), "exact-dup pair missing")
+    assert(keys.size == 2, s"unexpected pairs: $keys")
+    val exact = pairs.find(p => p._1 == 3L).get
+    assert(exact._3 == 1.0)
+  }
+
+  test("minhash dedup keeps min-id survivor") {
+    val out = MinHashDedup.dedup(docs, "doc_id", "text", threshold = 0.6)
+      .select("doc_id").as[Long].collect().sorted
+    assert(out.toSeq == Seq(1L, 3L, 5L, 6L))
+  }
+
+  test("simhash: identical docs have distance 0, near-dups small, unrelated large") {
+    val fp = docs.select(col("doc_id"), SimHashDedup.simHash64(col("text")).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp(3L) == fp(4L))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(fp(1L), fp(2L)) < ham(fp(1L), fp(3L)))
+  }
+
+  test("simhash pairs + dedup") {
+    val pairs = SimHashDedup.nearDupPairs(docs, "doc_id", "text", maxDist = 6, chunks = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((3L, 4L)))
+    val out = SimHashDedup.dedup(docs, "doc_id", "text", maxDist = 6, chunks = 8)
+      .select("doc_id").as[Long].collect().toSet
+    assert(!out.contains(4L) && out.contains(3L))
+  }
+
+  test("no near-dups within real documents table (sanity at sf0.001)") {
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val n = MinHashDedup.nearDupPairs(real, "doc_id", "text", threshold = 0.9).count()
+    // synthetic word-soup docs: high-overlap pairs are possible but rare
+    assert(n < real.count() / 10)
+  }
+}
