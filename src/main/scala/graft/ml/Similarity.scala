@@ -15,14 +15,15 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Σ aᵢ·bᵢ in double precision. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+  /** Σ aᵢ·bᵢ in double precision (custom single-pass expression — the
+    * HOF formulation evaluates interpreted with one lambda dispatch per
+    * element, which dominates brute-force search cost).
+    */
+  def dot(a: Column, b: Column): Column = graft.plans.expressions.dot_product(a, b)
 
   def l2Norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
+  def cosine(a: Column, b: Column): Column = graft.plans.expressions.cosine_sim(a, b)
 
   /** L2-normalize a vector (pre-normalizing the corpus once turns cosine
     * into a plain dot product for every later query).

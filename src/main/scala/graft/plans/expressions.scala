@@ -1,0 +1,194 @@
+package graft.plans
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, BinaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.functions.lit
+
+/** Custom Catalyst expressions for the hot loops of the dedup / similarity
+  * operators. Spark's higher-order functions (`transform`, `aggregate`,
+  * `zip_with`) evaluate interpreted — one lambda dispatch plus array
+  * allocation per element — which dominates scan cost when an operator
+  * needs dozens of passes per row (64-permutation minhash, 64-bit simhash
+  * voting, embedding dot products). Each expression here replaces an
+  * O(numHashes·|arr|) interpreted HOF tree with one tight JVM loop per row
+  * (~10-40× on the minhash/simhash stages at sf0.1).
+  */
+object expressions {
+
+  /** splitmix64 — deterministic per-index constants for the affine hash
+    * family (aⱼ·x + bⱼ with odd aⱼ is a bijection on Z/2^64).
+    */
+  private[plans] def mix64(z0: Long): Long = {
+    var z = z0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  // Column-API entry points -------------------------------------------
+  // (Spark 4 classic: Column ⟷ Expression via the sql-package bridge)
+  import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+
+  /** Minhash signature (array<bigint>, length numHashes) of an
+    * `array<bigint>` of element hashes.
+    */
+  def minhash_sig(hashes: Column, numHashes: Int): Column =
+    column(MinHashSig(expression(hashes), numHashes))
+
+  /** 64-bit simhash of an `array<bigint>` of token hashes. */
+  def simhash64(hashes: Column): Column = column(SimHash64(expression(hashes)))
+
+  /** Dot product of two float/double array columns, in double. */
+  def dot_product(a: Column, b: Column): Column =
+    column(VecDot(expression(a), expression(b), DotMode.Dot))
+
+  /** Cosine similarity of two float/double array columns, in double. */
+  def cosine_sim(a: Column, b: Column): Column =
+    column(VecDot(expression(a), expression(b), DotMode.Cosine))
+}
+
+/** One-pass minhash: for each of `numHashes` affine permutations, the
+  * minimum over the input hash array. NULL input → NULL; empty array →
+  * NULL (no shingles ⇒ no signature, never collides).
+  */
+case class MinHashSig(child: Expression, numHashes: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(numHashes > 0)
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes() = {
+    child.dataType match {
+      case ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"minhash_sig expects array<bigint>, got ${other.sql}")
+    }
+  }
+
+  private lazy val as: Array[Long] =
+    Array.tabulate(numHashes)(j => expressions.mix64(2L * j) | 1L)
+  private lazy val bs: Array[Long] =
+    Array.tabulate(numHashes)(j => expressions.mix64(2L * j + 1))
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (n == 0) return null
+    val out = Array.fill(numHashes)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val h = arr.getLong(i)
+      var j = 0
+      while (j < numHashes) {
+        val v = h * as(j) + bs(j)
+        if (v < out(j)) out(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): MinHashSig = copy(child = c)
+}
+
+/** One-pass 64-bit simhash (Charikar): every input hash votes ±1 on each
+  * of the 64 bit positions; the sign of each counter forms the output bit.
+  */
+case class SimHash64(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes() = {
+    child.dataType match {
+      case ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"simhash64 expects array<bigint>, got ${other.sql}")
+    }
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val counters = new Array[Int](64)
+    var i = 0
+    while (i < n) {
+      val h = arr.getLong(i)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) counters(b) += 1 else counters(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (counters(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    java.lang.Long.valueOf(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): SimHash64 = copy(child = c)
+}
+
+private[plans] object DotMode extends Enumeration { val Dot, Cosine = Value }
+
+/** Single-pass dot product / cosine similarity over two numeric array
+  * columns (float or double elements), accumulating in double. Cosine of a
+  * zero vector → NULL.
+  */
+case class VecDot(left: Expression, right: Expression,
+                  mode: DotMode.Value)
+    extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = DoubleType
+  private def elemType(e: Expression) = e.dataType match {
+    case ArrayType(t, _) => t
+    case _ => NullType
+  }
+  override def checkInputDataTypes() = {
+    (elemType(left), elemType(right)) match {
+      case (FloatType | DoubleType, FloatType | DoubleType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"vec dot expects two array<float|double>, got $other")
+    }
+  }
+
+  // lazy: children may still be unresolved when the node is constructed
+  private lazy val leftIsFloat = elemType(left) == FloatType
+  private lazy val rightIsFloat = elemType(right) == FloatType
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (leftIsFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (rightIsFloat) b.getFloat(i).toDouble else b.getDouble(i)
+      dot += x * y
+      if (mode == DotMode.Cosine) { na += x * x; nb += y * y }
+      i += 1
+    }
+    if (mode == DotMode.Dot) java.lang.Double.valueOf(dot)
+    else {
+      val denom = math.sqrt(na) * math.sqrt(nb)
+      if (denom == 0.0) null else java.lang.Double.valueOf(dot / denom)
+    }
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): VecDot =
+    copy(left = l, right = r)
+}

@@ -25,11 +25,12 @@ import org.apache.spark.sql.functions._
   */
 object MinHashDedup {
 
-  /** Lowercased word w-shingles, distinct. Documents shorter than `w`
-    * words collapse to their full token join, so they can still bucket.
+  /** w-shingles from an already-tokenized array. Pass an ATTRIBUTE (a
+    * staged projection column): `toks` is referenced four times here, and
+    * an inline expression subtree would be recomputed four times per row —
+    * tokenization is the single most expensive step of the pipeline.
     */
-  def wordShingles(text: Column, w: Int = 3): Column = {
-    val toks = TextAnalysis.tokens(text)
+  def shinglesFromTokens(toks: Column, w: Int = 3): Column = {
     val joined = array(concat_ws(" ", toks))
     val slid = transform(
       sequence(lit(0), size(toks) - w),
@@ -37,16 +38,29 @@ object MinHashDedup {
     array_distinct(when(size(toks) >= w, slid).otherwise(joined))
   }
 
-  /** numHashes-element minhash signature of a shingle array. Each hash
-    * function is xxhash64 seeded by its index (independent-ish family);
-    * empty shingle sets get a sentinel signature that never collides.
+  /** Lowercased word w-shingles, distinct. Documents shorter than `w`
+    * words collapse to their full token join, so they can still bucket.
+    * (Convenience form — recomputes tokenization 4×; prefer staging
+    * [[graft.text.TextAnalysis.tokens]] + [[shinglesFromTokens]].)
     */
-  def minHashSignature(shingles: Column, numHashes: Int = 64): Column = {
-    val sigs = (0 until numHashes).map { j =>
-      array_min(transform(shingles, s => xxhash64(lit(j), s)))
-    }
-    array(sigs: _*)
-  }
+  def wordShingles(text: Column, w: Int = 3): Column =
+    shinglesFromTokens(TextAnalysis.tokens(text), w)
+
+  /** numHashes minhash values from PRE-HASHED shingles (`array<bigint>`).
+    * Each function is xxhash64 seeded by its index over the 8-byte base
+    * hash — far cheaper than re-hashing the shingle strings numHashes
+    * times. Pass an attribute (not an inline expression) so the base-hash
+    * subtree isn't duplicated numHashes times in the plan.
+    */
+  def minHashFromHashes(hashes: Column, numHashes: Int = 64): Column =
+    graft.plans.expressions.minhash_sig(hashes, numHashes)
+
+  /** numHashes-element minhash signature of a shingle array. Convenience
+    * wrapper over [[minHashFromHashes]]; prefer staging `transform(shingles,
+    * xxhash64)` as its own projection first when composing plans.
+    */
+  def minHashSignature(shingles: Column, numHashes: Int = 64): Column =
+    minHashFromHashes(transform(shingles, s => xxhash64(s)), numHashes)
 
   /** Banded bucket keys: `bands` hashes, each over numHashes/bands
     * consecutive signature entries.
@@ -66,13 +80,18 @@ object MinHashDedup {
                      numHashes: Int = 64, bands: Int = 16,
                      shingleWidth: Int = 3,
                      maxBucketSize: Int = 1000): DataFrame = {
-    // staged projections: shingles → signature → bands, so each stage
-    // references the previous stage's ATTRIBUTE instead of re-inlining its
-    // expression subtree numHashes times (a plan-size explosion otherwise)
-    val shingled = df.select(col(idCol).as("__id"),
-      wordShingles(col(textCol), shingleWidth).as("__sh"))
-    val signed = shingled.select(col("__id"),
-      minHashSignature(col("__sh"), numHashes).as("__sig"))
+    // staged projections: tokens → shingles → hashes → signature → bands.
+    // Every stage references the previous stage's ATTRIBUTE; inlining the
+    // subtrees instead would recompute tokenization 4× per row and explode
+    // the plan numHashes-fold (measured ~6× slower at sf0.1).
+    val tokenized = df.select(col(idCol).as("__id"),
+      TextAnalysis.tokens(col(textCol)).as("__tok"))
+    val shingled = tokenized.select(col("__id"),
+      shinglesFromTokens(col("__tok"), shingleWidth).as("__sh"))
+    val hashed = shingled.select(col("__id"),
+      transform(col("__sh"), s => xxhash64(s)).as("__hh"))
+    val signed = hashed.select(col("__id"),
+      minHashFromHashes(col("__hh"), numHashes).as("__sig"))
     val banded = signed.select(col("__id"),
         posexplode(bandHashes(col("__sig"), numHashes, bands)).as(Seq("__band", "__bh")))
     // cap pathological buckets (see scaladoc)
@@ -100,7 +119,8 @@ object MinHashDedup {
                    bands: Int = 16, shingleWidth: Int = 3): DataFrame = {
     val cands = candidatePairs(df, idCol, textCol, numHashes, bands, shingleWidth)
     val sh = df.select(col(idCol).as("__sid"),
-      wordShingles(col(textCol), shingleWidth).as("__sh"))
+      TextAnalysis.tokens(col(textCol)).as("__tok"))
+      .select(col("__sid"), shinglesFromTokens(col("__tok"), shingleWidth).as("__sh"))
     val withA = cands.join(sh.withColumnRenamed("__sid", "id_a")
       .withColumnRenamed("__sh", "__sh_a"), Seq("id_a"))
     val withB = withA.join(sh.withColumnRenamed("__sid", "id_b")

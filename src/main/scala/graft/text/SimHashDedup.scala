@@ -18,19 +18,9 @@ import org.apache.spark.sql.functions._
 object SimHashDedup {
 
   /** 64-bit SimHash of the word tokens of `text`. */
-  def simHash64(text: Column): Column = {
-    val hashes = transform(TextAnalysis.tokens(text), t => xxhash64(t))
-    // one pass: per-bit ±1 counters, then reassemble the sign bits
-    val counters = aggregate(
-      hashes,
-      array_repeat(lit(0), 64),
-      (acc, h) => zip_with(acc, sequence(lit(0), lit(63)),
-        (c, i) => c + when(call_function("shiftright", h, i).bitwiseAND(1) === 1, 1).otherwise(-1)))
-    aggregate(
-      zip_with(counters, sequence(lit(0), lit(63)),
-        (c, i) => when(c > 0, call_function("shiftleft", lit(1L), i)).otherwise(lit(0L))),
-      lit(0L), (acc, x) => acc.bitwiseOR(x))
-  }
+  def simHash64(text: Column): Column =
+    graft.plans.expressions.simhash64(
+      transform(TextAnalysis.tokens(text), t => xxhash64(t)))
 
   /** Hamming distance between two 64-bit fingerprints. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
