@@ -28,7 +28,7 @@ object SparkEntry {
   private def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     t(s, dir, "events")
-      .withColumn("ts", expr("timestamp_micros(CAST(ts / 1000 AS BIGINT))"))
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
   }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
@@ -185,6 +185,12 @@ object SparkEntry {
         .groupBy(date_trunc("hour", col("ts")).as("window_start"), col("event_type"))
         .agg(count(lit(1)).as("n_events"),
           round(sum("value"), 2).as("sum_value"))),
+
+    // gap-based session windows (same code path Structured Streaming runs;
+    // see graft.streaming.EventStreams.sessionize)
+    "events_sessionize" -> ((s, dir) =>
+      streaming.EventStreams.sessionize(events(s, dir), gap = "30 minutes")
+        .select("session_start", "user_id", "n_events", "session_value")),
 
     // ---- extensions: text analysis (heuristics → rows-only checks) ----
     "token_count" -> ((s, dir) =>
@@ -372,6 +378,23 @@ object SparkEntry {
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
         |  count(*) AS n_events, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "events_sessionize" ->
+      """WITH d AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |s AS (
+        |  SELECT user_id, ts, value,
+        |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+        |                        ROWS UNBOUNDED PRECEDING) AS sess_id
+        |  FROM d)
+        |SELECT min(ts) AS session_start, user_id,
+        |  count(*) AS n_events, round(sum(value), 2) AS session_value
+        |FROM s GROUP BY user_id, sess_id""".stripMargin,
 
     "token_count" ->
       """SELECT doc_id,
