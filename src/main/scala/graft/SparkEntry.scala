@@ -248,6 +248,15 @@ object SparkEntry {
         .withColumn("rank", col("rank").cast(LongType))
     }),
 
+    "simsearch_ivf" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val model = ml.IvfIndex.fit(emb, "embedding", k = 8)
+      ml.IvfIndex.topK(emb, "vec_id", "embedding",
+        emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+        model, k = 10, nprobe = 2)
+        .withColumn("rank", col("rank").cast(LongType))
+    }),
+
     // ---- extensions: multimodal plumbing (stubbed decode) -------------
     "multimodal_features" -> ((s, dir) => {
       val media = multimodal.Multimodal.syntheticMedia(

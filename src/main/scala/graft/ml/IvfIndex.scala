@@ -1,0 +1,172 @@
+package graft.ml
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.GraftColumnBridge.{column => toColumn, expression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** IVF (inverted-file) approximate nearest-neighbor search: vectors are
+  * assigned to their nearest coarse centroid; a query probes only the
+  * `nprobe` closest cells, so the corpus is never cross-joined.
+  *
+  * Training is a small deterministic k-means (k-means++ seeding + Lloyd)
+  * over a driver-collected sample — the standard IVF recipe: coarse
+  * quantizers are trained on a sample offline, then assignment is a pure
+  * per-row expression that scales with the corpus. The probe join
+  * shuffles on cell id, and cells are ~|corpus|/k rows, so query cost is
+  * `nprobe/k` of brute force.
+  */
+object IvfIndex {
+
+  final case class Model(centroids: Array[Array[Double]]) {
+    def k: Int = centroids.length
+    def dim: Int = if (centroids.isEmpty) 0 else centroids(0).length
+  }
+
+  /** Deterministic k-means over a sample of `df`'s vector column (cosine
+    * geometry: vectors are L2-normalized before training and centroids
+    * re-normalized each iteration — spherical k-means).
+    */
+  def fit(df: DataFrame, vecCol: String, k: Int,
+          sampleSize: Int = 10000, iters: Int = 10, seed: Long = 42L): Model = {
+    val rows = df.select(vecCol).limit(sampleSize).collect()
+    val sample: Array[Array[Double]] = rows.map { r =>
+      normalizeArr(r.getSeq[Float](0).map(_.toDouble).toArray)
+    }
+    require(sample.length >= k, s"sample (${sample.length}) smaller than k=$k")
+    val rnd = new scala.util.Random(seed)
+
+    // k-means++ seeding
+    val centroids = new Array[Array[Double]](k)
+    centroids(0) = sample(rnd.nextInt(sample.length)).clone()
+    val d2 = Array.fill(sample.length)(Double.MaxValue)
+    for (c <- 1 until k) {
+      var i = 0
+      while (i < sample.length) {
+        val d = sqDist(sample(i), centroids(c - 1))
+        if (d < d2(i)) d2(i) = d
+        i += 1
+      }
+      val total = d2.sum
+      var target = rnd.nextDouble() * total
+      var pick = 0
+      while (pick < sample.length - 1 && target > d2(pick)) {
+        target -= d2(pick); pick += 1
+      }
+      centroids(c) = sample(pick).clone()
+    }
+
+    // Lloyd iterations (spherical)
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(k)(new Array[Double](centroids(0).length))
+      val counts = new Array[Int](k)
+      sample.foreach { v =>
+        val c = nearest(v, centroids)
+        counts(c) += 1
+        var j = 0
+        while (j < v.length) { sums(c)(j) += v(j); j += 1 }
+      }
+      for (c <- 0 until k if counts(c) > 0)
+        centroids(c) = normalizeArr(sums(c).map(_ / counts(c)))
+    }
+    Model(centroids)
+  }
+
+  private def normalizeArr(v: Array[Double]): Array[Double] = {
+    val n = math.sqrt(v.map(x => x * x).sum)
+    if (n == 0) v else v.map(_ / n)
+  }
+  private def sqDist(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+    s
+  }
+  private def nearest(v: Array[Double], cs: Array[Array[Double]]): Int = {
+    var best = 0; var bd = Double.MaxValue; var c = 0
+    while (c < cs.length) { val d = sqDist(v, cs(c)); if (d < bd) { bd = d; best = c }; c += 1 }
+    best
+  }
+
+  /** Cell assignment for a vector column (nearest centroid by cosine). */
+  def assign(vec: Column, model: Model): Column =
+    toColumn(NearestCentroids(expression(vec), model.centroids, 1))(0)
+
+  /** The `nprobe` nearest cells for a query vector, as array<int>. */
+  def probeCells(vec: Column, model: Model, nprobe: Int): Column =
+    toColumn(NearestCentroids(expression(vec), model.centroids, nprobe))
+
+  /** Approximate cosine top-k: corpus rows in the query's `nprobe` nearest
+    * cells are ranked. Shuffles on cell id; the broadcast query side is
+    * exploded nprobe-fold, the corpus is scanned once.
+    */
+  def topK(corpus: DataFrame, corpusId: String, corpusVec: String,
+           queries: DataFrame, queryId: String, queryVec: String,
+           model: Model, k: Int = 10, nprobe: Int = 2): DataFrame = {
+    val c = corpus.select(col(corpusId).as("neighbor_id"),
+      col(corpusVec).as("__cv"), assign(col(corpusVec), model).as("__cell"))
+    val q = broadcast(queries.select(col(queryId).as("query_id"),
+        col(queryVec).as("__qv"),
+        explode(probeCells(col(queryVec), model, nprobe)).as("__cell")))
+    c.join(q, Seq("__cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine", Similarity.cosine(col("__qv"), col("__cv")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("cosine").desc, col("neighbor_id"))))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        round(col("cosine"), 4).as("cosine"))
+  }
+}
+
+/** The `nprobe` nearest centroids (by dot product against the L2-normalized
+  * centroids — cosine order) of a float/double vector, as array<int>.
+  * One tight loop per row; centroids ride inside the expression.
+  */
+case class NearestCentroids(child: Expression,
+                            centroids: Array[Array[Double]], nprobe: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def checkInputDataTypes() = {
+    child.dataType match {
+      case ArrayType(FloatType | DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"nearest_centroids expects array<float|double>, got ${other.sql}")
+    }
+  }
+
+  private lazy val isFloat = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val dim = math.min(arr.numElements(), centroids(0).length)
+    val scores = new Array[Double](centroids.length)
+    var c = 0
+    while (c < centroids.length) {
+      var s = 0.0; var i = 0
+      val cent = centroids(c)
+      while (i < dim) {
+        val x = if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
+        s += x * cent(i)
+        i += 1
+      }
+      scores(c) = s
+      c += 1
+    }
+    val idx = scores.indices.sortBy(i => (-scores(i), i)).take(nprobe).toArray
+    new GenericArrayData(idx)
+  }
+
+  override protected def withNewChildInternal(c: Expression): NearestCentroids =
+    copy(child = c)
+}

@@ -84,16 +84,23 @@ object Merge {
       val t = target.withColumn(RID, monotonically_increasing_id()).alias(targetAlias)
       val s = source.alias(sourceAlias)
 
-      val matchedPairs = t.join(s, mergeCondition, "inner")
-
-      if (matched.nonEmpty) {
-        val multi = matchedPairs.groupBy(col(RID)).count()
-          .filter(col("count") > 1).limit(1)
-        if (!multi.isEmpty)
-          throw new IllegalStateException(
-            "MERGE: a target row was matched by multiple source rows; " +
-            "merge condition must identify at most one source row per target row")
-      }
+      // Multi-match detection (Delta's multiple-source-row-match error) is
+      // folded into the rewrite pass: a window count per target row id plus
+      // an in-plan assertion. One job, no extra scan of the target — the
+      // shuffle is only over the matched pairs (≈ the touched rows), which
+      // is the small side of a merge at scale. The assertion rides in a
+      // filter predicate so column pruning cannot drop it.
+      val rawPairs = t.join(s, mergeCondition, "inner")
+      val matchedPairs = if (matched.nonEmpty) {
+        val w = org.apache.spark.sql.expressions.Window.partitionBy(col(RID))
+        rawPairs
+          .withColumn("__graft_match_n", count(lit(1)).over(w))
+          .filter(assert_true(col("__graft_match_n") <= 1,
+            lit("MERGE: a target row was matched by multiple source rows; " +
+              "the merge condition must identify at most one source row " +
+              "per target row")).isNull)
+          .drop("__graft_match_n")
+      } else rawPairs
 
       // first-matching-clause index over the matched pairs (NULL = no clause)
       def clauseIdx(clauses: Seq[Clause]): Column =

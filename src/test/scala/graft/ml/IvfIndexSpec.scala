@@ -1,0 +1,77 @@
+package graft.ml
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class IvfIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Three well-separated clusters in 8d: axis directions with noise. */
+  private def clustered = {
+    val rnd = new scala.util.Random(7)
+    val base = Seq(
+      Array(1f, 0f, 0f, 0f, 0f, 0f, 0f, 0f),
+      Array(0f, 0f, 0f, 1f, 0f, 0f, 0f, 0f),
+      Array(0f, 0f, 0f, 0f, 0f, 0f, 1f, 0f))
+    (0 until 90).map { i =>
+      val c = i % 3
+      val v = base(c).clone()
+      (0 until 8).foreach(j => v(j) = v(j) + (rnd.nextFloat() - 0.5f) * 0.2f)
+      (i.toLong, v, c)
+    }.toDF("vec_id", "embedding", "true_cluster")
+  }
+
+  test("fit produces k centroids aligned with the planted clusters") {
+    val df = clustered
+    val model = IvfIndex.fit(df, "embedding", k = 3, seed = 42)
+    assert(model.k == 3 && model.dim == 8)
+    // every planted cluster maps to exactly one distinct centroid
+    val assigned = df.withColumn("cell", IvfIndex.assign($"embedding", model))
+      .select("true_cluster", "cell").distinct().collect()
+      .map(r => r.getInt(0) -> r.getInt(1))
+    assert(assigned.length == 3, s"cluster/cell mapping not 1:1: ${assigned.toSeq}")
+    assert(assigned.map(_._2).distinct.length == 3)
+  }
+
+  test("assignment is deterministic") {
+    val df = clustered
+    val model = IvfIndex.fit(df, "embedding", k = 3)
+    val a = df.select(IvfIndex.assign($"embedding", model)).as[Int].collect()
+    val b = df.select(IvfIndex.assign($"embedding", model)).as[Int].collect()
+    assert(a.toSeq == b.toSeq)
+  }
+
+  test("ivf topK finds same-cluster neighbors; nprobe=k equals brute force") {
+    val df = clustered
+    val model = IvfIndex.fit(df, "embedding", k = 3)
+    val queries = df.filter($"vec_id" < 3)
+    val ivf = IvfIndex.topK(df, "vec_id", "embedding",
+      queries, "vec_id", "embedding", model, k = 5, nprobe = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // neighbors of each query are from its own planted cluster
+    val clusterOf = df.select("vec_id", "true_cluster").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    ivf.foreach { case (q, n) =>
+      assert(clusterOf(q) == clusterOf(n),
+        s"neighbor $n of query $q crosses clusters")
+    }
+    // full probe == exact brute force
+    val full = IvfIndex.topK(df, "vec_id", "embedding",
+      queries, "vec_id", "embedding", model, k = 5, nprobe = 3)
+      .select("query_id", "neighbor_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val exact = Similarity.bruteForceTopK(df, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(full == exact)
+  }
+
+  test("works on the real embeddings table") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val model = IvfIndex.fit(emb, "embedding", k = 8)
+    val out = IvfIndex.topK(emb, "vec_id", "embedding",
+      emb.filter($"vec_id" < 2), "vec_id", "embedding", model, k = 5, nprobe = 2)
+    assert(out.count() == 10)
+  }
+}

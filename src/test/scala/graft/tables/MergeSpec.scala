@@ -75,7 +75,11 @@ class MergeSpec extends SparkSpec {
     val b = Merge.into(target, "base")
       .using(src, "src", "base.pkey = src.pkey")
       .whenMatchedUpdate(Map("attr" -> "src.attr"))
-    assertThrows[IllegalStateException](b.result())
+    val e = intercept[Exception](b.result().collect())
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("matched by multiple source rows")),
+      s"unexpected error: $e")
   }
 
   test("clause order: first matching clause wins") {
