@@ -48,20 +48,25 @@ object Keys {
     val totalCols = columns.length
     val totalRowCount = base.distinct().count()
 
-    // approximate-cardinality prefilter (rsd 5% → accept within 15%)
-    def plausible(c: Seq[String]): Boolean = {
-      val approx = base.select(
-        approx_count_distinct(struct(c.map(col): _*)).as("a"))
-        .head().getLong(0)
-      approx >= totalRowCount * 0.85
-    }
-
-    for (n <- 1 to totalCols; c <- columns.combinations(n)) {
-      if (plausible(c) &&
-          base.select(c.map(col): _*).distinct().count() == totalRowCount) {
-        if (c.length == totalCols)
-          throw new GraftValueError("No composite key candidates could be identified.")
-        return c
+    // The reference launches one exact count job PER combination (O(2^n)
+    // jobs over the full table, mack/__init__.py:580-583). Instead: for
+    // each combination size, ONE aggregation computes approx_count_distinct
+    // for every combination of that size in a single scan; only plausible
+    // candidates (within HLL error of the target) pay for an exact count.
+    for (n <- 1 to totalCols) {
+      val combos = columns.combinations(n).toSeq
+      val approxRow = base.select(combos.zipWithIndex.map { case (c, i) =>
+        approx_count_distinct(struct(c.map(col): _*)).as(s"a$i")
+      }: _*).head()
+      val plausible = combos.zipWithIndex.filter { case (_, i) =>
+        approxRow.getLong(i) >= totalRowCount * 0.85
+      }.map(_._1)
+      plausible.foreach { c =>
+        if (base.select(c.map(col): _*).distinct().count() == totalRowCount) {
+          if (c.length == totalCols)
+            throw new GraftValueError("No composite key candidates could be identified.")
+          return c
+        }
       }
     }
     throw new GraftValueError("No composite key candidates could be identified.")
