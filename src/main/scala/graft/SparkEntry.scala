@@ -257,6 +257,22 @@ object SparkEntry {
         .withColumn("rank", col("rank").cast(LongType))
     }),
 
+    // composed corpus-cleaning pipeline: quality filter → exact dedup →
+    // near-dedup → per-doc stats (the operators chained the way a real
+    // training-data job uses them; one declarative plan end-to-end)
+    "pipeline_clean_corpus" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val scored = docs.withColumn("quality",
+        text.TextAnalysis.qualityScore(col("text")))
+      val kept = scored.filter(col("quality") >= 0.5)
+      val exact = Dedup.dropDuplicatesPkey(
+        kept.withColumn("__h", md5(col("text"))), "doc_id", Seq("__h"))
+        .drop("__h")
+      val near = text.MinHashDedup.dedup(exact, "doc_id", "text", threshold = 0.5)
+      near.select(col("doc_id"), col("quality"),
+        text.TextAnalysis.tokenCountWhitespace(col("text")).cast(LongType).as("n_tokens"))
+    }),
+
     // ---- extensions: multimodal plumbing (stubbed decode) -------------
     "multimodal_features" -> ((s, dir) => {
       val media = multimodal.Multimodal.syntheticMedia(

@@ -30,7 +30,8 @@ object TextAnalysis {
   /** Per-language stopword markers (high-frequency function words chosen to
     * be disjoint across languages where possible).
     */
-  private val stopwords: Map[String, Seq[String]] = Map(
+  // declaration order is the tie-break priority (first wins on equal hits)
+  private val stopwords: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "and", "of", "to", "is", "that", "with", "for", "was",
       "this", "are", "have", "not", "you", "they"),
     "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "eine",
@@ -59,7 +60,7 @@ object TextAnalysis {
     val arab = scriptRatio("[\\x{0600}-\\x{06FF}]")
 
     val toks = array_distinct(tokens(text))
-    val scores = stopwords.toSeq.map { case (lang, words) =>
+    val scores = stopwords.map { case (lang, words) =>
       lang -> size(array_intersect(toks, array(words.map(lit): _*)))
     }
     // argmax over stopword hits, ties broken by map order; 0 hits → "und"

@@ -76,13 +76,37 @@ object Drive {
       val dup = updates.union(updates)
       Merge.into(t.toDF, "base").using(dup, "u", "base.pkey = u.pkey")
         .whenMatchedUpdate(Map("attr" -> "u.attr")).result().count
-    } catch { case e: IllegalStateException =>
-      println(s"[8] probe multi-match -> ${e.getMessage.take(80)}") }
+      println("[8] probe multi-match -> NO ERROR (unexpected)")
+    } catch { case e: Exception =>
+      def msgs(x: Throwable): Seq[String] =
+        if (x == null) Nil else Option(x.getMessage).toSeq ++ msgs(x.getCause)
+      val hit = msgs(e).exists(_.contains("matched by multiple source rows"))
+      println(s"[8] probe multi-match -> raised=${hit}") }
 
     val part = spark.read.parquet(s"$sfDir/part.parquet")
     println("[9] md5 col sample: " + withMd5Cols(part, Seq("p_brand", "p_type"))
       .select("md5_p_brand_p_type").head.getString(0))
     println("[10] composite key of part: " + Keys.findCompositeKeyCandidates(part))
+
+    // --- extension operators over documents/embeddings ---
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val nd = graft.text.MinHashDedup.nearDupPairs(docs, "doc_id", "text", 0.5).count()
+    val kept = graft.text.MinHashDedup.dedup(docs, "doc_id", "text", 0.5).count()
+    println(s"[11] minhash near-dup: ${docs.count} docs -> $nd pairs, $kept kept after dedup")
+    val sh = graft.text.SimHashDedup.dedup(docs, "doc_id", "text", 3).count()
+    println(s"[12] simhash dedup keeps $sh")
+    val langs = docs.select(graft.text.TextAnalysis.langId(col("text")).as("l"))
+      .groupBy("l").count().collect().map(r => s"${r.getString(0)}:${r.getLong(1)}").mkString(" ")
+    println(s"[13] langid distribution: $langs")
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val topk = graft.ml.Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+      emb.limit(2), "vec_id", "embedding", k = 3)
+      .collect().map(r => s"(${r.getLong(0)}->${r.getLong(1)} @${r.getDouble(3)})").mkString(" ")
+    println(s"[14] brute-force top-3: $topk")
+    val model = graft.ml.IvfIndex.fit(emb, "embedding", k = 4)
+    val ivfN = graft.ml.IvfIndex.topK(emb, "vec_id", "embedding",
+      emb.limit(2), "vec_id", "embedding", model, k = 3, nprobe = 2).count()
+    println(s"[15] ivf top-3 rows: $ivfN")
     spark.stop()
   }
 }
