@@ -39,6 +39,12 @@ object expressions {
   def minhash_sig(hashes: Column, numHashes: Int): Column =
     column(MinHashSig(expression(hashes), numHashes))
 
+  /** Distinct word-w-shingle hashes of a text column, in one pass (see
+    * [[ShingleHashes]]).
+    */
+  def shingle_hashes(text: Column, w: Int): Column =
+    column(ShingleHashes(expression(text), w))
+
   /** 64-bit simhash of an `array<bigint>` of token hashes. */
   def simhash64(hashes: Column): Column = column(SimHash64(expression(hashes)))
 
@@ -95,6 +101,89 @@ case class MinHashSig(child: Expression, numHashes: Int)
   }
 
   override protected def withNewChildInternal(c: Expression): MinHashSig = copy(child = c)
+}
+
+/** Text → distinct hashes of its lowercase word w-shingles, one pass.
+  *
+  * Replaces the interpreted HOF chain `split → filter → transform(slice +
+  * concat_ws) → array_distinct → transform(xxhash64)`: tokens are scanned
+  * directly from the UTF8 string (runs of Unicode letters, lowercased),
+  * each token is hashed incrementally, and a shingle hash mixes the `w`
+  * consecutive token hashes — no intermediate token/shingle strings are
+  * materialized. Documents shorter than `w` tokens produce one hash over
+  * all their tokens (so they can still bucket). NULL text → NULL.
+  *
+  * Collision note: downstream Jaccard verification compares these 64-bit
+  * hash sets rather than shingle strings; collisions (~2⁻⁶⁴ per pair) are
+  * negligible against LSH's own approximation.
+  */
+case class ShingleHashes(child: Expression, w: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(w >= 1)
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes() = {
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"shingle_hashes expects string, got ${other.sql}")
+    }
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.toString
+    // 1. token hashes: runs of letters, lowercased, hashed incrementally
+    val tokenHashes = new scala.collection.mutable.ArrayBuffer[Long](64)
+    var h = 0L
+    var inTok = false
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (Character.isLetter(c)) {
+        val lc = Character.toLowerCase(c)
+        h = if (inTok) h * 0x100000001B3L ^ lc else 0xCBF29CE484222325L ^ lc
+        inTok = true
+      } else if (inTok) {
+        tokenHashes += expressions.mix64(h)
+        inTok = false
+      }
+      i += 1
+    }
+    if (inTok) tokenHashes += expressions.mix64(h)
+
+    val n = tokenHashes.length
+    // 2. shingle hashes: mix of w consecutive token hashes, deduplicated
+    val out = new java.util.HashSet[Long]()
+    if (n == 0) {
+      // keep parity with the HOF formulation: empty text still yields one
+      // (empty-join) shingle so the row can participate in exact-dup checks
+      out.add(expressions.mix64(0L))
+    } else if (n < w) {
+      var acc = 0L
+      var j = 0
+      while (j < n) { acc = acc * 0x9E3779B97F4A7C15L ^ tokenHashes(j); j += 1 }
+      out.add(expressions.mix64(acc))
+    } else {
+      var start = 0
+      while (start <= n - w) {
+        var acc = 0L
+        var j = start
+        while (j < start + w) { acc = acc * 0x9E3779B97F4A7C15L ^ tokenHashes(j); j += 1 }
+        out.add(expressions.mix64(acc))
+        start += 1
+      }
+    }
+    val arr = new Array[Long](out.size)
+    val it = out.iterator()
+    var k = 0
+    while (it.hasNext) { arr(k) = it.next(); k += 1 }
+    new GenericArrayData(arr)
+  }
+
+  override protected def withNewChildInternal(c: Expression): ShingleHashes =
+    copy(child = c)
 }
 
 /** One-pass 64-bit simhash (Charikar): every input hash votes ±1 on each

@@ -80,16 +80,11 @@ object MinHashDedup {
                      numHashes: Int = 64, bands: Int = 16,
                      shingleWidth: Int = 3,
                      maxBucketSize: Int = 1000): DataFrame = {
-    // staged projections: tokens → shingles → hashes → signature → bands.
-    // Every stage references the previous stage's ATTRIBUTE; inlining the
-    // subtrees instead would recompute tokenization 4× per row and explode
-    // the plan numHashes-fold (measured ~6× slower at sf0.1).
-    val tokenized = df.select(col(idCol).as("__id"),
-      TextAnalysis.tokens(col(textCol)).as("__tok"))
-    val shingled = tokenized.select(col("__id"),
-      shinglesFromTokens(col("__tok"), shingleWidth).as("__sh"))
-    val hashed = shingled.select(col("__id"),
-      transform(col("__sh"), s => xxhash64(s)).as("__hh"))
+    // two tight-loop expressions: text → shingle hashes → signature
+    // (each stage referencing the previous ATTRIBUTE; see ShingleHashes /
+    // MinHashSig scaladoc for why HOF formulations were replaced)
+    val hashed = df.select(col(idCol).as("__id"),
+      graft.plans.expressions.shingle_hashes(col(textCol), shingleWidth).as("__hh"))
     val signed = hashed.select(col("__id"),
       minHashFromHashes(col("__hh"), numHashes).as("__sig"))
     val banded = signed.select(col("__id"),
@@ -118,9 +113,10 @@ object MinHashDedup {
                    threshold: Double = 0.8, numHashes: Int = 64,
                    bands: Int = 16, shingleWidth: Int = 3): DataFrame = {
     val cands = candidatePairs(df, idCol, textCol, numHashes, bands, shingleWidth)
+    // verification compares 64-bit shingle-hash sets (collision odds are
+    // negligible next to LSH recall; the strings are never materialized)
     val sh = df.select(col(idCol).as("__sid"),
-      TextAnalysis.tokens(col(textCol)).as("__tok"))
-      .select(col("__sid"), shinglesFromTokens(col("__tok"), shingleWidth).as("__sh"))
+      graft.plans.expressions.shingle_hashes(col(textCol), shingleWidth).as("__sh"))
     val withA = cands.join(sh.withColumnRenamed("__sid", "id_a")
       .withColumnRenamed("__sh", "__sh_a"), Seq("id_a"))
     val withB = withA.join(sh.withColumnRenamed("__sid", "id_b")
