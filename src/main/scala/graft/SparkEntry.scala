@@ -421,6 +421,73 @@ object SparkEntry {
         |  count(*) AS n_events, round(sum(value), 2) AS session_value
         |FROM s GROUP BY user_id, sess_id""".stripMargin,
 
+    "quality_score" ->
+      """WITH t AS (
+        |  SELECT doc_id, text,
+        |    CAST(length(text) AS DOUBLE) AS n,
+        |    list_filter(string_split_regex(lower(text), '[^\p{L}]+'),
+        |                x -> length(x) > 0) AS toks,
+        |    CAST(length(regexp_extract_all(text, '[\p{L}]')) AS DOUBLE) AS n_alpha,
+        |    CAST(length(regexp_extract_all(text, '[[:punct:]]')) AS DOUBLE) AS n_punct
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n,
+        |    CASE WHEN n > 0 THEN n_alpha / n ELSE 0 END AS alpha_ratio,
+        |    CASE WHEN n > 0 THEN n_punct / n ELSE 0 END AS punct_ratio,
+        |    CAST(len(toks) AS DOUBLE) AS n_toks,
+        |    CASE WHEN len(toks) > 0 THEN
+        |      CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks)
+        |      ELSE 0 END AS mean_word_len,
+        |    CASE WHEN len(toks) > 0 THEN
+        |      CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+        |      ELSE 0 END AS distinct_ratio
+        |  FROM t)
+        |SELECT doc_id,
+        |  round(least(greatest(
+        |    least(n / 200.0, 1.0) * 0.25 + alpha_ratio * 0.25 +
+        |    (CASE WHEN mean_word_len BETWEEN 3.0 AND 12.0 THEN 1.0 ELSE 0.3 END) * 0.2 +
+        |    (CASE WHEN punct_ratio < 0.2 THEN 1.0 ELSE 0.4 END) * 0.1 +
+        |    distinct_ratio * 0.2, 0.0), 1.0), 4) AS quality
+        |FROM c""".stripMargin,
+
+    "lang_id" ->
+      """WITH t AS (
+        |  SELECT doc_id, text, CAST(length(text) AS DOUBLE) AS n,
+        |    list_distinct(list_filter(string_split_regex(lower(text), '[^\p{L}]+'),
+        |                  x -> length(x) > 0)) AS toks
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, n,
+        |    CASE WHEN n > 0 THEN length(regexp_extract_all(text, '[\x{4E00}-\x{9FFF}]')) / n ELSE 0 END AS cjk,
+        |    CASE WHEN n > 0 THEN length(regexp_extract_all(text, '[\x{3040}-\x{30FF}]')) / n ELSE 0 END AS kana,
+        |    CASE WHEN n > 0 THEN length(regexp_extract_all(text, '[\x{AC00}-\x{D7AF}]')) / n ELSE 0 END AS hangul,
+        |    CASE WHEN n > 0 THEN length(regexp_extract_all(text, '[\x{0400}-\x{04FF}]')) / n ELSE 0 END AS cyr,
+        |    CASE WHEN n > 0 THEN length(regexp_extract_all(text, '[\x{0600}-\x{06FF}]')) / n ELSE 0 END AS arab,
+        |    len(list_intersect(toks, ['the','and','of','to','is','that','with','for','was','this','are','have','not','you','they'])) AS s_en,
+        |    len(list_intersect(toks, ['der','die','das','und','ist','nicht','ein','eine','mit','für','auf','sich','dass','von','wir'])) AS s_de,
+        |    len(list_intersect(toks, ['le','la','les','et','est','une','pour','dans','que','pas','des','vous','avec','sur','nous'])) AS s_fr,
+        |    len(list_intersect(toks, ['el','la','los','las','es','una','para','que','con','por','del','se','su','como','más'])) AS s_es,
+        |    len(list_intersect(toks, ['il','la','che','di','non','per','una','sono','con','del','gli','ma','questo','anche','come'])) AS s_it,
+        |    len(list_intersect(toks, ['o','a','os','as','que','não','uma','para','com','por','do','da','em','se','mais'])) AS s_pt
+        |  FROM t)
+        |SELECT doc_id,
+        |  CASE
+        |    WHEN kana > 0.05 THEN 'ja'
+        |    WHEN cjk > 0.1 THEN 'zh'
+        |    WHEN hangul > 0.1 THEN 'ko'
+        |    WHEN cyr > 0.2 THEN 'ru'
+        |    WHEN arab > 0.2 THEN 'ar'
+        |    ELSE (CASE
+        |      WHEN greatest(s_en, s_de, s_fr, s_es, s_it, s_pt) = 0 THEN 'und'
+        |      WHEN s_en = greatest(s_en, s_de, s_fr, s_es, s_it, s_pt) THEN 'en'
+        |      WHEN s_de = greatest(s_en, s_de, s_fr, s_es, s_it, s_pt) THEN 'de'
+        |      WHEN s_fr = greatest(s_en, s_de, s_fr, s_es, s_it, s_pt) THEN 'fr'
+        |      WHEN s_es = greatest(s_en, s_de, s_fr, s_es, s_it, s_pt) THEN 'es'
+        |      WHEN s_it = greatest(s_en, s_de, s_fr, s_es, s_it, s_pt) THEN 'it'
+        |      ELSE 'pt' END)
+        |  END AS lang_detected
+        |FROM s""".stripMargin,
+
     "token_count" ->
       """SELECT doc_id,
         |  CAST(length(list_filter(string_split_regex(text, '\s+'),
