@@ -244,7 +244,7 @@ object SparkEntry {
       val emb = t(s, dir, "embeddings")
       ml.Similarity.lshTopK(emb, "vec_id", "embedding",
         emb.filter(col("vec_id") < 5), "vec_id", "embedding",
-        dim = 64, k = 10, nbits = 4)
+        dim = 64, k = 10, nbits = 4, probes = 2)
         .withColumn("rank", col("rank").cast(LongType))
     }),
 

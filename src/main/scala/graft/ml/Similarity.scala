@@ -76,17 +76,44 @@ object Similarity {
     }.reduce(_ + _)
   }
 
-  /** Approximate top-k: rank only within the query's LSH bucket. Recall is
-    * traded for a ~2^nbits-fold smaller candidate set; lower `nbits` (or
-    * multi-probe with neighboring buckets) to raise recall.
+  /** The query-side probe buckets for multi-probe LSH: the vector's own
+    * bucket plus `probes` single-bit flips of its most *marginal*
+    * hyperplanes (smallest |projection| — the planes the vector nearly
+    * straddles, where true neighbors most likely landed on the other
+    * side). Returns array<bigint> of 1+probes bucket ids.
+    */
+  def lshProbeBuckets(vec: Column, dim: Int, nbits: Int, seed: Long,
+                      probes: Int): Column = {
+    require(probes >= 0 && probes <= nbits, s"probes must be in [0, $nbits]")
+    val planes = hyperplanes(dim, nbits, seed)
+    val projs = array(planes.map(p => dot(vec, array(p.map(lit): _*))): _*)
+    // struct sort: (|projection|, planeIdx) ascending → most marginal first
+    val marginal = array_sort(zip_with(
+      transform(projs, p => abs(p)),
+      sequence(lit(0), lit(nbits - 1)),
+      (a, i) => struct(a.as("a"), i.as("i"))))
+    val bucket = aggregate(
+      zip_with(projs, sequence(lit(0), lit(nbits - 1)),
+        (p, i) => when(p > 0, call_function("shiftleft", lit(1L), i)).otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc.bitwiseOR(x))
+    concat(array(bucket),
+      transform(slice(marginal, 1, probes),
+        s => bucket.bitwiseXOR(call_function("shiftleft", lit(1L), s.getField("i")))))
+  }
+
+  /** Approximate top-k: rank only within the query's LSH bucket, plus
+    * `probes` adjacent buckets (multi-probe — flips the most marginal
+    * hyperplanes). probes=0 is pure single-bucket LSH; higher probes
+    * recovers recall at (1+probes)× candidate cost, still ≪ brute force.
     */
   def lshTopK(corpus: DataFrame, corpusId: String, corpusVec: String,
               queries: DataFrame, queryId: String, queryVec: String,
-              dim: Int, k: Int = 10, nbits: Int = 8, seed: Long = 42L): DataFrame = {
+              dim: Int, k: Int = 10, nbits: Int = 8, seed: Long = 42L,
+              probes: Int = 0): DataFrame = {
     val c = corpus.select(col(corpusId).as("neighbor_id"), col(corpusVec).as("__cv"),
       lshBucket(col(corpusVec), dim, nbits, seed).as("__bucket"))
     val q = broadcast(queries.select(col(queryId).as("query_id"), col(queryVec).as("__qv"),
-      lshBucket(col(queryVec), dim, nbits, seed).as("__bucket")))
+        explode(lshProbeBuckets(col(queryVec), dim, nbits, seed, probes)).as("__bucket")))
     c.join(q, Seq("__bucket"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("cosine", cosine(col("__qv"), col("__cv")))

@@ -79,4 +79,41 @@ class SimilaritySpec extends SparkSpec {
       assert(math.abs(cos - 1.0) < 1e-6)
     }
   }
+
+  test("multi-probe buckets: own bucket first, variants differ by one bit") {
+    val out = vecs.select($"vec_id",
+      Similarity.lshBucket($"embedding", 4, 6).as("b"),
+      Similarity.lshProbeBuckets($"embedding", 4, 6, 42L, 3).as("probes"))
+      .collect()
+    out.foreach { r =>
+      val b = r.getLong(1)
+      val ps = r.getSeq[Long](2)
+      assert(ps.length == 4)
+      assert(ps.head == b, "first probe must be the exact bucket")
+      ps.tail.foreach { p =>
+        assert(java.lang.Long.bitCount(p ^ b) == 1,
+          s"variant $p not one bit from $b")
+      }
+      assert(ps.distinct.length == ps.length)
+    }
+  }
+
+  test("multi-probe recall dominates single-bucket recall on real embeddings") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.filter($"vec_id" < 5)
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recall(probes: Int): Double = {
+      val got = Similarity.lshTopK(emb, "vec_id", "embedding",
+        queries, "vec_id", "embedding", dim = 64, k = 5, nbits = 6,
+        probes = probes)
+        .select("query_id", "neighbor_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      (exact intersect got).size.toDouble / exact.size
+    }
+    val r0 = recall(0); val r4 = recall(4)
+    assert(r4 >= r0, s"multi-probe recall $r4 below single-bucket $r0")
+  }
 }
