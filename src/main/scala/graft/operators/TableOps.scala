@@ -57,4 +57,21 @@ object TableOps {
     */
   def renameTable(table: ManagedTable, newLocation: String): ManagedTable =
     table.rename(newLocation)
+
+  /** copy_table `target_table` branch (:317): materialize the table into
+    * the session catalog (parquet `saveAsTable`), preserving partitioning.
+    */
+  def copyTableToCatalog(table: ManagedTable, targetTable: String): Unit = {
+    if (targetTable == null || targetTable.isEmpty)
+      throw new GraftTypeError("Either target_path or target_table must be specified.")
+    val parts = table.partitionColumns
+    val w = table.toDF.write.format("parquet")
+    (if (parts.nonEmpty) w.partitionBy(parts: _*) else w).saveAsTable(targetTable)
+  }
+
+  /** rename_delta_table non-Databricks branch (:735-737): rewrite the
+    * table as a new catalog table under the new name.
+    */
+  def renameToCatalog(table: ManagedTable, newTableName: String): Unit =
+    table.toDF.write.format("parquet").mode("overwrite").saveAsTable(newTableName)
 }

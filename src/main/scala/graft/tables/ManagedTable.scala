@@ -58,13 +58,19 @@ final class ManagedTable private (val spark: SparkSession, val location: String)
   private def readEntry(v: Long): LogEntry =
     LogEntry.fromJson(Files.readString(logDir.resolve(s"v$v.json")))
 
-  private def commit(e: LogEntry): Unit = {
+  private[tables] def commit(e: LogEntry): Unit = {
     Files.createDirectories(logDir)
     val tmp = logDir.resolve(s".tmp-${UUID.randomUUID()}.json")
     Files.writeString(tmp, e.toJson)
     val target = logDir.resolve(s"v${e.version}.json")
-    try Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
-    catch {
+    // Atomic put-if-absent: link(2) fails if the version file exists
+    // (a plain ATOMIC_MOVE rename would silently REPLACE it on POSIX —
+    // last-writer-wins, i.e. lost commits). On an object store this is
+    // the conditional-put the same way Delta/Iceberg do it.
+    try {
+      Files.createLink(target, tmp)
+      Files.deleteIfExists(tmp)
+    } catch {
       case _: java.nio.file.FileAlreadyExistsException =>
         Files.deleteIfExists(tmp)
         throw new IllegalStateException(

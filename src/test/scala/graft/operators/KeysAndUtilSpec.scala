@@ -97,4 +97,20 @@ class KeysAndUtilSpec extends SparkSpec {
     val t2 = TableOps.renameTable(t, loc + "_new")
     assert(t2.toDF.count() == 1)
   }
+
+  test("copy_table/rename to session catalog (saveAsTable branches)") {
+    val loc = tmpDir("cat")
+    val t = ManagedTable.create(df(schema, Seq(Row(1, "A", "B"), Row(2, "C", "D"))),
+      loc, partitionBy = Seq("col1"))
+    TableOps.copyTableToCatalog(t, "graft_copy_test")
+    assert(spark.catalog.tableExists("graft_copy_test"))
+    assert(spark.table("graft_copy_test").count() == 2)
+    TableOps.renameToCatalog(t, "graft_rename_test")
+    assert(spark.catalog.tableExists("graft_rename_test"))
+    assert(spark.table("graft_rename_test").count() == 2)
+    spark.sql("DROP TABLE graft_copy_test")
+    spark.sql("DROP TABLE graft_rename_test")
+    assertThrows[graft.GraftTypeError](TableOps.copyTableToCatalog(t, ""))
+  }
+
 }

@@ -84,6 +84,20 @@ class ManagedTableSpec extends SparkSpec {
     assert(d.numFiles > 0 && d.sizeInBytes > 0)
   }
 
+  test("concurrent commit to an already-taken version conflicts") {
+    val loc = tmpDir("mt")
+    val t = ManagedTable.create(df(schema, Seq(Row(1, "a"))), loc)
+    // two writers race from the same snapshot: writer A commits v1 …
+    val stale = t.latestEntry
+    t.append(df(schema, Seq(Row(2, "b"))))
+    // … writer B, still holding the v0 snapshot, tries to commit v1 too
+    val e = intercept[IllegalStateException] {
+      t.commit(stale.copy(version = stale.version + 1))
+    }
+    assert(e.getMessage.contains("Concurrent commit"))
+    assert(t.latestVersion == 1) // log unchanged by the failed commit
+  }
+
   test("rename moves the table") {
     val loc = tmpDir("mt")
     val t = ManagedTable.create(df(schema, Seq(Row(1, "a"))), loc)
