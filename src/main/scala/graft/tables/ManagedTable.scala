@@ -86,8 +86,34 @@ final class ManagedTable private (val spark: SparkSession, val location: String)
     * for tables evolved by `.option("mergeSchema","true")` appends
     * (reference: mack/__init__.py:378,683,690).
     */
-  def toDF: DataFrame = {
-    val e = latestEntry
+  def toDF: DataFrame = snapshotDF(latestEntry)
+
+  /** Time travel: the table contents as of `version` (Delta
+    * `VERSION AS OF` analog — every log entry records its complete file
+    * snapshot, so old versions stay readable until vacuumed).
+    */
+  def toDF(version: Long): DataFrame = {
+    require(version >= 0 && version <= latestVersion,
+      s"Version $version out of range [0, $latestVersion]")
+    snapshotDF(readEntry(version))
+  }
+
+  /** RESTORE analog: commit a new version whose contents are version `v`'s
+    * snapshot (history is preserved; nothing is deleted).
+    */
+  def restore(version: Long): Unit = {
+    require(version >= 0 && version <= latestVersion,
+      s"Version $version out of range [0, $latestVersion]")
+    val src = readEntry(version)
+    val cur = latestEntry
+    commit(cur.copy(version = cur.version + 1,
+      timestampMs = System.currentTimeMillis(),
+      operation = s"RESTORE v$version",
+      dirs = src.dirs, schema = src.schema,
+      partitionColumns = src.partitionColumns))
+  }
+
+  private def snapshotDF(e: LogEntry): DataFrame = {
     val schema = e.schema
     if (e.dirs.isEmpty) {
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)

@@ -84,6 +84,22 @@ class ManagedTableSpec extends SparkSpec {
     assert(d.numFiles > 0 && d.sizeInBytes > 0)
   }
 
+  test("time travel and restore") {
+    val loc = tmpDir("mt")
+    val t = ManagedTable.create(df(schema, Seq(Row(1, "a"))), loc)
+    t.append(df(schema, Seq(Row(2, "b"))))
+    t.overwrite(df(schema, Seq(Row(9, "z"))))
+    assert(t.toDF(0).count() == 1)
+    assert(t.toDF(1).count() == 2)
+    assertDfEquality(t.toDF(2), t.toDF)
+    assertThrows[IllegalArgumentException](t.toDF(3))
+    t.restore(1)
+    assert(t.latestVersion == 3)
+    assertDfEquality(t.toDF, df(schema, Seq(Row(1, "a"), Row(2, "b"))))
+    // original v2 still readable after restore
+    assert(t.toDF(2).count() == 1)
+  }
+
   test("concurrent commit to an already-taken version conflicts") {
     val loc = tmpDir("mt")
     val t = ManagedTable.create(df(schema, Seq(Row(1, "a"))), loc)
