@@ -213,6 +213,16 @@ object SparkEntry {
         t(s, dir, "documents"), "doc_id", "text", threshold = 0.5)
         .select("id_a", "id_b")), // jaccard column dropped: float-free check
 
+    "neardup_ngram_pairs" -> ((s, dir) =>
+      text.MinHashDedup.nearDupPairs(
+        t(s, dir, "documents"), "doc_id", "text", threshold = 0.5, charNgram = 5)
+        .select("id_a", "id_b")),
+
+    "dedup_transitive" -> ((s, dir) =>
+      text.NearDupClusters.dedupTransitive(
+        t(s, dir, "documents"), "doc_id", "text", threshold = 0.5)
+        .select("doc_id", "source", "n_chars")),
+
     "dedup_minhash" -> ((s, dir) =>
       text.MinHashDedup.dedup(
         t(s, dir, "documents"), "doc_id", "text", threshold = 0.5)

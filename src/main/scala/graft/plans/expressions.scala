@@ -45,6 +45,12 @@ object expressions {
   def shingle_hashes(text: Column, w: Int): Column =
     column(ShingleHashes(expression(text), w))
 
+  /** Distinct character-n-gram hashes of a text column, in one pass (see
+    * [[CharNgramHashes]]).
+    */
+  def char_ngram_hashes(text: Column, n: Int): Column =
+    column(CharNgramHashes(expression(text), n))
+
   /** 64-bit simhash of an `array<bigint>` of token hashes. */
   def simhash64(hashes: Column): Column = column(SimHash64(expression(hashes)))
 
@@ -183,6 +189,71 @@ case class ShingleHashes(child: Expression, w: Int)
   }
 
   override protected def withNewChildInternal(c: Expression): ShingleHashes =
+    copy(child = c)
+}
+
+/** Text → distinct hashes of its character n-grams, one pass. The text is
+  * normalized on the fly (lowercased; runs of non-letters collapse to a
+  * single space) and each n-char window is hashed with a rolling recompute
+  * — no substring materialization. Texts shorter than n yield one hash of
+  * the whole normalized text. The finer-grained cousin of
+  * [[ShingleHashes]]: robust to word-boundary edits and typos, the
+  * standard n-gram-Jaccard dedup primitive.
+  */
+case class CharNgramHashes(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(n >= 2)
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes() = {
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"char_ngram_hashes expects string, got ${other.sql}")
+    }
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val raw = input.toString
+    // normalize: lowercase letters kept, everything else → single space
+    val sb = new java.lang.StringBuilder(raw.length)
+    var lastSpace = true
+    var i = 0
+    while (i < raw.length) {
+      val c = raw.charAt(i)
+      if (Character.isLetter(c)) {
+        sb.append(Character.toLowerCase(c)); lastSpace = false
+      } else if (!lastSpace) { sb.append(' '); lastSpace = true }
+      i += 1
+    }
+    while (sb.length > 0 && sb.charAt(sb.length - 1) == ' ')
+      sb.setLength(sb.length - 1)
+    val s = sb
+    val out = new java.util.HashSet[Long]()
+    def windowHash(from: Int, until: Int): Long = {
+      var h = 0xCBF29CE484222325L
+      var j = from
+      while (j < until) { h = h * 0x100000001B3L ^ s.charAt(j); j += 1 }
+      expressions.mix64(h)
+    }
+    if (s.length < n) out.add(windowHash(0, s.length))
+    else {
+      var start = 0
+      while (start <= s.length - n) {
+        out.add(windowHash(start, start + n))
+        start += 1
+      }
+    }
+    val arr = new Array[Long](out.size)
+    val it = out.iterator()
+    var k = 0
+    while (it.hasNext) { arr(k) = it.next(); k += 1 }
+    new GenericArrayData(arr)
+  }
+
+  override protected def withNewChildInternal(c: Expression): CharNgramHashes =
     copy(child = c)
 }
 

@@ -76,15 +76,26 @@ object MinHashDedup {
   /** Candidate near-duplicate id pairs (idA < idB) from LSH bucket
     * collisions. Distinct across bands.
     */
+  /** The shingling expression: word shingles by default, character
+    * n-grams when `charNgram > 0` (n-gram Jaccard mode — robust to typos
+    * and word-boundary edits).
+    */
+  private def shingler(textCol: String, shingleWidth: Int, charNgram: Int) =
+    if (charNgram > 0)
+      graft.plans.expressions.char_ngram_hashes(col(textCol), charNgram)
+    else
+      graft.plans.expressions.shingle_hashes(col(textCol), shingleWidth)
+
   def candidatePairs(df: DataFrame, idCol: String, textCol: String,
                      numHashes: Int = 64, bands: Int = 16,
                      shingleWidth: Int = 3,
-                     maxBucketSize: Int = 1000): DataFrame = {
+                     maxBucketSize: Int = 1000,
+                     charNgram: Int = 0): DataFrame = {
     // two tight-loop expressions: text → shingle hashes → signature
     // (each stage referencing the previous ATTRIBUTE; see ShingleHashes /
     // MinHashSig scaladoc for why HOF formulations were replaced)
     val hashed = df.select(col(idCol).as("__id"),
-      graft.plans.expressions.shingle_hashes(col(textCol), shingleWidth).as("__hh"))
+      shingler(textCol, shingleWidth, charNgram).as("__hh"))
     val signed = hashed.select(col("__id"),
       minHashFromHashes(col("__hh"), numHashes).as("__sig"))
     val banded = signed.select(col("__id"),
@@ -111,12 +122,14 @@ object MinHashDedup {
     */
   def nearDupPairs(df: DataFrame, idCol: String, textCol: String,
                    threshold: Double = 0.8, numHashes: Int = 64,
-                   bands: Int = 16, shingleWidth: Int = 3): DataFrame = {
-    val cands = candidatePairs(df, idCol, textCol, numHashes, bands, shingleWidth)
+                   bands: Int = 16, shingleWidth: Int = 3,
+                   charNgram: Int = 0): DataFrame = {
+    val cands = candidatePairs(df, idCol, textCol, numHashes, bands,
+      shingleWidth, charNgram = charNgram)
     // verification compares 64-bit shingle-hash sets (collision odds are
     // negligible next to LSH recall; the strings are never materialized)
     val sh = df.select(col(idCol).as("__sid"),
-      graft.plans.expressions.shingle_hashes(col(textCol), shingleWidth).as("__sh"))
+      shingler(textCol, shingleWidth, charNgram).as("__sh"))
     val withA = cands.join(sh.withColumnRenamed("__sid", "id_a")
       .withColumnRenamed("__sh", "__sh_a"), Seq("id_a"))
     val withB = withA.join(sh.withColumnRenamed("__sid", "id_b")
@@ -135,9 +148,10 @@ object MinHashDedup {
     */
   def dedup(df: DataFrame, idCol: String, textCol: String,
             threshold: Double = 0.8, numHashes: Int = 64,
-            bands: Int = 16, shingleWidth: Int = 3): DataFrame = {
+            bands: Int = 16, shingleWidth: Int = 3,
+            charNgram: Int = 0): DataFrame = {
     val losers = nearDupPairs(df, idCol, textCol, threshold, numHashes, bands,
-      shingleWidth).select(col("id_b").as(idCol)).distinct()
+      shingleWidth, charNgram).select(col("id_b").as(idCol)).distinct()
     df.join(losers, Seq(idCol), "left_anti")
   }
 }

@@ -1,0 +1,67 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Connected components over a near-duplicate pair graph: iterative
+  * min-label propagation (each node repeatedly adopts the smallest id
+  * reachable through its edges) — the standard Spark-only way to turn
+  * pairwise near-dup evidence into duplicate CLUSTERS, so transitive
+  * chains (A≈B, B≈C but A̸≈C) dedup as one group.
+  *
+  * Scale shape: each iteration is one shuffle join on node id; iterations
+  * needed ≈ graph diameter (near-dup cliques are shallow, typically ≤ 3).
+  * Convergence is detected by an aggregate over the label frame, and each
+  * iteration's result is localCheckpoint-ed so lineage doesn't grow
+  * exponentially across iterations.
+  */
+object NearDupClusters {
+
+  /** Assign every id its cluster representative (the minimum id reachable
+    * via `pairs`). `ids` must have column `idCol`; `pairs` columns
+    * `id_a`/`id_b`. Nodes with no pairs form singleton clusters.
+    */
+  def clusters(ids: DataFrame, idCol: String, pairs: DataFrame,
+               maxIter: Int = 20): DataFrame = {
+    // undirected edge list, both directions
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct()
+
+    var labels = ids.select(col(idCol).as("id"), col(idCol).as("cluster"))
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      // each node's candidate label: min over neighbors' labels and its own
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("id", "dst")
+          .withColumnRenamed("cluster", "n_cluster"), Seq("dst"))
+        .groupBy(col("src").as("id"))
+        .agg(min("n_cluster").as("n_min"))
+      val next = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("cluster"), coalesce(col("n_min"), col("cluster"))).as("cluster"))
+        .localCheckpoint()
+      val changed = next.alias("n").join(labels.alias("o"), Seq("id"))
+        .filter(col("n.cluster") =!= col("o.cluster")).limit(1)
+      converged = changed.isEmpty
+      labels = next
+      iter += 1
+    }
+    labels.withColumnRenamed("id", idCol)
+  }
+
+  /** Transitive near-dedup: one survivor (the minimum id) per connected
+    * component of the verified near-dup pair graph.
+    */
+  def dedupTransitive(df: DataFrame, idCol: String, textCol: String,
+                      threshold: Double = 0.8, numHashes: Int = 64,
+                      bands: Int = 16, shingleWidth: Int = 3): DataFrame = {
+    val pairs = MinHashDedup.nearDupPairs(df, idCol, textCol, threshold,
+      numHashes, bands, shingleWidth)
+    val assigned = clusters(df.select(idCol), idCol, pairs)
+    df.join(assigned, Seq(idCol))
+      .filter(col(idCol) === col("cluster"))
+      .drop("cluster")
+  }
+}

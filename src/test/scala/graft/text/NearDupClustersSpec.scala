@@ -1,0 +1,48 @@
+package graft.text
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class NearDupClustersSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("min-label propagation finds connected components") {
+    val ids = (1L to 8L).toDF("id")
+    // components: {1,2,3} (chain), {4,5}, {6}, {7,8}
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L), (7L, 8L)).toDF("id_a", "id_b")
+    val out = NearDupClusters.clusters(ids, "id", pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      4L -> 4L, 5L -> 4L, 6L -> 6L, 7L -> 7L, 8L -> 7L))
+  }
+
+  test("long chain converges to the global minimum") {
+    val n = 12L
+    val ids = (1L to n).toDF("id")
+    val pairs = (1L until n).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val out = NearDupClusters.clusters(ids, "id", pairs)
+      .select("cluster").distinct().as[Long].collect()
+    assert(out.toSeq == Seq(1L))
+  }
+
+  test("transitive dedup keeps one survivor per chain") {
+    // A ≈ B and B ≈ C (shifted windows) — A and C share less but must
+    // land in the same cluster through B
+    // distinct two-letter words (tokenizer keeps letter runs only)
+    val words = (0 until 30).map(i =>
+      s"${('a' + i / 26).toChar}${('a' + i % 26).toChar}")
+    val a = words.slice(0, 20).mkString(" ")
+    val b = words.slice(4, 24).mkString(" ")
+    val c = words.slice(8, 28).mkString(" ")
+    val docs = Seq((1L, a), (2L, b), (3L, c),
+      (4L, "entirely different text about cooking pasta with garlic and olive oil"))
+      .toDF("doc_id", "text")
+    val pairs = MinHashDedup.nearDupPairs(docs, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)) && pairs.contains((2L, 3L)))
+    assert(!pairs.contains((1L, 3L)), "A and C should not pair directly at 0.5")
+    val out = NearDupClusters.dedupTransitive(docs, "doc_id", "text", threshold = 0.5)
+      .select("doc_id").as[Long].collect().sorted
+    assert(out.toSeq == Seq(1L, 4L), s"expected chain collapsed to {1,4}, got ${out.toSeq}")
+  }
+}

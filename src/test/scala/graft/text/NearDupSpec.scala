@@ -69,4 +69,23 @@ class NearDupSpec extends SparkSpec {
     // synthetic word-soup docs: high-overlap pairs are possible but rare
     assert(n < real.count() / 10)
   }
+
+  test("char n-gram jaccard mode catches typo-level near-dups") {
+    val base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val typo = "the quick brown fox jumps ovar the lazy dog near the river bank today"
+    val other = "completely different content with no overlap whatsoever in any way"
+    val d = Seq((1L, base), (2L, typo), (3L, other)).toDF("doc_id", "text")
+    val pairs = MinHashDedup.nearDupPairs(d, "doc_id", "text",
+      threshold = 0.7, charNgram = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.length == 1 && pairs.head._1 == 1L && pairs.head._2 == 2L,
+      s"expected only the typo pair, got ${pairs.toSeq}")
+    assert(pairs.head._3 > 0.7 && pairs.head._3 < 1.0)
+    // word-shingle mode also pairs them, but with lower similarity: a
+    // one-char typo breaks 3 word-shingles out of ~12
+    val wordPairs = MinHashDedup.nearDupPairs(d, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(wordPairs.get((1L, 2L)).forall(_ < pairs.head._3),
+      "char-ngram similarity should exceed word-shingle similarity for a typo")
+  }
 }
