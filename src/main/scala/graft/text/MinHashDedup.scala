@@ -154,4 +154,13 @@ object MinHashDedup {
       shingleWidth, charNgram).select(col("id_b").as(idCol)).distinct()
     df.join(losers, Seq(idCol), "left_anti")
   }
+
+  /** ManagedTable shell: near-dedup the table in place (atomic overwrite,
+    * same core as [[dedup]]).
+    */
+  def dedup(table: graft.tables.ManagedTable, idCol: String, textCol: String,
+            threshold: Double, numHashes: Int, bands: Int,
+            shingleWidth: Int, charNgram: Int): Unit =
+    table.overwrite(dedup(table.toDF, idCol, textCol, threshold, numHashes,
+      bands, shingleWidth, charNgram), operation = "DELETE")
 }

@@ -57,4 +57,10 @@ object SimHashDedup {
       .select(col("id_b").as(idCol)).distinct()
     df.join(losers, Seq(idCol), "left_anti")
   }
+
+  /** ManagedTable shell: simhash-dedup the table in place. */
+  def dedup(table: graft.tables.ManagedTable, idCol: String, textCol: String,
+            maxDist: Int, chunks: Int): Unit =
+    table.overwrite(dedup(table.toDF, idCol, textCol, maxDist, chunks),
+      operation = "DELETE")
 }

@@ -88,4 +88,12 @@ class NearDupSpec extends SparkSpec {
     assert(wordPairs.get((1L, 2L)).forall(_ < pairs.head._3),
       "char-ngram similarity should exceed word-shingle similarity for a typo")
   }
+
+  test("table shells: near-dedup a ManagedTable in place") {
+    val loc = tmpDir("nd")
+    val t = graft.tables.ManagedTable.create(docs, loc)
+    MinHashDedup.dedup(t, "doc_id", "text", 0.6, 64, 16, 3, 0)
+    assert(t.toDF.count() == 4) // same survivors as the pure core test
+    assert(t.latestVersion == 1)
+  }
 }
