@@ -213,9 +213,13 @@ object SparkEntry {
         t(s, dir, "documents"), "doc_id", "text", threshold = 0.5)
         .select("id_a", "id_b")), // jaccard column dropped: float-free check
 
+    // char-ngram Jaccard runs a higher similarity baseline than word
+    // shingles (shared vocabulary ⇒ overlapping 5-grams), so it gets a
+    // tighter LSH S-curve (r=8) and a higher threshold
     "neardup_ngram_pairs" -> ((s, dir) =>
       text.MinHashDedup.nearDupPairs(
-        t(s, dir, "documents"), "doc_id", "text", threshold = 0.5, charNgram = 5)
+        t(s, dir, "documents"), "doc_id", "text", threshold = 0.7,
+        bands = 8, charNgram = 5)
         .select("id_a", "id_b")),
 
     "dedup_transitive" -> ((s, dir) =>

@@ -63,9 +63,15 @@ object expressions {
     column(VecDot(expression(a), expression(b), DotMode.Cosine))
 }
 
-/** One-pass minhash: for each of `numHashes` affine permutations, the
-  * minimum over the input hash array. NULL input → NULL; empty array →
-  * NULL (no shingles ⇒ no signature, never collides).
+/** One-permutation minhash (Li, Owen, Zhang 2012): the hash space is
+  * split into `numHashes` buckets by the top bits of each element hash and
+  * the minimum is kept per bucket — ONE O(|arr|) pass instead of the
+  * classic numHashes × |arr| permutations, with rotation densification
+  * (empty buckets borrow the next non-empty bucket's value, mixed with the
+  * distance so borrowed entries stay distinguishable) for short inputs.
+  * Bucket-match probability ≈ Jaccard, as with classic minhash, so the
+  * banded-LSH S-curve downstream is unchanged. NULL input → NULL; empty
+  * array → NULL (no shingles ⇒ no signature, never collides).
   */
 case class MinHashSig(child: Expression, numHashes: Int)
     extends UnaryExpression with CodegenFallback {
@@ -82,11 +88,6 @@ case class MinHashSig(child: Expression, numHashes: Int)
     }
   }
 
-  private lazy val as: Array[Long] =
-    Array.tabulate(numHashes)(j => expressions.mix64(2L * j) | 1L)
-  private lazy val bs: Array[Long] =
-    Array.tabulate(numHashes)(j => expressions.mix64(2L * j + 1))
-
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     val n = arr.numElements()
@@ -94,14 +95,22 @@ case class MinHashSig(child: Expression, numHashes: Int)
     val out = Array.fill(numHashes)(Long.MaxValue)
     var i = 0
     while (i < n) {
-      val h = arr.getLong(i)
-      var j = 0
-      while (j < numHashes) {
-        val v = h * as(j) + bs(j)
-        if (v < out(j)) out(j) = v
-        j += 1
-      }
+      val h = expressions.mix64(arr.getLong(i)) // decorrelate bucket vs value bits
+      val b = ((h >>> 1) % numHashes).toInt
+      if (h < out(b)) out(b) = h
       i += 1
+    }
+    // rotation densification against the pre-densification snapshot
+    // (Long.MaxValue marks an empty bucket)
+    val orig = out.clone()
+    var j = 0
+    while (j < numHashes) {
+      if (orig(j) == Long.MaxValue) {
+        var d = 1
+        while (d < numHashes && orig((j + d) % numHashes) == Long.MaxValue) d += 1
+        out(j) = expressions.mix64(orig((j + d) % numHashes) + d)
+      }
+      j += 1
     }
     new GenericArrayData(out)
   }
