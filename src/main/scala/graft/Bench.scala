@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
 
 /** Benchmark main: runs every declared query against
   * `SPARK_GRAFT_SF_DIR`, printing one JSON line with per-query seconds.
@@ -28,7 +29,16 @@ object Bench {
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      // Pruning-proof sink: a bare count() would let Catalyst drop every
+      // projected column (it counts parquet rows without evaluating the
+      // query's expressions), under-billing projection-only queries.
+      // Hashing the full output row forces evaluation of every column;
+      // bit_xor folds the hashes without ANSI sum overflow.
+      try {
+        val df = fn(spark, sfDir)
+        df.select(xxhash64(df.columns.map(col).toIndexedSeq: _*).as("__h"))
+          .agg(expr("bit_xor(__h)")).head()
+      } catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

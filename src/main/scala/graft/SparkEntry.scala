@@ -334,16 +334,20 @@ object SparkEntry {
         |       u.effective_time, CAST(NULL AS TIMESTAMP) AS end_time
         |FROM upd u""".stripMargin,
 
+    // NULL parity (mack's null-unsafe MERGE delete): NULL-keyed rows are
+    // always retained — encoded as the IS NULL disjuncts
     "kill_duplicates" ->
-      """SELECT o.* FROM orders o
-        |JOIN (SELECT o_custkey, o_orderpriority FROM orders
-        |      GROUP BY o_custkey, o_orderpriority HAVING count(*) = 1) g
-        |ON o.o_custkey = g.o_custkey AND o.o_orderpriority = g.o_orderpriority""".stripMargin,
+      """SELECT * EXCLUDE (amount_of_records) FROM (
+        |  SELECT *, count(*) OVER (PARTITION BY o_custkey, o_orderpriority)
+        |    AS amount_of_records FROM orders)
+        |WHERE amount_of_records = 1
+        |   OR o_custkey IS NULL OR o_orderpriority IS NULL""".stripMargin,
 
     "drop_duplicates_pkey" ->
-      """SELECT * FROM orders
-        |WHERE o_orderkey IN
-        |  (SELECT min(o_orderkey) FROM orders GROUP BY o_custkey, o_orderstatus)""".stripMargin,
+      """SELECT * EXCLUDE (rn) FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY o_custkey, o_orderstatus
+        |                               ORDER BY o_orderkey) AS rn FROM orders)
+        |WHERE rn = 1 OR o_custkey IS NULL OR o_orderstatus IS NULL""".stripMargin,
 
     "drop_duplicates" ->
       "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
@@ -361,8 +365,10 @@ object SparkEntry {
       s"""WITH base AS (
          |  SELECT * FROM orders WHERE o_orderdate < TIMESTAMP '$cutoff'),
          |app AS (
-         |  SELECT * FROM orders WHERE o_orderkey IN
-         |    (SELECT min(o_orderkey) FROM orders GROUP BY o_custkey, o_orderstatus))
+         |  SELECT * EXCLUDE (rn) FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY o_custkey, o_orderstatus
+         |                                 ORDER BY o_orderkey) AS rn FROM orders)
+         |  WHERE rn = 1 OR o_custkey IS NULL OR o_orderstatus IS NULL)
          |SELECT * FROM base
          |UNION ALL
          |SELECT a.* FROM app a

@@ -20,8 +20,21 @@ import graft.tables.ManagedTable
   */
 object Dedup {
 
+  /** Reference NULL parity: mack deletes duplicates through a Delta MERGE
+    * whose condition is null-UNSAFE equality (`old.c = new.c`,
+    * mack/__init__.py:186-192, :246-255), so a row with NULL in any
+    * duplication column never matches the delete and is always retained —
+    * even though the Window.partitionBy that finds duplicates groups NULLs
+    * together. The window cores below reproduce that by exempting
+    * NULL-keyed rows from deletion/trimming.
+    */
+  private def anyNull(cols: Seq[String]) =
+    cols.map(col(_).isNull).reduce(_ || _)
+
   /** kill_duplicates (reference :144-192): remove EVERY member of each
-    * duplicate group over `duplicationColumns` — no survivor.
+    * duplicate group over `duplicationColumns` — no survivor. Rows with a
+    * NULL duplication-column value are always retained (see NULL parity
+    * note above).
     */
   def killDuplicates(df: DataFrame, duplicationColumns: Seq[String]): DataFrame = {
     if (duplicationColumns.isEmpty)
@@ -36,7 +49,7 @@ object Dedup {
     val cnt = "amount_of_records"
     df.withColumn(cnt,
         count("*").over(Window.partitionBy(duplicationColumns.map(col): _*)))
-      .filter(col(cnt) === 1)
+      .filter(col(cnt) === 1 || anyNull(duplicationColumns))
       .drop(cnt)
   }
 
@@ -45,6 +58,8 @@ object Dedup {
 
   /** drop_duplicates_pkey (reference :195-255): keep exactly the
     * minimum-primary-key row of each duplicate group, delete the rest.
+    * Rows with a NULL duplication-column value are all retained (see NULL
+    * parity note above).
     */
   def dropDuplicatesPkey(df: DataFrame, primaryKey: String,
                          duplicationColumns: Seq[String]): DataFrame = {
@@ -66,7 +81,7 @@ object Dedup {
     val rn = "row_number"
     df.withColumn(rn, row_number().over(
         Window.partitionBy(duplicationColumns.map(col): _*).orderBy(col(primaryKey))))
-      .filter(col(rn) === 1)
+      .filter(col(rn) === 1 || anyNull(duplicationColumns))
       .drop(rn)
   }
 

@@ -53,20 +53,34 @@ object Keys {
     // each combination size, ONE aggregation computes approx_count_distinct
     // for every combination of that size in a single scan; only plausible
     // candidates (within HLL error of the target) pay for an exact count.
+    // HLL with rsd=0.01 is within ±5% of the true cardinality with
+    // overwhelming probability, so a genuine key always clears the 0.95
+    // prefilter in practice; the near-threshold fallback below makes even a
+    // pathological underestimate recoverable without paying exact counts
+    // for clearly-non-key combinations.
+    val rsd = 0.01
+    def exactlyUnique(c: Seq[String]): Boolean =
+      base.select(c.map(col): _*).distinct().count() == totalRowCount
     for (n <- 1 to totalCols) {
       val combos = columns.combinations(n).toSeq
       val approxRow = base.select(combos.zipWithIndex.map { case (c, i) =>
-        approx_count_distinct(struct(c.map(col): _*)).as(s"a$i")
+        approx_count_distinct(struct(c.map(col): _*), rsd).as(s"a$i")
       }: _*).head()
-      val plausible = combos.zipWithIndex.filter { case (_, i) =>
-        approxRow.getLong(i) >= totalRowCount * 0.85
-      }.map(_._1)
-      plausible.foreach { c =>
-        if (base.select(c.map(col): _*).distinct().count() == totalRowCount) {
-          if (c.length == totalCols)
-            throw new GraftValueError("No composite key candidates could be identified.")
-          return c
+      def inBand(i: Int, lo: Double): Boolean =
+        approxRow.getLong(i) >= totalRowCount * lo
+      val plausible = combos.zipWithIndex.filter { case (_, i) => inBand(i, 1 - 5 * rsd) }
+      val verified = plausible.map(_._1).find(exactlyUnique)
+        .orElse {
+          // no plausible candidate verified exactly at this size: re-check
+          // near-threshold combinations the prefilter may have wrongly pruned
+          combos.zipWithIndex
+            .filter { case (_, i) => inBand(i, 0.8) && !inBand(i, 1 - 5 * rsd) }
+            .map(_._1).find(exactlyUnique)
         }
+      verified.foreach { c =>
+        if (c.length == totalCols)
+          throw new GraftValueError("No composite key candidates could be identified.")
+        return c
       }
     }
     throw new GraftValueError("No composite key candidates could be identified.")

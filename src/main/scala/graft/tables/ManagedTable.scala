@@ -48,11 +48,17 @@ final class ManagedTable private (val spark: SparkSession, val location: String)
 
   def latestVersion: Long = {
     if (!Files.isDirectory(logDir)) -1L
-    else
-      Files.list(logDir).iterator().asScala
-        .map(_.getFileName.toString)
-        .collect { case VersionFile(n) => n.toLong }
-        .foldLeft(-1L)(math.max)
+    else {
+      // Files.list holds a directory fd until closed; this runs on every
+      // read/commit, so close it deterministically.
+      val s = Files.list(logDir)
+      try
+        s.iterator().asScala
+          .map(_.getFileName.toString)
+          .collect { case VersionFile(n) => n.toLong }
+          .foldLeft(-1L)(math.max)
+      finally s.close()
+    }
   }
 
   private def readEntry(v: Long): LogEntry =
@@ -145,12 +151,14 @@ final class ManagedTable private (val spark: SparkSession, val location: String)
     e.dirs.foreach { d =>
       val p = dataDir.resolve(d)
       if (Files.isDirectory(p)) {
-        Files.walk(p).iterator().asScala.foreach { f =>
+        val s = Files.walk(p)
+        try s.iterator().asScala.foreach { f =>
           val name = f.getFileName.toString
           if (Files.isRegularFile(f) && name.endsWith(".parquet")) {
             n += 1; bytes += Files.size(f)
           }
         }
+        finally s.close()
       }
     }
     TableDetail(location, e.partitionColumns, e.properties, n, bytes)

@@ -84,24 +84,6 @@ object Merge {
       val t = target.withColumn(RID, monotonically_increasing_id()).alias(targetAlias)
       val s = source.alias(sourceAlias)
 
-      // Multi-match detection (Delta's multiple-source-row-match error) is
-      // folded into the rewrite pass: a window count per target row id plus
-      // an in-plan assertion. One job, no extra scan of the target — the
-      // shuffle is only over the matched pairs (≈ the touched rows), which
-      // is the small side of a merge at scale. The assertion rides in a
-      // filter predicate so column pruning cannot drop it.
-      val rawPairs = t.join(s, mergeCondition, "inner")
-      val matchedPairs = if (matched.nonEmpty) {
-        val w = org.apache.spark.sql.expressions.Window.partitionBy(col(RID))
-        rawPairs
-          .withColumn("__graft_match_n", count(lit(1)).over(w))
-          .filter(assert_true(col("__graft_match_n") <= 1,
-            lit("MERGE: a target row was matched by multiple source rows; " +
-              "the merge condition must identify at most one source row " +
-              "per target row")).isNull)
-          .drop("__graft_match_n")
-      } else rawPairs
-
       // first-matching-clause index over the matched pairs (NULL = no clause)
       def clauseIdx(clauses: Seq[Clause]): Column =
         clauses.zipWithIndex.foldRight(lit(null).cast("int")) {
@@ -111,30 +93,54 @@ object Merge {
               case None       => lit(i) // unconditional: always matches from here
             }
         }
-
       val mIdx = "__graft_clause"
-      val classified = matchedPairs.withColumn(mIdx, clauseIdx(matched))
 
-      // matched rows: per-clause rewrite, unchanged when no clause applies
-      def targetColumn(name: String): Column = {
-        val base = col(s"$targetAlias.$name")
-        matched.zipWithIndex.foldLeft(base) { case (acc, (cl, i)) =>
-          cl match {
-            case Update(_, set) =>
-              val e = set.get(name).map(expr).getOrElse(base)
-              when(col(mIdx) === i, e).otherwise(acc)
-            case UpdateAll(_) =>
-              when(col(mIdx) === i, col(s"$sourceAlias.$name")).otherwise(acc)
-            case Delete(_) => acc // handled by filter below
-            case _ => acc
+      val rewritten: DataFrame = if (matched.isEmpty) {
+        // Insert-only merge: matched target rows pass through unchanged,
+        // exactly once each — a left_semi join, NOT the inner-join pairs
+        // (which would emit a target row once per matching source row;
+        // Delta passes such rows through once and skips the multi-match
+        // error when no whenMatched clause exists).
+        t.join(s, mergeCondition, "left_semi").select(targetCols.map(col): _*)
+      } else {
+        // Multi-match detection (Delta's multiple-source-row-match error) is
+        // folded into the rewrite pass: a window count per target row id plus
+        // an in-plan assertion. One job, no extra scan of the target — the
+        // shuffle is only over the matched pairs (≈ the touched rows), which
+        // is the small side of a merge at scale. The assertion rides in a
+        // filter predicate so column pruning cannot drop it.
+        val w = org.apache.spark.sql.expressions.Window.partitionBy(col(RID))
+        val matchedPairs = t.join(s, mergeCondition, "inner")
+          .withColumn("__graft_match_n", count(lit(1)).over(w))
+          .filter(assert_true(col("__graft_match_n") <= 1,
+            lit("MERGE: a target row was matched by multiple source rows; " +
+              "the merge condition must identify at most one source row " +
+              "per target row")).isNull)
+          .drop("__graft_match_n")
+
+        val classified = matchedPairs.withColumn(mIdx, clauseIdx(matched))
+
+        // matched rows: per-clause rewrite, unchanged when no clause applies
+        def targetColumn(name: String): Column = {
+          val base = col(s"$targetAlias.$name")
+          matched.zipWithIndex.foldLeft(base) { case (acc, (cl, i)) =>
+            cl match {
+              case Update(_, set) =>
+                val e = set.get(name).map(expr).getOrElse(base)
+                when(col(mIdx) === i, e).otherwise(acc)
+              case UpdateAll(_) =>
+                when(col(mIdx) === i, col(s"$sourceAlias.$name")).otherwise(acc)
+              case Delete(_) => acc // handled by filter below
+              case _ => acc
+            }
           }
         }
+        val deleteIdxs = matched.zipWithIndex.collect { case (Delete(_), i) => i }
+        val kept = deleteIdxs.foldLeft(classified) { (df, i) =>
+          df.filter(col(mIdx).isNull || col(mIdx) =!= i)
+        }
+        kept.select(targetCols.map(c => targetColumn(c).as(c)): _*)
       }
-      val deleteIdxs = matched.zipWithIndex.collect { case (Delete(_), i) => i }
-      val kept = deleteIdxs.foldLeft(classified) { (df, i) =>
-        df.filter(col(mIdx).isNull || col(mIdx) =!= i)
-      }
-      val rewritten = kept.select(targetCols.map(c => targetColumn(c).as(c)): _*)
 
       // target rows with no source match: untouched
       val untouched = t.join(s, mergeCondition, "left_anti")
