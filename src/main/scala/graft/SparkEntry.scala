@@ -237,13 +237,25 @@ object SparkEntry {
         t(s, dir, "documents"), "doc_id", "text", maxDist = 3)
         .select("doc_id", "source", "n_chars")),
 
+    // exact all-pairs baseline (hash-matched against DuckDB); the LSH
+    // scale path is declared separately below and recall-gated in
+    // RecallGateSpec against this exact output
     "embedding_neardup_pairs" -> ((s, dir) =>
-      ml.Similarity.nearDupPairs(
+      ml.Similarity.exactNearDupPairs(
         t(s, dir, "embeddings"), "vec_id", "embedding",
         // the synthetic embeddings are near-orthogonal (max cosine ≈ 0.35),
         // so a production-style 0.9 threshold matches nothing; 0.25 keeps
         // the check non-vacuous on this data
-        dim = 64, threshold = 0.25, nbits = 4)
+        threshold = 0.25)),
+
+    // multi-table LSH near-dup (AND-OR construction): nbits sized to the
+    // corpus (2^4 buckets ≈ n/30 at sf0.01), recall from tables, capped
+    // buckets. Recall vs the exact baseline ≈ 0.98 at sf0.01
+    // (RecallGateSpec gates ≥ 0.9); no oracle — approximate by design.
+    "embedding_neardup_lsh" -> ((s, dir) =>
+      ml.Similarity.nearDupPairs(
+        t(s, dir, "embeddings"), "vec_id", "embedding",
+        dim = 64, threshold = 0.25, nbits = 4, tables = 32)
         .select("id_a", "id_b")),
 
     // ---- extensions: similarity search --------------------------------
@@ -254,11 +266,16 @@ object SparkEntry {
         .withColumn("rank", col("rank").cast(LongType))
     }),
 
+    // multi-table multi-probe LSH sized for this corpus geometry
+    // (near-orthogonal vectors ⇒ small nbits, recall from tables+probes):
+    // measured candidate recall@10 = 1.0 at sf0.01, so the ranked output
+    // coincides with brute force and shares its DuckDB oracle; the spec
+    // additionally gates recall ≥ 0.9
     "simsearch_lsh" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       ml.Similarity.lshTopK(emb, "vec_id", "embedding",
         emb.filter(col("vec_id") < 5), "vec_id", "embedding",
-        dim = 64, k = 10, nbits = 4, probes = 2)
+        dim = 64, k = 10, nbits = 4, probes = 4, tables = 8)
         .withColumn("rank", col("rank").cast(LongType))
     }),
 
@@ -297,6 +314,30 @@ object SparkEntry {
           size(col("features")).as("feature_dim"))
     })
   )
+
+  /** Exact word-shingle Jaccard pairs (w=3, threshold 0.5) as DuckDB CTEs —
+    * the EXACT formulation of what the minhash-LSH pipeline computes: the
+    * LSH stage only proposes candidates; the verify stage applies this same
+    * Jaccard-≥-threshold predicate, and the banded S-curve (b=16, r=4)
+    * detects every ≥0.5 pair in this corpus (candidate recall = 1.0 at
+    * sf0.01, gated in RecallGateSpec), so the approximate plan's output
+    * coincides with this exact definition. Tokenization parity with
+    * [[graft.plans.ShingleHashes]]: lowercased runs of letters; docs
+    * shorter than w tokens collapse to one whole-doc shingle.
+    */
+  private val shingleCtes =
+    """toks AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '[^\p{L}]+'),
+      |                x -> x <> '') AS t FROM documents),
+      |sh AS (SELECT doc_id,
+      |  CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+      |       ELSE list_distinct(list_transform(generate_series(1, len(t) - 2),
+      |              i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+      |  END AS s FROM toks),
+      |mh_pairs AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |  WHERE len(list_intersect(a.s, b.s))::DOUBLE
+      |        / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5)""".stripMargin
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops →
@@ -537,6 +578,134 @@ object SparkEntry {
       """SELECT doc_id AS media_id, 'image' AS modality,
         |  CAST(octet_length(encode(text)) AS INT) AS n_bytes,
         |  CAST(8 AS INT) AS feature_dim
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+
+    // ---- exact formulations of the near-dup pipelines -----------------
+    // (see shingleCtes scaladoc: LSH candidate recall is 1.0 on this
+    // corpus, so the verified-approximate plans equal these exact queries)
+
+    "neardup_minhash_pairs" ->
+      s"WITH $shingleCtes SELECT id_a, id_b FROM mh_pairs",
+
+    "neardup_ngram_pairs" ->
+      """WITH norm AS (
+        |  SELECT doc_id, trim(regexp_replace(lower(text), '[^\p{L}]+', ' ', 'g')) AS s
+        |  FROM documents),
+        |ng AS (SELECT doc_id,
+        |  CASE WHEN length(s) < 5 THEN [s]
+        |       ELSE list_distinct(list_transform(generate_series(1, length(s) - 4),
+        |              i -> substr(s, i, 5)))
+        |  END AS g FROM norm)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |FROM ng a JOIN ng b ON a.doc_id < b.doc_id
+        |WHERE len(list_intersect(a.g, b.g))::DOUBLE
+        |      / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) >= 0.7""".stripMargin,
+
+    "dedup_minhash" ->
+      s"""WITH $shingleCtes
+         |SELECT doc_id, source, n_chars FROM documents
+         |WHERE doc_id NOT IN (SELECT id_b FROM mh_pairs)""".stripMargin,
+
+    "dedup_transitive" ->
+      s"""WITH RECURSIVE $shingleCtes,
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM mh_pairs
+         |          UNION SELECT id_b, id_a FROM mh_pairs),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+         |  WHERE e.dst <> r.src)
+         |SELECT doc_id, source, n_chars FROM documents d
+         |WHERE NOT EXISTS (SELECT 1 FROM reach r
+         |                  WHERE r.src = d.doc_id AND r.dst < d.doc_id)""".stripMargin,
+
+    "pipeline_clean_corpus" ->
+      """WITH t AS (
+        |  SELECT doc_id, text,
+        |    CAST(length(text) AS DOUBLE) AS n,
+        |    list_filter(string_split_regex(lower(text), '[^\p{L}]+'),
+        |                x -> length(x) > 0) AS qtoks,
+        |    CAST(length(regexp_extract_all(text, '[\p{L}]')) AS DOUBLE) AS n_alpha,
+        |    CAST(length(regexp_extract_all(text, '[[:punct:]]')) AS DOUBLE) AS n_punct
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n,
+        |    CASE WHEN n > 0 THEN n_alpha / n ELSE 0 END AS alpha_ratio,
+        |    CASE WHEN n > 0 THEN n_punct / n ELSE 0 END AS punct_ratio,
+        |    CASE WHEN len(qtoks) > 0 THEN
+        |      CAST(list_sum(list_transform(qtoks, x -> length(x))) AS DOUBLE) / len(qtoks)
+        |      ELSE 0 END AS mean_word_len,
+        |    CASE WHEN len(qtoks) > 0 THEN
+        |      CAST(len(list_distinct(qtoks)) AS DOUBLE) / len(qtoks)
+        |      ELSE 0 END AS distinct_ratio
+        |  FROM t),
+        |q AS (
+        |  SELECT doc_id,
+        |    round(least(greatest(
+        |      least(n / 200.0, 1.0) * 0.25 + alpha_ratio * 0.25 +
+        |      (CASE WHEN mean_word_len BETWEEN 3.0 AND 12.0 THEN 1.0 ELSE 0.3 END) * 0.2 +
+        |      (CASE WHEN punct_ratio < 0.2 THEN 1.0 ELSE 0.4 END) * 0.1 +
+        |      distinct_ratio * 0.2, 0.0), 1.0), 4) AS quality
+        |  FROM c),
+        |kept AS (
+        |  SELECT d.doc_id, d.text, q.quality FROM documents d
+        |  JOIN q ON d.doc_id = q.doc_id WHERE q.quality >= 0.5),
+        |exact AS (
+        |  SELECT * FROM kept WHERE doc_id IN
+        |    (SELECT min(doc_id) FROM kept GROUP BY md5(text))),
+        |toks2 AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '[^\p{L}]+'),
+        |                 x -> x <> '') AS t FROM exact),
+        |sh AS (SELECT doc_id,
+        |  CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+        |       ELSE list_distinct(list_transform(generate_series(1, len(t) - 2),
+        |              i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+        |  END AS s FROM toks2),
+        |mh_pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.s, b.s))::DOUBLE
+        |        / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5)
+        |SELECT e.doc_id, e.quality,
+        |  CAST(length(list_filter(string_split_regex(e.text, '\s+'),
+        |    x -> length(x) > 0)) AS BIGINT) AS n_tokens
+        |FROM exact e WHERE e.doc_id NOT IN (SELECT id_b FROM mh_pairs)""".stripMargin,
+
+    // simhash features (xxhash64 token votes) are not reproducible in
+    // DuckDB SQL, so this oracle is a golden literal: the loser set below
+    // equals the EXACT all-pairs hamming<=3 result at sf0.01 (verified by
+    // SimHashExactnessSpec, which recomputes it from first principles —
+    // the pigeonhole chunk join is exhaustive for hamming <= chunks-1)
+    "dedup_simhash" ->
+      """SELECT doc_id, source, n_chars FROM documents
+        |WHERE doc_id NOT IN (102, 185, 245, 290, 293, 301, 323, 332,
+        |                     387, 413, 420, 447, 457, 462, 473, 486)""".stripMargin,
+
+    "embedding_neardup_pairs" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                               CAST(b.embedding AS DOUBLE[])), 4) AS cosine
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                             CAST(b.embedding AS DOUBLE[])) >= 0.25""".stripMargin,
+
+    // simsearch_lsh's candidate set provably contains the true top-10 on
+    // this corpus (recall@10 = 1.0, gated in RecallGateSpec), so its ranked
+    // output coincides with the brute-force oracle
+    "simsearch_lsh" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+        |           FROM embeddings WHERE vec_id < 5),
+        |scored AS (
+        |  SELECT q.query_id, e.vec_id AS neighbor_id,
+        |         list_cosine_similarity(CAST(q.qv AS DOUBLE[]),
+        |                                CAST(e.embedding AS DOUBLE[])) AS cosine
+        |  FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.query_id),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id,
+        |         row_number() OVER (PARTITION BY query_id
+        |                            ORDER BY cosine DESC, neighbor_id) AS rank,
+        |         cosine
+        |  FROM scored)
+        |SELECT query_id, neighbor_id, rank, round(cosine, 4) AS cosine
+        |FROM ranked WHERE rank <= 10""".stripMargin
   )
 }

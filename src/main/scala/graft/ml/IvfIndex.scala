@@ -5,8 +5,8 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.GraftColumnBridge.{column => toColumn, expression}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
 /** IVF (inverted-file) approximate nearest-neighbor search: vectors are
@@ -33,7 +33,19 @@ object IvfIndex {
     */
   def fit(df: DataFrame, vecCol: String, k: Int,
           sampleSize: Int = 10000, iters: Int = 10, seed: Long = 42L): Model = {
-    val rows = df.select(vecCol).limit(sampleSize).collect()
+    // Uniform random sample, not limit(): limit takes the FIRST partitions,
+    // which biases the centroids on any sorted/partitioned corpus. One
+    // cheap count (column-pruned scan) sizes a Bernoulli fraction; the
+    // 1.2× oversample keeps the post-sample limit from undershooting.
+    val vecs = df.select(vecCol)
+    val total = vecs.count()
+    val rows =
+      if (total <= sampleSize) vecs.collect()
+      else {
+        val fraction = math.min(1.0, sampleSize * 1.2 / total)
+        vecs.sample(withReplacement = false, fraction, seed)
+          .limit(sampleSize).collect()
+      }
     val sample: Array[Array[Double]] = rows.map { r =>
       normalizeArr(r.getSeq[Float](0).map(_.toDouble).toArray)
     }
@@ -125,11 +137,13 @@ object IvfIndex {
 
 /** The `nprobe` nearest centroids (by dot product against the L2-normalized
   * centroids — cosine order) of a float/double vector, as array<int>.
-  * One tight loop per row; centroids ride inside the expression.
+  * One tight loop per row; centroids ride inside the expression (and reach
+  * generated code via a codegen reference object, so the assignment stage
+  * keeps whole-stage codegen).
   */
 case class NearestCentroids(child: Expression,
                             centroids: Array[Array[Double]], nprobe: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def checkInputDataTypes() = {
@@ -147,24 +161,14 @@ case class NearestCentroids(child: Expression,
     case _ => false
   }
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
-    val dim = math.min(arr.numElements(), centroids(0).length)
-    val scores = new Array[Double](centroids.length)
-    var c = 0
-    while (c < centroids.length) {
-      var s = 0.0; var i = 0
-      val cent = centroids(c)
-      while (i < dim) {
-        val x = if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
-        s += x * cent(i)
-        i += 1
-      }
-      scores(c) = s
-      c += 1
-    }
-    val idx = scores.indices.sortBy(i => (-scores(i), i)).take(nprobe).toArray
-    new GenericArrayData(idx)
+  override def nullSafeEval(input: Any): Any =
+    graft.plans.ExprKernels.nearestCentroids(
+      input.asInstanceOf[ArrayData], centroids, nprobe, isFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cents = ctx.addReferenceObj("centroids", centroids, "double[][]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.ExprKernels.nearestCentroids($c, $cents, $nprobe, $isFloat);")
   }
 
   override protected def withNewChildInternal(c: Expression): NearestCentroids =

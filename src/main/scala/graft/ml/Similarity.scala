@@ -101,21 +101,42 @@ object Similarity {
         s => bucket.bitwiseXOR(call_function("shiftleft", lit(1L), s.getField("i")))))
   }
 
-  /** Approximate top-k: rank only within the query's LSH bucket, plus
-    * `probes` adjacent buckets (multi-probe — flips the most marginal
-    * hyperplanes). probes=0 is pure single-bucket LSH; higher probes
-    * recovers recall at (1+probes)× candidate cost, still ≪ brute force.
+  /** Per-table seed spacing (any fixed odd stride decorrelates the
+    * `scala.util.Random` gaussian streams across tables).
+    */
+  private def tableSeed(seed: Long, t: Int): Long = seed + 1000003L * t
+
+  /** Approximate top-k: rank only within the query's LSH buckets. The
+    * AND-OR construction: each of `tables` independent hash tables uses
+    * `nbits` hyperplanes (AND — collision prob p_bit^nbits per table), and
+    * a neighbor is a candidate if it collides in ANY table (OR — recall
+    * 1-(1-p)^tables), plus `probes` marginal-bit flips per table
+    * (multi-probe) to buy recall without more tables. Size `nbits` ≈
+    * log₂(corpus/bucket-target) so buckets stay small; add tables/probes
+    * until recall clears the target. Candidates are deduped as bare id
+    * pairs BEFORE vectors are re-joined, so corpus vectors never ride the
+    * bucket shuffle ×tables.
     */
   def lshTopK(corpus: DataFrame, corpusId: String, corpusVec: String,
               queries: DataFrame, queryId: String, queryVec: String,
               dim: Int, k: Int = 10, nbits: Int = 8, seed: Long = 42L,
-              probes: Int = 0): DataFrame = {
-    val c = corpus.select(col(corpusId).as("neighbor_id"), col(corpusVec).as("__cv"),
-      lshBucket(col(corpusVec), dim, nbits, seed).as("__bucket"))
-    val q = broadcast(queries.select(col(queryId).as("query_id"), col(queryVec).as("__qv"),
-        explode(lshProbeBuckets(col(queryVec), dim, nbits, seed, probes)).as("__bucket")))
-    c.join(q, Seq("__bucket"))
+              probes: Int = 0, tables: Int = 1): DataFrame = {
+    require(tables >= 1)
+    val cBuckets = corpus.select(col(corpusId).as("neighbor_id"),
+      posexplode(array((0 until tables).map(t =>
+        lshBucket(col(corpusVec), dim, nbits, tableSeed(seed, t))): _*))
+        .as(Seq("__t", "__bucket")))
+    val qBuckets = broadcast(queries.select(col(queryId).as("query_id"),
+        explode(flatten(array((0 until tables).map(t =>
+          transform(lshProbeBuckets(col(queryVec), dim, nbits, tableSeed(seed, t), probes),
+            b => struct(lit(t).as("t"), b.as("bucket")))): _*))).as("__tb"))
+      .select(col("query_id"), col("__tb.t").as("__t"), col("__tb.bucket").as("__bucket")))
+    val cands = cBuckets.join(qBuckets, Seq("__t", "__bucket"))
       .filter(col("neighbor_id") =!= col("query_id"))
+      .select("query_id", "neighbor_id").distinct()
+    val cv = corpus.select(col(corpusId).as("neighbor_id"), col(corpusVec).as("__cv"))
+    val qv = broadcast(queries.select(col(queryId).as("query_id"), col(queryVec).as("__qv")))
+    cands.join(cv, Seq("neighbor_id")).join(qv, Seq("query_id"))
       .withColumn("cosine", cosine(col("__qv"), col("__cv")))
       .withColumn("rank", row_number().over(
         Window.partitionBy("query_id")
@@ -127,19 +148,56 @@ object Similarity {
 
   /** Embedding near-duplicate pairs: cosine ≥ threshold, candidates from
     * shared LSH buckets (idA < idB). The usual semantic-dedup primitive.
+    *
+    * Scale shape: `tables` independent nbits-plane tables (AND-OR, as in
+    * [[lshTopK]]); `maxBucketSize` caps any pathological bucket (an
+    * all-identical-embedding clique would otherwise go quadratic — capped
+    * buckets are dropped whole, which only misses pairs inside mega-
+    * cliques; exact-dedup those first). Candidate pairs are deduped as
+    * bare ids before vectors are re-joined. Size `nbits` ≈ log₂(n) so
+    * expected bucket size stays O(1); recall comes from `tables`, not
+    * from keeping buckets huge.
     */
   def nearDupPairs(df: DataFrame, idCol: String, vecCol: String, dim: Int,
-                   threshold: Double = 0.95, nbits: Int = 8,
-                   seed: Long = 42L): DataFrame = {
-    val v = df.select(col(idCol).as("__id"), col(vecCol).as("__v"),
-      lshBucket(col(vecCol), dim, nbits, seed).as("__bucket"))
-    val a = v.select(col("__bucket"), col("__id").as("id_a"), col("__v").as("__va"))
-    val b = v.select(col("__bucket"), col("__id").as("id_b"), col("__v").as("__vb"))
-    a.join(b, Seq("__bucket"))
+                   threshold: Double = 0.95, nbits: Int = 16,
+                   tables: Int = 8, seed: Long = 42L,
+                   maxBucketSize: Int = 10000): DataFrame = {
+    require(tables >= 1)
+    val buckets = df.select(col(idCol).as("__id"),
+      posexplode(array((0 until tables).map(t =>
+        lshBucket(col(vecCol), dim, nbits, tableSeed(seed, t))): _*))
+        .as(Seq("__t", "__bucket")))
+    val capped = buckets
+      .withColumn("__n", count(lit(1)).over(
+        Window.partitionBy("__t", "__bucket")))
+      .filter(col("__n") <= maxBucketSize)
+      .drop("__n")
+    val a = capped.select(col("__t"), col("__bucket"), col("__id").as("id_a"))
+    val b = capped.select(col("__t"), col("__bucket"), col("__id").as("id_b"))
+    val pairs = a.join(b, Seq("__t", "__bucket"))
       .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val v = df.select(col(idCol).as("__vid"), col(vecCol).as("__v"))
+    pairs
+      .join(v.select(col("__vid").as("id_a"), col("__v").as("__va")), Seq("id_a"))
+      .join(v.select(col("__vid").as("id_b"), col("__v").as("__vb")), Seq("id_b"))
       .withColumn("cosine", cosine(col("__va"), col("__vb")))
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
-      .distinct()
+  }
+
+  /** Exact all-pairs near-duplicate baseline: every pair idA < idB with
+    * cosine ≥ threshold. O(n²/2) compute — the correctness oracle for
+    * [[nearDupPairs]] and the right tool below ~10⁵ rows; use the LSH
+    * path at scale.
+    */
+  def exactNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+                        threshold: Double): DataFrame = {
+    val a = df.select(col(idCol).as("id_a"), col(vecCol).as("__va"))
+    val b = df.select(col(idCol).as("id_b"), col(vecCol).as("__vb"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("cosine", cosine(col("__va"), col("__vb")))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
   }
 }

@@ -1,12 +1,11 @@
 package graft.plans
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, BinaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
-import org.apache.spark.sql.functions.lit
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Custom Catalyst expressions for the hot loops of the dedup / similarity
   * operators. Spark's higher-order functions (`transform`, `aggregate`,
@@ -16,18 +15,15 @@ import org.apache.spark.sql.functions.lit
   * voting, embedding dot products). Each expression here replaces an
   * O(numHashes·|arr|) interpreted HOF tree with one tight JVM loop per row
   * (~10-40× on the minhash/simhash stages at sf0.1).
+  *
+  * All expressions implement `doGenCode` (generating a single static call
+  * into [[ExprKernels]]) so the stage they sit in keeps whole-stage
+  * codegen — a CodegenFallback expression would de-optimize every fused
+  * operator around it back to the Volcano path.
   */
 object expressions {
 
-  /** splitmix64 — deterministic per-index constants for the affine hash
-    * family (aⱼ·x + bⱼ with odd aⱼ is a bijection on Z/2^64).
-    */
-  private[plans] def mix64(z0: Long): Long = {
-    var z = z0 + 0x9E3779B97F4A7C15L
-    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-    z ^ (z >>> 31)
-  }
+  private[plans] def mix64(z0: Long): Long = ExprKernels.mix64(z0)
 
   // Column-API entry points -------------------------------------------
   // (Spark 4 classic: Column ⟷ Expression via the sql-package bridge)
@@ -61,6 +57,24 @@ object expressions {
   /** Cosine similarity of two float/double array columns, in double. */
   def cosine_sim(a: Column, b: Column): Column =
     column(VecDot(expression(a), expression(b), DotMode.Cosine))
+
+  private[plans] def arrayOfLongCheck(e: Expression, name: String) =
+    e.dataType match {
+      case ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$name expects array<bigint>, got ${other.sql}")
+    }
+
+  private[plans] def stringCheck(e: Expression, name: String) =
+    e.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$name expects string, got ${other.sql}")
+    }
 }
 
 /** One-permutation minhash (Li, Owen, Zhang 2012): the hash space is
@@ -74,46 +88,25 @@ object expressions {
   * array → NULL (no shingles ⇒ no signature, never collides).
   */
 case class MinHashSig(child: Expression, numHashes: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   require(numHashes > 0)
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  override def checkInputDataTypes() = {
-    child.dataType match {
-      case ArrayType(LongType, _) =>
-        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
-      case other =>
-        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-          s"minhash_sig expects array<bigint>, got ${other.sql}")
-    }
-  }
+  // empty input array → null output, even from a non-null child
+  override def nullable: Boolean = true
+  override def checkInputDataTypes() =
+    expressions.arrayOfLongCheck(child, "minhash_sig")
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
-    val n = arr.numElements()
-    if (n == 0) return null
-    val out = Array.fill(numHashes)(Long.MaxValue)
-    var i = 0
-    while (i < n) {
-      val h = expressions.mix64(arr.getLong(i)) // decorrelate bucket vs value bits
-      val b = ((h >>> 1) % numHashes).toInt
-      if (h < out(b)) out(b) = h
-      i += 1
-    }
-    // rotation densification against the pre-densification snapshot
-    // (Long.MaxValue marks an empty bucket)
-    val orig = out.clone()
-    var j = 0
-    while (j < numHashes) {
-      if (orig(j) == Long.MaxValue) {
-        var d = 1
-        while (d < numHashes && orig((j + d) % numHashes) == Long.MaxValue) d += 1
-        out(j) = expressions.mix64(orig((j + d) % numHashes) + d)
-      }
-      j += 1
-    }
-    new GenericArrayData(out)
-  }
+  override def nullSafeEval(input: Any): Any =
+    ExprKernels.minhashSig(input.asInstanceOf[ArrayData], numHashes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |${ev.value} = graft.plans.ExprKernels.minhashSig($c, $numHashes);
+         |${ev.isNull} = ${ev.value} == null;
+       """.stripMargin
+    })
 
   override protected def withNewChildInternal(c: Expression): MinHashSig = copy(child = c)
 }
@@ -122,8 +115,8 @@ case class MinHashSig(child: Expression, numHashes: Int)
   *
   * Replaces the interpreted HOF chain `split → filter → transform(slice +
   * concat_ws) → array_distinct → transform(xxhash64)`: tokens are scanned
-  * directly from the UTF8 string (runs of Unicode letters, lowercased),
-  * each token is hashed incrementally, and a shingle hash mixes the `w`
+  * directly from the string (runs of Unicode letters, lowercased), each
+  * token is hashed incrementally, and a shingle hash mixes the `w`
   * consecutive token hashes — no intermediate token/shingle strings are
   * materialized. Documents shorter than `w` tokens produce one hash over
   * all their tokens (so they can still bucket). NULL text → NULL.
@@ -133,69 +126,19 @@ case class MinHashSig(child: Expression, numHashes: Int)
   * negligible against LSH's own approximation.
   */
 case class ShingleHashes(child: Expression, w: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   require(w >= 1)
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  override def checkInputDataTypes() = {
-    child.dataType match {
-      case StringType =>
-        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
-      case other =>
-        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-          s"shingle_hashes expects string, got ${other.sql}")
-    }
-  }
+  override def checkInputDataTypes() =
+    expressions.stringCheck(child, "shingle_hashes")
 
-  override def nullSafeEval(input: Any): Any = {
-    val s = input.toString
-    // 1. token hashes: runs of letters, lowercased, hashed incrementally
-    val tokenHashes = new scala.collection.mutable.ArrayBuffer[Long](64)
-    var h = 0L
-    var inTok = false
-    var i = 0
-    while (i < s.length) {
-      val c = s.charAt(i)
-      if (Character.isLetter(c)) {
-        val lc = Character.toLowerCase(c)
-        h = if (inTok) h * 0x100000001B3L ^ lc else 0xCBF29CE484222325L ^ lc
-        inTok = true
-      } else if (inTok) {
-        tokenHashes += expressions.mix64(h)
-        inTok = false
-      }
-      i += 1
-    }
-    if (inTok) tokenHashes += expressions.mix64(h)
+  override def nullSafeEval(input: Any): Any =
+    ExprKernels.shingleHashes(input.asInstanceOf[UTF8String], w)
 
-    val n = tokenHashes.length
-    // 2. shingle hashes: mix of w consecutive token hashes, deduplicated
-    val out = new java.util.HashSet[Long]()
-    if (n == 0) {
-      // keep parity with the HOF formulation: empty text still yields one
-      // (empty-join) shingle so the row can participate in exact-dup checks
-      out.add(expressions.mix64(0L))
-    } else if (n < w) {
-      var acc = 0L
-      var j = 0
-      while (j < n) { acc = acc * 0x9E3779B97F4A7C15L ^ tokenHashes(j); j += 1 }
-      out.add(expressions.mix64(acc))
-    } else {
-      var start = 0
-      while (start <= n - w) {
-        var acc = 0L
-        var j = start
-        while (j < start + w) { acc = acc * 0x9E3779B97F4A7C15L ^ tokenHashes(j); j += 1 }
-        out.add(expressions.mix64(acc))
-        start += 1
-      }
-    }
-    val arr = new Array[Long](out.size)
-    val it = out.iterator()
-    var k = 0
-    while (it.hasNext) { arr(k) = it.next(); k += 1 }
-    new GenericArrayData(arr)
-  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.ExprKernels.shingleHashes($c, $w);")
 
   override protected def withNewChildInternal(c: Expression): ShingleHashes =
     copy(child = c)
@@ -210,57 +153,19 @@ case class ShingleHashes(child: Expression, w: Int)
   * standard n-gram-Jaccard dedup primitive.
   */
 case class CharNgramHashes(child: Expression, n: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   require(n >= 2)
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  override def checkInputDataTypes() = {
-    child.dataType match {
-      case StringType =>
-        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
-      case other =>
-        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-          s"char_ngram_hashes expects string, got ${other.sql}")
-    }
-  }
+  override def checkInputDataTypes() =
+    expressions.stringCheck(child, "char_ngram_hashes")
 
-  override def nullSafeEval(input: Any): Any = {
-    val raw = input.toString
-    // normalize: lowercase letters kept, everything else → single space
-    val sb = new java.lang.StringBuilder(raw.length)
-    var lastSpace = true
-    var i = 0
-    while (i < raw.length) {
-      val c = raw.charAt(i)
-      if (Character.isLetter(c)) {
-        sb.append(Character.toLowerCase(c)); lastSpace = false
-      } else if (!lastSpace) { sb.append(' '); lastSpace = true }
-      i += 1
-    }
-    while (sb.length > 0 && sb.charAt(sb.length - 1) == ' ')
-      sb.setLength(sb.length - 1)
-    val s = sb
-    val out = new java.util.HashSet[Long]()
-    def windowHash(from: Int, until: Int): Long = {
-      var h = 0xCBF29CE484222325L
-      var j = from
-      while (j < until) { h = h * 0x100000001B3L ^ s.charAt(j); j += 1 }
-      expressions.mix64(h)
-    }
-    if (s.length < n) out.add(windowHash(0, s.length))
-    else {
-      var start = 0
-      while (start <= s.length - n) {
-        out.add(windowHash(start, start + n))
-        start += 1
-      }
-    }
-    val arr = new Array[Long](out.size)
-    val it = out.iterator()
-    var k = 0
-    while (it.hasNext) { arr(k) = it.next(); k += 1 }
-    new GenericArrayData(arr)
-  }
+  override def nullSafeEval(input: Any): Any =
+    ExprKernels.charNgramHashes(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.ExprKernels.charNgramHashes($c, $n);")
 
   override protected def withNewChildInternal(c: Expression): CharNgramHashes =
     copy(child = c)
@@ -270,41 +175,18 @@ case class CharNgramHashes(child: Expression, n: Int)
   * of the 64 bit positions; the sign of each counter forms the output bit.
   */
 case class SimHash64(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = LongType
-  override def checkInputDataTypes() = {
-    child.dataType match {
-      case ArrayType(LongType, _) =>
-        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
-      case other =>
-        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-          s"simhash64 expects array<bigint>, got ${other.sql}")
-    }
-  }
+  override def checkInputDataTypes() =
+    expressions.arrayOfLongCheck(child, "simhash64")
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
-    val n = arr.numElements()
-    val counters = new Array[Int](64)
-    var i = 0
-    while (i < n) {
-      val h = arr.getLong(i)
-      var b = 0
-      while (b < 64) {
-        if (((h >>> b) & 1L) == 1L) counters(b) += 1 else counters(b) -= 1
-        b += 1
-      }
-      i += 1
-    }
-    var out = 0L
-    var b = 0
-    while (b < 64) {
-      if (counters(b) > 0) out |= (1L << b)
-      b += 1
-    }
-    java.lang.Long.valueOf(out)
-  }
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Long.valueOf(ExprKernels.simhash64(input.asInstanceOf[ArrayData]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.ExprKernels.simhash64($c);")
 
   override protected def withNewChildInternal(c: Expression): SimHash64 = copy(child = c)
 }
@@ -317,9 +199,12 @@ private[plans] object DotMode extends Enumeration { val Dot, Cosine = Value }
   */
 case class VecDot(left: Expression, right: Expression,
                   mode: DotMode.Value)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
+  // cosine of a zero vector → null even from non-null children
+  override def nullable: Boolean =
+    mode == DotMode.Cosine || left.nullable || right.nullable
   private def elemType(e: Expression) = e.dataType match {
     case ArrayType(t, _) => t
     case _ => NullType
@@ -341,22 +226,26 @@ case class VecDot(left: Expression, right: Expression,
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
-    val n = math.min(a.numElements(), b.numElements())
-    var dot = 0.0; var na = 0.0; var nb = 0.0
-    var i = 0
-    while (i < n) {
-      val x = if (leftIsFloat) a.getFloat(i).toDouble else a.getDouble(i)
-      val y = if (rightIsFloat) b.getFloat(i).toDouble else b.getDouble(i)
-      dot += x * y
-      if (mode == DotMode.Cosine) { na += x * x; nb += y * y }
-      i += 1
-    }
-    if (mode == DotMode.Dot) java.lang.Double.valueOf(dot)
-    else {
-      val denom = math.sqrt(na) * math.sqrt(nb)
-      if (denom == 0.0) null else java.lang.Double.valueOf(dot / denom)
-    }
+    if (mode == DotMode.Dot)
+      java.lang.Double.valueOf(ExprKernels.vecDot(a, b, leftIsFloat, rightIsFloat))
+    else
+      ExprKernels.vecCosine(a, b, leftIsFloat, rightIsFloat)
   }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      if (mode == DotMode.Dot)
+        s"${ev.value} = graft.plans.ExprKernels.vecDot($a, $b, $leftIsFloat, $rightIsFloat);"
+      else {
+        val tmp = ctx.freshName("cos")
+        s"""
+           |java.lang.Double $tmp =
+           |  graft.plans.ExprKernels.vecCosine($a, $b, $leftIsFloat, $rightIsFloat);
+           |${ev.isNull} = $tmp == null;
+           |if (!${ev.isNull}) ${ev.value} = $tmp.doubleValue();
+         """.stripMargin
+      }
+    })
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): VecDot =
     copy(left = l, right = r)

@@ -90,12 +90,23 @@ object MinHashDedup {
                      numHashes: Int = 64, bands: Int = 16,
                      shingleWidth: Int = 3,
                      maxBucketSize: Int = 1000,
-                     charNgram: Int = 0): DataFrame = {
-    // two tight-loop expressions: text → shingle hashes → signature
+                     charNgram: Int = 0): DataFrame =
+    candidatePairsFromHashes(
+      df.select(col(idCol).as("__id"),
+        shingler(textCol, shingleWidth, charNgram).as("__hh")),
+      numHashes, bands, maxBucketSize)
+
+  /** Candidate pairs from a pre-hashed `(__id, __hh: array<bigint>)` frame —
+    * the shared entry for [[candidatePairs]] and [[nearDupPairs]], which
+    * stages the (dominant-cost) shingling once and feeds both the LSH
+    * banding and the verification join from the same persisted frame.
+    */
+  def candidatePairsFromHashes(hashed: DataFrame, numHashes: Int = 64,
+                               bands: Int = 16,
+                               maxBucketSize: Int = 1000): DataFrame = {
+    // two tight-loop expressions: shingle hashes → signature
     // (each stage referencing the previous ATTRIBUTE; see ShingleHashes /
     // MinHashSig scaladoc for why HOF formulations were replaced)
-    val hashed = df.select(col(idCol).as("__id"),
-      shingler(textCol, shingleWidth, charNgram).as("__hh"))
     val signed = hashed.select(col("__id"),
       minHashFromHashes(col("__hh"), numHashes).as("__sig"))
     val banded = signed.select(col("__id"),
@@ -119,21 +130,29 @@ object MinHashDedup {
     * shingle Jaccard similarity ≥ `threshold`. Shingle sets are joined
     * back by id (two hash joins on the id — the shingle arrays never ride
     * through the bucket shuffle).
+    *
+    * The shingle-hash frame is computed ONCE and persisted
+    * (memory-and-disk): tokenization dominates pipeline cost, and the
+    * frame is consumed three times (LSH banding + both sides of the
+    * verification join). The persisted frame is (id, array<bigint>) —
+    * orders of magnitude smaller than the text it summarizes; Spark's
+    * ContextCleaner unpersists it once the plan is no longer referenced.
     */
   def nearDupPairs(df: DataFrame, idCol: String, textCol: String,
                    threshold: Double = 0.8, numHashes: Int = 64,
                    bands: Int = 16, shingleWidth: Int = 3,
-                   charNgram: Int = 0): DataFrame = {
-    val cands = candidatePairs(df, idCol, textCol, numHashes, bands,
-      shingleWidth, charNgram = charNgram)
+                   charNgram: Int = 0,
+                   maxBucketSize: Int = 1000): DataFrame = {
+    val hashed = df.select(col(idCol).as("__id"),
+        shingler(textCol, shingleWidth, charNgram).as("__hh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cands = candidatePairsFromHashes(hashed, numHashes, bands, maxBucketSize)
     // verification compares 64-bit shingle-hash sets (collision odds are
     // negligible next to LSH recall; the strings are never materialized)
-    val sh = df.select(col(idCol).as("__sid"),
-      shingler(textCol, shingleWidth, charNgram).as("__sh"))
-    val withA = cands.join(sh.withColumnRenamed("__sid", "id_a")
-      .withColumnRenamed("__sh", "__sh_a"), Seq("id_a"))
-    val withB = withA.join(sh.withColumnRenamed("__sid", "id_b")
-      .withColumnRenamed("__sh", "__sh_b"), Seq("id_b"))
+    val withA = cands.join(hashed.select(col("__id").as("id_a"),
+      col("__hh").as("__sh_a")), Seq("id_a"))
+    val withB = withA.join(hashed.select(col("__id").as("id_b"),
+      col("__hh").as("__sh_b")), Seq("id_b"))
     withB
       .withColumn("jaccard",
         size(array_intersect(col("__sh_a"), col("__sh_b"))).cast("double") /

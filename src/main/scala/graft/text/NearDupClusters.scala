@@ -38,14 +38,15 @@ object NearDupClusters {
           .withColumnRenamed("cluster", "n_cluster"), Seq("dst"))
         .groupBy(col("src").as("id"))
         .agg(min("n_cluster").as("n_min"))
+      // the convergence flag rides the checkpointed frame, so detecting it
+      // is a filter over cached partitions — not an extra join job
       val next = labels.join(neighborMin, Seq("id"), "left")
         .select(col("id"),
-          least(col("cluster"), coalesce(col("n_min"), col("cluster"))).as("cluster"))
+          least(col("cluster"), coalesce(col("n_min"), col("cluster"))).as("cluster"),
+          (coalesce(col("n_min"), col("cluster")) < col("cluster")).as("__changed"))
         .localCheckpoint()
-      val changed = next.alias("n").join(labels.alias("o"), Seq("id"))
-        .filter(col("n.cluster") =!= col("o.cluster")).limit(1)
-      converged = changed.isEmpty
-      labels = next
+      converged = next.filter(col("__changed")).limit(1).isEmpty
+      labels = next.drop("__changed")
       iter += 1
     }
     labels.withColumnRenamed("id", idCol)

@@ -1,0 +1,58 @@
+package graft.tools
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.plans.expressions._
+
+/** Proves the custom expressions really run under whole-stage codegen:
+  * executes each with codegen FORCED (fallback disabled — a Janino error
+  * becomes a hard failure instead of a silent interpreted retry) and
+  * prints the WholeStageCodegen spans of a representative plan.
+  */
+object CodegenCheck {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      // hard-fail on codegen compile errors instead of falling back
+      .config("spark.sql.codegen.fallback", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+
+    val sh = docs.select(shingle_hashes(col("text"), 3).as("h"))
+      .select(minhash_sig(col("h"), 64).as("sig"), simhash64(col("h")).as("sim"))
+    sh.agg(sum(size(col("sig"))), expr("bit_xor(sim)")).head()
+    println("[1] shingle_hashes -> minhash_sig/simhash64 OK under forced codegen")
+
+    val ng = docs.select(char_ngram_hashes(col("text"), 5).as("h"))
+    ng.agg(sum(size(col("h")))).head()
+    println("[2] char_ngram_hashes OK under forced codegen")
+
+    val d = emb.as("a").crossJoin(emb.limit(3).as("b"))
+      .select(dot_product(col("a.embedding"), col("b.embedding")).as("d"),
+        cosine_sim(col("a.embedding"), col("b.embedding")).as("c"))
+    d.agg(sum(col("d")), sum(col("c"))).head()
+    println("[3] dot_product/cosine_sim OK under forced codegen")
+
+    val model = graft.ml.IvfIndex.fit(emb, "embedding", k = 8)
+    val assigned = emb.select(graft.ml.IvfIndex.assign(col("embedding"), model).as("cell"))
+    assigned.agg(sum(col("cell").cast("long"))).head()
+    println("[4] nearest_centroids OK under forced codegen")
+
+    // zero-vector cosine → null survives codegen
+    val z = Seq((Seq(0f, 0f), Seq(1f, 2f))).toDF("a", "b")
+      .select(cosine_sim(col("a"), col("b")).as("c"))
+    assert(z.head().isNullAt(0), "zero-vector cosine must be null")
+    // empty-array minhash → null survives codegen
+    val e = Seq(Seq.empty[Long]).toDF("h").select(minhash_sig(col("h"), 8).as("s"))
+    assert(e.head().isNullAt(0), "empty-array minhash must be null")
+    println("[5] null paths OK under forced codegen")
+
+    println("--- WholeStageCodegen spans of the minhash stage ---")
+    sh.explain("formatted")
+    spark.stop()
+  }
+}

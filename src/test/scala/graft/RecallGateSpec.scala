@@ -1,0 +1,175 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.ml.{IvfIndex, Similarity}
+import graft.text.MinHashDedup
+
+/** Recall gates for every approximate path, measured against its exact
+  * baseline on the driver's synthetic testdata (sf0.01). These are the
+  * committed evidence behind:
+  *   - the exact DuckDB oracles of the LSH-backed queries (the banded
+  *     minhash candidates and the simsearch_lsh candidates must CONTAIN
+  *     the exact answer at this SF for those oracles to hash-match), and
+  *   - the declared parameters of the approximate-only queries
+  *     (embedding_neardup_lsh, simsearch_ivf), which cannot have a SQL
+  *     oracle by design.
+  */
+class RecallGateSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.01"
+  private lazy val docs = spark.read.parquet(s"$sf/documents.parquet")
+  private lazy val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+
+  private def pairSet(df: DataFrame): Set[(Long, Long)] =
+    df.select(col("id_a").cast("long"), col("id_b").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  private def exactJaccardPairs(hashed: DataFrame, threshold: Double): Set[(Long, Long)] = {
+    val a = hashed.select(col("__id").as("id_a"), col("__hh").as("__ha"))
+    val b = hashed.select(col("__id").as("id_b"), col("__hh").as("__hb"))
+    pairSet(a.join(b, col("id_a") < col("id_b"))
+      .withColumn("j",
+        size(array_intersect(col("__ha"), col("__hb"))).cast("double") /
+          size(array_union(col("__ha"), col("__hb"))))
+      .filter(col("j") >= threshold))
+  }
+
+  test("minhash LSH candidates contain every exact word-shingle pair (oracle precondition)") {
+    val hashed = docs.select(col("doc_id").as("__id"),
+      graft.plans.expressions.shingle_hashes(col("text"), 3).as("__hh"))
+    val exact = exactJaccardPairs(hashed, 0.5)
+    val got = pairSet(MinHashDedup.nearDupPairs(docs, "doc_id", "text",
+      threshold = 0.5, numHashes = 64, bands = 16))
+    assert(exact.nonEmpty, "gate is vacuous: no exact pairs at threshold 0.5")
+    val missed = exact -- got
+    assert(missed.isEmpty,
+      s"banded LSH (b=16,r=4) missed ${missed.size}/${exact.size} exact pairs: " +
+        s"${missed.take(5)} — the neardup_minhash_pairs/dedup_minhash/" +
+        "dedup_transitive/pipeline_clean_corpus oracles depend on completeness")
+    assert(got == exact, s"verified pairs must equal exact pairs, got ${got.size} vs ${exact.size}")
+  }
+
+  test("char-5-gram LSH candidates contain every exact n-gram pair (oracle precondition)") {
+    val hashed = docs.select(col("doc_id").as("__id"),
+      graft.plans.expressions.char_ngram_hashes(col("text"), 5).as("__hh"))
+    val exact = exactJaccardPairs(hashed, 0.7)
+    val got = pairSet(MinHashDedup.nearDupPairs(docs, "doc_id", "text",
+      threshold = 0.7, numHashes = 64, bands = 8, charNgram = 5))
+    assert(exact.nonEmpty, "gate is vacuous: no exact pairs at threshold 0.7")
+    assert(got == exact,
+      s"ngram LSH pairs (${got.size}) diverge from exact (${exact.size}); " +
+        "the neardup_ngram_pairs oracle depends on equality")
+  }
+
+  private def topkSet(df: DataFrame): Set[(Long, Long)] =
+    df.select(col("query_id").cast("long"), col("neighbor_id").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("lshTopK with declared params recovers the exact top-10 (oracle precondition)") {
+    val queries = emb.filter(col("vec_id") < 5)
+    val exact = topkSet(Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 10))
+    val got = topkSet(Similarity.lshTopK(emb, "vec_id", "embedding",
+      queries, "vec_id", "embedding", dim = 64, k = 10,
+      nbits = 4, probes = 4, tables = 8))
+    val recall = (exact intersect got).size.toDouble / exact.size
+    assert(recall >= 0.9, s"lshTopK recall@10 $recall below 0.9")
+    assert(got == exact,
+      "simsearch_lsh shares the brute-force oracle, which requires exact agreement at sf0.01")
+  }
+
+  test("multi-table embedding LSH near-dup recall >= 0.9 vs exact all-pairs") {
+    val exact = pairSet(Similarity.exactNearDupPairs(emb, "vec_id", "embedding", 0.25))
+    val got = pairSet(Similarity.nearDupPairs(emb, "vec_id", "embedding",
+      dim = 64, threshold = 0.25, nbits = 4, tables = 32))
+    assert(exact.nonEmpty)
+    // precision is exact (cosine-verified); only recall is approximate
+    assert((got -- exact).isEmpty, "LSH emitted a pair below threshold")
+    val recall = (exact intersect got).size.toDouble / exact.size
+    assert(recall >= 0.9, s"embedding LSH recall $recall below 0.9 " +
+      "(declared params of embedding_neardup_lsh: nbits=4, tables=32)")
+  }
+
+  /** Deterministic near-duplicates planted on the real embeddings: each
+    * planted vector is a small relative perturbation of a base vector
+    * (cosine ≈ 0.98) — the regime semantic near-dedup is designed for
+    * (the raw synthetic corpus is near-orthogonal, max cosine ≈ 0.35,
+    * which no sub-quadratic method can bucket efficiently).
+    */
+  private lazy val planted: DataFrame = {
+    val rnd = new scala.util.Random(7L)
+    val base = emb.filter(col("vec_id") < 100)
+      .select(col("vec_id"), col("embedding")).collect()
+    val dupRows = base.map { r =>
+      val id = r.getLong(0)
+      val v = r.getSeq[Float](1).toArray
+      val norm = math.sqrt(v.map(x => x.toDouble * x).sum)
+      val sigma = 0.2 * norm / math.sqrt(v.length.toDouble)
+      Row(id + 10000L, v.map(x => (x + sigma * rnd.nextGaussian()).toFloat).toSeq)
+    }
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    val dups = spark.createDataFrame(
+      spark.sparkContext.parallelize(dupRows.toIndexedSeq, 2), schema)
+    emb.select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+      .unionByName(dups)
+  }
+
+  test("embedding LSH near-dup finds planted high-cosine duplicates (production regime)") {
+    val exact = pairSet(Similarity.exactNearDupPairs(planted, "vec_id", "embedding", 0.9))
+    assert(exact.size >= 90, s"planting failed: only ${exact.size} exact pairs at 0.9")
+    val got = pairSet(Similarity.nearDupPairs(planted, "vec_id", "embedding",
+      dim = 64, threshold = 0.9, nbits = 12, tables = 8))
+    val recall = (exact intersect got).size.toDouble / exact.size
+    assert(recall >= 0.9, s"planted near-dup recall $recall below 0.9")
+  }
+
+  /** Clustered vectors for the IVF gate: IVF's contract is that the
+    * corpus has coarse cluster structure (that is what the centroids
+    * quantize); on such data nprobe cells must recover the true
+    * neighbors. 8 well-separated clusters, 50 vectors each.
+    */
+  private lazy val clustered: DataFrame = {
+    val rnd = new scala.util.Random(11L)
+    val dim = 16
+    val centroids = Array.fill(8)(Array.fill(dim)(rnd.nextGaussian()))
+    val rows = for {
+      c <- centroids.indices
+      i <- 0 until 50
+    } yield Row((c * 50 + i).toLong,
+      centroids(c).map(x => (x + 0.15 * rnd.nextGaussian()).toFloat).toSeq)
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), schema)
+  }
+
+  test("IVF top-k recall >= 0.9 on clustered data (its design regime)") {
+    val queries = clustered.filter(col("vec_id") % 50 === 0).limit(5)
+    val exact = topkSet(Similarity.bruteForceTopK(clustered, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 10))
+    val model = IvfIndex.fit(clustered, "embedding", k = 8)
+    val got = topkSet(IvfIndex.topK(clustered, "vec_id", "embedding",
+      queries, "vec_id", "embedding", model, k = 10, nprobe = 2))
+    val recall = (exact intersect got).size.toDouble / exact.size
+    assert(recall >= 0.9, s"IVF recall@10 $recall below 0.9 on clustered data")
+  }
+
+  test("IVF top-k floor on the near-orthogonal corpus (documented weak regime)") {
+    val queries = emb.filter(col("vec_id") < 5)
+    val exact = topkSet(Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 10))
+    val model = IvfIndex.fit(emb, "embedding", k = 8)
+    val got = topkSet(IvfIndex.topK(emb, "vec_id", "embedding",
+      queries, "vec_id", "embedding", model, k = 10, nprobe = 4))
+    val recall = (exact intersect got).size.toDouble / exact.size
+    // near-orthogonal vectors have no cluster structure for the coarse
+    // quantizer to exploit; nprobe=4 of k=8 cells measured 0.78 — gate a
+    // floor so regressions (e.g. broken assignment) still surface
+    assert(recall >= 0.5, s"IVF recall@10 $recall below the 0.5 floor")
+  }
+}
