@@ -3,11 +3,17 @@ package graft.tables
 import org.apache.spark.sql.{DataFrame, SparkSession, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
-import com.fasterxml.jackson.databind.{ObjectMapper, JsonNode}
-import com.fasterxml.jackson.databind.node.{ObjectNode, ArrayNode}
-import java.nio.file.{Files, Paths, Path, StandardCopyOption}
+import com.fasterxml.jackson.databind.ObjectMapper
+import java.nio.file.{Files, Paths, Path}
 import java.util.UUID
 import scala.jdk.CollectionConverters._
+
+/** Raised when a commit loses the put-if-absent race for its version file.
+  * Blind appends rebase and retry on this automatically; read-modify-write
+  * commits (overwrite/MERGE) surface it, as Delta's write-serializable
+  * conflict rules do.
+  */
+final class ConcurrentCommitException(msg: String) extends IllegalStateException(msg)
 
 /** A versioned, parquet-backed managed table: the engine's replacement for
   * the transactional table layer the reference builds on
@@ -16,21 +22,28 @@ import scala.jdk.CollectionConverters._
   *
   * Layout:
   * {{{
-  *   <path>/data/<uuid>/...parquet     # immutable data files, per commit
-  *   <path>/_graft_log/v0.json …vN.json # one JSON entry per committed version
+  *   <path>/data/<uuid>/...parquet          # unpartitioned commit
+  *   <path>/data/<uuid>/p=v/...parquet      # partitioned commit (leaf dirs)
+  *   <path>/_graft_log/v0.json …vN.json     # one JSON entry per version
   * }}}
   *
-  * Each log entry records the complete current snapshot (list of data
-  * directories), the schema (JSON), partition columns, and table properties.
-  * Commits are atomic: data is fully written under a fresh UUID directory
-  * first, then the log entry is moved into place with an atomic rename.
-  * Readers resolve the latest vN.json and read exactly the directories it
-  * lists, so concurrent readers never observe a half-written commit.
+  * Each log entry records the complete current snapshot as a list of
+  * LEAF data directories — for partitioned tables one entry per partition
+  * directory — plus the schema, partition columns, and properties. Leaf
+  * granularity is what makes partition-scoped rewrites possible: a MERGE
+  * that only touches `p=3` commits a snapshot that keeps every other
+  * partition's existing leaf dirs verbatim (see [[overwritePartitions]]).
   *
-  * Scale note: on a real cluster this maps to object-store
-  * put-if-absent on the log key (the same protocol Delta/Iceberg use); the
-  * data path is already cluster-safe because every commit writes to a unique
-  * directory via the normal distributed parquet writer.
+  * Commits are atomic: data is fully written under a fresh UUID directory
+  * first, then the log entry is linked into place with put-if-absent
+  * semantics. Readers resolve the latest vN.json and read exactly the
+  * directories it lists, so concurrent readers never observe a
+  * half-written commit.
+  *
+  * Scale note: on a real cluster this maps to object-store put-if-absent
+  * on the log key (the same protocol Delta/Iceberg use); the data path is
+  * already cluster-safe because every commit writes to a unique directory
+  * via the normal distributed parquet writer.
   */
 final class ManagedTable private (val spark: SparkSession, val location: String) {
   import ManagedTable._
@@ -79,7 +92,7 @@ final class ManagedTable private (val spark: SparkSession, val location: String)
     } catch {
       case _: java.nio.file.FileAlreadyExistsException =>
         Files.deleteIfExists(tmp)
-        throw new IllegalStateException(
+        throw new ConcurrentCommitException(
           s"Concurrent commit detected for version ${e.version} at $location")
     }
   }
@@ -124,13 +137,26 @@ final class ManagedTable private (val spark: SparkSession, val location: String)
     if (e.dirs.isEmpty) {
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
     } else {
-      val reader = spark.read
-        .option("mergeSchema", "true")
-        .option("basePath", dataDir.toString)
-      val df = reader.parquet(e.dirs.map(d => dataDir.resolve(d).toString): _*)
+      e.dirs.find(d => !Files.isDirectory(dataDir.resolve(d))).foreach { d =>
+        throw new IllegalStateException(
+          s"Version ${e.version} of $location references vacuumed data ($d); " +
+            "time travel is limited to the vacuum retention window")
+      }
+      // One scan per commit uuid: leaf dirs are grouped so the reader's
+      // basePath sits directly above the partition directories and Spark
+      // re-derives the partition columns (and prunes on them) from the
+      // k=v path segments.
+      val frames = e.dirs.groupBy(_.takeWhile(_ != '/')).toSeq.map {
+        case (uuid, leaves) =>
+          spark.read
+            .option("mergeSchema", "true")
+            .option("basePath", dataDir.resolve(uuid).toString)
+            .parquet(leaves.map(l => dataDir.resolve(l).toString): _*)
+      }
+      val df = frames.reduce(_.unionByName(_, allowMissingColumns = true))
       // project to the committed schema (order + null-fill evolved columns)
       val cols = schema.fields.map { f =>
-        if (df.columns.contains(f.name)) col(f.name)
+        if (df.columns.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
         else lit(null).cast(f.dataType).as(f.name)
       }
       df.select(cols.toIndexedSeq: _*)
@@ -180,44 +206,165 @@ final class ManagedTable private (val spark: SparkSession, val location: String)
 
   // ---- writes ----------------------------------------------------------
 
-  private def writeData(df: DataFrame, parts: Seq[String]): String = {
+  /** Write `df` under a fresh uuid dir; returns the LEAF directories
+    * relative to the data root — `uuid` itself when unpartitioned, else
+    * one `uuid/p=v[/q=w…]` path per written partition.
+    */
+  private def writeData(df: DataFrame, parts: Seq[String]): Seq[String] = {
     val id = UUID.randomUUID().toString
-    val out = dataDir.resolve(id).toString
+    val out = dataDir.resolve(id)
     val w = df.write.mode("overwrite")
-    (if (parts.nonEmpty) w.partitionBy(parts: _*) else w).parquet(out)
-    id
+    (if (parts.nonEmpty) w.partitionBy(parts: _*) else w).parquet(out.toString)
+    if (parts.isEmpty) Seq(id)
+    else leafDirs(out, parts.length).map(l => id + "/" + out.relativize(l).toString)
+  }
+
+  /** The partition directories exactly `depth` levels below `root`. */
+  private def leafDirs(root: Path, depth: Int): Seq[Path] = {
+    def step(p: Path, d: Int): Seq[Path] =
+      if (d == 0) Seq(p)
+      else {
+        val s = Files.list(p)
+        try s.iterator().asScala.toSeq
+          .filter(c => Files.isDirectory(c) && c.getFileName.toString.contains("="))
+          .flatMap(step(_, d - 1))
+        finally s.close()
+      }
+    step(root, depth)
   }
 
   /** Append `df`. With `mergeSchema=true`, new columns are allowed and the
     * table schema becomes the union (existing rows read back null for the
-    * new columns); otherwise the frame is aligned to the table schema.
+    * new columns); re-using an existing column name with a different type
+    * raises, as Delta's schema merge does. A lost commit race rebases on
+    * the new latest version and retries — blind appends commute, so this
+    * is safe (Delta's append-vs-append non-conflict rule); read-modify-
+    * write commits ([[overwrite]]) do NOT retry.
     */
   def append(df: DataFrame, mergeSchema: Boolean = false,
              operation: String = "APPEND"): Unit = {
-    val e = latestEntry
-    val newSchema =
-      if (mergeSchema) unionSchema(e.schema, df.schema)
-      else e.schema
-    val aligned = df.select(newSchema.fields.map { f =>
-      if (df.columns.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
-      else lit(null).cast(f.dataType).as(f.name)
-    }.toIndexedSeq: _*)
-    val dir = writeData(aligned, e.partitionColumns)
-    commit(LogEntry(e.version + 1, System.currentTimeMillis(), operation,
-      e.dirs :+ dir, newSchema, e.partitionColumns, e.properties))
+    var written: Option[(Seq[String], StructType)] = None
+    var attempts = 0
+    var done = false
+    while (!done) {
+      val e = latestEntry
+      val newSchema =
+        if (mergeSchema) unionSchema(e.schema, df.schema)
+        else e.schema
+      val dirs = written match {
+        case Some((d, s)) if s == newSchema => d // data already on disk fits
+        case _ =>
+          val aligned = df.select(newSchema.fields.map { f =>
+            if (df.columns.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
+            else lit(null).cast(f.dataType).as(f.name)
+          }.toIndexedSeq: _*)
+          val d = writeData(aligned, e.partitionColumns)
+          written = Some((d, newSchema))
+          d
+      }
+      try {
+        commit(LogEntry(e.version + 1, System.currentTimeMillis(), operation,
+          e.dirs ++ dirs, newSchema, e.partitionColumns, e.properties))
+        done = true
+      } catch {
+        case c: ConcurrentCommitException =>
+          attempts += 1
+          if (attempts > 10) throw c
+      }
+    }
   }
 
   /** Atomically replace the table contents with `df` (new files + log swap;
-    * old files become unreferenced, as in Delta overwrite).
+    * old files become unreferenced until [[vacuum]], as in Delta overwrite).
     */
   def overwrite(df: DataFrame, operation: String = "OVERWRITE"): Unit = {
     val e = latestEntry
     val aligned = df.select(e.schema.fields.map { f =>
       col(f.name).cast(f.dataType).as(f.name)
     }.toIndexedSeq: _*)
-    val dir = writeData(aligned, e.partitionColumns)
+    val dirs = writeData(aligned, e.partitionColumns)
     commit(LogEntry(e.version + 1, System.currentTimeMillis(), operation,
-      Seq(dir), e.schema, e.partitionColumns, e.properties))
+      dirs, e.schema, e.partitionColumns, e.properties))
+  }
+
+  /** Partition-scoped overwrite (Delta dynamic `replaceWhere` analog):
+    * replaces exactly the partitions in `partitionValues` with `df`'s
+    * rows; every other partition keeps its existing leaf directories —
+    * the snapshot is rewritten only where it changed. A partition listed
+    * with no surviving rows in `df` is correctly emptied (its old leaves
+    * drop out of the snapshot). Raises if `df` contains rows OUTSIDE the
+    * replaced partitions (they would be silently duplicated otherwise).
+    */
+  def overwritePartitions(df: DataFrame, partitionValues: Seq[Map[String, Any]],
+                          operation: String = "OVERWRITE PARTITIONS"): Unit = {
+    val e = latestEntry
+    val parts = e.partitionColumns
+    require(parts.nonEmpty, "overwritePartitions requires a partitioned table")
+    val affected: Set[String] = partitionValues.map(vs =>
+      parts.map(p => partitionSegment(p, vs.getOrElse(p,
+        throw new IllegalArgumentException(s"missing partition value for $p"))))
+        .mkString("/")).toSet
+    val aligned = df.select(e.schema.fields.map { f =>
+      col(f.name).cast(f.dataType).as(f.name)
+    }.toIndexedSeq: _*)
+    val newLeaves = writeData(aligned, parts)
+    val stray = newLeaves.map(leafSuffix).filterNot(affected)
+    require(stray.isEmpty,
+      s"overwritePartitions: df contains rows outside the replaced " +
+        s"partitions: ${stray.take(3).mkString(", ")}")
+    val kept = e.dirs.filterNot(d => affected(leafSuffix(d)))
+    commit(LogEntry(e.version + 1, System.currentTimeMillis(), operation,
+      kept ++ newLeaves, e.schema, parts, e.properties))
+  }
+
+  /** Remove data directories referenced by no retained version — the
+    * storage-reclamation half of every overwrite/MERGE/DELETE, which all
+    * leave the previous snapshot's files in place for time travel (Delta
+    * VACUUM analog, retention by version count rather than hours).
+    * Versions `latest-retainVersions+1 .. latest` stay fully readable;
+    * older versions' history rows survive but their unshared data files
+    * are deleted. Returns (directories deleted, bytes freed).
+    */
+  def vacuum(retainVersions: Int = 1): (Long, Long) = {
+    require(retainVersions >= 1, "retainVersions must be >= 1")
+    val latest = latestVersion
+    require(latest >= 0, s"No committed version at $location")
+    val keepFrom = math.max(0L, latest - retainVersions + 1)
+    val retained: Set[String] =
+      (keepFrom to latest).flatMap(readEntry(_).dirs).toSet
+    var dirsDeleted = 0L
+    var bytesFreed = 0L
+    def sizeOf(p: Path): Long = {
+      val s = Files.walk(p)
+      try s.iterator().asScala.filter(Files.isRegularFile(_)).map(Files.size).sum
+      finally s.close()
+    }
+    def rmTree(p: Path): Unit = {
+      val s = Files.walk(p)
+      try s.iterator().asScala.toSeq.reverse.foreach(Files.delete)
+      finally s.close()
+    }
+    if (Files.isDirectory(dataDir)) {
+      val tops = { val s = Files.list(dataDir)
+        try s.iterator().asScala.toSeq finally s.close() }
+      tops.filter(Files.isDirectory(_)).foreach { top =>
+        val uuid = top.getFileName.toString
+        val refs = retained.filter(d => d == uuid || d.startsWith(uuid + "/"))
+        if (refs.isEmpty) {
+          bytesFreed += sizeOf(top); dirsDeleted += 1; rmTree(top)
+        } else if (!refs.contains(uuid)) {
+          // partially-referenced partitioned commit: drop unreferenced leaves
+          val depth = refs.head.count(_ == '/')
+          leafDirs(top, depth).foreach { leaf =>
+            val rel = uuid + "/" + top.relativize(leaf).toString
+            if (!refs.contains(rel)) {
+              bytesFreed += sizeOf(leaf); dirsDeleted += 1; rmTree(leaf)
+            }
+          }
+        }
+      }
+    }
+    (dirsDeleted, bytesFreed)
   }
 
   def setProperties(props: Map[String, String]): Unit = {
@@ -249,6 +396,25 @@ final case class TableDetail(location: String, partitionColumns: Seq[String],
 object ManagedTable {
   private val VersionFile = "v(\\d+)\\.json".r
   private val mapper = new ObjectMapper()
+
+  /** A `p=v` path segment, escaped the way Spark's file writer escapes
+    * dynamic partition directories (so suffix comparison against written
+    * leaves is exact). NULL partition values use Hive's default bucket.
+    */
+  private[tables] def partitionSegment(colName: String, value: Any): String = {
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName
+    val v = value match {
+      case null => "__HIVE_DEFAULT_PARTITION__"
+      case other => escapePathName(other.toString)
+    }
+    s"${escapePathName(colName)}=$v"
+  }
+
+  /** The partition-path suffix of a leaf dir entry ("" when unpartitioned). */
+  private[tables] def leafSuffix(dir: String): String = {
+    val i = dir.indexOf('/')
+    if (i < 0) "" else dir.substring(i + 1)
+  }
 
   private[tables] final case class LogEntry(
       version: Long, timestampMs: Long, operation: String,
@@ -286,9 +452,23 @@ object ManagedTable {
     }
   }
 
-  private def unionSchema(base: StructType, extra: StructType): StructType = {
-    val existing = base.fieldNames.toSet
-    StructType(base.fields ++ extra.fields.filterNot(f => existing(f.name)))
+  /** Union of base + appended schema. New names append; re-using an
+    * existing name with a DIFFERENT type raises (silently keeping the base
+    * type would corrupt a long→string append on read — Delta fails schema
+    * merge the same way, cf. the reference's mergeSchema appends at
+    * mack/__init__.py:378).
+    */
+  private[tables] def unionSchema(base: StructType, extra: StructType): StructType = {
+    val byName = base.fields.map(f => f.name -> f).toMap
+    extra.fields.foreach { f =>
+      byName.get(f.name).foreach { b =>
+        if (b.dataType != f.dataType)
+          throw new graft.GraftTypeError(
+            s"Failed to merge fields '${f.name}': incompatible types " +
+              s"${b.dataType.sql} and ${f.dataType.sql}")
+      }
+    }
+    StructType(base.fields ++ extra.fields.filterNot(f => byName.contains(f.name)))
   }
 
   def exists(location: String): Boolean =
@@ -305,9 +485,9 @@ object ManagedTable {
              properties: Map[String, String] = Map.empty): ManagedTable = {
     require(!exists(location), s"Table already exists: $location")
     val t = new ManagedTable(df.sparkSession, location)
-    val dir = t.writeData(df, partitionBy)
+    val dirs = t.writeData(df, partitionBy)
     t.commit(LogEntry(0L, System.currentTimeMillis(), "CREATE",
-      Seq(dir), df.schema, partitionBy, properties))
+      dirs, df.schema, partitionBy, properties))
     t
   }
 }

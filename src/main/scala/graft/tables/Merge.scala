@@ -2,6 +2,9 @@ package graft.tables
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.GraftColumnBridge
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.expressions.{And => CatAnd, EqualTo => CatEqualTo, Expression => CatExpr}
 
 /** Join-classified MERGE: the engine's replacement for Delta Lake's
   * `DeltaTable.merge(...).whenMatchedUpdate/Delete(...).whenNotMatchedInsert(...)
@@ -32,6 +35,13 @@ import org.apache.spark.sql.functions._
   * find-touched-files + rewrite, minus file-level pruning.
   */
 object Merge {
+
+  /** Above this many touched partitions a pruned merge falls back to a
+    * full overwrite: the per-partition commit bookkeeping and the isin
+    * predicate stop paying for themselves when most of the table is
+    * touched anyway.
+    */
+  val maxPrunedPartitions: Int = 1000
 
   sealed trait Clause { def condition: Option[String] }
   final case class Update(condition: Option[String], set: Map[String, String]) extends Clause
@@ -66,9 +76,107 @@ object Merge {
     /** Pure core: the post-merge table contents as a DataFrame. */
     def result(): DataFrame = run()
 
-    /** Shell: atomically overwrite `table` with the merge result. */
-    def execute(table: ManagedTable): Unit =
-      table.overwrite(run(), operation = "MERGE")
+    /** Shell: apply the merge to `table`. When the table is partitioned
+      * and the merge condition binds every partition column to the source
+      * side (`base.p = src.p`), only the partitions present in the source
+      * are recomputed and committed ([[ManagedTable.overwritePartitions]]);
+      * untouched partitions keep their existing files — the difference
+      * between a 1-row SCD2 upsert rewriting one partition and rewriting
+      * 100 TB (Delta's find-touched-files pruning, at partition
+      * granularity). Falls back to a full snapshot overwrite whenever
+      * pruning can't be proven safe (unbound partition columns, update/
+      * insert clauses that could move rows across partitions, or more
+      * than [[Merge.maxPrunedPartitions]] touched partitions).
+      */
+    def execute(table: ManagedTable): Unit = {
+      val parts = table.partitionColumns
+      val bindings = parts.flatMap(p => partitionBinding(p).map(p -> _)).toMap
+      if (parts.nonEmpty && bindings.size == parts.length &&
+          clausesPreservePartitions(parts, bindings)) {
+        val valueCols = parts.map(p => GraftColumnBridge.column(bindings(p)).as(p))
+        val rows = source.alias(sourceAlias).select(valueCols: _*).distinct()
+          .limit(maxPrunedPartitions + 1).collect()
+        if (rows.isEmpty) return // empty source: merge is a no-op
+        if (rows.length > maxPrunedPartitions) {
+          table.overwrite(run(), operation = "MERGE"); return
+        }
+        val values = rows.map(r =>
+          parts.zipWithIndex.map { case (p, i) => p -> r.get(i) }.toMap).toSeq
+        val pred =
+          if (parts.length == 1)
+            col(parts.head).isin(values.map(_(parts.head)): _*)
+          else
+            values.map(m => parts.map(p => col(p) <=> lit(m(p))).reduce(_ && _))
+              .reduce(_ || _)
+        val result = copy(target = target.filter(pred)).run()
+        table.overwritePartitions(result, values, operation = "MERGE")
+      } else {
+        table.overwrite(run(), operation = "MERGE")
+      }
+    }
+
+    // -- partition-pruning analysis --------------------------------------
+
+    private def conjuncts(e: CatExpr): Seq[CatExpr] = e match {
+      case CatAnd(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    private def isTargetAttr(e: CatExpr, p: String): Boolean = e match {
+      case a: UnresolvedAttribute =>
+        a.nameParts.length == 2 &&
+          a.nameParts.head.equalsIgnoreCase(targetAlias) &&
+          a.nameParts(1).equalsIgnoreCase(p)
+      case _ => false
+    }
+    private def isSourceAttr(e: CatExpr, name: String): Boolean = e match {
+      case a: UnresolvedAttribute =>
+        a.nameParts.length == 2 &&
+          a.nameParts.head.equalsIgnoreCase(sourceAlias) &&
+          a.nameParts(1).equalsIgnoreCase(name)
+      case _ => false
+    }
+    private def sourceOnly(e: CatExpr): Boolean =
+      e.collect { case a: UnresolvedAttribute => a }.forall(a =>
+        a.nameParts.length >= 2 && a.nameParts.head.equalsIgnoreCase(sourceAlias))
+
+    /** The source-side expression an equi-conjunct of the merge condition
+      * binds target partition column `p` to, if any.
+      */
+    private def partitionBinding(p: String): Option[CatExpr] =
+      conjuncts(GraftColumnBridge.parsedExpression(mergeCondition)).collectFirst {
+        case CatEqualTo(l, r) if isTargetAttr(l, p) && sourceOnly(r) => r
+        case CatEqualTo(l, r) if isTargetAttr(r, p) && sourceOnly(l) => l
+      }
+
+    /** Pruning is only safe when no clause can write a row whose partition
+      * value differs from the bound source expression: updates must not
+      * touch partition columns; UpdateAll/InsertAll copy `src.p`, which is
+      * provably in-scope only when the binding IS `src.p`; explicit insert
+      * values must equal the binding. (overwritePartitions additionally
+      * hard-fails on any out-of-scope row, so a gap here surfaces as an
+      * error, never as silent corruption.)
+      */
+    private def clausesPreservePartitions(parts: Seq[String],
+                                          bindings: Map[String, CatExpr]): Boolean = {
+      def bindingIsSourceCopy(p: String) = isSourceAttr(bindings(p), p)
+      val matchedOk = matched.forall {
+        case Update(_, set) =>
+          parts.forall(p => !set.keySet.exists(_.equalsIgnoreCase(p)))
+        case UpdateAll(_) => parts.forall(bindingIsSourceCopy)
+        case Delete(_) => true
+        case _ => false
+      }
+      val insertOk = notMatched.forall {
+        case InsertAll(_) => parts.forall(bindingIsSourceCopy)
+        case Insert(_, values) => parts.forall { p =>
+          values.collectFirst {
+            case (k, v) if k.equalsIgnoreCase(p) => v
+          }.exists(v => GraftColumnBridge.parsedExpression(expr(v)) == bindings(p))
+        }
+        case _ => false
+      }
+      matchedOk && insertOk
+    }
 
     // -- implementation --------------------------------------------------
 

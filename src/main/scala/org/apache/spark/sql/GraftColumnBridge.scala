@@ -13,4 +13,19 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object GraftColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** The ANALYZABLE catalyst tree of a Column: `expression` returns a lazy
+    * `ColumnNodeExpression`, which renders SQL-text columns (`expr(...)`,
+    * string conditions) as one opaque node — useless for structural
+    * analysis like merge partition-binding detection. This parses such
+    * nodes into their real tree via the catalyst SQL parser.
+    */
+  def parsedExpression(c: Column): Expression = {
+    import org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+    import org.apache.spark.sql.internal.SqlExpression
+    c.node match {
+      case SqlExpression(sql, _) => CatalystSqlParser.parseExpression(sql)
+      case _ => expression(c)
+    }
+  }
 }

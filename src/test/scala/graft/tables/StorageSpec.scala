@@ -1,0 +1,203 @@
+package graft.tables
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.{GraftTypeError, SparkSpec}
+import java.nio.file.{Files, Paths}
+
+/** Storage-engine behavior added in round 2: vacuum retention,
+  * concurrent-append rebase, schema-merge conflict errors, and
+  * partition-scoped MERGE/overwrite.
+  */
+class StorageSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val schema = StructType(Seq(
+    StructField("col1", IntegerType),
+    StructField("col2", StringType)))
+
+  import scala.jdk.CollectionConverters._
+
+  private def dataSize(loc: String): Long = {
+    val root = Paths.get(loc, "data")
+    val s = Files.walk(root)
+    try s.iterator().asScala.filter(Files.isRegularFile(_)).map(Files.size(_)).sum
+    finally s.close()
+  }
+
+  test("vacuum reclaims overwritten snapshots; retention window stays readable") {
+    val loc = tmpDir("vac")
+    val t = ManagedTable.create(df(schema, Seq(Row(1, "a"), Row(2, "b"))), loc)
+    t.overwrite(df(schema, Seq(Row(3, "c"))))           // v1
+    t.overwrite(df(schema, Seq(Row(4, "d"))))           // v2
+    t.overwrite(df(schema, Seq(Row(5, "e"))))           // v3
+    val before = dataSize(loc)
+    val (dirs, bytes) = t.vacuum(retainVersions = 2)
+    assert(dirs == 2, s"expected v0+v1 snapshots deleted, got $dirs")
+    assert(bytes > 0 && dataSize(loc) == before - bytes)
+    // within retention: latest and latest-1 still readable
+    assertDfEquality(t.toDF, df(schema, Seq(Row(5, "e"))))
+    assertDfEquality(t.toDF(2), df(schema, Seq(Row(4, "d"))))
+    // history survives vacuum; pre-retention data reads fail loudly
+    assert(t.history.count() == 4)
+    val e = intercept[IllegalStateException](t.toDF(1).collect())
+    assert(e.getMessage.contains("vacuumed"))
+  }
+
+  test("vacuum keeps directories shared between retained versions") {
+    val loc = tmpDir("vac2")
+    val t = ManagedTable.create(df(schema, Seq(Row(1, "a"))), loc) // v0
+    t.append(df(schema, Seq(Row(2, "b"))))                         // v1 (shares v0's dir)
+    t.overwrite(df(schema, Seq(Row(9, "z"))))                      // v2
+    val (dirs, _) = t.vacuum(retainVersions = 1)
+    assert(dirs == 2, "v0 and v1's append dir are unreferenced by v2")
+    assertDfEquality(t.toDF, df(schema, Seq(Row(9, "z"))))
+  }
+
+  test("concurrent appends rebase and both commit (no lost update)") {
+    val loc = tmpDir("race")
+    val t = ManagedTable.create(df(schema, Seq(Row(0, "base"))), loc)
+    // two writers race on the same table path
+    val writers = (1 to 4).map { i =>
+      new Thread(() => {
+        val w = ManagedTable.forPath(spark, loc)
+        w.append(df(schema, Seq(Row(i, s"w$i"))))
+      })
+    }
+    writers.foreach(_.start()); writers.foreach(_.join())
+    assert(t.latestVersion == 4, "each append must land as its own version")
+    assert(t.toDF.count() == 5, "no append may be lost")
+    assert(t.toDF.select("col2").as[String].collect().toSet ==
+      Set("base", "w1", "w2", "w3", "w4"))
+  }
+
+  test("overwrite does NOT retry a concurrent-commit conflict") {
+    val loc = tmpDir("race2")
+    val t = ManagedTable.create(df(schema, Seq(Row(0, "base"))), loc)
+    // simulate a competing writer landing v1 first
+    val racer = ManagedTable.forPath(spark, loc)
+    racer.append(df(schema, Seq(Row(1, "racer"))))
+    // stale handle computed against v0 → its commit of v1 must fail…
+    // (drive commit directly: overwrite re-reads latest, so fake the race
+    // by pre-creating the NEXT version file the overwrite will claim)
+    val log = Paths.get(loc, "_graft_log", "v2.json")
+    Files.writeString(log, Files.readString(Paths.get(loc, "_graft_log", "v1.json")))
+    intercept[ConcurrentCommitException] {
+      t.overwrite(df(schema, Seq(Row(9, "mine"))))
+    }
+  }
+
+  test("mergeSchema append with a conflicting column type raises") {
+    val loc = tmpDir("conflict")
+    val t = ManagedTable.create(df(schema, Seq(Row(1, "a"))), loc)
+    val bad = StructType(Seq(StructField("col1", StringType)))
+    val e = intercept[GraftTypeError] {
+      t.append(df(bad, Seq(Row("not-an-int"))), mergeSchema = true)
+    }
+    assert(e.getMessage.contains("col1"))
+    assert(e.getMessage.contains("incompatible"))
+    assert(t.latestVersion == 0, "failed append must not commit")
+  }
+
+  // ---- partition-scoped writes ----------------------------------------
+
+  private val pSchema = StructType(Seq(
+    StructField("pk", IntegerType),
+    StructField("part", StringType),
+    StructField("v", IntegerType)))
+
+  private def partRows = Seq(
+    Row(1, "a", 10), Row(2, "a", 20),
+    Row(3, "b", 30), Row(4, "b", 40),
+    Row(5, "c", 50))
+
+  test("overwritePartitions replaces only the named partitions") {
+    val loc = tmpDir("op")
+    val t = ManagedTable.create(df(pSchema, partRows), loc, partitionBy = Seq("part"))
+    val dirsBefore = t.latestEntry.dirs
+    t.overwritePartitions(
+      df(pSchema, Seq(Row(1, "a", 11))), Seq(Map("part" -> "a")))
+    val dirsAfter = t.latestEntry.dirs
+    // b and c leaf dirs are carried over verbatim — no rewrite
+    assert(dirsBefore.filter(_.endsWith("part=b")).toSet ==
+      dirsAfter.filter(_.endsWith("part=b")).toSet)
+    assert(dirsBefore.filter(_.endsWith("part=c")).toSet ==
+      dirsAfter.filter(_.endsWith("part=c")).toSet)
+    assert(dirsBefore.filter(_.endsWith("part=a")).toSet !=
+      dirsAfter.filter(_.endsWith("part=a")).toSet)
+    assertDfEquality(t.toDF, df(pSchema,
+      Seq(Row(1, "a", 11), Row(3, "b", 30), Row(4, "b", 40), Row(5, "c", 50))))
+  }
+
+  test("overwritePartitions empties a partition whose replacement has no rows") {
+    val loc = tmpDir("op2")
+    val t = ManagedTable.create(df(pSchema, partRows), loc, partitionBy = Seq("part"))
+    t.overwritePartitions(
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], pSchema),
+      Seq(Map("part" -> "c")))
+    assert(t.toDF.filter(col("part") === "c").isEmpty)
+    assert(t.toDF.count() == 4)
+  }
+
+  test("overwritePartitions rejects rows outside the replaced scope") {
+    val loc = tmpDir("op3")
+    val t = ManagedTable.create(df(pSchema, partRows), loc, partitionBy = Seq("part"))
+    val e = intercept[IllegalArgumentException] {
+      t.overwritePartitions(
+        df(pSchema, Seq(Row(1, "a", 11), Row(9, "zz", 99))), Seq(Map("part" -> "a")))
+    }
+    assert(e.getMessage.contains("outside"))
+  }
+
+  test("partition-bound MERGE rewrites only touched partitions") {
+    val loc = tmpDir("pm")
+    val t = ManagedTable.create(df(pSchema, partRows), loc, partitionBy = Seq("part"))
+    val dirsBefore = t.latestEntry.dirs
+    val updates = df(pSchema, Seq(Row(1, "a", 111), Row(6, "a", 60)))
+    Merge.into(t.toDF, "base")
+      .using(updates, "src", expr("base.pk = src.pk AND base.part = src.part"))
+      .whenMatchedUpdateAll()
+      .whenNotMatchedInsertAll()
+      .execute(t)
+    val dirsAfter = t.latestEntry.dirs
+    val entry = t.latestEntry
+    assert(entry.operation == "MERGE")
+    // untouched partitions keep their files
+    assert(dirsBefore.filter(_.endsWith("part=b")).toSet ==
+      dirsAfter.filter(_.endsWith("part=b")).toSet,
+      "partition b must not be rewritten by a merge touching only a")
+    assert(dirsBefore.filter(_.endsWith("part=c")).toSet ==
+      dirsAfter.filter(_.endsWith("part=c")).toSet)
+    assertDfEquality(t.toDF, df(pSchema, Seq(
+      Row(1, "a", 111), Row(2, "a", 20), Row(6, "a", 60),
+      Row(3, "b", 30), Row(4, "b", 40), Row(5, "c", 50))))
+  }
+
+  test("MERGE without a partition binding falls back to a full overwrite") {
+    val loc = tmpDir("pm2")
+    val t = ManagedTable.create(df(pSchema, partRows), loc, partitionBy = Seq("part"))
+    val dirsBefore = t.latestEntry.dirs
+    val updates = df(pSchema, Seq(Row(1, "a", 111)))
+    Merge.into(t.toDF, "base")
+      .using(updates, "src", expr("base.pk = src.pk")) // part NOT bound
+      .whenMatchedUpdate(Map("v" -> "src.v"))
+      .execute(t)
+    val dirsAfter = t.latestEntry.dirs
+    assert(dirsBefore.toSet.intersect(dirsAfter.toSet).isEmpty,
+      "unbound partition column must force a full rewrite")
+    assert(t.toDF.filter(col("pk") === 1).select("v").as[Int].head() == 111)
+  }
+
+  test("partition-bound MERGE delete empties the partition's rows") {
+    val loc = tmpDir("pm3")
+    val t = ManagedTable.create(df(pSchema, partRows), loc, partitionBy = Seq("part"))
+    val doomed = df(pSchema, Seq(Row(5, "c", 0)))
+    Merge.into(t.toDF, "base")
+      .using(doomed, "src", expr("base.pk = src.pk AND base.part = src.part"))
+      .whenMatchedDelete()
+      .execute(t)
+    assert(t.toDF.filter(col("part") === "c").isEmpty)
+    assert(t.toDF.count() == 4)
+  }
+}
