@@ -53,28 +53,29 @@ object Keys {
     // each combination size, ONE aggregation computes approx_count_distinct
     // for every combination of that size in a single scan; only plausible
     // candidates (within HLL error of the target) pay for an exact count.
-    // HLL with rsd=0.01 is within ±5% of the true cardinality with
-    // overwhelming probability, so a genuine key always clears the 0.95
-    // prefilter in practice; the near-threshold fallback below makes even a
-    // pathological underestimate recoverable without paying exact counts
-    // for clearly-non-key combinations.
-    val rsd = 0.01
+    // The default-rsd (0.05) sketch is within ±20% of the true cardinality
+    // with overwhelming probability (4σ), so a genuine key always clears
+    // the 0.8 prefilter in practice — and the near-threshold exact-count
+    // fallback below makes even a pathological underestimate recoverable
+    // without paying exact counts for clearly-non-key combinations.
+    // (A tighter rsd is NOT worth it: HLL cost grows ~1/rsd², and the
+    // fallback already carries correctness.)
     def exactlyUnique(c: Seq[String]): Boolean =
       base.select(c.map(col): _*).distinct().count() == totalRowCount
     for (n <- 1 to totalCols) {
       val combos = columns.combinations(n).toSeq
       val approxRow = base.select(combos.zipWithIndex.map { case (c, i) =>
-        approx_count_distinct(struct(c.map(col): _*), rsd).as(s"a$i")
+        approx_count_distinct(struct(c.map(col): _*)).as(s"a$i")
       }: _*).head()
       def inBand(i: Int, lo: Double): Boolean =
         approxRow.getLong(i) >= totalRowCount * lo
-      val plausible = combos.zipWithIndex.filter { case (_, i) => inBand(i, 1 - 5 * rsd) }
+      val plausible = combos.zipWithIndex.filter { case (_, i) => inBand(i, 0.8) }
       val verified = plausible.map(_._1).find(exactlyUnique)
         .orElse {
           // no plausible candidate verified exactly at this size: re-check
           // near-threshold combinations the prefilter may have wrongly pruned
           combos.zipWithIndex
-            .filter { case (_, i) => inBand(i, 0.8) && !inBand(i, 1 - 5 * rsd) }
+            .filter { case (_, i) => inBand(i, 0.6) && !inBand(i, 0.8) }
             .map(_._1).find(exactlyUnique)
         }
       verified.foreach { c =>

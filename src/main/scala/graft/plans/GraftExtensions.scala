@@ -1,0 +1,88 @@
+package graft.plans
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.IntegerType
+
+/** SQL surface for the engine's custom expressions. Two entry points:
+  *
+  *  - cluster config: `spark.sql.extensions=graft.plans.GraftExtensions`
+  *    injects the functions at session build time (the standard
+  *    third-party-extension mechanism — how a 1000-executor deployment
+  *    turns them on without code changes);
+  *  - library call: `GraftFunctions.register(spark)` adds them to an
+  *    already-running session's registry (what the tests use).
+  *
+  * After either, plain SQL can run the hot-loop expressions:
+  * {{{
+  *   SELECT graft_simhash64(graft_shingle_hashes(text, 3)) FROM docs
+  * }}}
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.registrations.foreach(ext.injectFunction)
+}
+
+object GraftFunctions {
+
+  private def intArg(name: String, e: Expression): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case other => throw new IllegalArgumentException(
+      s"$name expects a literal int argument, got $other")
+  }
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage,
+      "", "", "", "", "", "", "built-in")
+
+  /** (identifier, info, builder) triples in SparkSessionExtensions'
+    * injectFunction shape.
+    */
+  val registrations: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("graft_shingle_hashes"),
+      info("graft_shingle_hashes",
+        "graft_shingle_hashes(text, w) - distinct hashes of lowercase word w-shingles"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_shingle_hashes(text, w)")
+        ShingleHashes(args.head, intArg("graft_shingle_hashes", args(1)))
+      }),
+    (FunctionIdentifier("graft_char_ngram_hashes"),
+      info("graft_char_ngram_hashes",
+        "graft_char_ngram_hashes(text, n) - distinct hashes of normalized char n-grams"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_char_ngram_hashes(text, n)")
+        CharNgramHashes(args.head, intArg("graft_char_ngram_hashes", args(1)))
+      }),
+    (FunctionIdentifier("graft_minhash_sig"),
+      info("graft_minhash_sig",
+        "graft_minhash_sig(hashes, numHashes) - one-permutation minhash signature"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_minhash_sig(hashes, numHashes)")
+        MinHashSig(args.head, intArg("graft_minhash_sig", args(1)))
+      }),
+    (FunctionIdentifier("graft_simhash64"),
+      info("graft_simhash64", "graft_simhash64(hashes) - 64-bit simhash"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "graft_simhash64(hashes)")
+        SimHash64(args.head)
+      }),
+    (FunctionIdentifier("graft_vec_dot"),
+      info("graft_vec_dot", "graft_vec_dot(a, b) - dot product of two numeric arrays"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_vec_dot(a, b)")
+        VecDot(args.head, args(1), DotMode.Dot)
+      }),
+    (FunctionIdentifier("graft_vec_cosine"),
+      info("graft_vec_cosine", "graft_vec_cosine(a, b) - cosine similarity of two numeric arrays"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_vec_cosine(a, b)")
+        VecDot(args.head, args(1), DotMode.Cosine)
+      }))
+
+  /** Register into a live session (idempotent). */
+  def register(spark: SparkSession): Unit =
+    registrations.foreach { case (id, inf, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, inf, builder)
+    }
+}

@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Structured-Streaming operators over the `events` shape
   * (event_id, ts, user_id, event_type, value, props). Every transform is a
@@ -61,4 +62,93 @@ object EventStreams {
     events.groupBy(col("user_id"))
       .agg(count(lit(1)).as("total_events"),
         round(sum("value"), 2).as("total_value"))
+
+  // ---- custom state: flatMapGroupsWithState ---------------------------
+
+  /** Mutable per-user session accumulator for [[sessionizeStateful]]. */
+  final case class SessionAcc(startMs: Long, lastMs: Long,
+                              nEvents: Long, sumValue: Double)
+
+  /** A closed session emitted once its gap elapses past the watermark. */
+  final case class ClosedSession(user_id: Long, session_start: java.sql.Timestamp,
+                                 session_end: java.sql.Timestamp,
+                                 n_events: Long, session_value: Double)
+
+  // carries the watermarked `ts` attribute itself (required for
+  // event-time timeout: the watermark tag must survive into the
+  // FlatMapGroupsWithState child plan)
+  final case class SessionEvent(user_id: Long, ts: java.sql.Timestamp,
+                                        value: Double) {
+    def tsMs: Long = ts.getTime
+  }
+
+  /** Gap-based sessionization via `flatMapGroupsWithState` — the
+    * arbitrary-stateful-processing formulation of [[sessionize]], for
+    * session logic the built-in `session_window` cannot express (custom
+    * accumulators, mid-session emission rules, per-key TTLs). State is one
+    * small accumulator per ACTIVE user and is dropped by the event-time
+    * timeout as the watermark passes `last event + gap` — bounded the same
+    * way the built-in operator's state is.
+    *
+    * Emission: closed sessions only (append-mode compatible). A session
+    * closes when a newer event for the same user arrives more than `gap`
+    * after its last event, or when the event-time timeout fires. Streaming
+    * semantics only: in batch mode timeouts never fire, so each user's
+    * final open session is not emitted — use [[sessionize]] for batch.
+    */
+  def sessionizeStateful(events: DataFrame, gap: String = "30 minutes",
+                         watermark: String = "2 hours"): Dataset[ClosedSession] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val iv = org.apache.spark.sql.catalyst.util.IntervalUtils
+      .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(gap))
+    require(iv.months == 0, s"calendar-month gaps are not supported: $gap")
+    val gapMs = iv.days * 86400000L + iv.microseconds / 1000L
+
+    def close(u: Long, s: SessionAcc): ClosedSession =
+      ClosedSession(u, new java.sql.Timestamp(s.startMs),
+        new java.sql.Timestamp(s.lastMs),
+        s.nEvents, math.rint(s.sumValue * 100) / 100)
+
+    def update(user: Long, events: Iterator[SessionEvent],
+               state: GroupState[SessionAcc]): Iterator[ClosedSession] = {
+      if (state.hasTimedOut) {
+        val out = state.getOption.map(close(user, _)).iterator
+        state.remove()
+        out
+      } else {
+        val sorted = events.toSeq.sortBy(_.tsMs)
+        var acc = state.getOption.orNull
+        val closed = Seq.newBuilder[ClosedSession]
+        sorted.foreach { e =>
+          acc match {
+            case null =>
+              acc = SessionAcc(e.tsMs, e.tsMs, 1, e.value)
+            case a if e.tsMs - a.lastMs >= gapMs =>
+              closed += close(user, a)
+              acc = SessionAcc(e.tsMs, e.tsMs, 1, e.value)
+            case a =>
+              acc = a.copy(lastMs = math.max(a.lastMs, e.tsMs),
+                nEvents = a.nEvents + 1, sumValue = a.sumValue + e.value)
+          }
+        }
+        if (acc != null) {
+          state.update(acc)
+          // evict once the watermark passes the session's gap horizon
+          state.setTimeoutTimestamp(acc.lastMs + gapMs)
+        }
+        closed.result().iterator
+      }
+    }
+
+    events
+      .withWatermark("ts", watermark)
+      .select(col("user_id").cast("long").as("user_id"),
+        col("ts"),
+        col("value").cast("double").as("value"))
+      .as[SessionEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout())(update)
+  }
 }

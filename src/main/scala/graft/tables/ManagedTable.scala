@@ -367,6 +367,28 @@ final class ManagedTable private (val spark: SparkSession, val location: String)
     (dirsDeleted, bytesFreed)
   }
 
+  /** OPTIMIZE analog: compact the current snapshot into files of about
+    * `targetFileSizeBytes`. Append-heavy tables accumulate one commit dir
+    * per append (and the snapshot reader one scan per commit); compaction
+    * rewrites the current contents as a single fresh commit — history is
+    * preserved, and [[vacuum]] then reclaims the fragments. Partitioned
+    * tables hash-cluster rows so each partition compacts to one file per
+    * write task that owns it (typically one).
+    */
+  def optimize(targetFileSizeBytes: Long = 128L * 1024 * 1024): Unit = {
+    require(targetFileSizeBytes > 0)
+    val e = latestEntry
+    val numFiles = math.max(1,
+      math.ceil(detail.sizeInBytes.toDouble / targetFileSizeBytes).toInt)
+    val df = snapshotDF(e)
+    val compacted =
+      if (e.partitionColumns.isEmpty) df.repartition(numFiles)
+      else df.repartition(numFiles, e.partitionColumns.map(col): _*)
+    val dirs = writeData(compacted, e.partitionColumns)
+    commit(LogEntry(e.version + 1, System.currentTimeMillis(), "OPTIMIZE",
+      dirs, e.schema, e.partitionColumns, e.properties))
+  }
+
   def setProperties(props: Map[String, String]): Unit = {
     val e = latestEntry
     commit(e.copy(version = e.version + 1,

@@ -88,4 +88,34 @@ class EventStreamsSpec extends SparkSpec {
     q.stop()
     assert(totals == Map(1L -> 2L, 2L -> 2L))
   }
+  test("stateful sessionizer closes sessions by gap and by event-time timeout") {
+    implicit val sql = spark.sqlContext
+    val src = MemoryStream[Ev]
+    val q = EventStreams.sessionizeStateful(src.toDF(),
+        gap = "30 minutes", watermark = "1 minute")
+      .writeStream.format("memory").queryName("ss")
+      .outputMode("append").start()
+    // session A for user 1: two events 10 minutes apart
+    src.addData(ev(1, "2024-01-01 10:00:00", 1, "click", 1.0),
+      ev(2, "2024-01-01 10:10:00", 1, "click", 2.5))
+    q.processAllAvailable()
+    // a much later event starts session B and closes A by gap
+    src.addData(ev(3, "2024-01-01 13:00:00", 1, "click", 4.0))
+    q.processAllAvailable()
+    // advance the watermark past B's gap horizon (13:30) in two steps so
+    // the event-time timeout fires for user 1 with no new data for them
+    src.addData(ev(4, "2024-01-01 20:00:00", 2, "view", 0.0))
+    q.processAllAvailable()
+    src.addData(ev(5, "2024-01-02 10:00:00", 3, "view", 0.0))
+    q.processAllAvailable()
+    val rows = spark.table("ss")
+      .select("user_id", "session_start", "session_end", "n_events", "session_value")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1).toString,
+        r.getTimestamp(2).toString, r.getLong(3), r.getDouble(4))).toSet
+    q.stop()
+    assert(rows.contains((1L, "2024-01-01 10:00:00.0", "2024-01-01 10:10:00.0", 2L, 3.5)),
+      s"gap-closed session A missing from $rows")
+    assert(rows.contains((1L, "2024-01-01 13:00:00.0", "2024-01-01 13:00:00.0", 1L, 4.0)),
+      s"timeout-closed session B missing from $rows")
+  }
 }

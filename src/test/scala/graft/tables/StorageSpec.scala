@@ -200,4 +200,38 @@ class StorageSpec extends SparkSpec {
     assert(t.toDF.filter(col("part") === "c").isEmpty)
     assert(t.toDF.count() == 4)
   }
+
+  // ---- optimize (compaction) ------------------------------------------
+
+  test("optimize compacts an append-fragmented table; vacuum reclaims fragments") {
+    val loc = tmpDir("opt")
+    val t = ManagedTable.create(df(schema, Seq(Row(0, "r0"))), loc)
+    (1 to 5).foreach(i => t.append(df(schema, Seq(Row(i, s"r$i")))))
+    val before = t.detail
+    assert(before.numFiles >= 6, "each append contributes at least one file")
+    val expected = t.toDF.collect().toSet
+    t.optimize()
+    assert(t.latestEntry.operation == "OPTIMIZE")
+    val after = t.detail
+    assert(after.numFiles < before.numFiles,
+      s"expected fewer files after optimize, ${before.numFiles} -> ${after.numFiles}")
+    assert(t.toDF.collect().toSet == expected, "optimize must not change contents")
+    val (dirs, bytes) = t.vacuum(retainVersions = 1)
+    assert(dirs >= 6 && bytes > 0, "fragments must be reclaimable after optimize")
+    assert(t.toDF.collect().toSet == expected)
+  }
+
+  test("optimize keeps partitioned layout and per-partition readability") {
+    val loc = tmpDir("opt2")
+    val t = ManagedTable.create(df(pSchema, partRows), loc, partitionBy = Seq("part"))
+    t.append(df(pSchema, Seq(Row(6, "a", 60), Row(7, "b", 70))))
+    val expected = t.toDF.collect().toSet
+    t.optimize()
+    assert(t.latestEntry.dirs.forall(_.contains("part=")),
+      "optimized commit must keep leaf partition dirs")
+    assert(t.toDF.collect().toSet == expected)
+    // partition-scoped rewrite still works on the compacted table
+    t.overwritePartitions(df(pSchema, Seq(Row(1, "a", 11))), Seq(Map("part" -> "a")))
+    assert(t.toDF.filter(col("part") === "a").count() == 1)
+  }
 }
