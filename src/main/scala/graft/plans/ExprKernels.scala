@@ -201,6 +201,112 @@ object ExprKernels {
     if (denom == 0.0) null else java.lang.Double.valueOf(dot / denom)
   }
 
+  /** One-pass surface statistics of a text (see
+    * [[TextSurfaceStats]]). Semantics replicate the Spark built-ins the
+    * original formulations used, so DuckDB oracle parity is preserved:
+    * code-point counting (`length`), `Character.isLetter` over code
+    * points (`\p{L}`), ASCII-only `\p{Punct}` and `[0-9]`, Java `\s`,
+    * and `UTF8String.toLowerCase` (exactly Spark's `lower`) before
+    * letter-run tokenization.
+    */
+  def textSurfaceStats(input: UTF8String,
+                       stopwordSets: Array[java.util.HashSet[String]],
+                       langCodes: Array[String])
+      : org.apache.spark.sql.catalyst.InternalRow = {
+    val original = input.toString
+    var nChars = 0L
+    var nAlpha = 0L; var nPunct = 0L
+    var cjk = 0L; var kana = 0L; var hangul = 0L; var cyr = 0L; var arab = 0L
+    var nWs = 0L; var nBpe = 0L
+    var inWsTok = false
+    var inLetterRun = false; var inDigitRun = false
+    var i = 0
+    while (i < original.length) {
+      val cp = original.codePointAt(i)
+      nChars += 1
+      val isLetter = Character.isLetter(cp)
+      val isAsciiDigit = cp >= '0' && cp <= '9'
+      if (isLetter) nAlpha += 1
+      if (cp >= '!' && cp <= '~' && !Character.isLetterOrDigit(cp)) nPunct += 1
+      if (cp >= 0x4E00 && cp <= 0x9FFF) cjk += 1
+      else if (cp >= 0x3040 && cp <= 0x30FF) kana += 1
+      else if (cp >= 0xAC00 && cp <= 0xD7AF) hangul += 1
+      else if (cp >= 0x0400 && cp <= 0x04FF) cyr += 1
+      else if (cp >= 0x0600 && cp <= 0x06FF) arab += 1
+      // Java \s: ASCII whitespace classes only
+      val isWs = cp == ' ' || cp == '\t' || cp == '\n' || cp == 0x0B ||
+        cp == '\f' || cp == '\r'
+      if (!isWs && !inWsTok) { nWs += 1; inWsTok = true }
+      else if (isWs) inWsTok = false
+      // BPE-ish pre-tokenizer: letter runs | ASCII-digit runs | other marks
+      if (isLetter) {
+        if (!inLetterRun) { nBpe += 1; inLetterRun = true }
+        inDigitRun = false
+      } else if (isAsciiDigit) {
+        if (!inDigitRun) { nBpe += 1; inDigitRun = true }
+        inLetterRun = false
+      } else {
+        inLetterRun = false; inDigitRun = false
+        if (!isWs) nBpe += 1
+      }
+      i += Character.charCount(cp)
+    }
+
+    // tokenization parity with split(lower(text), "[^\p{L}]+"): lowercase
+    // via Spark's own lower() implementation, THEN split on letter runs
+    val lowered = input.toLowerCase.toString
+    var nToks = 0L; var sumTokLen = 0L
+    val distinct = new java.util.HashSet[String]()
+    val langHits = new Array[Int](stopwordSets.length)
+    var start = -1
+    var j = 0
+    def closeTok(until: Int): Unit = if (start >= 0) {
+      nToks += 1
+      sumTokLen += lowered.codePointCount(start, until)
+      val tok = lowered.substring(start, until)
+      if (distinct.add(tok)) {
+        var l = 0
+        while (l < stopwordSets.length) {
+          if (stopwordSets(l).contains(tok)) langHits(l) += 1
+          l += 1
+        }
+      }
+      start = -1
+    }
+    while (j < lowered.length) {
+      val cp = lowered.codePointAt(j)
+      if (Character.isLetter(cp)) { if (start < 0) start = j }
+      else closeTok(j)
+      j += Character.charCount(cp)
+    }
+    closeTok(lowered.length)
+
+    // language label, replicating the Column formulation exactly (the
+    // when-chain there defeats subexpression elimination, so the label is
+    // fused here; TextSurfaceStatsSpec pins equality against the formula)
+    def ratio(c: Long): Double = if (nChars > 0) c.toDouble / nChars else 0.0
+    val lang: String =
+      if (ratio(kana) > 0.05) "ja"
+      else if (ratio(cjk) > 0.1) "zh"
+      else if (ratio(hangul) > 0.1) "ko"
+      else if (ratio(cyr) > 0.2) "ru"
+      else if (ratio(arab) > 0.2) "ar"
+      else {
+        var best = "und"; var bs = 0
+        var l = 0
+        while (l < langHits.length) {
+          if (langHits(l) > bs) { best = langCodes(l); bs = langHits(l) }
+          l += 1
+        }
+        best
+      }
+
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(Array[Any](
+      nChars, nAlpha, nPunct, cjk, kana, hangul, cyr, arab,
+      nToks, sumTokLen, distinct.size.toLong, nWs, nBpe,
+      new GenericArrayData(langHits), UTF8String.fromString(lang)))
+  }
+
   /** The `nprobe` nearest centroids by dot product, as array<int> (see
     * [[graft.ml.NearestCentroids]]).
     */

@@ -15,14 +15,29 @@ object TextAnalysis {
   def tokens(text: Column): Column =
     filter(split(lower(text), "[^\\p{L}]+"), t => length(t) > 0)
 
+  /** The fused one-pass surface-statistics struct (see
+    * [[graft.plans.TextSurfaceStats]]) every scorer below reads from.
+    * Within one projection Spark's subexpression elimination evaluates it
+    * once per row even though the formulas reference many fields.
+    */
+  def surfaceStats(text: Column): Column =
+    graft.plans.TextSurfaceStats(text, stopwords)
+
   /** Whitespace token count. */
   def tokenCountWhitespace(text: Column): Column =
-    size(filter(split(text, "\\s+"), t => length(t) > 0))
+    surfaceStats(text).getField("n_ws")
 
   /** BPE-ish token count: word pieces + standalone punctuation, the usual
     * pre-tokenization granularity (≈ GPT-2 pre-tokenizer classes).
     */
   def tokenCountBpe(text: Column): Column =
+    surfaceStats(text).getField("n_bpe")
+
+  // HOF/regex formulations kept for the parity spec (TextAnalysisSpec
+  // asserts the fused scan reproduces them exactly)
+  private[text] def tokenCountWhitespaceHof(text: Column): Column =
+    size(filter(split(text, "\\s+"), t => length(t) > 0)).cast("long")
+  private[text] def tokenCountBpeHof(text: Column): Column =
     regexp_count(text, lit("[\\p{L}]+|[0-9]+|[^\\p{L}0-9\\s]"))
 
   // --- language identification ----------------------------------------
@@ -47,21 +62,29 @@ object TextAnalysis {
 
   /** Heuristic language ID. Script detection first (CJK → zh, Cyrillic →
     * ru, …), then stopword voting among latin-script languages; "und"
-    * (undetermined) when nothing scores. One scan, no shuffle.
+    * (undetermined) when nothing scores. One fused scan
+    * ([[surfaceStats]]) — the label itself is computed in the kernel
+    * because the decision when-chain would otherwise defeat subexpression
+    * elimination and re-evaluate the scan per branch;
+    * [[langIdFormula]] is the Column-level formulation the spec pins the
+    * kernel against.
     */
-  def langId(text: Column): Column = {
-    val n = length(text)
-    def scriptRatio(cls: String): Column =
-      when(n > 0, regexp_count(text, lit(cls)).cast("double") / n).otherwise(0.0)
-    val cjk = scriptRatio("[\\x{4E00}-\\x{9FFF}]")
-    val kana = scriptRatio("[\\x{3040}-\\x{30FF}]")
-    val hangul = scriptRatio("[\\x{AC00}-\\x{D7AF}]")
-    val cyr = scriptRatio("[\\x{0400}-\\x{04FF}]")
-    val arab = scriptRatio("[\\x{0600}-\\x{06FF}]")
+  def langId(text: Column): Column = surfaceStats(text).getField("lang")
 
-    val toks = array_distinct(tokens(text))
-    val scores = stopwords.map { case (lang, words) =>
-      lang -> size(array_intersect(toks, array(words.map(lit): _*)))
+  private[text] def langIdFormula(text: Column): Column = {
+    val st = surfaceStats(text)
+    val n = st.getField("n_chars")
+    def scriptRatio(field: String): Column =
+      when(n > 0, st.getField(field).cast("double") / n).otherwise(0.0)
+    val cjk = scriptRatio("cjk")
+    val kana = scriptRatio("kana")
+    val hangul = scriptRatio("hangul")
+    val cyr = scriptRatio("cyr")
+    val arab = scriptRatio("arab")
+
+    val hits = st.getField("hits")
+    val scores = stopwords.zipWithIndex.map { case ((lang, _), i) =>
+      lang -> hits.getItem(i)
     }
     // argmax over stopword hits, ties broken by map order; 0 hits → "und"
     val best = scores.foldLeft((lit("und"), lit(0))) {
@@ -85,15 +108,15 @@ object TextAnalysis {
     * usual pretraining-corpus filters (Gopher/C4-style rules).
     */
   def qualityScore(text: Column): Column = {
-    val n = length(text).cast("double")
-    val toks = tokens(text)
-    val nToks = size(toks).cast("double")
-    val alphaRatio = when(n > 0, regexp_count(text, lit("[\\p{L}]")).cast("double") / n).otherwise(0.0)
-    val punctRatio = when(n > 0, regexp_count(text, lit("[\\p{Punct}]")).cast("double") / n).otherwise(0.0)
+    val st = surfaceStats(text)
+    val n = st.getField("n_chars").cast("double")
+    val nToks = st.getField("n_toks").cast("double")
+    val alphaRatio = when(n > 0, st.getField("n_alpha").cast("double") / n).otherwise(0.0)
+    val punctRatio = when(n > 0, st.getField("n_punct").cast("double") / n).otherwise(0.0)
     val meanWordLen = when(nToks > 0,
-      aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") / nToks).otherwise(0.0)
+      st.getField("sum_tok_len").cast("double") / nToks).otherwise(0.0)
     val distinctRatio = when(nToks > 0,
-      size(array_distinct(toks)).cast("double") / nToks).otherwise(0.0)
+      st.getField("n_distinct").cast("double") / nToks).otherwise(0.0)
 
     val lengthScore = least(n / 200.0, lit(1.0)) // ramps to 1 at 200 chars
     val wordLenScore = when(meanWordLen.between(3.0, 12.0), 1.0).otherwise(0.3)

@@ -37,6 +37,11 @@ object CodegenCheck {
     d.agg(sum(col("d")), sum(col("c"))).head()
     println("[3] dot_product/cosine_sim OK under forced codegen")
 
+    val ts = docs.select(graft.text.TextAnalysis.surfaceStats(col("text")).as("st"))
+      .select(sum(col("st.n_chars")), sum(col("st.n_toks")), sum(col("st.hits")(0)))
+    ts.head()
+    println("[3b] text_surface_stats OK under forced codegen")
+
     val model = graft.ml.IvfIndex.fit(emb, "embedding", k = 8)
     val assigned = emb.select(graft.ml.IvfIndex.assign(col("embedding"), model).as("cell"))
     assigned.agg(sum(col("cell").cast("long"))).head()

@@ -25,9 +25,9 @@ class TextAnalysisSpec extends SparkSpec {
     val out = Seq("Hello, world! It's 42.").toDF("text").select(
       TextAnalysis.tokenCountWhitespace(col("text")).as("ws"),
       TextAnalysis.tokenCountBpe(col("text")).as("bpe")).head()
-    assert(out.getInt(0) == 4)
+    assert(out.getLong(0) == 4)
     // hello , world ! it ' s 42 . → 9
-    assert(out.getInt(1) == 9)
+    assert(out.getLong(1) == 9)
   }
 
   test("quality score orders clean text above garbage") {
@@ -63,6 +63,6 @@ class TextAnalysisSpec extends SparkSpec {
     val out = TextAnalysis.withTextStats(docs.drop("lang"), "text")
     assert(out.count() == docs.count())
     val r = out.select("n_chars", "n_words", "n_tokens_bpe", "quality").head()
-    assert(r.getInt(0) > 0 && r.getInt(1) > 0 && r.getInt(2) > 0)
+    assert(r.getInt(0) > 0 && r.getLong(1) > 0 && r.getLong(2) > 0)
   }
 }
