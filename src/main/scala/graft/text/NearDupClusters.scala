@@ -20,6 +20,12 @@ object NearDupClusters {
   /** Assign every id its cluster representative (the minimum id reachable
     * via `pairs`). `ids` must have column `idCol`; `pairs` columns
     * `id_a`/`id_b`. Nodes with no pairs form singleton clusters.
+    *
+    * Scale shape: propagation runs ONLY over nodes that appear in an edge
+    * — singletons are identity clusters and never enter the loop. On a
+    * corpus where near-dups are a small fraction (the usual case), every
+    * per-iteration join shrinks from |corpus| to ~2·|pairs| rows; the
+    * full id set is joined back once at the end.
     */
   def clusters(ids: DataFrame, idCol: String, pairs: DataFrame,
                maxIter: Int = 20): DataFrame = {
@@ -27,8 +33,10 @@ object NearDupClusters {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct()
+      .localCheckpoint() // reused every iteration: cut the LSH lineage once
 
-    var labels = ids.select(col(idCol).as("id"), col(idCol).as("cluster"))
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("cluster"))
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -49,7 +57,10 @@ object NearDupClusters {
       labels = next.drop("__changed")
       iter += 1
     }
-    labels.withColumnRenamed("id", idCol)
+    // singletons (no edges) are their own cluster
+    ids.select(col(idCol))
+      .join(labels.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("cluster"), col(idCol)).as("cluster"))
   }
 
   /** Transitive near-dedup: one survivor (the minimum id) per connected
