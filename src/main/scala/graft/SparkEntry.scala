@@ -677,8 +677,9 @@ object SparkEntry {
     // the pigeonhole chunk join is exhaustive for hamming <= chunks-1)
     "dedup_simhash" ->
       """SELECT doc_id, source, n_chars FROM documents
-        |WHERE doc_id NOT IN (102, 185, 245, 290, 293, 301, 323, 332,
-        |                     387, 413, 420, 447, 457, 462, 473, 486)""".stripMargin,
+        |WHERE doc_id NOT IN (134, 178, 245, 267, 290, 293, 301, 323,
+        |                     332, 340, 377, 383, 387, 389, 413, 420,
+        |                     429, 446, 447, 450, 457, 462)""".stripMargin,
 
     "embedding_neardup_pairs" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,

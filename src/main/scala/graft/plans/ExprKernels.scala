@@ -110,6 +110,33 @@ object ExprKernels {
     hashSetToArray(out)
   }
 
+  /** NON-distinct hashes of lowercase letter-run tokens, one pass — the
+    * feature extractor for simhash (every occurrence votes, so no dedup;
+    * see [[TokenHashes]]). Same incremental FNV+mix64 hashing as
+    * [[shingleHashes]]' token stage.
+    */
+  def tokenHashes(input: UTF8String, s: String = null): ArrayData = {
+    val str = if (s != null) s else input.toString
+    val out = new scala.collection.mutable.ArrayBuffer[Long](64)
+    var h = 0L
+    var inTok = false
+    var i = 0
+    while (i < str.length) {
+      val c = str.charAt(i)
+      if (Character.isLetter(c)) {
+        val lc = Character.toLowerCase(c)
+        h = if (inTok) h * 0x100000001B3L ^ lc else 0xCBF29CE484222325L ^ lc
+        inTok = true
+      } else if (inTok) {
+        out += mix64(h)
+        inTok = false
+      }
+      i += 1
+    }
+    if (inTok) out += mix64(h)
+    new GenericArrayData(out.toArray)
+  }
+
   /** Distinct hashes of normalized character n-grams, one pass (see
     * [[CharNgramHashes]]).
     */

@@ -50,6 +50,11 @@ object expressions {
   /** 64-bit simhash of an `array<bigint>` of token hashes. */
   def simhash64(hashes: Column): Column = column(SimHash64(expression(hashes)))
 
+  /** NON-distinct lowercase letter-run token hashes of a text column, in
+    * one pass (simhash features — every occurrence votes).
+    */
+  def token_hashes(text: Column): Column = column(TokenHashes(expression(text)))
+
   /** Dot product of two float/double array columns, in double. */
   def dot_product(a: Column, b: Column): Column =
     column(VecDot(expression(a), expression(b), DotMode.Dot))
@@ -141,6 +146,27 @@ case class ShingleHashes(child: Expression, w: Int)
       s"${ev.value} = graft.plans.ExprKernels.shingleHashes($c, $w);")
 
   override protected def withNewChildInternal(c: Expression): ShingleHashes =
+    copy(child = c)
+}
+
+/** Text → NON-distinct hashes of its lowercase letter-run tokens, one
+  * pass — simhash's feature extractor (each token occurrence votes on the
+  * fingerprint bits, so duplicates are kept, unlike [[ShingleHashes]]).
+  */
+case class TokenHashes(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes() =
+    expressions.stringCheck(child, "token_hashes")
+
+  override def nullSafeEval(input: Any): Any =
+    ExprKernels.tokenHashes(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.ExprKernels.tokenHashes($c, null);")
+
+  override protected def withNewChildInternal(c: Expression): TokenHashes =
     copy(child = c)
 }
 

@@ -17,10 +17,14 @@ import org.apache.spark.sql.functions._
   */
 object SimHashDedup {
 
-  /** 64-bit SimHash of the word tokens of `text`. */
+  /** 64-bit SimHash of the word tokens of `text` (one fused pass:
+    * [[graft.plans.TokenHashes]] → [[graft.plans.SimHash64]] — the earlier
+    * HOF `split → transform(xxhash64)` chain evaluated interpreted, one
+    * lambda dispatch per token).
+    */
   def simHash64(text: Column): Column =
     graft.plans.expressions.simhash64(
-      transform(TextAnalysis.tokens(text), t => xxhash64(t)))
+      graft.plans.expressions.token_hashes(text))
 
   /** Hamming distance between two 64-bit fingerprints. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))

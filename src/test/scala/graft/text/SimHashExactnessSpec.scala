@@ -36,8 +36,9 @@ class SimHashExactnessSpec extends SparkSpec {
         s"only-exact=${(exactLosers -- pigeonLosers).take(5)}")
 
     // golden list in SparkEntry.oracleSql("dedup_simhash") — must track this
-    val golden = Set(102L, 185L, 245L, 290L, 293L, 301L, 323L, 332L,
-      387L, 413L, 420L, 447L, 457L, 462L, 473L, 486L)
+    val golden = Set(134L, 178L, 245L, 267L, 290L, 293L, 301L, 323L,
+      332L, 340L, 377L, 383L, 387L, 389L, 413L, 420L, 429L, 446L, 447L,
+      450L, 457L, 462L)
     assert(exactLosers == golden,
       "the dedup_simhash golden oracle is stale: update the literal id list " +
         s"in SparkEntry.oracleSql to ${exactLosers.toSeq.sorted}")
