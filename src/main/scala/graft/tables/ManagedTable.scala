@@ -375,7 +375,8 @@ final class ManagedTable private (val spark: SparkSession, val location: String)
     * tables hash-cluster rows so each partition compacts to one file per
     * write task that owns it (typically one).
     */
-  def optimize(targetFileSizeBytes: Long = 128L * 1024 * 1024): Unit = {
+  def optimize(targetFileSizeBytes: Long = 128L * 1024 * 1024,
+               sortBy: Seq[String] = Nil): Unit = {
     require(targetFileSizeBytes > 0)
     val e = latestEntry
     val numFiles = math.max(1,
@@ -384,7 +385,13 @@ final class ManagedTable private (val spark: SparkSession, val location: String)
     val compacted =
       if (e.partitionColumns.isEmpty) df.repartition(numFiles)
       else df.repartition(numFiles, e.partitionColumns.map(col): _*)
-    val dirs = writeData(compacted, e.partitionColumns)
+    // clustering the rewrite (Z-order-lite) tightens parquet row-group
+    // min/max bounds on the sort columns, so later filtered scans skip
+    // whole row groups — the same reason Delta OPTIMIZE ZORDER exists
+    val ordered =
+      if (sortBy.isEmpty) compacted
+      else compacted.sortWithinPartitions(sortBy.map(col): _*)
+    val dirs = writeData(ordered, e.partitionColumns)
     commit(LogEntry(e.version + 1, System.currentTimeMillis(), "OPTIMIZE",
       dirs, e.schema, e.partitionColumns, e.properties))
   }

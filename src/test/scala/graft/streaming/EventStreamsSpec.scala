@@ -118,4 +118,28 @@ class EventStreamsSpec extends SparkSpec {
     assert(rows.contains((1L, "2024-01-01 13:00:00.0", "2024-01-01 13:00:00.0", 1L, 4.0)),
       s"timeout-closed session B missing from $rows")
   }
+  test("file-source stream: parquet files land in a directory, windows close downstream") {
+    // the kafka-less integration path a cluster actually runs: files
+    // arrive in a directory, readStream tails it
+    val dir = tmpDir("stream_in")
+    val ckpt = tmpDir("stream_ckpt")
+    val schema = batch.take(1).toDF().schema
+    batch.take(2).toDF().write.mode("append").parquet(dir)
+    val stream = spark.readStream.schema(schema).parquet(dir)
+    val q = EventStreams.windowedCounts(stream, "1 hour", "1 minute")
+      .writeStream.format("memory").queryName("fs_wc")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    q.processAllAvailable()
+    // second file arrives later and advances the watermark past 10:xx
+    Seq(ev(7, "2024-01-01 13:00:00", 3, "late", 0.0)).toDF()
+      .write.mode("append").parquet(dir)
+    q.processAllAvailable()
+    val rows = spark.table("fs_wc")
+      .select("window_start", "event_type", "n_events")
+      .collect().map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2))).toSet
+    q.stop()
+    assert(rows.contains(("2024-01-01 10:00:00.0", "click", 2L)),
+      s"expected closed 10:00 click window in $rows")
+  }
 }

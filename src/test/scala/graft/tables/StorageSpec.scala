@@ -234,4 +234,26 @@ class StorageSpec extends SparkSpec {
     t.overwritePartitions(df(pSchema, Seq(Row(1, "a", 11))), Seq(Map("part" -> "a")))
     assert(t.toDF.filter(col("part") === "a").count() == 1)
   }
+  test("optimize(sortBy) clusters rows so filtered scans can skip row groups") {
+    val loc = tmpDir("opt3")
+    val rows = (1 to 1000).map(i => Row(i, s"v${i % 7}"))
+    val t = ManagedTable.create(df(schema, scala.util.Random.shuffle(rows)), loc)
+    t.optimize(sortBy = Seq("col1"))
+    assert(t.latestEntry.operation == "OPTIMIZE")
+    // contents unchanged
+    assert(t.toDF.count() == 1000)
+    assert(t.toDF.agg(min(col("col1")), max(col("col1"))).head().toSeq == Seq(1, 1000))
+    // rows inside each written file are ordered by the sort key
+    import scala.jdk.CollectionConverters._
+    val files = { val s = Files.walk(Paths.get(loc, "data"))
+      try s.iterator().asScala.filter(f => f.toString.endsWith(".parquet")).toSeq
+      finally s.close() }
+    val latestDirs = t.latestEntry.dirs.toSet
+    val kept = files.filter(f => latestDirs.exists(d => f.toString.contains(d)))
+    kept.foreach { f =>
+      val vals = spark.read.parquet(f.toString).select("col1")
+        .collect().map(_.getInt(0))
+      assert(vals.sameElements(vals.sorted), s"file $f not sorted on col1")
+    }
+  }
 }
