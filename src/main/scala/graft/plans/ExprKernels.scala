@@ -280,8 +280,12 @@ object ExprKernels {
     }
 
     // tokenization parity with split(lower(text), "[^\p{L}]+"): lowercase
-    // via Spark's own lower() implementation, THEN split on letter runs
-    val lowered = input.toLowerCase.toString
+    // via the exact code path Spark 4's lower() takes for the default
+    // UTF8_BINARY collation (ICU case mappings — NOT UTF8String.toLowerCase,
+    // which differs on Greek final-sigma context, e.g. "ß-Σ"), THEN split
+    // on letter runs
+    val lowered = org.apache.spark.sql.catalyst.util.CollationSupport.Lower
+      .execBinaryICU(input).toString
     var nToks = 0L; var sumTokLen = 0L
     val distinct = new java.util.HashSet[String]()
     val langHits = new Array[Int](stopwordSets.length)

@@ -98,4 +98,19 @@ class TextSurfaceStatsSpec extends SparkSpec {
       }
     }
   }
+  test("fused scan matches built-ins on 300 generated unicode strings") {
+    val rnd = new scala.util.Random(31337L)
+    // alphabet spanning the parity-sensitive classes: ASCII text/punct/
+    // digits, accented latin, Greek (incl. capital sigma), Cyrillic, CJK,
+    // kana, Arabic, astral-plane letters, NBSP and exotic whitespace
+    val alphabet: IndexedSeq[String] =
+      ("abcXYZ012 .,!?'\"-_@#$%^&*()[]{}" + "\t\n\r\u000b\f").map(_.toString) ++
+      Seq("é", "ß", "Σ", "ς", "Ж", "я", "中", "文", "の", "テ", "한", "م", "ع",
+        "\u00a0", "\u3000", "𝔘", "𝕒", "🙂", "½", "²")
+    val strings = (0 until 300).map { _ =>
+      val len = rnd.nextInt(60)
+      (0 until len).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+    }
+    checkParity(strings.toDF("text"))
+  }
 }
