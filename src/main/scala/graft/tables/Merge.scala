@@ -97,7 +97,18 @@ object Merge {
         val rows = source.alias(sourceAlias).select(valueCols: _*).distinct()
           .limit(maxPrunedPartitions + 1).collect()
         if (rows.isEmpty) return // empty source: merge is a no-op
-        if (rows.length > maxPrunedPartitions) {
+        // partition-path suffix matching relies on toString equalling
+        // Spark's written directory names — true for strings, integrals,
+        // booleans and dates, NOT timestamps/decimals/floats; fall back
+        // rather than risk a (safely-rejected but failing) suffix mismatch
+        val suffixSafe = rows.headOption.forall(_.toSeq.forall {
+          case null => true
+          case _: String | _: java.lang.Integer | _: java.lang.Long |
+               _: java.lang.Short | _: java.lang.Byte | _: java.lang.Boolean |
+               _: java.sql.Date | _: java.time.LocalDate => true
+          case _ => false
+        })
+        if (rows.length > maxPrunedPartitions || !suffixSafe) {
           table.overwrite(run(), operation = "MERGE"); return
         }
         val values = rows.map(r =>
