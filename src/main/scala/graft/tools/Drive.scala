@@ -107,6 +107,38 @@ object Drive {
     val ivfN = graft.ml.IvfIndex.topK(emb, "vec_id", "embedding",
       emb.limit(2), "vec_id", "embedding", model, k = 3, nprobe = 2).count()
     println(s"[15] ivf top-3 rows: $ivfN")
+
+    // --- round-2 storage engine: partitioned merge, vacuum, optimize ---
+    val pt = ManagedTable.create(ord.withColumn("o_year", year(col("o_orderdate"))),
+      scratch("pmerge"), partitionBy = Seq("o_year"))
+    val leavesBefore = pt.detail.numFiles
+    val bump = pt.toDF.filter(col("o_year") === 1997)
+      .withColumn("o_totalprice", col("o_totalprice") * 2)
+    Merge.into(pt.toDF, "base")
+      .using(bump, "src", "base.o_orderkey = src.o_orderkey AND base.o_year = src.o_year")
+      .whenMatchedUpdateAll()
+      .execute(pt)
+    println(s"[16] partition-pruned MERGE on o_year=1997: op=${
+      pt.history.orderBy(col("version").desc).head.getString(2)}, " +
+      s"rows=${pt.toDF.count}, files $leavesBefore -> ${pt.detail.numFiles}")
+
+    (1 to 3).foreach(_ => pt.append(ord.limit(100)
+      .withColumn("o_year", year(col("o_orderdate")))))
+    val fragFiles = pt.detail.numFiles
+    pt.optimize(sortBy = Seq("o_orderkey"))
+    val (vDirs, vBytes) = pt.vacuum(retainVersions = 1)
+    println(s"[17] optimize+vacuum: files $fragFiles -> ${pt.detail.numFiles}, " +
+      s"reclaimed $vDirs dirs / ${humanizeBytes(vBytes)}; rows=${pt.toDF.count}")
+
+    graft.plans.GraftFunctions.register(spark)
+    docs.limit(50).createOrReplaceTempView("drive_docs")
+    val sqlDup = spark.sql(
+      """SELECT count(*) FROM drive_docs a JOIN drive_docs b
+        |ON a.doc_id < b.doc_id
+        |AND graft_simhash64(graft_shingle_hashes(a.text, 3)) =
+        |    graft_simhash64(graft_shingle_hashes(b.text, 3))""".stripMargin)
+      .head.getLong(0)
+    println(s"[18] SQL surface (graft_* functions): $sqlDup identical-simhash pairs in 50 docs")
     spark.stop()
   }
 }

@@ -256,4 +256,19 @@ class StorageSpec extends SparkSpec {
       assert(vals.sameElements(vals.sorted), s"file $f not sorted on col1")
     }
   }
+  test("vacuum prunes unreferenced leaves of a partially-referenced commit") {
+    val loc = tmpDir("vac3")
+    val t = ManagedTable.create(df(pSchema, partRows), loc, partitionBy = Seq("part"))
+    // v1 replaces partition a: v0's part=a leaf becomes unreferenced by v1,
+    // but v0's b/c leaves are still part of the latest snapshot
+    t.overwritePartitions(df(pSchema, Seq(Row(1, "a", 11))), Seq(Map("part" -> "a")))
+    val (dirs, bytes) = t.vacuum(retainVersions = 1)
+    assert(dirs == 1 && bytes > 0, s"exactly v0's part=a leaf should go, got $dirs")
+    // the shared b/c leaves survived inside the same commit uuid
+    assertDfEquality(t.toDF, df(pSchema,
+      Seq(Row(1, "a", 11), Row(3, "b", 30), Row(4, "b", 40), Row(5, "c", 50))))
+    // time travel to v0 now fails loudly (its part=a data is gone)
+    val e = intercept[IllegalStateException](t.toDF(0).collect())
+    assert(e.getMessage.contains("vacuumed"))
+  }
 }
