@@ -134,8 +134,11 @@ object EventStreams {
         }
         if (acc != null) {
           state.update(acc)
-          // evict once the watermark passes the session's gap horizon
-          state.setTimeoutTimestamp(acc.lastMs + gapMs)
+          // evict once the watermark passes the session's gap horizon;
+          // clamp above the current watermark — a late event can put
+          // lastMs+gap below it, which setTimeoutTimestamp rejects
+          state.setTimeoutTimestamp(
+            math.max(acc.lastMs + gapMs, state.getCurrentWatermarkMs + 1))
         }
         closed.result().iterator
       }

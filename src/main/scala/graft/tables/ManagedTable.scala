@@ -243,7 +243,7 @@ final class ManagedTable private (val spark: SparkSession, val location: String)
     */
   def append(df: DataFrame, mergeSchema: Boolean = false,
              operation: String = "APPEND"): Unit = {
-    var written: Option[(Seq[String], StructType)] = None
+    var written: Option[(Seq[String], StructType, Seq[String])] = None
     var attempts = 0
     var done = false
     while (!done) {
@@ -252,14 +252,15 @@ final class ManagedTable private (val spark: SparkSession, val location: String)
         if (mergeSchema) unionSchema(e.schema, df.schema)
         else e.schema
       val dirs = written match {
-        case Some((d, s)) if s == newSchema => d // data already on disk fits
+        // data already on disk fits the rebased schema AND layout
+        case Some((d, s, p)) if s == newSchema && p == e.partitionColumns => d
         case _ =>
           val aligned = df.select(newSchema.fields.map { f =>
             if (df.columns.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
             else lit(null).cast(f.dataType).as(f.name)
           }.toIndexedSeq: _*)
           val d = writeData(aligned, e.partitionColumns)
-          written = Some((d, newSchema))
+          written = Some((d, newSchema, e.partitionColumns))
           d
       }
       try {

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.GraftColumnBridge
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
-import org.apache.spark.sql.catalyst.expressions.{And => CatAnd, EqualTo => CatEqualTo, Expression => CatExpr}
+import org.apache.spark.sql.catalyst.expressions.{And => CatAnd, EqualNullSafe => CatEqualNullSafe, EqualTo => CatEqualTo, Expression => CatExpr}
 
 /** Join-classified MERGE: the engine's replacement for Delta Lake's
   * `DeltaTable.merge(...).whenMatchedUpdate/Delete(...).whenNotMatchedInsert(...)
@@ -113,10 +113,16 @@ object Merge {
         }
         val values = rows.map(r =>
           parts.zipWithIndex.map { case (p, i) => p -> r.get(i) }.toMap).toSeq
+        // null-SAFE matching: isin never matches NULL, which would silently
+        // drop a null-partition's unmatched target rows from the rewrite
         val pred =
-          if (parts.length == 1)
-            col(parts.head).isin(values.map(_(parts.head)): _*)
-          else
+          if (parts.length == 1) {
+            val (nulls, nonNulls) = values.map(_(parts.head)).partition(_ == null)
+            val in =
+              if (nonNulls.isEmpty) lit(false)
+              else col(parts.head).isin(nonNulls: _*)
+            if (nulls.nonEmpty) in || col(parts.head).isNull else in
+          } else
             values.map(m => parts.map(p => col(p) <=> lit(m(p))).reduce(_ && _))
               .reduce(_ || _)
         val result = copy(target = target.filter(pred)).run()
@@ -151,12 +157,15 @@ object Merge {
         a.nameParts.length >= 2 && a.nameParts.head.equalsIgnoreCase(sourceAlias))
 
     /** The source-side expression an equi-conjunct of the merge condition
-      * binds target partition column `p` to, if any.
+      * binds target partition column `p` to, if any. Null-safe equality
+      * (`<=>`, the natural form for nullable partition keys) binds too.
       */
     private def partitionBinding(p: String): Option[CatExpr] =
       conjuncts(GraftColumnBridge.parsedExpression(mergeCondition)).collectFirst {
         case CatEqualTo(l, r) if isTargetAttr(l, p) && sourceOnly(r) => r
         case CatEqualTo(l, r) if isTargetAttr(r, p) && sourceOnly(l) => l
+        case CatEqualNullSafe(l, r) if isTargetAttr(l, p) && sourceOnly(r) => r
+        case CatEqualNullSafe(l, r) if isTargetAttr(r, p) && sourceOnly(l) => l
       }
 
     /** Pruning is only safe when no clause can write a row whose partition

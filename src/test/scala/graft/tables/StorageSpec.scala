@@ -271,4 +271,24 @@ class StorageSpec extends SparkSpec {
     val e = intercept[IllegalStateException](t.toDF(0).collect())
     assert(e.getMessage.contains("vacuumed"))
   }
+  test("partition-bound MERGE handles a NULL partition value without dropping rows") {
+    val loc = tmpDir("pmnull")
+    val rows = partRows :+ Row(8, null, 80) :+ Row(9, null, 90)
+    val t = ManagedTable.create(df(pSchema, rows), loc, partitionBy = Seq("part"))
+    // source touches the NULL partition (updates pk=8) and partition a
+    val updates = df(pSchema, Seq(Row(8, null, 888), Row(1, "a", 111)))
+    val dirsBefore = t.latestEntry.dirs
+    Merge.into(t.toDF, "base")
+      .using(updates, "src", expr("base.pk = src.pk AND base.part <=> src.part"))
+      .whenMatchedUpdate(Map("v" -> "src.v"))
+      .execute(t)
+    // the PRUNED path must fire (<=> binds): untouched partitions keep files
+    assert(t.latestEntry.dirs.filter(_.endsWith("part=b")).toSet ==
+      dirsBefore.filter(_.endsWith("part=b")).toSet,
+      "null-safe-bound merge must not rewrite untouched partitions")
+    // pk=9 (unmatched row of the NULL partition) must survive the rewrite
+    assertDfEquality(t.toDF, df(pSchema, Seq(
+      Row(1, "a", 111), Row(2, "a", 20), Row(3, "b", 30), Row(4, "b", 40),
+      Row(5, "c", 50), Row(8, null, 888), Row(9, null, 90))))
+  }
 }
