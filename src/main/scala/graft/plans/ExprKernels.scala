@@ -115,8 +115,8 @@ object ExprKernels {
     * see [[TokenHashes]]). Same incremental FNV+mix64 hashing as
     * [[shingleHashes]]' token stage.
     */
-  def tokenHashes(input: UTF8String, s: String = null): ArrayData = {
-    val str = if (s != null) s else input.toString
+  def tokenHashes(input: UTF8String): ArrayData = {
+    val str = input.toString
     val out = new scala.collection.mutable.ArrayBuffer[Long](64)
     var h = 0L
     var inTok = false

@@ -164,7 +164,7 @@ case class TokenHashes(child: Expression) extends UnaryExpression {
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.plans.ExprKernels.tokenHashes($c, null);")
+      s"${ev.value} = graft.plans.ExprKernels.tokenHashes($c);")
 
   override protected def withNewChildInternal(c: Expression): TokenHashes =
     copy(child = c)

@@ -1,0 +1,50 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class SkewSpec extends SparkSpec {
+  import spark.implicits._
+
+  // heavily skewed: 90% of rows share key 1
+  private lazy val large = (1 to 2000).map { i =>
+    (if (i <= 1800) 1L else (i % 50).toLong, s"payload$i")
+  }.toDF("k", "payload")
+  private lazy val small = (0 to 49).map(i => (i.toLong, s"dim$i")).toDF("k", "name")
+
+  test("saltedJoin equals the plain join on skewed data (inner)") {
+    val plain = large.join(small, Seq("k"), "inner")
+      .collect().map(_.toString).sorted.toSeq
+    val salted = Skew.saltedJoin(large, small, Seq("k"), salts = 8)
+      .collect().map(_.toString).sorted.toSeq
+    assert(salted == plain)
+  }
+
+  test("saltedJoin equals the plain join (left, incl. unmatched rows)") {
+    val missing = Seq((999L, "orphan")).toDF("k", "payload")
+    val l = large.unionByName(missing)
+    val plain = l.join(small, Seq("k"), "left")
+      .collect().map(_.toString).sorted.toSeq
+    val salted = Skew.saltedJoin(l, small, Seq("k"), salts = 8, joinType = "left")
+      .collect().map(_.toString).sorted.toSeq
+    assert(salted == plain)
+  }
+
+  test("saltedJoin actually scatters the hot key across salt buckets") {
+    val salt = large.withColumn("__s",
+      pmod(xxhash64(large.columns.map(col).toIndexedSeq: _*), lit(8)))
+    val buckets = salt.filter(col("k") === 1).select("__s").distinct().count()
+    assert(buckets >= 6, s"hot key only landed in $buckets/8 salt buckets")
+  }
+
+  test("saltedAgg matches the direct aggregation") {
+    val direct = large.groupBy("k")
+      .agg(count(lit(1)).as("n"), sum(length(col("payload"))).as("len"))
+      .collect().map(_.toString).sorted.toSeq
+    val salted = Skew.saltedAgg(large, Seq("k"), salts = 8)(
+      partials = Seq((count(lit(1)), "pn"), (sum(length(col("payload"))), "plen")),
+      finals = Seq((sum(col("pn")), "n"), (sum(col("plen")), "len")))
+      .collect().map(_.toString).sorted.toSeq
+    assert(salted == direct)
+  }
+}
