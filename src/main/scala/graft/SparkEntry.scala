@@ -192,6 +192,21 @@ object SparkEntry {
       streaming.EventStreams.sessionize(events(s, dir), gap = "30 minutes")
         .select("session_start", "user_id", "n_events", "session_value")),
 
+    // point-in-time lookup: each click joined to the user's most recent
+    // view at-or-before it (union+window as-of join — one shuffle,
+    // no range-join pair explosion; oracle is DuckDB's native ASOF JOIN)
+    "events_asof_join" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts")
+      // dedup right timestamps per user for a deterministic match payload
+      val views = ev.filter(col("event_type") === "view")
+        .groupBy("user_id", "ts")
+        .agg(round(max("value"), 2).as("view_value"))
+      AsOfJoin.asOfJoin(clicks, views, keys = Seq("user_id"),
+        leftTime = "ts", rightTime = "ts")
+    }),
+
     // ---- extensions: text analysis (heuristics → rows-only checks) ----
     "token_count" -> ((s, dir) =>
       t(s, dir, "documents").select(
@@ -481,6 +496,17 @@ object SparkEntry {
         |SELECT min(ts) AS session_start, user_id,
         |  count(*) AS n_events, round(sum(value), 2) AS session_value
         |FROM s GROUP BY user_id, sess_id""".stripMargin,
+
+    "events_asof_join" ->
+      """WITH clicks AS (
+        |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+        |views AS (
+        |  SELECT user_id, ts, round(max(value), 2) AS view_value
+        |  FROM events WHERE event_type = 'view' GROUP BY user_id, ts)
+        |SELECT c.event_id, c.user_id, c.ts,
+        |       v.ts AS right_ts, v.view_value AS right_view_value
+        |FROM clicks c ASOF LEFT JOIN views v
+        |  ON c.user_id = v.user_id AND c.ts >= v.ts""".stripMargin,
 
     "quality_score" ->
       """WITH t AS (

@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of (backward temporal) join: for every left row, the LATEST right
+  * row with `rightTime <= leftTime` within the same key group — the
+  * point-in-time feature-lookup primitive (pandas `merge_asof`, DuckDB
+  * `ASOF JOIN`) that relational Spark lacks.
+  *
+  * Execution shape (the part that matters at 100 TB): a naive
+  * formulation is a range join — `left.join(right, keys && r.ts <= l.ts)`
+  * explodes to every (left, earlier-right) pair before aggregating the
+  * max, which is quadratic per key. This implementation uses the
+  * union + window trick instead: both sides are tagged and unioned, ONE
+  * shuffle hash-partitions on the keys, and within each key group a
+  * running `last(right-payload, ignoreNulls)` ordered by (time, side)
+  * carries the most recent right row forward onto each left row. Cost is
+  * one shuffle + one sort of |L|+|R| rows — no pair explosion, skew
+  * handled the same way any window on the key is.
+  *
+  * Semantics: inclusive (`rightTime == leftTime` matches, right sorts
+  * first on ties); left rows with no earlier right row keep NULLs (left
+  * join); an optional `tolerance` (seconds) voids matches older than
+  * `leftTime - tolerance`. Right-side duplicate timestamps within a key
+  * are resolved by the LAST row in (time, tie-break) order — pass a
+  * pre-deduplicated right side for full determinism.
+  */
+object AsOfJoin {
+
+  def asOfJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+               leftTime: String, rightTime: String,
+               rightPrefix: String = "right_",
+               toleranceSeconds: Option[Long] = None): DataFrame = {
+    require(keys.nonEmpty, "as-of join requires at least one key column")
+    val rightPayload = right.columns.filterNot(c => keys.contains(c)).toSeq
+    val t = "__asof_t"
+    val side = "__asof_side" // right=0 sorts before left=1 at equal time
+    val payload = "__asof_payload"
+
+    val l = left
+      .withColumn(t, col(leftTime))
+      .withColumn(side, lit(1))
+      .withColumn(payload, lit(null).cast(
+        org.apache.spark.sql.types.StructType(
+          right.schema.fields.filterNot(f => keys.contains(f.name)))))
+    val r = right.select(
+      keys.map(col) ++ Seq(
+        col(rightTime).as(t), lit(0).as(side),
+        struct(rightPayload.map(col): _*).as(payload)): _*)
+    // align: union needs identical columns; left keeps its own columns
+    val leftCols = left.columns.toSeq
+    val lAligned = l.select((leftCols ++ Seq(t, side, payload)).map(col): _*)
+    val rAligned = r.select(
+      leftCols.map(c => if (keys.contains(c)) col(c)
+        else lit(null).cast(left.schema(c).dataType).as(c)) ++
+        Seq(col(t), col(side), col(payload)): _*)
+
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(t), col(side))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val joined = lAligned.unionByName(rAligned)
+      .withColumn(payload, last(col(payload), ignoreNulls = true).over(w))
+      .filter(col(side) === 1)
+
+    val withTolerance = toleranceSeconds match {
+      case Some(tol) => joined.withColumn(payload,
+        when(col(s"$payload.$rightTime").isNotNull &&
+          col(s"$payload.$rightTime").cast("long") >= col(t).cast("long") - tol,
+          col(payload)).otherwise(lit(null).cast(joined.schema(payload).dataType)))
+      case None => joined
+    }
+
+    val projected = leftCols.map(col) ++ rightPayload.map(c =>
+      col(s"$payload.$c").as(s"$rightPrefix$c"))
+    withTolerance.select(projected: _*)
+  }
+}

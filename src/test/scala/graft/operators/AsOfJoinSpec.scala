@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import java.sql.Timestamp
+
+class AsOfJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ts(...) helper inherited from SparkSpec
+
+  private lazy val left = Seq(
+    (1L, 10L, ts("2024-01-01 10:00:00")),
+    (2L, 10L, ts("2024-01-01 11:00:00")),
+    (3L, 10L, ts("2024-01-01 09:00:00")), // before any right row
+    (4L, 20L, ts("2024-01-01 10:30:00")),
+    (5L, 30L, ts("2024-01-01 10:00:00"))  // key with no right rows
+  ).toDF("id", "k", "t")
+
+  private lazy val right = Seq(
+    (10L, ts("2024-01-01 09:30:00"), "a"),
+    (10L, ts("2024-01-01 10:00:00"), "b"), // equal-time: matches inclusively
+    (10L, ts("2024-01-01 10:45:00"), "c"),
+    (20L, ts("2024-01-01 08:00:00"), "x")
+  ).toDF("k", "t", "v")
+
+  test("backward as-of join picks the latest right row at-or-before each left row") {
+    val out = AsOfJoin.asOfJoin(left, right, Seq("k"), "t", "t")
+      .select("id", "right_v").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1)).orNull).toMap
+    assert(out == Map(
+      1L -> "b", // 10:00 matches the equal-time right row
+      2L -> "c",
+      3L -> null, // nothing at or before 09:00
+      4L -> "x",
+      5L -> null)) // key 30 has no right rows
+  }
+
+  test("tolerance voids matches older than the window") {
+    val out = AsOfJoin.asOfJoin(left, right, Seq("k"), "t", "t",
+        toleranceSeconds = Some(30 * 60))
+      .select("id", "right_v").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1)).orNull).toMap
+    // click 4 at 10:30 vs view at 08:00 → 2.5h old → voided
+    assert(out(4L) == null)
+    assert(out(1L) == "b" && out(2L) == "c")
+  }
+
+  test("matches a per-pair reference computation on real events") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val e2 = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val clicks = e2.filter(col("event_type") === "click")
+      .select("event_id", "user_id", "ts").limit(200)
+    val views = e2.filter(col("event_type") === "view")
+      .groupBy("user_id", "ts").agg(max("value").as("v"))
+    val got = AsOfJoin.asOfJoin(clicks, views, Seq("user_id"), "ts", "ts")
+      .select(col("event_id"), col("right_ts")).collect()
+      .map(r => r.getLong(0) -> Option(r.getTimestamp(1)).orNull).toMap
+    // reference: driver-side max right ts <= left ts per user
+    val vRows = views.collect().map(r => (r.getLong(0), r.getTimestamp(1))).toSeq
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    clicks.collect().foreach { c =>
+      val (id, u, t) = (c.getLong(0), c.getLong(1), c.getTimestamp(2))
+      val expect = vRows.getOrElse(u, Seq.empty)
+        .filter(!_.after(t)).sorted(Ordering.by((x: Timestamp) => x.getTime))
+        .lastOption.orNull
+      assert(got(id) == expect, s"event $id user $u at $t: got ${got(id)}, want $expect")
+    }
+  }
+}
