@@ -192,6 +192,20 @@ object SparkEntry {
       streaming.EventStreams.sessionize(events(s, dir), gap = "30 minutes")
         .select("session_start", "user_id", "n_events", "session_value")),
 
+    // binned interval join: every event matched back to the gap session
+    // containing it (equi-join on time bins, never a nested-loop range
+    // join; the oracle recomputes sessions + an inequality join)
+    "events_range_join" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val sessions = streaming.EventStreams.sessionize(ev, gap = "30 minutes")
+        .select("user_id", "session_start", "session_end")
+      RangeJoin.intervalJoin(
+        ev.select("event_id", "user_id", "ts"), sessions,
+        keys = Seq("user_id"), pointTime = "ts",
+        startCol = "session_start", endCol = "session_end")
+        .select("event_id", "user_id", "session_start")
+    }),
+
     // point-in-time lookup: each click joined to the user's most recent
     // view at-or-before it (union+window as-of join — one shuffle,
     // no range-join pair explosion; oracle is DuckDB's native ASOF JOIN)
@@ -496,6 +510,28 @@ object SparkEntry {
         |SELECT min(ts) AS session_start, user_id,
         |  count(*) AS n_events, round(sum(value), 2) AS session_value
         |FROM s GROUP BY user_id, sess_id""".stripMargin,
+
+    "events_range_join" ->
+      """WITH d AS (
+        |  SELECT event_id, user_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |s AS (
+        |  SELECT event_id, user_id, ts,
+        |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+        |                        ROWS UNBOUNDED PRECEDING) AS sess_id
+        |  FROM d),
+        |sessions AS (
+        |  SELECT user_id, sess_id, min(ts) AS session_start,
+        |         max(ts) + INTERVAL 30 MINUTE AS session_end
+        |  FROM s GROUP BY user_id, sess_id)
+        |SELECT e.event_id, e.user_id, x.session_start
+        |FROM events e JOIN sessions x
+        |  ON e.user_id = x.user_id
+        | AND e.ts >= x.session_start AND e.ts < x.session_end""".stripMargin,
 
     "events_asof_join" ->
       """WITH clicks AS (

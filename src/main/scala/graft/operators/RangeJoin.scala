@@ -1,0 +1,40 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Point-in-interval (range) join: each point row matched to the interval
+  * rows of the same key whose `[start, end)` contains its timestamp.
+  *
+  * Scale shape: Catalyst executes a raw inequality join as
+  * broadcast-nested-loop (quadratic per key). This implementation bins
+  * time instead: intervals explode to the bins they overlap, points map
+  * to exactly one bin, and the join is a plain EQUI-join on (keys, bin)
+  * followed by the precise range filter — shuffle on (keys, bin), no
+  * pairwise scan. Each point carries one bin, so no post-join dedup is
+  * needed. Bin truncation is downward on both sides, so coverage is
+  * exact for half-open intervals.
+  *
+  * `binSeconds` trades explode factor against bucket selectivity: pick
+  * it near the TYPICAL interval length (a 30-minute-session workload
+  * with 1-hour bins explodes intervals ≤ 2×).
+  */
+object RangeJoin {
+
+  def intervalJoin(points: DataFrame, intervals: DataFrame, keys: Seq[String],
+                   pointTime: String, startCol: String, endCol: String,
+                   binSeconds: Long = 3600L): DataFrame = {
+    require(keys.nonEmpty, "interval join requires at least one key column")
+    require(binSeconds > 0)
+    val bin = "__graft_bin"
+    val p = points.withColumn(bin,
+      floor(col(pointTime).cast("long") / binSeconds))
+    val iv = intervals.withColumn(bin,
+      explode(sequence(
+        floor(col(startCol).cast("long") / binSeconds),
+        floor(col(endCol).cast("long") / binSeconds))))
+    p.join(iv, keys :+ bin)
+      .filter(col(pointTime) >= col(startCol) && col(pointTime) < col(endCol))
+      .drop(bin)
+  }
+}
