@@ -236,6 +236,18 @@ object SparkEntry {
       t(s, dir, "documents").select(
         col("doc_id"), text.TextAnalysis.qualityScore(col("text")).as("quality"))),
 
+    // ---- extensions: chunking & packing -------------------------------
+    "doc_chunks" -> ((s, dir) =>
+      text.TextChunker.chunk(t(s, dir, "documents"), "doc_id", "text",
+        maxTokens = 40, overlap = 8)),
+
+    "doc_packing" -> ((s, dir) =>
+      text.TextChunker.shardByTokenBudget(
+        t(s, dir, "documents").select(col("doc_id"),
+          text.TextAnalysis.tokenCountWhitespace(col("text")).as("n_tokens")),
+        "doc_id", "n_tokens", capacity = 500, groups = 8)
+        .select("doc_id", "n_tokens", "pack_id")),
+
     // ---- extensions: near-duplicate detection -------------------------
     "neardup_minhash_pairs" -> ((s, dir) =>
       text.MinHashDedup.nearDupPairs(
@@ -510,6 +522,39 @@ object SparkEntry {
         |SELECT min(ts) AS session_start, user_id,
         |  count(*) AS n_events, round(sum(value), 2) AS session_value
         |FROM s GROUP BY user_id, sess_id""".stripMargin,
+
+    "doc_chunks" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'),
+        |           x -> length(x) > 0) AS t
+        |  FROM documents),
+        |n AS (
+        |  SELECT doc_id, t,
+        |    CASE WHEN len(t) = 0 THEN 0
+        |         ELSE greatest(1, CAST(ceil((len(t) - 8)::DOUBLE / 32) AS INT))
+        |    END AS nc
+        |  FROM toks)
+        |SELECT doc_id, CAST(u.i AS INT) AS chunk_id,
+        |  array_to_string(t[u.i * 32 + 1 : u.i * 32 + 40], ' ') AS chunk_text,
+        |  CAST(len(t[u.i * 32 + 1 : u.i * 32 + 40]) AS BIGINT) AS n_chunk_tokens
+        |FROM n, UNNEST(generate_series(0, nc - 1)) AS u(i)
+        |WHERE nc > 0""".stripMargin,
+
+    "doc_packing" ->
+      """WITH c AS (
+        |  SELECT doc_id,
+        |    CAST(length(list_filter(string_split_regex(text, '\s+'),
+        |      x -> length(x) > 0)) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |g AS (SELECT doc_id, n_tokens, doc_id % 8 AS grp FROM c),
+        |w AS (
+        |  SELECT doc_id, n_tokens, grp,
+        |    sum(n_tokens) OVER (PARTITION BY grp ORDER BY doc_id
+        |                        ROWS UNBOUNDED PRECEDING) - n_tokens AS cb
+        |  FROM g)
+        |SELECT doc_id, n_tokens,
+        |  concat(grp, '_', CAST(cb // 500 AS BIGINT)) AS pack_id
+        |FROM w""".stripMargin,
 
     "events_range_join" ->
       """WITH d AS (

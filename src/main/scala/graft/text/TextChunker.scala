@@ -1,0 +1,97 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Document chunking and sequence packing — the two shaping steps between
+  * a cleaned corpus and a training run: long documents are split into
+  * bounded, overlapping token windows, and short pieces are packed into
+  * fixed token budgets so no batch capacity is wasted.
+  *
+  * Both are pure Column/window formulations: chunking is a per-row
+  * explode (no shuffle at all), packing is one window pass per pack
+  * group. Chunks are whitespace-normalized (tokens re-joined with a
+  * single space) — the usual contract once text reaches the tokenizer.
+  */
+object TextChunker {
+
+  /** Whitespace tokens of `text` (non-empty). */
+  private def wsTokens(text: Column): Column =
+    filter(split(text, "\\s+"), t => length(t) > 0)
+
+  /** One row per chunk: `idCol`, `chunk_id` (0-based), `chunk_text`
+    * (whitespace-normalized), `n_chunk_tokens`. Chunks hold `maxTokens`
+    * tokens and successive chunks share `overlap` tokens (stride =
+    * maxTokens - overlap); the final chunk may be shorter. Documents with
+    * no tokens produce no chunks.
+    *
+    * Scale shape: tokens → slice windows → posexplode, all inside one
+    * projection — chunking never shuffles; downstream writers see rows
+    * already colocated with their document.
+    */
+  def chunk(df: DataFrame, idCol: String, textCol: String,
+            maxTokens: Int = 512, overlap: Int = 64): DataFrame = {
+    require(maxTokens > 0 && overlap >= 0 && overlap < maxTokens,
+      s"need 0 <= overlap < maxTokens, got overlap=$overlap max=$maxTokens")
+    val stride = maxTokens - overlap
+    val toks = "__toks"
+    val nChunks = "__n_chunks"
+    val staged = df
+      .withColumn(toks, wsTokens(col(textCol)))
+      // ceil((n - overlap) / stride), min 1 when any token exists
+      .withColumn(nChunks,
+        when(size(col(toks)) === 0, lit(0)).otherwise(
+          greatest(lit(1),
+            ceil((size(col(toks)) - lit(overlap)).cast("double") / stride)
+              .cast("int"))))
+    staged
+      .select(col(idCol), col(toks),
+        // guard nChunks=0: sequence(0, -1) DESCENDS in Spark ([0, -1]),
+        // it is not empty — token-less docs must produce no chunks
+        posexplode(when(col(nChunks) === 0,
+            array().cast(org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.ArrayType(
+                org.apache.spark.sql.types.StringType))))
+          .otherwise(transform(sequence(lit(0), col(nChunks) - 1),
+            i => slice(col(toks), i * stride + 1, lit(maxTokens)))))
+          .as(Seq("chunk_id", "__chunk_toks")))
+      .select(col(idCol), col("chunk_id"),
+        concat_ws(" ", col("__chunk_toks")).as("chunk_text"),
+        size(col("__chunk_toks")).cast("long").as("n_chunk_tokens"))
+  }
+
+  /** Token-budget sharding for sequence packing: rows ordered by `idCol`
+    * within each of `groups` hash groups are assigned to consecutive
+    * shards (`pack_id` = group_bin) whose token totals fill `capacity`.
+    * A shard's total may OVERFLOW the budget by at most its last
+    * document (the shard that crosses the boundary keeps the crossing
+    * row) — the bounded-overflow contract real packing pipelines shard
+    * under, and the strongest guarantee a single window pass can give
+    * (exact first-fit-with-reset is a stateful sequential scan).
+    * Deterministic: fill order is id order.
+    *
+    * Scale shape: a true global pack is inherently sequential; rows salt
+    * into `groups` independent streams (one shuffle on the group key,
+    * one window pass each), so every group packs in parallel.
+    */
+  def shardByTokenBudget(df: DataFrame, idCol: String, tokenCountCol: String,
+                         capacity: Long, groups: Int = 64): DataFrame = {
+    require(capacity > 0 && groups > 0)
+    val g = "__pack_group"
+    // id-modulo grouping: deterministic, cross-engine reproducible, and
+    // uniform for the usual dense numeric ids (pass strings through a
+    // numeric surrogate first)
+    val grouped = df.withColumn(g, pmod(col(idCol).cast("long"), lit(groups.toLong)))
+    val w = Window.partitionBy(col(g)).orderBy(col(idCol))
+    // shard index from the running total BEFORE each row: the row that
+    // crosses a capacity boundary stays in the shard it started in
+    grouped
+      .withColumn("__cum_before",
+        coalesce(sum(col(tokenCountCol).cast("long")).over(w) -
+          col(tokenCountCol).cast("long"), lit(0L)))
+      .withColumn("pack_bin", floor(col("__cum_before") / capacity))
+      .withColumn("pack_id", concat_ws("_", col(g), col("pack_bin")))
+      .drop("__cum_before")
+  }
+}
