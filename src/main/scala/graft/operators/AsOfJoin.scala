@@ -34,6 +34,8 @@ object AsOfJoin {
                rightPrefix: String = "right_",
                toleranceSeconds: Option[Long] = None): DataFrame = {
     require(keys.nonEmpty, "as-of join requires at least one key column")
+    require(!keys.contains(rightTime),
+      "rightTime must be a payload column, not a join key")
     val rightPayload = right.columns.filterNot(c => keys.contains(c)).toSeq
     val t = "__asof_t"
     val side = "__asof_side" // right=0 sorts before left=1 at equal time
