@@ -7,6 +7,29 @@ import org.apache.spark.sql.functions._
   * `SPARK_GRAFT_SF_DIR`, printing one JSON line with per-query seconds.
   */
 object Bench {
+
+  /** Time one query through the pruning-proof sink. Returns (seconds,
+    * error): a query that crashes reports its error rather than billing
+    * ~0 s and "improving" the total.
+    */
+  private[graft] def timeQuery(
+      spark: SparkSession, sfDir: String, name: String,
+      fn: (SparkSession, String) => org.apache.spark.sql.DataFrame):
+      (Double, Option[String]) = {
+    val t0 = System.nanoTime()
+    val err: Option[String] =
+      try {
+        val df = fn(spark, sfDir)
+        df.select(xxhash64(df.columns.map(col).toIndexedSeq: _*).as("__h"))
+          .agg(expr("bit_xor(__h)")).head()
+        None
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+        Some(Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
+      }
+    ((System.nanoTime() - t0) / 1e9, err)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -27,24 +50,25 @@ object Bench {
       catch { case _: Throwable => () }
     }
 
+    // Pruning-proof sink (see timeQuery): a bare count() would let
+    // Catalyst drop every projected column, under-billing projection-only
+    // queries; hashing the full row forces evaluation of every column and
+    // bit_xor folds the hashes without ANSI sum overflow.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      // Pruning-proof sink: a bare count() would let Catalyst drop every
-      // projected column (it counts parquet rows without evaluating the
-      // query's expressions), under-billing projection-only queries.
-      // Hashing the full output row forces evaluation of every column;
-      // bit_xor folds the hashes without ANSI sum overflow.
-      try {
-        val df = fn(spark, sfDir)
-        df.select(xxhash64(df.columns.map(col).toIndexedSeq: _*).as("__h"))
-          .agg(expr("bit_xor(__h)")).head()
-      } catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      val (sec, err) = timeQuery(spark, sfDir, name, fn)
+      (name, sec, err)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    def jstr(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+    } + "\""
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val errs = results.collect { case (k, _, Some(e)) => s"\"$k\":${jstr(e)}" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
+    if (results.exists(_._3.isDefined)) sys.exit(1)
   }
 }

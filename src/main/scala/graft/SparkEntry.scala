@@ -380,6 +380,21 @@ object SparkEntry {
       |  WHERE len(list_intersect(a.s, b.s))::DOUBLE
       |        / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5)""".stripMargin
 
+  /** Query names whose oracle is a GOLDEN LITERAL valid only for the
+    * sf0.01 dataset (see the dedup_simhash entry). [[oracleSqlFor]] omits
+    * them at any other scale factor, falling back to the driver's
+    * rows-only check — a literal id list re-run at sf0.1 would produce
+    * false failures (or vacuous passes) rather than verification.
+    */
+  private val sf001OnlyOracles: Set[String] = Set("dedup_simhash")
+
+  /** The oracle map as it applies to `sfDir`: golden-literal entries are
+    * dropped unless the data dir is the sf0.01 set they were pinned on.
+    */
+  def oracleSqlFor(sfDir: String): Map[String, String] =
+    if (sfDir.replaceAll("/+$", "").endsWith("sf0.01")) oracleSql
+    else oracleSql -- sf001OnlyOracles
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops →
     * driver records a weaker rows-only check.

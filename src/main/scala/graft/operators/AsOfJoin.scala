@@ -26,6 +26,11 @@ import org.apache.spark.sql.functions._
   * `leftTime - tolerance`. Right-side duplicate timestamps within a key
   * are resolved by the LAST row in (time, tie-break) order — pass a
   * pre-deduplicated right side for full determinism.
+  *
+  * NULL times: right rows with a NULL `rightTime` never match (they are
+  * dropped before the union — a NULL time would sort nulls-first and be
+  * carried onto every left row), and left rows with a NULL `leftTime`
+  * come out unmatched; both match DuckDB ASOF / pandas `merge_asof`.
   */
 object AsOfJoin {
 
@@ -47,7 +52,10 @@ object AsOfJoin {
       .withColumn(payload, lit(null).cast(
         org.apache.spark.sql.types.StructType(
           right.schema.fields.filterNot(f => keys.contains(f.name)))))
-    val r = right.select(
+    // NULL-time right rows would sort first in the (time, side) window and
+    // their payload would be carried onto every left row — exclude them
+    // (a NULL left time then naturally yields no match: nothing precedes it)
+    val r = right.filter(col(rightTime).isNotNull).select(
       keys.map(col) ++ Seq(
         col(rightTime).as(t), lit(0).as(side),
         struct(rightPayload.map(col): _*).as(payload)): _*)

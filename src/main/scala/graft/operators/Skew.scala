@@ -33,10 +33,15 @@ object Skew {
     require(Seq("inner", "left", "left_outer").contains(joinType),
       s"saltedJoin supports inner/left joins, got $joinType")
     val salt = "__graft_salt"
-    // deterministic per-row scatter: hash of the full row, not rand()
-    // (retries/speculative tasks must salt identically)
+    // per-row ORDINAL scatter, not a row-content hash: fully identical
+    // rows (the most common hot-key shape) all hash to ONE salt, which
+    // defeats the mitigation entirely. monotonically_increasing_id is
+    // (partitionId << 33 | rowOrdinal), so pmod round-robins consecutive
+    // rows across salts regardless of content, and is deterministic for a
+    // fixed scan partitioning (retries re-scan the same partition in the
+    // same order — the same argument Merge uses for its row ids).
     val saltedLarge = large.withColumn(salt,
-      pmod(xxhash64(large.columns.map(col).toIndexedSeq: _*), lit(salts)))
+      pmod(monotonically_increasing_id(), lit(salts.toLong)))
     val replicated = small.withColumn(salt,
       explode(sequence(lit(0L), lit(salts - 1L))))
     saltedLarge.join(replicated, keys :+ salt, joinType).drop(salt)
@@ -54,8 +59,10 @@ object Skew {
       finals: Seq[(org.apache.spark.sql.Column, String)]): DataFrame = {
     require(salts >= 1)
     val salt = "__graft_salt"
+    // ordinal scatter for the same reason as saltedJoin: identical rows
+    // must still spread across salts
     val salted = df.withColumn(salt,
-      pmod(xxhash64(df.columns.map(col).toIndexedSeq: _*), lit(salts)))
+      pmod(monotonically_increasing_id(), lit(salts.toLong)))
     val partial = salted.groupBy((keys :+ salt).map(col): _*)
       .agg(partials.head._1.as(partials.head._2),
         partials.tail.map { case (c, a) => c.as(a) }: _*)

@@ -325,14 +325,26 @@ final class ManagedTable private (val spark: SparkSession, val location: String)
     * Versions `latest-retainVersions+1 .. latest` stay fully readable;
     * older versions' history rows survive but their unshared data files
     * are deleted. Returns (directories deleted, bytes freed).
+    *
+    * `minAgeMillis` is the retention-time floor (Delta's
+    * `retentionDurationCheck`): a directory whose newest file is younger
+    * than this is NEVER deleted, even if unreferenced — a concurrent
+    * writer stages its data BEFORE committing its log entry, so without
+    * the floor a vacuum racing that writer deletes the staged files and
+    * the subsequent commit references deleted data. The default (1 h)
+    * bounds how long an uncommitted write may take; pass 0 only when no
+    * concurrent writers exist (tests).
     */
-  def vacuum(retainVersions: Int = 1): (Long, Long) = {
+  def vacuum(retainVersions: Int = 1,
+             minAgeMillis: Long = ManagedTable.defaultVacuumMinAgeMillis): (Long, Long) = {
     require(retainVersions >= 1, "retainVersions must be >= 1")
+    require(minAgeMillis >= 0, "minAgeMillis must be >= 0")
     val latest = latestVersion
     require(latest >= 0, s"No committed version at $location")
     val keepFrom = math.max(0L, latest - retainVersions + 1)
     val retained: Set[String] =
       (keepFrom to latest).flatMap(readEntry(_).dirs).toSet
+    val ageCutoff = System.currentTimeMillis() - minAgeMillis
     var dirsDeleted = 0L
     var bytesFreed = 0L
     def sizeOf(p: Path): Long = {
@@ -345,6 +357,15 @@ final class ManagedTable private (val spark: SparkSession, val location: String)
       try s.iterator().asScala.toSeq.reverse.foreach(Files.delete)
       finally s.close()
     }
+    // newest mtime anywhere under p (dirs included — a freshly created
+    // empty partition dir must also count as young)
+    def newestMtime(p: Path): Long = {
+      val s = Files.walk(p)
+      try s.iterator().asScala
+        .map(f => Files.getLastModifiedTime(f).toMillis).foldLeft(0L)(math.max)
+      finally s.close()
+    }
+    def oldEnough(p: Path): Boolean = newestMtime(p) <= ageCutoff
     if (Files.isDirectory(dataDir)) {
       val tops = { val s = Files.list(dataDir)
         try s.iterator().asScala.toSeq finally s.close() }
@@ -352,13 +373,15 @@ final class ManagedTable private (val spark: SparkSession, val location: String)
         val uuid = top.getFileName.toString
         val refs = retained.filter(d => d == uuid || d.startsWith(uuid + "/"))
         if (refs.isEmpty) {
-          bytesFreed += sizeOf(top); dirsDeleted += 1; rmTree(top)
+          if (oldEnough(top)) {
+            bytesFreed += sizeOf(top); dirsDeleted += 1; rmTree(top)
+          }
         } else if (!refs.contains(uuid)) {
           // partially-referenced partitioned commit: drop unreferenced leaves
           val depth = refs.head.count(_ == '/')
           leafDirs(top, depth).foreach { leaf =>
             val rel = uuid + "/" + top.relativize(leaf).toString
-            if (!refs.contains(rel)) {
+            if (!refs.contains(rel) && oldEnough(leaf)) {
               bytesFreed += sizeOf(leaf); dirsDeleted += 1; rmTree(leaf)
             }
           }
@@ -426,6 +449,9 @@ final case class TableDetail(location: String, partitionColumns: Seq[String],
 object ManagedTable {
   private val VersionFile = "v(\\d+)\\.json".r
   private val mapper = new ObjectMapper()
+
+  /** Default vacuum retention-time floor: 1 hour (see [[ManagedTable.vacuum]]). */
+  val defaultVacuumMinAgeMillis: Long = 60L * 60 * 1000
 
   /** A `p=v` path segment, escaped the way Spark's file writer escapes
     * dynamic partition directories (so suffix comparison against written

@@ -93,22 +93,25 @@ object Merge {
       val bindings = parts.flatMap(p => partitionBinding(p).map(p -> _)).toMap
       if (parts.nonEmpty && bindings.size == parts.length &&
           clausesPreservePartitions(parts, bindings)) {
+        // partition-path suffix matching relies on toString equalling
+        // Spark's written directory names — true for strings, integrals,
+        // booleans and dates, NOT timestamps/decimals/floats; fall back
+        // rather than risk a (safely-rejected but failing) suffix mismatch.
+        // Decided from the table SCHEMA's partition column types, not from
+        // collected values: a NULL in the first row would otherwise pass
+        // the check and a later non-null timestamp hard-fail a valid merge.
+        import org.apache.spark.sql.types._
+        val suffixSafe = parts.forall(p => table.schema(p).dataType match {
+          case StringType | IntegerType | LongType | ShortType | ByteType |
+               BooleanType | DateType => true
+          case _ => false
+        })
+        if (!suffixSafe) { table.overwrite(run(), operation = "MERGE"); return }
         val valueCols = parts.map(p => GraftColumnBridge.column(bindings(p)).as(p))
         val rows = source.alias(sourceAlias).select(valueCols: _*).distinct()
           .limit(maxPrunedPartitions + 1).collect()
         if (rows.isEmpty) return // empty source: merge is a no-op
-        // partition-path suffix matching relies on toString equalling
-        // Spark's written directory names — true for strings, integrals,
-        // booleans and dates, NOT timestamps/decimals/floats; fall back
-        // rather than risk a (safely-rejected but failing) suffix mismatch
-        val suffixSafe = rows.headOption.forall(_.toSeq.forall {
-          case null => true
-          case _: String | _: java.lang.Integer | _: java.lang.Long |
-               _: java.lang.Short | _: java.lang.Byte | _: java.lang.Boolean |
-               _: java.sql.Date | _: java.time.LocalDate => true
-          case _ => false
-        })
-        if (rows.length > maxPrunedPartitions || !suffixSafe) {
+        if (rows.length > maxPrunedPartitions) {
           table.overwrite(run(), operation = "MERGE"); return
         }
         val values = rows.map(r =>

@@ -31,9 +31,18 @@ object SimHashDedup {
 
   /** Verified near-duplicate pairs (idA < idB, hamming ≤ maxDist).
     * `chunks` must be > maxDist for the pigeonhole guarantee.
+    *
+    * Degenerate chunk buckets are capped at `maxBucketSize` ids, mirroring
+    * [[MinHashDedup.candidatePairsFromHashes]]: a fingerprint mega-clique
+    * (empty documents, shared boilerplate) would otherwise make every
+    * chunk collide — quadratic in clique size. Capped buckets are dropped
+    * whole, which only ever MISSES pairs inside mega-cliques (exact-dedup
+    * those first); it never invents pairs, since every surviving pair is
+    * verified by the exact hamming filter.
     */
   def nearDupPairs(df: DataFrame, idCol: String, textCol: String,
-                   maxDist: Int = 3, chunks: Int = 4): DataFrame = {
+                   maxDist: Int = 3, chunks: Int = 4,
+                   maxBucketSize: Int = 1000): DataFrame = {
     require(chunks > maxDist, s"need chunks > maxDist for recall guarantee")
     val bits = 64 / chunks
     val fp = df.select(col(idCol).as("__id"), simHash64(col(textCol)).as("__fp"))
@@ -42,9 +51,15 @@ object SimHashDedup {
         shiftright(col("__fp"), c * bits)
           .bitwiseAND((1L << bits) - 1)
       }: _*)).as(Seq("__chunk", "__cv")))
-    val a = chunked.select(col("__chunk"), col("__cv"),
+    val bucketed = chunked
+      .withColumn("__bucket_n",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy("__chunk", "__cv")))
+      .filter(col("__bucket_n") <= maxBucketSize)
+      .drop("__bucket_n")
+    val a = bucketed.select(col("__chunk"), col("__cv"),
       col("__id").as("id_a"), col("__fp").as("__fp_a"))
-    val b = chunked.select(col("__chunk"), col("__cv"),
+    val b = bucketed.select(col("__chunk"), col("__cv"),
       col("__id").as("id_b"), col("__fp").as("__fp_b"))
     a.join(b, Seq("__chunk", "__cv"))
       .filter(col("id_a") < col("id_b"))
@@ -56,8 +71,9 @@ object SimHashDedup {
 
   /** Keep-first SimHash dedup (drop the larger id of each pair). */
   def dedup(df: DataFrame, idCol: String, textCol: String,
-            maxDist: Int = 3, chunks: Int = 4): DataFrame = {
-    val losers = nearDupPairs(df, idCol, textCol, maxDist, chunks)
+            maxDist: Int = 3, chunks: Int = 4,
+            maxBucketSize: Int = 1000): DataFrame = {
+    val losers = nearDupPairs(df, idCol, textCol, maxDist, chunks, maxBucketSize)
       .select(col("id_b").as(idCol)).distinct()
     df.join(losers, Seq(idCol), "left_anti")
   }

@@ -126,7 +126,9 @@ object Drive {
       .withColumn("o_year", year(col("o_orderdate")))))
     val fragFiles = pt.detail.numFiles
     pt.optimize(sortBy = Seq("o_orderkey"))
-    val (vDirs, vBytes) = pt.vacuum(retainVersions = 1)
+    // minAgeMillis=0: waive the concurrent-writer retention floor — this
+    // driver is single-writer and wants to SHOW the reclamation
+    val (vDirs, vBytes) = pt.vacuum(retainVersions = 1, minAgeMillis = 0)
     println(s"[17] optimize+vacuum: files $fragFiles -> ${pt.detail.numFiles}, " +
       s"reclaimed $vDirs dirs / ${humanizeBytes(vBytes)}; rows=${pt.toDF.count}")
 

@@ -46,6 +46,26 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out(1L) == "b" && out(2L) == "c")
   }
 
+  test("NULL right timestamps never match; NULL left timestamps stay unmatched") {
+    // DuckDB ASOF / pandas merge_asof semantics: a NULL-time right row is
+    // not a candidate for any left row (it would otherwise sort nulls-first
+    // and be carried onto everything), and a NULL-time left row has no match
+    val nullRight = Seq(
+      (10L, null.asInstanceOf[Timestamp], "poison"),
+      (10L, ts("2024-01-01 09:30:00"), "a")
+    ).toDF("k", "t", "v")
+    val nullLeft = Seq(
+      (1L, 10L, ts("2024-01-01 10:00:00")),
+      (2L, 10L, null.asInstanceOf[Timestamp])
+    ).toDF("id", "k", "t")
+    val out = AsOfJoin.asOfJoin(nullLeft, nullRight, Seq("k"), "t", "t")
+      .select("id", "right_v").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1)).orNull).toMap
+    assert(out == Map(
+      1L -> "a",   // the NULL-time right row must NOT shadow the real one
+      2L -> null)) // NULL left time: unmatched
+  }
+
   test("matches a per-pair reference computation on real events") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val e2 = spark.read.parquet("/root/testdata/sf0.001/events.parquet")

@@ -48,4 +48,23 @@ class RangeJoinSpec extends SparkSpec {
       .select("id", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(binned == naive, s"diff: ${(binned diff naive) ++ (naive diff binned)}")
   }
+
+  test("an interval exploding past maxBinsPerInterval fails loud, not 10^4x slow") {
+    // one year-long interval at 1-hour bins would explode 8760x — the
+    // in-plan assertion must name the problem instead
+    val yearLong = Seq(
+      (1L, 10L, ts("2024-01-01 00:00:00"), ts("2025-01-01 00:00:00"))
+    ).toDF("iid", "k", "s", "e")
+    val e = intercept[Exception] {
+      RangeJoin.intervalJoin(points.select(col("id"), col("k"), col("t")),
+        yearLong, Seq("k"), "t", "s", "e").collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("raise binSeconds")), s"got: $e")
+    // same data passes with a bin size matched to the interval length
+    val ok = RangeJoin.intervalJoin(points.select(col("id"), col("k"), col("t")),
+      yearLong, Seq("k"), "t", "s", "e", binSeconds = 86400L * 30).collect()
+    assert(ok.length == points.filter(col("k") === 10L).count().toInt)
+  }
 }

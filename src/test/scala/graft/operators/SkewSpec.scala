@@ -32,9 +32,26 @@ class SkewSpec extends SparkSpec {
 
   test("saltedJoin actually scatters the hot key across salt buckets") {
     val salt = large.withColumn("__s",
-      pmod(xxhash64(large.columns.map(col).toIndexedSeq: _*), lit(8)))
+      pmod(monotonically_increasing_id(), lit(8L)))
     val buckets = salt.filter(col("k") === 1).select("__s").distinct().count()
     assert(buckets >= 6, s"hot key only landed in $buckets/8 salt buckets")
+  }
+
+  test("fully IDENTICAL hot-key rows still scatter (ordinal salt, not row hash)") {
+    // the common hot-key shape: the skewed rows are byte-identical, so a
+    // row-content hash would send them all to ONE salt and the skew would
+    // not be mitigated at all
+    val identical = (1 to 1600).map(_ => (1L, "same")).toDF("k", "payload")
+    val salt = identical.withColumn("__s",
+      pmod(monotonically_increasing_id(), lit(8L)))
+    val buckets = salt.select("__s").distinct().count()
+    assert(buckets == 8, s"identical rows landed in only $buckets/8 salt buckets")
+    // and the join result is still exactly the plain join
+    val plain = identical.join(small, Seq("k"), "inner")
+      .collect().map(_.toString).sorted.toSeq
+    val salted = Skew.saltedJoin(identical, small, Seq("k"), salts = 8)
+      .collect().map(_.toString).sorted.toSeq
+    assert(salted == plain)
   }
 
   test("saltedAgg matches the direct aggregation") {

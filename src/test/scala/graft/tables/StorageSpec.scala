@@ -33,7 +33,7 @@ class StorageSpec extends SparkSpec {
     t.overwrite(df(schema, Seq(Row(4, "d"))))           // v2
     t.overwrite(df(schema, Seq(Row(5, "e"))))           // v3
     val before = dataSize(loc)
-    val (dirs, bytes) = t.vacuum(retainVersions = 2)
+    val (dirs, bytes) = t.vacuum(retainVersions = 2, minAgeMillis = 0)
     assert(dirs == 2, s"expected v0+v1 snapshots deleted, got $dirs")
     assert(bytes > 0 && dataSize(loc) == before - bytes)
     // within retention: latest and latest-1 still readable
@@ -50,7 +50,7 @@ class StorageSpec extends SparkSpec {
     val t = ManagedTable.create(df(schema, Seq(Row(1, "a"))), loc) // v0
     t.append(df(schema, Seq(Row(2, "b"))))                         // v1 (shares v0's dir)
     t.overwrite(df(schema, Seq(Row(9, "z"))))                      // v2
-    val (dirs, _) = t.vacuum(retainVersions = 1)
+    val (dirs, _) = t.vacuum(retainVersions = 1, minAgeMillis = 0)
     assert(dirs == 2, "v0 and v1's append dir are unreferenced by v2")
     assertDfEquality(t.toDF, df(schema, Seq(Row(9, "z"))))
   }
@@ -216,7 +216,7 @@ class StorageSpec extends SparkSpec {
     assert(after.numFiles < before.numFiles,
       s"expected fewer files after optimize, ${before.numFiles} -> ${after.numFiles}")
     assert(t.toDF.collect().toSet == expected, "optimize must not change contents")
-    val (dirs, bytes) = t.vacuum(retainVersions = 1)
+    val (dirs, bytes) = t.vacuum(retainVersions = 1, minAgeMillis = 0)
     assert(dirs >= 6 && bytes > 0, "fragments must be reclaimable after optimize")
     assert(t.toDF.collect().toSet == expected)
   }
@@ -262,7 +262,7 @@ class StorageSpec extends SparkSpec {
     // v1 replaces partition a: v0's part=a leaf becomes unreferenced by v1,
     // but v0's b/c leaves are still part of the latest snapshot
     t.overwritePartitions(df(pSchema, Seq(Row(1, "a", 11))), Seq(Map("part" -> "a")))
-    val (dirs, bytes) = t.vacuum(retainVersions = 1)
+    val (dirs, bytes) = t.vacuum(retainVersions = 1, minAgeMillis = 0)
     assert(dirs == 1 && bytes > 0, s"exactly v0's part=a leaf should go, got $dirs")
     // the shared b/c leaves survived inside the same commit uuid
     assertDfEquality(t.toDF, df(pSchema,
@@ -271,6 +271,21 @@ class StorageSpec extends SparkSpec {
     val e = intercept[IllegalStateException](t.toDF(0).collect())
     assert(e.getMessage.contains("vacuumed"))
   }
+  test("vacuum retention floor protects young unreferenced dirs (staged writes)") {
+    val loc = tmpDir("vacfloor")
+    val t = ManagedTable.create(df(schema, Seq(Row(1, "a"))), loc)
+    t.overwrite(df(schema, Seq(Row(2, "b")))) // v0's dir now unreferenced by v1
+    // default floor (1 h): the just-written v0 dir is younger than the
+    // floor, so a racing vacuum must NOT delete it — this is exactly the
+    // window where a concurrent writer's staged-but-uncommitted data lives
+    val (dirs, bytes) = t.vacuum(retainVersions = 1)
+    assert(dirs == 0 && bytes == 0, "young unreferenced dirs must survive")
+    assertDfEquality(t.toDF(0), df(schema, Seq(Row(1, "a"))))
+    // with the floor waived, the same dir is reclaimed
+    val (dirs2, _) = t.vacuum(retainVersions = 1, minAgeMillis = 0)
+    assert(dirs2 == 1)
+  }
+
   test("partition-bound MERGE handles a NULL partition value without dropping rows") {
     val loc = tmpDir("pmnull")
     val rows = partRows :+ Row(8, null, 80) :+ Row(9, null, 90)

@@ -63,6 +63,31 @@ class NearDupSpec extends SparkSpec {
     assert(!out.contains(4L) && out.contains(3L))
   }
 
+  test("simhash pigeonhole buckets are capped: a planted mega-clique can't go quadratic") {
+    // 10^3 identical docs: every chunk of every fingerprint collides, so an
+    // uncapped pigeonhole join would build 4 buckets of 1000 ids each
+    // (~2M candidate pairs from 1000 rows). With the cap below the clique
+    // size the degenerate buckets are dropped whole — zero candidate pairs
+    // ever materialize — while normal-sized buckets keep working.
+    val clique = (1L to 1000L).map(i => (i, "identical boilerplate text row"))
+    val normal = Seq(
+      (2001L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2002L, "the quick brown fox jumps over the lazy dog again and again!"))
+    val d = (clique ++ normal).toDF("doc_id", "text")
+    val pairs = SimHashDedup.nearDupPairs(d, "doc_id", "text",
+        maxDist = 3, chunks = 4, maxBucketSize = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!pairs.exists(p => p._1 <= 1000L || p._2 <= 1000L),
+      "capped mega-clique buckets must be dropped whole")
+    assert(pairs == Set((2001L, 2002L)),
+      s"normal buckets must keep matching, got $pairs")
+    // with the cap above the clique size the pairs come back
+    val uncapped = SimHashDedup.nearDupPairs(d, "doc_id", "text",
+        maxDist = 3, chunks = 4, maxBucketSize = 5000)
+      .filter(col("id_a") === 1L).count()
+    assert(uncapped == 999L)
+  }
+
   test("no near-dups within real documents table (sanity at sf0.001)") {
     val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val n = MinHashDedup.nearDupPairs(real, "doc_id", "text", threshold = 0.9).count()
