@@ -129,13 +129,13 @@ final class ManagedTable private (val spark: SparkSession, val location: String)
       timestampMs = System.currentTimeMillis(),
       operation = s"RESTORE v$version",
       dirs = src.dirs, schema = src.schema,
-      partitionColumns = src.partitionColumns))
+      partitionColumns = src.partitionColumns, files = src.files))
   }
 
   private def snapshotDF(e: LogEntry): DataFrame = {
-    val schema = e.schema
-    if (e.dirs.isEmpty) {
-      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+    if (e.files.nonEmpty) readFilesDF(e.files, e.schema, e.version)
+    else if (e.dirs.isEmpty) {
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], e.schema)
     } else {
       e.dirs.find(d => !Files.isDirectory(dataDir.resolve(d))).foreach { d =>
         throw new IllegalStateException(
@@ -153,14 +153,56 @@ final class ManagedTable private (val spark: SparkSession, val location: String)
             .option("basePath", dataDir.resolve(uuid).toString)
             .parquet(leaves.map(l => dataDir.resolve(l).toString): _*)
       }
-      val df = frames.reduce(_.unionByName(_, allowMissingColumns = true))
-      // project to the committed schema (order + null-fill evolved columns)
-      val cols = schema.fields.map { f =>
-        if (df.columns.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
-        else lit(null).cast(f.dataType).as(f.name)
-      }
-      df.select(cols.toIndexedSeq: _*)
+      project(frames.reduce(_.unionByName(_, allowMissingColumns = true)), e.schema)
     }
+  }
+
+  /** Read exactly `files` (same uuid-grouped basePath trick as the dir
+    * path, so partition columns still derive from `k=v` segments).
+    */
+  private def readFilesDF(files: Seq[FileStat], schema: StructType,
+                          version: Long): DataFrame = {
+    if (files.isEmpty)
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+    files.find(f => !Files.isRegularFile(dataDir.resolve(f.path))).foreach { f =>
+      throw new IllegalStateException(
+        s"Version $version of $location references vacuumed data (${f.path}); " +
+          "time travel is limited to the vacuum retention window")
+    }
+    val frames = files.groupBy(_.path.takeWhile(_ != '/')).toSeq.map {
+      case (uuid, fs) =>
+        spark.read
+          .option("mergeSchema", "true")
+          .option("basePath", dataDir.resolve(uuid).toString)
+          .parquet(fs.map(f => dataDir.resolve(f.path).toString): _*)
+    }
+    project(frames.reduce(_.unionByName(_, allowMissingColumns = true)), schema)
+  }
+
+  /** Project to the committed schema (order + null-fill evolved columns). */
+  private def project(df: DataFrame, schema: StructType): DataFrame = {
+    val cols = schema.fields.map { f =>
+      if (df.columns.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }
+    df.select(cols.toIndexedSeq: _*)
+  }
+
+  /** Filtered scan with file-level data skipping: files whose min/max
+    * bounds prove they cannot satisfy `predicateSql` are never read (check
+    * `.inputFiles` to see the skipping). The predicate is ALSO applied to
+    * the surviving files, so the result equals `toDF.filter(predicateSql)`
+    * always — bounds only remove work, never rows. Pair with
+    * [[optimize]]`(sortBy = key)` to make the bounds tight on `key`.
+    */
+  def toDFWhere(predicateSql: String): DataFrame = {
+    val e = latestEntry
+    val filtered = expr(predicateSql)
+    if (e.files.isEmpty) return snapshotDF(e).filter(filtered)
+    val parsed = org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+      .parseExpression(predicateSql)
+    val kept = FileStats.prune(e.files, e.schema, parsed)
+    readFilesDF(kept, e.schema, e.version).filter(filtered)
   }
 
   def schema: StructType = latestEntry.schema
@@ -172,6 +214,9 @@ final class ManagedTable private (val spark: SparkSession, val location: String)
     */
   def detail: TableDetail = {
     val e = latestEntry
+    if (e.files.nonEmpty)
+      return TableDetail(location, e.partitionColumns, e.properties,
+        e.files.size.toLong, e.files.map(_.bytes).sum)
     var n = 0L
     var bytes = 0L
     e.dirs.foreach { d =>
@@ -205,6 +250,20 @@ final class ManagedTable private (val spark: SparkSession, val location: String)
   }
 
   // ---- writes ----------------------------------------------------------
+
+  /** Footer-harvested stats for the parquet files under `leaves` (see
+    * [[FileStats.collect]] — metadata-only reads over ONE commit's files).
+    */
+  private def statsFor(leaves: Seq[String], schema: StructType): Seq[FileStat] =
+    FileStats.collect(spark.sessionState.newHadoopConf(), dataDir, leaves, schema)
+
+  /** The entry's per-file stats, backfilled from its leaf dirs when the
+    * entry predates stats collection (one footer pass upgrades a legacy
+    * table the first time it is written to).
+    */
+  private def entryFiles(e: LogEntry): Seq[FileStat] =
+    if (e.files.nonEmpty || e.dirs.isEmpty) e.files
+    else statsFor(e.dirs, e.schema)
 
   /** Write `df` under a fresh uuid dir; returns the LEAF directories
     * relative to the data root — `uuid` itself when unpartitioned, else
@@ -265,7 +324,8 @@ final class ManagedTable private (val spark: SparkSession, val location: String)
       }
       try {
         commit(LogEntry(e.version + 1, System.currentTimeMillis(), operation,
-          e.dirs ++ dirs, newSchema, e.partitionColumns, e.properties))
+          e.dirs ++ dirs, newSchema, e.partitionColumns, e.properties,
+          entryFiles(e) ++ statsFor(dirs, newSchema)))
         done = true
       } catch {
         case c: ConcurrentCommitException =>
@@ -285,7 +345,8 @@ final class ManagedTable private (val spark: SparkSession, val location: String)
     }.toIndexedSeq: _*)
     val dirs = writeData(aligned, e.partitionColumns)
     commit(LogEntry(e.version + 1, System.currentTimeMillis(), operation,
-      dirs, e.schema, e.partitionColumns, e.properties))
+      dirs, e.schema, e.partitionColumns, e.properties,
+      statsFor(dirs, e.schema)))
   }
 
   /** Partition-scoped overwrite (Delta dynamic `replaceWhere` analog):
@@ -314,8 +375,44 @@ final class ManagedTable private (val spark: SparkSession, val location: String)
       s"overwritePartitions: df contains rows outside the replaced " +
         s"partitions: ${stray.take(3).mkString(", ")}")
     val kept = e.dirs.filterNot(d => affected(leafSuffix(d)))
+    val keptSet = kept.toSet
     commit(LogEntry(e.version + 1, System.currentTimeMillis(), operation,
-      kept ++ newLeaves, e.schema, parts, e.properties))
+      kept ++ newLeaves, e.schema, parts, e.properties,
+      entryFiles(e).filter(f => keptSet(f.leafDir)) ++
+        statsFor(newLeaves, e.schema)))
+  }
+
+  /** File-granular replace (the commit half of a file-pruned MERGE):
+    * keeps every current file EXCEPT `removed` verbatim, plus a fresh
+    * write of `df` — Delta's rewrite-only-matched-files, expressed
+    * through the per-file snapshot. The removed files stay on disk for
+    * time travel; they live in still-referenced commit dirs, so [[vacuum]]
+    * reclaims them file-by-file once no retained version lists them.
+    */
+  private[tables] def replaceFiles(removed: Set[String], df: DataFrame,
+                                   operation: String): Unit = {
+    val e = latestEntry
+    require(e.files.nonEmpty, "replaceFiles requires a stats-bearing snapshot")
+    val aligned = df.select(e.schema.fields.map { f =>
+      col(f.name).cast(f.dataType).as(f.name)
+    }.toIndexedSeq: _*)
+    val newDirs = writeData(aligned, e.partitionColumns)
+    val kept = e.files.filterNot(f => removed(f.path))
+    val dirs = (kept.map(_.leafDir).distinct ++ newDirs).distinct
+    commit(LogEntry(e.version + 1, System.currentTimeMillis(), operation,
+      dirs, e.schema, e.partitionColumns, e.properties,
+      kept ++ statsFor(newDirs, e.schema)))
+  }
+
+  /** The current snapshot's per-file stats (empty on a legacy table that
+    * has not been written to since stats were introduced).
+    */
+  private[tables] def fileStats: Seq[FileStat] = latestEntry.files
+
+  /** A DataFrame over exactly `files` of the current snapshot. */
+  private[tables] def scanFilesDF(files: Seq[FileStat]): DataFrame = {
+    val e = latestEntry
+    readFilesDF(files, e.schema, e.version)
   }
 
   /** Remove data directories referenced by no retained version — the
@@ -342,8 +439,16 @@ final class ManagedTable private (val spark: SparkSession, val location: String)
     val latest = latestVersion
     require(latest >= 0, s"No committed version at $location")
     val keepFrom = math.max(0L, latest - retainVersions + 1)
-    val retained: Set[String] =
-      (keepFrom to latest).flatMap(readEntry(_).dirs).toSet
+    val retainedEntries = (keepFrom to latest).map(readEntry)
+    val retained: Set[String] = retainedEntries.flatMap(_.dirs).toSet
+    // file-granular retention: the union of per-file snapshots lets a
+    // still-referenced commit dir shed files replaced by a file-pruned
+    // MERGE. A retained entry WITHOUT a file list needs its dirs whole.
+    val retainedFilePaths: Set[String] =
+      retainedEntries.flatMap(_.files.map(_.path)).toSet
+    val wholeDirUuids: Set[String] = retainedEntries
+      .filter(en => en.files.isEmpty && en.dirs.nonEmpty)
+      .flatMap(_.dirs.map(_.takeWhile(_ != '/'))).toSet
     val ageCutoff = System.currentTimeMillis() - minAgeMillis
     var dirsDeleted = 0L
     var bytesFreed = 0L
@@ -376,13 +481,32 @@ final class ManagedTable private (val spark: SparkSession, val location: String)
           if (oldEnough(top)) {
             bytesFreed += sizeOf(top); dirsDeleted += 1; rmTree(top)
           }
-        } else if (!refs.contains(uuid)) {
-          // partially-referenced partitioned commit: drop unreferenced leaves
-          val depth = refs.head.count(_ == '/')
-          leafDirs(top, depth).foreach { leaf =>
-            val rel = uuid + "/" + top.relativize(leaf).toString
-            if (!refs.contains(rel) && oldEnough(leaf)) {
-              bytesFreed += sizeOf(leaf); dirsDeleted += 1; rmTree(leaf)
+        } else {
+          if (!refs.contains(uuid)) {
+            // partially-referenced partitioned commit: drop unreferenced leaves
+            val depth = refs.head.count(_ == '/')
+            leafDirs(top, depth).foreach { leaf =>
+              val rel = uuid + "/" + top.relativize(leaf).toString
+              if (!refs.contains(rel) && oldEnough(leaf)) {
+                bytesFreed += sizeOf(leaf); dirsDeleted += 1; rmTree(leaf)
+              }
+            }
+          }
+          // file-granular pass: parquet files listed by NO retained
+          // snapshot (replaced by a file-pruned MERGE) are reclaimed even
+          // though their commit dir stays referenced
+          if (!wholeDirUuids.contains(uuid)) {
+            val s = Files.walk(top)
+            val parquets =
+              try s.iterator().asScala.toSeq.filter(f =>
+                Files.isRegularFile(f) && f.getFileName.toString.endsWith(".parquet"))
+              finally s.close()
+            parquets.foreach { f =>
+              val rel = uuid + "/" + top.relativize(f).toString
+              if (!retainedFilePaths.contains(rel) &&
+                  Files.getLastModifiedTime(f).toMillis <= ageCutoff) {
+                bytesFreed += Files.size(f); dirsDeleted += 1; Files.delete(f)
+              }
             }
           }
         }
@@ -417,7 +541,8 @@ final class ManagedTable private (val spark: SparkSession, val location: String)
       else compacted.sortWithinPartitions(sortBy.map(col): _*)
     val dirs = writeData(ordered, e.partitionColumns)
     commit(LogEntry(e.version + 1, System.currentTimeMillis(), "OPTIMIZE",
-      dirs, e.schema, e.partitionColumns, e.properties))
+      dirs, e.schema, e.partitionColumns, e.properties,
+      statsFor(dirs, e.schema)))
   }
 
   def setProperties(props: Map[String, String]): Unit = {
@@ -472,10 +597,18 @@ object ManagedTable {
     if (i < 0) "" else dir.substring(i + 1)
   }
 
+  /** `files`: per-file row counts + min/max bounds for data skipping (see
+    * [[FileStats]]). When non-empty it is the AUTHORITATIVE snapshot — a
+    * file-granular MERGE keeps untouched files verbatim while their
+    * siblings are replaced, which `dirs` alone cannot express. `dirs`
+    * remains the leaf-directory view (vacuum reference-counting,
+    * partition-scoped ops, entries written before stats existed).
+    */
   private[tables] final case class LogEntry(
       version: Long, timestampMs: Long, operation: String,
       dirs: Seq[String], schema: StructType,
-      partitionColumns: Seq[String], properties: Map[String, String]) {
+      partitionColumns: Seq[String], properties: Map[String, String],
+      files: Seq[FileStat] = Nil) {
 
     def toJson: String = {
       val root = mapper.createObjectNode()
@@ -487,6 +620,13 @@ object ManagedTable {
       val ps = root.putArray("partitionColumns"); partitionColumns.foreach(ps.add)
       val pr = root.putObject("properties")
       properties.foreach { case (k, v) => pr.put(k, v) }
+      val fs = root.putArray("files")
+      files.foreach { f =>
+        val o = fs.addObject()
+        o.put("path", f.path); o.put("rows", f.rows); o.put("bytes", f.bytes)
+        val mn = o.putObject("min"); f.min.foreach { case (k, v) => mn.put(k, v) }
+        val mx = o.putObject("max"); f.max.foreach { case (k, v) => mx.put(k, v) }
+      }
       mapper.writerWithDefaultPrettyPrinter().writeValueAsString(root)
     }
   }
@@ -496,6 +636,14 @@ object ManagedTable {
       val n = mapper.readTree(s)
       def arr(field: String): Seq[String] =
         n.get(field).elements().asScala.map(_.asText()).toSeq
+      def strMap(node: com.fasterxml.jackson.databind.JsonNode): Map[String, String] =
+        node.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
+      val files =
+        if (!n.has("files")) Nil
+        else n.get("files").elements().asScala.map { f =>
+          FileStat(f.get("path").asText(), f.get("rows").asLong(),
+            f.get("bytes").asLong(), strMap(f.get("min")), strMap(f.get("max")))
+        }.toSeq
       LogEntry(
         n.get("version").asLong(),
         n.get("timestampMs").asLong(),
@@ -503,8 +651,8 @@ object ManagedTable {
         arr("dirs"),
         DataType.fromJson(n.get("schema").asText()).asInstanceOf[StructType],
         arr("partitionColumns"),
-        n.get("properties").properties().asScala
-          .map(e => e.getKey -> e.getValue.asText()).toMap)
+        strMap(n.get("properties")),
+        files)
     }
   }
 
@@ -543,7 +691,8 @@ object ManagedTable {
     val t = new ManagedTable(df.sparkSession, location)
     val dirs = t.writeData(df, partitionBy)
     t.commit(LogEntry(0L, System.currentTimeMillis(), "CREATE",
-      dirs, df.schema, partitionBy, properties))
+      dirs, df.schema, partitionBy, properties,
+      t.statsFor(dirs, df.schema)))
     t
   }
 }

@@ -43,6 +43,11 @@ object Merge {
     */
   val maxPrunedPartitions: Int = 1000
 
+  /** Above this many distinct source merge-key values, file pruning falls
+    * back from per-value overlap to the source's [min, max] range.
+    */
+  val maxPrunedMergeKeys: Int = 10000
+
   sealed trait Clause { def condition: Option[String] }
   final case class Update(condition: Option[String], set: Map[String, String]) extends Clause
   final case class UpdateAll(condition: Option[String]) extends Clause
@@ -130,8 +135,94 @@ object Merge {
               .reduce(_ || _)
         val result = copy(target = target.filter(pred)).run()
         table.overwritePartitions(result, values, operation = "MERGE")
+      } else if (parts.isEmpty && executeFilePruned(table)) {
+        // file-granular path committed (or proved the merge a no-op)
       } else {
         table.overwrite(run(), operation = "MERGE")
+      }
+    }
+
+    /** File-granular MERGE on an UNPARTITIONED table (Delta's
+      * find-touched-files): files whose min/max bounds on an equi-bound
+      * merge-key column are disjoint from every source key cannot hold a
+      * matched row, so they are kept verbatim and only the touched files'
+      * rows are re-run through the merge. Unlike partition pruning this
+      * needs NO clause analysis: untouched rows pass through `run()`
+      * unchanged wherever they live, so keeping their files is the same
+      * result by construction — updates/inserts always land in new files.
+      * Returns false (caller falls back to a full overwrite) when the
+      * table has no stats, no conjunct equi-binds a skippable column, the
+      * source is too large to enumerate, or pruning removes nothing.
+      *
+      * Assumes `target` is the table's current snapshot (as every
+      * `execute` path does — the pruned target is re-read from the table).
+      */
+    private def executeFilePruned(table: ManagedTable): Boolean = {
+      val files = table.fileStats
+      if (files.size < 2) return false
+      val schema = table.schema
+      val usable = equiBindings.filter { case (name, _, _) =>
+        schema.fields.exists(f => f.name.equalsIgnoreCase(name) &&
+          FileStats.skippable(f.dataType))
+      }
+      if (usable.isEmpty) return false
+      var touched = files
+      var pruned = false
+      // cumulative pruning over the first two usable bindings (each costs
+      // one small driver-side collect of the source's key values)
+      usable.take(2).foreach { case (name, srcExpr, nullSafe) =>
+        val vals = source.alias(sourceAlias)
+          .select(GraftColumnBridge.column(srcExpr))
+          .distinct().limit(maxPrunedMergeKeys + 1).collect().map(_.get(0))
+        if (vals.isEmpty) return true // empty source: merge is a no-op
+        if (vals.contains(null) && nullSafe) {
+          // <=> with a NULL source key matches NULL target rows, whose
+          // files min/max bounds cannot locate — this binding can't prune
+        } else if (vals.length > maxPrunedMergeKeys) {
+          // too many keys to enumerate: prune by the source's key RANGE
+          val kCol = GraftColumnBridge.column(srcExpr)
+          val r = source.alias(sourceAlias)
+            .agg(org.apache.spark.sql.functions.min(kCol),
+              org.apache.spark.sql.functions.max(kCol)).head()
+          if (!r.isNullAt(0)) {
+            val next = FileStats.overlappingRange(touched, schema, name,
+              r.get(0), r.get(1))
+            if (next.size < touched.size) { touched = next; pruned = true }
+          }
+        } else {
+          val next = FileStats.overlapping(touched, schema, name,
+            vals.filter(_ != null).toSeq)
+          if (next.size < touched.size) { touched = next; pruned = true }
+        }
+      }
+      if (!pruned) return false
+      val touchedSet = touched.map(_.path).toSet
+      val result = copy(target = table.scanFilesDF(touched)).run()
+      table.replaceFiles(touchedSet, result, operation = "MERGE")
+      true
+    }
+
+    /** Every conjunct of the merge condition equi-binding a target column
+      * to a source-only expression: (columnName, sourceExpr, viaNullSafe).
+      */
+    private def equiBindings: Seq[(String, CatExpr, Boolean)] = {
+      def targetAttrName(e: CatExpr): Option[String] = e match {
+        case a: UnresolvedAttribute
+          if a.nameParts.length == 2 &&
+            a.nameParts.head.equalsIgnoreCase(targetAlias) =>
+          Some(a.nameParts(1))
+        case _ => None
+      }
+      conjuncts(GraftColumnBridge.parsedExpression(mergeCondition)).flatMap {
+        case CatEqualTo(l, r) if targetAttrName(l).isDefined && sourceOnly(r) =>
+          Some((targetAttrName(l).get, r, false))
+        case CatEqualTo(l, r) if targetAttrName(r).isDefined && sourceOnly(l) =>
+          Some((targetAttrName(r).get, l, false))
+        case CatEqualNullSafe(l, r) if targetAttrName(l).isDefined && sourceOnly(r) =>
+          Some((targetAttrName(l).get, r, true))
+        case CatEqualNullSafe(l, r) if targetAttrName(r).isDefined && sourceOnly(l) =>
+          Some((targetAttrName(r).get, l, true))
+        case _ => None
       }
     }
 

@@ -1,0 +1,147 @@
+package graft.tables
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.SparkSpec
+import java.nio.file.{Files, Paths}
+
+/** File-level data skipping: per-file min/max stats in the log, filtered
+  * scans that skip files, file-granular MERGE rewrite pruning, and
+  * file-granular vacuum — the engine's version of Delta's `add.stats` /
+  * find-touched-files machinery.
+  */
+class FileStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val schema = StructType(Seq(
+    StructField("pk", IntegerType),
+    StructField("name", StringType),
+    StructField("v", LongType)))
+
+  /** Three disjoint pk ranges, one commit (→ at least one file) each. */
+  private def rangedTable(loc: String): ManagedTable = {
+    def rows(lo: Int, hi: Int) =
+      (lo to hi).map(i => Row(i, s"n$i", i.toLong * 10))
+    val t = ManagedTable.create(
+      df(schema, rows(1, 100)).coalesce(1), loc)
+    t.append(df(schema, rows(101, 200)).coalesce(1))
+    t.append(df(schema, rows(201, 300)).coalesce(1))
+    t
+  }
+
+  test("log entries carry per-file row counts and min/max bounds") {
+    val t = rangedTable(tmpDir("fs"))
+    val files = t.fileStats
+    assert(files.size == 3)
+    assert(files.map(_.rows).sum == 300)
+    assert(files.forall(_.bytes > 0))
+    val pkBounds = files.map(f => (f.min("pk").toLong, f.max("pk").toLong)).sorted
+    assert(pkBounds == Seq((1L, 100L), (101L, 200L), (201L, 300L)))
+    // string bounds too
+    assert(files.forall(f => f.min.contains("name") && f.max.contains("name")))
+  }
+
+  test("toDFWhere skips files whose bounds cannot match; result is unchanged") {
+    val t = rangedTable(tmpDir("fs2"))
+    val full = t.toDF.filter(col("pk") >= 250).collect().toSet
+    val pruned = t.toDFWhere("pk >= 250")
+    assert(pruned.inputFiles.length == 1,
+      s"expected 1 of 3 files read, got ${pruned.inputFiles.length}")
+    assert(pruned.collect().toSet == full)
+    // equality + IN prune too; a non-skippable predicate keeps all files
+    assert(t.toDFWhere("pk = 150").inputFiles.length == 1)
+    assert(t.toDFWhere("pk IN (50, 250)").inputFiles.length == 2)
+    assert(t.toDFWhere("name = 'n150'").count() == 1)
+    assert(t.toDFWhere("v % 2 = 0").inputFiles.length == 3)
+  }
+
+  test("MERGE on an unpartitioned table rewrites only stats-touched files") {
+    val t = rangedTable(tmpDir("fs3"))
+    val before = t.fileStats.map(_.path).toSet
+    val updates = df(schema, Seq(Row(150, "updated", 0L), Row(999, "new", 1L)))
+    Merge.into(t.toDF, "base")
+      .using(updates, "src", expr("base.pk = src.pk"))
+      .whenMatchedUpdateAll()
+      .whenNotMatchedInsertAll()
+      .execute(t)
+    assert(t.latestEntry.operation == "MERGE")
+    val after = t.fileStats.map(_.path).toSet
+    val survivors = before.intersect(after)
+    assert(survivors.size == 2,
+      s"the two untouched range files must be kept verbatim, got $survivors")
+    // the touched file (101-200) was replaced
+    val touched = before.diff(after)
+    assert(touched.size == 1)
+    // contents: update applied, insert landed, everything else untouched
+    assert(t.toDF.count() == 301)
+    assert(t.toDF.filter(col("pk") === 150).select("name").as[String].head() == "updated")
+    assert(t.toDF.filter(col("pk") === 999).count() == 1)
+    assert(t.toDF.filter(col("pk") === 42).select("name").as[String].head() == "n42")
+  }
+
+  test("file-granular vacuum reclaims merge-replaced files inside live dirs") {
+    val t = rangedTable(tmpDir("fs4"))
+    val updates = df(schema, Seq(Row(150, "updated", 0L)))
+    Merge.into(t.toDF, "base")
+      .using(updates, "src", expr("base.pk = src.pk"))
+      .whenMatchedUpdateAll()
+      .execute(t)
+    val liveFiles = t.fileStats.map(_.path).toSet
+    val (n, bytes) = t.vacuum(retainVersions = 1, minAgeMillis = 0)
+    assert(n >= 1 && bytes > 0, s"replaced file must be reclaimed, got $n")
+    // live snapshot unaffected; replaced file gone from disk
+    assert(t.fileStats.map(_.path).toSet == liveFiles)
+    assert(t.toDF.count() == 300)
+    assert(t.toDF.filter(col("pk") === 150).select("name").as[String].head() == "updated")
+  }
+
+  test("merge with keys spanning every file falls back to a full rewrite") {
+    val t = rangedTable(tmpDir("fs5"))
+    val updates = df(schema,
+      Seq(Row(1, "a", 0L), Row(150, "b", 0L), Row(300, "c", 0L)))
+    Merge.into(t.toDF, "base")
+      .using(updates, "src", expr("base.pk = src.pk"))
+      .whenMatchedUpdateAll()
+      .execute(t)
+    assert(t.toDF.count() == 300)
+    assert(t.toDF.filter(col("pk").isin(1, 150, 300))
+      .select("name").as[String].collect().toSet == Set("a", "b", "c"))
+  }
+
+  test("entries without stats (legacy log) read fine and backfill on next write") {
+    val loc = tmpDir("fs6")
+    val t = rangedTable(loc)
+    // simulate a pre-stats log: rewrite the latest entry without `files`
+    val e = t.latestEntry
+    val legacy = e.copy(version = e.version + 1, files = Nil)
+    Files.writeString(
+      Paths.get(loc, "_graft_log", s"v${legacy.version}.json"), legacy.toJson)
+    val t2 = ManagedTable.forPath(spark, loc)
+    assert(t2.fileStats.isEmpty)
+    assert(t2.toDF.count() == 300) // dir-based read path
+    assert(t2.toDFWhere("pk >= 250").count() == 51) // no stats: no skipping, right rows
+    // next write backfills stats for the whole table from footers
+    t2.append(df(schema, Seq(Row(301, "n301", 3010L))).coalesce(1))
+    assert(t2.fileStats.size == 4)
+    assert(t2.fileStats.map(_.rows).sum == 301)
+    assert(t2.toDFWhere("pk >= 250").inputFiles.length == 2)
+  }
+
+  test("timestamp bounds prune filtered scans with TIMESTAMP literals") {
+    val tsSchema = StructType(Seq(
+      StructField("id", IntegerType), StructField("at", TimestampType)))
+    val t = ManagedTable.create(
+      df(tsSchema, (0 until 50).map(i =>
+        Row(i, ts(f"2024-01-01 ${i % 24}%02d:00:00")))).coalesce(1),
+      tmpDir("fs7"))
+    t.append(df(tsSchema, (0 until 50).map(i =>
+      Row(100 + i, ts(f"2024-06-01 ${i % 24}%02d:00:00")))).coalesce(1))
+    val pruned = t.toDFWhere("at >= TIMESTAMP '2024-05-01 00:00:00'")
+    // INT96-written timestamps carry no footer stats; prune only if present
+    val statsPresent = t.fileStats.forall(_.min.contains("at"))
+    if (statsPresent)
+      assert(pruned.inputFiles.length == 1, "June file only")
+    assert(pruned.count() == 50)
+  }
+}
