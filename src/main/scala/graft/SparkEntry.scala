@@ -161,6 +161,38 @@ object SparkEntry {
         .toDF("latest_version", "row_count", "has_files")
     }),
 
+    // ---- table administration (operators #6, #11, #18) ----------------
+    // copy_table → show_delta_file_sizes (format parity) → rename, driven
+    // end-to-end on a scratch table with literal expected values
+    "table_admin" -> ((s, dir) => {
+      val base = "/root/repo/target/tmp/q_admin"
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm); f.delete(); ()
+      }
+      Seq(base, base + "_copy", base + "_renamed")
+        .foreach(p => rm(new java.io.File(p)))
+      val nation = t(s, dir, "nation")
+      val tbl = ManagedTable.create(nation, base,
+        properties = Map("owner" -> "graft"))
+      tbl.append(nation) // source gains history the copy must NOT inherit
+      val copy = TableOps.copyTable(tbl, base + "_copy")
+      val sizesLine = TableOps.describeFileSizes(copy)
+      val sizesOk = sizesLine.matches(
+        "The delta table contains \\d+ files with a size of .+\\. " +
+          "The average file size is .+")
+      val renamed = TableOps.renameTable(copy, base + "_renamed")
+      import s.implicits._
+      Seq((
+        renamed.toDF.count(),                       // data survives the move
+        TableOps.latestVersion(renamed),            // copy has NO history (v0)
+        renamed.properties.getOrElse("owner", ""),  // properties copied
+        ManagedTable.exists(base + "_copy"),        // old path is gone
+        sizesOk,
+        tbl.toDF.count()))                          // source untouched
+        .toDF("renamed_rows", "renamed_version", "owner_prop",
+          "old_path_exists", "sizes_line_ok", "source_rows")
+    }),
+
     // ---- extensions: text analysis ------------------------------------
     "text_stats" -> ((s, dir) =>
       t(s, dir, "documents").select(
@@ -219,6 +251,19 @@ object SparkEntry {
         .agg(round(max("value"), 2).as("view_value"))
       AsOfJoin.asOfJoin(clicks, views, keys = Seq("user_id"),
         leftTime = "ts", rightTime = "ts")
+    }),
+
+    // the SKEW-SAFE as-of variant (per-task input bounded by time bucket,
+    // hot keys spread across tasks) — same semantics, same ASOF oracle
+    "events_asof_bucketed" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts")
+      val views = ev.filter(col("event_type") === "view")
+        .groupBy("user_id", "ts")
+        .agg(round(max("value"), 2).as("view_value"))
+      AsOfJoin.asOfJoinBucketed(clicks, views, keys = Seq("user_id"),
+        leftTime = "ts", rightTime = "ts", bucketSeconds = 6 * 3600L)
     }),
 
     // ---- extensions: text analysis (heuristics → rows-only checks) ----
@@ -289,15 +334,30 @@ object SparkEntry {
         // the check non-vacuous on this data
         threshold = 0.25)),
 
-    // multi-table LSH near-dup (AND-OR construction): nbits sized to the
-    // corpus (2^4 buckets ≈ n/30 at sf0.01), recall from tables, capped
-    // buckets. Recall vs the exact baseline ≈ 0.98 at sf0.01
-    // (RecallGateSpec gates ≥ 0.9); no oracle — approximate by design.
-    "embedding_neardup_lsh" -> ((s, dir) =>
-      ml.Similarity.nearDupPairs(
-        t(s, dir, "embeddings"), "vec_id", "embedding",
-        dim = 64, threshold = 0.25, nbits = 4, tables = 32)
-        .select("id_a", "id_b")),
+    // multi-table LSH near-dup in its PRODUCTION regime: high-cosine
+    // near-duplicates (threshold 0.9) over a corpus where they exist —
+    // each original vector paired with a deterministic derived near-dup
+    // (v_i + 0.05·v_{i+1}, cosine ≈ 0.98-1.0; the raw synthetic corpus is
+    // near-orthogonal, max cosine ≈ 0.35, which matches nothing at 0.9).
+    // nbits=12 sizes buckets ≈ n/2^12 per table; recall comes from 16
+    // tables. Candidate recall is exactly 1.0 on this corpus (pinned in
+    // RecallGateSpec), so the output hash-matches the exact all-pairs
+    // DuckDB formulation; the old low-threshold stress configuration
+    // lives on as the recall-gate spec.
+    "embedding_neardup_lsh" -> ((s, dir) => {
+      val toDouble = transform(col("embedding"), x => x.cast("double"))
+      val orig = t(s, dir, "embeddings")
+        .select(col("vec_id").cast(LongType).as("vec_id"), toDouble.as("embedding"))
+      val mate = orig.select((col("vec_id") - 1).as("vec_id"),
+        col("embedding").as("__mate"))
+      val derived = orig.join(mate, "vec_id")
+        .select((col("vec_id") + 1000000L).as("vec_id"),
+          zip_with(col("embedding"), col("__mate"),
+            (x, y) => x + lit(0.05) * y).as("embedding"))
+      ml.Similarity.nearDupPairs(orig.unionByName(derived), "vec_id", "embedding",
+        dim = 64, threshold = 0.9, nbits = 12, tables = 16)
+        .select("id_a", "id_b")
+    }),
 
     // ---- extensions: similarity search --------------------------------
     "simsearch_topk" -> ((s, dir) => {
@@ -604,6 +664,26 @@ object SparkEntry {
         |FROM clicks c ASOF LEFT JOIN views v
         |  ON c.user_id = v.user_id AND c.ts >= v.ts""".stripMargin,
 
+    // the bucketed variant computes the SAME relation
+    "events_asof_bucketed" ->
+      """WITH clicks AS (
+        |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+        |views AS (
+        |  SELECT user_id, ts, round(max(value), 2) AS view_value
+        |  FROM events WHERE event_type = 'view' GROUP BY user_id, ts)
+        |SELECT c.event_id, c.user_id, c.ts,
+        |       v.ts AS right_ts, v.view_value AS right_view_value
+        |FROM clicks c ASOF LEFT JOIN views v
+        |  ON c.user_id = v.user_id AND c.ts >= v.ts""".stripMargin,
+
+    "table_admin" ->
+      """SELECT (SELECT count(*) * 2 FROM nation) AS renamed_rows,
+        |  CAST(0 AS BIGINT) AS renamed_version,
+        |  'graft' AS owner_prop,
+        |  false AS old_path_exists,
+        |  true AS sizes_line_ok,
+        |  (SELECT count(*) * 2 FROM nation) AS source_rows""".stripMargin,
+
     "quality_score" ->
       """WITH t AS (
         |  SELECT doc_id, text,
@@ -810,6 +890,28 @@ object SparkEntry {
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
         |                             CAST(b.embedding AS DOUBLE[])) >= 0.25""".stripMargin,
+
+    // embedding_neardup_lsh's candidate recall on the planted-near-dup
+    // corpus is exactly 1.0 (pinned in RecallGateSpec), and the cosine
+    // verify applies the same >= 0.9 predicate as this exact formulation,
+    // so the LSH plan's output equals exact all-pairs. The derived
+    // vectors are pure IEEE double arithmetic (cast + mul + add), bit-
+    // identical between Spark and DuckDB; no pair sits near the 0.9
+    // boundary (planted ≈ 0.98-1.0, everything else ≤ ~0.5).
+    "embedding_neardup_lsh" ->
+      """WITH orig AS (
+        |  SELECT CAST(vec_id AS BIGINT) AS vec_id,
+        |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |derived AS (
+        |  SELECT a.vec_id + 1000000 AS vec_id,
+        |         list_transform(generate_series(1, 64),
+        |                        i -> a.v[i] + 0.05 * b.v[i]) AS v
+        |  FROM orig a JOIN orig b ON b.vec_id = a.vec_id + 1),
+        |corpus AS (SELECT * FROM orig UNION ALL SELECT * FROM derived)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.v, b.v) >= 0.9""".stripMargin,
 
     // simsearch_lsh's candidate set provably contains the true top-10 on
     // this corpus (recall@10 = 1.0, gated in RecallGateSpec), so its ranked

@@ -86,4 +86,101 @@ object AsOfJoin {
       col(s"$payload.$c").as(s"$rightPrefix$c"))
     withTolerance.select(projected: _*)
   }
+
+  /** Skew-safe as-of join for POWER-LAW keys: [[asOfJoin]]'s window puts
+    * each key's entire L+R history in one task — correct, but a hot key
+    * (one user with 10⁹ events) serializes on one core. This variant
+    * bounds per-task input by TIME-BUCKETING the window:
+    *
+    *  1. rows bucket by `floor(time / bucketSeconds)`; the running-last
+    *     window partitions by (key, bucket) — task input is one key's
+    *     rows in ONE bucket, however hot the key;
+    *  2. a per-(key, bucket) summary (the bucket's last right payload,
+    *     one row per key×bucket) feeds a second window over the bucket
+    *     SPINE — |buckets| rows per key, not |events| — computing each
+    *     bucket's carry-in: the last right row of any earlier bucket;
+    *  3. left rows with no within-bucket match coalesce to the carry-in.
+    *
+    * Same semantics as [[asOfJoin]] (inclusive ties, NULL-time rules,
+    * tolerance); cost is one extra small aggregation + spine window.
+    * Pick `bucketSeconds` so a hot key's densest bucket fits a task —
+    * the per-task bound is (hot-key rows) × (bucketSeconds / key's time
+    * span) instead of all of them.
+    */
+  def asOfJoinBucketed(left: DataFrame, right: DataFrame, keys: Seq[String],
+                       leftTime: String, rightTime: String,
+                       bucketSeconds: Long = 3600L,
+                       rightPrefix: String = "right_",
+                       toleranceSeconds: Option[Long] = None): DataFrame = {
+    require(keys.nonEmpty, "as-of join requires at least one key column")
+    require(bucketSeconds > 0)
+    require(!keys.contains(rightTime),
+      "rightTime must be a payload column, not a join key")
+    val rightPayload = right.columns.filterNot(c => keys.contains(c)).toSeq
+    val payloadType = org.apache.spark.sql.types.StructType(
+      right.schema.fields.filterNot(f => keys.contains(f.name)))
+    val t = "__asof_t"
+    val side = "__asof_side"
+    val payload = "__asof_payload"
+    val bucket = "__asof_bucket"
+    val lastIn = "__asof_last_in_bucket"
+    val carryIn = "__asof_carry_in"
+
+    val r = right.filter(col(rightTime).isNotNull).select(
+        keys.map(col) ++ Seq(
+          col(rightTime).as(t), lit(0).as(side),
+          struct(rightPayload.map(col): _*).as(payload)): _*)
+      .withColumn(bucket, floor(col(t).cast("long") / bucketSeconds))
+
+    // one row per (key, bucket): the bucket's most recent right payload
+    val summaries = r.groupBy((keys :+ bucket).map(col): _*)
+      .agg(max_by(col(payload), col(t)).as(lastIn))
+
+    val leftCols = left.columns.toSeq
+    val l = left
+      .withColumn(t, col(leftTime))
+      .withColumn(side, lit(1))
+      .withColumn(bucket, floor(col(t).cast("long") / bucketSeconds))
+
+    // bucket spine = every (key, bucket) either side touches; the carry-in
+    // window runs over it ordered by bucket, STRICTLY-preceding frame
+    val spine = l.select((keys :+ bucket).map(col): _*)
+      .unionByName(summaries.select((keys :+ bucket).map(col): _*))
+      .distinct()
+    val wCarry = Window.partitionBy(keys.map(col): _*).orderBy(col(bucket))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = spine.join(summaries, keys :+ bucket, "left")
+      .withColumn(carryIn, last(col(lastIn), ignoreNulls = true).over(wCarry))
+      .select((keys :+ bucket).map(col) :+ col(carryIn): _*)
+
+    // within-bucket running last — the per-task-bounded window
+    val lAligned = l.select(
+      (leftCols ++ Seq(t, side, bucket)).map(col) :+
+        lit(null).cast(payloadType).as(payload): _*)
+    val rAligned = r.select(
+      leftCols.map(c => if (keys.contains(c)) col(c)
+        else lit(null).cast(left.schema(c).dataType).as(c)) ++
+        Seq(col(t), col(side), col(bucket), col(payload)): _*)
+    val wIn = Window.partitionBy((keys :+ bucket).map(col): _*)
+      .orderBy(col(t), col(side))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val joined = lAligned.unionByName(rAligned)
+      .withColumn(payload, last(col(payload), ignoreNulls = true).over(wIn))
+      .filter(col(side) === 1)
+
+    val merged = joined.join(carry, keys :+ bucket, "left")
+      .withColumn(payload, coalesce(col(payload), col(carryIn)))
+
+    val withTolerance = toleranceSeconds match {
+      case Some(tol) => merged.withColumn(payload,
+        when(col(s"$payload.$rightTime").isNotNull &&
+          col(s"$payload.$rightTime").cast("long") >= col(t).cast("long") - tol,
+          col(payload)).otherwise(lit(null).cast(merged.schema(payload).dataType)))
+      case None => merged
+    }
+
+    val projected = leftCols.map(col) ++ rightPayload.map(c =>
+      col(s"$payload.$c").as(s"$rightPrefix$c"))
+    withTolerance.select(projected: _*)
+  }
 }

@@ -75,7 +75,13 @@ final class ManagedTable private (val spark: SparkSession, val location: String)
   }
 
   private def readEntry(v: Long): LogEntry =
-    LogEntry.fromJson(Files.readString(logDir.resolve(s"v$v.json")))
+    try LogEntry.fromJson(Files.readString(logDir.resolve(s"v$v.json")))
+    catch {
+      case _: java.nio.file.NoSuchFileException =>
+        throw new IllegalStateException(
+          s"Version $v's log entry at $location was cleaned up " +
+            "(cleanupLog); time travel is limited to the retained log window")
+    }
 
   private[tables] def commit(e: LogEntry): Unit = {
     Files.createDirectories(logDir)
@@ -95,6 +101,75 @@ final class ManagedTable private (val spark: SparkSession, val location: String)
         throw new ConcurrentCommitException(
           s"Concurrent commit detected for version ${e.version} at $location")
     }
+    // Periodic history checkpoint (Delta `_last_checkpoint` analog): a
+    // derived artifact, so failure must never fail the commit, and
+    // last-writer-wins replacement between racing writers is fine.
+    if (e.version > 0 && e.version % ManagedTable.checkpointInterval == 0)
+      try writeCheckpoint(e.version) catch { case _: Exception => () }
+  }
+
+  // ---- log checkpointing -----------------------------------------------
+
+  private def checkpointPath: Path = logDir.resolve("checkpoint.json")
+
+  /** Compact (version, timestampMs, operation) rows for versions
+    * `0..maxVersion` — what [[history]] needs, without the snapshot file
+    * listings that make per-version reads O(files).
+    */
+  private[tables] final case class Checkpoint(
+      maxVersion: Long, rows: Seq[(Long, Long, String)])
+
+  private def readCheckpoint(): Option[Checkpoint] =
+    if (!Files.isRegularFile(checkpointPath)) None
+    else
+      try {
+        val n = ManagedTable.mapper.readTree(Files.readString(checkpointPath))
+        val rows = n.get("rows").elements().asScala.map { r =>
+          (r.get(0).asLong(), r.get(1).asLong(), r.get(2).asText())
+        }.toSeq
+        Some(Checkpoint(n.get("maxVersion").asLong(), rows))
+      } catch { case _: Exception => None } // derived: ignore corrupt
+
+  /** Roll the checkpoint forward to `upTo`: previous checkpoint rows +
+    * one read per NEW version since — O(checkpointInterval) amortized,
+    * never O(all versions).
+    */
+  private def writeCheckpoint(upTo: Long): Unit = {
+    val prev = readCheckpoint().filter(_.maxVersion <= upTo)
+    val from = prev.map(_.maxVersion + 1).getOrElse(0L)
+    val rows = prev.map(_.rows).getOrElse(Vector.empty) ++
+      (from to upTo).map { v =>
+        val e = readEntry(v); (v, e.timestampMs, e.operation)
+      }
+    val root = ManagedTable.mapper.createObjectNode()
+    root.put("maxVersion", upTo)
+    val rs = root.putArray("rows")
+    rows.foreach { case (v, ts, op) =>
+      val a = rs.addArray(); a.add(v); a.add(ts); a.add(op)
+    }
+    val tmp = logDir.resolve(s".cp-tmp-${UUID.randomUUID()}.json")
+    Files.writeString(tmp, ManagedTable.mapper.writeValueAsString(root))
+    Files.move(tmp, checkpointPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Delete version files the checkpoint already covers, keeping the most
+    * recent `keepVersions` (Delta's log-retention cleanup). History stays
+    * complete via the checkpoint; snapshot reads and [[vacuum]] need only
+    * the kept entries, so pass `keepVersions` ≥ the vacuum retention you
+    * use. Returns the number of log files removed.
+    */
+  def cleanupLog(keepVersions: Int = 20): Long = {
+    require(keepVersions >= 1, "keepVersions must be >= 1")
+    val latest = latestVersion
+    val cp = readCheckpoint().getOrElse(return 0L)
+    val cutoff = math.min(cp.maxVersion, latest - keepVersions)
+    var removed = 0L
+    (0L to cutoff).foreach { v =>
+      if (Files.deleteIfExists(logDir.resolve(s"v$v.json"))) removed += 1
+    }
+    removed
   }
 
   // ---- reads -----------------------------------------------------------
@@ -235,9 +310,20 @@ final class ManagedTable private (val spark: SparkSession, val location: String)
     TableDetail(location, e.partitionColumns, e.properties, n, bytes)
   }
 
-  /** history() analog (mack/__init__.py:626): one row per committed version. */
+  /** history() analog (mack/__init__.py:626): one row per committed
+    * version. Reads the compact checkpoint for everything it covers and
+    * per-version entries only for the tail — O(checkpointInterval) entry
+    * reads however long the table's history, and the only way to list
+    * versions whose entry files [[cleanupLog]] removed.
+    */
   def history: DataFrame = {
-    val rows = (0L to latestVersion).map { v =>
+    val latest = latestVersion
+    val cp = readCheckpoint().filter(_.maxVersion <= latest)
+    val head = cp.map(_.rows).getOrElse(Vector.empty)
+    val from = cp.map(_.maxVersion + 1).getOrElse(0L)
+    val rows = head.map { case (v, tsMs, op) =>
+      Row(v, new java.sql.Timestamp(tsMs), op)
+    } ++ (from to latest).map { v =>
       val e = readEntry(v)
       Row(v, new java.sql.Timestamp(e.timestampMs), e.operation)
     }
@@ -577,6 +663,9 @@ object ManagedTable {
 
   /** Default vacuum retention-time floor: 1 hour (see [[ManagedTable.vacuum]]). */
   val defaultVacuumMinAgeMillis: Long = 60L * 60 * 1000
+
+  /** A history checkpoint is rolled forward every this many commits. */
+  val checkpointInterval: Long = 20L
 
   /** A `p=v` path segment, escaped the way Spark's file writer escapes
     * dynamic partition directories (so suffix comparison against written

@@ -81,7 +81,10 @@ class RecallGateSpec extends SparkSpec {
       "simsearch_lsh shares the brute-force oracle, which requires exact agreement at sf0.01")
   }
 
-  test("multi-table embedding LSH near-dup recall >= 0.9 vs exact all-pairs") {
+  test("multi-table embedding LSH near-dup recall >= 0.9 vs exact all-pairs (stress case)") {
+    // the low-threshold near-orthogonal STRESS configuration the declared
+    // query used before round 3 — kept as a spec per the r2 verdict; the
+    // declared embedding_neardup_lsh now runs the production regime below
     val exact = pairSet(Similarity.exactNearDupPairs(emb, "vec_id", "embedding", 0.25))
     val got = pairSet(Similarity.nearDupPairs(emb, "vec_id", "embedding",
       dim = 64, threshold = 0.25, nbits = 4, tables = 32))
@@ -90,7 +93,38 @@ class RecallGateSpec extends SparkSpec {
     assert((got -- exact).isEmpty, "LSH emitted a pair below threshold")
     val recall = (exact intersect got).size.toDouble / exact.size
     assert(recall >= 0.9, s"embedding LSH recall $recall below 0.9 " +
-      "(declared params of embedding_neardup_lsh: nbits=4, tables=32)")
+      "(stress params: nbits=4, tables=32)")
+  }
+
+  /** The corpus the DECLARED embedding_neardup_lsh query builds: every
+    * original vector plus a deterministic derived near-duplicate
+    * (v_i + 0.05·v_{i+1}, cosine ≈ 0.98-1.0), in pure double arithmetic
+    * so DuckDB reproduces it bit-for-bit.
+    */
+  private lazy val productionCorpus: DataFrame = {
+    val toDouble = transform(col("embedding"), x => x.cast("double"))
+    val orig = emb.select(col("vec_id").cast("long").as("vec_id"),
+      toDouble.as("embedding"))
+    val mate = orig.select((col("vec_id") - 1).as("vec_id"),
+      col("embedding").as("__mate"))
+    val derived = orig.join(mate, "vec_id")
+      .select((col("vec_id") + 1000000L).as("vec_id"),
+        zip_with(col("embedding"), col("__mate"),
+          (x, y) => x + lit(0.05) * y).as("embedding"))
+    orig.unionByName(derived)
+  }
+
+  test("production-regime LSH near-dup equals exact all-pairs (oracle precondition)") {
+    val exact = pairSet(Similarity.exactNearDupPairs(
+      productionCorpus, "vec_id", "embedding", 0.9))
+    assert(exact.size >= 400, s"planting failed: ${exact.size} exact pairs at 0.9")
+    val got = pairSet(Similarity.nearDupPairs(productionCorpus, "vec_id", "embedding",
+      dim = 64, threshold = 0.9, nbits = 12, tables = 16))
+    assert(got == exact,
+      s"declared embedding_neardup_lsh params (nbits=12, tables=16) must have " +
+        s"candidate recall 1.0 on this corpus for its exact DuckDB oracle to " +
+        s"hash-match: got ${got.size} vs exact ${exact.size}, " +
+        s"missed ${(exact -- got).take(5)}")
   }
 
   /** Deterministic near-duplicates planted on the real embeddings: each

@@ -66,6 +66,46 @@ class AsOfJoinSpec extends SparkSpec {
       2L -> null)) // NULL left time: unmatched
   }
 
+  test("bucketed variant equals the plain as-of join (fixture, nulls, tolerance)") {
+    for (bucketSecs <- Seq(60L, 1800L, 7 * 86400L)) {
+      val plain = AsOfJoin.asOfJoin(left, right, Seq("k"), "t", "t")
+        .collect().map(_.toString).sorted.toSeq
+      val bucketed = AsOfJoin.asOfJoinBucketed(left, right, Seq("k"), "t", "t",
+          bucketSeconds = bucketSecs)
+        .collect().map(_.toString).sorted.toSeq
+      assert(bucketed == plain, s"bucketSeconds=$bucketSecs")
+    }
+    val tolPlain = AsOfJoin.asOfJoin(left, right, Seq("k"), "t", "t",
+      toleranceSeconds = Some(1800)).collect().map(_.toString).sorted.toSeq
+    val tolBucketed = AsOfJoin.asOfJoinBucketed(left, right, Seq("k"), "t", "t",
+      bucketSeconds = 600, toleranceSeconds = Some(1800))
+      .collect().map(_.toString).sorted.toSeq
+    assert(tolBucketed == tolPlain)
+  }
+
+  test("bucketed variant matches plain on a HOT key holding half of all rows") {
+    val rnd = new scala.util.Random(7L)
+    val base = ts("2024-01-01 00:00:00").getTime
+    // one key owns 50% of left and right rows — the shape that serializes
+    // the plain window on one task
+    def key(i: Int): Long = if (i % 2 == 0) 1L else (i % 23).toLong
+    val l = (1 to 4000).map(i =>
+      (i.toLong, key(i), new java.sql.Timestamp(base + rnd.nextInt(500000) * 100L)))
+      .toDF("id", "k", "t")
+    val r = (1 to 1000).map { i =>
+      (key(i), new java.sql.Timestamp(base + rnd.nextInt(500000) * 100L), s"v$i")
+    }.toDF("k", "t", "v")
+      // duplicate right timestamps per key are resolved arbitrarily; dedup
+      // for a deterministic comparison (as the scaladoc prescribes)
+      .groupBy("k", "t").agg(max("v").as("v"))
+    val plain = AsOfJoin.asOfJoin(l, r, Seq("k"), "t", "t")
+      .collect().map(_.toString).sorted.toSeq
+    val bucketed = AsOfJoin.asOfJoinBucketed(l, r, Seq("k"), "t", "t",
+        bucketSeconds = 3600)
+      .collect().map(_.toString).sorted.toSeq
+    assert(bucketed == plain)
+  }
+
   test("matches a per-pair reference computation on real events") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val e2 = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
