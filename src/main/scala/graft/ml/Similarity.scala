@@ -65,6 +65,10 @@ object Similarity {
     Seq.fill(nbits)(Seq.fill(dim)(rnd.nextGaussian()))
   }
 
+  /** Test hook: the plane matrix for one table (spec parity checks). */
+  private[ml] def testPlanes(dim: Int, nbits: Int, seed: Long): Seq[Seq[Double]] =
+    hyperplanes(dim, nbits, seed)
+
   /** Sign-of-projection LSH bucket id (0 .. 2^nbits-1) for a vector:
     * vectors with small angle share buckets with high probability.
     */
@@ -106,6 +110,23 @@ object Similarity {
     */
   private def tableSeed(seed: Long, t: Int): Long = seed + 1000003L * t
 
+  /** All tables' plane matrices, [table][bit][dim] flattened — the layout
+    * [[graft.plans.LshBuckets]] consumes. Same seeds and plane order as
+    * [[lshBucket]], so fused bucket ids are identical.
+    */
+  private def allPlanes(dim: Int, nbits: Int, seed: Long, tables: Int): Seq[Double] =
+    (0 until tables).flatMap(t =>
+      hyperplanes(dim, nbits, tableSeed(seed, t)).flatten)
+
+  /** Corpus-side bucketing: one fused pass computing every table's bucket
+    * (array<long>, length `tables`) — replaces tables × nbits separate
+    * dot-product expressions per row.
+    */
+  private def allBuckets(vec: Column, dim: Int, nbits: Int, seed: Long,
+                         tables: Int): Column =
+    graft.plans.expressions.lsh_buckets(vec,
+      allPlanes(dim, nbits, seed, tables), tables, nbits, dim)
+
   /** Approximate top-k: rank only within the query's LSH buckets. The
     * AND-OR construction: each of `tables` independent hash tables uses
     * `nbits` hyperplanes (AND — collision prob p_bit^nbits per table), and
@@ -123,8 +144,7 @@ object Similarity {
               probes: Int = 0, tables: Int = 1): DataFrame = {
     require(tables >= 1)
     val cBuckets = corpus.select(col(corpusId).as("neighbor_id"),
-      posexplode(array((0 until tables).map(t =>
-        lshBucket(col(corpusVec), dim, nbits, tableSeed(seed, t))): _*))
+      posexplode(allBuckets(col(corpusVec), dim, nbits, seed, tables))
         .as(Seq("__t", "__bucket")))
     val qBuckets = broadcast(queries.select(col(queryId).as("query_id"),
         explode(flatten(array((0 until tables).map(t =>
@@ -164,8 +184,7 @@ object Similarity {
                    maxBucketSize: Int = 10000): DataFrame = {
     require(tables >= 1)
     val buckets = df.select(col(idCol).as("__id"),
-      posexplode(array((0 until tables).map(t =>
-        lshBucket(col(vecCol), dim, nbits, tableSeed(seed, t))): _*))
+      posexplode(allBuckets(col(vecCol), dim, nbits, seed, tables))
         .as(Seq("__t", "__bucket")))
     val capped = buckets
       .withColumn("__n", count(lit(1)).over(

@@ -212,6 +212,46 @@ object ExprKernels {
     dot
   }
 
+  /** All `tables` LSH bucket ids of a vector in ONE pass (see
+    * [[LshBuckets]]): the vector is decoded into a local double[] once,
+    * then `tables × nbits` plane projections run over primitive arrays —
+    * replacing tables × nbits separate [[vecDot]] expression evaluations,
+    * each of which re-reads the vector element-by-element through
+    * ArrayData. `planes` is laid out [table][bit][dim] flattened; per-term
+    * accumulation order matches [[vecDot]] (ascending index), so bucket
+    * ids are bit-identical to the unfused formulation.
+    */
+  def lshBuckets(vec: ArrayData, vecFloat: Boolean, planes: Array[Double],
+                 tables: Int, nbits: Int, dim: Int): ArrayData = {
+    val n = math.min(vec.numElements(), dim)
+    val v = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      v(i) = if (vecFloat) vec.getFloat(i).toDouble else vec.getDouble(i)
+      i += 1
+    }
+    val out = new Array[Long](tables)
+    var t = 0
+    while (t < tables) {
+      var bucket = 0L
+      var b = 0
+      while (b < nbits) {
+        val off = (t * nbits + b) * dim
+        var dot = 0.0
+        var j = 0
+        while (j < n) {
+          dot += v(j) * planes(off + j)
+          j += 1
+        }
+        if (dot > 0) bucket |= (1L << b)
+        b += 1
+      }
+      out(t) = bucket
+      t += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** Cosine similarity in double; null for a zero vector (see [[VecDot]]). */
   def vecCosine(a: ArrayData, b: ArrayData,
                 aFloat: Boolean, bFloat: Boolean): java.lang.Double = {

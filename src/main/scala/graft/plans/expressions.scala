@@ -59,6 +59,13 @@ object expressions {
   def dot_product(a: Column, b: Column): Column =
     column(VecDot(expression(a), expression(b), DotMode.Dot))
 
+  /** All LSH table buckets of a vector in one fused pass (see
+    * [[LshBuckets]]). `planes` is [table][bit][dim] flattened.
+    */
+  def lsh_buckets(vec: Column, planes: Seq[Double], tables: Int, nbits: Int,
+                  dim: Int): Column =
+    column(LshBuckets(expression(vec), planes.toVector, tables, nbits, dim))
+
   /** Cosine similarity of two float/double array columns, in double. */
   def cosine_sim(a: Column, b: Column): Column =
     column(VecDot(expression(a), expression(b), DotMode.Cosine))
@@ -215,6 +222,52 @@ case class SimHash64(child: Expression)
       s"${ev.value} = graft.plans.ExprKernels.simhash64($c);")
 
   override protected def withNewChildInternal(c: Expression): SimHash64 = copy(child = c)
+}
+
+/** One-pass multi-table LSH bucketing of a float/double vector: all
+  * `tables` sign-of-projection bucket ids (nbits planes each) from a
+  * single decode of the vector. Replaces `array(lshBucket × tables)` —
+  * tables × nbits VecDot evaluations that each re-read the vector through
+  * ArrayData getters. Projection accumulation order matches [[VecDot]],
+  * so bucket ids equal the unfused formulation bit-for-bit.
+  */
+case class LshBuckets(child: Expression, planes: Vector[Double],
+                      tables: Int, nbits: Int, dim: Int)
+    extends UnaryExpression {
+  require(tables >= 1 && nbits >= 1 && dim >= 1)
+  require(planes.length == tables * nbits * dim,
+    s"planes must be tables*nbits*dim = ${tables * nbits * dim} doubles")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes() = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case other =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"lsh_buckets expects array<float|double>, got ${other.sql}")
+  }
+
+  private lazy val vecIsFloat = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  @transient private lazy val planesArr: Array[Double] = planes.toArray
+
+  override def nullSafeEval(input: Any): Any =
+    ExprKernels.lshBuckets(input.asInstanceOf[ArrayData], vecIsFloat,
+      planesArr, tables, nbits, dim)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // the plane matrix rides the generated class as a reference object —
+    // decoded from the expression tree ONCE, not per row
+    val planesRef = ctx.addReferenceObj("lshPlanes", planesArr, "double[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.ExprKernels.lshBuckets(" +
+        s"$c, $vecIsFloat, $planesRef, $tables, $nbits, $dim);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): LshBuckets =
+    copy(child = c)
 }
 
 private[plans] object DotMode extends Enumeration { val Dot, Cosine = Value }

@@ -42,6 +42,11 @@ object CodegenCheck {
     ts.head()
     println("[3b] text_surface_stats OK under forced codegen")
 
+    val planes = Seq.tabulate(4 * 8 * 64)(i => math.sin(i.toDouble)) // any fixed matrix
+    val lb = emb.select(lsh_buckets(col("embedding"), planes, 4, 8, 64).as("b"))
+    lb.agg(expr("bit_xor(b[0])"), expr("bit_xor(b[3])")).head()
+    println("[3c] lsh_buckets OK under forced codegen")
+
     val model = graft.ml.IvfIndex.fit(emb, "embedding", k = 8)
     val assigned = emb.select(graft.ml.IvfIndex.assign(col("embedding"), model).as("cell"))
     assigned.agg(sum(col("cell").cast("long"))).head()

@@ -98,6 +98,25 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("fused lsh_buckets equals per-table lshBucket bit-for-bit") {
+    // the fused kernel must reproduce the unfused formulation exactly —
+    // the recall gates and the simsearch_lsh / embedding_neardup_lsh
+    // oracles are pinned to these bucket ids
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val tables = 5; val nbits = 7; val dim = 64; val seed = 42L
+    val unfused = emb.select($"vec_id", org.apache.spark.sql.functions.array(
+      (0 until tables).map(t =>
+        Similarity.lshBucket($"embedding", dim, nbits, seed + 1000003L * t)): _*
+    ).as("b"))
+    val fused = emb.select($"vec_id", graft.plans.expressions.lsh_buckets(
+      $"embedding",
+      (0 until tables).flatMap(t => Similarity.testPlanes(dim, nbits, seed + 1000003L * t).flatten),
+      tables, nbits, dim).as("b"))
+    val u = unfused.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val f = fused.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(u == f)
+  }
+
   test("multi-probe recall dominates single-bucket recall on real embeddings") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val queries = emb.filter($"vec_id" < 5)
