@@ -405,6 +405,31 @@ object SparkEntry {
         text.TextAnalysis.tokenCountWhitespace(col("text")).cast(LongType).as("n_tokens"))
     }),
 
+    // streaming ingestion core: two micro-batches near-dedup'd against
+    // the accumulating signature index (foreachBatch pipeline's pure
+    // per-batch function; batch 2's docs are dropped against batch 1's
+    // SURVIVORS — the oracle re-derives that exact relation)
+    "streaming_incremental_dedup" -> ((s, dir) => {
+      val base = "/root/repo/target/tmp/q_stream_dedup"
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm); f.delete(); ()
+      }
+      Seq(base + "_idx", base + "_out").foreach(p => rm(new java.io.File(p)))
+      val docs = t(s, dir, "documents")
+      val index = streaming.StreamingDedup.openIndex(s, base + "_idx",
+        "doc_id", docs.schema("doc_id").dataType)
+      val out = ManagedTable.create(
+        s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          docs.schema), base + "_out")
+      streaming.StreamingDedup.incremental(
+        docs.filter(col("doc_id") < 250), "doc_id", "text", index, out,
+        threshold = 0.5)
+      streaming.StreamingDedup.incremental(
+        docs.filter(col("doc_id") >= 250), "doc_id", "text", index, out,
+        threshold = 0.5)
+      out.toDF.select("doc_id", "source", "n_chars")
+    }),
+
     // ---- extensions: multimodal plumbing (stubbed decode) -------------
     "multimodal_features" -> ((s, dir) => {
       val media = multimodal.Multimodal.syntheticMedia(
@@ -871,6 +896,26 @@ object SparkEntry {
         |  CAST(length(list_filter(string_split_regex(e.text, '\s+'),
         |    x -> length(x) > 0)) AS BIGINT) AS n_tokens
         |FROM exact e WHERE e.doc_id NOT IN (SELECT id_b FROM mh_pairs)""".stripMargin,
+
+    // streaming incremental dedup: batch 1 = ids < 250 keep-first; batch 2
+    // = ids >= 250, keep-first within the batch, then dropped against
+    // batch 1's SURVIVORS (the index holds survivors only — a doc paired
+    // solely with a batch-1 LOSER is kept). Same exact-Jaccard predicate
+    // and completeness precondition as dedup_minhash.
+    "streaming_incremental_dedup" ->
+      s"""WITH $shingleCtes,
+         |s1 AS (
+         |  SELECT doc_id FROM documents WHERE doc_id < 250
+         |    AND doc_id NOT IN (SELECT id_b FROM mh_pairs
+         |                       WHERE id_a < 250 AND id_b < 250)),
+         |s2 AS (
+         |  SELECT doc_id FROM documents WHERE doc_id >= 250
+         |    AND doc_id NOT IN (SELECT id_b FROM mh_pairs WHERE id_a >= 250)
+         |    AND doc_id NOT IN (SELECT p.id_b FROM mh_pairs p
+         |                       JOIN s1 ON p.id_a = s1.doc_id))
+         |SELECT doc_id, source, n_chars FROM documents
+         |WHERE doc_id IN (SELECT doc_id FROM s1)
+         |   OR doc_id IN (SELECT doc_id FROM s2)""".stripMargin,
 
     // simhash features (xxhash64 token votes) are not reproducible in
     // DuckDB SQL, so this oracle is a golden literal: the loser set below

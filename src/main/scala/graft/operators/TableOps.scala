@@ -46,6 +46,20 @@ object TableOps {
   def showFileSizes(table: ManagedTable, humanizeBinary: Boolean = false): Unit =
     println(describeFileSizes(table, humanizeBinary))
 
+  /** File-count-triggered compaction: OPTIMIZE only when the snapshot has
+    * fragmented past `maxFiles` (append-heavy tables accumulate one commit
+    * dir per append; each compaction is O(table), so triggering by file
+    * count amortizes it to O(table/maxFiles) per append). Returns true if
+    * a compaction ran. The streaming ingestion path calls this per batch.
+    */
+  def autoOptimize(table: ManagedTable, maxFiles: Int = 64,
+                   targetFileSizeBytes: Long = 128L * 1024 * 1024,
+                   sortBy: Seq[String] = Nil): Boolean = {
+    require(maxFiles >= 1)
+    if (table.detail.numFiles <= maxFiles) false
+    else { table.optimize(targetFileSizeBytes, sortBy); true }
+  }
+
   /** latest_version (:616-627). */
   def latestVersion(table: ManagedTable): Long = {
     import table.spark.implicits._
