@@ -421,12 +421,15 @@ object SparkEntry {
       val out = ManagedTable.create(
         s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
           docs.schema), base + "_out")
+      // bounded probe (ids < 500 — the full sf0.01 corpus): this query
+      // verifies the cross-batch SEMANTICS; the underlying kernels'
+      // scale behavior is benched by dedup_minhash on the full table
       streaming.StreamingDedup.incremental(
         docs.filter(col("doc_id") < 250), "doc_id", "text", index, out,
         threshold = 0.5)
       streaming.StreamingDedup.incremental(
-        docs.filter(col("doc_id") >= 250), "doc_id", "text", index, out,
-        threshold = 0.5)
+        docs.filter(col("doc_id") >= 250 && col("doc_id") < 500),
+        "doc_id", "text", index, out, threshold = 0.5)
       out.toDF.select("doc_id", "source", "n_chars")
     }),
 
@@ -909,8 +912,9 @@ object SparkEntry {
          |    AND doc_id NOT IN (SELECT id_b FROM mh_pairs
          |                       WHERE id_a < 250 AND id_b < 250)),
          |s2 AS (
-         |  SELECT doc_id FROM documents WHERE doc_id >= 250
-         |    AND doc_id NOT IN (SELECT id_b FROM mh_pairs WHERE id_a >= 250)
+         |  SELECT doc_id FROM documents WHERE doc_id >= 250 AND doc_id < 500
+         |    AND doc_id NOT IN (SELECT id_b FROM mh_pairs
+         |                       WHERE id_a >= 250 AND id_a < 500 AND id_b < 500)
          |    AND doc_id NOT IN (SELECT p.id_b FROM mh_pairs p
          |                       JOIN s1 ON p.id_a = s1.doc_id))
          |SELECT doc_id, source, n_chars FROM documents

@@ -212,6 +212,64 @@ object ExprKernels {
     dot
   }
 
+  /** Set-Jaccard of two `array<bigint>` hash sets in one pass (see
+    * [[HashJaccard]]): |a ∩ b| / |a ∪ b| with an open-addressed probe
+    * table — replaces the `size(array_intersect)/size(array_union)`
+    * formulation, which builds two hash sets AND materializes two result
+    * arrays per pair. Inputs are treated as SETS (duplicates collapse,
+    * matching the array_intersect/array_union semantics on
+    * distinct-by-construction shingle arrays). Both empty → null.
+    */
+  def hashJaccard(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    if (na == 0 && nb == 0) return null
+    if (na == 0 || nb == 0) return java.lang.Double.valueOf(0.0)
+    // open addressing, power-of-two capacity ≥ 2·(na+nb); 0 marks empty,
+    // the value 0L itself is tracked by flags
+    var cap = 16
+    while (cap < (na + nb) * 2) cap <<= 1
+    val mask = cap - 1
+    val table = new Array[Long](cap)
+    val state = new Array[Byte](cap) // 0 empty, 1 = in a, 2 = also seen in b
+    var sawZeroA = false; var sawZeroB = false
+    var distinctA = 0
+    var i = 0
+    while (i < na) {
+      val v = a.getLong(i)
+      if (v == 0L) { if (!sawZeroA) { sawZeroA = true; distinctA += 1 } }
+      else {
+        var idx = (mix64(v) & 0x7fffffffffffffffL).toInt & mask
+        while (state(idx) != 0 && table(idx) != v) idx = (idx + 1) & mask
+        if (state(idx) == 0) { table(idx) = v; state(idx) = 1; distinctA += 1 }
+      }
+      i += 1
+    }
+    var inter = 0
+    var onlyB = 0
+    i = 0
+    while (i < nb) {
+      val v = b.getLong(i)
+      if (v == 0L) {
+        if (!sawZeroB) {
+          sawZeroB = true
+          if (sawZeroA) inter += 1 else onlyB += 1
+        }
+      } else {
+        var idx = (mix64(v) & 0x7fffffffffffffffL).toInt & mask
+        while (state(idx) != 0 && table(idx) != v) idx = (idx + 1) & mask
+        state(idx) match {
+          case 0 => table(idx) = v; state(idx) = 3; onlyB += 1 // b-only
+          case 1 => state(idx) = 2; inter += 1                 // a ∩ b
+          case _ => ()                                         // already counted
+        }
+      }
+      i += 1
+    }
+    val union = distinctA + onlyB
+    java.lang.Double.valueOf(inter.toDouble / union.toDouble)
+  }
+
   /** All `tables` LSH bucket ids of a vector in ONE pass (see
     * [[LshBuckets]]): the vector is decoded into a local double[] once,
     * then `tables × nbits` plane projections run over primitive arrays —

@@ -66,6 +66,12 @@ object expressions {
                   dim: Int): Column =
     column(LshBuckets(expression(vec), planes.toVector, tables, nbits, dim))
 
+  /** Set-Jaccard of two `array<bigint>` hash-set columns in one pass (see
+    * [[HashJaccard]]).
+    */
+  def hash_jaccard(a: Column, b: Column): Column =
+    column(HashJaccard(expression(a), expression(b)))
+
   /** Cosine similarity of two float/double array columns, in double. */
   def cosine_sim(a: Column, b: Column): Column =
     column(VecDot(expression(a), expression(b), DotMode.Cosine))
@@ -268,6 +274,42 @@ case class LshBuckets(child: Expression, planes: Vector[Double],
 
   override protected def withNewChildInternal(c: Expression): LshBuckets =
     copy(child = c)
+}
+
+/** One-pass set-Jaccard over two `array<bigint>` hash sets — the verify
+  * predicate of every minhash pipeline. Equals
+  * `size(array_intersect(a,b)) / size(array_union(a,b))` (double), without
+  * building two hash sets and materializing two arrays per candidate
+  * pair. Both-empty → NULL (no features ⇒ no similarity claim).
+  */
+case class HashJaccard(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true // both-empty → null
+  override def checkInputDataTypes() = (left.dataType, right.dataType) match {
+    case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case other =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"hash_jaccard expects two array<bigint>, got $other")
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    ExprKernels.hashJaccard(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val tmp = ctx.freshName("jac")
+      s"""
+         |java.lang.Double $tmp = graft.plans.ExprKernels.hashJaccard($a, $b);
+         |${ev.isNull} = $tmp == null;
+         |if (!${ev.isNull}) ${ev.value} = $tmp.doubleValue();
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): HashJaccard =
+    copy(left = l, right = r)
 }
 
 private[plans] object DotMode extends Enumeration { val Dot, Cosine = Value }

@@ -68,13 +68,11 @@ object StreamingDedup {
                   bands: Int = 16, shingleWidth: Int = 3,
                   maxBucketSize: Int = 1000,
                   maxIndexFiles: Int = 64): Long = {
-    // 1. batch-internal keep-first near-dedup (same rule as the batch op)
-    val internal = MinHashDedup.dedup(batch, idCol, textCol, threshold,
-      numHashes, bands, shingleWidth)
-
-    // 2. signatures for the batch survivors — staged once, reused by the
-    // candidate join, the verification, and the index append
-    val hashed = internal.select(col(idCol),
+    // 1. tokenize + hash ONCE for the whole batch: this single persisted
+    // frame feeds the within-batch dedup, the index candidate join, the
+    // verification, and the index append (tokenization dominates the
+    // pipeline; the earlier formulation ran it twice per batch)
+    val hashed = batch.select(col(idCol),
         graft.plans.expressions.shingle_hashes(col(textCol), shingleWidth).as(HH))
       .withColumn("__sig",
         MinHashDedup.minHashFromHashes(col(HH), numHashes))
@@ -82,9 +80,23 @@ object StreamingDedup {
         MinHashDedup.bandHashes(col("__sig"), numHashes, bands).as(BANDS))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
+    // batch-internal keep-first near-dedup (the batch operator's rule:
+    // drop the larger id of every verified pair), over the staged frame
+    val withinCands = MinHashDedup.candidatePairsFromHashes(
+      hashed.select(col(idCol).as("__id"), col(HH).as("__hh")),
+      numHashes, bands, maxBucketSize)
+    val losers = withinCands
+      .join(hashed.select(col(idCol).as("id_a"), col(HH).as("__ha")), Seq("id_a"))
+      .join(hashed.select(col(idCol).as("id_b"), col(HH).as("__hb")), Seq("id_b"))
+      .filter(graft.plans.expressions.hash_jaccard(col("__ha"), col("__hb"))
+        >= threshold)
+      .select(col("id_b").as(idCol)).distinct()
+
     val idx = index.toDF
     // retry-idempotence: ids already indexed (a replayed micro-batch) drop
-    val fresh = hashed.join(idx.select(col(idCol)), Seq(idCol), "left_anti")
+    val fresh = hashed
+      .join(losers, Seq(idCol), "left_anti")
+      .join(idx.select(col(idCol)), Seq(idCol), "left_anti")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // 3. LSH candidates vs the index (bucket collisions only) + verify
@@ -97,22 +109,31 @@ object StreamingDedup {
       .join(fresh.select(col(idCol).as("__new_id"), col(HH).as("__hh_new")), Seq("__new_id"))
       .join(idx.select(col(idCol).as("__idx_id"), col(HH).as("__hh_idx")), Seq("__idx_id"))
       .withColumn("__j",
-        size(array_intersect(col("__hh_new"), col("__hh_idx"))).cast("double") /
-          size(array_union(col("__hh_new"), col("__hh_idx"))))
+        graft.plans.expressions.hash_jaccard(col("__hh_new"), col("__hh_idx")))
       .filter(col("__j") >= threshold)
       .select(col("__new_id").as(idCol)).distinct()
 
-    // 4. novel docs → out; novel signatures → index
+    // 4. novel docs → out; novel signatures → index (persisted: consumed
+    // by the count and BOTH appends — unpersisted it would re-run the
+    // candidate join + verification three times)
     val novelSigs = fresh.join(verified, Seq(idCol), "left_anti")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val novelCount = novelSigs.count()
     if (novelCount > 0) {
-      out.append(batch.join(novelSigs.select(idCol), Seq(idCol), "left_semi"))
-      index.append(novelSigs)
+      // size the append's file count by rows — a small batch written at
+      // the session's full shuffle parallelism produces dozens of tiny
+      // files per commit, and every later batch re-opens all of them
+      val parts = math.max(1L, novelCount / 100000L).toInt
+      out.append(batch.join(novelSigs.select(idCol), Seq(idCol), "left_semi")
+        .coalesce(parts))
+      index.append(novelSigs.select(col(idCol), col(HH), col(BANDS))
+        .coalesce(parts))
       // 5. bound index fragmentation (one commit dir per batch otherwise)
       graft.operators.TableOps.autoOptimize(index, maxFiles = maxIndexFiles)
     }
     hashed.unpersist()
     fresh.unpersist()
+    novelSigs.unpersist()
     novelCount
   }
 

@@ -154,9 +154,10 @@ object MinHashDedup {
     val withB = withA.join(hashed.select(col("__id").as("id_b"),
       col("__hh").as("__sh_b")), Seq("id_b"))
     withB
+      // one-pass set-Jaccard kernel (== size(intersect)/size(union), which
+      // built two hash sets and materialized two arrays per candidate)
       .withColumn("jaccard",
-        size(array_intersect(col("__sh_a"), col("__sh_b"))).cast("double") /
-          size(array_union(col("__sh_a"), col("__sh_b"))))
+        graft.plans.expressions.hash_jaccard(col("__sh_a"), col("__sh_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
   }

@@ -42,6 +42,12 @@ object CodegenCheck {
     ts.head()
     println("[3b] text_surface_stats OK under forced codegen")
 
+    val hj = docs.as("a").crossJoin(docs.limit(3).as("b"))
+      .select(hash_jaccard(
+        shingle_hashes(col("a.text"), 3), shingle_hashes(col("b.text"), 3)).as("j"))
+    hj.agg(sum(col("j"))).head()
+    println("[3d] hash_jaccard OK under forced codegen")
+
     val planes = Seq.tabulate(4 * 8 * 64)(i => math.sin(i.toDouble)) // any fixed matrix
     val lb = emb.select(lsh_buckets(col("embedding"), planes, 4, 8, 64).as("b"))
     lb.agg(expr("bit_xor(b[0])"), expr("bit_xor(b[3])")).head()

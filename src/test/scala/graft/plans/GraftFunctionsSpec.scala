@@ -41,6 +41,31 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(row.isNullAt(2))
   }
 
+  test("hash_jaccard equals the array_intersect/array_union formulation") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(3L)
+    // random multisets with collisions, zeros, and empties — the kernel
+    // must match Spark's set semantics on every one
+    val rows = (1 to 200).map { i =>
+      def arr(n: Int) = Seq.fill(n)(rnd.nextInt(30).toLong - 5L)
+      (i.toLong, arr(rnd.nextInt(40)), arr(rnd.nextInt(40)))
+    } :+ (900L, Seq(0L, 0L, 1L), Seq(0L, 2L)) :+ (901L, Seq.empty[Long], Seq(1L, 2L))
+    val df = rows.toDF("id", "a", "b")
+    val both = df.select(col("id"),
+      graft.plans.expressions.hash_jaccard(col("a"), col("b")).as("kernel"),
+      (size(array_intersect(col("a"), col("b"))).cast("double") /
+        size(array_union(col("a"), col("b")))).as("builtin"))
+      .collect()
+    both.foreach { r =>
+      assert(r.getDouble(1) == r.getDouble(2),
+        s"id ${r.getLong(0)}: kernel ${r.getDouble(1)} != builtin ${r.getDouble(2)}")
+    }
+    // both-empty → null
+    val z = Seq((Seq.empty[Long], Seq.empty[Long])).toDF("a", "b")
+      .select(graft.plans.expressions.hash_jaccard(col("a"), col("b")))
+    assert(z.head().isNullAt(0))
+  }
+
   test("non-literal width argument raises a clear error") {
     val e = intercept[Exception] {
       spark.sql("SELECT graft_shingle_hashes('abc', CAST(rand() * 3 AS INT))").collect()
