@@ -29,7 +29,16 @@ object Scd2 {
             attrColNames: Seq[String],
             isCurrentColName: String = "is_current",
             effectiveTimeColName: String = "effective_time",
-            endTimeColName: String = "end_time"): DataFrame = {
+            endTimeColName: String = "end_time"): DataFrame =
+    builder(base, updates, primaryKey, attrColNames,
+      isCurrentColName, effectiveTimeColName, endTimeColName).result()
+
+  /** The staged-updates MERGE both shells share. */
+  private def builder(base: DataFrame, updates: DataFrame, primaryKey: String,
+                      attrColNames: Seq[String],
+                      isCurrentColName: String,
+                      effectiveTimeColName: String,
+                      endTimeColName: String): Merge.Builder = {
     // validate the base table (reference :78-87)
     val baseCols = base.columns.toSeq
     val requiredBase = (primaryKey +: attrColNames) ++
@@ -67,25 +76,32 @@ object Scd2 {
         effectiveTimeColName -> s"staged_updates.$effectiveTimeColName",
         endTimeColName -> "null")
 
+    // merge key QUALIFIED with the source alias (same resolution — the
+    // column exists only on the source) so Merge.execute's pruning
+    // analysis can recognize the equi-binding
     Merge.into(base, "base")
-      .using(stagedUpdates, "staged_updates", s"base.$primaryKey = mergeKey")
+      .using(stagedUpdates, "staged_updates",
+        s"base.$primaryKey = staged_updates.mergeKey")
       .whenMatchedUpdate(
         condition = s"base.$isCurrentColName = true AND ($stagedUpdatesAttrs)",
         set = Map(
           isCurrentColName -> "false",
           endTimeColName -> s"staged_updates.$effectiveTimeColName"))
       .whenNotMatchedInsert(insertValues)
-      .result()
   }
 
-  /** Generic shell (reference :43-141). */
+  /** Generic shell (reference :43-141). Routed through `Merge.execute`,
+    * so a stats-bearing unpartitioned table rewrites only the files whose
+    * primary-key bounds overlap the update batch (and a pk-partition-bound
+    * table only its touched partitions) — a 1-row SCD2 upsert stops
+    * rewriting the whole table.
+    */
   def genericUpsert(table: ManagedTable, updates: DataFrame, primaryKey: String,
                     attrColNames: Seq[String], isCurrentColName: String,
                     effectiveTimeColName: String, endTimeColName: String): Unit =
-    table.overwrite(
-      apply(table.toDF, updates, primaryKey, attrColNames,
-        isCurrentColName, effectiveTimeColName, endTimeColName),
-      operation = "MERGE")
+    builder(table.toDF, updates, primaryKey, attrColNames,
+      isCurrentColName, effectiveTimeColName, endTimeColName)
+      .execute(table)
 
   /** Conventional-column wrapper (reference :11-40). */
   def upsert(table: ManagedTable, updates: DataFrame, primaryKey: String,

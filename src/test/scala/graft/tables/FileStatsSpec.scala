@@ -109,6 +109,36 @@ class FileStatsSpec extends SparkSpec {
       .select("name").as[String].collect().toSet == Set("a", "b", "c"))
   }
 
+  test("SCD2 upsert on a multi-file table rewrites only pk-touched files") {
+    val scdSchema = StructType(Seq(
+      StructField("pkey", IntegerType),
+      StructField("attr", StringType),
+      StructField("is_current", BooleanType),
+      StructField("effective_time", TimestampType),
+      StructField("end_time", TimestampType)))
+    def rows(lo: Int, hi: Int) = (lo to hi).map(i =>
+      Row(i, s"a$i", true, ts("2020-01-01 00:00:00"), null))
+    val t = ManagedTable.create(df(scdSchema, rows(1, 100)).coalesce(1), tmpDir("scdf"))
+    t.append(df(scdSchema, rows(101, 200)).coalesce(1))
+    t.append(df(scdSchema, rows(201, 300)).coalesce(1))
+    val before = t.fileStats.map(_.path).toSet
+    val updates = df(
+      StructType(Seq(
+        StructField("pkey", IntegerType), StructField("attr", StringType),
+        StructField("effective_time", TimestampType))),
+      Seq(Row(150, "CHANGED", ts("2021-01-01 00:00:00"))))
+    graft.operators.Scd2.upsert(t, updates, "pkey", Seq("attr"))
+    val after = t.fileStats.map(_.path).toSet
+    assert(before.intersect(after).size == 2,
+      "the two pk-ranges the update cannot touch must keep their files")
+    // SCD2 semantics intact: old version closed, new version current
+    val v = t.toDF.filter(col("pkey") === 150)
+      .select("attr", "is_current").collect()
+      .map(r => (r.getString(0), r.getBoolean(1))).toSet
+    assert(v == Set(("a150", false), ("CHANGED", true)))
+    assert(t.toDF.count() == 301)
+  }
+
   test("entries without stats (legacy log) read fine and backfill on next write") {
     val loc = tmpDir("fs6")
     val t = rangedTable(loc)
