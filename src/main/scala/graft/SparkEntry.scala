@@ -281,6 +281,26 @@ object SparkEntry {
       t(s, dir, "documents").select(
         col("doc_id"), text.TextAnalysis.qualityScore(col("text")).as("quality"))),
 
+    // Gopher-style repetition signals (one fused scan per text). Line
+    // signals run on a multi-line doc derived deterministically from the
+    // corpus (raw docs are single-line: text \n 80-char-prefix \n text, so
+    // lines 1 and 3 always collide); n-gram signals run on the raw text,
+    // where 349/500 sf0.01 docs repeat a bigram naturally.
+    "quality_repetition" -> ((s, dir) => {
+      val structured = concat(col("text"), lit("\n"),
+        substring(col("text"), 1, 80), lit("\n"), col("text"))
+      val stL = text.QualityFilters.repetitionStats(structured)
+      val stG = text.QualityFilters.repetitionStats(col("text"))
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        stL.getField("n_lines").as("n_lines"),
+        round(stL.getField("dup_line_frac"), 4).as("dup_line_frac"),
+        round(stL.getField("dup_line_char_frac"), 4).as("dup_line_char_frac"),
+        round(stG.getField("top2gram_char_frac"), 4).as("top2gram_frac"),
+        round(stG.getField("top3gram_char_frac"), 4).as("top3gram_frac"),
+        round(stG.getField("dup5gram_char_frac"), 4).as("dup5gram_frac"))
+    }),
+
     // ---- extensions: chunking & packing -------------------------------
     "doc_chunks" -> ((s, dir) =>
       text.TextChunker.chunk(t(s, dir, "documents"), "doc_id", "text",
@@ -740,6 +760,72 @@ object SparkEntry {
         |    (CASE WHEN punct_ratio < 0.2 THEN 1.0 ELSE 0.4 END) * 0.1 +
         |    distinct_ratio * 0.2, 0.0), 1.0), 4) AS quality
         |FROM c""".stripMargin,
+
+    // full SQL re-derivation of the repetition kernel: lines via split +
+    // group-by, word n-grams via window lead() over the token stream;
+    // every fraction is one integer/integer division (bit-deterministic)
+    "quality_repetition" ->
+      """WITH d AS (
+        |  SELECT doc_id, text,
+        |    text || chr(10) || substr(text, 1, 80) || chr(10) || text AS t
+        |  FROM documents),
+        |lines AS (
+        |  SELECT doc_id, trim(l, ' ' || chr(9) || chr(13)) AS line
+        |  FROM d, unnest(string_split(t, chr(10))) AS u(l)),
+        |lc AS (
+        |  SELECT doc_id, line, count(*) AS c, length(line) AS len
+        |  FROM lines WHERE line <> '' GROUP BY doc_id, line),
+        |la AS (
+        |  SELECT doc_id, sum(c) AS n_lines, count(*) AS n_distinct,
+        |    sum(c * len) AS tot_chars,
+        |    sum(CASE WHEN c >= 2 THEN c * len ELSE 0 END) AS dup_chars
+        |  FROM lc GROUP BY doc_id),
+        |tk0 AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^\p{L}]+'),
+        |                x -> length(x) > 0) AS toks
+        |  FROM d),
+        |tk AS (SELECT doc_id, unnest(toks) AS tok,
+        |         unnest(range(len(toks))) AS ord FROM tk0),
+        |ta AS (SELECT doc_id, sum(length(tok)) AS sum_tok_len
+        |       FROM tk GROUP BY doc_id),
+        |seq AS (
+        |  SELECT doc_id, tok,
+        |    lead(tok, 1) OVER w AS t2, lead(tok, 2) OVER w AS t3,
+        |    lead(tok, 3) OVER w AS t4, lead(tok, 4) OVER w AS t5
+        |  FROM tk WINDOW w AS (PARTITION BY doc_id ORDER BY ord)),
+        |bi AS (
+        |  SELECT doc_id, max(c * len) AS top FROM (
+        |    SELECT doc_id, count(*) AS c, length(tok) + length(t2) AS len
+        |    FROM seq WHERE t2 IS NOT NULL GROUP BY doc_id, tok, t2)
+        |  WHERE c >= 2 GROUP BY doc_id),
+        |tri AS (
+        |  SELECT doc_id, max(c * len) AS top FROM (
+        |    SELECT doc_id, count(*) AS c,
+        |      length(tok) + length(t2) + length(t3) AS len
+        |    FROM seq WHERE t3 IS NOT NULL GROUP BY doc_id, tok, t2, t3)
+        |  WHERE c >= 2 GROUP BY doc_id),
+        |five AS (
+        |  SELECT doc_id, sum(c * len) AS dup FROM (
+        |    SELECT doc_id, count(*) AS c,
+        |      length(tok) + length(t2) + length(t3) + length(t4) + length(t5) AS len
+        |    FROM seq WHERE t5 IS NOT NULL GROUP BY doc_id, tok, t2, t3, t4, t5)
+        |  WHERE c >= 2 GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(la.n_lines, 0) AS BIGINT) AS n_lines,
+        |  round(coalesce(CAST(la.n_lines - la.n_distinct AS DOUBLE)
+        |    / la.n_lines, 0), 4) AS dup_line_frac,
+        |  round(coalesce(CAST(la.dup_chars AS DOUBLE)
+        |    / nullif(la.tot_chars, 0), 0), 4) AS dup_line_char_frac,
+        |  round(least(coalesce(CAST(bi.top AS DOUBLE) / ta.sum_tok_len, 0), 1.0), 4)
+        |    AS top2gram_frac,
+        |  round(least(coalesce(CAST(tri.top AS DOUBLE) / ta.sum_tok_len, 0), 1.0), 4)
+        |    AS top3gram_frac,
+        |  round(least(coalesce(CAST(five.dup AS DOUBLE) / ta.sum_tok_len, 0), 1.0), 4)
+        |    AS dup5gram_frac
+        |FROM d LEFT JOIN la USING (doc_id) LEFT JOIN ta USING (doc_id)
+        |LEFT JOIN bi USING (doc_id) LEFT JOIN tri USING (doc_id)
+        |LEFT JOIN five USING (doc_id)""".stripMargin,
 
     "lang_id" ->
       """WITH t AS (

@@ -436,6 +436,140 @@ object ExprKernels {
       new GenericArrayData(langHits), UTF8String.fromString(lang)))
   }
 
+  /** One-pass repetition statistics of a text (see [[RepetitionStats]]) —
+    * the Gopher-style repetition signals (Rae et al. 2021, "Scaling
+    * Language Models", table A1) used to drop boilerplate/spammy documents
+    * from pretraining corpora:
+    *
+    *  - `n_lines`: nonempty lines (split on `\n`, trimmed of space/tab/CR)
+    *  - `dup_line_frac`: fraction of lines that are repeats of an earlier
+    *    identical line (count basis)
+    *  - `dup_line_char_frac`: fraction of line characters in lines whose
+    *    content occurs ≥ 2 times
+    *  - `top2gram_char_frac` / `top3gram_char_frac`: token-character mass
+    *    of the most frequent REPEATED word 2-/3-gram over total token
+    *    characters (occurrence count × gram length; overlaps counted,
+    *    capped at 1). Grams occurring once contribute 0 — a singleton is
+    *    not repetition, and counting it (as a literal reading of Gopher's
+    *    "most common n-gram" would) makes every short document fail the
+    *    threshold.
+    *  - `dup5gram_char_frac`: token-character mass of all 5-grams occurring
+    *    ≥ 2 times over total token characters (capped at 1)
+    *
+    * Tokenization matches [[textSurfaceStats]]: letter runs of the
+    * ICU-lowered text (= Spark 4 `lower()`), lengths in code points — so a
+    * DuckDB `string_split_regex(lower(t),'[^\p{L}]+')` oracle reproduces
+    * every field exactly. All fractions are a single integer÷integer
+    * division, so they are bit-deterministic.
+    */
+  def repetitionStats(input: UTF8String)
+      : org.apache.spark.sql.catalyst.InternalRow = {
+    val original = input.toString
+
+    // --- line statistics: one scan, counts per distinct trimmed line ---
+    val lineCounts = new java.util.HashMap[String, Array[Long]]() // [count, cpLen]
+    var nLines = 0L
+    var totLineChars = 0L
+    var lineStart = 0
+    def addLine(endExcl: Int): Unit = {
+      var a = lineStart
+      var b = endExcl
+      while (a < b && { val c = original.charAt(a); c == ' ' || c == '\t' || c == '\r' }) a += 1
+      while (b > a && { val c = original.charAt(b - 1); c == ' ' || c == '\t' || c == '\r' }) b -= 1
+      if (b > a) {
+        val line = original.substring(a, b)
+        val cpLen = original.codePointCount(a, b).toLong
+        nLines += 1
+        totLineChars += cpLen
+        val e = lineCounts.get(line)
+        if (e == null) lineCounts.put(line, Array(1L, cpLen)) else e(0) += 1
+      }
+    }
+    var i = 0
+    while (i < original.length) {
+      if (original.charAt(i) == '\n') { addLine(i); lineStart = i + 1 }
+      i += 1
+    }
+    addLine(original.length)
+    var dupLineChars = 0L
+    val lit0 = lineCounts.values.iterator()
+    while (lit0.hasNext) {
+      val e = lit0.next()
+      if (e(0) >= 2) dupLineChars += e(0) * e(1)
+    }
+    val dupLineFrac =
+      if (nLines > 0) (nLines - lineCounts.size).toDouble / nLines else 0.0
+    val dupLineCharFrac =
+      if (totLineChars > 0) dupLineChars.toDouble / totLineChars else 0.0
+
+    // --- word tokens: ICU lower (Spark 4 `lower()` parity), letter runs ---
+    val lowered = org.apache.spark.sql.catalyst.util.CollationSupport.Lower
+      .execBinaryICU(input).toString
+    val toks = new scala.collection.mutable.ArrayBuffer[String](64)
+    val tokLens = new scala.collection.mutable.ArrayBuffer[Long](64)
+    var sumTokLen = 0L
+    var start = -1
+    var j = 0
+    def closeTok(until: Int): Unit = if (start >= 0) {
+      val l = lowered.codePointCount(start, until).toLong
+      toks += lowered.substring(start, until)
+      tokLens += l
+      sumTokLen += l
+      start = -1
+    }
+    while (j < lowered.length) {
+      val cp = lowered.codePointAt(j)
+      if (Character.isLetter(cp)) { if (start < 0) start = j }
+      else closeTok(j)
+      j += Character.charCount(cp)
+    }
+    closeTok(lowered.length)
+
+    // (maxCount×len, dupCharMass) over word n-grams of the token stream
+    def gramStats(n: Int): (Long, Long) = {
+      if (toks.length < n) (0L, 0L)
+      else {
+        val m = new java.util.HashMap[String, Array[Long]]() // [count, cpLen]
+        val sb = new java.lang.StringBuilder()
+        var s = 0
+        while (s + n <= toks.length) {
+          sb.setLength(0)
+          var l = 0L
+          var k = 0
+          while (k < n) {
+            if (k > 0) sb.append(' ') // unambiguous joiner (tokens are letters)
+            sb.append(toks(s + k))
+            l += tokLens(s + k)
+            k += 1
+          }
+          val e = m.get(sb.toString)
+          if (e == null) m.put(sb.toString, Array(1L, l)) else e(0) += 1
+          s += 1
+        }
+        var best = 0L
+        var dup = 0L
+        val it = m.values.iterator()
+        while (it.hasNext) {
+          val e = it.next()
+          if (e(0) >= 2) {
+            val mass = e(0) * e(1)
+            if (mass > best) best = mass
+            dup += mass
+          }
+        }
+        (best, dup)
+      }
+    }
+    val top2 = gramStats(2)._1
+    val top3 = gramStats(3)._1
+    val dup5 = gramStats(5)._2
+    def frac(x: Long): Double =
+      if (sumTokLen > 0) math.min(x.toDouble / sumTokLen, 1.0) else 0.0
+
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(Array[Any](
+      nLines, dupLineFrac, dupLineCharFrac, frac(top2), frac(top3), frac(dup5)))
+  }
+
   /** The `nprobe` nearest centroids by dot product, as array<int> (see
     * [[graft.ml.NearestCentroids]]).
     */

@@ -42,6 +42,11 @@ object CodegenCheck {
     ts.head()
     println("[3b] text_surface_stats OK under forced codegen")
 
+    val rs = docs.select(graft.text.QualityFilters.repetitionStats(col("text")).as("st"))
+      .select(sum(col("st.n_lines")), sum(col("st.top2gram_char_frac")))
+    rs.head()
+    println("[3e] repetition_stats OK under forced codegen")
+
     val hj = docs.as("a").crossJoin(docs.limit(3).as("b"))
       .select(hash_jaccard(
         shingle_hashes(col("a.text"), 3), shingle_hashes(col("b.text"), 3)).as("j"))

@@ -1,0 +1,89 @@
+package graft.text
+
+import graft.SparkSpec
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+/** Pins [[graft.plans.RepetitionStats]] against an independent plain-Scala
+  * reference implementation (different code path: collections groupBy, no
+  * incremental scan) on planted repetition cases and edges.
+  */
+class QualityFiltersSpec extends SparkSpec {
+  import spark.implicits._
+
+  // independent reference: straightforward collections implementation
+  private def ref(text: String): (Long, Double, Double, Double, Double, Double) = {
+    val lines = text.split("\n", -1).toSeq
+      .map(_.dropWhile(c => c == ' ' || c == '\t' || c == '\r')
+        .reverse.dropWhile(c => c == ' ' || c == '\t' || c == '\r').reverse)
+      .filter(_.nonEmpty)
+    val byLine = lines.groupBy(identity).view.mapValues(_.size).toMap
+    def cp(s: String): Long = s.codePointCount(0, s.length).toLong
+    val nLines = lines.size.toLong
+    val dupLineFrac =
+      if (nLines > 0) (nLines - byLine.size).toDouble / nLines else 0.0
+    val totChars = lines.map(cp).sum
+    val dupChars = byLine.collect { case (l, c) if c >= 2 => c * cp(l) }.sum
+    val dupLineCharFrac = if (totChars > 0) dupChars.toDouble / totChars else 0.0
+
+    val toks = text.toLowerCase.split("[^\\p{L}]+").filter(_.nonEmpty).toSeq
+    val sumTokLen = toks.map(cp).sum
+    def grams(n: Int): Map[Seq[String], Int] =
+      if (toks.size < n) Map.empty
+      else toks.sliding(n).toSeq.groupBy(identity).view.mapValues(_.size).toMap
+    def mass(g: Seq[String], c: Int): Long = c.toLong * g.map(cp).sum
+    def frac(x: Long): Double =
+      if (sumTokLen > 0) math.min(x.toDouble / sumTokLen, 1.0) else 0.0
+    def top(n: Int): Long =
+      grams(n).collect { case (g, c) if c >= 2 => mass(g, c) }.foldLeft(0L)(math.max)
+    val dup5 = grams(5).collect { case (g, c) if c >= 2 => mass(g, c) }.sum
+    (nLines, dupLineFrac, dupLineCharFrac, frac(top(2)), frac(top(3)), frac(dup5))
+  }
+
+  private def kernel(text: String): (Long, Double, Double, Double, Double, Double) = {
+    val r = Seq(text).toDF("t")
+      .select(QualityFilters.repetitionStats(col("t")).as("st"))
+      .select("st.*").head()
+    (r.getLong(0), r.getDouble(1), r.getDouble(2),
+      r.getDouble(3), r.getDouble(4), r.getDouble(5))
+  }
+
+  private val cases = Seq(
+    "hello world hello world hello world",              // repeated bigram
+    "spam spam spam spam spam spam",                    // one token repeated
+    "a line\na line\nanother line\n\n  a line  ",       // duplicate lines + trim
+    "one two three four five one two three four five",  // repeated 5-gram
+    "unique words only here today",                     // no repetition
+    "x",                                                // single token
+    "123 456 789",                                      // no letters → no tokens
+    "",                                                 // empty
+    "tab\t\nline\r\ntab\t",                             // CR/tab trimming
+    "Der die DAS der Die das")                          // case folding
+
+  test("kernel matches the independent reference on planted cases") {
+    for (c <- cases) assert(kernel(c) == ref(c), s"case: ${c.take(40)}")
+  }
+
+  test("null text yields null struct") {
+    val r = Seq[(String, Int)]((null, 1)).toDF("t", "i")
+      .select(QualityFilters.repetitionStats(col("t")).as("st")).head()
+    assert(r.isNullAt(0))
+  }
+
+  test("gopherRepetitionKeep drops the planted spam and keeps clean text") {
+    val d = Seq(
+      (1L, "spam spam spam spam spam spam spam spam"),
+      (2L, "a perfectly normal sentence with varied interesting words")
+    ).toDF("doc_id", "t")
+    val kept = QualityFilters.filterRepetitive(d, "t")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L))
+  }
+
+  test("boilerplate-heavy doc fails dup_line_char_frac specifically") {
+    val footer = "subscribe to our newsletter for more updates"
+    val t = s"real content paragraph\n$footer\nmore real content\n$footer"
+    val st = kernel(t)
+    assert(st._3 > 0.20, s"dup_line_char_frac=${st._3}") // footer dominates
+  }
+}
