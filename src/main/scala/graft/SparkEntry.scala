@@ -301,6 +301,25 @@ object SparkEntry {
         round(stG.getField("dup5gram_char_frac"), 4).as("dup5gram_frac"))
     }),
 
+    // ---- extensions: deterministic sampling & per-group caps ----------
+    // membership is a pure function of (doc_id, seed) — the DuckDB oracle
+    // recomputes the identical md5-derived hash and must select the very
+    // same rows (not just the same count)
+    "sample_hash" -> ((s, dir) =>
+      Sampling.hashSample(t(s, dir, "documents"), Seq("doc_id"),
+        numerator = 3, denominator = 10, seed = 42L, portable = true)
+        .select("doc_id", "lang", "source")),
+
+    // per-language cap (two-phase skew-safe top-n; orderBy made total by
+    // the doc_id tiebreaker) — the oracle is the single-window formulation
+    "group_cap" -> ((s, dir) =>
+      Sampling.capPerGroup(
+        t(s, dir, "documents").select("doc_id", "lang", "n_chars"),
+        groupCols = Seq("lang"),
+        orderBy = Seq(col("n_chars").desc, col("doc_id").asc),
+        n = 50, salts = 8)
+        .select("doc_id", "lang")),
+
     // ---- extensions: chunking & packing -------------------------------
     "doc_chunks" -> ((s, dir) =>
       text.TextChunker.chunk(t(s, dir, "documents"), "doc_id", "text",
@@ -645,6 +664,19 @@ object SparkEntry {
         |SELECT min(ts) AS session_start, user_id,
         |  count(*) AS n_events, round(sum(value), 2) AS session_value
         |FROM s GROUP BY user_id, sess_id""".stripMargin,
+
+    // identical 60-bit md5-derived hash → identical sampled SET
+    "sample_hash" ->
+      """SELECT doc_id, lang, source FROM documents
+        |WHERE CAST(concat('0x',
+        |    substr(md5(concat_ws(chr(1), doc_id, '42')), 1, 15)) AS BIGINT)
+        |  % 10 < 3""".stripMargin,
+
+    "group_cap" ->
+      """SELECT doc_id, lang FROM (
+        |  SELECT doc_id, lang, row_number() OVER (
+        |    PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS rn
+        |  FROM documents) WHERE rn <= 50""".stripMargin,
 
     "doc_chunks" ->
       """WITH toks AS (

@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Deterministic sampling and per-group caps for corpus curation.
+  *
+  * `df.sample()` is NOT reproducible at scale: its output depends on the
+  * partitioning of the input (a retry, a different file split, or a
+  * repartition upstream changes the sample). Training-data pipelines need
+  * the opposite — a sample that is a pure function of each row's key, so
+  * re-runs, backfills, and incremental appends agree on which rows are in.
+  */
+object Sampling {
+
+  /** 60-bit deterministic key hash: the first 15 hex chars of
+    * md5(keys ⊕ seed), parsed as an integer. Slower than [[fastHash]] but
+    * portable — any engine with `md5` computes the identical value, which
+    * is how the DuckDB oracle verifies the sampled-set membership exactly
+    * (`CAST(concat('0x', substr(md5(k || chr(1) || seed), 1, 15)) AS
+    * BIGINT)`). Keys must be non-null (`concat_ws` skips nulls, which
+    * would alias distinct key tuples).
+    */
+  def portableHash(keys: Seq[Column], seed: String): Column =
+    conv(substring(md5(concat_ws("", keys :+ lit(seed): _*)), 1, 15),
+      16, 10).cast(LongType)
+
+  /** xxhash64 key hash — codegen'd, no string materialization; the
+    * default for production use where cross-engine parity isn't needed.
+    */
+  def fastHash(keys: Seq[Column], seed: Long): Column =
+    xxhash64(keys :+ lit(seed): _*)
+
+  /** Keep a row iff `hash(keys, seed) mod denominator < numerator` — a
+    * deterministic Bernoulli(numerator/denominator) sample stratified by
+    * nothing but the key hash. Pure per-row filter: no shuffle, pushes
+    * into the scan, and two tables sampled with the same keys/seed keep
+    * ALIGNED row sets (sample a join's both sides consistently).
+    */
+  def hashSample(df: DataFrame, keys: Seq[String], numerator: Int,
+                 denominator: Int, seed: Long = 42L,
+                 portable: Boolean = false): DataFrame = {
+    require(denominator > 0 && numerator >= 0 && numerator <= denominator,
+      s"need 0 <= numerator <= denominator, got $numerator/$denominator")
+    val h =
+      if (portable) portableHash(keys.map(col), seed.toString)
+      else fastHash(keys.map(col), seed)
+    df.filter(pmod(h, lit(denominator.toLong)) < numerator)
+  }
+
+  /** At most `n` rows per group, ranked by `orderBy` — per-domain caps
+    * against over-represented sources. `orderBy` MUST be a total order
+    * within each group (add a unique tiebreaker column): with ties at the
+    * cut the kept set would otherwise be partitioning-dependent.
+    *
+    * Two-phase for skew: a hot group (one domain = half the corpus) would
+    * serialize a single window task. Phase 1 scatters each group's rows
+    * over `salts` subtasks by row ordinal (identical rows still spread —
+    * same argument as [[Skew.saltedJoin]]) and locally truncates to `n`;
+    * any row below local rank `n` cannot be in the group's global top
+    * `n`, so phase 2 ranks only the ≤ `salts`·`n` survivors. Exact for
+    * ANY scatter assignment because `orderBy` is total.
+    */
+  def capPerGroup(df: DataFrame, groupCols: Seq[String], orderBy: Seq[Column],
+                  n: Int, salts: Int = 16): DataFrame = {
+    require(n > 0, "cap must be positive")
+    require(salts >= 1, "salts must be >= 1")
+    val rank = "__graft_rank"
+    val salt = "__graft_salt"
+    val local = df
+      .withColumn(salt, pmod(monotonically_increasing_id(), lit(salts.toLong)))
+      .withColumn(rank, row_number().over(
+        Window.partitionBy(groupCols.map(col) :+ col(salt): _*).orderBy(orderBy: _*)))
+      .filter(col(rank) <= n)
+      .drop(salt, rank)
+    local
+      .withColumn(rank, row_number().over(
+        Window.partitionBy(groupCols.map(col): _*).orderBy(orderBy: _*)))
+      .filter(col(rank) <= n)
+      .drop(rank)
+  }
+}

@@ -1,0 +1,70 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("hashSample is a pure function of the key: repartitioning changes nothing") {
+    val d = (1L to 2000L).toDF("id")
+    val a = Sampling.hashSample(d, Seq("id"), 3, 10).as[Long].collect().toSet
+    val b = Sampling.hashSample(d.repartition(17), Seq("id"), 3, 10)
+      .as[Long].collect().toSet
+    assert(a == b)
+    // and roughly the requested fraction
+    assert(math.abs(a.size / 2000.0 - 0.3) < 0.05, s"got ${a.size}")
+  }
+
+  test("hashSample aligns across tables sharing the key") {
+    val left = (1L to 500L).toDF("id").withColumn("x", col("id") * 2)
+    val right = (1L to 500L).toDF("id").withColumn("y", col("id") + 1)
+    val ls = Sampling.hashSample(left, Seq("id"), 1, 4).select("id").as[Long].collect().toSet
+    val rs = Sampling.hashSample(right, Seq("id"), 1, 4).select("id").as[Long].collect().toSet
+    assert(ls == rs, "same keys/seed must select the same ids on both tables")
+  }
+
+  test("portable and fast variants are each deterministic; bounds hold") {
+    val d = (1L to 300L).toDF("id")
+    val p1 = Sampling.hashSample(d, Seq("id"), 1, 2, portable = true).count()
+    val p2 = Sampling.hashSample(d, Seq("id"), 1, 2, portable = true).count()
+    assert(p1 == p2)
+    assert(Sampling.hashSample(d, Seq("id"), 0, 7).count() == 0)
+    assert(Sampling.hashSample(d, Seq("id"), 7, 7).count() == 300)
+  }
+
+  test("capPerGroup equals the single-window reference (total order)") {
+    val d = (1L to 1000L).toDF("id")
+      .withColumn("grp", pmod(col("id"), lit(7L)))
+      .withColumn("score", col("id") * 13 % 101)
+    val order = Seq(col("score").desc, col("id").asc)
+    val got = Sampling.capPerGroup(d, Seq("grp"), order, n = 5, salts = 8)
+      .select("id").as[Long].collect().toSet
+    val want = d.withColumn("rn",
+        row_number().over(Window.partitionBy("grp").orderBy(order: _*)))
+      .filter(col("rn") <= 5).select("id").as[Long].collect().toSet
+    assert(got == want)
+  }
+
+  test("capPerGroup survives a hot group of identical-content rows") {
+    // one group holds 90% of rows and every row is content-identical except
+    // the tiebreaker — the ordinal scatter must still spread phase 1
+    val hot = (1L to 9000L).map(i => ("hot", 1L, i))
+    val cold = (1L to 1000L).map(i => (s"g${i % 10}", i % 50, 100000L + i))
+    val d = (hot ++ cold).toDF("grp", "score", "id")
+    val order = Seq(col("score").desc, col("id").asc)
+    val got = Sampling.capPerGroup(d, Seq("grp"), order, n = 3, salts = 8)
+    assert(got.filter(col("grp") === "hot").count() == 3)
+    // exactness: the 3 kept hot rows are the lowest ids (score all equal)
+    assert(got.filter(col("grp") === "hot").select("id")
+      .as[Long].collect().toSet == Set(1L, 2L, 3L))
+    assert(got.filter(col("grp") =!= "hot").count() == 10 * 3)
+  }
+
+  test("capPerGroup keeps whole groups smaller than the cap") {
+    val d = Seq(("a", 1L), ("a", 2L), ("b", 3L)).toDF("grp", "id")
+    val got = Sampling.capPerGroup(d, Seq("grp"), Seq(col("id")), n = 10, salts = 4)
+    assert(got.count() == 3)
+  }
+}
