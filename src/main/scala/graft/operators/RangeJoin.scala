@@ -39,9 +39,13 @@ object RangeJoin {
       floor(col(pointTime).cast("long") / binSeconds))
     val startBin = floor(col(startCol).cast("long") / binSeconds)
     val endBin = floor(col(endCol).cast("long") / binSeconds)
+    // NULL start/end must stay a silent drop (explode(sequence(null, _))
+    // yields no rows — the pre-guard behavior), not an assertion failure:
+    // assert_true raises on a NULL condition, so the guard coalesces NULL
+    // span to true and only a PROVEN-too-wide interval trips it.
     val iv = intervals
       .filter(assert_true(
-        endBin - startBin < lit(maxBinsPerInterval.toLong),
+        coalesce(endBin - startBin < lit(maxBinsPerInterval.toLong), lit(true)),
         lit(s"intervalJoin: an interval spans >= $maxBinsPerInterval bins " +
           s"of $binSeconds s; raise binSeconds (or maxBinsPerInterval) " +
           "instead of exploding the interval side")).isNull)

@@ -126,10 +126,13 @@ object FileStats {
         val bounds: Seq[Option[(String, String)]] = chunks.map { c =>
           val st = c.getStatistics
           if (st == null || st.isEmpty || !st.hasNonNullValue) None
-          else for {
-            lo <- decode(st.genericGetMin.asInstanceOf[AnyRef], f.dataType)
-            hi <- decode(st.genericGetMax.asInstanceOf[AnyRef], f.dataType)
-          } yield (lo, hi)
+          else {
+            val ann = c.getPrimitiveType.getLogicalTypeAnnotation
+            for {
+              lo <- decode(st.genericGetMin.asInstanceOf[AnyRef], f.dataType, ann)
+              hi <- decode(st.genericGetMax.asInstanceOf[AnyRef], f.dataType, ann)
+            } yield (lo, hi)
+          }
         }
         // every row group must contribute valid bounds, and a file with
         // zero chunks for the column (schema evolution) has no bounds —
@@ -148,11 +151,36 @@ object FileStats {
   /** Canonical string for a parquet footer stats value under the Spark
     * type's domain; None when the physical value doesn't line up with the
     * expected representation (INT96 timestamps, NaN floats, …).
+    *
+    * Timestamps are the trap: the footer long is in whatever unit the
+    * writer's logical type annotation declares (MILLIS under
+    * `spark.sql.parquet.outputTimestampType=TIMESTAMP_MILLIS`, MICROS by
+    * default), while the pruning side (`literalValue`/`encodeValue`)
+    * always encodes MICROS — comparing raw MILLIS against MICROS bounds
+    * would skip files that DO contain matching rows. So the annotation is
+    * consulted and everything is normalized to micros; any unit we can't
+    * normalize (NANOS, missing annotation) yields no bounds for the
+    * column, which disables pruning on it rather than corrupting it.
     */
-  private def decode(v: AnyRef, dt: DataType): Option[String] = (dt, v) match {
+  private def decode(v: AnyRef, dt: DataType,
+      ann: org.apache.parquet.schema.LogicalTypeAnnotation): Option[String] =
+    (dt, v) match {
     case (IntegerType | ShortType | ByteType | DateType, i: java.lang.Integer) =>
       Some(i.longValue.toString)
-    case (LongType | TimestampType, l: java.lang.Long) => Some(l.toString)
+    case (TimestampType, l: java.lang.Long) =>
+      import org.apache.parquet.schema.LogicalTypeAnnotation.{
+        TimeUnit, TimestampLogicalTypeAnnotation}
+      ann match {
+        case t: TimestampLogicalTypeAnnotation => t.getUnit match {
+          case TimeUnit.MICROS => Some(l.toString)
+          case TimeUnit.MILLIS =>
+            try Some(Math.multiplyExact(l.longValue, 1000L).toString)
+            catch { case _: ArithmeticException => None }
+          case _ => None // NANOS: Spark never maps these to TimestampType
+        }
+        case _ => None // no/unknown annotation: unit unprovable, no bounds
+      }
+    case (LongType, l: java.lang.Long) => Some(l.toString)
     case (BooleanType, b: java.lang.Boolean) => Some(if (b) "1" else "0")
     case (FloatType, f: java.lang.Float) =>
       if (f.isNaN) None else Some(f.doubleValue.toString)

@@ -67,4 +67,18 @@ class RangeJoinSpec extends SparkSpec {
       yearLong, Seq("k"), "t", "s", "e", binSeconds = 86400L * 30).collect()
     assert(ok.length == points.filter(col("k") === 10L).count().toInt)
   }
+
+  test("NULL-bound intervals are silently dropped, not asserted on") {
+    // pre-guard behavior: explode(sequence(null, ..)) dropped such rows;
+    // the explode guard must not turn tolerated data into a crash
+    val withNulls = Seq(
+      (1L, 10L, Some(ts("2024-01-01 10:00:00")), Some(ts("2024-01-01 11:00:00"))),
+      (2L, 10L, None, Some(ts("2024-01-01 11:00:00"))),
+      (3L, 10L, Some(ts("2024-01-01 10:00:00")), None),
+      (4L, 10L, None, None)
+    ).toDF("iid", "k", "s", "e")
+    val out = RangeJoin.intervalJoin(points, withNulls, Seq("k"), "t", "s", "e")
+      .select("id", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out == Set((1L, 1L), (3L, 1L)), s"got $out")
+  }
 }

@@ -54,6 +54,32 @@ class SkewSpec extends SparkSpec {
     assert(salted == plain)
   }
 
+  test("uniqueCol scatter is deterministic, spreads the hot key, and joins right") {
+    // shuffle-output inputs need a content-derived salt; a unique id both
+    // pins the salt across retries and spreads identical payloads
+    val l = large.withColumn("rid", monotonically_increasing_id())
+      .groupBy("k", "payload").agg(max("rid").as("rid")) // force a shuffle input
+    val plain = l.join(small, Seq("k"), "inner")
+      .collect().map(_.toString).sorted.toSeq
+    val salted = Skew.saltedJoin(l, small, Seq("k"), salts = 8,
+      uniqueCol = Some("rid"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(salted == plain)
+    val buckets = l.withColumn("__s", pmod(xxhash64(col("rid")), lit(8L)))
+      .filter(col("k") === 1).select("__s").distinct().count()
+    assert(buckets >= 6, s"hot key only landed in $buckets/8 salt buckets")
+    // agg path accepts it too
+    val direct = large.groupBy("k").agg(count(lit(1)).as("n"))
+      .collect().map(_.toString).sorted.toSeq
+    val withId = large.withColumn("rid", monotonically_increasing_id())
+    val agged = Skew.saltedAgg(withId, Seq("k"), salts = 8,
+      uniqueCol = Some("rid"))(
+      partials = Seq((count(lit(1)), "pn")),
+      finals = Seq((sum(col("pn")), "n")))
+      .collect().map(_.toString).sorted.toSeq
+    assert(agged == direct)
+  }
+
   test("saltedAgg matches the direct aggregation") {
     val direct = large.groupBy("k")
       .agg(count(lit(1)).as("n"), sum(length(col("payload"))).as("len"))

@@ -174,4 +174,36 @@ class FileStatsSpec extends SparkSpec {
       assert(pruned.inputFiles.length == 1, "June file only")
     assert(pruned.count() == 50)
   }
+
+  test("TIMESTAMP_MILLIS footers normalize to micros — pruning never drops matches") {
+    // With outputTimestampType=TIMESTAMP_MILLIS the footer min/max longs are
+    // in MILLIS while prune literals encode MICROS; un-normalized bounds
+    // compare ~1000x too small and wrongly skip the matching file.
+    val tsSchema = StructType(Seq(
+      StructField("id", IntegerType), StructField("at", TimestampType)))
+    val key = "spark.sql.parquet.outputTimestampType"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "TIMESTAMP_MILLIS")
+    try {
+      val t = ManagedTable.create(
+        df(tsSchema, (0 until 50).map(i =>
+          Row(i, ts(f"2024-01-01 ${i % 24}%02d:00:00")))).coalesce(1),
+        tmpDir("fs8"))
+      t.append(df(tsSchema, (0 until 50).map(i =>
+        Row(100 + i, ts(f"2024-06-01 ${i % 24}%02d:00:00")))).coalesce(1))
+      val pruned = t.toDFWhere("at >= TIMESTAMP '2024-05-01 00:00:00'")
+      assert(pruned.count() == 50, "millis-unit bounds must not skip the June file")
+      // and the normalized bounds still PRUNE (not merely avoid corruption)
+      if (t.fileStats.forall(_.min.contains("at")))
+        assert(pruned.inputFiles.length == 1, "June file only")
+      // file-granular MERGE-style range overlap is unit-correct too
+      val janOnly = t.toDFWhere("at < TIMESTAMP '2024-02-01 00:00:00'")
+      assert(janOnly.count() == 50)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
 }
