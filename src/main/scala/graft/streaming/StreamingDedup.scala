@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 import graft.tables.ManagedTable
@@ -12,27 +12,41 @@ import graft.text.MinHashDedup
   * batch MinHash pipeline (continuous training-data ingestion, where the
   * corpus index outlives any one job).
   *
-  * Shape: `foreachBatch` + a persistent signature index (a
-  * [[ManagedTable]] of `(id, shingle hashes, band hashes)`). Per batch:
+  * Shape: `foreachBatch` + a persistent [[SigIndex]] of two ManagedTables:
+  *
+  *  - `buckets` — one row per (doc, band): `(id, band, bandHash)`,
+  *    hive-partitioned by `__bp = pmod(bandHash, parts)`. The per-batch
+  *    LSH candidate join probes ONLY the partitions holding the batch's
+  *    own band-hash residues (a partition-pruned `toDFWhere` read), so a
+  *    batch touches a bounded slice of the index instead of re-scanning
+  *    all of it — the fix for the per-batch full-index scan.
+  *  - `sigs` — one row per doc: `(id, shingle hashes)`, partitioned by
+  *    `__sp = pmod(xxhash64(id), parts)`. The replay anti-join and the
+  *    exact-Jaccard verification read only the partitions of the ids they
+  *    actually probe, pruned the same way.
+  *
+  * Per batch:
   *
   *  1. batch-internal near-dedup (keep-first, the batch pipeline's rule);
-  *  2. LSH candidate join of the batch's band hashes against the
-  *     index's — only bucket collisions are compared, never all pairs;
+  *  2. LSH candidate join of the batch's band hashes against the pruned
+  *     bucket partitions — only bucket collisions are compared;
   *  3. exact-Jaccard verification of candidates over the stored shingle
   *     hash sets (same predicate as the batch path, so a batch replay
   *     equals the batch dedup);
-  *  4. novel docs append to the output table, their signatures to the
-  *     index — both ManagedTable appends, so a crashed batch retried by
-  *     the checkpoint simply re-runs (appends of already-indexed ids are
-  *     prevented by an id-level anti-join, making the batch idempotent);
-  *  5. the index auto-compacts once it fragments past `maxIndexFiles`
-  *     ([[graft.operators.TableOps.autoOptimize]]).
+  *  4. novel docs append to `out`, their bucket rows to `buckets`, their
+  *     signatures to `sigs` — in THAT order, with `sigs` as the commit
+  *     point: the replay filter (step 1's anti-join) keys off `sigs`
+  *     membership, and the `out`/`buckets` appends each carry their own
+  *     id-level anti-join, so a batch that crashes between ANY two of the
+  *     three commits replays without duplicating rows anywhere (each
+  *     ManagedTable commit is individually atomic);
+  *  5. the index auto-compacts once it fragments past `maxIndexFiles`.
   *
-  * Scale notes: the index join is band-bucket-keyed (shuffle on
-  * (band, bandHash)), so per-batch cost is |batch buckets| ⋈ |index
-  * buckets| — at very large index sizes, partition the index table by a
-  * band-hash prefix so the join prunes to matching partitions; signatures
-  * are ~100 longs per doc, orders of magnitude smaller than the text.
+  * Driver involvement per batch is three bounded collects (the distinct
+  * partition residues to probe — at most `parts` longs each); everything
+  * row-scale stays distributed. `parts` trades read amplification against
+  * directory count: at a 10⁹-doc index, parts=4096 makes a small batch
+  * read tens of partitions instead of terabytes.
   */
 object StreamingDedup {
 
@@ -40,38 +54,84 @@ object StreamingDedup {
   private val HH = "__hh"
   private val BANDS = "__bands"
 
-  /** Create (or open) the signature index for an id column of `idType`. */
-  def openIndex(spark: org.apache.spark.sql.SparkSession, path: String,
-                idCol: String, idType: org.apache.spark.sql.types.DataType):
-      ManagedTable =
-    if (ManagedTable.exists(path)) ManagedTable.forPath(spark, path)
-    else {
-      import org.apache.spark.sql.types._
-      // containsNull = true: bandHashes builds its array from nullable
+  /** The persistent signature index: `sigs` (id → shingle hashes,
+    * partitioned by id-hash residue) + `buckets` (id × band → band hash,
+    * partitioned by band-hash residue).
+    */
+  final case class SigIndex(sigs: ManagedTable, buckets: ManagedTable,
+                            parts: Int)
+
+  private val PARTS_PROP = "graft.lsh.parts"
+
+  /** Create (or open) the signature index for an id column of `idType`.
+    * `parts` is pinned in table properties at creation; reopening ignores
+    * the argument in favor of the stored value (the physical layout is
+    * already committed to it).
+    */
+  def openIndex(spark: SparkSession, path: String,
+                idCol: String, idType: org.apache.spark.sql.types.DataType,
+                parts: Int = 64): SigIndex = {
+    import org.apache.spark.sql.types._
+    require(parts >= 1, "parts must be >= 1")
+    val sigsPath = path + "/sigs"
+    val bucketsPath = path + "/buckets"
+    if (ManagedTable.exists(sigsPath)) {
+      val sigs = ManagedTable.forPath(spark, sigsPath)
+      val p = sigs.properties.getOrElse(PARTS_PROP, parts.toString).toInt
+      SigIndex(sigs, ManagedTable.forPath(spark, bucketsPath), p)
+    } else {
+      def empty(schema: StructType) = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      // containsNull = true: the hash array builds from nullable
       // expressions, and Spark refuses nullable→non-nullable array casts
-      val schema = StructType(Seq(
-        StructField(idCol, idType),
-        StructField(HH, ArrayType(LongType, containsNull = true)),
-        StructField(BANDS, ArrayType(LongType, containsNull = true))))
-      ManagedTable.create(
-        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-          schema), path)
+      val sigs = ManagedTable.create(
+        empty(StructType(Seq(
+          StructField(idCol, idType),
+          StructField(HH, ArrayType(LongType, containsNull = true)),
+          StructField("__sp", LongType)))),
+        sigsPath, partitionBy = Seq("__sp"),
+        properties = Map(PARTS_PROP -> parts.toString))
+      val buckets = ManagedTable.create(
+        empty(StructType(Seq(
+          StructField(idCol, idType),
+          StructField("__band", IntegerType),
+          StructField("__bh", LongType),
+          StructField("__bp", LongType)))),
+        bucketsPath, partitionBy = Seq("__bp"),
+        properties = Map(PARTS_PROP -> parts.toString))
+      SigIndex(sigs, buckets, parts)
     }
+  }
+
+  /** Partition-pruned read: only the partitions of `t` whose `partCol`
+    * residue appears in `values` are scanned (file skipping via the
+    * partition-value bounds in the table's file stats — check
+    * `.inputFiles` to see it).
+    */
+  private[streaming] def prunedRead(t: ManagedTable, partCol: String,
+                                    values: Seq[Long]): DataFrame =
+    if (values.isEmpty)
+      t.toDF.limit(0)
+    else t.toDFWhere(s"$partCol IN (${values.mkString(",")})")
+
+  private def spOf(idCol: String, parts: Int) =
+    pmod(xxhash64(col(idCol)), lit(parts.toLong))
 
   /** Pure per-batch core (callable from batch jobs too): near-dedup
     * `batch` against `index`, append novel docs to `out` and their
-    * signatures to `index`. Returns the number of novel documents.
+    * signatures/buckets to `index`. Returns the number of novel documents.
     */
   def incremental(batch: DataFrame, idCol: String, textCol: String,
-                  index: ManagedTable, out: ManagedTable,
+                  index: SigIndex, out: ManagedTable,
                   threshold: Double = 0.8, numHashes: Int = 64,
                   bands: Int = 16, shingleWidth: Int = 3,
                   maxBucketSize: Int = 1000,
                   maxIndexFiles: Int = 64): Long = {
+    val parts = index.parts
     // 1. tokenize + hash ONCE for the whole batch: this single persisted
     // frame feeds the within-batch dedup, the index candidate join, the
     // verification, and the index append (tokenization dominates the
-    // pipeline; the earlier formulation ran it twice per batch)
+    // pipeline; an earlier formulation ran it twice per batch)
     val hashed = batch.select(col(idCol),
         graft.plans.expressions.shingle_hashes(col(textCol), shingleWidth).as(HH))
       .withColumn("__sig",
@@ -92,30 +152,50 @@ object StreamingDedup {
         >= threshold)
       .select(col("id_b").as(idCol)).distinct()
 
-    val idx = index.toDF
-    // retry-idempotence: ids already indexed (a replayed micro-batch) drop
+    // retry-idempotence: ids already indexed (a replayed micro-batch)
+    // drop. The sigs read is pruned to the batch's own id-residue
+    // partitions — a bounded collect of at most `parts` longs.
+    val batchSp = hashed.select(spOf(idCol, parts).as("__sp"))
+      .distinct().collect().map(_.getLong(0)).toSeq
+    val knownIds = prunedRead(index.sigs, "__sp", batchSp).select(col(idCol))
     val fresh = hashed
       .join(losers, Seq(idCol), "left_anti")
-      .join(idx.select(col(idCol)), Seq(idCol), "left_anti")
+      .join(knownIds, Seq(idCol), "left_anti")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    // 3. LSH candidates vs the index (bucket collisions only) + verify
-    def explodeBands(df: DataFrame, as: String) = df.select(
-      col(idCol).as(as), posexplode(col(BANDS)).as(Seq("__band", "__bh")))
-    val cands = explodeBands(fresh, "__new_id")
-      .join(explodeBands(idx, "__idx_id"), Seq("__band", "__bh"))
+    // 3. LSH candidates vs the index — the batch's exploded band hashes
+    // against ONLY the bucket partitions sharing their residues
+    val freshBands = fresh.select(
+        col(idCol), posexplode(col(BANDS)).as(Seq("__band", "__bh")))
+      .withColumn("__bp", pmod(col("__bh"), lit(parts.toLong)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val batchBp = freshBands.select("__bp").distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val idxBuckets = prunedRead(index.buckets, "__bp", batchBp)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cands = freshBands.select(col(idCol).as("__new_id"), col("__band"), col("__bh"))
+      .join(idxBuckets.select(col(idCol).as("__idx_id"), col("__band"), col("__bh")),
+        Seq("__band", "__bh"))
       .select("__new_id", "__idx_id").distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // verification reads only the sigs partitions of the candidate ids
+    val candSp = cands.select(
+        pmod(xxhash64(col("__idx_id")), lit(parts.toLong)).as("__sp"))
+      .distinct().collect().map(_.getLong(0)).toSeq
+    val idxSigs = prunedRead(index.sigs, "__sp", candSp)
     val verified = cands
       .join(fresh.select(col(idCol).as("__new_id"), col(HH).as("__hh_new")), Seq("__new_id"))
-      .join(idx.select(col(idCol).as("__idx_id"), col(HH).as("__hh_idx")), Seq("__idx_id"))
+      .join(idxSigs.select(col(idCol).as("__idx_id"), col(HH).as("__hh_idx")), Seq("__idx_id"))
       .withColumn("__j",
         graft.plans.expressions.hash_jaccard(col("__hh_new"), col("__hh_idx")))
       .filter(col("__j") >= threshold)
       .select(col("__new_id").as(idCol)).distinct()
 
-    // 4. novel docs → out; novel signatures → index (persisted: consumed
-    // by the count and BOTH appends — unpersisted it would re-run the
-    // candidate join + verification three times)
+    // 4. novel docs → out, bucket rows → buckets, signatures → sigs.
+    // sigs LAST: it is the replay filter's source of truth, so a crash
+    // between any two commits re-runs the batch with `fresh` unchanged,
+    // and the out/buckets appends below de-dup themselves by id.
     val novelSigs = fresh.join(verified, Seq(idCol), "left_anti")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val novelCount = novelSigs.count()
@@ -123,32 +203,51 @@ object StreamingDedup {
       // size the append's file count by rows — a small batch written at
       // the session's full shuffle parallelism produces dozens of tiny
       // files per commit, and every later batch re-opens all of them
-      val parts = math.max(1L, novelCount / 100000L).toInt
-      out.append(batch.join(novelSigs.select(idCol), Seq(idCol), "left_semi")
-        .coalesce(parts))
-      index.append(novelSigs.select(col(idCol), col(HH), col(BANDS))
-        .coalesce(parts))
+      val parts1 = math.max(1L, novelCount / 100000L).toInt
+      val novelIds = novelSigs.select(col(idCol))
+      // out-side replay guard: a batch that crashed after this commit
+      // re-runs with these ids still absent from sigs, so the anti-join
+      // on out's own (column-pruned) id scan is what blocks the double
+      // append the checkpoint replay would otherwise cause
+      out.append(batch.join(novelIds, Seq(idCol), "left_semi")
+        .join(out.toDF.select(col(idCol)), Seq(idCol), "left_anti")
+        .coalesce(parts1))
+      // buckets-side replay guard: the pruned idxBuckets read already
+      // covers every partition this batch writes, so an id-level
+      // anti-join against it drops rows a half-committed replay re-emits
+      index.buckets.append(
+        freshBands.join(novelIds, Seq(idCol), "left_semi")
+          .join(idxBuckets.select(col(idCol)), Seq(idCol), "left_anti")
+          .select(col(idCol), col("__band"), col("__bh"), col("__bp")))
+      index.sigs.append(novelSigs
+        .select(col(idCol), col(HH), spOf(idCol, parts).as("__sp"))
+        .coalesce(parts1))
       // 5. bound index fragmentation (one commit dir per batch otherwise)
-      graft.operators.TableOps.autoOptimize(index, maxFiles = maxIndexFiles)
+      graft.operators.TableOps.autoOptimize(index.sigs, maxFiles = maxIndexFiles)
+      graft.operators.TableOps.autoOptimize(index.buckets, maxFiles = maxIndexFiles)
     }
     hashed.unpersist()
     fresh.unpersist()
+    freshBands.unpersist()
+    idxBuckets.unpersist()
+    cands.unpersist()
     novelSigs.unpersist()
     novelCount
   }
 
   /** Streaming shell: wire a streaming `docs` frame through
     * [[incremental]] with `foreachBatch`. `checkpointDir` gives
-    * exactly-once batch replay; combined with the id-level anti-join the
-    * pipeline is idempotent under retries.
+    * exactly-once batch replay; combined with the per-table id-level
+    * anti-joins the pipeline is idempotent under retries, including a
+    * crash BETWEEN the out/buckets/sigs commits of one batch.
     */
   def start(docs: DataFrame, idCol: String, textCol: String,
             indexPath: String, outPath: String, checkpointDir: String,
             threshold: Double = 0.8, numHashes: Int = 64, bands: Int = 16,
-            shingleWidth: Int = 3): StreamingQuery = {
+            shingleWidth: Int = 3, parts: Int = 64): StreamingQuery = {
     val spark = docs.sparkSession
     val idType = docs.schema(idCol).dataType
-    val index = openIndex(spark, indexPath, idCol, idType)
+    val index = openIndex(spark, indexPath, idCol, idType, parts)
     val out =
       if (ManagedTable.exists(outPath)) ManagedTable.forPath(spark, outPath)
       else ManagedTable.create(

@@ -78,7 +78,11 @@ object FileStats {
   // ---- collection (parquet footers) ------------------------------------
 
   /** Stats for every parquet file under `leaves` (relative to `dataRoot`),
-    * bounds for [[statsColumns]] harvested from footers.
+    * bounds for [[statsColumns]] harvested from footers. Partition columns
+    * never appear inside the data files, so their bounds come from the
+    * `k=v` path segments of the leaf dir instead (min = max = the
+    * partition value) — which is what lets [[prune]]/`toDFWhere` skip
+    * whole partitions with the same machinery as data-column skipping.
     */
   def collect(conf: org.apache.hadoop.conf.Configuration, dataRoot: Path,
               leaves: Seq[String], schema: StructType): Seq[FileStat] = {
@@ -87,6 +91,7 @@ object FileStats {
       val dir = dataRoot.resolve(leaf)
       if (!Files.isDirectory(dir)) Nil
       else {
+        val pb = partitionBounds(leaf, cols)
         val s = Files.list(dir)
         val parquets =
           try s.iterator().asScala.toSeq
@@ -96,11 +101,67 @@ object FileStats {
         parquets.map { f =>
           val (rows, mins, maxs) = footerBounds(conf, f, cols)
           FileStat(leaf + "/" + f.getFileName.toString, rows, Files.size(f),
-            mins, maxs)
+            mins ++ pb, maxs ++ pb)
         }
       }
     }
   }
+
+  /** Exact bounds for partition columns, parsed from the leaf path's
+    * hive-style `k=v` segments. A segment that doesn't parse cleanly (null
+    * partition, unknown column, unsupported type) contributes nothing —
+    * the column simply isn't skippable for that file.
+    */
+  private def partitionBounds(leaf: String,
+                              cols: Seq[StructField]): Map[String, String] =
+    leaf.split('/').iterator.flatMap { seg =>
+      val i = seg.indexOf('=')
+      if (i <= 0) Iterator.empty
+      else {
+        val raw = unescapePath(seg.substring(i + 1))
+        if (raw == "__HIVE_DEFAULT_PARTITION__") Iterator.empty
+        else for {
+          f <- cols.find(_.name == seg.substring(0, i)).iterator
+          enc <- encodePartitionValue(f.dataType, raw).iterator
+        } yield f.name -> enc
+      }
+    }.toMap
+
+  /** Inverse of Spark's `escapePathName` (%XX per escaped char; non-ASCII
+    * is written raw, so single-char decode is exact).
+    */
+  private def unescapePath(s: String): String = {
+    if (!s.contains('%')) return s
+    val out = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 3 <= s.length) {
+        try {
+          out.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar)
+          i += 3
+        } catch { case _: NumberFormatException => out.append(c); i += 1 }
+      } else { out.append(c); i += 1 }
+    }
+    out.toString
+  }
+
+  /** Partition dir value string → canonical domain string (same encoding
+    * as [[decode]]/[[encodeValue]]). Timestamp partition values are
+    * declined: their dir format is writer-zone-dependent, and a wrong
+    * parse would corrupt pruning rather than merely disable it.
+    */
+  private def encodePartitionValue(dt: DataType, raw: String): Option[String] =
+    try dt match {
+      case IntegerType | LongType | ShortType | ByteType => Some(raw.toLong.toString)
+      case BooleanType => Some(if (raw.toBoolean) "1" else "0")
+      case DateType => Some(java.time.LocalDate.parse(raw).toEpochDay.toString)
+      case FloatType | DoubleType =>
+        val d = raw.toDouble
+        if (d.isNaN) None else Some(d.toString)
+      case StringType => Some(raw)
+      case _ => None
+    } catch { case _: IllegalArgumentException | _: java.time.DateTimeException => None }
 
   /** (rowCount, min, max) of one file from its footer. A column whose
     * stats are missing/invalid in ANY row group is dropped from the maps.

@@ -9,7 +9,8 @@ case class Doc(doc_id: Long, text: String)
 
 /** Streaming near-dedup against the accumulating signature index:
   * cross-batch duplicates must be dropped, novel docs kept, retries
-  * idempotent.
+  * idempotent — including a crash BETWEEN the batch's three table
+  * commits — and the per-batch index probe must be partition-pruned.
   */
 class StreamingDedupSpec extends SparkSpec {
   import spark.implicits._
@@ -50,7 +51,80 @@ class StreamingDedupSpec extends SparkSpec {
       "doc_id", "text", index, out, threshold = 0.5)
     assert(n3 == 0, "a replayed batch must be idempotent")
     assert(out.toDF.count() == 3)
-    assert(index.toDF.count() == 3, "index holds one signature per novel doc")
+    assert(index.sigs.toDF.count() == 3, "index holds one signature per novel doc")
+    assert(index.buckets.toDF.select("doc_id").distinct().count() == 3)
+  }
+
+  test("a crash between the batch's three commits replays without duplicates") {
+    val index = StreamingDedup.openIndex(spark, tmpDir("sdidx3"), "doc_id",
+      org.apache.spark.sql.types.LongType)
+    val out = ManagedTable.create(
+      Seq.empty[Doc].toDF("doc_id", "text"), tmpDir("sdout3"))
+    val batch = Seq((1L, base), (2L, other)).toDF("doc_id", "text")
+
+    // window A — crashed after out.append, before buckets/sigs: simulate
+    // by pre-committing the docs to out, with the index still empty
+    out.append(batch)
+    val nA = StreamingDedup.incremental(batch, "doc_id", "text", index, out,
+      threshold = 0.5)
+    assert(nA == 2, "replay still reports the batch's novel docs")
+    assert(out.toDF.count() == 2, "out must not double-append on replay")
+    assert(index.sigs.toDF.count() == 2)
+    val bucketRows = index.buckets.toDF.count()
+    assert(index.buckets.toDF.groupBy("doc_id", "__band").count()
+      .filter(col("count") > 1).isEmpty, "one bucket row per (doc, band)")
+
+    // window B — crashed after out+buckets, before sigs: rewind ONLY the
+    // sigs table to its pre-batch (empty) version and replay
+    index.sigs.restore(0L)
+    assert(index.sigs.toDF.count() == 0)
+    val nB = StreamingDedup.incremental(batch, "doc_id", "text", index, out,
+      threshold = 0.5)
+    assert(nB == 2)
+    assert(out.toDF.count() == 2, "out stays deduped on a half-committed replay")
+    assert(index.buckets.toDF.count() == bucketRows,
+      "bucket rows must not duplicate when only sigs was lost")
+    assert(index.sigs.toDF.count() == 2, "sigs catches back up")
+
+    // fully-committed replay is still a no-op
+    val nC = StreamingDedup.incremental(batch, "doc_id", "text", index, out,
+      threshold = 0.5)
+    assert(nC == 0)
+    assert(out.toDF.count() == 2 && index.buckets.toDF.count() == bucketRows)
+  }
+
+  test("the candidate probe reads a strict subset of the bucket partitions") {
+    val index = StreamingDedup.openIndex(spark, tmpDir("sdidx4"), "doc_id",
+      org.apache.spark.sql.types.LongType, parts = 64)
+    val out = ManagedTable.create(
+      Seq.empty[Doc].toDF("doc_id", "text"), tmpDir("sdout4"))
+    // 40 distinct docs spread band hashes across ~all 64 partitions.
+    // Distinctness must live in LETTERS: the tokenizer treats digits as
+    // delimiters, so number-only variation yields identical shingles.
+    def alpha(i: Int): String =
+      (0 to 2).map(k => ('a' + (i / math.pow(26, k).toInt) % 26).toChar).mkString
+    val corpus = (1 to 40).map(i =>
+      (i.toLong, s"document ${alpha(i)} talks about topic ${alpha(i * 7)} and " +
+        s"subject ${alpha(i * 13)} in considerable detail with words ${alpha(i * 31)}"))
+      .toDF("doc_id", "text")
+    StreamingDedup.incremental(corpus, "doc_id", "text", index, out,
+      threshold = 0.5)
+    val full = index.buckets.toDF
+    val occupied = full.select("__bp").distinct().count()
+    assert(occupied > 20, s"setup: bands should spread, got $occupied partitions")
+
+    // one probe doc collides with at most 16 residues (one per band), so
+    // the pruned read must open strictly fewer files than the full index
+    val probeBp = full.filter(col("doc_id") === 1L)
+      .select("__bp").distinct().as[Long].collect().toSeq
+    assert(probeBp.size <= 16)
+    val pruned = StreamingDedup.prunedRead(index.buckets, "__bp", probeBp)
+    assert(pruned.inputFiles.length > 0)
+    assert(pruned.inputFiles.length < full.inputFiles.length,
+      s"pruned probe read ${pruned.inputFiles.length}/${full.inputFiles.length} files")
+    // pruning removes work, never rows
+    assert(pruned.count() ==
+      full.filter(col("__bp").isin(probeBp: _*)).count())
   }
 
   test("streaming shell wires foreachBatch end-to-end over MemoryStream") {
@@ -68,7 +142,7 @@ class StreamingDedupSpec extends SparkSpec {
     } finally q.stop()
     val out = ManagedTable.forPath(spark, outPath)
     assert(out.toDF.select("doc_id").as[Long].collect().toSet == Set(1L, 2L, 11L))
-    val index = ManagedTable.forPath(spark, indexPath)
+    val index = ManagedTable.forPath(spark, indexPath + "/sigs")
     assert(index.toDF.count() == 3)
   }
 
