@@ -419,11 +419,28 @@ object SparkEntry {
         .withColumn("rank", col("rank").cast(LongType))
     }),
 
+    // IVF in its DESIGN regime: a deterministically derived CLUSTERED
+    // corpus (member_i = centroid_{i%8} + 0.1·v_i over the 8 near-
+    // orthogonal base vectors vec_id<8 — in-cluster cosine ≈ 0.99, cross-
+    // cluster ≤ ~0.4), where the coarse quantizer recovers the planted
+    // cells and candidate recall@10 is exactly 1.0 (pinned in
+    // RecallGateSpec), so the nprobe-bounded ranked output coincides with
+    // brute force and hash-matches the exact cosine oracle. The raw
+    // near-orthogonal corpus (recall ~0.78, no cluster structure to
+    // exploit) remains as the documented weak-regime floor in the spec.
     "simsearch_ivf" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
-      val model = ml.IvfIndex.fit(emb, "embedding", k = 8)
-      ml.IvfIndex.topK(emb, "vec_id", "embedding",
-        emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+      val toDouble = transform(col("embedding"), x => x.cast("double"))
+      val orig = t(s, dir, "embeddings")
+        .select(col("vec_id").cast(LongType).as("vec_id"), toDouble.as("__v"))
+      val cents = orig.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("__c"), col("__v").as("__cv"))
+      val corpus = orig.join(broadcast(cents), col("vec_id") % 8 === col("__c"))
+        .select(col("vec_id"),
+          zip_with(col("__cv"), col("__v"),
+            (c, x) => c + lit(0.1) * x).as("embedding"))
+      val model = ml.IvfIndex.fit(corpus, "embedding", k = 8)
+      ml.IvfIndex.topK(corpus, "vec_id", "embedding",
+        corpus.filter(col("vec_id") < 5), "vec_id", "embedding",
         model, k = 10, nprobe = 2)
         .withColumn("rank", col("rank").cast(LongType))
     }),
@@ -1091,6 +1108,36 @@ object SparkEntry {
         |         list_cosine_similarity(CAST(q.qv AS DOUBLE[]),
         |                                CAST(e.embedding AS DOUBLE[])) AS cosine
         |  FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.query_id),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id,
+        |         row_number() OVER (PARTITION BY query_id
+        |                            ORDER BY cosine DESC, neighbor_id) AS rank,
+        |         cosine
+        |  FROM scored)
+        |SELECT query_id, neighbor_id, rank, round(cosine, 4) AS cosine
+        |FROM ranked WHERE rank <= 10""".stripMargin,
+
+    // simsearch_ivf runs on the derived clustered corpus (see the query
+    // comment): the coarse cells recover the planted clusters, candidate
+    // recall@10 is 1.0 (RecallGateSpec pins it AND full output equality
+    // with brute force), so the nprobe-bounded output equals this exact
+    // formulation. Derived vectors are pure IEEE double arithmetic
+    // (cast + mul + add), bit-identical between Spark and DuckDB.
+    "simsearch_ivf" ->
+      """WITH orig AS (
+        |  SELECT CAST(vec_id AS BIGINT) AS vec_id,
+        |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |corpus AS (
+        |  SELECT a.vec_id,
+        |         list_transform(generate_series(1, 64),
+        |                        i -> c.v[i] + 0.1 * a.v[i]) AS v
+        |  FROM orig a JOIN orig c ON c.vec_id = a.vec_id % 8),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM corpus WHERE vec_id < 5),
+        |scored AS (
+        |  SELECT q.query_id, e.vec_id AS neighbor_id,
+        |         list_cosine_similarity(q.qv, e.v) AS cosine
+        |  FROM q CROSS JOIN corpus e WHERE e.vec_id <> q.query_id),
         |ranked AS (
         |  SELECT query_id, neighbor_id,
         |         row_number() OVER (PARTITION BY query_id

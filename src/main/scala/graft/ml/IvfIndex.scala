@@ -47,7 +47,7 @@ object IvfIndex {
           .limit(sampleSize).collect()
       }
     val sample: Array[Array[Double]] = rows.map { r =>
-      normalizeArr(r.getSeq[Float](0).map(_.toDouble).toArray)
+      normalizeArr(r.getSeq[Number](0).map(_.doubleValue).toArray)
     }
     require(sample.length >= k, s"sample (${sample.length}) smaller than k=$k")
     val rnd = new scala.util.Random(seed)

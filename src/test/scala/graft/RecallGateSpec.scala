@@ -193,6 +193,35 @@ class RecallGateSpec extends SparkSpec {
     assert(recall >= 0.9, s"IVF recall@10 $recall below 0.9 on clustered data")
   }
 
+  test("simsearch_ivf derived-cluster corpus: IVF output EQUALS brute force (oracle precondition)") {
+    // the exact construction the declared query + DuckDB oracle use:
+    // member_i = centroid_{i%8} + 0.1·v_i over the 8 base vectors
+    val toDouble = transform(col("embedding"), x => x.cast("double"))
+    val orig = emb.select(col("vec_id").cast(LongType).as("vec_id"),
+      toDouble.as("__v"))
+    val cents = orig.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("__c"), col("__v").as("__cv"))
+    val corpus = orig.join(broadcast(cents), col("vec_id") % 8 === col("__c"))
+      .select(col("vec_id"),
+        zip_with(col("__cv"), col("__v"), (c, x) => c + lit(0.1) * x).as("embedding"))
+    val queries = corpus.filter(col("vec_id") < 5)
+    def ranked(df: DataFrame): Seq[(Long, Long, Int, Double)] =
+      df.select(col("query_id").cast("long"), col("neighbor_id").cast("long"),
+          col("rank").cast("int"), col("cosine").cast("double"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+        .toSeq.sorted
+    val exact = ranked(Similarity.bruteForceTopK(corpus, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 10))
+    val model = IvfIndex.fit(corpus, "embedding", k = 8)
+    val got = ranked(IvfIndex.topK(corpus, "vec_id", "embedding",
+      queries, "vec_id", "embedding", model, k = 10, nprobe = 2))
+    assert(exact.size == 50, s"setup: expected 5 queries x 10, got ${exact.size}")
+    assert(got == exact,
+      "IVF (k=8, nprobe=2) must return the exact ranked top-10 on the " +
+        "clustered corpus — the simsearch_ivf DuckDB oracle depends on it; " +
+        s"diff: ${(got.toSet diff exact.toSet).take(3)} vs ${(exact.toSet diff got.toSet).take(3)}")
+  }
+
   test("IVF top-k floor on the near-orthogonal corpus (documented weak regime)") {
     val queries = emb.filter(col("vec_id") < 5)
     val exact = topkSet(Similarity.bruteForceTopK(emb, "vec_id", "embedding",
