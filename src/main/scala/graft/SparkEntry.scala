@@ -489,14 +489,22 @@ object SparkEntry {
       out.toDF.select("doc_id", "source", "n_chars")
     }),
 
-    // ---- extensions: multimodal plumbing (stubbed decode) -------------
+    // ---- extensions: multimodal (REAL ImageIO decode) -----------------
+    // syntheticMedia plants genuine PNGs whose pixel rule is pure integer
+    // arithmetic on (doc_id, text) — see Multimodal.pngFor — and
+    // decodeImages reads dimensions + channel means back from the DECODED
+    // pixels, so the oracle derives every value from the source table
+    // while the engine must round-trip an actual PNG codec to match it
     "multimodal_features" -> ((s, dir) => {
       val media = multimodal.Multimodal.syntheticMedia(
         t(s, dir, "documents"), "doc_id", "text")
-      multimodal.Multimodal.withDecodedFeatures(media, "content", dim = 8)
+      multimodal.Multimodal.decodeImages(media, "content")
         .select(col("media_id"), col("modality"),
-          length(col("content")).as("n_bytes"),
-          size(col("features")).as("feature_dim"))
+          col("decoded.width").as("width"),
+          col("decoded.height").as("height"),
+          round(col("decoded.mean_r"), 4).as("mean_r"),
+          round(col("decoded.mean_g"), 4).as("mean_g"),
+          round(col("decoded.mean_b"), 4).as("mean_b"))
     })
   )
 
@@ -939,11 +947,28 @@ object SparkEntry {
         |SELECT query_id, neighbor_id, rank, round(cosine, 4) AS cosine
         |FROM ranked WHERE rank <= 10""".stripMargin,
 
+    // derives the DECODED statistics from the planted pixel rule
+    // (Multimodal.pngFor): the engine must encode → decode a real PNG and
+    // land on the same integers. mean_r's closed form folds the x-gradient
+    // (Σ_{x<w} (a+x)%256 = w·a + w(w-1)/2 − 256·max(0, a+w−256)); mean_g /
+    // mean_b are the planted constants.
     "multimodal_features" ->
-      """SELECT doc_id AS media_id, 'image' AS modality,
-        |  CAST(octet_length(encode(text)) AS INT) AS n_bytes,
-        |  CAST(8 AS INT) AS feature_dim
-        |FROM documents""".stripMargin,
+      """WITH d AS (
+        |  SELECT doc_id, length(text) AS nc,
+        |         CASE WHEN length(text) = 0 THEN 0
+        |              ELSE unicode(text) % 256 END AS g
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, g, 8 + nc % 9 AS w, 8 + doc_id % 5 AS h,
+        |         nc % 256 AS a
+        |  FROM d)
+        |SELECT doc_id AS media_id, 'image' AS modality,
+        |  CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+        |  round(CAST(w*a + (w*(w-1))//2 - 256*greatest(0, a + w - 256)
+        |             AS DOUBLE) / w, 4) AS mean_r,
+        |  round(CAST(g AS DOUBLE), 4) AS mean_g,
+        |  round(CAST(doc_id % 256 AS DOUBLE), 4) AS mean_b
+        |FROM p""".stripMargin,
 
     // ---- exact formulations of the near-dup pipelines -----------------
     // (see shingleCtes scaladoc: LSH candidate recall is 1.0 on this

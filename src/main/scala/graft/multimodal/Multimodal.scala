@@ -9,14 +9,14 @@ import org.apache.spark.sql.types._
   * `binary` columns with typed metadata, flowing through the same
   * partition/shuffle machinery as any other column. The expensive media
   * decode is batched per partition — the Scala analog of PySpark's
-  * `mapInPandas` — so a real decoder (JNI/FFmpeg/JPEG) would amortize its
-  * setup once per partition, not once per row.
+  * `mapInPandas` — so the decoder amortizes its setup once per
+  * partition, not once per row.
   *
-  * The decode itself is a clearly-marked DETERMINISTIC STUB (no media
-  * libraries in this environment): it derives pseudo-features from the
-  * bytes. Everything around it — schema, batching, partitioning, frame
-  * sampling, resize bookkeeping — is real and tested, so swapping in a
-  * true decoder is a one-function change.
+  * The image path is REAL end-to-end with JDK-only code: synthetic
+  * payloads are genuine PNGs (`javax.imageio.ImageIO` encode) and
+  * [[decodeImages]] decodes any PNG/JPEG/BMP/GIF payload back to
+  * dimensions and per-channel statistics. Audio/video decode would slot
+  * into the same batched shape behind a JNI codec.
   */
 object Multimodal {
 
@@ -32,34 +32,132 @@ object Multimodal {
       StructField("n_frames", IntegerType),
       StructField("format", StringType))), nullable = true)))
 
-  // ======================== STUB DECODER =============================
-  // Replace with a real decoder (e.g. TwelveMonkeys/JCodec via JNI) in a
-  // production image. Deterministic: features depend only on the bytes.
-  private[multimodal] def stubDecodeFeatures(bytes: Array[Byte], dim: Int): Array[Float] = {
-    if (bytes == null) return Array.fill(dim)(0f)
-    val out = new Array[Float](dim)
-    var i = 0
-    while (i < dim) {
-      // cheap seeded byte-mix — stands in for "model embedding of pixels"
-      var h = 1125899906842597L + i * 2654435761L
-      var j = i % math.max(bytes.length, 1)
-      var steps = 0
-      while (steps < 16 && bytes.length > 0) {
-        h = h * 6364136223846793005L + bytes(j)
-        j = (j + 31) % bytes.length
-        steps += 1
+  /** Decoded-image statistics appended by [[decodeImages]]. */
+  val decodedSchema: StructType = StructType(Seq(
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("channels", IntegerType),
+    StructField("mean_r", DoubleType),
+    StructField("mean_g", DoubleType),
+    StructField("mean_b", DoubleType)))
+
+  // ---- synthetic corpus (real PNGs, derivable pixel rule) --------------
+
+  /** The deterministic pixel rule syntheticMedia plants, written out so an
+    * external oracle can DERIVE the decoded statistics instead of echoing
+    * them (nc = codepoint length of the text, id = the row id):
+    *
+    *   width  = 8 + nc % 9            height = 8 + id % 5
+    *   red(x) = (nc % 256 + x) % 256  (x-gradient, constant down columns)
+    *   green  = first codepoint % 256 (0 for empty text)
+    *   blue   = id % 256
+    *
+    * so mean_g / mean_b equal their constants exactly and
+    * mean_r = (Σ_{x<w} (nc%256 + x) % 256) / w, all reachable by integer
+    * arithmetic on the source table.
+    */
+  private[multimodal] def pngFor(id: Long, text: String): (Array[Byte], Int, Int) = {
+    val nc = text.codePointCount(0, text.length)
+    val w = 8 + nc % 9
+    val h = (8 + id % 5).toInt
+    val baseR = nc % 256
+    val g = if (text.isEmpty) 0 else text.codePointAt(0) % 256
+    val b = (id % 256).toInt
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        img.setRGB(x, y, (((baseR + x) % 256) << 16) | (g << 8) | b)
+        x += 1
       }
-      out(i) = ((h >>> 11).toDouble / (1L << 53).toDouble).toFloat * 2f - 1f
-      i += 1
+      y += 1
     }
-    out
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    (baos.toByteArray, w, h)
   }
-  // ===================================================================
+
+  /** Build a synthetic media table from any text column: the payload is a
+    * REAL PNG (see [[pngFor]] for the planted pixel rule), so downstream
+    * decode exercises an actual image codec, not an echo of the input.
+    */
+  def syntheticMedia(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val in = df.select(col(idCol).cast(LongType).as("media_id"),
+      col(textCol).cast(StringType).as("__text"))
+    val enc = RowEncoder.encoderFor(mediaSchema)
+    in.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false) // in-memory streams, no tmp files
+      it.map { row =>
+        val id = row.getLong(0)
+        val text = if (row.isNullAt(1)) "" else row.getString(1)
+        val (png, w, h) = pngFor(id, text)
+        Row(id, "image", png, Row(w, h, null, 1, "image/png"))
+      }
+    }(enc)
+  }
+
+  // ---- real decode (JDK ImageIO) ---------------------------------------
+
+  /** Decode one image payload to (width, height, bands, channel means).
+    * Null bytes or an undecodable payload yield null — corrupt media must
+    * not kill a 10⁹-row pipeline.
+    */
+  private[multimodal] def decodeOne(bytes: Array[Byte]): Row = {
+    if (bytes == null) return null
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      catch { case _: java.io.IOException | _: RuntimeException => null }
+    if (img == null) return null
+    val w = img.getWidth
+    val h = img.getHeight
+    var sr = 0L; var sg = 0L; var sb = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        sr += (rgb >> 16) & 0xff
+        sg += (rgb >> 8) & 0xff
+        sb += rgb & 0xff
+        x += 1
+      }
+      y += 1
+    }
+    val n = (w.toLong * h).toDouble
+    Row(w, h, img.getRaster.getNumBands, sr / n, sg / n, sb / n)
+  }
+
+  /** Batched per-partition image decode: appends a `decoded` struct
+    * ([[decodedSchema]]) actually read back from the payload bytes via
+    * `javax.imageio` — dimensions and statistics come from decoded
+    * PIXELS, never from metadata. The iterator is consumed in `batchSize`
+    * groups to model the arrow-batch shape a vectorized decoder uses.
+    */
+  def decodeImages(df: DataFrame, binCol: String,
+                   batchSize: Int = 256): DataFrame = {
+    val outSchema = StructType(df.schema.fields :+
+      StructField("decoded", decodedSchema))
+    val binIdx = df.schema.fieldIndex(binCol)
+    val enc = RowEncoder.encoderFor(outSchema)
+    df.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.grouped(batchSize).flatMap { batch =>
+        // (a JNI/ONNX decoder would run the whole batch through one session)
+        batch.iterator.map { row =>
+          val bytes = row.get(binIdx).asInstanceOf[Array[Byte]]
+          Row.fromSeq(row.toSeq :+ decodeOne(bytes))
+        }
+      }
+    }(enc)
+  }
 
   /** Batched per-partition feature extraction: appends `features
-    * array<float>` of length `dim` derived from `binCol`. The iterator is
-    * consumed in `batchSize` groups to model the arrow-batch shape a real
-    * mapInPandas/ONNX decoder would use.
+    * array<float>` of length `dim` — a dim-bin luminance histogram
+    * (pixel-count-normalized) of the DECODED image, the simplest real
+    * image feature that feeds similarity search. Null/undecodable
+    * payloads get a zero vector so downstream joins stay total.
     */
   def withDecodedFeatures(df: DataFrame, binCol: String, dim: Int = 16,
                           batchSize: Int = 256): DataFrame = {
@@ -68,14 +166,40 @@ object Multimodal {
     val binIdx = df.schema.fieldIndex(binCol)
     val enc = RowEncoder.encoderFor(outSchema)
     df.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
       it.grouped(batchSize).flatMap { batch =>
-        // (a real decoder would run the whole batch through one session)
         batch.iterator.map { row =>
           val bytes = row.get(binIdx).asInstanceOf[Array[Byte]]
-          Row.fromSeq(row.toSeq :+ stubDecodeFeatures(bytes, dim).toSeq)
+          Row.fromSeq(row.toSeq :+ histogramFeatures(bytes, dim).toSeq)
         }
       }
     }(enc)
+  }
+
+  private[multimodal] def histogramFeatures(bytes: Array[Byte], dim: Int): Array[Float] = {
+    val out = new Array[Float](dim)
+    if (bytes == null) return out
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      catch { case _: java.io.IOException | _: RuntimeException => null }
+    if (img == null) return out
+    val w = img.getWidth
+    val h = img.getHeight
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val lum = (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3
+        out(math.min(lum * dim / 256, dim - 1)) += 1f
+        x += 1
+      }
+      y += 1
+    }
+    val n = (w * h).toFloat
+    var i = 0
+    while (i < dim) { out(i) /= n; i += 1 }
+    out
   }
 
   /** Frame sampling: split the payload into `frameSize`-byte frames and
@@ -106,18 +230,4 @@ object Multimodal {
       s"CAST(repeat(CHAR(0), GREATEST($targetBytes - length($binCol), 0)) AS BINARY)")
     concat(truncated, padding)
   }
-
-  /** Build a synthetic media table from any text column (for tests and the
-    * demo pipeline: payload = utf8 bytes standing in for pixels).
-    */
-  def syntheticMedia(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(
-      col(idCol).cast(LongType).as("media_id"),
-      lit("image").as("modality"),
-      col(textCol).cast(BinaryType).as("content"),
-      struct(
-        lit(64).as("width"), lit(64).as("height"),
-        lit(null).cast(IntegerType).as("sample_rate"),
-        lit(1).as("n_frames"),
-        lit("fake/rgb8").as("format")).as("meta"))
 }

@@ -17,6 +17,40 @@ class MultimodalSpec extends SparkSpec {
     assert(m.count() == 20)
   }
 
+  test("synthetic payloads are real PNGs; decode round-trips the pixel rule") {
+    val rows = Multimodal.decodeImages(media, "content")
+      .select("media_id", "content", "meta.width", "meta.height",
+        "decoded.width", "decoded.height", "decoded.channels",
+        "decoded.mean_r", "decoded.mean_g", "decoded.mean_b")
+      .collect()
+    assert(rows.length == 20)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val png = r.getAs[Array[Byte]](1)
+      // PNG magic: a genuine codec artifact, not echoed text bytes
+      assert((png(0) & 0xff) == 0x89 && png(1) == 'P' && png(2) == 'N' && png(3) == 'G')
+      // DECODED dims equal the metadata dims (decode is the authority)
+      assert(r.getInt(4) == r.getInt(2) && r.getInt(5) == r.getInt(3))
+      assert(r.getInt(6) == 3)
+      // planted constants come back exactly from decoded pixels
+      assert(r.getDouble(9) == (id % 256).toDouble,
+        s"mean_b of $id: got ${r.getDouble(9)}")
+      val w = r.getInt(4)
+      assert(r.getDouble(7) >= 0 && r.getDouble(7) <= 255)
+      assert(w >= 8 && w <= 16 && r.getInt(5) >= 8 && r.getInt(5) <= 12)
+    }
+  }
+
+  test("undecodable payloads yield null decoded, not a crash") {
+    val junk = Seq((1L, "not an image at all".getBytes),
+        (2L, null.asInstanceOf[Array[Byte]]))
+      .toDF("media_id", "content")
+    val out = Multimodal.decodeImages(junk, "content")
+      .select("media_id", "decoded").collect()
+      .map(r => r.getLong(0) -> r.isNullAt(1)).toMap
+    assert(out == Map(1L -> true, 2L -> true))
+  }
+
   test("batched feature extraction: shape, determinism, null safety") {
     val withNull = media.union(media.limit(1)
       .withColumn("content", lit(null).cast("binary")))
