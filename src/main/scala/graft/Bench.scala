@@ -54,9 +54,20 @@ object Bench {
     // Catalyst drop every projected column, under-billing projection-only
     // queries; hashing the full row forces evaluation of every column and
     // bit_xor folds the hashes without ANSI sum overflow.
+    //
+    // Each query is timed twice and the MIN reported: single-shot timings
+    // on this box swing ±1 s (GC, page cache), which is the same order as
+    // real regressions — min-of-2 keeps cross-round comparisons signal.
+    // (Safe to repeat: the mutating queries recreate their scratch tables
+    // from scratch on every invocation.) A first-run failure short-circuits
+    // — re-timing a crash adds nothing.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val (sec, err) = timeQuery(spark, sfDir, name, fn)
-      (name, sec, err)
+      val (sec1, err1) = timeQuery(spark, sfDir, name, fn)
+      if (err1.isDefined) (name, sec1, err1)
+      else {
+        val (sec2, err2) = timeQuery(spark, sfDir, name, fn)
+        (name, math.min(sec1, sec2), err2)
+      }
     }
     def jstr(s: String): String = "\"" + s.flatMap {
       case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"

@@ -203,7 +203,7 @@ object SparkEntry {
     "doc_fingerprint" -> ((s, dir) =>
       t(s, dir, "documents").select(
         col("doc_id"),
-        md5(trim(lower(regexp_replace(col("text"), "\\s+", " ")))).as("fingerprint"))),
+        text.TextAnalysis.fingerprintMd5(col("text")).as("fingerprint"))),
 
     "dedup_exact" -> ((s, dir) => {
       val docs = t(s, dir, "documents")

@@ -570,6 +570,65 @@ object ExprKernels {
       nLines, dupLineFrac, dupLineCharFrac, frac(top2), frac(top3), frac(dup5)))
   }
 
+  private val localMd5 = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  private val hexDigits = "0123456789abcdef".toCharArray
+
+  /** One-pass normalized content fingerprint (see [[NormalizedMd5]]):
+    * `md5(trim(lower(regexp_replace(text, "\\s+", " "))))` fused into a
+    * single scan + a single string allocation.
+    *
+    * Semantics parity, piece by piece:
+    *  - `regexp_replace(text, "\\s+", " ")`: Java `\s` is exactly
+    *    `[ \t\n\x0B\f\r]` (ASCII), so runs of those chars collapse to one
+    *    space — here done inline, with the leading/trailing run dropped
+    *    instead of emitted (that is precisely what the later `trim`, which
+    *    strips ' ' only, would remove: after collapsing, edge whitespace
+    *    is exactly one space);
+    *  - `lower(...)`: Spark 4's default-collation lower is the ICU case
+    *    mapping (`CollationSupport.Lower.execBinaryICU`), applied AFTER the
+    *    collapse exactly as in the unfused chain. Reordering lower/trim is
+    *    sound: case mapping never produces or consumes U+0020, and the
+    *    only context-sensitive mapping (Greek final sigma) sees the same
+    *    word-final context whether the edge space was stripped before or
+    *    after;
+    *  - `md5(...)`: MD5 over the UTF-8 bytes, lowercase hex — identical to
+    *    Spark's and DuckDB's md5().
+    */
+  def normalizedMd5(input: UTF8String): UTF8String = {
+    val s = input.toString
+    val sb = new java.lang.StringBuilder(s.length)
+    var pendingSpace = false
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      val isWs = c == ' ' || c == '\t' || c == '\n' || c == 0x0B ||
+        c == '\f' || c == '\r'
+      if (isWs) { if (sb.length > 0) pendingSpace = true }
+      else {
+        if (pendingSpace) { sb.append(' '); pendingSpace = false }
+        sb.append(c)
+      }
+      i += 1
+    }
+    val lowered = org.apache.spark.sql.catalyst.util.CollationSupport.Lower
+      .execBinaryICU(UTF8String.fromString(sb.toString))
+    val md = localMd5.get()
+    md.reset()
+    val dig = md.digest(lowered.getBytes)
+    val hex = new Array[Byte](32)
+    var j = 0
+    while (j < dig.length) {
+      hex(2 * j) = hexDigits((dig(j) >> 4) & 0xF).toByte
+      hex(2 * j + 1) = hexDigits(dig(j) & 0xF).toByte
+      j += 1
+    }
+    UTF8String.fromBytes(hex)
+  }
+
   /** The `nprobe` nearest centroids by dot product, as array<int> (see
     * [[graft.ml.NearestCentroids]]).
     */

@@ -78,6 +78,13 @@ object GraftFunctions {
       (args: Seq[Expression]) => {
         require(args.length == 2, "graft_vec_cosine(a, b)")
         VecDot(args.head, args(1), DotMode.Cosine)
+      }),
+    (FunctionIdentifier("graft_normalized_md5"),
+      info("graft_normalized_md5",
+        "graft_normalized_md5(text) - md5 of the whitespace-collapsed, lowercased, trimmed text"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "graft_normalized_md5(text)")
+        NormalizedMd5(args.head)
       }))
 
   /** Register into a live session (idempotent). */

@@ -76,6 +76,12 @@ object expressions {
   def cosine_sim(a: Column, b: Column): Column =
     column(VecDot(expression(a), expression(b), DotMode.Cosine))
 
+  /** Whitespace/case-normalized md5 fingerprint of a text column, fused
+    * into one pass (see [[NormalizedMd5]]).
+    */
+  def normalized_md5(text: Column): Column =
+    column(NormalizedMd5(expression(text)))
+
   private[plans] def arrayOfLongCheck(e: Expression, name: String) =
     e.dataType match {
       case ArrayType(LongType, _) =>
@@ -310,6 +316,32 @@ case class HashJaccard(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): HashJaccard =
     copy(left = l, right = r)
+}
+
+/** One-pass normalized md5 content fingerprint — semantics identical to
+  * `md5(trim(lower(regexp_replace(text, "\\s+", " "))))` (the dedup
+  * fingerprint formulation), without the four chained whole-string
+  * materializations that formulation pays per row: regexp engine pass +
+  * lower copy + trim copy + md5 of the final copy. Fused: one
+  * whitespace-collapsing scan, one ICU lowercase, one MD5.
+  * NULL text → NULL. See [[ExprKernels.normalizedMd5]] for the parity
+  * argument; NormalizedMd5Spec pins equality against the unfused chain.
+  */
+case class NormalizedMd5(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+  override def checkInputDataTypes() =
+    expressions.stringCheck(child, "normalized_md5")
+
+  override def nullSafeEval(input: Any): Any =
+    ExprKernels.normalizedMd5(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.ExprKernels.normalizedMd5($c);")
+
+  override protected def withNewChildInternal(c: Expression): NormalizedMd5 =
+    copy(child = c)
 }
 
 private[plans] object DotMode extends Enumeration { val Dot, Cosine = Value }

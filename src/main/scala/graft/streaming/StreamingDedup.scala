@@ -212,19 +212,32 @@ object StreamingDedup {
       out.append(batch.join(novelIds, Seq(idCol), "left_semi")
         .join(out.toDF.select(col(idCol)), Seq(idCol), "left_anti")
         .coalesce(parts1))
+      // HIVE-PARTITIONED appends must repartition BY the partition column
+      // first: written as-is, every one of the T shuffle tasks opens a
+      // writer in each of the ≤`parts` partition dirs it sees — T×parts
+      // tiny files per commit, each billed a footer-stats read and
+      // re-opened by every later batch. Clustered, each partition dir is
+      // owned by exactly one task → ≤min(parts, rows) files per commit.
+      val partsB = math.max(1L, novelCount * bands / 1000000L).toInt
       // buckets-side replay guard: the pruned idxBuckets read already
       // covers every partition this batch writes, so an id-level
       // anti-join against it drops rows a half-committed replay re-emits
       index.buckets.append(
         freshBands.join(novelIds, Seq(idCol), "left_semi")
           .join(idxBuckets.select(col(idCol)), Seq(idCol), "left_anti")
-          .select(col(idCol), col("__band"), col("__bh"), col("__bp")))
+          .select(col(idCol), col("__band"), col("__bh"), col("__bp"))
+          .repartition(partsB, col("__bp")))
       index.sigs.append(novelSigs
         .select(col(idCol), col(HH), spOf(idCol, parts).as("__sp"))
-        .coalesce(parts1))
-      // 5. bound index fragmentation (one commit dir per batch otherwise)
-      graft.operators.TableOps.autoOptimize(index.sigs, maxFiles = maxIndexFiles)
-      graft.operators.TableOps.autoOptimize(index.buckets, maxFiles = maxIndexFiles)
+        .repartition(parts1, col("__sp")))
+      // 5. bound index fragmentation (one commit dir per batch otherwise).
+      // The floor scales with the partition count: a `parts`-way
+      // partitioned table can never compact below one file per partition,
+      // so a threshold under ~2·parts would trigger a useless full
+      // rewrite on every single batch.
+      val maxFiles = math.max(maxIndexFiles, 2 * parts)
+      graft.operators.TableOps.autoOptimize(index.sigs, maxFiles = maxFiles)
+      graft.operators.TableOps.autoOptimize(index.buckets, maxFiles = maxFiles)
     }
     hashed.unpersist()
     fresh.unpersist()

@@ -8,10 +8,19 @@ import java.nio.file.{Files, Paths, Path}
 import java.util.UUID
 import scala.jdk.CollectionConverters._
 
-/** Raised when a commit loses the put-if-absent race for its version file.
-  * Blind appends rebase and retry on this automatically; read-modify-write
-  * commits (overwrite/MERGE) surface it, as Delta's write-serializable
-  * conflict rules do.
+/** Raised when a commit loses the put-if-absent race for its version file
+  * AND the conflict cannot be resolved by rebasing. Delta-style
+  * write-serializable rules apply per commit kind:
+  *
+  *  - blind appends always rebase and retry (appends commute);
+  *  - partition-scoped commits (overwritePartitions, partition-pruned
+  *    MERGE) rebase when every intervening commit touched DISJOINT
+  *    partitions, and raise otherwise;
+  *  - file-granular commits (file-pruned MERGE) rebase when no intervening
+  *    commit removed a file this merge rewrote and no intervening commit
+  *    added a file that may contain this merge's keys, and raise otherwise;
+  *  - full-snapshot rewrites (overwrite-backed MERGE/OPTIMIZE) read the
+  *    whole table, so ANY intervening commit raises.
   */
 final class ConcurrentCommitException(msg: String) extends IllegalStateException(msg)
 
@@ -424,16 +433,81 @@ final class ManagedTable private (val spark: SparkSession, val location: String)
   /** Atomically replace the table contents with `df` (new files + log swap;
     * old files become unreferenced until [[vacuum]], as in Delta overwrite).
     */
-  def overwrite(df: DataFrame, operation: String = "OVERWRITE"): Unit = {
+  def overwrite(df: DataFrame, operation: String = "OVERWRITE"): Unit =
+    overwriteFrom(latestVersion, df, operation)
+
+  /** [[overwrite]] pinned to the snapshot version the replacement was
+    * COMPUTED from (the full-rewrite MERGE path): a full-snapshot rewrite
+    * reads the whole table, so an intervening commit of any kind would be
+    * silently discarded by a plain last-writer overwrite — fail loud
+    * instead, before writing any data. The put-if-absent commit then
+    * guards the residual window.
+    */
+  private[tables] def overwriteFrom(baseVersion: Long, df: DataFrame,
+                                    operation: String): Unit = {
     val e = latestEntry
+    if (e.version != baseVersion)
+      throw new ConcurrentCommitException(
+        s"$operation at $location was computed against v$baseVersion but " +
+          s"the table is at v${e.version}; a full-snapshot rewrite reads " +
+          "everything and cannot rebase over concurrent commits")
     val aligned = df.select(e.schema.fields.map { f =>
       col(f.name).cast(f.dataType).as(f.name)
     }.toIndexedSeq: _*)
     val dirs = writeData(aligned, e.partitionColumns)
-    commit(LogEntry(e.version + 1, System.currentTimeMillis(), operation,
+    commit(LogEntry(baseVersion + 1, System.currentTimeMillis(), operation,
       dirs, e.schema, e.partitionColumns, e.properties,
       statsFor(dirs, e.schema)))
   }
+
+  // ---- conflict detection for read-modify-write commits ----------------
+
+  /** What one intervening commit changed vs its parent, for conflict
+    * checks: (partition suffixes it touched, file paths it removed, files
+    * it added). Derived from the log alone — every entry records its full
+    * snapshot, so child-vs-parent diffs need no extra commit metadata.
+    * None when the parent entry is unreadable (cleaned up by
+    * [[cleanupLog]]), in which case disjointness is unprovable and the
+    * caller must treat the commit as conflicting.
+    */
+  private def commitDelta(v: Long): Option[(Set[String], Set[String], Seq[FileStat])] =
+    try {
+      val e = readEntry(v)
+      val p = readEntry(v - 1)
+      val dirsE = e.dirs.toSet
+      val dirsP = p.dirs.toSet
+      val filesE = e.files.map(f => f.path -> f).toMap
+      val filesP = p.files.map(f => f.path -> f).toMap
+      val removedPaths = filesP.keySet diff filesE.keySet
+      val addedFiles = (filesE.keySet diff filesP.keySet).toSeq.map(filesE)
+      val touched =
+        ((dirsE diff dirsP) ++ (dirsP diff dirsE)).map(ManagedTable.leafSuffix) ++
+          (removedPaths ++ addedFiles.map(_.path))
+            .map(path => ManagedTable.leafSuffix(
+              path.substring(0, path.lastIndexOf('/'))))
+      Some((touched, removedPaths, addedFiles))
+    } catch { case _: IllegalStateException => None }
+
+  /** The intervening commits `baseVersion+1 .. latest`, or a conflict
+    * error if any of them changed the schema/partitioning (a rebase would
+    * then commit data in an outdated layout).
+    */
+  private def interveningDeltas(baseVersion: Long, base: LogEntry,
+                                latest: LogEntry, operation: String):
+      Seq[(Long, (Set[String], Set[String], Seq[FileStat]))] =
+    ((baseVersion + 1) to latest.version).map { v =>
+      if (latest.schema != base.schema ||
+          latest.partitionColumns != base.partitionColumns)
+        throw new ConcurrentCommitException(
+          s"$operation at $location conflicts with a concurrent " +
+            s"schema/partitioning change (base v$baseVersion, now v${latest.version})")
+      commitDelta(v) match {
+        case Some(d) => v -> d
+        case None => throw new ConcurrentCommitException(
+          s"$operation at $location cannot prove disjointness against " +
+            s"concurrent commit v$v (log entry cleaned up)")
+      }
+    }
 
   /** Partition-scoped overwrite (Delta dynamic `replaceWhere` analog):
     * replaces exactly the partitions in `partitionValues` with `df`'s
@@ -442,17 +516,27 @@ final class ManagedTable private (val spark: SparkSession, val location: String)
     * with no surviving rows in `df` is correctly emptied (its old leaves
     * drop out of the snapshot). Raises if `df` contains rows OUTSIDE the
     * replaced partitions (they would be silently duplicated otherwise).
+    *
+    * Conflict handling (Delta's partition-level conflict rule): the
+    * replacement was computed against `baseVersion` (default: the current
+    * version). If other commits land before this one, it REBASES on top of
+    * them when every intervening commit touched only DISJOINT partitions —
+    * two writers merging into different partitions both commit — and
+    * raises [[ConcurrentCommitException]] when any intervening commit
+    * touched a replaced partition or changed the schema/partitioning
+    * (this write's data would silently clobber it).
     */
   def overwritePartitions(df: DataFrame, partitionValues: Seq[Map[String, Any]],
-                          operation: String = "OVERWRITE PARTITIONS"): Unit = {
-    val e = latestEntry
-    val parts = e.partitionColumns
+                          operation: String = "OVERWRITE PARTITIONS",
+                          baseVersion: Long = -1L): Unit = {
+    val base = if (baseVersion >= 0) readEntry(baseVersion) else latestEntry
+    val parts = base.partitionColumns
     require(parts.nonEmpty, "overwritePartitions requires a partitioned table")
     val affected: Set[String] = partitionValues.map(vs =>
       parts.map(p => partitionSegment(p, vs.getOrElse(p,
         throw new IllegalArgumentException(s"missing partition value for $p"))))
         .mkString("/")).toSet
-    val aligned = df.select(e.schema.fields.map { f =>
+    val aligned = df.select(base.schema.fields.map { f =>
       col(f.name).cast(f.dataType).as(f.name)
     }.toIndexedSeq: _*)
     val newLeaves = writeData(aligned, parts)
@@ -460,12 +544,35 @@ final class ManagedTable private (val spark: SparkSession, val location: String)
     require(stray.isEmpty,
       s"overwritePartitions: df contains rows outside the replaced " +
         s"partitions: ${stray.take(3).mkString(", ")}")
-    val kept = e.dirs.filterNot(d => affected(leafSuffix(d)))
-    val keptSet = kept.toSet
-    commit(LogEntry(e.version + 1, System.currentTimeMillis(), operation,
-      kept ++ newLeaves, e.schema, parts, e.properties,
-      entryFiles(e).filter(f => keptSet(f.leafDir)) ++
-        statsFor(newLeaves, e.schema)))
+    val newStats = statsFor(newLeaves, base.schema)
+    var attempts = 0
+    var done = false
+    while (!done) {
+      val cur = latestEntry
+      if (cur.version > base.version)
+        interveningDeltas(base.version, base, cur, operation).foreach {
+          case (v, (touched, _, _)) =>
+            val overlap = touched intersect affected
+            if (overlap.nonEmpty) throw new ConcurrentCommitException(
+              s"$operation at $location (base v${base.version}) conflicts " +
+                s"with concurrent commit v$v on partition(s) " +
+                overlap.take(3).mkString(", "))
+        }
+      // disjoint: rebase — keep the intervening commits' dirs/properties,
+      // swap only the replaced partitions' leaves for ours
+      val kept = cur.dirs.filterNot(d => affected(leafSuffix(d)))
+      val keptSet = kept.toSet
+      try {
+        commit(LogEntry(cur.version + 1, System.currentTimeMillis(), operation,
+          kept ++ newLeaves, cur.schema, parts, cur.properties,
+          entryFiles(cur).filter(f => keptSet(f.leafDir)) ++ newStats))
+        done = true
+      } catch {
+        case c: ConcurrentCommitException =>
+          attempts += 1
+          if (attempts > 10) throw c
+      }
+    }
   }
 
   /** File-granular replace (the commit half of a file-pruned MERGE):
@@ -474,20 +581,61 @@ final class ManagedTable private (val spark: SparkSession, val location: String)
     * through the per-file snapshot. The removed files stay on disk for
     * time travel; they live in still-referenced commit dirs, so [[vacuum]]
     * reclaims them file-by-file once no retained version lists them.
+    *
+    * Conflict handling (Delta's file-level conflict rules): computed
+    * against `baseVersion` (default: current). On intervening commits it
+    * REBASES — keeping their surviving files — when BOTH hold for every
+    * intervening commit:
+    *  - it removed none of the files this merge rewrites (two merges may
+    *    not rewrite the same file — one's updates would be lost);
+    *  - `addedMayMatch` proves its added files cannot contain this
+    *    merge's keys (Delta's ConcurrentAppendException rule: a file this
+    *    merge WOULD have read, had it run second, conflicts; blind appends
+    *    with provably-disjoint key bounds commute).
+    * Otherwise raises [[ConcurrentCommitException]].
     */
   private[tables] def replaceFiles(removed: Set[String], df: DataFrame,
-                                   operation: String): Unit = {
-    val e = latestEntry
-    require(e.files.nonEmpty, "replaceFiles requires a stats-bearing snapshot")
-    val aligned = df.select(e.schema.fields.map { f =>
+                                   operation: String,
+                                   baseVersion: Long = -1L,
+                                   addedMayMatch: Seq[FileStat] => Boolean =
+                                     _ => true): Unit = {
+    val base = if (baseVersion >= 0) readEntry(baseVersion) else latestEntry
+    require(base.files.nonEmpty, "replaceFiles requires a stats-bearing snapshot")
+    val aligned = df.select(base.schema.fields.map { f =>
       col(f.name).cast(f.dataType).as(f.name)
     }.toIndexedSeq: _*)
-    val newDirs = writeData(aligned, e.partitionColumns)
-    val kept = e.files.filterNot(f => removed(f.path))
-    val dirs = (kept.map(_.leafDir).distinct ++ newDirs).distinct
-    commit(LogEntry(e.version + 1, System.currentTimeMillis(), operation,
-      dirs, e.schema, e.partitionColumns, e.properties,
-      kept ++ statsFor(newDirs, e.schema)))
+    val newDirs = writeData(aligned, base.partitionColumns)
+    val newStats = statsFor(newDirs, base.schema)
+    var attempts = 0
+    var done = false
+    while (!done) {
+      val cur = latestEntry
+      if (cur.version > base.version)
+        interveningDeltas(base.version, base, cur, operation).foreach {
+          case (v, (_, removedBy, added)) =>
+            val both = removedBy intersect removed
+            if (both.nonEmpty) throw new ConcurrentCommitException(
+              s"$operation at $location (base v${base.version}) conflicts " +
+                s"with concurrent commit v$v: both rewrite ${both.head}")
+            if (added.nonEmpty && addedMayMatch(added))
+              throw new ConcurrentCommitException(
+                s"$operation at $location (base v${base.version}) conflicts " +
+                  s"with concurrent commit v$v: it added files that may " +
+                  "contain this merge's keys")
+        }
+      val kept = cur.files.filterNot(f => removed(f.path))
+      val dirs = (kept.map(_.leafDir).distinct ++ newDirs).distinct
+      try {
+        commit(LogEntry(cur.version + 1, System.currentTimeMillis(), operation,
+          dirs, cur.schema, cur.partitionColumns, cur.properties,
+          kept ++ newStats))
+        done = true
+      } catch {
+        case c: ConcurrentCommitException =>
+          attempts += 1
+          if (attempts > 10) throw c
+      }
+    }
   }
 
   /** The current snapshot's per-file stats (empty on a legacy table that

@@ -93,7 +93,15 @@ object Merge {
       * insert clauses that could move rows across partitions, or more
       * than [[Merge.maxPrunedPartitions]] touched partitions).
       */
+    /** The snapshot version this merge is computed against, captured at
+      * [[execute]] entry. Every commit path below passes it down so a
+      * concurrent commit landing mid-merge is REBASED over when provably
+      * disjoint (other partitions / other files) and raises
+      * [[ConcurrentCommitException]] otherwise — never a silent
+      * last-writer-wins at the snapshot level.
+      */
     def execute(table: ManagedTable): Unit = {
+      val baseVersion = table.latestVersion
       val parts = table.partitionColumns
       val bindings = parts.flatMap(p => partitionBinding(p).map(p -> _)).toMap
       if (parts.nonEmpty && bindings.size == parts.length &&
@@ -111,13 +119,13 @@ object Merge {
                BooleanType | DateType => true
           case _ => false
         })
-        if (!suffixSafe) { table.overwrite(run(), operation = "MERGE"); return }
+        if (!suffixSafe) { table.overwriteFrom(baseVersion, run(), "MERGE"); return }
         val valueCols = parts.map(p => GraftColumnBridge.column(bindings(p)).as(p))
         val rows = source.alias(sourceAlias).select(valueCols: _*).distinct()
           .limit(maxPrunedPartitions + 1).collect()
         if (rows.isEmpty) return // empty source: merge is a no-op
         if (rows.length > maxPrunedPartitions) {
-          table.overwrite(run(), operation = "MERGE"); return
+          table.overwriteFrom(baseVersion, run(), "MERGE"); return
         }
         val values = rows.map(r =>
           parts.zipWithIndex.map { case (p, i) => p -> r.get(i) }.toMap).toSeq
@@ -134,11 +142,12 @@ object Merge {
             values.map(m => parts.map(p => col(p) <=> lit(m(p))).reduce(_ && _))
               .reduce(_ || _)
         val result = copy(target = target.filter(pred)).run()
-        table.overwritePartitions(result, values, operation = "MERGE")
-      } else if (parts.isEmpty && executeFilePruned(table)) {
+        table.overwritePartitions(result, values, operation = "MERGE",
+          baseVersion = baseVersion)
+      } else if (parts.isEmpty && executeFilePruned(table, baseVersion)) {
         // file-granular path committed (or proved the merge a no-op)
       } else {
-        table.overwrite(run(), operation = "MERGE")
+        table.overwriteFrom(baseVersion, run(), "MERGE")
       }
     }
 

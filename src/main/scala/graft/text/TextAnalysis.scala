@@ -128,9 +128,14 @@ object TextAnalysis {
 
   // --- fingerprinting --------------------------------------------------
 
-  /** Whitespace/case-normalized md5 content fingerprint. */
+  /** Whitespace/case-normalized md5 content fingerprint — the fused
+    * one-pass kernel; equal to
+    * `md5(trim(lower(regexp_replace(text, "\\s+", " "))))` (pinned by
+    * NormalizedMd5Spec), which chains four whole-string materializations
+    * per row.
+    */
   def fingerprintMd5(text: Column): Column =
-    md5(trim(lower(regexp_replace(text, "\\s+", " "))))
+    graft.plans.expressions.normalized_md5(text)
 
   /** 64-bit rolling-style fingerprint (xxhash64 of the normalized text) —
     * cheaper than md5 when only grouping is needed.

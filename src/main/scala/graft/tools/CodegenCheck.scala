@@ -31,6 +31,10 @@ object CodegenCheck {
     ng.agg(sum(size(col("h")))).head()
     println("[2] char_ngram_hashes OK under forced codegen")
 
+    val fp = docs.select(normalized_md5(col("text")).as("h"))
+    fp.agg(count(col("h"))).head()
+    println("[2b] normalized_md5 OK under forced codegen")
+
     val d = emb.as("a").crossJoin(emb.limit(3).as("b"))
       .select(dot_product(col("a.embedding"), col("b.embedding")).as("d"),
         cosine_sim(col("a.embedding"), col("b.embedding")).as("c"))
