@@ -166,7 +166,7 @@ object Merge {
       * Assumes `target` is the table's current snapshot (as every
       * `execute` path does — the pruned target is re-read from the table).
       */
-    private def executeFilePruned(table: ManagedTable): Boolean = {
+    private def executeFilePruned(table: ManagedTable, baseVersion: Long): Boolean = {
       val files = table.fileStats
       if (files.size < 2) return false
       val schema = table.schema
@@ -207,7 +207,8 @@ object Merge {
       if (!pruned) return false
       val touchedSet = touched.map(_.path).toSet
       val result = copy(target = table.scanFilesDF(touched)).run()
-      table.replaceFiles(touchedSet, result, operation = "MERGE")
+      table.replaceFiles(touchedSet, result, operation = "MERGE",
+        baseVersion = baseVersion)
       true
     }
 
