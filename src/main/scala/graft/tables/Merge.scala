@@ -36,6 +36,22 @@ import org.apache.spark.sql.catalyst.expressions.{And => CatAnd, EqualNullSafe =
   */
 object Merge {
 
+  /** Outcome of the file-granular pruning analysis ([[Builder.filePrunePlan]]). */
+  private[tables] sealed trait FilePrune
+  private[tables] object FilePrune {
+    /** Empty source: the merge is a no-op, nothing to commit. */
+    case object NoOp extends FilePrune
+    /** Pruning can't help; caller falls back to a full overwrite. */
+    case object Fallback extends FilePrune
+    /** Only `touched` files need rewriting; `keyFilters` are the bounds
+      * filters that selected them (also the conflict predicate for
+      * concurrently-added files).
+      */
+    final case class Pruned(touched: Seq[FileStat],
+                            keyFilters: Seq[Seq[FileStat] => Seq[FileStat]])
+      extends FilePrune
+  }
+
   /** Above this many touched partitions a pruned merge falls back to a
     * full overwrite: the per-partition commit bookkeeping and the isin
     * predicate stop paying for themselves when most of the table is
@@ -166,24 +182,51 @@ object Merge {
       * Assumes `target` is the table's current snapshot (as every
       * `execute` path does — the pruned target is re-read from the table).
       */
-    private def executeFilePruned(table: ManagedTable, baseVersion: Long): Boolean = {
+    private def executeFilePruned(table: ManagedTable, baseVersion: Long): Boolean =
+      filePrunePlan(table) match {
+        case FilePrune.NoOp => true
+        case FilePrune.Fallback => false
+        case FilePrune.Pruned(touched, keyFilters) =>
+          val touchedSet = touched.map(_.path).toSet
+          val result = copy(target = table.scanFilesDF(touched)).run()
+          // Delta's ConcurrentAppendException rule, made precise: a
+          // concurrently-added file conflicts only if this merge WOULD
+          // have read it — i.e. it survives the same key-bounds filters
+          // that selected the touched files. A blind append with
+          // provably-disjoint key bounds commutes (both commits land).
+          table.replaceFiles(touchedSet, result, operation = "MERGE",
+            baseVersion = baseVersion,
+            addedMayMatch = added =>
+              keyFilters.foldLeft(added)((fs, f) => f(fs)).nonEmpty)
+          true
+      }
+
+    /** The file-granular pruning decision, separated from the commit so the
+      * conflict predicate it implies is unit-testable: NoOp (empty source —
+      * the merge changes nothing), Fallback (can't prune: no stats, no
+      * usable equi-binding, or pruning removed nothing), or Pruned with the
+      * surviving files AND the per-binding bounds filters that selected
+      * them (reused as `addedMayMatch` against concurrent appends).
+      */
+    private[tables] def filePrunePlan(table: ManagedTable): FilePrune = {
       val files = table.fileStats
-      if (files.size < 2) return false
+      if (files.size < 2) return FilePrune.Fallback
       val schema = table.schema
       val usable = equiBindings.filter { case (name, _, _) =>
         schema.fields.exists(f => f.name.equalsIgnoreCase(name) &&
           FileStats.skippable(f.dataType))
       }
-      if (usable.isEmpty) return false
+      if (usable.isEmpty) return FilePrune.Fallback
       var touched = files
       var pruned = false
+      val keyFilters = Seq.newBuilder[Seq[FileStat] => Seq[FileStat]]
       // cumulative pruning over the first two usable bindings (each costs
       // one small driver-side collect of the source's key values)
       usable.take(2).foreach { case (name, srcExpr, nullSafe) =>
         val vals = source.alias(sourceAlias)
           .select(GraftColumnBridge.column(srcExpr))
           .distinct().limit(maxPrunedMergeKeys + 1).collect().map(_.get(0))
-        if (vals.isEmpty) return true // empty source: merge is a no-op
+        if (vals.isEmpty) return FilePrune.NoOp // empty source: no-op merge
         if (vals.contains(null) && nullSafe) {
           // <=> with a NULL source key matches NULL target rows, whose
           // files min/max bounds cannot locate — this binding can't prune
@@ -194,22 +237,21 @@ object Merge {
             .agg(org.apache.spark.sql.functions.min(kCol),
               org.apache.spark.sql.functions.max(kCol)).head()
           if (!r.isNullAt(0)) {
-            val next = FileStats.overlappingRange(touched, schema, name,
-              r.get(0), r.get(1))
+            val lo = r.get(0)
+            val hi = r.get(1)
+            keyFilters += (fs => FileStats.overlappingRange(fs, schema, name, lo, hi))
+            val next = FileStats.overlappingRange(touched, schema, name, lo, hi)
             if (next.size < touched.size) { touched = next; pruned = true }
           }
         } else {
-          val next = FileStats.overlapping(touched, schema, name,
-            vals.filter(_ != null).toSeq)
+          val nonNull = vals.filter(_ != null).toSeq
+          keyFilters += (fs => FileStats.overlapping(fs, schema, name, nonNull))
+          val next = FileStats.overlapping(touched, schema, name, nonNull)
           if (next.size < touched.size) { touched = next; pruned = true }
         }
       }
-      if (!pruned) return false
-      val touchedSet = touched.map(_.path).toSet
-      val result = copy(target = table.scanFilesDF(touched)).run()
-      table.replaceFiles(touchedSet, result, operation = "MERGE",
-        baseVersion = baseVersion)
-      true
+      if (!pruned) FilePrune.Fallback
+      else FilePrune.Pruned(touched, keyFilters.result())
     }
 
     /** Every conjunct of the merge condition equi-binding a target column
