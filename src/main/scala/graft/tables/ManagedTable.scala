@@ -649,6 +649,14 @@ final class ManagedTable private (val spark: SparkSession, val location: String)
     readFilesDF(files, e.schema, e.version)
   }
 
+  /** A DataFrame over exactly `files`, read with `at`'s schema — the
+    * snapshot a pruned merge planned against, so the data it reads, the
+    * files it prunes, and the conflict base it commits with all agree
+    * even when a concurrent commit lands mid-merge.
+    */
+  private[tables] def scanFilesDF(files: Seq[FileStat], at: LogEntry): DataFrame =
+    readFilesDF(files, at.schema, at.version)
+
   /** Remove data directories referenced by no retained version — the
     * storage-reclamation half of every overwrite/MERGE/DELETE, which all
     * leave the previous snapshot's files in place for time travel (Delta

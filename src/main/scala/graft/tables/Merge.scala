@@ -117,8 +117,13 @@ object Merge {
       * last-writer-wins at the snapshot level.
       */
     def execute(table: ManagedTable): Unit = {
-      val baseVersion = table.latestVersion
-      val parts = table.partitionColumns
+      // One snapshot read: the entry the plan is built from IS the commit
+      // base, so a commit landing mid-merge can never make the pruning
+      // analysis (newer snapshot) disagree with the conflict check (older
+      // base) — which would raise a spurious ConcurrentCommitException.
+      val base = table.latestEntry
+      val baseVersion = base.version
+      val parts = base.partitionColumns
       val bindings = parts.flatMap(p => partitionBinding(p).map(p -> _)).toMap
       if (parts.nonEmpty && bindings.size == parts.length &&
           clausesPreservePartitions(parts, bindings)) {
@@ -130,7 +135,7 @@ object Merge {
         // collected values: a NULL in the first row would otherwise pass
         // the check and a later non-null timestamp hard-fail a valid merge.
         import org.apache.spark.sql.types._
-        val suffixSafe = parts.forall(p => table.schema(p).dataType match {
+        val suffixSafe = parts.forall(p => base.schema(p).dataType match {
           case StringType | IntegerType | LongType | ShortType | ByteType |
                BooleanType | DateType => true
           case _ => false
@@ -160,7 +165,7 @@ object Merge {
         val result = copy(target = target.filter(pred)).run()
         table.overwritePartitions(result, values, operation = "MERGE",
           baseVersion = baseVersion)
-      } else if (parts.isEmpty && executeFilePruned(table, baseVersion)) {
+      } else if (parts.isEmpty && executeFilePruned(table, base)) {
         // file-granular path committed (or proved the merge a no-op)
       } else {
         table.overwriteFrom(baseVersion, run(), "MERGE")
@@ -182,20 +187,21 @@ object Merge {
       * Assumes `target` is the table's current snapshot (as every
       * `execute` path does — the pruned target is re-read from the table).
       */
-    private def executeFilePruned(table: ManagedTable, baseVersion: Long): Boolean =
-      filePrunePlan(table) match {
+    private def executeFilePruned(table: ManagedTable,
+                                  base: ManagedTable.LogEntry): Boolean =
+      filePrunePlan(base) match {
         case FilePrune.NoOp => true
         case FilePrune.Fallback => false
         case FilePrune.Pruned(touched, keyFilters) =>
           val touchedSet = touched.map(_.path).toSet
-          val result = copy(target = table.scanFilesDF(touched)).run()
+          val result = copy(target = table.scanFilesDF(touched, base)).run()
           // Delta's ConcurrentAppendException rule, made precise: a
           // concurrently-added file conflicts only if this merge WOULD
           // have read it — i.e. it survives the same key-bounds filters
           // that selected the touched files. A blind append with
           // provably-disjoint key bounds commutes (both commits land).
           table.replaceFiles(touchedSet, result, operation = "MERGE",
-            baseVersion = baseVersion,
+            baseVersion = base.version,
             addedMayMatch = added =>
               keyFilters.foldLeft(added)((fs, f) => f(fs)).nonEmpty)
           true
@@ -208,10 +214,10 @@ object Merge {
       * surviving files AND the per-binding bounds filters that selected
       * them (reused as `addedMayMatch` against concurrent appends).
       */
-    private[tables] def filePrunePlan(table: ManagedTable): FilePrune = {
-      val files = table.fileStats
+    private[tables] def filePrunePlan(base: ManagedTable.LogEntry): FilePrune = {
+      val files = base.files
       if (files.size < 2) return FilePrune.Fallback
-      val schema = table.schema
+      val schema = base.schema
       val usable = equiBindings.filter { case (name, _, _) =>
         schema.fields.exists(f => f.name.equalsIgnoreCase(name) &&
           FileStats.skippable(f.dataType))
@@ -223,16 +229,24 @@ object Merge {
       // cumulative pruning over the first two usable bindings (each costs
       // one small driver-side collect of the source's key values)
       usable.take(2).foreach { case (name, srcExpr, nullSafe) =>
+        val kCol = GraftColumnBridge.column(srcExpr)
         val vals = source.alias(sourceAlias)
-          .select(GraftColumnBridge.column(srcExpr))
+          .select(kCol)
           .distinct().limit(maxPrunedMergeKeys + 1).collect().map(_.get(0))
         if (vals.isEmpty) return FilePrune.NoOp // empty source: no-op merge
-        if (vals.contains(null) && nullSafe) {
-          // <=> with a NULL source key matches NULL target rows, whose
-          // files min/max bounds cannot locate — this binding can't prune
+        // <=> with a NULL source key matches NULL target rows, whose files'
+        // min/max bounds cannot locate — such a binding can't prune. Past
+        // the enumeration cap the distinct() sample may MISS a NULL (and
+        // the range agg ignores NULLs), so probe for one explicitly before
+        // trusting the range: otherwise a file holding only NULL-key rows
+        // would be pruned and its matched updates silently skipped.
+        val nullSafeNullKey = nullSafe && (vals.contains(null) ||
+          (vals.length > maxPrunedMergeKeys &&
+            !source.alias(sourceAlias).filter(kCol.isNull).isEmpty))
+        if (nullSafeNullKey) {
+          // this binding can't prune (see above)
         } else if (vals.length > maxPrunedMergeKeys) {
           // too many keys to enumerate: prune by the source's key RANGE
-          val kCol = GraftColumnBridge.column(srcExpr)
           val r = source.alias(sourceAlias)
             .agg(org.apache.spark.sql.functions.min(kCol),
               org.apache.spark.sql.functions.max(kCol)).head()
