@@ -583,9 +583,11 @@ final class ManagedTable private (val spark: SparkSession, val location: String)
     * reclaims them file-by-file once no retained version lists them.
     *
     * Conflict handling (Delta's file-level conflict rules): computed
-    * against `baseVersion` (default: current). On intervening commits it
-    * REBASES — keeping their surviving files — when BOTH hold for every
-    * intervening commit:
+    * against the `base` snapshot the caller planned from (passed as the
+    * already-parsed LogEntry — the planning read IS the conflict base, no
+    * re-read that a racing [[cleanupLog]] could invalidate). On
+    * intervening commits it REBASES — keeping their surviving files —
+    * when BOTH hold for every intervening commit:
     *  - it removed none of the files this merge rewrites (two merges may
     *    not rewrite the same file — one's updates would be lost);
     *  - `addedMayMatch` proves its added files cannot contain this
@@ -596,10 +598,9 @@ final class ManagedTable private (val spark: SparkSession, val location: String)
     */
   private[tables] def replaceFiles(removed: Set[String], df: DataFrame,
                                    operation: String,
-                                   baseVersion: Long = -1L,
+                                   base: LogEntry,
                                    addedMayMatch: Seq[FileStat] => Boolean =
                                      _ => true): Unit = {
-    val base = if (baseVersion >= 0) readEntry(baseVersion) else latestEntry
     require(base.files.nonEmpty, "replaceFiles requires a stats-bearing snapshot")
     val aligned = df.select(base.schema.fields.map { f =>
       col(f.name).cast(f.dataType).as(f.name)

@@ -201,7 +201,7 @@ object Merge {
           // that selected the touched files. A blind append with
           // provably-disjoint key bounds commutes (both commits land).
           table.replaceFiles(touchedSet, result, operation = "MERGE",
-            baseVersion = base.version,
+            base = base,
             addedMayMatch = added =>
               keyFilters.foldLeft(added)((fs, f) => f(fs)).nonEmpty)
           true
@@ -235,22 +235,22 @@ object Merge {
           .distinct().limit(maxPrunedMergeKeys + 1).collect().map(_.get(0))
         if (vals.isEmpty) return FilePrune.NoOp // empty source: no-op merge
         // <=> with a NULL source key matches NULL target rows, whose files'
-        // min/max bounds cannot locate — such a binding can't prune. Past
-        // the enumeration cap the distinct() sample may MISS a NULL (and
-        // the range agg ignores NULLs), so probe for one explicitly before
-        // trusting the range: otherwise a file holding only NULL-key rows
-        // would be pruned and its matched updates silently skipped.
-        val nullSafeNullKey = nullSafe && (vals.contains(null) ||
-          (vals.length > maxPrunedMergeKeys &&
-            !source.alias(sourceAlias).filter(kCol.isNull).isEmpty))
-        if (nullSafeNullKey) {
+        // min/max bounds cannot locate — such a binding can't prune.
+        if (nullSafe && vals.contains(null)) {
           // this binding can't prune (see above)
         } else if (vals.length > maxPrunedMergeKeys) {
-          // too many keys to enumerate: prune by the source's key RANGE
+          // Too many keys to enumerate: prune by the source's key RANGE.
+          // Past the enumeration cap the distinct() sample may MISS a NULL
+          // (and min/max ignore NULLs), so under <=> the same aggregation
+          // also counts NULL keys — one job answers both questions;
+          // otherwise a file holding only NULL-key rows would be pruned
+          // and its matched updates silently skipped.
           val r = source.alias(sourceAlias)
             .agg(org.apache.spark.sql.functions.min(kCol),
-              org.apache.spark.sql.functions.max(kCol)).head()
-          if (!r.isNullAt(0)) {
+              org.apache.spark.sql.functions.max(kCol),
+              count(when(kCol.isNull, lit(1)))).head()
+          val nullSafeNullKey = nullSafe && r.getLong(2) > 0
+          if (!nullSafeNullKey && !r.isNullAt(0)) {
             val lo = r.get(0)
             val hi = r.get(1)
             keyFilters += (fs => FileStats.overlappingRange(fs, schema, name, lo, hi))
