@@ -162,8 +162,10 @@ class ConflictSpec extends SparkSpec {
       .collect().map(_.getString(0)).toSeq
     assert(nullRows == Seq("new", "new"),
       "NULL-key matched rows must be updated, not silently skipped")
-    // sanity: in-range non-null keys updated too, out-of-range kept
-    assert(t.toDF.filter(col("id") === 1005L).head().getString(1) == "new")
+    // sanity: the update-only merge inserts nothing (source key 1005 has
+    // no target match), and untouched in-table keys keep their value
+    assert(t.toDF.filter(col("id") === 1005L).isEmpty,
+      "an update-only merge must not insert unmatched source keys")
     assert(t.toDF.filter(col("id") === 5L).head().getString(1) == "a")
   }
 
@@ -182,27 +184,38 @@ class ConflictSpec extends SparkSpec {
     }
   }
 
-  /** Spark jobs triggered while running `body`. */
+  /** Spark jobs triggered while running `body`, counted by job-group tag
+    * so concurrent suite activity on the shared SparkContext can never
+    * inflate the count. `body` runs synchronously, so every job it
+    * triggers has STARTED before it returns; the settle loop only waits
+    * out the async listener-bus delivery of those already-started events.
+    */
   private def countJobs(body: => Unit): Int = {
+    val group = s"conflictspec-${java.util.UUID.randomUUID()}"
     val counter = new java.util.concurrent.atomic.AtomicInteger(0)
     val listener = new SparkListener {
       override def onJobStart(jobStart: SparkListenerJobStart): Unit = {
-        counter.incrementAndGet(); ()
+        val g = Option(jobStart.properties)
+          .map(_.getProperty("spark.jobGroup.id")).orNull
+        if (g == group) { counter.incrementAndGet(); () }
       }
     }
     spark.sparkContext.addSparkListener(listener)
+    spark.sparkContext.setJobGroup(group, "ConflictSpec.countJobs")
     try {
       body
-      // listener events post asynchronously; wait until the count settles
       var last = -1
       var settled = 0
-      val deadline = System.nanoTime() + 3_000_000_000L
+      val deadline = System.nanoTime() + 10_000_000_000L
       while (settled < 3 && System.nanoTime() < deadline) {
         val cur = counter.get()
         if (cur == last) settled += 1 else { settled = 0; last = cur }
         Thread.sleep(50)
       }
-    } finally spark.sparkContext.removeSparkListener(listener)
+    } finally {
+      spark.sparkContext.clearJobGroup()
+      spark.sparkContext.removeSparkListener(listener)
+    }
     counter.get()
   }
 
