@@ -482,10 +482,11 @@ object SparkEntry {
       // scale behavior is benched by dedup_minhash on the full table
       streaming.StreamingDedup.incremental(
         docs.filter(col("doc_id") < 250), "doc_id", "text", index, out,
-        threshold = 0.5)
+        threshold = 0.5, txn = Some(("q_stream", 0L)))
       streaming.StreamingDedup.incremental(
         docs.filter(col("doc_id") >= 250 && col("doc_id") < 500),
-        "doc_id", "text", index, out, threshold = 0.5)
+        "doc_id", "text", index, out, threshold = 0.5,
+        txn = Some(("q_stream", 1L)))
       out.toDF.select("doc_id", "source", "n_chars")
     }),
 

@@ -120,14 +120,32 @@ object StreamingDedup {
   /** Pure per-batch core (callable from batch jobs too): near-dedup
     * `batch` against `index`, append novel docs to `out` and their
     * signatures/buckets to `index`. Returns the number of novel documents.
+    *
+    * `txn = Some((appId, batchVersion))` switches replay protection to
+    * O(1) idempotent commits (Delta's `txnAppId`/`txnVersion` pattern):
+    * each of the three appends records the batch version in its table's
+    * snapshot properties and no-ops if that version already committed, so
+    * a checkpoint-replayed batch — including one that crashed BETWEEN the
+    * out/buckets/sigs commits — re-lands exactly once with zero
+    * table-scan guards. Without `txn`, replay safety falls back to
+    * id-level anti-joins, whose out-side guard scans the whole output
+    * table's id column every batch — O(corpus), not viable at 10⁹ docs.
     */
   def incremental(batch: DataFrame, idCol: String, textCol: String,
                   index: SigIndex, out: ManagedTable,
                   threshold: Double = 0.8, numHashes: Int = 64,
                   bands: Int = 16, shingleWidth: Int = 3,
                   maxBucketSize: Int = 1000,
-                  maxIndexFiles: Int = 64): Long = {
+                  maxIndexFiles: Int = 64,
+                  txn: Option[(String, Long)] = None): Long = {
     val parts = index.parts
+    // sigs commits LAST, so its recorded version proves the whole batch
+    // (out, buckets, sigs) landed: a fully-replayed batch is one property
+    // read, not a re-run of the dedup plan
+    val fullyApplied = txn.exists { case (app, v) =>
+      index.sigs.txnVersion(app).exists(_ >= v)
+    }
+    if (fullyApplied) return 0L
     // 1. tokenize + hash ONCE for the whole batch: this single persisted
     // frame feeds the within-batch dedup, the index candidate join, the
     // verification, and the index append (tokenization dominates the
@@ -205,13 +223,17 @@ object StreamingDedup {
       // files per commit, and every later batch re-opens all of them
       val parts1 = math.max(1L, novelCount / 100000L).toInt
       val novelIds = novelSigs.select(col(idCol))
-      // out-side replay guard: a batch that crashed after this commit
-      // re-runs with these ids still absent from sigs, so the anti-join
-      // on out's own (column-pruned) id scan is what blocks the double
-      // append the checkpoint replay would otherwise cause
-      out.append(batch.join(novelIds, Seq(idCol), "left_semi")
-        .join(out.toDF.select(col(idCol)), Seq(idCol), "left_anti")
-        .coalesce(parts1))
+      // out-side replay guard: with `txn`, the idempotent commit makes a
+      // replayed batch's append a no-op (O(1)); without it, fall back to
+      // an anti-join on out's (column-pruned) id scan — correct, but a
+      // full O(corpus) read per batch, so every streaming caller should
+      // pass `txn`
+      val outRows = batch.join(novelIds, Seq(idCol), "left_semi")
+      out.append(
+        (if (txn.isDefined) outRows
+         else outRows.join(out.toDF.select(col(idCol)), Seq(idCol), "left_anti"))
+          .coalesce(parts1),
+        txn = txn)
       // HIVE-PARTITIONED appends must repartition BY the partition column
       // first: written as-is, every one of the T shuffle tasks opens a
       // writer in each of the ≤`parts` partition dirs it sees — T×parts
@@ -219,17 +241,21 @@ object StreamingDedup {
       // re-opened by every later batch. Clustered, each partition dir is
       // owned by exactly one task → ≤min(parts, rows) files per commit.
       val partsB = math.max(1L, novelCount * bands / 1000000L).toInt
-      // buckets-side replay guard: the pruned idxBuckets read already
-      // covers every partition this batch writes, so an id-level
-      // anti-join against it drops rows a half-committed replay re-emits
+      // buckets-side replay guard: idempotent via `txn` when available;
+      // otherwise the pruned idxBuckets read already covers every
+      // partition this batch writes, so an id-level anti-join against it
+      // drops rows a half-committed replay re-emits
+      val bucketRows = freshBands.join(novelIds, Seq(idCol), "left_semi")
       index.buckets.append(
-        freshBands.join(novelIds, Seq(idCol), "left_semi")
-          .join(idxBuckets.select(col(idCol)), Seq(idCol), "left_anti")
+        (if (txn.isDefined) bucketRows
+         else bucketRows.join(idxBuckets.select(col(idCol)), Seq(idCol), "left_anti"))
           .select(col(idCol), col("__band"), col("__bh"), col("__bp"))
-          .repartition(partsB, col("__bp")))
+          .repartition(partsB, col("__bp")),
+        txn = txn)
       index.sigs.append(novelSigs
         .select(col(idCol), col(HH), spOf(idCol, parts).as("__sp"))
-        .repartition(parts1, col("__sp")))
+        .repartition(parts1, col("__sp")),
+        txn = txn)
       // 5. bound index fragmentation (one commit dir per batch otherwise).
       // The floor scales with the partition count: a `parts`-way
       // partitioned table can never compact below one file per partition,
@@ -266,12 +292,19 @@ object StreamingDedup {
       else ManagedTable.create(
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
           docs.schema), outPath)
+    // stable per-query writer id: survives restarts (derived from the
+    // checkpoint dir, the same durability domain as the batch ids it
+    // versions), so a recovered query keeps its idempotent-commit history
+    val appId = "stream-dedup-" +
+      java.util.UUID.nameUUIDFromBytes(
+        checkpointDir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     docs.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         incremental(batch, idCol, textCol, index, out,
-          threshold, numHashes, bands, shingleWidth)
+          threshold, numHashes, bands, shingleWidth,
+          txn = Some((appId, batchId)))
         ()
       }
       .start()

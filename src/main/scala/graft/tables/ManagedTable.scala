@@ -394,14 +394,31 @@ final class ManagedTable private (val spark: SparkSession, val location: String)
     * the new latest version and retries — blind appends commute, so this
     * is safe (Delta's append-vs-append non-conflict rule); read-modify-
     * write commits ([[overwrite]]) do NOT retry.
+    *
+    * `txn = Some((appId, version))` makes the append idempotent per
+    * writer (Delta's `txnAppId`/`txnVersion` option): the commit records
+    * the monotonically increasing `version` under the writer's `appId`,
+    * and an append whose version the table has ALREADY recorded is a
+    * no-op. A replayed streaming micro-batch (checkpoint recovery, a
+    * crash between the commits of one batch) re-runs its appends without
+    * duplicating rows — an O(1) snapshot-property check, where an id-level
+    * anti-join guard would re-scan the table every batch.
     */
   def append(df: DataFrame, mergeSchema: Boolean = false,
-             operation: String = "APPEND"): Unit = {
+             operation: String = "APPEND",
+             txn: Option[(String, Long)] = None): Unit = {
     var written: Option[(Seq[String], StructType, Seq[String])] = None
     var attempts = 0
     var done = false
     while (!done) {
       val e = latestEntry
+      // idempotent-replay check rides the SAME snapshot read the commit
+      // rebases on, so a twin writer that slipped in between retries is
+      // still caught before this version double-applies
+      val alreadyApplied = txn.exists { case (app, v) =>
+        e.properties.get(ManagedTable.txnPropKey(app)).exists(_.toLong >= v)
+      }
+      if (alreadyApplied) return
       val newSchema =
         if (mergeSchema) unionSchema(e.schema, df.schema)
         else e.schema
@@ -417,9 +434,12 @@ final class ManagedTable private (val spark: SparkSession, val location: String)
           written = Some((d, newSchema, e.partitionColumns))
           d
       }
+      val newProps = txn.fold(e.properties) { case (app, v) =>
+        e.properties + (ManagedTable.txnPropKey(app) -> v.toString)
+      }
       try {
         commit(LogEntry(e.version + 1, System.currentTimeMillis(), operation,
-          e.dirs ++ dirs, newSchema, e.partitionColumns, e.properties,
+          e.dirs ++ dirs, newSchema, e.partitionColumns, newProps,
           entryFiles(e) ++ statsFor(dirs, newSchema)))
         done = true
       } catch {
@@ -429,6 +449,13 @@ final class ManagedTable private (val spark: SparkSession, val location: String)
       }
     }
   }
+
+  /** The highest `version` committed via `append(txn = Some((appId, _)))`
+    * for this writer, or None if it has never committed — the streaming
+    * replay fast-path probe.
+    */
+  def txnVersion(appId: String): Option[Long] =
+    latestEntry.properties.get(ManagedTable.txnPropKey(appId)).map(_.toLong)
 
   /** Atomically replace the table contents with `df` (new files + log swap;
     * old files become unreferenced until [[vacuum]], as in Delta overwrite).
@@ -823,6 +850,11 @@ object ManagedTable {
 
   /** A history checkpoint is rolled forward every this many commits. */
   val checkpointInterval: Long = 20L
+
+  /** Table-property key recording a writer's last idempotent-append
+    * version (see [[ManagedTable.append]]'s `txn`).
+    */
+  private[tables] def txnPropKey(appId: String): String = s"graft.txn.$appId"
 
   /** A `p=v` path segment, escaped the way Spark's file writer escapes
     * dynamic partition directories (so suffix comparison against written

@@ -93,6 +93,46 @@ class StreamingDedupSpec extends SparkSpec {
     assert(out.toDF.count() == 2 && index.buckets.toDF.count() == bucketRows)
   }
 
+  test("txn batches: a fully-replayed batch is an O(1) no-op, a half-committed " +
+       "one re-lands exactly once") {
+    val index = StreamingDedup.openIndex(spark, tmpDir("sdidx5"), "doc_id",
+      org.apache.spark.sql.types.LongType)
+    val out = ManagedTable.create(
+      Seq.empty[Doc].toDF("doc_id", "text"), tmpDir("sdout5"))
+    val app = "t-stream"
+    val b1 = Seq((1L, base), (2L, other)).toDF("doc_id", "text")
+    assert(StreamingDedup.incremental(b1, "doc_id", "text", index, out,
+      threshold = 0.5, txn = Some((app, 0L))) == 2)
+    val outV = out.latestVersion
+    val sigsV = index.sigs.latestVersion
+    // full replay: sigs already recorded batch 0 → nothing recomputes,
+    // nothing commits
+    assert(StreamingDedup.incremental(b1, "doc_id", "text", index, out,
+      threshold = 0.5, txn = Some((app, 0L))) == 0)
+    assert(out.latestVersion == outV && index.sigs.latestVersion == sigsV,
+      "a fully-replayed txn batch must not commit to any table")
+
+    // crash window: out committed batch 1, buckets/sigs did not — the
+    // replayed out append must no-op on its recorded txn version while
+    // the index appends catch up
+    val b2 = Seq((10L, nearDup), (11L, third)).toDF("doc_id", "text")
+    out.append(b2.join(Seq(11L).toDF("doc_id"), Seq("doc_id"), "left_semi"),
+      txn = Some((app, 1L)))
+    assert(StreamingDedup.incremental(b2, "doc_id", "text", index, out,
+      threshold = 0.5, txn = Some((app, 1L))) == 1)
+    assert(out.toDF.select("doc_id").as[Long].collect().toSet == Set(1L, 2L, 11L),
+      "the half-committed batch's rows must appear exactly once")
+    assert(index.sigs.toDF.count() == 3)
+    assert(index.buckets.toDF.groupBy("doc_id", "__band").count()
+      .filter(col("count") > 1).isEmpty, "one bucket row per (doc, band)")
+
+    // next batch proceeds normally under the same writer id
+    assert(StreamingDedup.incremental(
+      Seq((20L, base + "?!")).toDF("doc_id", "text"), "doc_id", "text",
+      index, out, threshold = 0.5, txn = Some((app, 2L))) == 0)
+    assert(out.toDF.count() == 3)
+  }
+
   test("the candidate probe reads a strict subset of the bucket partitions") {
     val index = StreamingDedup.openIndex(spark, tmpDir("sdidx4"), "doc_id",
       org.apache.spark.sql.types.LongType, parts = 64)

@@ -306,4 +306,29 @@ class StorageSpec extends SparkSpec {
       Row(1, "a", 111), Row(2, "a", 20), Row(3, "b", 30), Row(4, "b", 40),
       Row(5, "c", 50), Row(8, null, 888), Row(9, null, 90))))
   }
+
+  test("txn append: a replayed (appId, version) is a no-op; writers are independent") {
+    val loc = tmpDir("txn")
+    val t = ManagedTable.create(df(schema, Seq(Row(1, "a"))), loc)
+    t.append(df(schema, Seq(Row(2, "b"))), txn = Some(("w1", 0L)))
+    assert(t.txnVersion("w1").contains(0L))
+    val v = t.latestVersion
+    // exact replay: no commit, no rows
+    t.append(df(schema, Seq(Row(2, "b"))), txn = Some(("w1", 0L)))
+    assert(t.latestVersion == v, "a replayed txn append must commit nothing")
+    assert(t.toDF.count() == 2)
+    // stale (lower) version replays are no-ops too
+    t.append(df(schema, Seq(Row(9, "stale"))), txn = Some(("w1", -1L)))
+    assert(t.latestVersion == v)
+    // the writer's NEXT version lands, and records itself
+    t.append(df(schema, Seq(Row(3, "c"))), txn = Some(("w1", 1L)))
+    assert(t.txnVersion("w1").contains(1L) && t.toDF.count() == 3)
+    // a different appId has its own version space
+    assert(t.txnVersion("w2").isEmpty)
+    t.append(df(schema, Seq(Row(4, "d"))), txn = Some(("w2", 0L)))
+    assert(t.toDF.count() == 4 && t.txnVersion("w2").contains(0L))
+    // txn markers ride the snapshot properties through unrelated commits
+    t.overwrite(t.toDF.filter(col("col1") =!= 1).toDF())
+    assert(t.txnVersion("w1").contains(1L))
+  }
 }
