@@ -54,6 +54,21 @@ object StreamingDedup {
   private val HH = "__hh"
   private val BANDS = "__bands"
 
+  /** Wall-clock phase tracing for the per-batch pipeline, enabled by
+    * GRAFT_TRACE_STREAMING=1 (stderr; off in normal runs — the bench and
+    * the driver never set it). Kept because the per-batch cost here is
+    * commit/jobs overhead, not compute, and regressions need attribution.
+    */
+  private val trace = sys.env.get("GRAFT_TRACE_STREAMING").contains("1")
+  private def timed[T](name: String)(f: => T): T =
+    if (!trace) f
+    else {
+      val t0 = System.nanoTime()
+      val r = f
+      System.err.println(f"[stream-dedup] $name: ${(System.nanoTime() - t0) / 1e9}%.3f s")
+      r
+    }
+
   /** The persistent signature index: `sigs` (id → shingle hashes,
     * partitioned by id-hash residue) + `buckets` (id × band → band hash,
     * partitioned by band-hash residue).
@@ -173,8 +188,8 @@ object StreamingDedup {
     // retry-idempotence: ids already indexed (a replayed micro-batch)
     // drop. The sigs read is pruned to the batch's own id-residue
     // partitions — a bounded collect of at most `parts` longs.
-    val batchSp = hashed.select(spOf(idCol, parts).as("__sp"))
-      .distinct().collect().map(_.getLong(0)).toSeq
+    val batchSp = timed("batchSp-collect")(hashed.select(spOf(idCol, parts).as("__sp"))
+      .distinct().collect().map(_.getLong(0)).toSeq)
     val knownIds = prunedRead(index.sigs, "__sp", batchSp).select(col(idCol))
     val fresh = hashed
       .join(losers, Seq(idCol), "left_anti")
@@ -187,8 +202,8 @@ object StreamingDedup {
         col(idCol), posexplode(col(BANDS)).as(Seq("__band", "__bh")))
       .withColumn("__bp", pmod(col("__bh"), lit(parts.toLong)))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val batchBp = freshBands.select("__bp").distinct()
-      .collect().map(_.getLong(0)).toSeq
+    val batchBp = timed("batchBp-collect")(freshBands.select("__bp").distinct()
+      .collect().map(_.getLong(0)).toSeq)
     val idxBuckets = prunedRead(index.buckets, "__bp", batchBp)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cands = freshBands.select(col(idCol).as("__new_id"), col("__band"), col("__bh"))
@@ -198,9 +213,9 @@ object StreamingDedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // verification reads only the sigs partitions of the candidate ids
-    val candSp = cands.select(
+    val candSp = timed("candSp-collect")(cands.select(
         pmod(xxhash64(col("__idx_id")), lit(parts.toLong)).as("__sp"))
-      .distinct().collect().map(_.getLong(0)).toSeq
+      .distinct().collect().map(_.getLong(0)).toSeq)
     val idxSigs = prunedRead(index.sigs, "__sp", candSp)
     val verified = cands
       .join(fresh.select(col(idCol).as("__new_id"), col(HH).as("__hh_new")), Seq("__new_id"))
@@ -216,7 +231,7 @@ object StreamingDedup {
     // and the out/buckets appends below de-dup themselves by id.
     val novelSigs = fresh.join(verified, Seq(idCol), "left_anti")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val novelCount = novelSigs.count()
+    val novelCount = timed("novelSigs-count")(novelSigs.count())
     if (novelCount > 0) {
       // size the append's file count by rows — a small batch written at
       // the session's full shuffle parallelism produces dozens of tiny
@@ -229,41 +244,54 @@ object StreamingDedup {
       // full O(corpus) read per batch, so every streaming caller should
       // pass `txn`
       val outRows = batch.join(novelIds, Seq(idCol), "left_semi")
-      out.append(
+      // out and buckets are independent commits (different tables, both
+      // individually replay-idempotent; only sigs' LAST position matters),
+      // so their write jobs overlap on the driver — two threads sharing
+      // the same executor pool, not a semantic reorder.
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val outF = Future(timed("out-append")(out.append(
         (if (txn.isDefined) outRows
          else outRows.join(out.toDF.select(col(idCol)), Seq(idCol), "left_anti"))
           .coalesce(parts1),
-        txn = txn)
+        txn = txn)))
       // HIVE-PARTITIONED appends must repartition BY the partition column
       // first: written as-is, every one of the T shuffle tasks opens a
       // writer in each of the ≤`parts` partition dirs it sees — T×parts
       // tiny files per commit, each billed a footer-stats read and
       // re-opened by every later batch. Clustered, each partition dir is
-      // owned by exactly one task → ≤min(parts, rows) files per commit.
-      val partsB = math.max(1L, novelCount * bands / 1000000L).toInt
+      // owned by exactly one task → ≤`parts` files per commit REGARDLESS
+      // of task count, so write with `parts` tasks: same files, but the
+      // dozens of per-dir file opens run in parallel instead of inside
+      // one task (measured 3× on the per-batch commit tail).
+      val partsB = parts
       // buckets-side replay guard: idempotent via `txn` when available;
       // otherwise the pruned idxBuckets read already covers every
       // partition this batch writes, so an id-level anti-join against it
       // drops rows a half-committed replay re-emits
       val bucketRows = freshBands.join(novelIds, Seq(idCol), "left_semi")
-      index.buckets.append(
+      val bucketsF = Future(timed("buckets-append")(index.buckets.append(
         (if (txn.isDefined) bucketRows
          else bucketRows.join(idxBuckets.select(col(idCol)), Seq(idCol), "left_anti"))
           .select(col(idCol), col("__band"), col("__bh"), col("__bp"))
           .repartition(partsB, col("__bp")),
-        txn = txn)
-      index.sigs.append(novelSigs
+        txn = txn)))
+      // barrier BEFORE sigs: its commit asserts the whole batch landed
+      Await.result(outF, Duration.Inf)
+      Await.result(bucketsF, Duration.Inf)
+      timed("sigs-append")(index.sigs.append(novelSigs
         .select(col(idCol), col(HH), spOf(idCol, parts).as("__sp"))
-        .repartition(parts1, col("__sp")),
-        txn = txn)
+        .repartition(parts, col("__sp")),
+        txn = txn))
       // 5. bound index fragmentation (one commit dir per batch otherwise).
       // The floor scales with the partition count: a `parts`-way
       // partitioned table can never compact below one file per partition,
       // so a threshold under ~2·parts would trigger a useless full
       // rewrite on every single batch.
       val maxFiles = math.max(maxIndexFiles, 2 * parts)
-      graft.operators.TableOps.autoOptimize(index.sigs, maxFiles = maxFiles)
-      graft.operators.TableOps.autoOptimize(index.buckets, maxFiles = maxFiles)
+      timed("autoOptimize-sigs")(graft.operators.TableOps.autoOptimize(index.sigs, maxFiles = maxFiles))
+      timed("autoOptimize-buckets")(graft.operators.TableOps.autoOptimize(index.buckets, maxFiles = maxFiles))
     }
     hashed.unpersist()
     fresh.unpersist()

@@ -87,24 +87,29 @@ object FileStats {
   def collect(conf: org.apache.hadoop.conf.Configuration, dataRoot: Path,
               leaves: Seq[String], schema: StructType): Seq[FileStat] = {
     val cols = statsColumns(schema)
-    leaves.flatMap { leaf =>
+    val files: Seq[(String, Map[String, String], Path)] = leaves.flatMap { leaf =>
       val dir = dataRoot.resolve(leaf)
       if (!Files.isDirectory(dir)) Nil
       else {
         val pb = partitionBounds(leaf, cols)
         val s = Files.list(dir)
-        val parquets =
-          try s.iterator().asScala.toSeq
-            .filter(f => Files.isRegularFile(f) &&
-              f.getFileName.toString.endsWith(".parquet"))
-          finally s.close()
-        parquets.map { f =>
-          val (rows, mins, maxs) = footerBounds(conf, f, cols)
-          FileStat(leaf + "/" + f.getFileName.toString, rows, Files.size(f),
-            mins ++ pb, maxs ++ pb)
-        }
+        try s.iterator().asScala.toSeq
+          .filter(f => Files.isRegularFile(f) &&
+            f.getFileName.toString.endsWith(".parquet"))
+          .map(f => (leaf, pb, f))
+        finally s.close()
       }
     }
+    // Footer reads are independent metadata fetches; a hive-partitioned
+    // commit easily holds dozens of small files, and reading their footers
+    // one-by-one serializes the commit's tail. Parallel across the common
+    // pool (order restored by .seq — caller sees a deterministic listing).
+    import scala.collection.parallel.CollectionConverters._
+    files.par.map { case (leaf, pb, f) =>
+      val (rows, mins, maxs) = footerBounds(conf, f, cols)
+      FileStat(leaf + "/" + f.getFileName.toString, rows, Files.size(f),
+        mins ++ pb, maxs ++ pb)
+    }.seq
   }
 
   /** Exact bounds for partition columns, parsed from the leaf path's
