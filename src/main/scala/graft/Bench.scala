@@ -63,23 +63,28 @@ object Bench {
     // — re-timing a crash adds nothing.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val (sec1, err1) = timeQuery(spark, sfDir, name, fn)
-      if (err1.isDefined) (name, sec1, err1)
+      if (err1.isDefined) (name, sec1, Seq(sec1), err1)
       else {
         val (sec2, err2) = timeQuery(spark, sfDir, name, fn)
-        (name, math.min(sec1, sec2), err2)
+        (name, math.min(sec1, sec2), Seq(sec1, sec2), err2)
       }
     }
     def jstr(s: String): String = "\"" + s.flatMap {
       case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
       case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
     } + "\""
-    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val errs = results.collect { case (k, _, Some(e)) => s"\"$k\":${jstr(e)}" }
+    // both raw iterations (first = cold: JIT/page-cache; second = warm) so
+    // cross-round regressions separate environment noise from plan changes
+    val runs = results.map { case (k, _, rs, _) =>
+      s"\"" + k + "\":" + rs.mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val errs = results.collect { case (k, _, _, Some(e)) => s"\"$k\":${jstr(e)}" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_runs":$runs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
-    if (results.exists(_._3.isDefined)) sys.exit(1)
+    if (results.exists(_._4.isDefined)) sys.exit(1)
   }
 }

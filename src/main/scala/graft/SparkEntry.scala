@@ -638,8 +638,28 @@ object SparkEntry {
         |  (SELECT count(DISTINCT l_orderkey) FROM lineitem)
         |    = (SELECT count(*) FROM lineitem) AS orderkey_unique""".stripMargin,
 
+    // scale-derived (not a literal): the first single column, in `part`'s
+    // positional order, whose distinct count equals the row count — exactly
+    // findCompositeKeyCandidates' size-1 rule, which decides this dataset
+    // at every sf (p_partkey is a key). Multi-column combination order is
+    // only reachable when NO single column is unique, which the size-1
+    // guarantee here makes unreachable.
     "find_composite_key" ->
-      "SELECT 'p_partkey' AS column_name",
+      """WITH n AS (SELECT count(*) AS total FROM (SELECT DISTINCT * FROM part))
+        |SELECT column_name FROM (
+        |  SELECT 'p_partkey' AS column_name, 1 AS ord,
+        |         count(DISTINCT p_partkey) = (SELECT total FROM n) AS uniq FROM part
+        |  UNION ALL SELECT 'p_name', 2,
+        |         count(DISTINCT p_name) = (SELECT total FROM n) FROM part
+        |  UNION ALL SELECT 'p_brand', 3,
+        |         count(DISTINCT p_brand) = (SELECT total FROM n) FROM part
+        |  UNION ALL SELECT 'p_type', 4,
+        |         count(DISTINCT p_type) = (SELECT total FROM n) FROM part
+        |  UNION ALL SELECT 'p_size', 5,
+        |         count(DISTINCT p_size) = (SELECT total FROM n) FROM part
+        |  UNION ALL SELECT 'p_retailprice', 6,
+        |         count(DISTINCT p_retailprice) = (SELECT total FROM n) FROM part
+        |) WHERE uniq ORDER BY ord LIMIT 1""".stripMargin,
 
     "with_md5_cols" ->
       """SELECT p_partkey, p_brand, p_type,
