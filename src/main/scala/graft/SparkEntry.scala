@@ -193,6 +193,39 @@ object SparkEntry {
           "old_path_exists", "sizes_line_ok", "source_rows")
     }),
 
+    // Z-order clustering: rewrite lineitem z-ordered on (l_orderkey,
+    // l_partkey), then prove BOTH range probes return exactly the
+    // oracle's rows THROUGH the pruned read (a wrongly-skipped file
+    // would drop rows and hash-mismatch), and that the probes touch at
+    // most half the files (the clustering claim itself).
+    "table_zorder" -> ((s, dir) => {
+      val base = "/root/repo/target/tmp/q_zorder"
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm); f.delete(); ()
+      }
+      rm(new java.io.File(base))
+      val li = t(s, dir, "lineitem")
+        .select("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice")
+      val tbl = ManagedTable.create(li, base)
+      // aim ~32 files at any sf so the skip probes stay meaningful
+      val target = math.max(32L * 1024, tbl.detail.sizeInBytes / 32)
+      tbl.optimize(targetFileSizeBytes = target,
+        zorderBy = Seq("l_orderkey", "l_partkey"))
+      val total = tbl.detail.numFiles
+      val pmax = li.agg(max("l_partkey")).head().getLong(0)
+      val omax = li.agg(max("l_orderkey")).head().getLong(0)
+      val pProbe = tbl.toDFWhere(
+        s"l_partkey BETWEEN ${pmax / 20} AND ${pmax / 10}")
+      val oProbe = tbl.toDFWhere(
+        s"l_orderkey BETWEEN ${omax / 20} AND ${omax / 10}")
+      val skipsP = total < 8 || pProbe.inputFiles.length * 2 <= total
+      val skipsO = total < 8 || oProbe.inputFiles.length * 2 <= total
+      import s.implicits._
+      Seq((tbl.toDF.count(), pProbe.count(), oProbe.count(), skipsP, skipsO))
+        .toDF("total_rows", "part_range_rows", "order_range_rows",
+          "skips_partkey", "skips_orderkey")
+    }),
+
     // ---- extensions: text analysis ------------------------------------
     "text_stats" -> ((s, dir) =>
       t(s, dir, "documents").select(
@@ -674,6 +707,22 @@ object SparkEntry {
       """SELECT CAST(2 AS BIGINT) AS latest_version,
         |  (SELECT count(*) * 3 FROM region) AS row_count,
         |  true AS has_files""".stripMargin,
+
+    // the two TRUE columns are engine-side assertions (file-skipping
+    // achieved), the same pattern as table_admin.sizes_line_ok; the row
+    // counts flow through the PRUNED reads, so a wrongly-skipped file
+    // shows up as a count mismatch here
+    "table_zorder" ->
+      """SELECT (SELECT count(*) FROM lineitem) AS total_rows,
+        |  (SELECT count(*) FROM lineitem
+        |   WHERE l_partkey BETWEEN (SELECT max(l_partkey) // 20 FROM lineitem)
+        |                       AND (SELECT max(l_partkey) // 10 FROM lineitem))
+        |    AS part_range_rows,
+        |  (SELECT count(*) FROM lineitem
+        |   WHERE l_orderkey BETWEEN (SELECT max(l_orderkey) // 20 FROM lineitem)
+        |                        AND (SELECT max(l_orderkey) // 10 FROM lineitem))
+        |    AS order_range_rows,
+        |  TRUE AS skips_partkey, TRUE AS skips_orderkey""".stripMargin,
 
     "text_stats" ->
       """SELECT doc_id, CAST(length(text) AS INT) AS n_chars,

@@ -667,4 +667,37 @@ object ExprKernels {
     }
     new GenericArrayData(out)
   }
+
+  /** Z-order value (see [[ZValue]]): each column's double is range-bucketed
+    * by binary search over its quantile boundaries (`bounds` holds
+    * `(1<<bits)-1` ascending boundaries per column, column-major), and the
+    * bucket indices' bits are interleaved — bit b of column c lands at
+    * z-bit `b*nCols + c`. NULL/NaN bucket to 0 (cluster first, like
+    * Delta's Z-order NULL handling).
+    */
+  def zValue(vals: ArrayData, bounds: Array[Double], nCols: Int, bits: Int): Long = {
+    val perCol = (1 << bits) - 1
+    var z = 0L
+    var c = 0
+    while (c < nCols) {
+      var bucket = 0
+      if (!vals.isNullAt(c)) {
+        val v = vals.getDouble(c)
+        var lo = 0
+        var hi = perCol
+        while (lo < hi) {
+          val mid = (lo + hi) >>> 1
+          if (bounds(c * perCol + mid) <= v) lo = mid + 1 else hi = mid
+        }
+        bucket = lo // insertion point in [0, (1<<bits)-1]; NaN compares to 0
+      }
+      var b = 0
+      while (b < bits) {
+        z |= ((bucket >> b) & 1).toLong << (b * nCols + c)
+        b += 1
+      }
+      c += 1
+    }
+    z
+  }
 }

@@ -82,6 +82,13 @@ object expressions {
   def normalized_md5(text: Column): Column =
     column(NormalizedMd5(expression(text)))
 
+  /** Z-order value of an `array<double>` column (one element per Z-order
+    * dimension); `bounds` holds `(1<<bits)-1` ascending quantile
+    * boundaries per column, column-major (see [[ZValue]]).
+    */
+  def z_value(vals: Column, bounds: Seq[Double], nCols: Int, bits: Int): Column =
+    column(ZValue(expression(vals), bounds.toVector, nCols, bits))
+
   private[plans] def arrayOfLongCheck(e: Expression, name: String) =
     e.dataType match {
       case ArrayType(LongType, _) =>
@@ -402,4 +409,47 @@ case class VecDot(left: Expression, right: Expression,
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): VecDot =
     copy(left = l, right = r)
+}
+
+/** Z-order (Morton) value for multi-column file clustering: each column's
+  * value is range-bucketed by binary search over its `(1<<bits)-1` quantile
+  * boundaries (computed once per OPTIMIZE from an `approxQuantile` sketch —
+  * Delta's `range_partition_id` approach), and the bucket indices' bits are
+  * interleaved so files written in z-value order get tight min/max bounds
+  * on EVERY clustered column at once, where a lexicographic sort only
+  * bounds the leading one. NULL/NaN elements bucket to 0; a NULL input
+  * array yields NULL.
+  */
+case class ZValue(child: Expression, bounds: Vector[Double],
+                  nCols: Int, bits: Int)
+    extends UnaryExpression {
+  require(nCols >= 1 && bits >= 1 && nCols * bits <= 63,
+    s"nCols*bits must fit a signed long, got $nCols*$bits")
+  require(bounds.length == nCols * ((1 << bits) - 1),
+    s"bounds must hold ((1<<bits)-1) doubles per column")
+
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes() = child.dataType match {
+    case ArrayType(DoubleType, _) =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case other =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"z_value expects array<double>, got ${other.sql}")
+  }
+
+  @transient private lazy val boundsArr: Array[Double] = bounds.toArray
+
+  override def nullSafeEval(input: Any): Any =
+    ExprKernels.zValue(input.asInstanceOf[ArrayData], boundsArr, nCols, bits)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // boundary table rides the generated class as a reference object —
+    // decoded from the expression tree ONCE, not per row
+    val boundsRef = ctx.addReferenceObj("zBounds", boundsArr, "double[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.ExprKernels.zValue($c, $boundsRef, $nCols, $bits);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): ZValue =
+    copy(child = c)
 }

@@ -294,6 +294,16 @@ object FileStats {
 
   def conjuncts(e: CatExpr): Seq[CatExpr] = e match {
     case CatAnd(l, r) => conjuncts(l) ++ conjuncts(r)
+    // BETWEEN survives parsing as an unresolved `between` function (and
+    // analysis as the RuntimeReplaceable Between node); desugar both here
+    // or range predicates written with BETWEEN would silently prune nothing
+    case b: org.apache.spark.sql.catalyst.expressions.Between =>
+      Seq(CatGTE(b.input, b.lower), CatLTE(b.input, b.upper))
+    case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+        if f.nameParts.map(_.toLowerCase) == Seq("between") &&
+          f.arguments.length == 3 =>
+      Seq(CatGTE(f.arguments(0), f.arguments(1)),
+        CatLTE(f.arguments(0), f.arguments(2)))
     case other => Seq(other)
   }
 

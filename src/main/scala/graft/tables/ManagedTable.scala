@@ -794,21 +794,49 @@ final class ManagedTable private (val spark: SparkSession, val location: String)
     * write task that owns it (typically one).
     */
   def optimize(targetFileSizeBytes: Long = 128L * 1024 * 1024,
-               sortBy: Seq[String] = Nil): Unit = {
+               sortBy: Seq[String] = Nil,
+               zorderBy: Seq[String] = Nil): Unit = {
     require(targetFileSizeBytes > 0)
+    require(sortBy.isEmpty || zorderBy.isEmpty,
+      "sortBy and zorderBy are mutually exclusive")
     val e = latestEntry
     val numFiles = math.max(1,
       math.ceil(detail.sizeInBytes.toDouble / targetFileSizeBytes).toInt)
     val df = snapshotDF(e)
-    val compacted =
-      if (e.partitionColumns.isEmpty) df.repartition(numFiles)
-      else df.repartition(numFiles, e.partitionColumns.map(col): _*)
-    // clustering the rewrite (Z-order-lite) tightens parquet row-group
-    // min/max bounds on the sort columns, so later filtered scans skip
-    // whole row groups — the same reason Delta OPTIMIZE ZORDER exists
     val ordered =
-      if (sortBy.isEmpty) compacted
-      else compacted.sortWithinPartitions(sortBy.map(col): _*)
+      if (zorderBy.nonEmpty) {
+        // Z-ORDER rewrite (Delta OPTIMIZE ZORDER analog): range-shuffle +
+        // sort by the interleaved-bucket z-value so EVERY clustered
+        // column gets tight per-file min/max bounds in the snapshot's
+        // file stats, where a lexicographic sort only bounds the leading
+        // column. The quantile sketch is one bounded-size pass; the
+        // boundaries ride the expression as a broadcast-like constant.
+        require(e.partitionColumns.isEmpty,
+          "zorderBy applies to unpartitioned tables (partitioned tables " +
+            "already skip via partition pruning; z-order their partitions " +
+            "individually if needed)")
+        val zc = ManagedTable.zorderColumn(df, zorderBy)
+        df.withColumn("__graft_z", zc)
+          .repartitionByRange(numFiles, col("__graft_z"))
+          .sortWithinPartitions("__graft_z")
+          .drop("__graft_z")
+      } else if (sortBy.nonEmpty && e.partitionColumns.isEmpty) {
+        // RANGE-partition by the sort key, not round-robin: with a random
+        // repartition every rewritten file spans the key's full range and
+        // the per-file min/max stats prune nothing — the sort must govern
+        // which FILE a row lands in, not just the order inside one.
+        df.repartitionByRange(numFiles, sortBy.map(col): _*)
+          .sortWithinPartitions(sortBy.map(col): _*)
+      } else {
+        val compacted =
+          if (e.partitionColumns.isEmpty) df.repartition(numFiles)
+          else df.repartition(numFiles, e.partitionColumns.map(col): _*)
+        // clustering the rewrite tightens parquet row-group min/max bounds
+        // on the sort columns, so later filtered scans skip whole row
+        // groups — the same reason Delta OPTIMIZE ZORDER exists
+        if (sortBy.isEmpty) compacted
+        else compacted.sortWithinPartitions(sortBy.map(col): _*)
+      }
     val dirs = writeData(ordered, e.partitionColumns)
     commit(LogEntry(e.version + 1, System.currentTimeMillis(), "OPTIMIZE",
       dirs, e.schema, e.partitionColumns, e.properties,
@@ -844,6 +872,46 @@ final case class TableDetail(location: String, partitionColumns: Seq[String],
 object ManagedTable {
   private val VersionFile = "v(\\d+)\\.json".r
   private val mapper = new ObjectMapper()
+
+  /** Bits per Z-order dimension: 4096 range buckets per column — finer
+    * than any realistic file count, so file boundaries always fall between
+    * buckets, never inside one.
+    */
+  private val zorderBits = 12
+
+  /** The z-value column for `cols` of `df`: each column cast to double
+    * (date/timestamp via epoch), range-bucketed by its own approx-quantile
+    * boundaries, bucket bits interleaved (see [[graft.plans.ZValue]]).
+    * One `approxQuantile` sketch pass total — O(columns · 1/err²) driver
+    * memory, never a sort or collect of the data.
+    */
+  private[tables] def zorderColumn(df: DataFrame, cols: Seq[String]): org.apache.spark.sql.Column = {
+    require(cols.nonEmpty && cols.size * zorderBits <= 63,
+      s"zorderBy supports 1..5 columns, got ${cols.size}")
+    val schema = df.schema
+    val asDouble: Seq[org.apache.spark.sql.Column] = cols.map { c =>
+      schema(c).dataType match {
+        case _: NumericType | BooleanType => col(c).cast(DoubleType)
+        case DateType | TimestampType =>
+          col(c).cast(TimestampType).cast(DoubleType)
+        case other => throw new IllegalArgumentException(
+          s"zorderBy column $c has non-range-bucketable type ${other.sql} " +
+            "(supported: numeric, boolean, date, timestamp)")
+      }
+    }
+    val perCol = (1 << zorderBits) - 1
+    val probs = (1 to perCol).map(_.toDouble / (1 << zorderBits)).toArray
+    val tmpNames = cols.indices.map(i => s"__zq$i")
+    val tmp = df.select(cols.indices.map(i => asDouble(i).as(tmpNames(i))): _*)
+    val bounds = tmp.stat.approxQuantile(tmpNames.toArray, probs, 0.001)
+    val flat = bounds.flatMap { b =>
+      // an all-null column yields an empty sketch: +inf boundaries send
+      // every row to bucket 0 (the column contributes no ordering)
+      if (b.isEmpty) Array.fill(perCol)(Double.PositiveInfinity) else b
+    }.toIndexedSeq
+    graft.plans.expressions.z_value(
+      array(asDouble: _*), flat, cols.size, zorderBits)
+  }
 
   /** Default vacuum retention-time floor: 1 hour (see [[ManagedTable.vacuum]]). */
   val defaultVacuumMinAgeMillis: Long = 60L * 60 * 1000
