@@ -193,6 +193,29 @@ object SparkEntry {
           "old_path_exists", "sizes_line_ok", "source_rows")
     }),
 
+    // DELETE + UPDATE DML (Delta DeltaTable.delete/update analogs): a
+    // multi-file orders table, k-sorted so the condition bounds actually
+    // prune; the final contents flow through both file-granular rewrites
+    // and must hash-match the oracle's CASE/WHERE re-derivation.
+    "table_dml" -> ((s, dir) => {
+      val base = "/root/repo/target/tmp/q_dml"
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm); f.delete(); ()
+      }
+      rm(new java.io.File(base))
+      val orders = t(s, dir, "orders")
+      val tbl = ManagedTable.create(orders, base)
+      val target = math.max(32L * 1024, tbl.detail.sizeInBytes / 16)
+      tbl.optimize(targetFileSizeBytes = target, sortBy = Seq("o_orderkey"))
+      val omax = orders.agg(max("o_orderkey")).head().getLong(0)
+      val deleted = tbl.delete(s"o_orderkey < ${omax / 10}")
+      val updated = tbl.update(
+        Map("o_orderpriority" -> "'9-REPRICED'"),
+        Some("o_totalprice > 400000"))
+      require(deleted > 0 && updated > 0, "DML probe must touch rows")
+      tbl.toDF
+    }),
+
     // Z-order clustering: rewrite lineitem z-ordered on (l_orderkey,
     // l_partkey), then prove BOTH range probes return exactly the
     // oracle's rows THROUGH the pruned read (a wrongly-skipped file
@@ -707,6 +730,14 @@ object SparkEntry {
       """SELECT CAST(2 AS BIGINT) AS latest_version,
         |  (SELECT count(*) * 3 FROM region) AS row_count,
         |  true AS has_files""".stripMargin,
+
+    "table_dml" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |  o_orderdate,
+        |  CASE WHEN o_totalprice > 400000 THEN '9-REPRICED'
+        |       ELSE o_orderpriority END AS o_orderpriority
+        |FROM orders
+        |WHERE NOT (o_orderkey < (SELECT max(o_orderkey) // 10 FROM orders))""".stripMargin,
 
     // the two TRUE columns are engine-side assertions (file-skipping
     // achieved), the same pattern as table_admin.sizes_line_ok; the row

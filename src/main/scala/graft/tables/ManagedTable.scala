@@ -843,6 +843,93 @@ final class ManagedTable private (val spark: SparkSession, val location: String)
       statsFor(dirs, e.schema)))
   }
 
+  /** DELETE (Delta `DeltaTable.delete` analog — the reference's users get
+    * this from delta-spark): removes rows where `conditionSql` is TRUE
+    * (NULL keeps the row, as in SQL DELETE). File-granular: only files
+    * whose min/max bounds may hold a matching row are rewritten; every
+    * other file is kept verbatim in the new snapshot, and a commit race
+    * rebases when the intervening commits are provably disjoint (same
+    * rules as the file-pruned MERGE). Returns the number of rows deleted;
+    * a delete that matches nothing commits nothing.
+    */
+  def delete(conditionSql: String): Long = {
+    val cond = expr(conditionSql)
+    val parsed = org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+      .parseExpression(conditionSql)
+    dmlRewrite("DELETE", Some(parsed),
+      matchedOf = df => df.filter(coalesce(cond, lit(false))),
+      rewriteOf = df => df.filter(!coalesce(cond, lit(false))))
+  }
+
+  /** UPDATE (Delta `DeltaTable.update` analog): sets each column in `set`
+    * to its SQL expression (evaluated over the pre-update row) on rows
+    * where `conditionSql` is TRUE (absent = all rows; NULL skips the row).
+    * File-granular like [[delete]]. Returns the number of rows updated.
+    */
+  def update(set: Map[String, String],
+             conditionSql: Option[String] = None): Long = {
+    require(set.nonEmpty, "update requires at least one column to set")
+    val schema0 = latestEntry.schema
+    set.keys.foreach { k =>
+      require(schema0.fieldNames.contains(k),
+        s"update column $k is not in the table schema " +
+          schema0.fieldNames.mkString("[", ", ", "]"))
+    }
+    val cond = conditionSql.map(expr).getOrElse(lit(true))
+    val parsed = conditionSql.map(
+      org.apache.spark.sql.catalyst.parser.CatalystSqlParser.parseExpression)
+    dmlRewrite("UPDATE", parsed,
+      matchedOf = df => df.filter(coalesce(cond, lit(false))),
+      rewriteOf = df => df.select(df.schema.fields.map { f =>
+        set.get(f.name) match {
+          case Some(e) => when(coalesce(cond, lit(false)),
+              expr(e).cast(f.dataType)).otherwise(col(f.name)).as(f.name)
+          case None => col(f.name)
+        }
+      }.toIndexedSeq: _*))
+  }
+
+  /** Shared DELETE/UPDATE core: prune candidate files by the condition's
+    * bounds, rewrite only them, keep the rest verbatim. `matchedOf` counts
+    * the affected rows (the no-op guard and the return value), `rewriteOf`
+    * produces the candidates' replacement rows.
+    */
+  private def dmlRewrite(op: String,
+                         parsed: Option[org.apache.spark.sql.catalyst.expressions.Expression],
+                         matchedOf: DataFrame => DataFrame,
+                         rewriteOf: DataFrame => DataFrame): Long = {
+    val base = latestEntry
+    if (base.files.nonEmpty) {
+      val touched = parsed.fold(base.files)(p =>
+        FileStats.prune(base.files, base.schema, p))
+      if (touched.isEmpty) return 0L // bounds prove nothing matches
+      val candidates = scanFilesDF(touched, base)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val matched = matchedOf(candidates).count()
+        if (matched == 0) return 0L // no commit, no version burned
+        // Delta's ConcurrentAppendException rule: a concurrently-added
+        // file conflicts only if this DML would have read it — i.e. its
+        // bounds survive the same pruning predicate.
+        replaceFiles(touched.map(_.path).toSet, rewriteOf(candidates),
+          operation = op, base = base,
+          addedMayMatch = added => parsed.fold(true)(p =>
+            FileStats.prune(added, base.schema, p).nonEmpty))
+        matched
+      } finally { candidates.unpersist(); () }
+    } else {
+      // legacy (pre-stats) snapshot: full read-modify-write
+      val df = snapshotDF(base)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val matched = matchedOf(df).count()
+        if (matched == 0) return 0L
+        overwriteFrom(base.version, rewriteOf(df), op)
+        matched
+      } finally { df.unpersist(); () }
+    }
+  }
+
   def setProperties(props: Map[String, String]): Unit = {
     val e = latestEntry
     commit(e.copy(version = e.version + 1,
