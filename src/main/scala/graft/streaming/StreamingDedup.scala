@@ -185,25 +185,39 @@ object StreamingDedup {
         >= threshold)
       .select(col("id_b").as(idCol)).distinct()
 
-    // retry-idempotence: ids already indexed (a replayed micro-batch)
-    // drop. The sigs read is pruned to the batch's own id-residue
-    // partitions — a bounded collect of at most `parts` longs.
-    val batchSp = timed("batchSp-collect")(hashed.select(spOf(idCol, parts).as("__sp"))
-      .distinct().collect().map(_.getLong(0)).toSeq)
+    // the batch's exploded band hashes (ALL docs — losers too; see the
+    // residue note below)
+    val allBands = hashed.select(
+        col(idCol), posexplode(col(BANDS)).as(Seq("__band", "__bh")))
+      .withColumn("__bp", pmod(col("__bh"), lit(parts.toLong)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // BOTH partition-residue sets in ONE driver round-trip (at most
+    // 2·`parts` longs): the id residues pruning the sigs replay read and
+    // the band residues pruning the bucket read. Collected over the whole
+    // batch rather than post-dedup `fresh` — a superset, so the pruned
+    // reads only ever widen (never miss a partition a later join needs),
+    // and one Spark job replaces the two sequential collects that
+    // dominated small-batch latency.
+    val residues = timed("residues-collect")(
+      hashed.select(spOf(idCol, parts).as("r"), lit(0).as("kind"))
+        .union(allBands.select(col("__bp").as("r"), lit(1).as("kind")))
+        .distinct().collect())
+    val batchSp = residues.filter(_.getInt(1) == 0).map(_.getLong(0)).toSeq
+    val batchBp = residues.filter(_.getInt(1) == 1).map(_.getLong(0)).toSeq
+
+    // retry-idempotence: ids already indexed (an id re-arriving in a later
+    // batch; replayed batches are handled by `txn`) drop. The sigs read is
+    // pruned to the batch's own id-residue partitions.
     val knownIds = prunedRead(index.sigs, "__sp", batchSp).select(col(idCol))
     val fresh = hashed
       .join(losers, Seq(idCol), "left_anti")
       .join(knownIds, Seq(idCol), "left_anti")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    // 3. LSH candidates vs the index — the batch's exploded band hashes
-    // against ONLY the bucket partitions sharing their residues
-    val freshBands = fresh.select(
-        col(idCol), posexplode(col(BANDS)).as(Seq("__band", "__bh")))
-      .withColumn("__bp", pmod(col("__bh"), lit(parts.toLong)))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val batchBp = timed("batchBp-collect")(freshBands.select("__bp").distinct()
-      .collect().map(_.getLong(0)).toSeq)
+    // 3. LSH candidates vs the index — survivors' band hashes against
+    // ONLY the bucket partitions sharing the batch's residues
+    val freshBands = allBands.join(fresh.select(idCol), Seq(idCol), "left_semi")
     val idxBuckets = prunedRead(index.buckets, "__bp", batchBp)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cands = freshBands.select(col(idCol).as("__new_id"), col("__band"), col("__bh"))
@@ -295,7 +309,7 @@ object StreamingDedup {
     }
     hashed.unpersist()
     fresh.unpersist()
-    freshBands.unpersist()
+    allBands.unpersist()
     idxBuckets.unpersist()
     cands.unpersist()
     novelSigs.unpersist()
