@@ -795,13 +795,28 @@ final class ManagedTable private (val spark: SparkSession, val location: String)
     */
   def optimize(targetFileSizeBytes: Long = 128L * 1024 * 1024,
                sortBy: Seq[String] = Nil,
-               zorderBy: Seq[String] = Nil): Unit = {
+               zorderBy: Seq[String] = Nil): Unit =
+    optimizeFrom(latestEntry, targetFileSizeBytes, sortBy, zorderBy)
+
+  /** [[optimize]] against an explicit base snapshot (separated so the
+    * concurrent-commit behavior is testable): compaction rewrites rows
+    * without changing them, so a concurrent APPEND commutes — the rebase
+    * keeps the appended files alongside the compacted rewrite (Delta's
+    * OPTIMIZE-vs-append rule). A concurrent commit that REMOVED one of
+    * the compacted files (MERGE/DELETE/UPDATE) still raises: its rewrite
+    * would be lost.
+    */
+  private[tables] def optimizeFrom(e: LogEntry,
+               targetFileSizeBytes: Long,
+               sortBy: Seq[String],
+               zorderBy: Seq[String]): Unit = {
     require(targetFileSizeBytes > 0)
     require(sortBy.isEmpty || zorderBy.isEmpty,
       "sortBy and zorderBy are mutually exclusive")
-    val e = latestEntry
+    val baseBytes =
+      if (e.files.nonEmpty) e.files.map(_.bytes).sum else detail.sizeInBytes
     val numFiles = math.max(1,
-      math.ceil(detail.sizeInBytes.toDouble / targetFileSizeBytes).toInt)
+      math.ceil(baseBytes.toDouble / targetFileSizeBytes).toInt)
     val df = snapshotDF(e)
     val ordered =
       if (zorderBy.nonEmpty) {
@@ -837,10 +852,19 @@ final class ManagedTable private (val spark: SparkSession, val location: String)
         if (sortBy.isEmpty) compacted
         else compacted.sortWithinPartitions(sortBy.map(col): _*)
       }
-    val dirs = writeData(ordered, e.partitionColumns)
-    commit(LogEntry(e.version + 1, System.currentTimeMillis(), "OPTIMIZE",
-      dirs, e.schema, e.partitionColumns, e.properties,
-      statsFor(dirs, e.schema)))
+    if (e.files.nonEmpty)
+      // compaction changes no rows, so concurrent appends commute
+      // (addedMayMatch = never): the rebase keeps their files alongside
+      // the compacted rewrite. Concurrent removals of a compacted file
+      // (MERGE/DELETE) still raise inside replaceFiles.
+      replaceFiles(e.files.map(_.path).toSet, ordered,
+        operation = "OPTIMIZE", base = e, addedMayMatch = _ => false)
+    else {
+      val dirs = writeData(ordered, e.partitionColumns)
+      commit(LogEntry(e.version + 1, System.currentTimeMillis(), "OPTIMIZE",
+        dirs, e.schema, e.partitionColumns, e.properties,
+        statsFor(dirs, e.schema)))
+    }
   }
 
   /** DELETE (Delta `DeltaTable.delete` analog — the reference's users get

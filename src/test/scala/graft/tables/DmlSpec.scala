@@ -122,6 +122,26 @@ class DmlSpec extends SparkSpec {
     assert(t.toDF.filter(col("k") === 5000L).count() == 1)
   }
 
+  test("optimize commutes with a concurrent append (both commits land)") {
+    val t = fixture("optrace")
+    val base = t.latestEntry
+    t.append(Seq((7777L, 1L, "x")).toDF("k", "v", "tag"))
+    // compaction planned against `base` rebases over the append
+    t.optimizeFrom(base, 128L * 1024 * 1024, Nil, Nil)
+    assert(t.toDF.count() == 1001)
+    assert(t.toDF.filter(col("k") === 7777L).count() == 1)
+    val ops = t.history.orderBy(col("version")).collect().map(_.getString(2))
+    assert(ops.last == "OPTIMIZE" && ops.init.last == "APPEND")
+  }
+
+  test("optimize raises when a concurrent DML rewrote a compacted file") {
+    val t = fixture("optconf")
+    val base = t.latestEntry
+    assert(t.delete("k < 100") > 0) // removes files optimize would compact
+    intercept[ConcurrentCommitException](
+      t.optimizeFrom(base, 128L * 1024 * 1024, Nil, Nil))
+  }
+
   test("concurrent overlapping append raises for a delete on the same keys") {
     val t = fixture("delconf")
     val base = t.latestEntry
