@@ -216,6 +216,28 @@ object SparkEntry {
       tbl.toDF
     }),
 
+    // Change data feed (Delta CDF analog): the NET per-commit row deltas
+    // of a delete + update sequence must equal the oracle's semantic
+    // re-derivation — file-diff carryover rows must cancel exactly, at
+    // whatever file layout the scale factor produces.
+    "table_cdf" -> ((s, dir) => {
+      val base = "/root/repo/target/tmp/q_cdf"
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm); f.delete(); ()
+      }
+      rm(new java.io.File(base))
+      val orders = t(s, dir, "orders")
+      val tbl = ManagedTable.create(orders, base) // v0
+      val target = math.max(32L * 1024, tbl.detail.sizeInBytes / 16)
+      tbl.optimize(targetFileSizeBytes = target, sortBy = Seq("o_orderkey")) // v1
+      val omax = orders.agg(max("o_orderkey")).head().getLong(0)
+      val vBase = tbl.latestVersion
+      tbl.delete(s"o_orderkey < ${omax / 10}") // v2
+      tbl.update(Map("o_orderpriority" -> "'9-REPRICED'"),
+        Some("o_totalprice > 400000")) // v3
+      tbl.changes(vBase).drop("_commit_timestamp")
+    }),
+
     // Z-order clustering: rewrite lineitem z-ordered on (l_orderkey,
     // l_partkey), then prove BOTH range probes return exactly the
     // oracle's rows THROUGH the pruned read (a wrongly-skipped file
@@ -738,6 +760,25 @@ object SparkEntry {
         |       ELSE o_orderpriority END AS o_orderpriority
         |FROM orders
         |WHERE NOT (o_orderkey < (SELECT max(o_orderkey) // 10 FROM orders))""".stripMargin,
+
+    // the semantic change feed of: v2 = DELETE o_orderkey < max//10,
+    // v3 = UPDATE priority WHERE totalprice > 400000 (over v2 survivors)
+    "table_cdf" ->
+      """WITH kk AS (SELECT max(o_orderkey) // 10 AS k FROM orders)
+        |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+        |       o_orderpriority, 'delete' AS _change_type,
+        |       CAST(2 AS BIGINT) AS _commit_version
+        |FROM orders WHERE o_orderkey < (SELECT k FROM kk)
+        |UNION ALL
+        |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+        |       o_orderpriority, 'delete', 3
+        |FROM orders
+        |WHERE o_orderkey >= (SELECT k FROM kk) AND o_totalprice > 400000
+        |UNION ALL
+        |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+        |       '9-REPRICED', 'insert', 3
+        |FROM orders
+        |WHERE o_orderkey >= (SELECT k FROM kk) AND o_totalprice > 400000""".stripMargin,
 
     // the two TRUE columns are engine-side assertions (file-skipping
     // achieved), the same pattern as table_admin.sizes_line_ok; the row

@@ -867,6 +867,74 @@ final class ManagedTable private (val spark: SparkSession, val location: String)
     }
   }
 
+  /** Row-level change feed between two versions (Delta Change Data Feed
+    * analog, derived entirely from the per-commit file snapshots — no
+    * extra change files): for every commit in `(fromVersion, toVersion]`,
+    * rows of files the commit ADDED surface as `_change_type = 'insert'`
+    * and rows of files it REMOVED as `'delete'`, tagged with
+    * `_commit_version` and `_commit_timestamp`. OPTIMIZE commits change
+    * no rows and emit nothing.
+    *
+    * `net = true` (default) cancels value-identical delete/insert pairs
+    * within each commit — the carryover rows a file-granular
+    * DELETE/UPDATE/MERGE rewrites unchanged — so the feed is the
+    * SEMANTIC row delta: a DELETE contributes exactly its deleted rows,
+    * an UPDATE its pre-image deletes + post-image inserts. The
+    * cancellation joins are bounded by the commit's rewritten files, not
+    * the table. Applying the feed to the `fromVersion` snapshot
+    * (add inserts, remove deletes, per commit in order) reproduces the
+    * `toVersion` snapshot.
+    *
+    * Requires stats-bearing snapshots (every table written by this
+    * engine) and data files still within the vacuum retention window —
+    * reclaimed versions fail loud, like time travel.
+    */
+  def changes(fromVersion: Long, toVersion: Long = -1L,
+              net: Boolean = true): DataFrame = {
+    val to = if (toVersion < 0) latestVersion else toVersion
+    require(fromVersion >= 0 && fromVersion <= to && to <= latestVersion,
+      s"changes range [$fromVersion, $to] out of [0, $latestVersion]")
+    val toSchema = readEntry(to).schema
+    def cdfCols(df: DataFrame, typ: String, v: Long, tsMs: Long): DataFrame =
+      project(df, toSchema)
+        .withColumn("_change_type", lit(typ))
+        .withColumn("_commit_version", lit(v))
+        .withColumn("_commit_timestamp", lit(new java.sql.Timestamp(tsMs)))
+    val frames = ((fromVersion + 1) to to).flatMap { v =>
+      val e = readEntry(v)
+      val p = readEntry(v - 1)
+      if (e.operation == "OPTIMIZE") Nil // rewrite-only: no data change
+      else {
+        if (e.files.isEmpty && e.dirs.nonEmpty || p.files.isEmpty && p.dirs.nonEmpty)
+          throw new IllegalStateException(
+            s"changes at $location requires stats-bearing snapshots; " +
+              s"version ${if (e.files.isEmpty) v else v - 1} predates file stats")
+        val pf = p.files.map(f => f.path -> f).toMap
+        val ef = e.files.map(f => f.path -> f).toMap
+        val added = (ef.keySet diff pf.keySet).toSeq.sorted.map(ef)
+        val removed = (pf.keySet diff ef.keySet).toSeq.sorted.map(pf)
+        val ins =
+          if (added.isEmpty) None
+          else Some(project(readFilesDF(added, e.schema, v), toSchema))
+        val del =
+          if (removed.isEmpty) None
+          else Some(project(readFilesDF(removed, p.schema, v - 1), toSchema))
+        val (insNet, delNet) =
+          if (!net) (ins, del)
+          else (ins, del) match {
+            case (Some(i), Some(d)) => (Some(i.exceptAll(d)), Some(d.exceptAll(i)))
+            case other => other
+          }
+        insNet.map(cdfCols(_, "insert", v, e.timestampMs)).toSeq ++
+          delNet.map(cdfCols(_, "delete", v, e.timestampMs)).toSeq
+      }
+    }
+    if (frames.isEmpty)
+      cdfCols(spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row], toSchema), "insert", 0L, 0L).limit(0)
+    else frames.reduce(_.unionByName(_))
+  }
+
   /** DELETE (Delta `DeltaTable.delete` analog — the reference's users get
     * this from delta-spark): removes rows where `conditionSql` is TRUE
     * (NULL keeps the row, as in SQL DELETE). File-granular: only files

@@ -1,0 +1,114 @@
+package graft.tables
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Change data feed (`ManagedTable.changes` — Delta CDF analog): semantic
+  * row deltas per commit, carryover cancellation in net mode, OPTIMIZE
+  * emitting nothing, and the replay invariant — applying the feed to the
+  * from-snapshot reproduces the to-snapshot.
+  */
+class CdfSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fixture(name: String): ManagedTable = {
+    val base = spark.range(500).select(
+      col("id").as("k"), (col("id") % 5).as("grp"), (col("id") * 3).as("v"))
+    val t = ManagedTable.create(base, tmpDir(name))
+    t.optimize(targetFileSizeBytes = 2 * 1024, sortBy = Seq("k"))
+    t
+  }
+
+  private def rows(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
+  test("append surfaces as pure inserts at its commit version") {
+    val t = fixture("cdfapp")
+    val v0 = t.latestVersion
+    t.append(Seq((9001L, 1L, 27003L)).toDF("k", "grp", "v"))
+    val ch = t.changes(v0)
+    assert(ch.columns.takeRight(3).toSeq ==
+      Seq("_change_type", "_commit_version", "_commit_timestamp"))
+    val got = ch.select("k", "_change_type", "_commit_version").collect()
+    assert(got.length == 1)
+    assert(got.head.getLong(0) == 9001L)
+    assert(got.head.getString(1) == "insert")
+    assert(got.head.getLong(2) == v0 + 1)
+  }
+
+  test("net mode: DELETE contributes exactly its deleted rows") {
+    val t = fixture("cdfdel")
+    val v0 = t.latestVersion
+    assert(t.delete("k >= 100 AND k < 110") == 10)
+    val ch = t.changes(v0)
+    assert(ch.filter(col("_change_type") === "insert").count() == 0)
+    val dels = ch.filter(col("_change_type") === "delete")
+      .select("k").collect().map(_.getLong(0)).sorted.toSeq
+    assert(dels == (100L until 110L).toSeq)
+    // raw (non-net) mode shows the file-diff carryover too
+    val raw = t.changes(v0, net = false)
+    assert(raw.filter(col("_change_type") === "delete").count() >= 10)
+  }
+
+  test("net mode: UPDATE emits pre-image deletes and post-image inserts") {
+    val t = fixture("cdfupd")
+    val v0 = t.latestVersion
+    assert(t.update(Map("v" -> "v + 1"), Some("k BETWEEN 50 AND 54")) == 5)
+    val ch = t.changes(v0)
+    val pre = ch.filter(col("_change_type") === "delete")
+      .select("k", "v").collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val post = ch.filter(col("_change_type") === "insert")
+      .select("k", "v").collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(pre == (50L to 54L).map(k => (k, k * 3)))
+    assert(post == (50L to 54L).map(k => (k, k * 3 + 1)))
+  }
+
+  test("OPTIMIZE emits no changes") {
+    val t = fixture("cdfopt")
+    val v0 = t.latestVersion
+    t.optimize(targetFileSizeBytes = 128L * 1024 * 1024)
+    assert(t.latestVersion == v0 + 1)
+    assert(t.changes(v0).count() == 0)
+  }
+
+  test("replaying the feed over the from-snapshot reproduces the to-snapshot") {
+    val t = fixture("cdfreplay")
+    val v0 = t.latestVersion
+    t.append(Seq((9001L, 0L, 1L), (9002L, 1L, 2L)).toDF("k", "grp", "v"))
+    t.delete("k % 7 = 0")
+    t.update(Map("v" -> "v * 10"), Some("grp = 3"))
+    t.optimize(targetFileSizeBytes = 64 * 1024)
+    t.append(Seq((9003L, 2L, 3L)).toDF("k", "grp", "v"))
+    val to = t.latestVersion
+    val ch = t.changes(v0, to).persist()
+    val dataCols = Seq("k", "grp", "v").map(col)
+    var state = t.toDF(v0).select(dataCols: _*)
+    ((v0 + 1) to to).foreach { v =>
+      val c = ch.filter(col("_commit_version") === v)
+      state = state
+        .exceptAll(c.filter(col("_change_type") === "delete").select(dataCols: _*))
+        .unionAll(c.filter(col("_change_type") === "insert").select(dataCols: _*))
+    }
+    assert(rows(state) == rows(t.toDF.select(dataCols: _*)))
+    ch.unpersist()
+  }
+
+  test("changes on a vacuumed range fails loud") {
+    val t = fixture("cdfvac")
+    val v0 = t.latestVersion
+    t.delete("k < 50")
+    t.optimize(targetFileSizeBytes = 128L * 1024 * 1024)
+    t.vacuum(retainVersions = 1, minAgeMillis = 0)
+    val e = intercept[IllegalStateException](t.changes(v0).count())
+    assert(e.getMessage.contains("vacuumed"))
+  }
+
+  test("range validation and empty ranges") {
+    val t = fixture("cdfrange")
+    val v = t.latestVersion
+    assert(t.changes(v, v).count() == 0) // empty range, CDF schema intact
+    intercept[IllegalArgumentException](t.changes(v + 1))
+    intercept[IllegalArgumentException](t.changes(0, v + 5))
+  }
+}
