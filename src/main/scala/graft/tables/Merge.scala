@@ -140,13 +140,22 @@ object Merge {
                BooleanType | DateType => true
           case _ => false
         })
-        if (!suffixSafe) { table.overwriteFrom(baseVersion, run(), "MERGE"); return }
+        if (!suffixSafe) {
+          // timestamp/decimal partition columns can't partition-prune,
+          // but the merge keys' file bounds may still prune
+          if (!executeFilePruned(table, base))
+            table.overwriteFrom(baseVersion, run(), "MERGE")
+          return
+        }
         val valueCols = parts.map(p => GraftColumnBridge.column(bindings(p)).as(p))
         val rows = source.alias(sourceAlias).select(valueCols: _*).distinct()
           .limit(maxPrunedPartitions + 1).collect()
         if (rows.isEmpty) return // empty source: merge is a no-op
         if (rows.length > maxPrunedPartitions) {
-          table.overwriteFrom(baseVersion, run(), "MERGE"); return
+          // too many partitions to enumerate; fall to file granularity
+          if (!executeFilePruned(table, base))
+            table.overwriteFrom(baseVersion, run(), "MERGE")
+          return
         }
         val values = rows.map(r =>
           parts.zipWithIndex.map { case (p, i) => p -> r.get(i) }.toMap).toSeq
@@ -165,21 +174,25 @@ object Merge {
         val result = copy(target = target.filter(pred)).run()
         table.overwritePartitions(result, values, operation = "MERGE",
           baseVersion = baseVersion)
-      } else if (parts.isEmpty && executeFilePruned(table, base)) {
+      } else if (executeFilePruned(table, base)) {
         // file-granular path committed (or proved the merge a no-op)
       } else {
         table.overwriteFrom(baseVersion, run(), "MERGE")
       }
     }
 
-    /** File-granular MERGE on an UNPARTITIONED table (Delta's
-      * find-touched-files): files whose min/max bounds on an equi-bound
-      * merge-key column are disjoint from every source key cannot hold a
-      * matched row, so they are kept verbatim and only the touched files'
-      * rows are re-run through the merge. Unlike partition pruning this
-      * needs NO clause analysis: untouched rows pass through `run()`
-      * unchanged wherever they live, so keeping their files is the same
-      * result by construction — updates/inserts always land in new files.
+    /** File-granular MERGE (Delta's find-touched-files): files whose
+      * min/max bounds on an equi-bound merge-key column are disjoint from
+      * every source key cannot hold a matched row, so they are kept
+      * verbatim and only the touched files' rows are re-run through the
+      * merge. Works on partitioned tables too (partition values
+      * contribute bounds, and the rewrite is written back partitioned) —
+      * the path a merge takes when its condition does NOT bind the
+      * partition columns, where the alternative would be a full-table
+      * overwrite. Unlike partition pruning this needs NO clause analysis:
+      * untouched rows pass through `run()` unchanged wherever they live,
+      * so keeping their files is the same result by construction —
+      * updates/inserts always land in new files.
       * Returns false (caller falls back to a full overwrite) when the
       * table has no stats, no conjunct equi-binds a skippable column, the
       * source is too large to enumerate, or pruning removes nothing.

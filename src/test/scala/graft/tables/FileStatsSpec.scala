@@ -80,6 +80,39 @@ class FileStatsSpec extends SparkSpec {
     assert(t.toDF.filter(col("pk") === 42).select("name").as[String].head() == "n42")
   }
 
+  test("MERGE on a partitioned table w/o partition bindings rewrites only stats-touched files") {
+    // merge key (pk) is NOT a partition column: before file granularity
+    // this was a FULL-TABLE overwrite; now only the files whose pk
+    // bounds overlap the source keys rewrite, in every partition
+    def rows(lo: Int, hi: Int) =
+      (lo to hi).map(i => Row(i, s"n$i", (i % 2).toLong))
+    val t = ManagedTable.create(
+      df(schema, rows(1, 100)).repartition(1), tmpDir("fsp"),
+      partitionBy = Seq("v"))
+    t.append(df(schema, rows(101, 200)).repartition(1))
+    t.append(df(schema, rows(201, 300)).repartition(1))
+    val before = t.fileStats.map(_.path).toSet
+    assert(before.size == 6, s"3 commits x 2 partitions, got ${before.size}")
+    val updates = df(schema, Seq(Row(150, "updated", 0L), Row(999, "new", 1L)))
+    Merge.into(t.toDF, "base")
+      .using(updates, "src", expr("base.pk = src.pk"))
+      .whenMatchedUpdateAll()
+      .whenNotMatchedInsertAll()
+      .execute(t)
+    assert(t.latestEntry.operation == "MERGE")
+    val after = t.fileStats.map(_.path).toSet
+    val survivors = before.intersect(after)
+    assert(survivors.size == 4,
+      s"the four pk-disjoint files must be kept verbatim, got ${survivors.size}")
+    assert(t.toDF.count() == 301)
+    assert(t.toDF.filter(col("pk") === 150).select("name").as[String].head() == "updated")
+    assert(t.toDF.filter(col("pk") === 999).select("v").as[Long].head() == 1L)
+    assert(t.toDF.filter(col("pk") === 42).select("name").as[String].head() == "n42")
+    assert(t.partitionColumns == Seq("v"))
+    // partition pruning still works over the rewritten snapshot
+    assert(t.toDFWhere("v = 0").count() == t.toDF.filter(col("v") === 0).count())
+  }
+
   test("file-granular vacuum reclaims merge-replaced files inside live dirs") {
     val t = rangedTable(tmpDir("fs4"))
     val updates = df(schema, Seq(Row(150, "updated", 0L)))

@@ -174,19 +174,23 @@ class StorageSpec extends SparkSpec {
       Row(3, "b", 30), Row(4, "b", 40), Row(5, "c", 50))))
   }
 
-  test("MERGE without a partition binding falls back to a full overwrite") {
+  test("MERGE without a partition binding file-prunes instead of a full overwrite") {
     val loc = tmpDir("pm2")
     val t = ManagedTable.create(df(pSchema, partRows), loc, partitionBy = Seq("part"))
-    val dirsBefore = t.latestEntry.dirs
+    val filesBefore = t.fileStats.map(_.path).toSet
     val updates = df(pSchema, Seq(Row(1, "a", 111)))
     Merge.into(t.toDF, "base")
       .using(updates, "src", expr("base.pk = src.pk")) // part NOT bound
       .whenMatchedUpdate(Map("v" -> "src.v"))
       .execute(t)
-    val dirsAfter = t.latestEntry.dirs
-    assert(dirsBefore.toSet.intersect(dirsAfter.toSet).isEmpty,
-      "unbound partition column must force a full rewrite")
+    // pk bounds locate the touched file; the other partitions' files
+    // survive by path (this used to be a full-table rewrite)
+    val survivors = filesBefore.intersect(t.fileStats.map(_.path).toSet)
+    assert(survivors.nonEmpty,
+      "pk-disjoint files of unbound partitions must be kept verbatim")
+    assert(survivors.size < filesBefore.size, "the touched file must rewrite")
     assert(t.toDF.filter(col("pk") === 1).select("v").as[Int].head() == 111)
+    assert(t.toDF.count() == partRows.size)
   }
 
   test("partition-bound MERGE delete empties the partition's rows") {
