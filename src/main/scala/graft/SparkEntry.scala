@@ -296,6 +296,17 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_events"),
           round(sum("value"), 2).as("sum_value"))),
 
+    // salted skew-safe join (events fan into 150 hot user keys): the
+    // deterministic row-hash scatter + replicated dim must equal the
+    // plain equi-join row-for-row
+    "events_skew_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select("event_id", "user_id", "event_type")
+      val dim = t(s, dir, "customer")
+        .select(col("c_custkey").as("user_id"), col("c_mktsegment").as("segment"))
+      Skew.saltedJoin(ev, dim, Seq("user_id"), salts = 8,
+        joinType = "inner", uniqueCol = Some("event_id"))
+    }),
+
     // gap-based session windows (same code path Structured Streaming runs;
     // see graft.streaming.EventStreams.sessionize)
     "events_sessionize" -> ((s, dir) =>
@@ -814,6 +825,11 @@ object SparkEntry {
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
         |  count(*) AS n_events, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "events_skew_join" ->
+      """SELECT e.user_id, e.event_id, e.event_type,
+        |       c.c_mktsegment AS segment
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey""".stripMargin,
 
     "events_sessionize" ->
       """WITH d AS (
