@@ -300,7 +300,9 @@ object SparkEntry {
     // deterministic row-hash scatter + replicated dim must equal the
     // plain equi-join row-for-row
     "events_skew_join" -> ((s, dir) => {
-      val ev = t(s, dir, "events").select("event_id", "user_id", "event_type")
+      // the `events` helper, not `t`: the raw read needs the nanos
+      // timestamp conf even for non-ts columns (schema parse is whole-row)
+      val ev = events(s, dir).select("event_id", "user_id", "event_type")
       val dim = t(s, dir, "customer")
         .select(col("c_custkey").as("user_id"), col("c_mktsegment").as("segment"))
       Skew.saltedJoin(ev, dim, Seq("user_id"), salts = 8,
