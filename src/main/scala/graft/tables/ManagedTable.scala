@@ -325,16 +325,23 @@ final class ManagedTable private (val spark: SparkSession, val location: String)
     * reads however long the table's history, and the only way to list
     * versions whose entry files [[cleanupLog]] removed.
     */
-  def history: DataFrame = {
+  /** (version, commit timestamp ms, operation) for every version —
+    * checkpoint rows for the covered prefix, per-version entries only for
+    * the tail (the machinery behind [[history]] and [[versionAsOf]]).
+    */
+  private def historyRows: Seq[(Long, Long, String)] = {
     val latest = latestVersion
     val cp = readCheckpoint().filter(_.maxVersion <= latest)
     val head = cp.map(_.rows).getOrElse(Vector.empty)
     val from = cp.map(_.maxVersion + 1).getOrElse(0L)
-    val rows = head.map { case (v, tsMs, op) =>
+    head ++ (from to latest).map { v =>
+      val e = readEntry(v); (v, e.timestampMs, e.operation)
+    }
+  }
+
+  def history: DataFrame = {
+    val rows = historyRows.map { case (v, tsMs, op) =>
       Row(v, new java.sql.Timestamp(tsMs), op)
-    } ++ (from to latest).map { v =>
-      val e = readEntry(v)
-      Row(v, new java.sql.Timestamp(e.timestampMs), e.operation)
     }
     spark.createDataFrame(
       spark.sparkContext.parallelize(rows, 1),
@@ -343,6 +350,21 @@ final class ManagedTable private (val spark: SparkSession, val location: String)
         StructField("timestamp", TimestampType, nullable = false),
         StructField("operation", StringType, nullable = false))))
   }
+
+  /** The highest version committed at or before `tsMillis` (Delta
+    * `timestampAsOf` resolution). Raises if the timestamp predates the
+    * table's first commit.
+    */
+  def versionAsOf(tsMillis: Long): Long = {
+    val at = historyRows.filter(_._2 <= tsMillis)
+    require(at.nonEmpty,
+      s"No version of $location committed at or before $tsMillis " +
+        s"(first commit: ${historyRows.headOption.map(_._2).getOrElse(-1L)})")
+    at.map(_._1).max
+  }
+
+  /** Time travel by wall clock: the snapshot [[versionAsOf]] `tsMillis`. */
+  def toDFAsOf(tsMillis: Long): DataFrame = toDF(versionAsOf(tsMillis))
 
   // ---- writes ----------------------------------------------------------
 

@@ -104,6 +104,22 @@ class CdfSpec extends SparkSpec {
     assert(e.getMessage.contains("vacuumed"))
   }
 
+  test("timestamp time travel resolves the version committed at-or-before") {
+    val t = ManagedTable.create(Seq((1L, 1L, 1L)).toDF("k", "grp", "v"),
+      tmpDir("tsasof"))
+    Thread.sleep(15)
+    val betweenV0andV1 = System.currentTimeMillis()
+    Thread.sleep(15)
+    t.append(Seq((2L, 2L, 2L)).toDF("k", "grp", "v"))
+    Thread.sleep(15)
+    val afterV1 = System.currentTimeMillis()
+    assert(t.versionAsOf(betweenV0andV1) == 0L)
+    assert(t.versionAsOf(afterV1) == 1L)
+    assert(t.toDFAsOf(betweenV0andV1).count() == 1)
+    assert(t.toDFAsOf(afterV1).count() == 2)
+    intercept[IllegalArgumentException](t.versionAsOf(0L))
+  }
+
   test("range validation and empty ranges") {
     val t = fixture("cdfrange")
     val v = t.latestVersion
