@@ -386,4 +386,57 @@ class ConflictSpec extends SparkSpec {
     assert(t.toDF.count() == 5, "each merge inserts its non-matching row")
     assert(t.toDF.filter(col("v").startsWith("m")).count() == 2)
   }
+
+  test("stress: racing appends from real threads all land (rebase under contention)") {
+    // 4 writer threads x 3 appends each against ONE table, truly
+    // concurrent: every append must survive the put-if-absent races via
+    // rebase-retry, no commit lost, versions contiguous. This is the
+    // blind-append commute rule under actual thread interleaving rather
+    // than the staged two-writer scenarios above.
+    val loc = tmpDir("stress")
+    val t = ManagedTable.create(df1(Seq(Row(0L, "base"))), loc)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (1 to 4).map { w =>
+      new Thread(() => {
+        try {
+          (1 to 3).foreach { i =>
+            t.append(df1(Seq(Row(w * 100L + i, s"w$w-$i"))))
+          }
+        } catch { case e: Throwable => errs.add(e); () }
+      })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join(120000))
+    assert(errs.isEmpty, s"writer failed: ${Option(errs.peek()).map(_.toString)}")
+    assert(t.toDF.count() == 13, "all 12 concurrent appends + base must land")
+    assert(t.latestVersion == 12L, "versions must be contiguous, one per append")
+    val ids = t.toDF.select("id").collect().map(_.getLong(0)).toSet
+    val expected = (for (w <- 1 to 4; i <- 1 to 3) yield w * 100L + i).toSet + 0L
+    assert(ids == expected)
+  }
+
+  test("stress: optimize racing concurrent appends either commutes or fails clean") {
+    val loc = tmpDir("stressopt")
+    val t = ManagedTable.create(df1(Seq(Row(0L, "base"))), loc)
+    (1 to 5).foreach(i => t.append(df1(Seq(Row(i.toLong, s"r$i")))))
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val appender = new Thread(() => {
+      try (6 to 10).foreach(i => t.append(df1(Seq(Row(i.toLong, s"r$i")))))
+      catch { case e: Throwable => errs.add(e); () }
+    })
+    val optimizer = new Thread(() => {
+      try t.optimize(targetFileSizeBytes = 128L * 1024 * 1024)
+      catch {
+        case _: ConcurrentCommitException => () // clean refusal is legal
+        case e: Throwable => errs.add(e); ()
+      }
+    })
+    appender.start(); optimizer.start()
+    appender.join(120000); optimizer.join(120000)
+    assert(errs.isEmpty, s"unexpected failure: ${Option(errs.peek()).map(_.toString)}")
+    // whatever interleaving happened, no row may be lost or duplicated
+    val ids = t.toDF.select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids == (0L to 10L).toSeq,
+      s"rows lost/duplicated under optimize-vs-append race: $ids")
+  }
 }
