@@ -401,6 +401,17 @@ object SparkEntry {
         numerator = 3, denominator = 10, seed = 42L, portable = true)
         .select("doc_id", "lang", "source")),
 
+    // per-source corpus mixing (deterministic weighted sampling): the
+    // oracle recomputes the identical md5-derived hash and CASE rates,
+    // so the MIXED SET itself must match, not just per-source counts
+    "sample_weighted" -> ((s, dir) =>
+      Sampling.weightedSample(t(s, dir, "documents"),
+        groupCol = "source",
+        rates = Map("src1" -> 60, "src2" -> 30, "src3" -> 0),
+        denominator = 100, defaultNumerator = 10,
+        keys = Seq("doc_id"), seed = 42L, portable = true)
+        .select("doc_id", "lang", "source")),
+
     // per-language cap (two-phase skew-safe top-n; orderBy made total by
     // the doc_id tiebreaker) — the oracle is the single-window formulation
     "group_cap" -> ((s, dir) =>
@@ -856,6 +867,13 @@ object SparkEntry {
         |WHERE CAST(concat('0x',
         |    substr(md5(concat_ws(chr(1), doc_id, '42')), 1, 15)) AS BIGINT)
         |  % 10 < 3""".stripMargin,
+
+    "sample_weighted" ->
+      """SELECT doc_id, lang, source FROM documents
+        |WHERE CAST(concat('0x',
+        |    substr(md5(concat_ws(chr(1), doc_id, '42')), 1, 15)) AS BIGINT)
+        |  % 100 < CASE source WHEN 'src1' THEN 60 WHEN 'src2' THEN 30
+        |               WHEN 'src3' THEN 0 ELSE 10 END""".stripMargin,
 
     "group_cap" ->
       """SELECT doc_id, lang FROM (

@@ -50,6 +50,33 @@ object Sampling {
     df.filter(pmod(h, lit(denominator.toLong)) < numerator)
   }
 
+  /** Per-source corpus mixing: keep each row with probability
+    * `rates(group)/denominator` (falling back to `defaultNumerator` for
+    * unlisted groups), deterministic per key — the "sample src_wiki at
+    * 50%, src_web at 10%" step of a training-data mix. Same pure per-row
+    * filter as [[hashSample]] (no shuffle, pushes into the scan, re-runs
+    * and backfills agree); the rate lookup compiles to a codegen'd CASE
+    * chain, which is the right shape for config-sized rate maps (use a
+    * broadcast join instead if rates ever become a million-row table).
+    */
+  def weightedSample(df: DataFrame, groupCol: String, rates: Map[String, Int],
+                     denominator: Int, defaultNumerator: Int = 0,
+                     keys: Seq[String], seed: Long = 42L,
+                     portable: Boolean = false): DataFrame = {
+    require(denominator > 0, "denominator must be positive")
+    (rates.values.toSeq :+ defaultNumerator).foreach(n =>
+      require(n >= 0 && n <= denominator,
+        s"need 0 <= rate <= $denominator, got $n"))
+    val h =
+      if (portable) portableHash(keys.map(col), seed.toString)
+      else fastHash(keys.map(col), seed)
+    val thresh = rates.toSeq.sortBy(_._1).foldLeft(
+      lit(defaultNumerator.toLong)) { case (acc, (g, n)) =>
+      when(col(groupCol) === g, n.toLong).otherwise(acc)
+    }
+    df.filter(pmod(h, lit(denominator.toLong)) < thresh)
+  }
+
   /** At most `n` rows per group, ranked by `orderBy` — per-domain caps
     * against over-represented sources. `orderBy` MUST be a total order
     * within each group (add a unique tiebreaker column): with ties at the

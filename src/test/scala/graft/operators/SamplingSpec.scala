@@ -17,6 +17,35 @@ class SamplingSpec extends SparkSpec {
     assert(math.abs(a.size / 2000.0 - 0.3) < 0.05, s"got ${a.size}")
   }
 
+  test("weightedSample mixes per-group rates deterministically") {
+    import spark.implicits._
+    val d = spark.range(3000).select(col("id"),
+      concat(lit("g"), (col("id") % 3)).as("grp"))
+    val out = Sampling.weightedSample(d, "grp",
+      rates = Map("g0" -> 500, "g1" -> 100), denominator = 1000,
+      defaultNumerator = 0, keys = Seq("id"))
+    val counts = out.groupBy("grp").count().as[(String, Long)]
+      .collect().toMap
+    // rates hold approximately (hash-Bernoulli over 1000 rows per group)
+    assert(math.abs(counts("g0") - 500L) < 100, counts.toString)
+    assert(math.abs(counts("g1") - 100L) < 60, counts.toString)
+    assert(!counts.contains("g2"), "default rate 0 must drop unlisted groups")
+    // pure function of the key: repartitioning changes nothing
+    val again = Sampling.weightedSample(d.repartition(13), "grp",
+      rates = Map("g0" -> 500, "g1" -> 100), denominator = 1000,
+      defaultNumerator = 0, keys = Seq("id"))
+      .select("id").as[Long].collect().toSet
+    assert(again == out.select("id").as[Long].collect().toSet)
+    // each group's kept set is exactly the per-group hashSample
+    val g0 = Sampling.hashSample(d.filter(col("grp") === "g0"),
+      Seq("id"), 500, 1000).select("id").as[Long].collect().toSet
+    assert(out.filter(col("grp") === "g0")
+      .select("id").as[Long].collect().toSet == g0)
+    intercept[IllegalArgumentException](
+      Sampling.weightedSample(d, "grp", Map("g0" -> 2000), 1000,
+        0, Seq("id")))
+  }
+
   test("hashSample aligns across tables sharing the key") {
     val left = (1L to 500L).toDF("id").withColumn("x", col("id") * 2)
     val right = (1L to 500L).toDF("id").withColumn("y", col("id") + 1)
