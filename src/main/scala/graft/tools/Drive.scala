@@ -141,6 +141,29 @@ object Drive {
         |    graft_simhash64(graft_shingle_hashes(b.text, 3))""".stripMargin)
       .head.getLong(0)
     println(s"[18] SQL surface (graft_* functions): $sqlDup identical-simhash pairs in 50 docs")
+
+    // --- round-8 surface: Z-order, DML, change feed, timestamp travel ---
+    val zt = ManagedTable.create(li.select("l_orderkey", "l_partkey", "l_quantity"),
+      scratch("zorder"))
+    zt.optimize(targetFileSizeBytes = 8 * 1024, zorderBy = Seq("l_orderkey", "l_partkey"))
+    val zTotal = zt.detail.numFiles
+    val zRead = zt.toDFWhere(s"l_partkey = 42").inputFiles.length
+    println(s"[19] Z-order on (orderkey, partkey): partkey probe reads $zRead of $zTotal files")
+
+    val dmlT = ManagedTable.create(ord, scratch("dml"))
+    dmlT.optimize(targetFileSizeBytes = 16 * 1024, sortBy = Seq("o_orderkey"))
+    val v0 = dmlT.latestVersion
+    val nDel = dmlT.delete("o_orderkey < 100")
+    val nUpd = dmlT.update(Map("o_orderpriority" -> "'9-REPRICED'"),
+      Some("o_totalprice > 400000"))
+    println(s"[20] DML: deleted $nDel, updated $nUpd, rows=${dmlT.toDF.count}")
+
+    val feed = dmlT.changes(v0)
+    val byType = feed.groupBy("_change_type").count().collect()
+      .map(r => s"${r.getString(0)}=${r.getLong(1)}").sorted.mkString(" ")
+    println(s"[21] change feed since v$v0 (net): $byType")
+    println(s"[22] timestamp travel: versionAsOf(now)=${
+      dmlT.versionAsOf(System.currentTimeMillis())} (latest=${dmlT.latestVersion})")
     spark.stop()
   }
 }
