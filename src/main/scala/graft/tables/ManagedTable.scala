@@ -121,12 +121,12 @@ final class ManagedTable private (val spark: SparkSession, val location: String)
 
   private def checkpointPath: Path = logDir.resolve("checkpoint.json")
 
-  /** Compact (version, timestampMs, operation) rows for versions
+  /** Compact (version, timestampMs, operation, metrics) rows for versions
     * `0..maxVersion` — what [[history]] needs, without the snapshot file
     * listings that make per-version reads O(files).
     */
   private[tables] final case class Checkpoint(
-      maxVersion: Long, rows: Seq[(Long, Long, String)])
+      maxVersion: Long, rows: Seq[(Long, Long, String, Map[String, String])])
 
   private def readCheckpoint(): Option[Checkpoint] =
     if (!Files.isRegularFile(checkpointPath)) None
@@ -134,7 +134,12 @@ final class ManagedTable private (val spark: SparkSession, val location: String)
       try {
         val n = ManagedTable.mapper.readTree(Files.readString(checkpointPath))
         val rows = n.get("rows").elements().asScala.map { r =>
-          (r.get(0).asLong(), r.get(1).asLong(), r.get(2).asText())
+          val metrics = // 4th element absent in pre-metrics checkpoints
+            if (r.size() > 3)
+              r.get(3).properties().asScala
+                .map(e => e.getKey -> e.getValue.asText()).toMap
+            else Map.empty[String, String]
+          (r.get(0).asLong(), r.get(1).asLong(), r.get(2).asText(), metrics)
         }.toSeq
         Some(Checkpoint(n.get("maxVersion").asLong(), rows))
       } catch { case _: Exception => None } // derived: ignore corrupt
@@ -148,13 +153,14 @@ final class ManagedTable private (val spark: SparkSession, val location: String)
     val from = prev.map(_.maxVersion + 1).getOrElse(0L)
     val rows = prev.map(_.rows).getOrElse(Vector.empty) ++
       (from to upTo).map { v =>
-        val e = readEntry(v); (v, e.timestampMs, e.operation)
+        val e = readEntry(v); (v, e.timestampMs, e.operation, e.metrics)
       }
     val root = ManagedTable.mapper.createObjectNode()
     root.put("maxVersion", upTo)
     val rs = root.putArray("rows")
-    rows.foreach { case (v, ts, op) =>
+    rows.foreach { case (v, ts, op, m) =>
       val a = rs.addArray(); a.add(v); a.add(ts); a.add(op)
+      val mo = a.addObject(); m.foreach { case (k, x) => mo.put(k, x) }
     }
     val tmp = logDir.resolve(s".cp-tmp-${UUID.randomUUID()}.json")
     Files.writeString(tmp, ManagedTable.mapper.writeValueAsString(root))
@@ -325,30 +331,33 @@ final class ManagedTable private (val spark: SparkSession, val location: String)
     * reads however long the table's history, and the only way to list
     * versions whose entry files [[cleanupLog]] removed.
     */
-  /** (version, commit timestamp ms, operation) for every version —
-    * checkpoint rows for the covered prefix, per-version entries only for
-    * the tail (the machinery behind [[history]] and [[versionAsOf]]).
+  /** (version, commit timestamp ms, operation, metrics) for every
+    * version — checkpoint rows for the covered prefix, per-version
+    * entries only for the tail (the machinery behind [[history]] and
+    * [[versionAsOf]]).
     */
-  private def historyRows: Seq[(Long, Long, String)] = {
+  private def historyRows: Seq[(Long, Long, String, Map[String, String])] = {
     val latest = latestVersion
     val cp = readCheckpoint().filter(_.maxVersion <= latest)
     val head = cp.map(_.rows).getOrElse(Vector.empty)
     val from = cp.map(_.maxVersion + 1).getOrElse(0L)
     head ++ (from to latest).map { v =>
-      val e = readEntry(v); (v, e.timestampMs, e.operation)
+      val e = readEntry(v); (v, e.timestampMs, e.operation, e.metrics)
     }
   }
 
   def history: DataFrame = {
-    val rows = historyRows.map { case (v, tsMs, op) =>
-      Row(v, new java.sql.Timestamp(tsMs), op)
+    val rows = historyRows.map { case (v, tsMs, op, m) =>
+      Row(v, new java.sql.Timestamp(tsMs), op, m)
     }
     spark.createDataFrame(
       spark.sparkContext.parallelize(rows, 1),
       StructType(Seq(
         StructField("version", LongType, nullable = false),
         StructField("timestamp", TimestampType, nullable = false),
-        StructField("operation", StringType, nullable = false))))
+        StructField("operation", StringType, nullable = false),
+        StructField("operationMetrics",
+          MapType(StringType, StringType), nullable = false))))
   }
 
   /** The highest version committed at or before `tsMillis` (Delta
@@ -460,9 +469,11 @@ final class ManagedTable private (val spark: SparkSession, val location: String)
         e.properties + (ManagedTable.txnPropKey(app) -> v.toString)
       }
       try {
+        val newStats = statsFor(dirs, newSchema)
         commit(LogEntry(e.version + 1, System.currentTimeMillis(), operation,
           e.dirs ++ dirs, newSchema, e.partitionColumns, newProps,
-          entryFiles(e) ++ statsFor(dirs, newSchema)))
+          entryFiles(e) ++ newStats,
+          metrics = ManagedTable.writeMetrics(newStats)))
         done = true
       } catch {
         case c: ConcurrentCommitException =>
@@ -504,9 +515,10 @@ final class ManagedTable private (val spark: SparkSession, val location: String)
       col(f.name).cast(f.dataType).as(f.name)
     }.toIndexedSeq: _*)
     val dirs = writeData(aligned, e.partitionColumns)
+    val newStats = statsFor(dirs, e.schema)
     commit(LogEntry(baseVersion + 1, System.currentTimeMillis(), operation,
-      dirs, e.schema, e.partitionColumns, e.properties,
-      statsFor(dirs, e.schema)))
+      dirs, e.schema, e.partitionColumns, e.properties, newStats,
+      metrics = ManagedTable.writeMetrics(newStats)))
   }
 
   // ---- conflict detection for read-modify-write commits ----------------
@@ -614,7 +626,9 @@ final class ManagedTable private (val spark: SparkSession, val location: String)
       try {
         commit(LogEntry(cur.version + 1, System.currentTimeMillis(), operation,
           kept ++ newLeaves, cur.schema, parts, cur.properties,
-          entryFiles(cur).filter(f => keptSet(f.leafDir)) ++ newStats))
+          entryFiles(cur).filter(f => keptSet(f.leafDir)) ++ newStats,
+          metrics = ManagedTable.writeMetrics(newStats) +
+            ("numReplacedPartitions" -> affected.size.toString)))
         done = true
       } catch {
         case c: ConcurrentCommitException =>
@@ -649,7 +663,9 @@ final class ManagedTable private (val spark: SparkSession, val location: String)
                                    operation: String,
                                    base: LogEntry,
                                    addedMayMatch: Seq[FileStat] => Boolean =
-                                     _ => true): Unit = {
+                                     _ => true,
+                                   extraMetrics: Map[String, String] =
+                                     Map.empty): Unit = {
     require(base.files.nonEmpty, "replaceFiles requires a stats-bearing snapshot")
     val aligned = df.select(base.schema.fields.map { f =>
       col(f.name).cast(f.dataType).as(f.name)
@@ -678,7 +694,9 @@ final class ManagedTable private (val spark: SparkSession, val location: String)
       try {
         commit(LogEntry(cur.version + 1, System.currentTimeMillis(), operation,
           dirs, cur.schema, cur.partitionColumns, cur.properties,
-          kept ++ newStats))
+          kept ++ newStats,
+          metrics = ManagedTable.writeMetrics(newStats) +
+            ("numRemovedFiles" -> removed.size.toString) ++ extraMetrics))
         done = true
       } catch {
         case c: ConcurrentCommitException =>
@@ -883,9 +901,10 @@ final class ManagedTable private (val spark: SparkSession, val location: String)
         operation = "OPTIMIZE", base = e, addedMayMatch = _ => false)
     else {
       val dirs = writeData(ordered, e.partitionColumns)
+      val newStats = statsFor(dirs, e.schema)
       commit(LogEntry(e.version + 1, System.currentTimeMillis(), "OPTIMIZE",
-        dirs, e.schema, e.partitionColumns, e.properties,
-        statsFor(dirs, e.schema)))
+        dirs, e.schema, e.partitionColumns, e.properties, newStats,
+        metrics = ManagedTable.writeMetrics(newStats)))
     }
   }
 
@@ -1028,7 +1047,10 @@ final class ManagedTable private (val spark: SparkSession, val location: String)
         replaceFiles(touched.map(_.path).toSet, rewriteOf(candidates),
           operation = op, base = base,
           addedMayMatch = added => parsed.fold(true)(p =>
-            FileStats.prune(added, base.schema, p).nonEmpty))
+            FileStats.prune(added, base.schema, p).nonEmpty),
+          extraMetrics = Map(
+            (if (op == "DELETE") "numDeletedRows" else "numUpdatedRows")
+              -> matched.toString))
         matched
       } finally { candidates.unpersist(); () }
     } else {
@@ -1072,6 +1094,16 @@ final case class TableDetail(location: String, partitionColumns: Seq[String],
 
 object ManagedTable {
   private val VersionFile = "v(\\d+)\\.json".r
+
+  /** Standard write metrics (Delta operationMetrics analog) from the
+    * footer stats of a commit's freshly written files — free, the stats
+    * were collected anyway.
+    */
+  private[tables] def writeMetrics(stats: Seq[FileStat]): Map[String, String] =
+    Map(
+      "numOutputRows" -> stats.map(_.rows).sum.toString,
+      "numOutputFiles" -> stats.size.toString,
+      "numOutputBytes" -> stats.map(_.bytes).sum.toString)
   private val mapper = new ObjectMapper()
 
   /** Bits per Z-order dimension: 4096 range buckets per column — finer
@@ -1155,7 +1187,8 @@ object ManagedTable {
       version: Long, timestampMs: Long, operation: String,
       dirs: Seq[String], schema: StructType,
       partitionColumns: Seq[String], properties: Map[String, String],
-      files: Seq[FileStat] = Nil) {
+      files: Seq[FileStat] = Nil,
+      metrics: Map[String, String] = Map.empty) {
 
     def toJson: String = {
       val root = mapper.createObjectNode()
@@ -1174,6 +1207,8 @@ object ManagedTable {
         val mn = o.putObject("min"); f.min.foreach { case (k, v) => mn.put(k, v) }
         val mx = o.putObject("max"); f.max.foreach { case (k, v) => mx.put(k, v) }
       }
+      val ms = root.putObject("metrics")
+      metrics.foreach { case (k, v) => ms.put(k, v) }
       mapper.writerWithDefaultPrettyPrinter().writeValueAsString(root)
     }
   }
@@ -1199,7 +1234,8 @@ object ManagedTable {
         DataType.fromJson(n.get("schema").asText()).asInstanceOf[StructType],
         arr("partitionColumns"),
         strMap(n.get("properties")),
-        files)
+        files,
+        if (n.has("metrics")) strMap(n.get("metrics")) else Map.empty)
     }
   }
 
@@ -1237,9 +1273,10 @@ object ManagedTable {
     require(!exists(location), s"Table already exists: $location")
     val t = new ManagedTable(df.sparkSession, location)
     val dirs = t.writeData(df, partitionBy)
+    val stats = t.statsFor(dirs, df.schema)
     t.commit(LogEntry(0L, System.currentTimeMillis(), "CREATE",
-      dirs, df.schema, partitionBy, properties,
-      t.statsFor(dirs, df.schema)))
+      dirs, df.schema, partitionBy, properties, stats,
+      metrics = ManagedTable.writeMetrics(stats)))
     t
   }
 }

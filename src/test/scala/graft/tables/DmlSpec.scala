@@ -91,13 +91,19 @@ class DmlSpec extends SparkSpec {
     intercept[IllegalArgumentException](t.update(Map.empty[String, String]))
   }
 
-  test("history records the DML operations") {
+  test("history records the DML operations with operation metrics") {
     val t = fixture("hist")
     t.delete("k < 10")
     t.update(Map("v" -> "0"), Some("k > 990"))
-    val ops = t.history.orderBy(col("version"))
-      .collect().map(_.getString(2)).toSeq
+    val rows = t.history.orderBy(col("version")).collect()
+    val ops = rows.map(_.getString(2)).toSeq
     assert(ops.takeRight(2) == Seq("DELETE", "UPDATE"))
+    val metrics = rows.map(r => r.getMap[String, String](3).toMap)
+    assert(metrics.last("numUpdatedRows") == "9")
+    assert(metrics(rows.length - 2)("numDeletedRows") == "10")
+    // every write commit carries the standard output metrics
+    assert(metrics.forall(_.contains("numOutputRows")))
+    assert(metrics.head("numOutputRows") == "1000") // CREATE
   }
 
   test("concurrent append with disjoint key bounds commutes with a delete") {
