@@ -795,12 +795,12 @@ object SparkEntry {
         |FROM orders WHERE o_orderkey < (SELECT k FROM kk)
         |UNION ALL
         |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
-        |       o_orderpriority, 'delete', 3
+        |       o_orderpriority, 'update_preimage', 3
         |FROM orders
         |WHERE o_orderkey >= (SELECT k FROM kk) AND o_totalprice > 400000
         |UNION ALL
         |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
-        |       '9-REPRICED', 'insert', 3
+        |       '9-REPRICED', 'update_postimage', 3
         |FROM orders
         |WHERE o_orderkey >= (SELECT k FROM kk) AND o_totalprice > 400000""".stripMargin,
 

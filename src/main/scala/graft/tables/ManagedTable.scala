@@ -966,8 +966,13 @@ final class ManagedTable private (val spark: SparkSession, val location: String)
             case (Some(i), Some(d)) => (Some(i.exceptAll(d)), Some(d.exceptAll(i)))
             case other => other
           }
-        insNet.map(cdfCols(_, "insert", v, e.timestampMs)).toSeq ++
-          delNet.map(cdfCols(_, "delete", v, e.timestampMs)).toSeq
+        // UPDATE commits label their delta as pre/post images (Delta
+        // CDF's types) — the operation is known from the log
+        val (insTyp, delTyp) =
+          if (e.operation == "UPDATE") ("update_postimage", "update_preimage")
+          else ("insert", "delete")
+        insNet.map(cdfCols(_, insTyp, v, e.timestampMs)).toSeq ++
+          delNet.map(cdfCols(_, delTyp, v, e.timestampMs)).toSeq
       }
     }
     if (frames.isEmpty)

@@ -56,9 +56,9 @@ class CdfSpec extends SparkSpec {
     val v0 = t.latestVersion
     assert(t.update(Map("v" -> "v + 1"), Some("k BETWEEN 50 AND 54")) == 5)
     val ch = t.changes(v0)
-    val pre = ch.filter(col("_change_type") === "delete")
+    val pre = ch.filter(col("_change_type") === "update_preimage")
       .select("k", "v").collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
-    val post = ch.filter(col("_change_type") === "insert")
+    val post = ch.filter(col("_change_type") === "update_postimage")
       .select("k", "v").collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
     assert(pre == (50L to 54L).map(k => (k, k * 3)))
     assert(post == (50L to 54L).map(k => (k, k * 3 + 1)))
@@ -87,8 +87,10 @@ class CdfSpec extends SparkSpec {
     ((v0 + 1) to to).foreach { v =>
       val c = ch.filter(col("_commit_version") === v)
       state = state
-        .exceptAll(c.filter(col("_change_type") === "delete").select(dataCols: _*))
-        .unionAll(c.filter(col("_change_type") === "insert").select(dataCols: _*))
+        .exceptAll(c.filter(col("_change_type")
+          .isin("delete", "update_preimage")).select(dataCols: _*))
+        .unionAll(c.filter(col("_change_type")
+          .isin("insert", "update_postimage")).select(dataCols: _*))
     }
     assert(rows(state) == rows(t.toDF.select(dataCols: _*)))
     ch.unpersist()

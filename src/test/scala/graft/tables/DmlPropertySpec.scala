@@ -77,8 +77,10 @@ class DmlPropertySpec extends SparkSpec {
       ((v0 + 1) to to).foreach { v =>
         val c = ch.filter(col("_commit_version") === v)
         state = state
-          .exceptAll(c.filter(col("_change_type") === "delete").select("k", "v"))
-          .unionAll(c.filter(col("_change_type") === "insert").select("k", "v"))
+          .exceptAll(c.filter(col("_change_type")
+            .isin("delete", "update_preimage")).select("k", "v"))
+          .unionAll(c.filter(col("_change_type")
+            .isin("insert", "update_postimage")).select("k", "v"))
       }
       val replayed = state.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
       assert(replayed == got, s"case $i CDF replay diverged")
