@@ -96,6 +96,21 @@ class CdfSpec extends SparkSpec {
     ch.unpersist()
   }
 
+  test("change feed spans schema evolution (old rows null-fill new columns)") {
+    val t = ManagedTable.create(
+      Seq((1L, 10L), (2L, 20L)).toDF("k", "v"), tmpDir("cdfevo"))
+    val v0 = t.latestVersion
+    t.append(Seq((3L, 30L, "c")).toDF("k", "v", "tag"), mergeSchema = true)
+    assert(t.delete("k = 1") == 1)
+    val ch = t.changes(v0)
+    assert(ch.columns.take(3).toSeq == Seq("k", "v", "tag"))
+    val ins = ch.filter(col("_change_type") === "insert").collect()
+    assert(ins.length == 1 && ins.head.getString(2) == "c")
+    val del = ch.filter(col("_change_type") === "delete").collect()
+    // deleted row predates the tag column → null-filled to latest schema
+    assert(del.length == 1 && del.head.getLong(0) == 1L && del.head.isNullAt(2))
+  }
+
   test("changes on a vacuumed range fails loud") {
     val t = fixture("cdfvac")
     val v0 = t.latestVersion
