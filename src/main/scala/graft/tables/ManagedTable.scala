@@ -866,14 +866,18 @@ final class ManagedTable private (val spark: SparkSession, val location: String)
         // file stats, where a lexicographic sort only bounds the leading
         // column. The quantile sketch is one bounded-size pass; the
         // boundaries ride the expression as a broadcast-like constant.
-        require(e.partitionColumns.isEmpty,
-          "zorderBy applies to unpartitioned tables (partitioned tables " +
-            "already skip via partition pruning; z-order their partitions " +
-            "individually if needed)")
+        // On a PARTITIONED table the range shuffle leads with the
+        // partition columns, so each partition's files z-cluster
+        // internally (Delta's per-partition ZORDER) while partition
+        // pruning keeps working unchanged.
+        require(zorderBy.forall(c => !e.partitionColumns.contains(c)),
+          "zorderBy columns must not be partition columns (those prune " +
+            "via the partition value already)")
         val zc = ManagedTable.zorderColumn(df, zorderBy)
+        val shuffleKeys = e.partitionColumns.map(col) :+ col("__graft_z")
         df.withColumn("__graft_z", zc)
-          .repartitionByRange(numFiles, col("__graft_z"))
-          .sortWithinPartitions("__graft_z")
+          .repartitionByRange(numFiles, shuffleKeys: _*)
+          .sortWithinPartitions(shuffleKeys: _*)
           .drop("__graft_z")
       } else if (sortBy.nonEmpty && e.partitionColumns.isEmpty) {
         // RANGE-partition by the sort key, not round-robin: with a random

@@ -90,7 +90,32 @@ class ZorderSpec extends SparkSpec {
     val pt = ManagedTable.create(
       spark.range(10).select(col("id"), (col("id") % 2).as("p")),
       tmpDir("zpart"), partitionBy = Seq("p"))
-    intercept[IllegalArgumentException](pt.optimize(zorderBy = Seq("id")))
+    // z-ordering BY a partition column is rejected; by data columns is not
+    intercept[IllegalArgumentException](pt.optimize(zorderBy = Seq("p")))
+  }
+
+  test("zorder on a partitioned table clusters within each partition") {
+    val n = 40000
+    val base = spark.range(n.toLong).select(
+      (col("id") % 2).as("p"),
+      (col("id") % 200).cast("int").as("x"),
+      (col("id") / 200).cast("int").as("y"),
+      col("id").as("payload"))
+    val t = ManagedTable.create(base, tmpDir("zpart2"), partitionBy = Seq("p"))
+    t.optimize(targetFileSizeBytes = 6 * 1024, zorderBy = Seq("x", "y"))
+    val total = t.detail.numFiles
+    assert(total >= 16, s"need multi-file partitions, got $total")
+    assertDfEquality(t.toDF.select("p", "x", "y", "payload"),
+      base.select("p", "x", "y", "payload"))
+    // partition pruning still works, and BOTH z columns skip within it
+    val pFiles = t.toDFWhere("p = 0").inputFiles.length
+    assert(pFiles < total, "partition pruning must still apply")
+    assert(t.toDFWhere("p = 0 AND x = 17").inputFiles.length < pFiles)
+    assert(t.toDFWhere("p = 0 AND y = 100").inputFiles.length < pFiles)
+    // contents through the pruned read stay exact
+    assertDfEquality(
+      t.toDFWhere("p = 0 AND y = 100").select("p", "x", "y", "payload"),
+      base.filter(col("p") === 0 && col("y") === 100))
   }
 
   test("zorder handles an all-null column without losing the others") {
