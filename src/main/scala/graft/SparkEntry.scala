@@ -227,7 +227,8 @@ object SparkEntry {
       }
       rm(new java.io.File(base))
       val orders = t(s, dir, "orders")
-      val tbl = ManagedTable.create(orders, base) // v0
+      val tbl = ManagedTable.create(orders, base, // v0
+        properties = Map(ManagedTable.cdfPropKey -> "true"))
       val target = math.max(32L * 1024, tbl.detail.sizeInBytes / 16)
       tbl.optimize(targetFileSizeBytes = target, sortBy = Seq("o_orderkey")) // v1
       val omax = orders.agg(max("o_orderkey")).head().getLong(0)
@@ -252,19 +253,22 @@ object SparkEntry {
       val li = t(s, dir, "lineitem")
         .select("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice")
       val tbl = ManagedTable.create(li, base)
-      // aim ~32 files at any sf so the skip probes stay meaningful
-      val target = math.max(32L * 1024, tbl.detail.sizeInBytes / 32)
+      // aim ~32 files at any sf (8 KB floor keeps even sf0.01 above the
+      // 8-file minimum) so the skip probes are never vacuous
+      val target = math.max(8L * 1024, tbl.detail.sizeInBytes / 32)
       tbl.optimize(targetFileSizeBytes = target,
         zorderBy = Seq("l_orderkey", "l_partkey"))
       val total = tbl.detail.numFiles
+      require(total >= 8,
+        s"z-order skip probe needs >= 8 files to be meaningful, got $total")
       val pmax = li.agg(max("l_partkey")).head().getLong(0)
       val omax = li.agg(max("l_orderkey")).head().getLong(0)
       val pProbe = tbl.toDFWhere(
         s"l_partkey BETWEEN ${pmax / 20} AND ${pmax / 10}")
       val oProbe = tbl.toDFWhere(
         s"l_orderkey BETWEEN ${omax / 20} AND ${omax / 10}")
-      val skipsP = total < 8 || pProbe.inputFiles.length * 2 <= total
-      val skipsO = total < 8 || oProbe.inputFiles.length * 2 <= total
+      val skipsP = pProbe.inputFiles.length * 2 <= total
+      val skipsO = oProbe.inputFiles.length * 2 <= total
       import s.implicits._
       Seq((tbl.toDF.count(), pProbe.count(), oProbe.count(), skipsP, skipsO))
         .toDF("total_rows", "part_range_rows", "order_range_rows",

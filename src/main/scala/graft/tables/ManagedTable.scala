@@ -59,6 +59,7 @@ final class ManagedTable private (val spark: SparkSession, val location: String)
 
   private def logDir: Path = Paths.get(location, "_graft_log")
   private def dataDir: Path = Paths.get(location, "data")
+  private def cdcRoot: Path = Paths.get(location, "_graft_cdc")
 
   // ---- log access ------------------------------------------------------
 
@@ -504,7 +505,8 @@ final class ManagedTable private (val spark: SparkSession, val location: String)
     * guards the residual window.
     */
   private[tables] def overwriteFrom(baseVersion: Long, df: DataFrame,
-                                    operation: String): Unit = {
+                                    operation: String,
+                                    cdc: Seq[String] = Nil): Unit = {
     val e = latestEntry
     if (e.version != baseVersion)
       throw new ConcurrentCommitException(
@@ -518,7 +520,7 @@ final class ManagedTable private (val spark: SparkSession, val location: String)
     val newStats = statsFor(dirs, e.schema)
     commit(LogEntry(baseVersion + 1, System.currentTimeMillis(), operation,
       dirs, e.schema, e.partitionColumns, e.properties, newStats,
-      metrics = ManagedTable.writeMetrics(newStats)))
+      metrics = ManagedTable.writeMetrics(newStats), cdc = cdc))
   }
 
   // ---- conflict detection for read-modify-write commits ----------------
@@ -665,7 +667,8 @@ final class ManagedTable private (val spark: SparkSession, val location: String)
                                    addedMayMatch: Seq[FileStat] => Boolean =
                                      _ => true,
                                    extraMetrics: Map[String, String] =
-                                     Map.empty): Unit = {
+                                     Map.empty,
+                                   cdc: Seq[String] = Nil): Unit = {
     require(base.files.nonEmpty, "replaceFiles requires a stats-bearing snapshot")
     val aligned = df.select(base.schema.fields.map { f =>
       col(f.name).cast(f.dataType).as(f.name)
@@ -696,7 +699,8 @@ final class ManagedTable private (val spark: SparkSession, val location: String)
           dirs, cur.schema, cur.partitionColumns, cur.properties,
           kept ++ newStats,
           metrics = ManagedTable.writeMetrics(newStats) +
-            ("numRemovedFiles" -> removed.size.toString) ++ extraMetrics))
+            ("numRemovedFiles" -> removed.size.toString) ++ extraMetrics,
+          cdc = cdc))
         done = true
       } catch {
         case c: ConcurrentCommitException =>
@@ -822,6 +826,19 @@ final class ManagedTable private (val spark: SparkSession, val location: String)
         }
       }
     }
+    // CDC sidecars follow the same retention: a sidecar referenced by no
+    // retained version's log entry is reclaimed (with the same age floor
+    // protecting a concurrent DML that staged its sidecar pre-commit)
+    val retainedCdc: Set[String] = retainedEntries.flatMap(_.cdc).toSet
+    if (Files.isDirectory(cdcRoot)) {
+      val sidecars = { val s = Files.list(cdcRoot)
+        try s.iterator().asScala.toSeq finally s.close() }
+      sidecars.filter(Files.isDirectory(_)).foreach { d =>
+        if (!retainedCdc.contains(d.getFileName.toString) && oldEnough(d)) {
+          bytesFreed += sizeOf(d); dirsDeleted += 1; rmTree(d)
+        }
+      }
+    }
     (dirsDeleted, bytesFreed)
   }
 
@@ -913,29 +930,49 @@ final class ManagedTable private (val spark: SparkSession, val location: String)
   }
 
   /** Row-level change feed between two versions (Delta Change Data Feed
-    * analog, derived entirely from the per-commit file snapshots — no
-    * extra change files): for every commit in `(fromVersion, toVersion]`,
-    * rows of files the commit ADDED surface as `_change_type = 'insert'`
-    * and rows of files it REMOVED as `'delete'`, tagged with
+    * analog): for every commit in `(fromVersion, toVersion]`, changed
+    * rows surface as `_change_type` `'insert'` / `'delete'` /
+    * `'update_preimage'` / `'update_postimage'`, tagged with
     * `_commit_version` and `_commit_timestamp`. OPTIMIZE commits change
     * no rows and emit nothing.
     *
-    * `net = true` (default) cancels value-identical delete/insert pairs
-    * within each commit — the carryover rows a file-granular
-    * DELETE/UPDATE/MERGE rewrites unchanged — so the feed is the
-    * SEMANTIC row delta: a DELETE contributes exactly its deleted rows,
-    * an UPDATE its pre-image deletes + post-image inserts. The
-    * cancellation joins are bounded by the commit's rewritten files, not
-    * the table. Applying the feed to the `fromVersion` snapshot
-    * (add inserts, remove deletes, per commit in order) reproduces the
-    * `toVersion` snapshot.
+    * On tables with the `graft.enableChangeDataFeed` property (Delta's
+    * `delta.enableChangeDataFeed` analog), DELETE/UPDATE commits persist
+    * their net change rows as a parquet sidecar (`_graft_cdc/<uuid>`,
+    * recorded in the commit's log entry) at DML time — the matched
+    * pre/post images were already in hand there, so in net mode the feed
+    * for those commits is a pure sidecar READ: no re-derivation, cost
+    * O(changed rows) not O(rewritten files).
+    * Commits without a sidecar (appends, overwrites, MERGE, RESTORE, and
+    * `net = false` raw mode) derive the delta from the per-commit file
+    * snapshots: rows of files the commit ADDED vs REMOVED, with
+    * `net = true` cancelling value-identical delete/insert pairs — the
+    * carryover rows a file-granular rewrite copies unchanged — via
+    * `exceptAll` joins bounded by the commit's rewritten files.
     *
-    * Requires stats-bearing snapshots (every table written by this
-    * engine) and data files still within the vacuum retention window —
-    * reclaimed versions fail loud, like time travel.
+    * Net semantics (sidecar and derived paths agree exactly — the
+    * carryover multiset cancels, so `(carry ⊎ post) \ (carry ⊎ pre) =
+    * post \ pre`): a DELETE contributes exactly its deleted rows, an
+    * UPDATE its pre-image deletes + post-image inserts. Known deviation
+    * from Delta CDF: an UPDATE whose set expressions leave a matched row
+    * value-identical emits NOTHING for that row in net mode, where Delta
+    * emits an `update_preimage`/`update_postimage` pair regardless of
+    * value change. Applying the feed to the `fromVersion` snapshot (add
+    * inserts, remove deletes, per commit in order) reproduces the
+    * `toVersion` snapshot either way.
+    *
+    * Requires the commits' sidecar/data files to be within the vacuum
+    * retention window — reclaimed versions fail loud, like time travel.
     */
   def changes(fromVersion: Long, toVersion: Long = -1L,
-              net: Boolean = true): DataFrame = {
+              net: Boolean = true): DataFrame =
+    changesVia(fromVersion, toVersion, net, useSidecar = true)
+
+  /** [[changes]] with the sidecar fast path switchable, so tests can pin
+    * sidecar-read feed ≡ snapshot-derived feed on the same commits.
+    */
+  private[tables] def changesVia(fromVersion: Long, toVersion: Long,
+                                 net: Boolean, useSidecar: Boolean): DataFrame = {
     val to = if (toVersion < 0) latestVersion else toVersion
     require(fromVersion >= 0 && fromVersion <= to && to <= latestVersion,
       s"changes range [$fromVersion, $to] out of [0, $latestVersion]")
@@ -947,9 +984,32 @@ final class ManagedTable private (val spark: SparkSession, val location: String)
         .withColumn("_commit_timestamp", lit(new java.sql.Timestamp(tsMs)))
     val frames = ((fromVersion + 1) to to).flatMap { v =>
       val e = readEntry(v)
-      val p = readEntry(v - 1)
+      lazy val p = readEntry(v - 1)
       if (e.operation == "OPTIMIZE") Nil // rewrite-only: no data change
-      else {
+      else if (net && useSidecar && e.cdc.nonEmpty) {
+        // at-commit sidecar: the net change rows, already labeled — read
+        // them back with the commit's schema (explicit, so an empty
+        // change set needs no footer inference) and stamp the commit id
+        val dirs = e.cdc.map(cdcRoot.resolve)
+        dirs.find(!Files.isDirectory(_)).foreach { d =>
+          throw new IllegalStateException(
+            s"Version $v of $location references vacuumed change data " +
+              s"($d); changes() is limited to the vacuum retention window")
+        }
+        val sidecarSchema = StructType(
+          e.schema.fields :+ StructField("_change_type", StringType))
+        val sdf = spark.read.schema(sidecarSchema)
+          .parquet(dirs.map(_.toString): _*)
+        val cols = toSchema.fields.map { f =>
+          if (sidecarSchema.fieldNames.contains(f.name))
+            col(f.name).cast(f.dataType).as(f.name)
+          else lit(null).cast(f.dataType).as(f.name)
+        } :+ col("_change_type")
+        Seq(sdf.select(cols.toIndexedSeq: _*)
+          .withColumn("_commit_version", lit(v))
+          .withColumn("_commit_timestamp",
+            lit(new java.sql.Timestamp(e.timestampMs))))
+      } else {
         if (e.files.isEmpty && e.dirs.nonEmpty || p.files.isEmpty && p.dirs.nonEmpty)
           throw new IllegalStateException(
             s"changes at $location requires stats-bearing snapshots; " +
@@ -1000,7 +1060,10 @@ final class ManagedTable private (val spark: SparkSession, val location: String)
       .parseExpression(conditionSql)
     dmlRewrite("DELETE", Some(parsed),
       matchedOf = df => df.filter(coalesce(cond, lit(false))),
-      rewriteOf = df => df.filter(!coalesce(cond, lit(false))))
+      rewriteOf = df => df.filter(!coalesce(cond, lit(false))),
+      // a DELETE's net change feed IS its matched rows
+      changesOf = df => df.filter(coalesce(cond, lit(false)))
+        .withColumn("_change_type", lit("delete")))
   }
 
   /** UPDATE (Delta `DeltaTable.update` analog): sets each column in `set`
@@ -1028,19 +1091,51 @@ final class ManagedTable private (val spark: SparkSession, val location: String)
               expr(e).cast(f.dataType)).otherwise(col(f.name)).as(f.name)
           case None => col(f.name)
         }
-      }.toIndexedSeq: _*))
+      }.toIndexedSeq: _*),
+      // net pre/post images over the MATCHED rows only: value-identical
+      // pairs (no-op set expressions) cancel here exactly as the derived
+      // path's carryover cancellation would — see the changes() scaladoc
+      changesOf = df => {
+        val pre = df.filter(coalesce(cond, lit(false)))
+        val post = pre.select(pre.schema.fields.map { f =>
+          set.get(f.name) match {
+            case Some(e) => expr(e).cast(f.dataType).as(f.name)
+            case None => col(f.name)
+          }
+        }.toIndexedSeq: _*)
+        post.exceptAll(pre).withColumn("_change_type", lit("update_postimage"))
+          .unionByName(
+            pre.exceptAll(post).withColumn("_change_type", lit("update_preimage")))
+      })
   }
 
   /** Shared DELETE/UPDATE core: prune candidate files by the condition's
     * bounds, rewrite only them, keep the rest verbatim. `matchedOf` counts
     * the affected rows (the no-op guard and the return value), `rewriteOf`
-    * produces the candidates' replacement rows.
+    * produces the candidates' replacement rows, and `changesOf` their
+    * labeled net change rows — persisted as a `_graft_cdc/<uuid>` sidecar
+    * so [[changes]] reads the feed instead of re-deriving it. All three
+    * run over the SAME persisted candidates frame, so the sidecar costs
+    * one extra bounded pass over the touched files, never the table.
+    *
+    * Sidecar capture is opt-in via the `graft.enableChangeDataFeed`
+    * table property (Delta's `delta.enableChangeDataFeed`): without it,
+    * DML pays nothing extra and [[changes]] falls back to snapshot
+    * derivation — still correct, just the expensive way.
     */
   private def dmlRewrite(op: String,
                          parsed: Option[org.apache.spark.sql.catalyst.expressions.Expression],
                          matchedOf: DataFrame => DataFrame,
-                         rewriteOf: DataFrame => DataFrame): Long = {
+                         rewriteOf: DataFrame => DataFrame,
+                         changesOf: DataFrame => DataFrame): Long = {
     val base = latestEntry
+    def writeCdc(candidates: DataFrame): Seq[String] =
+      if (!base.properties.get(ManagedTable.cdfPropKey).contains("true")) Nil
+      else {
+        val id = UUID.randomUUID().toString
+        changesOf(candidates).write.parquet(cdcRoot.resolve(id).toString)
+        Seq(id)
+      }
     if (base.files.nonEmpty) {
       val touched = parsed.fold(base.files)(p =>
         FileStats.prune(base.files, base.schema, p))
@@ -1059,7 +1154,8 @@ final class ManagedTable private (val spark: SparkSession, val location: String)
             FileStats.prune(added, base.schema, p).nonEmpty),
           extraMetrics = Map(
             (if (op == "DELETE") "numDeletedRows" else "numUpdatedRows")
-              -> matched.toString))
+              -> matched.toString),
+          cdc = writeCdc(candidates))
         matched
       } finally { candidates.unpersist(); () }
     } else {
@@ -1069,7 +1165,7 @@ final class ManagedTable private (val spark: SparkSession, val location: String)
       try {
         val matched = matchedOf(df).count()
         if (matched == 0) return 0L
-        overwriteFrom(base.version, rewriteOf(df), op)
+        overwriteFrom(base.version, rewriteOf(df), op, cdc = writeCdc(df))
         matched
       } finally { df.unpersist(); () }
     }
@@ -1166,6 +1262,12 @@ object ManagedTable {
     */
   private[tables] def txnPropKey(appId: String): String = s"graft.txn.$appId"
 
+  /** Table property enabling at-commit CDC sidecar capture (Delta's
+    * `delta.enableChangeDataFeed`). Set to `"true"` at create time or via
+    * [[ManagedTable.setProperties]].
+    */
+  val cdfPropKey: String = "graft.enableChangeDataFeed"
+
   /** A `p=v` path segment, escaped the way Spark's file writer escapes
     * dynamic partition directories (so suffix comparison against written
     * leaves is exact). NULL partition values use Hive's default bucket.
@@ -1197,7 +1299,8 @@ object ManagedTable {
       dirs: Seq[String], schema: StructType,
       partitionColumns: Seq[String], properties: Map[String, String],
       files: Seq[FileStat] = Nil,
-      metrics: Map[String, String] = Map.empty) {
+      metrics: Map[String, String] = Map.empty,
+      cdc: Seq[String] = Nil) {
 
     def toJson: String = {
       val root = mapper.createObjectNode()
@@ -1218,6 +1321,7 @@ object ManagedTable {
       }
       val ms = root.putObject("metrics")
       metrics.foreach { case (k, v) => ms.put(k, v) }
+      if (cdc.nonEmpty) { val cs = root.putArray("cdc"); cdc.foreach(cs.add) }
       mapper.writerWithDefaultPrettyPrinter().writeValueAsString(root)
     }
   }
@@ -1244,7 +1348,8 @@ object ManagedTable {
         arr("partitionColumns"),
         strMap(n.get("properties")),
         files,
-        if (n.has("metrics")) strMap(n.get("metrics")) else Map.empty)
+        if (n.has("metrics")) strMap(n.get("metrics")) else Map.empty,
+        if (n.has("cdc")) arr("cdc") else Nil)
     }
   }
 

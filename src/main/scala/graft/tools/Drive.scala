@@ -150,7 +150,8 @@ object Drive {
     val zRead = zt.toDFWhere(s"l_partkey = 42").inputFiles.length
     println(s"[19] Z-order on (orderkey, partkey): partkey probe reads $zRead of $zTotal files")
 
-    val dmlT = ManagedTable.create(ord, scratch("dml"))
+    val dmlT = ManagedTable.create(ord, scratch("dml"),
+      properties = Map(ManagedTable.cdfPropKey -> "true"))
     dmlT.optimize(targetFileSizeBytes = 16 * 1024, sortBy = Seq("o_orderkey"))
     val v0 = dmlT.latestVersion
     val nDel = dmlT.delete("o_orderkey < 100")
@@ -161,7 +162,12 @@ object Drive {
     val feed = dmlT.changes(v0)
     val byType = feed.groupBy("_change_type").count().collect()
       .map(r => s"${r.getString(0)}=${r.getLong(1)}").sorted.mkString(" ")
-    println(s"[21] change feed since v$v0 (net): $byType")
+    val sidecars = {
+      val p = java.nio.file.Paths.get(dmlT.location, "_graft_cdc")
+      if (!java.nio.file.Files.isDirectory(p)) 0L
+      else { val s = java.nio.file.Files.list(p); try s.count() finally s.close() }
+    }
+    println(s"[21] change feed since v$v0 (net, read from $sidecars CDC sidecars): $byType")
     println(s"[22] timestamp travel: versionAsOf(now)=${
       dmlT.versionAsOf(System.currentTimeMillis())} (latest=${dmlT.latestVersion})")
     spark.stop()

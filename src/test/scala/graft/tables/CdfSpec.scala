@@ -15,7 +15,8 @@ class CdfSpec extends SparkSpec {
   private def fixture(name: String): ManagedTable = {
     val base = spark.range(500).select(
       col("id").as("k"), (col("id") % 5).as("grp"), (col("id") * 3).as("v"))
-    val t = ManagedTable.create(base, tmpDir(name))
+    val t = ManagedTable.create(base, tmpDir(name),
+      properties = Map(ManagedTable.cdfPropKey -> "true"))
     t.optimize(targetFileSizeBytes = 2 * 1024, sortBy = Seq("k"))
     t
   }
@@ -109,6 +110,53 @@ class CdfSpec extends SparkSpec {
     val del = ch.filter(col("_change_type") === "delete").collect()
     // deleted row predates the tag column → null-filled to latest schema
     assert(del.length == 1 && del.head.getLong(0) == 1L && del.head.isNullAt(2))
+  }
+
+  test("DML commits persist a change sidecar; sidecar feed ≡ derived feed") {
+    val t = fixture("cdfsidecar")
+    val v0 = t.latestVersion
+    t.append(Seq((9001L, 0L, 1L), (9002L, 1L, 2L)).toDF("k", "grp", "v"))
+    t.delete("k % 7 = 0")
+    t.update(Map("v" -> "v * 10"), Some("grp = 3"))
+    t.update(Map("v" -> "v"), Some("grp = 1")) // no-op set: empty net feed
+    t.optimize(targetFileSizeBytes = 64 * 1024)
+    val to = t.latestVersion
+    // every DML commit in the range carries a sidecar reference
+    assert(java.nio.file.Files.isDirectory(
+      java.nio.file.Paths.get(t.location, "_graft_cdc")))
+    // the sidecar READ reproduces exactly what snapshot derivation computes
+    val viaSidecar = t.changesVia(v0, to, net = true, useSidecar = true)
+      .drop("_commit_timestamp")
+    val derived = t.changesVia(v0, to, net = true, useSidecar = false)
+      .drop("_commit_timestamp")
+    assert(rows(viaSidecar) == rows(derived))
+    // and the no-op UPDATE emitted nothing (documented Delta deviation)
+    assert(viaSidecar.filter(col("_change_type").startsWith("update"))
+      .filter(col("grp") === 1).count() == 0)
+  }
+
+  test("vacuum reclaims unreferenced change sidecars; changes then fails loud") {
+    val t = fixture("cdfscvac")
+    val v0 = t.latestVersion
+    t.delete("k < 50")
+    val sidecarRoot = java.nio.file.Paths.get(t.location, "_graft_cdc")
+    def sidecars: Long = {
+      val s = java.nio.file.Files.list(sidecarRoot)
+      try s.count() finally s.close()
+    }
+    assert(sidecars == 1)
+    // still referenced by a retained version: a vacuum keeping it is a no-op
+    t.vacuum(retainVersions = 2, minAgeMillis = 0)
+    assert(sidecars == 1)
+    assert(t.changes(v0).count() == 50)
+    // age floor: unreferenced but young sidecars survive
+    t.optimize(targetFileSizeBytes = 128L * 1024 * 1024)
+    t.vacuum(retainVersions = 1)
+    assert(sidecars == 1)
+    t.vacuum(retainVersions = 1, minAgeMillis = 0)
+    assert(sidecars == 0)
+    val e = intercept[IllegalStateException](t.changes(v0).count())
+    assert(e.getMessage.contains("vacuumed"))
   }
 
   test("changes on a vacuumed range fails loud") {

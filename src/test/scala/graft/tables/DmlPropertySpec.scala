@@ -25,8 +25,12 @@ class DmlPropertySpec extends SparkSpec {
   test("DML + CDF invariants hold for 8 random commit sequences") {
     val rnd = new scala.util.Random(77)
     (1 to 8).foreach { i =>
+      // alternate CDF sidecar capture on/off so the replay invariant
+      // property-tests BOTH feed paths (sidecar read vs derivation)
       val t = ManagedTable.create(
-        df(schema, (0L until 60L).map(k => Row(k, k * 2))), tmpDir(s"dmlp$i"))
+        df(schema, (0L until 60L).map(k => Row(k, k * 2))), tmpDir(s"dmlp$i"),
+        properties =
+          if (i % 2 == 0) Map(ManagedTable.cdfPropKey -> "true") else Map.empty)
       t.optimize(targetFileSizeBytes = 1024, sortBy = Seq("k"))
       var model: Vector[(Long, Long)] =
         (0L until 60L).map(k => (k, k * 2)).toVector
