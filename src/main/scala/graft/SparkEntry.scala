@@ -588,11 +588,11 @@ object SparkEntry {
       // scale behavior is benched by dedup_minhash on the full table
       streaming.StreamingDedup.incremental(
         docs.filter(col("doc_id") < 250), "doc_id", "text", index, out,
-        threshold = 0.5, txn = Some(("q_stream", 0L)))
+        txn = ("q_stream", 0L), threshold = 0.5)
       streaming.StreamingDedup.incremental(
         docs.filter(col("doc_id") >= 250 && col("doc_id") < 500),
-        "doc_id", "text", index, out, threshold = 0.5,
-        txn = Some(("q_stream", 1L)))
+        "doc_id", "text", index, out, txn = ("q_stream", 1L),
+        threshold = 0.5)
       out.toDF.select("doc_id", "source", "n_chars")
     }),
 

@@ -54,12 +54,16 @@ object Keys {
     // for every combination of that size in a single scan; only plausible
     // candidates (within HLL error of the target) pay for an exact count.
     // The default-rsd (0.05) sketch is within ±20% of the true cardinality
-    // with overwhelming probability (4σ), so a genuine key always clears
-    // the 0.8 prefilter in practice — and the near-threshold exact-count
-    // fallback below makes even a pathological underestimate recoverable
-    // without paying exact counts for clearly-non-key combinations.
+    // with overwhelming probability (4σ), so a genuine key clears the
+    // 0.6 prefilter with margin to spare. Survivors are exact-checked in
+    // POSITIONAL order across the whole band — find() short-circuits on
+    // the first verified combo, so the only exact counts paid are for
+    // near-threshold non-keys that PRECEDE the true key, and the result
+    // is deterministic: the positionally-first exactly-unique combination
+    // (a two-tier 0.8-then-0.6 scheme could return a LATER column when
+    // the sketch underestimated the first one into the lower band).
     // (A tighter rsd is NOT worth it: HLL cost grows ~1/rsd², and the
-    // fallback already carries correctness.)
+    // exact check already carries correctness.)
     def exactlyUnique(c: Seq[String]): Boolean =
       base.select(c.map(col): _*).distinct().count() == totalRowCount
     for (n <- 1 to totalCols) {
@@ -69,15 +73,8 @@ object Keys {
       }: _*).head()
       def inBand(i: Int, lo: Double): Boolean =
         approxRow.getLong(i) >= totalRowCount * lo
-      val plausible = combos.zipWithIndex.filter { case (_, i) => inBand(i, 0.8) }
+      val plausible = combos.zipWithIndex.filter { case (_, i) => inBand(i, 0.6) }
       val verified = plausible.map(_._1).find(exactlyUnique)
-        .orElse {
-          // no plausible candidate verified exactly at this size: re-check
-          // near-threshold combinations the prefilter may have wrongly pruned
-          combos.zipWithIndex
-            .filter { case (_, i) => inBand(i, 0.6) && !inBand(i, 0.8) }
-            .map(_._1).find(exactlyUnique)
-        }
       verified.foreach { c =>
         if (c.length == totalCols)
           throw new GraftValueError("No composite key candidates could be identified.")

@@ -87,7 +87,7 @@ object expressions {
     * boundaries per column, column-major (see [[ZValue]]).
     */
   def z_value(vals: Column, bounds: Seq[Double], nCols: Int, bits: Int): Column =
-    column(ZValue(expression(vals), bounds.toVector, nCols, bits))
+    column(ZValue(expression(vals), ZBounds(bounds.toVector), nCols, bits))
 
   private[plans] def arrayOfLongCheck(e: Expression, name: String) =
     e.dataType match {
@@ -420,12 +420,39 @@ case class VecDot(left: Expression, right: Expression,
   * bounds the leading one. NULL/NaN elements bucket to 0; a NULL input
   * array yields NULL.
   */
-case class ZValue(child: Expression, bounds: Vector[Double],
+/** The quantile-boundary table of a [[ZValue]], compared and hashed by a
+  * precomputed 128-bit digest: the table holds up to ~20k doubles
+  * (4095 buckets × 5 columns), and a raw `Vector[Double]` field would make
+  * every `equals`/`hashCode`/`semanticEquals` during Catalyst tree
+  * transforms traverse all of them.
+  */
+final class ZBounds(val values: Vector[Double]) extends Serializable {
+  private val digest: (Long, Long) = {
+    var h1 = 0xcbf29ce484222325L; var h2 = 0x100000001b3L
+    values.foreach { d =>
+      val b = java.lang.Double.doubleToLongBits(d)
+      h1 = (h1 ^ b) * 0x100000001b3L
+      h2 = java.lang.Long.rotateLeft(h2 ^ b, 17) * 0x9e3779b97f4a7c15L
+    }
+    (h1, h2)
+  }
+  override def equals(o: Any): Boolean = o match {
+    case z: ZBounds => (z eq this) ||
+      (z.digest == digest && z.values.length == values.length)
+    case _ => false
+  }
+  override def hashCode: Int = digest._1.toInt ^ (digest._2 >>> 32).toInt
+  override def toString: String =
+    s"ZBounds(${values.length} boundaries, digest=${digest._1.toHexString})"
+}
+object ZBounds { def apply(values: Vector[Double]): ZBounds = new ZBounds(values) }
+
+case class ZValue(child: Expression, bounds: ZBounds,
                   nCols: Int, bits: Int)
     extends UnaryExpression {
   require(nCols >= 1 && bits >= 1 && nCols * bits <= 63,
     s"nCols*bits must fit a signed long, got $nCols*$bits")
-  require(bounds.length == nCols * ((1 << bits) - 1),
+  require(bounds.values.length == nCols * ((1 << bits) - 1),
     s"bounds must hold ((1<<bits)-1) doubles per column")
 
   override def dataType: DataType = LongType
@@ -437,7 +464,7 @@ case class ZValue(child: Expression, bounds: Vector[Double],
         s"z_value expects array<double>, got ${other.sql}")
   }
 
-  @transient private lazy val boundsArr: Array[Double] = bounds.toArray
+  @transient private lazy val boundsArr: Array[Double] = bounds.values.toArray
 
   override def nullSafeEval(input: Any): Any =
     ExprKernels.zValue(input.asInstanceOf[ArrayData], boundsArr, nCols, bits)

@@ -136,30 +136,35 @@ object StreamingDedup {
     * `batch` against `index`, append novel docs to `out` and their
     * signatures/buckets to `index`. Returns the number of novel documents.
     *
-    * `txn = Some((appId, batchVersion))` switches replay protection to
-    * O(1) idempotent commits (Delta's `txnAppId`/`txnVersion` pattern):
-    * each of the three appends records the batch version in its table's
-    * snapshot properties and no-ops if that version already committed, so
-    * a checkpoint-replayed batch — including one that crashed BETWEEN the
-    * out/buckets/sigs commits — re-lands exactly once with zero
-    * table-scan guards. Without `txn`, replay safety falls back to
-    * id-level anti-joins, whose out-side guard scans the whole output
-    * table's id column every batch — O(corpus), not viable at 10⁹ docs.
+    * `txn = (appId, batchVersion)` — REQUIRED — is the replay
+    * protection: O(1) idempotent commits (Delta's `txnAppId`/`txnVersion`
+    * pattern). Each of the three appends records the batch version in its
+    * table's snapshot properties and no-ops if that version already
+    * committed, so a checkpoint-replayed batch — including one that
+    * crashed BETWEEN the out/buckets/sigs commits — re-lands exactly once
+    * with zero table-scan guards. (An earlier optional form fell back to
+    * an id-level anti-join against the out table's full id column —
+    * O(corpus) per batch, not viable at 10⁹ docs, so the fallback is
+    * gone: batch callers pass a writer id and a monotone batch number.)
+    *
+    * Caveat shared with Delta: [[ManagedTable.restore]] keeps table
+    * properties, so rolling a table back past a recorded `txn` version
+    * does NOT forget it — a replay after a restore must use a fresh
+    * `appId` (or higher version) to re-land.
     */
   def incremental(batch: DataFrame, idCol: String, textCol: String,
                   index: SigIndex, out: ManagedTable,
+                  txn: (String, Long),
                   threshold: Double = 0.8, numHashes: Int = 64,
                   bands: Int = 16, shingleWidth: Int = 3,
                   maxBucketSize: Int = 1000,
-                  maxIndexFiles: Int = 64,
-                  txn: Option[(String, Long)] = None): Long = {
+                  maxIndexFiles: Int = 64): Long = {
     val parts = index.parts
     // sigs commits LAST, so its recorded version proves the whole batch
     // (out, buckets, sigs) landed: a fully-replayed batch is one property
     // read, not a re-run of the dedup plan
-    val fullyApplied = txn.exists { case (app, v) =>
-      index.sigs.txnVersion(app).exists(_ >= v)
-    }
+    val fullyApplied =
+      index.sigs.txnVersion(txn._1).exists(_ >= txn._2)
     if (fullyApplied) return 0L
     // 1. tokenize + hash ONCE for the whole batch: this single persisted
     // frame feeds the within-batch dedup, the index candidate join, the
@@ -252,11 +257,8 @@ object StreamingDedup {
       // files per commit, and every later batch re-opens all of them
       val parts1 = math.max(1L, novelCount / 100000L).toInt
       val novelIds = novelSigs.select(col(idCol))
-      // out-side replay guard: with `txn`, the idempotent commit makes a
-      // replayed batch's append a no-op (O(1)); without it, fall back to
-      // an anti-join on out's (column-pruned) id scan — correct, but a
-      // full O(corpus) read per batch, so every streaming caller should
-      // pass `txn`
+      // replay protection is the idempotent txn commit alone (O(1) — no
+      // guard read of any table)
       val outRows = batch.join(novelIds, Seq(idCol), "left_semi")
       // out and buckets are independent commits (different tables, both
       // individually replay-idempotent; only sigs' LAST position matters),
@@ -266,10 +268,7 @@ object StreamingDedup {
       import scala.concurrent.duration.Duration
       import scala.concurrent.ExecutionContext.Implicits.global
       val outF = Future(timed("out-append")(out.append(
-        (if (txn.isDefined) outRows
-         else outRows.join(out.toDF.select(col(idCol)), Seq(idCol), "left_anti"))
-          .coalesce(parts1),
-        txn = txn)))
+        outRows.coalesce(parts1), txn = Some(txn))))
       // HIVE-PARTITIONED appends must repartition BY the partition column
       // first: written as-is, every one of the T shuffle tasks opens a
       // writer in each of the ≤`parts` partition dirs it sees — T×parts
@@ -280,24 +279,23 @@ object StreamingDedup {
       // dozens of per-dir file opens run in parallel instead of inside
       // one task (measured 3× on the per-batch commit tail).
       val partsB = parts
-      // buckets-side replay guard: idempotent via `txn` when available;
-      // otherwise the pruned idxBuckets read already covers every
-      // partition this batch writes, so an id-level anti-join against it
-      // drops rows a half-committed replay re-emits
       val bucketRows = freshBands.join(novelIds, Seq(idCol), "left_semi")
       val bucketsF = Future(timed("buckets-append")(index.buckets.append(
-        (if (txn.isDefined) bucketRows
-         else bucketRows.join(idxBuckets.select(col(idCol)), Seq(idCol), "left_anti"))
+        bucketRows
           .select(col(idCol), col("__band"), col("__bh"), col("__bp"))
           .repartition(partsB, col("__bp")),
-        txn = txn)))
-      // barrier BEFORE sigs: its commit asserts the whole batch landed
-      Await.result(outF, Duration.Inf)
-      Await.result(bucketsF, Duration.Inf)
+        txn = Some(txn))))
+      // barrier BEFORE sigs: its commit asserts the whole batch landed.
+      // Await BOTH futures even when one fails — a rethrow that leaves
+      // the sibling append in flight would let a retried batch race the
+      // orphan on the same table/txn — then propagate the first failure.
+      val outR = scala.util.Try(Await.result(outF, Duration.Inf))
+      val bucketsR = scala.util.Try(Await.result(bucketsF, Duration.Inf))
+      outR.get; bucketsR.get
       timed("sigs-append")(index.sigs.append(novelSigs
         .select(col(idCol), col(HH), spOf(idCol, parts).as("__sp"))
         .repartition(parts, col("__sp")),
-        txn = txn))
+        txn = Some(txn)))
       // 5. bound index fragmentation (one commit dir per batch otherwise).
       // The floor scales with the partition count: a `parts`-way
       // partitioned table can never compact below one file per partition,
@@ -345,8 +343,9 @@ object StreamingDedup {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         incremental(batch, idCol, textCol, index, out,
-          threshold, numHashes, bands, shingleWidth,
-          txn = Some((appId, batchId)))
+          txn = (appId, batchId),
+          threshold = threshold, numHashes = numHashes, bands = bands,
+          shingleWidth = shingleWidth)
         ()
       }
       .start()

@@ -104,6 +104,10 @@ object FileStats {
     // commit easily holds dozens of small files, and reading their footers
     // one-by-one serializes the commit's tail. Parallel across the common
     // pool (order restored by .seq — caller sees a deterministic listing).
+    // Hadoop Configuration lazily loads its property map on first access
+    // and is not formally thread-safe there — force the load BEFORE the
+    // tasks share it.
+    conf.size()
     import scala.collection.parallel.CollectionConverters._
     files.par.map { case (leaf, pb, f) =>
       val (rows, mins, maxs) = footerBounds(conf, f, cols)

@@ -209,7 +209,12 @@ final class ManagedTable private (val spark: SparkSession, val location: String)
   }
 
   /** RESTORE analog: commit a new version whose contents are version `v`'s
-    * snapshot (history is preserved; nothing is deleted).
+    * snapshot (history is preserved; nothing is deleted). Table
+    * PROPERTIES keep their current values — including `graft.txn.*`
+    * idempotent-append markers, so a restore does not forget writer
+    * versions (Delta's RESTORE keeps SetTransaction state the same way;
+    * a streaming writer replaying past versions after a restore must use
+    * a fresh appId).
     */
   def restore(version: Long): Unit = {
     require(version >= 0 && version <= latestVersion,

@@ -37,13 +37,13 @@ object StreamProfile {
       System.err.println(f"[profile] iter $iter setup: ${(t1 - t0) / 1e9}%.3f s")
       graft.streaming.StreamingDedup.incremental(
         docs.filter(col("doc_id") < 250), "doc_id", "text", index, out,
-        threshold = 0.5, txn = Some(("q_stream", 0L)))
+        txn = ("q_stream", 0L), threshold = 0.5)
       val t2 = System.nanoTime()
       System.err.println(f"[profile] iter $iter batch1: ${(t2 - t1) / 1e9}%.3f s")
       graft.streaming.StreamingDedup.incremental(
         docs.filter(col("doc_id") >= 250 && col("doc_id") < 500),
-        "doc_id", "text", index, out, threshold = 0.5,
-        txn = Some(("q_stream", 1L)))
+        "doc_id", "text", index, out, txn = ("q_stream", 1L),
+        threshold = 0.5)
       val t3 = System.nanoTime()
       System.err.println(f"[profile] iter $iter batch2: ${(t3 - t2) / 1e9}%.3f s")
       out.toDF.select("doc_id", "source", "n_chars").count()

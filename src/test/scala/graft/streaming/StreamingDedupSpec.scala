@@ -34,21 +34,21 @@ class StreamingDedupSpec extends SparkSpec {
     // batch 1: base + other (+ an in-batch near-dup of base that must lose)
     val n1 = StreamingDedup.incremental(
       Seq((1L, base), (2L, other), (3L, base + "!")).toDF("doc_id", "text"),
-      "doc_id", "text", index, out, threshold = 0.5)
+      "doc_id", "text", index, out, txn = ("core", 0L), threshold = 0.5)
     assert(n1 == 2, "in-batch near-dup must be dropped before indexing")
     assert(out.toDF.select("doc_id").as[Long].collect().toSet == Set(1L, 2L))
 
     // batch 2: near-dup of batch 1's base (cross-batch drop) + novel third
     val n2 = StreamingDedup.incremental(
       Seq((10L, nearDup), (11L, third)).toDF("doc_id", "text"),
-      "doc_id", "text", index, out, threshold = 0.5)
+      "doc_id", "text", index, out, txn = ("core", 1L), threshold = 0.5)
     assert(n2 == 1, "cross-batch near-dup must be dropped against the index")
     assert(out.toDF.select("doc_id").as[Long].collect().toSet == Set(1L, 2L, 11L))
 
     // batch 2 REPLAYED (crash-retry): nothing is double-appended
     val n3 = StreamingDedup.incremental(
       Seq((10L, nearDup), (11L, third)).toDF("doc_id", "text"),
-      "doc_id", "text", index, out, threshold = 0.5)
+      "doc_id", "text", index, out, txn = ("core", 1L), threshold = 0.5)
     assert(n3 == 0, "a replayed batch must be idempotent")
     assert(out.toDF.count() == 3)
     assert(index.sigs.toDF.count() == 3, "index holds one signature per novel doc")
@@ -63,10 +63,12 @@ class StreamingDedupSpec extends SparkSpec {
     val batch = Seq((1L, base), (2L, other)).toDF("doc_id", "text")
 
     // window A — crashed after out.append, before buckets/sigs: simulate
-    // by pre-committing the docs to out, with the index still empty
-    out.append(batch)
+    // by pre-committing the docs to out WITH the batch's txn marker (a
+    // real crash-after-out leaves exactly that state); the replayed
+    // incremental's out append must then no-op on the marker
+    out.append(batch, txn = Some(("crash", 0L)))
     val nA = StreamingDedup.incremental(batch, "doc_id", "text", index, out,
-      threshold = 0.5)
+      txn = ("crash", 0L), threshold = 0.5)
     assert(nA == 2, "replay still reports the batch's novel docs")
     assert(out.toDF.count() == 2, "out must not double-append on replay")
     assert(index.sigs.toDF.count() == 2)
@@ -75,11 +77,15 @@ class StreamingDedupSpec extends SparkSpec {
       .filter(col("count") > 1).isEmpty, "one bucket row per (doc, band)")
 
     // window B — crashed after out+buckets, before sigs: rewind ONLY the
-    // sigs table to its pre-batch (empty) version and replay
+    // sigs table to its pre-batch (empty) version. RESTORE keeps the
+    // txn marker (documented Delta-parity caveat), which a true
+    // pre-sigs-commit crash would never have written — reset it so the
+    // simulated state matches the real crash window
     index.sigs.restore(0L)
+    index.sigs.setProperties(Map("graft.txn.crash" -> "-1"))
     assert(index.sigs.toDF.count() == 0)
     val nB = StreamingDedup.incremental(batch, "doc_id", "text", index, out,
-      threshold = 0.5)
+      txn = ("crash", 0L), threshold = 0.5)
     assert(nB == 2)
     assert(out.toDF.count() == 2, "out stays deduped on a half-committed replay")
     assert(index.buckets.toDF.count() == bucketRows,
@@ -88,7 +94,7 @@ class StreamingDedupSpec extends SparkSpec {
 
     // fully-committed replay is still a no-op
     val nC = StreamingDedup.incremental(batch, "doc_id", "text", index, out,
-      threshold = 0.5)
+      txn = ("crash", 0L), threshold = 0.5)
     assert(nC == 0)
     assert(out.toDF.count() == 2 && index.buckets.toDF.count() == bucketRows)
   }
@@ -102,13 +108,13 @@ class StreamingDedupSpec extends SparkSpec {
     val app = "t-stream"
     val b1 = Seq((1L, base), (2L, other)).toDF("doc_id", "text")
     assert(StreamingDedup.incremental(b1, "doc_id", "text", index, out,
-      threshold = 0.5, txn = Some((app, 0L))) == 2)
+      txn = (app, 0L), threshold = 0.5) == 2)
     val outV = out.latestVersion
     val sigsV = index.sigs.latestVersion
     // full replay: sigs already recorded batch 0 → nothing recomputes,
     // nothing commits
     assert(StreamingDedup.incremental(b1, "doc_id", "text", index, out,
-      threshold = 0.5, txn = Some((app, 0L))) == 0)
+      txn = (app, 0L), threshold = 0.5) == 0)
     assert(out.latestVersion == outV && index.sigs.latestVersion == sigsV,
       "a fully-replayed txn batch must not commit to any table")
 
@@ -119,7 +125,7 @@ class StreamingDedupSpec extends SparkSpec {
     out.append(b2.join(Seq(11L).toDF("doc_id"), Seq("doc_id"), "left_semi"),
       txn = Some((app, 1L)))
     assert(StreamingDedup.incremental(b2, "doc_id", "text", index, out,
-      threshold = 0.5, txn = Some((app, 1L))) == 1)
+      txn = (app, 1L), threshold = 0.5) == 1)
     assert(out.toDF.select("doc_id").as[Long].collect().toSet == Set(1L, 2L, 11L),
       "the half-committed batch's rows must appear exactly once")
     assert(index.sigs.toDF.count() == 3)
@@ -129,7 +135,7 @@ class StreamingDedupSpec extends SparkSpec {
     // next batch proceeds normally under the same writer id
     assert(StreamingDedup.incremental(
       Seq((20L, base + "?!")).toDF("doc_id", "text"), "doc_id", "text",
-      index, out, threshold = 0.5, txn = Some((app, 2L))) == 0)
+      index, out, txn = (app, 2L), threshold = 0.5) == 0)
     assert(out.toDF.count() == 3)
   }
 
@@ -148,7 +154,7 @@ class StreamingDedupSpec extends SparkSpec {
         s"subject ${alpha(i * 13)} in considerable detail with words ${alpha(i * 31)}"))
       .toDF("doc_id", "text")
     StreamingDedup.incremental(corpus, "doc_id", "text", index, out,
-      threshold = 0.5)
+      txn = ("probe", 0L), threshold = 0.5)
     val full = index.buckets.toDF
     val occupied = full.select("__bp").distinct().count()
     assert(occupied > 20, s"setup: bands should spread, got $occupied partitions")
