@@ -415,6 +415,80 @@ class ConflictSpec extends SparkSpec {
     assert(ids == expected)
   }
 
+  test("race: DELETE vs UPDATE on bounds-disjoint files both commit") {
+    // A deletes inside file 1 (ids 1-10), B updates inside file 3
+    // (ids 21-30): the conditions prune to different files, so whichever
+    // thread loses the put-if-absent race must REBASE (the intervening
+    // commit removed a file this DML did not touch, and its added
+    // rewrite's bounds are disjoint from this DML's predicate) — a raise
+    // here is a bug, not a legal outcome.
+    val t = threeFileTable("race_dml_disj")
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val deleter = new Thread(() => {
+      try { gate.await(); assert(t.delete("id <= 5") == 5L) }
+      catch { case e: Throwable => errs.add(e); () }
+    })
+    val updater = new Thread(() => {
+      try { gate.await(); assert(t.update(Map("v" -> "'upd'"), Some("id >= 25")) == 6L) }
+      catch { case e: Throwable => errs.add(e); () }
+    })
+    deleter.start(); updater.start(); gate.countDown()
+    deleter.join(120000); updater.join(120000)
+    assert(errs.isEmpty,
+      s"bounds-disjoint DML must commute: ${Option(errs.peek()).map(_.toString)}")
+    val got = t.toDF.collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    val want = ((6 to 10).map(i => (i.toLong, "a")) ++
+      (11 to 20).map(i => (i.toLong, "b")) ++
+      (21 to 24).map(i => (i.toLong, "c")) ++
+      (25 to 30).map(i => (i.toLong, "upd"))).sorted
+    assert(got == want, "both DMLs must land exactly once")
+  }
+
+  test("race: DELETE vs UPDATE rewriting the SAME file serialize or raise — " +
+       "never lose a write") {
+    // Both conditions prune to file 2 (ids 11-20). Depending on the
+    // interleaving, either the second DML planned AFTER the first's
+    // commit (both land — serial semantics), or it planned against the
+    // old snapshot and must raise ConcurrentCommitException (its rewrite
+    // would clobber the first's). Any other outcome — a silently lost
+    // delete/update, a different exception — is a bug. Three rounds to
+    // sample different interleavings.
+    (1 to 3).foreach { round =>
+      val t = threeFileTable(s"race_dml_same$round")
+      val raised = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val gate = new java.util.concurrent.CountDownLatch(1)
+      @volatile var delOk = false
+      @volatile var updOk = false
+      val deleter = new Thread(() => {
+        try { gate.await(); t.delete("id >= 11 AND id <= 13"); delOk = true }
+        catch { case e: Throwable => raised.add(e); () }
+      })
+      val updater = new Thread(() => {
+        try { gate.await()
+          t.update(Map("v" -> "'upd'"), Some("id BETWEEN 14 AND 18")); updOk = true }
+        catch { case e: Throwable => raised.add(e); () }
+      })
+      deleter.start(); updater.start(); gate.countDown()
+      deleter.join(120000); updater.join(120000)
+      raised.forEach { e =>
+        assert(e.isInstanceOf[ConcurrentCommitException],
+          s"round $round: only a clean conflict raise is legal, got $e")
+      }
+      assert(delOk || updOk, s"round $round: at least one DML must commit")
+      val got = t.toDF.collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+      val base = (1 to 10).map(i => (i.toLong, "a")) ++
+        (21 to 30).map(i => (i.toLong, "c"))
+      val f2 = (11 to 20).map { i =>
+        (i.toLong, if (i <= 13) "b" else if (i <= 18 && updOk) "upd" else "b")
+      }
+      val want = (base ++ (if (delOk) f2.filterNot(_._1 <= 13) else f2)).sorted
+      assert(got == want,
+        s"round $round (delOk=$delOk updOk=$updOk): contents must equal " +
+          s"the serial application of exactly the committed DMLs")
+    }
+  }
+
   test("stress: optimize racing concurrent appends either commutes or fails clean") {
     val loc = tmpDir("stressopt")
     val t = ManagedTable.create(df1(Seq(Row(0L, "base"))), loc)
