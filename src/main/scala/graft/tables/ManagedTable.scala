@@ -751,6 +751,34 @@ final class ManagedTable private (val spark: SparkSession, val location: String)
     * bounds how long an uncommitted write may take; pass 0 only when no
     * concurrent writers exist (tests).
     */
+  /** Time-based retention (Delta's `VACUUM ... RETAIN n HOURS` form):
+    * every version that was the table's LATEST at any point within the
+    * last `retentionHours` stays fully readable — i.e. versions committed
+    * inside the window plus the one current as the window opened — and
+    * older versions' unshared data is reclaimed. Resolved to the
+    * version-count form via commit timestamps ([[history]]'s rows), so
+    * both forms share one reclamation path.
+    */
+  def vacuum(retentionHours: Double): (Long, Long) =
+    vacuum(retentionHours, ManagedTable.defaultVacuumMinAgeMillis)
+
+  /** [[vacuum(retentionHours*]] with an explicit retention-time floor
+    * (see the version-count form for the floor's contract).
+    */
+  def vacuum(retentionHours: Double, minAgeMillis: Long): (Long, Long) = {
+    require(retentionHours >= 0, "retentionHours must be >= 0")
+    val cutoff =
+      System.currentTimeMillis() - (retentionHours * 3600 * 1000).toLong
+    val rows = historyRows
+    // the newest version committed at-or-before the cutoff was still
+    // current as the window opened — it anchors the retained range
+    val anchor = rows.filter(_._2 <= cutoff).map(_._1) match {
+      case Seq() => 0L
+      case at    => at.max
+    }
+    vacuum(math.max(1L, latestVersion - anchor + 1).toInt, minAgeMillis)
+  }
+
   def vacuum(retainVersions: Int = 1,
              minAgeMillis: Long = ManagedTable.defaultVacuumMinAgeMillis): (Long, Long) = {
     require(retainVersions >= 1, "retainVersions must be >= 1")
@@ -1173,6 +1201,35 @@ final class ManagedTable private (val spark: SparkSession, val location: String)
         overwriteFrom(base.version, rewriteOf(df), op, cdc = writeCdc(df))
         matched
       } finally { df.unpersist(); () }
+    }
+  }
+
+  /** ALTER TABLE ADD COLUMNS analog: widen the schema by `fields`
+    * (forced nullable — existing rows read back NULL for them, through
+    * the same null-fill path as mergeSchema appends). Re-using an
+    * existing name with a different type raises; a no-op widening
+    * commits nothing. Concurrent commits rebase — schema widening
+    * commutes with data commits (the conflict rules of pruned writers
+    * in flight still raise on THEIR side when they see the schema
+    * change, which is the conservative direction).
+    */
+  def addColumns(fields: Seq[StructField]): Unit = {
+    val nullable = fields.map(_.copy(nullable = true))
+    var attempts = 0
+    while (true) {
+      val e = latestEntry
+      val newSchema = ManagedTable.unionSchema(e.schema, StructType(nullable))
+      if (newSchema == e.schema) return
+      try {
+        commit(e.copy(version = e.version + 1,
+          timestampMs = System.currentTimeMillis(),
+          operation = "ADD COLUMNS", schema = newSchema))
+        return
+      } catch {
+        case c: ConcurrentCommitException =>
+          attempts += 1
+          if (attempts > 10) throw c
+      }
     }
   }
 

@@ -75,7 +75,8 @@ object Merge {
       target: DataFrame, targetAlias: String,
       source: DataFrame, sourceAlias: String,
       mergeCondition: Column,
-      matched: Seq[Clause] = Nil, notMatched: Seq[Clause] = Nil) {
+      matched: Seq[Clause] = Nil, notMatched: Seq[Clause] = Nil,
+      evolveSchema: Boolean = false) {
 
     def whenMatchedUpdate(condition: String, set: Map[String, String]): Builder =
       copy(matched = matched :+ Update(Option(condition), set))
@@ -94,8 +95,52 @@ object Merge {
     def whenNotMatchedInsertAll(): Builder =
       copy(notMatched = notMatched :+ InsertAll(None))
 
+    /** Opt in to MERGE schema evolution (Delta's
+      * `DeltaMergeBuilder.withSchemaEvolution` /
+      * `delta.schema.autoMerge`): update/insert clauses may then
+      * introduce columns the target lacks — explicit `set`/`values` keys,
+      * or any extra source column under `updateAll`/`insertAll` — and the
+      * target schema becomes the union (new columns forced nullable,
+      * pre-existing rows read back NULL). Without this, an unknown clause
+      * column raises, as Delta's analyzer does.
+      */
+    def withSchemaEvolution(): Builder = copy(evolveSchema = true)
+
+    /** The columns this merge would ADD to the target under
+      * [[withSchemaEvolution]]: extra source fields (when an
+      * updateAll/insertAll clause copies the whole source row) plus
+      * explicit clause keys not in the target, typed by resolving their
+      * expression against the joined aliases (plan-only, no execution).
+      */
+    private def evolvedFields(): Seq[org.apache.spark.sql.types.StructField] = {
+      val have = target.columns.toSet
+      val fromAll =
+        if (matched.exists(_.isInstanceOf[UpdateAll]) ||
+            notMatched.exists(_.isInstanceOf[InsertAll]))
+          source.schema.fields.toSeq.filterNot(f => have(f.name))
+        else Nil
+      val keyed = (matched.collect { case Update(_, set) => set } ++
+        notMatched.collect { case Insert(_, values) => values })
+        .flatten.filterNot { case (k, _) => have(k) }
+      lazy val j = target.alias(targetAlias)
+        .join(source.alias(sourceAlias), mergeCondition, "inner")
+      val keyedFields = keyed.map { case (k, e) =>
+        j.select(expr(e).as(k)).schema.head.copy(nullable = true)
+      }
+      (fromAll ++ keyedFields)
+        .foldLeft(Vector.empty[org.apache.spark.sql.types.StructField]) {
+          (acc, f) => if (acc.exists(_.name == f.name)) acc else acc :+ f
+        }
+    }
+
     /** Pure core: the post-merge table contents as a DataFrame. */
-    def result(): DataFrame = run()
+    def result(): DataFrame =
+      if (!evolveSchema) run()
+      else {
+        val widened = evolvedFields().foldLeft(target)((df, f) =>
+          df.withColumn(f.name, lit(null).cast(f.dataType)))
+        copy(target = widened, evolveSchema = false).run()
+      }
 
     /** Shell: apply the merge to `table`. When the table is partitioned
       * and the merge condition binds every partition column to the source
@@ -117,6 +162,19 @@ object Merge {
       * last-writer-wins at the snapshot level.
       */
     def execute(table: ManagedTable): Unit = {
+      if (evolveSchema) {
+        val extra = evolvedFields()
+        if (extra.nonEmpty) {
+          // widen FIRST as its own ADD COLUMNS commit, then merge
+          // normally against the widened snapshot: the storage layer's
+          // null-fill read makes untouched old files correct without a
+          // rewrite, and every pruned commit path below keeps working
+          // because the schema it aligns to now includes the new columns
+          table.addColumns(extra)
+          copy(target = table.toDF, evolveSchema = false).execute(table)
+          return
+        }
+      }
       // One snapshot read: the entry the plan is built from IS the commit
       // base, so a commit landing mid-merge can never make the pruning
       // analysis (newer snapshot) disagree with the conflict check (older
@@ -382,6 +440,16 @@ object Merge {
 
     private def run(): DataFrame = {
       val targetCols = target.columns.toSeq
+      // Delta's analyzer rejects clause columns the target lacks unless
+      // schema evolution is on (they would otherwise be silently dropped
+      // by the name-keyed projections below)
+      val unknown = (matched.collect { case Update(_, set) => set.keys } ++
+        notMatched.collect { case Insert(_, values) => values.keys })
+        .flatten.filterNot(targetCols.contains).toSeq.distinct
+      if (unknown.nonEmpty)
+        throw new graft.GraftTypeError(
+          s"MERGE clause refers to columns not in the target table: " +
+            s"${unknown.mkString(", ")} (use withSchemaEvolution() to add them)")
       val t = target.withColumn(RID, monotonically_increasing_id()).alias(targetAlias)
       val s = source.alias(sourceAlias)
 

@@ -103,4 +103,78 @@ class MergeSpec extends SparkSpec {
     assertDfEquality(t.toDF, df(schema,
       Seq(Row(1, "zz"), Row(2, "B"), Row(3, "C"))))
   }
+
+  private val srcEvoSchema = StructType(Seq(
+    StructField("pkey", IntegerType),
+    StructField("attr", StringType),
+    StructField("tag", StringType)))
+
+  test("a clause column the target lacks raises without withSchemaEvolution") {
+    val src = df(srcEvoSchema, Seq(Row(5, "E", "t5")))
+    val b = Merge.into(target, "base")
+      .using(src, "src", "base.pkey = src.pkey")
+      .whenNotMatchedInsert(Map(
+        "pkey" -> "src.pkey", "attr" -> "src.attr", "tag" -> "src.tag"))
+    val e = intercept[graft.GraftTypeError](b.result().collect())
+    assert(e.getMessage.contains("tag"))
+  }
+
+  test("withSchemaEvolution: insert/update clauses evolve one new column " +
+       "end-to-end through execute()") {
+    val t = ManagedTable.create(target, tmpDir("mergevo"))
+    val src = df(srcEvoSchema, Seq(Row(2, "B2", "t2"), Row(5, "E", "t5")))
+    Merge.into(t.toDF, "base")
+      .using(src, "src", "base.pkey = src.pkey")
+      .whenMatchedUpdate(Map("attr" -> "src.attr", "tag" -> "src.tag"))
+      .whenNotMatchedInsert(Map(
+        "pkey" -> "src.pkey", "attr" -> "src.attr", "tag" -> "src.tag"))
+      .withSchemaEvolution()
+      .execute(t)
+    // schema is the union, new column nullable; untouched rows read NULL
+    assert(t.schema.fieldNames.toSeq == Seq("pkey", "attr", "tag"))
+    assert(t.schema("tag").nullable)
+    assertDfEquality(t.toDF, df(
+      StructType(srcEvoSchema.map(_.copy(nullable = true))),
+      Seq(Row(1, "A", null), Row(2, "B2", "t2"), Row(3, "C", null),
+        Row(5, "E", "t5"))))
+    // the widening is its own auditable commit
+    val ops = t.history.select("operation").collect().map(_.getString(0)).toSeq
+    assert(ops.contains("ADD COLUMNS"))
+    // time travel to the pre-merge version still works (null-filled read)
+    assert(t.toDF(0L).count() == 3)
+  }
+
+  test("withSchemaEvolution: insertAll widens by every extra source column, " +
+       "typed from the source") {
+    val wide = StructType(Seq(
+      StructField("pkey", IntegerType),
+      StructField("attr", StringType),
+      StructField("score", DoubleType)))
+    val t = ManagedTable.create(target, tmpDir("mergevoall"))
+    val src = df(wide, Seq(Row(6, "F", 0.5)))
+    Merge.into(t.toDF, "base")
+      .using(src, "src", "base.pkey = src.pkey")
+      .whenNotMatchedInsertAll()
+      .withSchemaEvolution()
+      .execute(t)
+    assert(t.schema("score").dataType == DoubleType)
+    assert(t.toDF.count() == 4)
+    assert(t.toDF.filter("pkey = 6").head().getDouble(2) == 0.5)
+    assert(t.toDF.filter("pkey = 1").head().isNullAt(2))
+  }
+
+  test("withSchemaEvolution is a no-op when no new columns appear") {
+    val t = ManagedTable.create(target, tmpDir("mergevonone"))
+    val v0 = t.latestVersion
+    Merge.into(t.toDF, "base")
+      .using(df(schema, Seq(Row(1, "zz"))), "src", "base.pkey = src.pkey")
+      .whenMatchedUpdate(Map("attr" -> "src.attr"))
+      .withSchemaEvolution()
+      .execute(t)
+    val ops = t.history.select("operation").collect().map(_.getString(0)).toSeq
+    assert(!ops.contains("ADD COLUMNS"), "no widening commit without new columns")
+    assert(t.latestVersion == v0 + 1)
+    assertDfEquality(t.toDF, df(schema,
+      Seq(Row(1, "zz"), Row(2, "B"), Row(3, "C"))))
+  }
 }

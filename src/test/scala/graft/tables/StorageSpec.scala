@@ -45,6 +45,31 @@ class StorageSpec extends SparkSpec {
     assert(e.getMessage.contains("vacuumed"))
   }
 
+  test("time-based vacuum retains the window (plus its anchor version), " +
+       "reclaims past it, and respects the age floor") {
+    val loc = tmpDir("vachrs")
+    val t = ManagedTable.create(df(schema, Seq(Row(1, "a"))), loc) // v0
+    t.overwrite(df(schema, Seq(Row(2, "b"))))                      // v1
+    Thread.sleep(40)
+    val windowOpen = System.currentTimeMillis()
+    Thread.sleep(40)
+    t.overwrite(df(schema, Seq(Row(3, "c"))))                      // v2
+    // a window opening between v1 and v2: v2 is inside it and v1 was
+    // current as it opened (the anchor) — only v0 is reclaimable
+    val hours = (System.currentTimeMillis() - windowOpen) / 3600000.0
+    // age floor first: everything is younger than an hour, so nothing goes
+    val (f0, _) = t.vacuum(hours, ManagedTable.defaultVacuumMinAgeMillis)
+    assert(f0 == 0L, "retention-time floor must protect young data")
+    val (dirs, bytes) = t.vacuum(hours, 0L)
+    assert(dirs == 1L && bytes > 0, s"only v0's snapshot is past retention, got $dirs")
+    assertDfEquality(t.toDF(1), df(schema, Seq(Row(2, "b"))))
+    assertDfEquality(t.toDF, df(schema, Seq(Row(3, "c"))))
+    assert(intercept[IllegalStateException](t.toDF(0).collect())
+      .getMessage.contains("vacuumed"))
+    // a window wider than the table's whole history reclaims nothing more
+    assert(t.vacuum(24.0, 0L)._1 == 0L)
+  }
+
   test("vacuum keeps directories shared between retained versions") {
     val loc = tmpDir("vac2")
     val t = ManagedTable.create(df(schema, Seq(Row(1, "a"))), loc) // v0
