@@ -20,8 +20,13 @@ import org.apache.spark.sql.types.IntegerType
   * }}}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.registrations.foreach(ext.injectFunction)
+    GraftFunctions.tableRegistrations.foreach(ext.injectTableFunction)
+    // DELETE/UPDATE/OPTIMIZE/DESCRIBE HISTORY/VACUUM on graft.`path`
+    // tables (delta-spark's delegating-parser pattern)
+    ext.injectParser((_, delegate) => new GraftSqlParser(delegate))
+  }
 }
 
 object GraftFunctions {
@@ -87,9 +92,49 @@ object GraftFunctions {
         NormalizedMd5(args.head)
       }))
 
-  /** Register into a live session (idempotent). */
-  def register(spark: SparkSession): Unit =
+  /** Table-valued functions: the change data feed as a SQL relation —
+    * `SELECT * FROM graft_table_changes('/path', fromV[, toV[, net]])`
+    * (Delta's `table_changes`). Args must be literals; the plan is the
+    * same one [[graft.tables.ManagedTable.changes]] builds.
+    */
+  val tableRegistrations: Seq[(FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)] = Seq(
+    (FunctionIdentifier("graft_table_changes"),
+      info("graft_table_changes",
+        "graft_table_changes(path, fromVersion[, toVersion[, net]]) - change data feed rows"),
+      (args: Seq[Expression]) => {
+        require(args.length >= 2 && args.length <= 4,
+          "graft_table_changes(path, fromVersion[, toVersion[, net]])")
+        def lit(i: Int): Any = args(i) match {
+          case l: Literal => l.value
+          case other => throw new IllegalArgumentException(
+            s"graft_table_changes expects literal arguments, got $other")
+        }
+        val path = lit(0).toString
+        def asLong(v: Any): Long = v match {
+          case n: Number => n.longValue()
+          case other => throw new IllegalArgumentException(
+            s"graft_table_changes expects an integer version, got $other")
+        }
+        val from = asLong(lit(1))
+        val to = if (args.length >= 3) asLong(lit(2)) else -1L
+        val net = if (args.length >= 4) lit(3) == true else true
+        graft.tables.ManagedTable
+          .forPath(SparkSession.active, path)
+          .changes(from, to, net)
+          .queryExecution.logical
+      }))
+
+  /** Register into a live session (idempotent). The SQL statement surface
+    * (DELETE/UPDATE/OPTIMIZE/…, [[GraftSqlParser]]) is parser-level and
+    * can only come from `spark.sql.extensions` at session build.
+    */
+  def register(spark: SparkSession): Unit = {
     registrations.foreach { case (id, inf, builder) =>
       spark.sessionState.functionRegistry.registerFunction(id, inf, builder)
     }
+    tableRegistrations.foreach { case (id, inf, builder) =>
+      spark.sessionState.tableFunctionRegistry.registerFunction(id, inf, builder)
+    }
+  }
 }

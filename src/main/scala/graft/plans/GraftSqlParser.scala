@@ -1,0 +1,210 @@
+package graft.plans
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Expression}
+import org.apache.spark.sql.catalyst.parser.{ParameterContext, ParserInterface}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.types._
+import graft.tables.ManagedTable
+
+/** SQL statement surface for the managed-table layer (the delta-spark
+  * pattern: a thin delegating parser so `DELETE FROM`, `UPDATE`,
+  * `OPTIMIZE … ZORDER BY`, `DESCRIBE HISTORY` and `VACUUM` are drivable
+  * from `spark.sql`, with the table addressed by path as
+  * ``graft.`/path/to/table` `` — mirroring Delta's ``delta.`/path` ``
+  * syntax). Anything that doesn't match the graft grammar delegates to
+  * the session parser untouched.
+  *
+  * Injected via `spark.sql.extensions=graft.plans.GraftExtensions`
+  * (parsers are fixed at session build — unlike the scalar/table
+  * functions, this surface cannot be added to a live session).
+  */
+class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
+  import GraftSqlParser._
+
+  override def parsePlan(sqlText: String): LogicalPlan =
+    parseGraft(sqlText).getOrElse(delegate.parsePlan(sqlText))
+
+  override def parsePlanWithParameters(sqlText: String,
+                                       ctx: ParameterContext): LogicalPlan =
+    parseGraft(sqlText).getOrElse(delegate.parsePlanWithParameters(sqlText, ctx))
+
+  override def parseExpression(s: String): Expression = delegate.parseExpression(s)
+  override def parseTableIdentifier(s: String): TableIdentifier =
+    delegate.parseTableIdentifier(s)
+  override def parseFunctionIdentifier(s: String): FunctionIdentifier =
+    delegate.parseFunctionIdentifier(s)
+  override def parseMultipartIdentifier(s: String): Seq[String] =
+    delegate.parseMultipartIdentifier(s)
+  override def parseQuery(s: String): LogicalPlan = delegate.parseQuery(s)
+  override def parseRoutineParam(s: String): StructType = delegate.parseRoutineParam(s)
+  override def parseTableSchema(s: String): StructType = delegate.parseTableSchema(s)
+  override def parseDataType(s: String): DataType = delegate.parseDataType(s)
+}
+
+object GraftSqlParser {
+
+  // graft.`/path` — the path is backtick-quoted, `` escapes a backtick
+  private val Ref = """(?i)graft\s*\.\s*`((?:[^`]|``)+)`"""
+  private val DeleteRe =
+    s"""(?is)\\s*DELETE\\s+FROM\\s+$Ref\\s*(?:WHERE\\s+(.+?))?\\s*;?\\s*""".r
+  private val UpdateRe =
+    s"""(?is)\\s*UPDATE\\s+$Ref\\s+SET\\s+(.+?)\\s*;?\\s*""".r
+  private val OptimizeRe =
+    s"""(?is)\\s*OPTIMIZE\\s+$Ref\\s*(?:ZORDER\\s+BY\\s*\\(?\\s*([\\w\\s,]+?)\\s*\\)?)?\\s*;?\\s*""".r
+  private val HistoryRe =
+    s"""(?is)\\s*DESC(?:RIBE)?\\s+HISTORY\\s+$Ref\\s*;?\\s*""".r
+  private val VacuumRe =
+    s"""(?is)\\s*VACUUM\\s+$Ref\\s*(?:RETAIN\\s+([0-9.]+)\\s+HOURS)?\\s*;?\\s*""".r
+
+  private def unq(path: String): String = path.replace("``", "`")
+
+  private[plans] def parseGraft(sqlText: String): Option[LogicalPlan] =
+    sqlText match {
+      case DeleteRe(path, where) =>
+        Some(GraftDeleteCommand(unq(path), Option(where).map(_.trim)))
+      case UpdateRe(path, rest) =>
+        val (setPart, where) = splitTopLevelWhere(rest)
+        val assignments = splitTopLevel(setPart, ',').map { a =>
+          val i = topLevelIndexOf(a, "=")
+          require(i > 0, s"UPDATE SET expects col = expr, got: $a")
+          (a.substring(0, i).trim.stripPrefix("`").stripSuffix("`"),
+            a.substring(i + 1).trim)
+        }
+        Some(GraftUpdateCommand(unq(path), assignments, where))
+      case OptimizeRe(path, zorder) =>
+        val cols = Option(zorder).toSeq
+          .flatMap(_.split(',').toSeq).map(_.trim).filter(_.nonEmpty)
+        Some(GraftOptimizeCommand(unq(path), cols))
+      case HistoryRe(path) => Some(GraftHistoryCommand(unq(path)))
+      case VacuumRe(path, hours) =>
+        Some(GraftVacuumCommand(unq(path),
+          Option(hours).map(_.toDouble).getOrElse(7 * 24.0)))
+      case _ => None
+    }
+
+  /** Split off a trailing top-level `WHERE` (outside quotes/parens) from
+    * an UPDATE's tail — `SET a = f(x, 'WHERE'), b = 2 WHERE id < 3`.
+    */
+  private def splitTopLevelWhere(s: String): (String, Option[String]) = {
+    val i = topLevelWordIndex(s, "WHERE")
+    if (i < 0) (s.trim, None)
+    else (s.substring(0, i).trim, Some(s.substring(i + 5).trim))
+  }
+
+  /** Index of `sep` at paren/quote depth zero, or -1. */
+  private def topLevelIndexOf(s: String, sep: String): Int =
+    scanTopLevel(s, (str, i) => str.startsWith(sep, i))
+
+  /** Index of the keyword at depth zero with identifier boundaries. */
+  private def topLevelWordIndex(s: String, word: String): Int =
+    scanTopLevel(s, (str, i) =>
+      str.regionMatches(true, i, word, 0, word.length) &&
+        (i == 0 || !Character.isJavaIdentifierPart(str.charAt(i - 1))) &&
+        (i + word.length >= str.length ||
+          !Character.isJavaIdentifierPart(str.charAt(i + word.length))))
+
+  private def scanTopLevel(s: String, hit: (String, Int) => Boolean): Int = {
+    var depth = 0; var i = 0
+    var inStr = false; var inTick = false
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inStr) { if (c == '\'') inStr = false }
+      else if (inTick) { if (c == '`') inTick = false }
+      else c match {
+        case '\'' => inStr = true
+        case '`' => inTick = true
+        case '(' | '[' => depth += 1
+        case ')' | ']' => depth -= 1
+        case _ => if (depth == 0 && hit(s, i)) return i
+      }
+      i += 1
+    }
+    -1
+  }
+
+  private def splitTopLevel(s: String, sep: Char): Seq[String] = {
+    val parts = Vector.newBuilder[String]
+    var depth = 0; var inStr = false; var inTick = false
+    var start = 0; var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inStr) { if (c == '\'') inStr = false }
+      else if (inTick) { if (c == '`') inTick = false }
+      else c match {
+        case '\'' => inStr = true
+        case '`' => inTick = true
+        case '(' | '[' => depth += 1
+        case ')' | ']' => depth -= 1
+        case x if x == sep && depth == 0 =>
+          parts += s.substring(start, i); start = i + 1
+        case _ => ()
+      }
+      i += 1
+    }
+    parts += s.substring(start)
+    parts.result().map(_.trim).filter(_.nonEmpty)
+  }
+}
+
+/** `DELETE FROM graft.`path`` [WHERE cond] → rows deleted. */
+final case class GraftDeleteCommand(path: String, where: Option[String])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("num_affected_rows", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(ManagedTable.forPath(spark, path).delete(where.getOrElse("true"))))
+}
+
+/** `UPDATE graft.`path` SET c = e, … [WHERE cond]` → rows updated. */
+final case class GraftUpdateCommand(path: String,
+                                    set: Seq[(String, String)],
+                                    where: Option[String])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("num_affected_rows", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(ManagedTable.forPath(spark, path).update(set.toMap, where)))
+}
+
+/** `OPTIMIZE graft.`path` [ZORDER BY (c, …)]` → resulting file count. */
+final case class GraftOptimizeCommand(path: String, zorderBy: Seq[String])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("path", StringType, nullable = false)(),
+    AttributeReference("num_files", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val t = ManagedTable.forPath(spark, path)
+    t.optimize(zorderBy = zorderBy)
+    Seq(Row(path, t.detail.numFiles))
+  }
+}
+
+/** `DESCRIBE HISTORY graft.`path`` → the table's commit history. */
+final case class GraftHistoryCommand(path: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("timestamp", TimestampType, nullable = false)(),
+    AttributeReference("operation", StringType, nullable = false)(),
+    AttributeReference("operationMetrics",
+      MapType(StringType, StringType), nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] =
+    ManagedTable.forPath(spark, path).history.collect().toSeq
+}
+
+/** `VACUUM graft.`path` [RETAIN n HOURS]` (default 168, Delta's default
+  * retention) → (directories/files deleted, bytes freed). The staged-write
+  * age floor always applies, as in the API form.
+  */
+final case class GraftVacuumCommand(path: String, retainHours: Double)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("num_reclaimed", LongType, nullable = false)(),
+    AttributeReference("bytes_freed", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val (n, b) = ManagedTable.forPath(spark, path).vacuum(retainHours)
+    Seq(Row(n, b))
+  }
+}

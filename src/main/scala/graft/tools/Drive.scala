@@ -14,6 +14,7 @@ object Drive {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
@@ -170,6 +171,17 @@ object Drive {
     println(s"[21] change feed since v$v0 (net, read from $sidecars CDC sidecars): $byType")
     println(s"[22] timestamp travel: versionAsOf(now)=${
       dmlT.versionAsOf(System.currentTimeMillis())} (latest=${dmlT.latestVersion})")
+
+    // --- round-9 surface: SQL statements on graft.`path` tables ---------
+    val sqlRef = s"graft.`${dmlT.location}`"
+    val sqlDel = spark.sql(s"DELETE FROM $sqlRef WHERE o_orderkey < 200")
+      .head().getLong(0)
+    val sqlFeed = spark.sql(
+      s"SELECT count(*) FROM graft_table_changes('${dmlT.location}', $v0)")
+      .head().getLong(0)
+    val sqlHist = spark.sql(s"DESCRIBE HISTORY $sqlRef").count()
+    println(s"[23] SQL DML: DELETE removed $sqlDel rows; table_changes " +
+      s"since v$v0 = $sqlFeed rows; history has $sqlHist commits")
     spark.stop()
   }
 }

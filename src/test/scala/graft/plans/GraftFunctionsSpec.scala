@@ -72,4 +72,48 @@ class GraftFunctionsSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("literal int"))
   }
+
+  test("SQL statement surface: DELETE / UPDATE / OPTIMIZE ZORDER / " +
+       "DESCRIBE HISTORY / VACUUM / table_changes round-trip") {
+    import graft.tables.ManagedTable
+    val path = tmpDir("sqlsurf")
+    val t = ManagedTable.create(
+      spark.range(100).selectExpr("id AS k", "id * 2 AS v", "'x' AS s"),
+      path, properties = Map(ManagedTable.cdfPropKey -> "true"))
+    val ref = s"graft.`$path`"
+    val v0 = t.latestVersion
+
+    val del = spark.sql(s"DELETE FROM $ref WHERE k < 10").head()
+    assert(del.getLong(0) == 10L)
+    assert(t.toDF.count() == 90)
+
+    // SET list with a nested function call (a comma inside parens) and a
+    // WHERE containing a quoted string — the top-level splitter's job
+    val upd = spark.sql(
+      s"UPDATE $ref SET v = v + 1, s = concat(s, 'y') WHERE k >= 90 AND s = 'x'")
+      .head()
+    assert(upd.getLong(0) == 10L)
+    assert(t.toDF.filter("s = 'xy'").count() == 10)
+    assert(t.toDF.filter("k = 90").head().getLong(1) == 181L)
+
+    val opt = spark.sql(s"OPTIMIZE $ref ZORDER BY (k, v)").head()
+    assert(opt.getString(0) == path && opt.getLong(1) >= 1L)
+
+    val hist = spark.sql(s"DESCRIBE HISTORY $ref").collect()
+    assert(hist.map(_.getString(2)).toSeq ==
+      Seq("CREATE", "DELETE", "UPDATE", "OPTIMIZE"))
+
+    // the TVF reads the same feed the API builds (CDC sidecars included)
+    val feed = spark.sql(
+      s"SELECT _change_type, count(*) AS n FROM graft_table_changes('$path', $v0) " +
+        "GROUP BY _change_type ORDER BY _change_type").collect()
+    assert(feed.map(r => (r.getString(0), r.getLong(1))).toSeq == Seq(
+      ("delete", 10L), ("update_postimage", 10L), ("update_preimage", 10L)))
+
+    val vac = spark.sql(s"VACUUM $ref RETAIN 0.000001 HOURS").head()
+    assert(vac.getLong(0) >= 0L) // age floor keeps young files; statement runs
+
+    // a non-graft statement still parses through the delegate
+    assert(spark.sql("SELECT 1 + 1").head().getInt(0) == 2)
+  }
 }
