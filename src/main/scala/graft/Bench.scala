@@ -73,17 +73,21 @@ object Bench {
       case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
       case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
     } + "\""
-    val qs = results.map { case (k, v, _, _) => s"\"" + k + "\":" + v }
+    // millisecond precision: full doubles once doubled the line past the
+    // driver's output-capture tail and truncated the totals mid-record
+    def sec(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val qs = results.map { case (k, v, _, _) => s"\"" + k + "\":" + sec(v) }
       .mkString("{", ",", "}")
     // both raw iterations (first = cold: JIT/page-cache; second = warm) so
     // cross-round regressions separate environment noise from plan changes
     val runs = results.map { case (k, _, rs, _) =>
-      s"\"" + k + "\":" + rs.mkString("[", ",", "]")
+      s"\"" + k + "\":" + rs.map(sec).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     val errs = results.collect { case (k, _, _, Some(e)) => s"\"$k\":${jstr(e)}" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_runs":$runs,"errors":$errs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$qs,"queries_runs":$runs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
     if (results.exists(_._4.isDefined)) sys.exit(1)
   }
