@@ -596,7 +596,8 @@ final class ManagedTable private (val spark: SparkSession, val location: String)
     */
   def overwritePartitions(df: DataFrame, partitionValues: Seq[Map[String, Any]],
                           operation: String = "OVERWRITE PARTITIONS",
-                          baseVersion: Long = -1L): Unit = {
+                          baseVersion: Long = -1L,
+                          cdc: Seq[String] = Nil): Unit = {
     val base = if (baseVersion >= 0) readEntry(baseVersion) else latestEntry
     val parts = base.partitionColumns
     require(parts.nonEmpty, "overwritePartitions requires a partitioned table")
@@ -635,7 +636,8 @@ final class ManagedTable private (val spark: SparkSession, val location: String)
           kept ++ newLeaves, cur.schema, parts, cur.properties,
           entryFiles(cur).filter(f => keptSet(f.leafDir)) ++ newStats,
           metrics = ManagedTable.writeMetrics(newStats) +
-            ("numReplacedPartitions" -> affected.size.toString)))
+            ("numReplacedPartitions" -> affected.size.toString),
+          cdc = cdc))
         done = true
       } catch {
         case c: ConcurrentCommitException =>
@@ -970,18 +972,22 @@ final class ManagedTable private (val spark: SparkSession, val location: String)
     * no rows and emit nothing.
     *
     * On tables with the `graft.enableChangeDataFeed` property (Delta's
-    * `delta.enableChangeDataFeed` analog), DELETE/UPDATE commits persist
-    * their net change rows as a parquet sidecar (`_graft_cdc/<uuid>`,
-    * recorded in the commit's log entry) at DML time — the matched
-    * pre/post images were already in hand there, so in net mode the feed
-    * for those commits is a pure sidecar READ: no re-derivation, cost
-    * O(changed rows) not O(rewritten files).
-    * Commits without a sidecar (appends, overwrites, MERGE, RESTORE, and
-    * `net = false` raw mode) derive the delta from the per-commit file
-    * snapshots: rows of files the commit ADDED vs REMOVED, with
-    * `net = true` cancelling value-identical delete/insert pairs — the
-    * carryover rows a file-granular rewrite copies unchanged — via
-    * `exceptAll` joins bounded by the commit's rewritten files.
+    * `delta.enableChangeDataFeed` analog), DELETE/UPDATE **and MERGE**
+    * commits persist their net change rows as a parquet sidecar
+    * (`_graft_cdc/<uuid>`, recorded in the commit's log entry) at write
+    * time — the matched pre/post images were already in hand there, so
+    * in net mode the feed for those commits is a pure sidecar READ: no
+    * re-derivation, cost O(changed rows) not O(rewritten files), and for
+    * MERGE the labels are clause-accurate (`update_*` for update-clause
+    * rows, where the derivation below can only approximate them as
+    * delete+insert pairs).
+    * Commits without a sidecar (appends, overwrites, RESTORE,
+    * pre-property commits, and `net = false` raw mode) derive the delta
+    * from the per-commit file snapshots: rows of files the commit ADDED
+    * vs REMOVED, with `net = true` cancelling value-identical
+    * delete/insert pairs — the carryover rows a file-granular rewrite
+    * copies unchanged — via `exceptAll` joins bounded by the commit's
+    * rewritten files.
     *
     * Net semantics (sidecar and derived paths agree exactly — the
     * carryover multiset cancels, so `(carry ⊎ post) \ (carry ⊎ pre) =
@@ -1142,6 +1148,26 @@ final class ManagedTable private (val spark: SparkSession, val location: String)
       })
   }
 
+  /** Whether `e`'s snapshot has CDC sidecar capture enabled (the
+    * `graft.enableChangeDataFeed` table property).
+    */
+  private[tables] def cdfEnabled(e: ManagedTable.LogEntry): Boolean =
+    e.properties.get(ManagedTable.cdfPropKey).contains("true")
+
+  /** Write labeled net change rows (`schema` columns + `_change_type`)
+    * as a CDC sidecar; returns the sidecar reference for the commit's
+    * log entry. Shared by the DML and MERGE capture paths.
+    */
+  private[tables] def writeCdcSidecar(changes: DataFrame,
+                                      schema: StructType): Seq[String] = {
+    val aligned = changes.select((schema.fields.map(f =>
+      col(f.name).cast(f.dataType).as(f.name)) :+
+      col("_change_type").cast(StringType).as("_change_type")).toIndexedSeq: _*)
+    val id = UUID.randomUUID().toString
+    aligned.write.parquet(cdcRoot.resolve(id).toString)
+    Seq(id)
+  }
+
   /** Shared DELETE/UPDATE core: prune candidate files by the condition's
     * bounds, rewrite only them, keep the rest verbatim. `matchedOf` counts
     * the affected rows (the no-op guard and the return value), `rewriteOf`
@@ -1163,12 +1189,8 @@ final class ManagedTable private (val spark: SparkSession, val location: String)
                          changesOf: DataFrame => DataFrame): Long = {
     val base = latestEntry
     def writeCdc(candidates: DataFrame): Seq[String] =
-      if (!base.properties.get(ManagedTable.cdfPropKey).contains("true")) Nil
-      else {
-        val id = UUID.randomUUID().toString
-        changesOf(candidates).write.parquet(cdcRoot.resolve(id).toString)
-        Seq(id)
-      }
+      if (!cdfEnabled(base)) Nil
+      else writeCdcSidecar(changesOf(candidates), base.schema)
     if (base.files.nonEmpty) {
       val touched = parsed.fold(base.files)(p =>
         FileStats.prune(base.files, base.schema, p))

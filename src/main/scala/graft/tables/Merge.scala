@@ -133,6 +133,15 @@ object Merge {
         }
     }
 
+    /** CDC sidecar for this merge when the table captures change data
+      * (see [[changesFrame]]); Nil otherwise. Called on the PRUNED
+      * builder so the capture pass reads only the touched files.
+      */
+    private def cdcFor(table: ManagedTable,
+                       base: ManagedTable.LogEntry): Seq[String] =
+      if (!table.cdfEnabled(base)) Nil
+      else table.writeCdcSidecar(changesFrame(), base.schema)
+
     /** Pure core: the post-merge table contents as a DataFrame. */
     def result(): DataFrame =
       if (!evolveSchema) run()
@@ -202,7 +211,8 @@ object Merge {
           // timestamp/decimal partition columns can't partition-prune,
           // but the merge keys' file bounds may still prune
           if (!executeFilePruned(table, base))
-            table.overwriteFrom(baseVersion, run(), "MERGE")
+            table.overwriteFrom(baseVersion, run(), "MERGE",
+              cdc = cdcFor(table, base))
           return
         }
         val valueCols = parts.map(p => GraftColumnBridge.column(bindings(p)).as(p))
@@ -212,7 +222,8 @@ object Merge {
         if (rows.length > maxPrunedPartitions) {
           // too many partitions to enumerate; fall to file granularity
           if (!executeFilePruned(table, base))
-            table.overwriteFrom(baseVersion, run(), "MERGE")
+            table.overwriteFrom(baseVersion, run(), "MERGE",
+              cdc = cdcFor(table, base))
           return
         }
         val values = rows.map(r =>
@@ -229,13 +240,14 @@ object Merge {
           } else
             values.map(m => parts.map(p => col(p) <=> lit(m(p))).reduce(_ && _))
               .reduce(_ || _)
-        val result = copy(target = target.filter(pred)).run()
-        table.overwritePartitions(result, values, operation = "MERGE",
-          baseVersion = baseVersion)
+        val pruned = copy(target = target.filter(pred))
+        table.overwritePartitions(pruned.run(), values, operation = "MERGE",
+          baseVersion = baseVersion, cdc = pruned.cdcFor(table, base))
       } else if (executeFilePruned(table, base)) {
         // file-granular path committed (or proved the merge a no-op)
       } else {
-        table.overwriteFrom(baseVersion, run(), "MERGE")
+        table.overwriteFrom(baseVersion, run(), "MERGE",
+              cdc = cdcFor(table, base))
       }
     }
 
@@ -265,7 +277,8 @@ object Merge {
         case FilePrune.Fallback => false
         case FilePrune.Pruned(touched, keyFilters) =>
           val touchedSet = touched.map(_.path).toSet
-          val result = copy(target = table.scanFilesDF(touched, base)).run()
+          val pruned = copy(target = table.scanFilesDF(touched, base))
+          val result = pruned.run()
           // Delta's ConcurrentAppendException rule, made precise: a
           // concurrently-added file conflicts only if this merge WOULD
           // have read it — i.e. it survives the same key-bounds filters
@@ -274,7 +287,8 @@ object Merge {
           table.replaceFiles(touchedSet, result, operation = "MERGE",
             base = base,
             addedMayMatch = added =>
-              keyFilters.foldLeft(added)((fs, f) => f(fs)).nonEmpty)
+              keyFilters.foldLeft(added)((fs, f) => f(fs)).nonEmpty,
+            cdc = pruned.cdcFor(table, base))
           true
       }
 
@@ -438,87 +452,62 @@ object Merge {
       */
     private val RID = "__graft_merge_rid"
 
-    private def run(): DataFrame = {
-      val targetCols = target.columns.toSeq
-      // Delta's analyzer rejects clause columns the target lacks unless
-      // schema evolution is on (they would otherwise be silently dropped
-      // by the name-keyed projections below)
-      val unknown = (matched.collect { case Update(_, set) => set.keys } ++
-        notMatched.collect { case Insert(_, values) => values.keys })
-        .flatten.filterNot(targetCols.contains).toSeq.distinct
-      if (unknown.nonEmpty)
-        throw new graft.GraftTypeError(
-          s"MERGE clause refers to columns not in the target table: " +
-            s"${unknown.mkString(", ")} (use withSchemaEvolution() to add them)")
-      val t = target.withColumn(RID, monotonically_increasing_id()).alias(targetAlias)
-      val s = source.alias(sourceAlias)
+    private val mIdx = "__graft_clause"
 
-      // first-matching-clause index over the matched pairs (NULL = no clause)
-      def clauseIdx(clauses: Seq[Clause]): Column =
-        clauses.zipWithIndex.foldRight(lit(null).cast("int")) {
-          case ((c, i), acc) =>
-            c.condition match {
-              case Some(cond) => when(expr(cond), lit(i)).otherwise(acc)
-              case None       => lit(i) // unconditional: always matches from here
-            }
-        }
-      val mIdx = "__graft_clause"
-
-      val rewritten: DataFrame = if (matched.isEmpty) {
-        // Insert-only merge: matched target rows pass through unchanged,
-        // exactly once each — a left_semi join, NOT the inner-join pairs
-        // (which would emit a target row once per matching source row;
-        // Delta passes such rows through once and skips the multi-match
-        // error when no whenMatched clause exists).
-        t.join(s, mergeCondition, "left_semi").select(targetCols.map(col): _*)
-      } else {
-        // Multi-match detection (Delta's multiple-source-row-match error) is
-        // folded into the rewrite pass: a window count per target row id plus
-        // an in-plan assertion. One job, no extra scan of the target — the
-        // shuffle is only over the matched pairs (≈ the touched rows), which
-        // is the small side of a merge at scale. The assertion rides in a
-        // filter predicate so column pruning cannot drop it.
-        val w = org.apache.spark.sql.expressions.Window.partitionBy(col(RID))
-        val matchedPairs = t.join(s, mergeCondition, "inner")
-          .withColumn("__graft_match_n", count(lit(1)).over(w))
-          .filter(assert_true(col("__graft_match_n") <= 1,
-            lit("MERGE: a target row was matched by multiple source rows; " +
-              "the merge condition must identify at most one source row " +
-              "per target row")).isNull)
-          .drop("__graft_match_n")
-
-        val classified = matchedPairs.withColumn(mIdx, clauseIdx(matched))
-
-        // matched rows: per-clause rewrite, unchanged when no clause applies
-        def targetColumn(name: String): Column = {
-          val base = col(s"$targetAlias.$name")
-          matched.zipWithIndex.foldLeft(base) { case (acc, (cl, i)) =>
-            cl match {
-              case Update(_, set) =>
-                val e = set.get(name).map(expr).getOrElse(base)
-                when(col(mIdx) === i, e).otherwise(acc)
-              case UpdateAll(_) =>
-                when(col(mIdx) === i, col(s"$sourceAlias.$name")).otherwise(acc)
-              case Delete(_) => acc // handled by filter below
-              case _ => acc
-            }
+    // first-matching-clause index over the matched pairs (NULL = no clause)
+    private def clauseIdx(clauses: Seq[Clause]): Column =
+      clauses.zipWithIndex.foldRight(lit(null).cast("int")) {
+        case ((c, i), acc) =>
+          c.condition match {
+            case Some(cond) => when(expr(cond), lit(i)).otherwise(acc)
+            case None       => lit(i) // unconditional: always matches from here
           }
-        }
-        val deleteIdxs = matched.zipWithIndex.collect { case (Delete(_), i) => i }
-        val kept = deleteIdxs.foldLeft(classified) { (df, i) =>
-          df.filter(col(mIdx).isNull || col(mIdx) =!= i)
-        }
-        kept.select(targetCols.map(c => targetColumn(c).as(c)): _*)
       }
 
-      // target rows with no source match: untouched
-      val untouched = t.join(s, mergeCondition, "left_anti")
-        .select(targetCols.map(col): _*)
+    /** Matched (target, source) pairs classified by first applicable
+      * `whenMatched` clause (`mIdx` NULL = pass-through). Multi-match
+      * detection (Delta's multiple-source-row-match error) is folded in:
+      * a window count per target row id plus an in-plan assertion. One
+      * job, no extra scan of the target — the shuffle is only over the
+      * matched pairs (≈ the touched rows), which is the small side of a
+      * merge at scale. The assertion rides in a filter predicate so
+      * column pruning cannot drop it.
+      */
+    private def classifiedMatches(t: DataFrame, s: DataFrame): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col(RID))
+      t.join(s, mergeCondition, "inner")
+        .withColumn("__graft_match_n", count(lit(1)).over(w))
+        .filter(assert_true(col("__graft_match_n") <= 1,
+          lit("MERGE: a target row was matched by multiple source rows; " +
+            "the merge condition must identify at most one source row " +
+            "per target row")).isNull)
+        .drop("__graft_match_n")
+        .withColumn(mIdx, clauseIdx(matched))
+    }
 
-      // source rows with no target match: insert clauses
-      val inserted: DataFrame = if (notMatched.isEmpty) {
-        emptyLike(targetCols)
-      } else {
+    // matched rows: per-clause rewrite, unchanged when no clause applies
+    private def targetColumn(name: String): Column = {
+      val base = col(s"$targetAlias.$name")
+      matched.zipWithIndex.foldLeft(base) { case (acc, (cl, i)) =>
+        cl match {
+          case Update(_, set) =>
+            val e = set.get(name).map(expr).getOrElse(base)
+            when(col(mIdx) === i, e).otherwise(acc)
+          case UpdateAll(_) =>
+            when(col(mIdx) === i, col(s"$sourceAlias.$name")).otherwise(acc)
+          case Delete(_) => acc // handled by filter in run()
+          case _ => acc
+        }
+      }
+    }
+
+    /** Source rows with no target match, projected through the first
+      * applicable insert clause.
+      */
+    private def insertedFrame(t: DataFrame, s: DataFrame,
+                              targetCols: Seq[String]): DataFrame =
+      if (notMatched.isEmpty) emptyLike(targetCols)
+      else {
         val unmatchedSrc = s.join(t, mergeCondition, "left_anti")
         val idx = unmatchedSrc.withColumn(mIdx, clauseIdx(notMatched))
           .filter(col(mIdx).isNotNull)
@@ -538,12 +527,97 @@ object Merge {
         perClause.reduce(_ unionByName _)
       }
 
-      // align inserted/rewritten types to the target schema
+    // align frame types to the target schema
+    private def align(df: DataFrame): DataFrame = {
       val schema = target.schema
-      def align(df: DataFrame): DataFrame =
-        df.select(schema.fields.map(f => col(f.name).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
+      df.select(schema.fields.map(f =>
+        col(f.name).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
+    }
+
+    private def run(): DataFrame = {
+      val targetCols = target.columns.toSeq
+      // Delta's analyzer rejects clause columns the target lacks unless
+      // schema evolution is on (they would otherwise be silently dropped
+      // by the name-keyed projections below)
+      val unknown = (matched.collect { case Update(_, set) => set.keys } ++
+        notMatched.collect { case Insert(_, values) => values.keys })
+        .flatten.filterNot(targetCols.contains).toSeq.distinct
+      if (unknown.nonEmpty)
+        throw new graft.GraftTypeError(
+          s"MERGE clause refers to columns not in the target table: " +
+            s"${unknown.mkString(", ")} (use withSchemaEvolution() to add them)")
+      val t = target.withColumn(RID, monotonically_increasing_id()).alias(targetAlias)
+      val s = source.alias(sourceAlias)
+
+      val rewritten: DataFrame = if (matched.isEmpty) {
+        // Insert-only merge: matched target rows pass through unchanged,
+        // exactly once each — a left_semi join, NOT the inner-join pairs
+        // (which would emit a target row once per matching source row;
+        // Delta passes such rows through once and skips the multi-match
+        // error when no whenMatched clause exists).
+        t.join(s, mergeCondition, "left_semi").select(targetCols.map(col): _*)
+      } else {
+        val classified = classifiedMatches(t, s)
+        val deleteIdxs = matched.zipWithIndex.collect { case (Delete(_), i) => i }
+        val kept = deleteIdxs.foldLeft(classified) { (df, i) =>
+          df.filter(col(mIdx).isNull || col(mIdx) =!= i)
+        }
+        kept.select(targetCols.map(c => targetColumn(c).as(c)): _*)
+      }
+
+      // target rows with no source match: untouched
+      val untouched = t.join(s, mergeCondition, "left_anti")
+        .select(targetCols.map(col): _*)
+
+      val inserted = insertedFrame(t, s, targetCols)
 
       align(untouched).union(align(rewritten)).union(align(inserted))
+    }
+
+    /** The labeled net change rows this merge produces (Delta CDF's MERGE
+      * semantics — richer than the snapshot-diff derivation, which can
+      * only approximate update rows as delete+insert pairs):
+      * Delete-clause matches surface their pre-image as `'delete'`,
+      * Update/UpdateAll matches their net pre/post pair as
+      * `'update_preimage'`/`'update_postimage'` (value-identical rewrites
+      * cancel, the same rule as the DML capture), insert clauses as
+      * `'insert'`. Pass-through rows (no clause applies) emit nothing —
+      * they cancel in the derivation too, so sidecar ≡ derived feed as
+      * multisets modulo the update labels. Built from the same join
+      * classification as the result; an extra bounded pass over the
+      * (pruned) target, run only when the table captures CDC.
+      */
+    private def changesFrame(): DataFrame = {
+      val targetCols = target.columns.toSeq
+      val ct = "_change_type"
+      val t = target.withColumn(RID, monotonically_increasing_id()).alias(targetAlias)
+      val s = source.alias(sourceAlias)
+      val inserted = align(insertedFrame(t, s, targetCols))
+        .withColumn(ct, lit("insert"))
+      if (matched.isEmpty) return inserted
+      val classified = classifiedMatches(t, s)
+      val deleteIdxs = matched.zipWithIndex.collect { case (Delete(_), i) => i }
+      val updateIdxs = matched.zipWithIndex.collect {
+        case (Update(_, _), i) => i
+        case (UpdateAll(_), i) => i
+      }
+      val deleted =
+        if (deleteIdxs.isEmpty) None
+        else Some(align(classified.filter(col(mIdx).isin(deleteIdxs: _*))
+            .select(targetCols.map(c => col(s"$targetAlias.$c").as(c)): _*))
+          .withColumn(ct, lit("delete")))
+      val updated =
+        if (updateIdxs.isEmpty) None
+        else {
+          val upd = classified.filter(col(mIdx).isin(updateIdxs: _*))
+          val pre = align(upd.select(
+            targetCols.map(c => col(s"$targetAlias.$c").as(c)): _*))
+          val post = align(upd.select(
+            targetCols.map(c => targetColumn(c).as(c)): _*))
+          Some(post.exceptAll(pre).withColumn(ct, lit("update_postimage"))
+            .unionByName(pre.exceptAll(post).withColumn(ct, lit("update_preimage"))))
+        }
+      (deleted.toSeq ++ updated.toSeq :+ inserted).reduce(_ unionByName _)
     }
 
     private def emptyLike(cols: Seq[String]): DataFrame = {

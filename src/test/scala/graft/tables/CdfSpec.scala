@@ -135,6 +135,48 @@ class CdfSpec extends SparkSpec {
       .filter(col("grp") === 1).count() == 0)
   }
 
+  test("MERGE commits capture clause-accurate CDC: update labels in the " +
+       "sidecar, value-equal to the derived insert/delete feed") {
+    val t = fixture("cdfmerge")
+    val v0 = t.latestVersion
+    // update k∈[10,12] (k=12's set is a NO-OP: v stays k*3), delete k∈{40,41},
+    // insert 9001 — plus a pass-through match (k=200, no clause applies)
+    val src = Seq(
+      (10L, 1L, 1000L), (11L, 1L, 1001L), (12L, 1L, 36L),
+      (40L, 0L, 0L), (41L, 0L, 0L),
+      (200L, 0L, 600L), // matches but no clause condition holds
+      (9001L, 7L, 42L)).toDF("k", "grp", "v")
+    Merge.into(t.toDF, "base")
+      .using(src, "src", "base.k = src.k")
+      .whenMatchedUpdate(condition = "src.k BETWEEN 10 AND 12",
+        set = Map("v" -> "src.v"))
+      .whenMatchedDelete(condition = "src.k IN (40, 41)")
+      .whenNotMatchedInsert(Map("k" -> "src.k", "grp" -> "src.grp", "v" -> "src.v"))
+      .execute(t)
+    val to = t.latestVersion
+    assert(to == v0 + 1)
+
+    val sidecar = t.changesVia(v0, to, net = true, useSidecar = true)
+    val bySide = sidecar.groupBy("_change_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // no-op update (k=12) cancels; pass-through (k=200) emits nothing
+    assert(bySide == Map("update_preimage" -> 2L, "update_postimage" -> 2L,
+      "delete" -> 2L, "insert" -> 1L), s"got $bySide")
+    assert(sidecar.filter(col("k") === 12L).count() == 0)
+    assert(sidecar.filter(col("k") === 200L).count() == 0)
+
+    // derived feed approximates updates as delete+insert pairs — same
+    // rows modulo that label mapping
+    val derived = t.changesVia(v0, to, net = true, useSidecar = false)
+    def canon(df: DataFrame): Seq[String] = rows(df
+      .withColumn("_change_type",
+        when(col("_change_type") === "update_postimage", "insert")
+          .when(col("_change_type") === "update_preimage", "delete")
+          .otherwise(col("_change_type")))
+      .drop("_commit_timestamp"))
+    assert(canon(sidecar) == canon(derived))
+  }
+
   test("vacuum reclaims unreferenced change sidecars; changes then fails loud") {
     val t = fixture("cdfscvac")
     val v0 = t.latestVersion
