@@ -1,0 +1,100 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, GraftColumnBridge, SQLContext}
+import org.apache.spark.sql.execution.streaming.{Offset, Source}
+import org.apache.spark.sql.execution.streaming.runtime.{LongOffset, SerializedOffset}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.types._
+import graft.tables.ManagedTable
+
+/** Structured-Streaming source over a managed table's change data feed
+  * (Delta's `readStream.option("readChangeFeed", "true")` analog):
+  *
+  * {{{
+  *   spark.readStream.format("graft-cdf")
+  *     .option("startingVersion", "0")    // optional; default: only NEW commits
+  *     .load(tablePath)
+  * }}}
+  *
+  * Offsets ARE table versions — the commit log is already a totally
+  * ordered, replayable stream, so `getBatch(start, end]` is exactly
+  * [[ManagedTable.changes]] over that version range: sidecar-backed
+  * commits stream their captured net rows, everything else derives from
+  * the snapshots. Restart recovery replays from the checkpointed
+  * version; the range must still be within the vacuum retention window
+  * (reclaimed versions fail loud, like time travel — size retention to
+  * the consumer's maximum downtime, as with Delta CDF streams).
+  *
+  * Schema: the table's columns (as of source creation) +
+  * `_change_type`, `_commit_version`, `_commit_timestamp`.
+  */
+class CdfSourceProvider extends StreamSourceProvider with DataSourceRegister {
+  override def shortName(): String = "graft-cdf"
+
+  private def pathOf(parameters: Map[String, String]): String =
+    parameters.getOrElse("path", throw new IllegalArgumentException(
+      "graft-cdf requires a table path: .load(<path>) or .option(\"path\", …)"))
+
+  override def sourceSchema(sqlContext: SQLContext,
+                            schema: Option[StructType],
+                            providerName: String,
+                            parameters: Map[String, String]): (String, StructType) =
+    (shortName(), CdfSource.cdfSchema(
+      ManagedTable.forPath(sqlContext.sparkSession, pathOf(parameters)).schema))
+
+  override def createSource(sqlContext: SQLContext,
+                            metadataPath: String,
+                            schema: Option[StructType],
+                            providerName: String,
+                            parameters: Map[String, String]): Source = {
+    val path = pathOf(parameters)
+    val table = ManagedTable.forPath(sqlContext.sparkSession, path)
+    // exclusive lower bound: startingVersion=v streams commits >= v
+    // (Delta's startingVersion semantics); absent = only commits after
+    // stream start
+    val base = parameters.get("startingVersion").map(_.toLong - 1)
+      .getOrElse(table.latestVersion)
+    new CdfSource(table, base)
+  }
+}
+
+class CdfSource(table: ManagedTable, baseVersion: Long) extends Source {
+
+  override val schema: StructType = CdfSource.cdfSchema(table.schema)
+
+  override def getOffset: Option[Offset] = {
+    val v = table.latestVersion
+    if (v <= baseVersion) None else Some(LongOffset(v))
+  }
+
+  override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+    val from = start.map(CdfSource.version).getOrElse(baseVersion)
+    val to = CdfSource.version(end)
+    // project to the declared schema: a mid-stream schema evolution must
+    // not change the source's output shape (new columns surface after a
+    // stream restart, as with Delta)
+    val batch = table.changes(from, to).select(schema.fields.map(f =>
+      col(f.name).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
+    GraftColumnBridge.asStreamingDataFrame(batch)
+  }
+
+  override def stop(): Unit = ()
+}
+
+object CdfSource {
+  def cdfSchema(tableSchema: StructType): StructType = StructType(
+    tableSchema.fields.toSeq :+
+      StructField("_change_type", StringType, nullable = false) :+
+      StructField("_commit_version", LongType, nullable = false) :+
+      StructField("_commit_timestamp", TimestampType, nullable = false))
+
+  /** Offset → version; restart recovery hands back SerializedOffset
+    * (LongOffset's json is the bare number).
+    */
+  private[streaming] def version(o: Offset): Long = o match {
+    case l: LongOffset => l.offset
+    case s: SerializedOffset => s.json.trim.toLong
+    case other => other.json.trim.toLong
+  }
+}

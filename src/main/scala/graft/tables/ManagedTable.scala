@@ -1013,8 +1013,10 @@ final class ManagedTable private (val spark: SparkSession, val location: String)
   private[tables] def changesVia(fromVersion: Long, toVersion: Long,
                                  net: Boolean, useSidecar: Boolean): DataFrame = {
     val to = if (toVersion < 0) latestVersion else toVersion
-    require(fromVersion >= 0 && fromVersion <= to && to <= latestVersion,
-      s"changes range [$fromVersion, $to] out of [0, $latestVersion]")
+    // fromVersion = -1 streams the table's FULL history: version 0's
+    // CREATE surfaces as pure inserts (its "previous snapshot" is empty)
+    require(fromVersion >= -1 && fromVersion <= to && to <= latestVersion,
+      s"changes range [$fromVersion, $to] out of [-1, $latestVersion]")
     val toSchema = readEntry(to).schema
     def cdfCols(df: DataFrame, typ: String, v: Long, tsMs: Long): DataFrame =
       project(df, toSchema)
@@ -1023,7 +1025,9 @@ final class ManagedTable private (val spark: SparkSession, val location: String)
         .withColumn("_commit_timestamp", lit(new java.sql.Timestamp(tsMs)))
     val frames = ((fromVersion + 1) to to).flatMap { v =>
       val e = readEntry(v)
-      lazy val p = readEntry(v - 1)
+      lazy val p =
+        if (v == 0) e.copy(dirs = Nil, files = Nil) // before v0: empty table
+        else readEntry(v - 1)
       if (e.operation == "OPTIMIZE") Nil // rewrite-only: no data change
       else if (net && useSidecar && e.cdc.nonEmpty) {
         // at-commit sidecar: the net change rows, already labeled — read

@@ -14,6 +14,19 @@ object GraftColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Re-tag a batch plan as a streaming one. A DSv1 `Source.getBatch`
+    * must return a DataFrame with `isStreaming = true` or
+    * MicroBatchExecution rejects it; the blessed conversion is the
+    * `private[sql]` `internalCreateDataFrame(rdd, schema,
+    * isStreaming = true)`, reached through this bridge (the same shim
+    * every third-party DSv1 streaming source uses).
+    */
+  def asStreamingDataFrame(df: DataFrame): DataFrame = {
+    val ds = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[Row]]
+    ds.sparkSession.internalCreateDataFrame(
+      ds.queryExecution.toRdd, df.schema, isStreaming = true)
+  }
+
   /** The ANALYZABLE catalyst tree of a Column: `expression` returns a lazy
     * `ColumnNodeExpression`, which renders SQL-text columns (`expr(...)`,
     * string conditions) as one opaque node — useless for structural
