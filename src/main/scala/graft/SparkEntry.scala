@@ -239,6 +239,42 @@ object SparkEntry {
       tbl.changes(vBase).drop("_commit_timestamp")
     }),
 
+    // The SAME feed delivered through the streaming source
+    // (format("graft-cdf")): micro-batches are committed versions, so the
+    // streamed rows must be row-identical to the batch changes() read —
+    // and to the oracle's semantic re-derivation.
+    "table_cdf_stream" -> ((s, dir) => {
+      val base = "/root/repo/target/tmp/q_cdf_stream"
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm); f.delete(); ()
+      }
+      rm(new java.io.File(base))
+      rm(new java.io.File(base + "_ckpt")) // a stale checkpoint would
+                                           // resume past the fresh commits
+      val orders = t(s, dir, "orders")
+      val tbl = ManagedTable.create(orders, base,
+        properties = Map(ManagedTable.cdfPropKey -> "true"))
+      val target = math.max(32L * 1024, tbl.detail.sizeInBytes / 16)
+      tbl.optimize(targetFileSizeBytes = target, sortBy = Seq("o_orderkey"))
+      val omax = orders.agg(max("o_orderkey")).head().getLong(0)
+      val vBase = tbl.latestVersion
+      tbl.delete(s"o_orderkey < ${omax / 10}")
+      tbl.update(Map("o_orderpriority" -> "'9-REPRICED'"),
+        Some("o_totalprice > 400000"))
+      val sink = "q_cdf_stream_sink"
+      s.catalog.dropTempView(sink) // re-run in the same session
+      val q = s.readStream.format("graft-cdf")
+        .option("startingVersion", (vBase + 1).toString).load(base)
+        .writeStream.format("memory").queryName(sink)
+        .option("checkpointLocation", base + "_ckpt").start()
+      try q.processAllAvailable() finally q.stop()
+      // materialize off the temp view: the sink table vanishes with the
+      // query, and the bench's second iteration re-registers the name
+      val out = s.table(sink).drop("_commit_timestamp").cache()
+      out.count()
+      out
+    }),
+
     // Z-order clustering: rewrite lineitem z-ordered on (l_orderkey,
     // l_partkey), then prove BOTH range probes return exactly the
     // oracle's rows THROUGH the pruned read (a wrongly-skipped file
@@ -792,6 +828,25 @@ object SparkEntry {
     // the semantic change feed of: v2 = DELETE o_orderkey < max//10,
     // v3 = UPDATE priority WHERE totalprice > 400000 (over v2 survivors)
     "table_cdf" ->
+      """WITH kk AS (SELECT max(o_orderkey) // 10 AS k FROM orders)
+        |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+        |       o_orderpriority, 'delete' AS _change_type,
+        |       CAST(2 AS BIGINT) AS _commit_version
+        |FROM orders WHERE o_orderkey < (SELECT k FROM kk)
+        |UNION ALL
+        |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+        |       o_orderpriority, 'update_preimage', 3
+        |FROM orders
+        |WHERE o_orderkey >= (SELECT k FROM kk) AND o_totalprice > 400000
+        |UNION ALL
+        |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+        |       '9-REPRICED', 'update_postimage', 3
+        |FROM orders
+        |WHERE o_orderkey >= (SELECT k FROM kk) AND o_totalprice > 400000""".stripMargin,
+
+    // the streamed feed must equal the batch feed — same oracle, with the
+    // micro-batch delivery (offsets = versions) the thing under test
+    "table_cdf_stream" ->
       """WITH kk AS (SELECT max(o_orderkey) // 10 AS k FROM orders)
         |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
         |       o_orderpriority, 'delete' AS _change_type,
