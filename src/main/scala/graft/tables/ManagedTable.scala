@@ -877,13 +877,15 @@ final class ManagedTable private (val spark: SparkSession, val location: String)
     (dirsDeleted, bytesFreed)
   }
 
-  /** OPTIMIZE analog: compact the current snapshot into files of about
-    * `targetFileSizeBytes`. Append-heavy tables accumulate one commit dir
-    * per append (and the snapshot reader one scan per commit); compaction
-    * rewrites the current contents as a single fresh commit — history is
-    * preserved, and [[vacuum]] then reclaims the fragments. Partitioned
-    * tables hash-cluster rows so each partition compacts to one file per
-    * write task that owns it (typically one).
+  /** OPTIMIZE analog: compact files below `targetFileSizeBytes` into
+    * files of about that size (Delta's bin-packing OPTIMIZE — right-sized
+    * files are untouched, so repeated OPTIMIZE on a growing table only
+    * ever rewrites the new small files; an already-compacted table is a
+    * no-op that burns no version). With `sortBy`/`zorderBy` the whole
+    * snapshot is re-clustered instead — that is the point of those forms.
+    * History is preserved, and [[vacuum]] then reclaims the fragments.
+    * Partitioned tables hash-cluster rows so each partition compacts to
+    * one file per write task that owns it (typically one).
     */
   def optimize(targetFileSizeBytes: Long = 128L * 1024 * 1024,
                sortBy: Seq[String] = Nil,
@@ -905,6 +907,25 @@ final class ManagedTable private (val spark: SparkSession, val location: String)
     require(targetFileSizeBytes > 0)
     require(sortBy.isEmpty || zorderBy.isEmpty,
       "sortBy and zorderBy are mutually exclusive")
+    // Pure compaction is INCREMENTAL (Delta's bin-packing OPTIMIZE):
+    // only files below the size target are rewritten; right-sized files
+    // stay verbatim in the snapshot. On a 100 TB table that has been
+    // compacted before, an OPTIMIZE after a day of small appends
+    // rewrites the day's files, not the table. sortBy/zorderBy rewrites
+    // stay global — re-clustering the whole snapshot is their point.
+    if (sortBy.isEmpty && zorderBy.isEmpty && e.files.nonEmpty) {
+      val small = e.files.filter(_.bytes < targetFileSizeBytes)
+      if (small.size < 2) return // nothing worth compacting, no commit
+      val n = math.max(1,
+        math.ceil(small.map(_.bytes).sum.toDouble / targetFileSizeBytes).toInt)
+      val df = readFilesDF(small, e.schema, e.version)
+      val compacted =
+        if (e.partitionColumns.isEmpty) df.repartition(n)
+        else df.repartition(n, e.partitionColumns.map(col): _*)
+      replaceFiles(small.map(_.path).toSet, compacted,
+        operation = "OPTIMIZE", base = e, addedMayMatch = _ => false)
+      return
+    }
     val baseBytes =
       if (e.files.nonEmpty) e.files.map(_.bytes).sum else detail.sizeInBytes
     val numFiles = math.max(1,

@@ -250,6 +250,40 @@ class StorageSpec extends SparkSpec {
     assert(t.toDF.collect().toSet == expected)
   }
 
+  test("optimize is incremental: right-sized files survive verbatim, " +
+       "small ones bin-pack, a compacted table no-ops") {
+    val loc = tmpDir("optinc")
+    // one big file (500 rows) + several tiny append fragments — built
+    // from single-partition frames so each commit is exactly one file
+    def df1(rows: Seq[Row]) = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), schema)
+    val t = ManagedTable.create(df1((1 to 500).map(i => Row(i, s"v$i"))), loc)
+    val bigPath = t.fileStats.head.path
+    val bigBytes = t.fileStats.head.bytes
+    (1 to 4).foreach(i => t.append(df1(Seq(Row(1000 + i, "frag")))))
+    assert(t.fileStats.size == 5)
+    // target = the big file's size: the big file is not sub-target
+    // (strict <), the four fragments are, and their bytes sum below one
+    // target so they bin-pack into exactly one file
+    val target = bigBytes
+    assert(t.fileStats.count(_.bytes < target) == 4, "setup: 4 small files")
+    val vBefore = t.latestVersion
+    t.optimize(targetFileSizeBytes = target)
+    assert(t.latestVersion == vBefore + 1)
+    val after = t.fileStats
+    assert(after.exists(f => f.path == bigPath && f.bytes == bigBytes),
+      "the right-sized file must survive byte-identical, not rewritten")
+    assert(after.size == 2, s"4 fragments bin-pack into 1, got ${after.size}")
+    assert(t.toDF.count() == 504)
+    // second optimize: everything may exceed or equal... the compacted
+    // fragment file is tiny, so exclude it with a smaller target — with
+    // no two sub-target files left, OPTIMIZE commits nothing
+    val smallest = after.map(_.bytes).min
+    val vAfter = t.latestVersion
+    t.optimize(targetFileSizeBytes = math.max(1, smallest / 2))
+    assert(t.latestVersion == vAfter, "no-op compaction must not burn a version")
+  }
+
   test("optimize keeps partitioned layout and per-partition readability") {
     val loc = tmpDir("opt2")
     val t = ManagedTable.create(df(pSchema, partRows), loc, partitionBy = Seq("part"))
