@@ -239,6 +239,33 @@ object SparkEntry {
       tbl.changes(vBase).drop("_commit_timestamp")
     }),
 
+    // Merge-on-read DELETE (deletion vectors): two deletes that touch
+    // the table's leading files must remove their rows WITHOUT rewriting
+    // any data file (asserted engine-side), and the surviving contents
+    // must hash-match the oracle's WHERE re-derivation.
+    "table_dv" -> ((s, dir) => {
+      val base = "/root/repo/target/tmp/q_dv"
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm); f.delete(); ()
+      }
+      rm(new java.io.File(base))
+      val orders = t(s, dir, "orders")
+      val tbl = ManagedTable.create(orders, base,
+        properties = Map(ManagedTable.dvPropKey -> "true"))
+      val target = math.max(32L * 1024, tbl.detail.sizeInBytes / 16)
+      tbl.optimize(targetFileSizeBytes = target, sortBy = Seq("o_orderkey"))
+      def dataFiles = tbl.toDF.inputFiles.filter(_.contains("/data/")).sorted.toSeq
+      val before = dataFiles
+      val omax = orders.agg(max("o_orderkey")).head().getLong(0)
+      val d1 = tbl.delete(s"o_orderkey < ${omax / 20}")
+      val d2 = tbl.delete(
+        s"o_orderkey >= ${omax / 20} AND o_orderkey < ${omax / 10}")
+      require(d1 > 0 && d2 > 0, "DV probe must touch rows")
+      require(dataFiles == before,
+        "merge-on-read DELETE must not rewrite or add any data file")
+      tbl.toDF
+    }),
+
     // The SAME feed delivered through the streaming source
     // (format("graft-cdf")): micro-batches are committed versions, so the
     // streamed rows must be row-identical to the batch changes() read —
@@ -843,6 +870,10 @@ object SparkEntry {
         |       '9-REPRICED', 'update_postimage', 3
         |FROM orders
         |WHERE o_orderkey >= (SELECT k FROM kk) AND o_totalprice > 400000""".stripMargin,
+
+    "table_dv" ->
+      """SELECT * FROM orders
+        |WHERE NOT (o_orderkey < (SELECT max(o_orderkey) // 10 FROM orders))""".stripMargin,
 
     // the streamed feed must equal the batch feed — same oracle, with the
     // micro-batch delivery (offsets = versions) the thing under test

@@ -34,7 +34,8 @@ import scala.jdk.CollectionConverters._
   * only ever proven, never guessed.
   */
 final case class FileStat(path: String, rows: Long, bytes: Long,
-                          min: Map[String, String], max: Map[String, String]) {
+                          min: Map[String, String], max: Map[String, String],
+                          dv: Option[String] = None) {
   /** The leaf directory (snapshot-dir entry) this file lives in. */
   def leafDir: String = path.substring(0, path.lastIndexOf('/'))
 }

@@ -60,6 +60,7 @@ final class ManagedTable private (val spark: SparkSession, val location: String)
   private def logDir: Path = Paths.get(location, "_graft_log")
   private def dataDir: Path = Paths.get(location, "data")
   private def cdcRoot: Path = Paths.get(location, "_graft_cdc")
+  private def dvRoot: Path = Paths.get(location, "_graft_dv")
 
   // ---- log access ------------------------------------------------------
 
@@ -254,25 +255,81 @@ final class ManagedTable private (val spark: SparkSession, val location: String)
   }
 
   /** Read exactly `files` (same uuid-grouped basePath trick as the dir
-    * path, so partition columns still derive from `k=v` segments).
+    * path, so partition columns still derive from `k=v` segments),
+    * with each file's deletion vector applied (rows whose (file,
+    * position) appear in the file's DV are filtered out — Delta's
+    * merge-on-read DELETE). Tables without DVs take the plain path:
+    * no metadata columns, no join, zero overhead.
     */
   private def readFilesDF(files: Seq[FileStat], schema: StructType,
-                          version: Long): DataFrame = {
-    if (files.isEmpty)
-      return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+                          version: Long): DataFrame =
+    project(readFilesFiltered(files, schema, version, withPos = false), schema)
+
+  /** [[readFilesDF]] keeping the physical position columns
+    * ([[ManagedTable.FP]] = snapshot-relative file path,
+    * [[ManagedTable.POS]] = row index in that file) — the DV write path
+    * needs them to record what it deletes.
+    */
+  private def readFilesPosDF(files: Seq[FileStat], schema: StructType,
+                             version: Long): DataFrame = {
+    val raw = readFilesFiltered(files, schema, version, withPos = true)
+    val cols = schema.fields.map(f => col(f.name).cast(f.dataType).as(f.name))
+      .toIndexedSeq :+ col(ManagedTable.FP) :+ col(ManagedTable.POS)
+    raw.select(cols: _*)
+  }
+
+  /** snapshot-relative path of a `_metadata.file_path` value (the DV
+    * coordinate system — stable across [[rename]], unlike the full URI).
+    */
+  private def relPathOf: org.apache.spark.sql.Column = {
+    val abs = dataDir.toAbsolutePath.toString + "/"
+    expr(s"substring(${ManagedTable.FP}, locate('$abs', ${ManagedTable.FP}) + ${abs.length})")
+  }
+
+  private def readFilesFiltered(files: Seq[FileStat], schema: StructType,
+                                version: Long, withPos: Boolean): DataFrame = {
+    import ManagedTable.{FP, POS}
+    if (files.isEmpty) {
+      val empty = spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+      return if (!withPos) empty
+        else empty.withColumn(FP, lit(null).cast(StringType))
+          .withColumn(POS, lit(null).cast(LongType))
+    }
     files.find(f => !Files.isRegularFile(dataDir.resolve(f.path))).foreach { f =>
       throw new IllegalStateException(
         s"Version $version of $location references vacuumed data (${f.path}); " +
           "time travel is limited to the vacuum retention window")
     }
+    val dvRefs = files.flatMap(_.dv).distinct
+    dvRefs.find(r => !Files.isDirectory(dvRoot.resolve(r))).foreach { r =>
+      throw new IllegalStateException(
+        s"Version $version of $location references vacuumed deletion " +
+          s"vector ($r); time travel is limited to the vacuum retention window")
+    }
+    val needPos = withPos || dvRefs.nonEmpty
     val frames = files.groupBy(_.path.takeWhile(_ != '/')).toSeq.map {
       case (uuid, fs) =>
-        spark.read
+        val r = spark.read
           .option("mergeSchema", "true")
           .option("basePath", dataDir.resolve(uuid).toString)
           .parquet(fs.map(f => dataDir.resolve(f.path).toString): _*)
+        if (!needPos) r
+        else r.select(col("*"),
+          col("_metadata.file_path").as(FP), col("_metadata.row_index").as(POS))
     }
-    project(frames.reduce(_.unionByName(_, allowMissingColumns = true)), schema)
+    val unioned = frames.reduce(_.unionByName(_, allowMissingColumns = true))
+    if (!needPos) return unioned
+    val withRel = unioned.withColumn(FP, relPathOf)
+    if (dvRefs.isEmpty) withRel
+    else {
+      // DVs hold the DELETED coordinates — small by design (that is when
+      // merge-on-read wins), so the anti-join broadcasts
+      val dvRows = spark.read.schema(ManagedTable.dvSchema)
+        .parquet(dvRefs.map(r => dvRoot.resolve(r).toString): _*)
+      withRel.join(
+        broadcast(dvRows.select(col("path").as(FP), col("pos").as(POS))),
+        Seq(FP, POS), "left_anti")
+    }
   }
 
   /** Project to the committed schema (order + null-fill evolved columns). */
@@ -861,19 +918,25 @@ final class ManagedTable private (val spark: SparkSession, val location: String)
         }
       }
     }
-    // CDC sidecars follow the same retention: a sidecar referenced by no
-    // retained version's log entry is reclaimed (with the same age floor
-    // protecting a concurrent DML that staged its sidecar pre-commit)
+    // CDC and deletion-vector sidecars follow the same retention: a
+    // sidecar referenced by no retained version's log entry is reclaimed
+    // (with the same age floor protecting a concurrent writer that
+    // staged its sidecar pre-commit)
     val retainedCdc: Set[String] = retainedEntries.flatMap(_.cdc).toSet
-    if (Files.isDirectory(cdcRoot)) {
-      val sidecars = { val s = Files.list(cdcRoot)
-        try s.iterator().asScala.toSeq finally s.close() }
-      sidecars.filter(Files.isDirectory(_)).foreach { d =>
-        if (!retainedCdc.contains(d.getFileName.toString) && oldEnough(d)) {
-          bytesFreed += sizeOf(d); dirsDeleted += 1; rmTree(d)
+    val retainedDv: Set[String] =
+      retainedEntries.flatMap(_.files.flatMap(_.dv)).toSet
+    def sweepSidecars(root: Path, retainedRefs: Set[String]): Unit =
+      if (Files.isDirectory(root)) {
+        val sidecars = { val s = Files.list(root)
+          try s.iterator().asScala.toSeq finally s.close() }
+        sidecars.filter(Files.isDirectory(_)).foreach { d =>
+          if (!retainedRefs.contains(d.getFileName.toString) && oldEnough(d)) {
+            bytesFreed += sizeOf(d); dirsDeleted += 1; rmTree(d)
+          }
         }
       }
-    }
+    sweepSidecars(cdcRoot, retainedCdc)
+    sweepSidecars(dvRoot, retainedDv)
     (dirsDeleted, bytesFreed)
   }
 
@@ -1122,12 +1185,109 @@ final class ManagedTable private (val spark: SparkSession, val location: String)
     val cond = expr(conditionSql)
     val parsed = org.apache.spark.sql.catalyst.parser.CatalystSqlParser
       .parseExpression(conditionSql)
+    val base = latestEntry
+    if (dvEnabled(base) && base.files.nonEmpty)
+      return dvDelete(conditionSql, cond, parsed, base)
     dmlRewrite("DELETE", Some(parsed),
       matchedOf = df => df.filter(coalesce(cond, lit(false))),
       rewriteOf = df => df.filter(!coalesce(cond, lit(false))),
       // a DELETE's net change feed IS its matched rows
       changesOf = df => df.filter(coalesce(cond, lit(false)))
         .withColumn("_change_type", lit("delete")))
+  }
+
+  private[tables] def dvEnabled(e: ManagedTable.LogEntry): Boolean =
+    e.properties.get(ManagedTable.dvPropKey).contains("true")
+
+  /** Merge-on-read DELETE (Delta deletion vectors): instead of rewriting
+    * every bounds-touched file, record the matched rows' (file, position)
+    * coordinates in a `_graft_dv/<uuid>` sidecar and point the touched
+    * files' snapshot entries at it — O(deleted rows) written. A touched
+    * file's new vector carries its prior vector's rows forward, so only
+    * the LATEST ref per file is ever read. The CDC sidecar is written
+    * unconditionally for DV commits: the snapshot file-diff is empty (no
+    * file changed), so the feed has nothing to derive from.
+    *
+    * Conflicts: a rebase keeps intervening commits when they neither
+    * rewrote NOR re-vectored a touched file and their added files cannot
+    * match the predicate — two DV deletes on the same file must
+    * serialize (the second's vector would silently drop the first's
+    * rows), same-file DML rewrites likewise.
+    */
+  private def dvDelete(conditionSql: String,
+                       cond: org.apache.spark.sql.Column,
+                       parsed: org.apache.spark.sql.catalyst.expressions.Expression,
+                       base: LogEntry): Long = {
+    import ManagedTable.{FP, POS}
+    val touched = FileStats.prune(base.files, base.schema, parsed)
+    if (touched.isEmpty) return 0L
+    val touchedPaths = touched.map(_.path).toSet
+    // candidate rows with physical coordinates, PRIOR vectors applied
+    // (already-deleted rows must not re-match)
+    val matched = readFilesPosDF(touched, base.schema, base.version)
+      .filter(coalesce(cond, lit(false)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = matched.count()
+      if (n == 0) return 0L
+      // new vector = prior vectors' rows for the touched files ∪ matched
+      val priorRefs = touched.flatMap(_.dv).distinct
+      val prior =
+        if (priorRefs.isEmpty)
+          spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+            ManagedTable.dvSchema)
+        else spark.read.schema(ManagedTable.dvSchema)
+          .parquet(priorRefs.map(r => dvRoot.resolve(r).toString): _*)
+          .filter(col("path").isInCollection(touchedPaths))
+      val dvId = UUID.randomUUID().toString
+      prior.unionByName(matched.select(col(FP).as("path"), col(POS).as("pos")))
+        .coalesce(1)
+        .write.parquet(dvRoot.resolve(dvId).toString)
+      val cdc = writeCdcSidecar(
+        matched.withColumn("_change_type", lit("delete")), base.schema)
+      var attempts = 0
+      while (true) {
+        val cur = latestEntry
+        if (cur.version > base.version) {
+          interveningDeltas(base.version, base, cur, "DELETE").foreach {
+            case (v, (_, removedBy, added)) =>
+              val clash = removedBy intersect touchedPaths
+              if (clash.nonEmpty) throw new ConcurrentCommitException(
+                s"DELETE at $location (base v${base.version}) conflicts with " +
+                  s"concurrent commit v$v: it rewrote ${clash.head}")
+              if (added.nonEmpty &&
+                  FileStats.prune(added, base.schema, parsed).nonEmpty)
+                throw new ConcurrentCommitException(
+                  s"DELETE at $location (base v${base.version}) conflicts with " +
+                    s"concurrent commit v$v: it added files that may match")
+          }
+          val curDv = cur.files.map(f => f.path -> f.dv).toMap
+          touched.foreach { f =>
+            if (curDv.get(f.path).exists(_ != f.dv))
+              throw new ConcurrentCommitException(
+                s"DELETE at $location (base v${base.version}) conflicts with " +
+                  s"a concurrent deletion-vector update on ${f.path}")
+          }
+        }
+        val newFiles = cur.files.map(f =>
+          if (touchedPaths(f.path)) f.copy(dv = Some(dvId)) else f)
+        try {
+          commit(LogEntry(cur.version + 1, System.currentTimeMillis(),
+            "DELETE", cur.dirs, cur.schema, cur.partitionColumns,
+            cur.properties, newFiles,
+            metrics = Map(
+              "numDeletedRows" -> n.toString,
+              "numDeletionVectorsUpdated" -> touched.size.toString),
+            cdc = cdc))
+          return n
+        } catch {
+          case c: ConcurrentCommitException =>
+            attempts += 1
+            if (attempts > 10) throw c
+        }
+      }
+      n // unreachable
+    } finally { matched.unpersist(); () }
   }
 
   /** UPDATE (Delta `DeltaTable.update` analog): sets each column in `set`
@@ -1377,6 +1537,24 @@ object ManagedTable {
     */
   val cdfPropKey: String = "graft.enableChangeDataFeed"
 
+  /** Table property enabling merge-on-read DELETE via deletion vectors
+    * (Delta's `delta.enableDeletionVectors`): a delete records the
+    * deleted (file, position) pairs in a `_graft_dv/` sidecar instead of
+    * rewriting the touched files — O(deleted rows) written, not
+    * O(touched bytes). Reads apply the vectors with a broadcast
+    * anti-join; OPTIMIZE and any rewriting DML materialize them away.
+    */
+  val dvPropKey: String = "graft.enableDeletionVectors"
+
+  /** Physical-position helper columns (snapshot-relative file path + row
+    * index) and the DV sidecar schema keyed on them.
+    */
+  private[tables] val FP = "__graft_fpath"
+  private[tables] val POS = "__graft_fpos"
+  private[tables] val dvSchema: StructType = StructType(Seq(
+    StructField("path", StringType, nullable = false),
+    StructField("pos", LongType, nullable = false)))
+
   /** A `p=v` path segment, escaped the way Spark's file writer escapes
     * dynamic partition directories (so suffix comparison against written
     * leaves is exact). NULL partition values use Hive's default bucket.
@@ -1427,6 +1605,7 @@ object ManagedTable {
         o.put("path", f.path); o.put("rows", f.rows); o.put("bytes", f.bytes)
         val mn = o.putObject("min"); f.min.foreach { case (k, v) => mn.put(k, v) }
         val mx = o.putObject("max"); f.max.foreach { case (k, v) => mx.put(k, v) }
+        f.dv.foreach(o.put("dv", _))
       }
       val ms = root.putObject("metrics")
       metrics.foreach { case (k, v) => ms.put(k, v) }
@@ -1446,7 +1625,8 @@ object ManagedTable {
         if (!n.has("files")) Nil
         else n.get("files").elements().asScala.map { f =>
           FileStat(f.get("path").asText(), f.get("rows").asLong(),
-            f.get("bytes").asLong(), strMap(f.get("min")), strMap(f.get("max")))
+            f.get("bytes").asLong(), strMap(f.get("min")), strMap(f.get("max")),
+            if (f.has("dv")) Some(f.get("dv").asText()) else None)
         }.toSeq
       LogEntry(
         n.get("version").asLong(),

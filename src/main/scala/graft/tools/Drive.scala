@@ -182,6 +182,15 @@ object Drive {
     val sqlHist = spark.sql(s"DESCRIBE HISTORY $sqlRef").count()
     println(s"[23] SQL DML: DELETE removed $sqlDel rows; table_changes " +
       s"since v$v0 = $sqlFeed rows; history has $sqlHist commits")
+
+    val dvT = ManagedTable.create(ord, scratch("dv"),
+      properties = Map(ManagedTable.dvPropKey -> "true"))
+    dvT.optimize(targetFileSizeBytes = 16 * 1024, sortBy = Seq("o_orderkey"))
+    val dvFilesBefore = dvT.detail.numFiles
+    val nDv = dvT.delete("o_orderkey < 150")
+    println(s"[24] deletion vectors: removed $nDv rows, data files " +
+      s"$dvFilesBefore -> ${dvT.detail.numFiles} (no rewrite), " +
+      s"rows=${dvT.toDF.count}")
     spark.stop()
   }
 }

@@ -1,0 +1,166 @@
+package graft.tables
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Merge-on-read DELETE via deletion vectors
+  * (`graft.enableDeletionVectors`): deletes record (file, position)
+  * coordinates instead of rewriting files, reads apply them, rewrites
+  * materialize them, vacuum reclaims them, and concurrent vector updates
+  * on one file conflict.
+  */
+class DvSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fixture(name: String): ManagedTable = {
+    val t = ManagedTable.create(
+      spark.range(1000).select(col("id").as("k"), (col("id") * 3).as("v")),
+      tmpDir(name),
+      properties = Map(
+        ManagedTable.dvPropKey -> "true",
+        ManagedTable.cdfPropKey -> "true"))
+    t.optimize(targetFileSizeBytes = 2 * 1024, sortBy = Seq("k"))
+    t
+  }
+
+  private def dataFiles(t: ManagedTable): Seq[String] =
+    t.fileStats.map(_.path).sorted
+
+  test("DV delete removes rows without rewriting any data file") {
+    val t = fixture("dv1")
+    val before = dataFiles(t)
+    assert(before.size >= 4, s"setup: multi-file table, got ${before.size}")
+    assert(t.delete("k >= 100 AND k < 150") == 50)
+    assert(dataFiles(t) == before, "no data file may be added or removed")
+    assert(t.toDF.count() == 950)
+    assert(t.toDF.filter("k >= 100 AND k < 150").count() == 0)
+    // only bounds-touched files carry a vector
+    val withDv = t.fileStats.filter(_.dv.isDefined)
+    assert(withDv.nonEmpty && withDv.size < before.size,
+      s"only touched files get vectors, got ${withDv.size}/${before.size}")
+    // time travel: the pre-delete snapshot still shows every row
+    assert(t.toDF(t.latestVersion - 1).count() == 1000)
+  }
+
+  test("a second delete on the same file carries the prior vector forward") {
+    val t = fixture("dv2")
+    assert(t.delete("k BETWEEN 10 AND 19") == 10)
+    assert(t.delete("k BETWEEN 20 AND 29") == 10) // same leading file
+    assert(t.toDF.count() == 980)
+    assert(t.toDF.filter("k < 30 AND k >= 10").count() == 0)
+    // already-deleted rows never re-match
+    assert(t.delete("k BETWEEN 10 AND 29") == 0)
+    assert(t.toDF.count() == 980)
+  }
+
+  test("DV deletes feed CDC (sidecar) and the bounds still prune reads") {
+    val t = fixture("dv3")
+    val v0 = t.latestVersion
+    assert(t.delete("k < 25") == 25)
+    val ch = t.changes(v0)
+    assert(ch.filter(col("_change_type") === "delete").count() == 25)
+    assert(ch.count() == 25)
+    // file skipping keeps working on a DV'd table
+    val probe = t.toDFWhere("k BETWEEN 500 AND 520")
+    assert(probe.inputFiles.length < t.fileStats.size)
+    assert(probe.count() == 21)
+  }
+
+  test("OPTIMIZE materializes vectors away; vacuum reclaims them") {
+    val t = fixture("dv4")
+    assert(t.delete("k < 100") == 100)
+    assert(t.fileStats.exists(_.dv.isDefined))
+    t.optimize(targetFileSizeBytes = 128L * 1024 * 1024)
+    assert(t.fileStats.forall(_.dv.isEmpty),
+      "compaction must rewrite DV'd files without their deleted rows")
+    assert(t.toDF.count() == 900)
+    val dvDir = java.nio.file.Paths.get(t.location, "_graft_dv")
+    def dvCount: Long = {
+      val s = java.nio.file.Files.list(dvDir); try s.count() finally s.close()
+    }
+    assert(dvCount == 1)
+    t.vacuum(retainVersions = 1, minAgeMillis = 0)
+    assert(dvCount == 0, "unreferenced vector must be reclaimed")
+    assert(t.toDF.count() == 900)
+  }
+
+  test("MERGE and UPDATE on a DV'd table respect prior deletes") {
+    val t = fixture("dv5")
+    assert(t.delete("k < 10") == 10)
+    // update rewrites its touched files, materializing their vectors
+    assert(t.update(Map("v" -> "v + 1"), Some("k BETWEEN 5 AND 14")) == 5,
+      "deleted rows must not match the update")
+    assert(t.toDF.filter("k < 10").count() == 0)
+    assert(t.toDF.filter("k BETWEEN 10 AND 14 AND v = k * 3 + 1").count() == 5)
+    val merged = Merge.into(t.toDF, "base")
+      .using(Seq((3L, 0L), (500L, 0L)).toDF("k", "v"), "src", "base.k = src.k")
+      .whenMatchedUpdate(Map("v" -> "src.v"))
+      .result()
+    assert(merged.filter("k = 3").count() == 0, "deleted row must not resurrect")
+    assert(merged.filter("k = 500 AND v = 0").count() == 1)
+  }
+
+  test("concurrent vector updates on the same file serialize or raise; " +
+       "disjoint files commute") {
+    val t = fixture("dv6")
+    // staged same-file race: plan both from v_base, commit one, then the
+    // other must raise (its vector would drop the first's rows)
+    val raced = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    @volatile var aOk = false
+    @volatile var bOk = false
+    val ta = new Thread(() => {
+      try { gate.await(); t.delete("k BETWEEN 0 AND 4"); aOk = true }
+      catch { case e: Throwable => raced.add(e); () }
+    })
+    val tb = new Thread(() => {
+      try { gate.await(); t.delete("k BETWEEN 5 AND 9"); bOk = true }
+      catch { case e: Throwable => raced.add(e); () }
+    })
+    ta.start(); tb.start(); gate.countDown()
+    ta.join(120000); tb.join(120000)
+    raced.forEach(e => assert(e.isInstanceOf[ConcurrentCommitException],
+      s"only a clean conflict raise is legal, got $e"))
+    assert(aOk || bOk)
+    val expected = 1000 - (if (aOk) 5 else 0) - (if (bOk) 5 else 0)
+    assert(t.toDF.count() == expected,
+      "exactly the committed deletes' rows disappear — none lost, none doubled")
+
+    // bounds-disjoint deletes (different files) must BOTH commit
+    val t2 = fixture("dv7")
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val g2 = new java.util.concurrent.CountDownLatch(1)
+    val d1 = new Thread(() => {
+      try { g2.await(); assert(t2.delete("k < 5") == 5) }
+      catch { case e: Throwable => errs.add(e); () }
+    })
+    val d2 = new Thread(() => {
+      try { g2.await(); assert(t2.delete("k >= 995") == 5) }
+      catch { case e: Throwable => errs.add(e); () }
+    })
+    d1.start(); d2.start(); g2.countDown()
+    d1.join(120000); d2.join(120000)
+    assert(errs.isEmpty,
+      s"disjoint DV deletes must commute: ${Option(errs.peek()).map(_.toString)}")
+    assert(t2.toDF.count() == 990)
+  }
+
+  test("vacuumed vector fails loud on time travel; rename keeps vectors valid") {
+    val t = fixture("dv8")
+    assert(t.delete("k < 50") == 50)
+    val vDel = t.latestVersion
+    t.optimize(targetFileSizeBytes = 128L * 1024 * 1024)
+    t.vacuum(retainVersions = 1, minAgeMillis = 0)
+    val e = intercept[IllegalStateException](t.toDF(vDel).count())
+    assert(e.getMessage.contains("vacuumed"))
+
+    // vectors use snapshot-RELATIVE coordinates: a directory move (the
+    // reference's rename) must not invalidate them
+    val t2 = fixture("dv9")
+    assert(t2.delete("k < 7") == 7)
+    val renamed = t2.rename(t2.location + "_moved")
+    assert(renamed.toDF.count() == 993)
+    assert(renamed.toDF.filter("k < 7").count() == 0)
+  }
+}
