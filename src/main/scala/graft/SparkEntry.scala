@@ -263,6 +263,13 @@ object SparkEntry {
       require(d1 > 0 && d2 > 0, "DV probe must touch rows")
       require(dataFiles == before,
         "merge-on-read DELETE must not rewrite or add any data file")
+      val u = tbl.update(Map("o_orderpriority" -> "'9-REPRICED'"),
+        Some("o_totalprice > 400000"))
+      require(u > 0, "DV update probe must touch rows")
+      val after = dataFiles
+      require(before.forall(after.contains),
+        "merge-on-read UPDATE must keep every pre-existing file " +
+          "(post-images append, nothing rewrites)")
       tbl.toDF
     }),
 
@@ -872,7 +879,11 @@ object SparkEntry {
         |WHERE o_orderkey >= (SELECT k FROM kk) AND o_totalprice > 400000""".stripMargin,
 
     "table_dv" ->
-      """SELECT * FROM orders
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |  o_orderdate,
+        |  CASE WHEN o_totalprice > 400000 THEN '9-REPRICED'
+        |       ELSE o_orderpriority END AS o_orderpriority
+        |FROM orders
         |WHERE NOT (o_orderkey < (SELECT max(o_orderkey) // 10 FROM orders))""".stripMargin,
 
     // the streamed feed must equal the batch feed — same oracle, with the

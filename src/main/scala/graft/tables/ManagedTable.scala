@@ -1187,7 +1187,10 @@ final class ManagedTable private (val spark: SparkSession, val location: String)
       .parseExpression(conditionSql)
     val base = latestEntry
     if (dvEnabled(base) && base.files.nonEmpty)
-      return dvDelete(conditionSql, cond, parsed, base)
+      return dvDml("DELETE", parsed,
+        matchedOf = df => df.filter(coalesce(cond, lit(false))),
+        changesOf = m => m.withColumn("_change_type", lit("delete")),
+        replacementOf = None, base = base)
     dmlRewrite("DELETE", Some(parsed),
       matchedOf = df => df.filter(coalesce(cond, lit(false))),
       rewriteOf = df => df.filter(!coalesce(cond, lit(false))),
@@ -1199,33 +1202,38 @@ final class ManagedTable private (val spark: SparkSession, val location: String)
   private[tables] def dvEnabled(e: ManagedTable.LogEntry): Boolean =
     e.properties.get(ManagedTable.dvPropKey).contains("true")
 
-  /** Merge-on-read DELETE (Delta deletion vectors): instead of rewriting
-    * every bounds-touched file, record the matched rows' (file, position)
-    * coordinates in a `_graft_dv/<uuid>` sidecar and point the touched
-    * files' snapshot entries at it — O(deleted rows) written. A touched
-    * file's new vector carries its prior vector's rows forward, so only
-    * the LATEST ref per file is ever read. The CDC sidecar is written
-    * unconditionally for DV commits: the snapshot file-diff is empty (no
-    * file changed), so the feed has nothing to derive from.
+  /** Merge-on-read DML core (Delta deletion vectors): instead of
+    * rewriting every bounds-touched file, record the matched rows'
+    * (file, position) coordinates in a `_graft_dv/<uuid>` sidecar and
+    * point the touched files' snapshot entries at it — O(matched rows)
+    * written. For UPDATE, `replacementOf` additionally appends the
+    * matched rows' post-images as fresh files (vector out the old
+    * positions, append the new rows — Delta's DV update shape). A
+    * touched file's new vector carries its prior vector's rows forward,
+    * so only the LATEST ref per file is ever read. The CDC sidecar is
+    * written unconditionally for DV commits: the snapshot file-diff is
+    * empty for deletes (and post-image-only for updates), so the feed
+    * cannot be derived.
     *
     * Conflicts: a rebase keeps intervening commits when they neither
     * rewrote NOR re-vectored a touched file and their added files cannot
-    * match the predicate — two DV deletes on the same file must
+    * match the predicate — two DV commits on the same file must
     * serialize (the second's vector would silently drop the first's
     * rows), same-file DML rewrites likewise.
     */
-  private def dvDelete(conditionSql: String,
-                       cond: org.apache.spark.sql.Column,
-                       parsed: org.apache.spark.sql.catalyst.expressions.Expression,
-                       base: LogEntry): Long = {
+  private def dvDml(op: String,
+                    parsed: org.apache.spark.sql.catalyst.expressions.Expression,
+                    matchedOf: DataFrame => DataFrame,
+                    changesOf: DataFrame => DataFrame,
+                    replacementOf: Option[DataFrame => DataFrame],
+                    base: LogEntry): Long = {
     import ManagedTable.{FP, POS}
     val touched = FileStats.prune(base.files, base.schema, parsed)
     if (touched.isEmpty) return 0L
     val touchedPaths = touched.map(_.path).toSet
     // candidate rows with physical coordinates, PRIOR vectors applied
     // (already-deleted rows must not re-match)
-    val matched = readFilesPosDF(touched, base.schema, base.version)
-      .filter(coalesce(cond, lit(false)))
+    val matched = matchedOf(readFilesPosDF(touched, base.schema, base.version))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val n = matched.count()
@@ -1243,40 +1251,49 @@ final class ManagedTable private (val spark: SparkSession, val location: String)
       prior.unionByName(matched.select(col(FP).as("path"), col(POS).as("pos")))
         .coalesce(1)
         .write.parquet(dvRoot.resolve(dvId).toString)
-      val cdc = writeCdcSidecar(
-        matched.withColumn("_change_type", lit("delete")), base.schema)
+      val cdc = writeCdcSidecar(changesOf(matched), base.schema)
+      // post-image appends (UPDATE): sized by rows, not the session's
+      // shuffle parallelism — a small update must not write 32 fragments
+      val newStats = replacementOf.fold(Seq.empty[FileStat]) { rep =>
+        val posts = project(rep(matched), base.schema)
+          .coalesce(math.max(1L, n / 1000000L).toInt)
+        val dirs = writeData(posts, base.partitionColumns)
+        statsFor(dirs, base.schema)
+      }
       var attempts = 0
       while (true) {
         val cur = latestEntry
         if (cur.version > base.version) {
-          interveningDeltas(base.version, base, cur, "DELETE").foreach {
+          interveningDeltas(base.version, base, cur, op).foreach {
             case (v, (_, removedBy, added)) =>
               val clash = removedBy intersect touchedPaths
               if (clash.nonEmpty) throw new ConcurrentCommitException(
-                s"DELETE at $location (base v${base.version}) conflicts with " +
+                s"$op at $location (base v${base.version}) conflicts with " +
                   s"concurrent commit v$v: it rewrote ${clash.head}")
               if (added.nonEmpty &&
                   FileStats.prune(added, base.schema, parsed).nonEmpty)
                 throw new ConcurrentCommitException(
-                  s"DELETE at $location (base v${base.version}) conflicts with " +
+                  s"$op at $location (base v${base.version}) conflicts with " +
                     s"concurrent commit v$v: it added files that may match")
           }
           val curDv = cur.files.map(f => f.path -> f.dv).toMap
           touched.foreach { f =>
             if (curDv.get(f.path).exists(_ != f.dv))
               throw new ConcurrentCommitException(
-                s"DELETE at $location (base v${base.version}) conflicts with " +
+                s"$op at $location (base v${base.version}) conflicts with " +
                   s"a concurrent deletion-vector update on ${f.path}")
           }
         }
         val newFiles = cur.files.map(f =>
-          if (touchedPaths(f.path)) f.copy(dv = Some(dvId)) else f)
+          if (touchedPaths(f.path)) f.copy(dv = Some(dvId)) else f) ++ newStats
+        val dirs = (cur.dirs ++ newStats.map(_.leafDir)).distinct
         try {
           commit(LogEntry(cur.version + 1, System.currentTimeMillis(),
-            "DELETE", cur.dirs, cur.schema, cur.partitionColumns,
+            op, dirs, cur.schema, cur.partitionColumns,
             cur.properties, newFiles,
-            metrics = Map(
-              "numDeletedRows" -> n.toString,
+            metrics = ManagedTable.writeMetrics(newStats) ++ Map(
+              (if (op == "DELETE") "numDeletedRows" else "numUpdatedRows")
+                -> n.toString,
               "numDeletionVectorsUpdated" -> touched.size.toString),
             cdc = cdc))
           return n
@@ -1307,6 +1324,31 @@ final class ManagedTable private (val spark: SparkSession, val location: String)
     val cond = conditionSql.map(expr).getOrElse(lit(true))
     val parsed = conditionSql.map(
       org.apache.spark.sql.catalyst.parser.CatalystSqlParser.parseExpression)
+    val base = latestEntry
+    if (dvEnabled(base) && base.files.nonEmpty) {
+      // merge-on-read UPDATE: vector out the matched positions, append
+      // their post-images as fresh files — O(matched), no file rewrite
+      def applySet(df: DataFrame): DataFrame =
+        df.select(base.schema.fields.map { f =>
+          set.get(f.name) match {
+            case Some(e) => expr(e).cast(f.dataType).as(f.name)
+            case None => col(f.name)
+          }
+        }.toIndexedSeq: _*)
+      return dvDml("UPDATE",
+        parsed.getOrElse(
+          org.apache.spark.sql.catalyst.expressions.Literal.TrueLiteral),
+        matchedOf = df => df.filter(coalesce(cond, lit(false))),
+        changesOf = m => {
+          val pre = project(m, base.schema)
+          val post = applySet(pre)
+          post.exceptAll(pre).withColumn("_change_type", lit("update_postimage"))
+            .unionByName(pre.exceptAll(post)
+              .withColumn("_change_type", lit("update_preimage")))
+        },
+        replacementOf = Some(m => applySet(project(m, base.schema))),
+        base = base)
+    }
     dmlRewrite("UPDATE", parsed,
       matchedOf = df => df.filter(coalesce(cond, lit(false))),
       rewriteOf = df => df.select(df.schema.fields.map { f =>

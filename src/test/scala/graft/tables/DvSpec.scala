@@ -85,10 +85,31 @@ class DvSpec extends SparkSpec {
     assert(t.toDF.count() == 900)
   }
 
+  test("merge-on-read UPDATE vectors out old positions and appends post-images") {
+    val t = fixture("dvu")
+    val before = dataFiles(t)
+    assert(t.update(Map("v" -> "v + 100"), Some("k BETWEEN 40 AND 49")) == 10)
+    // the touched files survive untouched; only NEW post-image files land
+    assert(dataFiles(t).toSet.intersect(before.toSet) == before.toSet,
+      "no pre-existing data file may be rewritten")
+    assert(t.fileStats.size == before.size + 1, "post-images land as one new file")
+    assert(t.toDF.count() == 1000, "update must not change the row count")
+    assert(t.toDF.filter("k BETWEEN 40 AND 49 AND v = k * 3 + 100").count() == 10)
+    assert(t.toDF.filter("k BETWEEN 40 AND 49 AND v = k * 3").count() == 0)
+    // CDC carries the net pre/post pair per updated row
+    val ch = t.changes(t.latestVersion - 1)
+    assert(ch.filter(col("_change_type") === "update_preimage").count() == 10)
+    assert(ch.filter(col("_change_type") === "update_postimage").count() == 10)
+    // updating an already-updated row hits its post-image file next time
+    assert(t.update(Map("v" -> "v + 1"), Some("k = 45")) == 1)
+    assert(t.toDF.filter("k = 45").head().getLong(1) == 45 * 3 + 101)
+    assert(t.toDF.count() == 1000)
+  }
+
   test("MERGE and UPDATE on a DV'd table respect prior deletes") {
     val t = fixture("dv5")
     assert(t.delete("k < 10") == 10)
-    // update rewrites its touched files, materializing their vectors
+    // merge-on-read update: deleted rows must not match
     assert(t.update(Map("v" -> "v + 1"), Some("k BETWEEN 5 AND 14")) == 5,
       "deleted rows must not match the update")
     assert(t.toDF.filter("k < 10").count() == 0)
