@@ -239,6 +239,49 @@ object SparkEntry {
       tbl.changes(vBase).drop("_commit_timestamp")
     }),
 
+    // The Delta migration path: handcraft a REAL _delta_log (public
+    // PROTOCOL actions) over a parquet copy of orders, then import it as
+    // a ManagedTable — the imported contents must hash-match the source
+    // table exactly. (The reference's users hold their data in Delta;
+    // this is how they switch.)
+    "delta_import" -> ((s, dir) => {
+      val base = "/root/repo/target/tmp/q_delta_src"
+      val clone = "/root/repo/target/tmp/q_delta_clone"
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm); f.delete(); ()
+      }
+      rm(new java.io.File(base)); rm(new java.io.File(clone))
+      val orders = t(s, dir, "orders")
+      orders.write.parquet(base)
+      val root = java.nio.file.Paths.get(base)
+      val files = {
+        import scala.jdk.CollectionConverters._
+        val st = java.nio.file.Files.list(root)
+        try st.iterator().asScala.toSeq.map(_.getFileName.toString)
+          .filter(_.endsWith(".parquet")).sorted
+        finally st.close()
+      }
+      val logDir = root.resolve("_delta_log")
+      java.nio.file.Files.createDirectories(logDir)
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      def add(p: String): String = {
+        val n = mapper.createObjectNode(); val a = n.putObject("add")
+        a.put("path", p); a.put("size", 1L)
+        a.put("modificationTime", 1L); a.put("dataChange", true)
+        mapper.writeValueAsString(n)
+      }
+      val meta = {
+        val n = mapper.createObjectNode(); val m = n.putObject("metaData")
+        m.put("id", "q-delta"); m.put("schemaString", orders.schema.json)
+        m.putArray("partitionColumns"); m.putObject("configuration")
+        mapper.writeValueAsString(n)
+      }
+      java.nio.file.Files.writeString(logDir.resolve(f"${0L}%020d.json"),
+        (Seq("""{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+          meta) ++ files.map(add)).mkString("\n"))
+      sources.DeltaImport.importTable(s, base, clone).toDF
+    }),
+
     // Merge-on-read DELETE (deletion vectors): two deletes that touch
     // the table's leading files must remove their rows WITHOUT rewriting
     // any data file (asserted engine-side), and the surviving contents
@@ -877,6 +920,8 @@ object SparkEntry {
         |       '9-REPRICED', 'update_postimage', 3
         |FROM orders
         |WHERE o_orderkey >= (SELECT k FROM kk) AND o_totalprice > 400000""".stripMargin,
+
+    "delta_import" -> "SELECT * FROM orders",
 
     "table_dv" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
