@@ -1169,7 +1169,18 @@ final class ManagedTable private (val spark: SparkSession, val location: String)
     if (frames.isEmpty)
       cdfCols(spark.createDataFrame(
         spark.sparkContext.emptyRDD[Row], toSchema), "insert", 0L, 0L).limit(0)
-    else frames.reduce(_.unionByName(_))
+    else {
+      // balanced union: a long commit range (catch-up stream, audit over
+      // hundreds of versions) would otherwise build an O(commits)-deep
+      // left-leaning plan that Catalyst re-walks quadratically
+      def union(fs: Seq[DataFrame]): DataFrame =
+        if (fs.size == 1) fs.head
+        else {
+          val (l, r) = fs.splitAt(fs.size / 2)
+          union(l).unionByName(union(r))
+        }
+      union(frames)
+    }
   }
 
   /** DELETE (Delta `DeltaTable.delete` analog — the reference's users get
