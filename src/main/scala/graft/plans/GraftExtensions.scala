@@ -118,7 +118,11 @@ object GraftFunctions {
         }
         val from = asLong(lit(1))
         val to = if (args.length >= 3) asLong(lit(2)) else -1L
-        val net = if (args.length >= 4) lit(3) == true else true
+        val net = if (args.length < 4) true else lit(3) match {
+          case b: Boolean => b
+          case other => throw new IllegalArgumentException(
+            s"graft_table_changes expects a boolean net flag, got $other")
+        }
         graft.tables.ManagedTable
           .forPath(SparkSession.active, path)
           .changes(from, to, net)

@@ -108,13 +108,20 @@ object GraftSqlParser {
 
   private def scanTopLevel(s: String, hit: (String, Int) => Boolean): Int = {
     var depth = 0; var i = 0
-    var inStr = false; var inTick = false
+    // Spark SQL (ANSI off) string literals come single- OR double-quoted,
+    // with backslash escapes — track all three states, else a WHERE or
+    // comma INSIDE a literal mis-splits the statement
+    var inStr = false; var inDq = false; var inTick = false
     while (i < s.length) {
       val c = s.charAt(i)
-      if (inStr) { if (c == '\'') inStr = false }
-      else if (inTick) { if (c == '`') inTick = false }
+      if (inStr) {
+        if (c == '\\') i += 1 else if (c == '\'') inStr = false
+      } else if (inDq) {
+        if (c == '\\') i += 1 else if (c == '"') inDq = false
+      } else if (inTick) { if (c == '`') inTick = false }
       else c match {
         case '\'' => inStr = true
+        case '"' => inDq = true
         case '`' => inTick = true
         case '(' | '[' => depth += 1
         case ')' | ']' => depth -= 1
@@ -127,14 +134,18 @@ object GraftSqlParser {
 
   private def splitTopLevel(s: String, sep: Char): Seq[String] = {
     val parts = Vector.newBuilder[String]
-    var depth = 0; var inStr = false; var inTick = false
+    var depth = 0; var inStr = false; var inDq = false; var inTick = false
     var start = 0; var i = 0
     while (i < s.length) {
       val c = s.charAt(i)
-      if (inStr) { if (c == '\'') inStr = false }
-      else if (inTick) { if (c == '`') inTick = false }
+      if (inStr) {
+        if (c == '\\') i += 1 else if (c == '\'') inStr = false
+      } else if (inDq) {
+        if (c == '\\') i += 1 else if (c == '"') inDq = false
+      } else if (inTick) { if (c == '`') inTick = false }
       else c match {
         case '\'' => inStr = true
+        case '"' => inDq = true
         case '`' => inTick = true
         case '(' | '[' => depth += 1
         case ')' | ']' => depth -= 1

@@ -6,6 +6,7 @@ import org.apache.spark.sql.execution.streaming.runtime.{LongOffset, SerializedO
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
 import org.apache.spark.sql.types._
+import org.apache.hadoop.fs.{Path => HadoopPath}
 import graft.tables.ManagedTable
 
 /** Structured-Streaming source over a managed table's change data feed
@@ -52,9 +53,39 @@ class CdfSourceProvider extends StreamSourceProvider with DataSourceRegister {
     val table = ManagedTable.forPath(sqlContext.sparkSession, path)
     // exclusive lower bound: startingVersion=v streams commits >= v
     // (Delta's startingVersion semantics); absent = only commits after
-    // stream start
-    val base = parameters.get("startingVersion").map(_.toLong - 1)
-      .getOrElse(table.latestVersion)
+    // stream start. The computed base is pinned ONCE under metadataPath
+    // and recovered on restart — recomputing it from latestVersion after
+    // a crash between the offset-log commit and the sink commit would
+    // re-anchor PAST batch 0's range and silently drop (or fail on) the
+    // first batch's rows. File sources persist their initial state under
+    // metadataPath for exactly this reason.
+    val hconf = sqlContext.sparkSession.sessionState.newHadoopConf()
+    val mPath = new HadoopPath(metadataPath, "graft-cdf-base")
+    val fs = mPath.getFileSystem(hconf)
+    val base =
+      if (fs.exists(mPath)) {
+        val in = fs.open(mPath)
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
+        finally in.close()
+      } else {
+        val b = parameters.get("startingVersion").map(_.toLong - 1)
+          .getOrElse(table.latestVersion)
+        val tmp = new HadoopPath(metadataPath,
+          s"graft-cdf-base.${java.util.UUID.randomUUID()}.tmp")
+        val out = fs.create(tmp, true)
+        try out.write(b.toString.getBytes("UTF-8")) finally out.close()
+        // atomic publish; if a concurrent creator won the rename, defer
+        // to ITS persisted value — both anchors must agree forever after
+        if (fs.rename(tmp, mPath)) b
+        else {
+          fs.delete(tmp, false)
+          if (!fs.exists(mPath)) throw new IllegalStateException(
+            s"cannot persist graft-cdf initial offset under $metadataPath")
+          val in = fs.open(mPath)
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
+          finally in.close()
+        }
+      }
     new CdfSource(table, base)
   }
 }

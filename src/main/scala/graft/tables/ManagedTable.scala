@@ -222,11 +222,17 @@ final class ManagedTable private (val spark: SparkSession, val location: String)
       s"Version $version out of range [0, $latestVersion]")
     val src = readEntry(version)
     val cur = latestEntry
+    // copy() from the latest entry MUST drop per-commit payloads: an
+    // inherited `cdc` would make changes() re-emit the previous commit's
+    // sidecar rows under this version, and inherited `metrics` would
+    // report the previous DML's counts as this commit's.
     commit(cur.copy(version = cur.version + 1,
       timestampMs = System.currentTimeMillis(),
       operation = s"RESTORE v$version",
       dirs = src.dirs, schema = src.schema,
-      partitionColumns = src.partitionColumns, files = src.files))
+      partitionColumns = src.partitionColumns, files = src.files,
+      metrics = Map("numRestoredFiles" -> src.files.size.toString),
+      cdc = Nil))
   }
 
   private def snapshotDF(e: LogEntry): DataFrame = {
@@ -280,10 +286,20 @@ final class ManagedTable private (val spark: SparkSession, val location: String)
 
   /** snapshot-relative path of a `_metadata.file_path` value (the DV
     * coordinate system — stable across [[rename]], unlike the full URI).
+    * Built with the Column API (a literal, not SQL interpolation — a
+    * quote in the table location must not become a parse error), and a
+    * prefix miss fails LOUD: `_metadata.file_path` is a URI whose
+    * escaping can diverge from the raw local path (e.g. `%20` for a
+    * space), and silently slicing at a wrong offset would corrupt DV
+    * coordinates — deleted rows would later resurrect.
     */
   private def relPathOf: org.apache.spark.sql.Column = {
     val abs = dataDir.toAbsolutePath.toString + "/"
-    expr(s"substring(${ManagedTable.FP}, locate('$abs', ${ManagedTable.FP}) + ${abs.length})")
+    val fp = col(ManagedTable.FP)
+    val pos = locate(abs, fp)
+    when(pos > 0, fp.substr(pos + lit(abs.length), lit(Int.MaxValue)))
+      .otherwise(raise_error(concat(
+        lit(s"_metadata.file_path outside table data dir $abs: "), fp)))
   }
 
   private def readFilesFiltered(files: Seq[FileStat], schema: StructType,
@@ -603,8 +619,17 @@ final class ManagedTable private (val spark: SparkSession, val location: String)
       val dirsP = p.dirs.toSet
       val filesE = e.files.map(f => f.path -> f).toMap
       val filesP = p.files.map(f => f.path -> f).toMap
-      val removedPaths = filesP.keySet diff filesE.keySet
-      val addedFiles = (filesE.keySet diff filesP.keySet).toSeq.map(filesE)
+      // A deletion-vector-only commit keeps every path but swaps a file's
+      // `dv` ref — logically a rewrite of that file. Treat it as
+      // removed+added so rebase conflict checks (replaceFiles'
+      // both-rewrite rule, overwritePartitions' touched-partition rule)
+      // see it; a path-only diff would let a concurrent MERGE silently
+      // resurrect the DV-deleted rows.
+      val dvChanged = (filesE.keySet intersect filesP.keySet)
+        .filter(p0 => filesE(p0).dv != filesP(p0).dv)
+      val removedPaths = (filesP.keySet diff filesE.keySet) ++ dvChanged
+      val addedFiles =
+        ((filesE.keySet diff filesP.keySet) ++ dvChanged).toSeq.map(filesE)
       val touched =
         ((dirsE diff dirsP) ++ (dirsP diff dirsE)).map(ManagedTable.leafSuffix) ++
           (removedPaths ++ addedFiles.map(_.path))
@@ -1067,7 +1092,9 @@ final class ManagedTable private (val spark: SparkSession, val location: String)
     * delete+insert pairs).
     * Commits without a sidecar (appends, overwrites, RESTORE,
     * pre-property commits, and `net = false` raw mode) derive the delta
-    * from the per-commit file snapshots: rows of files the commit ADDED
+    * from the per-commit file snapshots — EXCEPT deletion-vector
+    * commits, whose deletes are invisible to the snapshot file-diff;
+    * those read their (unconditional) sidecar in every mode: rows of files the commit ADDED
     * vs REMOVED, with `net = true` cancelling value-identical
     * delete/insert pairs — the carryover rows a file-granular rewrite
     * copies unchanged — via `exceptAll` joins bounded by the commit's
@@ -1112,11 +1139,10 @@ final class ManagedTable private (val spark: SparkSession, val location: String)
       lazy val p =
         if (v == 0) e.copy(dirs = Nil, files = Nil) // before v0: empty table
         else readEntry(v - 1)
-      if (e.operation == "OPTIMIZE") Nil // rewrite-only: no data change
-      else if (net && useSidecar && e.cdc.nonEmpty) {
-        // at-commit sidecar: the net change rows, already labeled — read
-        // them back with the commit's schema (explicit, so an empty
-        // change set needs no footer inference) and stamp the commit id
+      // at-commit sidecar: the net change rows, already labeled — read
+      // them back with the commit's schema (explicit, so an empty
+      // change set needs no footer inference) and stamp the commit id
+      def sidecarFrames: Seq[DataFrame] = {
         val dirs = e.cdc.map(cdcRoot.resolve)
         dirs.find(!Files.isDirectory(_)).foreach { d =>
           throw new IllegalStateException(
@@ -1136,7 +1162,24 @@ final class ManagedTable private (val spark: SparkSession, val location: String)
           .withColumn("_commit_version", lit(v))
           .withColumn("_commit_timestamp",
             lit(new java.sql.Timestamp(e.timestampMs))))
-      } else {
+      }
+      // a deletion-vector commit changes rows WITHOUT changing file
+      // paths (DELETE) or with post-image adds only (UPDATE) — the
+      // snapshot diff below cannot see its deletes, so its feed MUST
+      // come from the sidecar, in raw mode too (dvDml writes one
+      // unconditionally; for a DV commit raw = net, there are no
+      // carryover rows to include)
+      lazy val dvOnly = v > 0 && {
+        val prevDv = p.files.map(f => f.path -> f.dv).toMap
+        e.files.exists(f => prevDv.get(f.path).exists(_ != f.dv))
+      }
+      if (e.operation == "OPTIMIZE") Nil // rewrite-only: no data change
+      else if ((net && useSidecar || dvOnly) && e.cdc.nonEmpty) sidecarFrames
+      else if (dvOnly)
+        throw new IllegalStateException(
+          s"Version $v of $location is a deletion-vector commit without " +
+            "change data; its feed cannot be derived from snapshots")
+      else {
         if (e.files.isEmpty && e.dirs.nonEmpty || p.files.isEmpty && p.dirs.nonEmpty)
           throw new IllegalStateException(
             s"changes at $location requires stats-bearing snapshots; " +
@@ -1481,9 +1524,12 @@ final class ManagedTable private (val spark: SparkSession, val location: String)
       val newSchema = ManagedTable.unionSchema(e.schema, StructType(nullable))
       if (newSchema == e.schema) return
       try {
+        // drop per-commit payloads (see restore()): inherited cdc would
+        // double-emit the previous commit's change rows.
         commit(e.copy(version = e.version + 1,
           timestampMs = System.currentTimeMillis(),
-          operation = "ADD COLUMNS", schema = newSchema))
+          operation = "ADD COLUMNS", schema = newSchema,
+          metrics = Map.empty, cdc = Nil))
         return
       } catch {
         case c: ConcurrentCommitException =>
@@ -1497,7 +1543,8 @@ final class ManagedTable private (val spark: SparkSession, val location: String)
     val e = latestEntry
     commit(e.copy(version = e.version + 1,
       timestampMs = System.currentTimeMillis(),
-      operation = "SET TBLPROPERTIES", properties = e.properties ++ props))
+      operation = "SET TBLPROPERTIES", properties = e.properties ++ props,
+      metrics = Map.empty, cdc = Nil))
   }
 
   /** Directory move + fresh log entry (reference rename_delta_table,

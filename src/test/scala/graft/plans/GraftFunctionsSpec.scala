@@ -116,4 +116,36 @@ class GraftFunctionsSpec extends SparkSpec {
     // a non-graft statement still parses through the delegate
     assert(spark.sql("SELECT 1 + 1").head().getInt(0) == 2)
   }
+
+  test("statement splitter honors double-quoted literals and escapes; " +
+       "table_changes rejects a non-boolean net flag") {
+    import graft.tables.ManagedTable
+    val path = tmpDir("sqlsurf2")
+    val t = ManagedTable.create(
+      spark.range(10).selectExpr("id AS k", "'x' AS s"), path,
+      properties = Map(ManagedTable.cdfPropKey -> "true"))
+    val ref = s"graft.`$path`"
+    // Spark SQL (ANSI off) treats "…" as a string literal: a WHERE and a
+    // comma INSIDE it must not split the statement
+    val upd = spark.sql(
+      s"""UPDATE $ref SET s = "a , WHERE b" WHERE k = 1""").head()
+    assert(upd.getLong(0) == 1L)
+    assert(t.toDF.filter("k = 1").head().getString(1) == "a , WHERE b")
+    // backslash-escaped quote inside a single-quoted literal
+    val upd2 = spark.sql(
+      s"UPDATE $ref SET s = 'it\\'s, WHERE' WHERE k = 2").head()
+    assert(upd2.getLong(0) == 1L)
+    assert(t.toDF.filter("k = 2").head().getString(1) == "it's, WHERE")
+
+    // net flag: booleans work, anything else raises instead of silently
+    // flipping to the raw feed
+    val n = spark.sql(
+      s"SELECT count(*) AS n FROM graft_table_changes('$path', 0, ${t.latestVersion}, true)")
+      .head().getLong(0)
+    assert(n == 4L, s"two updates emit a pre/post pair each, got $n")
+    val e = intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft_table_changes('$path', 0, 1, 'true')").collect()
+    }
+    assert(e.getMessage.contains("boolean net flag"))
+  }
 }

@@ -81,4 +81,25 @@ class CdfStreamSpec extends SparkSpec {
       assert(got.length == 1 && got.head.getString(2) == "delete")
     } finally q.stop()
   }
+
+  test("the initial offset anchor survives source re-creation (restart " +
+       "before the first sink commit must not skip the first batch)") {
+    val t = fixture("cdfanchor")
+    val provider = new CdfSourceProvider
+    val meta = tmpDir("cdfanchormeta")
+    def mkSource() = provider.createSource(spark.sqlContext, meta, None,
+      "graft-cdf", Map("path" -> t.location))
+    // stream starts: anchor = latest-at-creation (only NEW commits stream)
+    val s1 = mkSource()
+    assert(s1.getOffset.isEmpty, "no commits since anchor yet")
+    // a commit lands, then the driver dies before the sink commit and the
+    // source is re-created from the same checkpoint metadataPath
+    t.delete("k < 10")
+    val s2 = mkSource()
+    // a re-anchoring source would report None here (latest == new anchor)
+    // and silently skip the delete; the recovered anchor must expose it
+    val off = s2.getOffset
+    assert(off.nonEmpty, "recovered anchor must surface the pending commit")
+    assert(CdfSource.version(off.get) == t.latestVersion)
+  }
 }
