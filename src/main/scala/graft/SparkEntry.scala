@@ -227,10 +227,13 @@ object SparkEntry {
       }
       rm(new java.io.File(base))
       val orders = t(s, dir, "orders")
-      val tbl = ManagedTable.create(orders, base, // v0
-        properties = Map(ManagedTable.cdfPropKey -> "true"))
-      val target = math.max(32L * 1024, tbl.detail.sizeInBytes / 16)
-      tbl.optimize(targetFileSizeBytes = target, sortBy = Seq("o_orderkey")) // v1
+      // one key-clustered write (16 bound-disjoint files) — the DMLs
+      // below file-prune against it; an unsorted create + OPTIMIZE
+      // would pay a second full rewrite for the same layout
+      val tbl = ManagedTable.create(
+        orders.repartitionByRange(16, col("o_orderkey"))
+          .sortWithinPartitions("o_orderkey"),
+        base, properties = Map(ManagedTable.cdfPropKey -> "true")) // v0
       val omax = orders.agg(max("o_orderkey")).head().getLong(0)
       val vBase = tbl.latestVersion
       tbl.delete(s"o_orderkey < ${omax / 10}") // v2
@@ -293,10 +296,12 @@ object SparkEntry {
       }
       rm(new java.io.File(base))
       val orders = t(s, dir, "orders")
-      val tbl = ManagedTable.create(orders, base,
-        properties = Map(ManagedTable.dvPropKey -> "true"))
-      val target = math.max(32L * 1024, tbl.detail.sizeInBytes / 16)
-      tbl.optimize(targetFileSizeBytes = target, sortBy = Seq("o_orderkey"))
+      // key-clustered single write (see table_cdf): the deletes below
+      // must prune to the leading files
+      val tbl = ManagedTable.create(
+        orders.repartitionByRange(16, col("o_orderkey"))
+          .sortWithinPartitions("o_orderkey"),
+        base, properties = Map(ManagedTable.dvPropKey -> "true"))
       def dataFiles = tbl.toDF.inputFiles.filter(_.contains("/data/")).sorted.toSeq
       val before = dataFiles
       val omax = orders.agg(max("o_orderkey")).head().getLong(0)
@@ -329,10 +334,11 @@ object SparkEntry {
       rm(new java.io.File(base + "_ckpt")) // a stale checkpoint would
                                            // resume past the fresh commits
       val orders = t(s, dir, "orders")
-      val tbl = ManagedTable.create(orders, base,
-        properties = Map(ManagedTable.cdfPropKey -> "true"))
-      val target = math.max(32L * 1024, tbl.detail.sizeInBytes / 16)
-      tbl.optimize(targetFileSizeBytes = target, sortBy = Seq("o_orderkey"))
+      // key-clustered single write (see table_cdf)
+      val tbl = ManagedTable.create(
+        orders.repartitionByRange(16, col("o_orderkey"))
+          .sortWithinPartitions("o_orderkey"),
+        base, properties = Map(ManagedTable.cdfPropKey -> "true"))
       val omax = orders.agg(max("o_orderkey")).head().getLong(0)
       val vBase = tbl.latestVersion
       tbl.delete(s"o_orderkey < ${omax / 10}")
@@ -350,6 +356,34 @@ object SparkEntry {
       val out = s.table(sink).drop("_commit_timestamp").cache()
       out.count()
       out
+    }),
+
+    // End-to-end incremental pipeline: change feed SOURCE into managed
+    // SINK (format("graft")) — a mirror table built purely from streamed
+    // insert rows must hash-match the source contents. Exactly-once is
+    // the sink's idempotent-txn append; each micro-batch is one commit.
+    "table_stream_sink" -> ((s, dir) => {
+      val src = "/root/repo/target/tmp/q_sink_src"
+      val dst = "/root/repo/target/tmp/q_sink_dst"
+      val ckpt = "/root/repo/target/tmp/q_sink_ckpt"
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm); f.delete(); ()
+      }
+      Seq(src, dst, ckpt).foreach(p => rm(new java.io.File(p)))
+      val orders = t(s, dir, "orders")
+      // two commits (create + append) → two micro-batches downstream
+      val tbl = ManagedTable.create(
+        orders.filter(col("o_orderkey") % 2 === 0), src,
+        properties = Map(ManagedTable.cdfPropKey -> "true"))
+      tbl.append(orders.filter(col("o_orderkey") % 2 === 1))
+      val q = s.readStream.format("graft-cdf")
+        .option("startingVersion", "0").load(src)
+        .filter(col("_change_type") === "insert")
+        .drop("_change_type", "_commit_version", "_commit_timestamp")
+        .writeStream.format("graft").option("checkpointLocation", ckpt)
+        .start(dst)
+      try q.processAllAvailable() finally q.stop()
+      ManagedTable.forPath(s, dst).toDF
     }),
 
     // Z-order clustering: rewrite lineitem z-ordered on (l_orderkey,
@@ -902,22 +936,22 @@ object SparkEntry {
         |FROM orders
         |WHERE NOT (o_orderkey < (SELECT max(o_orderkey) // 10 FROM orders))""".stripMargin,
 
-    // the semantic change feed of: v2 = DELETE o_orderkey < max//10,
-    // v3 = UPDATE priority WHERE totalprice > 400000 (over v2 survivors)
+    // the semantic change feed of: v1 = DELETE o_orderkey < max//10,
+    // v2 = UPDATE priority WHERE totalprice > 400000 (over v1 survivors)
     "table_cdf" ->
       """WITH kk AS (SELECT max(o_orderkey) // 10 AS k FROM orders)
         |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
         |       o_orderpriority, 'delete' AS _change_type,
-        |       CAST(2 AS BIGINT) AS _commit_version
+        |       CAST(1 AS BIGINT) AS _commit_version
         |FROM orders WHERE o_orderkey < (SELECT k FROM kk)
         |UNION ALL
         |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
-        |       o_orderpriority, 'update_preimage', 3
+        |       o_orderpriority, 'update_preimage', 2
         |FROM orders
         |WHERE o_orderkey >= (SELECT k FROM kk) AND o_totalprice > 400000
         |UNION ALL
         |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
-        |       '9-REPRICED', 'update_postimage', 3
+        |       '9-REPRICED', 'update_postimage', 2
         |FROM orders
         |WHERE o_orderkey >= (SELECT k FROM kk) AND o_totalprice > 400000""".stripMargin,
 
@@ -937,18 +971,23 @@ object SparkEntry {
       """WITH kk AS (SELECT max(o_orderkey) // 10 AS k FROM orders)
         |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
         |       o_orderpriority, 'delete' AS _change_type,
-        |       CAST(2 AS BIGINT) AS _commit_version
+        |       CAST(1 AS BIGINT) AS _commit_version
         |FROM orders WHERE o_orderkey < (SELECT k FROM kk)
         |UNION ALL
         |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
-        |       o_orderpriority, 'update_preimage', 3
+        |       o_orderpriority, 'update_preimage', 2
         |FROM orders
         |WHERE o_orderkey >= (SELECT k FROM kk) AND o_totalprice > 400000
         |UNION ALL
         |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
-        |       '9-REPRICED', 'update_postimage', 3
+        |       '9-REPRICED', 'update_postimage', 2
         |FROM orders
         |WHERE o_orderkey >= (SELECT k FROM kk) AND o_totalprice > 400000""".stripMargin,
+
+    // the mirror is built ONLY from streamed insert rows (source → sink);
+    // matching the full table proves delivery was complete and
+    // exactly-once (a dropped batch loses rows, a replayed one doubles)
+    "table_stream_sink" -> "SELECT * FROM orders",
 
     // the two TRUE columns are engine-side assertions (file-skipping
     // achieved), the same pattern as table_admin.sizes_line_ok; the row

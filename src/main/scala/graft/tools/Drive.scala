@@ -191,6 +191,22 @@ object Drive {
     println(s"[24] deletion vectors: removed $nDv rows, data files " +
       s"$dvFilesBefore -> ${dvT.detail.numFiles} (no rewrite), " +
       s"rows=${dvT.toDF.count}")
+
+    // --- streaming sink: cdf source → graft sink mirror -----------------
+    import org.apache.spark.sql.functions.col
+    val mirrorLoc = scratch("mirror")
+    val mq = spark.readStream.format("graft-cdf")
+      .option("startingVersion", "0").load(dvT.location)
+      .filter(col("_change_type") === "insert")
+      .drop("_change_type", "_commit_version", "_commit_timestamp")
+      .writeStream.format("graft")
+      .option("checkpointLocation", scratch("mirror_ckpt"))
+      .start(mirrorLoc)
+    try mq.processAllAvailable() finally mq.stop()
+    val mirrored = ManagedTable.forPath(spark, mirrorLoc)
+    println(s"[25] streaming sink: graft-cdf → format(\"graft\") mirror " +
+      s"has ${mirrored.toDF.count} rows across " +
+      s"${mirrored.latestVersion + 1} commits (exactly-once txn appends)")
     spark.stop()
   }
 }

@@ -27,6 +27,17 @@ object GraftColumnBridge {
       ds.queryExecution.toRdd, df.schema, isStreaming = true)
   }
 
+  /** The inverse re-tag, for a DSv1 `Sink.addBatch`: the incoming batch
+    * DataFrame is streaming-tagged (batch writes on it are rejected),
+    * but its physical plan IS one micro-batch of rows — rewrap it as a
+    * plain batch frame so ordinary writers can run it.
+    */
+  def asBatchDataFrame(df: DataFrame): DataFrame = {
+    val ds = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[Row]]
+    ds.sparkSession.internalCreateDataFrame(
+      ds.queryExecution.toRdd, df.schema, isStreaming = false)
+  }
+
   /** The ANALYZABLE catalyst tree of a Column: `expression` returns a lazy
     * `ColumnNodeExpression`, which renders SQL-text columns (`expr(...)`,
     * string conditions) as one opaque node — useless for structural
