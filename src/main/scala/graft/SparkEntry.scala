@@ -285,6 +285,27 @@ object SparkEntry {
       sources.DeltaImport.importTable(s, base, clone).toDF
     }),
 
+    // The reverse migration: DML a managed table, export its snapshot as
+    // a REAL _delta_log (protocol 1/2 actions + per-file stats, data
+    // hard-linked zero-copy), then read it back THROUGH the Delta import
+    // path — the round trip must hash-match the oracle's re-derivation.
+    "delta_export" -> ((s, dir) => {
+      val base = "/root/repo/target/tmp/q_dexp_src"
+      val out = "/root/repo/target/tmp/q_dexp_delta"
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm); f.delete(); ()
+      }
+      Seq(base, out).foreach(p => rm(new java.io.File(p)))
+      val orders = t(s, dir, "orders")
+      val tbl = ManagedTable.create(
+        orders.repartitionByRange(16, col("o_orderkey"))
+          .sortWithinPartitions("o_orderkey"), base)
+      val omax = orders.agg(max("o_orderkey")).head().getLong(0)
+      tbl.delete(s"o_orderkey < ${omax / 20}")
+      tbl.exportDelta(out)
+      sources.DeltaImport.toDF(s, out)
+    }),
+
     // Merge-on-read DELETE (deletion vectors): two deletes that touch
     // the table's leading files must remove their rows WITHOUT rewriting
     // any data file (asserted engine-side), and the surviving contents
@@ -956,6 +977,11 @@ object SparkEntry {
         |WHERE o_orderkey >= (SELECT k FROM kk) AND o_totalprice > 400000""".stripMargin,
 
     "delta_import" -> "SELECT * FROM orders",
+
+    // the exported snapshot is post-DELETE: survivors only
+    "delta_export" ->
+      """SELECT * FROM orders
+        |WHERE NOT (o_orderkey < (SELECT max(o_orderkey) // 20 FROM orders))""".stripMargin,
 
     "table_dv" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,

@@ -1557,6 +1557,125 @@ final class ManagedTable private (val spark: SparkSession, val location: String)
     Files.move(Paths.get(location), target)
     new ManagedTable(spark, newLocation)
   }
+
+  /** Export the CURRENT snapshot as a standalone Delta Lake table — the
+    * reverse of [[graft.sources.DeltaImport]] (switch back, or hand the
+    * table to any Delta reader). Emits the public PROTOCOL: one
+    * `_delta_log/…0.json` commit with protocol(1,2) + metaData + one
+    * `add` per live file, hive-layout partition paths, per-file
+    * `stats` JSON (numRecords + min/max for numeric and string columns,
+    * straight from the snapshot's footer stats — Delta engines data-skip
+    * the exported table immediately).
+    *
+    * Data files HARD-LINK into the target when the filesystem allows
+    * (the export is O(metadata), no bytes move — at 100 TB this is the
+    * difference between seconds and hours) and silently fall back to
+    * copies across devices. History does NOT export — the target is a
+    * single-commit table of the current snapshot, same contract as the
+    * reference's copy_table (mack/__init__.py:287-325).
+    *
+    * Snapshots carrying live deletion vectors refuse loud ([[optimize]]
+    * materializes them first): Delta would need the DV writer feature,
+    * and silently exporting resurrected rows would be worse.
+    *
+    * @return the number of data files exported
+    */
+  def exportDelta(targetPath: String): Long = {
+    val e = latestEntry
+    require(e.files.nonEmpty,
+      s"exportDelta requires a stats-bearing snapshot at $location")
+    require(e.files.forall(_.dv.isEmpty),
+      "exportDelta: the snapshot carries live deletion vectors; run " +
+        "optimize() to materialize them into plain files first")
+    val root = Paths.get(targetPath)
+    require(!Files.exists(root) || {
+      val s = Files.list(root); try !s.iterator().hasNext finally s.close()
+    }, s"exportDelta target exists and is not empty: $targetPath")
+    Files.createDirectories(root)
+    val mapper = ManagedTable.mapper
+    val partSet = e.partitionColumns.toSet
+    val numericCols = e.schema.fields.collect {
+      case f if f.dataType.isInstanceOf[NumericType] && !partSet(f.name) =>
+        f.name
+    }.toSet
+    val stringCols = e.schema.fields.collect {
+      case f if f.dataType == StringType && !partSet(f.name) => f.name
+    }.toSet
+    def statsJson(f: FileStat): String = {
+      val n = mapper.createObjectNode()
+      n.put("numRecords", f.rows)
+      val mins = n.putObject("minValues"); val maxs = n.putObject("maxValues")
+      def fill(src: Map[String, String],
+               dst: com.fasterxml.jackson.databind.node.ObjectNode): Unit =
+        src.foreach { case (k, v) =>
+          if (numericCols(k)) {
+            try { dst.put(k, new java.math.BigDecimal(v)); () }
+            catch { case _: NumberFormatException => }
+          } else if (stringCols(k)) { dst.put(k, v); () }
+        }
+      fill(f.min, mins); fill(f.max, maxs)
+      mapper.writeValueAsString(n)
+    }
+    // Delta add.path values are URL-encoded, table-root-relative
+    def encSeg(s: String): String =
+      java.net.URLEncoder.encode(s, "UTF-8").replace("+", "%20")
+    val actions = Seq.newBuilder[String]
+    actions += """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
+    val meta = {
+      val n = mapper.createObjectNode(); val m = n.putObject("metaData")
+      m.put("id", UUID.randomUUID().toString)
+      val fmt = m.putObject("format")
+      fmt.put("provider", "parquet"); fmt.putObject("options")
+      m.put("schemaString", e.schema.json)
+      val pc = m.putArray("partitionColumns")
+      e.partitionColumns.foreach(pc.add)
+      val cfg = m.putObject("configuration")
+      e.properties.foreach { case (k, v) =>
+        if (!k.startsWith("graft.")) { cfg.put(k, v); () }
+      }
+      m.put("createdTime", System.currentTimeMillis())
+      mapper.writeValueAsString(n)
+    }
+    actions += meta
+    e.files.foreach { f =>
+      val uuidSeg = f.path.takeWhile(_ != '/')
+      val baseName = f.path.substring(f.path.lastIndexOf('/') + 1)
+      val leaf = ManagedTable.leafSuffix(f.leafDir) // "" or "k=v[/k=v…]"
+      // canonical hive layout; uuid-prefixed names keep files from
+      // different source commits collision-free in one directory
+      val rel = (if (leaf.isEmpty) "" else leaf + "/") +
+        s"$uuidSeg-$baseName"
+      val src = dataDir.resolve(f.path)
+      val dst = root.resolve(rel)
+      Option(dst.getParent).foreach(Files.createDirectories(_))
+      try { Files.createLink(dst, src); () }
+      catch {
+        case _: UnsupportedOperationException | _: java.nio.file.FileSystemException =>
+          Files.copy(src, dst); ()
+      }
+      val n = mapper.createObjectNode(); val a = n.putObject("add")
+      a.put("path", rel.split('/').map(encSeg).mkString("/"))
+      val pv = a.putObject("partitionValues")
+      if (leaf.nonEmpty) leaf.split('/').filter(_.nonEmpty).foreach { seg =>
+        val i = seg.indexOf('=')
+        require(i > 0, s"non-hive partition segment in $leaf")
+        val k = seg.substring(0, i)
+        val raw = seg.substring(i + 1)
+        if (raw == "__HIVE_DEFAULT_PARTITION__") { pv.putNull(k); () }
+        else { pv.put(k, java.net.URLDecoder.decode(raw, "UTF-8")); () }
+      }
+      a.put("size", f.bytes)
+      a.put("modificationTime", Files.getLastModifiedTime(src).toMillis)
+      a.put("dataChange", true)
+      a.put("stats", statsJson(f))
+      actions += mapper.writeValueAsString(n)
+    }
+    val logDir = root.resolve("_delta_log")
+    Files.createDirectories(logDir)
+    Files.writeString(logDir.resolve(f"${0L}%020d.json"),
+      actions.result().mkString("\n"))
+    e.files.size.toLong
+  }
 }
 
 final case class TableDetail(location: String, partitionColumns: Seq[String],

@@ -207,6 +207,13 @@ object Drive {
     println(s"[25] streaming sink: graft-cdf → format(\"graft\") mirror " +
       s"has ${mirrored.toDF.count} rows across " +
       s"${mirrored.latestVersion + 1} commits (exactly-once txn appends)")
+
+    // --- Delta export: snapshot → real _delta_log, read back ------------
+    val dexp = scratch("delta_export")
+    val nExported = mirrored.exportDelta(dexp)
+    val reread = graft.sources.DeltaImport.toDF(spark, dexp).count()
+    println(s"[26] delta export: $nExported hard-linked files + stats " +
+      s"log; re-imported rows=$reread (source=${mirrored.toDF.count})")
     spark.stop()
   }
 }

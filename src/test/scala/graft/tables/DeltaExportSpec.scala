@@ -1,0 +1,109 @@
+package graft.tables
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.sources.DeltaImport
+
+/** [[ManagedTable.exportDelta]]: the snapshot round-trips through a real
+  * `_delta_log` (export → [[DeltaImport]] → identical contents), the log
+  * carries skippable per-file stats, partitioned tables export hive
+  * layout + partitionValues, and DV-carrying snapshots refuse loud.
+  */
+class DeltaExportSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("post-DML snapshot round-trips export → import, bit-identical") {
+    val t = ManagedTable.create(
+      spark.range(1000).select(col("id").as("k"), (col("id") * 3).as("v"),
+        concat(lit("row-"), col("id")).as("s")),
+      tmpDir("dxp1"))
+    t.optimize(targetFileSizeBytes = 4 * 1024, sortBy = Seq("k"))
+    t.delete("k < 100")
+    t.update(Map("v" -> "v + 1"), Some("k >= 990"))
+    val target = tmpDir("dxp1_delta")
+    val nFiles = t.exportDelta(target)
+    assert(nFiles == t.detail.numFiles)
+
+    val snap = DeltaImport.snapshot(target)
+    assert(snap.version == 0 && snap.files.size == nFiles)
+    val back = DeltaImport.toDF(spark, target)
+    // importer null-fills through casts, so fields come back nullable;
+    // names and types must survive exactly
+    assert(back.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+      t.schema.fields.map(f => (f.name, f.dataType)).toSeq)
+    assert(back.exceptAll(t.toDF).isEmpty && t.toDF.exceptAll(back).isEmpty,
+      "imported contents must equal the exported snapshot exactly")
+  }
+
+  test("exported add actions carry numRecords and min/max stats") {
+    val t = ManagedTable.create(
+      spark.range(500).select(col("id").as("k"), concat(lit("v"), col("id")).as("s")),
+      tmpDir("dxp2"))
+    t.optimize(targetFileSizeBytes = 2 * 1024, sortBy = Seq("k"))
+    val target = tmpDir("dxp2_delta")
+    t.exportDelta(target)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val log = java.nio.file.Files.readString(java.nio.file.Paths.get(
+      target, "_delta_log", f"${0L}%020d.json"))
+    val adds = log.linesIterator.map(mapper.readTree)
+      .filter(_.has("add")).map(_.get("add")).toSeq
+    assert(adds.nonEmpty)
+    val stats = adds.map(a => mapper.readTree(a.get("stats").asText()))
+    assert(stats.map(_.get("numRecords").asLong()).sum == 500L)
+    // k is numeric (unquoted) and files are key-sorted: global min is 0
+    assert(stats.map(_.get("minValues").get("k").asLong()).min == 0L)
+    assert(stats.map(_.get("maxValues").get("k").asLong()).max == 499L)
+    assert(stats.exists(_.get("minValues").has("s")), "string bounds too")
+  }
+
+  test("partitioned export: hive paths, partitionValues, round-trip") {
+    val t = ManagedTable.create(
+      spark.range(300).select(col("id").as("k"),
+        (col("id") % 3).cast("string").as("p")),
+      tmpDir("dxp3"), partitionBy = Seq("p"))
+    val target = tmpDir("dxp3_delta")
+    t.exportDelta(target)
+    val snap = DeltaImport.snapshot(target)
+    assert(snap.partitionColumns == Seq("p"))
+    assert(snap.files.forall(_.contains("p=")))
+    val back = DeltaImport.toDF(spark, target)
+    assert(back.count() == 300)
+    assert(back.filter(col("p") === "1").count() == 100)
+    assert(back.exceptAll(t.toDF).isEmpty)
+  }
+
+  test("live deletion vectors refuse; optimize() then exports") {
+    val t = ManagedTable.create(
+      spark.range(100).select(col("id").as("k"), col("id").as("v")),
+      tmpDir("dxp4"), properties = Map(ManagedTable.dvPropKey -> "true"))
+    t.delete("k < 10")
+    val target = tmpDir("dxp4_delta")
+    val e = intercept[IllegalArgumentException](t.exportDelta(target))
+    assert(e.getMessage.contains("deletion vectors"))
+    t.optimize(targetFileSizeBytes = 128L * 1024 * 1024) // materializes DVs
+    t.exportDelta(target + "_ok")
+    assert(DeltaImport.toDF(spark, target + "_ok").count() == 90)
+  }
+
+  test("non-empty target refuses; hard links share bytes with the source") {
+    val t = ManagedTable.create(
+      spark.range(10).select(col("id").as("k")), tmpDir("dxp5"))
+    val target = tmpDir("dxp5_delta")
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(target, "junk"))
+    val e = intercept[IllegalArgumentException](t.exportDelta(target))
+    assert(e.getMessage.contains("not empty"))
+    val ok = target + "_ok"
+    t.exportDelta(ok)
+    // same filesystem here: the export must be zero-copy (hard links)
+    val exported = java.nio.file.Files.walk(java.nio.file.Paths.get(ok))
+    val linked = try {
+      import scala.jdk.CollectionConverters._
+      exported.iterator().asScala
+        .filter(p => p.toString.endsWith(".parquet"))
+        .forall(p => java.nio.file.Files.getAttribute(p, "unix:nlink")
+          .asInstanceOf[Number].intValue() >= 2)
+    } finally exported.close()
+    assert(linked, "expected hard-linked data files on the same filesystem")
+  }
+}
