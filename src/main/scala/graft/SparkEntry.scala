@@ -285,6 +285,31 @@ object SparkEntry {
       sources.DeltaImport.importTable(s, base, clone).toDF
     }),
 
+    // Zero-copy CLONE: the clone must equal the source snapshot and stay
+    // INDEPENDENT — a post-clone DELETE on the source (and a source
+    // vacuum reclaiming the deleted files) must not lose the clone a
+    // single row. Hash-matching the full table proves both.
+    "table_clone" -> ((s, dir) => {
+      val base = "/root/repo/target/tmp/q_clone_src"
+      val dup = "/root/repo/target/tmp/q_clone_dst"
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm); f.delete(); ()
+      }
+      Seq(base, dup).foreach(p => rm(new java.io.File(p)))
+      val orders = t(s, dir, "orders")
+      val tbl = ManagedTable.create(
+        orders.repartitionByRange(16, col("o_orderkey"))
+          .sortWithinPartitions("o_orderkey"), base)
+      val clone = tbl.cloneTo(dup)
+      val omax = orders.agg(max("o_orderkey")).head().getLong(0)
+      tbl.delete(s"o_orderkey < ${omax / 10}")
+      tbl.optimize(targetFileSizeBytes = 128L * 1024 * 1024)
+      tbl.vacuum(retainVersions = 1, minAgeMillis = 0)
+      require(tbl.toDF.count() < clone.toDF.count(),
+        "source DML+vacuum must not leak into the clone")
+      clone.toDF
+    }),
+
     // The reverse migration: DML a managed table, export its snapshot as
     // a REAL _delta_log (protocol 1/2 actions + per-file stats, data
     // hard-linked zero-copy), then read it back THROUGH the Delta import
@@ -977,6 +1002,10 @@ object SparkEntry {
         |WHERE o_orderkey >= (SELECT k FROM kk) AND o_totalprice > 400000""".stripMargin,
 
     "delta_import" -> "SELECT * FROM orders",
+
+    // the clone is the PRE-delete snapshot, unaffected by the source's
+    // later DML + vacuum
+    "table_clone" -> "SELECT * FROM orders",
 
     // the exported snapshot is post-DELETE: survivors only
     "delta_export" ->

@@ -1558,6 +1558,56 @@ final class ManagedTable private (val spark: SparkSession, val location: String)
     new ManagedTable(spark, newLocation)
   }
 
+  /** Zero-copy CLONE (Delta `CLONE` analog): a new independent table
+    * whose v0 is this table's current snapshot. Data files and deletion
+    * vectors HARD-LINK into the clone — O(metadata) regardless of table
+    * size, and, unlike Delta's shallow clone, the clone does NOT break
+    * when the source is vacuumed: a hard link keeps the bytes alive
+    * until both tables drop them. (On filesystems without links it
+    * falls back to copies — still a valid clone, just O(data).)
+    *
+    * Properties copy EXCEPT `graft.txn.*` idempotent-append markers: a
+    * streaming writer's watermark belongs to the source's history;
+    * keeping it would make the same stream silently skip its first
+    * batches against the clone. History does not clone (the clone
+    * starts at v0, like the reference's copy_table —
+    * mack/__init__.py:287-325 — and Delta CLONE).
+    */
+  def cloneTo(targetPath: String): ManagedTable = {
+    val e = latestEntry
+    require(e.files.nonEmpty,
+      s"cloneTo requires a stats-bearing snapshot at $location")
+    require(!ManagedTable.exists(targetPath),
+      s"Table already exists: $targetPath")
+    val dst = new ManagedTable(spark, targetPath)
+    def linkInto(srcRoot: Path, dstRoot: Path, rel: String): Unit = {
+      val s0 = srcRoot.resolve(rel); val d0 = dstRoot.resolve(rel)
+      Option(d0.getParent).foreach(Files.createDirectories(_))
+      if (!Files.exists(d0)) {
+        try { Files.createLink(d0, s0); () }
+        catch {
+          case _: UnsupportedOperationException | _: java.nio.file.FileSystemException =>
+            Files.copy(s0, d0); ()
+        }
+      }
+    }
+    e.files.foreach(f => linkInto(dataDir, dst.dataDir, f.path))
+    // deletion vectors travel with the files they mask: link every
+    // parquet inside each referenced vector dir
+    e.files.flatMap(_.dv).distinct.foreach { ref =>
+      val s = Files.list(dvRoot.resolve(ref))
+      try s.iterator().asScala.filter(Files.isRegularFile(_)).foreach(p =>
+        linkInto(dvRoot, dst.dvRoot, ref + "/" + p.getFileName.toString))
+      finally s.close()
+    }
+    val props = e.properties.filterNot(_._1.startsWith("graft.txn."))
+    dst.commit(LogEntry(0L, System.currentTimeMillis(), "CLONE",
+      e.dirs, e.schema, e.partitionColumns, props, e.files,
+      metrics = Map("numClonedFiles" -> e.files.size.toString,
+        "sourceTable" -> location, "sourceVersion" -> e.version.toString)))
+    dst
+  }
+
   /** Export the CURRENT snapshot as a standalone Delta Lake table — the
     * reverse of [[graft.sources.DeltaImport]] (switch back, or hand the
     * table to any Delta reader). Emits the public PROTOCOL: one
