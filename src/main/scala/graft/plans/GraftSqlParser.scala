@@ -11,7 +11,8 @@ import graft.tables.ManagedTable
 
 /** SQL statement surface for the managed-table layer (the delta-spark
   * pattern: a thin delegating parser so `DELETE FROM`, `UPDATE`,
-  * `OPTIMIZE … ZORDER BY`, `DESCRIBE HISTORY` and `VACUUM` are drivable
+  * `OPTIMIZE … ZORDER BY`, `DESCRIBE HISTORY`, `VACUUM`,
+  * `RESTORE … TO VERSION AS OF` and `CLONE … TO` are drivable
   * from `spark.sql`, with the table addressed by path as
   * ``graft.`/path/to/table` `` — mirroring Delta's ``delta.`/path` ``
   * syntax). Anything that doesn't match the graft grammar delegates to
@@ -58,6 +59,10 @@ object GraftSqlParser {
     s"""(?is)\\s*DESC(?:RIBE)?\\s+HISTORY\\s+$Ref\\s*;?\\s*""".r
   private val VacuumRe =
     s"""(?is)\\s*VACUUM\\s+$Ref\\s*(?:RETAIN\\s+([0-9.]+)\\s+HOURS)?\\s*;?\\s*""".r
+  private val RestoreRe =
+    s"""(?is)\\s*RESTORE\\s+(?:TABLE\\s+)?$Ref\\s+TO\\s+VERSION\\s+AS\\s+OF\\s+(\\d+)\\s*;?\\s*""".r
+  private val CloneRe =
+    s"""(?is)\\s*CLONE\\s+$Ref\\s+TO\\s+$Ref\\s*;?\\s*""".r
 
   private def unq(path: String): String = path.replace("``", "`")
 
@@ -79,6 +84,10 @@ object GraftSqlParser {
           .flatMap(_.split(',').toSeq).map(_.trim).filter(_.nonEmpty)
         Some(GraftOptimizeCommand(unq(path), cols))
       case HistoryRe(path) => Some(GraftHistoryCommand(unq(path)))
+      case RestoreRe(path, v) =>
+        Some(GraftRestoreCommand(unq(path), v.toLong))
+      case CloneRe(src, dst) =>
+        Some(GraftCloneCommand(unq(src), unq(dst)))
       case VacuumRe(path, hours) =>
         Some(GraftVacuumCommand(unq(path),
           Option(hours).map(_.toDouble).getOrElse(7 * 24.0)))
@@ -209,6 +218,33 @@ final case class GraftHistoryCommand(path: String) extends LeafRunnableCommand {
   * retention) → (directories/files deleted, bytes freed). The staged-write
   * age floor always applies, as in the API form.
   */
+/** `RESTORE [TABLE] graft.`path` TO VERSION AS OF n` → restored version. */
+final case class GraftRestoreCommand(path: String, version: Long)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("restored_version", LongType, nullable = false)(),
+    AttributeReference("new_version", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val t = ManagedTable.forPath(spark, path)
+    t.restore(version)
+    Seq(Row(version, t.latestVersion))
+  }
+}
+
+/** `CLONE graft.`src` TO graft.`dst`` → zero-copy clone (cloneTo). */
+final case class GraftCloneCommand(src: String, dst: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("cloned_files", LongType, nullable = false)(),
+    AttributeReference("source_version", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val s = ManagedTable.forPath(spark, src)
+    val v = s.latestVersion
+    val c = s.cloneTo(dst)
+    Seq(Row(c.detail.numFiles, v))
+  }
+}
+
 final case class GraftVacuumCommand(path: String, retainHours: Double)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(

@@ -117,6 +117,23 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(spark.sql("SELECT 1 + 1").head().getInt(0) == 2)
   }
 
+  test("RESTORE and CLONE statements round-trip") {
+    import graft.tables.ManagedTable
+    val path = tmpDir("sqlrestore")
+    val t = ManagedTable.create(
+      spark.range(50).selectExpr("id AS k"), path)
+    spark.sql(s"DELETE FROM graft.`$path` WHERE k < 25")
+    assert(t.toDF.count() == 25)
+    val r = spark.sql(s"RESTORE TABLE graft.`$path` TO VERSION AS OF 0").head()
+    assert(r.getLong(0) == 0L && r.getLong(1) == 2L)
+    assert(t.toDF.count() == 50, "restore must bring the deleted rows back")
+
+    val clonePath = path + "_clone"
+    val c = spark.sql(s"CLONE graft.`$path` TO graft.`$clonePath`").head()
+    assert(c.getLong(1) == 2L, "clone records the source version")
+    assert(ManagedTable.forPath(spark, clonePath).toDF.count() == 50)
+  }
+
   test("statement splitter honors double-quoted literals and escapes; " +
        "table_changes rejects a non-boolean net flag") {
     import graft.tables.ManagedTable
