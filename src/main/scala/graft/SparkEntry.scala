@@ -236,9 +236,9 @@ object SparkEntry {
         base, properties = Map(ManagedTable.cdfPropKey -> "true")) // v0
       val omax = orders.agg(max("o_orderkey")).head().getLong(0)
       val vBase = tbl.latestVersion
-      tbl.delete(s"o_orderkey < ${omax / 10}") // v2
+      tbl.delete(s"o_orderkey < ${omax / 10}") // v1
       tbl.update(Map("o_orderpriority" -> "'9-REPRICED'"),
-        Some("o_totalprice > 400000")) // v3
+        Some("o_totalprice > 400000")) // v2
       tbl.changes(vBase).drop("_commit_timestamp")
     }),
 

@@ -214,10 +214,6 @@ final case class GraftHistoryCommand(path: String) extends LeafRunnableCommand {
     ManagedTable.forPath(spark, path).history.collect().toSeq
 }
 
-/** `VACUUM graft.`path` [RETAIN n HOURS]` (default 168, Delta's default
-  * retention) → (directories/files deleted, bytes freed). The staged-write
-  * age floor always applies, as in the API form.
-  */
 /** `RESTORE [TABLE] graft.`path` TO VERSION AS OF n` → restored version. */
 final case class GraftRestoreCommand(path: String, version: Long)
     extends LeafRunnableCommand {
@@ -245,6 +241,10 @@ final case class GraftCloneCommand(src: String, dst: String)
   }
 }
 
+/** `VACUUM graft.`path` [RETAIN n HOURS]` (default 168, Delta's default
+  * retention) → (directories/files deleted, bytes freed). The staged-write
+  * age floor always applies, as in the API form.
+  */
 final case class GraftVacuumCommand(path: String, retainHours: Double)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(

@@ -70,15 +70,19 @@ class CdfSourceProvider extends StreamSourceProvider with DataSourceRegister {
       } else {
         val b = parameters.get("startingVersion").map(_.toLong - 1)
           .getOrElse(table.latestVersion)
-        val tmp = new HadoopPath(metadataPath,
-          s"graft-cdf-base.${java.util.UUID.randomUUID()}.tmp")
-        val out = fs.create(tmp, true)
-        try out.write(b.toString.getBytes("UTF-8")) finally out.close()
-        // atomic publish; if a concurrent creator won the rename, defer
-        // to ITS persisted value — both anchors must agree forever after
-        if (fs.rename(tmp, mPath)) b
-        else {
-          fs.delete(tmp, false)
+        // exclusive create (overwrite = false) is the put-if-absent:
+        // a tmp+rename publish would NOT be — local-FS rename silently
+        // REPLACES an existing destination, so a racing creator could
+        // overwrite the winner's anchor after it was already used
+        val out =
+          try fs.create(mPath, false)
+          catch { case _: java.io.IOException => null }
+        if (out != null) {
+          try out.write(b.toString.getBytes("UTF-8")) finally out.close()
+          b
+        } else {
+          // lost the create race (or a real IO fault): defer to the
+          // winner's persisted value — both anchors must agree forever
           if (!fs.exists(mPath)) throw new IllegalStateException(
             s"cannot persist graft-cdf initial offset under $metadataPath")
           val in = fs.open(mPath)

@@ -74,6 +74,18 @@ class GraftSink(spark: SparkSession, path: String,
     val table =
       if (ManagedTable.exists(path)) ManagedTable.forPath(spark, path)
       else ManagedTable.create(batch.limit(0), path, partitionColumns)
+    // append aligns to the TABLE schema, silently discarding unknown
+    // stream columns — for a sink that must fail loud (Delta's sink
+    // raises on schema mismatch); mergeSchema=true opts into widening
+    if (!mergeSchema) {
+      val tableCols = table.schema.fieldNames.map(_.toLowerCase).toSet
+      val extra = batch.schema.fieldNames.filterNot(c =>
+        tableCols(c.toLowerCase))
+      if (extra.nonEmpty) throw new IllegalStateException(
+        s"graft sink: stream columns ${extra.mkString(", ")} are not in " +
+          s"the target table's schema at $path; drop them, or set " +
+          "option(\"mergeSchema\", \"true\") to widen the table")
+    }
     table.append(batch, mergeSchema = mergeSchema,
       operation = "STREAMING APPEND", txn = Some((s"sink.$appId", batchId)))
   }

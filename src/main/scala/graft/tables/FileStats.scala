@@ -140,7 +140,7 @@ object FileStats {
   /** Inverse of Spark's `escapePathName` (%XX per escaped char; non-ASCII
     * is written raw, so single-char decode is exact).
     */
-  private def unescapePath(s: String): String = {
+  private[tables] def unescapePath(s: String): String = {
     if (!s.contains('%')) return s
     val out = new java.lang.StringBuilder(s.length)
     var i = 0

@@ -221,6 +221,21 @@ final class ManagedTable private (val spark: SparkSession, val location: String)
     require(version >= 0 && version <= latestVersion,
       s"Version $version out of range [0, $latestVersion]")
     val src = readEntry(version)
+    // a vacuumed snapshot must refuse HERE, not commit a version whose
+    // every subsequent read throws "references vacuumed data"
+    src.files.find(f => !Files.isRegularFile(dataDir.resolve(f.path)))
+      .foreach { f =>
+        throw new IllegalStateException(
+          s"Cannot restore $location to v$version: it references " +
+            s"vacuumed data (${f.path}); restore is limited to the " +
+            "vacuum retention window")
+      }
+    src.files.flatMap(_.dv).distinct
+      .find(r => !Files.isDirectory(dvRoot.resolve(r))).foreach { r =>
+        throw new IllegalStateException(
+          s"Cannot restore $location to v$version: it references a " +
+            s"vacuumed deletion vector ($r)")
+      }
     val cur = latestEntry
     // copy() from the latest entry MUST drop per-commit payloads: an
     // inherited `cdc` would make changes() re-emit the previous commit's
@@ -1092,9 +1107,11 @@ final class ManagedTable private (val spark: SparkSession, val location: String)
     * delete+insert pairs).
     * Commits without a sidecar (appends, overwrites, RESTORE,
     * pre-property commits, and `net = false` raw mode) derive the delta
-    * from the per-commit file snapshots — EXCEPT deletion-vector
-    * commits, whose deletes are invisible to the snapshot file-diff;
-    * those read their (unconditional) sidecar in every mode: rows of files the commit ADDED
+    * from the per-commit file snapshots — EXCEPT deletion-vector DML
+    * commits, whose deletes are invisible to the path diff; those read
+    * their (unconditional) sidecar in every mode, and a SIDECAR-LESS
+    * vector change (RESTORE across a DV commit) derives by diffing the
+    * masked rows of just the re-vectored files: rows of files the commit ADDED
     * vs REMOVED, with `net = true` cancelling value-identical
     * delete/insert pairs — the carryover rows a file-granular rewrite
     * copies unchanged — via `exceptAll` joins bounded by the commit's
@@ -1175,10 +1192,6 @@ final class ManagedTable private (val spark: SparkSession, val location: String)
       }
       if (e.operation == "OPTIMIZE") Nil // rewrite-only: no data change
       else if ((net && useSidecar || dvOnly) && e.cdc.nonEmpty) sidecarFrames
-      else if (dvOnly)
-        throw new IllegalStateException(
-          s"Version $v of $location is a deletion-vector commit without " +
-            "change data; its feed cannot be derived from snapshots")
       else {
         if (e.files.isEmpty && e.dirs.nonEmpty || p.files.isEmpty && p.dirs.nonEmpty)
           throw new IllegalStateException(
@@ -1188,12 +1201,34 @@ final class ManagedTable private (val spark: SparkSession, val location: String)
         val ef = e.files.map(f => f.path -> f).toMap
         val added = (ef.keySet diff pf.keySet).toSeq.sorted.map(ef)
         val removed = (pf.keySet diff ef.keySet).toSeq.sorted.map(pf)
-        val ins =
+        // a commit can also change rows by swapping a file's deletion
+        // vector with NO sidecar (RESTORE across a DV commit): derive
+        // that delta by diffing the masked rows of just those files —
+        // rows visible only after = inserts (a dropped vector
+        // re-exposes them), visible only before = deletes
+        val dvChanged = (ef.keySet intersect pf.keySet).toSeq.sorted
+          .filter(k => ef(k).dv != pf(k).dv)
+        val (insDv, delDv) =
+          if (dvChanged.isEmpty) (None, None)
+          else {
+            val pre = project(
+              readFilesDF(dvChanged.map(pf), p.schema, v - 1), toSchema)
+            val post = project(
+              readFilesDF(dvChanged.map(ef), e.schema, v), toSchema)
+            (Some(post.exceptAll(pre)), Some(pre.exceptAll(post)))
+          }
+        def fuse(a: Option[DataFrame], b: Option[DataFrame]) = (a, b) match {
+          case (Some(x), Some(y)) => Some(x.unionByName(y))
+          case (x, y) => x.orElse(y)
+        }
+        val ins = fuse(
           if (added.isEmpty) None
-          else Some(project(readFilesDF(added, e.schema, v), toSchema))
-        val del =
+          else Some(project(readFilesDF(added, e.schema, v), toSchema)),
+          insDv)
+        val del = fuse(
           if (removed.isEmpty) None
-          else Some(project(readFilesDF(removed, p.schema, v - 1), toSchema))
+          else Some(project(readFilesDF(removed, p.schema, v - 1), toSchema)),
+          delDv)
         val (insNet, delNet) =
           if (!net) (ins, del)
           else (ins, del) match {
@@ -1712,7 +1747,10 @@ final class ManagedTable private (val spark: SparkSession, val location: String)
         val k = seg.substring(0, i)
         val raw = seg.substring(i + 1)
         if (raw == "__HIVE_DEFAULT_PARTITION__") { pv.putNull(k); () }
-        else { pv.put(k, java.net.URLDecoder.decode(raw, "UTF-8")); () }
+        // FileStats.unescapePath is the exact inverse of Spark's
+        // escapePathName; URLDecoder is NOT (it would turn a literal
+        // '+' — unescaped by Spark — into a space)
+        else { pv.put(k, FileStats.unescapePath(raw)); () }
       }
       a.put("size", f.bytes)
       a.put("modificationTime", Files.getLastModifiedTime(src).toMillis)

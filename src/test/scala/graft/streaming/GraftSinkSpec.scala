@@ -62,6 +62,24 @@ class GraftSinkSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("a stream column missing from the target schema fails loud " +
+       "(no silent drop); mergeSchema widens instead") {
+    val loc = tmpDir("gsink4")
+    ManagedTable.create(
+      spark.range(5).select(col("id").as("k")), loc)
+    val sink = new GraftSink(spark, loc, Nil, Some("gsink4"),
+      mergeSchema = false)
+    val batch = spark.range(5).select(col("id").as("k"), lit(1L).as("v"))
+    val e = intercept[IllegalStateException](sink.addBatch(0L, batch))
+    assert(e.getMessage.contains("v") && e.getMessage.contains("mergeSchema"))
+    val widening = new GraftSink(spark, loc, Nil, Some("gsink4"),
+      mergeSchema = true)
+    widening.addBatch(0L, batch)
+    val t = ManagedTable.forPath(spark, loc)
+    assert(t.schema.fieldNames.toSeq == Seq("k", "v"))
+    assert(t.toDF.count() == 10)
+  }
+
   test("graft-cdf source into graft sink: an incremental table mirror") {
     val srcLoc = tmpDir("gsink3src")
     val dstLoc = tmpDir("gsink3dst")

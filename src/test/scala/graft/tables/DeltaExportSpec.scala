@@ -72,6 +72,25 @@ class DeltaExportSpec extends SparkSpec {
     assert(back.exceptAll(t.toDF).isEmpty)
   }
 
+  test("partition values with '+' and space survive export (escapePathName " +
+       "inverse, not URL decoding)") {
+    val t = ManagedTable.create(
+      Seq((1L, "a+b"), (2L, "a b"), (3L, "plain")).toDF("k", "p"),
+      tmpDir("dxp6"), partitionBy = Seq("p"))
+    val target = tmpDir("dxp6_delta")
+    t.exportDelta(target)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val log = java.nio.file.Files.readString(java.nio.file.Paths.get(
+      target, "_delta_log", f"${0L}%020d.json"))
+    val pvs = log.linesIterator.map(mapper.readTree)
+      .filter(_.has("add"))
+      .map(_.get("add").get("partitionValues").get("p").asText()).toSet
+    assert(pvs == Set("a+b", "a b", "plain"),
+      s"partition values must round-trip exactly, got $pvs")
+    val back = DeltaImport.toDF(spark, target)
+    assert(back.filter(col("p") === "a+b").count() == 1)
+  }
+
   test("live deletion vectors refuse; optimize() then exports") {
     val t = ManagedTable.create(
       spark.range(100).select(col("id").as("k"), col("id").as("v")),

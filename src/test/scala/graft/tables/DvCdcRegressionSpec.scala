@@ -66,6 +66,34 @@ class DvCdcRegressionSpec extends SparkSpec {
     assert(byVersion.length == 1)
   }
 
+  test("RESTORE across a DV commit feeds changes() — re-exposed rows are " +
+       "inserts; restore to a vacuumed version refuses loud") {
+    val t = fixture("dvc4")
+    val vPre = t.latestVersion
+    assert(t.delete("k < 30") == 30) // DV commit (sidecar'd)
+    t.restore(vPre) // sidecar-LESS vector change: the 30 rows come back
+    assert(t.toDF.count() == 1000)
+    val feed = t.changes(vPre).groupBy("_change_type", "_commit_version")
+      .count().collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(feed((("delete", vPre + 1))) == 30L, s"got $feed")
+    assert(feed((("insert", vPre + 2))) == 30L,
+      s"the restore must emit the re-exposed rows as inserts, got $feed")
+    // net across the whole range: delete+insert cancel commit-by-commit,
+    // never across commits — both legs stay visible
+    assert(t.changes(vPre).count() == 60)
+
+    // restore to a reclaimed version refuses instead of committing a
+    // snapshot whose every read would throw
+    val t2 = fixture("dvc5")
+    t2.delete("k < 10")
+    t2.optimize(targetFileSizeBytes = 128L * 1024 * 1024)
+    t2.vacuum(retainVersions = 1, minAgeMillis = 0)
+    val e = intercept[IllegalStateException](t2.restore(0))
+    assert(e.getMessage.contains("vacuumed"))
+    assert(t2.toDF.count() == 990, "the failed restore must not commit")
+  }
+
   test("raw-mode changes() surfaces DV deletes and updates via the sidecar") {
     val t = fixture("dvc3")
     val v0 = t.latestVersion
