@@ -177,10 +177,14 @@ object DeltaImport {
   }
 
   /** CLONE the Delta table into a graft [[ManagedTable]] (the switching
-    * path: one call, then every graft operator applies). Data +
-    * partitioning + `delta.*`-stripped table properties copy; Delta
-    * history does not (same contract as the reference's copy_table,
-    * mack/__init__.py:287-325).
+    * path: one call, then every graft operator applies). ZERO-COPY: the
+    * snapshot's live parquet files hard-link into the managed layout
+    * (Delta data files are immutable, and a Delta-side VACUUM only
+    * unlinks — shared inodes survive), so the import is O(metadata) —
+    * one footer pass for stats — not a rewrite; a 100 TB migration
+    * moves no data. Partitioning + `delta.*`-stripped table properties
+    * carry over; Delta history does not (same contract as the
+    * reference's copy_table, mack/__init__.py:287-325).
     */
   def importTable(spark: SparkSession, deltaPath: String,
                   targetPath: String): ManagedTable = {
@@ -188,8 +192,32 @@ object DeltaImport {
     val props = snap.configuration.collect {
       case (k, v) if !k.startsWith("delta.") => k -> v
     }
-    ManagedTable.create(toDF(spark, deltaPath), targetPath,
-      partitionBy = snap.partitionColumns, properties = props)
+    if (snap.partitionColumns.nonEmpty)
+      snap.files.find(f => !snap.partitionColumns.forall(c =>
+        f.contains(c + "="))).foreach { f =>
+        throw new IllegalStateException(
+          s"Partitioned Delta file without hive-layout path: $f " +
+            "(non-hive layouts are not supported)")
+      }
+    // an empty snapshot has nothing to link — an empty CREATE commit
+    // carries the schema
+    if (snap.files.isEmpty)
+      return ManagedTable.create(toDF(spark, deltaPath), targetPath,
+        partitionBy = snap.partitionColumns, properties = props)
+    // one adopted-uuid dir per import; the Delta-relative path (incl.
+    // its hive k=v segments) becomes the path under it, slashes in any
+    // non-hive prefix flattened so partition parsing sees ONLY k=v dirs
+    val uuid = java.util.UUID.randomUUID().toString
+    val links = snap.files.map { f =>
+      val segs = f.split('/').filter(_.nonEmpty)
+      val (hive, plain) = segs.init.partition(_.contains("="))
+      val name = (plain :+ segs.last).mkString("-")
+      val rel = (uuid +: hive :+ name).mkString("/")
+      (Paths.get(deltaPath, f), rel)
+    }
+    ManagedTable.adoptFiles(spark, targetPath, links,
+      schema = snap.schema, partitionBy = snap.partitionColumns,
+      properties = props)
   }
 
   /** Delta `add.path` values are URL-encoded, table-root-relative. */

@@ -1977,6 +1977,47 @@ object ManagedTable {
   }
 
   /** Create a new table at `location` from `df`. */
+  /** CREATE a table by ADOPTING existing parquet files — hard links into
+    * the table's data dir (copy fallback across devices), one footer
+    * pass for stats, one CONVERT commit. O(metadata) regardless of data
+    * size: this is how a 100 TB external parquet/Delta dataset becomes a
+    * managed table without rewriting a byte (Delta's CONVERT TO DELTA).
+    *
+    * `files` maps each source file to its data-dir-relative target path
+    * (`<uuid>/[k=v/…/]name.parquet` — hive segments carry the partition
+    * values, exactly like written data). The sources must be immutable
+    * for the table's lifetime — true for Delta/graft data files; a
+    * source-side vacuum only unlinks, the shared inodes live on.
+    */
+  private[graft] def adoptFiles(spark: SparkSession, location: String,
+                                files: Seq[(Path, String)],
+                                schema: StructType,
+                                partitionBy: Seq[String],
+                                properties: Map[String, String],
+                                operation: String = "CONVERT"): ManagedTable = {
+    require(!exists(location), s"Table already exists: $location")
+    require(files.nonEmpty, "adoptFiles requires at least one file")
+    val t = new ManagedTable(spark, location)
+    files.foreach { case (src, rel) =>
+      val dst = t.dataDir.resolve(rel)
+      Option(dst.getParent).foreach(Files.createDirectories(_))
+      try { Files.createLink(dst, src); () }
+      catch {
+        case _: UnsupportedOperationException | _: java.nio.file.FileSystemException =>
+          Files.copy(src, dst); ()
+      }
+    }
+    val dirs = files.map { case (_, rel) =>
+      rel.substring(0, rel.lastIndexOf('/'))
+    }.distinct
+    val stats = t.statsFor(dirs, schema)
+    t.commit(LogEntry(0L, System.currentTimeMillis(), operation,
+      dirs, schema, partitionBy, properties, stats,
+      metrics = writeMetrics(stats) +
+        ("numConvertedFiles" -> files.size.toString)))
+    t
+  }
+
   def create(df: DataFrame, location: String,
              partitionBy: Seq[String] = Nil,
              properties: Map[String, String] = Map.empty): ManagedTable = {

@@ -118,6 +118,21 @@ class DeltaImportSpec extends SparkSpec {
     assert(t.toDF.count() == 3)
     // partition pruning works on the clone
     assert(t.toDFWhere("p = 2").count() == 1)
+    // the import is ZERO-COPY on one filesystem: every adopted parquet is
+    // a hard link to the Delta file, not a rewrite
+    val walked = Files.walk(Paths.get(t.location, "data"))
+    val linked = try {
+      import scala.jdk.CollectionConverters._
+      val ps = walked.iterator().asScala
+        .filter(_.toString.endsWith(".parquet")).toSeq
+      ps.nonEmpty && ps.forall(p => Files.getAttribute(p, "unix:nlink")
+        .asInstanceOf[Number].intValue() >= 2)
+    } finally walked.close()
+    assert(linked, "adopted files must be hard links")
+    // the clone keeps working after its own DML (link-adopted files
+    // rewrite like written ones)
+    assert(t.delete("p = 2") == 1)
+    assert(t.toDF.count() == 2)
   }
 
   test("checkpoint baseline + JSON tail replay") {
