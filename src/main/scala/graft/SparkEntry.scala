@@ -285,6 +285,22 @@ object SparkEntry {
       sources.DeltaImport.importTable(s, base, clone).toDF
     }),
 
+    // CONVERT TO DELTA analog: adopt the raw testdata parquet AS a
+    // managed table (hard links, footer stats, no rewrite), then prove
+    // the adopted stats work by running file-granular DML on it — the
+    // survivors must hash-match the oracle's WHERE re-derivation.
+    "table_convert" -> ((s, dir) => {
+      val base = "/root/repo/target/tmp/q_convert"
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm); f.delete(); ()
+      }
+      rm(new java.io.File(base))
+      val tbl = ManagedTable.convert(s, s"$dir/orders.parquet", base)
+      val omax = tbl.toDF.agg(max("o_orderkey")).head().getLong(0)
+      tbl.delete(s"o_orderkey < ${omax / 20}")
+      tbl.toDF
+    }),
+
     // Zero-copy CLONE: the clone must equal the source snapshot and stay
     // INDEPENDENT — a post-clone DELETE on the source (and a source
     // vacuum reclaiming the deleted files) must not lose the clone a
@@ -1006,6 +1022,11 @@ object SparkEntry {
     // the clone is the PRE-delete snapshot, unaffected by the source's
     // later DML + vacuum
     "table_clone" -> "SELECT * FROM orders",
+
+    // the converted table post-DELETE: survivors only
+    "table_convert" ->
+      """SELECT * FROM orders
+        |WHERE NOT (o_orderkey < (SELECT max(o_orderkey) // 20 FROM orders))""".stripMargin,
 
     // the exported snapshot is post-DELETE: survivors only
     "delta_export" ->

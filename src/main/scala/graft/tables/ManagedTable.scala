@@ -2018,6 +2018,52 @@ object ManagedTable {
     t
   }
 
+  /** CONVERT an existing plain-parquet directory (optionally
+    * hive-partitioned) into a managed table — the public face of
+    * [[adoptFiles]] for non-Delta data (Delta tables go through
+    * [[graft.sources.DeltaImport.importTable]]). Zero-copy: files
+    * hard-link, one footer pass, one commit. `schema` defaults to
+    * Spark's inference over the directory (pass it explicitly to pin
+    * types); `partitionBy` names must match the directory's `k=v`
+    * layout.
+    */
+  def convert(spark: SparkSession, sourceDir: String, location: String,
+              partitionBy: Seq[String] = Nil,
+              properties: Map[String, String] = Map.empty): ManagedTable = {
+    val asFile = Paths.get(sourceDir)
+    // a bare parquet FILE converts as a one-file table
+    val root = if (Files.isRegularFile(asFile)) asFile.getParent else asFile
+    require(Files.isDirectory(root), s"Not a directory: $sourceDir")
+    val files =
+      if (Files.isRegularFile(asFile)) Seq(asFile.getFileName.toString)
+      else {
+        val s = Files.walk(root)
+        try s.iterator().asScala
+          .filter(p => Files.isRegularFile(p) &&
+            p.getFileName.toString.endsWith(".parquet") &&
+            !p.getFileName.toString.startsWith("."))
+          .map(root.relativize(_).toString).toSeq.sorted
+        finally s.close()
+      }
+    require(files.nonEmpty, s"No parquet files under $sourceDir")
+    if (partitionBy.nonEmpty)
+      files.find(f => !partitionBy.forall(c => f.contains(c + "=")))
+        .foreach { f =>
+          throw new IllegalArgumentException(
+            s"File $f lacks hive-layout segments for $partitionBy")
+        }
+    val schema = spark.read.option("mergeSchema", "true")
+      .option("basePath", root.toString).parquet(sourceDir).schema
+    val uuid = UUID.randomUUID().toString
+    val links = files.map { f =>
+      val segs = f.split('/').filter(_.nonEmpty)
+      val (hive, plain) = segs.init.partition(_.contains("="))
+      val name = (plain :+ segs.last).mkString("-")
+      (root.resolve(f), (uuid +: hive :+ name).mkString("/"))
+    }
+    adoptFiles(spark, location, links, schema, partitionBy, properties)
+  }
+
   def create(df: DataFrame, location: String,
              partitionBy: Seq[String] = Nil,
              properties: Map[String, String] = Map.empty): ManagedTable = {
