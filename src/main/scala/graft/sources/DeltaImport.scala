@@ -157,13 +157,7 @@ object DeltaImport {
     if (snap.files.isEmpty)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], snap.schema)
-    if (snap.partitionColumns.nonEmpty)
-      snap.files.find(f => !snap.partitionColumns.forall(c =>
-        f.contains(c + "="))).foreach { f =>
-        throw new IllegalStateException(
-          s"Partitioned Delta file without hive-layout path: $f " +
-            "(non-hive layouts are not supported)")
-      }
+    ManagedTable.requireHiveLayout(snap.files, snap.partitionColumns)
     val abs = snap.files.map(f => Paths.get(tablePath, f).toString)
     val raw = spark.read
       .option("mergeSchema", "true")
@@ -192,13 +186,6 @@ object DeltaImport {
     val props = snap.configuration.collect {
       case (k, v) if !k.startsWith("delta.") => k -> v
     }
-    if (snap.partitionColumns.nonEmpty)
-      snap.files.find(f => !snap.partitionColumns.forall(c =>
-        f.contains(c + "="))).foreach { f =>
-        throw new IllegalStateException(
-          s"Partitioned Delta file without hive-layout path: $f " +
-            "(non-hive layouts are not supported)")
-      }
     // an empty snapshot has nothing to link — an empty CREATE commit
     // carries the schema
     if (snap.files.isEmpty)
@@ -207,14 +194,9 @@ object DeltaImport {
     // one adopted-uuid dir per import; the Delta-relative path (incl.
     // its hive k=v segments) becomes the path under it, slashes in any
     // non-hive prefix flattened so partition parsing sees ONLY k=v dirs
-    val uuid = java.util.UUID.randomUUID().toString
-    val links = snap.files.map { f =>
-      val segs = f.split('/').filter(_.nonEmpty)
-      val (hive, plain) = segs.init.partition(_.contains("="))
-      val name = (plain :+ segs.last).mkString("-")
-      val rel = (uuid +: hive :+ name).mkString("/")
-      (Paths.get(deltaPath, f), rel)
-    }
+    val links = ManagedTable
+      .planAdoption(snap.files, snap.partitionColumns)
+      .map { case (f, rel) => (Paths.get(deltaPath, f), rel) }
     ManagedTable.adoptFiles(spark, targetPath, links,
       schema = snap.schema, partitionBy = snap.partitionColumns,
       properties = props)

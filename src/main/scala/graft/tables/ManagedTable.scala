@@ -885,7 +885,22 @@ final class ManagedTable private (val spark: SparkSession, val location: String)
     val latest = latestVersion
     require(latest >= 0, s"No committed version at $location")
     val keepFrom = math.max(0L, latest - retainVersions + 1)
-    val retainedEntries = (keepFrom to latest).map(readEntry)
+    val ageCutoff = System.currentTimeMillis() - minAgeMillis
+    // Retention = version count ∪ RECENCY: any version committed within
+    // the grace period keeps its whole snapshot, regardless of
+    // retainVersions. The per-file mtime gate below cannot carry this on
+    // its own for ADOPTED files (convert/importTable hard-link the
+    // source inode, whose mtime predates the table — touching it would
+    // mutate the source), so recency is keyed to commit timestamps: a
+    // file is reclaimed only once every version that referenced it is
+    // older than the cutoff. Backward walk stops at the first old (or
+    // cleaned-up) entry — O(versions within the grace window).
+    val recentEntries = Iterator.iterate(keepFrom - 1)(_ - 1)
+      .takeWhile(_ >= 0)
+      .map(v => scala.util.Try(readEntry(v)).toOption)
+      .takeWhile(_.exists(_.timestampMs > ageCutoff))
+      .flatten.toSeq
+    val retainedEntries = (keepFrom to latest).map(readEntry) ++ recentEntries
     val retained: Set[String] = retainedEntries.flatMap(_.dirs).toSet
     // file-granular retention: the union of per-file snapshots lets a
     // still-referenced commit dir shed files replaced by a file-pruned
@@ -895,7 +910,6 @@ final class ManagedTable private (val spark: SparkSession, val location: String)
     val wholeDirUuids: Set[String] = retainedEntries
       .filter(en => en.files.isEmpty && en.dirs.nonEmpty)
       .flatMap(_.dirs.map(_.takeWhile(_ != '/'))).toSet
-    val ageCutoff = System.currentTimeMillis() - minAgeMillis
     var dirsDeleted = 0L
     var bytesFreed = 0L
     def sizeOf(p: Path): Long = {
@@ -1976,7 +1990,50 @@ object ManagedTable {
     new ManagedTable(spark, location)
   }
 
-  /** Create a new table at `location` from `df`. */
+  /** Require every file path to carry a `c=…` HIVE SEGMENT for each
+    * partition column — segment-wise (`startsWith(c + "=")` on each
+    * directory level), not a substring scan, so `fiscalyear=2020` does
+    * not satisfy `partitionBy = Seq("year")`. Shared refusal for
+    * [[convert]] and [[graft.sources.DeltaImport]].
+    */
+  private[graft] def requireHiveLayout(files: Seq[String],
+                                       partitionBy: Seq[String]): Unit =
+    if (partitionBy.nonEmpty)
+      files.find { f =>
+        val dirs = f.split('/').filter(_.nonEmpty).dropRight(1)
+        !partitionBy.forall(c => dirs.exists(_.startsWith(c + "=")))
+      }.foreach { f =>
+        throw new IllegalArgumentException(
+          s"File $f lacks hive-layout segments for $partitionBy")
+      }
+
+  /** Plan adoption targets for source-relative `files`: one fresh uuid
+    * dir, hive `k=v` segments preserved as directories, any non-hive
+    * prefix segments flattened into the file name. Flattening can
+    * collide (`a/b-c.parquet` and `a-b/c.parquet` both yield
+    * `a-b-c.parquet`), so duplicates get a deterministic `-dupN` suffix
+    * — input is sorted first so the numbering is stable. Shared by
+    * [[convert]] and [[graft.sources.DeltaImport.importTable]].
+    */
+  private[graft] def planAdoption(files: Seq[String],
+                                  partitionBy: Seq[String])
+      : Seq[(String, String)] = {
+    requireHiveLayout(files, partitionBy)
+    val uuid = UUID.randomUUID().toString
+    val seen = scala.collection.mutable.Map.empty[String, Int]
+    files.sorted.map { f =>
+      val segs = f.split('/').filter(_.nonEmpty)
+      val (hive, plain) = segs.init.partition(_.contains("="))
+      val base = (plain :+ segs.last).mkString("-")
+      val n = seen.getOrElse((hive :+ base).mkString("/"), 0)
+      seen((hive :+ base).mkString("/")) = n + 1
+      val name =
+        if (n == 0) base
+        else base.stripSuffix(".parquet") + s"-dup$n.parquet"
+      (f, (uuid +: hive :+ name).mkString("/"))
+    }
+  }
+
   /** CREATE a table by ADOPTING existing parquet files — hard links into
     * the table's data dir (copy fallback across devices), one footer
     * pass for stats, one CONVERT commit. O(metadata) regardless of data
@@ -1998,14 +2055,31 @@ object ManagedTable {
     require(!exists(location), s"Table already exists: $location")
     require(files.nonEmpty, "adoptFiles requires at least one file")
     val t = new ManagedTable(spark, location)
-    files.foreach { case (src, rel) =>
+    try files.foreach { case (src, rel) =>
       val dst = t.dataDir.resolve(rel)
       Option(dst.getParent).foreach(Files.createDirectories(_))
       try { Files.createLink(dst, src); () }
       catch {
+        // a target collision is a planning bug, not a cross-device
+        // condition — surface it instead of retrying as a copy
+        case e: java.nio.file.FileAlreadyExistsException => throw e
         case _: UnsupportedOperationException | _: java.nio.file.FileSystemException =>
           Files.copy(src, dst); ()
       }
+    } catch {
+      case e: Throwable =>
+        // no commit exists yet, so the half-linked uuid dirs are
+        // invisible — unlink them (links only; source inodes live on)
+        files.map(_._2.takeWhile(_ != '/')).distinct.foreach { uuid =>
+          val d = t.dataDir.resolve(uuid)
+          if (Files.isDirectory(d)) {
+            val s = Files.walk(d)
+            try s.iterator().asScala.toSeq.reverse.foreach(p =>
+              try Files.delete(p) catch { case _: java.io.IOException => () })
+            finally s.close()
+          }
+        }
+        throw e
     }
     val dirs = files.map { case (_, rel) =>
       rel.substring(0, rel.lastIndexOf('/'))
@@ -2023,13 +2097,17 @@ object ManagedTable {
     * [[adoptFiles]] for non-Delta data (Delta tables go through
     * [[graft.sources.DeltaImport.importTable]]). Zero-copy: files
     * hard-link, one footer pass, one commit. `schema` defaults to
-    * Spark's inference over the directory (pass it explicitly to pin
-    * types); `partitionBy` names must match the directory's `k=v`
-    * layout.
+    * Spark's `mergeSchema` inference over the directory (an extra
+    * footer pass; pass it explicitly to pin types AND skip that pass —
+    * it must then include the partition columns); `partitionBy` names
+    * must match the directory's `k=v` layout. Files under hidden or
+    * metadata directories (`.…`, `_temporary`, `_delta_log`, …) are
+    * skipped, matching what `spark.read.parquet` would scan.
     */
   def convert(spark: SparkSession, sourceDir: String, location: String,
               partitionBy: Seq[String] = Nil,
-              properties: Map[String, String] = Map.empty): ManagedTable = {
+              properties: Map[String, String] = Map.empty,
+              schema: Option[StructType] = None): ManagedTable = {
     val asFile = Paths.get(sourceDir)
     // a bare parquet FILE converts as a one-file table
     val root = if (Files.isRegularFile(asFile)) asFile.getParent else asFile
@@ -2040,30 +2118,28 @@ object ManagedTable {
         val s = Files.walk(root)
         try s.iterator().asScala
           .filter(p => Files.isRegularFile(p) &&
-            p.getFileName.toString.endsWith(".parquet") &&
-            !p.getFileName.toString.startsWith("."))
-          .map(root.relativize(_).toString).toSeq.sorted
+            p.getFileName.toString.endsWith(".parquet"))
+          .map(root.relativize(_).toString)
+          // Spark's reader ignores `.`/`_`-prefixed path segments at
+          // EVERY level (leftover _temporary dirs, _delta_log
+          // checkpoints); adopting them would corrupt the table
+          .filter(!_.split('/').exists(seg =>
+            seg.startsWith(".") || seg.startsWith("_")))
+          .toSeq.sorted
         finally s.close()
       }
     require(files.nonEmpty, s"No parquet files under $sourceDir")
-    if (partitionBy.nonEmpty)
-      files.find(f => !partitionBy.forall(c => f.contains(c + "=")))
-        .foreach { f =>
-          throw new IllegalArgumentException(
-            s"File $f lacks hive-layout segments for $partitionBy")
-        }
-    val schema = spark.read.option("mergeSchema", "true")
-      .option("basePath", root.toString).parquet(sourceDir).schema
-    val uuid = UUID.randomUUID().toString
-    val links = files.map { f =>
-      val segs = f.split('/').filter(_.nonEmpty)
-      val (hive, plain) = segs.init.partition(_.contains("="))
-      val name = (plain :+ segs.last).mkString("-")
-      (root.resolve(f), (uuid +: hive :+ name).mkString("/"))
+    val tableSchema = schema.getOrElse {
+      spark.read.option("mergeSchema", "true")
+        .option("basePath", root.toString)
+        .parquet(files.map(root.resolve(_).toString): _*).schema
     }
-    adoptFiles(spark, location, links, schema, partitionBy, properties)
+    val links = planAdoption(files, partitionBy)
+      .map { case (f, rel) => (root.resolve(f), rel) }
+    adoptFiles(spark, location, links, tableSchema, partitionBy, properties)
   }
 
+  /** Create a new table at `location` from `df`. */
   def create(df: DataFrame, location: String,
              partitionBy: Seq[String] = Nil,
              properties: Map[String, String] = Map.empty): ManagedTable = {
