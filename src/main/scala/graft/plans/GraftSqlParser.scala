@@ -12,7 +12,8 @@ import graft.tables.ManagedTable
 /** SQL statement surface for the managed-table layer (the delta-spark
   * pattern: a thin delegating parser so `DELETE FROM`, `UPDATE`,
   * `OPTIMIZE … ZORDER BY`, `DESCRIBE HISTORY`, `VACUUM`,
-  * `RESTORE … TO VERSION AS OF` and `CLONE … TO` are drivable
+  * `RESTORE … TO VERSION AS OF`, `CLONE … TO` and
+  * `CONVERT TO GRAFT` are drivable
   * from `spark.sql`, with the table addressed by path as
   * ``graft.`/path/to/table` `` — mirroring Delta's ``delta.`/path` ``
   * syntax). Anything that doesn't match the graft grammar delegates to
@@ -63,6 +64,13 @@ object GraftSqlParser {
     s"""(?is)\\s*RESTORE\\s+(?:TABLE\\s+)?$Ref\\s+TO\\s+VERSION\\s+AS\\s+OF\\s+(\\d+)\\s*;?\\s*""".r
   private val CloneRe =
     s"""(?is)\\s*CLONE\\s+$Ref\\s+TO\\s+$Ref\\s*;?\\s*""".r
+  // CONVERT TO GRAFT parquet.`/src` AS graft.`/dst` [PARTITIONED BY (p, …)]
+  // (Delta's CONVERT TO DELTA, with an explicit target since graft's log
+  // lives beside a data/ dir rather than inside the source); a delta.`…`
+  // source routes through the Delta log reader instead of a dir walk
+  private val SrcRef = """(?i)(parquet|delta)\s*\.\s*`((?:[^`]|``)+)`"""
+  private val ConvertRe =
+    s"""(?is)\\s*CONVERT\\s+TO\\s+GRAFT\\s+$SrcRef\\s+AS\\s+$Ref\\s*(?:PARTITIONED\\s+BY\\s*\\(\\s*([\\w\\s,]+?)\\s*\\))?\\s*;?\\s*""".r
 
   private def unq(path: String): String = path.replace("``", "`")
 
@@ -88,6 +96,10 @@ object GraftSqlParser {
         Some(GraftRestoreCommand(unq(path), v.toLong))
       case CloneRe(src, dst) =>
         Some(GraftCloneCommand(unq(src), unq(dst)))
+      case ConvertRe(format, src, dst, parts) =>
+        val cols = Option(parts).toSeq
+          .flatMap(_.split(',').toSeq).map(_.trim).filter(_.nonEmpty)
+        Some(GraftConvertCommand(format.toLowerCase, unq(src), unq(dst), cols))
       case VacuumRe(path, hours) =>
         Some(GraftVacuumCommand(unq(path),
           Option(hours).map(_.toDouble).getOrElse(7 * 24.0)))
@@ -238,6 +250,32 @@ final case class GraftCloneCommand(src: String, dst: String)
     val v = s.latestVersion
     val c = s.cloneTo(dst)
     Seq(Row(c.detail.numFiles, v))
+  }
+}
+
+/** `CONVERT TO GRAFT parquet.`src` AS graft.`dst` [PARTITIONED BY (…)]`
+  * → zero-copy adoption ([[ManagedTable.convert]]); a `delta.`src``
+  * source imports through the Delta log ([[graft.sources.DeltaImport]],
+  * where partitioning comes from the log and PARTITIONED BY is
+  * rejected as conflicting).
+  */
+final case class GraftConvertCommand(format: String, src: String,
+                                     dst: String, partitionBy: Seq[String])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("num_files", LongType, nullable = false)(),
+    AttributeReference("size_in_bytes", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val t = format match {
+      case "parquet" => ManagedTable.convert(spark, src, dst, partitionBy)
+      case "delta" =>
+        require(partitionBy.isEmpty,
+          "PARTITIONED BY conflicts with a delta source: partitioning " +
+            "comes from the Delta log")
+        graft.sources.DeltaImport.importTable(spark, src, dst)
+    }
+    val d = t.detail
+    Seq(Row(d.numFiles, d.sizeInBytes))
   }
 }
 

@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.types.{DataType, StructField, StructType}
 import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 import java.nio.file.{Files, Path, Paths}
 import scala.jdk.CollectionConverters._
@@ -35,7 +35,21 @@ object DeltaImport {
                                  schema: StructType,
                                  partitionColumns: Seq[String],
                                  configuration: Map[String, String],
-                                 files: Seq[String]) // table-root-relative
+                                 files: Seq[String]) { // table-root-relative
+    /** `delta.columnMapping.mode` — `none` or `name` (`id` is refused at
+      * snapshot time). Under `name`, parquet files and partition dirs
+      * carry PHYSICAL column names (`col-<uuid>`), recorded per-field in
+      * the schema metadata.
+      */
+    def columnMappingMode: String =
+      configuration.getOrElse("delta.columnMapping.mode", "none")
+    /** logical name -> physical name (identity when mapping is off). */
+    def physicalName(f: StructField): String =
+      if (columnMappingMode == "none") f.name
+      else if (f.metadata.contains("delta.columnMapping.physicalName"))
+        f.metadata.getString("delta.columnMapping.physicalName")
+      else f.name
+  }
 
   /** Reconstruct the latest snapshot from `_delta_log`. */
   def snapshot(tablePath: String): DeltaSnapshot = {
@@ -66,9 +80,12 @@ object DeltaImport {
     var config: Map[String, String] = Map.empty
 
     def checkProtocol(minReader: Int, readerFeatures: Seq[String]): Unit = {
-      val unsupported = readerFeatures.filterNot(Set("timestampNtz"))
-      require(minReader <= 1 || (minReader == 2 && !config.contains("delta.columnMapping.mode")) ||
-          (minReader == 3 && unsupported.isEmpty),
+      // reader v2 exists solely for column mapping, which applyMeta
+      // validates mode-by-mode (the protocol action usually precedes
+      // metaData, so config isn't known yet here)
+      val unsupported =
+        readerFeatures.filterNot(Set("timestampNtz", "columnMapping"))
+      require(minReader <= 2 || (minReader == 3 && unsupported.isEmpty),
         s"Delta reader version $minReader with features $readerFeatures " +
           "is not supported by this importer")
     }
@@ -84,9 +101,10 @@ object DeltaImport {
             .map(e => e.getKey -> e.getValue.asText()).toMap
         else Map.empty
       val mapping = config.getOrElse("delta.columnMapping.mode", "none")
-      require(mapping == "none",
-        s"Delta column mapping mode '$mapping' is not supported (physical " +
-          "column names would differ from the logical schema)")
+      require(mapping == "none" || mapping == "name",
+        s"Delta column mapping mode '$mapping' is not supported ('name' " +
+          "mode reads via per-field physicalName metadata; 'id' mode " +
+          "would need parquet field-id resolution)")
     }
     def applyAdd(a: JsonNode): Unit = {
       require(!a.has("deletionVector") || a.get("deletionVector").isNull,

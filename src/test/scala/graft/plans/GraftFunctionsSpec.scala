@@ -134,6 +134,24 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(ManagedTable.forPath(spark, clonePath).toDF.count() == 50)
   }
 
+  test("CONVERT TO GRAFT adopts a parquet directory from SQL") {
+    import graft.tables.ManagedTable
+    import org.apache.spark.sql.functions.col
+    val src = tmpDir("sqlcvt_src")
+    spark.range(120).select(col("id").as("k"),
+        (col("id") % 3).cast("string").as("p"))
+      .write.partitionBy("p").parquet(src)
+    val dst = tmpDir("sqlcvt")
+    val r = spark.sql(
+      s"CONVERT TO GRAFT parquet.`$src` AS graft.`$dst` " +
+        "PARTITIONED BY (p)").head()
+    assert(r.getLong(0) >= 3L, "one adopted file per partition at least")
+    val t = ManagedTable.forPath(spark, dst)
+    assert(t.partitionColumns == Seq("p"))
+    assert(t.toDF.count() == 120)
+    assert(t.history.head().getString(2) == "CONVERT")
+  }
+
   test("statement splitter honors double-quoted literals and escapes; " +
        "table_changes rejects a non-boolean net flag") {
     import graft.tables.ManagedTable
