@@ -1,8 +1,8 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DataType, StructField, StructType}
+import org.apache.spark.sql.types._
 import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 import java.nio.file.{Files, Path, Paths}
 import scala.jdk.CollectionConverters._
@@ -18,14 +18,20 @@ import graft.tables.ManagedTable
   *
   * Supported: reader-version-1 tables (plus v2/v3 when no unsupported
   * reader feature is active), hive-layout partitioning, schema evolution
-  * (older files null-fill), checkpoint + tail-JSON replay. Refused loud:
-  * deletion vectors on an `add`, column mapping, multi-part checkpoints
-  * — silently misreading a table would be worse than failing.
+  * (older files null-fill), column mapping mode `name` (reads by the
+  * per-field physical name, re-aliased to logical), checkpoint replay in
+  * all three published forms — classic single-file, multi-part
+  * (`parts` in `_last_checkpoint`), and v2 UUID manifests (parquet or
+  * JSON) with `_sidecars/` file-action sidecars. Refused loud: deletion
+  * vectors on an `add`, column mapping mode `id` — silently misreading
+  * a table would be worse than failing.
   *
   * Scale note: snapshot reconstruction holds the live file LIST on the
   * driver (same order as Delta's own snapshot state); the data itself is
   * never collected — `toDF` is a plain distributed parquet scan over
-  * exactly the live files.
+  * exactly the live files. Checkpoint replay is a typed columnar
+  * projection (only the five action fields the snapshot needs are
+  * deserialized), not a per-row JSON round-trip.
   */
 object DeltaImport {
 
@@ -49,6 +55,60 @@ object DeltaImport {
       else if (f.metadata.contains("delta.columnMapping.physicalName"))
         f.metadata.getString("delta.columnMapping.physicalName")
       else f.name
+    /** partition columns as they appear in file paths / parquet footers. */
+    def physicalPartitionColumns: Seq[String] =
+      partitionColumns.map { c =>
+        schema.fields.find(_.name == c).map(physicalName).getOrElse(c)
+      }
+  }
+
+  /** One checkpoint action, projected to exactly the fields a read
+    * snapshot needs. Parquet checkpoints (classic, multi-part parts, v2
+    * manifests, and sidecars) all deserialize through this — absent
+    * columns select as null, so one shape covers every layout.
+    */
+  private final case class CpRow(addPath: Option[String],
+                                 addDv: Option[String],
+                                 removePath: Option[String],
+                                 schemaString: Option[String],
+                                 partitionCols: Option[Seq[String]],
+                                 configuration: Option[Map[String, String]],
+                                 minReaderVersion: Option[Int],
+                                 readerFeatures: Option[Seq[String]],
+                                 sidecarPath: Option[String])
+
+  /** Typed projection of a checkpoint-shaped DataFrame onto [[CpRow]]:
+    * nested fields that exist select through, absent ones null-fill, so
+    * handcrafted minimal checkpoints and full Delta ones both work.
+    */
+  private def cpRows(df: DataFrame): Dataset[CpRow] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    def nested(tpe: DataType, segs: String*): Column = {
+      val reachable = segs.foldLeft(Option(df.schema: DataType)) {
+        case (Some(st: StructType), seg) =>
+          st.fields.find(_.name == seg).map(_.dataType)
+        case _ => None
+      }.isDefined
+      if (reachable) col(segs.mkString(".")).cast(tpe)
+      else lit(null).cast(tpe)
+    }
+    df.select(
+      nested(StringType, "add", "path").as("addPath"),
+      // presence marker only — any dv on a live add is a refusal
+      nested(StringType, "add", "deletionVector", "storageType").as("addDv"),
+      nested(StringType, "remove", "path").as("removePath"),
+      nested(StringType, "metaData", "schemaString").as("schemaString"),
+      nested(ArrayType(StringType), "metaData", "partitionColumns")
+        .as("partitionCols"),
+      nested(MapType(StringType, StringType), "metaData", "configuration")
+        .as("configuration"),
+      nested(IntegerType, "protocol", "minReaderVersion")
+        .as("minReaderVersion"),
+      nested(ArrayType(StringType), "protocol", "readerFeatures")
+        .as("readerFeatures"),
+      nested(StringType, "sidecar", "path").as("sidecarPath")
+    ).as[CpRow]
   }
 
   /** Reconstruct the latest snapshot from `_delta_log`. */
@@ -68,86 +128,106 @@ object DeltaImport {
     val lastCp = Option(logDir.resolve("_last_checkpoint"))
       .filter(Files.isRegularFile(_))
       .map(p => mapper.readTree(Files.readString(p)))
-    lastCp.foreach { n =>
-      require(!n.has("parts"),
-        "multi-part Delta checkpoints are not supported by this importer")
-    }
     val cpVersion = lastCp.map(_.get("version").asLong())
+    val cpParts = lastCp.flatMap(n => Option(n.get("parts")).map(_.asInt()))
 
     val adds = scala.collection.mutable.LinkedHashMap.empty[String, Unit]
     var schemaJson: Option[String] = None
     var partCols: Seq[String] = Nil
     var config: Map[String, String] = Map.empty
+    val sidecars = scala.collection.mutable.ArrayBuffer.empty[String]
 
     def checkProtocol(minReader: Int, readerFeatures: Seq[String]): Unit = {
       // reader v2 exists solely for column mapping, which applyMeta
       // validates mode-by-mode (the protocol action usually precedes
       // metaData, so config isn't known yet here)
-      val unsupported =
-        readerFeatures.filterNot(Set("timestampNtz", "columnMapping"))
+      val unsupported = readerFeatures
+        .filterNot(Set("timestampNtz", "columnMapping", "v2Checkpoint"))
       require(minReader <= 2 || (minReader == 3 && unsupported.isEmpty),
         s"Delta reader version $minReader with features $readerFeatures " +
           "is not supported by this importer")
     }
-    def applyMeta(m: JsonNode): Unit = {
-      schemaJson = Some(m.get("schemaString").asText())
-      partCols =
-        if (m.has("partitionColumns"))
-          m.get("partitionColumns").elements().asScala.map(_.asText()).toSeq
-        else Nil
-      config =
-        if (m.has("configuration") && !m.get("configuration").isNull)
-          m.get("configuration").properties().asScala
-            .map(e => e.getKey -> e.getValue.asText()).toMap
-        else Map.empty
+    def applyMeta(schemaString: String, pc: Seq[String],
+                  cf: Map[String, String]): Unit = {
+      schemaJson = Some(schemaString)
+      partCols = pc
+      config = cf
       val mapping = config.getOrElse("delta.columnMapping.mode", "none")
       require(mapping == "none" || mapping == "name",
         s"Delta column mapping mode '$mapping' is not supported ('name' " +
           "mode reads via per-field physicalName metadata; 'id' mode " +
           "would need parquet field-id resolution)")
     }
-    def applyAdd(a: JsonNode): Unit = {
-      require(!a.has("deletionVector") || a.get("deletionVector").isNull,
-        "Delta deletion vectors on data files are not supported by this " +
-          "importer (rows would be resurrected); VACUUM/OPTIMIZE the " +
-          "source table first")
-      adds.put(decodePath(a.get("path").asText()), ())
-    }
-    def applyRemove(r: JsonNode): Unit = {
-      adds.remove(decodePath(r.get("path").asText())); ()
-    }
+    def refuseDv(): Nothing = throw new IllegalArgumentException(
+      "Delta deletion vectors on data files are not supported by this " +
+        "importer (rows would be resurrected); VACUUM/OPTIMIZE the " +
+        "source table first")
     def applyAction(n: JsonNode): Unit =
-      if (n.has("metaData")) applyMeta(n.get("metaData"))
-      else if (n.has("add")) applyAdd(n.get("add"))
-      else if (n.has("remove")) applyRemove(n.get("remove"))
-      else if (n.has("protocol")) {
+      if (n.has("metaData")) {
+        val m = n.get("metaData")
+        applyMeta(m.get("schemaString").asText(),
+          if (m.has("partitionColumns"))
+            m.get("partitionColumns").elements().asScala.map(_.asText()).toSeq
+          else Nil,
+          if (m.has("configuration") && !m.get("configuration").isNull)
+            m.get("configuration").properties().asScala
+              .map(e => e.getKey -> e.getValue.asText()).toMap
+          else Map.empty)
+      } else if (n.has("add")) {
+        val a = n.get("add")
+        if (a.has("deletionVector") && !a.get("deletionVector").isNull)
+          refuseDv()
+        adds.put(decodePath(a.get("path").asText()), ())
+      } else if (n.has("remove")) {
+        adds.remove(decodePath(n.get("remove").get("path").asText())); ()
+      } else if (n.has("protocol")) {
         val p = n.get("protocol")
         checkProtocol(p.get("minReaderVersion").asInt(),
           if (p.has("readerFeatures"))
             p.get("readerFeatures").elements().asScala.map(_.asText()).toSeq
           else Nil)
-      } // commitInfo / txn / cdc etc.: not needed for a read snapshot
+      } else if (n.has("sidecar")) {
+        sidecars += n.get("sidecar").get("path").asText(); ()
+      } // commitInfo / txn / cdc / checkpointMetadata: not needed for a
+        // read snapshot
+    def applyCp(r: CpRow): Unit = {
+      r.minReaderVersion.foreach(mr =>
+        checkProtocol(mr, r.readerFeatures.getOrElse(Nil)))
+      r.schemaString.foreach(s =>
+        applyMeta(s, r.partitionCols.getOrElse(Nil),
+          r.configuration.getOrElse(Map.empty)))
+      r.addPath.foreach { p =>
+        if (r.addDv.isDefined) refuseDv()
+        adds.put(decodePath(p), ())
+      }
+      r.removePath.foreach(p => adds.remove(decodePath(p)))
+      r.sidecarPath.foreach(p => sidecars += p)
+    }
 
     cpVersion.foreach { v =>
-      val cpFile = logDir.resolve(f"$v%020d.checkpoint.parquet")
-      require(Files.isRegularFile(cpFile),
-        s"_last_checkpoint advertises v$v but ${cpFile.getFileName} is missing")
       val spark = SparkSession.active
-      val cp = spark.read.parquet(cpFile.toString)
-      val has = cp.schema.fieldNames.toSet
-      // one row per action; absent struct = absent action kind
-      cp.collect().foreach { row =>
-        val node = mapper.createObjectNode()
-        def put(kind: String): Unit = {
-          val i = row.fieldIndex(kind)
-          if (!row.isNullAt(i)) {
-            val json = mapper.readTree(
-              row.getStruct(i).json) // Row.json gives the struct as JSON
-            node.set(kind, json); ()
-          }
+      locateCheckpoint(logDir, v, cpParts) match {
+        case Right(jsonManifest) => // v2 JSON manifest: newline actions
+          Files.readString(jsonManifest).linesIterator.filter(_.nonEmpty)
+            .foreach(l => applyAction(mapper.readTree(l)))
+        case Left(parquetFiles) => // classic / multi-part / v2 parquet
+          cpRows(spark.read.option("mergeSchema", "true")
+              .parquet(parquetFiles.map(_.toString): _*))
+            .collect().foreach(applyCp)
+      }
+      // v2 manifests carry file actions in _delta_log/_sidecars/ parquet
+      if (sidecars.nonEmpty) {
+        val scDir = logDir.resolve("_sidecars")
+        val scFiles = sidecars.toSeq.map { p =>
+          require(!p.contains("://"),
+            s"absolute-URI checkpoint sidecar '$p' is not supported")
+          val f = scDir.resolve(p)
+          require(Files.isRegularFile(f),
+            s"checkpoint sidecar ${f.getFileName} advertised but missing")
+          f.toString
         }
-        Seq("metaData", "protocol", "add", "remove").filter(has).foreach(put)
-        if (node.size() > 0) applyAction(node)
+        cpRows(spark.read.option("mergeSchema", "true").parquet(scFiles: _*))
+          .collect().foreach(applyCp)
       }
     }
     val tail = jsonVersions.filter(v => cpVersion.forall(_ < v))
@@ -165,28 +245,86 @@ object DeltaImport {
     DeltaSnapshot(version, schema, partCols, config, adds.keys.toSeq)
   }
 
+  /** Find the checkpoint files for version `v`: Left(parquet files) for
+    * classic single-file, multi-part (`parts` advertised), and v2 UUID
+    * parquet manifests; Right(path) for a v2 JSON manifest.
+    */
+  private def locateCheckpoint(logDir: Path, v: Long,
+                               parts: Option[Int]): Either[Seq[Path], Path] = {
+    parts.foreach { p =>
+      val partFiles = (1 to p).map(i =>
+        logDir.resolve(f"$v%020d.checkpoint.$i%010d.$p%010d.parquet"))
+      partFiles.filterNot(Files.isRegularFile(_)) match {
+        case missing if missing.isEmpty => return Left(partFiles)
+        case missing => throw new IllegalArgumentException(
+          s"_last_checkpoint advertises a $p-part checkpoint at v$v but " +
+            s"${missing.map(_.getFileName).mkString(", ")} are missing")
+      }
+    }
+    val classic = logDir.resolve(f"$v%020d.checkpoint.parquet")
+    if (Files.isRegularFile(classic)) return Left(Seq(classic))
+    // v2: %020d.checkpoint.<uuid>.{parquet|json}; any complete manifest
+    // for the version is a full snapshot — pick the first, deterministic
+    val V2 = (f"$v%020d" + """\.checkpoint\.([A-Za-z0-9_-]+)\.(parquet|json)""").r
+    val v2 = {
+      val s = Files.list(logDir)
+      try s.iterator().asScala.map(_.getFileName.toString).collect {
+        case n @ V2(_, ext) => (n, ext)
+      }.toSeq.sorted.headOption
+      finally s.close()
+    }
+    v2 match {
+      case Some((name, "json")) => Right(logDir.resolve(name))
+      case Some((name, _)) => Left(Seq(logDir.resolve(name)))
+      case None => throw new IllegalArgumentException(
+        s"_last_checkpoint advertises v$v but no checkpoint file " +
+          "(classic, multi-part, or v2 UUID) exists for it")
+    }
+  }
+
   /** The Delta table's current contents as a DataFrame (distributed
     * parquet scan over exactly the snapshot's live files; partition
     * columns re-derived from the hive-style paths; evolved-away columns
-    * null-filled to the log's authoritative schema).
+    * null-filled to the log's authoritative schema). Under column
+    * mapping `name`, the scan selects PHYSICAL `col-<uuid>` columns and
+    * re-aliases each to its logical name — partition directories carry
+    * physical names too, so the hive-layout check runs on those.
     */
   def toDF(spark: SparkSession, tablePath: String): DataFrame = {
     val snap = snapshot(tablePath)
     if (snap.files.isEmpty)
       return spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], snap.schema)
-    ManagedTable.requireHiveLayout(snap.files, snap.partitionColumns)
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        logicalSchema(snap))
+    ManagedTable.requireHiveLayout(snap.files, snap.physicalPartitionColumns)
     val abs = snap.files.map(f => Paths.get(tablePath, f).toString)
     val raw = spark.read
       .option("mergeSchema", "true")
       .option("basePath", tablePath)
       .parquet(abs: _*)
     val cols = snap.schema.fields.map { f =>
-      if (raw.columns.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
+      val phys = snap.physicalName(f)
+      if (raw.columns.contains(phys)) raw.col(phys).cast(f.dataType).as(f.name)
       else lit(null).cast(f.dataType).as(f.name)
     }
     raw.select(cols.toIndexedSeq: _*)
   }
+
+  /** The snapshot schema with mapping metadata stripped (logical names
+    * only) — what a reader of [[toDF]] or an imported clone should see.
+    * Other field metadata (comments etc.) survives.
+    */
+  private def logicalSchema(snap: DeltaSnapshot): StructType =
+    StructType(snap.schema.fields.map(f => f.copy(metadata = {
+      val keys = Seq("delta.columnMapping.physicalName", "delta.columnMapping.id")
+      if (!keys.exists(f.metadata.contains)) f.metadata
+      else {
+        val node = mapper.readTree(f.metadata.json)
+          .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+        keys.foreach(node.remove)
+        Metadata.fromJson(mapper.writeValueAsString(node))
+      }
+    })))
 
   /** CLONE the Delta table into a graft [[ManagedTable]] (the switching
     * path: one call, then every graft operator applies). ZERO-COPY: the
@@ -197,6 +335,13 @@ object DeltaImport {
     * moves no data. Partitioning + `delta.*`-stripped table properties
     * carry over; Delta history does not (same contract as the
     * reference's copy_table, mack/__init__.py:287-325).
+    *
+    * Exception: column mapping `name` MATERIALIZES (one distributed
+    * rewrite) instead of hard-linking — the source parquet footers carry
+    * physical `col-<uuid>` names, which the managed scan contract
+    * (schema resolution by name) cannot re-alias per-file. Honest
+    * trade-off: the clone is correct and mapping-free; zero-copy is
+    * reserved for mapping-free sources.
     */
   def importTable(spark: SparkSession, deltaPath: String,
                   targetPath: String): ManagedTable = {
@@ -206,7 +351,7 @@ object DeltaImport {
     }
     // an empty snapshot has nothing to link — an empty CREATE commit
     // carries the schema
-    if (snap.files.isEmpty)
+    if (snap.files.isEmpty || snap.columnMappingMode != "none")
       return ManagedTable.create(toDF(spark, deltaPath), targetPath,
         partitionBy = snap.partitionColumns, properties = props)
     // one adopted-uuid dir per import; the Delta-relative path (incl.
@@ -216,7 +361,7 @@ object DeltaImport {
       .planAdoption(snap.files, snap.partitionColumns)
       .map { case (f, rel) => (Paths.get(deltaPath, f), rel) }
     ManagedTable.adoptFiles(spark, targetPath, links,
-      schema = snap.schema, partitionBy = snap.partitionColumns,
+      schema = logicalSchema(snap), partitionBy = snap.partitionColumns,
       properties = props)
   }
 

@@ -10,8 +10,10 @@ import graft.SparkSpec
 /** Reading REAL Delta Lake transaction logs (handcrafted per the public
   * PROTOCOL, since no Delta jars exist in this environment): checkpoint +
   * JSON-tail replay, add/remove cancellation, hive partitioning, schema
-  * evolution, the importTable clone, and loud refusals for log features
-  * that would silently misread (deletion vectors, column mapping).
+  * evolution, the importTable clone, column mapping `name` (physical →
+  * logical translation), multi-part and v2 checkpoints, and loud
+  * refusals for log features that would silently misread (deletion
+  * vectors, `id` column mapping).
   */
 class DeltaImportSpec extends SparkSpec {
   import spark.implicits._
@@ -187,7 +189,7 @@ class DeltaImportSpec extends SparkSpec {
     assert(DeltaImport.toDF(spark, dir).count() == 0)
   }
 
-  test("refuses deletion vectors, column mapping, and unknown reader features") {
+  test("refuses deletion vectors, 'id' mapping, and unknown reader features") {
     val dir = tmpDir("delta4")
     Seq((1L, 1L)).toDF("k", "v").coalesce(1).write.parquet(dir)
     val files = partFiles(dir)
@@ -206,7 +208,7 @@ class DeltaImportSpec extends SparkSpec {
     val dir2 = tmpDir("delta5")
     Seq((1L, 1L)).toDF("k", "v").coalesce(1).write.parquet(dir2)
     writeLog(dir2, 0, Seq(protocolJson(),
-      metaJson(schema, Nil, Map("delta.columnMapping.mode" -> "name"))) ++
+      metaJson(schema, Nil, Map("delta.columnMapping.mode" -> "id"))) ++
       partFiles(dir2).map(addJson(_)))
     val e2 = intercept[IllegalArgumentException](DeltaImport.snapshot(dir2))
     assert(e2.getMessage.contains("column mapping"))
@@ -215,9 +217,172 @@ class DeltaImportSpec extends SparkSpec {
     Seq((1L, 1L)).toDF("k", "v").coalesce(1).write.parquet(dir3)
     writeLog(dir3, 0, Seq(
       """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
-        """"readerFeatures":["v2Checkpoint"],"writerFeatures":[]}}""",
+        """"readerFeatures":["deletionVectors"],"writerFeatures":[]}}""",
       metaJson(schema)) ++ partFiles(dir3).map(addJson(_)))
     val e3 = intercept[IllegalArgumentException](DeltaImport.snapshot(dir3))
     assert(e3.getMessage.contains("not supported"))
+  }
+
+  // ---- column mapping mode `name` ----------------------------------------
+
+  private def mappedField(logical: String, physical: String,
+                          dt: org.apache.spark.sql.types.DataType,
+                          id: Int): org.apache.spark.sql.types.StructField =
+    org.apache.spark.sql.types.StructField(logical, dt, nullable = true,
+      new org.apache.spark.sql.types.MetadataBuilder()
+        .putString("delta.columnMapping.physicalName", physical)
+        .putLong("delta.columnMapping.id", id.toLong).build())
+
+  test("column mapping 'name': physical columns read back as logical names") {
+    import org.apache.spark.sql.types.{LongType, StringType, StructType}
+    val dir = tmpDir("deltacm1")
+    // data files carry PHYSICAL names, per the protocol
+    Seq((1L, "a"), (2L, "b")).toDF("col-0aa", "col-0bb")
+      .coalesce(1).write.parquet(dir)
+    val schema = StructType(Seq(
+      mappedField("k", "col-0aa", LongType, 1),
+      mappedField("s", "col-0bb", StringType, 2)))
+    writeLog(dir, 0, Seq(protocolJson(minReader = 2),
+      metaJson(schema, Nil, Map("delta.columnMapping.mode" -> "name"))) ++
+      partFiles(dir).map(addJson(_)))
+
+    val out = DeltaImport.toDF(spark, dir)
+    assert(out.columns.toSeq == Seq("k", "s"), "logical names, not col-<uuid>")
+    assert(out.collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+      == Seq((1L, "a"), (2L, "b")), "values must come from the physical cols")
+
+    // the clone MATERIALIZES (no hard links): managed parquet must carry
+    // logical names, which the physical-named source footers cannot
+    val t = DeltaImport.importTable(spark, dir, tmpDir("deltacm1clone"))
+    assert(t.schema.fieldNames.toSeq == Seq("k", "s"))
+    assert(t.toDF.collect().map(r => (r.getLong(0), r.getString(1)))
+      .sorted.toSeq == Seq((1L, "a"), (2L, "b")))
+    val walked = Files.walk(Paths.get(t.location, "data"))
+    val nlinks = try walked.iterator().asScala
+      .filter(_.toString.endsWith(".parquet"))
+      .map(p => Files.getAttribute(p, "unix:nlink").asInstanceOf[Number].intValue())
+      .toSeq
+    finally walked.close()
+    assert(nlinks.nonEmpty && nlinks.forall(_ == 1),
+      "name-mapped import must rewrite, not link physical-named footers")
+  }
+
+  test("column mapping 'name': physical-named hive partition dirs translate") {
+    import org.apache.spark.sql.types.{IntegerType, LongType, StructType}
+    val dir = tmpDir("deltacm2")
+    Seq((1L, 1), (2L, 1), (3L, 2)).toDF("col-0aa", "col-0pp")
+      .write.partitionBy("col-0pp").parquet(dir)
+    val schema = StructType(Seq(
+      mappedField("k", "col-0aa", LongType, 1),
+      mappedField("p", "col-0pp", IntegerType, 2)))
+    // metaData.partitionColumns hold LOGICAL names; the dirs are physical
+    writeLog(dir, 0, Seq(protocolJson(minReader = 2),
+      metaJson(schema, Seq("p"), Map("delta.columnMapping.mode" -> "name"))) ++
+      partFiles(dir).map(addJson(_)))
+
+    val out = DeltaImport.toDF(spark, dir)
+    assert(out.columns.toSeq == Seq("k", "p"))
+    assert(out.collect().map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq
+      == Seq((1L, 1), (2L, 1), (3L, 2)))
+
+    val t = DeltaImport.importTable(spark, dir, tmpDir("deltacm2clone"))
+    assert(t.partitionColumns == Seq("p"), "partitioning carries over logically")
+    assert(t.toDFWhere("p = 2").count() == 1)
+  }
+
+  // ---- multi-part and v2 checkpoints -------------------------------------
+
+  /** Write `actions` (JSON strings) as a one-file parquet checkpoint at
+    * `target` — schema inferred from the JSON, same nested action shape
+    * Delta uses.
+    */
+  private def writeCpParquet(target: Path, actions: Seq[String]): Unit = {
+    import spark.implicits._
+    val tmp = tmpDir("cpbuild-" + target.getFileName.toString.hashCode.abs)
+    spark.read.json(actions.toDS).coalesce(1).write.parquet(tmp)
+    val part = Paths.get(tmp).toFile.listFiles()
+      .find(_.getName.endsWith(".parquet")).get.toPath
+    Option(target.getParent).foreach(Files.createDirectories(_))
+    Files.copy(part, target)
+    ()
+  }
+
+  test("multi-part checkpoint unions the parts; a missing part refuses") {
+    val dir = tmpDir("deltamp")
+    Seq((1L, 1L), (2L, 2L)).toDF("k", "v")
+      .repartitionByRange(2, col("k")).write.parquet(dir)
+    val files = partFiles(dir)
+    assert(files.size == 2)
+    val schema = Seq.empty[(Long, Long)].toDF("k", "v").schema
+    val logDir = Paths.get(dir, "_delta_log")
+    Files.createDirectories(logDir)
+    writeCpParquet(
+      logDir.resolve(f"${0L}%020d.checkpoint.${1}%010d.${2}%010d.parquet"),
+      Seq(protocolJson(), metaJson(schema), addJson(files(0))))
+    writeCpParquet(
+      logDir.resolve(f"${0L}%020d.checkpoint.${2}%010d.${2}%010d.parquet"),
+      Seq(addJson(files(1))))
+    Files.writeString(logDir.resolve("_last_checkpoint"),
+      """{"version":0,"size":4,"parts":2}""")
+
+    val snap = DeltaImport.snapshot(dir)
+    assert(snap.version == 0)
+    assert(snap.files.toSet == files.toSet,
+      "adds from BOTH parts must survive replay")
+    assert(DeltaImport.toDF(spark, dir).count() == 2)
+
+    Files.delete(
+      logDir.resolve(f"${0L}%020d.checkpoint.${2}%010d.${2}%010d.parquet"))
+    val e = intercept[IllegalArgumentException](DeltaImport.snapshot(dir))
+    assert(e.getMessage.contains("missing"), "partial checkpoint must refuse")
+  }
+
+  test("v2 UUID json manifest + parquet sidecars, then a JSON tail") {
+    val dir = tmpDir("deltav2")
+    Seq((1L, 1L), (2L, 2L)).toDF("k", "v")
+      .repartitionByRange(2, col("k")).write.parquet(dir)
+    val files = partFiles(dir)
+    val schema = Seq.empty[(Long, Long)].toDF("k", "v").schema
+    val logDir = Paths.get(dir, "_delta_log")
+    Files.createDirectories(logDir)
+    writeCpParquet(logDir.resolve("_sidecars").resolve("sc-001.parquet"),
+      files.map(addJson(_)))
+    Files.writeString(
+      logDir.resolve(f"${0L}%020d.checkpoint.80a083e8-7026.json"),
+      Seq("""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+          """"readerFeatures":["v2Checkpoint"],"writerFeatures":["v2Checkpoint"]}}""",
+        metaJson(schema),
+        """{"sidecar":{"path":"sc-001.parquet","sizeInBytes":100}}""")
+        .mkString("\n"))
+    Files.writeString(logDir.resolve("_last_checkpoint"),
+      """{"version":0,"size":4}""")
+    writeLog(dir, 1, Seq(removeJson(files.head)))
+
+    val snap = DeltaImport.snapshot(dir)
+    assert(snap.version == 1)
+    assert(snap.files == files.drop(1),
+      "sidecar adds replay, then the tail remove lands")
+    assert(DeltaImport.toDF(spark, dir).count() == 1)
+  }
+
+  test("v2 UUID parquet manifest with an inline sidecar action") {
+    val dir = tmpDir("deltav2p")
+    Seq((1L, 1L)).toDF("k", "v").coalesce(1).write.parquet(dir)
+    val files = partFiles(dir)
+    val schema = Seq.empty[(Long, Long)].toDF("k", "v").schema
+    val logDir = Paths.get(dir, "_delta_log")
+    Files.createDirectories(logDir)
+    writeCpParquet(logDir.resolve("_sidecars").resolve("sc-77.parquet"),
+      files.map(addJson(_)))
+    writeCpParquet(
+      logDir.resolve(f"${0L}%020d.checkpoint.11bb22cc-0001.parquet"),
+      Seq(protocolJson(), metaJson(schema),
+        """{"sidecar":{"path":"sc-77.parquet","sizeInBytes":10}}"""))
+    Files.writeString(logDir.resolve("_last_checkpoint"),
+      """{"version":0,"size":3}""")
+
+    val snap = DeltaImport.snapshot(dir)
+    assert(snap.files == files)
+    assert(DeltaImport.toDF(spark, dir).count() == 1)
   }
 }
