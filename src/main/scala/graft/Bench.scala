@@ -87,7 +87,13 @@ object Bench {
     val errs = results.collect { case (k, _, _, Some(e)) => s"\"$k\":${jstr(e)}" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$qs,"queries_runs":$runs,"errors":$errs,"sf":"$sfDir"}""")
+    // TWO lines, bulky detail first: the driver's output capture is
+    // tail-anchored, and one fat line kept getting its HEAD (the totals)
+    // clipped. If anything is cut now it is the detail line; the compact
+    // totals line sits last, right before sbt's footer, and parses alone.
+    println(s"""{"metric":"total_detail","queries_runs":$runs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    System.out.flush()
     spark.stop()
     if (results.exists(_._4.isDefined)) sys.exit(1)
   }

@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, GraftColumnBridge, SQLContext}
 import org.apache.spark.sql.execution.streaming.{Offset, Source}
 import org.apache.spark.sql.execution.streaming.runtime.{LongOffset, SerializedOffset}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
 import org.apache.spark.sql.types._
 import org.apache.hadoop.fs.{Path => HadoopPath}
@@ -108,9 +108,13 @@ class CdfSource(table: ManagedTable, baseVersion: Long) extends Source {
     val to = CdfSource.version(end)
     // project to the declared schema: a mid-stream schema evolution must
     // not change the source's output shape (new columns surface after a
-    // stream restart, as with Delta)
-    val batch = table.changes(from, to).select(schema.fields.map(f =>
-      col(f.name).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
+    // stream restart, as with Delta). Changes from commits that PREDATE
+    // an evolved column lack it — null-fill, as the batch reader does.
+    val ch = table.changes(from, to)
+    val batch = ch.select(schema.fields.map { f =>
+      if (ch.columns.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }.toIndexedSeq: _*)
     GraftColumnBridge.asStreamingDataFrame(batch)
   }
 

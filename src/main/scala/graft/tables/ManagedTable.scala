@@ -353,12 +353,25 @@ final class ManagedTable private (val spark: SparkSession, val location: String)
     val withRel = unioned.withColumn(FP, relPathOf)
     if (dvRefs.isEmpty) withRel
     else {
-      // DVs hold the DELETED coordinates — small by design (that is when
-      // merge-on-read wins), so the anti-join broadcasts
+      // DVs hold the DELETED coordinates — small WHEN users run OPTIMIZE
+      // (that is when merge-on-read wins), but a table accumulating
+      // deletes grows the vector set without bound, and a forced
+      // broadcast past executor memory is a hard OOM, not a slowdown.
+      // Gate the hint on the sidecars' on-disk footprint (already known
+      // driver-side); past the threshold the anti-join shuffles on
+      // (file, pos) — same rows, scale-safe plan.
       val dvRows = spark.read.schema(ManagedTable.dvSchema)
         .parquet(dvRefs.map(r => dvRoot.resolve(r).toString): _*)
-      withRel.join(
-        broadcast(dvRows.select(col("path").as(FP), col("pos").as(POS))),
+      val dvBytes = dvRefs.map { r =>
+        val s = Files.list(dvRoot.resolve(r))
+        try s.iterator().asScala
+          .filter(Files.isRegularFile(_)).map(Files.size).sum
+        finally s.close()
+      }.sum
+      val limit = spark.conf.getOption("spark.graft.dv.broadcastThreshold")
+        .map(_.toLong).getOrElse(ManagedTable.dvBroadcastThresholdDefault)
+      val mask = dvRows.select(col("path").as(FP), col("pos").as(POS))
+      withRel.join(if (dvBytes <= limit) broadcast(mask) else mask,
         Seq(FP, POS), "left_anti")
     }
   }
@@ -551,9 +564,18 @@ final class ManagedTable private (val spark: SparkSession, val location: String)
         // data already on disk fits the rebased schema AND layout
         case Some((d, s, p)) if s == newSchema && p == e.partitionColumns => d
         case _ =>
+          // resolve case-insensitively (exact match first), as Spark's
+          // analyzer would: a stream/batch column differing only in case
+          // must land in the table column, not silently null-fill —
+          // GraftSink's unknown-column guard admits it on the same terms
           val aligned = df.select(newSchema.fields.map { f =>
-            if (df.columns.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
-            else lit(null).cast(f.dataType).as(f.name)
+            df.columns.find(_ == f.name).orElse {
+              val ci = df.columns.filter(_.equalsIgnoreCase(f.name))
+              if (ci.length == 1) Some(ci.head) else None
+            } match {
+              case Some(c) => df.col(c).cast(f.dataType).as(f.name)
+              case None => lit(null).cast(f.dataType).as(f.name)
+            }
           }.toIndexedSeq: _*)
           val d = writeData(aligned, e.partitionColumns)
           written = Some((d, newSchema, e.partitionColumns))
@@ -1031,8 +1053,15 @@ final class ManagedTable private (val spark: SparkSession, val location: String)
     // rewrites the day's files, not the table. sortBy/zorderBy rewrites
     // stay global — re-clustering the whole snapshot is their point.
     if (sortBy.isEmpty && zorderBy.isEmpty && e.files.nonEmpty) {
-      val small = e.files.filter(_.bytes < targetFileSizeBytes)
-      if (small.size < 2) return // nothing worth compacting, no commit
+      // dv-bearing files join the compaction set REGARDLESS of size:
+      // rewriting them through the masked read materializes their
+      // deletion vectors, so OPTIMIZE is always a working
+      // materialization path (exportDelta points refused DV snapshots
+      // here), even when every file is already right-sized.
+      val small = e.files.filter(f =>
+        f.bytes < targetFileSizeBytes || f.dv.isDefined)
+      if (small.size < 2 && !small.exists(_.dv.isDefined))
+        return // nothing worth compacting, no commit
       val n = math.max(1,
         math.ceil(small.map(_.bytes).sum.toDouble / targetFileSizeBytes).toInt)
       val df = readFilesDF(small, e.schema, e.version)
@@ -1875,6 +1904,14 @@ object ManagedTable {
   private[tables] val dvSchema: StructType = StructType(Seq(
     StructField("path", StringType, nullable = false),
     StructField("pos", LongType, nullable = false)))
+
+  /** Max on-disk DV sidecar footprint that still broadcasts the read
+    * mask (override with `spark.graft.dv.broadcastThreshold`). Parquet
+    * of (path, pos) expands a few× in memory, so 64 MB on disk stays
+    * comfortably inside executor broadcast budgets; past it the mask
+    * anti-join shuffles instead.
+    */
+  private[tables] val dvBroadcastThresholdDefault: Long = 64L * 1024 * 1024
 
   /** A `p=v` path segment, escaped the way Spark's file writer escapes
     * dynamic partition directories (so suffix comparison against written

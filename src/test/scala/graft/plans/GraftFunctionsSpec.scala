@@ -152,6 +152,59 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(t.history.head().getString(2) == "CONVERT")
   }
 
+  test("CONVERT TO GRAFT imports a delta source through its log; " +
+       "PARTITIONED BY on delta is rejected") {
+    import graft.tables.ManagedTable
+    import org.apache.spark.sql.functions.col
+    import scala.jdk.CollectionConverters._
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val src = tmpDir("sqlcvtd_src")
+    // a handcrafted-log Delta table: two files, one removed in v1 —
+    // CONVERT must see the LOG's live set, not the directory listing
+    spark.range(40).select(col("id").as("k"))
+      .repartitionByRange(2, col("k")).write.parquet(src)
+    val logDir = java.nio.file.Paths.get(src, "_delta_log")
+    java.nio.file.Files.createDirectories(logDir)
+    val files = {
+      val s = java.nio.file.Files.list(java.nio.file.Paths.get(src))
+      try s.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.endsWith(".parquet")).toSeq.sorted
+      finally s.close()
+    }
+    assert(files.size == 2)
+    val meta = {
+      val root = mapper.createObjectNode()
+      val m = root.putObject("metaData")
+      m.put("id", "t")
+      m.put("schemaString",
+        spark.range(0).select(col("id").as("k")).schema.json)
+      m.putArray("partitionColumns")
+      mapper.writeValueAsString(root)
+    }
+    def add(p: String) = s"""{"add":{"path":"$p","size":1,""" +
+      """"modificationTime":1,"dataChange":true}}"""
+    java.nio.file.Files.writeString(logDir.resolve(f"${0L}%020d.json"),
+      (Seq("""{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+        meta) ++ files.map(add)).mkString("\n"))
+    java.nio.file.Files.writeString(logDir.resolve(f"${1L}%020d.json"),
+      s"""{"remove":{"path":"${files.head}","dataChange":true}}""")
+
+    val dst = tmpDir("sqlcvtd")
+    val r = spark.sql(
+      s"CONVERT TO GRAFT delta.`$src` AS graft.`$dst`").head()
+    assert(r.getLong(0) == 1L, "only the log-live file imports")
+    val t = ManagedTable.forPath(spark, dst)
+    assert(t.schema.fieldNames.toSeq == Seq("k"))
+    assert(t.toDF.count() < 40, "removed file's rows must be absent")
+    assert(t.toDF.count() == spark.read.parquet(
+      src + "/" + files(1)).count())
+
+    val e = intercept[Exception](spark.sql(
+      s"CONVERT TO GRAFT delta.`$src` AS graft.`${dst}_p` " +
+        "PARTITIONED BY (k)").head())
+    assert(e.getMessage.contains("PARTITIONED BY conflicts"))
+  }
+
   test("statement splitter honors double-quoted literals and escapes; " +
        "table_changes rejects a non-boolean net flag") {
     import graft.tables.ManagedTable

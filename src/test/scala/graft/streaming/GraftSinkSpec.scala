@@ -80,6 +80,69 @@ class GraftSinkSpec extends SparkSpec {
     assert(t.toDF.count() == 10)
   }
 
+  test("a stream column differing only in case lands in the table column") {
+    val loc = tmpDir("gsink5")
+    ManagedTable.create(
+      spark.range(3).select(col("id").as("k"), lit(0L).as("v")), loc)
+    val sink = new GraftSink(spark, loc, Nil, Some("gsink5"),
+      mergeSchema = false)
+    // guard admits K/V case-insensitively; append must resolve the same
+    // way, not silently null-fill
+    sink.addBatch(0L, spark.range(3)
+      .select((col("id") + 10).as("K"), lit(7L).as("V")))
+    val t = ManagedTable.forPath(spark, loc)
+    assert(t.schema.fieldNames.toSeq == Seq("k", "v"))
+    assert(t.toDF.filter("k >= 10").count() == 3)
+    assert(t.toDF.filter("v = 7").count() == 3,
+      "case-flipped stream values must land, not null-fill")
+    assert(t.toDF.filter("v IS NULL").count() == 0)
+  }
+
+  test("mid-stream addColumns: restart surfaces the new column end-to-end") {
+    val srcLoc = tmpDir("gsink6src")
+    val dstLoc = tmpDir("gsink6dst")
+    val ckpt = tmpDir("gsink6ckpt")
+    val t = ManagedTable.create(
+      spark.range(5).select(col("id").as("k"), (col("id") * 2).as("v")),
+      srcLoc, properties = Map(ManagedTable.cdfPropKey -> "true"))
+    def start() = spark.readStream.format("graft-cdf").load(srcLoc)
+      .filter(col("_change_type") === "insert")
+      .drop("_change_type", "_commit_version", "_commit_timestamp")
+      .writeStream.format("graft")
+      .option("checkpointLocation", ckpt)
+      .option("mergeSchema", "true")
+      .start(dstLoc)
+    val q1 = start()
+    try {
+      t.append(Seq((100L, 1L)).toDF("k", "v"))
+      q1.processAllAvailable()
+    } finally q1.stop()
+
+    // evolve the SOURCE table mid-stream, then append with the new column
+    t.addColumns(Seq(org.apache.spark.sql.types.StructField("tag",
+      org.apache.spark.sql.types.StringType)))
+    t.append(Seq((101L, 2L, "x")).toDF("k", "v", "tag"), mergeSchema = true)
+
+    // the running-query contract pins the old shape; a RESTART surfaces
+    // the evolved column (CdfStream getBatch projection) and the sink's
+    // mergeSchema widens the mirror to carry it
+    val q2 = start()
+    try {
+      t.append(Seq((102L, 3L, "y")).toDF("k", "v", "tag"), mergeSchema = true)
+      q2.processAllAvailable()
+    } finally q2.stop()
+
+    val mirror = ManagedTable.forPath(spark, dstLoc)
+    assert(mirror.schema.fieldNames.toSeq == Seq("k", "v", "tag"),
+      "restart must widen the mirror with the evolved column")
+    // rows mirrored BEFORE the restart predate the column -> null tag;
+    // post-restart rows carry it
+    val rows = mirror.toDF.orderBy("k").collect()
+      .map(r => (r.getLong(0), Option(r.getString(2)))).toSeq
+    assert(rows.contains((100L, None)))
+    assert(rows.contains((102L, Some("y"))))
+  }
+
   test("graft-cdf source into graft sink: an incremental table mirror") {
     val srcLoc = tmpDir("gsink3src")
     val dstLoc = tmpDir("gsink3dst")

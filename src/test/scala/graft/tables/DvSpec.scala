@@ -167,6 +167,48 @@ class DvSpec extends SparkSpec {
     assert(t2.toDF.count() == 990)
   }
 
+  test("an over-threshold DV mask anti-joins without the forced broadcast") {
+    val t = fixture("dvgate")
+    assert(t.delete("k < 50") == 50)
+    def executedPlan(df: DataFrame): String = {
+      df.count(); df.queryExecution.executedPlan.toString
+    }
+    // default: tiny vector set, the hint broadcasts
+    assert(executedPlan(t.toDF).contains("BroadcastHashJoin"),
+      "an under-threshold mask must keep the broadcast hint")
+    // past the footprint threshold the hint must NOT be emitted; with
+    // auto-broadcast off (AQE included) the join degrades to a shuffle,
+    // proving no hint forces it — and the rows are identical
+    spark.conf.set("spark.graft.dv.broadcastThreshold", "0")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = t.toDF
+      assert(df.count() == 950)
+      assert(df.filter("k < 50").count() == 0)
+      assert(!executedPlan(t.toDF).contains("BroadcastHashJoin"),
+        "an over-threshold mask must not force a broadcast")
+    } finally {
+      spark.conf.unset("spark.graft.dv.broadcastThreshold")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    }
+  }
+
+  test("OPTIMIZE materializes vectors on right-sized files too") {
+    val t = fixture("dvmat")
+    assert(t.delete("k BETWEEN 0 AND 9") == 10)
+    assert(t.fileStats.exists(_.dv.isDefined))
+    // a 1-byte target makes every file "right-sized" — before the fix
+    // this OPTIMIZE was a no-op and exportDelta's "optimize() first"
+    // advice was a dead end
+    t.optimize(targetFileSizeBytes = 1)
+    assert(t.fileStats.forall(_.dv.isEmpty),
+      "dv-bearing files must compact regardless of size")
+    assert(t.toDF.count() == 990)
+    assert(t.toDF.filter("k < 10").count() == 0)
+  }
+
   test("vacuumed vector fails loud on time travel; rename keeps vectors valid") {
     val t = fixture("dv8")
     assert(t.delete("k < 50") == 50)
