@@ -85,13 +85,20 @@ object DeltaImport {
     val spark = df.sparkSession
     import spark.implicits._
     def nested(tpe: DataType, segs: String*): Column = {
-      val reachable = segs.foldLeft(Option(df.schema: DataType)) {
+      val actual = segs.foldLeft(Option(df.schema: DataType)) {
         case (Some(st: StructType), seg) =>
           st.fields.find(_.name == seg).map(_.dataType)
         case _ => None
-      }.isDefined
-      if (reachable) col(segs.mkString(".")).cast(tpe)
-      else lit(null).cast(tpe)
+      }
+      actual match {
+        case None => lit(null).cast(tpe)
+        // a handcrafted checkpoint (JSON-inferred) stores configuration
+        // as a struct; struct→map casts are unsupported, so round-trip
+        // through JSON instead of failing the whole snapshot
+        case Some(_: StructType) if tpe.isInstanceOf[MapType] =>
+          from_json(to_json(col(segs.mkString("."))), tpe)
+        case Some(_) => col(segs.mkString(".")).cast(tpe)
+      }
     }
     df.select(
       nested(StringType, "add", "path").as("addPath"),
@@ -242,6 +249,24 @@ object DeltaImport {
       throw new IllegalStateException(
         s"No metaData action found in $tablePath's log")))
       .asInstanceOf[StructType]
+    // name mapping renames INNER struct fields too (delta-spark annotates
+    // every nested field); only top-level translation is implemented, and
+    // a positional struct cast over physical-named inner fields would
+    // silently misread after inner-field evolution — refuse loud instead
+    if (config.getOrElse("delta.columnMapping.mode", "none") == "name") {
+      def containsStruct(dt: DataType): Boolean = dt match {
+        case _: StructType => true
+        case a: ArrayType => containsStruct(a.elementType)
+        case m: MapType => containsStruct(m.keyType) || containsStruct(m.valueType)
+        case _ => false
+      }
+      schema.fields.find(f => containsStruct(f.dataType)).foreach { f =>
+        throw new IllegalArgumentException(
+          s"Delta column mapping 'name' with nested column '${f.name}' is " +
+            "not supported by this importer (inner fields carry physical " +
+            "names that top-level translation cannot resolve)")
+      }
+    }
     DeltaSnapshot(version, schema, partCols, config, adds.keys.toSeq)
   }
 

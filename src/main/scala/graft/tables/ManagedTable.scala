@@ -362,12 +362,11 @@ final class ManagedTable private (val spark: SparkSession, val location: String)
       // (file, pos) — same rows, scale-safe plan.
       val dvRows = spark.read.schema(ManagedTable.dvSchema)
         .parquet(dvRefs.map(r => dvRoot.resolve(r).toString): _*)
-      val dvBytes = dvRefs.map { r =>
-        val s = Files.list(dvRoot.resolve(r))
-        try s.iterator().asScala
-          .filter(Files.isRegularFile(_)).map(Files.size).sum
-        finally s.close()
-      }.sum
+      // sidecar dirs are immutable once written (vacuum removes whole
+      // dirs, and removed refs are never planned), so the footprint is
+      // memoized — no per-query driver walk on the hot read path
+      val dvBytes = dvRefs.map(r =>
+        ManagedTable.dvFootprint(dvRoot.resolve(r))).sum
       val limit = spark.conf.getOption("spark.graft.dv.broadcastThreshold")
         .map(_.toLong).getOrElse(ManagedTable.dvBroadcastThresholdDefault)
       val mask = dvRows.select(col("path").as(FP), col("pos").as(POS))
@@ -570,8 +569,14 @@ final class ManagedTable private (val spark: SparkSession, val location: String)
           // GraftSink's unknown-column guard admits it on the same terms
           val aligned = df.select(newSchema.fields.map { f =>
             df.columns.find(_ == f.name).orElse {
-              val ci = df.columns.filter(_.equalsIgnoreCase(f.name))
-              if (ci.length == 1) Some(ci.head) else None
+              df.columns.filter(_.equalsIgnoreCase(f.name)) match {
+                case Array(only) => Some(only)
+                case Array() => None
+                case many => throw new IllegalArgumentException(
+                  // as Spark's analyzer: ambiguity raises, never null-fills
+                  s"Ambiguous columns ${many.mkString(", ")} for table " +
+                    s"column '${f.name}'")
+              }
             } match {
               case Some(c) => df.col(c).cast(f.dataType).as(f.name)
               case None => lit(null).cast(f.dataType).as(f.name)
@@ -1913,6 +1918,25 @@ object ManagedTable {
     */
   private[tables] val dvBroadcastThresholdDefault: Long = 64L * 1024 * 1024
 
+  /** Memoized on-disk size of a DV sidecar dir (immutable once
+    * committed). Bounded: the cache resets past 100k entries — refs are
+    * globally unique uuid dirs, so collisions across tables are moot.
+    */
+  private val dvSizeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  private[tables] def dvFootprint(dir: Path): Long = {
+    val key = dir.toAbsolutePath.toString
+    val hit = dvSizeCache.get(key)
+    if (hit != null) return hit.longValue()
+    val s = Files.list(dir)
+    val bytes =
+      try s.iterator().asScala.filter(Files.isRegularFile(_)).map(Files.size).sum
+      finally s.close()
+    if (dvSizeCache.size() > 100000) dvSizeCache.clear()
+    dvSizeCache.put(key, java.lang.Long.valueOf(bytes))
+    bytes
+  }
+
   /** A `p=v` path segment, escaped the way Spark's file writer escapes
     * dynamic partition directories (so suffix comparison against written
     * leaves is exact). NULL partition values use Hive's default bucket.
@@ -2007,16 +2031,21 @@ object ManagedTable {
     * mack/__init__.py:378).
     */
   private[tables] def unionSchema(base: StructType, extra: StructType): StructType = {
-    val byName = base.fields.map(f => f.name -> f).toMap
+    // match case-INSENSITIVELY, as append's alignment resolves and as
+    // Spark's default analyzer would: a case-flipped incoming column is
+    // the SAME column (keeps the table's casing), never a duplicate pair
+    // that would make every later read ambiguous
+    val byName = base.fields.map(f => f.name.toLowerCase(java.util.Locale.ROOT) -> f).toMap
     extra.fields.foreach { f =>
-      byName.get(f.name).foreach { b =>
+      byName.get(f.name.toLowerCase(java.util.Locale.ROOT)).foreach { b =>
         if (b.dataType != f.dataType)
           throw new graft.GraftTypeError(
             s"Failed to merge fields '${f.name}': incompatible types " +
               s"${b.dataType.sql} and ${f.dataType.sql}")
       }
     }
-    StructType(base.fields ++ extra.fields.filterNot(f => byName.contains(f.name)))
+    StructType(base.fields ++ extra.fields.filterNot(f =>
+      byName.contains(f.name.toLowerCase(java.util.Locale.ROOT))))
   }
 
   def exists(location: String): Boolean =

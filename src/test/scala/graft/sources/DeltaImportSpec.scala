@@ -290,6 +290,23 @@ class DeltaImportSpec extends SparkSpec {
     assert(t.toDFWhere("p = 2").count() == 1)
   }
 
+  test("column mapping 'name' with nested columns refuses loud") {
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val dir = tmpDir("deltacm3")
+    Seq((1L, 1L)).toDF("col-0aa", "col-0bb").coalesce(1).write.parquet(dir)
+    // inner fields carry physical names delta-spark annotates; top-level
+    // translation cannot resolve them — positional cast would misread
+    val schema = StructType(Seq(
+      mappedField("k", "col-0aa", LongType, 1),
+      mappedField("s", "col-0bb",
+        StructType(Seq(StructField("x", LongType))), 2)))
+    writeLog(dir, 0, Seq(protocolJson(minReader = 2),
+      metaJson(schema, Nil, Map("delta.columnMapping.mode" -> "name"))) ++
+      partFiles(dir).map(addJson(_)))
+    val e = intercept[IllegalArgumentException](DeltaImport.snapshot(dir))
+    assert(e.getMessage.contains("nested column 's'"))
+  }
+
   // ---- multi-part and v2 checkpoints -------------------------------------
 
   /** Write `actions` (JSON strings) as a one-file parquet checkpoint at
@@ -363,6 +380,27 @@ class DeltaImportSpec extends SparkSpec {
     assert(snap.files == files.drop(1),
       "sidecar adds replay, then the tail remove lands")
     assert(DeltaImport.toDF(spark, dir).count() == 1)
+  }
+
+  test("checkpoint metaData with a non-empty configuration applies " +
+       "(JSON-inferred struct shape included)") {
+    val dir = tmpDir("deltacpcf")
+    Seq((1L, 1L)).toDF("k", "v").coalesce(1).write.parquet(dir)
+    val files = partFiles(dir)
+    val schema = Seq.empty[(Long, Long)].toDF("k", "v").schema
+    val logDir = Paths.get(dir, "_delta_log")
+    Files.createDirectories(logDir)
+    // writeCpParquet infers configuration as a STRUCT, not a map — the
+    // replay projection must still surface the properties
+    writeCpParquet(logDir.resolve(f"${0L}%020d.checkpoint.parquet"),
+      Seq(protocolJson(),
+        metaJson(schema, Nil, Map("owner" -> "me", "delta.appendOnly" -> "false"))) ++
+        files.map(addJson(_)))
+    Files.writeString(logDir.resolve("_last_checkpoint"),
+      """{"version":0,"size":3}""")
+    val snap = DeltaImport.snapshot(dir)
+    assert(snap.configuration == Map("owner" -> "me", "delta.appendOnly" -> "false"))
+    assert(snap.files == files)
   }
 
   test("v2 UUID parquet manifest with an inline sidecar action") {

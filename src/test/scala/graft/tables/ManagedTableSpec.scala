@@ -53,6 +53,26 @@ class ManagedTableSpec extends SparkSpec {
     assertDfEquality(t.toDF, df(schema, Seq(Row(1, "a"), Row(5, null))))
   }
 
+  test("append resolves case-flipped columns; mergeSchema never duplicates " +
+       "a case-pair; a genuinely ambiguous frame raises") {
+    val loc = tmpDir("mtci")
+    val t = ManagedTable.create(df(schema, Seq(Row(1, "a"))), loc)
+    // case-flipped frame lands values in the existing columns
+    t.append(Seq((2, "b")).toDF("COL1", "Col2"))
+    assertDfEquality(t.toDF, df(schema, Seq(Row(1, "a"), Row(2, "b"))))
+    // mergeSchema must treat COL1 as col1, not add a duplicate column
+    t.append(Seq((3, "c")).toDF("COL1", "col2"), mergeSchema = true)
+    assert(t.schema.fieldNames.toSeq == Seq("col1", "col2"),
+      "no case-pair duplicate column may be committed")
+    assert(t.toDF.count() == 3)
+    // two frame columns differing only in case for one table column:
+    // raise (as Spark's analyzer would), never silently null-fill
+    val e = intercept[IllegalArgumentException](
+      t.append(Seq((4, "d", "dd")).toDF("col1", "COL2", "Col2")))
+    assert(e.getMessage.contains("Ambiguous"))
+    assert(t.toDF.count() == 3, "failed append must not land rows")
+  }
+
   test("partitioned table round-trips partition column") {
     val loc = tmpDir("mt")
     val data = df(schema, Seq(Row(1, "a"), Row(2, "b"), Row(3, "a")))
