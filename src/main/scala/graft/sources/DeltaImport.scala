@@ -17,14 +17,16 @@ import graft.tables.ManagedTable
   * files are plain parquet.
   *
   * Supported: reader-version-1 tables (plus v2/v3 when no unsupported
-  * reader feature is active), hive-layout partitioning, schema evolution
+  * reader feature is active), partitioning in BOTH layouts — hive-style
+  * `k=v` dirs (one-scan fast path) and layout-free with the log's
+  * `add.partitionValues` as the source of truth — schema evolution
   * (older files null-fill), column mapping mode `name` (reads by the
-  * per-field physical name, re-aliased to logical), checkpoint replay in
-  * all three published forms — classic single-file, multi-part
-  * (`parts` in `_last_checkpoint`), and v2 UUID manifests (parquet or
-  * JSON) with `_sidecars/` file-action sidecars. Refused loud: deletion
-  * vectors on an `add`, column mapping mode `id` — silently misreading
-  * a table would be worse than failing.
+  * per-field physical name, re-aliased to logical; nested structs
+  * refused), checkpoint replay in all three published forms — classic
+  * single-file, multi-part (`parts` in `_last_checkpoint`), and v2 UUID
+  * manifests (parquet or JSON) with `_sidecars/` file-action sidecars.
+  * Refused loud: deletion vectors on an `add`, column mapping mode `id`
+  * — silently misreading a table would be worse than failing.
   *
   * Scale note: snapshot reconstruction holds the live file LIST on the
   * driver (same order as Delta's own snapshot state); the data itself is
@@ -41,7 +43,15 @@ object DeltaImport {
                                  schema: StructType,
                                  partitionColumns: Seq[String],
                                  configuration: Map[String, String],
-                                 files: Seq[String]) { // table-root-relative
+                                 files: Seq[String], // table-root-relative
+                                 /** per-file `add.partitionValues` (the
+                                   * LOG's authoritative values — hive
+                                   * dirs are just a writer convention),
+                                   * keyed by the physical column name;
+                                   * a null value is a null partition.
+                                   */
+                                 partitionValuesByFile:
+                                   Map[String, Map[String, String]] = Map.empty) {
     /** `delta.columnMapping.mode` — `none` or `name` (`id` is refused at
       * snapshot time). Under `name`, parquet files and partition dirs
       * carry PHYSICAL column names (`col-<uuid>`), recorded per-field in
@@ -69,6 +79,7 @@ object DeltaImport {
     */
   private final case class CpRow(addPath: Option[String],
                                  addDv: Option[String],
+                                 addPartitionValues: Option[Map[String, String]],
                                  removePath: Option[String],
                                  schemaString: Option[String],
                                  partitionCols: Option[Seq[String]],
@@ -104,6 +115,8 @@ object DeltaImport {
       nested(StringType, "add", "path").as("addPath"),
       // presence marker only — any dv on a live add is a refusal
       nested(StringType, "add", "deletionVector", "storageType").as("addDv"),
+      nested(MapType(StringType, StringType), "add", "partitionValues")
+        .as("addPartitionValues"),
       nested(StringType, "remove", "path").as("removePath"),
       nested(StringType, "metaData", "schemaString").as("schemaString"),
       nested(ArrayType(StringType), "metaData", "partitionColumns")
@@ -138,7 +151,8 @@ object DeltaImport {
     val cpVersion = lastCp.map(_.get("version").asLong())
     val cpParts = lastCp.flatMap(n => Option(n.get("parts")).map(_.asInt()))
 
-    val adds = scala.collection.mutable.LinkedHashMap.empty[String, Unit]
+    val adds =
+      scala.collection.mutable.LinkedHashMap.empty[String, Map[String, String]]
     var schemaJson: Option[String] = None
     var partCols: Seq[String] = Nil
     var config: Map[String, String] = Map.empty
@@ -184,7 +198,13 @@ object DeltaImport {
         val a = n.get("add")
         if (a.has("deletionVector") && !a.get("deletionVector").isNull)
           refuseDv()
-        adds.put(decodePath(a.get("path").asText()), ())
+        val pv =
+          if (a.has("partitionValues") && !a.get("partitionValues").isNull)
+            a.get("partitionValues").properties().asScala.map(e =>
+              e.getKey -> (if (e.getValue.isNull) null
+                           else e.getValue.asText())).toMap
+          else Map.empty[String, String]
+        adds.put(decodePath(a.get("path").asText()), pv)
       } else if (n.has("remove")) {
         adds.remove(decodePath(n.get("remove").get("path").asText())); ()
       } else if (n.has("protocol")) {
@@ -205,7 +225,7 @@ object DeltaImport {
           r.configuration.getOrElse(Map.empty)))
       r.addPath.foreach { p =>
         if (r.addDv.isDefined) refuseDv()
-        adds.put(decodePath(p), ())
+        adds.put(decodePath(p), r.addPartitionValues.getOrElse(Map.empty))
       }
       r.removePath.foreach(p => adds.remove(decodePath(p)))
       r.sidecarPath.foreach(p => sidecars += p)
@@ -267,7 +287,8 @@ object DeltaImport {
             "names that top-level translation cannot resolve)")
       }
     }
-    DeltaSnapshot(version, schema, partCols, config, adds.keys.toSeq)
+    DeltaSnapshot(version, schema, partCols, config, adds.keys.toSeq,
+      adds.toMap)
   }
 
   /** Find the checkpoint files for version `v`: Left(parquet files) for
@@ -308,12 +329,21 @@ object DeltaImport {
   }
 
   /** The Delta table's current contents as a DataFrame (distributed
-    * parquet scan over exactly the snapshot's live files; partition
-    * columns re-derived from the hive-style paths; evolved-away columns
-    * null-filled to the log's authoritative schema). Under column
-    * mapping `name`, the scan selects PHYSICAL `col-<uuid>` columns and
-    * re-aliases each to its logical name — partition directories carry
-    * physical names too, so the hive-layout check runs on those.
+    * parquet scan over exactly the snapshot's live files; evolved-away
+    * columns null-filled to the log's authoritative schema). Under
+    * column mapping `name`, the scan selects PHYSICAL `col-<uuid>`
+    * columns and re-aliases each to its logical name.
+    *
+    * Partition values: when every live file sits under hive-style
+    * `c=v` dirs (delta-spark's layout), ONE scan with `basePath`
+    * derives them — the fast path, full partition pruning. Otherwise
+    * the LOG's `add.partitionValues` are authoritative (hive dirs are
+    * only a writer convention; randomized-prefix and some non-Spark
+    * writers skip them): files group by their partition tuple and each
+    * group scans with its values attached as literals, unioned. One
+    * scan node per live partition tuple — fine for the low-thousands
+    * of partitions a sane layout has; file-granular pruning still
+    * applies within each group.
     */
   def toDF(spark: SparkSession, tablePath: String): DataFrame = {
     val snap = snapshot(tablePath)
@@ -321,18 +351,42 @@ object DeltaImport {
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         logicalSchema(snap))
-    ManagedTable.requireHiveLayout(snap.files, snap.physicalPartitionColumns)
-    val abs = snap.files.map(f => Paths.get(tablePath, f).toString)
-    val raw = spark.read
-      .option("mergeSchema", "true")
-      .option("basePath", tablePath)
-      .parquet(abs: _*)
-    val cols = snap.schema.fields.map { f =>
-      val phys = snap.physicalName(f)
-      if (raw.columns.contains(phys)) raw.col(phys).cast(f.dataType).as(f.name)
-      else lit(null).cast(f.dataType).as(f.name)
+    val physParts = snap.physicalPartitionColumns
+    if (ManagedTable.isHiveLayout(snap.files, physParts)) {
+      val abs = snap.files.map(f => Paths.get(tablePath, f).toString)
+      val raw = spark.read
+        .option("mergeSchema", "true")
+        .option("basePath", tablePath)
+        .parquet(abs: _*)
+      val cols = snap.schema.fields.map { f =>
+        val phys = snap.physicalName(f)
+        if (raw.columns.contains(phys)) raw.col(phys).cast(f.dataType).as(f.name)
+        else lit(null).cast(f.dataType).as(f.name)
+      }
+      return raw.select(cols.toIndexedSeq: _*)
     }
-    raw.select(cols.toIndexedSeq: _*)
+    // log-driven path: group live files by partition tuple
+    val groups = snap.files.groupBy(f => physParts.map { pc =>
+      val pv = snap.partitionValuesByFile.getOrElse(f, Map.empty)
+      require(pv.contains(pc),
+        s"non-hive-layout Delta file $f lacks add.partitionValues for " +
+          s"'$pc' — the log cannot place its rows in a partition")
+      pc -> pv(pc)
+    }.toMap)
+    val frames = groups.toSeq.map { case (pv, fs) =>
+      val raw = spark.read.option("mergeSchema", "true")
+        .parquet(fs.map(f => Paths.get(tablePath, f).toString): _*)
+      val cols = snap.schema.fields.map { f =>
+        val phys = snap.physicalName(f)
+        if (snap.partitionColumns.contains(f.name))
+          lit(pv(phys)).cast(f.dataType).as(f.name) // null-safe: lit(null)
+        else if (raw.columns.contains(phys))
+          raw.col(phys).cast(f.dataType).as(f.name)
+        else lit(null).cast(f.dataType).as(f.name)
+      }
+      raw.select(cols.toIndexedSeq: _*)
+    }
+    frames.reduce(_.unionByName(_))
   }
 
   /** The snapshot schema with mapping metadata stripped (logical names
@@ -381,13 +435,50 @@ object DeltaImport {
         partitionBy = snap.partitionColumns, properties = props)
     // one adopted-uuid dir per import; the Delta-relative path (incl.
     // its hive k=v segments) becomes the path under it, slashes in any
-    // non-hive prefix flattened so partition parsing sees ONLY k=v dirs
-    val links = ManagedTable
-      .planAdoption(snap.files, snap.partitionColumns)
-      .map { case (f, rel) => (Paths.get(deltaPath, f), rel) }
+    // non-hive prefix flattened so partition parsing sees ONLY k=v dirs.
+    // A NON-hive source layout still links zero-copy: the log's
+    // add.partitionValues synthesize the k=v target segments instead.
+    val links = (
+      if (ManagedTable.isHiveLayout(snap.files, snap.partitionColumns))
+        ManagedTable.planAdoption(snap.files, snap.partitionColumns)
+      else planAdoptionFromValues(snap)
+    ).map { case (f, rel) => (Paths.get(deltaPath, f), rel) }
     ManagedTable.adoptFiles(spark, targetPath, links,
       schema = logicalSchema(snap), partitionBy = snap.partitionColumns,
       properties = props)
+  }
+
+  /** Adoption targets for a partitioned Delta source WITHOUT hive-style
+    * dirs: each file's `k=v` target segments come from the log's
+    * `add.partitionValues` (escaped exactly like written data, so the
+    * managed table's dir-parsing read path sees ordinary partitions);
+    * every source path segment flattens into the file name. Collisions
+    * get the same deterministic `-dupN` suffix as
+    * [[ManagedTable.planAdoption]].
+    */
+  private def planAdoptionFromValues(snap: DeltaSnapshot): Seq[(String, String)] = {
+    val uuid = java.util.UUID.randomUUID().toString
+    val physByLogical = snap.partitionColumns
+      .zip(snap.physicalPartitionColumns).toMap
+    val seen = scala.collection.mutable.Map.empty[String, Int]
+    snap.files.sorted.map { f =>
+      val pv = snap.partitionValuesByFile.getOrElse(f, Map.empty)
+      val hive = snap.partitionColumns.map { lc =>
+        val pc = physByLogical(lc)
+        require(pv.contains(pc),
+          s"non-hive-layout Delta file $f lacks add.partitionValues for " +
+            s"'$pc' — cannot place it in a partition directory")
+        ManagedTable.partitionSegment(lc, pv(pc))
+      }
+      val base = f.split('/').filter(_.nonEmpty).mkString("-")
+      val key = (hive :+ base).mkString("/")
+      val n = seen.getOrElse(key, 0)
+      seen(key) = n + 1
+      val name =
+        if (n == 0) base
+        else base.stripSuffix(".parquet") + s"-dup$n.parquet"
+      (f, (uuid +: hive :+ name).mkString("/"))
+    }
   }
 
   /** Delta `add.path` values are URL-encoded, table-root-relative. */

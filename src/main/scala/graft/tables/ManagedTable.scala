@@ -1941,7 +1941,7 @@ object ManagedTable {
     * dynamic partition directories (so suffix comparison against written
     * leaves is exact). NULL partition values use Hive's default bucket.
     */
-  private[tables] def partitionSegment(colName: String, value: Any): String = {
+  private[graft] def partitionSegment(colName: String, value: Any): String = {
     import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName
     val v = value match {
       case null => "__HIVE_DEFAULT_PARTITION__"
@@ -2072,6 +2072,18 @@ object ManagedTable {
         throw new IllegalArgumentException(
           s"File $f lacks hive-layout segments for $partitionBy")
       }
+
+  /** Non-throwing [[requireHiveLayout]]: do ALL files carry `c=…`
+    * segments for every partition column? Callers with another source
+    * of partition values (a Delta log's `add.partitionValues`) branch
+    * on this instead of refusing.
+    */
+  private[graft] def isHiveLayout(files: Seq[String],
+                                  partitionBy: Seq[String]): Boolean =
+    partitionBy.isEmpty || files.forall { f =>
+      val dirs = f.split('/').filter(_.nonEmpty).dropRight(1)
+      partitionBy.forall(c => dirs.exists(_.startsWith(c + "=")))
+    }
 
   /** Plan adoption targets for source-relative `files`: one fresh uuid
     * dir, hive `k=v` segments preserved as directories, any non-hive

@@ -290,6 +290,65 @@ class DeltaImportSpec extends SparkSpec {
     assert(t.toDFWhere("p = 2").count() == 1)
   }
 
+  test("a partitioned table WITHOUT hive dirs reads and imports via " +
+       "add.partitionValues (null partitions included)") {
+    import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
+    val dir = tmpDir("deltapv")
+    // three root-level files (no k=v dirs — randomized-prefix writers),
+    // partition membership recorded ONLY in the log. Partition column is
+    // NOT in the data files, as Delta writes it.
+    Seq(1L, 2L).toDF("k").coalesce(1).write.parquet(dir)
+    val f1 = partFiles(dir)
+    Seq(3L).toDF("k").coalesce(1).write.mode("append").parquet(dir)
+    val f2 = partFiles(dir).diff(f1)
+    Seq(4L).toDF("k").coalesce(1).write.mode("append").parquet(dir)
+    val f3 = partFiles(dir).diff(f1 ++ f2)
+    assert(f1.size == 1 && f2.size == 1 && f3.size == 1)
+    val schema = StructType(Seq(
+      StructField("k", LongType), StructField("p", IntegerType)))
+    def addPv(path: String, p: Option[Int]): String =
+      addJson(path, a => {
+        val pv = a.putObject("partitionValues")
+        p match { case Some(v) => pv.put("p", v.toString)
+                  case None => pv.putNull("p") }
+        ()
+      })
+    writeLog(dir, 0, Seq(protocolJson(), metaJson(schema, Seq("p"))) ++
+      Seq(addPv(f1.head, Some(1)), addPv(f2.head, Some(2)),
+        addPv(f3.head, None)))
+
+    val out = DeltaImport.toDF(spark, dir)
+    assert(out.columns.toSeq == Seq("k", "p"))
+    val got = out.collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getInt(1))))
+      .sorted.toSeq
+    assert(got == Seq((1L, Some(1)), (2L, Some(1)), (3L, Some(2)),
+      (4L, None)), s"log partitionValues must attach, got $got")
+
+    // the clone stays ZERO-COPY: k=v target dirs synthesized from the log
+    val t = DeltaImport.importTable(spark, dir, tmpDir("deltapvclone"))
+    assert(t.partitionColumns == Seq("p"))
+    assert(t.toDFWhere("p = 1").count() == 2, "pruning works on the clone")
+    assert(t.toDF.filter(col("p").isNull).count() == 1,
+      "null partition survives the import")
+    val walked = Files.walk(Paths.get(t.location, "data"))
+    val linked = try walked.iterator().asScala
+      .filter(_.toString.endsWith(".parquet")).toSeq
+      .forall(p => Files.getAttribute(p, "unix:nlink")
+        .asInstanceOf[Number].intValue() >= 2)
+    finally walked.close()
+    assert(linked, "non-hive import must still hard-link, not rewrite")
+
+    // a partitioned file with NO partitionValues in the log refuses loud
+    val dir2 = tmpDir("deltapv2")
+    Seq(1L).toDF("k").coalesce(1).write.parquet(dir2)
+    writeLog(dir2, 0, Seq(protocolJson(), metaJson(schema, Seq("p"))) ++
+      partFiles(dir2).map(addJson(_)))
+    val e = intercept[IllegalArgumentException](
+      DeltaImport.toDF(spark, dir2).collect())
+    assert(e.getMessage.contains("partitionValues"))
+  }
+
   test("column mapping 'name' with nested columns refuses loud") {
     import org.apache.spark.sql.types.{LongType, StructField, StructType}
     val dir = tmpDir("deltacm3")
