@@ -24,9 +24,13 @@ import graft.tables.ManagedTable
   * per-field physical name, re-aliased to logical; nested structs
   * refused), checkpoint replay in all three published forms — classic
   * single-file, multi-part (`parts` in `_last_checkpoint`), and v2 UUID
-  * manifests (parquet or JSON) with `_sidecars/` file-action sidecars.
-  * Refused loud: deletion vectors on an `add`, column mapping mode `id`
-  * — silently misreading a table would be worse than failing.
+  * manifests (parquet or JSON) with `_sidecars/` file-action sidecars —
+  * and DELETION VECTORS in all three storage forms (`u`/`i`/`p`,
+  * decoded via [[DeltaDv]]): masked rows drop on read and the vectors
+  * adopt as native `_graft_dv` sidecars on import, keeping merge-on-read
+  * tables zero-copy. Refused loud: column mapping mode `id` and unknown
+  * reader features — silently misreading a table would be worse than
+  * failing.
   *
   * Scale note: snapshot reconstruction holds the live file LIST on the
   * driver (same order as Delta's own snapshot state); the data itself is
@@ -51,7 +55,13 @@ object DeltaImport {
                                    * a null value is a null partition.
                                    */
                                  partitionValuesByFile:
-                                   Map[String, Map[String, String]] = Map.empty) {
+                                   Map[String, Map[String, String]] = Map.empty,
+                                 /** per-file deletion vector (merge-on-read
+                                   * DELETE/UPDATE tables): masked row
+                                   * indexes the scan must drop.
+                                   */
+                                 dvByFile:
+                                   Map[String, DeltaDv.Descriptor] = Map.empty) {
     /** `delta.columnMapping.mode` — `none` or `name` (`id` is refused at
       * snapshot time). Under `name`, parquet files and partition dirs
       * carry PHYSICAL column names (`col-<uuid>`), recorded per-field in
@@ -78,7 +88,11 @@ object DeltaImport {
     * columns select as null, so one shape covers every layout.
     */
   private final case class CpRow(addPath: Option[String],
-                                 addDv: Option[String],
+                                 addDvStorage: Option[String],
+                                 addDvPath: Option[String],
+                                 addDvOffset: Option[Int],
+                                 addDvSize: Option[Int],
+                                 addDvCardinality: Option[Long],
                                  addPartitionValues: Option[Map[String, String]],
                                  removePath: Option[String],
                                  schemaString: Option[String],
@@ -113,8 +127,15 @@ object DeltaImport {
     }
     df.select(
       nested(StringType, "add", "path").as("addPath"),
-      // presence marker only — any dv on a live add is a refusal
-      nested(StringType, "add", "deletionVector", "storageType").as("addDv"),
+      nested(StringType, "add", "deletionVector", "storageType")
+        .as("addDvStorage"),
+      nested(StringType, "add", "deletionVector", "pathOrInlineDv")
+        .as("addDvPath"),
+      nested(IntegerType, "add", "deletionVector", "offset").as("addDvOffset"),
+      nested(IntegerType, "add", "deletionVector", "sizeInBytes")
+        .as("addDvSize"),
+      nested(LongType, "add", "deletionVector", "cardinality")
+        .as("addDvCardinality"),
       nested(MapType(StringType, StringType), "add", "partitionValues")
         .as("addPartitionValues"),
       nested(StringType, "remove", "path").as("removePath"),
@@ -151,8 +172,8 @@ object DeltaImport {
     val cpVersion = lastCp.map(_.get("version").asLong())
     val cpParts = lastCp.flatMap(n => Option(n.get("parts")).map(_.asInt()))
 
-    val adds =
-      scala.collection.mutable.LinkedHashMap.empty[String, Map[String, String]]
+    val adds = scala.collection.mutable.LinkedHashMap
+      .empty[String, (Map[String, String], Option[DeltaDv.Descriptor])]
     var schemaJson: Option[String] = None
     var partCols: Seq[String] = Nil
     var config: Map[String, String] = Map.empty
@@ -163,7 +184,8 @@ object DeltaImport {
       // validates mode-by-mode (the protocol action usually precedes
       // metaData, so config isn't known yet here)
       val unsupported = readerFeatures
-        .filterNot(Set("timestampNtz", "columnMapping", "v2Checkpoint"))
+        .filterNot(Set("timestampNtz", "columnMapping", "v2Checkpoint",
+          "deletionVectors"))
       require(minReader <= 2 || (minReader == 3 && unsupported.isEmpty),
         s"Delta reader version $minReader with features $readerFeatures " +
           "is not supported by this importer")
@@ -179,10 +201,6 @@ object DeltaImport {
           "mode reads via per-field physicalName metadata; 'id' mode " +
           "would need parquet field-id resolution)")
     }
-    def refuseDv(): Nothing = throw new IllegalArgumentException(
-      "Delta deletion vectors on data files are not supported by this " +
-        "importer (rows would be resurrected); VACUUM/OPTIMIZE the " +
-        "source table first")
     def applyAction(n: JsonNode): Unit =
       if (n.has("metaData")) {
         val m = n.get("metaData")
@@ -196,15 +214,23 @@ object DeltaImport {
           else Map.empty)
       } else if (n.has("add")) {
         val a = n.get("add")
-        if (a.has("deletionVector") && !a.get("deletionVector").isNull)
-          refuseDv()
+        val dv =
+          if (a.has("deletionVector") && !a.get("deletionVector").isNull) {
+            val d = a.get("deletionVector")
+            Some(DeltaDv.Descriptor(
+              d.get("storageType").asText(),
+              d.get("pathOrInlineDv").asText(),
+              Option(d.get("offset")).filterNot(_.isNull).map(_.asInt()),
+              d.get("sizeInBytes").asInt(),
+              d.get("cardinality").asLong()))
+          } else None
         val pv =
           if (a.has("partitionValues") && !a.get("partitionValues").isNull)
             a.get("partitionValues").properties().asScala.map(e =>
               e.getKey -> (if (e.getValue.isNull) null
                            else e.getValue.asText())).toMap
           else Map.empty[String, String]
-        adds.put(decodePath(a.get("path").asText()), pv)
+        adds.put(decodePath(a.get("path").asText()), (pv, dv))
       } else if (n.has("remove")) {
         adds.remove(decodePath(n.get("remove").get("path").asText())); ()
       } else if (n.has("protocol")) {
@@ -224,8 +250,12 @@ object DeltaImport {
         applyMeta(s, r.partitionCols.getOrElse(Nil),
           r.configuration.getOrElse(Map.empty)))
       r.addPath.foreach { p =>
-        if (r.addDv.isDefined) refuseDv()
-        adds.put(decodePath(p), r.addPartitionValues.getOrElse(Map.empty))
+        val dv = r.addDvStorage.map(st => DeltaDv.Descriptor(st,
+          r.addDvPath.getOrElse(throw new IllegalArgumentException(
+            s"checkpoint add $p has a deletionVector without pathOrInlineDv")),
+          r.addDvOffset, r.addDvSize.getOrElse(0),
+          r.addDvCardinality.getOrElse(0L)))
+        adds.put(decodePath(p), (r.addPartitionValues.getOrElse(Map.empty), dv))
       }
       r.removePath.foreach(p => adds.remove(decodePath(p)))
       r.sidecarPath.foreach(p => sidecars += p)
@@ -288,7 +318,8 @@ object DeltaImport {
       }
     }
     DeltaSnapshot(version, schema, partCols, config, adds.keys.toSeq,
-      adds.toMap)
+      adds.map { case (f, (pv, _)) => f -> pv }.toMap,
+      adds.collect { case (f, (_, Some(dv))) => f -> dv }.toMap)
   }
 
   /** Find the checkpoint files for version `v`: Left(parquet files) for
@@ -363,7 +394,8 @@ object DeltaImport {
         if (raw.columns.contains(phys)) raw.col(phys).cast(f.dataType).as(f.name)
         else lit(null).cast(f.dataType).as(f.name)
       }
-      return raw.select(cols.toIndexedSeq: _*)
+      return applyDvMask(spark, tablePath, snap, raw, snap.files)
+        .select(cols.toIndexedSeq: _*)
     }
     // log-driven path: group live files by partition tuple
     val groups = snap.files.groupBy(f => physParts.map { pc =>
@@ -384,9 +416,68 @@ object DeltaImport {
           raw.col(phys).cast(f.dataType).as(f.name)
         else lit(null).cast(f.dataType).as(f.name)
       }
-      raw.select(cols.toIndexedSeq: _*)
+      applyDvMask(spark, tablePath, snap, raw, fs)
+        .select(cols.toIndexedSeq: _*)
     }
     frames.reduce(_.unionByName(_))
+  }
+
+  /** Drop each file's deletion-vector rows from `raw` (a scan over
+    * exactly `files`). No-op without vectors. With them: a footer-only
+    * pre-pass asks SPARK for its `_metadata.file_path` per masked file
+    * — joining on Spark's own strings sidesteps URI-escaping guesswork
+    * (a silently missed join key would resurrect deleted rows; a
+    * file_path that maps to no live log file refuses loud instead).
+    * Vectors decode on EXECUTORS (one task per masked file, positions
+    * never collect to the driver) and the anti-join mirrors the managed
+    * read path: broadcast while the descriptors' total `sizeInBytes`
+    * stays under `spark.graft.dv.broadcastThreshold`, shuffle past it.
+    */
+  private def applyDvMask(spark: SparkSession, tablePath: String,
+                          snap: DeltaSnapshot, raw: DataFrame,
+                          files: Seq[String]): DataFrame = {
+    val dvs = files.flatMap(f => snap.dvByFile.get(f).map(f -> _))
+    if (dvs.isEmpty) return raw
+    val FP = "__delta_fpath"; val POS = "__delta_fpos"
+    val rootAbs = Paths.get(tablePath).toAbsolutePath
+    val sparkPathByRel: Map[String, String] = {
+      val paths = spark.read
+        .parquet(dvs.map { case (f, _) => rootAbs.resolve(f).toString }: _*)
+        .select(col("_metadata.file_path")).distinct()
+        .collect().map(_.getString(0))
+      paths.map { p =>
+        val local =
+          try Paths.get(new java.net.URI(p))
+          catch { case _: Exception => Paths.get(p.stripPrefix("file:")) }
+        val rel = rootAbs.relativize(local.toAbsolutePath).toString
+        require(snap.dvByFile.contains(rel),
+          s"scanned file $p resolves to '$rel', which is not a " +
+            "deletion-vector-masked live file of the Delta log")
+        rel -> p
+      }.toMap
+    }
+    val items = dvs.map { case (f, d) =>
+      (sparkPathByRel.getOrElse(f, throw new IllegalStateException(
+        s"masked file $f never surfaced in the _metadata pre-pass")),
+        d.storageType, d.pathOrInlineDv, d.offset.getOrElse(-1),
+        d.sizeInBytes, d.cardinality)
+    }
+    val rootStr = rootAbs.toString
+    import spark.implicits._
+    val mask = spark.createDataset(items)
+      .repartition(math.min(items.size, 32))
+      .flatMap { case (fp, st, pd, off, sz, card) =>
+        DeltaDv.readPositions(Paths.get(rootStr), DeltaDv.Descriptor(
+          st, pd, if (off < 0) None else Some(off), sz, card))
+          .map(p => (fp, p))
+      }.toDF(FP, POS)
+    val limit = spark.conf.getOption("spark.graft.dv.broadcastThreshold")
+      .map(_.toLong).getOrElse(ManagedTable.dvBroadcastThresholdDefault)
+    val small = dvs.map(_._2.sizeInBytes.toLong).sum <= limit
+    raw.withColumn(FP, col("_metadata.file_path"))
+      .withColumn(POS, col("_metadata.row_index"))
+      .join(if (small) broadcast(mask) else mask, Seq(FP, POS), "left_anti")
+      .drop(FP, POS)
   }
 
   /** The snapshot schema with mapping metadata stripped (logical names
@@ -438,14 +529,61 @@ object DeltaImport {
     // non-hive prefix flattened so partition parsing sees ONLY k=v dirs.
     // A NON-hive source layout still links zero-copy: the log's
     // add.partitionValues synthesize the k=v target segments instead.
-    val links = (
+    val plan =
       if (ManagedTable.isHiveLayout(snap.files, snap.partitionColumns))
         ManagedTable.planAdoption(snap.files, snap.partitionColumns)
       else planAdoptionFromValues(snap)
-    ).map { case (f, rel) => (Paths.get(deltaPath, f), rel) }
+    val links = plan.map { case (f, rel) => (Paths.get(deltaPath, f), rel) }
+    // deletion vectors adopt too: decode each masked file's positions on
+    // executors, re-keyed to the ADOPTED path, and hand them to
+    // adoptFiles as a ready sidecar — the clone is merge-on-read from
+    // v0, no materializing rewrite. Adopted rel paths double as the
+    // managed read path's `_metadata`-suffix coordinates; a path whose
+    // URI form would diverge (URI-escaping characters) refuses loud
+    // rather than writing a mask that silently never joins.
+    val dv =
+      if (snap.dvByFile.isEmpty) None
+      else {
+        val relByFile = plan.toMap
+        snap.dvByFile.keys.find(f => !relByFile.contains(f)).foreach(f =>
+          throw new IllegalStateException(
+            s"deletion-vector file $f missing from the adoption plan"))
+        val masked = snap.dvByFile.map { case (f, d) => relByFile(f) -> d }
+        masked.keys.filter(rel =>
+            uriSuffix(Paths.get(targetPath, "data"), rel) != rel)
+          .toSeq.sorted.headOption.foreach(rel =>
+            throw new IllegalArgumentException(
+              s"cannot adopt deletion vectors: path '$rel' changes under " +
+                "URI encoding, so its mask coordinates would not match " +
+                "the scan's _metadata.file_path"))
+        val rootStr = Paths.get(deltaPath).toAbsolutePath.toString
+        val items = masked.toSeq.map { case (rel, d) =>
+          (rel, d.storageType, d.pathOrInlineDv, d.offset.getOrElse(-1),
+            d.sizeInBytes, d.cardinality)
+        }
+        import spark.implicits._
+        val rows = spark.createDataset(items)
+          .repartition(math.min(items.size, 32))
+          .flatMap { case (rel, st, pd, off, sz, card) =>
+            DeltaDv.readPositions(Paths.get(rootStr), DeltaDv.Descriptor(
+              st, pd, if (off < 0) None else Some(off), sz, card))
+              .map(p => (rel, p))
+          }.toDF("path", "pos")
+        Some(ManagedTable.AdoptedDv(rows, masked.keySet))
+      }
     ManagedTable.adoptFiles(spark, targetPath, links,
       schema = logicalSchema(snap), partitionBy = snap.partitionColumns,
-      properties = props)
+      properties = props, dv = dv)
+  }
+
+  /** What [[ManagedTable]]'s `relPathOf` would yield for `base/rel`: the
+    * file URI's string suffix after `base` — equal to `rel` exactly when
+    * no segment URI-escapes.
+    */
+  private def uriSuffix(base: Path, rel: String): String = {
+    val uri = base.resolve(rel).toUri.toString
+    val prefix = base.toUri.toString.stripSuffix("/") + "/"
+    if (uri.startsWith(prefix)) uri.substring(prefix.length) else uri
   }
 
   /** Adoption targets for a partitioned Delta source WITHOUT hive-style

@@ -1906,7 +1906,7 @@ object ManagedTable {
     */
   private[tables] val FP = "__graft_fpath"
   private[tables] val POS = "__graft_fpos"
-  private[tables] val dvSchema: StructType = StructType(Seq(
+  private[graft] val dvSchema: StructType = StructType(Seq(
     StructField("path", StringType, nullable = false),
     StructField("pos", LongType, nullable = false)))
 
@@ -1916,7 +1916,7 @@ object ManagedTable {
     * comfortably inside executor broadcast budgets; past it the mask
     * anti-join shuffles instead.
     */
-  private[tables] val dvBroadcastThresholdDefault: Long = 64L * 1024 * 1024
+  private[graft] val dvBroadcastThresholdDefault: Long = 64L * 1024 * 1024
 
   /** Memoized on-disk size of a DV sidecar dir (immutable once
     * committed). Bounded: the cache resets past 100k entries — refs are
@@ -2124,12 +2124,21 @@ object ManagedTable {
     * for the table's lifetime — true for Delta/graft data files; a
     * source-side vacuum only unlinks, the shared inodes live on.
     */
+  /** Optional deletion-vector payload for [[adoptFiles]]: `rows` in
+    * [[dvSchema]] (path = data-dir-relative ADOPTED path, pos = row
+    * index) plus the set of adopted paths the vector masks — the v0
+    * commit's [[FileStat]]s point those files at the written sidecar.
+    */
+  private[graft] final case class AdoptedDv(rows: DataFrame,
+                                            maskedPaths: Set[String])
+
   private[graft] def adoptFiles(spark: SparkSession, location: String,
                                 files: Seq[(Path, String)],
                                 schema: StructType,
                                 partitionBy: Seq[String],
                                 properties: Map[String, String],
-                                operation: String = "CONVERT"): ManagedTable = {
+                                operation: String = "CONVERT",
+                                dv: Option[AdoptedDv] = None): ManagedTable = {
     require(!exists(location), s"Table already exists: $location")
     require(files.nonEmpty, "adoptFiles requires at least one file")
     val t = new ManagedTable(spark, location)
@@ -2162,7 +2171,22 @@ object ManagedTable {
     val dirs = files.map { case (_, rel) =>
       rel.substring(0, rel.lastIndexOf('/'))
     }.distinct
-    val stats = t.statsFor(dirs, schema)
+    val stats0 = t.statsFor(dirs, schema)
+    // deletion vectors adopt alongside the data: write the mask rows as
+    // a sidecar before the commit and point the masked files at it —
+    // same layout a native merge-on-read DELETE would leave
+    val stats = dv.fold(stats0) { d =>
+      val ref = UUID.randomUUID().toString
+      d.rows.select(col("path").cast(StringType).as("path"),
+          col("pos").cast(LongType).as("pos"))
+        .coalesce(1)
+        .write.parquet(Paths.get(location, "_graft_dv", ref).toString)
+      val unmatched = d.maskedPaths.diff(stats0.map(_.path).toSet)
+      require(unmatched.isEmpty,
+        s"adopted deletion vectors reference unknown files: $unmatched")
+      stats0.map(f =>
+        if (d.maskedPaths(f.path)) f.copy(dv = Some(ref)) else f)
+    }
     t.commit(LogEntry(0L, System.currentTimeMillis(), operation,
       dirs, schema, partitionBy, properties, stats,
       metrics = writeMetrics(stats) +

@@ -214,6 +214,37 @@ object Drive {
     val reread = graft.sources.DeltaImport.toDF(spark, dexp).count()
     println(s"[26] delta export: $nExported hard-linked files + stats " +
       s"log; re-imported rows=$reread (source=${mirrored.toDF.count})")
+
+    // --- Delta deletion-vector interop: handcrafted DV table imports ----
+    val ddv = scratch("delta_dv_src")
+    ord.coalesce(1).write.parquet(ddv)
+    val dataFile = new java.io.File(ddv).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head.getName
+    val (dvRef, dvFileName) = graft.sources.DeltaDv.freshFileId()
+    val framed = graft.sources.DeltaDv.writeFile(
+      java.nio.file.Paths.get(ddv, dvFileName),
+      Seq("f" -> Array(0L, 1L, 2L)))("f")
+    val logDir = java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(ddv, "_delta_log"))
+    java.nio.file.Files.writeString(logDir.resolve(f"${0L}%020d.json"), Seq(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+        """"readerFeatures":["deletionVectors"],""" +
+        """"writerFeatures":["deletionVectors"]}}""",
+      s"""{"metaData":{"id":"drv","schemaString":${
+        new com.fasterxml.jackson.databind.ObjectMapper()
+          .writeValueAsString(ord.schema.json)},"partitionColumns":[],"configuration":{},""" +
+        """"format":{"provider":"parquet","options":{}}}}""",
+      s"""{"add":{"path":"$dataFile","size":1,"modificationTime":1,""" +
+        s""""dataChange":true,"deletionVector":{"storageType":"u",""" +
+        s""""pathOrInlineDv":"$dvRef","offset":${framed.offset},""" +
+        s""""sizeInBytes":${framed.sizeInBytes},""" +
+        s""""cardinality":${framed.cardinality}}}}""").mkString("\n"))
+    val dvImported = graft.sources.DeltaImport
+      .importTable(spark, ddv, scratch("delta_dv_clone"))
+    println(s"[27] delta DV import: source ${ord.count} rows - 3 masked = " +
+      s"${dvImported.toDF.count} (zero-copy, vector adopted as " +
+      s"${if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get(
+        dvImported.location, "_graft_dv"))) "_graft_dv sidecar" else "??"})")
     spark.stop()
   }
 }

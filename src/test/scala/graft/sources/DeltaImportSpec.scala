@@ -11,9 +11,10 @@ import graft.SparkSpec
   * PROTOCOL, since no Delta jars exist in this environment): checkpoint +
   * JSON-tail replay, add/remove cancellation, hive partitioning, schema
   * evolution, the importTable clone, column mapping `name` (physical →
-  * logical translation), multi-part and v2 checkpoints, and loud
-  * refusals for log features that would silently misread (deletion
-  * vectors, `id` column mapping).
+  * logical translation), multi-part and v2 checkpoints, deletion
+  * vectors (`u`/`i`/`p` storage, read masking + sidecar adoption), and
+  * loud refusals for log features that would silently misread (`id`
+  * column mapping, unknown reader features).
   */
 class DeltaImportSpec extends SparkSpec {
   import spark.implicits._
@@ -189,22 +190,8 @@ class DeltaImportSpec extends SparkSpec {
     assert(DeltaImport.toDF(spark, dir).count() == 0)
   }
 
-  test("refuses deletion vectors, 'id' mapping, and unknown reader features") {
-    val dir = tmpDir("delta4")
-    Seq((1L, 1L)).toDF("k", "v").coalesce(1).write.parquet(dir)
-    val files = partFiles(dir)
+  test("refuses 'id' mapping and unknown reader features") {
     val schema = Seq.empty[(Long, Long)].toDF("k", "v").schema
-
-    writeLog(dir, 0, Seq(protocolJson(), metaJson(schema)) ++
-      files.map(addJson(_, a => {
-        val dv = a.putObject("deletionVector")
-        dv.put("storageType", "u"); dv.put("pathOrInlineDv", "x")
-        dv.put("offset", 1); dv.put("sizeInBytes", 40); dv.put("cardinality", 2L)
-        ()
-      })))
-    val e1 = intercept[IllegalArgumentException](DeltaImport.snapshot(dir))
-    assert(e1.getMessage.contains("deletion vectors"))
-
     val dir2 = tmpDir("delta5")
     Seq((1L, 1L)).toDF("k", "v").coalesce(1).write.parquet(dir2)
     writeLog(dir2, 0, Seq(protocolJson(),
@@ -217,10 +204,123 @@ class DeltaImportSpec extends SparkSpec {
     Seq((1L, 1L)).toDF("k", "v").coalesce(1).write.parquet(dir3)
     writeLog(dir3, 0, Seq(
       """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
-        """"readerFeatures":["deletionVectors"],"writerFeatures":[]}}""",
+        """"readerFeatures":["typeWidening"],"writerFeatures":[]}}""",
       metaJson(schema)) ++ partFiles(dir3).map(addJson(_)))
     val e3 = intercept[IllegalArgumentException](DeltaImport.snapshot(dir3))
     assert(e3.getMessage.contains("not supported"))
+  }
+
+  // ---- deletion vectors ---------------------------------------------------
+
+  /** add action with a deletionVector descriptor attached. */
+  private def addDvJson(path: String, storage: String, pathOrInline: String,
+                        offset: Option[Int], size: Int, card: Long): String =
+    addJson(path, a => {
+      val dv = a.putObject("deletionVector")
+      dv.put("storageType", storage); dv.put("pathOrInlineDv", pathOrInline)
+      offset.foreach(dv.put("offset", _))
+      dv.put("sizeInBytes", size); dv.put("cardinality", card)
+      ()
+    })
+
+  test("deletion vectors ('u' storage) mask reads and adopt into the clone") {
+    val dir = tmpDir("deltadv1")
+    // two single-row-group files, written separately for determinism
+    Seq(1L, 2L, 3L, 4L).toDF("k").coalesce(1).write.parquet(dir)
+    val f1 = partFiles(dir)
+    Seq(10L, 11L).toDF("k").coalesce(1).write.mode("append").parquet(dir)
+    val f2 = partFiles(dir).diff(f1)
+    val schema = Seq.empty[Tuple1[Long]].toDF("k").schema
+    // f1 masks row indexes 1 and 3 (values 2 and 4) via a real DV file
+    val (pathOrInline, fileName) = DeltaDv.freshFileId()
+    val framed = DeltaDv.writeFile(Paths.get(dir, fileName),
+      Seq("only" -> Array(1L, 3L)))("only")
+    writeLog(dir, 0, Seq(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+        """"readerFeatures":["deletionVectors"],""" +
+        """"writerFeatures":["deletionVectors"]}}""",
+      metaJson(schema)) ++
+      Seq(addDvJson(f1.head, "u", pathOrInline, Some(framed.offset),
+        framed.sizeInBytes, framed.cardinality),
+        addJson(f2.head)))
+
+    val out = DeltaImport.toDF(spark, dir)
+    assert(out.collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(1L, 3L, 10L, 11L), "masked rows (2, 4) must not surface")
+
+    // the clone stays ZERO-COPY: data hard-links, the vector becomes a
+    // native _graft_dv sidecar, and the managed read masks identically
+    val t = DeltaImport.importTable(spark, dir, tmpDir("deltadv1clone"))
+    assert(t.toDF.collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(1L, 3L, 10L, 11L))
+    assert(t.toDFWhere("k <= 3").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(1L, 3L), "file skipping composes with the adopted mask")
+    val walked = Files.walk(Paths.get(t.location, "data"))
+    val linked = try walked.iterator().asScala
+      .filter(_.toString.endsWith(".parquet")).toSeq
+      .forall(p => Files.getAttribute(p, "unix:nlink")
+        .asInstanceOf[Number].intValue() >= 2)
+    finally walked.close()
+    assert(linked, "DV-masked import must still hard-link, not rewrite")
+    assert(Files.isDirectory(Paths.get(t.location, "_graft_dv")),
+      "the Delta vector must adopt as a managed sidecar")
+    // the clone keeps working under its own DML on a masked file
+    assert(t.delete("k = 3") == 1)
+    assert(t.toDF.collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(1L, 10L, 11L))
+  }
+
+  test("deletion vectors: inline ('i') and absolute-path ('p') storage") {
+    import graft.sources.DeltaDv.{RoaringBitmapArray, Z85}
+    val dir = tmpDir("deltadv2")
+    Seq(1L, 2L, 3L).toDF("k").coalesce(1).write.parquet(dir)
+    val f1 = partFiles(dir)
+    Seq(20L, 21L, 22L).toDF("k").coalesce(1).write.mode("append").parquet(dir)
+    val f2 = partFiles(dir).diff(f1)
+    val schema = Seq.empty[Tuple1[Long]].toDF("k").schema
+    // inline vector on f1 (drop index 0 -> value 1)
+    val inlineData = RoaringBitmapArray.serialize(Array(0L))
+    // absolute-path vector on f2 (drop index 2 -> value 22)
+    val pDir = tmpDir("deltadv2p")
+    Files.createDirectories(Paths.get(pDir))
+    val pFile = Paths.get(pDir, "deletion_vector_ext.bin")
+    val pFramed = DeltaDv.writeFile(pFile, Seq("x" -> Array(2L)))("x")
+    writeLog(dir, 0, Seq(protocolJson(minReader = 3), metaJson(schema)) ++
+      Seq(
+        addDvJson(f1.head, "i", Z85.encode(inlineData), None,
+          inlineData.length, 1L),
+        addDvJson(f2.head, "p", pFile.toString, Some(pFramed.offset),
+          pFramed.sizeInBytes, pFramed.cardinality)))
+    assert(DeltaImport.toDF(spark, dir).collect().map(_.getLong(0))
+      .sorted.toSeq == Seq(2L, 3L, 20L, 21L))
+  }
+
+  test("deletion vectors replay through checkpoints; a later add clears them") {
+    import graft.sources.DeltaDv.{RoaringBitmapArray, Z85}
+    val dir = tmpDir("deltadv3")
+    Seq(1L, 2L).toDF("k").coalesce(1).write.parquet(dir)
+    val f1 = partFiles(dir)
+    val schema = Seq.empty[Tuple1[Long]].toDF("k").schema
+    val inline = RoaringBitmapArray.serialize(Array(0L))
+    // checkpoint at v0 carries the add WITH its deletionVector struct
+    val logDir = Paths.get(dir, "_delta_log")
+    Files.createDirectories(logDir)
+    val actions = Seq(protocolJson(), metaJson(schema),
+      addDvJson(f1.head, "i", Z85.encode(inline), None, inline.length, 1L))
+    val cpTmp = tmpDir("deltadv3cp")
+    spark.read.json(actions.toDS).coalesce(1).write.parquet(cpTmp)
+    val cpPart = Paths.get(cpTmp).toFile.listFiles()
+      .find(_.getName.endsWith(".parquet")).get.toPath
+    Files.copy(cpPart, logDir.resolve(f"${0L}%020d.checkpoint.parquet"))
+    Files.writeString(logDir.resolve("_last_checkpoint"),
+      """{"version":0,"size":3}""")
+    assert(DeltaImport.toDF(spark, dir).collect().map(_.getLong(0))
+      .sorted.toSeq == Seq(2L), "checkpoint DV must mask row 0")
+    // v1 re-adds the file WITHOUT a vector (Delta's restore shape):
+    // the refreshed add wins, rows resurface
+    writeLog(dir, 1, Seq(addJson(f1.head)))
+    assert(DeltaImport.toDF(spark, dir).collect().map(_.getLong(0))
+      .sorted.toSeq == Seq(1L, 2L))
   }
 
   // ---- column mapping mode `name` ----------------------------------------
