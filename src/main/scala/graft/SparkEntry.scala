@@ -383,6 +383,45 @@ object SparkEntry {
       tbl.toDF
     }),
 
+    // Full-circle deletion-vector interop: merge-on-read DML a managed
+    // table, export the masked snapshot as a REAL Delta table carrying
+    // the deletionVectors feature (protocol 3/7, u-storage bitmap, NO
+    // materializing rewrite — asserted via the exported log), then
+    // RE-IMPORT it: the Delta vector must adopt back into a _graft_dv
+    // sidecar and the final contents must hash-match the oracle's
+    // re-derivation of the same DML.
+    "delta_dv_roundtrip" -> ((s, dir) => {
+      val base = "/root/repo/target/tmp/q_dvrt_src"
+      val out = "/root/repo/target/tmp/q_dvrt_delta"
+      val back = "/root/repo/target/tmp/q_dvrt_clone"
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm); f.delete(); ()
+      }
+      Seq(base, out, back).foreach(p => rm(new java.io.File(p)))
+      val orders = t(s, dir, "orders")
+      val tbl = ManagedTable.create(
+        orders.repartitionByRange(16, col("o_orderkey"))
+          .sortWithinPartitions("o_orderkey"),
+        base, properties = Map(ManagedTable.dvPropKey -> "true"))
+      val omax = orders.agg(max("o_orderkey")).head().getLong(0)
+      require(tbl.delete(s"o_orderkey < ${omax / 20}") > 0,
+        "DV delete probe must touch rows")
+      require(tbl.update(Map("o_orderpriority" -> "'9-REPRICED'"),
+        Some("o_totalprice > 400000")) > 0,
+        "DV update probe must touch rows")
+      tbl.exportDelta(out)
+      val log = java.nio.file.Files.readString(java.nio.file.Paths.get(
+        out, "_delta_log", f"${0L}%020d.json"))
+      require(log.contains("\"deletionVector\"") &&
+        log.contains("deletionVectors"),
+        "the export must carry the DV feature, not a materialized rewrite")
+      val clone = sources.DeltaImport.importTable(s, out, back)
+      require(java.nio.file.Files.isDirectory(
+        java.nio.file.Paths.get(back, "_graft_dv")),
+        "the Delta vector must adopt back as a managed sidecar")
+      clone.toDF
+    }),
+
     // The SAME feed delivered through the streaming source
     // (format("graft-cdf")): micro-batches are committed versions, so the
     // streamed rows must be row-identical to the batch changes() read —
@@ -1040,6 +1079,16 @@ object SparkEntry {
         |       ELSE o_orderpriority END AS o_orderpriority
         |FROM orders
         |WHERE NOT (o_orderkey < (SELECT max(o_orderkey) // 10 FROM orders))""".stripMargin,
+
+    // the DV'd snapshot after export → re-import: delete survivors with
+    // the update's post-image values
+    "delta_dv_roundtrip" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |  o_orderdate,
+        |  CASE WHEN o_totalprice > 400000 THEN '9-REPRICED'
+        |       ELSE o_orderpriority END AS o_orderpriority
+        |FROM orders
+        |WHERE NOT (o_orderkey < (SELECT max(o_orderkey) // 20 FROM orders))""".stripMargin,
 
     // the streamed feed must equal the batch feed — same oracle, with the
     // micro-batch delivery (offsets = versions) the thing under test

@@ -104,25 +104,41 @@ object DeltaDv {
   final case class Framed(offset: Int, sizeInBytes: Int, cardinality: Long,
                           data: Array[Byte])
 
-  /** Write `vectors` (per-key sorted position arrays) into one DV file
-    * at `target`, returning each key's [[Framed]] entry in input order.
-    * Layout per the protocol: version byte 1, then size/data/CRC per
-    * vector.
+  /** Streaming writer for one DV `.bin` file: version byte up front,
+    * then one `size/data/CRC` frame per [[append]]. Lets an exporter
+    * stream many files' vectors into one payload holding only ONE
+    * file's positions in memory at a time.
     */
-  def writeFile[K](target: Path, vectors: Seq[(K, Array[Long])]): Map[K, Framed] = {
-    val out = new java.io.ByteArrayOutputStream()
-    out.write(1) // format version
-    val framed = vectors.map { case (k, positions) =>
+  final class FileWriter(target: Path) {
+    private val out = new java.io.BufferedOutputStream(
+      Files.newOutputStream(target))
+    private var at = 0
+    out.write(1); at = 1 // format version
+
+    /** Frame one vector (sorted distinct positions); returns its
+      * descriptor coordinates.
+      */
+    def append(positions: Array[Long]): Framed = {
       val data = RoaringBitmapArray.serialize(positions)
-      val offset = out.size()
-      val bb = ByteBuffer.allocate(4).putInt(data.length) // BE
-      out.write(bb.array()); out.write(data)
+      val offset = at
+      out.write(ByteBuffer.allocate(4).putInt(data.length).array()) // BE
+      out.write(data)
       val crc = new CRC32(); crc.update(data)
       out.write(ByteBuffer.allocate(4).putInt(crc.getValue.toInt).array())
-      k -> Framed(offset, data.length, positions.length.toLong, data)
-    }.toMap
-    Files.write(target, out.toByteArray)
-    framed
+      at += 4 + data.length + 4
+      Framed(offset, data.length, positions.length.toLong, data)
+    }
+
+    def close(): Unit = out.close()
+  }
+
+  /** Write `vectors` (per-key sorted position arrays) into one DV file
+    * at `target`, returning each key's [[Framed]] entry.
+    */
+  def writeFile[K](target: Path, vectors: Seq[(K, Array[Long])]): Map[K, Framed] = {
+    val w = new FileWriter(target)
+    try vectors.map { case (k, positions) => k -> w.append(positions) }.toMap
+    finally w.close()
   }
 
   /** Fresh `u`-storage identity: (pathOrInlineDv = z85 uuid, file name). */

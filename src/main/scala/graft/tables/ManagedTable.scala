@@ -1707,9 +1707,15 @@ final class ManagedTable private (val spark: SparkSession, val location: String)
     * single-commit table of the current snapshot, same contract as the
     * reference's copy_table (mack/__init__.py:287-325).
     *
-    * Snapshots carrying live deletion vectors refuse loud ([[optimize]]
-    * materializes them first): Delta would need the DV writer feature,
-    * and silently exporting resurrected rows would be worse.
+    * Live deletion vectors export AS Delta deletion vectors (the
+    * `deletionVectors` reader+writer feature, protocol 3/7): the
+    * `_graft_dv` sidecar rows re-encode into one `deletion_vector_*.bin`
+    * payload ([[graft.sources.DeltaDv]] framing) and each masked add
+    * carries a `u`-storage descriptor with `tightBounds: false` stats —
+    * the merge-on-read state crosses WITHOUT a materializing rewrite.
+    * The re-encode streams sorted `(path, pos)` rows through the driver
+    * one file's vector at a time — O(one file's deletions) memory, the
+    * same driver-bounded shape as Delta's own DV writer.
     *
     * @return the number of data files exported
     */
@@ -1717,9 +1723,6 @@ final class ManagedTable private (val spark: SparkSession, val location: String)
     val e = latestEntry
     require(e.files.nonEmpty,
       s"exportDelta requires a stats-bearing snapshot at $location")
-    require(e.files.forall(_.dv.isEmpty),
-      "exportDelta: the snapshot carries live deletion vectors; run " +
-        "optimize() to materialize them into plain files first")
     val root = Paths.get(targetPath)
     require(!Files.exists(root) || {
       val s = Files.list(root); try !s.iterator().hasNext finally s.close()
@@ -1749,11 +1752,52 @@ final class ManagedTable private (val spark: SparkSession, val location: String)
       fill(f.min, mins); fill(f.max, maxs)
       mapper.writeValueAsString(n)
     }
+    // re-encode live deletion vectors into ONE Delta DV payload file:
+    // per-file Framed coordinates for the add descriptors below
+    val dvRefs = e.files.flatMap(f => f.dv.map(f.path -> _)).toMap
+    val (dvPathOrInline, dvFramed): (String, Map[String, graft.sources.DeltaDv.Framed]) =
+      if (dvRefs.isEmpty) ("", Map.empty)
+      else {
+        val byRef = dvRefs.groupBy(_._2).map { case (ref, m) => ref -> m.keySet }
+        val frames = byRef.toSeq.map { case (ref, paths) =>
+          spark.read.schema(ManagedTable.dvSchema)
+            .parquet(dvRoot.resolve(ref).toString)
+            .filter(col("path").isInCollection(paths))
+        }
+        val rows = frames.reduce(_.unionByName(_))
+          .distinct().orderBy("path", "pos")
+        val (enc, fileName) = graft.sources.DeltaDv.freshFileId()
+        Files.createDirectories(root)
+        val w = new graft.sources.DeltaDv.FileWriter(root.resolve(fileName))
+        val framed = Map.newBuilder[String, graft.sources.DeltaDv.Framed]
+        try {
+          var curPath: String = null
+          val buf = scala.collection.mutable.ArrayBuffer.empty[Long]
+          def flush(): Unit = if (curPath != null && buf.nonEmpty) {
+            framed += curPath -> w.append(buf.toArray); buf.clear()
+          }
+          val it = rows.toLocalIterator()
+          while (it.hasNext) {
+            val r = it.next()
+            val p = r.getString(0)
+            if (p != curPath) { flush(); curPath = p }
+            buf += r.getLong(1)
+          }
+          flush()
+        } finally w.close()
+        (enc, framed.result())
+      }
     // Delta add.path values are URL-encoded, table-root-relative
     def encSeg(s: String): String =
       java.net.URLEncoder.encode(s, "UTF-8").replace("+", "%20")
     val actions = Seq.newBuilder[String]
-    actions += """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
+    actions +=
+      (if (dvFramed.isEmpty)
+        """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
+      else
+        """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+          """"readerFeatures":["deletionVectors"],""" +
+          """"writerFeatures":["deletionVectors"]}}""")
     val meta = {
       val n = mapper.createObjectNode(); val m = n.putObject("metaData")
       m.put("id", UUID.randomUUID().toString)
@@ -1766,6 +1810,7 @@ final class ManagedTable private (val spark: SparkSession, val location: String)
       e.properties.foreach { case (k, v) =>
         if (!k.startsWith("graft.")) { cfg.put(k, v); () }
       }
+      if (dvFramed.nonEmpty) { cfg.put("delta.enableDeletionVectors", "true"); () }
       m.put("createdTime", System.currentTimeMillis())
       mapper.writeValueAsString(n)
     }
@@ -1803,7 +1848,27 @@ final class ManagedTable private (val spark: SparkSession, val location: String)
       a.put("size", f.bytes)
       a.put("modificationTime", Files.getLastModifiedTime(src).toMillis)
       a.put("dataChange", true)
-      a.put("stats", statsJson(f))
+      // a file can reference a vector that holds no rows for it (bounds
+      // put it in the DML candidate set but nothing matched) — that
+      // exports as a clean add
+      dvFramed.get(f.path) match {
+        case Some(fr) =>
+          val d = a.putObject("deletionVector")
+          d.put("storageType", "u")
+          d.put("pathOrInlineDv", dvPathOrInline)
+          d.put("offset", fr.offset)
+          d.put("sizeInBytes", fr.sizeInBytes)
+          d.put("cardinality", fr.cardinality)
+          // numRecords stays PHYSICAL; tightBounds=false marks min/max
+          // as possibly covering deleted rows (PROTOCOL.md, Writer
+          // Requirements for Deletion Vectors)
+          val sn = mapper.readTree(statsJson(f))
+            .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+          sn.put("tightBounds", false)
+          a.put("stats", mapper.writeValueAsString(sn))
+        case None =>
+          a.put("stats", statsJson(f))
+      }
       actions += mapper.writeValueAsString(n)
     }
     val logDir = root.resolve("_delta_log")

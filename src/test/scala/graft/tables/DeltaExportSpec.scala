@@ -91,17 +91,48 @@ class DeltaExportSpec extends SparkSpec {
     assert(back.filter(col("p") === "a+b").count() == 1)
   }
 
-  test("live deletion vectors refuse; optimize() then exports") {
+  test("live deletion vectors export as the Delta DV feature, no rewrite") {
     val t = ManagedTable.create(
       spark.range(100).select(col("id").as("k"), col("id").as("v")),
       tmpDir("dxp4"), properties = Map(ManagedTable.dvPropKey -> "true"))
     t.delete("k < 10")
+    t.update(Map("v" -> "v + 1000"), Some("k >= 95")) // DV update: mask+append
     val target = tmpDir("dxp4_delta")
-    val e = intercept[IllegalArgumentException](t.exportDelta(target))
-    assert(e.getMessage.contains("deletion vectors"))
-    t.optimize(targetFileSizeBytes = 128L * 1024 * 1024) // materializes DVs
-    t.exportDelta(target + "_ok")
-    assert(DeltaImport.toDF(spark, target + "_ok").count() == 90)
+    t.exportDelta(target)
+    // the log carries protocol 3/7 with the feature, a u-storage
+    // descriptor, and tightBounds:false stats on the masked add
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val lines = java.nio.file.Files.readString(java.nio.file.Paths.get(
+      target, "_delta_log", f"${0L}%020d.json"))
+      .linesIterator.map(mapper.readTree).toSeq
+    val proto = lines.find(_.has("protocol")).get.get("protocol")
+    assert(proto.get("minReaderVersion").asInt() == 3)
+    assert(proto.get("readerFeatures").toString.contains("deletionVectors"))
+    val maskedAdds = lines.filter(n => n.has("add") &&
+      n.get("add").has("deletionVector"))
+    assert(maskedAdds.nonEmpty, "some add must carry a deletionVector")
+    maskedAdds.foreach { n =>
+      val dv = n.get("add").get("deletionVector")
+      assert(dv.get("storageType").asText() == "u")
+      assert(dv.get("cardinality").asLong() > 0)
+      val stats = mapper.readTree(n.get("add").get("stats").asText())
+      assert(!stats.get("tightBounds").asBoolean(),
+        "masked adds must declare wide bounds")
+    }
+    // exactly one DV payload file, and the data files hard-linked
+    val binFiles = java.nio.file.Paths.get(target).toFile.listFiles()
+      .filter(_.getName.startsWith("deletion_vector_"))
+    assert(binFiles.length == 1)
+    // round-trip: the import masks the same rows the source masks
+    val back = DeltaImport.toDF(spark, target)
+    assert(back.count() == 90)
+    assert(back.filter(col("k") < 10).count() == 0)
+    assert(back.filter(col("v") > 1000).count() == 5,
+      "updated post-images survive, pre-images stay masked")
+    // and the re-IMPORTED clone behaves identically (full circle)
+    val clone = DeltaImport.importTable(spark, target, tmpDir("dxp4_back"))
+    assert(clone.toDF.count() == 90)
+    assert(clone.toDFWhere("k < 10").count() == 0)
   }
 
   test("non-empty target refuses; hard links share bytes with the source") {
