@@ -45,6 +45,13 @@ object DeltaDv {
                               offset: Option[Int],
                               sizeInBytes: Int,
                               cardinality: Long) {
+    /** The descriptor's identity for log action reconciliation
+      * (PROTOCOL.md: a logical file is `(path, deletionVector.uniqueId)`;
+      * delta-spark derives it as `storageType + pathOrInlineDv` plus
+      * `@offset` when stored with an offset).
+      */
+    def uniqueId: String =
+      storageType + pathOrInlineDv + offset.fold("")(o => s"@$o")
     /** Resolve the DV payload file for `u`/`p` storage (None for `i`). */
     def file(tableRoot: Path): Option[Path] = storageType match {
       case "u" =>
@@ -98,11 +105,11 @@ object DeltaDv {
   }
 
   /** One serialized DV destined for a shared `.bin` file: the framing
-    * (`offset`, `sizeInBytes`, `cardinality`) for its descriptor plus
-    * the payload bytes.
+    * (`offset`, `sizeInBytes`, `cardinality`) for its descriptor. The
+    * payload itself is already on disk — holding it here would make an
+    * exporter's per-file map O(total DV bytes) on the driver.
     */
-  final case class Framed(offset: Int, sizeInBytes: Int, cardinality: Long,
-                          data: Array[Byte])
+  final case class Framed(offset: Int, sizeInBytes: Int, cardinality: Long)
 
   /** Streaming writer for one DV `.bin` file: version byte up front,
     * then one `size/data/CRC` frame per [[append]]. Lets an exporter
@@ -126,7 +133,7 @@ object DeltaDv {
       val crc = new CRC32(); crc.update(data)
       out.write(ByteBuffer.allocate(4).putInt(crc.getValue.toInt).array())
       at += 4 + data.length + 4
-      Framed(offset, data.length, positions.length.toLong, data)
+      Framed(offset, data.length, positions.length.toLong)
     }
 
     def close(): Unit = out.close()

@@ -95,6 +95,9 @@ object DeltaImport {
                                  addDvCardinality: Option[Long],
                                  addPartitionValues: Option[Map[String, String]],
                                  removePath: Option[String],
+                                 removeDvStorage: Option[String],
+                                 removeDvPath: Option[String],
+                                 removeDvOffset: Option[Int],
                                  schemaString: Option[String],
                                  partitionCols: Option[Seq[String]],
                                  configuration: Option[Map[String, String]],
@@ -119,9 +122,13 @@ object DeltaImport {
         case None => lit(null).cast(tpe)
         // a handcrafted checkpoint (JSON-inferred) stores configuration
         // as a struct; struct→map casts are unsupported, so round-trip
-        // through JSON instead of failing the whole snapshot
+        // through JSON instead of failing the whole snapshot. Null
+        // fields must SURVIVE the trip (ignoreNullFields defaults true):
+        // a null partitionValues entry is a legal null partition, not
+        // an absent column
         case Some(_: StructType) if tpe.isInstanceOf[MapType] =>
-          from_json(to_json(col(segs.mkString("."))), tpe)
+          from_json(to_json(col(segs.mkString(".")),
+            Map("ignoreNullFields" -> "false").asJava), tpe)
         case Some(_) => col(segs.mkString(".")).cast(tpe)
       }
     }
@@ -139,6 +146,12 @@ object DeltaImport {
       nested(MapType(StringType, StringType), "add", "partitionValues")
         .as("addPartitionValues"),
       nested(StringType, "remove", "path").as("removePath"),
+      nested(StringType, "remove", "deletionVector", "storageType")
+        .as("removeDvStorage"),
+      nested(StringType, "remove", "deletionVector", "pathOrInlineDv")
+        .as("removeDvPath"),
+      nested(IntegerType, "remove", "deletionVector", "offset")
+        .as("removeDvOffset"),
       nested(StringType, "metaData", "schemaString").as("schemaString"),
       nested(ArrayType(StringType), "metaData", "partitionColumns")
         .as("partitionCols"),
@@ -172,8 +185,15 @@ object DeltaImport {
     val cpVersion = lastCp.map(_.get("version").asLong())
     val cpParts = lastCp.flatMap(n => Option(n.get("parts")).map(_.asInt()))
 
+    // a LOGICAL file is `(path, deletionVector.uniqueId)` (PROTOCOL.md,
+    // Action Reconciliation): a remove tombstone only cancels the add
+    // carrying the SAME vector — keyed by path alone, the remove(P, old
+    // DV) that accompanies every DV rewrite (and lingers in checkpoints
+    // ~7 days, in arbitrary row order) would cancel the LIVE add(P, new
+    // DV) and silently drop the whole file
     val adds = scala.collection.mutable.LinkedHashMap
-      .empty[String, (Map[String, String], Option[DeltaDv.Descriptor])]
+      .empty[(String, Option[String]),
+             (Map[String, String], Option[DeltaDv.Descriptor])]
     var schemaJson: Option[String] = None
     var partCols: Seq[String] = Nil
     var config: Map[String, String] = Map.empty
@@ -230,9 +250,20 @@ object DeltaImport {
               e.getKey -> (if (e.getValue.isNull) null
                            else e.getValue.asText())).toMap
           else Map.empty[String, String]
-        adds.put(decodePath(a.get("path").asText()), (pv, dv))
+        adds.put((decodePath(a.get("path").asText()), dv.map(_.uniqueId)),
+          (pv, dv))
       } else if (n.has("remove")) {
-        adds.remove(decodePath(n.get("remove").get("path").asText())); ()
+        val r = n.get("remove")
+        val dvId =
+          if (r.has("deletionVector") && !r.get("deletionVector").isNull) {
+            val d = r.get("deletionVector")
+            Some(DeltaDv.Descriptor(
+              d.get("storageType").asText(),
+              d.get("pathOrInlineDv").asText(),
+              Option(d.get("offset")).filterNot(_.isNull).map(_.asInt()),
+              0, 0L).uniqueId)
+          } else None
+        adds.remove((decodePath(r.get("path").asText()), dvId)); ()
       } else if (n.has("protocol")) {
         val p = n.get("protocol")
         checkProtocol(p.get("minReaderVersion").asInt(),
@@ -255,9 +286,16 @@ object DeltaImport {
             s"checkpoint add $p has a deletionVector without pathOrInlineDv")),
           r.addDvOffset, r.addDvSize.getOrElse(0),
           r.addDvCardinality.getOrElse(0L)))
-        adds.put(decodePath(p), (r.addPartitionValues.getOrElse(Map.empty), dv))
+        adds.put((decodePath(p), dv.map(_.uniqueId)),
+          (r.addPartitionValues.getOrElse(Map.empty), dv))
       }
-      r.removePath.foreach(p => adds.remove(decodePath(p)))
+      r.removePath.foreach { p =>
+        val dvId = r.removeDvStorage.map(st => DeltaDv.Descriptor(st,
+          r.removeDvPath.getOrElse(throw new IllegalArgumentException(
+            s"checkpoint remove $p has a deletionVector without pathOrInlineDv")),
+          r.removeDvOffset, 0, 0L).uniqueId)
+        adds.remove((decodePath(p), dvId)); ()
+      }
       r.sidecarPath.foreach(p => sidecars += p)
     }
 
@@ -317,9 +355,21 @@ object DeltaImport {
             "names that top-level translation cannot resolve)")
       }
     }
-    DeltaSnapshot(version, schema, partCols, config, adds.keys.toSeq,
-      adds.map { case (f, (pv, _)) => f -> pv }.toMap,
-      adds.collect { case (f, (_, Some(dv))) => f -> dv }.toMap)
+    // a well-formed log references each physical file at most once in
+    // the live set (a DV rewrite removes the prior logical file); two
+    // live adds of one path would double-read its rows — refuse loud
+    adds.keys.groupBy(_._1).collectFirst {
+      case (p, ks) if ks.size > 1 => (p, ks)
+    }.foreach { case (p, ks) =>
+      throw new IllegalStateException(
+        s"Delta log at $tablePath holds ${ks.size} live adds for '$p' " +
+          s"(deletion-vector ids ${ks.map(_._2).mkString(", ")}); the " +
+          "writer violated action-reconciliation invariants")
+    }
+    DeltaSnapshot(version, schema, partCols, config,
+      adds.keys.map(_._1).toSeq,
+      adds.map { case ((f, _), (pv, _)) => f -> pv }.toMap,
+      adds.collect { case ((f, _), (_, Some(dv))) => f -> dv }.toMap)
   }
 
   /** Find the checkpoint files for version `v`: Left(parquet files) for
@@ -376,8 +426,14 @@ object DeltaImport {
     * of partitions a sane layout has; file-granular pruning still
     * applies within each group.
     */
-  def toDF(spark: SparkSession, tablePath: String): DataFrame = {
-    val snap = snapshot(tablePath)
+  def toDF(spark: SparkSession, tablePath: String): DataFrame =
+    toDF(spark, tablePath, snapshot(tablePath))
+
+  /** [[toDF]] over an already-reconstructed snapshot (callers that just
+    * built one — [[importTable]] — skip a second full log replay).
+    */
+  private def toDF(spark: SparkSession, tablePath: String,
+                   snap: DeltaSnapshot): DataFrame = {
     if (snap.files.isEmpty)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
@@ -457,20 +513,10 @@ object DeltaImport {
       }.toMap
     }
     val items = dvs.map { case (f, d) =>
-      (sparkPathByRel.getOrElse(f, throw new IllegalStateException(
-        s"masked file $f never surfaced in the _metadata pre-pass")),
-        d.storageType, d.pathOrInlineDv, d.offset.getOrElse(-1),
-        d.sizeInBytes, d.cardinality)
+      sparkPathByRel.getOrElse(f, throw new IllegalStateException(
+        s"masked file $f never surfaced in the _metadata pre-pass")) -> d
     }
-    val rootStr = rootAbs.toString
-    import spark.implicits._
-    val mask = spark.createDataset(items)
-      .repartition(math.min(items.size, 32))
-      .flatMap { case (fp, st, pd, off, sz, card) =>
-        DeltaDv.readPositions(Paths.get(rootStr), DeltaDv.Descriptor(
-          st, pd, if (off < 0) None else Some(off), sz, card))
-          .map(p => (fp, p))
-      }.toDF(FP, POS)
+    val mask = dvPositionRows(spark, tablePath, items, FP, POS)
     val limit = spark.conf.getOption("spark.graft.dv.broadcastThreshold")
       .map(_.toLong).getOrElse(ManagedTable.dvBroadcastThresholdDefault)
     val small = dvs.map(_._2.sizeInBytes.toLong).sum <= limit
@@ -478,6 +524,28 @@ object DeltaImport {
       .withColumn(POS, col("_metadata.row_index"))
       .join(if (small) broadcast(mask) else mask, Seq(FP, POS), "left_anti")
       .drop(FP, POS)
+  }
+
+  /** Decode `(key, descriptor)` pairs into a `(key, position)` frame on
+    * EXECUTORS — one task per masked file, positions never collect to
+    * the driver. Shared by the read mask and the import adoption path.
+    */
+  private def dvPositionRows(spark: SparkSession, tableRoot: String,
+                             items: Seq[(String, DeltaDv.Descriptor)],
+                             keyCol: String, posCol: String): DataFrame = {
+    val rootStr = Paths.get(tableRoot).toAbsolutePath.toString
+    val flat = items.map { case (k, d) =>
+      (k, d.storageType, d.pathOrInlineDv, d.offset.getOrElse(-1),
+        d.sizeInBytes, d.cardinality)
+    }
+    import spark.implicits._
+    spark.createDataset(flat)
+      .repartition(math.min(flat.size, 32))
+      .flatMap { case (k, st, pd, off, sz, card) =>
+        DeltaDv.readPositions(Paths.get(rootStr), DeltaDv.Descriptor(
+          st, pd, if (off < 0) None else Some(off), sz, card))
+          .map(p => (k, p))
+      }.toDF(keyCol, posCol)
   }
 
   /** The snapshot schema with mapping metadata stripped (logical names
@@ -522,7 +590,7 @@ object DeltaImport {
     // an empty snapshot has nothing to link — an empty CREATE commit
     // carries the schema
     if (snap.files.isEmpty || snap.columnMappingMode != "none")
-      return ManagedTable.create(toDF(spark, deltaPath), targetPath,
+      return ManagedTable.create(toDF(spark, deltaPath, snap), targetPath,
         partitionBy = snap.partitionColumns, properties = props)
     // one adopted-uuid dir per import; the Delta-relative path (incl.
     // its hive k=v segments) becomes the path under it, slashes in any
@@ -556,19 +624,8 @@ object DeltaImport {
               s"cannot adopt deletion vectors: path '$rel' changes under " +
                 "URI encoding, so its mask coordinates would not match " +
                 "the scan's _metadata.file_path"))
-        val rootStr = Paths.get(deltaPath).toAbsolutePath.toString
-        val items = masked.toSeq.map { case (rel, d) =>
-          (rel, d.storageType, d.pathOrInlineDv, d.offset.getOrElse(-1),
-            d.sizeInBytes, d.cardinality)
-        }
-        import spark.implicits._
-        val rows = spark.createDataset(items)
-          .repartition(math.min(items.size, 32))
-          .flatMap { case (rel, st, pd, off, sz, card) =>
-            DeltaDv.readPositions(Paths.get(rootStr), DeltaDv.Descriptor(
-              st, pd, if (off < 0) None else Some(off), sz, card))
-              .map(p => (rel, p))
-          }.toDF("path", "pos")
+        val rows = dvPositionRows(spark, deltaPath, masked.toSeq,
+          "path", "pos")
         Some(ManagedTable.AdoptedDv(rows, masked.keySet))
       }
     ManagedTable.adoptFiles(spark, targetPath, links,

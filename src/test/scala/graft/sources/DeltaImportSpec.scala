@@ -69,6 +69,21 @@ class DeltaImportSpec extends SparkSpec {
   private def removeJson(path: String): String =
     s"""{"remove":{"path":"$path","dataChange":true}}"""
 
+  /** remove of a DV-carrying LOGICAL file (the tombstone a DV rewrite
+    * emits alongside the refreshed add).
+    */
+  private def removeDvJson(path: String, storage: String,
+                           pathOrInline: String,
+                           offset: Option[Int]): String = {
+    val root = mapper.createObjectNode()
+    val r = root.putObject("remove")
+    r.put("path", path); r.put("dataChange", true)
+    val dv = r.putObject("deletionVector")
+    dv.put("storageType", storage); dv.put("pathOrInlineDv", pathOrInline)
+    offset.foreach(dv.put("offset", _))
+    mapper.writeValueAsString(root)
+  }
+
   test("replays add/remove across versions with schema evolution") {
     val dir = tmpDir("delta1")
     // batch 1: TWO files (range-partitioned so file↔rows is deterministic)
@@ -316,11 +331,73 @@ class DeltaImportSpec extends SparkSpec {
       """{"version":0,"size":3}""")
     assert(DeltaImport.toDF(spark, dir).collect().map(_.getLong(0))
       .sorted.toSeq == Seq(2L), "checkpoint DV must mask row 0")
-    // v1 re-adds the file WITHOUT a vector (Delta's restore shape):
+    // v1 clears the vector the way a real writer does (RESTORE shape):
+    // tombstone the DV-carrying LOGICAL file, re-add without a vector —
     // the refreshed add wins, rows resurface
-    writeLog(dir, 1, Seq(addJson(f1.head)))
+    writeLog(dir, 1, Seq(
+      removeDvJson(f1.head, "i", Z85.encode(inline), None),
+      addJson(f1.head)))
     assert(DeltaImport.toDF(spark, dir).collect().map(_.getLong(0))
       .sorted.toSeq == Seq(1L, 2L))
+  }
+
+  test("remove tombstones reconcile by (path, dv id), not by path alone") {
+    import graft.sources.DeltaDv.{RoaringBitmapArray, Z85}
+    val dir = tmpDir("deltadv4")
+    Seq(1L, 2L, 3L).toDF("k").coalesce(1).write.parquet(dir)
+    val f1 = partFiles(dir)
+    val schema = Seq.empty[Tuple1[Long]].toDF("k").schema
+    writeLog(dir, 0, Seq(protocolJson(minReader = 3), metaJson(schema),
+      addJson(f1.head)))
+    // v1 is a merge-on-read DELETE: the protocol permits EITHER intra-
+    // commit order, and delta-spark checkpoints interleave live adds with
+    // week-old tombstones arbitrarily — the add(P, dv) must survive a
+    // LATER remove(P, no-dv), which cancels only the vectorless logical
+    // file. Path-keyed replay would drop the whole file here.
+    val inline = RoaringBitmapArray.serialize(Array(0L))
+    writeLog(dir, 1, Seq(
+      addDvJson(f1.head, "i", Z85.encode(inline), None, inline.length, 1L),
+      removeJson(f1.head)))
+    assert(DeltaImport.toDF(spark, dir).collect().map(_.getLong(0))
+      .sorted.toSeq == Seq(2L, 3L),
+      "the DV-carrying add must survive the vectorless tombstone")
+
+    // same shape through a CHECKPOINT: the live add row and the stale
+    // tombstone row land in one parquet file, tombstone after the add
+    val dir2 = tmpDir("deltadv5")
+    Seq(5L, 6L).toDF("k").coalesce(1).write.parquet(dir2)
+    val g1 = partFiles(dir2)
+    val logDir = Paths.get(dir2, "_delta_log")
+    Files.createDirectories(logDir)
+    val actions = Seq(protocolJson(minReader = 3), metaJson(schema),
+      addDvJson(g1.head, "i", Z85.encode(inline), None, inline.length, 1L),
+      removeJson(g1.head))
+    val cpTmp = tmpDir("deltadv5cp")
+    spark.read.json(actions.toDS).coalesce(1).write.parquet(cpTmp)
+    val cpPart = Paths.get(cpTmp).toFile.listFiles()
+      .find(_.getName.endsWith(".parquet")).get.toPath
+    Files.copy(cpPart, logDir.resolve(f"${0L}%020d.checkpoint.parquet"))
+    Files.writeString(logDir.resolve("_last_checkpoint"),
+      """{"version":0,"size":4}""")
+    assert(DeltaImport.toDF(spark, dir2).collect().map(_.getLong(0))
+      .sorted.toSeq == Seq(6L),
+      "checkpoint replay must key tombstones by (path, dv id) too")
+  }
+
+  test("two live adds of one path refuse loud (broken writer invariant)") {
+    import graft.sources.DeltaDv.{RoaringBitmapArray, Z85}
+    val dir = tmpDir("deltadv6")
+    Seq(1L, 2L).toDF("k").coalesce(1).write.parquet(dir)
+    val f1 = partFiles(dir)
+    val schema = Seq.empty[Tuple1[Long]].toDF("k").schema
+    val inline = RoaringBitmapArray.serialize(Array(0L))
+    // an add(P, dv) NOT preceded by remove(P, none): both logical files
+    // stay live and the path's rows would double-read — refuse
+    writeLog(dir, 0, Seq(protocolJson(minReader = 3), metaJson(schema),
+      addJson(f1.head),
+      addDvJson(f1.head, "i", Z85.encode(inline), None, inline.length, 1L)))
+    val e = intercept[IllegalStateException](DeltaImport.snapshot(dir))
+    assert(e.getMessage.contains("live adds"), e.getMessage)
   }
 
   // ---- column mapping mode `name` ----------------------------------------
