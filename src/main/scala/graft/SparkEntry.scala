@@ -523,6 +523,39 @@ object SparkEntry {
           "skips_partkey", "skips_orderkey")
     }),
 
+    // Bloom-filter file skipping: md5 keys overlap on every file's
+    // [min,max], so only the parquet-native blooms (graft.bloom.columns)
+    // can prune a point probe. Both probes run THROUGH the pruned read —
+    // a wrongly-skipped file drops rows and hash-mismatches — and the
+    // TRUE columns assert the skipping itself (present key: ≤ total/4
+    // files; absent key: zero files).
+    "table_bloom" -> ((s, dir) => {
+      val base = "/root/repo/target/tmp/q_bloom"
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm); f.delete(); ()
+      }
+      rm(new java.io.File(base))
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), md5(col("text")).as("h"))
+      val tbl = ManagedTable.create(docs.repartition(16), base,
+        properties = Map(
+          graft.tables.BloomSkip.columnsPropKey -> "h",
+          graft.tables.BloomSkip.ndvPropKey -> "20000"))
+      val total = tbl.detail.numFiles
+      require(total >= 8, s"bloom probe needs >= 8 files, got $total")
+      val minId = docs.agg(min("doc_id")).head().getLong(0)
+      val target = tbl.toDFWhere(s"doc_id = $minId").select("h")
+        .head().getString(0)
+      val probe = tbl.toDFWhere(s"h = '$target'")
+      val absent = tbl.toDFWhere("h = 'not-a-hex-digest'")
+      val skips = probe.inputFiles.length * 4 <= total
+      val skipsAll = absent.inputFiles.isEmpty
+      import s.implicits._
+      Seq((tbl.toDF.count(), probe.count(), absent.count(), skips, skipsAll))
+        .toDF("total_rows", "probe_rows", "absent_rows",
+          "bloom_skips", "bloom_skips_all")
+    }),
+
     // ---- extensions: text analysis ------------------------------------
     "text_stats" -> ((s, dir) =>
       t(s, dir, "documents").select(
@@ -539,6 +572,22 @@ object SparkEntry {
       val docs = t(s, dir, "documents")
         .withColumn("__h", md5(col("text")))
       Dedup.dropDuplicatesPkey(docs, "doc_id", Seq("__h")).drop("__h")
+    }),
+
+    // PII scrubbing (the corpus has no organic PII, so deterministic
+    // doc-derived contact lines are seeded IDENTICALLY here and in the
+    // oracle): per-category counts from the raw text, then the chained
+    // redaction — one codegen'd map-only pass, byte-compared
+    "redact_pii" -> ((s, dir) => {
+      val seeded = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          lit(" contact user"), col("doc_id"), lit("@example.com or 10.0."),
+          col("doc_id") % 200, lit(".25 call (555) 123-4567 ssn 123-45-6789"))
+          .as("text"))
+      seeded.select(
+        Seq(col("doc_id")) ++
+          text.PiiRedact.counts(col("text")).map { case (n, c) => c.as(n) } ++
+          Seq(text.PiiRedact.redact(col("text")).as("clean")): _*)
     }),
 
     // ---- extensions: event-time windowed aggregation ------------------
@@ -1130,6 +1179,18 @@ object SparkEntry {
         |    AS order_range_rows,
         |  TRUE AS skips_partkey, TRUE AS skips_orderkey""".stripMargin,
 
+    // the TRUE columns are engine-side skipping assertions (same pattern
+    // as table_zorder); the probe counts flow through the bloom-pruned
+    // reads, so a wrongly-skipped file would mismatch probe_rows
+    "table_bloom" ->
+      """SELECT (SELECT count(*) FROM documents) AS total_rows,
+        |  (SELECT count(*) FROM documents
+        |   WHERE md5(text) = (SELECT md5(text) FROM documents
+        |                      WHERE doc_id = (SELECT min(doc_id) FROM documents)))
+        |    AS probe_rows,
+        |  CAST(0 AS BIGINT) AS absent_rows,
+        |  TRUE AS bloom_skips, TRUE AS bloom_skips_all""".stripMargin,
+
     "text_stats" ->
       """SELECT doc_id, CAST(length(text) AS INT) AS n_chars,
         |  CAST(array_length(string_split(text, ' ')) AS BIGINT) AS n_words
@@ -1143,6 +1204,29 @@ object SparkEntry {
     "dedup_exact" ->
       """SELECT * FROM documents
         |WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY md5(text))""".stripMargin,
+
+    // same seeding, same pattern strings (java.util.regex and RE2 agree
+    // on every construct used), same pass order — byte-identical output
+    "redact_pii" ->
+      """WITH seeded AS (
+        |  SELECT doc_id,
+        |    text || ' contact user' || doc_id || '@example.com or 10.0.'
+        |      || (doc_id % 200) || '.25 call (555) 123-4567 ssn 123-45-6789'
+        |      AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        |  len(regexp_extract_all(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+        |  len(regexp_extract_all(text, '\b(\d{1,3}\.){3}\d{1,3}\b')) AS n_ip,
+        |  len(regexp_extract_all(text, '\b\d{3}-\d{2}-\d{4}\b')) AS n_ssn,
+        |  len(regexp_extract_all(text, '\(?\d{3}\)?[ .-]\d{3}[ .-]\d{4}\b'))
+        |    AS n_phone,
+        |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b(\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
+        |    '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g'),
+        |    '\(?\d{3}\)?[ .-]\d{3}[ .-]\d{4}\b', '<PHONE>', 'g') AS clean
+        |FROM seeded""".stripMargin,
 
     "events_window" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type,

@@ -389,7 +389,11 @@ final class ManagedTable private (val spark: SparkSession, val location: String)
     * `.inputFiles` to see the skipping). The predicate is ALSO applied to
     * the surviving files, so the result equals `toDF.filter(predicateSql)`
     * always — bounds only remove work, never rows. Pair with
-    * [[optimize]]`(sortBy = key)` to make the bounds tight on `key`.
+    * [[optimize]]`(sortBy = key)` to make the bounds tight on `key`; for
+    * point lookups on high-cardinality unsorted columns (where bounds
+    * are vacuous), declare them in `graft.bloom.columns` and equality
+    * probes additionally prune through parquet bloom filters
+    * ([[BloomSkip]]).
     */
   def toDFWhere(predicateSql: String): DataFrame = {
     val e = latestEntry
@@ -397,7 +401,9 @@ final class ManagedTable private (val spark: SparkSession, val location: String)
     if (e.files.isEmpty) return snapshotDF(e).filter(filtered)
     val parsed = org.apache.spark.sql.catalyst.parser.CatalystSqlParser
       .parseExpression(predicateSql)
-    val kept = FileStats.prune(e.files, e.schema, parsed)
+    val kept = BloomSkip.prune(spark.sessionState.newHadoopConf(), dataDir,
+      FileStats.prune(e.files, e.schema, parsed), e.schema, parsed,
+      e.properties)
     readFilesDF(kept, e.schema, e.version).filter(filtered)
   }
 
@@ -499,12 +505,15 @@ final class ManagedTable private (val spark: SparkSession, val location: String)
 
   /** Write `df` under a fresh uuid dir; returns the LEAF directories
     * relative to the data root — `uuid` itself when unpartitioned, else
-    * one `uuid/p=v[/q=w…]` path per written partition.
+    * one `uuid/p=v[/q=w…]` path per written partition. `props` (the
+    * snapshot's table properties) activate parquet-native bloom filters
+    * for `graft.bloom.columns` — see [[BloomSkip]].
     */
-  private def writeData(df: DataFrame, parts: Seq[String]): Seq[String] = {
+  private def writeData(df: DataFrame, parts: Seq[String],
+                        props: Map[String, String]): Seq[String] = {
     val id = UUID.randomUUID().toString
     val out = dataDir.resolve(id)
-    val w = df.write.mode("overwrite")
+    val w = df.write.mode("overwrite").options(BloomSkip.writeOptions(props))
     (if (parts.nonEmpty) w.partitionBy(parts: _*) else w).parquet(out.toString)
     if (parts.isEmpty) Seq(id)
     else leafDirs(out, parts.length).map(l => id + "/" + out.relativize(l).toString)
@@ -582,7 +591,7 @@ final class ManagedTable private (val spark: SparkSession, val location: String)
               case None => lit(null).cast(f.dataType).as(f.name)
             }
           }.toIndexedSeq: _*)
-          val d = writeData(aligned, e.partitionColumns)
+          val d = writeData(aligned, e.partitionColumns, e.properties)
           written = Some((d, newSchema, e.partitionColumns))
           d
       }
@@ -636,7 +645,7 @@ final class ManagedTable private (val spark: SparkSession, val location: String)
     val aligned = df.select(e.schema.fields.map { f =>
       col(f.name).cast(f.dataType).as(f.name)
     }.toIndexedSeq: _*)
-    val dirs = writeData(aligned, e.partitionColumns)
+    val dirs = writeData(aligned, e.partitionColumns, e.properties)
     val newStats = statsFor(dirs, e.schema)
     commit(LogEntry(baseVersion + 1, System.currentTimeMillis(), operation,
       dirs, e.schema, e.partitionColumns, e.properties, newStats,
@@ -732,7 +741,7 @@ final class ManagedTable private (val spark: SparkSession, val location: String)
     val aligned = df.select(base.schema.fields.map { f =>
       col(f.name).cast(f.dataType).as(f.name)
     }.toIndexedSeq: _*)
-    val newLeaves = writeData(aligned, parts)
+    val newLeaves = writeData(aligned, parts, base.properties)
     val stray = newLeaves.map(leafSuffix).filterNot(affected)
     require(stray.isEmpty,
       s"overwritePartitions: df contains rows outside the replaced " +
@@ -804,7 +813,7 @@ final class ManagedTable private (val spark: SparkSession, val location: String)
     val aligned = df.select(base.schema.fields.map { f =>
       col(f.name).cast(f.dataType).as(f.name)
     }.toIndexedSeq: _*)
-    val newDirs = writeData(aligned, base.partitionColumns)
+    val newDirs = writeData(aligned, base.partitionColumns, base.properties)
     val newStats = statsFor(newDirs, base.schema)
     var attempts = 0
     var done = false
@@ -1128,7 +1137,7 @@ final class ManagedTable private (val spark: SparkSession, val location: String)
       replaceFiles(e.files.map(_.path).toSet, ordered,
         operation = "OPTIMIZE", base = e, addedMayMatch = _ => false)
     else {
-      val dirs = writeData(ordered, e.partitionColumns)
+      val dirs = writeData(ordered, e.partitionColumns, e.properties)
       val newStats = statsFor(dirs, e.schema)
       commit(LogEntry(e.version + 1, System.currentTimeMillis(), "OPTIMIZE",
         dirs, e.schema, e.partitionColumns, e.properties, newStats,
@@ -1365,7 +1374,12 @@ final class ManagedTable private (val spark: SparkSession, val location: String)
                     replacementOf: Option[DataFrame => DataFrame],
                     base: LogEntry): Long = {
     import ManagedTable.{FP, POS}
-    val touched = FileStats.prune(base.files, base.schema, parsed)
+    // bounds first (free), then bloom proofs (footer reads) — a point
+    // DELETE/UPDATE on a bloom-indexed key rewrites vectors for only
+    // the files that may actually hold the key
+    val touched = BloomSkip.prune(spark.sessionState.newHadoopConf(),
+      dataDir, FileStats.prune(base.files, base.schema, parsed),
+      base.schema, parsed, base.properties)
     if (touched.isEmpty) return 0L
     val touchedPaths = touched.map(_.path).toSet
     // candidate rows with physical coordinates, PRIOR vectors applied
@@ -1394,7 +1408,7 @@ final class ManagedTable private (val spark: SparkSession, val location: String)
       val newStats = replacementOf.fold(Seq.empty[FileStat]) { rep =>
         val posts = project(rep(matched), base.schema)
           .coalesce(math.max(1L, n / 1000000L).toInt)
-        val dirs = writeData(posts, base.partitionColumns)
+        val dirs = writeData(posts, base.partitionColumns, base.properties)
         statsFor(dirs, base.schema)
       }
       var attempts = 0
@@ -1557,8 +1571,10 @@ final class ManagedTable private (val spark: SparkSession, val location: String)
       else writeCdcSidecar(changesOf(candidates), base.schema)
     if (base.files.nonEmpty) {
       val touched = parsed.fold(base.files)(p =>
-        FileStats.prune(base.files, base.schema, p))
-      if (touched.isEmpty) return 0L // bounds prove nothing matches
+        BloomSkip.prune(spark.sessionState.newHadoopConf(), dataDir,
+          FileStats.prune(base.files, base.schema, p), base.schema, p,
+          base.properties))
+      if (touched.isEmpty) return 0L // bounds/blooms prove nothing matches
       val candidates = scanFilesDF(touched, base)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
@@ -2312,7 +2328,7 @@ object ManagedTable {
              properties: Map[String, String] = Map.empty): ManagedTable = {
     require(!exists(location), s"Table already exists: $location")
     val t = new ManagedTable(df.sparkSession, location)
-    val dirs = t.writeData(df, partitionBy)
+    val dirs = t.writeData(df, partitionBy, properties)
     val stats = t.statsFor(dirs, df.schema)
     t.commit(LogEntry(0L, System.currentTimeMillis(), "CREATE",
       dirs, df.schema, partitionBy, properties, stats,

@@ -245,6 +245,27 @@ object Drive {
       s"${dvImported.toDF.count} (zero-copy, vector adopted as " +
       s"${if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get(
         dvImported.location, "_graft_dv"))) "_graft_dv sidecar" else "??"})")
+
+    // --- bloom-filter point-lookup skipping ----------------------------
+    import org.apache.spark.sql.functions.{md5, lit}
+    val bloomT = ManagedTable.create(
+      spark.range(2000L).select(col("id"),
+        md5(col("id").cast("string")).as("h")).repartition(8),
+      scratch("bloom"),
+      properties = Map(graft.tables.BloomSkip.columnsPropKey -> "h"))
+    val probeH = spark.range(1).select(md5(lit("777"))).head().getString(0)
+    val bHit = bloomT.toDFWhere(s"h = '$probeH'")
+    val bMiss = bloomT.toDFWhere("h = 'zzz-absent'")
+    println(s"[28] bloom skipping: point probe reads " +
+      s"${bHit.inputFiles.length} of ${bloomT.detail.numFiles} files " +
+      s"(row id=${bHit.head.getLong(0)}); absent key reads " +
+      s"${bMiss.inputFiles.length}")
+
+    // --- PII redaction -------------------------------------------------
+    val dirty = "reach u7@ex.org at 10.0.0.7 / (555) 123-4567, ssn 123-45-6789"
+    val cleaned = spark.range(1).select(lit(dirty).as("t"))
+      .select(graft.text.PiiRedact.redact(col("t"))).head.getString(0)
+    println(s"[29] pii redaction: '$dirty' -> '$cleaned'")
     spark.stop()
   }
 }
