@@ -755,6 +755,19 @@ object SparkEntry {
         t(s, dir, "documents"), "doc_id", "text", threshold = 0.5)
         .select("doc_id", "source", "n_chars")),
 
+    // benchmark decontamination (GPT-3/Dolma exact 8-gram rule): every
+    // 50th doc plays the eval set; corpus docs sharing ANY word 8-gram
+    // with it drop. The corpus side never shuffles — bench grams
+    // broadcast into a semi-join (plan-pinned in DecontaminateSpec)
+    "decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      text.Decontaminate.dropContaminated(
+        docs.filter(col("doc_id") % 50 =!= 0),
+        docs.filter(col("doc_id") % 50 === 0),
+        "doc_id", "text", n = 8)
+        .select("doc_id", "source", "n_chars")
+    }),
+
     "dedup_minhash" -> ((s, dir) =>
       text.MinHashDedup.dedup(
         t(s, dir, "documents"), "doc_id", "text", threshold = 0.5)
@@ -1580,6 +1593,32 @@ object SparkEntry {
          |SELECT doc_id, source, n_chars FROM documents d
          |WHERE NOT EXISTS (SELECT 1 FROM reach r
          |                  WHERE r.src = d.doc_id AND r.dst < d.doc_id)""".stripMargin,
+
+    // same normalization as the Spark side ([^\p{L}]+ → space, lower,
+    // empty tokens dropped), word 8-grams as space-joined strings
+    "decontaminate" ->
+      """WITH words AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(trim(
+        |      regexp_replace(lower(text), '[^\p{L}]+', ' ', 'g')), ' '),
+        |      x -> len(x) > 0) AS w
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(w) >= 8 THEN
+        |      list_distinct(list_transform(generate_series(1, len(w) - 7),
+        |        i -> array_to_string(w[i:i+7], ' ')))
+        |    ELSE []::VARCHAR[] END AS g
+        |  FROM words),
+        |bg AS (SELECT DISTINCT unnest(g) AS gram FROM grams
+        |       WHERE doc_id % 50 = 0),
+        |bad AS (SELECT DISTINCT cg.doc_id
+        |        FROM (SELECT doc_id, unnest(g) AS gram FROM grams
+        |              WHERE doc_id % 50 <> 0) cg
+        |        JOIN bg USING (gram))
+        |SELECT doc_id, source, n_chars FROM documents
+        |WHERE doc_id % 50 <> 0
+        |  AND doc_id NOT IN (SELECT doc_id FROM bad)""".stripMargin,
 
     "pipeline_clean_corpus" ->
       """WITH t AS (

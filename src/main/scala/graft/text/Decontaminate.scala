@@ -1,0 +1,74 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Benchmark decontamination — drop training documents that share any
+  * word n-gram with an evaluation set (the GPT-3 appendix-C / Dolma
+  * "exact n-gram overlap" rule; 8-grams by default, 13 in some
+  * pipelines). Distinct from near-dup removal: ONE shared 8-gram
+  * contaminates, however different the rest of the document is, so
+  * Jaccard-threshold machinery (MinHash/SimHash) cannot express it.
+  *
+  * Scale shape, the part that matters at 100 TB: the benchmark side is
+  * small BY CONSTRUCTION (eval sets are thousands of documents, not
+  * billions), so its distinct n-grams build once and BROADCAST; the
+  * corpus side explodes its n-grams in the map phase — a generator
+  * expression over `transform(sequence(...))`, no UDF — and the
+  * LEFT SEMI broadcast join marks contaminated ids without shuffling a
+  * single corpus row. The whole operator is scan → explode →
+  * broadcast-semi-join → anti-join: map-side only, no corpus shuffle,
+  * linear in corpus tokens.
+  *
+  * Normalization (lower-case, non-letters collapsed to single spaces)
+  * follows the same convention as [[MinHashDedup]]'s shingling so
+  * "The  Quick---Brown fox" and "the quick brown FOX" contaminate each
+  * other; n-grams are over WORDS, bounded by ` `-joined strings.
+  */
+object Decontaminate {
+
+  /** Normalized word array of `text` (empty tokens dropped). */
+  private def words(text: Column): Column =
+    filter(split(trim(regexp_replace(lower(text), "[^\\p{L}]+", " ")), " "),
+      w => length(w) > 0)
+
+  /** All word `n`-grams of `text` as space-joined strings (empty when
+    * the document has fewer than `n` words — a short document cannot
+    * carry a full n-gram and is never contaminated).
+    */
+  def ngrams(text: Column, n: Int): Column = {
+    val w = words(text)
+    when(size(w) >= n,
+      array_distinct(transform(sequence(lit(0), size(w) - n),
+        i => array_join(slice(w, i + 1, lit(n)), " "))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** IDs of `corpus` documents sharing at least one word `n`-gram with
+    * `bench` — the contamination report (one row per contaminated id).
+    */
+  def contaminatedIds(corpus: DataFrame, bench: DataFrame,
+                      idCol: String, textCol: String, n: Int): DataFrame = {
+    val benchGrams = bench
+      .select(explode(ngrams(col(textCol), n)).as("__gram")).distinct()
+    corpus
+      .select(col(idCol), explode(ngrams(col(textCol), n)).as("__gram"))
+      .join(broadcast(benchGrams), Seq("__gram"), "left_semi")
+      .select(idCol).distinct()
+  }
+
+  /** `corpus` minus every document contaminated by `bench` (schema
+    * preserved; the benchmark rows themselves are NOT part of `corpus`
+    * here — pass a corpus that excludes them, as a real pipeline holds
+    * them in a separate eval table anyway).
+    */
+  def dropContaminated(corpus: DataFrame, bench: DataFrame,
+                       idCol: String, textCol: String,
+                       n: Int = 8): DataFrame =
+    // no broadcast hint on the id anti-join: the contaminated set is
+    // usually tiny (AQE will broadcast it) but is bounded only by the
+    // corpus — a pathological benchmark must degrade to a shuffle, not
+    // an OOM
+    corpus.join(contaminatedIds(corpus, bench, idCol, textCol, n),
+      Seq(idCol), "left_anti")
+}
