@@ -380,6 +380,11 @@ object SparkEntry {
       require(before.forall(after.contains),
         "merge-on-read UPDATE must keep every pre-existing file " +
           "(post-images append, nothing rewrites)")
+      // metadata-only count: per-file footer rows minus recorded DV
+      // cardinalities must equal the scanned truth (here the scan runs
+      // only to PROVE the metadata path; production callers skip it)
+      require(tbl.numRows == tbl.toDF.count(),
+        s"numRows (metadata) diverged from the scan at v${tbl.latestVersion}")
       tbl.toDF
     }),
 

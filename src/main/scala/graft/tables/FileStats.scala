@@ -35,7 +35,15 @@ import scala.jdk.CollectionConverters._
   */
 final case class FileStat(path: String, rows: Long, bytes: Long,
                           min: Map[String, String], max: Map[String, String],
-                          dv: Option[String] = None) {
+                          dv: Option[String] = None,
+                          /** rows of `dv` masking THIS file (recorded at
+                            * DML/adoption time) — `rows - dvRows` is the
+                            * file's live count, summing to a
+                            * metadata-only `numRows`. None on entries
+                            * predating the field: live counts then need
+                            * one sidecar read.
+                            */
+                          dvRows: Option[Long] = None) {
   /** The leaf directory (snapshot-dir entry) this file lives in. */
   def leafDir: String = path.substring(0, path.lastIndexOf('/'))
 }

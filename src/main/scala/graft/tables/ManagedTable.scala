@@ -437,6 +437,32 @@ final class ManagedTable private (val spark: SparkSession, val location: String)
     TableDetail(location, e.partitionColumns, e.properties, n, bytes)
   }
 
+  /** Row count of the current snapshot from METADATA alone: the log's
+    * per-file footer counts minus recorded deletion-vector
+    * cardinalities. O(files) driver arithmetic, zero data scan — the
+    * 100 TB `count(*)` answers in milliseconds, the same way Delta
+    * answers it from `add.stats.numRecords`. Snapshots whose DV entries
+    * predate the `dvRows` field pay one small sidecar read; legacy
+    * pre-stats tables fall back to a scan (upgraded on their next
+    * write).
+    */
+  def numRows: Long = numRowsAt(latestEntry)
+
+  private[tables] def numRowsAt(e: LogEntry): Long = {
+    if (e.files.isEmpty) return snapshotDF(e).count()
+    val missing = e.files.filter(f => f.dv.isDefined && f.dvRows.isEmpty)
+    val fallback: Map[String, Long] =
+      if (missing.isEmpty) Map.empty
+      else spark.read.schema(ManagedTable.dvSchema)
+        .parquet(missing.map(f => dvRoot.resolve(f.dv.get).toString)
+          .distinct: _*)
+        .filter(col("path").isInCollection(missing.map(_.path)))
+        .groupBy("path").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    e.files.map(f => f.rows - f.dvRows.getOrElse(
+      if (f.dv.isDefined) fallback.getOrElse(f.path, 0L) else 0L)).sum
+  }
+
   /** history() analog (mack/__init__.py:626): one row per committed
     * version. Reads the compact checkpoint for everything it covers and
     * per-version entries only for the tail — O(checkpointInterval) entry
@@ -1402,6 +1428,12 @@ final class ManagedTable private (val spark: SparkSession, val location: String)
       prior.unionByName(matched.select(col(FP).as("path"), col(POS).as("pos")))
         .coalesce(1)
         .write.parquet(dvRoot.resolve(dvId).toString)
+      // per-file masked counts off the just-written sidecar (one read of
+      // a file sized O(deleted rows)) — the metadata-only numRows input
+      val dvRowsByPath: Map[String, Long] = spark.read
+        .schema(ManagedTable.dvSchema).parquet(dvRoot.resolve(dvId).toString)
+        .groupBy("path").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
       val cdc = writeCdcSidecar(changesOf(matched), base.schema)
       // post-image appends (UPDATE): sized by rows, not the session's
       // shuffle parallelism — a small update must not write 32 fragments
@@ -1436,7 +1468,10 @@ final class ManagedTable private (val spark: SparkSession, val location: String)
           }
         }
         val newFiles = cur.files.map(f =>
-          if (touchedPaths(f.path)) f.copy(dv = Some(dvId)) else f) ++ newStats
+          if (touchedPaths(f.path))
+            f.copy(dv = Some(dvId), dvRows = Some(
+              dvRowsByPath.getOrElse(f.path, 0L)))
+          else f) ++ newStats
         val dirs = (cur.dirs ++ newStats.map(_.leafDir)).distinct
         try {
           commit(LogEntry(cur.version + 1, System.currentTimeMillis(),
@@ -2069,6 +2104,7 @@ object ManagedTable {
         val mn = o.putObject("min"); f.min.foreach { case (k, v) => mn.put(k, v) }
         val mx = o.putObject("max"); f.max.foreach { case (k, v) => mx.put(k, v) }
         f.dv.foreach(o.put("dv", _))
+        f.dvRows.foreach { r => o.put("dvRows", r); () }
       }
       val ms = root.putObject("metrics")
       metrics.foreach { case (k, v) => ms.put(k, v) }
@@ -2089,7 +2125,8 @@ object ManagedTable {
         else n.get("files").elements().asScala.map { f =>
           FileStat(f.get("path").asText(), f.get("rows").asLong(),
             f.get("bytes").asLong(), strMap(f.get("min")), strMap(f.get("max")),
-            if (f.has("dv")) Some(f.get("dv").asText()) else None)
+            if (f.has("dv")) Some(f.get("dv").asText()) else None,
+            if (f.has("dvRows")) Some(f.get("dvRows").asLong()) else None)
         }.toSeq
       LogEntry(
         n.get("version").asLong(),
@@ -2265,8 +2302,14 @@ object ManagedTable {
       val unmatched = d.maskedPaths.diff(stats0.map(_.path).toSet)
       require(unmatched.isEmpty,
         s"adopted deletion vectors reference unknown files: $unmatched")
+      val byPath = spark.read.schema(dvSchema)
+        .parquet(Paths.get(location, "_graft_dv", ref).toString)
+        .groupBy("path").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
       stats0.map(f =>
-        if (d.maskedPaths(f.path)) f.copy(dv = Some(ref)) else f)
+        if (d.maskedPaths(f.path))
+          f.copy(dv = Some(ref), dvRows = Some(byPath.getOrElse(f.path, 0L)))
+        else f)
     }
     t.commit(LogEntry(0L, System.currentTimeMillis(), operation,
       dirs, schema, partitionBy, properties, stats,

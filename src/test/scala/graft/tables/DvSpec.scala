@@ -54,6 +54,27 @@ class DvSpec extends SparkSpec {
     assert(t.toDF.count() == 980)
   }
 
+  test("numRows answers from metadata through every DV state") {
+    val t = fixture("dvNumRows")
+    assert(t.numRows == 1000)
+    assert(t.delete("k < 100") == 100)
+    assert(t.numRows == 900, "recorded dvRows must subtract")
+    assert(t.delete("k >= 100 AND k < 120") == 20) // second vector, same file
+    assert(t.numRows == 880)
+    // UPDATE: old positions vector out, post-images append
+    assert(t.update(Map("v" -> "v + 1"), Some("k >= 900")) == 100)
+    assert(t.numRows == 880)
+    assert(t.numRows == t.toDF.count(), "metadata and scan must agree")
+    // OPTIMIZE materializes vectors; plain footer counts take over
+    t.optimize(targetFileSizeBytes = Long.MaxValue)
+    assert(t.fileStats.forall(_.dv.isEmpty))
+    assert(t.numRows == 880)
+    // append keeps counting
+    t.append(spark.range(5000, 5010).select(col("id").as("k"),
+      (col("id") * 3).as("v")))
+    assert(t.numRows == 890)
+  }
+
   test("DV deletes feed CDC (sidecar) and the bounds still prune reads") {
     val t = fixture("dv3")
     val v0 = t.latestVersion
