@@ -21,14 +21,21 @@ object SparkEntry {
 
   private val cutoff = "1997-01-01 00:00:00"
 
-  /** events.parquet stores TIMESTAMP(NANOS), which Spark's parquet reader
-    * rejects by default; read nanos as long and convert to a micros
-    * timestamp column.
+  /** events.parquet's `ts` column has shipped in two physical forms
+    * across driver testdata generations: TIMESTAMP(NANOS) (which Spark's
+    * parquet reader rejects by default — read nanos as long, convert to
+    * micros) and plain timestamp[us] (read as TIMESTAMP_NTZ; cast to the
+    * session-local type, value-preserving under the UTC session TZ both
+    * harness mains pin). Resolve by the actual schema so either vintage
+    * loads identically.
     */
   private def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(s, dir, "events")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val raw = t(s, dir, "events")
+    raw.schema("ts").dataType match {
+      case LongType => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case _ => raw.withColumn("ts", col("ts").cast(TimestampType))
+    }
   }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
