@@ -29,14 +29,23 @@ object SparkEntry {
     * harness mains pin). Resolve by the actual schema so either vintage
     * loads identically.
     */
-  private def events(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = t(s, dir, "events")
+    normalizeEventTs(t(s, dir, "events"))
+  }
+
+  /** Schema-dispatch for the two `ts` vintages, shared with specs. A
+    * third vintage must surface loudly, not cast-to-null silently.
+    */
+  private[graft] def normalizeEventTs(raw: DataFrame): DataFrame =
     raw.schema("ts").dataType match {
       case LongType => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      case _ => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType => raw
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case other => throw new IllegalStateException(
+        s"events.ts has unsupported physical type $other; " +
+        "expected TIMESTAMP(NANOS)-as-long, timestamp, or timestamp_ntz")
     }
-  }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

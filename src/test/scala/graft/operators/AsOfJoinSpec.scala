@@ -109,15 +109,7 @@ class AsOfJoinSpec extends SparkSpec {
   test("matches a per-pair reference computation on real events") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-    // ts has shipped as TIMESTAMP(NANOS)-as-long and as timestamp[us]
-    // across testdata generations; resolve by schema like SparkEntry.events
-    val e2 = raw.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      case _ =>
-        raw.withColumn("ts",
-          col("ts").cast(org.apache.spark.sql.types.TimestampType))
-    }
+    val e2 = graft.SparkEntry.normalizeEventTs(raw)
     val clicks = e2.filter(col("event_type") === "click")
       .select("event_id", "user_id", "ts").limit(200)
     val views = e2.filter(col("event_type") === "view")
