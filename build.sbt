@@ -14,7 +14,6 @@ run / fork := true
 // Forked run output goes straight to stdout, NOT through sbt's logger:
 // the logger prefixes every line with "[info] ", which breaks machine
 // parsing of Bench's JSON line by the benchmark driver.
-run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 Compile / run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches

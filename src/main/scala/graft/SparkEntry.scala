@@ -789,6 +789,19 @@ object SparkEntry {
         .select("doc_id", "source", "n_chars")
     }),
 
+    // fuzzy complement of `decontaminate`: shingle-Jaccard against the
+    // same held-out slice (threshold 0.5 = the recall-1.0 regime pinned
+    // for this corpus in RecallGateSpec, so LSH output == the oracle's
+    // exact all-pairs formulation)
+    "decontaminate_fuzzy" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      text.Decontaminate.dropContaminatedFuzzy(
+        docs.filter(col("doc_id") % 50 =!= 0),
+        docs.filter(col("doc_id") % 50 === 0),
+        "doc_id", "text", threshold = 0.5)
+        .select("doc_id", "source", "n_chars")
+    }),
+
     "dedup_minhash" -> ((s, dir) =>
       text.MinHashDedup.dedup(
         t(s, dir, "documents"), "doc_id", "text", threshold = 0.5)
@@ -1637,6 +1650,23 @@ object SparkEntry {
         |        FROM (SELECT doc_id, unnest(g) AS gram FROM grams
         |              WHERE doc_id % 50 <> 0) cg
         |        JOIN bg USING (gram))
+        |SELECT doc_id, source, n_chars FROM documents
+        |WHERE doc_id % 50 <> 0
+        |  AND doc_id NOT IN (SELECT doc_id FROM bad)""".stripMargin,
+
+    "decontaminate_fuzzy" ->
+      """WITH toks AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '[^\p{L}]+'),
+        |                x -> x <> '') AS t FROM documents),
+        |sh AS (SELECT doc_id,
+        |  CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+        |       ELSE list_distinct(list_transform(generate_series(1, len(t) - 2),
+        |              i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+        |  END AS s FROM toks),
+        |bad AS (
+        |  SELECT DISTINCT c.doc_id
+        |  FROM sh c JOIN sh b ON c.doc_id % 50 <> 0 AND b.doc_id % 50 = 0
+        |  WHERE len(list_intersect(c.s, b.s))::DOUBLE
+        |        / (len(c.s) + len(b.s) - len(list_intersect(c.s, b.s))) >= 0.5)
         |SELECT doc_id, source, n_chars FROM documents
         |WHERE doc_id % 50 <> 0
         |  AND doc_id NOT IN (SELECT doc_id FROM bad)""".stripMargin,

@@ -71,4 +71,64 @@ object Decontaminate {
     // an OOM
     corpus.join(contaminatedIds(corpus, bench, idCol, textCol, n),
       Seq(idCol), "left_anti")
+
+  /** FUZZY contamination — corpus documents whose word-shingle Jaccard
+    * with any benchmark document reaches `threshold`. The exact n-gram
+    * rule above misses light paraphrases (every 8-gram breaks when one
+    * word in eight changes); set-level Jaccard survives them. This is
+    * the "near-duplicate contamination" complement most published
+    * pipelines run alongside exact overlap.
+    *
+    * Scale shape: the benchmark side is small BY CONSTRUCTION, so its
+    * minhash band keys AND its shingle-hash sets broadcast; the corpus
+    * computes signatures map-side ([[MinHashDedup]]'s codegen'd shingle
+    * → minhash kernels), collides with the broadcast buckets, and only
+    * the (usually tiny) candidate set rides a join back for exact
+    * verification — no corpus shuffle, no all-pairs anywhere. Same
+    * S-curve/parameter reasoning as [[MinHashDedup.nearDupPairs]].
+    */
+  def contaminatedIdsFuzzy(corpus: DataFrame, bench: DataFrame,
+                           idCol: String, textCol: String,
+                           threshold: Double = 0.8, numHashes: Int = 64,
+                           bands: Int = 16,
+                           shingleWidth: Int = 3): DataFrame = {
+    import MinHashDedup.{bandHashes, minHashFromHashes}
+    def hashed(df: DataFrame, as: String) = df.select(
+      col(idCol).as(as),
+      graft.plans.expressions.shingle_hashes(col(textCol), shingleWidth)
+        .as(s"${as}_hh"))
+    def banded(df: DataFrame, as: String) = df
+      .select(col(as), minHashFromHashes(col(s"${as}_hh"), numHashes).as("__sig"))
+      .select(col(as),
+        posexplode(bandHashes(col("__sig"), numHashes, bands))
+          .as(Seq("__band", "__bh")))
+    val bHashed = hashed(bench, "__bid")
+    val cHashed = hashed(corpus, "__cid")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cands = banded(cHashed, "__cid")
+      .join(broadcast(banded(bHashed, "__bid")), Seq("__band", "__bh"))
+      .select("__cid", "__bid").distinct()
+    // exact verify over 64-bit shingle-hash sets: candidates join back
+    // to the persisted corpus hashes (candidate set is small — AQE
+    // broadcasts it; a pathological bench degrades to a shuffle, not an
+    // OOM) and to the broadcast bench hashes
+    cands.join(cHashed, Seq("__cid"))
+      .join(broadcast(bHashed), Seq("__bid"))
+      .filter(graft.plans.expressions.hash_jaccard(
+        col("__cid_hh"), col("__bid_hh")) >= threshold)
+      .select(col("__cid").as(idCol)).distinct()
+  }
+
+  /** `corpus` minus fuzzy-contaminated documents (see
+    * [[contaminatedIdsFuzzy]]).
+    */
+  def dropContaminatedFuzzy(corpus: DataFrame, bench: DataFrame,
+                            idCol: String, textCol: String,
+                            threshold: Double = 0.8, numHashes: Int = 64,
+                            bands: Int = 16,
+                            shingleWidth: Int = 3): DataFrame =
+    corpus.join(
+      contaminatedIdsFuzzy(corpus, bench, idCol, textCol, threshold,
+        numHashes, bands, shingleWidth),
+      Seq(idCol), "left_anti")
 }

@@ -266,6 +266,24 @@ object Drive {
     val cleaned = spark.range(1).select(lit(dirty).as("t"))
       .select(graft.text.PiiRedact.redact(col("t"))).head.getString(0)
     println(s"[29] pii redaction: '$dirty' -> '$cleaned'")
+
+    // --- fuzzy (shingle-Jaccard) decontamination -----------------------
+    import spark.implicits._
+    // one mid-word change: splits the 14-word doc into 7- and 6-word
+    // runs (no exact 8-gram survives) yet 9 of 12 shingles do (J = 0.6)
+    val evalDoc = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val para = "the quick brown fox jumps over the sleepy dog near the river bank today"
+    val fCorpus = Seq((1L, para), (2L, "entirely different material"))
+      .toDF("doc_id", "text")
+    val fBench = Seq((9L, evalDoc)).toDF("doc_id", "text")
+    val exactKeeps = graft.text.Decontaminate
+      .dropContaminated(fCorpus, fBench, "doc_id", "text").count()
+    val fuzzyKeeps = graft.text.Decontaminate
+      .dropContaminatedFuzzy(fCorpus, fBench, "doc_id", "text",
+        threshold = 0.5).count()
+    println(s"[30] fuzzy decontamination: paraphrase kept by exact " +
+      s"8-gram rule ($exactKeeps of 2 survive) but dropped by " +
+      s"shingle-Jaccard >= 0.5 ($fuzzyKeeps of 2 survive)")
     spark.stop()
   }
 }

@@ -60,4 +60,72 @@ class DecontaminateSpec extends SparkSpec {
       plan.toLowerCase.contains("leftsemi"),
       s"expected a broadcast semi join, got:\n$plan")
   }
+
+  // ---- fuzzy (shingle-Jaccard) contamination ------------------------
+
+  test("fuzzy catches a paraphrase the exact 8-gram rule misses") {
+    // change every 8th word: no 8 consecutive words survive (kills every
+    // exact 8-gram) but 20/40 word-3-shingles do (Jaccard 0.5). Words
+    // must be letter-only: the tokenizer splits on non-letters, so
+    // "w1".."w32" would all collapse to the same token "w".
+    val words = (0 until 32).map(i =>
+      s"w${('a' + i / 26).toChar}${('a' + i % 26).toChar}")
+    val original = words.mkString(" ")
+    val paraphrase = words.zipWithIndex
+      .map { case (w, i) =>
+        if (i % 8 == 7) s"changed${('a' + i % 26).toChar}" else w }
+      .mkString(" ")
+    val corpus = Seq(
+      (1L, paraphrase),
+      (2L, "completely unrelated text about other things entirely")
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, original)).toDF("doc_id", "text")
+    val exactKept = Decontaminate
+      .dropContaminated(corpus, bench, "doc_id", "text", n = 8)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(exactKept == Seq(1L, 2L),
+      "the paraphrase shares no exact 8-gram, so exact keeps it")
+    val fuzzyKept = Decontaminate
+      .dropContaminatedFuzzy(corpus, bench, "doc_id", "text",
+        threshold = 0.5)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(fuzzyKept == Seq(2L),
+      "shingle Jaccard ~0.54 >= 0.5 must drop the paraphrase")
+  }
+
+  test("fuzzy equals the exact all-pairs Jaccard on real documents " +
+      "(oracle precondition at the declared parameters)") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val corpus = docs.filter(col("doc_id") % 50 =!= 0)
+    val bench = docs.filter(col("doc_id") % 50 === 0)
+    val got = Decontaminate.contaminatedIdsFuzzy(
+      corpus, bench, "doc_id", "text", threshold = 0.5)
+      .as[Long].collect().toSet
+    // exact reference: brute-force Jaccard over the same shingle hashes
+    def sets(df: org.apache.spark.sql.DataFrame) = df.select(
+      col("doc_id"),
+      graft.plans.expressions.shingle_hashes(col("text"), 3).as("hh"))
+      .as[(Long, Seq[Long])].collect().map { case (id, hh) => (id, hh.toSet) }
+    val b = sets(bench)
+    val expected = sets(corpus).collect { case (id, cs)
+      if b.exists { case (_, bs) =>
+        val inter = cs.intersect(bs).size.toDouble
+        inter / (cs.size + bs.size - inter) >= 0.5 } => id }.toSet
+    assert(got == expected,
+      s"LSH fuzzy decontamination diverged: got ${got.size}, " +
+        s"expected ${expected.size}")
+  }
+
+  test("fuzzy: empty bench keeps everything; ids report once") {
+    val corpus = Seq((1L, "one two three four five"), (2L, "a b c d e"))
+      .toDF("doc_id", "text")
+    val bench = Seq((9L, "one two three four five")).toDF("doc_id", "text")
+    assert(Decontaminate.dropContaminatedFuzzy(
+      corpus, bench.filter(lit(false)), "doc_id", "text").count() == 2)
+    val ids = Decontaminate.contaminatedIdsFuzzy(
+      corpus, bench, "doc_id", "text", threshold = 0.9)
+    assert(ids.as[Long].collect().toSeq == Seq(1L))
+  }
 }
