@@ -74,8 +74,22 @@ object GraftSqlParser {
 
   private def unq(path: String): String = path.replace("``", "`")
 
+  // MERGE [WITH SCHEMA EVOLUTION] INTO graft.`/path` [AS] t USING <rest>
+  // — the rest (source spec, ON condition, WHEN clauses) nests
+  // arbitrarily, so it is carved up with the top-level scanners below
+  // rather than one regex
+  private val MergeHeadRe =
+    (s"""(?is)\\s*MERGE\\s+(WITH\\s+SCHEMA\\s+EVOLUTION\\s+)?INTO\\s+$Ref""" +
+      s"""\\s*(?:(?:AS\\s+)?(?!USING\\b)([A-Za-z_]\\w*)\\s+)?USING\\s+(.+)""").r
+  private val GraftSrcRe = s"""(?is)\\s*$Ref\\s*""".r
+  private val ParquetSrcRe = """(?is)\s*parquet\s*\.\s*`((?:[^`]|``)+)`\s*""".r
+
   private[plans] def parseGraft(sqlText: String): Option[LogicalPlan] =
     sqlText match {
+      case MergeHeadRe(evolve, path, tAlias, rest) =>
+        Some(parseMergeTail(unq(path),
+          Option(tAlias).getOrElse("target"), rest,
+          evolveSchema = evolve != null))
       case DeleteRe(path, where) =>
         Some(GraftDeleteCommand(unq(path), Option(where).map(_.trim)))
       case UpdateRe(path, rest) =>
@@ -104,6 +118,181 @@ object GraftSqlParser {
         Some(GraftVacuumCommand(unq(path),
           Option(hours).map(_.toDouble).getOrElse(7 * 24.0)))
       case _ => None
+    }
+
+  /** Parse everything after `USING` of a MERGE: `<source> [[AS] alias]
+    * ON <cond> WHEN [NOT] MATCHED [AND <cond>] THEN <action> …`. The
+    * source is a graft/parquet path ref, a table name, or a
+    * parenthesized subquery; nested `ON`/`WHEN`/`THEN` (joins, CASE)
+    * sit inside parens and are skipped by the top-level scanners.
+    */
+  private def parseMergeTail(path: String, targetAlias: String,
+                             rest: String,
+                             evolveSchema: Boolean): LogicalPlan = {
+    import graft.tables.Merge
+    val onIdx = topLevelWordIndex(rest, "ON")
+    require(onIdx > 0, "MERGE INTO expects USING <source> ON <condition>")
+    val (sourceText, sourceAlias) = parseMergeSource(rest.substring(0, onIdx))
+    val afterOn = rest.substring(onIdx + 2)
+    val whenIdx = topLevelMergeWhenIndex(afterOn, 0)
+    require(whenIdx >= 0,
+      "MERGE INTO expects at least one WHEN [NOT] MATCHED clause")
+    val onCond = afterOn.substring(0, whenIdx).trim
+    require(onCond.nonEmpty, "MERGE INTO has an empty ON condition")
+    // slice the WHEN clauses at top level
+    var starts = List(whenIdx)
+    var next = topLevelMergeWhenIndex(afterOn, whenIdx + 4)
+    while (next >= 0) {
+      starts = next :: starts
+      next = topLevelMergeWhenIndex(afterOn, next + 4)
+    }
+    val bounds = starts.reverse :+ afterOn.length
+    val clauseTexts = bounds.sliding(2).map {
+      case Seq(a, b) => afterOn.substring(a, b).trim }.toSeq
+    val parsed = clauseTexts.map(parseMergeClause(_, targetAlias))
+    val matched = parsed.collect { case (false, c) => c }
+    val notMatched = parsed.collect { case (true, c) => c }
+    GraftMergeCommand(path, targetAlias, sourceText, sourceAlias,
+      onCond, matched, notMatched, evolveSchema)
+  }
+
+  /** The USING source region: `(subquery) [[AS] alias]` or
+    * `ref-or-name [[AS] alias]`.
+    */
+  private def parseMergeSource(region: String): (String, String) = {
+    val sr = region.trim
+    val (text, tail) =
+      if (sr.startsWith("(")) {
+        val close = matchingParen(sr)
+        (sr.substring(0, close + 1), sr.substring(close + 1))
+      } else {
+        val ws = scanTopLevel(sr, (s, i) => Character.isWhitespace(s.charAt(i)))
+        if (ws < 0) (sr, "") else (sr.substring(0, ws), sr.substring(ws))
+      }
+    val alias = tail.trim match {
+      case "" => "source"
+      case a =>
+        val bare = a.replaceFirst("(?is)^AS\\s+", "").trim
+        require(bare.matches("[A-Za-z_]\\w*"),
+          s"MERGE USING: cannot parse source alias from '$a'")
+        bare
+    }
+    (text, alias)
+  }
+
+  /** Index of the closing paren matching `s(0) == '('`. */
+  private def matchingParen(s: String): Int = {
+    var depth = 0; var inStr = false; var inDq = false; var inTick = false
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inStr) { if (c == '\\') i += 1 else if (c == '\'') inStr = false }
+      else if (inDq) { if (c == '\\') i += 1 else if (c == '"') inDq = false }
+      else if (inTick) { if (c == '`') inTick = false }
+      else c match {
+        case '\'' => inStr = true
+        case '"' => inDq = true
+        case '`' => inTick = true
+        case '(' => depth += 1
+        case ')' => depth -= 1; if (depth == 0) return i
+        case _ => ()
+      }
+      i += 1
+    }
+    sys.error(s"MERGE USING: unbalanced parentheses in source: $s")
+  }
+
+  /** First top-level `WHEN` at/after `from` that is followed by
+    * `MATCHED` or `NOT` (so a top-level CASE WHEN in the ON condition
+    * does not end it).
+    */
+  private def topLevelMergeWhenIndex(s: String, from: Int): Int = {
+    val sub = s.substring(from)
+    var off = 0
+    while (off < sub.length) {
+      val i = topLevelWordIndex(sub.substring(off), "WHEN")
+      if (i < 0) return -1
+      val after = sub.substring(off + i + 4).dropWhile(_.isWhitespace)
+      if (after.regionMatches(true, 0, "MATCHED", 0, 7) ||
+          after.regionMatches(true, 0, "NOT", 0, 3))
+        return from + off + i
+      off += i + 4
+    }
+    -1
+  }
+
+  /** One `WHEN [NOT] MATCHED [AND cond] THEN action` clause →
+    * (isNotMatched, clause).
+    */
+  private def parseMergeClause(text: String,
+                               targetAlias: String): (Boolean, graft.tables.Merge.Clause) = {
+    import graft.tables.Merge
+    val HeadRe = """(?is)\s*WHEN\s+(NOT\s+)?MATCHED\b(.*)""".r
+    val (isNot, rest) = text match {
+      case HeadRe(not, r) => (not != null, r)
+      case _ => sys.error(s"MERGE: cannot parse clause: $text")
+    }
+    require(!rest.trim.toUpperCase.startsWith("BY SOURCE"),
+      "MERGE: WHEN [NOT] MATCHED BY SOURCE is not supported")
+    val thenIdx = topLevelWordIndex(rest, "THEN")
+    require(thenIdx >= 0, s"MERGE clause is missing THEN: $text")
+    val condPart = rest.substring(0, thenIdx).trim
+    val cond: Option[String] =
+      if (condPart.isEmpty) None
+      else {
+        require(condPart.toUpperCase.startsWith("AND"),
+          s"MERGE clause condition must start with AND: $condPart")
+        Some(condPart.substring(3).trim)
+      }
+    val action = rest.substring(thenIdx + 4).trim.stripSuffix(";").trim
+    def unalias(c: String): String = {
+      val t = c.trim.stripPrefix("`").stripSuffix("`")
+      val p = targetAlias + "."
+      if (t.toLowerCase.startsWith(p.toLowerCase)) t.substring(p.length)
+        .stripPrefix("`").stripSuffix("`")
+      else t
+    }
+    val UpdateAllRe = """(?is)UPDATE\s+SET\s+\*\s*""".r
+    val UpdateRe = """(?is)UPDATE\s+SET\s+(.+)""".r
+    val DeleteRe = """(?is)DELETE\s*""".r
+    val InsertAllRe = """(?is)INSERT\s+\*\s*""".r
+    val InsertRe = """(?is)INSERT\s*\((.+?)\)\s*VALUES\s*\((.+)\)\s*""".r
+    val clause: Merge.Clause = action match {
+      case UpdateAllRe() =>
+        require(!isNot, "MERGE: WHEN NOT MATCHED cannot UPDATE"); Merge.UpdateAll(cond)
+      case DeleteRe() =>
+        require(!isNot, "MERGE: WHEN NOT MATCHED cannot DELETE"); Merge.Delete(cond)
+      case UpdateRe(assigns) =>
+        require(!isNot, "MERGE: WHEN NOT MATCHED cannot UPDATE")
+        val set = splitTopLevel(assigns, ',').map { a =>
+          val i = topLevelIndexOf(a, "=")
+          require(i > 0, s"MERGE UPDATE SET expects col = expr, got: $a")
+          unalias(a.substring(0, i)) -> a.substring(i + 1).trim
+        }.toMap
+        Merge.Update(cond, set)
+      case InsertAllRe() =>
+        require(isNot, "MERGE: WHEN MATCHED cannot INSERT"); Merge.InsertAll(cond)
+      case InsertRe(cols, vals) =>
+        require(isNot, "MERGE: WHEN MATCHED cannot INSERT")
+        val cs = splitTopLevel(cols, ',').map(unalias)
+        val vs = splitTopLevel(vals, ',')
+        require(cs.length == vs.length,
+          s"MERGE INSERT: ${cs.length} columns but ${vs.length} values")
+        Merge.Insert(cond, cs.zip(vs).toMap)
+      case other => sys.error(s"MERGE: cannot parse clause action: $other")
+    }
+    (isNot, clause)
+  }
+
+  /** Resolve a MERGE USING source spec to a DataFrame at run time. */
+  private[plans] def resolveMergeSource(spark: SparkSession,
+                                        text: String): org.apache.spark.sql.DataFrame =
+    text match {
+      case GraftSrcRe(p) => ManagedTable.forPath(spark, unq(p)).toDF
+      case ParquetSrcRe(p) => spark.read.parquet(unq(p))
+      case s if s.trim.startsWith("(") =>
+        spark.sql(s"SELECT * FROM ${s.trim} __graft_merge_src")
+      case name => spark.table(name.trim)
     }
 
   /** Split off a trailing top-level `WHERE` (outside quotes/parens) from
@@ -276,6 +465,37 @@ final case class GraftConvertCommand(format: String, src: String,
     }
     val d = t.detail
     Seq(Row(d.numFiles, d.sizeInBytes))
+  }
+}
+
+/** `MERGE [WITH SCHEMA EVOLUTION] INTO graft.`path` [AS] t USING src
+  * [AS] s ON cond WHEN [NOT] MATCHED [AND c] THEN …` — the SQL form of
+  * [[graft.tables.Merge]] (delta-spark's MERGE INTO). The source may be
+  * a table name, ``graft.`/path` ``/``parquet.`/path` `` ref, or a
+  * parenthesized subquery (resolved through the session at run time, so
+  * temp views work). Returns the committed version and the table's
+  * metadata row count after the merge.
+  */
+final case class GraftMergeCommand(path: String, targetAlias: String,
+                                   sourceText: String, sourceAlias: String,
+                                   onCond: String,
+                                   matched: Seq[graft.tables.Merge.Clause],
+                                   notMatched: Seq[graft.tables.Merge.Clause],
+                                   evolveSchema: Boolean)
+    extends LeafRunnableCommand {
+  import graft.tables.Merge
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("num_rows", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val t = ManagedTable.forPath(spark, path)
+    val src = GraftSqlParser.resolveMergeSource(spark, sourceText)
+    val b = Merge.into(t.toDF, targetAlias)
+      .using(src, sourceAlias, onCond)
+      .copy(matched = matched, notMatched = notMatched,
+        evolveSchema = evolveSchema)
+    b.execute(t)
+    Seq(Row(t.latestVersion, t.numRows))
   }
 }
 

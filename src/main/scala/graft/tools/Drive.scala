@@ -284,6 +284,21 @@ object Drive {
     println(s"[30] fuzzy decontamination: paraphrase kept by exact " +
       s"8-gram rule ($exactKeeps of 2 survive) but dropped by " +
       s"shingle-Jaccard >= 0.5 ($fuzzyKeeps of 2 survive)")
+
+    // --- SQL MERGE INTO ------------------------------------------------
+    val mrgT = ManagedTable.create(
+      spark.range(6).selectExpr("id AS k", "id * 10 AS v"), scratch("sqlmerge"))
+    spark.range(4, 8).selectExpr("id AS k", "id * 100 AS sv")
+      .createOrReplaceTempView("drive_merge_src")
+    val mrg = spark.sql(
+      s"""MERGE INTO graft.`${mrgT.location}` t
+         |USING drive_merge_src s ON t.k = s.k
+         |WHEN MATCHED THEN UPDATE SET v = s.sv
+         |WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.sv)""".stripMargin)
+      .head()
+    println(s"[31] SQL MERGE INTO: committed v${mrg.getLong(0)}, " +
+      s"${mrg.getLong(1)} rows (2 updated, 2 inserted); " +
+      s"k=4 -> v=${mrgT.toDF.filter("k = 4").head().getLong(1)}")
     spark.stop()
   }
 }

@@ -236,4 +236,87 @@ class GraftFunctionsSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("boolean net flag"))
   }
+
+  test("MERGE INTO statement: update/delete/insert clauses with " +
+       "conditions, subquery source") {
+    import graft.tables.ManagedTable
+    val path = tmpDir("sqlmerge")
+    val t = ManagedTable.create(
+      spark.range(10).selectExpr("id AS k", "id * 10 AS v", "'old' AS tag"),
+      path)
+    // source: k=5..14 → 5..9 match (5 dropped by DELETE cond, 6..9
+    // updated), 10..14 insert (12 filtered by the insert condition)
+    spark.range(5, 15).selectExpr("id AS k", "id * 100 AS sv")
+      .createOrReplaceTempView("merge_src")
+    val res = spark.sql(
+      s"""MERGE INTO graft.`$path` AS t
+         |USING (SELECT k, sv FROM merge_src) AS s
+         |ON t.k = s.k
+         |WHEN MATCHED AND s.k = 5 THEN DELETE
+         |WHEN MATCHED THEN UPDATE SET v = s.sv, tag = 'upd'
+         |WHEN NOT MATCHED AND s.k <> 12 THEN INSERT (k, v, tag)
+         |  VALUES (s.k, s.sv, 'ins')
+         |""".stripMargin).head()
+    assert(res.getLong(0) == 1L, "one MERGE commit")
+    // 10 - 1 deleted + 4 inserted (10,11,13,14) = 13
+    assert(res.getLong(1) == 13L, s"metadata row count, got ${res.getLong(1)}")
+    val out = t.toDF.orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    assert(!out.exists(_._1 == 5L), "k=5 deleted")
+    assert(out.filter(_._3 == "upd").map(_._1) == Seq(6L, 7L, 8L, 9L))
+    assert(out.filter(_._3 == "upd").forall(r => r._2 == r._1 * 100))
+    assert(out.filter(_._3 == "ins").map(_._1) == Seq(10L, 11L, 13L, 14L))
+    assert(out.filter(_._3 == "old").map(_._1) == (0L to 4L))
+    val hist = spark.sql(s"DESCRIBE HISTORY graft.`$path`")
+      .collect().map(_.getString(2)).toSeq
+    assert(hist == Seq("CREATE", "MERGE"))
+  }
+
+  test("MERGE INTO: UPDATE SET * / INSERT * / WITH SCHEMA EVOLUTION / " +
+       "graft source ref") {
+    import graft.tables.ManagedTable
+    val path = tmpDir("sqlmerge2")
+    val srcPath = tmpDir("sqlmerge2_src")
+    ManagedTable.create(
+      spark.range(3, 6).selectExpr("id AS k", "id * 100 AS v",
+        "id * 1000 AS extra"), srcPath)
+    val t = ManagedTable.create(
+      spark.range(5).selectExpr("id AS k", "id * 10 AS v"), path)
+    val res = spark.sql(
+      s"""MERGE WITH SCHEMA EVOLUTION INTO graft.`$path` t
+         |USING graft.`$srcPath` s ON t.k = s.k
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin).head()
+    assert(res.getLong(1) == 6L, "5 + 1 inserted")
+    val widened = ManagedTable.forPath(spark, path)
+    assert(widened.schema.fieldNames.contains("extra"),
+      "schema evolution must add the source-only column")
+    val rows = widened.toDF.orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSeq
+    assert(rows == Seq((0L, 0L, -1L), (1L, 10L, -1L), (2L, 20L, -1L),
+      (3L, 300L, 3000L), (4L, 400L, 4000L), (5L, 500L, 5000L)))
+  }
+
+  test("MERGE INTO rejects malformed clauses loudly") {
+    import graft.tables.ManagedTable
+    val path = tmpDir("sqlmerge3")
+    ManagedTable.create(spark.range(3).selectExpr("id AS k"), path)
+    spark.range(1).selectExpr("id AS k").createOrReplaceTempView("m3src")
+    def bad(sql: String, frag: String): Unit = {
+      val e = intercept[Exception](spark.sql(sql).head())
+      assert(e.getMessage.contains(frag),
+        s"expected '$frag' in: ${e.getMessage}")
+    }
+    bad(s"MERGE INTO graft.`$path` t USING m3src s ON t.k = s.k",
+      "at least one WHEN")
+    bad(s"MERGE INTO graft.`$path` t USING m3src s ON t.k = s.k " +
+      "WHEN NOT MATCHED THEN DELETE", "cannot DELETE")
+    bad(s"MERGE INTO graft.`$path` t USING m3src s ON t.k = s.k " +
+      "WHEN MATCHED THEN INSERT *", "cannot INSERT")
+    bad(s"MERGE INTO graft.`$path` t USING m3src s ON t.k = s.k " +
+      "WHEN NOT MATCHED BY SOURCE THEN DELETE", "BY SOURCE")
+    bad(s"MERGE INTO graft.`$path` t USING m3src s ON t.k = s.k " +
+      "WHEN NOT MATCHED THEN INSERT (k) VALUES (s.k, 1)", "columns but")
+  }
 }
