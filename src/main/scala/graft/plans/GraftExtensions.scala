@@ -127,6 +127,34 @@ object GraftFunctions {
           .forPath(SparkSession.active, path)
           .changes(from, to, net)
           .queryExecution.logical
+      }),
+    (FunctionIdentifier("graft_table"),
+      info("graft_table",
+        "graft_table(path[, versionOrTimestamp]) - managed-table snapshot rows"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1 || args.length == 2,
+          "graft_table(path[, versionOrTimestamp])")
+        def lit(i: Int): Any = args(i) match {
+          case l: Literal => l.value
+          case other => throw new IllegalArgumentException(
+            s"graft_table expects literal arguments, got $other")
+        }
+        val t = graft.tables.ManagedTable
+          .forPath(SparkSession.active, lit(0).toString)
+        val df =
+          if (args.length == 1) t.toDF
+          else lit(1) match {
+            case n: Number => t.toDF(n.longValue())
+            case s =>
+              // a string second argument is a timestamp (Delta's
+              // `TIMESTAMP AS OF`): snapshot as of that instant
+              val raw = s.toString
+              val norm =
+                if (raw.length == 10) raw + " 00:00:00"
+                else raw.replace("T", " ")
+              t.toDFAsOf(java.sql.Timestamp.valueOf(norm).getTime)
+          }
+        df.queryExecution.logical
       }))
 
   /** Register into a live session (idempotent). The SQL statement surface

@@ -90,22 +90,50 @@ class CdfSourceProvider extends StreamSourceProvider with DataSourceRegister {
           finally in.close()
         }
       }
-    new CdfSource(table, base)
+    val maxPerTrigger = parameters.get("maxVersionsPerTrigger").map { v =>
+      val n = v.toLong
+      require(n > 0, s"maxVersionsPerTrigger must be positive, got $n")
+      n
+    }
+    new CdfSource(table, base, maxPerTrigger)
   }
 }
 
-class CdfSource(table: ManagedTable, baseVersion: Long) extends Source {
+class CdfSource(table: ManagedTable, baseVersion: Long,
+                maxVersionsPerTrigger: Option[Long] = None) extends Source {
 
   override val schema: StructType = CdfSource.cdfSchema(table.schema)
 
+  /** High-water mark of versions already OFFERED via [[getOffset]] (or
+    * re-committed through [[getBatch]] recovery on restart) — the base
+    * the per-trigger cap advances from. Offering is monotone, so a
+    * plain volatile is enough (the microbatch thread is the only
+    * writer).
+    */
+  @volatile private var offered: Long = baseVersion
+
   override def getOffset: Option[Offset] = {
     val v = table.latestVersion
-    if (v <= baseVersion) None else Some(LongOffset(v))
+    // cap the batch at maxVersionsPerTrigger COMMITS past the last
+    // offered offset (Delta's maxFilesPerTrigger analog, at the
+    // granularity our offsets have): a stream catching up on a long
+    // backlog drains it in bounded micro-batches instead of one
+    // unbounded replay batch
+    val end = maxVersionsPerTrigger match {
+      case Some(m) => math.min(v, offered + m)
+      case None => v
+    }
+    if (end <= offered) None
+    else { offered = end; Some(LongOffset(end)) }
   }
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val from = start.map(CdfSource.version).getOrElse(baseVersion)
     val to = CdfSource.version(end)
+    // restart recovery replays a checkpointed range before any
+    // getOffset call — advance the cap base so the next offer continues
+    // from the recovered end, not from baseVersion
+    if (to > offered) offered = to
     // project to the declared schema: a mid-stream schema evolution must
     // not change the source's output shape (new columns surface after a
     // stream restart, as with Delta). Changes from commits that PREDATE

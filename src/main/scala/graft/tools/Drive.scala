@@ -299,6 +299,12 @@ object Drive {
     println(s"[31] SQL MERGE INTO: committed v${mrg.getLong(0)}, " +
       s"${mrg.getLong(1)} rows (2 updated, 2 inserted); " +
       s"k=4 -> v=${mrgT.toDF.filter("k = 4").head().getLong(1)}")
+    val tvfNow = spark.sql(
+      s"SELECT count(*) FROM graft_table('${mrgT.location}')").head().getLong(0)
+    val tvfV0 = spark.sql(
+      s"SELECT count(*) FROM graft_table('${mrgT.location}', 0)").head().getLong(0)
+    println(s"[32] graft_table TVF: snapshot=$tvfNow rows, " +
+      s"version-travel v0=$tvfV0 rows")
     spark.stop()
   }
 }

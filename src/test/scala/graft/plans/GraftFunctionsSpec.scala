@@ -298,6 +298,32 @@ class GraftFunctionsSpec extends SparkSpec {
       (3L, 300L, 3000L), (4L, 400L, 4000L), (5L, 500L, 5000L)))
   }
 
+  test("graft_table TVF reads snapshots with version and timestamp travel") {
+    import graft.tables.ManagedTable
+    val path = tmpDir("tvfread")
+    val t = ManagedTable.create(spark.range(20).selectExpr("id AS k"), path)
+    t.delete("k >= 10") // v1
+    val tsAfterV1 = new java.sql.Timestamp(System.currentTimeMillis())
+      .toString
+    assert(spark.sql(s"SELECT count(*) AS n FROM graft_table('$path')")
+      .head().getLong(0) == 10L)
+    assert(spark.sql(s"SELECT count(*) AS n FROM graft_table('$path', 0)")
+      .head().getLong(0) == 20L, "version travel must read v0")
+    // joins compose like any relation
+    val joined = spark.sql(
+      s"""SELECT count(*) AS n FROM graft_table('$path') a
+         |JOIN graft_table('$path', 0) b ON a.k = b.k""".stripMargin)
+      .head().getLong(0)
+    assert(joined == 10L)
+    assert(spark.sql(
+      s"SELECT count(*) FROM graft_table('$path', '$tsAfterV1')")
+      .head().getLong(0) == 10L, "timestamp travel must resolve v1")
+    val e = intercept[Exception](spark.sql(
+      s"SELECT * FROM graft_table('$path', 99)").collect())
+    assert(e.getMessage.toLowerCase.contains("version"),
+      s"unknown version must fail loud: ${e.getMessage}")
+  }
+
   test("MERGE INTO rejects malformed clauses loudly") {
     import graft.tables.ManagedTable
     val path = tmpDir("sqlmerge3")

@@ -102,4 +102,41 @@ class CdfStreamSpec extends SparkSpec {
     assert(off.nonEmpty, "recovered anchor must surface the pending commit")
     assert(CdfSource.version(off.get) == t.latestVersion)
   }
+
+  test("maxVersionsPerTrigger drains a backlog in bounded micro-batches") {
+    val t = fixture("cdfrate")
+    (1 to 6).foreach(i => t.delete(s"k = $i")) // v1..v6 backlog
+    val q = spark.readStream.format("graft-cdf")
+      .option("startingVersion", "1")
+      .option("maxVersionsPerTrigger", "2")
+      .load(t.location)
+      .writeStream.format("memory").queryName("cdf_rate_sink")
+      .option("checkpointLocation", tmpDir("cdfrateckpt")).start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("cdf_rate_sink")
+      assert(got.count() == 6, "every backlog commit must drain")
+      // 6 versions at <=2 per trigger = at least 3 distinct batches:
+      // batchIds on the sink prove the cap bounded each micro-batch
+      val batches = q.recentProgress.filter(_.numInputRows > 0)
+      assert(batches.length >= 3,
+        s"expected >= 3 micro-batches, got ${batches.length}")
+      assert(batches.forall(_.numInputRows <= 2),
+        "no micro-batch may exceed the version cap's row yield here " +
+          "(one row per version in this fixture)")
+    } finally q.stop()
+  }
+
+  test("maxVersionsPerTrigger rejects non-positive values") {
+    val t = fixture("cdfrate2")
+    val e = intercept[Exception] {
+      spark.readStream.format("graft-cdf")
+        .option("maxVersionsPerTrigger", "0").load(t.location)
+        .writeStream.format("memory").queryName("cdf_rate2_sink")
+        .option("checkpointLocation", tmpDir("cdfrate2ckpt")).start()
+        .processAllAvailable()
+    }
+    assert(e.getMessage.contains("maxVersionsPerTrigger"),
+      s"got: ${e.getMessage}")
+  }
 }
