@@ -84,12 +84,32 @@ object GraftSqlParser {
   private val GraftSrcRe = s"""(?is)\\s*$Ref\\s*""".r
   private val ParquetSrcRe = """(?is)\s*parquet\s*\.\s*`((?:[^`]|``)+)`\s*""".r
 
+  // CREATE TABLE graft.`/p` [PARTITIONED BY (c, …)]
+  //   [TBLPROPERTIES (k = 'v', …)] AS <select>
+  private val CtasRe =
+    (s"""(?is)\\s*CREATE\\s+TABLE\\s+$Ref""" +
+      """\s*(?:PARTITIONED\s+BY\s*\(\s*([\w\s,]+?)\s*\)\s*)?""" +
+      """(?:TBLPROPERTIES\s*\((.*?)\)\s*)?AS\s+(SELECT\b.+)""").r
+  // INSERT INTO|OVERWRITE graft.`/p` <select>
+  private val InsertRe =
+    s"""(?is)\\s*INSERT\\s+(INTO|OVERWRITE)\\s+(?:TABLE\\s+)?$Ref\\s+(SELECT\\b.+|TABLE\\b.+|VALUES\\b.+)""".r
+
   private[plans] def parseGraft(sqlText: String): Option[LogicalPlan] =
     sqlText match {
       case MergeHeadRe(evolve, path, tAlias, rest) =>
         Some(parseMergeTail(unq(path),
           Option(tAlias).getOrElse("target"), rest,
           evolveSchema = evolve != null))
+      case CtasRe(path, parts, props, select) =>
+        val cols = Option(parts).toSeq
+          .flatMap(_.split(',').toSeq).map(_.trim).filter(_.nonEmpty)
+        val kvs = Option(props).map(parseProps).getOrElse(Map.empty)
+        Some(GraftCtasCommand(unq(path), cols, kvs,
+          select.trim.stripSuffix(";")))
+      case InsertRe(mode, path, select) =>
+        Some(GraftInsertCommand(unq(path),
+          overwrite = mode.equalsIgnoreCase("OVERWRITE"),
+          select.trim.stripSuffix(";")))
       case DeleteRe(path, where) =>
         Some(GraftDeleteCommand(unq(path), Option(where).map(_.trim)))
       case UpdateRe(path, rest) =>
@@ -283,6 +303,21 @@ object GraftSqlParser {
     }
     (isNot, clause)
   }
+
+  /** `k = 'v', k2 = "v2"` TBLPROPERTIES pairs (quotes optional). */
+  private def parseProps(s: String): Map[String, String] =
+    splitTopLevel(s, ',').map { kv =>
+      val i = topLevelIndexOf(kv, "=")
+      require(i > 0, s"TBLPROPERTIES expects k = 'v' pairs, got: $kv")
+      def strip(x: String) = {
+        val t = x.trim
+        if ((t.startsWith("'") && t.endsWith("'") && t.length >= 2) ||
+            (t.startsWith("\"") && t.endsWith("\"") && t.length >= 2))
+          t.substring(1, t.length - 1)
+        else t.stripPrefix("`").stripSuffix("`")
+      }
+      strip(kv.substring(0, i)) -> strip(kv.substring(i + 1))
+    }.toMap
 
   /** Resolve a MERGE USING source spec to a DataFrame at run time. */
   private[plans] def resolveMergeSource(spark: SparkSession,
@@ -496,6 +531,42 @@ final case class GraftMergeCommand(path: String, targetAlias: String,
         evolveSchema = evolveSchema)
     b.execute(t)
     Seq(Row(t.latestVersion, t.numRows))
+  }
+}
+
+/** `CREATE TABLE graft.`path` [PARTITIONED BY (…)] [TBLPROPERTIES (…)]
+  * AS SELECT …` → a new managed table from the query result.
+  */
+final case class GraftCtasCommand(path: String, partitionBy: Seq[String],
+                                  properties: Map[String, String],
+                                  select: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("num_files", LongType, nullable = false)(),
+    AttributeReference("num_rows", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val t = ManagedTable.create(spark.sql(select), path, partitionBy,
+      properties)
+    Seq(Row(t.detail.numFiles, t.numRows))
+  }
+}
+
+/** `INSERT INTO|OVERWRITE [TABLE] graft.`path` SELECT …` → append (or
+  * snapshot overwrite) of the query result; returns the committed
+  * version and rows written.
+  */
+final case class GraftInsertCommand(path: String, overwrite: Boolean,
+                                    select: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("num_inserted_rows", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val t = ManagedTable.forPath(spark, path)
+    val df = spark.sql(select)
+    val before = if (overwrite) 0L else t.numRows
+    if (overwrite) t.overwrite(df) else t.append(df)
+    Seq(Row(t.latestVersion, t.numRows - before))
   }
 }
 

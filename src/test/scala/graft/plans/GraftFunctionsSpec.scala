@@ -324,6 +324,45 @@ class GraftFunctionsSpec extends SparkSpec {
       s"unknown version must fail loud: ${e.getMessage}")
   }
 
+  test("CTAS and INSERT INTO/OVERWRITE statements round-trip") {
+    import graft.tables.ManagedTable
+    val path = tmpDir("sqlctas")
+    val c = spark.sql(
+      s"""CREATE TABLE graft.`$path` PARTITIONED BY (p)
+         |TBLPROPERTIES (graft.enableChangeDataFeed = 'true', owner = alice)
+         |AS SELECT id AS k, id % 2 AS p FROM range(10)""".stripMargin).head()
+    assert(c.getLong(1) == 10L, "CTAS row count")
+    val t = ManagedTable.forPath(spark, path)
+    assert(t.detail.partitionColumns == Seq("p"))
+    assert(t.detail.properties("graft.enableChangeDataFeed") == "true")
+    assert(t.detail.properties("owner") == "alice")
+
+    val ins = spark.sql(
+      s"INSERT INTO graft.`$path` SELECT id AS k, 0 AS p FROM range(100, 103)")
+      .head()
+    assert(ins.getLong(0) == 1L && ins.getLong(1) == 3L)
+    assert(t.toDF.count() == 13)
+    // VALUES form parses through the session parser as an inline table
+    val ins2 = spark.sql(
+      s"INSERT INTO TABLE graft.`$path` VALUES (200, 1), (201, 1)").head()
+    assert(ins2.getLong(1) == 2L)
+    assert(t.toDF.count() == 15)
+
+    val ovw = spark.sql(
+      s"INSERT OVERWRITE graft.`$path` SELECT id AS k, id % 2 AS p FROM range(4)")
+      .head()
+    assert(ovw.getLong(1) == 4L)
+    assert(t.toDF.count() == 4, "overwrite replaces the snapshot")
+    // history records every SQL write as its own commit
+    assert(spark.sql(s"DESCRIBE HISTORY graft.`$path`")
+      .collect().map(_.getString(2)).toSeq ==
+      Seq("CREATE", "APPEND", "APPEND", "OVERWRITE"))
+    // creating over an existing table fails loud
+    val e = intercept[Exception](spark.sql(
+      s"CREATE TABLE graft.`$path` AS SELECT 1 AS x").head())
+    assert(e.getMessage.contains("already exists"))
+  }
+
   test("MERGE INTO rejects malformed clauses loudly") {
     import graft.tables.ManagedTable
     val path = tmpDir("sqlmerge3")
