@@ -110,6 +110,45 @@ object ExprKernels {
     hashSetToArray(out)
   }
 
+  /** STRICT word n-gram hashes: like [[shingleHashes]] but a document
+    * with fewer than `n` tokens yields an EMPTY array instead of the
+    * all-tokens fallback shingle — the exact-overlap decontamination
+    * contract (a short document cannot carry a full n-gram and is never
+    * contaminated), where the LSH fallback would invent matches between
+    * short documents.
+    */
+  def wordNgramHashes(input: UTF8String, n: Int): ArrayData = {
+    val s = input.toString
+    val tokenHashes = new scala.collection.mutable.ArrayBuffer[Long](64)
+    var h = 0L
+    var inTok = false
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (Character.isLetter(c)) {
+        val lc = Character.toLowerCase(c)
+        h = if (inTok) h * 0x100000001B3L ^ lc else 0xCBF29CE484222325L ^ lc
+        inTok = true
+      } else if (inTok) {
+        tokenHashes += mix64(h)
+        inTok = false
+      }
+      i += 1
+    }
+    if (inTok) tokenHashes += mix64(h)
+    val m = tokenHashes.length
+    val out = new java.util.HashSet[java.lang.Long]()
+    var start = 0
+    while (start <= m - n) {
+      var acc = 0L
+      var j = start
+      while (j < start + n) { acc = acc * 0x9E3779B97F4A7C15L ^ tokenHashes(j); j += 1 }
+      out.add(mix64(acc))
+      start += 1
+    }
+    hashSetToArray(out)
+  }
+
   /** NON-distinct hashes of lowercase letter-run tokens, one pass — the
     * feature extractor for simhash (every occurrence votes, so no dedup;
     * see [[TokenHashes]]). Same incremental FNV+mix64 hashing as

@@ -59,6 +59,13 @@ object GraftFunctions {
         require(args.length == 2, "graft_char_ngram_hashes(text, n)")
         CharNgramHashes(args.head, intArg("graft_char_ngram_hashes", args(1)))
       }),
+    (FunctionIdentifier("graft_word_ngram_hashes"),
+      info("graft_word_ngram_hashes",
+        "graft_word_ngram_hashes(text, n) - strict word n-gram hashes (no short-doc fallback)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_word_ngram_hashes(text, n)")
+        WordNgramHashes(args.head, intArg("graft_word_ngram_hashes", args(1)))
+      }),
     (FunctionIdentifier("graft_minhash_sig"),
       info("graft_minhash_sig",
         "graft_minhash_sig(hashes, numHashes) - one-permutation minhash signature"),

@@ -41,6 +41,12 @@ object expressions {
   def shingle_hashes(text: Column, w: Int): Column =
     column(ShingleHashes(expression(text), w))
 
+  /** STRICT distinct word-n-gram hashes (no short-document fallback —
+    * under `n` tokens yields an empty array; see [[WordNgramHashes]]).
+    */
+  def word_ngram_hashes(text: Column, n: Int): Column =
+    column(WordNgramHashes(expression(text), n))
+
   /** Distinct character-n-gram hashes of a text column, in one pass (see
     * [[CharNgramHashes]]).
     */
@@ -172,6 +178,33 @@ case class ShingleHashes(child: Expression, w: Int)
       s"${ev.value} = graft.plans.ExprKernels.shingleHashes($c, $w);")
 
   override protected def withNewChildInternal(c: Expression): ShingleHashes =
+    copy(child = c)
+}
+
+/** Text → STRICT distinct word n-gram hashes: [[ShingleHashes]] minus
+  * the short-document fallback — fewer than `n` tokens yields an EMPTY
+  * array (exact-overlap decontamination semantics: a short document
+  * cannot carry a full n-gram). Comparing 64-bit gram hashes instead of
+  * gram strings admits ~2⁻⁶⁴ false contamination per candidate pair —
+  * the same stance as the bloom-filter-based production pipelines this
+  * mirrors, where false positives only ever drop an extra document.
+  */
+case class WordNgramHashes(child: Expression, n: Int)
+    extends UnaryExpression {
+  require(n >= 1)
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes() =
+    expressions.stringCheck(child, "word_ngram_hashes")
+
+  override def nullSafeEval(input: Any): Any =
+    ExprKernels.wordNgramHashes(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.ExprKernels.wordNgramHashes($c, $n);")
+
+  override protected def withNewChildInternal(c: Expression): WordNgramHashes =
     copy(child = c)
 }
 

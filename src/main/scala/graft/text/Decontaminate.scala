@@ -27,7 +27,10 @@ import org.apache.spark.sql.functions._
   */
 object Decontaminate {
 
-  /** Normalized word array of `text` (empty tokens dropped). */
+  /** Normalized word array of `text` (empty tokens dropped). Kept for
+    * API users composing their own gram logic; [[contaminatedIds]]
+    * itself runs on the codegen'd hash kernel below.
+    */
   private def words(text: Column): Column =
     filter(split(trim(regexp_replace(lower(text), "[^\\p{L}]+", " ")), " "),
       w => length(w) > 0)
@@ -46,13 +49,22 @@ object Decontaminate {
 
   /** IDs of `corpus` documents sharing at least one word `n`-gram with
     * `bench` — the contamination report (one row per contaminated id).
+    *
+    * Grams are compared as 64-bit hashes from the one-pass
+    * [[graft.plans.WordNgramHashes]] kernel (no token/gram strings
+    * materialize), not as strings: a hash collision falsely drops a
+    * clean document at ~2⁻⁶⁴ per candidate pair — the stance of the
+    * bloom-filter-based production pipelines this rule comes from,
+    * where a false positive only ever costs one extra dropped document.
     */
   def contaminatedIds(corpus: DataFrame, bench: DataFrame,
                       idCol: String, textCol: String, n: Int): DataFrame = {
     val benchGrams = bench
-      .select(explode(ngrams(col(textCol), n)).as("__gram")).distinct()
+      .select(explode(graft.plans.expressions.word_ngram_hashes(
+        col(textCol), n)).as("__gram")).distinct()
     corpus
-      .select(col(idCol), explode(ngrams(col(textCol), n)).as("__gram"))
+      .select(col(idCol), explode(graft.plans.expressions.word_ngram_hashes(
+        col(textCol), n)).as("__gram"))
       .join(broadcast(benchGrams), Seq("__gram"), "left_semi")
       .select(idCol).distinct()
   }
