@@ -956,6 +956,22 @@ object SparkEntry {
           round(col("decoded.mean_r"), 4).as("mean_r"),
           round(col("decoded.mean_g"), 4).as("mean_g"),
           round(col("decoded.mean_b"), 4).as("mean_b"))
+    }),
+
+    // Audio analog of multimodal_features: REAL RIFF/WAV PCM payloads
+    // (planted sample rule, see Multimodal.wavFor) decoded by the
+    // chunk-walking parser — sample statistics come from decoded
+    // samples; the oracle re-derives them by integer arithmetic.
+    "multimodal_audio" -> ((s, dir) => {
+      val media = multimodal.Multimodal.syntheticAudio(
+        t(s, dir, "documents"), "doc_id", "text")
+      multimodal.Multimodal.decodeAudio(media, "content")
+        .select(col("media_id"), col("modality"),
+          col("decoded_audio.sample_rate").as("sample_rate"),
+          col("decoded_audio.n_samples").as("n_samples"),
+          col("decoded_audio.duration_ms").as("duration_ms"),
+          round(col("decoded_audio.mean_sample"), 4).as("mean_sample"),
+          col("decoded_audio.peak").as("peak"))
     })
   )
 
@@ -1588,6 +1604,24 @@ object SparkEntry {
         |  round(CAST(g AS DOUBLE), 4) AS mean_g,
         |  round(CAST(doc_id % 256 AS DOUBLE), 4) AS mean_b
         |FROM p""".stripMargin,
+
+    "multimodal_audio" ->
+      """WITH par AS (
+        |  SELECT doc_id AS media_id,
+        |    CAST(8000 + (doc_id % 4) * 4000 AS INT) AS sample_rate,
+        |    CAST(64 + length(text) % 65 AS INT) AS n_samples,
+        |    length(text) AS nc
+        |  FROM documents),
+        |samp AS (
+        |  SELECT media_id,
+        |    list_transform(generate_series(0, n_samples - 1),
+        |      i -> ((media_id * 31 + i * 7 + nc) % 65536) - 32768) AS ss
+        |  FROM par)
+        |SELECT p.media_id, 'audio' AS modality, p.sample_rate, p.n_samples,
+        |  CAST((p.n_samples * 1000) // p.sample_rate AS BIGINT) AS duration_ms,
+        |  round(CAST(list_sum(s.ss) AS DOUBLE) / p.n_samples, 4) AS mean_sample,
+        |  CAST(list_max(list_transform(s.ss, x -> abs(x))) AS INT) AS peak
+        |FROM par p JOIN samp s USING (media_id)""".stripMargin,
 
     // ---- exact formulations of the near-dup pipelines -----------------
     // (see shingleCtes scaladoc: LSH candidate recall is 1.0 on this

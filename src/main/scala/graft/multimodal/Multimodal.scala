@@ -202,6 +202,149 @@ object Multimodal {
     out
   }
 
+  // ---- real audio (RIFF/WAV PCM, JDK-free codec) -----------------------
+
+  /** Decoded-audio statistics appended by [[decodeAudio]]. */
+  val decodedAudioSchema: StructType = StructType(Seq(
+    StructField("channels", IntegerType),
+    StructField("sample_rate", IntegerType),
+    StructField("bits", IntegerType),
+    StructField("n_samples", IntegerType),
+    StructField("duration_ms", LongType),
+    StructField("mean_sample", DoubleType),
+    StructField("peak", IntegerType)))
+
+  /** The deterministic sample rule [[syntheticAudio]] plants (nc =
+    * codepoint length of the text, id = the row id), written out so an
+    * external oracle can DERIVE the decoded statistics by integer
+    * arithmetic:
+    *
+    *   sample_rate = 8000 + (id % 4) * 4000
+    *   n           = 64 + nc % 65                 (samples, mono 16-bit)
+    *   sample(i)   = ((id * 31 + i * 7 + nc) % 65536) - 32768
+    *
+    * so mean_sample = Σ sample(i) / n and peak = max |sample(i)| are
+    * reachable from (id, nc) alone — while the payload itself is a real
+    * RIFF/WAVE container the decoder must actually parse.
+    */
+  private[multimodal] def wavFor(id: Long, text: String): (Array[Byte], Int, Int) = {
+    val nc = text.codePointCount(0, text.length)
+    val rate = (8000 + (id % 4) * 4000).toInt
+    val n = 64 + nc % 65
+    val dataLen = n * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1) // PCM
+      .putShort(1) // mono
+      .putInt(rate)
+      .putInt(rate * 2) // byte rate
+      .putShort(2)      // block align
+      .putShort(16)     // bits
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    var i = 0
+    while (i < n) {
+      bb.putShort((((id * 31 + i * 7 + nc) % 65536) - 32768).toShort)
+      i += 1
+    }
+    (bb.array(), rate, n)
+  }
+
+  /** Synthetic audio table from any text column: payloads are REAL WAV
+    * containers (see [[wavFor]] for the planted sample rule), so
+    * downstream decode exercises an actual RIFF parser.
+    */
+  def syntheticAudio(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val in = df.select(col(idCol).cast(LongType).as("media_id"),
+      col(textCol).cast(StringType).as("__text"))
+    val enc = RowEncoder.encoderFor(mediaSchema)
+    in.mapPartitions { it =>
+      it.map { row =>
+        val id = row.getLong(0)
+        val text = if (row.isNullAt(1)) "" else row.getString(1)
+        val (wav, rate, n) = wavFor(id, text)
+        Row(id, "audio", wav, Row(null, null, rate, n, "audio/wav"))
+      }
+    }(enc)
+  }
+
+  /** Decode one RIFF/WAVE PCM payload: chunk-walk the container (extra
+    * chunks between `fmt ` and `data` are legal and skipped), then fold
+    * the 16-bit little-endian samples to count/duration/mean/peak. Null
+    * bytes or a malformed container yield null — corrupt media must not
+    * kill a 10⁹-row pipeline.
+    */
+  private[multimodal] def decodeWavOne(bytes: Array[Byte]): Row = {
+    if (bytes == null || bytes.length < 44) return null
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def tag(): String = {
+      val t = new Array[Byte](4); bb.get(t); new String(t, "US-ASCII")
+    }
+    try {
+      if (tag() != "RIFF") return null
+      bb.getInt // riff size (trust the buffer bound instead)
+      if (tag() != "WAVE") return null
+      var channels = -1; var rate = -1; var bits = -1
+      var data: Option[(Int, Int)] = None // (offset, length)
+      while (bb.remaining() >= 8 && data.isEmpty) {
+        val t = tag(); val len = bb.getInt
+        if (len < 0 || len > bb.remaining()) return null
+        t match {
+          case "fmt " =>
+            val p = bb.position()
+            val fmt = bb.getShort()
+            if (fmt != 1) return null // PCM only
+            channels = bb.getShort().toInt
+            rate = bb.getInt()
+            bb.getInt; bb.getShort // byte rate, block align
+            bits = bb.getShort().toInt
+            bb.position(p + len)
+          case "data" => data = Some((bb.position(), len))
+          case _ => bb.position(bb.position() + len + (len & 1))
+        }
+      }
+      if (channels <= 0 || rate <= 0 || bits != 16 || data.isEmpty) return null
+      val (off, len) = data.get
+      val n = len / 2
+      var sum = 0L; var peak = 0
+      var i = 0
+      while (i < n) {
+        val s = bb.getShort(off + i * 2).toInt
+        sum += s
+        val a = math.abs(s)
+        if (a > peak) peak = a
+        i += 1
+      }
+      val frames = n / channels
+      Row(channels, rate, bits, n, frames * 1000L / rate,
+        if (n == 0) 0.0 else sum.toDouble / n, peak)
+    } catch { case _: RuntimeException => null }
+  }
+
+  /** Batched per-partition audio decode: appends a `decoded_audio`
+    * struct ([[decodedAudioSchema]]) parsed from the payload bytes —
+    * statistics come from decoded SAMPLES, never from metadata. Same
+    * batched `mapPartitions` shape as [[decodeImages]].
+    */
+  def decodeAudio(df: DataFrame, binCol: String,
+                  batchSize: Int = 256): DataFrame = {
+    val outSchema = StructType(df.schema.fields :+
+      StructField("decoded_audio", decodedAudioSchema))
+    val binIdx = df.schema.fieldIndex(binCol)
+    val enc = RowEncoder.encoderFor(outSchema)
+    df.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { row =>
+          val bytes = row.get(binIdx).asInstanceOf[Array[Byte]]
+          Row.fromSeq(row.toSeq :+ decodeWavOne(bytes))
+        }
+      }
+    }(enc)
+  }
+
   /** Frame sampling: split the payload into `frameSize`-byte frames and
     * keep every `every`-th, exploded one row per sampled frame with its
     * index — pure built-ins (binary substring), no decode needed.

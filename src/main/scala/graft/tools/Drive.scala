@@ -305,6 +305,17 @@ object Drive {
       s"SELECT count(*) FROM graft_table('${mrgT.location}', 0)").head().getLong(0)
     println(s"[32] graft_table TVF: snapshot=$tvfNow rows, " +
       s"version-travel v0=$tvfV0 rows")
+
+    // --- audio decode (real RIFF/WAV parser) ---------------------------
+    val aud = graft.multimodal.Multimodal.decodeAudio(
+      graft.multimodal.Multimodal.syntheticAudio(
+        spark.range(3).selectExpr("id AS doc_id", "'hello world' AS text"),
+        "doc_id", "text"), "content")
+      .select("media_id", "decoded_audio.sample_rate",
+        "decoded_audio.n_samples", "decoded_audio.peak").collect()
+    println(s"[33] audio decode: " + aud.map(r =>
+      s"id=${r.getLong(0)} rate=${r.getInt(1)} n=${r.getInt(2)} " +
+        s"peak=${r.getInt(3)}").mkString("; "))
     spark.stop()
   }
 }

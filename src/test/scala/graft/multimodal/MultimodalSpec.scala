@@ -96,4 +96,63 @@ class MultimodalSpec extends SparkSpec {
     assert(out(1L).length == 4 && new String(out(1L)) == "abcd")
     assert(out(2L).length == 4 && out(2L)(0) == 'a' && out(2L)(3) == 0)
   }
+
+  // ---- audio ----------------------------------------------------------
+
+  private def audio = Multimodal.syntheticAudio(
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(20),
+    "doc_id", "text")
+
+  test("synthetic payloads are real WAVs; decode round-trips the sample rule") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet").limit(20)
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    val rows = Multimodal.decodeAudio(audio, "content")
+      .select("media_id", "content", "decoded_audio.channels",
+        "decoded_audio.sample_rate", "decoded_audio.n_samples",
+        "decoded_audio.duration_ms", "decoded_audio.mean_sample",
+        "decoded_audio.peak")
+      .collect()
+    assert(rows.length == 20)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val wav = r.getAs[Array[Byte]](1)
+      assert(wav(0) == 'R' && wav(1) == 'I' && wav(2) == 'F' && wav(3) == 'F')
+      val nc = docs(id).codePointCount(0, docs(id).length)
+      val rate = (8000 + (id % 4) * 4000).toInt
+      val n = 64 + nc % 65
+      assert(r.getInt(2) == 1 && r.getInt(3) == rate && r.getInt(4) == n)
+      assert(r.getLong(5) == n * 1000L / rate)
+      val samples = (0 until n).map(i => ((id * 31 + i * 7 + nc) % 65536) - 32768)
+      assert(r.getDouble(6) == samples.sum.toDouble / n,
+        s"mean_sample of $id")
+      assert(r.getInt(7) == samples.map(math.abs).max.toInt, s"peak of $id")
+    }
+  }
+
+  test("audio decode chunk-walks: extra chunks before data are skipped; " +
+       "junk yields null") {
+    // hand-build a WAV with a LIST chunk between fmt and data
+    val samples = Array[Short](100, -200, 300)
+    val bb = java.nio.ByteBuffer.allocate(44 + 10 + samples.length * 2)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes).putInt(36 + 10 + samples.length * 2)
+      .put("WAVE".getBytes)
+      .put("fmt ".getBytes).putInt(16).putShort(1).putShort(1)
+      .putInt(8000).putInt(16000).putShort(2).putShort(16)
+      .put("LIST".getBytes).putInt(2).put("ok".getBytes)
+      .put("data".getBytes).putInt(samples.length * 2)
+    samples.foreach(bb.putShort)
+    val good = bb.array()
+    val rows = Multimodal.decodeAudio(
+      Seq((1L, good), (2L, "junk".getBytes), (3L, null.asInstanceOf[Array[Byte]]))
+        .toDF("media_id", "content"), "content")
+      .select("media_id", "decoded_audio").collect()
+      .map(r => r.getLong(0) -> Option(r.getStruct(1))).toMap
+    assert(rows(2L).isEmpty && rows(3L).isEmpty)
+    val d = rows(1L).get
+    assert(d.getInt(3) == 3 && d.getInt(6) == 300, // n_samples, peak
+      s"got $d")
+    assert(d.getDouble(5) == (100 - 200 + 300) / 3.0)
+  }
 }
