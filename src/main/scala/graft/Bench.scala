@@ -77,7 +77,13 @@ object Bench {
     // driver's output-capture tail and truncated the totals mid-record
     def sec(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val qs = results.map { case (k, v, _, _) => s"\"" + k + "\":" + sec(v) }
+    // the TOTALS line must survive a 2000-char tail-anchored capture
+    // with sbt's footer after it: 10ms precision per query keeps ~60+
+    // queries safely under that budget (full precision rides the
+    // detail line)
+    def sec2(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+    val qs = results.map { case (k, v, _, _) => s"\"" + k + "\":" + sec2(v) }
       .mkString("{", ",", "}")
     // both raw iterations (first = cold: JIT/page-cache; second = warm) so
     // cross-round regressions separate environment noise from plan changes

@@ -58,10 +58,14 @@ object GraftSqlParser {
     s"""(?is)\\s*OPTIMIZE\\s+$Ref\\s*(?:ZORDER\\s+BY\\s*\\(?\\s*([\\w\\s,]+?)\\s*\\)?)?\\s*;?\\s*""".r
   private val HistoryRe =
     s"""(?is)\\s*DESC(?:RIBE)?\\s+HISTORY\\s+$Ref\\s*;?\\s*""".r
+  private val DetailRe =
+    s"""(?is)\\s*DESC(?:RIBE)?\\s+DETAIL\\s+$Ref\\s*;?\\s*""".r
   private val VacuumRe =
     s"""(?is)\\s*VACUUM\\s+$Ref\\s*(?:RETAIN\\s+([0-9.]+)\\s+HOURS)?\\s*;?\\s*""".r
   private val RestoreRe =
     s"""(?is)\\s*RESTORE\\s+(?:TABLE\\s+)?$Ref\\s+TO\\s+VERSION\\s+AS\\s+OF\\s+(\\d+)\\s*;?\\s*""".r
+  private val RestoreTsRe =
+    s"""(?is)\\s*RESTORE\\s+(?:TABLE\\s+)?$Ref\\s+TO\\s+TIMESTAMP\\s+AS\\s+OF\\s+'([^']+)'\\s*;?\\s*""".r
   private val CloneRe =
     s"""(?is)\\s*CLONE\\s+$Ref\\s+TO\\s+$Ref\\s*;?\\s*""".r
   // CONVERT TO GRAFT parquet.`/src` AS graft.`/dst` [PARTITIONED BY (p, …)]
@@ -126,8 +130,11 @@ object GraftSqlParser {
           .flatMap(_.split(',').toSeq).map(_.trim).filter(_.nonEmpty)
         Some(GraftOptimizeCommand(unq(path), cols))
       case HistoryRe(path) => Some(GraftHistoryCommand(unq(path)))
+      case DetailRe(path) => Some(GraftDetailCommand(unq(path)))
       case RestoreRe(path, v) =>
         Some(GraftRestoreCommand(unq(path), v.toLong))
+      case RestoreTsRe(path, ts) =>
+        Some(GraftRestoreTimestampCommand(unq(path), ts.trim))
       case CloneRe(src, dst) =>
         Some(GraftCloneCommand(unq(src), unq(dst)))
       case ConvertRe(format, src, dst, parts) =>
@@ -448,6 +455,47 @@ final case class GraftHistoryCommand(path: String) extends LeafRunnableCommand {
       MapType(StringType, StringType), nullable = false)())
   override def run(spark: SparkSession): Seq[Row] =
     ManagedTable.forPath(spark, path).history.collect().toSeq
+}
+
+/** `DESCRIBE DETAIL graft.`path`` → one row of table-level metadata
+  * (Delta's DESCRIBE DETAIL): location, partitioning, properties, file
+  * count, bytes, and the metadata-only row count.
+  */
+final case class GraftDetailCommand(path: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("location", StringType, nullable = false)(),
+    AttributeReference("partition_columns",
+      ArrayType(StringType, containsNull = false), nullable = false)(),
+    AttributeReference("properties",
+      MapType(StringType, StringType), nullable = false)(),
+    AttributeReference("num_files", LongType, nullable = false)(),
+    AttributeReference("size_in_bytes", LongType, nullable = false)(),
+    AttributeReference("num_rows", LongType, nullable = false)(),
+    AttributeReference("version", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val t = ManagedTable.forPath(spark, path)
+    val d = t.detail
+    Seq(Row(d.location, d.partitionColumns, d.properties, d.numFiles,
+      d.sizeInBytes, t.numRows, t.latestVersion))
+  }
+}
+
+/** `RESTORE [TABLE] graft.`path` TO TIMESTAMP AS OF 'ts'` → the version
+  * live at that instant is restored (timestamp resolution as in
+  * [[ManagedTable.versionAsOf]]).
+  */
+final case class GraftRestoreTimestampCommand(path: String, ts: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("restored_version", LongType, nullable = false)(),
+    AttributeReference("new_version", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val t = ManagedTable.forPath(spark, path)
+    val norm = if (ts.length == 10) ts + " 00:00:00" else ts.replace("T", " ")
+    val v = t.versionAsOf(java.sql.Timestamp.valueOf(norm).getTime)
+    t.restore(v)
+    Seq(Row(v, t.latestVersion))
+  }
 }
 
 /** `RESTORE [TABLE] graft.`path` TO VERSION AS OF n` → restored version. */

@@ -124,13 +124,23 @@ class GraftFunctionsSpec extends SparkSpec {
       spark.range(50).selectExpr("id AS k"), path)
     spark.sql(s"DELETE FROM graft.`$path` WHERE k < 25")
     assert(t.toDF.count() == 25)
+    // timestamp restore: now = the post-delete snapshot, a no-op restore
+    val nowTs = new java.sql.Timestamp(System.currentTimeMillis()).toString
+    val rt = spark.sql(
+      s"RESTORE graft.`$path` TO TIMESTAMP AS OF '$nowTs'").head()
+    assert(rt.getLong(0) == 1L, "timestamp must resolve the delete commit")
     val r = spark.sql(s"RESTORE TABLE graft.`$path` TO VERSION AS OF 0").head()
-    assert(r.getLong(0) == 0L && r.getLong(1) == 2L)
+    assert(r.getLong(0) == 0L && r.getLong(1) == 3L)
     assert(t.toDF.count() == 50, "restore must bring the deleted rows back")
+
+    val det = spark.sql(s"DESCRIBE DETAIL graft.`$path`").head()
+    assert(det.getString(0) == path)
+    assert(det.getLong(5) == 50L, "metadata row count after restore")
+    assert(det.getLong(6) == t.latestVersion)
 
     val clonePath = path + "_clone"
     val c = spark.sql(s"CLONE graft.`$path` TO graft.`$clonePath`").head()
-    assert(c.getLong(1) == 2L, "clone records the source version")
+    assert(c.getLong(1) == t.latestVersion, "clone records the source version")
     assert(ManagedTable.forPath(spark, clonePath).toDF.count() == 50)
   }
 
