@@ -1264,11 +1264,11 @@ final class ManagedTable private (val spark: SparkSession, val location: String)
             lit(new java.sql.Timestamp(e.timestampMs))))
       }
       // a deletion-vector commit changes rows WITHOUT changing file
-      // paths (DELETE) or with post-image adds only (UPDATE) — the
-      // snapshot diff below cannot see its deletes, so its feed MUST
-      // come from the sidecar, in raw mode too (dvDml writes one
-      // unconditionally; for a DV commit raw = net, there are no
-      // carryover rows to include)
+      // paths (DELETE) or with post-image adds only (UPDATE) — when a
+      // sidecar exists (CDF-enabled tables) it is authoritative, in raw
+      // mode too (for a DV commit raw = net, there are no carryover rows
+      // to include); without one, the derivation below diffs the masked
+      // rows of the vector-swapped files
       lazy val dvOnly = v > 0 && {
         val prevDv = p.files.map(f => f.path -> f.dv).toMap
         e.files.exists(f => prevDv.get(f.path).exists(_ != f.dv))
@@ -1383,9 +1383,12 @@ final class ManagedTable private (val spark: SparkSession, val location: String)
     * positions, append the new rows — Delta's DV update shape). A
     * touched file's new vector carries its prior vector's rows forward,
     * so only the LATEST ref per file is ever read. The CDC sidecar is
-    * written unconditionally for DV commits: the snapshot file-diff is
-    * empty for deletes (and post-image-only for updates), so the feed
-    * cannot be derived.
+    * written only when the table captures change data (the same
+    * `graft.enableChangeDataFeed` opt-in as the rewrite path — the
+    * UPDATE capture's pre/post `exceptAll` derivation is four shuffles a
+    * non-CDF table must not pay); [[changes]] over a sidecar-less DV
+    * commit falls back to diffing the masked rows of the vector-swapped
+    * files, the same derivation RESTORE-across-DV already needs.
     *
     * Conflicts: a rebase keeps intervening commits when they neither
     * rewrote NOR re-vectored a touched file and their added files cannot
@@ -1434,7 +1437,9 @@ final class ManagedTable private (val spark: SparkSession, val location: String)
         .schema(ManagedTable.dvSchema).parquet(dvRoot.resolve(dvId).toString)
         .groupBy("path").count()
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-      val cdc = writeCdcSidecar(changesOf(matched), base.schema)
+      val cdc =
+        if (cdfEnabled(base)) writeCdcSidecar(changesOf(matched), base.schema)
+        else Nil
       // post-image appends (UPDATE): sized by rows, not the session's
       // shuffle parallelism — a small update must not write 32 fragments
       val newStats = replacementOf.fold(Seq.empty[FileStat]) { rep =>

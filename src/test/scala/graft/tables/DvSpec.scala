@@ -230,6 +230,29 @@ class DvSpec extends SparkSpec {
     assert(t.toDF.filter("k < 10").count() == 0)
   }
 
+  test("non-CDF DV table skips the sidecar; changes() derives the feed") {
+    // DV without change-data capture: DML must not pay the sidecar write
+    // (the UPDATE capture alone is four exceptAll shuffles), and
+    // changes() must fall back to diffing the vector-swapped files
+    val t = ManagedTable.create(
+      spark.range(100).select(col("id").as("k"), (col("id") * 3).as("v")),
+      tmpDir("dvnocdf"),
+      properties = Map(ManagedTable.dvPropKey -> "true"))
+    t.optimize(targetFileSizeBytes = 2 * 1024, sortBy = Seq("k"))
+    assert(t.delete("k < 10") == 10)
+    assert(t.update(Map("v" -> "v + 1000"), Some("k >= 90")) == 10)
+    assert(!java.nio.file.Files.isDirectory(
+      java.nio.file.Paths.get(t.location, "_graft_cdc")),
+      "a non-CDF table must not accumulate change sidecars")
+    val feed = t.changes(t.latestVersion - 2).select("k", "v", "_change_type")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    val expected =
+      (0L until 10L).map(k => (k, k * 3, "delete")).toSet ++
+      (90L until 100L).flatMap(k => Seq(
+        (k, k * 3, "update_preimage"), (k, k * 3 + 1000, "update_postimage"))).toSet
+    assert(feed == expected, "derived DV feed must match the DML semantics")
+  }
+
   test("vacuumed vector fails loud on time travel; rename keeps vectors valid") {
     val t = fixture("dv8")
     assert(t.delete("k < 50") == 50)
