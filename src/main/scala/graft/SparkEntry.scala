@@ -595,6 +595,18 @@ object SparkEntry {
       Dedup.dropDuplicatesPkey(docs, "doc_id", Seq("__h")).drop("__h")
     }),
 
+    // corpus-level boilerplate removal (CCNet repeated-paragraph / C4
+    // line-dedup rule): a segment recurring across >= 2 documents is
+    // struck from all of them. The testdata's documents carry no line
+    // structure, so segments are 10-word windows — the operator's
+    // pseudo-paragraph mode; near-duplicate docs share aligned windows,
+    // which is exactly the cross-doc repetition the rule exists to strip
+    "dedup_boilerplate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text", "source")
+      text.Boilerplate.removeRepeated(docs, "doc_id", "text",
+        text.Boilerplate.segmentsByWords(col("text"), 10), minDocs = 2)
+    }),
+
     // PII scrubbing (the corpus has no organic PII, so deterministic
     // doc-derived contact lines are seeded IDENTICALLY here and in the
     // oracle): per-category counts from the raw text, then the chained
@@ -922,8 +934,12 @@ object SparkEntry {
       }
       Seq(base + "_idx", base + "_out").foreach(p => rm(new java.io.File(p)))
       val docs = t(s, dir, "documents")
+      // parts sizes the index's partition fan-out to the corpus (the
+      // operator's own sizing rule: 10⁹ docs → 4096). At this 500-doc
+      // probe the default 64 writes 64 near-empty files per commit —
+      // pure overhead, not the layout a user would pick here.
       val index = streaming.StreamingDedup.openIndex(s, base + "_idx",
-        "doc_id", docs.schema("doc_id").dataType)
+        "doc_id", docs.schema("doc_id").dataType, parts = 8)
       val out = ManagedTable.create(
         s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
           docs.schema), base + "_out")
@@ -1267,6 +1283,40 @@ object SparkEntry {
     "dedup_exact" ->
       """SELECT * FROM documents
         |WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY md5(text))""".stripMargin,
+
+    // same 10-word windowing, same whitespace tokenization, same >= 2
+    // distinct-docs rule, surviving windows re-joined in position order
+    "dedup_boilerplate" ->
+      """WITH words AS (
+        |  SELECT doc_id, source,
+        |    list_filter(regexp_split_to_array(text, '\s+'),
+        |                x -> len(x) > 0) AS w
+        |  FROM documents),
+        |chunks AS (
+        |  SELECT doc_id, unnest(range(0, cast(ceil(len(w) / 10.0) AS BIGINT)))
+        |    AS g, w
+        |  FROM words),
+        |segs AS (
+        |  SELECT doc_id, g,
+        |    array_to_string(w[(g * 10 + 1):(g * 10 + 10)], ' ') AS seg
+        |  FROM chunks),
+        |rep AS (
+        |  SELECT seg FROM segs GROUP BY seg
+        |  HAVING count(DISTINCT doc_id) >= 2),
+        |kept AS (
+        |  SELECT doc_id, g, seg FROM segs c
+        |  WHERE NOT EXISTS (SELECT 1 FROM rep r WHERE r.seg = c.seg)),
+        |agg AS (
+        |  SELECT doc_id, array_to_string(list(seg ORDER BY g), ' ') AS clean,
+        |    count(*) AS kept_n
+        |  FROM kept GROUP BY doc_id),
+        |tot AS (SELECT doc_id, count(*) AS total FROM segs GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(a.clean, '') AS text, d.source,
+        |  coalesce(t2.total, 0) AS n_segments,
+        |  coalesce(t2.total, 0) - coalesce(a.kept_n, 0) AS n_removed
+        |FROM documents d
+        |LEFT JOIN agg a USING (doc_id)
+        |LEFT JOIN tot t2 USING (doc_id)""".stripMargin,
 
     // same seeding, same pattern strings (java.util.regex and RE2 agree
     // on every construct used), same pass order — byte-identical output
