@@ -595,6 +595,27 @@ object SparkEntry {
       Dedup.dropDuplicatesPkey(docs, "doc_id", Seq("__h")).drop("__h")
     }),
 
+    // unicode canonicalization (the cleanup pass ahead of tokenization):
+    // the corpus is ASCII, so a deterministic suffix of NFC-decomposed
+    // accents, zero-width/format chars, exotic whitespace, and controls
+    // is seeded IDENTICALLY here and in the oracle; the engine's fused
+    // one-pass kernel must agree byte-for-byte with the oracle's
+    // nfc_normalize + three-regex chain
+    "normalize_text" -> ((s, dir) => {
+      // suffix: decomposed e+ACUTE (NFC composes), ZERO WIDTH SPACE,
+      // tab, A+RING (composes), IDEOGRAPHIC SPACE, SOFT HYPHEN, a
+      // control char between spaces — every cleanup rule fires once
+      val seeded = t(s, dir, "documents").select(col("doc_id"),
+        concat(lit("\u00A0 "), col("text"),
+          lit(" cafe\u0301\u200B\tA\u030A\u3000x\u00ADy  z \u0001 q "))
+          .as("text"))
+      val cleaned = graft.plans.expressions.unicode_clean(col("text"))
+      seeded.select(col("doc_id"),
+        length(col("text")).cast("long").as("n_raw"),
+        cleaned.as("clean"),
+        length(cleaned).cast("long").as("n_clean"))
+    }),
+
     // corpus-level boilerplate removal (CCNet repeated-paragraph / C4
     // line-dedup rule): a segment recurring across >= 2 documents is
     // struck from all of them. The testdata's documents carry no line
@@ -1283,6 +1304,26 @@ object SparkEntry {
     "dedup_exact" ->
       """SELECT * FROM documents
         |WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY md5(text))""".stripMargin,
+
+    // same seeded suffix (chr() builds the identical code points), and
+    // the cleanup chain spelled as nfc_normalize + three RE2 passes:
+    // whitespace/Z* to space, strip Cc/Cf, collapse runs, trim
+    "normalize_text" ->
+      """WITH seeded AS (
+        |  SELECT doc_id,
+        |    chr(160) || ' ' || text || ' cafe' || chr(769) || chr(8203)
+        |      || chr(9) || 'A' || chr(778) || chr(12288) || 'x' || chr(173)
+        |      || 'y  z ' || chr(1) || ' q ' AS text
+        |  FROM documents),
+        |cleaned AS (
+        |  SELECT doc_id, len(text) AS n_raw,
+        |    trim(regexp_replace(regexp_replace(regexp_replace(
+        |      nfc_normalize(text),
+        |      '[\s\p{Z}]', ' ', 'g'), '[\p{Cc}\p{Cf}]', '', 'g'),
+        |      ' +', ' ', 'g')) AS clean
+        |  FROM seeded)
+        |SELECT doc_id, n_raw, clean, len(clean) AS n_clean
+        |FROM cleaned""".stripMargin,
 
     // same 10-word windowing, same whitespace tokenization, same >= 2
     // distinct-docs rule, surviving windows re-joined in position order

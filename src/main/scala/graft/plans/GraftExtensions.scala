@@ -97,6 +97,13 @@ object GraftFunctions {
       (args: Seq[Expression]) => {
         require(args.length == 1, "graft_normalized_md5(text)")
         NormalizedMd5(args.head)
+      }),
+    (FunctionIdentifier("graft_unicode_clean"),
+      info("graft_unicode_clean",
+        "graft_unicode_clean(text) - NFC + whitespace collapse + control/format strip"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "graft_unicode_clean(text)")
+        UnicodeClean(args.head)
       }))
 
   /** Table-valued functions: the change data feed as a SQL relation —

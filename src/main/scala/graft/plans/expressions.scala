@@ -88,6 +88,12 @@ object expressions {
   def normalized_md5(text: Column): Column =
     column(NormalizedMd5(expression(text)))
 
+  /** NFC + whitespace/control cleanup of a text column in one pass (see
+    * [[UnicodeClean]]).
+    */
+  def unicode_clean(text: Column): Column =
+    column(UnicodeClean(expression(text)))
+
   /** Z-order value of an `array<double>` column (one element per Z-order
     * dimension); `bounds` holds `(1<<bits)-1` ascending quantile
     * boundaries per column, column-major (see [[ZValue]]).
@@ -367,6 +373,27 @@ case class HashJaccard(left: Expression, right: Expression)
   * NULL text → NULL. See [[ExprKernels.normalizedMd5]] for the parity
   * argument; NormalizedMd5Spec pins equality against the unfused chain.
   */
+/** NFC normalization + whitespace collapse + control/format strip in one
+  * pass (see [[ExprKernels.unicodeClean]] for the exact contract) — the
+  * text-pipeline canonicalization step, codegen'd like its siblings.
+  */
+case class UnicodeClean(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+  override def checkInputDataTypes() =
+    expressions.stringCheck(child, "unicode_clean")
+
+  override def nullSafeEval(input: Any): Any =
+    ExprKernels.unicodeClean(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.ExprKernels.unicodeClean($c);")
+
+  override protected def withNewChildInternal(c: Expression): UnicodeClean =
+    copy(child = c)
+}
+
 case class NormalizedMd5(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = StringType
