@@ -78,6 +78,20 @@ object GraftSqlParser {
 
   private def unq(path: String): String = path.replace("``", "`")
 
+  // ALTER TABLE graft.`/p` ADD COLUMNS (c TYPE, …) | SET TBLPROPERTIES
+  // (k='v', …) | UNSET TBLPROPERTIES [IF EXISTS] (k, …) | RENAME TO
+  // graft.`/q` — the Delta ALTER surface that applies to path tables
+  private val AlterAddColsRe =
+    s"""(?is)\\s*ALTER\\s+TABLE\\s+$Ref\\s+ADD\\s+COLUMNS?\\s*\\((.+)\\)\\s*;?\\s*""".r
+  private val AlterSetPropsRe =
+    s"""(?is)\\s*ALTER\\s+TABLE\\s+$Ref\\s+SET\\s+TBLPROPERTIES\\s*\\((.+)\\)\\s*;?\\s*""".r
+  private val AlterUnsetPropsRe =
+    s"""(?is)\\s*ALTER\\s+TABLE\\s+$Ref\\s+UNSET\\s+TBLPROPERTIES\\s*(?:IF\\s+EXISTS\\s*)?\\(([\\w\\s.,`'"-]+)\\)\\s*;?\\s*""".r
+  private val AlterRenameRe =
+    s"""(?is)\\s*ALTER\\s+TABLE\\s+$Ref\\s+RENAME\\s+TO\\s+$Ref\\s*;?\\s*""".r
+  private val ShowPartitionsRe =
+    s"""(?is)\\s*SHOW\\s+PARTITIONS\\s+$Ref\\s*;?\\s*""".r
+
   // MERGE [WITH SCHEMA EVOLUTION] INTO graft.`/path` [AS] t USING <rest>
   // — the rest (source spec, ON condition, WHEN clauses) nests
   // arbitrarily, so it is carved up with the top-level scanners below
@@ -144,6 +158,18 @@ object GraftSqlParser {
       case VacuumRe(path, hours) =>
         Some(GraftVacuumCommand(unq(path),
           Option(hours).map(_.toDouble).getOrElse(7 * 24.0)))
+      case AlterAddColsRe(path, cols) =>
+        Some(GraftAddColumnsCommand(unq(path), cols.trim))
+      case AlterSetPropsRe(path, props) =>
+        Some(GraftSetPropertiesCommand(unq(path), parseProps(props)))
+      case AlterUnsetPropsRe(path, keys) =>
+        Some(GraftUnsetPropertiesCommand(unq(path),
+          keys.split(',').toSeq.map(_.trim.stripPrefix("`").stripSuffix("`")
+            .stripPrefix("'").stripSuffix("'")).filter(_.nonEmpty)))
+      case AlterRenameRe(src, dst) =>
+        Some(GraftRenameCommand(unq(src), unq(dst)))
+      case ShowPartitionsRe(path) =>
+        Some(GraftShowPartitionsCommand(unq(path)))
       case _ => None
     }
 
@@ -522,6 +548,81 @@ final case class GraftCloneCommand(src: String, dst: String)
     val v = s.latestVersion
     val c = s.cloneTo(dst)
     Seq(Row(c.detail.numFiles, v))
+  }
+}
+
+/** `ALTER TABLE graft.`path` ADD COLUMNS (c TYPE, …)` → schema widens
+  * (new columns nullable; existing rows read back NULL), DDL parsed with
+  * Spark's own `StructType.fromDDL`.
+  */
+final case class GraftAddColumnsCommand(path: String, colsDdl: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("num_columns", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val t = ManagedTable.forPath(spark, path)
+    t.addColumns(org.apache.spark.sql.types.StructType.fromDDL(colsDdl).fields
+      .toIndexedSeq)
+    Seq(Row(t.latestVersion, t.schema.fields.length.toLong))
+  }
+}
+
+/** `ALTER TABLE graft.`path` SET TBLPROPERTIES (k = 'v', …)`. */
+final case class GraftSetPropertiesCommand(path: String,
+                                           props: Map[String, String])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val t = ManagedTable.forPath(spark, path)
+    t.setProperties(props)
+    Seq(Row(t.latestVersion))
+  }
+}
+
+/** `ALTER TABLE graft.`path` UNSET TBLPROPERTIES [IF EXISTS] (k, …)` —
+  * absent keys no-op (a commit lands only when something changes).
+  */
+final case class GraftUnsetPropertiesCommand(path: String, keys: Seq[String])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val t = ManagedTable.forPath(spark, path)
+    t.unsetProperties(keys)
+    Seq(Row(t.latestVersion))
+  }
+}
+
+/** `ALTER TABLE graft.`src` RENAME TO graft.`dst`` — the reference's
+  * rename_delta_table as SQL: a directory move, history intact.
+  */
+final case class GraftRenameCommand(src: String, dst: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("location", StringType, nullable = false)(),
+    AttributeReference("version", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val t = ManagedTable.forPath(spark, src).rename(dst)
+    Seq(Row(t.location, t.latestVersion))
+  }
+}
+
+/** `SHOW PARTITIONS graft.`path`` → one `k=v[/k2=w]` row per live
+  * partition, from the snapshot's leaf directories — metadata-only, no
+  * file listing or scan (Spark's SHOW PARTITIONS output shape).
+  */
+final case class GraftShowPartitionsCommand(path: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("partition", StringType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val t = ManagedTable.forPath(spark, path)
+    require(t.partitionColumns.nonEmpty,
+      s"SHOW PARTITIONS is not allowed on a table that is not " +
+        s"partitioned: $path")
+    t.partitionSpecs.map(Row(_))
   }
 }
 

@@ -409,6 +409,14 @@ final class ManagedTable private (val spark: SparkSession, val location: String)
 
   def schema: StructType = latestEntry.schema
   def partitionColumns: Seq[String] = latestEntry.partitionColumns
+
+  /** Live partition specs (`k=v[/k2=w]`) of the current snapshot, from
+    * the log's leaf directories — metadata-only (SHOW PARTITIONS).
+    * Empty for an unpartitioned table.
+    */
+  def partitionSpecs: Seq[String] =
+    latestEntry.dirs.map(d => d.split('/').drop(1).mkString("/"))
+      .filter(_.nonEmpty).distinct.sorted
   def properties: Map[String, String] = latestEntry.properties
 
   /** detail() analog (reference: delta_table.detail() at mack/__init__.py:277,
@@ -1683,6 +1691,18 @@ final class ManagedTable private (val spark: SparkSession, val location: String)
     commit(e.copy(version = e.version + 1,
       timestampMs = System.currentTimeMillis(),
       operation = "SET TBLPROPERTIES", properties = e.properties ++ props,
+      metrics = Map.empty, cdc = Nil))
+  }
+
+  /** Drop table properties by key (absent keys are a no-op, as in
+    * Delta's `UNSET TBLPROPERTIES IF EXISTS`).
+    */
+  def unsetProperties(keys: Seq[String]): Unit = {
+    val e = latestEntry
+    if (!keys.exists(e.properties.contains)) return
+    commit(e.copy(version = e.version + 1,
+      timestampMs = System.currentTimeMillis(),
+      operation = "UNSET TBLPROPERTIES", properties = e.properties -- keys,
       metrics = Map.empty, cdc = Nil))
   }
 

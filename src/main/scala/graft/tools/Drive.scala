@@ -316,6 +316,26 @@ object Drive {
     println(s"[33] audio decode: " + aud.map(r =>
       s"id=${r.getLong(0)} rate=${r.getInt(1)} n=${r.getInt(2)} " +
         s"peak=${r.getInt(3)}").mkString("; "))
+
+    // --- ALTER TABLE + SHOW PARTITIONS + unicode_clean -----------------
+    val altPath = scratch("alter_demo")
+    graft.tables.ManagedTable.create(
+      spark.range(9).selectExpr("id AS k", "id % 3 AS p"),
+      altPath, partitionBy = Seq("p"))
+    val altRef = s"graft.`$altPath`"
+    val partsShown = spark.sql(s"SHOW PARTITIONS $altRef").collect()
+      .map(_.getString(0)).mkString(", ")
+    spark.sql(s"ALTER TABLE $altRef ADD COLUMNS (note STRING)")
+    spark.sql(s"ALTER TABLE $altRef SET TBLPROPERTIES ('owner' = 'drive')")
+    spark.sql(s"ALTER TABLE $altRef UNSET TBLPROPERTIES ('owner')")
+    val altT = graft.tables.ManagedTable.forPath(spark, altPath)
+    val cleanDemo = spark.sql(
+      "SELECT graft_unicode_clean(' cafe\u0301 \u200B ok ') AS c")
+      .head().getString(0)
+    println(s"[34] ALTER surface: partitions [$partsShown]; " +
+      s"schema now ${altT.schema.fieldNames.mkString("/")}; " +
+      s"props after set+unset: ${altT.properties.size}; " +
+      s"unicode_clean -> '$cleanDemo'")
     spark.stop()
   }
 }

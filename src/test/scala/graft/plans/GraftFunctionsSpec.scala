@@ -117,6 +117,50 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(spark.sql("SELECT 1 + 1").head().getInt(0) == 2)
   }
 
+  test("ALTER TABLE ADD COLUMNS / SET+UNSET TBLPROPERTIES / RENAME TO / " +
+       "SHOW PARTITIONS statements") {
+    import graft.tables.ManagedTable
+    val path = tmpDir("sqlalter")
+    val t = ManagedTable.create(
+      spark.range(20).selectExpr("id AS k", "id % 3 AS p"),
+      path, partitionBy = Seq("p"))
+    val ref = s"graft.`$path`"
+
+    val parts = spark.sql(s"SHOW PARTITIONS $ref").collect()
+      .map(_.getString(0)).toSeq
+    assert(parts == Seq("p=0", "p=1", "p=2"))
+    val e = intercept[Exception](spark.sql(
+      s"SHOW PARTITIONS graft.`${tmpDir("sqlalter_np")}x`"))
+    assert(e.getMessage != null)
+
+    val add = spark.sql(
+      s"ALTER TABLE $ref ADD COLUMNS (note STRING, score DOUBLE)").head()
+    assert(add.getLong(1) == 4L, "k, p, note, score")
+    assert(t.toDF.filter("note IS NULL AND score IS NULL").count() == 20)
+    // existing data readable, new columns writable
+    spark.sql(s"INSERT INTO $ref SELECT 100 AS k, 0 AS p, 'n' AS note, " +
+      "1.5 AS score")
+    assert(t.toDF.filter("note = 'n'").count() == 1)
+
+    spark.sql(s"ALTER TABLE $ref SET TBLPROPERTIES " +
+      "('owner' = 'pipelines', 'graft.bloom.columns' = 'k')")
+    assert(t.properties.get("owner").contains("pipelines"))
+    spark.sql(s"ALTER TABLE $ref UNSET TBLPROPERTIES IF EXISTS " +
+      "('owner', 'absent.key')")
+    assert(!t.properties.contains("owner"))
+    assert(t.properties.get("graft.bloom.columns").contains("k"))
+    val histOps = t.history.collect().map(_.getString(2)).toSeq
+    assert(histOps.containsSlice(Seq("ADD COLUMNS")) &&
+      histOps.contains("SET TBLPROPERTIES") &&
+      histOps.contains("UNSET TBLPROPERTIES"))
+
+    val moved = tmpDir("sqlalter_moved") + "_t"
+    val ren = spark.sql(s"ALTER TABLE $ref RENAME TO graft.`$moved`").head()
+    assert(ren.getString(0) == moved)
+    assert(ManagedTable.forPath(spark, moved).toDF.count() == 21)
+    assert(!new java.io.File(path).exists())
+  }
+
   test("RESTORE and CLONE statements round-trip") {
     import graft.tables.ManagedTable
     val path = tmpDir("sqlrestore")
