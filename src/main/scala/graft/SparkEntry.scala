@@ -595,6 +595,15 @@ object SparkEntry {
       Dedup.dropDuplicatesPkey(docs, "doc_id", Seq("__h")).drop("__h")
     }),
 
+    // corpus-frequency quality signals (Gopher/CCNet vocabulary
+    // filters): rare-word mass and top-K-vocabulary coverage per doc,
+    // scored against the corpus's own wordcounts. All-integer outputs
+    // (ratios are the caller's division) — exactly reproducible, no
+    // float sum-order sensitivity
+    "vocab_rarity" -> ((s, dir) =>
+      text.VocabStats.vocabSignals(
+        t(s, dir, "documents"), "doc_id", "text", rareMax = 2, topK = 1000)),
+
     // unicode canonicalization (the cleanup pass ahead of tokenization):
     // the corpus is ASCII, so a deterministic suffix of NFC-decomposed
     // accents, zero-width/format chars, exotic whitespace, and controls
@@ -1304,6 +1313,26 @@ object SparkEntry {
     "dedup_exact" ->
       """SELECT * FROM documents
         |WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY md5(text))""".stripMargin,
+
+    // same lowercase whitespace tokenization, same corpus wordcounts,
+    // same deterministic (count DESC, word) top-K cut
+    "vocab_rarity" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |                       w -> len(w) > 0)) AS word
+        |  FROM documents),
+        |vocab AS (SELECT word, count(*) AS n FROM toks GROUP BY word),
+        |top AS (
+        |  SELECT word FROM vocab ORDER BY n DESC, word LIMIT 1000)
+        |SELECT t.doc_id,
+        |  count(*) AS n_words,
+        |  count(DISTINCT t.word) AS n_types,
+        |  sum(CASE WHEN v.n <= 2 THEN 1 ELSE 0 END) AS n_rare,
+        |  sum(CASE WHEN t.word IN (SELECT word FROM top)
+        |           THEN 1 ELSE 0 END) AS n_top
+        |FROM toks t JOIN vocab v USING (word)
+        |GROUP BY t.doc_id""".stripMargin,
 
     // same seeded suffix (chr() builds the identical code points), and
     // the cleanup chain spelled as nfc_normalize + three RE2 passes:

@@ -1,0 +1,71 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-frequency quality signals (the Gopher/CCNet vocabulary
+  * filters): each document scored against the corpus's own word
+  * statistics — rare-word mass and in-vocabulary rate. Unlike the
+  * per-document surface stats ([[TextAnalysis.textStats]]), these are
+  * CROSS-document signals: a word is "rare" or "in-vocabulary" relative
+  * to the whole corpus (or a reference corpus passed as `vocabOf`).
+  *
+  * Every output is an integer count — ratios are left to the caller —
+  * so results are exactly reproducible across engines (no
+  * floating-point sum-order sensitivity), which is also what makes the
+  * oracle hash-match.
+  *
+  * Scale shape: one explode; the vocabulary is the canonical wordcount
+  * aggregation (map-side partials, shuffle on the word); the top-K
+  * vocabulary is K rows (broadcast by AQE); the per-document re-join
+  * hashes on the word and re-aggregates on the document id. No
+  * driver-side state beyond the K-row limit.
+  */
+object VocabStats {
+
+  /** Lowercased whitespace tokens (non-empty). */
+  private def words(text: Column): Column =
+    filter(split(lower(text), "\\s+"), w => length(w) > 0)
+
+  /** Corpus word counts: `(word, n)` over all documents. */
+  def vocabulary(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(words(col(textCol))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("n"))
+
+  /** Per-document vocabulary signals against `vocab` (default: the
+    * corpus itself):
+    *
+    *  - `n_words`      — token count;
+    *  - `n_types`      — distinct token count (type-token ratio's
+    *                     numerator);
+    *  - `n_rare`       — tokens whose corpus count <= `rareMax`
+    *                     (hapax/dis legomena mass — high = noisy text);
+    *  - `n_top`        — tokens inside the top-`topK` vocabulary by
+    *                     corpus count (ties broken by word, so the cut
+    *                     is deterministic); low coverage = off-domain
+    *                     or non-lexical content.
+    */
+  def vocabSignals(df: DataFrame, idCol: String, textCol: String,
+                   rareMax: Long = 2, topK: Int = 1000,
+                   vocabOf: Option[DataFrame] = None): DataFrame = {
+    require(rareMax >= 1 && topK >= 1,
+      s"need rareMax >= 1 and topK >= 1, got $rareMax/$topK")
+    val vocab = vocabOf.getOrElse(vocabulary(df, textCol))
+    // TakeOrderedAndProject, not a single-partition row_number window:
+    // the vocabulary of a 100 TB corpus is itself large
+    val top = vocab.orderBy(col("n").desc, col("word")).limit(topK)
+      .select(col("word"), lit(1).as("__top"))
+    val toks = df.select(col(idCol), explode(words(col(textCol))).as("word"))
+    toks
+      .join(vocab.select(col("word"),
+        (col("n") <= rareMax).cast("int").as("__rare")), Seq("word"), "left")
+      .join(top.select(col("word"), col("__top")), Seq("word"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_words"),
+        countDistinct(col("word")).as("n_types"),
+        // a word absent from a REFERENCE vocab counts as rare (OOV)
+        sum(coalesce(col("__rare"), lit(1))).as("n_rare"),
+        sum(coalesce(col("__top"), lit(0))).cast("long").as("n_top"))
+  }
+}

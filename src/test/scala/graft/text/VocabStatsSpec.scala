@@ -1,0 +1,53 @@
+package graft.text
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class VocabStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // corpus: "the" x4, "cat" x2, "sat" x1, "mat" x1, "dog" x1
+  private def docs = Seq(
+    (1L, "the cat sat"),
+    (2L, "The cat mat"), // case-folds onto doc 1's words
+    (3L, "the the dog")
+  ).toDF("doc_id", "text")
+
+  test("self-corpus signals: counts, types, rare mass, top-K coverage") {
+    val out = VocabStats.vocabSignals(docs, "doc_id", "text",
+        rareMax = 1, topK = 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // vocab: the=4 cat=2 sat=1 mat=1 dog=1; top-2 = {the, cat}
+    assert(out(1L) == ((3L, 3L, 1L, 2L))) // sat is rare; the+cat in top
+    assert(out(2L) == ((3L, 3L, 1L, 2L)))
+    assert(out(3L) == ((3L, 2L, 1L, 2L))) // the,the,dog: 2 types, dog rare
+  }
+
+  test("top-K tie at the cut breaks by word, deterministically") {
+    // counts: a=2 b=2 c=2 — topK=2 must take {a, b} (word order)
+    val d = Seq((1L, "a b c"), (2L, "a b c"), (3L, "x")).toDF("doc_id", "text")
+    val out = VocabStats.vocabSignals(d, "doc_id", "text",
+        rareMax = 1, topK = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(4)).toMap
+    assert(out(1L) == 2L && out(2L) == 2L)
+    assert(out(3L) == 0L)
+  }
+
+  test("a reference vocabulary marks unseen words as rare (OOV)") {
+    val ref = Seq(("the", 100L), ("cat", 50L)).toDF("word", "n")
+    val out = VocabStats.vocabSignals(docs, "doc_id", "text",
+        rareMax = 1, topK = 10, vocabOf = Some(ref))
+      .collect().map(r => r.getLong(0) -> (r.getLong(3), r.getLong(4))).toMap
+    // doc 3: "the the dog" — dog is OOV (rare), the x2 in top
+    assert(out(3L) == ((1L, 2L)))
+    // doc 1: sat OOV
+    assert(out(1L) == ((1L, 2L)))
+  }
+
+  test("token-less documents are absent (no zero-division rows)") {
+    val d = Seq((1L, "words here"), (2L, "   ")).toDF("doc_id", "text")
+    val out = VocabStats.vocabSignals(d, "doc_id", "text")
+    assert(out.collect().map(_.getLong(0)).toSeq == Seq(1L))
+  }
+}
