@@ -1328,9 +1328,10 @@ object SparkEntry {
         |SELECT t.doc_id,
         |  count(*) AS n_words,
         |  count(DISTINCT t.word) AS n_types,
-        |  sum(CASE WHEN v.n <= 2 THEN 1 ELSE 0 END) AS n_rare,
-        |  sum(CASE WHEN t.word IN (SELECT word FROM top)
-        |           THEN 1 ELSE 0 END) AS n_top
+        |  CAST(sum(CASE WHEN v.n <= 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_rare,
+        |  CAST(sum(CASE WHEN t.word IN (SELECT word FROM top)
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS n_top
         |FROM toks t JOIN vocab v USING (word)
         |GROUP BY t.doc_id""".stripMargin,
 
