@@ -10,6 +10,10 @@ object Verify {
     // optional trailing query names: dump only those (local iteration);
     // the driver passes two args and gets every query
     val only = args.drop(2).toSet
+    val unknown = only.diff(SparkEntry.queries.keySet)
+    require(unknown.isEmpty,
+      s"unknown queries: ${unknown.mkString(", ")} — a typo here would " +
+        "silently dump nothing")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

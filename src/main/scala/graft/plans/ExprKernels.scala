@@ -637,49 +637,6 @@ object ExprKernels {
     *  - `md5(...)`: MD5 over the UTF-8 bytes, lowercase hex — identical to
     *    Spark's and DuckDB's md5().
     */
-  /** Unicode text cleanup in one pass — the canonicalization step ahead
-    * of tokenization/dedup in a text pipeline:
-    *
-    *  1. NFC normalization (composed forms; `e` + U+0301 → `é`), skipped
-    *     when the input is already normalized (the common case — ASCII
-    *     passes the quick check without allocating);
-    *  2. every whitespace code point (ASCII `\t\n\f\r` + space, and the
-    *     Unicode Z* separators) becomes a single-space run separator;
-    *  3. remaining control (Cc) and format (Cf) code points — zero-width
-    *     spaces/joiners, BOM, soft hyphen, bidi marks — are struck, and
-    *     do NOT break a whitespace run (`a ​ b` collapses to `a b`);
-    *  4. leading/trailing whitespace trims.
-    *
-    * Equivalent to DuckDB/RE2's
-    * `trim(regexp_replace(regexp_replace(regexp_replace(nfc_normalize(t),
-    * '[\s\p{Z}]', ' ', 'g'), '[\p{Cc}\p{Cf}]', '', 'g'), ' +', ' ',
-    * 'g'))` — the oracle formulation (\x0B lands in Cc there and here).
-    */
-  def unicodeClean(input: UTF8String): UTF8String = {
-    val s0 = input.toString
-    val s =
-      if (java.text.Normalizer.isNormalized(s0, java.text.Normalizer.Form.NFC)) s0
-      else java.text.Normalizer.normalize(s0, java.text.Normalizer.Form.NFC)
-    val sb = new java.lang.StringBuilder(s.length)
-    var pendingSpace = false
-    var i = 0
-    while (i < s.length) {
-      val cp = s.codePointAt(i)
-      val t = Character.getType(cp)
-      val isWs = cp == ' ' || cp == '\t' || cp == '\n' || cp == '\f' ||
-        cp == '\r' || t == Character.SPACE_SEPARATOR ||
-        t == Character.LINE_SEPARATOR || t == Character.PARAGRAPH_SEPARATOR
-      if (isWs) { if (sb.length > 0) pendingSpace = true }
-      else if (t == Character.CONTROL || t == Character.FORMAT) ()
-      else {
-        if (pendingSpace) { sb.append(' '); pendingSpace = false }
-        sb.appendCodePoint(cp)
-      }
-      i += Character.charCount(cp)
-    }
-    UTF8String.fromString(sb.toString)
-  }
-
   def normalizedMd5(input: UTF8String): UTF8String = {
     val s = input.toString
     val sb = new java.lang.StringBuilder(s.length)
@@ -709,6 +666,58 @@ object ExprKernels {
       j += 1
     }
     UTF8String.fromBytes(hex)
+  }
+
+  /** Unicode text cleanup in one pass — the canonicalization step ahead
+    * of tokenization/dedup in a text pipeline:
+    *
+    *  1. NFC normalization (composed forms; `e` + U+0301 → `é`), skipped
+    *     when the input is already normalized (the common case — ASCII
+    *     passes the quick check without allocating);
+    *  2. every whitespace code point (ASCII `\t\n\f\r` + space, and the
+    *     Unicode Z* separators) becomes a single-space run separator;
+    *  3. remaining control (Cc) and format (Cf) code points — zero-width
+    *     spaces/joiners, BOM, soft hyphen, bidi marks — are struck, and
+    *     do NOT break a whitespace run (`a ​ b` collapses to `a b`);
+    *  4. leading/trailing whitespace trims.
+    *
+    * Equivalent to DuckDB/RE2's
+    * `trim(regexp_replace(regexp_replace(regexp_replace(nfc_normalize(t),
+    * '[\s\p{Z}]', ' ', 'g'), '[\p{Cc}\p{Cf}]', '', 'g'), ' +', ' ',
+    * 'g'))` — the oracle formulation (\x0B lands in Cc there and here).
+    */
+  def unicodeClean(input: UTF8String): UTF8String = {
+    val s0 = input.toString
+    val s =
+      if (java.text.Normalizer.isNormalized(s0, java.text.Normalizer.Form.NFC)) s0
+      else java.text.Normalizer.normalize(s0, java.text.Normalizer.Form.NFC)
+    // already-clean fast path: when nothing rewrites (the common case for
+    // ASCII corpus text) the input UTF8String is returned as-is — no
+    // StringBuilder materialization, no re-encode
+    var changed = s ne s0
+    val sb = new java.lang.StringBuilder(s.length)
+    var pendingSpace = false
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      val t = Character.getType(cp)
+      val isWs = cp == ' ' || cp == '\t' || cp == '\n' || cp == '\f' ||
+        cp == '\r' || t == Character.SPACE_SEPARATOR ||
+        t == Character.LINE_SEPARATOR || t == Character.PARAGRAPH_SEPARATOR
+      if (isWs) {
+        if (cp != ' ') changed = true
+        if (sb.length > 0) { if (pendingSpace) changed = true; pendingSpace = true }
+        else changed = true // leading whitespace trims
+      }
+      else if (t == Character.CONTROL || t == Character.FORMAT) changed = true
+      else {
+        if (pendingSpace) { sb.append(' '); pendingSpace = false }
+        sb.appendCodePoint(cp)
+      }
+      i += Character.charCount(cp)
+    }
+    if (pendingSpace) changed = true // trailing whitespace trims
+    if (!changed) input else UTF8String.fromString(sb.toString)
   }
 
   /** The `nprobe` nearest centroids by dot product, as array<int> (see

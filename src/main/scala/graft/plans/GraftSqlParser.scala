@@ -86,7 +86,7 @@ object GraftSqlParser {
   private val AlterSetPropsRe =
     s"""(?is)\\s*ALTER\\s+TABLE\\s+$Ref\\s+SET\\s+TBLPROPERTIES\\s*\\((.+)\\)\\s*;?\\s*""".r
   private val AlterUnsetPropsRe =
-    s"""(?is)\\s*ALTER\\s+TABLE\\s+$Ref\\s+UNSET\\s+TBLPROPERTIES\\s*(?:IF\\s+EXISTS\\s*)?\\(([\\w\\s.,`'"-]+)\\)\\s*;?\\s*""".r
+    s"""(?is)\\s*ALTER\\s+TABLE\\s+$Ref\\s+UNSET\\s+TBLPROPERTIES\\s*(IF\\s+EXISTS\\s*)?\\(([\\w\\s.,`'"-]+)\\)\\s*;?\\s*""".r
   private val AlterRenameRe =
     s"""(?is)\\s*ALTER\\s+TABLE\\s+$Ref\\s+RENAME\\s+TO\\s+$Ref\\s*;?\\s*""".r
   private val ShowPartitionsRe =
@@ -162,10 +162,12 @@ object GraftSqlParser {
         Some(GraftAddColumnsCommand(unq(path), cols.trim))
       case AlterSetPropsRe(path, props) =>
         Some(GraftSetPropertiesCommand(unq(path), parseProps(props)))
-      case AlterUnsetPropsRe(path, keys) =>
+      case AlterUnsetPropsRe(path, ifExists, keys) =>
         Some(GraftUnsetPropertiesCommand(unq(path),
           keys.split(',').toSeq.map(_.trim.stripPrefix("`").stripSuffix("`")
-            .stripPrefix("'").stripSuffix("'")).filter(_.nonEmpty)))
+            .stripPrefix("'").stripSuffix("'")
+            .stripPrefix("\"").stripSuffix("\"")).filter(_.nonEmpty),
+          ifExists = ifExists != null))
       case AlterRenameRe(src, dst) =>
         Some(GraftRenameCommand(unq(src), unq(dst)))
       case ShowPartitionsRe(path) =>
@@ -582,14 +584,22 @@ final case class GraftSetPropertiesCommand(path: String,
 }
 
 /** `ALTER TABLE graft.`path` UNSET TBLPROPERTIES [IF EXISTS] (k, …)` —
-  * absent keys no-op (a commit lands only when something changes).
+  * without IF EXISTS an absent key raises (Delta/Spark semantics); with
+  * it, absent keys no-op and a commit lands only when something changes.
   */
-final case class GraftUnsetPropertiesCommand(path: String, keys: Seq[String])
+final case class GraftUnsetPropertiesCommand(path: String, keys: Seq[String],
+                                             ifExists: Boolean)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("version", LongType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
     val t = ManagedTable.forPath(spark, path)
+    if (!ifExists) {
+      val missing = keys.filterNot(t.properties.contains)
+      require(missing.isEmpty,
+        s"UNSET TBLPROPERTIES: keys ${missing.mkString(", ")} do not " +
+          s"exist in $path (use IF EXISTS to ignore)")
+    }
     t.unsetProperties(keys)
     Seq(Row(t.latestVersion))
   }

@@ -373,6 +373,23 @@ case class HashJaccard(left: Expression, right: Expression)
   * NULL text → NULL. See [[ExprKernels.normalizedMd5]] for the parity
   * argument; NormalizedMd5Spec pins equality against the unfused chain.
   */
+case class NormalizedMd5(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+  override def checkInputDataTypes() =
+    expressions.stringCheck(child, "normalized_md5")
+
+  override def nullSafeEval(input: Any): Any =
+    ExprKernels.normalizedMd5(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.ExprKernels.normalizedMd5($c);")
+
+  override protected def withNewChildInternal(c: Expression): NormalizedMd5 =
+    copy(child = c)
+}
+
 /** NFC normalization + whitespace collapse + control/format strip in one
   * pass (see [[ExprKernels.unicodeClean]] for the exact contract) — the
   * text-pipeline canonicalization step, codegen'd like its siblings.
@@ -391,23 +408,6 @@ case class UnicodeClean(child: Expression) extends UnaryExpression {
       s"${ev.value} = graft.plans.ExprKernels.unicodeClean($c);")
 
   override protected def withNewChildInternal(c: Expression): UnicodeClean =
-    copy(child = c)
-}
-
-case class NormalizedMd5(child: Expression) extends UnaryExpression {
-
-  override def dataType: DataType = StringType
-  override def checkInputDataTypes() =
-    expressions.stringCheck(child, "normalized_md5")
-
-  override def nullSafeEval(input: Any): Any =
-    ExprKernels.normalizedMd5(input.asInstanceOf[UTF8String])
-
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.plans.ExprKernels.normalizedMd5($c);")
-
-  override protected def withNewChildInternal(c: Expression): NormalizedMd5 =
     copy(child = c)
 }
 

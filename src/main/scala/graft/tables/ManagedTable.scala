@@ -415,7 +415,7 @@ final class ManagedTable private (val spark: SparkSession, val location: String)
     * Empty for an unpartitioned table.
     */
   def partitionSpecs: Seq[String] =
-    latestEntry.dirs.map(d => d.split('/').drop(1).mkString("/"))
+    latestEntry.dirs.map(ManagedTable.leafSuffix)
       .filter(_.nonEmpty).distinct.sorted
   def properties: Map[String, String] = latestEntry.properties
 

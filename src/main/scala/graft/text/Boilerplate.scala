@@ -71,8 +71,13 @@ object Boilerplate {
                      segments: Column, minDocs: Int = 2,
                      joinSep: String = " "): DataFrame = {
     require(minDocs >= 2, s"minDocs < 2 strips every segment, got $minDocs")
+    // a NULL text propagates NULL through the segmenter; treat it as an
+    // empty document (0 segments, "" out) instead of NULL-count rows
+    val segsCol = coalesce(segments,
+      array().cast(org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.StringType)))
     val segs = df
-      .select(col(idCol), posexplode(segments).as(Seq("__pos", "__seg")))
+      .select(col(idCol), posexplode(segsCol).as(Seq("__pos", "__seg")))
       .withColumn("__h", xxhash64(col("__seg")))
     val repeated = segs
       .groupBy("__h").agg(countDistinct(col(idCol)).as("__docs"))
@@ -87,7 +92,7 @@ object Boilerplate {
           joinSep).as("__clean"),
         count(lit(1)).as("__kept"))
     val others = df.columns.filter(c => c != idCol && c != textCol)
-    df.withColumn("__total", size(segments))
+    df.withColumn("__total", size(segsCol))
       .join(kept, Seq(idCol), "left")
       .select(
         col(idCol) +:

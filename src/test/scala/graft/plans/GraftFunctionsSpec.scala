@@ -129,9 +129,13 @@ class GraftFunctionsSpec extends SparkSpec {
     val parts = spark.sql(s"SHOW PARTITIONS $ref").collect()
       .map(_.getString(0)).toSeq
     assert(parts == Seq("p=0", "p=1", "p=2"))
-    val e = intercept[Exception](spark.sql(
-      s"SHOW PARTITIONS graft.`${tmpDir("sqlalter_np")}x`"))
-    assert(e.getMessage != null)
+    // the not-partitioned guard, not the missing-table error
+    val flatPath = tmpDir("sqlalter_np")
+    ManagedTable.create(spark.range(3).toDF("k"), flatPath)
+    val e = intercept[IllegalArgumentException](spark.sql(
+      s"SHOW PARTITIONS graft.`$flatPath`").collect())
+    assert(e.getMessage.contains("not") &&
+      e.getMessage.contains("partitioned"))
 
     val add = spark.sql(
       s"ALTER TABLE $ref ADD COLUMNS (note STRING, score DOUBLE)").head()
@@ -149,6 +153,15 @@ class GraftFunctionsSpec extends SparkSpec {
       "('owner', 'absent.key')")
     assert(!t.properties.contains("owner"))
     assert(t.properties.get("graft.bloom.columns").contains("k"))
+    // without IF EXISTS an absent key raises (Delta semantics)...
+    val eMissing = intercept[IllegalArgumentException](spark.sql(
+      s"ALTER TABLE $ref UNSET TBLPROPERTIES ('absent.key')").collect())
+    assert(eMissing.getMessage.contains("absent.key"))
+    // ...and double-quoted keys unset the same property SET wrote
+    spark.sql(s"""ALTER TABLE $ref SET TBLPROPERTIES ("dq.key" = 'v')""")
+    assert(t.properties.contains("dq.key"))
+    spark.sql(s"""ALTER TABLE $ref UNSET TBLPROPERTIES ("dq.key")""")
+    assert(!t.properties.contains("dq.key"))
     val histOps = t.history.collect().map(_.getString(2)).toSeq
     assert(histOps.containsSlice(Seq("ADD COLUMNS")) &&
       histOps.contains("SET TBLPROPERTIES") &&

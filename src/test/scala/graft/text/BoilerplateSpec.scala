@@ -62,6 +62,24 @@ class BoilerplateSpec extends SparkSpec {
       (3L, "and a coda", "web")))
   }
 
+  test("a NULL text counts as an empty document, not NULL-count rows") {
+    val docs = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        org.apache.spark.sql.Row(1L, null),
+        org.apache.spark.sql.Row(2L, "real text here"))),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType))))
+    val out = Boilerplate.removeRepeated(docs, "doc_id", "text",
+        Boilerplate.segmentsByWords(col("text"), 2), minDocs = 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out(1L) == (("", 0L, 0L)), "NULL text -> empty doc, 0/0 counts")
+    assert(out(2L) == (("real text here", 2L, 0L)))
+  }
+
   test("empty and token-less documents produce zero segments, not a crash") {
     val docs = Seq((1L, ""), (2L, "   "), (3L, "real words live here"))
       .toDF("doc_id", "text")
