@@ -1997,9 +1997,17 @@ object ManagedTable {
         case _: NumericType | BooleanType => col(c).cast(DoubleType)
         case DateType | TimestampType =>
           col(c).cast(TimestampType).cast(DoubleType)
+        case StringType =>
+          // Delta's string Z-order shape: rank by the first 8 UTF-8
+          // bytes. The hex prefix RIGHT-pads to 16 nibbles so the
+          // numeric order of the value equals lexicographic byte order
+          // for short strings too ("b" > "aaaa…"); 12 bucket bits need
+          // far less than the 52 mantissa bits the double keeps.
+          conv(rpad(hex(substring(encode(col(c), "UTF-8"), 1, 8)),
+            16, "0"), 16, 10).cast(DoubleType)
         case other => throw new IllegalArgumentException(
           s"zorderBy column $c has non-range-bucketable type ${other.sql} " +
-            "(supported: numeric, boolean, date, timestamp)")
+            "(supported: numeric, boolean, date, timestamp, string)")
       }
     }
     val perCol = (1 << zorderBits) - 1

@@ -82,16 +82,43 @@ class ZorderSpec extends SparkSpec {
 
   test("zorder argument validation") {
     val t = ManagedTable.create(
-      spark.range(10).select(col("id"), col("id").cast("string").as("s")),
+      spark.range(10).select(col("id"), col("id").cast("string").as("s"),
+        encode(col("id").cast("string"), "UTF-8").as("bin")),
       tmpDir("zval"))
     intercept[IllegalArgumentException](
       t.optimize(sortBy = Seq("id"), zorderBy = Seq("id")))
-    intercept[IllegalArgumentException](t.optimize(zorderBy = Seq("s")))
+    intercept[IllegalArgumentException](t.optimize(zorderBy = Seq("bin")))
     val pt = ManagedTable.create(
       spark.range(10).select(col("id"), (col("id") % 2).as("p")),
       tmpDir("zpart"), partitionBy = Seq("p"))
     // z-ordering BY a partition column is rejected; by data columns is not
     intercept[IllegalArgumentException](pt.optimize(zorderBy = Seq("p")))
+  }
+
+  test("zorder on a string column prunes prefix probes (Delta's 8-byte rank)") {
+    val n = 20000
+    // 8-char keys (u0000042): every discriminating digit sits inside the
+    // ranked 8-byte prefix. (Keys whose prefix is shared — e.g.
+    // user_00042, where only "user_000" ranks — bucket coarsely by
+    // construction; that is Delta's 8-byte limitation too.)
+    val base = spark.range(n.toLong).select(
+      format_string("u%07d", col("id")).as("uid"),
+      (col("id") % 997).as("v"))
+    val t = ManagedTable.create(
+      base.repartition(8), tmpDir("zstr"))
+    t.optimize(targetFileSizeBytes = 12 * 1024, zorderBy = Seq("uid", "v"))
+    val total = t.fileStats.size
+    assert(total >= 6, s"setup needs a multi-file rewrite, got $total")
+    def filesOf(where: String): Int = t.toDFWhere(where).inputFiles.length
+    // equality and range probes on the string column skip most files
+    assert(filesOf("uid = 'u0000042'") * 2 <= total,
+      s"string z-order must prune, read ${filesOf("uid = 'u0000042'")} of $total")
+    assert(filesOf("uid BETWEEN 'u0010000' AND 'u0010200'") * 2 <= total)
+    // the co-clustered numeric column prunes too, and results are exact
+    assert(filesOf("v = 500") < total)
+    assertDfEquality(t.toDFWhere("uid = 'u0000042'"),
+      base.filter(col("uid") === "u0000042"))
+    assertDfEquality(t.toDFWhere("v = 123"), base.filter(col("v") === 123))
   }
 
   test("zorder on a partitioned table clusters within each partition") {
