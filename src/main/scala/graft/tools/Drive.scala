@@ -336,6 +336,20 @@ object Drive {
       s"schema now ${altT.schema.fieldNames.mkString("/")}; " +
       s"props after set+unset: ${altT.properties.size}; " +
       s"unicode_clean -> '$cleanDemo'")
+
+    // --- SemDeDup semantic dedup over the embeddings table -------------
+    val embAll = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .selectExpr("CAST(vec_id AS BIGINT) AS vec_id",
+        "transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding")
+    val sdCents = graft.ml.SemDedup.seedCentroids(
+      embAll, "vec_id", "embedding", k = 8)
+    val sdKept = graft.ml.SemDedup.dropSemanticDuplicates(
+      embAll, "vec_id", "embedding", sdCents, tau = 0.25)
+    val sdClusters = graft.ml.SemDedup.assignClusters(
+      embAll, "vec_id", "embedding", sdCents)
+      .groupBy("cluster_id").count().count()
+    println(s"[35] semdedup: ${embAll.count} vectors, $sdClusters clusters " +
+      s"-> ${sdKept.count} kept at tau=0.25")
     spark.stop()
   }
 }
