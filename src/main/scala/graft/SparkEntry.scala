@@ -776,6 +776,19 @@ object SparkEntry {
         keys = Seq("doc_id"), seed = 42L, portable = true)
         .select("doc_id", "lang", "source")),
 
+    // temperature-flattened mixing over the skewed lang axis (en holds
+    // ~44% of the corpus): alpha=0.5 char-mass flattening up-weights the
+    // tail languages. The oracle replays the identical double arithmetic
+    // (exact BIGINT char sums cast to double, pow/least/floor in the same
+    // order); quantized rates sit ≥4e-04 from their floor boundaries on
+    // this data, far above any cross-engine pow/Σ ulp noise.
+    "sample_temperature" -> ((s, dir) =>
+      Sampling.temperatureSample(t(s, dir, "documents"),
+        groupCol = "lang", weightCol = "n_chars",
+        keys = Seq("doc_id"), alpha = 0.5, targetRows = 300L,
+        seed = 42L, portable = true)
+        .select("doc_id", "lang", "source")),
+
     // per-language cap (two-phase skew-safe top-n; orderBy made total by
     // the doc_id tiebreaker) — the oracle is the single-window formulation
     "group_cap" -> ((s, dir) =>
@@ -1471,6 +1484,21 @@ object SparkEntry {
         |    substr(md5(concat_ws(chr(1), doc_id, '42')), 1, 15)) AS BIGINT)
         |  % 100 < CASE source WHEN 'src1' THEN 60 WHEN 'src2' THEN 30
         |               WHEN 'src3' THEN 0 ELSE 10 END""".stripMargin,
+
+    "sample_temperature" ->
+      """WITH c AS (SELECT lang, CAST(count(*) AS DOUBLE) AS n,
+        |                  CAST(sum(n_chars) AS DOUBLE) AS w
+        |           FROM documents GROUP BY lang),
+        |r AS (SELECT lang,
+        |        CAST(floor(least(1.0,
+        |          300.0 * pow(w, 0.5) / (SELECT sum(pow(w, 0.5)) FROM c) / n)
+        |          * 1000000) AS BIGINT) AS num
+        |      FROM c)
+        |SELECT d.doc_id, d.lang, d.source
+        |FROM documents d JOIN r USING (lang)
+        |WHERE CAST(concat('0x',
+        |    substr(md5(concat_ws(chr(1), d.doc_id, '42')), 1, 15)) AS BIGINT)
+        |  % 1000000 < r.num""".stripMargin,
 
     "group_cap" ->
       """SELECT doc_id, lang FROM (

@@ -77,6 +77,50 @@ object Sampling {
     df.filter(pmod(h, lit(denominator.toLong)) < thresh)
   }
 
+  /** Temperature-flattened corpus mixing — the multilingual `p_s ∝ W_s^α`
+    * rule (mBERT/XLM-R exponential smoothing): head groups are
+    * down-weighted and tail groups up-weighted by flattening each group's
+    * weight mass `W_s` (e.g. total characters or tokens via `weightCol`)
+    * with exponent `alpha` in [0, 1] before allocating an expected
+    * `targetRows` sample across groups. `alpha = 1` degenerates to
+    * proportional sampling; `alpha = 0` to uniform-per-group.
+    *
+    * Keep rate per group: `min(1, targetRows · W_s^α / Σ_g W_g^α / N_s)`,
+    * quantized to `resolution` and applied as the same deterministic
+    * per-row hash filter as [[hashSample]] — re-runs, backfills, and
+    * retries agree on the kept set. Group statistics stay in-plan (one
+    * partial-agg shuffle of |groups| rows, broadcast back); the corpus
+    * itself is never shuffled, and the filter sits directly over the
+    * scan.
+    */
+  def temperatureSample(df: DataFrame, groupCol: String, weightCol: String,
+                        keys: Seq[String], alpha: Double, targetRows: Long,
+                        resolution: Int = 1000000, seed: Long = 42L,
+                        portable: Boolean = false): DataFrame = {
+    require(alpha >= 0.0 && alpha <= 1.0, s"alpha must be in [0, 1], got $alpha")
+    require(targetRows > 0, "targetRows must be positive")
+    require(resolution > 0, "resolution must be positive")
+    val stats = df.groupBy(col(groupCol)).agg(
+      count(lit(1)).cast("double").as("__n"),
+      sum(col(weightCol)).cast("double").as("__w"))
+    // |groups| rows — a global window over the aggregate is driver-cheap
+    val wAll = Window.partitionBy().rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    val rates = stats
+      .withColumn("__sumpow", sum(pow(col("__w"), lit(alpha))).over(wAll))
+      .withColumn("__num", floor(least(lit(1.0),
+          lit(targetRows.toDouble) * pow(col("__w"), lit(alpha))
+            / col("__sumpow") / col("__n")) * resolution).cast(LongType))
+      .select(col(groupCol), col("__num"))
+    val h =
+      if (portable) portableHash(keys.map(col), seed.toString)
+      else fastHash(keys.map(col), seed)
+    df.join(broadcast(rates), Seq(groupCol))
+      .filter(pmod(h, lit(resolution.toLong)) < col("__num"))
+      .drop("__num")
+      .select(df.columns.map(col): _*)
+  }
+
   /** At most `n` rows per group, ranked by `orderBy` — per-domain caps
     * against over-represented sources. `orderBy` MUST be a total order
     * within each group (add a unique tiebreaker column): with ties at the

@@ -350,6 +350,15 @@ object Drive {
       .groupBy("cluster_id").count().count()
     println(s"[35] semdedup: ${embAll.count} vectors, $sdClusters clusters " +
       s"-> ${sdKept.count} kept at tau=0.25")
+
+    // --- temperature-flattened corpus mixing ---------------------------
+    val docsAll = spark.read.parquet(s"$sfDir/documents.parquet")
+    val tempMix = graft.operators.Sampling.temperatureSample(
+      docsAll, groupCol = "lang", weightCol = "n_chars",
+      keys = Seq("doc_id"), alpha = 0.5, targetRows = docsAll.count() / 2)
+      .groupBy("lang").count().orderBy("lang").collect()
+      .map(r => s"${r.getString(0)}=${r.getLong(1)}").mkString(", ")
+    println(s"[36] temperature mix (alpha=0.5, target=half): $tempMix")
     spark.stop()
   }
 }

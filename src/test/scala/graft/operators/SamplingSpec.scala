@@ -96,4 +96,45 @@ class SamplingSpec extends SparkSpec {
     val got = Sampling.capPerGroup(d, Seq("grp"), Seq(col("id")), n = 10, salts = 4)
     assert(got.count() == 3)
   }
+
+  test("temperatureSample flattens a skewed mix toward the tail") {
+    // head group: 8000 rows; tail group: 1000 rows; equal row weight
+    val d = spark.range(9000).select(col("id"),
+      when(col("id") < 8000, "head").otherwise("tail").as("grp"),
+      lit(100L).as("w"))
+    val out = Sampling.temperatureSample(d, "grp", "w", Seq("id"),
+      alpha = 0.5, targetRows = 1800L)
+    val counts = out.groupBy("grp").count().as[(String, Long)]
+      .collect().toMap
+    // α=0.5 allocation: √8000/(√8000+√1000) ≈ 0.739 of 1800 ≈ 1330 head,
+    // 470 tail — the tail keeps ~47% of its rows vs ~17% of the head's
+    // (proportional sampling would keep 20% of both)
+    assert(math.abs(counts("head") - 1330L) < 140, counts.toString)
+    assert(math.abs(counts("tail") - 470L) < 90, counts.toString)
+
+    // α=1 with uniform per-row weight degenerates to one global rate
+    val prop = Sampling.temperatureSample(d, "grp", "w", Seq("id"),
+      alpha = 1.0, targetRows = 1800L)
+      .groupBy("grp").count().as[(String, Long)].collect().toMap
+    assert(math.abs(prop("head") / 8000.0 - prop("tail") / 1000.0) < 0.05,
+      prop.toString)
+
+    // deterministic: repartitioning changes nothing
+    val a = out.select("id").as[Long].collect().toSet
+    val b = Sampling.temperatureSample(d.repartition(13), "grp", "w",
+        Seq("id"), alpha = 0.5, targetRows = 1800L)
+      .select("id").as[Long].collect().toSet
+    assert(a == b)
+
+    // a target past the corpus size clamps every rate at 1.0
+    val all = Sampling.temperatureSample(d, "grp", "w", Seq("id"),
+      alpha = 0.5, targetRows = 100000L)
+    assert(all.count() == 9000L)
+    // column order is preserved
+    assert(all.columns.toSeq == Seq("id", "grp", "w"))
+
+    intercept[IllegalArgumentException](
+      Sampling.temperatureSample(d, "grp", "w", Seq("id"),
+        alpha = 1.5, targetRows = 10L))
+  }
 }
