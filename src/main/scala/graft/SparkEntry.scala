@@ -756,6 +756,38 @@ object SparkEntry {
         round(stG.getField("dup5gram_char_frac"), 4).as("dup5gram_frac"))
     }),
 
+    // Gopher document-quality rules (the non-repetition half of table A1):
+    // word-count / mean-word-length bounds, symbol ratio, bullet- and
+    // ellipsis-line fractions, alphabetic-word fraction, stop-word floor —
+    // one fused projection of codegen'd built-ins, no UDFs. Line rules run
+    // on a 4-line doc derived deterministically from the corpus (raw docs
+    // are single-line): a "- " bullet is planted on line 2 when doc_id%3=0
+    // and a trailing "..." on line 3 when doc_id%5=0, so the tightened
+    // 0.2 line thresholds actually fire. minStopHits=1 because this
+    // synthetic vocabulary contains only "the" of the canonical eight.
+    "quality_gopher" -> ((s, dir) => {
+      val structured = concat(
+        col("text"), lit("\n"),
+        when(col("doc_id") % 3 === 0, lit("- ")).otherwise(lit("")),
+        substring(col("text"), 1, 40), lit("\n"),
+        substring(col("text"), 1, 60),
+        when(col("doc_id") % 5 === 0, lit("...")).otherwise(lit("")), lit("\n"),
+        col("text"))
+      val st = text.QualityFilters.gopherQualitySignals(structured)
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        st.getField("n_words").as("n_words"),
+        round(st.getField("mean_word_len"), 6).as("mean_word_len"),
+        round(st.getField("frac_alpha_words"), 6).as("frac_alpha_words"),
+        round(st.getField("symbol_word_ratio"), 6).as("symbol_word_ratio"),
+        round(st.getField("frac_bullet_lines"), 6).as("frac_bullet_lines"),
+        round(st.getField("frac_ellipsis_lines"), 6).as("frac_ellipsis_lines"),
+        st.getField("stop_hits").as("stop_hits"),
+        text.QualityFilters.gopherQualityKeep(structured,
+          maxBulletFrac = 0.2, maxEllipsisFrac = 0.2,
+          minStopHits = 1L).as("keep"))
+    }),
+
     // ---- extensions: deterministic sampling & per-group caps ----------
     // membership is a pure function of (doc_id, seed) — the DuckDB oracle
     // recomputes the identical md5-derived hash and must select the very
@@ -1686,6 +1718,58 @@ object SparkEntry {
         |FROM d LEFT JOIN la USING (doc_id) LEFT JOIN ta USING (doc_id)
         |LEFT JOIN bi USING (doc_id) LEFT JOIN tri USING (doc_id)
         |LEFT JOIN five USING (doc_id)""".stripMargin,
+
+    // replays the identical 4-line derivation and every Gopher signal with
+    // the same arithmetic (int char counts, one double division each);
+    // keep uses the UNROUNDED values exactly as the Spark predicate does
+    "quality_gopher" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    text || chr(10)
+        |      || (CASE WHEN doc_id % 3 = 0 THEN '- ' ELSE '' END)
+        |      || substr(text, 1, 40) || chr(10)
+        |      || substr(text, 1, 60)
+        |      || (CASE WHEN doc_id % 5 = 0 THEN '...' ELSE '' END) || chr(10)
+        |      || text AS t
+        |  FROM documents),
+        |w AS (
+        |  SELECT doc_id, t,
+        |    list_filter(string_split_regex(t, '\s+'), x -> x <> '') AS words,
+        |    list_filter(string_split(t, chr(10)), l -> trim(l) <> '') AS lines
+        |  FROM d),
+        |s AS (
+        |  SELECT doc_id,
+        |    len(words) AS nw,
+        |    list_sum(list_transform(words, x -> length(x)))::DOUBLE
+        |      / len(words) AS ml,
+        |    len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]')))::DOUBLE
+        |      / len(words) AS fa,
+        |    ( (length(t) - length(replace(t, '#', ''))) / 1
+        |    + (length(t) - length(replace(t, '…', ''))) / 1
+        |    + (length(t) - length(replace(t, '...', ''))) / 3 )
+        |      / len(words) AS sym,
+        |    len(list_filter(lines, l -> ltrim(l) LIKE '•%'
+        |        OR ltrim(l) LIKE '- %' OR ltrim(l) LIKE '* %'))::DOUBLE
+        |      / len(lines) AS fb,
+        |    len(list_filter(lines, l -> rtrim(l) LIKE '%...'
+        |        OR rtrim(l) LIKE '%…'))::DOUBLE
+        |      / len(lines) AS fe,
+        |    len(list_filter(['the','be','to','of','and','that','have','with'],
+        |        sw -> list_contains(list_transform(words, x -> lower(x)), sw)))
+        |      AS sh
+        |  FROM w)
+        |SELECT doc_id,
+        |  CAST(nw AS BIGINT) AS n_words,
+        |  round(ml, 6) AS mean_word_len,
+        |  round(fa, 6) AS frac_alpha_words,
+        |  round(sym, 6) AS symbol_word_ratio,
+        |  round(fb, 6) AS frac_bullet_lines,
+        |  round(fe, 6) AS frac_ellipsis_lines,
+        |  CAST(sh AS BIGINT) AS stop_hits,
+        |  (nw BETWEEN 50 AND 100000 AND ml BETWEEN 3.0 AND 10.0
+        |    AND sym <= 0.1 AND fb <= 0.2 AND fe <= 0.2
+        |    AND fa >= 0.8 AND sh >= 1) AS keep
+        |FROM s""".stripMargin,
 
     "lang_id" ->
       """WITH t AS (

@@ -359,6 +359,17 @@ object Drive {
       .groupBy("lang").count().orderBy("lang").collect()
       .map(r => s"${r.getString(0)}=${r.getLong(1)}").mkString(", ")
     println(s"[36] temperature mix (alpha=0.5, target=half): $tempMix")
+
+    // --- Gopher document-quality rules ---------------------------------
+    val gq = docsAll.select(col("doc_id"),
+      graft.text.QualityFilters.gopherQualitySignals(col("text")).as("st"))
+    val gqAgg = gq.selectExpr("avg(st.n_words) AS words", "avg(st.stop_hits) AS sh")
+      .head()
+    val gqKept = graft.text.QualityFilters
+      .filterGopherQuality(docsAll, "text").count()
+    println(f"[37] gopher quality: avg words ${gqAgg.getDouble(0)}%.1f, " +
+      f"avg stop hits ${gqAgg.getDouble(1)}%.2f; " +
+      s"$gqKept of ${docsAll.count} kept at published thresholds")
     spark.stop()
   }
 }

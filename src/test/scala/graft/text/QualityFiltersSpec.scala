@@ -86,4 +86,47 @@ class QualityFiltersSpec extends SparkSpec {
     val st = kernel(t)
     assert(st._3 > 0.20, s"dup_line_char_frac=${st._3}") // footer dominates
   }
+
+  // ---- Gopher document-quality (non-repetition) rules ------------------
+
+  private def gopher(text: String): Row =
+    Seq(text).toDF("t")
+      .select(QualityFilters.gopherQualitySignals(col("t")).as("st"))
+      .select("st.*").head()
+
+  test("gopher signals on a crafted document") {
+    val t = "the quick brown fox #tag jumps…\n" +
+      "- bullet item one\n" +
+      "* bullet item two\n" +
+      "plain line that trails off...\n" +
+      "   \n" + // blank (ignored by line rules)
+      "12345 !!! end"
+    val r = gopher(t)
+    assert(r.getLong(0) == 22L, "n_words counts non-whitespace runs")
+    // '#' ×1, '…' ×1, '...' ×1 → 3 symbols / 22 words
+    assert(math.abs(r.getDouble(3) - 3.0 / 22) < 1e-12, s"symbol ratio ${r.getDouble(3)}")
+    // 5 nonempty lines, 2 bullets, 2 ellipsis-enders ('…' and '...')
+    assert(r.getDouble(4) == 2.0 / 5, "bullet fraction")
+    assert(r.getDouble(5) == 2.0 / 5, "ellipsis fraction")
+    // words w/o [A-Za-z]: '-', '*', '12345', '!!!' → 18/22 alphabetic
+    assert(math.abs(r.getDouble(2) - 18.0 / 22) < 1e-12, "alpha-word fraction")
+    // canonical stopwords present: 'the', 'that' → 2
+    assert(r.getLong(6) == 2L, "stop hits")
+  }
+
+  test("gopher signals on empty text are total (no div-by-zero)") {
+    val r = gopher("")
+    assert(r.getLong(0) == 0L && r.getDouble(1) == 0.0 &&
+      r.getDouble(4) == 0.0 && r.getLong(6) == 0L)
+  }
+
+  test("gopherQualityKeep applies the published thresholds") {
+    val good = ("the and of to that have be with word " * 8).trim // 72 words, all rules pass
+    val tooShort = "the and of short"
+    val symbols = ("the and of " * 20).trim + " " + ("# " * 30).trim // symbol ratio > 0.1
+    val d = Seq((1L, good), (2L, tooShort), (3L, symbols)).toDF("doc_id", "t")
+    val kept = QualityFilters.filterGopherQuality(d, "t")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L))
+  }
 }
