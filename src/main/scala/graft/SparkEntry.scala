@@ -1093,6 +1093,26 @@ object SparkEntry {
           col("decoded_audio.duration_ms").as("duration_ms"),
           round(col("decoded_audio.mean_sample"), 4).as("mean_sample"),
           col("decoded_audio.peak").as("peak"))
+    }),
+
+    // REAL video modality: payloads are genuine RIFF/AVI containers of
+    // real PNG frames carrying a planted per-frame pixel rule (see
+    // Multimodal.aviFor) — the decoder chunk-walks the container, counts
+    // the movi frames, and decodes every 2nd frame through the image
+    // codec; the oracle re-derives all statistics by integer arithmetic.
+    "multimodal_video" -> ((s, dir) => {
+      val media = multimodal.Multimodal.syntheticVideo(
+        t(s, dir, "documents"), "doc_id", "text")
+      multimodal.Multimodal.decodeVideo(media, "content", every = 2)
+        .select(col("media_id"), col("modality"),
+          col("decoded_video.width").as("width"),
+          col("decoded_video.height").as("height"),
+          col("decoded_video.n_frames").as("n_frames"),
+          col("decoded_video.us_per_frame").as("us_per_frame"),
+          col("decoded_video.frames_sampled").as("frames_sampled"),
+          round(col("decoded_video.mean_r"), 4).as("mean_r"),
+          round(col("decoded_video.mean_g"), 4).as("mean_g"),
+          round(col("decoded_video.mean_b"), 4).as("mean_b"))
     })
   )
 
@@ -1884,6 +1904,36 @@ object SparkEntry {
         |  CAST((p.n_samples * 1000) // p.sample_rate AS BIGINT) AS duration_ms,
         |  round(CAST(list_sum(s.ss) AS DOUBLE) / p.n_samples, 4) AS mean_sample,
         |  CAST(list_max(list_transform(s.ss, x -> abs(x))) AS INT) AS peak
+        |FROM par p JOIN samp s USING (media_id)""".stripMargin,
+
+    // derives the decoded-video statistics from the planted per-frame
+    // rule (Multimodal.aviFor): sampled frames f ∈ {0,2,4,...}; per-frame
+    // red-row sum uses the same single-wrap formula as multimodal_features
+    "multimodal_video" ->
+      """WITH par AS (
+        |  SELECT doc_id AS media_id, length(text) AS nc,
+        |    CAST(3 + doc_id % 4 AS INT) AS n_frames,
+        |    CAST(40000 + (doc_id % 5) * 10000 AS INT) AS us_per_frame,
+        |    8 + length(text) % 9 AS w,
+        |    8 + doc_id % 5 AS h,
+        |    CASE WHEN length(text) = 0 THEN 0
+        |         ELSE unicode(text) % 256 END AS g
+        |  FROM documents),
+        |samp AS (
+        |  SELECT media_id,
+        |    list_filter(generate_series(0, n_frames - 1), f -> f % 2 = 0) AS fs
+        |  FROM par)
+        |SELECT p.media_id, 'video' AS modality,
+        |  CAST(p.w AS INT) AS width, CAST(p.h AS INT) AS height,
+        |  p.n_frames, p.us_per_frame,
+        |  CAST(len(s.fs) AS INT) AS frames_sampled,
+        |  round(CAST(list_sum(list_transform(s.fs, f ->
+        |      p.w * ((p.nc + f) % 256) + (p.w * (p.w - 1)) // 2
+        |      - 256 * greatest(0, (p.nc + f) % 256 + p.w - 256)))
+        |    AS DOUBLE) / (p.w * len(s.fs)), 4) AS mean_r,
+        |  round(CAST(p.g AS DOUBLE), 4) AS mean_g,
+        |  round(CAST(list_sum(list_transform(s.fs, f -> (p.media_id + f) % 256))
+        |    AS DOUBLE) / len(s.fs), 4) AS mean_b
         |FROM par p JOIN samp s USING (media_id)""".stripMargin,
 
     // ---- exact formulations of the near-dup pipelines -----------------

@@ -345,6 +345,231 @@ object Multimodal {
     }(enc)
   }
 
+  // ---- real video (RIFF/AVI container, PNG frames) ---------------------
+
+  /** Decoded-video statistics appended by [[decodeVideo]]: container
+    * fields (`n_frames` counted from the movi chunk walk, `us_per_frame`
+    * from the avih header) plus pixel statistics of the SAMPLED frames
+    * decoded through the real image codec.
+    */
+  val decodedVideoSchema: StructType = StructType(Seq(
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("n_frames", IntegerType),
+    StructField("us_per_frame", IntegerType),
+    StructField("frames_sampled", IntegerType),
+    StructField("mean_r", DoubleType),
+    StructField("mean_g", DoubleType),
+    StructField("mean_b", DoubleType)))
+
+  /** The deterministic per-frame pixel rule [[syntheticVideo]] plants
+    * (nc = codepoint length of the text, id = the row id, f = frame
+    * index), written out so an external oracle can DERIVE the decoded
+    * statistics by integer arithmetic:
+    *
+    *   n_frames     = 3 + id % 4        us_per_frame = 40000 + (id%5)*10000
+    *   width        = 8 + nc % 9        height       = 8 + id % 5
+    *   red(f, x)    = ((nc + f) % 256 + x) % 256   (x-gradient per frame)
+    *   green        = first codepoint % 256        (constant)
+    *   blue(f)      = (id + f) % 256
+    *
+    * while the payload itself is a genuine RIFF/AVI container (hdrl with
+    * avih + strl, movi with one 00dc chunk per frame) whose frames are
+    * real PNGs the decoder must actually parse and decode.
+    */
+  private[multimodal] def aviFor(id: Long, text: String): Array[Byte] = {
+    val nc = text.codePointCount(0, text.length)
+    val nFrames = (3 + id % 4).toInt
+    val usPerFrame = (40000 + (id % 5) * 10000).toInt
+    val w = 8 + nc % 9
+    val h = (8 + id % 5).toInt
+    val g = if (text.isEmpty) 0 else text.codePointAt(0) % 256
+    javax.imageio.ImageIO.setUseCache(false)
+    val frames: Seq[Array[Byte]] = (0 until nFrames).map { f =>
+      val baseR = (nc + f) % 256
+      val b = ((id + f) % 256).toInt
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          img.setRGB(x, y, (((baseR + x) % 256) << 16) | (g << 8) | b)
+          x += 1
+        }
+        y += 1
+      }
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", baos)
+      baos.toByteArray
+    }
+    def fourcc(s: String): Array[Byte] = s.getBytes("US-ASCII")
+    // avih: 14 little-endian ints = 56 bytes
+    val avih = java.nio.ByteBuffer.allocate(56)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(usPerFrame).putInt(0).putInt(0).putInt(0)
+      .putInt(nFrames).putInt(0).putInt(1).putInt(0)
+      .putInt(w).putInt(h).putInt(0).putInt(0).putInt(0).putInt(0)
+      .array()
+    val strh = java.nio.ByteBuffer.allocate(56)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .put(fourcc("vids")).put(fourcc("MPNG")).putInt(0)
+      .putShort(0).putShort(0).putInt(0)
+      .putInt(usPerFrame).putInt(1000000) // scale/rate
+      .putInt(0).putInt(nFrames).putInt(0).putInt(-1).putInt(0)
+      .putShort(0).putShort(0).putShort(w.toShort).putShort(h.toShort)
+      .array()
+    val strf = java.nio.ByteBuffer.allocate(40)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+      .put(fourcc("MPNG")).putInt(0).putInt(0).putInt(0).putInt(0).putInt(0)
+      .array()
+    def chunk(tag: String, body: Array[Byte]): Array[Byte] = {
+      val pad = body.length & 1
+      val bb = java.nio.ByteBuffer.allocate(8 + body.length + pad)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put(fourcc(tag)).putInt(body.length).put(body)
+      bb.array()
+    }
+    def list(listType: String, bodies: Array[Byte]*): Array[Byte] = {
+      val len = 4 + bodies.map(_.length).sum
+      val bb = java.nio.ByteBuffer.allocate(8 + len)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put(fourcc("LIST")).putInt(len).put(fourcc(listType))
+      bodies.foreach(bb.put)
+      bb.array()
+    }
+    val hdrl = list("hdrl", chunk("avih", avih),
+      list("strl", chunk("strh", strh), chunk("strf", strf)))
+    val movi = list("movi", frames.map(chunk("00dc", _)): _*)
+    val body = hdrl ++ movi
+    val riff = java.nio.ByteBuffer.allocate(12 + body.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    riff.put(fourcc("RIFF")).putInt(4 + body.length).put(fourcc("AVI "))
+      .put(body)
+    riff.array()
+  }
+
+  /** Synthetic video table from any text column: payloads are REAL
+    * RIFF/AVI containers of real PNG frames (see [[aviFor]] for the
+    * planted rules), so downstream decode exercises an actual container
+    * walk plus an actual image codec per sampled frame.
+    */
+  def syntheticVideo(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val in = df.select(col(idCol).cast(LongType).as("media_id"),
+      col(textCol).cast(StringType).as("__text"))
+    val enc = RowEncoder.encoderFor(mediaSchema)
+    in.mapPartitions { it =>
+      it.map { row =>
+        val id = row.getLong(0)
+        val text = if (row.isNullAt(1)) "" else row.getString(1)
+        val nc = text.codePointCount(0, text.length)
+        Row(id, "video", aviFor(id, text),
+          Row(8 + nc % 9, (8 + id % 5).toInt, null, (3 + id % 4).toInt,
+            "video/avi"))
+      }
+    }(enc)
+  }
+
+  /** Decode one RIFF/AVI payload: walk the container (hdrl → avih for
+    * us_per_frame; movi → one `..dc`/`..db` chunk per frame), decode
+    * every `every`-th frame through the real image codec, and fold pixel
+    * statistics. Frame count comes from COUNTING movi chunks, dimensions
+    * from the first DECODED frame — never from header metadata. Null or
+    * malformed payloads (or an undecodable sampled frame) yield null.
+    */
+  private[multimodal] def decodeAviOne(bytes: Array[Byte], every: Int): Row = {
+    if (bytes == null || bytes.length < 12) return null
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def tag(): String = {
+      val t = new Array[Byte](4); bb.get(t); new String(t, "US-ASCII")
+    }
+    try {
+      if (tag() != "RIFF") return null
+      bb.getInt // trust the buffer bound instead
+      if (tag() != "AVI ") return null
+      var usPerFrame = -1
+      val frames = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+      def walk(end: Int): Unit = {
+        while (bb.position() + 8 <= end) {
+          val t = tag(); val len = bb.getInt
+          if (len < 0 || bb.position() + len > end) throw new RuntimeException("bad chunk")
+          val next = bb.position() + len + (len & 1)
+          t match {
+            case "LIST" =>
+              tag() // list type: hdrl/strl/movi — recurse either way
+              walk(bb.position() + len - 4)
+            case "avih" =>
+              usPerFrame = bb.getInt()
+            case dc if dc.length == 4 &&
+                (dc.endsWith("dc") || dc.endsWith("db")) =>
+              frames += ((bb.position(), len))
+            case _ => ()
+          }
+          bb.position(next)
+        }
+      }
+      walk(bytes.length)
+      if (frames.isEmpty || usPerFrame < 0) return null
+      javax.imageio.ImageIO.setUseCache(false)
+      var sr = 0L; var sg = 0L; var sb = 0L; var npix = 0L
+      var w = -1; var h = -1; var sampled = 0
+      var f = 0
+      while (f < frames.size) {
+        if (f % every == 0) {
+          val (off, len) = frames(f)
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(bytes, off, len))
+          if (img == null) return null
+          if (w < 0) { w = img.getWidth; h = img.getHeight }
+          var y = 0
+          while (y < img.getHeight) {
+            var x = 0
+            while (x < img.getWidth) {
+              val rgb = img.getRGB(x, y)
+              sr += (rgb >> 16) & 0xff
+              sg += (rgb >> 8) & 0xff
+              sb += rgb & 0xff
+              x += 1
+            }
+            y += 1
+          }
+          npix += img.getWidth.toLong * img.getHeight
+          sampled += 1
+        }
+        f += 1
+      }
+      val n = npix.toDouble
+      Row(w, h, frames.size, usPerFrame, sampled, sr / n, sg / n, sb / n)
+    } catch { case _: RuntimeException | _: java.io.IOException => null }
+  }
+
+  /** Batched per-partition video decode: appends a `decoded_video`
+    * struct ([[decodedVideoSchema]]) — container stats from a real chunk
+    * walk, pixel stats from really-decoded sampled frames. Same batched
+    * `mapPartitions` shape as [[decodeImages]]; frame sampling keeps the
+    * codec cost at 1/`every` of full decode, the standard trick for
+    * video pipelines where decoding every frame at 100 TB is the
+    * dominant cost.
+    */
+  def decodeVideo(df: DataFrame, binCol: String, every: Int = 2,
+                  batchSize: Int = 64): DataFrame = {
+    require(every >= 1, "every must be >= 1")
+    val outSchema = StructType(df.schema.fields :+
+      StructField("decoded_video", decodedVideoSchema))
+    val binIdx = df.schema.fieldIndex(binCol)
+    val enc = RowEncoder.encoderFor(outSchema)
+    df.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { row =>
+          val bytes = row.get(binIdx).asInstanceOf[Array[Byte]]
+          Row.fromSeq(row.toSeq :+ decodeAviOne(bytes, every))
+        }
+      }
+    }(enc)
+  }
+
   /** Frame sampling: split the payload into `frameSize`-byte frames and
     * keep every `every`-th, exploded one row per sampled frame with its
     * index — pure built-ins (binary substring), no decode needed.

@@ -381,6 +381,16 @@ object Drive {
       embRaw.filter(col("vec_id") === 0), "vec_id", "embedding", k = 3)
       .orderBy("rank").collect().map(_.getLong(1)).mkString(", ")
     println(s"[38] sq8 ANN: int8 top-3 [$sqTop] vs exact ids [$exTop]")
+
+    // --- video modality: AVI container walk + sampled-frame decode -----
+    val vids = graft.multimodal.Multimodal.syntheticVideo(
+      docsAll.limit(20), "doc_id", "text")
+    val vdec = graft.multimodal.Multimodal.decodeVideo(vids, "content", every = 2)
+      .selectExpr("sum(decoded_video.n_frames) AS nf",
+        "sum(decoded_video.frames_sampled) AS ns",
+        "count(*) AS n").head()
+    println(s"[39] video decode: ${vdec.getLong(2)} AVIs, " +
+      s"${vdec.getLong(0)} frames in movi, ${vdec.getLong(1)} decoded at every=2")
     spark.stop()
   }
 }

@@ -155,4 +155,46 @@ class MultimodalSpec extends SparkSpec {
       s"got $d")
     assert(d.getDouble(5) == (100 - 200 + 300) / 3.0)
   }
+
+  test("synthetic payloads are real AVIs; decode round-trips the frame rule") {
+    val d = Seq((5L, "hello world"), (8L, "")).toDF("doc_id", "text")
+    val out = Multimodal.decodeVideo(
+      Multimodal.syntheticVideo(d, "doc_id", "text"), "content", every = 2)
+      .select("media_id", "decoded_video").collect()
+      .map(r => r.getLong(0) -> r.getStruct(1)).toMap
+    // id=5, "hello world": nc=11 → w=8+11%9=10, h=8+5%5=8, frames=3+5%4=4
+    val v5 = out(5L)
+    assert(v5.getInt(0) == 10 && v5.getInt(1) == 8, "decoded dims")
+    assert(v5.getInt(2) == 4, "n_frames from movi walk")
+    assert(v5.getInt(3) == 40000, "us_per_frame from avih")
+    assert(v5.getInt(4) == 2, "every=2 over 4 frames samples f=0,2")
+    // green constant = 'h' % 256 = 104; blue = avg((5+0)%256,(5+2)%256) = 6
+    assert(v5.getDouble(6) == 104.0, "mean_g")
+    assert(v5.getDouble(7) == 6.0, "mean_b")
+    // red rows: f=0 → base 11, f=2 → base 13; mean over x<10 of base+x
+    assert(math.abs(v5.getDouble(5) - (11 + 13 + 2 * 4.5) / 2) < 1e-9, "mean_r")
+    // id=8, empty text: nc=0 → w=8, h=8+3=11, frames=3+0=3, g=0
+    val v8 = out(8L)
+    assert(v8.getInt(0) == 8 && v8.getInt(1) == 11 && v8.getInt(2) == 3)
+    assert(v8.getInt(4) == 2 && v8.getDouble(6) == 0.0)
+  }
+
+  test("video decode: every=1 decodes all frames; junk and null yield null") {
+    val d = Seq((1L, "abc")).toDF("doc_id", "text")
+    val all = Multimodal.decodeVideo(
+      Multimodal.syntheticVideo(d, "doc_id", "text"), "content", every = 1)
+      .select("decoded_video").head().getStruct(0)
+    assert(all.getInt(2) == all.getInt(4), "every=1 samples every frame")
+    val bad = Multimodal.decodeVideo(
+      Seq((2L, "junk".getBytes), (3L, null.asInstanceOf[Array[Byte]]))
+        .toDF("media_id", "content"), "content")
+      .select("media_id", "decoded_video").collect()
+    assert(bad.forall(_.isNullAt(1)))
+    // a RIFF that is not AVI (the WAV from the audio test) is refused too
+    val (wav, _, _) = Multimodal.wavFor(1L, "x")
+    val notAvi = Multimodal.decodeVideo(
+      Seq((4L, wav)).toDF("media_id", "content"), "content")
+      .select("decoded_video").head()
+    assert(notAvi.isNullAt(0))
+  }
 }
