@@ -589,7 +589,8 @@ object Multimodal {
   }
 
   /** "Resize": truncate or zero-pad the payload to `targetBytes` —
-    * placeholder for a real image resample with identical plumbing.
+    * byte-level placeholder where only plumbing shape matters; for a real
+    * image resample see [[resizeImages]].
     */
   def resizePayload(df: DataFrame, binCol: String, targetBytes: Int): Column = {
     val bin = col(binCol)
@@ -597,5 +598,57 @@ object Multimodal {
     val padding = expr(
       s"CAST(repeat(CHAR(0), GREATEST($targetBytes - length($binCol), 0)) AS BINARY)")
     concat(truncated, padding)
+  }
+
+  /** REAL image resize: decode the payload, bilinearly resample to
+    * `targetW`×`targetH` with JDK `Graphics2D`, re-encode as PNG —
+    * appends `resized binary` plus `resized_width`/`resized_height`.
+    * Null/undecodable payloads get a null resized column. Same batched
+    * `mapPartitions` shape as [[decodeImages]] (codec work amortizes its
+    * setup per partition, the multimodal-pipeline norm at scale).
+    */
+  def resizeImages(df: DataFrame, binCol: String,
+                   targetW: Int, targetH: Int,
+                   batchSize: Int = 256): DataFrame = {
+    require(targetW > 0 && targetH > 0, "target dims must be positive")
+    val outSchema = StructType(df.schema.fields ++ Seq(
+      StructField("resized", BinaryType),
+      StructField("resized_width", IntegerType),
+      StructField("resized_height", IntegerType)))
+    val binIdx = df.schema.fieldIndex(binCol)
+    val enc = RowEncoder.encoderFor(outSchema)
+    df.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { row =>
+          val bytes = row.get(binIdx).asInstanceOf[Array[Byte]]
+          val resized = resizeOne(bytes, targetW, targetH)
+          if (resized == null)
+            Row.fromSeq(row.toSeq ++ Seq(null, null, null))
+          else
+            Row.fromSeq(row.toSeq ++ Seq(resized, targetW, targetH))
+        }
+      }
+    }(enc)
+  }
+
+  private[multimodal] def resizeOne(bytes: Array[Byte],
+                                    w: Int, h: Int): Array[Byte] = {
+    if (bytes == null) return null
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      catch { case _: java.io.IOException | _: RuntimeException => null }
+    if (img == null) return null
+    val out = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val gfx = out.createGraphics()
+    try {
+      gfx.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+        java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+      gfx.drawImage(img, 0, 0, w, h, null)
+    } finally gfx.dispose()
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(out, "png", baos)
+    baos.toByteArray
   }
 }

@@ -391,6 +391,15 @@ object Drive {
         "count(*) AS n").head()
     println(s"[39] video decode: ${vdec.getLong(2)} AVIs, " +
       s"${vdec.getLong(0)} frames in movi, ${vdec.getLong(1)} decoded at every=2")
+
+    // --- real image resize (Graphics2D bilinear, re-encoded PNG) -------
+    val imgs = graft.multimodal.Multimodal.syntheticMedia(
+      docsAll.limit(10), "doc_id", "text")
+    val rz = graft.multimodal.Multimodal.decodeImages(
+      graft.multimodal.Multimodal.resizeImages(imgs, "content", 6, 4), "resized")
+      .selectExpr("count(*) n", "sum(CAST(decoded.width = 6 AND decoded.height = 4 AS INT)) ok")
+      .head()
+    println(s"[40] image resize: ${rz.getLong(1)}/${rz.getLong(0)} re-decoded at 6x4")
     spark.stop()
   }
 }

@@ -197,4 +197,24 @@ class MultimodalSpec extends SparkSpec {
       .select("decoded_video").head()
     assert(notAvi.isNullAt(0))
   }
+
+  test("real image resize: decoded dims change, constant color survives, " +
+       "junk yields null") {
+    val media = Multimodal.syntheticMedia(
+      Seq((3L, "some text here")).toDF("doc_id", "text"), "doc_id", "text")
+    val resized = Multimodal.resizeImages(media, "content", 4, 3)
+    val r = Multimodal.decodeImages(resized, "resized")
+      .select("resized_width", "resized_height", "decoded").head()
+    assert(r.getInt(0) == 4 && r.getInt(1) == 3)
+    val d = r.getStruct(2)
+    assert(d.getInt(0) == 4 && d.getInt(1) == 3, "re-decoded dims")
+    // green/blue are constant planes in the synthetic rule — bilinear
+    // resampling of a constant is the same constant
+    assert(d.getDouble(4) == ("some text here".codePointAt(0) % 256).toDouble)
+    assert(d.getDouble(5) == 3.0)
+    val bad = Multimodal.resizeImages(
+      Seq((9L, "nope".getBytes)).toDF("media_id", "content"), "content", 4, 4)
+      .select("resized").head()
+    assert(bad.isNullAt(0))
+  }
 }
