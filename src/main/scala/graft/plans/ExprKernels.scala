@@ -791,4 +791,110 @@ object ExprKernels {
     }
     z
   }
+
+  /** All Gopher document-quality counters in ONE forward scan (plus an
+    * O(1)-per-line backward peek for trims). Semantics replicate the
+    * Column/DuckDB formulation built-in-for-built-in:
+    *  - words: maximal runs of non-`\s` (Java ASCII whitespace class);
+    *    per word: codepoint length, contains-[A-Za-z], ASCII-ci equality
+    *    to the canonical stopwords
+    *  - symbols: '#' + '…' occurrences + non-overlapping "..." count
+    *    (each run of k dots contributes k/3, the greedy replace() count)
+    *  - lines: '\n' splits; nonempty after space-trim; bullet = ltrimmed
+    *    line starts with '•', "- " or "* "; ellipsis = rtrimmed line ends
+    *    with "..." or '…'
+    */
+  def gopherStats(input: UTF8String, stopwords: Array[String])
+      : org.apache.spark.sql.catalyst.InternalRow = {
+    val s = input.toString
+    var nWords = 0L; var sumWordLen = 0L; var alphaWords = 0L
+    var nSymbols = 0L
+    var nLines = 0L; var bulletLines = 0L; var ellipsisLines = 0L
+    val found = new Array[Boolean](stopwords.length)
+
+    var wordStart = -1
+    var wordHasAlpha = false
+    var dotRun = 0
+    var lineStart = 0
+
+    def closeWord(until: Int): Unit = if (wordStart >= 0) {
+      nWords += 1
+      sumWordLen += s.codePointCount(wordStart, until)
+      if (wordHasAlpha) alphaWords += 1
+      // ASCII-case-insensitive stopword membership (stopwords are ASCII;
+      // no ASCII-ci-equal word survives a Unicode lower() differently)
+      val len = until - wordStart
+      var k = 0
+      while (k < stopwords.length) {
+        if (!found(k)) {
+          val sw = stopwords(k)
+          if (sw.length == len) {
+            var m = 0
+            var eq = true
+            while (eq && m < len) {
+              val c = s.charAt(wordStart + m)
+              val lc = if (c >= 'A' && c <= 'Z') (c + 32).toChar else c
+              if (lc != sw.charAt(m)) eq = false
+              m += 1
+            }
+            if (eq) found(k) = true
+          }
+        }
+        k += 1
+      }
+      wordStart = -1; wordHasAlpha = false
+    }
+
+    def closeLine(until: Int): Unit = {
+      // rtrim spaces
+      var e = until
+      while (e > lineStart && s.charAt(e - 1) == ' ') e -= 1
+      if (e > lineStart) {
+        nLines += 1
+        // ltrim spaces
+        var b = lineStart
+        while (b < e && s.charAt(b) == ' ') b += 1
+        val first = s.codePointAt(b)
+        if (first == 0x2022 ||
+            ((first == '-' || first == '*') && b + 1 < e && s.charAt(b + 1) == ' '))
+          bulletLines += 1
+        val last = s.charAt(e - 1)
+        if (last == 0x2026.toChar ||
+            (last == '.' && e - lineStart >= 3 &&
+              s.charAt(e - 2) == '.' && s.charAt(e - 3) == '.'))
+          ellipsisLines += 1
+      }
+      lineStart = until + 1
+    }
+
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      val isWs = cp == ' ' || cp == '\t' || cp == '\n' || cp == 0x0B ||
+        cp == '\f' || cp == '\r'
+      if (isWs) closeWord(i)
+      else {
+        if (wordStart < 0) wordStart = i
+        if (!wordHasAlpha &&
+            ((cp >= 'A' && cp <= 'Z') || (cp >= 'a' && cp <= 'z')))
+          wordHasAlpha = true
+      }
+      if (cp == '.') dotRun += 1
+      else { nSymbols += dotRun / 3; dotRun = 0 }
+      if (cp == '#' || cp == 0x2026) nSymbols += 1
+      if (cp == '\n') closeLine(i)
+      i += Character.charCount(cp)
+    }
+    closeWord(s.length)
+    nSymbols += dotRun / 3
+    closeLine(s.length)
+
+    var stopHits = 0L
+    var k = 0
+    while (k < found.length) { if (found(k)) stopHits += 1; k += 1 }
+
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(Array[Any](
+      nWords, sumWordLen, alphaWords, nSymbols,
+      nLines, bulletLines, ellipsisLines, stopHits))
+  }
 }

@@ -68,46 +68,31 @@ object QualityFilters {
   val gopherStopwords: Seq[String] =
     Seq("the", "be", "to", "of", "and", "that", "have", "with")
 
-  /** Non-overlapping occurrence count of a literal `needle` via the
-    * replace-length trick — identical greedy left-to-right semantics in
-    * Spark and DuckDB, so oracles can replay it verbatim.
-    */
-  private def litCount(text: Column, needle: String): Column =
-    (length(text) - length(replace(text, lit(needle), lit("")))) / needle.length
-
   /** Gopher document-quality signals (Rae et al. 2021, table A1 — the
     * non-repetition rules; repetition lives in [[repetitionStats]]).
-    * Computed entirely from codegen'd built-ins (split / HOF filter /
-    * length arithmetic), no UDFs and no kernel: one projection per row
-    * at any scale. Words = maximal non-whitespace runs; lines = `\n`
-    * splits with blank lines ignored for the line-fraction rules.
+    * All counters come from the one-pass codegen'd kernel
+    * [[graft.plans.GopherStats]] (the unfused HOF formulation
+    * re-tokenized the document once per signal, interpreted); the
+    * fractions here are single double divisions of those counters, with
+    * division order pinned to the DuckDB oracle formulation. Words =
+    * maximal non-whitespace runs; lines = `\n` splits with blank lines
+    * ignored for the line-fraction rules; symbols = '#' + '…' + literal
+    * non-overlapping "..." occurrences.
     */
   def gopherQualitySignals(text: Column): Column = {
-    val words = filter(split(text, "\\s+"), w => w =!= "")
-    val nWords = size(words).cast("long")
-    val sumLen = aggregate(words, lit(0L), (a, w) => a + length(w))
-    val meanWordLen = when(nWords > 0, sumLen.cast("double") / nWords).otherwise(lit(0.0))
-    val alphaWords = size(filter(words, w => w.rlike("[A-Za-z]"))).cast("long")
-    val fracAlpha = when(nWords > 0, alphaWords.cast("double") / nWords).otherwise(lit(0.0))
-    // symbol-to-word ratio: '#' plus ellipses ('…' or literal '...')
-    val nSymbols = litCount(text, "#") + litCount(text, "…") + litCount(text, "...")
-    val symbolRatio =
-      when(nWords > 0, nSymbols.cast("double") / nWords).otherwise(lit(0.0))
-    val lines = filter(split(text, "\n"), l => trim(l) =!= "")
-    val nLines = size(lines).cast("long")
-    val bulletLines = size(filter(lines, l =>
-      ltrim(l).startsWith("•") || ltrim(l).startsWith("- ") ||
-        ltrim(l).startsWith("* "))).cast("long")
-    val ellipsisLines = size(filter(lines, l =>
-      rtrim(l).endsWith("...") || rtrim(l).endsWith("…"))).cast("long")
-    val fracBullet =
-      when(nLines > 0, bulletLines.cast("double") / nLines).otherwise(lit(0.0))
-    val fracEllipsis =
-      when(nLines > 0, ellipsisLines.cast("double") / nLines).otherwise(lit(0.0))
-    val wordsLower = transform(words, w => lower(w))
-    val stopHits = size(filter(
-      array(gopherStopwords.map(lit): _*),
-      s => array_contains(wordsLower, s))).cast("long")
+    val st = graft.plans.GopherStats(text, gopherStopwords)
+    val nWords = st.getField("n_words")
+    val nLines = st.getField("n_lines")
+    val meanWordLen = when(nWords > 0,
+      st.getField("sum_word_len").cast("double") / nWords).otherwise(lit(0.0))
+    val fracAlpha = when(nWords > 0,
+      st.getField("alpha_words").cast("double") / nWords).otherwise(lit(0.0))
+    val symbolRatio = when(nWords > 0,
+      st.getField("n_symbols").cast("double") / nWords).otherwise(lit(0.0))
+    val fracBullet = when(nLines > 0,
+      st.getField("bullet_lines").cast("double") / nLines).otherwise(lit(0.0))
+    val fracEllipsis = when(nLines > 0,
+      st.getField("ellipsis_lines").cast("double") / nLines).otherwise(lit(0.0))
     struct(
       nWords.as("n_words"),
       meanWordLen.as("mean_word_len"),
@@ -115,7 +100,7 @@ object QualityFilters {
       symbolRatio.as("symbol_word_ratio"),
       fracBullet.as("frac_bullet_lines"),
       fracEllipsis.as("frac_ellipsis_lines"),
-      stopHits.as("stop_hits"))
+      st.getField("stop_hits").as("stop_hits"))
   }
 
   /** Boolean keep-decision under the published Gopher document-quality
