@@ -897,4 +897,94 @@ object ExprKernels {
       nWords, sumWordLen, alphaWords, nSymbols,
       nLines, bulletLines, ellipsisLines, stopHits))
   }
+
+  // ---- product quantization ---------------------------------------------
+
+  private def readVecNormalized(vec: ArrayData, isFloat: Boolean): Array[Double] = {
+    val n = vec.numElements()
+    val v = new Array[Double](n)
+    var i = 0
+    var ss = 0.0
+    while (i < n) {
+      val x = if (isFloat) vec.getFloat(i).toDouble else vec.getDouble(i)
+      v(i) = x; ss += x * x; i += 1
+    }
+    if (ss > 0) {
+      val inv = 1.0 / math.sqrt(ss)
+      i = 0
+      while (i < n) { v(i) *= inv; i += 1 }
+    }
+    v
+  }
+
+  /** PQ codes of a vector: L2-normalize, split into `m` subvectors of
+    * `dsub` dims, per subspace pick the L2-nearest of `ksub` codebook
+    * centroids. `codebooks` is [sub][centroid][dim] flattened.
+    */
+  def pqEncode(vec: ArrayData, isFloat: Boolean, codebooks: Array[Double],
+               m: Int, ksub: Int, dsub: Int): ArrayData = {
+    val v = readVecNormalized(vec, isFloat)
+    val codes = new Array[Byte](m)
+    var sub = 0
+    while (sub < m) {
+      val off = sub * dsub
+      var best = 0; var bd = Double.MaxValue
+      var j = 0
+      while (j < ksub) {
+        val cOff = (sub * ksub + j) * dsub
+        var d = 0.0
+        var t = 0
+        while (t < dsub) {
+          val diff = v(off + t) - codebooks(cOff + t)
+          d += diff * diff
+          t += 1
+        }
+        if (d < bd) { bd = d; best = j }
+        j += 1
+      }
+      codes(sub) = best.toByte
+      sub += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(codes)
+  }
+
+  /** ADC lookup table of a query vector: LUT[sub*ksub + j] =
+    * ⟨q_sub, codebook[sub][j]⟩ over the L2-normalized query — computed
+    * once per query, so scoring a candidate costs m array reads instead
+    * of a dim-length dot product.
+    */
+  def pqLut(vec: ArrayData, isFloat: Boolean, codebooks: Array[Double],
+            m: Int, ksub: Int, dsub: Int): ArrayData = {
+    val v = readVecNormalized(vec, isFloat)
+    val lut = new Array[Double](m * ksub)
+    var sub = 0
+    while (sub < m) {
+      val off = sub * dsub
+      var j = 0
+      while (j < ksub) {
+        val cOff = (sub * ksub + j) * dsub
+        var s = 0.0
+        var t = 0
+        while (t < dsub) { s += v(off + t) * codebooks(cOff + t); t += 1 }
+        lut(sub * ksub + j) = s
+        j += 1
+      }
+      sub += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(lut)
+  }
+
+  /** ADC score: Σ_sub LUT[sub*ksub + code_sub] — the approximate inner
+    * product of a (normalized) query and a PQ-encoded candidate.
+    */
+  def pqAdcScore(lut: ArrayData, codes: ArrayData, ksub: Int): Double = {
+    val m = codes.numElements()
+    var s = 0.0
+    var sub = 0
+    while (sub < m) {
+      s += lut.getDouble(sub * ksub + (codes.getByte(sub) & 0xff))
+      sub += 1
+    }
+    s
+  }
 }

@@ -400,6 +400,15 @@ object Drive {
       .selectExpr("count(*) n", "sum(CAST(decoded.width = 6 AND decoded.height = 4 AS INT)) ok")
       .head()
     println(s"[40] image resize: ${rz.getLong(1)}/${rz.getLong(0)} re-decoded at 6x4")
+
+    // --- PQ-compressed ANN with exact rerank ---------------------------
+    val pqModel = graft.ml.PqIndex.fit(embAll, "embedding", m = 8, ksub = 16)
+    val pqTop = graft.ml.PqIndex.topK(embAll, "vec_id", "embedding",
+      embAll.filter(col("vec_id") === 0), "vec_id", "embedding",
+      pqModel, k = 3, shortlist = 50)
+      .orderBy("rank").collect().map(_.getLong(1)).mkString(", ")
+    println(s"[41] pq ANN (m=8, ksub=16, 8-byte codes): top-3 ids [$pqTop] " +
+      s"vs exact [$exTop]")
     spark.stop()
   }
 }

@@ -222,6 +222,35 @@ class RecallGateSpec extends SparkSpec {
         s"diff: ${(got.toSet diff exact.toSet).take(3)} vs ${(exact.toSet diff got.toSet).take(3)}")
   }
 
+  test("simsearch_pq derived-cluster corpus: PQ output EQUALS brute force (oracle precondition)") {
+    // same construction as the IVF gate; PQ shortlists by ADC then
+    // reranks exactly, so equality holds iff shortlist recall@10 is 1.0
+    val toDouble = transform(col("embedding"), x => x.cast("double"))
+    val orig = emb.select(col("vec_id").cast(LongType).as("vec_id"),
+      toDouble.as("__v"))
+    val cents = orig.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("__c"), col("__v").as("__cv"))
+    val corpus = orig.join(broadcast(cents), col("vec_id") % 8 === col("__c"))
+      .select(col("vec_id"),
+        zip_with(col("__cv"), col("__v"), (c, x) => c + lit(0.1) * x).as("embedding"))
+    val queries = corpus.filter(col("vec_id") < 5)
+    def ranked(df: DataFrame): Seq[(Long, Long, Int, Double)] =
+      df.select(col("query_id").cast("long"), col("neighbor_id").cast("long"),
+          col("rank").cast("int"), col("cosine").cast("double"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+        .toSeq.sorted
+    val exact = ranked(Similarity.bruteForceTopK(corpus, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 10))
+    val model = graft.ml.PqIndex.fit(corpus, "embedding", m = 8, ksub = 16)
+    val got = ranked(graft.ml.PqIndex.topK(corpus, "vec_id", "embedding",
+      queries, "vec_id", "embedding", model, k = 10, shortlist = 100))
+    assert(exact.size == 50, s"setup: expected 5 queries x 10, got ${exact.size}")
+    assert(got == exact,
+      "PQ (m=8, ksub=16, shortlist=100) must return the exact ranked top-10 " +
+        "on the clustered corpus — the simsearch_pq DuckDB oracle depends " +
+        s"on it; diff: ${(got.toSet diff exact.toSet).take(3)}")
+  }
+
   test("IVF top-k floor on the near-orthogonal corpus (documented weak regime)") {
     val queries = emb.filter(col("vec_id") < 5)
     val exact = topkSet(Similarity.bruteForceTopK(emb, "vec_id", "embedding",
