@@ -54,8 +54,9 @@ object GraftSqlParser {
     s"""(?is)\\s*DELETE\\s+FROM\\s+$Ref\\s*(?:WHERE\\s+(.+?))?\\s*;?\\s*""".r
   private val UpdateRe =
     s"""(?is)\\s*UPDATE\\s+$Ref\\s+SET\\s+(.+?)\\s*;?\\s*""".r
+  // Delta's clause order: OPTIMIZE tbl [WHERE partition-pred] [ZORDER BY (…)]
   private val OptimizeRe =
-    s"""(?is)\\s*OPTIMIZE\\s+$Ref\\s*(?:ZORDER\\s+BY\\s*\\(?\\s*([\\w\\s,]+?)\\s*\\)?)?\\s*;?\\s*""".r
+    s"""(?is)\\s*OPTIMIZE\\s+$Ref\\s*(?:WHERE\\s+(.+?)\\s*)?(?:ZORDER\\s+BY\\s*\\(?\\s*([\\w\\s,]+?)\\s*\\)?)?\\s*;?\\s*""".r
   private val HistoryRe =
     s"""(?is)\\s*DESC(?:RIBE)?\\s+HISTORY\\s+$Ref\\s*;?\\s*""".r
   private val DetailRe =
@@ -77,6 +78,16 @@ object GraftSqlParser {
     s"""(?is)\\s*CONVERT\\s+TO\\s+GRAFT\\s+$SrcRef\\s+AS\\s+$Ref\\s*(?:PARTITIONED\\s+BY\\s*\\(\\s*([\\w\\s,]+?)\\s*\\))?\\s*;?\\s*""".r
 
   private def unq(path: String): String = path.replace("``", "`")
+
+  /** Strip one layer of '…'/"…" quoting from a SQL literal (escaped
+    * inner quotes unescaped); bare literals pass through as-is.
+    */
+  private def unquoteLit(s: String): String =
+    if (s.length >= 2 && s.head == '\'' && s.last == '\'')
+      s.substring(1, s.length - 1).replace("''", "'")
+    else if (s.length >= 2 && s.head == '"' && s.last == '"')
+      s.substring(1, s.length - 1).replace("\"\"", "\"")
+    else s
 
   // ALTER TABLE graft.`/p` ADD COLUMNS (c TYPE, …) | SET TBLPROPERTIES
   // (k='v', …) | UNSET TBLPROPERTIES [IF EXISTS] (k, …) | RENAME TO
@@ -139,10 +150,26 @@ object GraftSqlParser {
             a.substring(i + 1).trim)
         }
         Some(GraftUpdateCommand(unq(path), assignments, where))
-      case OptimizeRe(path, zorder) =>
+      case OptimizeRe(path, where, zorder) =>
         val cols = Option(zorder).toSeq
           .flatMap(_.split(',').toSeq).map(_.trim).filter(_.nonEmpty)
-        Some(GraftOptimizeCommand(unq(path), cols))
+        // WHERE restricts to partition values: equality conjunctions only
+        // (the predicate prunes FILES without reading them, so anything
+        // beyond `part = literal AND …` must fail loud, as Delta does)
+        val spec: Map[String, String] = Option(where).map { w =>
+          w.split("(?i)\\s+AND\\s+").map { term =>
+            val i = term.indexOf('=')
+            require(i > 0 && term.indexOf('=', i + 1) < 0 &&
+                !term.contains('<') && !term.contains('>'),
+              s"OPTIMIZE WHERE supports only `col = literal [AND …]` " +
+                s"partition predicates, got: $term")
+            val k = term.substring(0, i).trim
+            val v = unquoteLit(term.substring(i + 1).trim)
+            require(k.matches("[\\w]+"), s"bad partition column: $k")
+            k -> v
+          }.toMap
+        }.getOrElse(Map.empty)
+        Some(GraftOptimizeCommand(unq(path), cols, spec))
       case HistoryRe(path) => Some(GraftHistoryCommand(unq(path)))
       case DetailRe(path) => Some(GraftDetailCommand(unq(path)))
       case RestoreRe(path, v) =>
@@ -460,15 +487,20 @@ final case class GraftUpdateCommand(path: String,
     Seq(Row(ManagedTable.forPath(spark, path).update(set.toMap, where)))
 }
 
-/** `OPTIMIZE graft.`path` [ZORDER BY (c, …)]` → resulting file count. */
-final case class GraftOptimizeCommand(path: String, zorderBy: Seq[String])
+/** `OPTIMIZE graft.`path` [WHERE part = v [AND …]] [ZORDER BY (c, …)]`
+  * → resulting file count. The WHERE spec scopes the rewrite to matching
+  * partitions (Delta's partition-predicate OPTIMIZE).
+  */
+final case class GraftOptimizeCommand(path: String, zorderBy: Seq[String],
+                                      where: Map[String, String] = Map.empty)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("path", StringType, nullable = false)(),
     AttributeReference("num_files", LongType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
     val t = ManagedTable.forPath(spark, path)
-    t.optimize(zorderBy = zorderBy)
+    t.optimize(zorderBy = zorderBy,
+      partitions = if (where.isEmpty) Nil else Seq(where))
     Seq(Row(path, t.detail.numFiles))
   }
 }

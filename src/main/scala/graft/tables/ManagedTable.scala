@@ -1074,10 +1074,18 @@ final class ManagedTable private (val spark: SparkSession, val location: String)
     * Partitioned tables hash-cluster rows so each partition compacts to
     * one file per write task that owns it (typically one).
     */
+  /** `partitions` (Delta's `OPTIMIZE … WHERE` analog) restricts the
+    * rewrite to files whose partition values match ANY of the given
+    * specs; a spec may name a subset of the partition columns (prefix
+    * or partial match, like `WHERE year = 2024`). On a 100 TB table the
+    * scoped form is how OPTIMIZE is actually run — compacting the day's
+    * hot partition touches its files only, never the table.
+    */
   def optimize(targetFileSizeBytes: Long = 128L * 1024 * 1024,
                sortBy: Seq[String] = Nil,
-               zorderBy: Seq[String] = Nil): Unit =
-    optimizeFrom(latestEntry, targetFileSizeBytes, sortBy, zorderBy)
+               zorderBy: Seq[String] = Nil,
+               partitions: Seq[Map[String, Any]] = Nil): Unit =
+    optimizeFrom(latestEntry, targetFileSizeBytes, sortBy, zorderBy, partitions)
 
   /** [[optimize]] against an explicit base snapshot (separated so the
     * concurrent-commit behavior is testable): compaction rewrites rows
@@ -1090,10 +1098,35 @@ final class ManagedTable private (val spark: SparkSession, val location: String)
   private[tables] def optimizeFrom(e: LogEntry,
                targetFileSizeBytes: Long,
                sortBy: Seq[String],
-               zorderBy: Seq[String]): Unit = {
+               zorderBy: Seq[String],
+               partitions: Seq[Map[String, Any]] = Nil): Unit = {
     require(targetFileSizeBytes > 0)
     require(sortBy.isEmpty || zorderBy.isEmpty,
       "sortBy and zorderBy are mutually exclusive")
+    require(partitions.isEmpty || e.partitionColumns.nonEmpty,
+      "partition-scoped OPTIMIZE requires a partitioned table")
+    partitions.foreach { spec =>
+      val unknown = spec.keySet -- e.partitionColumns.toSet
+      require(unknown.isEmpty,
+        s"OPTIMIZE WHERE references non-partition column(s): " +
+          s"${unknown.mkString(", ")} — only partition columns prune files " +
+          "without reading them")
+      require(spec.nonEmpty, "empty partition spec")
+    }
+    // each spec becomes its k=v segments; a file is in scope when some
+    // spec's segments all appear in its leaf-dir suffix (partial specs
+    // match every sub-partition, like Delta's partition predicates)
+    val specSegs: Seq[Set[String]] = partitions.map(spec =>
+      spec.map { case (k, v) => ManagedTable.partitionSegment(k, v) }.toSet)
+    val inScope: FileStat => Boolean =
+      if (specSegs.isEmpty) _ => true
+      else { f =>
+        val segs = ManagedTable.leafSuffix(f.leafDir).split("/").toSet
+        specSegs.exists(_.subsetOf(segs))
+      }
+    require(partitions.isEmpty || e.files.nonEmpty,
+      "partition-scoped OPTIMIZE needs per-file stats (legacy snapshot " +
+        "without a file list — run a full OPTIMIZE first)")
     // Pure compaction is INCREMENTAL (Delta's bin-packing OPTIMIZE):
     // only files below the size target are rewritten; right-sized files
     // stay verbatim in the snapshot. On a 100 TB table that has been
@@ -1107,7 +1140,7 @@ final class ManagedTable private (val spark: SparkSession, val location: String)
       // materialization path (exportDelta points refused DV snapshots
       // here), even when every file is already right-sized.
       val small = e.files.filter(f =>
-        f.bytes < targetFileSizeBytes || f.dv.isDefined)
+        inScope(f) && (f.bytes < targetFileSizeBytes || f.dv.isDefined))
       if (small.size < 2 && !small.exists(_.dv.isDefined))
         return // nothing worth compacting, no commit
       val n = math.max(1,
@@ -1120,11 +1153,16 @@ final class ManagedTable private (val spark: SparkSession, val location: String)
         operation = "OPTIMIZE", base = e, addedMayMatch = _ => false)
       return
     }
+    val scopeFiles = e.files.filter(inScope)
+    if (partitions.nonEmpty && scopeFiles.isEmpty) return // nothing matches
     val baseBytes =
-      if (e.files.nonEmpty) e.files.map(_.bytes).sum else detail.sizeInBytes
+      if (scopeFiles.nonEmpty) scopeFiles.map(_.bytes).sum
+      else detail.sizeInBytes
     val numFiles = math.max(1,
       math.ceil(baseBytes.toDouble / targetFileSizeBytes).toInt)
-    val df = snapshotDF(e)
+    val df =
+      if (partitions.isEmpty) snapshotDF(e)
+      else readFilesDF(scopeFiles, e.schema, e.version)
     val ordered =
       if (zorderBy.nonEmpty) {
         // Z-ORDER rewrite (Delta OPTIMIZE ZORDER analog): range-shuffle +
@@ -1167,8 +1205,9 @@ final class ManagedTable private (val spark: SparkSession, val location: String)
       // compaction changes no rows, so concurrent appends commute
       // (addedMayMatch = never): the rebase keeps their files alongside
       // the compacted rewrite. Concurrent removals of a compacted file
-      // (MERGE/DELETE) still raise inside replaceFiles.
-      replaceFiles(e.files.map(_.path).toSet, ordered,
+      // (MERGE/DELETE) still raise inside replaceFiles. Scoped runs
+      // replace only the in-scope files; out-of-scope files stay verbatim.
+      replaceFiles(scopeFiles.map(_.path).toSet, ordered,
         operation = "OPTIMIZE", base = e, addedMayMatch = _ => false)
     else {
       val dirs = writeData(ordered, e.partitionColumns, e.properties)

@@ -409,6 +409,23 @@ object Drive {
       .orderBy("rank").collect().map(_.getLong(1)).mkString(", ")
     println(s"[41] pq ANN (m=8, ksub=16, 8-byte codes): top-3 ids [$pqTop] " +
       s"vs exact [$exTop]")
+
+    // --- partition-scoped OPTIMIZE (Delta's OPTIMIZE ... WHERE) --------
+    val owPath = scratch("optwhere")
+    val owDf = spark.range(0, 300).selectExpr("id AS k", "id % 3 AS p")
+    val owT = graft.tables.ManagedTable.create(owDf, owPath, partitionBy = Seq("p"))
+    (0 until 3).foreach { i =>
+      owT.append(spark.range(300 + i * 10, 310 + i * 10).selectExpr("id AS k", "id % 3 AS p"))
+    }
+    def liveFiles(t: graft.tables.ManagedTable, p: Int): Long =
+      t.toDF.filter(col("p") === p).select(input_file_name()).distinct().count()
+    val owBefore = liveFiles(owT, 2)
+    spark.sql(s"OPTIMIZE graft.`$owPath` WHERE p = 0").collect()
+    val owT2 = graft.tables.ManagedTable.forPath(spark, owPath)
+    val p0After = liveFiles(owT2, 0)
+    val p2After = liveFiles(owT2, 2)
+    println(s"[42] OPTIMIZE WHERE p=0: p=0 files -> $p0After; " +
+      s"p=2 untouched ($owBefore -> $p2After); rows ${owT2.toDF.count}")
     spark.stop()
   }
 }

@@ -297,6 +297,52 @@ class StorageSpec extends SparkSpec {
     t.overwritePartitions(df(pSchema, Seq(Row(1, "a", 11))), Seq(Map("part" -> "a")))
     assert(t.toDF.filter(col("part") === "a").count() == 1)
   }
+  test("partition-scoped optimize compacts only the named partition") {
+    val loc = tmpDir("optw")
+    val t = ManagedTable.create(df(pSchema, partRows), loc, partitionBy = Seq("part"))
+    // fragment both partitions with small appends
+    (0 until 4).foreach { i =>
+      t.append(df(pSchema, Seq(Row(10 + i, "a", i), Row(20 + i, "b", i))))
+    }
+    val before = t.latestEntry.files
+    val bBefore = before.filter(_.path.contains("part=b")).map(_.path).toSet
+    val aBefore = before.count(_.path.contains("part=a"))
+    val expected = t.toDF.collect().toSet
+    t.optimize(partitions = Seq(Map("part" -> "a")))
+    val after = t.latestEntry.files
+    assert(after.filter(_.path.contains("part=b")).map(_.path).toSet == bBefore,
+      "out-of-scope partition files must survive verbatim")
+    assert(after.count(_.path.contains("part=a")) < aBefore,
+      "in-scope partition must compact")
+    assert(t.toDF.collect().toSet == expected, "rows unchanged")
+    // no-match spec commits nothing
+    val v = t.latestVersion
+    t.optimize(partitions = Seq(Map("part" -> "zzz")))
+    assert(t.latestVersion == v, "no matching files -> no commit")
+    // non-partition column fails loud
+    intercept[IllegalArgumentException] {
+      t.optimize(partitions = Seq(Map("pk" -> "1")))
+    }
+  }
+
+  test("SQL OPTIMIZE WHERE routes the partition spec") {
+    val loc = tmpDir("optsql")
+    val t = ManagedTable.create(df(pSchema, partRows), loc, partitionBy = Seq("part"))
+    (0 until 3).foreach { i =>
+      t.append(df(pSchema, Seq(Row(30 + i, "a", i), Row(40 + i, "c", i))))
+    }
+    val cBefore = t.latestEntry.files.filter(_.path.contains("part=c")).map(_.path).toSet
+    val expected = t.toDF.collect().toSet
+    spark.sql(s"OPTIMIZE graft.`$loc` WHERE part = 'a'").collect()
+    val t2 = ManagedTable.forPath(spark, loc)
+    assert(t2.latestEntry.files.filter(_.path.contains("part=c")).map(_.path).toSet == cBefore)
+    assert(t2.toDF.collect().toSet == expected)
+    // beyond-equality predicates are refused, not silently full-table
+    intercept[IllegalArgumentException] {
+      spark.sql(s"OPTIMIZE graft.`$loc` WHERE part > 'a'").collect()
+    }
+  }
+
   test("optimize(sortBy) clusters rows so filtered scans can skip row groups") {
     val loc = tmpDir("opt3")
     val rows = (1 to 1000).map(i => Row(i, s"v${i % 7}"))
