@@ -100,6 +100,10 @@ object GraftSqlParser {
     s"""(?is)\\s*ALTER\\s+TABLE\\s+$Ref\\s+UNSET\\s+TBLPROPERTIES\\s*(IF\\s+EXISTS\\s*)?\\(([\\w\\s.,`'"-]+)\\)\\s*;?\\s*""".r
   private val AlterRenameRe =
     s"""(?is)\\s*ALTER\\s+TABLE\\s+$Ref\\s+RENAME\\s+TO\\s+$Ref\\s*;?\\s*""".r
+  private val AlterAddConstraintRe =
+    s"""(?is)\\s*ALTER\\s+TABLE\\s+$Ref\\s+ADD\\s+CONSTRAINT\\s+(\\w+)\\s+CHECK\\s*\\((.+)\\)\\s*;?\\s*""".r
+  private val AlterDropConstraintRe =
+    s"""(?is)\\s*ALTER\\s+TABLE\\s+$Ref\\s+DROP\\s+CONSTRAINT\\s+(IF\\s+EXISTS\\s+)?(\\w+)\\s*;?\\s*""".r
   private val ShowPartitionsRe =
     s"""(?is)\\s*SHOW\\s+PARTITIONS\\s+$Ref\\s*;?\\s*""".r
 
@@ -197,6 +201,10 @@ object GraftSqlParser {
           ifExists = ifExists != null))
       case AlterRenameRe(src, dst) =>
         Some(GraftRenameCommand(unq(src), unq(dst)))
+      case AlterAddConstraintRe(path, name, check) =>
+        Some(GraftAddConstraintCommand(unq(path), name, check.trim))
+      case AlterDropConstraintRe(path, ifExists, name) =>
+        Some(GraftDropConstraintCommand(unq(path), name, ifExists != null))
       case ShowPartitionsRe(path) =>
         Some(GraftShowPartitionsCommand(unq(path)))
       case _ => None
@@ -648,6 +656,33 @@ final case class GraftRenameCommand(src: String, dst: String)
   override def run(spark: SparkSession): Seq[Row] = {
     val t = ManagedTable.forPath(spark, src).rename(dst)
     Seq(Row(t.location, t.latestVersion))
+  }
+}
+
+/** `ALTER TABLE graft.`path` ADD CONSTRAINT name CHECK (expr)` —
+  * validates existing rows, then every later write enforces per row.
+  */
+final case class GraftAddConstraintCommand(path: String, name: String,
+                                           check: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("name", StringType, nullable = false)(),
+    AttributeReference("check", StringType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    ManagedTable.forPath(spark, path).addCheckConstraint(name, check)
+    Seq(Row(name, check))
+  }
+}
+
+/** `ALTER TABLE graft.`path` DROP CONSTRAINT [IF EXISTS] name`. */
+final case class GraftDropConstraintCommand(path: String, name: String,
+                                            ifExists: Boolean)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("name", StringType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    ManagedTable.forPath(spark, path).dropCheckConstraint(name, ifExists)
+    Seq(Row(name))
   }
 }
 

@@ -543,11 +543,37 @@ final class ManagedTable private (val spark: SparkSession, val location: String)
     * snapshot's table properties) activate parquet-native bloom filters
     * for `graft.bloom.columns` — see [[BloomSkip]].
     */
+  /** Per-row CHECK-constraint enforcement (Delta's `CheckInvariant`):
+    * every write funnels through [[writeData]], so a violating row makes
+    * the WRITE fail inside its own scan — one codegen'd boolean per row
+    * per constraint, no second pass, and the error message only
+    * materializes on the violating row. NULL results count as violations
+    * (the semantics the reference's `constraint_append` quarantine
+    * applies, `mack/__init__.py:677-687`).
+    */
+  private def enforced(df: DataFrame, props: Map[String, String]): DataFrame = {
+    val checks = props.collect {
+      case (k, v) if k.startsWith(ManagedTable.constraintPrefix) =>
+        k.stripPrefix(ManagedTable.constraintPrefix) -> v
+    }
+    if (checks.isEmpty) df
+    else {
+      val rowJson = to_json(struct(df.columns.map(col).toIndexedSeq: _*))
+      checks.foldLeft(df) { case (d, (name, sqlExpr)) =>
+        d.filter(when(expr(sqlExpr) <=> true, lit(true)).otherwise(
+          raise_error(concat(
+            lit(s"CHECK constraint `$name` ($sqlExpr) violated by row: "),
+            rowJson))))
+      }
+    }
+  }
+
   private def writeData(df: DataFrame, parts: Seq[String],
                         props: Map[String, String]): Seq[String] = {
     val id = UUID.randomUUID().toString
     val out = dataDir.resolve(id)
-    val w = df.write.mode("overwrite").options(BloomSkip.writeOptions(props))
+    val w = enforced(df, props).write.mode("overwrite")
+      .options(BloomSkip.writeOptions(props))
     (if (parts.nonEmpty) w.partitionBy(parts: _*) else w).parquet(out.toString)
     if (parts.isEmpty) Seq(id)
     else leafDirs(out, parts.length).map(l => id + "/" + out.relativize(l).toString)
@@ -1745,6 +1771,48 @@ final class ManagedTable private (val spark: SparkSession, val location: String)
       metrics = Map.empty, cdc = Nil))
   }
 
+  /** The table's CHECK constraints, name → SQL expression (persisted as
+    * `delta.constraints.<name>` properties — the convention the
+    * reference's `constraint_append` discovers, `mack/__init__.py:658`).
+    */
+  def checkConstraints: Map[String, String] =
+    latestEntry.properties.collect {
+      case (k, v) if k.startsWith(ManagedTable.constraintPrefix) =>
+        k.stripPrefix(ManagedTable.constraintPrefix) -> v
+    }
+
+  /** ADD CONSTRAINT … CHECK (Delta's `ALTER TABLE ADD CONSTRAINT`):
+    * existing rows are validated FIRST (a constraint that the current
+    * snapshot already violates must not be recorded — it would brand
+    * valid history as corrupt), then the constraint is committed as a
+    * table property. Every subsequent write — append, overwrite, MERGE,
+    * UPDATE, streaming sink — enforces it per row inside its own scan
+    * and fails loud on the first violating row. NULL results violate.
+    */
+  def addCheckConstraint(name: String, expression: String): Unit = {
+    require(name.matches("[\\w]+"), s"constraint name must be word-like: $name")
+    require(expression.trim.nonEmpty, "empty constraint expression")
+    val key = ManagedTable.constraintPrefix + name
+    require(!latestEntry.properties.contains(key),
+      s"constraint `$name` already exists (drop it first)")
+    val bad = toDF.filter(!(expr(expression) <=> true)).limit(1).collect()
+    if (bad.nonEmpty)
+      throw new graft.GraftValueError(
+        s"cannot add CHECK constraint `$name` ($expression): existing row " +
+          s"violates it: ${bad.head}")
+    setProperties(Map(key -> expression))
+  }
+
+  /** DROP CONSTRAINT; absent names raise unless `ifExists`. */
+  def dropCheckConstraint(name: String, ifExists: Boolean = false): Unit = {
+    val key = ManagedTable.constraintPrefix + name
+    if (!latestEntry.properties.contains(key)) {
+      if (ifExists) return
+      throw new graft.GraftValueError(s"no such constraint: $name")
+    }
+    unsetProperties(Seq(key))
+  }
+
   /** Directory move + fresh log entry (reference rename_delta_table,
     * mack/__init__.py:696-737).
     */
@@ -2003,6 +2071,11 @@ final case class TableDetail(location: String, partitionColumns: Seq[String],
 
 object ManagedTable {
   private val VersionFile = "v(\\d+)\\.json".r
+
+  /** Property-key prefix for CHECK constraints — the `delta.constraints.`
+    * convention the reference discovers (`mack/__init__.py:658-661`).
+    */
+  private[tables] val constraintPrefix = "delta.constraints."
 
   /** Standard write metrics (Delta operationMetrics analog) from the
     * footer stats of a commit's freshly written files — free, the stats

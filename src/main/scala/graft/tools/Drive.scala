@@ -426,6 +426,18 @@ object Drive {
     val p2After = liveFiles(owT2, 2)
     println(s"[42] OPTIMIZE WHERE p=0: p=0 files -> $p0After; " +
       s"p=2 untouched ($owBefore -> $p2After); rows ${owT2.toDF.count}")
+
+    // --- table CHECK constraints (ADD CONSTRAINT + write-time gate) ----
+    val ckPath = scratch("checkconstraint")
+    val ckT = graft.tables.ManagedTable.create(
+      spark.range(0, 50).selectExpr("id AS k", "id + 1 AS v"), ckPath)
+    spark.sql(s"ALTER TABLE graft.`$ckPath` ADD CONSTRAINT vpos CHECK (v > 0)")
+    val ckT2 = graft.tables.ManagedTable.forPath(spark, ckPath)
+    val ckRefused =
+      try { ckT2.append(spark.range(1).selectExpr("id AS k", "id - 5 AS v")); "NOT refused" }
+      catch { case e: Throwable if e.getMessage.contains("vpos") => "refused" }
+    println(s"[43] CHECK constraint: ${ckT2.checkConstraints}; " +
+      s"violating append $ckRefused; rows still ${ckT2.toDF.count}")
     spark.stop()
   }
 }
