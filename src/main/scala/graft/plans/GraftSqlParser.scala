@@ -104,6 +104,8 @@ object GraftSqlParser {
     s"""(?is)\\s*ALTER\\s+TABLE\\s+$Ref\\s+ADD\\s+CONSTRAINT\\s+(\\w+)\\s+CHECK\\s*\\((.+)\\)\\s*;?\\s*""".r
   private val AlterDropConstraintRe =
     s"""(?is)\\s*ALTER\\s+TABLE\\s+$Ref\\s+DROP\\s+CONSTRAINT\\s+(IF\\s+EXISTS\\s+)?(\\w+)\\s*;?\\s*""".r
+  private val AlterNotNullRe =
+    s"""(?is)\\s*ALTER\\s+TABLE\\s+$Ref\\s+ALTER\\s+COLUMN\\s+(\\w+)\\s+(SET|DROP)\\s+NOT\\s+NULL\\s*;?\\s*""".r
   private val ShowPartitionsRe =
     s"""(?is)\\s*SHOW\\s+PARTITIONS\\s+$Ref\\s*;?\\s*""".r
 
@@ -205,6 +207,9 @@ object GraftSqlParser {
         Some(GraftAddConstraintCommand(unq(path), name, check.trim))
       case AlterDropConstraintRe(path, ifExists, name) =>
         Some(GraftDropConstraintCommand(unq(path), name, ifExists != null))
+      case AlterNotNullRe(path, colName, mode) =>
+        Some(GraftNotNullCommand(unq(path), colName,
+          set = mode.equalsIgnoreCase("SET")))
       case ShowPartitionsRe(path) =>
         Some(GraftShowPartitionsCommand(unq(path)))
       case _ => None
@@ -671,6 +676,20 @@ final case class GraftAddConstraintCommand(path: String, name: String,
   override def run(spark: SparkSession): Seq[Row] = {
     ManagedTable.forPath(spark, path).addCheckConstraint(name, check)
     Seq(Row(name, check))
+  }
+}
+
+/** `ALTER TABLE graft.`path` ALTER COLUMN c SET|DROP NOT NULL`. */
+final case class GraftNotNullCommand(path: String, colName: String,
+                                     set: Boolean)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("column", StringType, nullable = false)(),
+    AttributeReference("nullable", BooleanType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val t = ManagedTable.forPath(spark, path)
+    if (set) t.setNotNull(colName) else t.dropNotNull(colName)
+    Seq(Row(colName, !set))
   }
 }
 

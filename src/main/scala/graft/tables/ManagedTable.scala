@@ -1803,6 +1803,49 @@ final class ManagedTable private (val spark: SparkSession, val location: String)
     setProperties(Map(key -> expression))
   }
 
+  /** ALTER COLUMN … SET NOT NULL (Delta analog): validates existing rows
+    * first, then one commit flips the field's schema nullability (which
+    * the reference's `constraint_append` discovers as a constraint,
+    * `mack/__init__.py:664-667`) AND records a synthesized
+    * `delta.constraints.notnull_<col>` check — so write-time enforcement
+    * rides the same per-row gate as user CHECK constraints, with no
+    * second representation to keep the write path aware of.
+    */
+  def setNotNull(colName: String): Unit = {
+    val e = latestEntry
+    val f = e.schema.fields.find(_.name == colName).getOrElse(
+      throw new graft.GraftValueError(s"no such column: $colName"))
+    if (!f.nullable) return
+    val bad = toDF.filter(col(colName).isNull).limit(1).collect()
+    if (bad.nonEmpty)
+      throw new graft.GraftValueError(
+        s"cannot SET NOT NULL on `$colName`: existing row has NULL: ${bad.head}")
+    val newSchema = StructType(e.schema.fields.map(x =>
+      if (x.name == colName) x.copy(nullable = false) else x))
+    commit(e.copy(version = e.version + 1,
+      timestampMs = System.currentTimeMillis(),
+      operation = "SET NOT NULL", schema = newSchema,
+      properties = e.properties +
+        (ManagedTable.notNullKey(colName) -> s"`$colName` IS NOT NULL"),
+      metrics = Map.empty, cdc = Nil))
+  }
+
+  /** ALTER COLUMN … DROP NOT NULL: nullable again, enforcement lifted. */
+  def dropNotNull(colName: String): Unit = {
+    val e = latestEntry
+    val f = e.schema.fields.find(_.name == colName).getOrElse(
+      throw new graft.GraftValueError(s"no such column: $colName"))
+    if (f.nullable && !e.properties.contains(ManagedTable.notNullKey(colName)))
+      return
+    val newSchema = StructType(e.schema.fields.map(x =>
+      if (x.name == colName) x.copy(nullable = true) else x))
+    commit(e.copy(version = e.version + 1,
+      timestampMs = System.currentTimeMillis(),
+      operation = "DROP NOT NULL", schema = newSchema,
+      properties = e.properties - ManagedTable.notNullKey(colName),
+      metrics = Map.empty, cdc = Nil))
+  }
+
   /** DROP CONSTRAINT; absent names raise unless `ifExists`. */
   def dropCheckConstraint(name: String, ifExists: Boolean = false): Unit = {
     val key = ManagedTable.constraintPrefix + name
@@ -2076,6 +2119,10 @@ object ManagedTable {
     * convention the reference discovers (`mack/__init__.py:658-661`).
     */
   private[tables] val constraintPrefix = "delta.constraints."
+
+  /** The synthesized check key [[ManagedTable.setNotNull]] records. */
+  private[tables] def notNullKey(colName: String): String =
+    constraintPrefix + "notnull_" + colName
 
   /** Standard write metrics (Delta operationMetrics analog) from the
     * footer stats of a commit's freshly written files — free, the stats

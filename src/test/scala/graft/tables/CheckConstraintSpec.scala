@@ -92,6 +92,34 @@ class CheckConstraintSpec extends SparkSpec {
     }
   }
 
+  test("SET NOT NULL validates, flips schema nullability, and enforces writes") {
+    val t = fresh("ck8")
+    intercept[graft.GraftValueError] { t.setNotNull("missing") }
+    t.append(df(schema, Seq(Row(3, null))))
+    intercept[GraftValueError] { t.setNotNull("v") } // existing NULL refuses
+    t.delete("v IS NULL")
+    t.setNotNull("v")
+    assert(!t.schema("v").nullable, "schema records the constraint " +
+      "(reference constraint_append discovers nullability)")
+    intercept[SparkThrowable] { t.append(df(schema, Seq(Row(4, null)))) }
+    t.setNotNull("v") // idempotent no-op
+    t.dropNotNull("v")
+    assert(t.schema("v").nullable)
+    t.append(df(schema, Seq(Row(5, null)))) // enforcement lifted
+    assert(t.toDF.filter("v IS NULL").count() == 1)
+  }
+
+  test("SQL ALTER COLUMN SET/DROP NOT NULL round-trip") {
+    val loc = tmpDir("ck9")
+    ManagedTable.create(df(schema, Seq(Row(1, 10))), loc)
+    spark.sql(s"ALTER TABLE graft.`$loc` ALTER COLUMN v SET NOT NULL")
+    val t = ManagedTable.forPath(spark, loc)
+    assert(!t.schema("v").nullable)
+    intercept[SparkThrowable] { t.append(df(schema, Seq(Row(2, null)))) }
+    spark.sql(s"ALTER TABLE graft.`$loc` ALTER COLUMN v DROP NOT NULL")
+    assert(ManagedTable.forPath(spark, loc).schema("v").nullable)
+  }
+
   test("constraint_append discovers table-level constraints end-to-end") {
     val t = fresh("ck7")
     t.addCheckConstraint("vpos", "v > 0")
