@@ -604,6 +604,14 @@ object SparkEntry {
       text.VocabStats.vocabSignals(
         t(s, dir, "documents"), "doc_id", "text", rareMax = 2, topK = 1000)),
 
+    // CCNet-style unigram-LM quality score: mean −ln p(word) under the
+    // corpus's own add-one-smoothed unigram distribution. The float fold
+    // is order-pinned (sorted count array, in-order aggregate), so the
+    // oracle replays the identical sum sequence; ln ulp divergence is
+    // absorbed by round(4)
+    "quality_unigram_nll" -> ((s, dir) =>
+      text.VocabStats.unigramNll(t(s, dir, "documents"), "doc_id", "text")),
+
     // unicode canonicalization (the cleanup pass ahead of tokenization):
     // the corpus is ASCII, so a deterministic suffix of NFC-decomposed
     // accents, zero-width/format chars, exotic whitespace, and controls
@@ -1456,6 +1464,27 @@ object SparkEntry {
         |           THEN 1 ELSE 0 END) AS BIGINT) AS n_top
         |FROM toks t JOIN vocab v USING (word)
         |GROUP BY t.doc_id""".stripMargin,
+
+    // replays the order-pinned fold: counts sorted ascending, summed in
+    // list order, ln(T+V) − sum/n — the same expression tree as Spark's
+    "quality_unigram_nll" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |                       w -> len(w) > 0)) AS word
+        |  FROM documents),
+        |vocab AS (SELECT word, count(*) AS n FROM toks GROUP BY word),
+        |s AS (SELECT sum(n) AS t, count(*) AS v FROM vocab),
+        |c AS (
+        |  SELECT toks.doc_id, coalesce(vocab.n, 0) AS cnt
+        |  FROM toks LEFT JOIN vocab USING (word)),
+        |d AS (
+        |  SELECT doc_id, count(*) AS n_words, list_sort(list(cnt)) AS cs
+        |  FROM c GROUP BY doc_id)
+        |SELECT doc_id, n_words,
+        |  round(ln(s.t + s.v)
+        |    - list_sum(list_transform(cs, x -> ln(x + 1))) / n_words, 4) AS nll
+        |FROM d CROSS JOIN s""".stripMargin,
 
     // same seeded suffix (chr() builds the identical code points), and
     // the cleanup chain spelled as nfc_normalize + three RE2 passes:

@@ -45,6 +45,44 @@ object VocabStats {
     *                     is deterministic); low coverage = off-domain
     *                     or non-lexical content.
     */
+  /** Per-document unigram negative log-likelihood (the CCNet-style LM
+    * quality proxy, computable without any trained model): with
+    * add-one-smoothed corpus unigram probabilities
+    * `p(w) = (c_w + 1) / (T + |V|)`,
+    *
+    *   `nll(d) = mean_w −ln p(w) = ln(T+|V|) − (Σ_w ln(c_w+1)) / n_words`
+    *
+    * Low NLL = common-word prose; high NLL = rare-word/noisy text —
+    * CCNet buckets a corpus by exactly this kind of score. `vocabOf`
+    * scores against a REFERENCE corpus (OOV words get count 0).
+    *
+    * Determinism: the float fold is order-pinned — per-document counts
+    * are collected, SORTED, and summed in array order (one `aggregate`
+    * fold), so the result is identical run-to-run and engine-to-engine
+    * (a plain groupBy-sum of doubles would depend on shuffle arrival
+    * order). Same scale shape as [[vocabSignals]]: one explode, the
+    * word-count shuffle, one re-join; the (T, |V|) totals are a single
+    * broadcast row.
+    */
+  def unigramNll(df: DataFrame, idCol: String, textCol: String,
+                 vocabOf: Option[DataFrame] = None): DataFrame = {
+    val vocab = vocabOf.getOrElse(vocabulary(df, textCol))
+    val totals = vocab.agg(sum(col("n")).as("__t"), count(lit(1)).as("__v"))
+    val toks = df.select(col(idCol), explode(words(col(textCol))).as("word"))
+    toks.join(vocab, Seq("word"), "left")
+      .select(col(idCol), coalesce(col("n"), lit(0L)).as("__c"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_words"),
+        sort_array(collect_list(col("__c"))).as("__cs"))
+      .crossJoin(broadcast(totals))
+      .select(col(idCol), col("n_words"),
+        round(
+          log(col("__t") + col("__v")) -
+            aggregate(col("__cs"), lit(0.0), (a, c) => a + log(c + lit(1))) /
+              col("n_words"),
+          4).as("nll"))
+  }
+
   def vocabSignals(df: DataFrame, idCol: String, textCol: String,
                    rareMax: Long = 2, topK: Int = 1000,
                    vocabOf: Option[DataFrame] = None): DataFrame = {

@@ -50,4 +50,34 @@ class VocabStatsSpec extends SparkSpec {
     val out = VocabStats.vocabSignals(d, "doc_id", "text")
     assert(out.collect().map(_.getLong(0)).toSeq == Seq(1L))
   }
+
+  test("unigram NLL matches the hand-computed smoothed formula") {
+    // vocab: the=4 cat=2 sat=1 mat=1 dog=1 → T=9, V=5, ln(T+V)=ln(14)
+    val out = VocabStats.unigramNll(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toList
+      .sortBy(_._1)
+    def nll(counts: Seq[Long]): Double = {
+      val raw = math.log(14) -
+        counts.sorted.map(c => math.log(c + 1.0)).sum / counts.size
+      BigDecimal(raw).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    assert(out.map(_._2) == List(3L, 3L, 3L))
+    assert(out(0)._3 == nll(Seq(4, 2, 1)), "doc 1: the cat sat")
+    assert(out(1)._3 == nll(Seq(4, 2, 1)), "doc 2 case-folds onto doc 1")
+    assert(out(2)._3 == nll(Seq(4, 4, 1)), "doc 3: the the dog")
+    // common-word doc scores lower than rare-word doc 3? the+the+dog has
+    // MORE mass than the+cat+sat (4,4,1 vs 4,2,1) → lower NLL
+    assert(out(2)._3 < out(0)._3)
+  }
+
+  test("unigram NLL against a reference vocab: OOV words raise the score") {
+    val ref = Seq(("the", 100L), ("cat", 50L)).toDF("word", "n")
+    val out = VocabStats.unigramNll(docs, "doc_id", "text", vocabOf = Some(ref))
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    // doc 3 ("the the dog") has one OOV (count 0) vs doc 1's one OOV +
+    // lower in-vocab mass — both defined, no NaN, OOV-heavier scores higher
+    assert(!out.values.exists(_.isNaN))
+    assert(out(1L) > out(3L), "cat(50)+OOV beats nothing: doc1 has sat OOV " +
+      "and cat=50 < the=100 mass")
+  }
 }
