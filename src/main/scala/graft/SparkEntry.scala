@@ -612,6 +612,22 @@ object SparkEntry {
     "quality_unigram_nll" -> ((s, dir) =>
       text.VocabStats.unigramNll(t(s, dir, "documents"), "doc_id", "text")),
 
+    // REAL learned BPE (see text/Bpe.scala): merges trained on the corpus
+    // (deterministic — full collect under the sample bound at sf0.01),
+    // token counts via the greedy merge-rank kernel, aggregated per
+    // source. BPE training is not SQL-replayable, so the oracle is a
+    // GOLDEN LITERAL pinned at sf0.01 (a regression tripwire, like
+    // dedup_simhash); the algorithm's semantics are pinned against
+    // hand-computed merges in BpeSpec.
+    "token_bpe" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val model = text.Bpe.fit(docs, "text", numMerges = 200)
+      docs.select(col("source"),
+          text.Bpe.tokenCount(col("text"), model).as("__n"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum(col("__n")).as("n_tokens"))
+    }),
+
     // unicode canonicalization (the cleanup pass ahead of tokenization):
     // the corpus is ASCII, so a deterministic suffix of NFC-decomposed
     // accents, zero-width/format chars, exotic whitespace, and controls
@@ -1181,7 +1197,7 @@ object SparkEntry {
     * rows-only check — a literal id list re-run at sf0.1 would produce
     * false failures (or vacuous passes) rather than verification.
     */
-  private val sf001OnlyOracles: Set[String] = Set("dedup_simhash")
+  private val sf001OnlyOracles: Set[String] = Set("dedup_simhash", "token_bpe")
 
   /** The oracle map as it applies to `sfDir`: golden-literal entries are
     * dropped unless the data dir is the sf0.01 set they were pinned on.
@@ -1464,6 +1480,23 @@ object SparkEntry {
         |           THEN 1 ELSE 0 END) AS BIGINT) AS n_top
         |FROM toks t JOIN vocab v USING (word)
         |GROUP BY t.doc_id""".stripMargin,
+
+    // GOLDEN LITERAL pinned at sf0.01 (see the token_bpe query comment):
+    // BPE merge training is not SQL-replayable; the algorithm is pinned
+    // against hand-computed merges in BpeSpec, and this literal trips on
+    // any regression of training determinism or the encode loop
+    "token_bpe" ->
+      """SELECT source, CAST(d AS BIGINT) AS n_docs,
+        |       CAST(n AS BIGINT) AS n_tokens
+        |FROM (VALUES
+        |  ('src0', 25, 1435), ('src1', 25, 1540), ('src10', 25, 1303),
+        |  ('src11', 25, 1522), ('src12', 25, 1272), ('src13', 25, 1553),
+        |  ('src14', 25, 1318), ('src15', 25, 1298), ('src16', 25, 1351),
+        |  ('src17', 25, 1373), ('src18', 25, 1364), ('src19', 25, 1147),
+        |  ('src2', 25, 1407), ('src3', 25, 1384), ('src4', 25, 1294),
+        |  ('src5', 25, 1329), ('src6', 25, 1266), ('src7', 25, 1507),
+        |  ('src8', 25, 1136), ('src9', 25, 1366))
+        |AS v(source, d, n)""".stripMargin,
 
     // replays the order-pinned fold: counts sorted ascending, summed in
     // list order, ln(T+V) − sum/n — the same expression tree as Spark's

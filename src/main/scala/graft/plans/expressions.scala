@@ -110,7 +110,7 @@ object expressions {
           s"$name expects array<bigint>, got ${other.sql}")
     }
 
-  private[plans] def stringCheck(e: Expression, name: String) =
+  private[graft] def stringCheck(e: Expression, name: String) =
     e.dataType match {
       case StringType =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
