@@ -104,6 +104,15 @@ object GraftFunctions {
       (args: Seq[Expression]) => {
         require(args.length == 1, "graft_unicode_clean(text)")
         UnicodeClean(args.head)
+      }),
+    (FunctionIdentifier("graft_gopher_stats"),
+      info("graft_gopher_stats",
+        "graft_gopher_stats(text) - one-pass Gopher document-quality counters " +
+          "(words, word-length mass, alpha words, symbols, lines, bullets, " +
+          "ellipses, canonical stop-word hits)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "graft_gopher_stats(text)")
+        GopherStats(args.head, graft.text.QualityFilters.gopherStopwords)
       }))
 
   /** Table-valued functions: the change data feed as a SQL relation —

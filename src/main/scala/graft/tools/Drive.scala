@@ -438,6 +438,24 @@ object Drive {
       catch { case e: Throwable if e.getMessage.contains("vpos") => "refused" }
     println(s"[43] CHECK constraint: ${ckT2.checkConstraints}; " +
       s"violating append $ckRefused; rows still ${ckT2.toDF.count}")
+
+    // --- unigram-LM NLL + real BPE token budgeting ---------------------
+    val nllStats = graft.text.VocabStats.unigramNll(docsAll, "doc_id", "text")
+      .agg(min("nll"), avg("nll"), max("nll")).head()
+    val bpeModel = graft.text.Bpe.fit(docsAll, "text", numMerges = 200)
+    val bpeTotals = docsAll.select(
+        graft.text.Bpe.tokenCount(col("text"), bpeModel).as("bpe"),
+        graft.text.TextAnalysis.tokenCountWhitespace(col("text")).as("ws"))
+      .agg(sum("bpe"), sum("ws")).head()
+    val gopherSql = spark.sql(
+      "SELECT graft_gopher_stats('the cat\n- item one...') AS g")
+      .selectExpr("g.n_words", "g.bullet_lines", "g.ellipsis_lines").head()
+    println(f"[44] nll min/avg/max ${nllStats.getDouble(0)}%.2f/" +
+      f"${nllStats.getDouble(1)}%.2f/${nllStats.getDouble(2)}%.2f; " +
+      s"bpe tokens ${bpeTotals.getLong(0)} vs ws ${bpeTotals.getLong(1)} " +
+      s"(${bpeModel.merges.size} merges); " +
+      s"SQL gopher_stats -> words=${gopherSql.getLong(0)} " +
+      s"bullets=${gopherSql.getLong(1)} ellipses=${gopherSql.getLong(2)}")
     spark.stop()
   }
 }
