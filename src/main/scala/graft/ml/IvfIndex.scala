@@ -33,19 +33,7 @@ object IvfIndex {
     */
   def fit(df: DataFrame, vecCol: String, k: Int,
           sampleSize: Int = 10000, iters: Int = 10, seed: Long = 42L): Model = {
-    // Uniform random sample, not limit(): limit takes the FIRST partitions,
-    // which biases the centroids on any sorted/partitioned corpus. One
-    // cheap count (column-pruned scan) sizes a Bernoulli fraction; the
-    // 1.2× oversample keeps the post-sample limit from undershooting.
-    val vecs = df.select(vecCol)
-    val total = vecs.count()
-    val rows =
-      if (total <= sampleSize) vecs.collect()
-      else {
-        val fraction = math.min(1.0, sampleSize * 1.2 / total)
-        vecs.sample(withReplacement = false, fraction, seed)
-          .limit(sampleSize).collect()
-      }
+    val rows = BoundedSample.rows(df, vecCol, sampleSize, seed)
     val sample: Array[Array[Double]] = rows.map { r =>
       normalizeArr(r.getSeq[Number](0).map(_.doubleValue).toArray)
     }

@@ -42,15 +42,7 @@ object PqIndex {
           sampleSize: Int = 10000, iters: Int = 10, seed: Long = 42L): Model = {
     require(m >= 1 && ksub >= 2 && ksub <= 256,
       "need 1 <= m, 2 <= ksub <= 256 (codes are one byte)")
-    val vecs = df.select(vecCol)
-    val total = vecs.count()
-    val rows =
-      if (total <= sampleSize) vecs.collect()
-      else {
-        val fraction = math.min(1.0, sampleSize * 1.2 / total)
-        vecs.sample(withReplacement = false, fraction, seed)
-          .limit(sampleSize).collect()
-      }
+    val rows = BoundedSample.rows(df, vecCol, sampleSize, seed)
     val sample: Array[Array[Double]] = rows.map { r =>
       val v = r.getSeq[Number](0).map(_.doubleValue).toArray
       val n = math.sqrt(v.map(x => x * x).sum)
@@ -177,6 +169,7 @@ case class PqEncode(child: Expression, model: PqIndex.Model)
     extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(ByteType, containsNull = false)
+  override def nullable: Boolean = true // wrong-dim vectors yield null
   override def checkInputDataTypes() = child.dataType match {
     case ArrayType(FloatType | DoubleType, _) =>
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
@@ -196,9 +189,16 @@ case class PqEncode(child: Expression, model: PqIndex.Model)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val cb = ctx.addReferenceObj("pqCodebooks", model.codebooks, "double[]")
-    nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.plans.ExprKernels.pqEncode($c, $isFloat, $cb, " +
-        s"${model.m}, ${model.ksub}, ${model.dsub});")
+    nullSafeCodeGen(ctx, ev, c => {
+      val tmp = ctx.freshName("pqCodes")
+      s"""
+         |org.apache.spark.sql.catalyst.util.ArrayData $tmp =
+         |  graft.plans.ExprKernels.pqEncode($c, $isFloat, $cb,
+         |    ${model.m}, ${model.ksub}, ${model.dsub});
+         |${ev.isNull} = $tmp == null;
+         |if (!${ev.isNull}) ${ev.value} = $tmp;
+       """.stripMargin
+    })
   }
 
   override protected def withNewChildInternal(c: Expression): PqEncode =
@@ -210,6 +210,7 @@ case class PqLut(child: Expression, model: PqIndex.Model)
     extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true // wrong-dim vectors yield null
   override def checkInputDataTypes() = child.dataType match {
     case ArrayType(FloatType | DoubleType, _) =>
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
@@ -229,9 +230,16 @@ case class PqLut(child: Expression, model: PqIndex.Model)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val cb = ctx.addReferenceObj("pqCodebooks", model.codebooks, "double[]")
-    nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.plans.ExprKernels.pqLut($c, $isFloat, $cb, " +
-        s"${model.m}, ${model.ksub}, ${model.dsub});")
+    nullSafeCodeGen(ctx, ev, c => {
+      val tmp = ctx.freshName("pqLut")
+      s"""
+         |org.apache.spark.sql.catalyst.util.ArrayData $tmp =
+         |  graft.plans.ExprKernels.pqLut($c, $isFloat, $cb,
+         |    ${model.m}, ${model.ksub}, ${model.dsub});
+         |${ev.isNull} = $tmp == null;
+         |if (!${ev.isNull}) ${ev.value} = $tmp;
+       """.stripMargin
+    })
   }
 
   override protected def withNewChildInternal(c: Expression): PqLut =

@@ -109,7 +109,7 @@ object Similarity {
       .crossJoin(q)
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("approx",
-        col("__qs") * col("__cs") * dot(col("__qc"), col("__cc")))
+        sq8Score(col("__qs"), col("__qc"), col("__cs"), col("__cc")))
     scored
       .withColumn("rank", row_number().over(
         Window.partitionBy("query_id")

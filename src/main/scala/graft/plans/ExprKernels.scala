@@ -855,8 +855,12 @@ object ExprKernels {
         var b = lineStart
         while (b < e && s.charAt(b) == ' ') b += 1
         val first = s.codePointAt(b)
+        // the "- "/"* " check reads the UNTRIMMED line end (`until`, not
+        // `e`): `ltrim(l) LIKE '- %'` matches a bullet marker followed by
+        // only spaces, and the Column formulation's startsWith("- ") did too
         if (first == 0x2022 ||
-            ((first == '-' || first == '*') && b + 1 < e && s.charAt(b + 1) == ' '))
+            ((first == '-' || first == '*') &&
+              b + 1 < until && s.charAt(b + 1) == ' '))
           bulletLines += 1
         val last = s.charAt(e - 1)
         if (last == 0x2026.toChar ||
@@ -870,6 +874,10 @@ object ExprKernels {
     var i = 0
     while (i < s.length) {
       val cp = s.codePointAt(i)
+      // Java-regex \s (what Spark's split uses), matching the other text
+      // kernels. Known asymmetry: RE2 (DuckDB) excludes VT (0x0B) from
+      // \s — a corpus containing vertical tabs would diverge from the
+      // oracle there, on the Spark-split side of the fence.
       val isWs = cp == ' ' || cp == '\t' || cp == '\n' || cp == 0x0B ||
         cp == '\f' || cp == '\r'
       if (isWs) closeWord(i)
@@ -923,6 +931,7 @@ object ExprKernels {
     */
   def pqEncode(vec: ArrayData, isFloat: Boolean, codebooks: Array[Double],
                m: Int, ksub: Int, dsub: Int): ArrayData = {
+    if (vec.numElements() != m * dsub) return null // wrong-dim row: null, don't kill the scan
     val v = readVecNormalized(vec, isFloat)
     val codes = new Array[Byte](m)
     var sub = 0
@@ -955,6 +964,7 @@ object ExprKernels {
     */
   def pqLut(vec: ArrayData, isFloat: Boolean, codebooks: Array[Double],
             m: Int, ksub: Int, dsub: Int): ArrayData = {
+    if (vec.numElements() != m * dsub) return null // wrong-dim row: null, don't kill the scan
     val v = readVecNormalized(vec, isFloat)
     val lut = new Array[Double](m * ksub)
     var sub = 0

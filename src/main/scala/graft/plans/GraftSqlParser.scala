@@ -163,17 +163,32 @@ object GraftSqlParser {
         // (the predicate prunes FILES without reading them, so anything
         // beyond `part = literal AND …` must fail loud, as Delta does)
         val spec: Map[String, String] = Option(where).map { w =>
-          w.split("(?i)\\s+AND\\s+").map { term =>
+          val terms = w.split("(?i)\\s+AND\\s+").map { term =>
             val i = term.indexOf('=')
             require(i > 0 && term.indexOf('=', i + 1) < 0 &&
                 !term.contains('<') && !term.contains('>'),
               s"OPTIMIZE WHERE supports only `col = literal [AND …]` " +
                 s"partition predicates, got: $term")
             val k = term.substring(0, i).trim
-            val v = unquoteLit(term.substring(i + 1).trim)
+            val rawV = term.substring(i + 1).trim
+            // the value must be ONE literal — a bare word/number or one
+            // quoted string. Trailing SQL ("0 ORDER BY x") must fail loud
+            // here, not silently match no partition and no-op.
+            require(rawV.matches("[\\w.+-]+") ||
+                rawV.matches("'(?:[^']|'')*'") ||
+                rawV.matches("\"(?:[^\"]|\"\")*\""),
+              s"OPTIMIZE WHERE expects a single literal value, got: $rawV")
             require(k.matches("[\\w]+"), s"bad partition column: $k")
-            k -> v
-          }.toMap
+            k -> unquoteLit(rawV)
+          }.toSeq
+          // `p = 1 AND p = 2` is unsatisfiable — refuse rather than
+          // letting Map last-wins rewrite partitions the predicate excludes
+          terms.groupBy(_._1).foreach { case (k, vs) =>
+            require(vs.map(_._2).distinct.size == 1,
+              s"OPTIMIZE WHERE binds partition column `$k` to conflicting " +
+                s"values: ${vs.map(_._2).mkString(", ")}")
+          }
+          terms.toMap
         }.getOrElse(Map.empty)
         Some(GraftOptimizeCommand(unq(path), cols, spec))
       case HistoryRe(path) => Some(GraftHistoryCommand(unq(path)))

@@ -537,12 +537,6 @@ final class ManagedTable private (val spark: SparkSession, val location: String)
     if (e.files.nonEmpty || e.dirs.isEmpty) e.files
     else statsFor(e.dirs, e.schema)
 
-  /** Write `df` under a fresh uuid dir; returns the LEAF directories
-    * relative to the data root — `uuid` itself when unpartitioned, else
-    * one `uuid/p=v[/q=w…]` path per written partition. `props` (the
-    * snapshot's table properties) activate parquet-native bloom filters
-    * for `graft.bloom.columns` — see [[BloomSkip]].
-    */
   /** Per-row CHECK-constraint enforcement (Delta's `CheckInvariant`):
     * every write funnels through [[writeData]], so a violating row makes
     * the WRITE fail inside its own scan — one codegen'd boolean per row
@@ -568,6 +562,13 @@ final class ManagedTable private (val spark: SparkSession, val location: String)
     }
   }
 
+  /** Write `df` under a fresh uuid dir; returns the LEAF directories
+    * relative to the data root — `uuid` itself when unpartitioned, else
+    * one `uuid/p=v[/q=w…]` path per written partition. `props` (the
+    * snapshot's table properties) activate parquet-native bloom filters
+    * for `graft.bloom.columns` — see [[BloomSkip]] — and carry the CHECK
+    * constraints [[enforced]] applies.
+    */
   private def writeData(df: DataFrame, parts: Seq[String],
                         props: Map[String, String]): Seq[String] = {
     val id = UUID.randomUUID().toString
@@ -1099,8 +1100,8 @@ final class ManagedTable private (val spark: SparkSession, val location: String)
     * History is preserved, and [[vacuum]] then reclaims the fragments.
     * Partitioned tables hash-cluster rows so each partition compacts to
     * one file per write task that owns it (typically one).
-    */
-  /** `partitions` (Delta's `OPTIMIZE … WHERE` analog) restricts the
+    *
+    * `partitions` (Delta's `OPTIMIZE … WHERE` analog) restricts the
     * rewrite to files whose partition values match ANY of the given
     * specs; a spec may name a subset of the partition columns (prefix
     * or partial match, like `WHERE year = 2024`). On a 100 TB table the
@@ -1792,6 +1793,9 @@ final class ManagedTable private (val spark: SparkSession, val location: String)
   def addCheckConstraint(name: String, expression: String): Unit = {
     require(name.matches("[\\w]+"), s"constraint name must be word-like: $name")
     require(expression.trim.nonEmpty, "empty constraint expression")
+    require(!name.startsWith("notnull_"),
+      s"the notnull_* namespace is reserved for SET NOT NULL " +
+        s"(use setNotNull(`${name.stripPrefix("notnull_")}`))")
     val key = ManagedTable.constraintPrefix + name
     require(!latestEntry.properties.contains(key),
       s"constraint `$name` already exists (drop it first)")
@@ -1846,13 +1850,23 @@ final class ManagedTable private (val spark: SparkSession, val location: String)
       metrics = Map.empty, cdc = Nil))
   }
 
-  /** DROP CONSTRAINT; absent names raise unless `ifExists`. */
+  /** DROP CONSTRAINT; absent names raise unless `ifExists`. The
+    * synthesized `notnull_<col>` constraints refuse here — dropping one
+    * while the schema stayed non-nullable would leave a column whose
+    * declared schema promises NOT NULL with no write-time enforcement
+    * behind it; [[dropNotNull]] retires both representations together.
+    */
   def dropCheckConstraint(name: String, ifExists: Boolean = false): Unit = {
     val key = ManagedTable.constraintPrefix + name
     if (!latestEntry.properties.contains(key)) {
       if (ifExists) return
       throw new graft.GraftValueError(s"no such constraint: $name")
     }
+    if (name.startsWith("notnull_"))
+      throw new graft.GraftValueError(
+        s"`$name` is a SET NOT NULL constraint — " +
+          s"use dropNotNull(`${name.stripPrefix("notnull_")}`) so the " +
+          "schema nullability retires with it")
     unsetProperties(Seq(key))
   }
 

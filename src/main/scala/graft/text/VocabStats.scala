@@ -45,6 +45,30 @@ object VocabStats {
     *                     is deterministic); low coverage = off-domain
     *                     or non-lexical content.
     */
+  def vocabSignals(df: DataFrame, idCol: String, textCol: String,
+                   rareMax: Long = 2, topK: Int = 1000,
+                   vocabOf: Option[DataFrame] = None): DataFrame = {
+    require(rareMax >= 1 && topK >= 1,
+      s"need rareMax >= 1 and topK >= 1, got $rareMax/$topK")
+    val vocab = vocabOf.getOrElse(vocabulary(df, textCol))
+    // TakeOrderedAndProject, not a single-partition row_number window:
+    // the vocabulary of a 100 TB corpus is itself large
+    val top = vocab.orderBy(col("n").desc, col("word")).limit(topK)
+      .select(col("word"), lit(1).as("__top"))
+    val toks = df.select(col(idCol), explode(words(col(textCol))).as("word"))
+    toks
+      .join(vocab.select(col("word"),
+        (col("n") <= rareMax).cast("int").as("__rare")), Seq("word"), "left")
+      .join(top.select(col("word"), col("__top")), Seq("word"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_words"),
+        countDistinct(col("word")).as("n_types"),
+        // a word absent from a REFERENCE vocab counts as rare (OOV)
+        sum(coalesce(col("__rare"), lit(1))).as("n_rare"),
+        sum(coalesce(col("__top"), lit(0))).cast("long").as("n_top"))
+  }
+
   /** Per-document unigram negative log-likelihood (the CCNet-style LM
     * quality proxy, computable without any trained model): with
     * add-one-smoothed corpus unigram probabilities
@@ -81,29 +105,5 @@ object VocabStats {
             aggregate(col("__cs"), lit(0.0), (a, c) => a + log(c + lit(1))) /
               col("n_words"),
           4).as("nll"))
-  }
-
-  def vocabSignals(df: DataFrame, idCol: String, textCol: String,
-                   rareMax: Long = 2, topK: Int = 1000,
-                   vocabOf: Option[DataFrame] = None): DataFrame = {
-    require(rareMax >= 1 && topK >= 1,
-      s"need rareMax >= 1 and topK >= 1, got $rareMax/$topK")
-    val vocab = vocabOf.getOrElse(vocabulary(df, textCol))
-    // TakeOrderedAndProject, not a single-partition row_number window:
-    // the vocabulary of a 100 TB corpus is itself large
-    val top = vocab.orderBy(col("n").desc, col("word")).limit(topK)
-      .select(col("word"), lit(1).as("__top"))
-    val toks = df.select(col(idCol), explode(words(col(textCol))).as("word"))
-    toks
-      .join(vocab.select(col("word"),
-        (col("n") <= rareMax).cast("int").as("__rare")), Seq("word"), "left")
-      .join(top.select(col("word"), col("__top")), Seq("word"), "left")
-      .groupBy(col(idCol))
-      .agg(
-        count(lit(1)).as("n_words"),
-        countDistinct(col("word")).as("n_types"),
-        // a word absent from a REFERENCE vocab counts as rare (OOV)
-        sum(coalesce(col("__rare"), lit(1))).as("n_rare"),
-        sum(coalesce(col("__top"), lit(0))).cast("long").as("n_top"))
   }
 }

@@ -88,6 +88,19 @@ class PqIndexSpec extends SparkSpec {
     assert(pq == bf, "ADC shortlist of 15 must recover the exact top-5")
   }
 
+  test("wrong-dimension vectors yield null codes, not a dead scan") {
+    val df = clustered
+    val model = PqIndex.fit(df, "embedding", m = 4, ksub = 4)
+    val mixed = df.limit(2).union(
+      Seq((999L, Array(1f, 2f), -1)).toDF("vec_id", "embedding", "true_cluster"))
+    val out = mixed.select($"vec_id",
+        PqIndex.encode($"embedding", model).as("c"),
+        PqIndex.lut($"embedding", model).as("l"))
+      .collect().map(r => r.getLong(0) -> (r.isNullAt(1), r.isNullAt(2))).toMap
+    assert(out(999L) == ((true, true)), "short vector -> null codes and lut")
+    assert(out.filter(_._1 != 999L).values.forall(_ == ((false, false))))
+  }
+
   test("zero vector encodes without NaN and scores 0") {
     val df = Seq((0L, Array(0f, 0f, 0f, 0f)), (1L, Array(1f, 0f, 0f, 0f)),
       (2L, Array(0f, 1f, 0f, 0f)), (3L, Array(0.5f, 0.5f, 0f, 0f)))

@@ -109,6 +109,20 @@ class CheckConstraintSpec extends SparkSpec {
     assert(t.toDF.filter("v IS NULL").count() == 1)
   }
 
+  test("the notnull_* constraint namespace is interlocked with the schema") {
+    val t = fresh("ck10")
+    t.setNotNull("v")
+    // dropping the synthesized constraint directly would leave a
+    // non-nullable schema with no enforcement — refused
+    intercept[GraftValueError] { t.dropCheckConstraint("notnull_v") }
+    // and a user CHECK cannot squat on the reserved namespace
+    intercept[IllegalArgumentException] {
+      t.addCheckConstraint("notnull_k", "k > 0")
+    }
+    t.dropNotNull("v") // the sanctioned path retires both together
+    assert(t.schema("v").nullable && t.checkConstraints.isEmpty)
+  }
+
   test("SQL ALTER COLUMN SET/DROP NOT NULL round-trip") {
     val loc = tmpDir("ck9")
     ManagedTable.create(df(schema, Seq(Row(1, 10))), loc)

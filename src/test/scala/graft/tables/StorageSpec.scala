@@ -341,6 +341,15 @@ class StorageSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       spark.sql(s"OPTIMIZE graft.`$loc` WHERE part > 'a'").collect()
     }
+    // conflicting equalities on one column refuse (Map last-wins would
+    // rewrite partitions the predicate excludes)
+    intercept[IllegalArgumentException] {
+      spark.sql(s"OPTIMIZE graft.`$loc` WHERE part = 'a' AND part = 'c'").collect()
+    }
+    // trailing SQL in the value refuses loud instead of matching nothing
+    intercept[IllegalArgumentException] {
+      spark.sql(s"OPTIMIZE graft.`$loc` WHERE part = 'a' ORDER BY part").collect()
+    }
   }
 
   test("optimize(sortBy) clusters rows so filtered scans can skip row groups") {

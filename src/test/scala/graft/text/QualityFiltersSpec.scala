@@ -114,6 +114,12 @@ class QualityFiltersSpec extends SparkSpec {
     assert(r.getLong(6) == 2L, "stop hits")
   }
 
+  test("bullet marker followed by only spaces still counts as a bullet " +
+       "(ltrim(l) LIKE '- %' semantics)") {
+    val r = gopher("- \nreal line\n* ")
+    assert(r.getDouble(4) == 2.0 / 3, s"'- ' and '* ' are bullets: ${r.getDouble(4)}")
+  }
+
   test("gopher signals on empty text are total (no div-by-zero)") {
     val r = gopher("")
     assert(r.getLong(0) == 0L && r.getDouble(1) == 0.0 &&
