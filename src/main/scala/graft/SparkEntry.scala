@@ -508,6 +508,37 @@ object SparkEntry {
       ManagedTable.forPath(s, dst).toDF
     }),
 
+    // the plain TABLE streaming source (readStream.format("graft") —
+    // Delta's most common streaming pattern): initial snapshot + append
+    // tailing, mirrored through the graft sink; an OPTIMIZE mid-stream
+    // must be transparent (rows unchanged → nothing emitted). The mirror
+    // must equal the source table exactly — the oracle is the batch
+    // definition of the same rows.
+    "table_stream_source" -> ((s, dir) => {
+      val src = "/root/repo/target/tmp/q_src_src"
+      val dst = "/root/repo/target/tmp/q_src_dst"
+      val ckpt = "/root/repo/target/tmp/q_src_ckpt"
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm); f.delete(); ()
+      }
+      Seq(src, dst, ckpt).foreach(p => rm(new java.io.File(p)))
+      val orders = t(s, dir, "orders")
+      val tbl = ManagedTable.create(
+        orders.filter(col("o_orderkey") % 3 === 0), src)
+      val q = s.readStream.format("graft").load(src)
+        .writeStream.format("graft").option("checkpointLocation", ckpt)
+        .option("txnAppId", "q_src")
+        .start(dst)
+      try {
+        q.processAllAvailable() // batch 0: the snapshot
+        tbl.append(orders.filter(col("o_orderkey") % 3 === 1))
+        tbl.optimize(targetFileSizeBytes = 256L * 1024 * 1024) // transparent
+        tbl.append(orders.filter(col("o_orderkey") % 3 === 2))
+        q.processAllAvailable()
+      } finally q.stop()
+      ManagedTable.forPath(s, dst).toDF
+    }),
+
     // Z-order clustering: rewrite lineitem z-ordered on (l_orderkey,
     // l_partkey), then prove BOTH range probes return exactly the
     // oracle's rows THROUGH the pruned read (a wrongly-skipped file
@@ -1417,6 +1448,10 @@ object SparkEntry {
     // matching the full table proves delivery was complete and
     // exactly-once (a dropped batch loses rows, a replayed one doubles)
     "table_stream_sink" -> "SELECT * FROM orders",
+
+    // the streaming mirror must reproduce the source table exactly:
+    // snapshot batch + two appends = all orders (o_orderkey%3 ∈ {0,1,2})
+    "table_stream_source" -> "SELECT * FROM orders",
 
     // the two TRUE columns are engine-side assertions (file-skipping
     // achieved), the same pattern as table_admin.sizes_line_ok; the row

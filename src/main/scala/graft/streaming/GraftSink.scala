@@ -39,8 +39,29 @@ import graft.tables.ManagedTable
   * batch — use `foreachBatch` with [[graft.tables.Merge]] for those
   * shapes (the SCD2/dedup operators show the pattern).
   */
-class GraftSinkProvider extends StreamSinkProvider with DataSourceRegister {
+class GraftSinkProvider extends StreamSinkProvider
+    with org.apache.spark.sql.sources.StreamSourceProvider
+    with DataSourceRegister {
   override def shortName(): String = "graft"
+
+  // `format("graft")` is BOTH ends of a pipeline: readStream tails a
+  // table (delegated to [[TableSourceProvider]] — one registered class
+  // per short name, or lookup reports an ambiguity) and writeStream
+  // appends to one.
+  private val source = new TableSourceProvider
+
+  override def sourceSchema(sqlContext: SQLContext,
+                            schema: Option[org.apache.spark.sql.types.StructType],
+                            providerName: String,
+                            parameters: Map[String, String]) =
+    source.sourceSchema(sqlContext, schema, providerName, parameters)
+
+  override def createSource(sqlContext: SQLContext,
+                            metadataPath: String,
+                            schema: Option[org.apache.spark.sql.types.StructType],
+                            providerName: String,
+                            parameters: Map[String, String]) =
+    source.createSource(sqlContext, metadataPath, schema, providerName, parameters)
 
   override def createSink(sqlContext: SQLContext,
                           parameters: Map[String, String],

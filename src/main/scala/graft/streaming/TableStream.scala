@@ -1,0 +1,172 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, GraftColumnBridge, SQLContext}
+import org.apache.spark.sql.execution.streaming.{Offset, Source}
+import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.types._
+import org.apache.hadoop.fs.{Path => HadoopPath}
+import graft.tables.ManagedTable
+
+/** Structured-Streaming SOURCE over a managed table (Delta's
+  * `spark.readStream.format("delta")` analog — the most common Delta
+  * streaming pattern: tail a table's appends):
+  *
+  * {{{
+  *   spark.readStream.format("graft")
+  *     .option("startingVersion", "3")     // optional: tail from v3, no snapshot
+  *     .option("skipChangeCommits", "true") // optional: skip non-append commits
+  *     .option("maxVersionsPerTrigger", "10")
+  *     .load(tablePath)
+  * }}}
+  *
+  * Default semantics match Delta: the first batch is the table's FULL
+  * snapshot as of stream start, then each micro-batch carries the rows
+  * appended by subsequent commits. Commit classification is STRUCTURAL,
+  * not operation-string trust: a commit that removes no (path, dv) file
+  * entry is append-shaped and streams its added files; a commit that
+  * removes entries (DELETE/UPDATE/MERGE rewrites, DV swaps, OVERWRITE)
+  * fails the stream loud — streaming a changed row as if it were an
+  * append silently corrupts every downstream aggregate — unless
+  * `skipChangeCommits` opts into skipping them (Delta's option of the
+  * same name). OPTIMIZE commits rewrite without changing rows and are
+  * always skipped. Offsets are table versions; restart replays from the
+  * checkpoint within the vacuum retention window, and the initial
+  * anchor version is pinned under `metadataPath` exactly like
+  * [[CdfSourceProvider]] (crash between offset-log and sink commit must
+  * not re-anchor).
+  */
+class TableSourceProvider extends StreamSourceProvider {
+  // NOT a registered DataSourceRegister: [[GraftSinkProvider]] owns the
+  // "graft" short name and delegates its read side here — registering a
+  // second provider under the same name would make lookup ambiguous.
+
+  private def pathOf(parameters: Map[String, String]): String =
+    parameters.getOrElse("path", throw new IllegalArgumentException(
+      "graft source requires a table path: .load(<path>) or .option(\"path\", …)"))
+
+  override def sourceSchema(sqlContext: SQLContext,
+                            schema: Option[StructType],
+                            providerName: String,
+                            parameters: Map[String, String]): (String, StructType) =
+    ("graft",
+      ManagedTable.forPath(sqlContext.sparkSession, pathOf(parameters)).schema)
+
+  override def createSource(sqlContext: SQLContext,
+                            metadataPath: String,
+                            schema: Option[StructType],
+                            providerName: String,
+                            parameters: Map[String, String]): Source = {
+    val path = pathOf(parameters)
+    val table = ManagedTable.forPath(sqlContext.sparkSession, path)
+    val hconf = sqlContext.sparkSession.sessionState.newHadoopConf()
+    val mPath = new HadoopPath(metadataPath, "graft-table-base")
+    val fs = mPath.getFileSystem(hconf)
+    val startingVersion = parameters.get("startingVersion").map(_.toLong)
+    // base = highest version NOT part of the stream. Default: snapshot
+    // mode — base is the stream-start version and batch 0 reads that
+    // whole snapshot. startingVersion=v tails commits >= v, no snapshot.
+    val base =
+      if (fs.exists(mPath)) {
+        val in = fs.open(mPath)
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
+        finally in.close()
+      } else {
+        val b = startingVersion.map(_ - 1).getOrElse(table.latestVersion)
+        val out =
+          try fs.create(mPath, false)
+          catch { case _: java.io.IOException => null }
+        if (out != null) {
+          try out.write(b.toString.getBytes("UTF-8")) finally out.close()
+          b
+        } else {
+          if (!fs.exists(mPath)) throw new IllegalStateException(
+            s"cannot persist graft source initial offset under $metadataPath")
+          val in = fs.open(mPath)
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
+          finally in.close()
+        }
+      }
+    val maxPerTrigger = parameters.get("maxVersionsPerTrigger").map { v =>
+      val n = v.toLong
+      require(n > 0, s"maxVersionsPerTrigger must be positive, got $n")
+      n
+    }
+    val skipChanges = parameters.get("skipChangeCommits").exists(_.toBoolean)
+    new TableSource(table, base,
+      initialSnapshot = startingVersion.isEmpty, skipChanges, maxPerTrigger)
+  }
+}
+
+class TableSource(table: ManagedTable, baseVersion: Long,
+                  initialSnapshot: Boolean, skipChangeCommits: Boolean,
+                  maxVersionsPerTrigger: Option[Long] = None) extends Source {
+
+  override val schema: StructType = table.schema
+
+  @volatile private var offered: Long = baseVersion
+  // whether batch 0 (which carries the initial snapshot) has been offered
+  // or recovered; restart recovery flips it in getBatch before the first
+  // getOffset call
+  @volatile private var firstBatchDone: Boolean = !initialSnapshot
+
+  override def getOffset: Option[Offset] = {
+    val latest = table.latestVersion
+    val capped = maxVersionsPerTrigger match {
+      case Some(m) => math.min(latest, offered + m)
+      case None => latest
+    }
+    if (!firstBatchDone) {
+      // snapshot mode offers batch 0 even when no commit landed since
+      // stream start: the initial snapshot IS version `baseVersion`
+      firstBatchDone = true
+      val end = math.max(capped, baseVersion)
+      offered = end
+      Some(LongOffset(end))
+    } else if (capped <= offered) None
+    else {
+      offered = capped
+      Some(LongOffset(capped))
+    }
+  }
+
+  override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+    val to = CdfSource.version(end)
+    if (to > offered) offered = to
+    firstBatchDone = true // a recovered batch subsumes (or re-delivers) batch 0
+    val from = start.map(CdfSource.version).getOrElse(baseVersion)
+    val parts = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    if (start.isEmpty && initialSnapshot)
+      parts += table.toDF(baseVersion)
+    var v = math.max(from, baseVersion) + 1
+    while (v <= to) {
+      val (added, removed, op) = table.commitFileDelta(v)
+      if (removed.nonEmpty) {
+        if (op == "OPTIMIZE" || skipChangeCommits) () // rows unchanged / opted out
+        else throw new IllegalStateException(
+          s"graft streaming source at ${table.location}: commit v$v ($op) " +
+            "changed or removed existing rows — a row-append stream cannot " +
+            "represent that. Use .option(\"skipChangeCommits\", \"true\") to " +
+            "skip such commits, or the graft-cdf source to stream the " +
+            "change feed itself.")
+      } else if (added.nonEmpty) {
+        parts += table.readCommitFiles(v)
+      }
+      v += 1
+    }
+    val batch =
+      if (parts.isEmpty)
+        table.toDF(baseVersion).where(lit(false))
+      else parts.reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
+    // fixed output shape: evolved columns only surface after a restart
+    // (Delta semantics); pre-evolution commits null-fill
+    val projected = batch.select(schema.fields.map { f =>
+      if (batch.columns.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }.toIndexedSeq: _*)
+    GraftColumnBridge.asStreamingDataFrame(projected)
+  }
+
+  override def stop(): Unit = ()
+}

@@ -282,6 +282,34 @@ final class ManagedTable private (val spark: SparkSession, val location: String)
     * merge-on-read DELETE). Tables without DVs take the plain path:
     * no metadata columns, no join, zero overhead.
     */
+  /** The file-level delta of one commit vs its predecessor, keyed by
+    * (path, deletion-vector id) — the structural classification the
+    * streaming table source tails by: a commit that removes nothing is
+    * append-shaped regardless of its operation string; any removal (or a
+    * DV swap, which re-keys the file) is a change commit.
+    */
+  private[graft] def commitFileDelta(v: Long)
+      : (Seq[FileStat], Seq[FileStat], String) = {
+    require(v >= 1, s"commitFileDelta needs v >= 1, got $v")
+    val cur = readEntry(v)
+    val prev = readEntry(v - 1)
+    def key(f: FileStat) = (f.path, f.dv)
+    val prevKeys = prev.files.map(key).toSet
+    val curKeys = cur.files.map(key).toSet
+    (cur.files.filterNot(f => prevKeys(key(f))),
+      prev.files.filterNot(f => curKeys(key(f))),
+      cur.operation)
+  }
+
+  /** Read a specific commit's added files under that commit's schema —
+    * the streaming source's batch reader (masked like any snapshot read).
+    */
+  private[graft] def readCommitFiles(v: Long): DataFrame = {
+    val e = readEntry(v)
+    val (added, _, _) = commitFileDelta(v)
+    readFilesDF(added, e.schema, v)
+  }
+
   private def readFilesDF(files: Seq[FileStat], schema: StructType,
                           version: Long): DataFrame =
     project(readFilesFiltered(files, schema, version, withPos = false), schema)

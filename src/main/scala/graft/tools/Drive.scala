@@ -456,6 +456,23 @@ object Drive {
       s"(${bpeModel.merges.size} merges); " +
       s"SQL gopher_stats -> words=${gopherSql.getLong(0)} " +
       s"bullets=${gopherSql.getLong(1)} ellipses=${gopherSql.getLong(2)}")
+
+    // --- table streaming source: snapshot + append tailing -------------
+    val tsSrc = scratch("tstream-src"); val tsDst = scratch("tstream-dst")
+    val tsT = graft.tables.ManagedTable.create(
+      spark.range(0, 100).selectExpr("id AS k"), tsSrc)
+    val tsQ = spark.readStream.format("graft").load(tsSrc)
+      .writeStream.format("graft")
+      .option("checkpointLocation", scratch("tstream-ckpt"))
+      .start(tsDst)
+    try {
+      tsQ.processAllAvailable()
+      tsT.append(spark.range(100, 130).selectExpr("id AS k"))
+      tsQ.processAllAvailable()
+    } finally tsQ.stop()
+    println(s"[45] table stream source: mirror has " +
+      s"${graft.tables.ManagedTable.forPath(spark, tsDst).toDF.count} rows " +
+      s"after snapshot(100) + append(30)")
     spark.stop()
   }
 }

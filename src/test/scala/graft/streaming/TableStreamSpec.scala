@@ -1,0 +1,147 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.tables.ManagedTable
+
+/** The managed-table streaming SOURCE (`spark.readStream.format("graft")`):
+  * initial snapshot + append tailing, startingVersion mode, structural
+  * change-commit refusal and skipChangeCommits, OPTIMIZE transparency,
+  * and checkpoint restart.
+  */
+class TableStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def mkTable(name: String, n: Long = 3): (String, ManagedTable) = {
+    val loc = tmpDir(name)
+    val t = ManagedTable.create(
+      spark.range(0, n).selectExpr("id AS k", "id * 10 AS v"), loc)
+    (loc, t)
+  }
+
+  private def startToMemory(loc: String, ckpt: String, queryName: String,
+                            options: Map[String, String] = Map.empty) = {
+    var r = spark.readStream.format("graft")
+    options.foreach { case (k, v) => r = r.option(k, v) }
+    r.load(loc).writeStream.format("memory")
+      .queryName(queryName).option("checkpointLocation", ckpt).start()
+  }
+
+  test("initial snapshot then append tailing") {
+    val (loc, t) = mkTable("tsrc1")
+    val q = startToMemory(loc, tmpDir("tsrc1ckpt"), "tsrc1")
+    try {
+      q.processAllAvailable()
+      assert(spark.table("tsrc1").count() == 3, "batch 0 = full snapshot")
+      t.append(spark.range(3, 5).selectExpr("id AS k", "id * 10 AS v"))
+      q.processAllAvailable()
+      assert(spark.table("tsrc1").as[(Long, Long)].collect().sorted.toSeq ==
+        (0L until 5L).map(i => (i, i * 10)).toSeq)
+      t.append(spark.range(5, 6).selectExpr("id AS k", "id * 10 AS v"))
+      q.processAllAvailable()
+      assert(spark.table("tsrc1").count() == 6)
+    } finally q.stop()
+  }
+
+  test("startingVersion tails from the named commit with no snapshot") {
+    val (loc, t) = mkTable("tsrc2")
+    t.append(spark.range(10, 12).selectExpr("id AS k", "id * 10 AS v")) // v1
+    t.append(spark.range(20, 21).selectExpr("id AS k", "id * 10 AS v")) // v2
+    val q = startToMemory(loc, tmpDir("tsrc2ckpt"), "tsrc2",
+      Map("startingVersion" -> "2"))
+    try {
+      q.processAllAvailable()
+      assert(spark.table("tsrc2").as[(Long, Long)].collect().toSeq ==
+        Seq((20L, 200L)), "only v2's rows, no snapshot, no v1")
+    } finally q.stop()
+  }
+
+  test("a change commit fails the stream loud by default") {
+    val (loc, t) = mkTable("tsrc3")
+    val q = startToMemory(loc, tmpDir("tsrc3ckpt"), "tsrc3")
+    try {
+      q.processAllAvailable()
+      t.delete("k = 1")
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        t.append(spark.range(9, 10).selectExpr("id AS k", "id * 10 AS v"))
+        q.processAllAvailable()
+      }
+      assert(e.getMessage.contains("skipChangeCommits") ||
+        Option(e.getCause).exists(_.getMessage.contains("skipChangeCommits")),
+        s"error must point at the option: ${e.getMessage}")
+    } finally q.stop()
+  }
+
+  test("skipChangeCommits skips the change but keeps later appends") {
+    val (loc, t) = mkTable("tsrc4")
+    val q = startToMemory(loc, tmpDir("tsrc4ckpt"), "tsrc4",
+      Map("skipChangeCommits" -> "true"))
+    try {
+      q.processAllAvailable()
+      t.delete("k = 1")                                                  // skipped
+      t.append(spark.range(7, 8).selectExpr("id AS k", "id * 10 AS v")) // streams
+      q.processAllAvailable()
+      val got = spark.table("tsrc4").as[(Long, Long)].collect().map(_._1).sorted
+      assert(got.toSeq == Seq(0L, 1L, 2L, 7L),
+        "snapshot (incl. later-deleted row) + append; delete skipped")
+    } finally q.stop()
+  }
+
+  test("OPTIMIZE mid-stream is transparent") {
+    val (loc, t) = mkTable("tsrc5")
+    // fragment then compact
+    (0 until 3).foreach(i =>
+      t.append(spark.range(10 + i, 11 + i).selectExpr("id AS k", "id * 10 AS v")))
+    val q = startToMemory(loc, tmpDir("tsrc5ckpt"), "tsrc5")
+    try {
+      q.processAllAvailable()
+      val before = spark.table("tsrc5").count()
+      t.optimize(targetFileSizeBytes = 1024L * 1024 * 128)
+      t.append(spark.range(50, 51).selectExpr("id AS k", "id * 10 AS v"))
+      q.processAllAvailable()
+      assert(spark.table("tsrc5").count() == before + 1,
+        "OPTIMIZE emits nothing; the append after it streams")
+    } finally q.stop()
+  }
+
+  test("checkpoint restart resumes from the committed offset (graft sink " +
+       "mirror does not re-deliver the snapshot)") {
+    val (loc, t) = mkTable("tsrc6")
+    val ckpt = tmpDir("tsrc6ckpt")
+    val mirror = tmpDir("tsrc6mirror")
+    def start() = spark.readStream.format("graft").load(loc)
+      .writeStream.format("graft")
+      .option("checkpointLocation", ckpt).option("txnAppId", "tsrc6")
+      .start(mirror)
+    val q1 = start()
+    try { q1.processAllAvailable() } finally q1.stop()
+    assert(ManagedTable.forPath(spark, mirror).toDF.count() == 3)
+    t.append(spark.range(100, 102).selectExpr("id AS k", "id * 10 AS v"))
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      val got = ManagedTable.forPath(spark, mirror).toDF
+        .select("k").as[Long].collect().sorted
+      assert(got.toSeq == Seq(0L, 1L, 2L, 100L, 101L),
+        s"restart delivers only the new rows once: ${got.toSeq}")
+    } finally q2.stop()
+  }
+
+  test("round-trip: graft source feeding the graft sink mirrors appends") {
+    val (loc, t) = mkTable("tsrc7")
+    val mirror = tmpDir("tsrc7mirror")
+    val q = spark.readStream.format("graft").load(loc)
+      .writeStream.format("graft")
+      .option("checkpointLocation", tmpDir("tsrc7ckpt"))
+      .option("txnAppId", "tsrc7")
+      .start(mirror)
+    try {
+      q.processAllAvailable()
+      t.append(spark.range(3, 6).selectExpr("id AS k", "id * 10 AS v"))
+      q.processAllAvailable()
+      val m = ManagedTable.forPath(spark, mirror)
+      assert(m.toDF.count() == t.toDF.count(),
+        "mirror tracks source through snapshot + appends")
+    } finally q.stop()
+  }
+}
