@@ -106,6 +106,10 @@ object GraftSqlParser {
     s"""(?is)\\s*ALTER\\s+TABLE\\s+$Ref\\s+DROP\\s+CONSTRAINT\\s+(IF\\s+EXISTS\\s+)?(\\w+)\\s*;?\\s*""".r
   private val AlterNotNullRe =
     s"""(?is)\\s*ALTER\\s+TABLE\\s+$Ref\\s+ALTER\\s+COLUMN\\s+(\\w+)\\s+(SET|DROP)\\s+NOT\\s+NULL\\s*;?\\s*""".r
+  private val AlterDropColRe =
+    s"""(?is)\\s*ALTER\\s+TABLE\\s+$Ref\\s+DROP\\s+COLUMN\\s+(\\w+)\\s*;?\\s*""".r
+  private val FsckRe =
+    s"""(?is)\\s*FSCK\\s+REPAIR\\s+TABLE\\s+$Ref\\s*(DRY\\s+RUN)?\\s*;?\\s*""".r
   private val ShowPartitionsRe =
     s"""(?is)\\s*SHOW\\s+PARTITIONS\\s+$Ref\\s*;?\\s*""".r
 
@@ -225,6 +229,10 @@ object GraftSqlParser {
       case AlterNotNullRe(path, colName, mode) =>
         Some(GraftNotNullCommand(unq(path), colName,
           set = mode.equalsIgnoreCase("SET")))
+      case AlterDropColRe(path, colName) =>
+        Some(GraftDropColumnCommand(unq(path), colName))
+      case FsckRe(path, dryRun) =>
+        Some(GraftFsckCommand(unq(path), repair = dryRun == null))
       case ShowPartitionsRe(path) =>
         Some(GraftShowPartitionsCommand(unq(path)))
       case _ => None
@@ -691,6 +699,34 @@ final case class GraftAddConstraintCommand(path: String, name: String,
   override def run(spark: SparkSession): Seq[Row] = {
     ManagedTable.forPath(spark, path).addCheckConstraint(name, check)
     Seq(Row(name, check))
+  }
+}
+
+/** `ALTER TABLE graft.`path` DROP COLUMN c` — logical drop (schema-only
+  * commit, tombstoned name; see ManagedTable.dropColumn).
+  */
+final case class GraftDropColumnCommand(path: String, colName: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("column", StringType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    ManagedTable.forPath(spark, path).dropColumn(colName)
+    Seq(Row(colName))
+  }
+}
+
+/** `FSCK REPAIR TABLE graft.`path` [DRY RUN]` — one row per missing file
+  * entry; without DRY RUN the missing data entries are dropped from the
+  * snapshot (missing deletion vectors always refuse repair).
+  */
+final case class GraftFsckCommand(path: String, repair: Boolean)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("missing", StringType, nullable = false)(),
+    AttributeReference("repaired", BooleanType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val missing = ManagedTable.forPath(spark, path).fsck(repair)
+    missing.map(Row(_, repair))
   }
 }
 

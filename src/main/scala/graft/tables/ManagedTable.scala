@@ -657,6 +657,8 @@ final class ManagedTable private (val spark: SparkSession, val location: String)
       val newSchema =
         if (mergeSchema) unionSchema(e.schema, df.schema)
         else e.schema
+      ManagedTable.guardResurrect(e,
+        newSchema.fieldNames.filterNot(e.schema.fieldNames.contains))
       val dirs = written match {
         // data already on disk fits the rebased schema AND layout
         case Some((d, s, p)) if s == newSchema && p == e.partitionColumns => d
@@ -1764,6 +1766,8 @@ final class ManagedTable private (val spark: SparkSession, val location: String)
       val e = latestEntry
       val newSchema = ManagedTable.unionSchema(e.schema, StructType(nullable))
       if (newSchema == e.schema) return
+      ManagedTable.guardResurrect(e,
+        newSchema.fieldNames.filterNot(e.schema.fieldNames.contains))
       try {
         // drop per-commit payloads (see restore()): inherited cdc would
         // double-emit the previous commit's change rows.
@@ -1798,6 +1802,86 @@ final class ManagedTable private (val spark: SparkSession, val location: String)
       timestampMs = System.currentTimeMillis(),
       operation = "UNSET TBLPROPERTIES", properties = e.properties -- keys,
       metrics = Map.empty, cdc = Nil))
+  }
+
+  /** Logical ALTER TABLE DROP COLUMN: a schema-only commit — data files
+    * keep the column's bytes, every read projects it away. The dropped
+    * NAME is tombstoned (`graft.droppedColumns`) and re-adding it
+    * refuses: without per-column physical ids (Delta requires column
+    * mapping for DROP COLUMN for exactly this reason), a re-added
+    * same-name column would silently RESURRECT the old values from
+    * pre-drop files. Partition columns and columns referenced by a CHECK
+    * constraint refuse (drop the constraint first).
+    */
+  def dropColumn(colName: String): Unit = {
+    val e = latestEntry
+    require(e.schema.fieldNames.contains(colName),
+      s"no such column: $colName")
+    require(!e.partitionColumns.contains(colName),
+      s"cannot drop partition column `$colName`")
+    require(e.schema.fields.length > 1,
+      s"cannot drop the table's only column")
+    val newSchema = StructType(e.schema.fields.filterNot(_.name == colName))
+    val probe = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[Row], newSchema)
+    // the column's OWN NOT NULL bookkeeping retires with it; any other
+    // constraint referencing the column must be dropped first
+    checkConstraints.filterNot(_._1 == "notnull_" + colName)
+      .foreach { case (n, ex) =>
+        val resolves =
+          try { probe.select(expr(ex)); true }
+          catch { case _: org.apache.spark.sql.AnalysisException => false }
+        if (!resolves)
+          throw new graft.GraftValueError(
+            s"cannot drop `$colName`: CHECK constraint `$n` ($ex) references " +
+              "it — drop the constraint first")
+      }
+    val dropped = (e.properties.get(ManagedTable.droppedColsKey)
+      .map(_.split(",").toSeq).getOrElse(Nil) :+ colName).distinct
+    commit(e.copy(version = e.version + 1,
+      timestampMs = System.currentTimeMillis(),
+      operation = "DROP COLUMN", schema = newSchema,
+      properties = e.properties - ManagedTable.notNullKey(colName) +
+        (ManagedTable.droppedColsKey -> dropped.mkString(",")),
+      metrics = Map.empty, cdc = Nil))
+  }
+
+  /** FSCK (Delta's `FSCK REPAIR TABLE` analog): report snapshot file
+    * entries whose data file is MISSING on disk (out-of-band deletion,
+    * partial restore of a backup). With `repair = true` the missing
+    * entries are dropped from the snapshot in one commit — their rows
+    * are lost, which is the point: every read fails until the snapshot
+    * matches reality. A missing DELETION-VECTOR sidecar is reported but
+    * never repaired: dropping a vector would silently RESURRECT its
+    * deleted rows.
+    */
+  def fsck(repair: Boolean = false): Seq[String] = {
+    val e = latestEntry
+    require(e.files.nonEmpty || e.dirs.isEmpty,
+      "fsck requires a stats-bearing snapshot (run OPTIMIZE once on " +
+        "legacy tables)")
+    val missingData = e.files.filter(f =>
+      !Files.isRegularFile(dataDir.resolve(f.path)))
+    val missingDv = e.files.flatMap(_.dv).distinct
+      .filter(r => !Files.isDirectory(dvRoot.resolve(r)))
+      .map(r => s"_graft_dv/$r")
+    if (repair && missingDv.nonEmpty)
+      throw new graft.GraftValueError(
+        s"fsck cannot repair missing deletion vectors (${missingDv.take(3)
+          .mkString(", ")}): dropping a vector would resurrect its " +
+          "deleted rows — restore the sidecar or OPTIMIZE from a " +
+          "restorable version")
+    if (repair && missingData.nonEmpty) {
+      val missingSet = missingData.map(_.path).toSet
+      val kept = e.files.filterNot(f => missingSet(f.path))
+      commit(e.copy(version = e.version + 1,
+        timestampMs = System.currentTimeMillis(),
+        operation = "FSCK", files = kept,
+        dirs = kept.map(_.leafDir).distinct,
+        metrics = Map("numRemovedFiles" -> missingData.size.toString),
+        cdc = Nil))
+    }
+    missingData.map(_.path) ++ missingDv
   }
 
   /** The table's CHECK constraints, name → SQL expression (persisted as
@@ -2165,6 +2249,24 @@ object ManagedTable {
   /** The synthesized check key [[ManagedTable.setNotNull]] records. */
   private[tables] def notNullKey(colName: String): String =
     constraintPrefix + "notnull_" + colName
+
+  /** Tombstoned column names (comma list) — see [[ManagedTable.dropColumn]]. */
+  private[tables] val droppedColsKey = "graft.droppedColumns"
+
+  /** Refuse re-adding a tombstoned column name: pre-drop data files still
+    * carry the old bytes under that name, and a same-name column would
+    * silently resurrect them into the "new" column.
+    */
+  private[tables] def guardResurrect(e: LogEntry,
+                                     newNames: Iterable[String]): Unit = {
+    val dropped = e.properties.get(droppedColsKey)
+      .map(_.split(",").toSet).getOrElse(Set.empty[String])
+    val clash = newNames.filter(dropped).toSeq
+    require(clash.isEmpty,
+      s"column(s) ${clash.mkString(", ")} were previously DROPPED — " +
+        "pre-drop files still carry their bytes, and re-adding the name " +
+        "would silently resurrect old values; use a fresh column name")
+  }
 
   /** Standard write metrics (Delta operationMetrics analog) from the
     * footer stats of a commit's freshly written files — free, the stats

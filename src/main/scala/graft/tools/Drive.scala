@@ -473,6 +473,21 @@ object Drive {
     println(s"[45] table stream source: mirror has " +
       s"${graft.tables.ManagedTable.forPath(spark, tsDst).toDF.count} rows " +
       s"after snapshot(100) + append(30)")
+
+    // --- DROP COLUMN (logical, tombstoned) + FSCK ----------------------
+    val dcPath = scratch("dropcol")
+    val dcT = graft.tables.ManagedTable.create(
+      spark.range(0, 20).selectExpr("id AS k", "id * 2 AS extra", "id * 3 AS v"),
+      dcPath)
+    spark.sql(s"ALTER TABLE graft.`$dcPath` DROP COLUMN extra")
+    val dcT2 = graft.tables.ManagedTable.forPath(spark, dcPath)
+    val dcResurrect =
+      try { dcT2.addColumns(Seq(org.apache.spark.sql.types.StructField(
+        "extra", org.apache.spark.sql.types.LongType))); "allowed" }
+      catch { case _: IllegalArgumentException => "tombstoned" }
+    val fsckRows = spark.sql(s"FSCK REPAIR TABLE graft.`$dcPath` DRY RUN").count()
+    println(s"[46] DROP COLUMN: schema now ${dcT2.schema.fieldNames.mkString("/")}, " +
+      s"re-add $dcResurrect; FSCK DRY RUN: $fsckRows missing files")
     spark.stop()
   }
 }
