@@ -54,48 +54,14 @@ class CdfSourceProvider extends StreamSourceProvider with DataSourceRegister {
     // exclusive lower bound: startingVersion=v streams commits >= v
     // (Delta's startingVersion semantics); absent = only commits after
     // stream start. The computed base is pinned ONCE under metadataPath
-    // and recovered on restart — recomputing it from latestVersion after
-    // a crash between the offset-log commit and the sink commit would
-    // re-anchor PAST batch 0's range and silently drop (or fail on) the
-    // first batch's rows. File sources persist their initial state under
-    // metadataPath for exactly this reason.
+    // and recovered on restart — see [[StreamAnchors.pinInitialVersion]].
     val hconf = sqlContext.sparkSession.sessionState.newHadoopConf()
     val mPath = new HadoopPath(metadataPath, "graft-cdf-base")
     val fs = mPath.getFileSystem(hconf)
-    val base =
-      if (fs.exists(mPath)) {
-        val in = fs.open(mPath)
-        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
-        finally in.close()
-      } else {
-        val b = parameters.get("startingVersion").map(_.toLong - 1)
-          .getOrElse(table.latestVersion)
-        // exclusive create (overwrite = false) is the put-if-absent:
-        // a tmp+rename publish would NOT be — local-FS rename silently
-        // REPLACES an existing destination, so a racing creator could
-        // overwrite the winner's anchor after it was already used
-        val out =
-          try fs.create(mPath, false)
-          catch { case _: java.io.IOException => null }
-        if (out != null) {
-          try out.write(b.toString.getBytes("UTF-8")) finally out.close()
-          b
-        } else {
-          // lost the create race (or a real IO fault): defer to the
-          // winner's persisted value — both anchors must agree forever
-          if (!fs.exists(mPath)) throw new IllegalStateException(
-            s"cannot persist graft-cdf initial offset under $metadataPath")
-          val in = fs.open(mPath)
-          try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
-          finally in.close()
-        }
-      }
-    val maxPerTrigger = parameters.get("maxVersionsPerTrigger").map { v =>
-      val n = v.toLong
-      require(n > 0, s"maxVersionsPerTrigger must be positive, got $n")
-      n
-    }
-    new CdfSource(table, base, maxPerTrigger)
+    val base = StreamAnchors.pinInitialVersion(fs, mPath,
+      parameters.get("startingVersion").map(_.toLong - 1)
+        .getOrElse(table.latestVersion))
+    new CdfSource(table, base, StreamAnchors.maxVersionsPerTrigger(parameters))
   }
 }
 

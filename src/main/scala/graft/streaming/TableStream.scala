@@ -64,42 +64,24 @@ class TableSourceProvider extends StreamSourceProvider {
     val mPath = new HadoopPath(metadataPath, "graft-table-base")
     val fs = mPath.getFileSystem(hconf)
     val startingVersion = parameters.get("startingVersion").map(_.toLong)
+    startingVersion.foreach(v => require(v >= 0,
+      s"startingVersion must be >= 0, got $v"))
     // base = highest version NOT part of the stream. Default: snapshot
     // mode — base is the stream-start version and batch 0 reads that
-    // whole snapshot. startingVersion=v tails commits >= v, no snapshot.
-    val base =
-      if (fs.exists(mPath)) {
-        val in = fs.open(mPath)
-        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
-        finally in.close()
-      } else {
-        val b = startingVersion.map(_ - 1).getOrElse(table.latestVersion)
-        val out =
-          try fs.create(mPath, false)
-          catch { case _: java.io.IOException => null }
-        if (out != null) {
-          try out.write(b.toString.getBytes("UTF-8")) finally out.close()
-          b
-        } else {
-          if (!fs.exists(mPath)) throw new IllegalStateException(
-            s"cannot persist graft source initial offset under $metadataPath")
-          val in = fs.open(mPath)
-          try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
-          finally in.close()
-        }
-      }
-    val maxPerTrigger = parameters.get("maxVersionsPerTrigger").map { v =>
-      val n = v.toLong
-      require(n > 0, s"maxVersionsPerTrigger must be positive, got $n")
-      n
-    }
+    // whole snapshot. startingVersion=v tails commits >= v, no snapshot
+    // (v=0 streams the whole history; commitFileDelta treats version 0
+    // as all-added).
+    val base = StreamAnchors.pinInitialVersion(fs, mPath,
+      startingVersion.map(_ - 1).getOrElse(table.latestVersion))
     val skipChanges = parameters.get("skipChangeCommits").exists(_.toBoolean)
-    new TableSource(table, base,
-      initialSnapshot = startingVersion.isEmpty, skipChanges, maxPerTrigger)
+    new TableSource(sqlContext.sparkSession, table, base,
+      initialSnapshot = startingVersion.isEmpty, skipChanges,
+      StreamAnchors.maxVersionsPerTrigger(parameters))
   }
 }
 
-class TableSource(table: ManagedTable, baseVersion: Long,
+class TableSource(spark: org.apache.spark.sql.SparkSession,
+                  table: ManagedTable, baseVersion: Long,
                   initialSnapshot: Boolean, skipChangeCommits: Boolean,
                   maxVersionsPerTrigger: Option[Long] = None) extends Source {
 
@@ -141,7 +123,7 @@ class TableSource(table: ManagedTable, baseVersion: Long,
       parts += table.toDF(baseVersion)
     var v = math.max(from, baseVersion) + 1
     while (v <= to) {
-      val (added, removed, op) = table.commitFileDelta(v)
+      val (added, removed, op, commitSchema) = table.commitFileDelta(v)
       if (removed.nonEmpty) {
         if (op == "OPTIMIZE" || skipChangeCommits) () // rows unchanged / opted out
         else throw new IllegalStateException(
@@ -151,13 +133,18 @@ class TableSource(table: ManagedTable, baseVersion: Long,
             "skip such commits, or the graft-cdf source to stream the " +
             "change feed itself.")
       } else if (added.nonEmpty) {
-        parts += table.readCommitFiles(v)
+        parts += table.readCommitFiles(added, commitSchema, v)
       }
       v += 1
     }
     val batch =
       if (parts.isEmpty)
-        table.toDF(baseVersion).where(lit(false))
+        // empty batch from the PINNED schema: building it off
+        // toDF(baseVersion) would re-validate the anchor snapshot's files
+        // on every all-skipped trigger and die once vacuum/cleanupLog
+        // reclaims them — an empty batch needs no files at all
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
       else parts.reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
     // fixed output shape: evolved columns only surface after a restart
     // (Delta semantics); pre-evolution commits null-fill

@@ -289,26 +289,29 @@ final class ManagedTable private (val spark: SparkSession, val location: String)
     * DV swap, which re-keys the file) is a change commit.
     */
   private[graft] def commitFileDelta(v: Long)
-      : (Seq[FileStat], Seq[FileStat], String) = {
-    require(v >= 1, s"commitFileDelta needs v >= 1, got $v")
+      : (Seq[FileStat], Seq[FileStat], String, StructType) = {
+    require(v >= 0, s"commitFileDelta needs v >= 0, got $v")
     val cur = readEntry(v)
+    // version 0 diffs against the empty table: all its files are "added"
+    // (the CREATE commit is append-shaped — changes() makes the same call)
+    if (v == 0) return (cur.files, Nil, cur.operation, cur.schema)
     val prev = readEntry(v - 1)
     def key(f: FileStat) = (f.path, f.dv)
     val prevKeys = prev.files.map(key).toSet
     val curKeys = cur.files.map(key).toSet
     (cur.files.filterNot(f => prevKeys(key(f))),
       prev.files.filterNot(f => curKeys(key(f))),
-      cur.operation)
+      cur.operation, cur.schema)
   }
 
-  /** Read a specific commit's added files under that commit's schema —
-    * the streaming source's batch reader (masked like any snapshot read).
+  /** Read a commit's added files under that commit's schema (returned by
+    * [[commitFileDelta]], so the caller pays no extra log reads) — the
+    * streaming source's batch reader.
     */
-  private[graft] def readCommitFiles(v: Long): DataFrame = {
-    val e = readEntry(v)
-    val (added, _, _) = commitFileDelta(v)
-    readFilesDF(added, e.schema, v)
-  }
+  private[graft] def readCommitFiles(added: Seq[FileStat],
+                                     schema: StructType,
+                                     v: Long): DataFrame =
+    readFilesDF(added, schema, v)
 
   private def readFilesDF(files: Seq[FileStat], schema: StructType,
                           version: Long): DataFrame =
@@ -2259,9 +2262,13 @@ object ManagedTable {
     */
   private[tables] def guardResurrect(e: LogEntry,
                                      newNames: Iterable[String]): Unit = {
+    // case-INSENSITIVE: every read/write path resolves columns
+    // case-insensitively (spark.sql.caseSensitive=false default), so a
+    // case-variant of a dropped name would resurrect just the same
+    def fold(s: String) = s.toLowerCase(java.util.Locale.ROOT)
     val dropped = e.properties.get(droppedColsKey)
-      .map(_.split(",").toSet).getOrElse(Set.empty[String])
-    val clash = newNames.filter(dropped).toSeq
+      .map(_.split(",").map(fold).toSet).getOrElse(Set.empty[String])
+    val clash = newNames.filter(n => dropped(fold(n))).toSeq
     require(clash.isEmpty,
       s"column(s) ${clash.mkString(", ")} were previously DROPPED — " +
         "pre-drop files still carry their bytes, and re-adding the name " +

@@ -56,6 +56,37 @@ class TableStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("startingVersion=0 streams the full history including the CREATE commit") {
+    val (loc, t) = mkTable("tsrc8")
+    t.append(spark.range(10, 12).selectExpr("id AS k", "id * 10 AS v"))
+    val q = startToMemory(loc, tmpDir("tsrc8ckpt"), "tsrc8",
+      Map("startingVersion" -> "0"))
+    try {
+      q.processAllAvailable()
+      assert(spark.table("tsrc8").count() == 5,
+        "v0's 3 rows + v1's 2 rows, via the commit walk (no snapshot read)")
+    } finally q.stop()
+  }
+
+  test("an all-skipped trigger emits an empty batch without touching the " +
+       "anchor snapshot's files") {
+    val (loc, t) = mkTable("tsrc9")
+    val q = startToMemory(loc, tmpDir("tsrc9ckpt"), "tsrc9",
+      Map("skipChangeCommits" -> "true"))
+    try {
+      q.processAllAvailable()
+      // compact, then VACUUM the anchor snapshot's original files away
+      t.optimize(targetFileSizeBytes = 256L * 1024 * 1024)
+      t.vacuum(retainVersions = 1)
+      t.delete("k = 0") // a change commit the stream skips
+      q.processAllAvailable() // all-skipped trigger: must not die on v0's files
+      assert(spark.table("tsrc9").count() == 3, "snapshot rows only")
+      t.append(spark.range(30, 31).selectExpr("id AS k", "id * 10 AS v"))
+      q.processAllAvailable()
+      assert(spark.table("tsrc9").count() == 4, "stream still alive and tailing")
+    } finally q.stop()
+  }
+
   test("a change commit fails the stream loud by default") {
     val (loc, t) = mkTable("tsrc3")
     val q = startToMemory(loc, tmpDir("tsrc3ckpt"), "tsrc3")

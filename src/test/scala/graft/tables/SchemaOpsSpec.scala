@@ -41,6 +41,11 @@ class SchemaOpsSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       t.append(Seq((2, 99, "w")).toDF("k", "a", "b"), mergeSchema = true)
     }
+    // a CASE-VARIANT of the dropped name refuses too (reads resolve
+    // case-insensitively, so "A" would resurrect "a"'s bytes)
+    intercept[IllegalArgumentException] {
+      t.addColumns(Seq(StructField("A", IntegerType)))
+    }
     // a FRESH name evolves fine
     t.addColumns(Seq(StructField("a2", IntegerType)))
     assert(t.schema.fieldNames.toSeq == Seq("k", "b", "a2"))
