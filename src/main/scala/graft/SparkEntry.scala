@@ -1094,6 +1094,27 @@ object SparkEntry {
         .withColumn("rank", col("rank").cast(LongType))
     }),
 
+    // SEMANTIC decontamination (the third tier next to exact word-8-gram
+    // and fuzzy shingle-Jaccard): benchmark items are deterministic
+    // near-copies of 20 corpus vectors (v + 0.05·v_next, cosine ≈ 0.999 —
+    // pure double arithmetic the oracle replays bit-for-bit); dropping
+    // everything within cosine 0.95 of the bench set removes exactly
+    // those 20 sources and keeps the near-orthogonal rest (max cross
+    // cosine ≈ 0.35, far from the threshold)
+    "decontaminate_semantic" -> ((s, dir) => {
+      val toDouble = transform(col("embedding"), x => x.cast("double"))
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id").cast(LongType).as("vec_id"), toDouble.as("embedding"))
+      val mate = emb.select((col("vec_id") - 1).as("vec_id"),
+        col("embedding").as("__mate"))
+      val bench = emb.filter(col("vec_id") < 20).join(mate, "vec_id")
+        .select(zip_with(col("embedding"), col("__mate"),
+          (x, y) => x + lit(0.05) * y).as("embedding"))
+      ml.Similarity.dropSemanticMatches(emb, "vec_id", "embedding",
+        bench, "embedding", threshold = 0.95)
+        .select(col("vec_id"))
+    }),
+
     // composed corpus-cleaning pipeline: quality filter → exact dedup →
     // near-dedup → per-doc stats (the operators chained the way a real
     // training-data job uses them; one declarative plan end-to-end)
@@ -2329,6 +2350,23 @@ object SparkEntry {
         |  FROM scored)
         |SELECT query_id, neighbor_id, rank, round(cosine, 4) AS cosine
         |FROM ranked WHERE rank <= 10""".stripMargin,
+
+    // replays the bench derivation (v + 0.05·v_next over vec_id < 20)
+    // and the cosine-threshold anti-join in exact double arithmetic
+    "decontaminate_semantic" ->
+      """WITH emb AS (
+        |  SELECT CAST(vec_id AS BIGINT) AS vec_id,
+        |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |bench AS (
+        |  SELECT list_transform(generate_series(1, 64),
+        |           i -> a.v[i] + 0.05 * m.v[i]) AS bv
+        |  FROM emb a JOIN emb m ON m.vec_id = a.vec_id + 1
+        |  WHERE a.vec_id < 20)
+        |SELECT c.vec_id FROM emb c
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM bench b
+        |  WHERE list_cosine_similarity(c.v, b.bv) >= 0.95)""".stripMargin,
 
     // identical to the simsearch_ivf oracle (same derived clustered
     // corpus, same exact cosine ranking): the PQ shortlist provably

@@ -119,6 +119,34 @@ object Similarity {
         round(col("approx"), 4).as("approx"))
   }
 
+  // ---- semantic decontamination ---------------------------------------
+
+  /** Embedding-level benchmark decontamination: drop every corpus row
+    * whose vector is within `threshold` cosine of ANY benchmark vector —
+    * the semantic tier of the decontamination family
+    * ([[graft.text.Decontaminate]] covers the exact word-n-gram and
+    * fuzzy shingle tiers), catching reworded eval items that share no
+    * surface n-grams. The benchmark set is broadcast (it is small — that
+    * is what "benchmark" means); the corpus streams through one scan
+    * with |B| codegen'd dot products per row and a left-anti join on its
+    * own id — no corpus shuffle, no all-pairs.
+    */
+  def dropSemanticMatches(corpus: DataFrame, corpusId: String,
+                          corpusVec: String,
+                          bench: DataFrame, benchVec: String,
+                          threshold: Double): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"threshold must be in (0, 1], got $threshold")
+    val b = broadcast(bench.select(col(benchVec).as("__bv")))
+    val contaminated = corpus
+      .select(col(corpusId).as("__cid"), col(corpusVec).as("__cv"))
+      .crossJoin(b)
+      .filter(cosine(col("__cv"), col("__bv")) >= threshold)
+      .select(col("__cid")).distinct()
+    corpus.join(broadcast(contaminated),
+      corpus(corpusId) === contaminated("__cid"), "left_anti")
+  }
+
   /** Deterministic random hyperplanes: `nbits` unit-free gaussian vectors
     * of dimension `dim`, seeded — the same planes on every executor and
     * every run.

@@ -68,6 +68,17 @@ class SimilaritySpec extends SparkSpec {
     assert(out(2)._3 == 0.0) // orthogonal stays exactly zero in int space
   }
 
+  test("semantic decontamination drops near-copies of bench items only") {
+    val corpus = vecs // ids 1..5 (see fixture: 1 and 5 identical, 4 opposite)
+    val bench = Seq(Tuple1(Array(0.99f, 0.05f, 0f, 0f))).toDF("embedding")
+    val out = Similarity.dropSemanticMatches(corpus, "vec_id", "embedding",
+      bench, "embedding", threshold = 0.95)
+      .select("vec_id").as[Long].collect().sorted
+    // 1, 2, 5 are within 0.95 cosine of the bench vector; 3 (orthogonal)
+    // and 4 (opposite) survive
+    assert(out.toSeq == Seq(3L, 4L), s"got ${out.toSeq}")
+  }
+
   test("normalize produces unit vectors") {
     val n = vecs.select(Similarity.l2Norm(
       Similarity.normalize($"embedding")).as("n"))
