@@ -488,6 +488,15 @@ object Drive {
     val fsckRows = spark.sql(s"FSCK REPAIR TABLE graft.`$dcPath` DRY RUN").count()
     println(s"[46] DROP COLUMN: schema now ${dcT2.schema.fieldNames.mkString("/")}, " +
       s"re-add $dcResurrect; FSCK DRY RUN: $fsckRows missing files")
+
+    // --- semantic decontamination (embedding-cosine vs bench set) ------
+    val sdBench = embAll.filter(col("vec_id") < 5)
+      .select(col("embedding"))
+    val sdKept2 = graft.ml.Similarity.dropSemanticMatches(
+      embAll, "vec_id", "embedding", sdBench, "embedding", threshold = 0.95)
+      .count()
+    println(s"[47] semantic decon: ${embAll.count} vectors, 5 bench items " +
+      s"-> $sdKept2 kept at cos 0.95 (the 5 self-matches dropped)")
     spark.stop()
   }
 }

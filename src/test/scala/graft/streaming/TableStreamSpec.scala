@@ -158,6 +158,21 @@ class TableStreamSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("maxVersionsPerTrigger drains a backlog in bounded micro-batches") {
+    val (loc, t) = mkTable("tsrc10")
+    (0 until 4).foreach(i =>
+      t.append(spark.range(10 + i, 11 + i).selectExpr("id AS k", "id * 10 AS v")))
+    val q = startToMemory(loc, tmpDir("tsrc10ckpt"), "tsrc10",
+      Map("startingVersion" -> "0", "maxVersionsPerTrigger" -> "2"))
+    try {
+      q.processAllAvailable()
+      assert(spark.table("tsrc10").count() == 7, "3 create rows + 4 appends")
+      // the 5-commit backlog must have drained over >= 3 bounded batches
+      assert(q.recentProgress.count(_.numInputRows > 0) >= 3,
+        s"bounded catch-up: ${q.recentProgress.map(_.numInputRows).toSeq}")
+    } finally q.stop()
+  }
+
   test("round-trip: graft source feeding the graft sink mirrors appends") {
     val (loc, t) = mkTable("tsrc7")
     val mirror = tmpDir("tsrc7mirror")
