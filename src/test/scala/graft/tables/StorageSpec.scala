@@ -325,6 +325,22 @@ class StorageSpec extends SparkSpec {
     }
   }
 
+  test("partition-scoped ZORDER rewrites only the named partition") {
+    val loc = tmpDir("optwz")
+    val t = ManagedTable.create(df(pSchema, partRows), loc, partitionBy = Seq("part"))
+    (0 until 3).foreach { i =>
+      t.append(df(pSchema, Seq(Row(50 + i, "a", i), Row(60 + i, "b", i))))
+    }
+    val bBefore = t.latestEntry.files.filter(_.path.contains("part=b")).map(_.path).toSet
+    val expected = t.toDF.collect().toSet
+    t.optimize(zorderBy = Seq("pk", "v"), partitions = Seq(Map("part" -> "a")))
+    val after = t.latestEntry.files
+    assert(after.filter(_.path.contains("part=b")).map(_.path).toSet == bBefore,
+      "out-of-scope partition untouched by the zorder rewrite")
+    assert(t.toDF.collect().toSet == expected, "rows unchanged")
+    assert(t.history.filter(col("operation") === "OPTIMIZE").count() == 1)
+  }
+
   test("SQL OPTIMIZE WHERE routes the partition spec") {
     val loc = tmpDir("optsql")
     val t = ManagedTable.create(df(pSchema, partRows), loc, partitionBy = Seq("part"))
