@@ -878,6 +878,15 @@ object SparkEntry {
 
     // per-language cap (two-phase skew-safe top-n; orderBy made total by
     // the doc_id tiebreaker) — the oracle is the single-window formulation
+    // deterministic train/val/test assignment: split membership is a pure
+    // function of (doc_id, seed), so the oracle recomputes the identical
+    // hash buckets and every row must land in the very same split
+    "sample_split" -> ((s, dir) =>
+      Sampling.assignSplits(t(s, dir, "documents"),
+        splits = Seq("train" -> 90, "val" -> 5, "test" -> 5),
+        denominator = 100, keys = Seq("doc_id"), seed = 42L, portable = true)
+        .select("doc_id", "lang", "split")),
+
     "group_cap" -> ((s, dir) =>
       Sampling.capPerGroup(
         t(s, dir, "documents").select("doc_id", "lang", "n_chars"),
@@ -1692,6 +1701,18 @@ object SparkEntry {
         |    substr(md5(concat_ws(chr(1), doc_id, '42')), 1, 15)) AS BIGINT)
         |  % 100 < CASE source WHEN 'src1' THEN 60 WHEN 'src2' THEN 30
         |               WHEN 'src3' THEN 0 ELSE 10 END""".stripMargin,
+
+    // recomputes the identical hash bucket and the cumulative-range CASE
+    "sample_split" ->
+      """SELECT doc_id, lang,
+        |  CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM (
+        |  SELECT doc_id, lang,
+        |    CAST(concat('0x',
+        |      substr(md5(concat_ws(chr(1), doc_id, '42')), 1, 15)) AS BIGINT)
+        |    % 100 AS b
+        |  FROM documents)""".stripMargin,
 
     "sample_temperature" ->
       """WITH c AS (SELECT lang, CAST(count(*) AS DOUBLE) AS n,

@@ -50,6 +50,40 @@ object Sampling {
     df.filter(pmod(h, lit(denominator.toLong)) < numerator)
   }
 
+  /** Deterministic train/validation/test split assignment: each row gets
+    * the split whose cumulative hash-bucket range contains
+    * `hash(keys, seed) mod denominator` — a pure per-row function of the
+    * key, so re-runs, backfills, and incremental appends land every row
+    * in the SAME split forever (the property `randomSplit` lacks: its
+    * assignment changes with partitioning), and two tables split with the
+    * same keys/seed stay aligned. Ranges are assigned in `splits`
+    * declaration order; weights must sum to `denominator` so no row is
+    * unassigned. One projection, no shuffle.
+    */
+  def assignSplits(df: DataFrame, splits: Seq[(String, Int)],
+                   denominator: Int, keys: Seq[String], seed: Long = 42L,
+                   portable: Boolean = false,
+                   splitCol: String = "split"): DataFrame = {
+    require(denominator > 0, "denominator must be positive")
+    require(splits.nonEmpty && splits.forall(_._2 > 0),
+      "every split needs a positive weight")
+    require(splits.map(_._2).sum == denominator,
+      s"split weights ${splits.map(_._2).sum} must sum to denominator " +
+        s"$denominator — a gap would leave rows unassigned")
+    require(splits.map(_._1).distinct.size == splits.size,
+      "duplicate split names")
+    val h =
+      if (portable) portableHash(keys.map(col), seed.toString)
+      else fastHash(keys.map(col), seed)
+    val bucket = pmod(h, lit(denominator.toLong))
+    val bounds = splits.scanLeft(0)(_ + _._2).tail // cumulative upper bounds
+    val assigned = splits.zip(bounds).reverse.foldLeft(lit(null).cast("string")) {
+      case (acc, ((name, _), upper)) =>
+        when(bucket < upper, lit(name)).otherwise(acc)
+    }
+    df.withColumn(splitCol, assigned)
+  }
+
   /** Per-source corpus mixing: keep each row with probability
     * `rates(group)/denominator` (falling back to `defaultNumerator` for
     * unlisted groups), deterministic per key — the "sample src_wiki at

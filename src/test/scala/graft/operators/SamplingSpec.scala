@@ -137,4 +137,31 @@ class SamplingSpec extends SparkSpec {
       Sampling.temperatureSample(d, "grp", "w", Seq("id"),
         alpha = 1.5, targetRows = 10L))
   }
+
+  test("assignSplits: total, deterministic, partition-invariant, aligned") {
+    import spark.implicits._
+    val d = spark.range(0, 2000).toDF("id")
+    val splits = Seq("train" -> 90, "val" -> 5, "test" -> 5)
+    val a = Sampling.assignSplits(d, splits, 100, Seq("id"))
+      .groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(a.keySet == Set("train", "val", "test"), "every row assigned")
+    assert(a.values.sum == 2000)
+    assert(a("train") > a("val") && a("train") > a("test"),
+      s"rough proportions hold: $a")
+    // pure function of the key: repartitioning changes nothing
+    val b = Sampling.assignSplits(d.repartition(7), splits, 100, Seq("id"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val a2 = Sampling.assignSplits(d, splits, 100, Seq("id"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a2 == b)
+    // a second table sharing the key gets the ALIGNED assignment
+    val other = spark.range(0, 2000).toDF("id").withColumn("x", col("id") * 2)
+    val c = Sampling.assignSplits(other, splits, 100, Seq("id"))
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(c == a2, "joinable tables split consistently")
+    // weights must cover the full denominator
+    intercept[IllegalArgumentException](
+      Sampling.assignSplits(d, Seq("train" -> 90, "val" -> 5), 100, Seq("id")))
+  }
 }
