@@ -61,12 +61,18 @@ class CdfSourceProvider extends StreamSourceProvider with DataSourceRegister {
     val base = StreamAnchors.pinInitialVersion(fs, mPath,
       parameters.get("startingVersion").map(_.toLong - 1)
         .getOrElse(table.latestVersion))
-    new CdfSource(table, base, StreamAnchors.maxVersionsPerTrigger(parameters))
+    val cap = StreamAnchors.maxVersionsPerTrigger(parameters)
+    val highWater = new StreamHighWater(fs,
+      new HadoopPath(metadataPath, "graft-cdf-hw"), enabled = cap.isDefined)
+    new CdfSource(table, base, cap, highWater)
   }
 }
 
 class CdfSource(table: ManagedTable, baseVersion: Long,
-                maxVersionsPerTrigger: Option[Long] = None) extends Source {
+                maxVersionsPerTrigger: Option[Long] = None,
+                highWater: StreamHighWater =
+                  new StreamHighWater(null, null, enabled = false))
+    extends Source {
 
   override val schema: StructType = CdfSource.cdfSchema(table.schema)
 
@@ -74,9 +80,11 @@ class CdfSource(table: ManagedTable, baseVersion: Long,
     * re-committed through [[getBatch]] recovery on restart) — the base
     * the per-trigger cap advances from. Offering is monotone, so a
     * plain volatile is enough (the microbatch thread is the only
-    * writer).
+    * writer). Restored from the PERSISTED high-water on restart: a
+    * capped offer must never regress below the checkpointed position
+    * (see [[StreamHighWater]]).
     */
-  @volatile private var offered: Long = baseVersion
+  @volatile private var offered: Long = highWater.restore(baseVersion)
 
   override def getOffset: Option[Offset] = {
     val v = table.latestVersion
@@ -90,7 +98,7 @@ class CdfSource(table: ManagedTable, baseVersion: Long,
       case None => v
     }
     if (end <= offered) None
-    else { offered = end; Some(LongOffset(end)) }
+    else { offered = end; highWater.record(end); Some(LongOffset(end)) }
   }
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
@@ -98,8 +106,9 @@ class CdfSource(table: ManagedTable, baseVersion: Long,
     val to = CdfSource.version(end)
     // restart recovery replays a checkpointed range before any
     // getOffset call — advance the cap base so the next offer continues
-    // from the recovered end, not from baseVersion
-    if (to > offered) offered = to
+    // from the recovered end, not from baseVersion (and re-persist, for
+    // checkpoints written before the high-water existed)
+    if (to > offered) { offered = to; highWater.record(to) }
     // project to the declared schema: a mid-stream schema evolution must
     // not change the source's output shape (new columns surface after a
     // stream restart, as with Delta). Changes from commits that PREDATE

@@ -53,3 +53,56 @@ private[streaming] object StreamAnchors {
       n
     }
 }
+
+/** Persisted high-water of versions OFFERED via `getOffset` — the floor a
+  * rate-capped source's cap base restores to across restarts. Without it, a
+  * restart from a fully-committed checkpoint re-initializes the cap base to
+  * the initial anchor, the first post-restart `getOffset` returns
+  * `min(latest, anchor + max)` — potentially BELOW the checkpoint's
+  * committed offset — and the engine then re-runs capped batches over
+  * versions the sink already received (the engine compares available vs
+  * committed offsets by EQUALITY, not ordering, so a regressed offer is
+  * "new data"): duplicate rows, exactly-once broken.
+  *
+  * [[record]] MUST run before the offset escapes `getOffset`: the invariant
+  * is hw >= every offset the engine ever wrote to its offset log, so a
+  * restart can never re-offer below the checkpointed position. Overshoot
+  * (hw past the committed offset after a crash mid-trigger) is safe — the
+  * engine always hands `getBatch` its checkpointed start, so a high base
+  * only makes the first post-restart batch wider than the cap, never skips.
+  *
+  * Enabled only when `maxVersionsPerTrigger` is set: an uncapped source
+  * offers `latestVersion`, which is always >= the committed offset, so it
+  * pays no per-trigger filesystem write.
+  */
+private[streaming] final class StreamHighWater(fs: FileSystem,
+                                               path: HadoopPath,
+                                               enabled: Boolean) {
+  // lazy: a disabled instance may carry a null path and must never touch it
+  private lazy val tmp = new HadoopPath(path.getParent, path.getName + ".tmp")
+
+  /** Highest persisted offer, or `floor` when none exists (or disabled). */
+  def restore(floor: Long): Long =
+    if (!enabled) floor
+    else math.max(floor, math.max(readOrMin(path), readOrMin(tmp)))
+
+  /** Persist an offer. tmp-write then swap keeps at least one parseable
+    * file through every crash window ([[restore]] takes the max of both):
+    * a torn tmp write leaves the old `path` intact; a crash between delete
+    * and rename leaves the new value in tmp. Single writer (the query's
+    * microbatch thread), so no create race to defend.
+    */
+  def record(v: Long): Unit = if (enabled) {
+    val out = fs.create(tmp, true)
+    try out.write(v.toString.getBytes("UTF-8")) finally out.close()
+    fs.delete(path, false)
+    fs.rename(tmp, path)
+  }
+
+  private def readOrMin(p: HadoopPath): Long =
+    try {
+      val in = fs.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
+      finally in.close()
+    } catch { case scala.util.control.NonFatal(_) => Long.MinValue }
+}

@@ -74,20 +74,28 @@ class TableSourceProvider extends StreamSourceProvider {
     val base = StreamAnchors.pinInitialVersion(fs, mPath,
       startingVersion.map(_ - 1).getOrElse(table.latestVersion))
     val skipChanges = parameters.get("skipChangeCommits").exists(_.toBoolean)
+    val cap = StreamAnchors.maxVersionsPerTrigger(parameters)
+    val highWater = new StreamHighWater(fs,
+      new HadoopPath(metadataPath, "graft-table-hw"), enabled = cap.isDefined)
     new TableSource(sqlContext.sparkSession, table, base,
-      initialSnapshot = startingVersion.isEmpty, skipChanges,
-      StreamAnchors.maxVersionsPerTrigger(parameters))
+      initialSnapshot = startingVersion.isEmpty, skipChanges, cap, highWater)
   }
 }
 
 class TableSource(spark: org.apache.spark.sql.SparkSession,
                   table: ManagedTable, baseVersion: Long,
                   initialSnapshot: Boolean, skipChangeCommits: Boolean,
-                  maxVersionsPerTrigger: Option[Long] = None) extends Source {
+                  maxVersionsPerTrigger: Option[Long] = None,
+                  highWater: StreamHighWater =
+                    new StreamHighWater(null, null, enabled = false))
+    extends Source {
 
   override val schema: StructType = table.schema
 
-  @volatile private var offered: Long = baseVersion
+  // cap base: restored from the persisted high-water on restart so a
+  // capped offer can never regress below the checkpointed position (see
+  // [[StreamHighWater]]); baseVersion on first start
+  @volatile private var offered: Long = highWater.restore(baseVersion)
   // whether batch 0 (which carries the initial snapshot) has been offered
   // or recovered; restart recovery flips it in getBatch before the first
   // getOffset call
@@ -105,17 +113,21 @@ class TableSource(spark: org.apache.spark.sql.SparkSession,
       firstBatchDone = true
       val end = math.max(capped, baseVersion)
       offered = end
+      highWater.record(end)
       Some(LongOffset(end))
     } else if (capped <= offered) None
     else {
       offered = capped
+      highWater.record(capped)
       Some(LongOffset(capped))
     }
   }
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val to = CdfSource.version(end)
-    if (to > offered) offered = to
+    // recovery of a checkpoint written before the high-water existed:
+    // re-persist so the NEXT restart restores correctly too
+    if (to > offered) { offered = to; highWater.record(to) }
     firstBatchDone = true // a recovered batch subsumes (or re-delivers) batch 0
     val from = start.map(CdfSource.version).getOrElse(baseVersion)
     val parts = scala.collection.mutable.ArrayBuffer.empty[DataFrame]

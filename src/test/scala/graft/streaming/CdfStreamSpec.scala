@@ -127,6 +127,62 @@ class CdfStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("restart with maxVersionsPerTrigger resumes from the committed " +
+       "offset, not the anchor (no duplicate re-delivery)") {
+    val t = fixture("cdfrate3")
+    (1 to 6).foreach(i => t.delete(s"k = $i")) // v1..v6 backlog
+    val ckpt = tmpDir("cdfrate3ckpt")
+    val out = tmpDir("cdfrate3out")
+    def start() = spark.readStream.format("graft-cdf")
+      .option("startingVersion", "1")
+      .option("maxVersionsPerTrigger", "2")
+      .load(t.location)
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt).start()
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    assert(spark.read.parquet(out).count() == 6)
+    t.delete("k = 7") // v7, while the stream is down
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      val rows = spark.read.parquet(out).collect()
+      assert(rows.length == 7,
+        s"capped restart must deliver only v7, got ${rows.length} rows")
+      assert(rows.map(_.getLong(0)).sorted.toSeq == (1L to 7L).toSeq,
+        "one delete per version, none duplicated")
+    } finally q2.stop()
+  }
+
+  test("a re-created capped source never offers below its prior offers, " +
+       "even without the engine's restart getBatch courtesy call") {
+    // The engine's V1 restart path happens to call getBatch on the last
+    // committed range before the first getOffset, which bumps the
+    // in-memory cap base — but that is an undocumented courtesy for
+    // sources that assume it, not a contract. The persisted high-water
+    // must keep capped offers monotone across re-creation ON ITS OWN:
+    // a regressed offer = re-delivery of committed versions.
+    val t = fixture("cdfhw")
+    (1 to 4).foreach(i => t.delete(s"k = $i")) // v1..v4
+    val provider = new CdfSourceProvider
+    val meta = tmpDir("cdfhwmeta")
+    def mkSource() = provider.createSource(spark.sqlContext, meta, None,
+      "graft-cdf", Map("path" -> t.location,
+        "startingVersion" -> "1", "maxVersionsPerTrigger" -> "2"))
+    val s1 = mkSource()
+    assert(CdfSource.version(s1.getOffset.get) == 2, "capped first offer")
+    assert(CdfSource.version(s1.getOffset.get) == 4, "capped second offer")
+    // driver dies; the source is re-created from the same metadataPath
+    // and getOffset runs FIRST (no getBatch recovery call)
+    val s2 = mkSource()
+    assert(s2.getOffset.isEmpty,
+      "all four versions were already offered (and thus possibly " +
+        "committed) — a fresh source must not re-offer them")
+    t.delete("k = 5") // v5
+    assert(CdfSource.version(s2.getOffset.get) == 5,
+      "new commits still stream after the recovered high-water")
+  }
+
   test("maxVersionsPerTrigger rejects non-positive values") {
     val t = fixture("cdfrate2")
     val e = intercept[Exception] {
