@@ -659,6 +659,35 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"), sum(col("__n")).as("n_tokens"))
     }),
 
+    // REAL token IDS (not just counts): Bpe.encode emits array<int>
+    // under the trained id<->token vocabulary, then the packed shards a
+    // training run would load. Pinned per source: token totals MUST
+    // agree with token_bpe's count path (same merge loop), ids_sum pins
+    // the actual id VALUES (vocab layout + unk handling + merge order),
+    // and the pack columns pin packSequences end-to-end over real id
+    // sequences (capacity 512, 8 salt groups, separator id 0). Golden
+    // literal at sf0.01, like token_bpe.
+    "token_bpe_ids" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val model = text.Bpe.fit(docs, "text", numMerges = 200)
+      val enc = docs.select(col("source"), col("doc_id"),
+        text.Bpe.encode(col("text"), model).as("__ids"))
+      val packed = text.TextChunker.packSequences(
+        enc, "doc_id", "__ids", capacity = 512, groups = 8,
+        sepId = Some(0))
+      val bySource = enc.groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(col("__ids"))).cast("long").as("n_tokens"),
+        sum(aggregate(col("__ids"), lit(0L),
+          (acc, x) => acc + x.cast("long"))).as("ids_sum"))
+      val packStats = packed.agg(
+        count(lit(1)).cast("long").as("n_packs"),
+        sum(col("n_tokens")).as("packed_tokens")).head()
+      bySource
+        .withColumn("n_packs", lit(packStats.getLong(0)))
+        .withColumn("packed_tokens", lit(packStats.getLong(1)))
+    }),
+
     // unicode canonicalization (the cleanup pass ahead of tokenization):
     // the corpus is ASCII, so a deterministic suffix of NFC-decomposed
     // accents, zero-width/format chars, exotic whitespace, and controls
@@ -1258,7 +1287,8 @@ object SparkEntry {
     * rows-only check — a literal id list re-run at sf0.1 would produce
     * false failures (or vacuous passes) rather than verification.
     */
-  private val sf001OnlyOracles: Set[String] = Set("dedup_simhash", "token_bpe")
+  private val sf001OnlyOracles: Set[String] =
+    Set("dedup_simhash", "token_bpe", "token_bpe_ids")
 
   /** The oracle map as it applies to `sfDir`: golden-literal entries are
     * dropped unless the data dir is the sf0.01 set they were pinned on.
@@ -1562,6 +1592,39 @@ object SparkEntry {
         |  ('src5', 25, 1329), ('src6', 25, 1266), ('src7', 25, 1507),
         |  ('src8', 25, 1136), ('src9', 25, 1366))
         |AS v(source, d, n)""".stripMargin,
+
+
+    // GOLDEN LITERAL pinned at sf0.01 (see token_bpe): n_tokens must
+    // equal token_bpe's totals (ids and counts walk the same merge
+    // loop), ids_sum pins the actual id values, n_packs/packed_tokens
+    // pin packSequences over the real id arrays
+    "token_bpe_ids" ->
+      """SELECT source, CAST(d AS BIGINT) AS n_docs,
+        |       CAST(n AS BIGINT) AS n_tokens, CAST(i AS BIGINT) AS ids_sum,
+        |       CAST(p AS BIGINT) AS n_packs,
+        |       CAST(pt AS BIGINT) AS packed_tokens
+        |FROM (VALUES
+        |  ('src0', 25, 1435, 126971, 55, 27665),
+        |  ('src1', 25, 1540, 134657, 55, 27665),
+        |  ('src10', 25, 1303, 115865, 55, 27665),
+        |  ('src11', 25, 1522, 133267, 55, 27665),
+        |  ('src12', 25, 1272, 111406, 55, 27665),
+        |  ('src13', 25, 1553, 136401, 55, 27665),
+        |  ('src14', 25, 1318, 117481, 55, 27665),
+        |  ('src15', 25, 1298, 114048, 55, 27665),
+        |  ('src16', 25, 1351, 118137, 55, 27665),
+        |  ('src17', 25, 1373, 120943, 55, 27665),
+        |  ('src18', 25, 1364, 119165, 55, 27665),
+        |  ('src19', 25, 1147, 100599, 55, 27665),
+        |  ('src2', 25, 1407, 125096, 55, 27665),
+        |  ('src3', 25, 1384, 122125, 55, 27665),
+        |  ('src4', 25, 1294, 115177, 55, 27665),
+        |  ('src5', 25, 1329, 116451, 55, 27665),
+        |  ('src6', 25, 1266, 109913, 55, 27665),
+        |  ('src7', 25, 1507, 130075, 55, 27665),
+        |  ('src8', 25, 1136, 100028, 55, 27665),
+        |  ('src9', 25, 1366, 120676, 55, 27665))
+        |AS v(source, d, n, i, p, pt)""".stripMargin,
 
     // replays the order-pinned fold: counts sorted ascending, summed in
     // list order, ln(T+V) − sum/n — the same expression tree as Spark's

@@ -30,14 +30,37 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object Bpe {
 
-  final case class Model(merges: Vector[(String, String)]) {
+  final case class Model(merges: Vector[(String, String)],
+                         baseSymbols: Vector[String] = Vector.empty) {
     /** rank map: pair -> priority (lower merges first) */
     @transient lazy val ranks: java.util.HashMap[String, Integer] = {
       val m = new java.util.HashMap[String, Integer]()
       merges.zipWithIndex.foreach { case ((a, b), i) => m.put(a + "\u0000" + b, i) }
       m
     }
+
+    /** id -> token. Id space: 0 = `<unk>`, then the sorted base symbols
+      * recorded at fit time (every single character seen in the sample,
+      * plus `</w>`), then one token per merge in rank order. `distinct`
+      * keeps the FIRST occurrence, so the rare case of two merge paths
+      * producing the same surface string yields one id (ids must be a
+      * function of the token string - a training pipeline embeds by id).
+      */
+    @transient lazy val vocab: Vector[String] =
+      (Unk +: (baseSymbols ++ merges.map { case (a, b) => a + b })).distinct
+
+    /** token -> id (inverse of [[vocab]]). */
+    @transient lazy val ids: java.util.HashMap[String, Integer] = {
+      val m = new java.util.HashMap[String, Integer]()
+      vocab.zipWithIndex.foreach { case (t, i) => m.put(t, i) }
+      m
+    }
   }
+
+  /** Id 0: any symbol outside the trained vocabulary (a character the
+    * fit sample never saw).
+    */
+  val Unk = "<unk>"
 
   private[text] val EndOfWord = "</w>"
 
@@ -82,12 +105,19 @@ object Bpe {
           sampleSize: Int = 2000, seed: Long = 42L): Model = {
     require(numMerges >= 1 && sampleSize >= 1)
     val rows = graft.ml.BoundedSample.rows(df, textCol, sampleSize, seed)
-    // word frequency over the sample, words as symbol vectors + </w>
+    // word frequency over the sample, words as symbol vectors + </w>;
+    // base symbols = every single character the sample surfaces (word
+    // chars AND standalone symbol chars) + the end-of-word marker -
+    // sorted, so the id space is deterministic for a given sample
     val wordFreq = scala.collection.mutable.HashMap.empty[String, Long]
+    val baseSyms = scala.collection.mutable.TreeSet.empty[String]
+    baseSyms += EndOfWord
     rows.foreach { r =>
       val t = if (r.isNullAt(0)) "" else r.getString(0)
-      preTokens(t).filter(isWordToken).foreach { w =>
-        wordFreq.updateWith(w) { c => Some(c.getOrElse(0L) + 1L) }
+      preTokens(t).foreach { w =>
+        w.foreach(c => baseSyms += c.toString)
+        if (isWordToken(w))
+          wordFreq.updateWith(w) { c => Some(c.getOrElse(0L) + 1L) }
       }
     }
     var words: Map[Vector[String], Long] = wordFreq.map { case (w, c) =>
@@ -129,16 +159,17 @@ object Bpe {
         }
       }
     }
-    Model(merges.result())
+    Model(merges.result(), baseSyms.toVector)
   }
 
   /** Encode one word (symbol vector with `</w>`) under the merge ranks:
     * repeatedly merge the adjacent pair with the LOWEST rank — the
     * actual BPE inference loop.
     */
-  private[text] def encodeWord(word: String,
-                               ranks: java.util.HashMap[String, Integer]): Int = {
-    var syms = scala.collection.mutable.ArrayBuffer.empty[String]
+  private[text] def encodeWordSyms(word: String,
+      ranks: java.util.HashMap[String, Integer])
+      : scala.collection.mutable.ArrayBuffer[String] = {
+    val syms = scala.collection.mutable.ArrayBuffer.empty[String]
     word.foreach(c => syms += c.toString)
     syms += EndOfWord
     var continue = syms.length > 1
@@ -158,8 +189,12 @@ object Bpe {
         if (syms.length < 2) continue = false
       }
     }
-    syms.length
+    syms
   }
+
+  private[text] def encodeWord(word: String,
+                               ranks: java.util.HashMap[String, Integer]): Int =
+    encodeWordSyms(word, ranks).length
 
   /** BPE token count of one text under the model: word tokens encode
     * through the merge loop; symbol tokens count 1 each.
@@ -173,9 +208,81 @@ object Bpe {
     n
   }
 
+  /** Encode one text to token IDS under the model: the artifact a
+    * training pipeline actually ships. Word tokens run the greedy merge
+    * loop and emit one id per resulting symbol; standalone symbol tokens
+    * emit their own id; anything outside the trained vocabulary is
+    * [[Unk]] (id 0). `countTokens(t) == encodeIds(t).length` always -
+    * both walk the same merge loop.
+    */
+  def encodeIds(text: String, ranks: java.util.HashMap[String, Integer],
+                ids: java.util.HashMap[String, Integer]): Array[Int] = {
+    val out = new scala.collection.mutable.ArrayBuilder.ofInt
+    def idOf(t: String): Int = {
+      val i = ids.get(t); if (i == null) 0 else i.intValue
+    }
+    preTokens(text).foreach { t =>
+      if (isWordToken(t)) encodeWordSyms(t, ranks).foreach(sym => out += idOf(sym))
+      else out += idOf(t)
+    }
+    out.result()
+  }
+
+  /** [[encodeIds]] boxed as Catalyst array data (codegen entry point). */
+  def encodeIdsData(text: String, ranks: java.util.HashMap[String, Integer],
+                    ids: java.util.HashMap[String, Integer])
+      : org.apache.spark.sql.catalyst.util.ArrayData =
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(encodeIds(text, ranks, ids))
+
+  /** Decode ids back to the PRE-TOKEN sequence (the tokenizer's normal
+    * form: lowercased words and standalone symbols — whitespace and case
+    * are lossy by design, as in any BPE pre-tokenizer). Sub-word pieces
+    * accumulate until an end-of-word token closes the word; the
+    * round-trip law `decodeTokens(encodeIds(t)) == preTokens(t)` holds
+    * for any text whose characters the fit sample saw.
+    */
+  def decodeTokens(tokenIds: Seq[Int], model: Model): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val word = new StringBuilder
+    def flushWord(): Unit =
+      if (word.nonEmpty) { out += word.toString; word.clear() }
+    tokenIds.foreach { id =>
+      val tok =
+        if (id >= 0 && id < model.vocab.length) model.vocab(id) else Unk
+      if (tok == Unk) { flushWord(); out += Unk }
+      else if (tok.endsWith(EndOfWord)) {
+        word ++= tok.dropRight(EndOfWord.length); flushWord()
+      } else if (isWordToken(tok)) word ++= tok
+      else { flushWord(); out += tok } // standalone symbol
+    }
+    flushWord()
+    out.toSeq
+  }
+
   /** Token count column under a trained model (codegen'd, per-row). */
   def tokenCount(text: Column, model: Model): Column =
     toColumn(BpeTokenCount(expression(text), model))
+
+  /** Token-id array column under a trained model (codegen'd, per-row;
+    * `array<int>`, never null elements).
+    */
+  def encode(text: Column, model: Model): Column =
+    toColumn(BpeEncode(expression(text), model))
+
+  /** The id <-> token table as a DataFrame: `(token_id, token)`. */
+  def vocabDf(spark: org.apache.spark.sql.SparkSession, model: Model): DataFrame = {
+    import spark.implicits._
+    model.vocab.zipWithIndex.map { case (t, i) => (i, t) }
+      .toDF("token_id", "token")
+  }
+
+  /** The learned merge rules as a DataFrame: `(rank, left, right)`. */
+  def mergesDf(spark: org.apache.spark.sql.SparkSession, model: Model): DataFrame = {
+    import spark.implicits._
+    model.merges.zipWithIndex.map { case ((a, b), i) => (i, a, b) }
+      .toDF("rank", "left", "right")
+  }
 
   /** Per-document BPE token counts: `(idCol, n_tokens_bpe)`. */
   def withTokenCounts(df: DataFrame, idCol: String, textCol: String,
@@ -204,5 +311,33 @@ case class BpeTokenCount(child: Expression, model: Bpe.Model)
   }
 
   override protected def withNewChildInternal(c: Expression): BpeTokenCount =
+    copy(child = c)
+}
+
+/** Codegen'd BPE id encoding: `text -> array<int>` under the model's
+  * merge ranks and vocabulary (both ride the expression as reference
+  * objects — no join, no shuffle; the encoder runs at scan speed).
+  */
+case class BpeEncode(child: Expression, model: Bpe.Model)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def checkInputDataTypes() =
+    graft.plans.expressions.stringCheck(child, "bpe_encode")
+
+  override def nullSafeEval(input: Any): Any =
+    Bpe.encodeIdsData(input.asInstanceOf[UTF8String].toString,
+      model.ranks, model.ids)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ranks = ctx.addReferenceObj("bpeRanks", model.ranks,
+      "java.util.HashMap")
+    val ids = ctx.addReferenceObj("bpeIds", model.ids,
+      "java.util.HashMap")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.text.Bpe.encodeIdsData($c.toString(), $ranks, $ids);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): BpeEncode =
     copy(child = c)
 }

@@ -94,4 +94,41 @@ object TextChunker {
       .withColumn("pack_id", concat_ws("_", col(g), col("pack_bin")))
       .drop("__cum_before")
   }
+
+  /** Sequence packing over ACTUAL token-id arrays (the artifact a
+    * training run loads): documents shard into token budgets via
+    * [[shardByTokenBudget]] on `size(idsCol)`, then each pack
+    * concatenates its documents' id sequences in id order — one row per
+    * pack with `pack_id`, `n_docs`, `input_ids` (flattened `array<int>`)
+    * and `n_tokens`. `sepId` (e.g. an end-of-text id) is appended after
+    * every document when given, marking boundaries the way packed
+    * pretraining batches do; separator ids count toward `n_tokens` but
+    * NOT toward the shard budget (the budget governs document tokens —
+    * same contract either way, bounded overflow by one document).
+    *
+    * Scale shape: one shuffle to shard (hash on the salt group), one
+    * window pass, one groupBy on `pack_id` to assemble — the id arrays
+    * shuffle exactly once, and every pack group packs in parallel.
+    */
+  def packSequences(df: DataFrame, idCol: String, idsCol: String,
+                    capacity: Long, groups: Int = 64,
+                    sepId: Option[Int] = None): DataFrame = {
+    val sized = df.withColumn("__n_ids", size(col(idsCol)).cast("long"))
+    val sharded = shardByTokenBudget(sized, idCol, "__n_ids", capacity, groups)
+    val docIds = sepId match {
+      case Some(sep) => concat(col(idsCol), array(lit(sep)))
+      case None => col(idsCol)
+    }
+    sharded
+      .select(col("pack_id"), col(idCol).cast("long").as("__oid"),
+        docIds.as("__ids"))
+      .groupBy("pack_id")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        // array_sort on (id, ids) structs pins concatenation to id order
+        flatten(transform(
+          array_sort(collect_list(struct(col("__oid"), col("__ids")))),
+          s => s.getField("__ids"))).as("input_ids"))
+      .withColumn("n_tokens", size(col("input_ids")).cast("long"))
+  }
 }

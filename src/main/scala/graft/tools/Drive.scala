@@ -497,6 +497,24 @@ object Drive {
       .count()
     println(s"[47] semantic decon: ${embAll.count} vectors, 5 bench items " +
       s"-> $sdKept2 kept at cos 0.95 (the 5 self-matches dropped)")
+
+    // --- BPE token ids: encode -> vocab round-trip -> packed shards ----
+    val idsModel = graft.text.Bpe.fit(docs, "text", numMerges = 100)
+    val idsEnc = docs.select(col("doc_id"),
+      graft.text.Bpe.encode(col("text"), idsModel).as("ids"))
+    val idsHead = idsEnc.orderBy("doc_id").head()
+    val idsSample = idsHead.getSeq[Int](1).take(8)
+    val decoded = graft.text.Bpe.decodeTokens(
+      idsHead.getSeq[Int](1).toIndexedSeq, idsModel)
+    val idsPacked = graft.text.TextChunker.packSequences(
+      idsEnc, "doc_id", "ids", capacity = 2048, groups = 4, sepId = Some(0))
+    val idsPackAgg = idsPacked
+      .agg(count(lit(1)), sum(col("n_tokens")), max(col("n_tokens"))).head()
+    println(s"[48] bpe ids: vocab=${idsModel.vocab.size} " +
+      s"(${idsModel.merges.size} merges); doc0 ids ${idsSample.mkString(",")}… " +
+      s"decode head '${decoded.take(4).mkString(" ")}'; packed " +
+      s"${idsPackAgg.getLong(0)} shards / ${idsPackAgg.getLong(1)} tokens " +
+      s"(max ${idsPackAgg.getLong(2)})")
     spark.stop()
   }
 }

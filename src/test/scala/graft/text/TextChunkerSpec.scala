@@ -50,4 +50,44 @@ class TextChunkerSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(again == first)
   }
+
+  test("packSequences concatenates real id sequences in id order within " +
+       "the budget contract") {
+    // deterministic fake "token ids": doc i carries (i*3 % 7) + 1 ids,
+    // each id = i*100 + position (globally unique, so flattening is
+    // provably order-faithful)
+    val docs = (1 to 120).map { i =>
+      val n = (i * 3) % 7 + 1
+      (i.toLong, (0 until n).map(p => i * 100 + p).toArray)
+    }.toDF("id", "ids")
+    val out = TextChunker.packSequences(docs, "id", "ids",
+      capacity = 20, groups = 4, sepId = Some(-1))
+    val packs = out.collect().map(r => (r.getString(0), r.getLong(1),
+      r.getSeq[Int](2), r.getLong(3)))
+    // every document's ids appear exactly once, in order, ending with sep
+    val flat = packs.flatMap(_._3)
+    assert(flat.count(_ == -1) == 120, "one separator per document")
+    val perDoc = flat.filter(_ != -1).groupBy(_ / 100)
+    (1 to 120).foreach { i =>
+      val n = (i * 3) % 7 + 1
+      assert(perDoc(i).toSeq == (0 until n).map(p => i * 100 + p),
+        s"doc $i ids intact and ordered")
+    }
+    packs.foreach { case (pid, nDocs, ids, nTokens) =>
+      assert(ids.length == nTokens, s"$pid n_tokens matches array")
+      assert(ids.count(_ == -1) == nDocs, s"$pid one sep per doc")
+      // budget: document tokens (net of separators) overflow by at most
+      // the last document (max doc size here is 7)
+      assert(nTokens - nDocs <= 20 + 7, s"$pid overflows the contract")
+      // within a pack, docs appear in ascending id order
+      val order = ids.filter(_ != -1).map(_ / 100).distinct
+      assert(order.toSeq == order.sorted.toSeq, s"$pid doc order")
+    }
+    // a pack's docs all share one salt group (packing is per-group)
+    packs.foreach { case (pid, _, ids, _) =>
+      val g = pid.split("_")(0).toLong
+      assert(ids.filter(_ != -1).map(_ / 100).forall(_ % 4 == g),
+        s"$pid holds docs of its own salt group only")
+    }
+  }
 }
