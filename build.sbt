@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// forked runs inherit the caller's environment (GRAFT_TRACE_STREAMING,
+// SPARK_GRAFT_SF_DIR reach the JVM the tools actually run in)
+run / envVars := sys.env.toMap
+Test / envVars := sys.env.toMap
 // Forked run output goes straight to stdout, NOT through sbt's logger:
 // the logger prefixes every line with "[info] ", which breaks machine
 // parsing of Bench's JSON line by the benchmark driver.

@@ -115,15 +115,22 @@ object Decontaminate {
         posexplode(bandHashes(col("__sig"), numHashes, bands))
           .as(Seq("__band", "__bh")))
     val bHashed = hashed(bench, "__bid")
+    // deliberately NOT persisted: the verify join-back re-scans the
+    // corpus through the codegen'd shingle kernel instead. Two scans
+    // beat caching a corpus-sized intermediate — a persist here is
+    // executor memory/disk pressure proportional to the CORPUS that
+    // outlives the call in a long-running session (and at 100 TB could
+    // never be pinned anyway), while the second scan is embarrassingly
+    // parallel and touches only the candidates' rows after pushdown of
+    // the (tiny, AQE-broadcast) candidate join
     val cHashed = hashed(corpus, "__cid")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cands = banded(cHashed, "__cid")
       .join(broadcast(banded(bHashed, "__bid")), Seq("__band", "__bh"))
       .select("__cid", "__bid").distinct()
     // exact verify over 64-bit shingle-hash sets: candidates join back
-    // to the persisted corpus hashes (candidate set is small — AQE
-    // broadcasts it; a pathological bench degrades to a shuffle, not an
-    // OOM) and to the broadcast bench hashes
+    // to the corpus hashes (candidate set is small — AQE broadcasts it;
+    // a pathological bench degrades to a shuffle, not an OOM) and to the
+    // broadcast bench hashes
     cands.join(cHashed, Seq("__cid"))
       .join(broadcast(bHashed), Seq("__bid"))
       .filter(graft.plans.expressions.hash_jaccard(

@@ -91,6 +91,10 @@ class DecontaminateSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().sorted.toSeq
     assert(fuzzyKept == Seq(2L),
       "shingle Jaccard ~0.54 >= 0.5 must drop the paraphrase")
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      "dropContaminatedFuzzy must leave no cached state behind — a " +
+        "corpus-sized persist outliving the call accumulates executor " +
+        "memory/disk pressure across invocations in a long session")
   }
 
   test("fuzzy equals the exact all-pairs Jaccard on real documents " +
