@@ -1134,6 +1134,30 @@ object SparkEntry {
         .withColumn("rank", col("rank").cast(LongType))
     }),
 
+    // IVF×PQ — the composed index (coarse routing THEN ADC within the
+    // probed cells, exact rerank of the shortlist; see ml/IvfPq.scala).
+    // Same derived-cluster corpus as simsearch_ivf/simsearch_pq; with
+    // nprobe=2 the query's own cluster is always probed and
+    // shortlist=100 exceeds the ~63-member cluster, so recall@10 = 1.0
+    // (gated in RecallGateSpec) and the output shares the exact
+    // brute-force cosine oracle.
+    "simsearch_ivfpq" -> ((s, dir) => {
+      val toDouble = transform(col("embedding"), x => x.cast("double"))
+      val orig = t(s, dir, "embeddings")
+        .select(col("vec_id").cast(LongType).as("vec_id"), toDouble.as("__v"))
+      val cents = orig.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("__c"), col("__v").as("__cv"))
+      val corpus = orig.join(broadcast(cents), col("vec_id") % 8 === col("__c"))
+        .select(col("vec_id"),
+          zip_with(col("__cv"), col("__v"),
+            (c, x) => c + lit(0.1) * x).as("embedding"))
+      val model = ml.IvfPq.fit(corpus, "embedding", k = 8, m = 8, ksub = 16)
+      ml.IvfPq.topK(corpus, "vec_id", "embedding",
+        corpus.filter(col("vec_id") < 5), "vec_id", "embedding",
+        model, k = 10, nprobe = 2, shortlist = 100)
+        .withColumn("rank", col("rank").cast(LongType))
+    }),
+
     // int8 scalar-quantized brute force: the memory-bound ANN variant —
     // the quantized corpus is 4× smaller in scan/shuffle/broadcast, and
     // scoring is (scaleA·scaleB)·(int dot), exact in double, so the
@@ -2469,6 +2493,32 @@ object SparkEntry {
     // corpus, same exact cosine ranking): the PQ shortlist provably
     // contains the true top-10 here (RecallGateSpec) and the rerank is
     // exact, so the approximate plan's output equals brute force
+    // identical oracle to simsearch_pq: the composed index is pinned to
+    // the same exact brute-force answer on the clustered corpus
+    "simsearch_ivfpq" ->
+      """WITH orig AS (
+        |  SELECT CAST(vec_id AS BIGINT) AS vec_id,
+        |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |corpus AS (
+        |  SELECT a.vec_id,
+        |         list_transform(generate_series(1, 64),
+        |                        i -> c.v[i] + 0.1 * a.v[i]) AS v
+        |  FROM orig a JOIN orig c ON c.vec_id = a.vec_id % 8),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM corpus WHERE vec_id < 5),
+        |scored AS (
+        |  SELECT q.query_id, e.vec_id AS neighbor_id,
+        |         list_cosine_similarity(q.qv, e.v) AS cosine
+        |  FROM q CROSS JOIN corpus e WHERE e.vec_id <> q.query_id),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id,
+        |         row_number() OVER (PARTITION BY query_id
+        |                            ORDER BY cosine DESC, neighbor_id) AS rank,
+        |         cosine
+        |  FROM scored)
+        |SELECT query_id, neighbor_id, rank, round(cosine, 4) AS cosine
+        |FROM ranked WHERE rank <= 10""".stripMargin,
+
     "simsearch_pq" ->
       """WITH orig AS (
         |  SELECT CAST(vec_id AS BIGINT) AS vec_id,

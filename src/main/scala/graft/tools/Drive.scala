@@ -515,6 +515,18 @@ object Drive {
       s"decode head '${decoded.take(4).mkString(" ")}'; packed " +
       s"${idsPackAgg.getLong(0)} shards / ${idsPackAgg.getLong(1)} tokens " +
       s"(max ${idsPackAgg.getLong(2)})")
+
+    // --- IVF×PQ composed ANN: route -> ADC shortlist -> exact rerank ---
+    val ivfpqModel = graft.ml.IvfPq.fit(embAll, "embedding", k = 8, m = 8,
+      ksub = 16)
+    val ivfpqTop = graft.ml.IvfPq.topK(embAll, "vec_id", "embedding",
+      embAll.filter(col("vec_id") < 2), "vec_id", "embedding",
+      ivfpqModel, k = 3, nprobe = 4, shortlist = 50)
+      .orderBy("query_id", "rank").collect()
+    val ivfpqStr = ivfpqTop.map(r =>
+      s"${r.getLong(0)}->${r.getLong(1)}@${r.getDouble(3)}").mkString(" ")
+    println(s"[49] ivfpq ANN (k=8 cells, nprobe=4, 8-byte codes): " +
+      s"top-3 $ivfpqStr")
     spark.stop()
   }
 }

@@ -251,6 +251,37 @@ class RecallGateSpec extends SparkSpec {
         s"on it; diff: ${(got.toSet diff exact.toSet).take(3)}")
   }
 
+  test("simsearch_ivfpq derived-cluster corpus: IVF-routed PQ output EQUALS " +
+       "brute force at nprobe=2 (oracle precondition)") {
+    // the composed index: coarse routing must put each derived cluster
+    // in a probeable cell AND the ADC shortlist within the probed cells
+    // must cover the true top-10 — equality holds iff both do
+    val toDouble = transform(col("embedding"), x => x.cast("double"))
+    val orig = emb.select(col("vec_id").cast(LongType).as("vec_id"),
+      toDouble.as("__v"))
+    val cents = orig.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("__c"), col("__v").as("__cv"))
+    val corpus = orig.join(broadcast(cents), col("vec_id") % 8 === col("__c"))
+      .select(col("vec_id"),
+        zip_with(col("__cv"), col("__v"), (c, x) => c + lit(0.1) * x).as("embedding"))
+    val queries = corpus.filter(col("vec_id") < 5)
+    def ranked(df: DataFrame): Seq[(Long, Long, Int, Double)] =
+      df.select(col("query_id").cast("long"), col("neighbor_id").cast("long"),
+          col("rank").cast("int"), col("cosine").cast("double"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+        .toSeq.sorted
+    val exact = ranked(Similarity.bruteForceTopK(corpus, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 10))
+    val model = graft.ml.IvfPq.fit(corpus, "embedding", k = 8, m = 8, ksub = 16)
+    val got = ranked(graft.ml.IvfPq.topK(corpus, "vec_id", "embedding",
+      queries, "vec_id", "embedding", model, k = 10, nprobe = 2,
+      shortlist = 100))
+    assert(got == exact,
+      "IVF×PQ (k=8, nprobe=2, m=8, ksub=16, shortlist=100) must return the " +
+        "exact ranked top-10 on the clustered corpus — the simsearch_ivfpq " +
+        s"DuckDB oracle depends on it; diff: ${(got.toSet diff exact.toSet).take(3)}")
+  }
+
   test("IVF top-k floor on the near-orthogonal corpus (documented weak regime)") {
     val queries = emb.filter(col("vec_id") < 5)
     val exact = topkSet(Similarity.bruteForceTopK(emb, "vec_id", "embedding",
