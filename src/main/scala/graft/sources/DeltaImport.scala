@@ -62,24 +62,56 @@ object DeltaImport {
                                    */
                                  dvByFile:
                                    Map[String, DeltaDv.Descriptor] = Map.empty) {
-    /** `delta.columnMapping.mode` — `none` or `name` (`id` is refused at
-      * snapshot time). Under `name`, parquet files and partition dirs
-      * carry PHYSICAL column names (`col-<uuid>`), recorded per-field in
-      * the schema metadata.
+    /** `delta.columnMapping.mode` — `none`, `name`, or `id`. Under
+      * either mapping, parquet files and partition dirs carry PHYSICAL
+      * column names (`col-<uuid>`), recorded per-field (at every nesting
+      * level) in the schema metadata — delta-spark annotates
+      * `physicalName` alongside the field id in BOTH modes, so both
+      * resolve through the physical-name path here. A pure-id table
+      * whose schema lacks physicalName metadata (a non-Spark writer
+      * matching footers by parquet field id alone) falls back to
+      * logical names and will fail its read loud rather than misread.
       */
     def columnMappingMode: String =
       configuration.getOrElse("delta.columnMapping.mode", "none")
     /** logical name -> physical name (identity when mapping is off). */
     def physicalName(f: StructField): String =
       if (columnMappingMode == "none") f.name
-      else if (f.metadata.contains("delta.columnMapping.physicalName"))
-        f.metadata.getString("delta.columnMapping.physicalName")
-      else f.name
+      else DeltaImport.physName(f)
+    /** The schema exactly as parquet footers spell it: every field, at
+      * every nesting level, renamed to its physical name (identity when
+      * mapping is off). Reads under mapping scan with THIS schema and
+      * re-alias to logical — a struct-to-struct cast renames positionally,
+      * which is sound here because the scan schema derives from the same
+      * log schema (the parquet reader resolves file fields by name
+      * against it and null-fills, so positions always align).
+      */
+    def physicalSchema: StructType =
+      if (columnMappingMode == "none") schema
+      else DeltaImport.renamePhysical(schema)
     /** partition columns as they appear in file paths / parquet footers. */
     def physicalPartitionColumns: Seq[String] =
       partitionColumns.map { c =>
         schema.fields.find(_.name == c).map(physicalName).getOrElse(c)
       }
+  }
+
+  private def physName(f: StructField): String =
+    if (f.metadata.contains("delta.columnMapping.physicalName"))
+      f.metadata.getString("delta.columnMapping.physicalName")
+    else f.name
+
+  /** Rename every field at every nesting level to its physical name. */
+  private[sources] def renamePhysical(st: StructType): StructType =
+    StructType(st.fields.map(f =>
+      StructField(physName(f), renamePhysicalType(f.dataType), f.nullable)))
+
+  private def renamePhysicalType(dt: DataType): DataType = dt match {
+    case s: StructType => renamePhysical(s)
+    case a: ArrayType => a.copy(elementType = renamePhysicalType(a.elementType))
+    case m: MapType => m.copy(keyType = renamePhysicalType(m.keyType),
+      valueType = renamePhysicalType(m.valueType))
+    case other => other
   }
 
   /** One checkpoint action, projected to exactly the fields a read
@@ -216,10 +248,10 @@ object DeltaImport {
       partCols = pc
       config = cf
       val mapping = config.getOrElse("delta.columnMapping.mode", "none")
-      require(mapping == "none" || mapping == "name",
-        s"Delta column mapping mode '$mapping' is not supported ('name' " +
-          "mode reads via per-field physicalName metadata; 'id' mode " +
-          "would need parquet field-id resolution)")
+      require(mapping == "none" || mapping == "name" || mapping == "id",
+        s"Delta column mapping mode '$mapping' is not supported (known " +
+          "modes: none, name, id — both mapped modes read via per-field " +
+          "physicalName metadata)")
     }
     def applyAction(n: JsonNode): Unit =
       if (n.has("metaData")) {
@@ -337,24 +369,6 @@ object DeltaImport {
       throw new IllegalStateException(
         s"No metaData action found in $tablePath's log")))
       .asInstanceOf[StructType]
-    // name mapping renames INNER struct fields too (delta-spark annotates
-    // every nested field); only top-level translation is implemented, and
-    // a positional struct cast over physical-named inner fields would
-    // silently misread after inner-field evolution — refuse loud instead
-    if (config.getOrElse("delta.columnMapping.mode", "none") == "name") {
-      def containsStruct(dt: DataType): Boolean = dt match {
-        case _: StructType => true
-        case a: ArrayType => containsStruct(a.elementType)
-        case m: MapType => containsStruct(m.keyType) || containsStruct(m.valueType)
-        case _ => false
-      }
-      schema.fields.find(f => containsStruct(f.dataType)).foreach { f =>
-        throw new IllegalArgumentException(
-          s"Delta column mapping 'name' with nested column '${f.name}' is " +
-            "not supported by this importer (inner fields carry physical " +
-            "names that top-level translation cannot resolve)")
-      }
-    }
     // a well-formed log references each physical file at most once in
     // the live set (a DV rewrite removes the prior logical file); two
     // live adds of one path would double-read its rows — refuse loud
@@ -439,14 +453,23 @@ object DeltaImport {
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         logicalSchema(snap))
     val physParts = snap.physicalPartitionColumns
+    val mapped = snap.columnMappingMode != "none"
+    val logical = logicalSchema(snap)
+    // under mapping the scan uses the EXPLICIT physical schema (the
+    // parquet reader resolves file fields by name against it at every
+    // nesting level and null-fills absences), so the later
+    // physical->logical cast is a pure positional rename — this is what
+    // makes nested name/id-mapped structs sound; without mapping, keep
+    // footer inference + mergeSchema (it tolerates type widening across
+    // evolved files)
     if (ManagedTable.isHiveLayout(snap.files, physParts)) {
       val abs = snap.files.map(f => Paths.get(tablePath, f).toString)
-      val raw = spark.read
-        .option("mergeSchema", "true")
-        .option("basePath", tablePath)
-        .parquet(abs: _*)
-      val cols = snap.schema.fields.map { f =>
-        val phys = snap.physicalName(f)
+      val reader =
+        if (mapped) spark.read.schema(snap.physicalSchema)
+        else spark.read.option("mergeSchema", "true")
+      val raw = reader.option("basePath", tablePath).parquet(abs: _*)
+      val cols = logical.fields.map { f =>
+        val phys = snap.physicalName(snap.schema(f.name))
         if (raw.columns.contains(phys)) raw.col(phys).cast(f.dataType).as(f.name)
         else lit(null).cast(f.dataType).as(f.name)
       }
@@ -461,11 +484,15 @@ object DeltaImport {
           s"'$pc' — the log cannot place its rows in a partition")
       pc -> pv(pc)
     }.toMap)
+    val physData = StructType(snap.physicalSchema.fields
+      .filterNot(f => physParts.contains(f.name)))
     val frames = groups.toSeq.map { case (pv, fs) =>
-      val raw = spark.read.option("mergeSchema", "true")
-        .parquet(fs.map(f => Paths.get(tablePath, f).toString): _*)
-      val cols = snap.schema.fields.map { f =>
-        val phys = snap.physicalName(f)
+      val reader =
+        if (mapped) spark.read.schema(physData)
+        else spark.read.option("mergeSchema", "true")
+      val raw = reader.parquet(fs.map(f => Paths.get(tablePath, f).toString): _*)
+      val cols = logical.fields.map { f =>
+        val phys = snap.physicalName(snap.schema(f.name))
         if (snap.partitionColumns.contains(f.name))
           lit(pv(phys)).cast(f.dataType).as(f.name) // null-safe: lit(null)
         else if (raw.columns.contains(phys))
@@ -553,16 +580,30 @@ object DeltaImport {
     * Other field metadata (comments etc.) survives.
     */
   private def logicalSchema(snap: DeltaSnapshot): StructType =
-    StructType(snap.schema.fields.map(f => f.copy(metadata = {
-      val keys = Seq("delta.columnMapping.physicalName", "delta.columnMapping.id")
-      if (!keys.exists(f.metadata.contains)) f.metadata
-      else {
-        val node = mapper.readTree(f.metadata.json)
-          .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
-        keys.foreach(node.remove)
-        Metadata.fromJson(mapper.writeValueAsString(node))
-      }
-    })))
+    stripMappingMeta(snap.schema)
+
+  private def stripMappingMeta(st: StructType): StructType =
+    StructType(st.fields.map(f => f.copy(
+      dataType = stripMappingMetaType(f.dataType),
+      metadata = {
+        val keys =
+          Seq("delta.columnMapping.physicalName", "delta.columnMapping.id")
+        if (!keys.exists(f.metadata.contains)) f.metadata
+        else {
+          val node = mapper.readTree(f.metadata.json)
+            .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+          keys.foreach(node.remove)
+          Metadata.fromJson(mapper.writeValueAsString(node))
+        }
+      })))
+
+  private def stripMappingMetaType(dt: DataType): DataType = dt match {
+    case s: StructType => stripMappingMeta(s)
+    case a: ArrayType => a.copy(elementType = stripMappingMetaType(a.elementType))
+    case m: MapType => m.copy(keyType = stripMappingMetaType(m.keyType),
+      valueType = stripMappingMetaType(m.valueType))
+    case other => other
+  }
 
   /** CLONE the Delta table into a graft [[ManagedTable]] (the switching
     * path: one call, then every graft operator applies). ZERO-COPY: the
@@ -574,7 +615,7 @@ object DeltaImport {
     * carry over; Delta history does not (same contract as the
     * reference's copy_table, mack/__init__.py:287-325).
     *
-    * Exception: column mapping `name` MATERIALIZES (one distributed
+    * Exception: column mapping (`name` or `id`) MATERIALIZES (one distributed
     * rewrite) instead of hard-linking — the source parquet footers carry
     * physical `col-<uuid>` names, which the managed scan contract
     * (schema resolution by name) cannot re-alias per-file. Honest

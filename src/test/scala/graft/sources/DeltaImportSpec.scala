@@ -205,12 +205,13 @@ class DeltaImportSpec extends SparkSpec {
     assert(DeltaImport.toDF(spark, dir).count() == 0)
   }
 
-  test("refuses 'id' mapping and unknown reader features") {
+  test("refuses unknown mapping modes and unknown reader features") {
     val schema = Seq.empty[(Long, Long)].toDF("k", "v").schema
     val dir2 = tmpDir("delta5")
     Seq((1L, 1L)).toDF("k", "v").coalesce(1).write.parquet(dir2)
     writeLog(dir2, 0, Seq(protocolJson(),
-      metaJson(schema, Nil, Map("delta.columnMapping.mode" -> "id"))) ++
+      metaJson(schema, Nil,
+        Map("delta.columnMapping.mode" -> "positional"))) ++
       partFiles(dir2).map(addJson(_)))
     val e2 = intercept[IllegalArgumentException](DeltaImport.snapshot(dir2))
     assert(e2.getMessage.contains("column mapping"))
@@ -526,21 +527,60 @@ class DeltaImportSpec extends SparkSpec {
     assert(e.getMessage.contains("partitionValues"))
   }
 
-  test("column mapping 'name' with nested columns refuses loud") {
-    import org.apache.spark.sql.types.{LongType, StructField, StructType}
-    val dir = tmpDir("deltacm3")
-    Seq((1L, 1L)).toDF("col-0aa", "col-0bb").coalesce(1).write.parquet(dir)
-    // inner fields carry physical names delta-spark annotates; top-level
-    // translation cannot resolve them — positional cast would misread
+  test("column mapping 'id' (delta-spark annotation shape) reads and " +
+       "imports like 'name'") {
+    import org.apache.spark.sql.types.{LongType, StringType, StructType}
+    val dir = tmpDir("deltacmid")
+    Seq((1L, "a"), (2L, "b")).toDF("col-0aa", "col-0bb")
+      .coalesce(1).write.parquet(dir)
+    // delta-spark annotates BOTH the field id and the physicalName in id
+    // mode; resolution rides the physical names either way
     val schema = StructType(Seq(
       mappedField("k", "col-0aa", LongType, 1),
-      mappedField("s", "col-0bb",
-        StructType(Seq(StructField("x", LongType))), 2)))
+      mappedField("s", "col-0bb", StringType, 2)))
+    writeLog(dir, 0, Seq(protocolJson(minReader = 2),
+      metaJson(schema, Nil, Map("delta.columnMapping.mode" -> "id"))) ++
+      partFiles(dir).map(addJson(_)))
+    val out = DeltaImport.toDF(spark, dir)
+    assert(out.columns.toSeq == Seq("k", "s"))
+    assert(out.collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+      == Seq((1L, "a"), (2L, "b")))
+    val t = DeltaImport.importTable(spark, dir, tmpDir("deltacmidclone"))
+    assert(t.schema.fieldNames.toSeq == Seq("k", "s"))
+    assert(t.toDF.count() == 2)
+  }
+
+  test("column mapping 'name' resolves NESTED struct fields through " +
+       "their physical names") {
+    import org.apache.spark.sql.types.{LongType, StringType, StructType}
+    val dir = tmpDir("deltacm3")
+    // physical layout: top-level col-0bb is a struct whose INNER fields
+    // also carry physical names (delta-spark annotates every level)
+    Seq((1L, (10L, "x")), (2L, (20L, "y")))
+      .toDF("col-0aa", "s")
+      .selectExpr("`col-0aa`",
+        "named_struct('col-1xx', s._1, 'col-1yy', s._2) AS `col-0bb`")
+      .coalesce(1).write.parquet(dir)
+    val inner = StructType(Seq(
+      mappedField("x", "col-1xx", LongType, 3),
+      mappedField("y", "col-1yy", StringType, 4)))
+    val schema = StructType(Seq(
+      mappedField("k", "col-0aa", LongType, 1),
+      mappedField("s", "col-0bb", inner, 2)))
     writeLog(dir, 0, Seq(protocolJson(minReader = 2),
       metaJson(schema, Nil, Map("delta.columnMapping.mode" -> "name"))) ++
       partFiles(dir).map(addJson(_)))
-    val e = intercept[IllegalArgumentException](DeltaImport.snapshot(dir))
-    assert(e.getMessage.contains("nested column 's'"))
+    val out = DeltaImport.toDF(spark, dir)
+    assert(out.columns.toSeq == Seq("k", "s"))
+    assert(out.schema("s").dataType.asInstanceOf[StructType]
+      .fieldNames.toSeq == Seq("x", "y"), "inner fields re-alias to logical")
+    val got = out.selectExpr("k", "s.x", "s.y").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sorted.toSeq
+    assert(got == Seq((1L, 10L, "x"), (2L, 20L, "y")))
+    // and the clone materializes to plain logical names at every level
+    val t = DeltaImport.importTable(spark, dir, tmpDir("deltacm3clone"))
+    assert(t.toDF.selectExpr("s.x").as[Long].collect().sorted.toSeq ==
+      Seq(10L, 20L))
   }
 
   // ---- multi-part and v2 checkpoints -------------------------------------
