@@ -447,6 +447,50 @@ object SparkEntry {
     // (format("graft-cdf")): micro-batches are committed versions, so the
     // streamed rows must be row-identical to the batch changes() read —
     // and to the oracle's semantic re-derivation.
+    // CDC APPLY: the change feed drives an exactly-once MERGE-per-batch
+    // replication into a second table (readStream graft-cdf ->
+    // writeStream graft with mergeKeys+applyCdf — Delta's
+    // foreachBatch+MERGE pattern as a first-class sink mode). The
+    // mirror's final contents must equal the source table's final state
+    // after create + DELETE + UPDATE all replicate through one stream.
+    "table_cdc_apply" -> ((s, dir) => {
+      val base = "/root/repo/target/tmp/q_cdc_apply"
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm); f.delete(); ()
+      }
+      // the mirror and checkpoint are fresh per run (the APPLY is the
+      // measured operator); the source table + its DML history are probe
+      // infrastructure, prepared once per sf dir (table_bloom's pattern)
+      Seq(base + "_mirror", base + "_ckpt")
+        .foreach(p => rm(new java.io.File(p)))
+      val sfMarker = "graft.bench.sfdir"
+      if (!Option(base).filter(ManagedTable.exists)
+            .map(_ => ManagedTable.forPath(s, base))
+            .exists(_.properties.get(sfMarker).contains(dir))) {
+        rm(new java.io.File(base))
+        val orders = t(s, dir, "orders")
+        val tbl = ManagedTable.create(
+          orders.repartitionByRange(16, col("o_orderkey"))
+            .sortWithinPartitions("o_orderkey"),
+          base, properties = Map(ManagedTable.cdfPropKey -> "true",
+            sfMarker -> dir))
+        val omax = orders.agg(max("o_orderkey")).head().getLong(0)
+        tbl.delete(s"o_orderkey < ${omax / 10}")
+        tbl.update(Map("o_orderpriority" -> "'9-REPRICED'"),
+          Some("o_totalprice > 400000"))
+      }
+      val q = s.readStream.format("graft-cdf")
+        .option("startingVersion", "0").load(base)
+        .writeStream.format("graft")
+        .option("checkpointLocation", base + "_ckpt")
+        .option("txnAppId", "q_cdc_apply")
+        .option("mergeKeys", "o_orderkey")
+        .option("applyCdf", "true")
+        .start(base + "_mirror")
+      try q.processAllAvailable() finally q.stop()
+      ManagedTable.forPath(s, base + "_mirror").toDF
+    }),
+
     "table_cdf_stream" -> ((s, dir) => {
       val base = "/root/repo/target/tmp/q_cdf_stream"
       def rm(f: java.io.File): Unit = {
@@ -1524,6 +1568,17 @@ object SparkEntry {
 
     // the streamed feed must equal the batch feed — same oracle, with the
     // micro-batch delivery (offsets = versions) the thing under test
+    // the replicated mirror = the source's final state: survivors of the
+    // DELETE, with the UPDATE's repricing applied
+    "table_cdc_apply" ->
+      """WITH kk AS (SELECT max(o_orderkey) // 10 AS k FROM orders)
+        |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |       o_orderdate,
+        |       CASE WHEN o_totalprice > 400000 THEN '9-REPRICED'
+        |            ELSE o_orderpriority END AS o_orderpriority
+        |FROM orders
+        |WHERE NOT (o_orderkey < (SELECT k FROM kk))""".stripMargin,
+
     "table_cdf_stream" ->
       """WITH kk AS (SELECT max(o_orderkey) // 10 AS k FROM orders)
         |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,

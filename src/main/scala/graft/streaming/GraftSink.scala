@@ -35,9 +35,22 @@ import graft.tables.ManagedTable
   * transform → writeStream("graft")` — each table in the chain is a
   * replayable, versioned stage.
   *
-  * Append mode only: Complete/Update would overwrite or upsert per
-  * batch — use `foreachBatch` with [[graft.tables.Merge]] for those
-  * shapes (the SCD2/dedup operators show the pattern).
+  * Append mode by default. `.option("mergeKeys", "k1,k2")` switches the
+  * sink to MERGE-per-batch (the Delta `foreachBatch` + MERGE upsert
+  * pattern, first-class): each micro-batch upserts by key through
+  * [[graft.tables.Merge]] with the same idempotent `(appId, batchId)`
+  * txn marker riding the merge commit, so replays re-land exactly once.
+  * With several rows per key in one batch, `.option("sequenceColumn",
+  * "ts")` picks the latest (highest) per key; without it duplicate keys
+  * refuse loud (an unordered multi-row upsert is nondeterministic).
+  *
+  * `.option("applyCdf", "true")` (requires `mergeKeys`) interprets the
+  * stream as a change data feed (`_change_type`/`_commit_version`
+  * columns — exactly what the graft-cdf source emits): per key the batch
+  * reduces to its LATEST change (preimages dropped), deletes delete,
+  * everything else upserts. `readStream.format("graft-cdf") →
+  * writeStream.format("graft").option("applyCdf", "true")` is therefore
+  * a complete exactly-once table replication pipeline.
   */
 class GraftSinkProvider extends StreamSinkProvider
     with org.apache.spark.sql.sources.StreamSourceProvider
@@ -67,31 +80,111 @@ class GraftSinkProvider extends StreamSinkProvider
                           parameters: Map[String, String],
                           partitionColumns: Seq[String],
                           outputMode: OutputMode): Sink = {
-    require(outputMode == OutputMode.Append(),
+    val mergeKeys = parameters.get("mergeKeys")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .filter(_.nonEmpty)
+    val applyCdf = parameters.get("applyCdf").exists(_.toBoolean)
+    require(mergeKeys.nonEmpty || !applyCdf,
+      "graft sink: applyCdf requires mergeKeys (the keys the feed's " +
+        "changes apply by)")
+    require(outputMode == OutputMode.Append() || mergeKeys.nonEmpty,
       s"graft sink supports Append output mode, got $outputMode " +
-        "(use foreachBatch + Merge for update/complete shapes)")
+        "(or set mergeKeys for the upsert shape)")
+    require(mergeKeys.isEmpty || !parameters.get("mergeSchema").exists(_.toBoolean),
+      "graft sink: mergeSchema composes with the append shape only")
     val path = parameters.getOrElse("path", throw new IllegalArgumentException(
       "graft sink requires a table path: .start(<path>) or .option(\"path\", …)"))
     new GraftSink(sqlContext.sparkSession, path, partitionColumns,
       parameters.get("txnAppId"),
-      mergeSchema = parameters.get("mergeSchema").exists(_.toBoolean))
+      mergeSchema = parameters.get("mergeSchema").exists(_.toBoolean),
+      mergeKeys = mergeKeys.getOrElse(Nil),
+      sequenceColumn = parameters.get("sequenceColumn"),
+      applyCdf = applyCdf)
   }
 }
 
 class GraftSink(spark: SparkSession, path: String,
                 partitionColumns: Seq[String],
                 txnAppId: Option[String],
-                mergeSchema: Boolean) extends Sink {
+                mergeSchema: Boolean,
+                mergeKeys: Seq[String] = Nil,
+                sequenceColumn: Option[String] = None,
+                applyCdf: Boolean = false) extends Sink {
 
   private def appId: String = txnAppId
     .orElse(Option(spark.sparkContext.getLocalProperty("sql.streaming.queryId")))
     .getOrElse(throw new IllegalStateException(
       "graft sink: no streaming query id in scope and no txnAppId option"))
 
+  private val cdfMetaCols = Seq("_change_type", "_commit_version",
+    "_commit_timestamp")
+
+  /** MERGE-per-batch (mergeKeys set): reduce the batch to one row per
+    * key, then upsert (or CDF-apply) through [[graft.tables.Merge]] with
+    * the idempotent txn marker on the merge commit itself.
+    */
+  private def mergeBatch(batchId: Long, batch: DataFrame): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    mergeKeys.foreach(k => require(batch.columns.contains(k),
+      s"graft sink: merge key '$k' is not a stream column " +
+        batch.columns.mkString("[", ", ", "]")))
+    val keyCols = mergeKeys.map(col)
+    val reduced =
+      if (applyCdf) {
+        cdfMetaCols.take(2).foreach(c => require(batch.columns.contains(c),
+          s"graft sink: applyCdf needs the change feed's '$c' column " +
+            "(stream from the graft-cdf source)"))
+        // latest change per key wins; preimages are the pre-state of an
+        // update, never applied
+        val w = Window.partitionBy(keyCols: _*)
+          .orderBy(col("_commit_version").desc)
+        batch.filter(col("_change_type") =!= "update_preimage")
+          .withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn")
+          .withColumn("__cdf_delete", col("_change_type") === "delete")
+          .drop(cdfMetaCols.filter(batch.columns.contains): _*)
+      } else sequenceColumn match {
+        case Some(sc) =>
+          require(batch.columns.contains(sc),
+            s"graft sink: sequenceColumn '$sc' is not a stream column")
+          val w = Window.partitionBy(keyCols: _*)
+            .orderBy(col(sc).desc)
+          batch.withColumn("__rn", row_number().over(w))
+            .filter(col("__rn") === 1).drop("__rn")
+            .withColumn("__cdf_delete", lit(false))
+        case None =>
+          val dup = batch.groupBy(keyCols: _*).count()
+            .filter(col("count") > 1).limit(1).collect()
+          if (dup.nonEmpty) throw new IllegalStateException(
+            s"graft sink: batch $batchId carries multiple rows for key " +
+              s"${dup.head.toSeq.init.mkString("(", ", ", ")")} and no " +
+              "sequenceColumn orders them — an unordered multi-row upsert " +
+              "is nondeterministic")
+          batch.withColumn("__cdf_delete", lit(false))
+      }
+    val dataCols = reduced.columns.filterNot(_ == "__cdf_delete").toSeq
+    val table =
+      if (ManagedTable.exists(path)) ManagedTable.forPath(spark, path)
+      else ManagedTable.create(
+        reduced.select(dataCols.map(col): _*).limit(0), path, partitionColumns)
+    val cond = mergeKeys.map(k => col(s"t.$k") <=> col(s"s.$k"))
+      .reduce(_ && _)
+    val setAll = dataCols.map(c => c -> s"s.`$c`").toMap
+    var m = graft.tables.Merge.into(table.toDF, "t")
+      .using(reduced, "s", cond)
+    if (applyCdf) m = m.whenMatchedDelete("s.__cdf_delete")
+    m.whenMatchedUpdate("NOT s.__cdf_delete", setAll)
+      .whenNotMatchedInsert("NOT s.__cdf_delete", setAll)
+      .withTxn(s"sink.$appId", batchId)
+      .execute(table)
+  }
+
   override def addBatch(batchId: Long, data: DataFrame): Unit = {
     // the incoming frame is streaming-tagged; rewrap its physical plan
     // as a batch frame so the table's ordinary writer can run it
     val batch = GraftColumnBridge.asBatchDataFrame(data)
+    if (mergeKeys.nonEmpty) return mergeBatch(batchId, batch)
     val table =
       if (ManagedTable.exists(path)) ManagedTable.forPath(spark, path)
       else ManagedTable.create(batch.limit(0), path, partitionColumns)

@@ -729,8 +729,10 @@ final class ManagedTable private (val spark: SparkSession, val location: String)
     */
   private[tables] def overwriteFrom(baseVersion: Long, df: DataFrame,
                                     operation: String,
-                                    cdc: Seq[String] = Nil): Unit = {
+                                    cdc: Seq[String] = Nil,
+                                    txn: Option[(String, Long)] = None): Unit = {
     val e = latestEntry
+    if (txnApplied(e, txn)) return
     if (e.version != baseVersion)
       throw new ConcurrentCommitException(
         s"$operation at $location was computed against v$baseVersion but " +
@@ -742,9 +744,28 @@ final class ManagedTable private (val spark: SparkSession, val location: String)
     val dirs = writeData(aligned, e.partitionColumns, e.properties)
     val newStats = statsFor(dirs, e.schema)
     commit(LogEntry(baseVersion + 1, System.currentTimeMillis(), operation,
-      dirs, e.schema, e.partitionColumns, e.properties, newStats,
+      dirs, e.schema, e.partitionColumns, withTxnProp(e.properties, txn),
+      newStats,
       metrics = ManagedTable.writeMetrics(newStats), cdc = cdc))
   }
+
+  /** Whether `txn`'s (appId, version) is already recorded on `e` — the
+    * same idempotent-replay rule [[append]] applies, shared by every
+    * read-modify-write commit path a streaming writer drives (MERGE
+    * sinks replay micro-batches exactly like append sinks do). The
+    * marker rides the SAME commit as the data (see [[withTxnProp]]), so
+    * a crash can never separate them.
+    */
+  private def txnApplied(e: LogEntry, txn: Option[(String, Long)]): Boolean =
+    txn.exists { case (app, v) =>
+      e.properties.get(ManagedTable.txnPropKey(app)).exists(_.toLong >= v)
+    }
+
+  private def withTxnProp(props: Map[String, String],
+                          txn: Option[(String, Long)]): Map[String, String] =
+    txn.fold(props) { case (app, v) =>
+      props + (ManagedTable.txnPropKey(app) -> v.toString)
+    }
 
   // ---- conflict detection for read-modify-write commits ----------------
 
@@ -824,7 +845,9 @@ final class ManagedTable private (val spark: SparkSession, val location: String)
   def overwritePartitions(df: DataFrame, partitionValues: Seq[Map[String, Any]],
                           operation: String = "OVERWRITE PARTITIONS",
                           baseVersion: Long = -1L,
-                          cdc: Seq[String] = Nil): Unit = {
+                          cdc: Seq[String] = Nil,
+                          txn: Option[(String, Long)] = None): Unit = {
+    if (txnApplied(latestEntry, txn)) return
     val base = if (baseVersion >= 0) readEntry(baseVersion) else latestEntry
     val parts = base.partitionColumns
     require(parts.nonEmpty, "overwritePartitions requires a partitioned table")
@@ -860,7 +883,8 @@ final class ManagedTable private (val spark: SparkSession, val location: String)
       val keptSet = kept.toSet
       try {
         commit(LogEntry(cur.version + 1, System.currentTimeMillis(), operation,
-          kept ++ newLeaves, cur.schema, parts, cur.properties,
+          kept ++ newLeaves, cur.schema, parts,
+          withTxnProp(cur.properties, txn),
           entryFiles(cur).filter(f => keptSet(f.leafDir)) ++ newStats,
           metrics = ManagedTable.writeMetrics(newStats) +
             ("numReplacedPartitions" -> affected.size.toString),
@@ -902,7 +926,9 @@ final class ManagedTable private (val spark: SparkSession, val location: String)
                                      _ => true,
                                    extraMetrics: Map[String, String] =
                                      Map.empty,
-                                   cdc: Seq[String] = Nil): Unit = {
+                                   cdc: Seq[String] = Nil,
+                                   txn: Option[(String, Long)] = None): Unit = {
+    if (txnApplied(latestEntry, txn)) return
     require(base.files.nonEmpty, "replaceFiles requires a stats-bearing snapshot")
     val aligned = df.select(base.schema.fields.map { f =>
       col(f.name).cast(f.dataType).as(f.name)
@@ -930,7 +956,8 @@ final class ManagedTable private (val spark: SparkSession, val location: String)
       val dirs = (kept.map(_.leafDir).distinct ++ newDirs).distinct
       try {
         commit(LogEntry(cur.version + 1, System.currentTimeMillis(), operation,
-          dirs, cur.schema, cur.partitionColumns, cur.properties,
+          dirs, cur.schema, cur.partitionColumns,
+          withTxnProp(cur.properties, txn),
           kept ++ newStats,
           metrics = ManagedTable.writeMetrics(newStats) +
             ("numRemovedFiles" -> removed.size.toString) ++ extraMetrics,

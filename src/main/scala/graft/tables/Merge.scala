@@ -76,7 +76,8 @@ object Merge {
       source: DataFrame, sourceAlias: String,
       mergeCondition: Column,
       matched: Seq[Clause] = Nil, notMatched: Seq[Clause] = Nil,
-      evolveSchema: Boolean = false) {
+      evolveSchema: Boolean = false,
+      txn: Option[(String, Long)] = None) {
 
     def whenMatchedUpdate(condition: String, set: Map[String, String]): Builder =
       copy(matched = matched :+ Update(Option(condition), set))
@@ -105,6 +106,17 @@ object Merge {
       * column raises, as Delta's analyzer does.
       */
     def withSchemaEvolution(): Builder = copy(evolveSchema = true)
+
+    /** Idempotent-replay protection (the MERGE counterpart of
+      * [[ManagedTable.append]]'s `txn`): the (appId, version) marker
+      * rides the SAME commit as the merge's data, and a merge whose
+      * marker is already recorded at or above `version` is an O(1)
+      * property-read no-op — a streaming MERGE sink replaying a
+      * micro-batch after a crash between sink commit and checkpoint
+      * commit re-lands exactly once.
+      */
+    def withTxn(appId: String, version: Long): Builder =
+      copy(txn = Some((appId, version)))
 
     /** The columns this merge would ADD to the target under
       * [[withSchemaEvolution]]: extra source fields (when an
@@ -171,6 +183,8 @@ object Merge {
       * last-writer-wins at the snapshot level.
       */
     def execute(table: ManagedTable): Unit = {
+      if (txn.exists { case (app, v) =>
+            table.txnVersion(app).exists(_ >= v) }) return
       if (evolveSchema) {
         val extra = evolvedFields()
         if (extra.nonEmpty) {
@@ -212,7 +226,7 @@ object Merge {
           // but the merge keys' file bounds may still prune
           if (!executeFilePruned(table, base))
             table.overwriteFrom(baseVersion, run(), "MERGE",
-              cdc = cdcFor(table, base))
+              cdc = cdcFor(table, base), txn = txn)
           return
         }
         val valueCols = parts.map(p => GraftColumnBridge.column(bindings(p)).as(p))
@@ -223,7 +237,7 @@ object Merge {
           // too many partitions to enumerate; fall to file granularity
           if (!executeFilePruned(table, base))
             table.overwriteFrom(baseVersion, run(), "MERGE",
-              cdc = cdcFor(table, base))
+              cdc = cdcFor(table, base), txn = txn)
           return
         }
         val values = rows.map(r =>
@@ -242,12 +256,13 @@ object Merge {
               .reduce(_ || _)
         val pruned = copy(target = target.filter(pred))
         table.overwritePartitions(pruned.run(), values, operation = "MERGE",
-          baseVersion = baseVersion, cdc = pruned.cdcFor(table, base))
+          baseVersion = baseVersion, cdc = pruned.cdcFor(table, base),
+          txn = txn)
       } else if (executeFilePruned(table, base)) {
         // file-granular path committed (or proved the merge a no-op)
       } else {
         table.overwriteFrom(baseVersion, run(), "MERGE",
-              cdc = cdcFor(table, base))
+              cdc = cdcFor(table, base), txn = txn)
       }
     }
 
@@ -288,7 +303,7 @@ object Merge {
             base = base,
             addedMayMatch = added =>
               keyFilters.foldLeft(added)((fs, f) => f(fs)).nonEmpty,
-            cdc = pruned.cdcFor(table, base))
+            cdc = pruned.cdcFor(table, base), txn = txn)
           true
       }
 

@@ -165,4 +165,99 @@ class GraftSinkSpec extends SparkSpec {
         Seq(100L, 101L, 102L))
     } finally q.stop()
   }
+
+  test("mergeKeys: micro-batches UPSERT by key; a replayed batch is a no-op") {
+    implicit val sql = spark.sqlContext
+    val loc = tmpDir("gsinkm1")
+    val src = MemoryStream[(Long, Long)]
+    val q = src.toDF().select(col("_1").as("k"), col("_2").as("v"))
+      .writeStream.format("graft")
+      .option("checkpointLocation", tmpDir("gsinkm1ckpt"))
+      .option("txnAppId", "gsinkm1")
+      .option("mergeKeys", "k")
+      .start(loc)
+    try {
+      src.addData((0L, 0L), (1L, 10L), (2L, 20L))
+      q.processAllAvailable()
+      src.addData((1L, 11L), (3L, 30L)) // update k=1, insert k=3
+      q.processAllAvailable()
+      val t = ManagedTable.forPath(spark, loc)
+      val got = t.toDF.as[(Long, Long)].collect().sorted.toSeq
+      assert(got == Seq((0L, 0L), (1L, 11L), (2L, 20L), (3L, 30L)),
+        s"second batch upserts, not appends: $got")
+      // crash-replay of a committed batch: the merge's txn marker makes
+      // the whole merge an O(1) no-op
+      val before = t.latestVersion
+      val sink = new GraftSink(spark, loc, Nil, Some("gsinkm1"),
+        mergeSchema = false, mergeKeys = Seq("k"))
+      sink.addBatch(1L,
+        spark.range(1).select(lit(1L).as("k"), lit(999L).as("v")))
+      val t2 = ManagedTable.forPath(spark, loc)
+      assert(t2.latestVersion == before, "replayed merge must not commit")
+      assert(t2.toDF.filter(col("k") === 1).select("v").as[Long].head() == 11L)
+    } finally q.stop()
+  }
+
+  test("mergeKeys: duplicate keys in one batch refuse loud without a " +
+       "sequenceColumn, and resolve to the latest with one") {
+    implicit val sql = spark.sqlContext
+    val loc = tmpDir("gsinkm2")
+    val sink = new GraftSink(spark, loc, Nil, Some("gsinkm2"),
+      mergeSchema = false, mergeKeys = Seq("k"))
+    val dup = Seq((1L, 1L, 5L), (1L, 2L, 9L), (2L, 1L, 7L))
+      .toDF("k", "seq", "v")
+    val e = intercept[IllegalStateException](sink.addBatch(0L, dup))
+    assert(e.getMessage.contains("sequenceColumn"), e.getMessage)
+    val seqSink = new GraftSink(spark, loc, Nil, Some("gsinkm2"),
+      mergeSchema = false, mergeKeys = Seq("k"),
+      sequenceColumn = Some("seq"))
+    seqSink.addBatch(0L, dup)
+    val got = ManagedTable.forPath(spark, loc).toDF
+      .select("k", "v").as[(Long, Long)].collect().sorted.toSeq
+    assert(got == Seq((1L, 9L), (2L, 7L)), s"latest seq wins per key: $got")
+  }
+
+  test("applyCdf: graft-cdf source into a merge sink REPLICATES the " +
+       "table through DML, exactly-once across restart") {
+    val srcLoc = tmpDir("gsinkcdc-src")
+    val mirror = tmpDir("gsinkcdc-dst")
+    val ckpt = tmpDir("gsinkcdc-ckpt")
+    val t = ManagedTable.create(
+      spark.range(100).select(col("id").as("k"), (col("id") * 2).as("v")),
+      srcLoc, properties = Map(ManagedTable.cdfPropKey -> "true"))
+    def start() = spark.readStream.format("graft-cdf")
+      .option("startingVersion", "0").load(srcLoc)
+      .writeStream.format("graft")
+      .option("checkpointLocation", ckpt)
+      .option("txnAppId", "gsinkcdc")
+      .option("mergeKeys", "k")
+      .option("applyCdf", "true")
+      .start(mirror)
+    t.delete("k < 10")                                     // v1
+    t.update(Map("v" -> "v + 1"), Some("k BETWEEN 50 AND 52")) // v2
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    def snap(tab: ManagedTable) = tab.toDF
+      .as[(Long, Long)].collect().sorted.toSeq
+    assert(snap(ManagedTable.forPath(spark, mirror)) == snap(t),
+      "mirror must equal the source table after create+delete+update")
+    // more DML while the stream is down, then restart from the checkpoint
+    t.append(spark.range(200, 203).select(col("id").as("k"),
+      lit(0L).as("v")))                                    // v3
+    t.delete("k = 50")                                     // v4
+    t.update(Map("v" -> "v * 10"), Some("k = 202"))        // v5
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(snap(ManagedTable.forPath(spark, mirror)) == snap(t),
+      "restart applies only the new commits — replication stays exact")
+    // delete-then-reinsert of one key across commits in ONE batch: the
+    // latest change must win
+    t.delete("k = 60")                                     // v6
+    t.append(spark.range(60, 61).select(col("id").as("k"),
+      lit(606L).as("v")))                                  // v7
+    val q3 = start()
+    try q3.processAllAvailable() finally q3.stop()
+    assert(snap(ManagedTable.forPath(spark, mirror)) == snap(t),
+      "delete+reinsert in one batch resolves to the reinserted row")
+  }
 }
