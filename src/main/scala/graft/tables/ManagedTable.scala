@@ -1665,7 +1665,17 @@ final class ManagedTable private (val spark: SparkSession, val location: String)
           org.apache.spark.sql.catalyst.expressions.Literal.TrueLiteral),
         matchedOf = df => df.filter(coalesce(cond, lit(false))),
         changesOf = m => {
-          val pre = project(m, base.schema)
+          // per-row no-op prefilter BEFORE the exceptAll shuffles: a row
+          // whose set expressions reproduce its own values contributes
+          // identical elements to both sides, so dropping it from both
+          // preserves the multiset difference exactly — and only
+          // genuinely-changed rows pay the shuffle (on a mostly-no-op
+          // UPDATE over a big table this is the difference between
+          // shuffling the matched set and shuffling the changed set)
+          val changed = set.map { case (c, e) =>
+            !(expr(e).cast(base.schema(c).dataType) <=> col(c))
+          }.reduce(_ || _)
+          val pre = project(m, base.schema).filter(changed)
           val post = applySet(pre)
           post.exceptAll(pre).withColumn("_change_type", lit("update_postimage"))
             .unionByName(pre.exceptAll(post)
@@ -1687,7 +1697,13 @@ final class ManagedTable private (val spark: SparkSession, val location: String)
       // pairs (no-op set expressions) cancel here exactly as the derived
       // path's carryover cancellation would — see the changes() scaladoc
       changesOf = df => {
-        val pre = df.filter(coalesce(cond, lit(false)))
+        // same per-row no-op prefilter as the DV path above: identical
+        // pre/post pairs cancel in exceptAll anyway, so dropping them
+        // first is a pure shuffle-volume reduction
+        val changed = set.map { case (c, e) =>
+          !(expr(e).cast(df.schema(c).dataType) <=> col(c))
+        }.reduce(_ || _)
+        val pre = df.filter(coalesce(cond, lit(false))).filter(changed)
         val post = pre.select(pre.schema.fields.map { f =>
           set.get(f.name) match {
             case Some(e) => expr(e).cast(f.dataType).as(f.name)
