@@ -766,6 +766,32 @@ object SparkEntry {
         length(cleaned).cast("long").as("n_clean"))
     }),
 
+    // C4 line-level cleaning (Raffel 2020 §2.2 — terminal-punct lines,
+    // >= 5 words, no javascript; pages need >= 3 kept lines, no brace,
+    // no lorem ipsum). The corpus has no line structure, so each doc is
+    // re-lined DETERMINISTICALLY from its own words (identical
+    // construction in the oracle), planting every rule: a short line, a
+    // punct-less line, a javascript line, and per-doc-id brace /
+    // lorem-ipsum page poisons.
+    "quality_c4" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val words = split(col("text"), " ")
+      def seg(start: Int, len: Int) = array_join(slice(words, start, len), " ")
+      val lined = docs.select(col("doc_id"), concat_ws("\n",
+        concat(seg(1, 8), lit(".")),
+        concat(seg(9, 3), lit(".")),
+        seg(12, 8),
+        lit("this line mentions javascript somewhere inside."),
+        concat(seg(20, 8), lit("!")),
+        concat(seg(28, 8), lit("?")),
+        when(col("doc_id") % 7 === 0, lit("a stray brace { on this line."))
+          .otherwise(lit("an extra good line with enough words.")),
+        when(col("doc_id") % 11 === 0, lit("lorem ipsum dolor sit amet line."))
+          .otherwise(lit("another quality line with seven words total."))
+      ).as("text"))
+      text.C4Filters.clean(lined, "doc_id", "text")
+    }),
+
     // corpus-level boilerplate removal (CCNet repeated-paragraph / C4
     // line-dedup rule): a segment recurring across >= 2 documents is
     // struck from all of them. The testdata's documents carry no line
@@ -1667,6 +1693,45 @@ object SparkEntry {
         |           THEN 1 ELSE 0 END) AS BIGINT) AS n_top
         |FROM toks t JOIN vocab v USING (word)
         |GROUP BY t.doc_id""".stripMargin,
+
+    // replays the seeded re-lining and every C4 rule verbatim
+    // (coalesce: DuckDB's array_to_string of an empty slice is NULL,
+    // which concat_ws would skip; Spark's array_join yields '')
+    "quality_c4" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |lined AS (
+        |  SELECT doc_id,
+        |    concat_ws(chr(10),
+        |      coalesce(array_to_string(list_slice(ws, 1, 8), ' '), '') || '.',
+        |      coalesce(array_to_string(list_slice(ws, 9, 11), ' '), '') || '.',
+        |      coalesce(array_to_string(list_slice(ws, 12, 19), ' '), ''),
+        |      'this line mentions javascript somewhere inside.',
+        |      coalesce(array_to_string(list_slice(ws, 20, 27), ' '), '') || '!',
+        |      coalesce(array_to_string(list_slice(ws, 28, 35), ' '), '') || '?',
+        |      CASE WHEN doc_id % 7 = 0 THEN 'a stray brace { on this line.'
+        |           ELSE 'an extra good line with enough words.' END,
+        |      CASE WHEN doc_id % 11 = 0 THEN 'lorem ipsum dolor sit amet line.'
+        |           ELSE 'another quality line with seven words total.' END
+        |    ) AS text
+        |  FROM w),
+        |ls AS (
+        |  SELECT doc_id, text, string_split(text, chr(10)) AS lines,
+        |    list_filter(string_split(text, chr(10)), l ->
+        |      right(trim(l), 1) IN ('.', '!', '?', '"')
+        |      AND len(list_filter(string_split(trim(l), ' '),
+        |                          x -> len(x) > 0)) >= 5
+        |      AND NOT contains(lower(trim(l)), 'javascript')) AS kept
+        |  FROM lined)
+        |SELECT doc_id,
+        |  (len(kept) >= 3 AND NOT contains(text, '{')
+        |   AND NOT contains(lower(text), 'lorem ipsum')) AS page_kept,
+        |  CAST(len(lines) AS BIGINT) AS n_lines,
+        |  CAST(len(kept) AS BIGINT) AS n_kept,
+        |  CASE WHEN len(kept) >= 3 AND NOT contains(text, '{')
+        |            AND NOT contains(lower(text), 'lorem ipsum')
+        |       THEN array_to_string(kept, chr(10)) ELSE '' END AS clean
+        |FROM ls""".stripMargin,
 
     // GOLDEN LITERAL pinned at sf0.01 (see the token_bpe query comment):
     // BPE merge training is not SQL-replayable; the algorithm is pinned

@@ -549,6 +549,20 @@ object Drive {
     println(s"[50] CDC apply: graft-cdf -> merge sink replicated " +
       s"${caMirror.toDF.count()} rows through create+delete+update; " +
       s"mirror==source: $caMatch")
+
+    // --- C4 line-level cleaning ---------------------------------------
+    val c4Seed = docs.select(col("doc_id"), concat_ws("\n",
+      concat(array_join(slice(split(col("text"), " "), 1, 8), " "), lit(".")),
+      lit("short line."),
+      lit("a fine sentence with many good words here!"),
+      lit("this one mentions javascript and dies."),
+      lit("one more healthy line to pass the page rule.")).as("text"))
+    val c4 = graft.text.C4Filters.clean(c4Seed, "doc_id", "text")
+      .agg(sum(when(col("page_kept"), 1).otherwise(0)),
+        sum(col("n_kept")), sum(col("n_lines"))).head()
+    println(s"[51] C4 cleaning: ${c4.getLong(0)} of ${docs.count()} pages " +
+      s"kept, ${c4.getLong(1)}/${c4.getLong(2)} lines survive the " +
+      "terminal-punct/word-count/javascript rules")
     spark.stop()
   }
 }
