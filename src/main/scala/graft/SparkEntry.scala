@@ -692,6 +692,18 @@ object SparkEntry {
       text.VocabStats.vocabSignals(
         t(s, dir, "documents"), "doc_id", "text", rareMax = 2, topK = 1000)),
 
+    // DSIR importance weights (Xie 2023): the corpus scored against a
+    // target domain (source='src0' documents) — log p_target − log p_raw
+    // under add-one-smoothed unigram LMs over the joint vocabulary.
+    // Both float folds order-pinned (sorted count arrays, in-order
+    // aggregate), ulp noise absorbed by round(4) — the
+    // quality_unigram_nll determinism recipe.
+    "sample_dsir" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      text.VocabStats.dsirWeights(docs, "doc_id", "text",
+        docs.filter(col("source") === "src0"), "text")
+    }),
+
     // CCNet-style unigram-LM quality score: mean −ln p(word) under the
     // corpus's own add-one-smoothed unigram distribution. The float fold
     // is order-pinned (sorted count array, in-order aggregate), so the
@@ -1782,6 +1794,38 @@ object SparkEntry {
         |  ('src8', 25, 1136, 100028, 55, 27665),
         |  ('src9', 25, 1366, 120676, 55, 27665))
         |AS v(source, d, n, i, p, pt)""".stripMargin,
+
+    // replays both order-pinned folds over the joint vocabulary
+    "sample_dsir" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |                       w -> len(w) > 0)) AS word
+        |  FROM documents),
+        |ttoks AS (
+        |  SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |                            w -> len(w) > 0)) AS word
+        |  FROM documents WHERE source = 'src0'),
+        |vr AS (SELECT word, count(*) AS cr FROM toks GROUP BY word),
+        |vt AS (SELECT word, count(*) AS ct FROM ttoks GROUP BY word),
+        |joint AS (
+        |  SELECT coalesce(vr.word, vt.word) AS word,
+        |         coalesce(cr, 0) AS cr, coalesce(ct, 0) AS ct
+        |  FROM vr FULL OUTER JOIN vt ON vr.word = vt.word),
+        |s AS (SELECT sum(cr) AS tr, sum(ct) AS tt, count(*) AS v FROM joint),
+        |c AS (
+        |  SELECT toks.doc_id, coalesce(joint.ct, 0) AS dt,
+        |         coalesce(joint.cr, 0) AS dr
+        |  FROM toks LEFT JOIN joint USING (word)),
+        |d AS (
+        |  SELECT doc_id, count(*) AS n_words,
+        |         list_sort(list(dt)) AS cts, list_sort(list(dr)) AS crs
+        |  FROM c GROUP BY doc_id)
+        |SELECT doc_id, n_words,
+        |  round(list_sum(list_transform(cts, x -> ln(x + 1)))
+        |      - list_sum(list_transform(crs, x -> ln(x + 1)))
+        |      + n_words * (ln(s.tr + s.v) - ln(s.tt + s.v)), 4) AS dsir_weight
+        |FROM d CROSS JOIN s""".stripMargin,
 
     // replays the order-pinned fold: counts sorted ascending, summed in
     // list order, ln(T+V) − sum/n — the same expression tree as Spark's

@@ -106,4 +106,60 @@ object VocabStats {
               col("n_words"),
           4).as("nll"))
   }
+
+  /** DSIR importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): each raw document
+    * scored by `log p_target(doc) − log p_raw(doc)` under add-one-
+    * smoothed unigram LMs fit on a TARGET (domain) corpus and the raw
+    * corpus itself — the published recipe for selecting pretraining
+    * data that matches a target distribution. High weight = looks like
+    * the target; feed the weights into [[graft.operators.Sampling]]'s
+    * weighted/temperature samplers for the resampling half.
+    *
+    * Smoothing uses the JOINT vocabulary (V = |words(raw) ∪
+    * words(target)|), so both distributions normalize over the same
+    * support:
+    *
+    *   w(d) = Σ_w ln(c_t(w)+1) − Σ_w ln(c_r(w)+1)
+    *        + n_words · (ln(T_r+V) − ln(T_t+V))
+    *
+    * Determinism: the two float folds are order-pinned independently
+    * (each count list sorted, then summed in array order — the
+    * [[unigramNll]] convention), and engine ulp noise is absorbed by
+    * round(4).
+    *
+    * Scale shape: two wordcount aggregations (map-side partials), a
+    * full-outer vocab join, one explode + word join + per-doc
+    * aggregation; the (T_r, T_t, V) totals are one broadcast row. The
+    * target corpus is typically small (a domain sample), the raw corpus
+    * never collects anywhere.
+    */
+  def dsirWeights(raw: DataFrame, idCol: String, textCol: String,
+                  target: DataFrame, targetTextCol: String): DataFrame = {
+    val vr = vocabulary(raw, textCol).withColumnRenamed("n", "__cr")
+    val vt = vocabulary(target, targetTextCol).withColumnRenamed("n", "__ct")
+    val joint = vr.join(vt, Seq("word"), "full")
+      .select(col("word"),
+        coalesce(col("__cr"), lit(0L)).as("__cr"),
+        coalesce(col("__ct"), lit(0L)).as("__ct"))
+    val totals = joint.agg(sum(col("__cr")).as("__tr"),
+      sum(col("__ct")).as("__tt"), count(lit(1)).as("__v"))
+    val toks = raw.select(col(idCol), explode(words(col(textCol))).as("word"))
+    toks.join(joint, Seq("word"), "left")
+      .select(col(idCol),
+        coalesce(col("__ct"), lit(0L)).as("__dt"),
+        coalesce(col("__cr"), lit(0L)).as("__dr"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_words"),
+        sort_array(collect_list(col("__dt"))).as("__cts"),
+        sort_array(collect_list(col("__dr"))).as("__crs"))
+      .crossJoin(broadcast(totals))
+      .select(col(idCol), col("n_words"),
+        round(
+          aggregate(col("__cts"), lit(0.0), (a, c) => a + log(c + lit(1))) -
+            aggregate(col("__crs"), lit(0.0), (a, c) => a + log(c + lit(1))) +
+            col("n_words") *
+              (log(col("__tr") + col("__v")) - log(col("__tt") + col("__v"))),
+          4).as("dsir_weight"))
+  }
 }

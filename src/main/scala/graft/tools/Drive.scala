@@ -563,6 +563,16 @@ object Drive {
     println(s"[51] C4 cleaning: ${c4.getLong(0)} of ${docs.count()} pages " +
       s"kept, ${c4.getLong(1)}/${c4.getLong(2)} lines survive the " +
       "terminal-punct/word-count/javascript rules")
+
+    // --- DSIR importance weights against a domain target ---------------
+    val dsirW = graft.text.VocabStats.dsirWeights(docs, "doc_id", "text",
+      docs.filter(col("source") === "src0"), "text")
+    val dsirStats = dsirW.agg(min("dsir_weight"), max("dsir_weight")).head()
+    val dsirTop = dsirW.orderBy(col("dsir_weight").desc)
+      .limit(3).select("doc_id").as[Long].collect().mkString(",")
+    println(f"[52] DSIR vs src0 target: weight range " +
+      f"${dsirStats.getDouble(0)}%.1f..${dsirStats.getDouble(1)}%.1f, " +
+      s"top-3 target-like docs: $dsirTop")
     spark.stop()
   }
 }

@@ -80,4 +80,34 @@ class VocabStatsSpec extends SparkSpec {
     assert(out(1L) > out(3L), "cat(50)+OOV beats nothing: doc1 has sat OOV " +
       "and cat=50 < the=100 mass")
   }
+
+  test("dsirWeights: target-like docs outscore off-target docs; weights " +
+       "are deterministic") {
+    import spark.implicits._
+    val raw = Seq(
+      (1L, "alpha alpha beta alpha beta gamma"),  // target-like words
+      (2L, "delta epsilon zeta delta epsilon"),   // off-target words
+      (3L, "alpha delta alpha beta epsilon")      // mixed
+    ).toDF("doc_id", "text")
+    val target = Seq(
+      (10L, "alpha beta alpha gamma alpha beta")
+    ).toDF("doc_id", "text")
+    val w = VocabStats.dsirWeights(raw, "doc_id", "text", target, "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(w(1L) > w(3L) && w(3L) > w(2L),
+      s"weights must order target-like > mixed > off-target: $w")
+    val again = VocabStats.dsirWeights(raw, "doc_id", "text", target, "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(w == again, "order-pinned folds: bit-identical across runs")
+  }
+
+  test("dsirWeights: a doc of words the target never saw scores negative") {
+    import spark.implicits._
+    val raw = Seq((1L, "unseen words only here"),
+      (2L, "common common common target stuff")).toDF("doc_id", "text")
+    val target = Seq((10L, "common target stuff common")).toDF("doc_id", "text")
+    val w = VocabStats.dsirWeights(raw, "doc_id", "text", target, "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(w(1L) < 0 && w(2L) > w(1L), s"OOV-vs-target must score low: $w")
+  }
 }
