@@ -232,6 +232,31 @@ object SparkEntry {
       tbl.toDF
     }),
 
+    // MERGE with WHEN NOT MATCHED BY SOURCE (Delta 2.3 semantics): the
+    // source drives matched updates while the bySource clauses age out
+    // or delete target rows the source no longer carries — the standard
+    // replication-sync shape. Clause order, per-clause conditions, and
+    // the forced full-rewrite path (pruning is unsound when unmatched
+    // rows can change) all exercise here.
+    "table_merge_sync" -> ((s, dir) => {
+      val base = "/root/repo/target/tmp/q_merge_sync"
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm); f.delete(); ()
+      }
+      rm(new java.io.File(base))
+      val orders = t(s, dir, "orders")
+      val tbl = ManagedTable.create(orders, base)
+      val src = orders.filter(col("o_orderkey") % 3 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+      graft.tables.Merge.into(tbl.toDF, "t")
+        .using(src, "s", "t.o_orderkey = s.o_orderkey")
+        .whenMatchedUpdate(Map("o_totalprice" -> "s.o_totalprice"))
+        .whenNotMatchedBySourceDelete("t.o_orderkey % 5 = 0")
+        .whenNotMatchedBySourceUpdate(Map("o_orderpriority" -> "'9-STALE'"))
+        .execute(tbl)
+      tbl.toDF
+    }),
+
     // Change data feed (Delta CDF analog): the NET per-commit row deltas
     // of a delete + update sequence must equal the oracle's semantic
     // re-derivation — file-diff carryover rows must cancel exactly, at
@@ -1550,6 +1575,18 @@ object SparkEntry {
         |       ELSE o_orderpriority END AS o_orderpriority
         |FROM orders
         |WHERE NOT (o_orderkey < (SELECT max(o_orderkey) // 10 FROM orders))""".stripMargin,
+
+    // matched (key % 3 = 0): price doubled; unmatched: deleted when
+    // key % 5 = 0, else priority aged — the first-clause-wins order
+    "table_merge_sync" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus,
+        |  CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice * 2
+        |       ELSE o_totalprice END AS o_totalprice,
+        |  o_orderdate,
+        |  CASE WHEN o_orderkey % 3 = 0 THEN o_orderpriority
+        |       ELSE '9-STALE' END AS o_orderpriority
+        |FROM orders
+        |WHERE o_orderkey % 3 = 0 OR o_orderkey % 5 <> 0""".stripMargin,
 
     // the semantic change feed of: v1 = DELETE o_orderkey < max//10,
     // v2 = UPDATE priority WHERE totalprice > 400000 (over v1 survivors)

@@ -268,10 +268,11 @@ object GraftSqlParser {
     val clauseTexts = bounds.sliding(2).map {
       case Seq(a, b) => afterOn.substring(a, b).trim }.toSeq
     val parsed = clauseTexts.map(parseMergeClause(_, targetAlias))
-    val matched = parsed.collect { case (false, c) => c }
-    val notMatched = parsed.collect { case (true, c) => c }
+    val matched = parsed.collect { case (0, c) => c }
+    val notMatched = parsed.collect { case (1, c) => c }
+    val notMatchedBySource = parsed.collect { case (2, c) => c }
     GraftMergeCommand(path, targetAlias, sourceText, sourceAlias,
-      onCond, matched, notMatched, evolveSchema)
+      onCond, matched, notMatched, notMatchedBySource, evolveSchema)
   }
 
   /** The USING source region: `(subquery) [[AS] alias]` or
@@ -339,19 +340,31 @@ object GraftSqlParser {
     -1
   }
 
-  /** One `WHEN [NOT] MATCHED [AND cond] THEN action` clause →
-    * (isNotMatched, clause).
+  /** One `WHEN [NOT] MATCHED [BY SOURCE|BY TARGET] [AND cond] THEN
+    * action` clause → (kind, clause): 0 = matched, 1 = not-matched (by
+    * target), 2 = not-matched-by-source (Delta 2.3 semantics: target
+    * rows with no source match).
     */
   private def parseMergeClause(text: String,
-                               targetAlias: String): (Boolean, graft.tables.Merge.Clause) = {
+                               targetAlias: String): (Int, graft.tables.Merge.Clause) = {
     import graft.tables.Merge
     val HeadRe = """(?is)\s*WHEN\s+(NOT\s+)?MATCHED\b(.*)""".r
-    val (isNot, rest) = text match {
+    val (isNotRaw, rest0) = text match {
       case HeadRe(not, r) => (not != null, r)
       case _ => sys.error(s"MERGE: cannot parse clause: $text")
     }
-    require(!rest.trim.toUpperCase.startsWith("BY SOURCE"),
-      "MERGE: WHEN [NOT] MATCHED BY SOURCE is not supported")
+    val bySource = isNotRaw &&
+      rest0.trim.toUpperCase.startsWith("BY SOURCE")
+    val rest =
+      if (bySource) rest0.trim.substring("BY SOURCE".length)
+      else if (isNotRaw && rest0.trim.toUpperCase.startsWith("BY TARGET"))
+        rest0.trim.substring("BY TARGET".length) // explicit default form
+      else rest0
+    require(!rest.trim.toUpperCase.startsWith("BY "),
+      s"MERGE: cannot parse clause qualifier in: $text")
+    val kind = if (bySource) 2 else if (isNotRaw) 1 else 0
+    val isNot = isNotRaw && !bySource // bySource acts on TARGET rows:
+                                      // update/delete legal, insert not
     val thenIdx = topLevelWordIndex(rest, "THEN")
     require(thenIdx >= 0, s"MERGE clause is missing THEN: $text")
     val condPart = rest.substring(0, thenIdx).trim
@@ -377,7 +390,11 @@ object GraftSqlParser {
     val InsertRe = """(?is)INSERT\s*\((.+?)\)\s*VALUES\s*\((.+)\)\s*""".r
     val clause: Merge.Clause = action match {
       case UpdateAllRe() =>
-        require(!isNot, "MERGE: WHEN NOT MATCHED cannot UPDATE"); Merge.UpdateAll(cond)
+        require(!isNot, "MERGE: WHEN NOT MATCHED cannot UPDATE")
+        require(kind != 2,
+          "MERGE: WHEN NOT MATCHED BY SOURCE cannot UPDATE SET * (no " +
+            "source row to copy)")
+        Merge.UpdateAll(cond)
       case DeleteRe() =>
         require(!isNot, "MERGE: WHEN NOT MATCHED cannot DELETE"); Merge.Delete(cond)
       case UpdateRe(assigns) =>
@@ -389,9 +406,10 @@ object GraftSqlParser {
         }.toMap
         Merge.Update(cond, set)
       case InsertAllRe() =>
-        require(isNot, "MERGE: WHEN MATCHED cannot INSERT"); Merge.InsertAll(cond)
+        require(isNot, "MERGE: only WHEN NOT MATCHED [BY TARGET] can INSERT")
+        Merge.InsertAll(cond)
       case InsertRe(cols, vals) =>
-        require(isNot, "MERGE: WHEN MATCHED cannot INSERT")
+        require(isNot, "MERGE: only WHEN NOT MATCHED [BY TARGET] can INSERT")
         val cs = splitTopLevel(cols, ',').map(unalias)
         val vs = splitTopLevel(vals, ',')
         require(cs.length == vs.length,
@@ -399,7 +417,7 @@ object GraftSqlParser {
         Merge.Insert(cond, cs.zip(vs).toMap)
       case other => sys.error(s"MERGE: cannot parse clause action: $other")
     }
-    (isNot, clause)
+    (kind, clause)
   }
 
   /** `k = 'v', k2 = "v2"` TBLPROPERTIES pairs (quotes optional). */
@@ -812,6 +830,8 @@ final case class GraftMergeCommand(path: String, targetAlias: String,
                                    onCond: String,
                                    matched: Seq[graft.tables.Merge.Clause],
                                    notMatched: Seq[graft.tables.Merge.Clause],
+                                   notMatchedBySource:
+                                     Seq[graft.tables.Merge.Clause],
                                    evolveSchema: Boolean)
     extends LeafRunnableCommand {
   import graft.tables.Merge
@@ -824,6 +844,7 @@ final case class GraftMergeCommand(path: String, targetAlias: String,
     val b = Merge.into(t.toDF, targetAlias)
       .using(src, sourceAlias, onCond)
       .copy(matched = matched, notMatched = notMatched,
+        notMatchedBySource = notMatchedBySource,
         evolveSchema = evolveSchema)
     b.execute(t)
     Seq(Row(t.latestVersion, t.numRows))

@@ -76,6 +76,7 @@ object Merge {
       source: DataFrame, sourceAlias: String,
       mergeCondition: Column,
       matched: Seq[Clause] = Nil, notMatched: Seq[Clause] = Nil,
+      notMatchedBySource: Seq[Clause] = Nil,
       evolveSchema: Boolean = false,
       txn: Option[(String, Long)] = None) {
 
@@ -95,6 +96,21 @@ object Merge {
       copy(notMatched = notMatched :+ Insert(Option(condition), values))
     def whenNotMatchedInsertAll(): Builder =
       copy(notMatched = notMatched :+ InsertAll(None))
+
+    // WHEN NOT MATCHED BY SOURCE (Delta 2.3): clauses over TARGET rows
+    // with no source match — the standard way a merge syncs deletions or
+    // ages out rows the source no longer carries. Conditions and set
+    // expressions may reference target columns only (there is no source
+    // row to read).
+    def whenNotMatchedBySourceUpdate(set: Map[String, String]): Builder =
+      copy(notMatchedBySource = notMatchedBySource :+ Update(None, set))
+    def whenNotMatchedBySourceUpdate(condition: String,
+                                     set: Map[String, String]): Builder =
+      copy(notMatchedBySource = notMatchedBySource :+ Update(Option(condition), set))
+    def whenNotMatchedBySourceDelete(): Builder =
+      copy(notMatchedBySource = notMatchedBySource :+ Delete(None))
+    def whenNotMatchedBySourceDelete(condition: String): Builder =
+      copy(notMatchedBySource = notMatchedBySource :+ Delete(Option(condition)))
 
     /** Opt in to MERGE schema evolution (Delta's
       * `DeltaMergeBuilder.withSchemaEvolution` /
@@ -132,6 +148,7 @@ object Merge {
           source.schema.fields.toSeq.filterNot(f => have(f.name))
         else Nil
       val keyed = (matched.collect { case Update(_, set) => set } ++
+        notMatchedBySource.collect { case Update(_, set) => set } ++
         notMatched.collect { case Insert(_, values) => values })
         .flatten.filterNot { case (k, _) => have(k) }
       lazy val j = target.alias(targetAlias)
@@ -204,6 +221,15 @@ object Merge {
       // base) — which would raise a spurious ConcurrentCommitException.
       val base = table.latestEntry
       val baseVersion = base.version
+      if (notMatchedBySource.nonEmpty) {
+        // pruning is keyed off the MATCHED side; a bySource clause can
+        // touch an unmatched row in ANY file or partition, so keeping
+        // files/partitions verbatim is unsound — the merge is a full
+        // rewrite by semantics (Delta pays the same shape)
+        table.overwriteFrom(baseVersion, run(), "MERGE",
+          cdc = cdcFor(table, base), txn = txn)
+        return
+      }
       val parts = base.partitionColumns
       val bindings = parts.flatMap(p => partitionBinding(p).map(p -> _)).toMap
       if (parts.nonEmpty && bindings.size == parts.length &&
@@ -555,6 +581,7 @@ object Merge {
       // schema evolution is on (they would otherwise be silently dropped
       // by the name-keyed projections below)
       val unknown = (matched.collect { case Update(_, set) => set.keys } ++
+        notMatchedBySource.collect { case Update(_, set) => set.keys } ++
         notMatched.collect { case Insert(_, values) => values.keys })
         .flatten.filterNot(targetCols.contains).toSeq.distinct
       if (unknown.nonEmpty)
@@ -580,13 +607,46 @@ object Merge {
         kept.select(targetCols.map(c => targetColumn(c).as(c)): _*)
       }
 
-      // target rows with no source match: untouched
-      val untouched = t.join(s, mergeCondition, "left_anti")
-        .select(targetCols.map(col): _*)
+      val untouched = untouchedFrame(t, s, targetCols)
 
       val inserted = insertedFrame(t, s, targetCols)
 
       align(untouched).union(align(rewritten)).union(align(inserted))
+    }
+
+    /** Target rows with no source match: pass through verbatim, unless
+      * `whenNotMatchedBySource` clauses classify them (first applicable
+      * clause wins, like the matched side) — deletes drop, updates
+      * rewrite from target columns only.
+      */
+    private def untouchedFrame(t: DataFrame, s: DataFrame,
+                               targetCols: Seq[String]): DataFrame = {
+      val untouched = t.join(s, mergeCondition, "left_anti")
+      if (notMatchedBySource.isEmpty)
+        untouched.select(targetCols.map(col): _*)
+      else {
+        val idx = untouched.withColumn(mIdx, clauseIdx(notMatchedBySource))
+        val deleteIdxs = notMatchedBySource.zipWithIndex.collect {
+          case (Delete(_), i) => i
+        }
+        val kept = deleteIdxs.foldLeft(idx) { (df, i) =>
+          df.filter(col(mIdx).isNull || col(mIdx) =!= i)
+        }
+        kept.select(targetCols.map(c => bySourceColumn(c).as(c)): _*)
+      }
+    }
+
+    // untouched rows: per-bySource-clause rewrite (target columns only)
+    private def bySourceColumn(name: String): Column = {
+      val base = col(s"$targetAlias.$name")
+      notMatchedBySource.zipWithIndex.foldLeft(base) { case (acc, (cl, i)) =>
+        cl match {
+          case Update(_, set) =>
+            val e = set.get(name).map(expr).getOrElse(base)
+            when(col(mIdx) === i, e).otherwise(acc)
+          case _ => acc // Delete handled by filter in untouchedFrame
+        }
+      }
     }
 
     /** The labeled net change rows this merge produces (Delta CDF's MERGE
@@ -609,7 +669,40 @@ object Merge {
       val s = source.alias(sourceAlias)
       val inserted = align(insertedFrame(t, s, targetCols))
         .withColumn(ct, lit("insert"))
-      if (matched.isEmpty) return inserted
+      // bySource clauses change UNMATCHED rows — capture their deletes
+      // and net pre/post pairs from the same anti-join classification
+      val bySource: Seq[DataFrame] =
+        if (notMatchedBySource.isEmpty) Nil
+        else {
+          val idx = t.join(s, mergeCondition, "left_anti")
+            .withColumn(mIdx, clauseIdx(notMatchedBySource))
+          val delIdxs = notMatchedBySource.zipWithIndex.collect {
+            case (Delete(_), i) => i
+          }
+          val updIdxs = notMatchedBySource.zipWithIndex.collect {
+            case (Update(_, _), i) => i
+          }
+          val dels =
+            if (delIdxs.isEmpty) Nil
+            else Seq(align(idx.filter(col(mIdx).isin(delIdxs: _*))
+                .select(targetCols.map(c => col(s"$targetAlias.$c").as(c)): _*))
+              .withColumn(ct, lit("delete")))
+          val upds =
+            if (updIdxs.isEmpty) Nil
+            else {
+              val u = idx.filter(col(mIdx).isin(updIdxs: _*))
+              val pre = align(u.select(
+                targetCols.map(c => col(s"$targetAlias.$c").as(c)): _*))
+              val post = align(u.select(
+                targetCols.map(c => bySourceColumn(c).as(c)): _*))
+              Seq(post.exceptAll(pre).withColumn(ct, lit("update_postimage"))
+                .unionByName(
+                  pre.exceptAll(post).withColumn(ct, lit("update_preimage"))))
+            }
+          dels ++ upds
+        }
+      if (matched.isEmpty)
+        return (bySource :+ inserted).reduce(_ unionByName _)
       val classified = classifiedMatches(t, s)
       val deleteIdxs = matched.zipWithIndex.collect { case (Delete(_), i) => i }
       val updateIdxs = matched.zipWithIndex.collect {
@@ -632,7 +725,8 @@ object Merge {
           Some(post.exceptAll(pre).withColumn(ct, lit("update_postimage"))
             .unionByName(pre.exceptAll(post).withColumn(ct, lit("update_preimage"))))
         }
-      (deleted.toSeq ++ updated.toSeq :+ inserted).reduce(_ unionByName _)
+      (deleted.toSeq ++ updated.toSeq ++ bySource :+ inserted)
+        .reduce(_ unionByName _)
     }
 
     private def emptyLike(cols: Seq[String]): DataFrame = {

@@ -177,4 +177,69 @@ class MergeSpec extends SparkSpec {
     assertDfEquality(t.toDF, df(schema,
       Seq(Row(1, "zz"), Row(2, "B"), Row(3, "C"))))
   }
+
+  test("whenNotMatchedBySourceDelete syncs deletions (full replication)") {
+    val src = df(schema, Seq(Row(2, "B2"), Row(5, "E")))
+    val out = Merge.into(target, "t")
+      .using(src, "s", "t.pkey = s.pkey")
+      .whenMatchedUpdateAll()
+      .whenNotMatchedInsertAll()
+      .whenNotMatchedBySourceDelete()
+      .result()
+    // target becomes exactly the source: 1/3 deleted, 2 updated, 5 inserted
+    assertDfEquality(out, df(schema, Seq(Row(2, "B2"), Row(5, "E"))))
+  }
+
+  test("whenNotMatchedBySourceUpdate rewrites only unmatched target rows; " +
+       "condition gates per row; first clause wins") {
+    val src = df(schema, Seq(Row(2, "B2")))
+    val out = Merge.into(target, "t")
+      .using(src, "s", "t.pkey = s.pkey")
+      .whenNotMatchedBySourceUpdate("t.pkey = 1",
+        Map("attr" -> "'AGED'"))
+      .whenNotMatchedBySourceUpdate(Map("attr" -> "'STALE'"))
+      .result()
+    assertDfEquality(out, df(schema,
+      Seq(Row(1, "AGED"), Row(2, "B"), Row(3, "STALE"))))
+  }
+
+  test("whenNotMatchedBySource executes against a table and captures CDC") {
+    import org.apache.spark.sql.functions.col
+    val loc = tmpDir("mergebysource")
+    val t = ManagedTable.create(target, loc,
+      properties = Map(ManagedTable.cdfPropKey -> "true"))
+    val src = df(schema, Seq(Row(2, "B2"), Row(5, "E")))
+    val v0 = t.latestVersion
+    Merge.into(t.toDF, "t")
+      .using(src, "s", "t.pkey = s.pkey")
+      .whenMatchedUpdateAll()
+      .whenNotMatchedInsertAll()
+      .whenNotMatchedBySourceDelete("t.pkey = 1")
+      .execute(t)
+    assertDfEquality(t.toDF, df(schema,
+      Seq(Row(2, "B2"), Row(3, "C"), Row(5, "E"))))
+    val ch = t.changes(v0).select("pkey", "_change_type")
+      .collect().map(r => (r.getInt(0), r.getString(1))).toSet
+    assert(ch == Set((1, "delete"), (2, "update_preimage"),
+      (2, "update_postimage"), (5, "insert")),
+      s"bySource delete must surface in the change feed: $ch")
+  }
+
+  test("SQL MERGE supports WHEN NOT MATCHED BY SOURCE") {
+    import org.apache.spark.sql.functions.col
+    val loc = tmpDir("mergebysourcesql")
+    ManagedTable.create(target, loc)
+    val src = df(schema, Seq(Row(2, "B2"), Row(5, "E")))
+    src.createOrReplaceTempView("bysource_src")
+    spark.sql(
+      s"""MERGE INTO graft.`$loc` AS t
+         |USING bysource_src AS s ON t.pkey = s.pkey
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *
+         |WHEN NOT MATCHED BY SOURCE AND t.pkey = 3 THEN DELETE
+         |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET attr = 'STALE'
+         |""".stripMargin).collect()
+    assertDfEquality(ManagedTable.forPath(spark, loc).toDF, df(schema,
+      Seq(Row(1, "STALE"), Row(2, "B2"), Row(5, "E"))))
+  }
 }
