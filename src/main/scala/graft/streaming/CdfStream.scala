@@ -15,6 +15,7 @@ import graft.tables.ManagedTable
   * {{{
   *   spark.readStream.format("graft-cdf")
   *     .option("startingVersion", "0")    // optional; default: only NEW commits
+  *     .option("startingTimestamp", "2024-01-01") // or by wall clock
   *     .load(tablePath)
   * }}}
   *
@@ -59,7 +60,7 @@ class CdfSourceProvider extends StreamSourceProvider with DataSourceRegister {
     val mPath = new HadoopPath(metadataPath, "graft-cdf-base")
     val fs = mPath.getFileSystem(hconf)
     val base = StreamAnchors.pinInitialVersion(fs, mPath,
-      parameters.get("startingVersion").map(_.toLong - 1)
+      StreamAnchors.startingVersion(parameters, table).map(_ - 1)
         .getOrElse(table.latestVersion))
     val cap = StreamAnchors.maxVersionsPerTrigger(parameters)
     val highWater = new StreamHighWater(fs,

@@ -45,6 +45,33 @@ private[streaming] object StreamAnchors {
     finally in.close()
   }
 
+  /** `startingTimestamp` option resolved to Delta's startingVersion
+    * semantics: the FIRST version committed at or after the timestamp
+    * streams (`versionAsOf` returns the last version at-or-before it,
+    * so +1 — unless the timestamp predates the table, where streaming
+    * starts at version 0). Mutually exclusive with `startingVersion`.
+    * Accepts epoch millis or an ISO/SQL timestamp (session-default
+    * JVM zone, like a cast).
+    */
+  def startingVersion(parameters: Map[String, String],
+                      table: graft.tables.ManagedTable): Option[Long] = {
+    val byVersion = parameters.get("startingVersion").map(_.toLong)
+    val byTs = parameters.get("startingTimestamp").map { raw =>
+      require(byVersion.isEmpty,
+        "use either startingVersion or startingTimestamp, not both")
+      val ms =
+        if (raw.matches("-?\\d+")) raw.toLong
+        else java.sql.Timestamp.valueOf(
+          raw.trim.replace("T", " ") match {
+            case d if d.matches("\\d{4}-\\d{2}-\\d{2}") => d + " 00:00:00"
+            case other => other
+          }).getTime
+      try table.versionAsOf(ms) + 1
+      catch { case _: IllegalArgumentException => 0L } // predates v0
+    }
+    byVersion.orElse(byTs)
+  }
+
   /** `maxVersionsPerTrigger` option: positive long or absent. */
   def maxVersionsPerTrigger(parameters: Map[String, String]): Option[Long] =
     parameters.get("maxVersionsPerTrigger").map { v =>

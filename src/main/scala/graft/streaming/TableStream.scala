@@ -16,6 +16,7 @@ import graft.tables.ManagedTable
   * {{{
   *   spark.readStream.format("graft")
   *     .option("startingVersion", "3")     // optional: tail from v3, no snapshot
+  *     .option("startingTimestamp", "2024-01-01 00:00:00") // or by wall clock
   *     .option("skipChangeCommits", "true") // optional: skip non-append commits
   *     .option("maxVersionsPerTrigger", "10")
   *     .load(tablePath)
@@ -63,7 +64,7 @@ class TableSourceProvider extends StreamSourceProvider {
     val hconf = sqlContext.sparkSession.sessionState.newHadoopConf()
     val mPath = new HadoopPath(metadataPath, "graft-table-base")
     val fs = mPath.getFileSystem(hconf)
-    val startingVersion = parameters.get("startingVersion").map(_.toLong)
+    val startingVersion = StreamAnchors.startingVersion(parameters, table)
     startingVersion.foreach(v => require(v >= 0,
       s"startingVersion must be >= 0, got $v"))
     // base = highest version NOT part of the stream. Default: snapshot

@@ -68,6 +68,41 @@ class TableStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("startingTimestamp tails from the first commit at-or-after the " +
+       "wall clock; exclusive with startingVersion") {
+    val (loc, t) = mkTable("tsrc12")
+    t.append(spark.range(10, 12).selectExpr("id AS k", "id * 10 AS v")) // v1
+    Thread.sleep(20)
+    t.append(spark.range(20, 21).selectExpr("id AS k", "id * 10 AS v")) // v2
+    val hist = t.history.select("version", "timestamp").collect()
+      .map(r => r.getLong(0) -> r.getTimestamp(1).getTime).toMap
+    assert(hist(2) > hist(1), "commit timestamps must advance for this probe")
+    // a timestamp strictly inside (v1, v2] resolves to startingVersion=2
+    val q = startToMemory(loc, tmpDir("tsrc12ckpt"), "tsrc12",
+      Map("startingTimestamp" -> (hist(1) + 1).toString))
+    try {
+      q.processAllAvailable()
+      assert(spark.table("tsrc12").as[(Long, Long)].collect().toSeq ==
+        Seq((20L, 200L)), "only v2 streams: no snapshot, no v1")
+    } finally q.stop()
+    val e = intercept[Exception] {
+      startToMemory(loc, tmpDir("tsrc12ckpt2"), "tsrc12b",
+        Map("startingVersion" -> "1",
+          "startingTimestamp" -> hist(1).toString)).processAllAvailable()
+    }
+    assert(e.getMessage.contains("not both") ||
+      Option(e.getCause).exists(_.getMessage.contains("not both")),
+      s"got: ${e.getMessage}")
+    // a timestamp PREDATING the table streams the full history
+    val q3 = startToMemory(loc, tmpDir("tsrc12ckpt3"), "tsrc12c",
+      Map("startingTimestamp" -> "2000-01-01 00:00:00"))
+    try {
+      q3.processAllAvailable()
+      assert(spark.table("tsrc12c").count() == 6,
+        "v0's 3 rows + v1's 2 + v2's 1, via the commit walk")
+    } finally q3.stop()
+  }
+
   test("an all-skipped trigger emits an empty batch without touching the " +
        "anchor snapshot's files") {
     val (loc, t) = mkTable("tsrc9")
