@@ -445,9 +445,13 @@ class GraftFunctionsSpec extends SparkSpec {
     bad(s"MERGE INTO graft.`$path` t USING m3src s ON t.k = s.k " +
       "WHEN NOT MATCHED THEN DELETE", "cannot DELETE")
     bad(s"MERGE INTO graft.`$path` t USING m3src s ON t.k = s.k " +
-      "WHEN MATCHED THEN INSERT *", "cannot INSERT")
+      "WHEN MATCHED THEN INSERT *", "can INSERT")
+    // BY SOURCE is supported since round 12 — but it cannot INSERT or
+    // copy a source row it does not have
     bad(s"MERGE INTO graft.`$path` t USING m3src s ON t.k = s.k " +
-      "WHEN NOT MATCHED BY SOURCE THEN DELETE", "BY SOURCE")
+      "WHEN NOT MATCHED BY SOURCE THEN INSERT *", "can INSERT")
+    bad(s"MERGE INTO graft.`$path` t USING m3src s ON t.k = s.k " +
+      "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET *", "no source row")
     bad(s"MERGE INTO graft.`$path` t USING m3src s ON t.k = s.k " +
       "WHEN NOT MATCHED THEN INSERT (k) VALUES (s.k, 1)", "columns but")
   }
