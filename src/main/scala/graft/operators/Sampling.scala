@@ -24,7 +24,7 @@ object Sampling {
     * would alias distinct key tuples).
     */
   def portableHash(keys: Seq[Column], seed: String): Column =
-    conv(substring(md5(concat_ws("", keys :+ lit(seed): _*)), 1, 15),
+    conv(substring(md5(concat_ws("\u0001", keys :+ lit(seed): _*)), 1, 15),
       16, 10).cast(LongType)
 
   /** xxhash64 key hash — codegen'd, no string materialization; the

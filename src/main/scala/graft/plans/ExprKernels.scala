@@ -576,7 +576,7 @@ object ExprKernels {
           var l = 0L
           var k = 0
           while (k < n) {
-            if (k > 0) sb.append(' ') // unambiguous joiner (tokens are letters)
+            if (k > 0) sb.append('\u0000') // unambiguous joiner (tokens are letters)
             sb.append(toks(s + k))
             l += tokLens(s + k)
             k += 1
