@@ -613,6 +613,40 @@ object SparkEntry {
     // oracle's rows THROUGH the pruned read (a wrongly-skipped file
     // would drop rows and hash-mismatch), and that the probes touch at
     // most half the files (the clustering claim itself).
+    // Hilbert-curve clustering (Skilling 2004; the same probe contract
+    // as table_zorder, through OPTIMIZE's curve="hilbert"): after the
+    // rewrite, range probes on EITHER clustered column must skip at
+    // least half the files. Hilbert's unit-step locality is pinned in
+    // HilbertSpec; this query pins the end-to-end skipping outcome.
+    "table_hilbert" -> ((s, dir) => {
+      val base = "/root/repo/target/tmp/q_hilbert"
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm); f.delete(); ()
+      }
+      rm(new java.io.File(base))
+      val li = t(s, dir, "lineitem")
+        .select("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice")
+      val tbl = ManagedTable.create(li, base)
+      val target = math.max(8L * 1024, tbl.detail.sizeInBytes / 32)
+      tbl.optimize(targetFileSizeBytes = target,
+        zorderBy = Seq("l_orderkey", "l_partkey"), curve = "hilbert")
+      val total = tbl.detail.numFiles
+      require(total >= 8,
+        s"hilbert skip probe needs >= 8 files to be meaningful, got $total")
+      val pmax = li.agg(max("l_partkey")).head().getLong(0)
+      val omax = li.agg(max("l_orderkey")).head().getLong(0)
+      val pProbe = tbl.toDFWhere(
+        s"l_partkey BETWEEN ${pmax / 20} AND ${pmax / 10}")
+      val oProbe = tbl.toDFWhere(
+        s"l_orderkey BETWEEN ${omax / 20} AND ${omax / 10}")
+      val skipsP = pProbe.inputFiles.length * 2 <= total
+      val skipsO = oProbe.inputFiles.length * 2 <= total
+      import s.implicits._
+      Seq((tbl.toDF.count(), pProbe.count(), oProbe.count(), skipsP, skipsO))
+        .toDF("total_rows", "part_range_rows", "order_range_rows",
+          "skips_partkey", "skips_orderkey")
+    }),
+
     "table_zorder" -> ((s, dir) => {
       val base = "/root/repo/target/tmp/q_zorder"
       def rm(f: java.io.File): Unit = {
@@ -1684,6 +1718,20 @@ object SparkEntry {
     // achieved), the same pattern as table_admin.sizes_line_ok; the row
     // counts flow through the PRUNED reads, so a wrongly-skipped file
     // shows up as a count mismatch here
+    // identical oracle to table_zorder: clustering changes the physical
+    // layout, never the rows, and the skip flags must come out TRUE
+    "table_hilbert" ->
+      """SELECT (SELECT count(*) FROM lineitem) AS total_rows,
+        |  (SELECT count(*) FROM lineitem
+        |   WHERE l_partkey BETWEEN (SELECT max(l_partkey) // 20 FROM lineitem)
+        |                       AND (SELECT max(l_partkey) // 10 FROM lineitem))
+        |    AS part_range_rows,
+        |  (SELECT count(*) FROM lineitem
+        |   WHERE l_orderkey BETWEEN (SELECT max(l_orderkey) // 20 FROM lineitem)
+        |                        AND (SELECT max(l_orderkey) // 10 FROM lineitem))
+        |    AS order_range_rows,
+        |  TRUE AS skips_partkey, TRUE AS skips_orderkey""".stripMargin,
+
     "table_zorder" ->
       """SELECT (SELECT count(*) FROM lineitem) AS total_rows,
         |  (SELECT count(*) FROM lineitem

@@ -792,6 +792,71 @@ object ExprKernels {
     z
   }
 
+  /** Hilbert-curve value: the same quantile range-bucketing as
+    * [[zValue]], but bucket coordinates map through the Hilbert curve
+    * instead of bit interleaving (Skilling 2004, "Programming the
+    * Hilbert curve" — the public-domain transpose algorithm). Adjacent
+    * curve positions differ by ONE step in ONE dimension (a property
+    * Z-order lacks at bucket-boundary jumps), so range probes on any
+    * clustered column touch fewer files at equal file counts.
+    */
+  def hilbertValue(vals: ArrayData, bounds: Array[Double],
+                   nCols: Int, bits: Int): Long = {
+    val perCol = (1 << bits) - 1
+    val x = new Array[Int](nCols)
+    var c = 0
+    while (c < nCols) {
+      var bucket = 0
+      if (!vals.isNullAt(c)) {
+        val v = vals.getDouble(c)
+        var lo = 0
+        var hi = perCol
+        while (lo < hi) {
+          val mid = (lo + hi) >>> 1
+          if (bounds(c * perCol + mid) <= v) lo = mid + 1 else hi = mid
+        }
+        bucket = lo
+      }
+      x(c) = bucket
+      c += 1
+    }
+    hilbertIndex(x, nCols, bits)
+  }
+
+  /** Axes -> Hilbert index (Skilling's AxesToTranspose + MSB-first bit
+    * interleave of the transposed form). Mutates `x`.
+    */
+  def hilbertIndex(x: Array[Int], n: Int, bits: Int): Long = {
+    // Gray-decode / rotate (Skilling 2004, public domain)
+    var q = 1 << (bits - 1)
+    while (q > 1) {
+      val p = q - 1
+      var i = 0
+      while (i < n) {
+        if ((x(i) & q) != 0) x(0) ^= p // invert low bits of axis 0
+        else { val t = (x(0) ^ x(i)) & p; x(0) ^= t; x(i) ^= t }
+        i += 1
+      }
+      q >>= 1
+    }
+    var i = 1
+    while (i < n) { x(i) ^= x(i - 1); i += 1 }
+    var t = 0
+    q = 2
+    while (q != (1 << bits)) { if ((x(n - 1) & q) != 0) t ^= q - 1; q <<= 1 }
+    i = 0
+    while (i < n) { x(i) ^= t; i += 1 }
+    // transposed form -> scalar index: MSB-first across dimensions
+    var h = 0L
+    var b = bits - 1
+    while (b >= 0) {
+      i = 0
+      while (i < n) { h = (h << 1) | ((x(i) >> b) & 1); i += 1 }
+      b -= 1
+    }
+    h
+  }
+
   /** All Gopher document-quality counters in ONE forward scan (plus an
     * O(1)-per-line backward peek for trims). Semantics replicate the
     * Column/DuckDB formulation built-in-for-built-in:

@@ -54,9 +54,11 @@ object GraftSqlParser {
     s"""(?is)\\s*DELETE\\s+FROM\\s+$Ref\\s*(?:WHERE\\s+(.+?))?\\s*;?\\s*""".r
   private val UpdateRe =
     s"""(?is)\\s*UPDATE\\s+$Ref\\s+SET\\s+(.+?)\\s*;?\\s*""".r
-  // Delta's clause order: OPTIMIZE tbl [WHERE partition-pred] [ZORDER BY (…)]
+  // Delta's clause order: OPTIMIZE tbl [WHERE partition-pred]
+  // [ZORDER BY (…) | HILBERT BY (…)] — HILBERT picks the Hilbert-curve
+  // clustering (same bucketing, better multi-column locality)
   private val OptimizeRe =
-    s"""(?is)\\s*OPTIMIZE\\s+$Ref\\s*(?:WHERE\\s+(.+?)\\s*)?(?:ZORDER\\s+BY\\s*\\(?\\s*([\\w\\s,]+?)\\s*\\)?)?\\s*;?\\s*""".r
+    s"""(?is)\\s*OPTIMIZE\\s+$Ref\\s*(?:WHERE\\s+(.+?)\\s*)?(?:(ZORDER|HILBERT)\\s+BY\\s*\\(?\\s*([\\w\\s,]+?)\\s*\\)?)?\\s*;?\\s*""".r
   private val HistoryRe =
     s"""(?is)\\s*DESC(?:RIBE)?\\s+HISTORY\\s+$Ref\\s*;?\\s*""".r
   private val DetailRe =
@@ -160,9 +162,12 @@ object GraftSqlParser {
             a.substring(i + 1).trim)
         }
         Some(GraftUpdateCommand(unq(path), assignments, where))
-      case OptimizeRe(path, where, zorder) =>
+      case OptimizeRe(path, where, curveKw, zorder) =>
         val cols = Option(zorder).toSeq
           .flatMap(_.split(',').toSeq).map(_.trim).filter(_.nonEmpty)
+        val curve =
+          if (Option(curveKw).exists(_.equalsIgnoreCase("HILBERT"))) "hilbert"
+          else "zorder"
         // WHERE restricts to partition values: equality conjunctions only
         // (the predicate prunes FILES without reading them, so anything
         // beyond `part = literal AND …` must fail loud, as Delta does)
@@ -194,7 +199,7 @@ object GraftSqlParser {
           }
           terms.toMap
         }.getOrElse(Map.empty)
-        Some(GraftOptimizeCommand(unq(path), cols, spec))
+        Some(GraftOptimizeCommand(unq(path), cols, spec, curve))
       case HistoryRe(path) => Some(GraftHistoryCommand(unq(path)))
       case DetailRe(path) => Some(GraftDetailCommand(unq(path)))
       case RestoreRe(path, v) =>
@@ -546,7 +551,8 @@ final case class GraftUpdateCommand(path: String,
   * partitions (Delta's partition-predicate OPTIMIZE).
   */
 final case class GraftOptimizeCommand(path: String, zorderBy: Seq[String],
-                                      where: Map[String, String] = Map.empty)
+                                      where: Map[String, String] = Map.empty,
+                                      curve: String = "zorder")
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("path", StringType, nullable = false)(),
@@ -554,7 +560,8 @@ final case class GraftOptimizeCommand(path: String, zorderBy: Seq[String],
   override def run(spark: SparkSession): Seq[Row] = {
     val t = ManagedTable.forPath(spark, path)
     t.optimize(zorderBy = zorderBy,
-      partitions = if (where.isEmpty) Nil else Seq(where))
+      partitions = if (where.isEmpty) Nil else Seq(where),
+      curve = curve)
     Seq(Row(path, t.detail.numFiles))
   }
 }

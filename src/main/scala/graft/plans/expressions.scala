@@ -101,6 +101,14 @@ object expressions {
   def z_value(vals: Column, bounds: Seq[Double], nCols: Int, bits: Int): Column =
     column(ZValue(expression(vals), ZBounds(bounds.toVector), nCols, bits))
 
+  /** Hilbert-curve clustering value (same bucketing as [[z_value]], the
+    * Hilbert index instead of bit interleaving — see
+    * [[graft.plans.ExprKernels.hilbertValue]]).
+    */
+  def hilbert_value(vals: Column, bounds: Seq[Double], nCols: Int,
+                    bits: Int): Column =
+    column(HilbertValue(expression(vals), ZBounds(bounds.toVector), nCols, bits))
+
   private[plans] def arrayOfLongCheck(e: Expression, name: String) =
     e.dataType match {
       case ArrayType(LongType, _) =>
@@ -538,5 +546,43 @@ case class ZValue(child: Expression, bounds: ZBounds,
   }
 
   override protected def withNewChildInternal(c: Expression): ZValue =
+    copy(child = c)
+}
+
+/** Hilbert-curve clustering value: [[ZValue]]'s range bucketing, mapped
+  * through the Hilbert curve (Skilling 2004) instead of bit
+  * interleaving — adjacent curve positions differ by one bucket step in
+  * one dimension, so every clustered column's per-file bounds come out
+  * at least as tight as Z-order's at equal file counts.
+  */
+case class HilbertValue(child: Expression, bounds: ZBounds,
+                        nCols: Int, bits: Int)
+    extends UnaryExpression {
+  require(nCols >= 1 && bits >= 1 && nCols * bits <= 63,
+    s"nCols*bits must fit a signed long, got $nCols*$bits")
+  require(bounds.values.length == nCols * ((1 << bits) - 1),
+    s"bounds must hold ((1<<bits)-1) doubles per column")
+
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes() = child.dataType match {
+    case ArrayType(DoubleType, _) =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case other =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"hilbert_value expects array<double>, got ${other.sql}")
+  }
+
+  @transient private lazy val boundsArr: Array[Double] = bounds.values.toArray
+
+  override def nullSafeEval(input: Any): Any =
+    ExprKernels.hilbertValue(input.asInstanceOf[ArrayData], boundsArr, nCols, bits)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val boundsRef = ctx.addReferenceObj("hBounds", boundsArr, "double[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.ExprKernels.hilbertValue($c, $boundsRef, $nCols, $bits);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): HilbertValue =
     copy(child = c)
 }

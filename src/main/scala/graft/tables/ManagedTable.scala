@@ -1171,8 +1171,10 @@ final class ManagedTable private (val spark: SparkSession, val location: String)
   def optimize(targetFileSizeBytes: Long = 128L * 1024 * 1024,
                sortBy: Seq[String] = Nil,
                zorderBy: Seq[String] = Nil,
-               partitions: Seq[Map[String, Any]] = Nil): Unit =
-    optimizeFrom(latestEntry, targetFileSizeBytes, sortBy, zorderBy, partitions)
+               partitions: Seq[Map[String, Any]] = Nil,
+               curve: String = "zorder"): Unit =
+    optimizeFrom(latestEntry, targetFileSizeBytes, sortBy, zorderBy,
+      partitions, curve)
 
   /** [[optimize]] against an explicit base snapshot (separated so the
     * concurrent-commit behavior is testable): compaction rewrites rows
@@ -1186,10 +1188,13 @@ final class ManagedTable private (val spark: SparkSession, val location: String)
                targetFileSizeBytes: Long,
                sortBy: Seq[String],
                zorderBy: Seq[String],
-               partitions: Seq[Map[String, Any]] = Nil): Unit = {
+               partitions: Seq[Map[String, Any]] = Nil,
+               curve: String = "zorder"): Unit = {
     require(targetFileSizeBytes > 0)
     require(sortBy.isEmpty || zorderBy.isEmpty,
       "sortBy and zorderBy are mutually exclusive")
+    require(curve == "zorder" || curve == "hilbert",
+      s"clustering curve must be 'zorder' or 'hilbert', got '$curve'")
     require(partitions.isEmpty || e.partitionColumns.nonEmpty,
       "partition-scoped OPTIMIZE requires a partitioned table")
     partitions.foreach { spec =>
@@ -1265,7 +1270,7 @@ final class ManagedTable private (val spark: SparkSession, val location: String)
         require(zorderBy.forall(c => !e.partitionColumns.contains(c)),
           "zorderBy columns must not be partition columns (those prune " +
             "via the partition value already)")
-        val zc = ManagedTable.zorderColumn(df, zorderBy)
+        val zc = ManagedTable.clusterColumn(df, zorderBy, curve)
         val shuffleKeys = e.partitionColumns.map(col) :+ col("__graft_z")
         df.withColumn("__graft_z", zc)
           .repartitionByRange(numFiles, shuffleKeys: _*)
@@ -2341,7 +2346,18 @@ object ManagedTable {
     * One `approxQuantile` sketch pass total — O(columns · 1/err²) driver
     * memory, never a sort or collect of the data.
     */
-  private[tables] def zorderColumn(df: DataFrame, cols: Seq[String]): org.apache.spark.sql.Column = {
+  private[tables] def zorderColumn(df: DataFrame, cols: Seq[String]): org.apache.spark.sql.Column =
+    clusterColumn(df, cols, "zorder")
+
+  /** The clustering value for `cols`: `curve` picks bit interleaving
+    * ([[graft.plans.ZValue]], Delta's ZORDER shape) or the Hilbert index
+    * ([[graft.plans.HilbertValue]], Skilling 2004 — strictly better
+    * locality: adjacent curve positions differ by one bucket step in
+    * one dimension, so range probes touch fewer files at equal file
+    * counts). Same one-pass quantile bucketing either way.
+    */
+  private[tables] def clusterColumn(df: DataFrame, cols: Seq[String],
+                                    curve: String): org.apache.spark.sql.Column = {
     require(cols.nonEmpty && cols.size * zorderBits <= 63,
       s"zorderBy supports 1..5 columns, got ${cols.size}")
     val schema = df.schema
@@ -2373,8 +2389,12 @@ object ManagedTable {
       // every row to bucket 0 (the column contributes no ordering)
       if (b.isEmpty) Array.fill(perCol)(Double.PositiveInfinity) else b
     }.toIndexedSeq
-    graft.plans.expressions.z_value(
-      array(asDouble: _*), flat, cols.size, zorderBits)
+    if (curve == "hilbert")
+      graft.plans.expressions.hilbert_value(
+        array(asDouble: _*), flat, cols.size, zorderBits)
+    else
+      graft.plans.expressions.z_value(
+        array(asDouble: _*), flat, cols.size, zorderBits)
   }
 
   /** Default vacuum retention-time floor: 1 hour (see [[ManagedTable.vacuum]]). */

@@ -573,6 +573,19 @@ object Drive {
     println(f"[52] DSIR vs src0 target: weight range " +
       f"${dsirStats.getDouble(0)}%.1f..${dsirStats.getDouble(1)}%.1f, " +
       s"top-3 target-like docs: $dsirTop")
+    // --- Hilbert clustering: both-column skipping --------------------
+    val hbLoc = scratch("hilbert")
+    val hbT = graft.tables.ManagedTable.create(
+      spark.range(20000).selectExpr("CAST(id % 100 AS INT) AS hx",
+        "CAST(id / 100 AS INT) AS hy", "id AS payload"), hbLoc)
+    hbT.optimize(targetFileSizeBytes = 16 * 1024,
+      zorderBy = Seq("hx", "hy"), curve = "hilbert")
+    val hbTotal = hbT.detail.numFiles
+    val hbX = hbT.toDFWhere("hx BETWEEN 10 AND 19").inputFiles.length
+    val hbY = hbT.toDFWhere("hy BETWEEN 10 AND 19").inputFiles.length
+    println(s"[53] Hilbert clustering on (hx, hy): x probe reads " +
+      s"$hbX of $hbTotal files, y probe $hbY of $hbTotal")
+
     spark.stop()
   }
 }
