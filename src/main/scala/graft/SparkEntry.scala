@@ -816,6 +816,27 @@ object SparkEntry {
         .withColumn("packed_tokens", lit(packStats.getLong(1)))
     }),
 
+    // token-budget chunking over REAL ids: the encoded documents split
+    // into 32-token windows with 8-token overlap (TextChunker.chunkIds —
+    // the max-sequence-length split a training pipeline runs in TOKENS,
+    // not whitespace). Golden literal at sf0.01, like token_bpe_ids;
+    // ids_sum pins the window arithmetic end-to-end (overlap repeats
+    // count twice, so the checksum catches off-by-one strides).
+    "token_chunks_ids" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val model = text.Bpe.fit(docs, "text", numMerges = 200)
+      val enc = docs.select(col("source"), col("doc_id"),
+        text.Bpe.encode(col("text"), model).as("__ids"))
+      val chunks = text.TextChunker.chunkIds(
+        enc, "doc_id", "__ids", maxTokens = 32, overlap = 8)
+      chunks.join(enc.select(col("doc_id"), col("source")), Seq("doc_id"))
+        .groupBy("source").agg(
+          count(lit(1)).as("n_chunks"),
+          sum(col("n_chunk_tokens")).as("n_tokens"),
+          sum(aggregate(col("chunk_ids"), lit(0L),
+            (acc, x) => acc + x.cast("long"))).as("ids_sum"))
+    }),
+
     // unicode canonicalization (the cleanup pass ahead of tokenization):
     // the corpus is ASCII, so a deterministic suffix of NFC-decomposed
     // accents, zero-width/format chars, exotic whitespace, and controls
@@ -1466,7 +1487,7 @@ object SparkEntry {
     * false failures (or vacuous passes) rather than verification.
     */
   private val sf001OnlyOracles: Set[String] =
-    Set("dedup_simhash", "token_bpe", "token_bpe_ids")
+    Set("dedup_simhash", "token_bpe", "token_bpe_ids", "token_chunks_ids")
 
   /** The oracle map as it applies to `sfDir`: golden-literal entries are
     * dropped unless the data dir is the sf0.01 set they were pinned on.
@@ -1847,6 +1868,34 @@ object SparkEntry {
         |  ('src8', 25, 1136), ('src9', 25, 1366))
         |AS v(source, d, n)""".stripMargin,
 
+
+    // GOLDEN LITERAL pinned at sf0.01 (see token_bpe_ids): window
+    // arithmetic + id checksums of the 32/8 chunking of the encoded docs
+    "token_chunks_ids" ->
+      """SELECT source, CAST(c AS BIGINT) AS n_chunks,
+        |       CAST(n AS BIGINT) AS n_tokens, CAST(i AS BIGINT) AS ids_sum
+        |FROM (VALUES
+        |  ('src0', 60, 1715, 151075),
+        |  ('src1', 68, 1884, 164047),
+        |  ('src10', 56, 1551, 137543),
+        |  ('src11', 66, 1850, 162044),
+        |  ('src12', 59, 1544, 134773),
+        |  ('src13', 67, 1889, 165983),
+        |  ('src14', 59, 1590, 142115),
+        |  ('src15', 60, 1578, 138955),
+        |  ('src16', 62, 1647, 143629),
+        |  ('src17', 61, 1661, 146711),
+        |  ('src18', 61, 1652, 144535),
+        |  ('src19', 52, 1363, 119100),
+        |  ('src2', 62, 1703, 151861),
+        |  ('src3', 62, 1680, 148763),
+        |  ('src4', 56, 1542, 137342),
+        |  ('src5', 60, 1609, 140834),
+        |  ('src6', 58, 1530, 133319),
+        |  ('src7', 68, 1851, 159613),
+        |  ('src8', 53, 1360, 119748),
+        |  ('src9', 63, 1670, 148038))
+        |AS v(source, c, n, i)""".stripMargin,
 
     // GOLDEN LITERAL pinned at sf0.01 (see token_bpe): n_tokens must
     // equal token_bpe's totals (ids and counts walk the same merge

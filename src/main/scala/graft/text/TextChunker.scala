@@ -95,6 +95,37 @@ object TextChunker {
       .drop("__cum_before")
   }
 
+  /** Chunk ENCODED id sequences into bounded overlapping windows — the
+    * same window arithmetic as [[chunk]], but over real token ids (a
+    * training pipeline's max-sequence-length split is in TOKENS, and a
+    * whitespace proxy mis-sizes long-word or high-fertility text): one
+    * row per chunk with `idCol`, `chunk_id`, `chunk_ids` (`array<int>`),
+    * `n_chunk_tokens`. Same shuffle-free shape — slices and a
+    * posexplode inside one projection.
+    */
+  def chunkIds(df: DataFrame, idCol: String, idsCol: String,
+               maxTokens: Int = 512, overlap: Int = 64): DataFrame = {
+    require(maxTokens > 0 && overlap >= 0 && overlap < maxTokens,
+      s"need 0 <= overlap < maxTokens, got overlap=$overlap max=$maxTokens")
+    val stride = maxTokens - overlap
+    val nChunks = "__n_chunks"
+    df
+      .withColumn(nChunks,
+        when(size(col(idsCol)) === 0, lit(0)).otherwise(
+          greatest(lit(1),
+            ceil((size(col(idsCol)) - lit(overlap)).cast("double") / stride)
+              .cast("int"))))
+      .select(col(idCol),
+        posexplode(when(col(nChunks) === 0,
+            array().cast(org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.ArrayType(
+                org.apache.spark.sql.types.IntegerType))))
+          .otherwise(transform(sequence(lit(0), col(nChunks) - 1),
+            i => slice(col(idsCol), i * stride + 1, lit(maxTokens)))))
+          .as(Seq("chunk_id", "chunk_ids")))
+      .withColumn("n_chunk_tokens", size(col("chunk_ids")).cast("long"))
+  }
+
   /** Sequence packing over ACTUAL token-id arrays (the artifact a
     * training run loads): documents shard into token budgets via
     * [[shardByTokenBudget]] on `size(idsCol)`, then each pack

@@ -51,6 +51,29 @@ class TextChunkerSpec extends SparkSpec {
     assert(again == first)
   }
 
+  test("chunkIds windows real token ids with overlap, full coverage, and " +
+       "a shuffle-free plan") {
+    val ids = (1 to 100).toArray
+    val df = Seq((1L, ids), (2L, Array.empty[Int]), (3L, Array(7, 8, 9)))
+      .toDF("doc_id", "ids")
+    val out = TextChunker.chunkIds(df, "doc_id", "ids",
+      maxTokens = 40, overlap = 10)
+    val rows = out.orderBy("doc_id", "chunk_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Int](2)))
+    // doc 1: stride 30 → chunks at 1, 31, 61 (3 chunks)
+    val d1 = rows.filter(_._1 == 1L)
+    assert(d1.length == 3)
+    assert(d1(0)._3 == (1 to 40) && d1(1)._3 == (31 to 70) &&
+      d1(2)._3 == (61 to 100))
+    // overlap: each successive chunk repeats the prior's last 10 ids
+    assert(d1(0)._3.takeRight(10) == d1(1)._3.take(10))
+    // empty docs produce no chunks; short docs one chunk
+    assert(!rows.exists(_._1 == 2L))
+    assert(rows.filter(_._1 == 3L).map(_._3).toSeq == Seq(Seq(7, 8, 9)))
+    assert(!out.queryExecution.executedPlan.toString.contains("Exchange"),
+      "chunking must not shuffle")
+  }
+
   test("packSequences concatenates real id sequences in id order within " +
        "the budget contract") {
     // deterministic fake "token ids": doc i carries (i*3 % 7) + 1 ids,
