@@ -604,7 +604,29 @@ final class ManagedTable private (val spark: SparkSession, val location: String)
                         props: Map[String, String]): Seq[String] = {
     val id = UUID.randomUUID().toString
     val out = dataDir.resolve(id)
-    val w = enforced(df, props).write.mode("overwrite")
+    // sorted writes (the `graft.write.sortBy` table property — Delta's
+    // optimized-writes + sort practice): each write RANGE-partitions by
+    // the configured columns (partition columns lead, so hive dirs keep
+    // one writer each) and sorts within tasks, so every commit's files
+    // are bound-DISJOINT on the leading sort column and probes skip
+    // inside fresh appends without waiting for an OPTIMIZE rewrite. A
+    // per-task sort alone would only tighten row-group stats — file
+    // min/max needs the range shuffle, the documented cost of the
+    // opt-in. The caller's task count is preserved, so file sizing
+    // decisions (small-batch coalesce, compaction targets) survive.
+    val sortCols = props.get(ManagedTable.writeSortPropKey)
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Nil).filter(df.columns.contains)
+    val staged =
+      if (sortCols.isEmpty) enforced(df, props)
+      else {
+        val e = enforced(df, props)
+        val keys = (parts.filter(df.columns.contains) ++ sortCols)
+          .distinct.map(col)
+        val n = math.max(1, e.rdd.getNumPartitions)
+        e.repartitionByRange(n, keys: _*).sortWithinPartitions(keys: _*)
+      }
+    val w = staged.write.mode("overwrite")
       .options(BloomSkip.writeOptions(props))
     (if (parts.nonEmpty) w.partitionBy(parts: _*) else w).parquet(out.toString)
     if (parts.isEmpty) Seq(id)
@@ -2407,6 +2429,14 @@ object ManagedTable {
     * version (see [[ManagedTable.append]]'s `txn`).
     */
   private[tables] def txnPropKey(appId: String): String = s"graft.txn.$appId"
+
+  /** Table property listing columns every write task sorts by before
+    * writing (sorted writes): per-file stats stay tight on appends, so
+    * data skipping works on fresh commits without an OPTIMIZE rewrite.
+    * Comma-separated logical column names; columns absent from a write's
+    * frame are skipped.
+    */
+  val writeSortPropKey: String = "graft.write.sortBy"
 
   /** Table property enabling at-commit CDC sidecar capture (Delta's
     * `delta.enableChangeDataFeed`). Set to `"true"` at create time or via
