@@ -1080,6 +1080,18 @@ object SparkEntry {
         seed = 42L, portable = true)
         .select("doc_id", "lang", "source")),
 
+    // budget-driven mixing (the explicit token-budget "data recipe"):
+    // a 40k-char budget split 3:1 between en and fr — en (64k mass)
+    // samples to ~30k chars, fr (21k mass, 10k allocation) to ~10k,
+    // every other language drops. Rates and the kept set replay exactly
+    // in the oracle (portable md5 row hash).
+    "sample_token_mix" -> ((s, dir) =>
+      Sampling.tokenBudgetMix(t(s, dir, "documents"),
+        groupCol = "lang", weightCol = "n_chars", keys = Seq("doc_id"),
+        shares = Map("en" -> 3.0, "fr" -> 1.0),
+        totalWeight = 40000L, seed = 42L, portable = true)
+        .select("doc_id", "lang", "source")),
+
     // per-language cap (two-phase skew-safe top-n; orderBy made total by
     // the doc_id tiebreaker) — the oracle is the single-window formulation
     // deterministic train/val/test assignment: split membership is a pure
@@ -2121,6 +2133,23 @@ object SparkEntry {
         |          300.0 * pow(w, 0.5) / (SELECT sum(pow(w, 0.5)) FROM c) / n)
         |          * 1000000) AS BIGINT) AS num
         |      FROM c)
+        |SELECT d.doc_id, d.lang, d.source
+        |FROM documents d JOIN r USING (lang)
+        |WHERE CAST(concat('0x',
+        |    substr(md5(concat_ws(chr(1), d.doc_id, '42')), 1, 15)) AS BIGINT)
+        |  % 1000000 < r.num""".stripMargin,
+
+    // replays the budget rates (min(1, total*share/W) quantized) and the
+    // portable hash filter
+    "sample_token_mix" ->
+      """WITH m AS (SELECT lang, CAST(sum(n_chars) AS DOUBLE) AS w
+        |           FROM documents GROUP BY lang),
+        |r AS (SELECT lang,
+        |        CAST(floor(least(1.0,
+        |          40000.0 * (CASE lang WHEN 'en' THEN 0.75
+        |                               WHEN 'fr' THEN 0.25 END) / w)
+        |          * 1000000) AS BIGINT) AS num
+        |      FROM m WHERE lang IN ('en', 'fr'))
         |SELECT d.doc_id, d.lang, d.source
         |FROM documents d JOIN r USING (lang)
         |WHERE CAST(concat('0x',

@@ -155,6 +155,56 @@ object Sampling {
       .select(df.columns.map(col): _*)
   }
 
+  /** Budget-driven corpus mixing — the explicit "data recipe" step a
+    * pretraining mix is specified in ("30% web, 30% code, 20% books …"
+    * of a TOKEN budget, not row proportions): each group samples down to
+    * its share of `totalWeight` (weight = tokens/chars via `weightCol`)
+    * with keep rate `min(1, totalWeight·share_g / W_g)`, quantized to
+    * `resolution` and applied as the same deterministic per-row hash
+    * filter as [[hashSample]]. Groups absent from `shares` drop
+    * entirely; shares are normalized (pass un-normalized ratios
+    * freely); a group with less mass than its allocation keeps
+    * everything — re-balancing the shortfall across the rest is the
+    * caller's loop, as in published data recipes.
+    *
+    * Scale shape: group masses are one partial-agg shuffle of |groups|
+    * rows broadcast back; the share lookup compiles to a codegen'd CASE
+    * chain; the corpus itself is never shuffled and the filter sits
+    * over the scan.
+    */
+  def tokenBudgetMix(df: DataFrame, groupCol: String, weightCol: String,
+                     keys: Seq[String], shares: Map[String, Double],
+                     totalWeight: Long, resolution: Int = 1000000,
+                     seed: Long = 42L,
+                     portable: Boolean = false): DataFrame = {
+    require(shares.nonEmpty && shares.values.forall(_ > 0),
+      "shares must be positive")
+    require(totalWeight > 0 && resolution > 0)
+    val norm = shares.values.sum
+    val stats = df.groupBy(col(groupCol))
+      .agg(sum(col(weightCol)).cast("double").as("__w"))
+    val share = shares.toSeq.sortBy(_._1).foldLeft(
+      lit(null).cast("double")) { case (acc, (g, v)) =>
+      when(col(groupCol) === g, lit(v / norm)).otherwise(acc)
+    }
+    // filter BEFORE least(): Spark's least() skips NULLs, so an absent
+    // group's NULL share would otherwise collapse to rate 1.0
+    val rates = stats
+      .withColumn("__share", share)
+      .filter(col("__share").isNotNull)
+      .withColumn("__num", floor(least(lit(1.0),
+          lit(totalWeight.toDouble) * col("__share") / col("__w")) *
+        resolution).cast(LongType))
+      .select(col(groupCol), col("__num"))
+    val h =
+      if (portable) portableHash(keys.map(col), seed.toString)
+      else fastHash(keys.map(col), seed)
+    df.join(broadcast(rates), Seq(groupCol))
+      .filter(pmod(h, lit(resolution.toLong)) < col("__num"))
+      .drop("__num")
+      .select(df.columns.map(col): _*)
+  }
+
   /** At most `n` rows per group, ranked by `orderBy` — per-domain caps
     * against over-represented sources. `orderBy` MUST be a total order
     * within each group (add a unique tiebreaker column): with ties at the

@@ -164,4 +164,32 @@ class SamplingSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Sampling.assignSplits(d, Seq("train" -> 90, "val" -> 5), 100, Seq("id")))
   }
+
+  test("tokenBudgetMix hits each group's weight share; absent groups " +
+       "drop; under-provisioned groups keep everything") {
+    import spark.implicits._
+    // three sources with very different masses
+    val docs = (
+      (1 to 800).map(i => (i.toLong, "web", 100L)) ++
+      (1 to 200).map(i => (1000L + i, "code", 100L)) ++
+      (1 to 10).map(i => (2000L + i, "books", 100L))).toDF("id", "src", "w")
+    val out = Sampling.tokenBudgetMix(docs, "src", "w", keys = Seq("id"),
+      shares = Map("web" -> 1.0, "books" -> 1.0), // 50/50 of the budget
+      totalWeight = 20000L, seed = 7L)
+    val bySrc = out.groupBy("src").agg(sum("w").as("kept"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // web: budget share 10000 of 80000 mass -> ~12.5% kept
+    assert(bySrc("web") > 6000 && bySrc("web") < 14000,
+      s"web should keep ~10000 weight, got ${bySrc.get("web")}")
+    // books: allocation 10000 > mass 1000 -> keeps everything
+    assert(bySrc("books") == 1000L, s"under-provisioned keeps all: $bySrc")
+    // code was not in the recipe -> fully dropped
+    assert(!bySrc.contains("code"), s"absent group must drop: $bySrc")
+    // deterministic: same seed, same kept set
+    val again = Sampling.tokenBudgetMix(docs, "src", "w", keys = Seq("id"),
+      shares = Map("web" -> 1.0, "books" -> 1.0),
+      totalWeight = 20000L, seed = 7L)
+    assert(out.select("id").as[Long].collect().sorted.toSeq ==
+      again.select("id").as[Long].collect().sorted.toSeq)
+  }
 }
