@@ -573,6 +573,16 @@ object Drive {
     println(f"[52] DSIR vs src0 target: weight range " +
       f"${dsirStats.getDouble(0)}%.1f..${dsirStats.getDouble(1)}%.1f, " +
       s"top-3 target-like docs: $dsirTop")
+    // --- budget-driven mixing ------------------------------------------
+    val mixOut = graft.operators.Sampling.tokenBudgetMix(
+      docsAll, "lang", "n_chars", keys = Seq("doc_id"),
+      shares = Map("en" -> 3.0, "fr" -> 1.0), totalWeight = 4000L)
+    val mixBy = mixOut.groupBy("lang").agg(sum("n_chars").as("w"))
+      .collect().map(r => s"${r.getString(0)}=${r.getLong(1)}").sorted
+      .mkString(" ")
+    println(s"[53] token-budget mix (4k chars, en:fr = 3:1): kept $mixBy; " +
+      s"other languages dropped")
+
     // --- Hilbert clustering: both-column skipping --------------------
     val hbLoc = scratch("hilbert")
     val hbT = graft.tables.ManagedTable.create(
@@ -583,7 +593,7 @@ object Drive {
     val hbTotal = hbT.detail.numFiles
     val hbX = hbT.toDFWhere("hx BETWEEN 10 AND 19").inputFiles.length
     val hbY = hbT.toDFWhere("hy BETWEEN 10 AND 19").inputFiles.length
-    println(s"[53] Hilbert clustering on (hx, hy): x probe reads " +
+    println(s"[54] Hilbert clustering on (hx, hy): x probe reads " +
       s"$hbX of $hbTotal files, y probe $hbY of $hbTotal")
 
     spark.stop()

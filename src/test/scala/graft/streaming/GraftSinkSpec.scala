@@ -217,6 +217,47 @@ class GraftSinkSpec extends SparkSpec {
     assert(got == Seq((1L, 9L), (2L, 7L)), s"latest seq wins per key: $got")
   }
 
+  test("applyCdf property: a seeded random DML sequence replicates " +
+       "exactly through capped micro-batches") {
+    val rnd = new scala.util.Random(12345L)
+    val srcLoc = tmpDir("gsinkprop-src")
+    val mirror = tmpDir("gsinkprop-dst")
+    val t = ManagedTable.create(
+      spark.range(200).select(col("id").as("k"), (col("id") % 7).as("v")),
+      srcLoc, properties = Map(ManagedTable.cdfPropKey -> "true"))
+    var nextId = 1000L
+    def randomOp(): Unit = rnd.nextInt(3) match {
+      case 0 =>
+        val n = 1 + rnd.nextInt(20)
+        t.append(spark.range(nextId, nextId + n)
+          .select(col("id").as("k"), (col("id") % 7).as("v")))
+        nextId += n
+      case 1 => t.delete(s"k % ${2 + rnd.nextInt(8)} = ${rnd.nextInt(2)}")
+      case 2 => t.update(Map("v" -> s"v + ${1 + rnd.nextInt(5)}"),
+        Some(s"k % ${2 + rnd.nextInt(6)} = 1"))
+    }
+    val q = spark.readStream.format("graft-cdf")
+      .option("startingVersion", "0")
+      .option("maxVersionsPerTrigger", "2") // capped: multi-batch applies
+      .load(srcLoc)
+      .writeStream.format("graft")
+      .option("checkpointLocation", tmpDir("gsinkprop-ckpt"))
+      .option("txnAppId", "gsinkprop")
+      .option("mergeKeys", "k").option("applyCdf", "true")
+      .start(mirror)
+    try {
+      (1 to 4).foreach { round =>
+        (1 to 3).foreach(_ => randomOp())
+        q.processAllAvailable()
+        val src = t.toDF.as[(Long, Long)].collect().sorted.toSeq
+        val got = ManagedTable.forPath(spark, mirror).toDF
+          .as[(Long, Long)].collect().sorted.toSeq
+        assert(got == src,
+          s"round $round: mirror diverged (${got.size} vs ${src.size} rows)")
+      }
+    } finally q.stop()
+  }
+
   test("applyCdf: graft-cdf source into a merge sink REPLICATES the " +
        "table through DML, exactly-once across restart") {
     val srcLoc = tmpDir("gsinkcdc-src")
