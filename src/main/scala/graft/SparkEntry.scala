@@ -751,6 +751,15 @@ object SparkEntry {
       text.VocabStats.vocabSignals(
         t(s, dir, "documents"), "doc_id", "text", rareMax = 2, topK = 1000)),
 
+    // CCNet perplexity buckets (Wenzek 2020): per-language head/middle/
+    // tail thirds by the unigram-NLL quality proxy — the published tier
+    // recipe. The nll replays exactly (order-pinned fold + round(4)),
+    // and the tier cut is deterministic via the (nll, doc_id) total
+    // order, so ntile reproduces bit-for-bit.
+    "quality_ccnet_bucket" -> ((s, dir) =>
+      text.VocabStats.nllBuckets(t(s, dir, "documents"),
+        "doc_id", "text", "lang", buckets = 3)),
+
     // DSIR importance weights (Xie 2023): the corpus scored against a
     // target domain (source='src0' documents) — log p_target − log p_raw
     // under add-one-smoothed unigram LMs over the joint vocabulary.
@@ -1940,6 +1949,34 @@ object SparkEntry {
         |  ('src8', 25, 1136, 100028, 55, 27665),
         |  ('src9', 25, 1366, 120676, 55, 27665))
         |AS v(source, d, n, i, p, pt)""".stripMargin,
+
+    // the nll replay (see quality_unigram_nll) + the per-language ntile
+    // over the (nll, doc_id) total order
+    "quality_ccnet_bucket" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |                       w -> len(w) > 0)) AS word
+        |  FROM documents),
+        |vocab AS (SELECT word, count(*) AS n FROM toks GROUP BY word),
+        |s AS (SELECT sum(n) AS t, count(*) AS v FROM vocab),
+        |c AS (
+        |  SELECT toks.doc_id, coalesce(vocab.n, 0) AS cnt
+        |  FROM toks LEFT JOIN vocab USING (word)),
+        |d AS (
+        |  SELECT doc_id, count(*) AS n_words, list_sort(list(cnt)) AS cs
+        |  FROM c GROUP BY doc_id),
+        |scored AS (
+        |  SELECT doc_id, n_words,
+        |    round(ln(s.t + s.v)
+        |      - list_sum(list_transform(cs, x -> ln(x + 1))) / n_words, 4)
+        |      AS nll
+        |  FROM d CROSS JOIN s)
+        |SELECT sc.doc_id, docs.lang, sc.n_words, sc.nll,
+        |  CAST(ntile(3) OVER (PARTITION BY docs.lang
+        |                      ORDER BY sc.nll, sc.doc_id) AS BIGINT)
+        |    AS bucket
+        |FROM scored sc JOIN documents docs USING (doc_id)""".stripMargin,
 
     // replays both order-pinned folds over the joint vocabulary
     "sample_dsir" ->

@@ -107,6 +107,28 @@ object VocabStats {
           4).as("nll"))
   }
 
+  /** CCNet perplexity bucketing (Wenzek et al. 2020): documents rank by
+    * their LM quality score within each language and split into
+    * `buckets` equal-count tiers — head (1) / middle / tail (`buckets`)
+    * — the published recipe keeps or re-weights tiers rather than hard
+    * thresholds. The score here is [[unigramNll]] (the model-free LM
+    * proxy); ties at rounded scores break by id, so the tier CUT is
+    * deterministic for both engines. One window pass over the scored
+    * rows per language — |corpus| rows shuffle once on the language key.
+    */
+  def nllBuckets(df: DataFrame, idCol: String, textCol: String,
+                 langCol: String, buckets: Int = 3,
+                 vocabOf: Option[DataFrame] = None): DataFrame = {
+    require(buckets >= 2, s"need >= 2 buckets, got $buckets")
+    val scored = unigramNll(df, idCol, textCol, vocabOf)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(langCol)).orderBy(col("nll"), col(idCol))
+    scored.join(df.select(col(idCol), col(langCol)), Seq(idCol))
+      .withColumn("bucket", ntile(buckets).over(w))
+      .select(col(idCol), col(langCol), col("n_words"), col("nll"),
+        col("bucket").cast("long").as("bucket"))
+  }
+
   /** DSIR importance weights (Xie et al. 2023, "Data Selection for
     * Language Models via Importance Resampling"): each raw document
     * scored by `log p_target(doc) − log p_raw(doc)` under add-one-

@@ -110,4 +110,36 @@ class VocabStatsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
     assert(w(1L) < 0 && w(2L) > w(1L), s"OOV-vs-target must score low: $w")
   }
+
+  test("nllBuckets tiers documents per language: equal-count, " +
+       "quality-ordered, deterministic") {
+    import spark.implicits._
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val out = VocabStats.nllBuckets(docs, "doc_id", "text", "lang",
+      buckets = 3)
+    val byLang = out.groupBy("lang", "bucket").count()
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    // per language: tier sizes differ by at most 1 (ntile contract)
+    byLang.keys.map(_._1).toSet.foreach { (l: String) =>
+      val sizes = (1L to 3L).map(b => byLang.getOrElse((l, b), 0L))
+      assert(sizes.max - sizes.min <= 1, s"$l tiers $sizes")
+    }
+    // head tier scores strictly no worse (lower nll) than tail tier
+    val agg = out.groupBy("lang", "bucket").agg(
+        min("nll").as("lo"), max("nll").as("hi"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getDouble(2), r.getDouble(3))).toMap
+    agg.keys.map(_._1).toSet.foreach { (l: String) =>
+      assert(agg((l, 1L))._2 <= agg((l, 3L))._1 + 1e-9,
+        s"$l: head max ${agg((l, 1L))._2} must not exceed tail min")
+    }
+    // deterministic across runs
+    val again = VocabStats.nllBuckets(docs, "doc_id", "text", "lang",
+      buckets = 3).select("doc_id", "bucket").as[(Long, Long)]
+      .collect().sorted.toSeq
+    assert(again == out.select("doc_id", "bucket").as[(Long, Long)]
+      .collect().sorted.toSeq)
+  }
 }
