@@ -64,7 +64,7 @@ object GraftSqlParser {
   private val DetailRe =
     s"""(?is)\\s*DESC(?:RIBE)?\\s+DETAIL\\s+$Ref\\s*;?\\s*""".r
   private val VacuumRe =
-    s"""(?is)\\s*VACUUM\\s+$Ref\\s*(?:RETAIN\\s+([0-9.]+)\\s+HOURS)?\\s*;?\\s*""".r
+    s"""(?is)\\s*VACUUM\\s+$Ref\\s*(?:RETAIN\\s+([0-9.]+)\\s+HOURS)?\\s*(DRY\\s+RUN)?\\s*;?\\s*""".r
   private val RestoreRe =
     s"""(?is)\\s*RESTORE\\s+(?:TABLE\\s+)?$Ref\\s+TO\\s+VERSION\\s+AS\\s+OF\\s+(\\d+)\\s*;?\\s*""".r
   private val RestoreTsRe =
@@ -212,9 +212,10 @@ object GraftSqlParser {
         val cols = Option(parts).toSeq
           .flatMap(_.split(',').toSeq).map(_.trim).filter(_.nonEmpty)
         Some(GraftConvertCommand(format.toLowerCase, unq(src), unq(dst), cols))
-      case VacuumRe(path, hours) =>
+      case VacuumRe(path, hours, dry) =>
         Some(GraftVacuumCommand(unq(path),
-          Option(hours).map(_.toDouble).getOrElse(7 * 24.0)))
+          Option(hours).map(_.toDouble).getOrElse(7 * 24.0),
+          dryRun = dry != null))
       case AlterAddColsRe(path, cols) =>
         Some(GraftAddColumnsCommand(unq(path), cols.trim))
       case AlterSetPropsRe(path, props) =>
@@ -894,17 +895,20 @@ final case class GraftInsertCommand(path: String, overwrite: Boolean,
   }
 }
 
-/** `VACUUM graft.`path` [RETAIN n HOURS]` (default 168, Delta's default
-  * retention) → (directories/files deleted, bytes freed). The staged-write
-  * age floor always applies, as in the API form.
+/** `VACUUM graft.`path` [RETAIN n HOURS] [DRY RUN]` (default 168,
+  * Delta's default retention) → (directories/files deleted, bytes
+  * freed). The staged-write age floor always applies, as in the API
+  * form; DRY RUN reports the reclaim without deleting anything.
   */
-final case class GraftVacuumCommand(path: String, retainHours: Double)
+final case class GraftVacuumCommand(path: String, retainHours: Double,
+                                    dryRun: Boolean = false)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("num_reclaimed", LongType, nullable = false)(),
     AttributeReference("bytes_freed", LongType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
-    val (n, b) = ManagedTable.forPath(spark, path).vacuum(retainHours)
+    val (n, b) = ManagedTable.forPath(spark, path).vacuum(retainHours,
+      graft.tables.ManagedTable.defaultVacuumMinAgeMillis, dryRun)
     Seq(Row(n, b))
   }
 }

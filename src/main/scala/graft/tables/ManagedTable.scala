@@ -1041,9 +1041,15 @@ final class ManagedTable private (val spark: SparkSession, val location: String)
     vacuum(retentionHours, ManagedTable.defaultVacuumMinAgeMillis)
 
   /** [[vacuum(retentionHours*]] with an explicit retention-time floor
-    * (see the version-count form for the floor's contract).
+    * (see the version-count form for the floor's contract). `dryRun`
+    * reports what WOULD be reclaimed (count, bytes) without deleting —
+    * Delta's `VACUUM … DRY RUN`.
     */
-  def vacuum(retentionHours: Double, minAgeMillis: Long): (Long, Long) = {
+  def vacuum(retentionHours: Double, minAgeMillis: Long): (Long, Long) =
+    vacuum(retentionHours, minAgeMillis, dryRun = false)
+
+  def vacuum(retentionHours: Double, minAgeMillis: Long,
+             dryRun: Boolean): (Long, Long) = {
     require(retentionHours >= 0, "retentionHours must be >= 0")
     val cutoff =
       System.currentTimeMillis() - (retentionHours * 3600 * 1000).toLong
@@ -1054,11 +1060,13 @@ final class ManagedTable private (val spark: SparkSession, val location: String)
       case Seq() => 0L
       case at    => at.max
     }
-    vacuum(math.max(1L, latestVersion - anchor + 1).toInt, minAgeMillis)
+    vacuum(math.max(1L, latestVersion - anchor + 1).toInt, minAgeMillis,
+      dryRun)
   }
 
   def vacuum(retainVersions: Int = 1,
-             minAgeMillis: Long = ManagedTable.defaultVacuumMinAgeMillis): (Long, Long) = {
+             minAgeMillis: Long = ManagedTable.defaultVacuumMinAgeMillis,
+             dryRun: Boolean = false): (Long, Long) = {
     require(retainVersions >= 1, "retainVersions must be >= 1")
     require(minAgeMillis >= 0, "minAgeMillis must be >= 0")
     val latest = latestVersion
@@ -1096,7 +1104,10 @@ final class ManagedTable private (val spark: SparkSession, val location: String)
       try s.iterator().asScala.filter(Files.isRegularFile(_)).map(Files.size).sum
       finally s.close()
     }
-    def rmTree(p: Path): Unit = {
+    // DRY RUN: the walk, retention math, and age floor all run for real;
+    // only the deletions are suppressed — the reported (count, bytes)
+    // are exactly what a wet run would reclaim right now
+    def rmTree(p: Path): Unit = if (!dryRun) {
       val s = Files.walk(p)
       try s.iterator().asScala.toSeq.reverse.foreach(Files.delete)
       finally s.close()
@@ -1144,7 +1155,8 @@ final class ManagedTable private (val spark: SparkSession, val location: String)
               val rel = uuid + "/" + top.relativize(f).toString
               if (!retainedFilePaths.contains(rel) &&
                   Files.getLastModifiedTime(f).toMillis <= ageCutoff) {
-                bytesFreed += Files.size(f); dirsDeleted += 1; Files.delete(f)
+                bytesFreed += Files.size(f); dirsDeleted += 1
+                if (!dryRun) Files.delete(f)
               }
             }
           }
