@@ -114,6 +114,8 @@ object GraftSqlParser {
     s"""(?is)\\s*FSCK\\s+REPAIR\\s+TABLE\\s+$Ref\\s*(DRY\\s+RUN)?\\s*;?\\s*""".r
   private val ShowPartitionsRe =
     s"""(?is)\\s*SHOW\\s+PARTITIONS\\s+$Ref\\s*;?\\s*""".r
+  private val ShowTblPropsRe =
+    s"""(?is)\\s*SHOW\\s+TBLPROPERTIES\\s+$Ref\\s*;?\\s*""".r
 
   // MERGE [WITH SCHEMA EVOLUTION] INTO graft.`/path` [AS] t USING <rest>
   // — the rest (source spec, ON condition, WHEN clauses) nests
@@ -241,6 +243,8 @@ object GraftSqlParser {
         Some(GraftFsckCommand(unq(path), repair = dryRun == null))
       case ShowPartitionsRe(path) =>
         Some(GraftShowPartitionsCommand(unq(path)))
+      case ShowTblPropsRe(path) =>
+        Some(GraftShowTblPropertiesCommand(unq(path)))
       case _ => None
     }
 
@@ -797,6 +801,17 @@ final case class GraftShowPartitionsCommand(path: String)
         s"partitioned: $path")
     t.partitionSpecs.map(Row(_))
   }
+}
+
+/** `SHOW TBLPROPERTIES graft.`path`` → (key, value) rows, sorted. */
+final case class GraftShowTblPropertiesCommand(path: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("key", StringType, nullable = false)(),
+    AttributeReference("value", StringType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] =
+    ManagedTable.forPath(spark, path).properties.toSeq.sortBy(_._1)
+      .map { case (k, v) => Row(k, v) }
 }
 
 /** `CONVERT TO GRAFT parquet.`src` AS graft.`dst` [PARTITIONED BY (…)]`

@@ -149,6 +149,11 @@ class GraftFunctionsSpec extends SparkSpec {
     spark.sql(s"ALTER TABLE $ref SET TBLPROPERTIES " +
       "('owner' = 'pipelines', 'graft.bloom.columns' = 'k')")
     assert(t.properties.get("owner").contains("pipelines"))
+    // SHOW TBLPROPERTIES mirrors the snapshot's properties, sorted
+    val shown = spark.sql(s"SHOW TBLPROPERTIES $ref").collect()
+      .map(r => r.getString(0) -> r.getString(1))
+    assert(shown.toMap == t.properties)
+    assert(shown.map(_._1).toSeq == shown.map(_._1).sorted.toSeq)
     spark.sql(s"ALTER TABLE $ref UNSET TBLPROPERTIES IF EXISTS " +
       "('owner', 'absent.key')")
     assert(!t.properties.contains("owner"))
