@@ -345,6 +345,79 @@ object Multimodal {
     }(enc)
   }
 
+  /** Resample one mono 16-bit PCM WAV to `targetRate` by linear
+    * interpolation (the standard cheap SRC), re-encoded as a real WAV.
+    * Output length maps the input span exactly:
+    * `outN = floor((n-1)·target/rate) + 1`, so the first and last input
+    * samples anchor the resampled signal and |output| never exceeds the
+    * input peak (each sample is a convex combination of neighbors).
+    * Unsupported shapes (multi-channel, non-16-bit, corrupt) yield null.
+    */
+  private[multimodal] def resampleWavOne(bytes: Array[Byte],
+                                         targetRate: Int): Array[Byte] = {
+    val dec = decodeWavOne(bytes)
+    if (dec == null || dec.getInt(0) != 1 || dec.getInt(2) != 16) return null
+    val rate = dec.getInt(1)
+    val n = dec.getInt(3)
+    if (n == 0 || rate <= 0) return null
+    // re-walk to the samples (decodeWavOne folds them away)
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.position(12)
+    var dataOff = -1; var dataLen = 0
+    while (bb.remaining() >= 8 && dataOff < 0) {
+      val t = new Array[Byte](4); bb.get(t)
+      val len = bb.getInt
+      if (new String(t, "US-ASCII") == "data") { dataOff = bb.position(); dataLen = len }
+      else bb.position(bb.position() + len + (len & 1))
+    }
+    if (dataOff < 0) return null
+    val nIn = dataLen / 2
+    val outN = ((nIn - 1).toLong * targetRate / rate).toInt + 1
+    val out = java.nio.ByteBuffer
+      .allocate(44 + outN * 2).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes("US-ASCII")).putInt(36 + outN * 2)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(targetRate).putInt(targetRate * 2)
+      .putShort(2).putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(outN * 2)
+    var j = 0
+    while (j < outN) {
+      val pos = j.toDouble * rate / targetRate
+      val i0 = math.min(pos.toInt, nIn - 1)
+      val i1 = math.min(i0 + 1, nIn - 1)
+      val frac = pos - i0
+      val s0 = bb.getShort(dataOff + i0 * 2).toDouble
+      val s1 = bb.getShort(dataOff + i1 * 2).toDouble
+      out.putShort(math.rint(s0 + (s1 - s0) * frac).toShort)
+      j += 1
+    }
+    out.array()
+  }
+
+  /** Batched per-partition audio resampling: appends `resampled_audio`
+    * (a real WAV at `targetRate`, null for unsupported/corrupt inputs).
+    * Same batched `mapPartitions` shape as [[decodeAudio]] — the
+    * per-row DSP work is where a codec would slot in at scale.
+    */
+  def resampleAudio(df: DataFrame, binCol: String, targetRate: Int,
+                    batchSize: Int = 256): DataFrame = {
+    require(targetRate > 0, "targetRate must be positive")
+    val outSchema = StructType(df.schema.fields :+
+      StructField("resampled_audio", BinaryType))
+    val binIdx = df.schema.fieldIndex(binCol)
+    val enc = RowEncoder.encoderFor(outSchema)
+    df.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { row =>
+          val bytes = row.get(binIdx).asInstanceOf[Array[Byte]]
+          Row.fromSeq(row.toSeq :+ resampleWavOne(bytes, targetRate))
+        }
+      }
+    }(enc)
+  }
+
   // ---- real video (RIFF/AVI container, PNG frames) ---------------------
 
   /** Decoded-video statistics appended by [[decodeVideo]]: container

@@ -217,4 +217,41 @@ class MultimodalSpec extends SparkSpec {
       .select("resized").head()
     assert(bad.isNullAt(0))
   }
+
+  test("audio resampling: real WAV out at the target rate, span-exact " +
+       "length, peak-bounded, corrupt-safe") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = Seq((0L, "alpha"), (1L, "beta"), (2L, "gamma"))
+      .toDF("doc_id", "text")
+    val audio = Multimodal.syntheticAudio(docs, "doc_id", "text")
+    val orig = Multimodal.decodeAudio(audio, "content")
+      .select(col("media_id"), col("decoded_audio").as("d"))
+      .collect().map(r => r.getLong(0) -> r.getStruct(1)).toMap
+    val res = Multimodal.decodeAudio(
+      Multimodal.resampleAudio(audio, "content", targetRate = 16000)
+        .select(col("media_id"), col("resampled_audio").as("content")),
+      "content")
+      .select(col("media_id"), col("decoded_audio").as("d"))
+      .collect().map(r => r.getLong(0) -> r.getStruct(1)).toMap
+    orig.foreach { case (id, o) =>
+      val r = res(id)
+      assert(r.getInt(1) == 16000, s"media $id rate")
+      val expected = ((o.getInt(3) - 1).toLong * 16000 / o.getInt(1)) + 1
+      assert(r.getInt(3).toLong == expected,
+        s"media $id: ${r.getInt(3)} samples vs expected $expected " +
+          s"(orig ${o.getInt(3)} @ ${o.getInt(1)})")
+      assert(r.getInt(6) <= o.getInt(6),
+        s"media $id: interpolation must not exceed the input peak")
+    }
+    // upsampling a rate-8000 row roughly doubles its sample count
+    val id8k = orig.collectFirst { case (id, o) if o.getInt(1) == 8000 => id }
+    id8k.foreach { id =>
+      assert(res(id).getInt(3) >= orig(id).getInt(3) * 2 - 2)
+    }
+    // corrupt payloads resample to null, not a crash
+    val junk = Seq((9L, Array[Byte](1, 2, 3))).toDF("media_id", "payload")
+    val out = Multimodal.resampleAudio(junk, "payload", 16000).head()
+    assert(out.isNullAt(2))
+  }
 }
