@@ -129,6 +129,35 @@ object VocabStats {
         col("bucket").cast("long").as("bucket"))
   }
 
+  /** [[nllBuckets]]'s scale path: tier boundaries come from a
+    * per-language `percentile_approx` sketch (map-side partial
+    * aggregation — no per-language window task, so a language holding
+    * most of a 100 TB corpus cannot serialize the pass) and rows bucket
+    * by comparing against the broadcast boundaries. Tier sizes are
+    * approximate at the boundary (sketch accuracy), which is exactly
+    * how CCNet computes its tiers; the exact-ntile form remains for
+    * oracle-exact verification at test scale.
+    */
+  def nllBucketsApprox(df: DataFrame, idCol: String, textCol: String,
+                       langCol: String, buckets: Int = 3,
+                       accuracy: Int = 10000,
+                       vocabOf: Option[DataFrame] = None): DataFrame = {
+    require(buckets >= 2, s"need >= 2 buckets, got $buckets")
+    val scored = unigramNll(df, idCol, textCol, vocabOf)
+      .join(df.select(col(idCol), col(langCol)), Seq(idCol))
+    val probs = (1 until buckets).map(_.toDouble / buckets)
+    val bounds = scored.groupBy(col(langCol)).agg(
+      percentile_approx(col("nll"),
+        array(probs.map(lit): _*), lit(accuracy)).as("__bnd"))
+    scored.join(broadcast(bounds), Seq(langCol))
+      .withColumn("bucket",
+        (lit(1L) + aggregate(col("__bnd"), lit(0L),
+          (acc, b) => acc + when(col("nll") > b, 1L).otherwise(0L)))
+          .as("bucket"))
+      .select(col(idCol), col(langCol), col("n_words"), col("nll"),
+        col("bucket"))
+  }
+
   /** DSIR importance weights (Xie et al. 2023, "Data Selection for
     * Language Models via Importance Resampling"): each raw document
     * scored by `log p_target(doc) − log p_raw(doc)` under add-one-

@@ -142,4 +142,25 @@ class VocabStatsSpec extends SparkSpec {
     assert(again == out.select("doc_id", "bucket").as[(Long, Long)]
       .collect().sorted.toSeq)
   }
+
+  test("nllBucketsApprox (the no-window scale path) agrees with the " +
+       "exact ntile tiers away from boundaries") {
+    import spark.implicits._
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val exact = VocabStats.nllBuckets(docs, "doc_id", "text", "lang", 3)
+      .select("doc_id", "bucket").as[(Long, Long)].collect().toMap
+    val approx = VocabStats.nllBucketsApprox(docs, "doc_id", "text",
+      "lang", 3).select("doc_id", "bucket").as[(Long, Long)]
+      .collect().toMap
+    assert(approx.keySet == exact.keySet)
+    val agree = exact.count { case (id, b) => approx(id) == b }
+    assert(agree >= (exact.size * 0.9).toInt,
+      s"sketch tiers must track exact tiers: $agree of ${exact.size} agree")
+    // and no approx plan window: the pass must stay partial-agg shaped
+    val plan = VocabStats.nllBucketsApprox(docs, "doc_id", "text",
+      "lang", 3).queryExecution.executedPlan.toString
+    assert(!plan.contains("WindowExec") && !plan.contains("RunningWindow"),
+      "the scale path must not contain a window operator")
+  }
 }
