@@ -58,6 +58,10 @@ object Bench {
     // Each query is timed twice and the MIN reported: single-shot timings
     // on this box swing ±1 s (GC, page cache), which is the same order as
     // real regressions — min-of-2 keeps cross-round comparisons signal.
+    // When the two iterations disagree by >2x the box was noisy during one
+    // of them (r12: a 19.5 s reading on a 6.7 s query hit BOTH driver
+    // iterations) — a third iteration breaks the tie so one bad window
+    // can't double a query's reported time.
     // (Safe to repeat: the mutating queries recreate their scratch tables
     // from scratch on every invocation.) A first-run failure short-circuits
     // — re-timing a crash adds nothing.
@@ -66,7 +70,14 @@ object Bench {
       if (err1.isDefined) (name, sec1, Seq(sec1), err1)
       else {
         val (sec2, err2) = timeQuery(spark, sfDir, name, fn)
-        (name, math.min(sec1, sec2), Seq(sec1, sec2), err2)
+        val noisy = err2.isEmpty &&
+          math.max(sec1, sec2) > 2.0 * math.min(sec1, sec2) &&
+          math.max(sec1, sec2) > 1.0 // sub-second jitter isn't worth a rerun
+        if (!noisy) (name, math.min(sec1, sec2), Seq(sec1, sec2), err2)
+        else {
+          val (sec3, err3) = timeQuery(spark, sfDir, name, fn)
+          (name, Seq(sec1, sec2, sec3).min, Seq(sec1, sec2, sec3), err3)
+        }
       }
     }
     def jstr(s: String): String = "\"" + s.flatMap {
@@ -93,12 +104,16 @@ object Bench {
     val errs = results.collect { case (k, _, _, Some(e)) => s"\"$k\":${jstr(e)}" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    // TWO lines, bulky detail first: the driver's output capture is
-    // tail-anchored, and one fat line kept getting its HEAD (the totals)
-    // clipped. If anything is cut now it is the detail line; the compact
-    // totals line sits last, right before sbt's footer, and parses alone.
+    // THREE lines, bulky first: the driver's output capture is
+    // tail-anchored (~2000 chars), and r12 proved that even at 2-decimal
+    // precision an 86-query dict overflows it — the totals line lost its
+    // head and `parsed` came back null. The per-query dict now rides its
+    // own line; the FINAL line is a compact fixed-size total (value +
+    // errors only, no per-query dict) that parses alone no matter how
+    // many queries exist.
     println(s"""{"metric":"total_detail","queries_runs":$runs,"sf":"$sfDir"}""")
-    println(s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total_queries","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${sec(total)},"unit":"sec","n_queries":${results.size},"errors":$errs,"sf":"$sfDir"}""")
     System.out.flush()
     spark.stop()
     if (results.exists(_._4.isDefined)) sys.exit(1)

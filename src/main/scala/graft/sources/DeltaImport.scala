@@ -69,8 +69,10 @@ object DeltaImport {
       * `physicalName` alongside the field id in BOTH modes, so both
       * resolve through the physical-name path here. A pure-id table
       * whose schema lacks physicalName metadata (a non-Spark writer
-      * matching footers by parquet field id alone) falls back to
-      * logical names and will fail its read loud rather than misread.
+      * matching footers by parquet field id alone) is REFUSED loud at
+      * schema-resolution time: falling back to logical names would make
+      * the explicit-schema parquet scan null-fill every unmatched
+      * physical column and read silent all-nulls, not fail.
       */
     def columnMappingMode: String =
       configuration.getOrElse("delta.columnMapping.mode", "none")
@@ -99,7 +101,12 @@ object DeltaImport {
   private def physName(f: StructField): String =
     if (f.metadata.contains("delta.columnMapping.physicalName"))
       f.metadata.getString("delta.columnMapping.physicalName")
-    else f.name
+    else throw new IllegalStateException(
+      s"delta import: column mapping is enabled but field '${f.name}' " +
+        "carries no delta.columnMapping.physicalName metadata — refusing " +
+        "the logical-name fallback (the explicit-schema scan would " +
+        "null-fill every unmatched physical column and read silent " +
+        "all-nulls instead of failing)")
 
   /** Rename every field at every nesting level to its physical name. */
   private[sources] def renamePhysical(st: StructType): StructType =

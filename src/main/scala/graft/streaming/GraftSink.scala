@@ -136,9 +136,15 @@ class GraftSink(spark: SparkSession, path: String,
           s"graft sink: applyCdf needs the change feed's '$c' column " +
             "(stream from the graft-cdf source)"))
         // latest change per key wins; preimages are the pre-state of an
-        // update, never applied
+        // update, never applied. Within ONE version, a derived (sidecar-
+        // less) change feed — e.g. an overwrite commit on a CDF table —
+        // emits delete+insert for a key live on both sides; the pair must
+        // net to the insert (an upsert), so insert/update_postimage
+        // outrank delete at equal versions instead of leaving the
+        // row_number tie to shuffle order.
         val w = Window.partitionBy(keyCols: _*)
-          .orderBy(col("_commit_version").desc)
+          .orderBy(col("_commit_version").desc,
+            when(col("_change_type") === "delete", 0).otherwise(1).desc)
         batch.filter(col("_change_type") =!= "update_preimage")
           .withColumn("__rn", row_number().over(w))
           .filter(col("__rn") === 1).drop("__rn")

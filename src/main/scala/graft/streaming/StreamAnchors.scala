@@ -66,7 +66,10 @@ private[streaming] object StreamAnchors {
             case d if d.matches("\\d{4}-\\d{2}-\\d{2}") => d + " 00:00:00"
             case other => other
           }).getTime
-      try table.versionAsOf(ms) + 1
+      // first version with timestamp >= ms: versionAsOf is at-or-BEFORE,
+      // so probe ms-1 — probing ms itself would skip a commit stamped
+      // exactly at the boundary (Delta's startingTimestamp is inclusive)
+      try table.versionAsOf(ms - 1) + 1
       catch { case _: IllegalArgumentException => 0L } // predates v0
     }
     byVersion.orElse(byTs)

@@ -601,7 +601,8 @@ final class ManagedTable private (val spark: SparkSession, val location: String)
     * constraints [[enforced]] applies.
     */
   private def writeData(df: DataFrame, parts: Seq[String],
-                        props: Map[String, String]): Seq[String] = {
+                        props: Map[String, String],
+                        alreadyOrdered: Boolean = false): Seq[String] = {
     val id = UUID.randomUUID().toString
     val out = dataDir.resolve(id)
     // sorted writes (the `graft.write.sortBy` table property — Delta's
@@ -614,9 +615,15 @@ final class ManagedTable private (val spark: SparkSession, val location: String)
     // min/max needs the range shuffle, the documented cost of the
     // opt-in. The caller's task count is preserved, so file sizing
     // decisions (small-batch coalesce, compaction targets) survive.
-    val sortCols = props.get(ManagedTable.writeSortPropKey)
-      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
-      .getOrElse(Nil).filter(df.columns.contains)
+    // `alreadyOrdered` frames (OPTIMIZE's z-/Hilbert-/sort-clustered
+    // rewrites) bypass the staging: re-range-partitioning a frame the
+    // caller just multi-dimensionally clustered would silently destroy
+    // that clustering while recording the commit as OPTIMIZE.
+    val sortCols =
+      if (alreadyOrdered) Nil
+      else props.get(ManagedTable.writeSortPropKey)
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+        .getOrElse(Nil).filter(df.columns.contains)
     val staged =
       if (sortCols.isEmpty) enforced(df, props)
       else {
@@ -949,13 +956,15 @@ final class ManagedTable private (val spark: SparkSession, val location: String)
                                    extraMetrics: Map[String, String] =
                                      Map.empty,
                                    cdc: Seq[String] = Nil,
-                                   txn: Option[(String, Long)] = None): Unit = {
+                                   txn: Option[(String, Long)] = None,
+                                   alreadyOrdered: Boolean = false): Unit = {
     if (txnApplied(latestEntry, txn)) return
     require(base.files.nonEmpty, "replaceFiles requires a stats-bearing snapshot")
     val aligned = df.select(base.schema.fields.map { f =>
       col(f.name).cast(f.dataType).as(f.name)
     }.toIndexedSeq: _*)
-    val newDirs = writeData(aligned, base.partitionColumns, base.properties)
+    val newDirs = writeData(aligned, base.partitionColumns, base.properties,
+      alreadyOrdered = alreadyOrdered)
     val newStats = statsFor(newDirs, base.schema)
     var attempts = 0
     var done = false
@@ -1334,9 +1343,11 @@ final class ManagedTable private (val spark: SparkSession, val location: String)
       // (MERGE/DELETE) still raise inside replaceFiles. Scoped runs
       // replace only the in-scope files; out-of-scope files stay verbatim.
       replaceFiles(scopeFiles.map(_.path).toSet, ordered,
-        operation = "OPTIMIZE", base = e, addedMayMatch = _ => false)
+        operation = "OPTIMIZE", base = e, addedMayMatch = _ => false,
+        alreadyOrdered = true)
     else {
-      val dirs = writeData(ordered, e.partitionColumns, e.properties)
+      val dirs = writeData(ordered, e.partitionColumns, e.properties,
+        alreadyOrdered = true)
       val newStats = statsFor(dirs, e.schema)
       commit(LogEntry(e.version + 1, System.currentTimeMillis(), "OPTIMIZE",
         dirs, e.schema, e.partitionColumns, e.properties, newStats,

@@ -550,6 +550,30 @@ class DeltaImportSpec extends SparkSpec {
     assert(t.toDF.count() == 2)
   }
 
+  test("column mapping 'id' WITHOUT physicalName metadata refuses loud " +
+       "instead of null-filling through logical names") {
+    import org.apache.spark.sql.types.{LongType, StringType, StructType,
+      StructField, MetadataBuilder}
+    val dir = tmpDir("deltacmidbare")
+    Seq((1L, "a"), (2L, "b")).toDF("col-0aa", "col-0bb")
+      .coalesce(1).write.parquet(dir)
+    // a non-Spark id-mode writer: field ids only, NO physicalName — a
+    // logical-name fallback would scan for 'k'/'s', match nothing in the
+    // footers, and read silent all-nulls
+    def idOnly(name: String, dt: org.apache.spark.sql.types.DataType,
+               id: Int) =
+      StructField(name, dt, nullable = true, new MetadataBuilder()
+        .putLong("delta.columnMapping.id", id.toLong).build())
+    val schema = StructType(Seq(
+      idOnly("k", LongType, 1), idOnly("s", StringType, 2)))
+    writeLog(dir, 0, Seq(protocolJson(minReader = 2),
+      metaJson(schema, Nil, Map("delta.columnMapping.mode" -> "id"))) ++
+      partFiles(dir).map(addJson(_)))
+    val e = intercept[IllegalStateException](
+      DeltaImport.toDF(spark, dir).collect())
+    assert(e.getMessage.contains("physicalName"), e.getMessage)
+  }
+
   test("column mapping 'name' resolves NESTED struct fields through " +
        "their physical names") {
     import org.apache.spark.sql.types.{LongType, StringType, StructType}

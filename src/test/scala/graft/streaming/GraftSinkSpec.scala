@@ -301,4 +301,33 @@ class GraftSinkSpec extends SparkSpec {
     assert(snap(ManagedTable.forPath(spark, mirror)) == snap(t),
       "delete+reinsert in one batch resolves to the reinserted row")
   }
+
+  test("applyCdf: an OVERWRITE's derived delete+insert pair at ONE " +
+       "version nets to the insert — surviving keys are never dropped") {
+    val srcLoc = tmpDir("gsinkow-src")
+    val mirror = tmpDir("gsinkow-dst")
+    val t = ManagedTable.create(
+      spark.range(100).select(col("id").as("k"), (col("id") * 2).as("v")),
+      srcLoc, properties = Map(ManagedTable.cdfPropKey -> "true"))
+    // an overwrite carries no cdc sidecar: its change feed DERIVES from
+    // the file diff, emitting delete (old files) AND insert (new files)
+    // for every key live on both sides, all at the same _commit_version.
+    // Keys 0..79 survive with new values, 80..99 drop, 100..109 are new.
+    t.overwrite(spark.range(110).filter("id < 80 OR id >= 100")
+      .select(col("id").as("k"), (col("id") * 3 + 1).as("v")))
+    val q = spark.readStream.format("graft-cdf")
+      .option("startingVersion", "0").load(srcLoc)
+      .writeStream.format("graft")
+      .option("checkpointLocation", tmpDir("gsinkow-ckpt"))
+      .option("txnAppId", "gsinkow")
+      .option("mergeKeys", "k").option("applyCdf", "true")
+      .start(mirror)
+    try q.processAllAvailable() finally q.stop()
+    def snap(tab: ManagedTable) = tab.toDF
+      .as[(Long, Long)].collect().sorted.toSeq
+    val got = snap(ManagedTable.forPath(spark, mirror))
+    assert(got == snap(t),
+      s"with 80 surviving keys a delete-wins tie is ~certain to show: " +
+        s"mirror has ${got.size} rows vs source ${t.toDF.count()}")
+  }
 }

@@ -101,6 +101,16 @@ class TableStreamSpec extends SparkSpec {
       assert(spark.table("tsrc12c").count() == 6,
         "v0's 3 rows + v1's 2 + v2's 1, via the commit walk")
     } finally q3.stop()
+    // BOUNDARY: a timestamp EXACTLY equal to v2's commit timestamp is
+    // inclusive (Delta semantics): v2 itself streams, not v3-onwards
+    val q4 = startToMemory(loc, tmpDir("tsrc12ckpt4"), "tsrc12d",
+      Map("startingTimestamp" -> hist(2).toString))
+    try {
+      q4.processAllAvailable()
+      assert(spark.table("tsrc12d").as[(Long, Long)].collect().toSeq ==
+        Seq((20L, 200L)),
+        "a commit stamped exactly at the timestamp must stream")
+    } finally q4.stop()
   }
 
   test("an all-skipped trigger emits an empty batch without touching the " +

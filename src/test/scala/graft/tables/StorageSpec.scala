@@ -505,6 +505,49 @@ class StorageSpec extends SparkSpec {
       "unsorted appends have no skippable bounds on this data")
   }
 
+  test("sorted writes do NOT re-stage an OPTIMIZE ZORDER rewrite: the " +
+       "multi-dimensional clustering survives on a sortBy table") {
+    import org.apache.spark.sql.functions._
+    val n = 40000
+    val loc = tmpDir("sortzorder")
+    // sortBy=payload is UNRELATED to the zorder columns: if writeData's
+    // sorted-writes staging ran on the OPTIMIZE rewrite, the files would
+    // be range-partitioned by payload and the x/y clustering destroyed
+    val t = ManagedTable.create(
+      spark.range(n.toLong).select(
+        (col("id") % 200).cast("int").as("x"),
+        (col("id") / 200).cast("int").as("y"),
+        col("id").as("payload")),
+      loc, properties = Map(ManagedTable.writeSortPropKey -> "payload"))
+    t.optimize(targetFileSizeBytes = 6 * 1024, zorderBy = Seq("x", "y"))
+    val total = t.detail.numFiles
+    assert(total >= 20, s"need a multi-file table, got $total")
+    val fx = t.toDFWhere("x BETWEEN 20 AND 39").inputFiles.length
+    val fy = t.toDFWhere("y BETWEEN 20 AND 39").inputFiles.length
+    assert(fx * 2 <= total,
+      s"x probe reads $fx of $total — zorder clustering was destroyed")
+    assert(fy * 2 <= total,
+      s"y probe reads $fy of $total — zorder clustering was destroyed")
+    assert(t.toDF.count() == n)
+    // ordinary appends on the same table still get the sorted-writes
+    // staging (the flag only bypasses pre-ordered OPTIMIZE frames):
+    // the fresh files' payload bounds must be pairwise disjoint
+    val before = t.fileStats.map(_.path).toSet
+    t.append(spark.range(10000).selectExpr(
+      "cast(id % 200 AS int) AS x", "cast(id / 200 AS int) AS y",
+      "(id * 37) % 10000 AS payload").repartition(4))
+    val fresh = t.fileStats.filterNot(f => before(f.path))
+      .map(f => (f.min("payload").toLong, f.max("payload").toLong))
+      .sortBy(_._1)
+    assert(fresh.size >= 2, s"multi-task append, got ${fresh.size} files")
+    fresh.sliding(2).foreach { case Seq((_, hi), (lo, _)) =>
+      assert(hi <= lo,
+        s"append files overlap on payload ($fresh) — sorted writes " +
+          "stopped applying to ordinary appends")
+    case _ => ()
+    }
+  }
+
   test("VACUUM DRY RUN reports the reclaim without deleting; the wet run " +
        "then reclaims exactly that") {
     import org.apache.spark.sql.functions._
