@@ -825,6 +825,28 @@ object SparkEntry {
         .withColumn("packed_tokens", lit(packStats.getLong(1)))
     }),
 
+    // byte-level GPT-2-FORMAT tokenizer (Gpt2Bpe): fit on the corpus,
+    // round-trip the model through the PUBLIC vocab.json/merges.txt
+    // interchange format (what a real trainer ships/loads), encode under
+    // the RELOADED model — so the query pins fit, export, parse, and the
+    // byte-level encode loop end-to-end. ids_sum pins the id values
+    // (byte-unit layout ids 0..255 + merge products in rank order).
+    // Golden literal at sf0.01, like token_bpe_ids.
+    "token_bpe_pretrained" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val fitted = text.Gpt2Bpe.fit(docs, "text", numMerges = 200)
+      val model = text.Gpt2Bpe.load(
+        text.Gpt2Bpe.exportVocabJson(fitted),
+        text.Gpt2Bpe.exportMergesTxt(fitted))
+      docs.select(col("source"),
+          text.Gpt2Bpe.encode(col("text"), model).as("__ids"))
+        .groupBy("source").agg(
+          count(lit(1)).as("n_docs"),
+          sum(size(col("__ids"))).cast("long").as("n_tokens"),
+          sum(aggregate(col("__ids"), lit(0L),
+            (acc, x) => acc + x.cast("long"))).as("ids_sum"))
+    }),
+
     // token-budget chunking over REAL ids: the encoded documents split
     // into 32-token windows with 8-token overlap (TextChunker.chunkIds —
     // the max-sequence-length split a training pipeline runs in TOKENS,
@@ -1508,7 +1530,8 @@ object SparkEntry {
     * false failures (or vacuous passes) rather than verification.
     */
   private val sf001OnlyOracles: Set[String] =
-    Set("dedup_simhash", "token_bpe", "token_bpe_ids", "token_chunks_ids")
+    Set("dedup_simhash", "token_bpe", "token_bpe_ids", "token_chunks_ids",
+      "token_bpe_pretrained")
 
   /** The oracle map as it applies to `sfDir`: golden-literal entries are
     * dropped unless the data dir is the sf0.01 set they were pinned on.
@@ -1917,6 +1940,39 @@ object SparkEntry {
         |  ('src8', 53, 1360, 119748),
         |  ('src9', 63, 1670, 148038))
         |AS v(source, c, n, i)""".stripMargin,
+
+    // GOLDEN LITERAL pinned at sf0.01 (see token_bpe_ids): the byte-level
+    // GPT-2-format path (fit -> vocab.json/merges.txt export -> reload ->
+    // codegen encode). n_tokens EQUALS token_bpe's per-source totals
+    // because 200 merges saturate this corpus's 31-word vocabulary (every
+    // word fully merges in both tokenizers, so both count words+symbols)
+    // — an independent cross-implementation check; ids_sum differs (the
+    // byte-level id space: units 0..255 + merge products) and pins it.
+    "token_bpe_pretrained" ->
+      """SELECT source, CAST(d AS BIGINT) AS n_docs,
+        |       CAST(n AS BIGINT) AS n_tokens, CAST(i AS BIGINT) AS ids_sum
+        |FROM (VALUES
+        |  ('src0', 25, 1435, 470689),
+        |  ('src1', 25, 1540, 503688),
+        |  ('src10', 25, 1303, 428346),
+        |  ('src11', 25, 1522, 497165),
+        |  ('src12', 25, 1272, 416072),
+        |  ('src13', 25, 1553, 508294),
+        |  ('src14', 25, 1318, 433084),
+        |  ('src15', 25, 1298, 425251),
+        |  ('src16', 25, 1351, 441797),
+        |  ('src17', 25, 1373, 449485),
+        |  ('src18', 25, 1364, 445977),
+        |  ('src19', 25, 1147, 375791),
+        |  ('src2', 25, 1407, 462241),
+        |  ('src3', 25, 1384, 453468),
+        |  ('src4', 25, 1294, 425787),
+        |  ('src5', 25, 1329, 434809),
+        |  ('src6', 25, 1266, 413170),
+        |  ('src7', 25, 1507, 490416),
+        |  ('src8', 25, 1136, 372362),
+        |  ('src9', 25, 1366, 447466))
+        |AS v(source, d, n, i)""".stripMargin,
 
     // GOLDEN LITERAL pinned at sf0.01 (see token_bpe): n_tokens must
     // equal token_bpe's totals (ids and counts walk the same merge

@@ -172,6 +172,21 @@ object Bpe {
     val syms = scala.collection.mutable.ArrayBuffer.empty[String]
     word.foreach(c => syms += c.toString)
     syms += EndOfWord
+    mergeGreedy(syms, ranks)
+    syms
+  }
+
+  /** The greedy merge loop shared by the char-level ([[encodeWordSyms]])
+    * and byte-level ([[Gpt2Bpe]]) encoders: repeatedly merge the adjacent
+    * pair with the LOWEST rank until none ranks. One-occurrence-at-a-time
+    * is equivalent to merge-all-occurrences for any TRAINED merge list: a
+    * pair involving a merge's product always ranks after that merge (the
+    * product didn't exist earlier), so a newly-formed pair can never
+    * preempt remaining occurrences of the current minimum.
+    */
+  private[text] def mergeGreedy(
+      syms: scala.collection.mutable.ArrayBuffer[String],
+      ranks: java.util.HashMap[String, Integer]): Unit = {
     var continue = syms.length > 1
     while (continue) {
       var bestRank = Int.MaxValue
@@ -189,7 +204,6 @@ object Bpe {
         if (syms.length < 2) continue = false
       }
     }
-    syms
   }
 
   private[text] def encodeWord(word: String,

@@ -1,0 +1,389 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.GraftColumnBridge.{column => toColumn, expression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** BYTE-LEVEL BPE in the public GPT-2 interchange format (Radford et al.
+  * 2019; the `vocab.json` + `merges.txt` pair every Hugging Face
+  * byte-level tokenizer ships): case-preserving pre-tokenization with the
+  * published GPT-2 regex, UTF-8 bytes mapped through the published
+  * `bytes_to_unicode` table so every possible input is encodable (no
+  * `<unk>`, decode is LOSSLESS — `decode(encodeIds(t)) == t` for ANY
+  * string), greedy lowest-rank merging shared with [[Bpe]].
+  *
+  * Two ways to get a model:
+  *  - [[load]] / [[loadFiles]] a PRETRAINED tokenizer from its published
+  *    `vocab.json`/`merges.txt`, so token budgets match what the real
+  *    trainer sees;
+  *  - [[fit]] one on the corpus sample and [[exportVocabJson]] /
+  *    [[exportMergesTxt]] it in the same format for downstream trainers.
+  *
+  * Scale shape, as [[Bpe]]: training/loading is driver-side and bounded;
+  * encoding is a codegen'd per-row expression (rank + id tables ride the
+  * closure as reference objects) — no joins, no shuffle, scan speed at
+  * 100 TB.
+  *
+  * Semantics reference for the format: OpenAI `gpt-2/src/encoder.py`
+  * (public), Hugging Face `tokenizers` ByteLevel docs. The reference repo
+  * has no tokenizer (mack is a Delta helper library); this is part of the
+  * training-data-pipeline surface the brief adds.
+  */
+object Gpt2Bpe {
+
+  /** The published `bytes_to_unicode` table: printable latin bytes map to
+    * themselves ('!'..'~', '¡'..'¬', '®'..'ÿ'); the remaining 68 bytes
+    * map, in ascending byte order, to code points 256.. — so every byte
+    * becomes one PRINTABLE char and merge rules never contain raw
+    * whitespace/controls (what keeps `merges.txt` a plain text file).
+    * Known published values: 0x20 -> 'Ġ' (U+0120), 0x0A -> 'Ċ' (U+010A),
+    * 0x09 -> 'ĉ' (U+0109).
+    */
+  val byteToChar: Array[Char] = {
+    val out = new Array[Char](256)
+    var n = 0
+    var b = 0
+    while (b < 256) {
+      val direct = (b >= '!' && b <= '~') || (b >= 0xA1 && b <= 0xAC) ||
+        (b >= 0xAE && b <= 0xFF)
+      if (direct) out(b) = b.toChar
+      else { out(b) = (256 + n).toChar; n += 1 }
+      b += 1
+    }
+    out
+  }
+
+  /** Inverse of [[byteToChar]] (indexed by char code; -1 = not a byte unit). */
+  val charToByte: Array[Int] = {
+    val out = Array.fill(324)(-1) // max mapped code point is 256+67 = 323
+    byteToChar.zipWithIndex.foreach { case (c, b) => out(c.toInt) = b }
+    out
+  }
+
+  /** The 256 byte-unit tokens in GPT-2's PUBLISHED vocab order (ids
+    * 0..255 of every byte-level vocab): the self-mapped printable ranges
+    * first, then the shifted bytes in ascending byte order.
+    */
+  private[text] val byteUnitsInVocabOrder: Vector[String] = {
+    val direct = ((33 to 126) ++ (161 to 172) ++ (174 to 255)).map(_.toChar)
+    val shifted = (0 until 256).filter(b => byteToChar(b) >= 256)
+      .map(b => byteToChar(b))
+    (direct ++ shifted).map(_.toString).toVector
+  }
+
+  /** GPT-2's published pre-tokenization regex: contractions, optionally
+    * space-prefixed letter/number/symbol runs (the leading space rides
+    * the token — 'Ġword' is a different token than 'word'), then
+    * whitespace runs. Case-PRESERVING, unlike [[Bpe.preTokens]].
+    */
+  private val pretok = java.util.regex.Pattern.compile(
+    """'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+(?!\S)|\s+""",
+    java.util.regex.Pattern.UNICODE_CHARACTER_CLASS)
+
+  /** The regex tiles any string completely: every char lands in exactly
+    * one pre-token and `preTokenize(t).mkString == t`.
+    */
+  def preTokenize(text: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val m = pretok.matcher(text)
+    while (m.find()) out += m.group()
+    out.toSeq
+  }
+
+  /** UTF-8 bytes of `s`, each mapped through [[byteToChar]]. */
+  def toByteUnits(s: String): String = {
+    val bytes = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val sb = new java.lang.StringBuilder(bytes.length)
+    var i = 0
+    while (i < bytes.length) { sb.append(byteToChar(bytes(i) & 0xFF)); i += 1 }
+    sb.toString
+  }
+
+  /** Inverse of [[toByteUnits]]; refuses chars outside the byte table. */
+  def fromByteUnits(s: String): String = {
+    val bytes = new Array[Byte](s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i).toInt
+      val b = if (c < charToByte.length) charToByte(c) else -1
+      require(b >= 0, s"not a byte-level unit: U+${c.toHexString} in '$s'")
+      bytes(i) = b.toByte
+      i += 1
+    }
+    new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+  }
+
+  /** A byte-level model: `encoder` is the vocab.json map (token string in
+    * byte-unit space -> id), `merges` the merges.txt rules in rank order.
+    * Loaded models are validated so encode can never miss a lookup: all
+    * 256 byte units and every merge product must be in the vocab.
+    */
+  final case class Model(encoder: Map[String, Int],
+                         merges: Vector[(String, String)]) {
+    @transient lazy val ranks: java.util.HashMap[String, Integer] = {
+      val m = new java.util.HashMap[String, Integer]()
+      merges.zipWithIndex.foreach { case ((a, b), i) =>
+        m.put(a + "\u0000" + b, i)
+      }
+      m
+    }
+    @transient lazy val ids: java.util.HashMap[String, Integer] = {
+      val m = new java.util.HashMap[String, Integer]()
+      encoder.foreach { case (t, i) => m.put(t, i) }
+      m
+    }
+    /** id -> token (dense array when ids are 0..n-1, the format norm). */
+    @transient lazy val decoder: Map[Int, String] =
+      encoder.map { case (t, i) => i -> t }
+
+    def validated: Model = {
+      byteUnitsInVocabOrder.foreach(u => require(encoder.contains(u),
+        s"gpt2 vocab is missing byte unit '$u' — not a byte-level vocab"))
+      merges.foreach { case (a, b) => require(encoder.contains(a + b),
+        s"gpt2 vocab is missing merge product '${a + b}' — vocab.json and " +
+          "merges.txt disagree") }
+      this
+    }
+  }
+
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  /** Parse the public GPT-2 format from in-memory strings: `vocab.json`
+    * is one JSON object token->id; `merges.txt` is an optional
+    * `#version` header then one space-separated pair per line.
+    */
+  def load(vocabJson: String, mergesTxt: String): Model = {
+    val root = mapper.readTree(vocabJson)
+    require(root.isObject, "vocab.json must be a single JSON object")
+    val enc = Map.newBuilder[String, Int]
+    val it = root.fields()
+    while (it.hasNext) {
+      val e = it.next()
+      enc += e.getKey -> e.getValue.asInt()
+    }
+    val merges = mergesTxt.split("\n", -1).iterator
+      .map(_.stripSuffix("\r"))
+      .filter(l => l.nonEmpty && !l.startsWith("#"))
+      .map { l =>
+        val sp = l.indexOf(' ')
+        require(sp > 0 && l.indexOf(' ', sp + 1) < 0,
+          s"merges.txt line is not one space-separated pair: '$l'")
+        (l.substring(0, sp), l.substring(sp + 1))
+      }.toVector
+    Model(enc.result(), merges).validated
+  }
+
+  /** [[load]] from files on local disk (driver-side, once per job). */
+  def loadFiles(vocabPath: String, mergesPath: String): Model = {
+    def slurp(p: String) = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)),
+      java.nio.charset.StandardCharsets.UTF_8)
+    load(slurp(vocabPath), slurp(mergesPath))
+  }
+
+  /** Serialize the vocab as GPT-2's `vocab.json` (ids ascending, JSON
+    * string escaping via Jackson — byte-unit chars survive round-trip).
+    */
+  def exportVocabJson(model: Model): String = {
+    val node = mapper.createObjectNode()
+    model.encoder.toSeq.sortBy(_._2).foreach { case (t, i) => node.put(t, i) }
+    mapper.writeValueAsString(node)
+  }
+
+  /** Serialize the merges as GPT-2's `merges.txt` (version header + one
+    * pair per line in rank order).
+    */
+  def exportMergesTxt(model: Model): String =
+    ("#version: 0.2" +: model.merges.map { case (a, b) => s"$a $b" })
+      .mkString("\n") + "\n"
+
+  /** Learn a byte-level model from a bounded corpus sample — the same
+    * deterministic pair-frequency loop as [[Bpe.fit]], but over
+    * case-preserving GPT-2 pre-tokens in byte-unit space (EVERY pre-token
+    * trains, spaces riding their words as 'Ġ'). The id space is the
+    * format's: byte units 0..255 in published order, one id per merge in
+    * rank order, then `<|endoftext|>` last (as GPT-2 places it).
+    */
+  def fit(df: DataFrame, textCol: String, numMerges: Int = 200,
+          sampleSize: Int = 2000, seed: Long = 42L): Model = {
+    require(numMerges >= 1 && sampleSize >= 1)
+    val rows = graft.ml.BoundedSample.rows(df, textCol, sampleSize, seed)
+    val wordFreq = scala.collection.mutable.HashMap.empty[String, Long]
+    rows.foreach { r =>
+      val t = if (r.isNullAt(0)) "" else r.getString(0)
+      preTokenize(t).foreach { w =>
+        wordFreq.updateWith(toByteUnits(w)) { c => Some(c.getOrElse(0L) + 1L) }
+      }
+    }
+    var words: Map[Vector[String], Long] = wordFreq.map { case (w, c) =>
+      w.map(_.toString).toVector -> c
+    }.toMap
+    val merges = Vector.newBuilder[(String, String)]
+    var m = 0
+    var done = false
+    while (m < numMerges && !done) {
+      val pairs = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      words.foreach { case (syms, c) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          pairs.updateWith((syms(i), syms(i + 1))) { x =>
+            Some(x.getOrElse(0L) + c)
+          }
+          i += 1
+        }
+      }
+      if (pairs.isEmpty) done = true
+      else {
+        val best = pairs.toSeq.maxBy { case ((a, b), c) => (c, a, b) }(
+          Ordering.Tuple3(Ordering.Long, Ordering.String.reverse,
+            Ordering.String.reverse))
+        if (best._2 < 2) done = true
+        else {
+          val (a, b) = best._1
+          merges += ((a, b))
+          val merged = a + b
+          words = words.map { case (syms, c) =>
+            val out = Vector.newBuilder[String]
+            var i = 0
+            while (i < syms.length) {
+              if (i < syms.length - 1 && syms(i) == a && syms(i + 1) == b) {
+                out += merged; i += 2
+              } else { out += syms(i); i += 1 }
+            }
+            out.result() -> c
+          }.groupMapReduce(_._1)(_._2)(_ + _)
+          m += 1
+        }
+      }
+    }
+    val ms = merges.result()
+    val vocab = (byteUnitsInVocabOrder ++ ms.map { case (a, b) => a + b })
+      .distinct :+ "<|endoftext|>"
+    Model(vocab.zipWithIndex.toMap, ms).validated
+  }
+
+  /** Encode one text to token ids: GPT-2 pre-tokenize, map each pre-token
+    * to byte units, run the shared greedy lowest-rank merge loop, look up
+    * each resulting symbol. Total on a validated model — every byte has a
+    * unit token, so nothing is ever dropped or unk'd.
+    */
+  def encodeIds(text: String, ranks: java.util.HashMap[String, Integer],
+                ids: java.util.HashMap[String, Integer]): Array[Int] = {
+    val out = new scala.collection.mutable.ArrayBuilder.ofInt
+    preTokenize(text).foreach { w =>
+      val syms = scala.collection.mutable.ArrayBuffer.empty[String]
+      toByteUnits(w).foreach(c => syms += c.toString)
+      Bpe.mergeGreedy(syms, ranks)
+      syms.foreach { s =>
+        val i = ids.get(s)
+        if (i == null) throw new IllegalStateException(
+          s"gpt2 encode: symbol '$s' missing from a validated vocab")
+        out += i.intValue
+      }
+    }
+    out.result()
+  }
+
+  /** Token count under the model (same walk as [[encodeIds]]). */
+  def countTokens(text: String, ranks: java.util.HashMap[String, Integer])
+      : Long = {
+    var n = 0L
+    preTokenize(text).foreach { w =>
+      val syms = scala.collection.mutable.ArrayBuffer.empty[String]
+      toByteUnits(w).foreach(c => syms += c.toString)
+      Bpe.mergeGreedy(syms, ranks)
+      n += syms.length
+    }
+    n
+  }
+
+  /** LOSSLESS decode: ids -> token strings -> byte units -> UTF-8. The
+    * round-trip law `decode(encodeIds(t)) == t` holds for every string
+    * (whitespace, case, emoji — byte-level's point).
+    */
+  def decode(tokenIds: Seq[Int], model: Model): String = {
+    val sb = new java.lang.StringBuilder
+    tokenIds.foreach { id =>
+      val t = model.decoder.getOrElse(id,
+        throw new IllegalArgumentException(s"unknown token id $id"))
+      sb.append(t)
+    }
+    fromByteUnits(sb.toString)
+  }
+
+  /** [[encodeIds]] boxed as Catalyst array data (codegen entry point). */
+  def encodeIdsData(text: String, ranks: java.util.HashMap[String, Integer],
+                    ids: java.util.HashMap[String, Integer])
+      : org.apache.spark.sql.catalyst.util.ArrayData =
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(encodeIds(text, ranks, ids))
+
+  /** Token-id array column (codegen'd per-row; `array<int>`). */
+  def encode(text: Column, model: Model): Column =
+    toColumn(Gpt2Encode(expression(text), model))
+
+  /** Token count column (codegen'd per-row). */
+  def tokenCount(text: Column, model: Model): Column =
+    toColumn(Gpt2TokenCount(expression(text), model))
+
+  /** The id <-> token table as a DataFrame: `(token_id, token)`. */
+  def vocabDf(spark: org.apache.spark.sql.SparkSession,
+              model: Model): DataFrame = {
+    import spark.implicits._
+    model.encoder.toSeq.sortBy(_._2).map(_.swap).toDF("token_id", "token")
+      .select(col("token_id"), col("token"))
+  }
+}
+
+/** Codegen'd byte-level BPE id encoding (see [[Gpt2Bpe.encodeIds]]):
+  * rank and id tables ride the expression as reference objects.
+  */
+case class Gpt2Encode(child: Expression, model: Gpt2Bpe.Model)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def checkInputDataTypes() =
+    graft.plans.expressions.stringCheck(child, "gpt2_encode")
+
+  override def nullSafeEval(input: Any): Any =
+    Gpt2Bpe.encodeIdsData(input.asInstanceOf[UTF8String].toString,
+      model.ranks, model.ids)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ranks = ctx.addReferenceObj("gpt2Ranks", model.ranks,
+      "java.util.HashMap")
+    val ids = ctx.addReferenceObj("gpt2Ids", model.ids,
+      "java.util.HashMap")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.text.Gpt2Bpe.encodeIdsData($c.toString(), $ranks, $ids);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Gpt2Encode =
+    copy(child = c)
+}
+
+/** Codegen'd byte-level BPE token count (see [[Gpt2Bpe.countTokens]]). */
+case class Gpt2TokenCount(child: Expression, model: Gpt2Bpe.Model)
+    extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes() =
+    graft.plans.expressions.stringCheck(child, "gpt2_token_count")
+
+  override def nullSafeEval(input: Any): Any =
+    Gpt2Bpe.countTokens(input.asInstanceOf[UTF8String].toString, model.ranks)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ranks = ctx.addReferenceObj("gpt2Ranks", model.ranks,
+      "java.util.HashMap")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.text.Gpt2Bpe.countTokens($c.toString(), $ranks);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Gpt2TokenCount =
+    copy(child = c)
+}

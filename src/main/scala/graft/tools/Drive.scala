@@ -596,6 +596,39 @@ object Drive {
     println(s"[54] Hilbert clustering on (hx, hy): x probe reads " +
       s"$hbX of $hbTotal files, y probe $hbY of $hbTotal")
 
+    // --- byte-level GPT-2-format tokenizer: fit -> export the public
+    // vocab.json/merges.txt -> reload -> encode -> chunk -> pack, the
+    // full pipeline a trainer consumes, driven from the IMPORTED vocab
+    val g2Fit = graft.text.Gpt2Bpe.fit(docs, "text", numMerges = 120)
+    val g2Dir = java.nio.file.Paths.get(scratch("gpt2tok"))
+    java.nio.file.Files.createDirectories(g2Dir)
+    java.nio.file.Files.write(g2Dir.resolve("vocab.json"),
+      graft.text.Gpt2Bpe.exportVocabJson(g2Fit)
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.write(g2Dir.resolve("merges.txt"),
+      graft.text.Gpt2Bpe.exportMergesTxt(g2Fit)
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val g2 = graft.text.Gpt2Bpe.loadFiles(
+      g2Dir.resolve("vocab.json").toString, g2Dir.resolve("merges.txt").toString)
+    val g2Enc = docs.select(col("doc_id"),
+      graft.text.Gpt2Bpe.encode(col("text"), g2).as("ids"))
+    val g2Head = g2Enc.orderBy("doc_id").head()
+    val g2RoundTrip = graft.text.Gpt2Bpe.decode(
+      g2Head.getSeq[Int](1).toIndexedSeq, g2) ==
+      docs.orderBy("doc_id").select("text").head().getString(0)
+    val g2Chunks = graft.text.TextChunker.chunkIds(
+      g2Enc, "doc_id", "ids", maxTokens = 64, overlap = 8)
+    val g2Packed = graft.text.TextChunker.packSequences(
+      g2Enc, "doc_id", "ids", capacity = 2048, groups = 4,
+      sepId = Some(g2.encoder("<|endoftext|>")))
+    val g2PackAgg = g2Packed
+      .agg(count(lit(1)), sum(col("n_tokens"))).head()
+    println(s"[55] gpt2-format tokenizer: vocab=${g2.encoder.size} " +
+      s"(${g2.merges.size} merges) exported+reloaded; doc0 lossless " +
+      s"decode=$g2RoundTrip; ${g2Chunks.count()} chunks at 64/8; packed " +
+      s"${g2PackAgg.getLong(0)} shards / ${g2PackAgg.getLong(1)} tokens " +
+      s"(sep=<|endoftext|>)")
+
     spark.stop()
   }
 }
