@@ -803,24 +803,64 @@ object ExprKernels {
   def hilbertValue(vals: ArrayData, bounds: Array[Double],
                    nCols: Int, bits: Int): Long = {
     val perCol = (1 << bits) - 1
+    if (nCols == 2)
+      // the dominant OPTIMIZE shape gets the allocation-free unrolled
+      // path (~2x the generic transpose's row rate — ProfileHilbert)
+      return hilbertIndex2(bucketOf(vals, bounds, 0, perCol),
+        bucketOf(vals, bounds, 1, perCol), bits)
     val x = new Array[Int](nCols)
     var c = 0
     while (c < nCols) {
-      var bucket = 0
-      if (!vals.isNullAt(c)) {
-        val v = vals.getDouble(c)
-        var lo = 0
-        var hi = perCol
-        while (lo < hi) {
-          val mid = (lo + hi) >>> 1
-          if (bounds(c * perCol + mid) <= v) lo = mid + 1 else hi = mid
-        }
-        bucket = lo
-      }
-      x(c) = bucket
+      x(c) = bucketOf(vals, bounds, c, perCol)
       c += 1
     }
     hilbertIndex(x, nCols, bits)
+  }
+
+  /** Column `c`'s quantile bucket (binary search; NULL/NaN -> 0). */
+  private def bucketOf(vals: ArrayData, bounds: Array[Double],
+                       c: Int, perCol: Int): Int = {
+    if (vals.isNullAt(c)) return 0
+    val v = vals.getDouble(c)
+    var lo = 0
+    var hi = perCol
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (bounds(c * perCol + mid) <= v) lo = mid + 1 else hi = mid
+    }
+    lo
+  }
+
+  /** [[hilbertIndex]] specialized to n=2 with the per-axis state in
+    * locals: Skilling's loop unrolled (the i=0 else-branch is a no-op —
+    * `x0 ^ x0 = 0`), no array, no inner loops. MUST stay bit-for-bit
+    * equal to the generic transpose (pinned in HilbertSpec).
+    */
+  def hilbertIndex2(b0: Int, b1: Int, bits: Int): Long = {
+    var x0 = b0
+    var x1 = b1
+    var q = 1 << (bits - 1)
+    while (q > 1) {
+      val p = q - 1
+      if ((x0 & q) != 0) x0 ^= p
+      if ((x1 & q) != 0) x0 ^= p
+      else { val t = (x0 ^ x1) & p; x0 ^= t; x1 ^= t }
+      q >>= 1
+    }
+    x1 ^= x0
+    var t = 0
+    q = 2
+    val top = 1 << bits
+    while (q != top) { if ((x1 & q) != 0) t ^= q - 1; q <<= 1 }
+    x0 ^= t
+    x1 ^= t
+    var h = 0L
+    var b = bits - 1
+    while (b >= 0) {
+      h = (h << 2) | (((x0 >> b) & 1) << 1) | ((x1 >> b) & 1)
+      b -= 1
+    }
+    h
   }
 
   /** Axes -> Hilbert index (Skilling's AxesToTranspose + MSB-first bit

@@ -40,6 +40,25 @@ class HilbertSpec extends SparkSpec {
     }
   }
 
+  test("the unrolled 2D fast path is bit-for-bit equal to the generic " +
+       "transpose (exhaustive at small bits, random at OPTIMIZE's 15)") {
+    for (bits <- Seq(2, 3, 5); x <- 0 until (1 << bits);
+         y <- 0 until (1 << bits)) {
+      assert(graft.plans.ExprKernels.hilbertIndex2(x, y, bits) ==
+        graft.plans.ExprKernels.hilbertIndex(Array(x, y), 2, bits),
+        s"bits=$bits x=$x y=$y")
+    }
+    val rnd = new scala.util.Random(99L)
+    val bits = 15
+    (1 to 20000).foreach { _ =>
+      val x = rnd.nextInt(1 << bits)
+      val y = rnd.nextInt(1 << bits)
+      assert(graft.plans.ExprKernels.hilbertIndex2(x, y, bits) ==
+        graft.plans.ExprKernels.hilbertIndex(Array(x, y), 2, bits),
+        s"bits=$bits x=$x y=$y")
+    }
+  }
+
   test("hilbert rewrite preserves contents and clusters BOTH columns; " +
        "SQL HILBERT BY parses") {
     val n = 40000
