@@ -73,7 +73,8 @@ class CdfSource(table: ManagedTable, baseVersion: Long,
                 maxVersionsPerTrigger: Option[Long] = None,
                 highWater: StreamHighWater =
                   new StreamHighWater(null, null, enabled = false))
-    extends Source {
+    extends Source
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
   override val schema: StructType = CdfSource.cdfSchema(table.schema)
 
@@ -87,8 +88,31 @@ class CdfSource(table: ManagedTable, baseVersion: Long,
     */
   @volatile private var offered: Long = highWater.restore(baseVersion)
 
+  // Trigger.AvailableNow anchor (see [[TableSource]]): changes past the
+  // prepare-time latest version are out of scope, so a capped backfill
+  // drains the backlog in bounded batches and stops at the anchor.
+  @volatile private var availableNowLimit: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowLimit = Some(table.latestVersion)
+
+  override def getDefaultReadLimit
+      : org.apache.spark.sql.connector.read.streaming.ReadLimit =
+    org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable()
+
+  // SupportsAdmissionControl reroutes offset discovery here on every
+  // trigger; the V1 getOffset already owns capping + restart handling
+  override def latestOffset(
+      start: org.apache.spark.sql.connector.read.streaming.Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit)
+      : org.apache.spark.sql.connector.read.streaming.Offset =
+    getOffset.orNull
+
   override def getOffset: Option[Offset] = {
-    val v = table.latestVersion
+    val v = availableNowLimit match {
+      case Some(anchor) => math.min(table.latestVersion, anchor)
+      case None => table.latestVersion
+    }
     // cap the batch at maxVersionsPerTrigger COMMITS past the last
     // offered offset (Delta's maxFilesPerTrigger analog, at the
     // granularity our offsets have): a stream catching up on a long

@@ -89,7 +89,8 @@ class TableSource(spark: org.apache.spark.sql.SparkSession,
                   maxVersionsPerTrigger: Option[Long] = None,
                   highWater: StreamHighWater =
                     new StreamHighWater(null, null, enabled = false))
-    extends Source {
+    extends Source
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
   override val schema: StructType = table.schema
 
@@ -102,8 +103,36 @@ class TableSource(spark: org.apache.spark.sql.SparkSession,
   // getOffset call
   @volatile private var firstBatchDone: Boolean = !initialSnapshot
 
+  // Trigger.AvailableNow anchor: versions past the prepare-time latest
+  // are out of scope for this run, so a capped backfill drains the
+  // backlog in maxVersionsPerTrigger-bounded batches and STOPS — without
+  // the trait, Spark's AvailableNowSourceWrapper snapshots ONE (capped)
+  // getOffset at prepare time and the run would end after a single batch
+  // with the backlog unread.
+  @volatile private var availableNowLimit: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowLimit = Some(table.latestVersion)
+
+  // SupportsTriggerAvailableNow extends SupportsAdmissionControl, which
+  // reroutes EVERY trigger's offset discovery to latestOffset — delegate
+  // to the V1 logic (rate capping and restart handling live in `offered`
+  // + the persisted high-water, so both arguments are already covered).
+  override def getDefaultReadLimit
+      : org.apache.spark.sql.connector.read.streaming.ReadLimit =
+    org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable()
+
+  override def latestOffset(
+      start: org.apache.spark.sql.connector.read.streaming.Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit)
+      : org.apache.spark.sql.connector.read.streaming.Offset =
+    getOffset.orNull
+
   override def getOffset: Option[Offset] = {
-    val latest = table.latestVersion
+    val latest = availableNowLimit match {
+      case Some(anchor) => math.min(table.latestVersion, anchor)
+      case None => table.latestVersion
+    }
     val capped = maxVersionsPerTrigger match {
       case Some(m) => math.min(latest, offered + m)
       case None => latest
