@@ -165,9 +165,18 @@ object Gpt2Bpe {
       val e = it.next()
       enc += e.getKey -> e.getValue.asInt()
     }
+    // Only the FIRST line may be a '#version' header (encoder.py skips
+    // exactly one line; HF tokenizers skips only '#version…'). '#' is a
+    // self-mapped byte unit, so later lines starting with '#' (e.g.
+    // "# #" producing the '##' token) are REAL merge rules — dropping
+    // them would silently mis-tokenize '#'-heavy text.
     val merges = mergesTxt.split("\n", -1).iterator
       .map(_.stripSuffix("\r"))
-      .filter(l => l.nonEmpty && !l.startsWith("#"))
+      .zipWithIndex
+      .filter { case (l, i) =>
+        l.nonEmpty && !(i == 0 && l.startsWith("#version"))
+      }
+      .map(_._1)
       .map { l =>
         val sp = l.indexOf(' ')
         require(sp > 0 && l.indexOf(' ', sp + 1) < 0,
@@ -274,6 +283,15 @@ object Gpt2Bpe {
   def encodeIds(text: String, ranks: java.util.HashMap[String, Integer],
                 ids: java.util.HashMap[String, Integer]): Array[Int] = {
     val out = new scala.collection.mutable.ArrayBuilder.ofInt
+    encodeInto(text, ranks, ids, out)
+    out.result()
+  }
+
+  private def encodeInto(text: String,
+                         ranks: java.util.HashMap[String, Integer],
+                         ids: java.util.HashMap[String, Integer],
+                         out: scala.collection.mutable.ArrayBuilder.ofInt)
+      : Unit =
     preTokenize(text).foreach { w =>
       val syms = scala.collection.mutable.ArrayBuffer.empty[String]
       toByteUnits(w).foreach(c => syms += c.toString)
@@ -285,7 +303,82 @@ object Gpt2Bpe {
         out += i.intValue
       }
     }
+
+  /** Added tokens matched ATOMICALLY at encode time (HF `AddedToken` /
+    * tiktoken `allowed_special` semantics): a literal longest-match-first
+    * scan runs BEFORE pre-tokenization, each occurrence emitting the
+    * token's single id; the text between matches is BPE'd independently,
+    * so no pre-token or merge ever crosses an added-token boundary.
+    * Without this, encoding a document that CONTAINS the literal string
+    * `<|endoftext|>` splits it into ~7 pieces.
+    */
+  /** Build [[Gpt2Specials]] from the model vocab; tokens sorted
+    * longest-first so that at a tied match position the longer added
+    * token wins (HF behavior). Added tokens are given in SOURCE text
+    * (the vocab lookup goes through [[toByteUnits]]).
+    */
+  def specialsOf(model: Model, added: Seq[String]): Gpt2Specials = {
+    val sorted = added.distinct.sortBy(t => (-t.length, t)).toVector
+    val resolved = sorted.map { t =>
+      require(t.nonEmpty, "added token must be non-empty")
+      model.encoder.getOrElse(toByteUnits(t),
+        throw new IllegalArgumentException(
+          s"added token '$t' is not in the vocab"))
+    }
+    Gpt2Specials(sorted, resolved)
+  }
+
+  /** [[encodeIds]] with added-token atomicity; `specials == null` is the
+    * plain path (codegen passes null when no added tokens are set).
+    */
+  def encodeIdsSpecial(text: String,
+                       ranks: java.util.HashMap[String, Integer],
+                       ids: java.util.HashMap[String, Integer],
+                       specials: Gpt2Specials): Array[Int] = {
+    if (specials == null) return encodeIds(text, ranks, ids)
+    val out = new scala.collection.mutable.ArrayBuilder.ofInt
+    foreachSegment(text, specials)(
+      seg => encodeInto(seg, ranks, ids, out), id => out += id)
     out.result()
+  }
+
+  /** [[countTokens]] with added-token atomicity (1 token per match). */
+  def countTokensSpecial(text: String,
+                         ranks: java.util.HashMap[String, Integer],
+                         specials: Gpt2Specials): Long = {
+    if (specials == null) return countTokens(text, ranks)
+    var n = 0L
+    foreachSegment(text, specials)(
+      seg => n += countTokens(seg, ranks), _ => n += 1L)
+    n
+  }
+
+  /** Walk `text` left-to-right: plain segments between added-token
+    * occurrences go to `onSegment`, matches (earliest position wins;
+    * ties go to the longest token, which sorts first) to `onSpecial`.
+    */
+  private def foreachSegment(text: String, specials: Gpt2Specials)
+      (onSegment: String => Unit, onSpecial: Int => Unit): Unit = {
+    var pos = 0
+    while (pos < text.length) {
+      var bestStart = -1
+      var bestIdx = -1
+      var i = 0
+      while (i < specials.tokens.length) {
+        val s = text.indexOf(specials.tokens(i), pos)
+        if (s >= 0 && (bestStart < 0 || s < bestStart)) {
+          bestStart = s; bestIdx = i
+        }
+        i += 1
+      }
+      if (bestStart < 0) {
+        onSegment(text.substring(pos)); pos = text.length
+      } else {
+        if (bestStart > pos) onSegment(text.substring(pos, bestStart))
+        onSpecial(specials.ids(bestIdx))
+        pos = bestStart + specials.tokens(bestIdx).length
+      }
+    }
   }
 
   /** Token count under the model (same walk as [[encodeIds]]). */
@@ -315,20 +408,30 @@ object Gpt2Bpe {
     fromByteUnits(sb.toString)
   }
 
-  /** [[encodeIds]] boxed as Catalyst array data (codegen entry point). */
+  /** [[encodeIdsSpecial]] boxed as Catalyst array data (codegen entry
+    * point; `specials` null when no added tokens are configured).
+    */
   def encodeIdsData(text: String, ranks: java.util.HashMap[String, Integer],
-                    ids: java.util.HashMap[String, Integer])
+                    ids: java.util.HashMap[String, Integer],
+                    specials: Gpt2Specials)
       : org.apache.spark.sql.catalyst.util.ArrayData =
     org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
-      .fromPrimitiveArray(encodeIds(text, ranks, ids))
+      .fromPrimitiveArray(encodeIdsSpecial(text, ranks, ids, specials))
 
-  /** Token-id array column (codegen'd per-row; `array<int>`). */
-  def encode(text: Column, model: Model): Column =
-    toColumn(Gpt2Encode(expression(text), model))
+  /** Token-id array column (codegen'd per-row; `array<int>`). Pass
+    * `addedTokens` (e.g. `Seq("<|endoftext|>")`) to encode those literal
+    * strings as single atomic ids instead of BPE pieces.
+    */
+  def encode(text: Column, model: Model,
+             addedTokens: Seq[String] = Nil): Column =
+    toColumn(Gpt2Encode(expression(text), model,
+      if (addedTokens.isEmpty) None else Some(specialsOf(model, addedTokens))))
 
   /** Token count column (codegen'd per-row). */
-  def tokenCount(text: Column, model: Model): Column =
-    toColumn(Gpt2TokenCount(expression(text), model))
+  def tokenCount(text: Column, model: Model,
+                 addedTokens: Seq[String] = Nil): Column =
+    toColumn(Gpt2TokenCount(expression(text), model,
+      if (addedTokens.isEmpty) None else Some(specialsOf(model, addedTokens))))
 
   /** The id <-> token table as a DataFrame: `(token_id, token)`. */
   def vocabDf(spark: org.apache.spark.sql.SparkSession,
@@ -342,7 +445,8 @@ object Gpt2Bpe {
 /** Codegen'd byte-level BPE id encoding (see [[Gpt2Bpe.encodeIds]]):
   * rank and id tables ride the expression as reference objects.
   */
-case class Gpt2Encode(child: Expression, model: Gpt2Bpe.Model)
+case class Gpt2Encode(child: Expression, model: Gpt2Bpe.Model,
+                      specials: Option[Gpt2Specials] = None)
     extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
@@ -351,15 +455,18 @@ case class Gpt2Encode(child: Expression, model: Gpt2Bpe.Model)
 
   override def nullSafeEval(input: Any): Any =
     Gpt2Bpe.encodeIdsData(input.asInstanceOf[UTF8String].toString,
-      model.ranks, model.ids)
+      model.ranks, model.ids, specials.orNull)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ranks = ctx.addReferenceObj("gpt2Ranks", model.ranks,
       "java.util.HashMap")
     val ids = ctx.addReferenceObj("gpt2Ids", model.ids,
       "java.util.HashMap")
+    val sp = specials.map(s => ctx.addReferenceObj("gpt2Specials", s,
+      "graft.text.Gpt2Specials")).getOrElse(
+      "((graft.text.Gpt2Specials) null)")
     nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.text.Gpt2Bpe.encodeIdsData($c.toString(), $ranks, $ids);")
+      s"${ev.value} = graft.text.Gpt2Bpe.encodeIdsData($c.toString(), $ranks, $ids, $sp);")
   }
 
   override protected def withNewChildInternal(c: Expression): Gpt2Encode =
@@ -367,7 +474,8 @@ case class Gpt2Encode(child: Expression, model: Gpt2Bpe.Model)
 }
 
 /** Codegen'd byte-level BPE token count (see [[Gpt2Bpe.countTokens]]). */
-case class Gpt2TokenCount(child: Expression, model: Gpt2Bpe.Model)
+case class Gpt2TokenCount(child: Expression, model: Gpt2Bpe.Model,
+                          specials: Option[Gpt2Specials] = None)
     extends UnaryExpression {
 
   override def dataType: DataType = LongType
@@ -375,15 +483,28 @@ case class Gpt2TokenCount(child: Expression, model: Gpt2Bpe.Model)
     graft.plans.expressions.stringCheck(child, "gpt2_token_count")
 
   override def nullSafeEval(input: Any): Any =
-    Gpt2Bpe.countTokens(input.asInstanceOf[UTF8String].toString, model.ranks)
+    Gpt2Bpe.countTokensSpecial(input.asInstanceOf[UTF8String].toString,
+      model.ranks, specials.orNull)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ranks = ctx.addReferenceObj("gpt2Ranks", model.ranks,
       "java.util.HashMap")
+    val sp = specials.map(s => ctx.addReferenceObj("gpt2Specials", s,
+      "graft.text.Gpt2Specials")).getOrElse(
+      "((graft.text.Gpt2Specials) null)")
     nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.text.Gpt2Bpe.countTokens($c.toString(), $ranks);")
+      s"${ev.value} = graft.text.Gpt2Bpe.countTokensSpecial($c.toString(), $ranks, $sp);")
   }
 
   override protected def withNewChildInternal(c: Expression): Gpt2TokenCount =
     copy(child = c)
+}
+
+/** Added tokens for atomic matching at encode time, longest-first.
+  * Top-level (not nested in the `Gpt2Bpe` object) so codegen can name
+  * the type in Java source; build via [[Gpt2Bpe.specialsOf]].
+  */
+final case class Gpt2Specials(tokens: Vector[String], ids: Vector[Int]) {
+  require(tokens.nonEmpty && tokens.length == ids.length,
+    "specials: tokens and ids must be parallel and non-empty")
 }

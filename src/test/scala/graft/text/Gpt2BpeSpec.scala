@@ -104,6 +104,78 @@ class Gpt2BpeSpec extends SparkSpec {
     }
   }
 
+  test("load keeps '#'-initial merge rules — only a first-line '#version' " +
+       "header is a comment ('#' is a real byte unit)") {
+    // encoder.py skips exactly one line; HF tokenizers skips only a
+    // '#version' header. The published GPT-2 merges.txt contains real
+    // rules whose first symbol starts with '#' (e.g. '# #' -> '##').
+    val units = Gpt2Bpe.byteUnitsInVocabOrder
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    def vocabOf(products: Seq[String]): String = {
+      val node = m.createObjectNode()
+      (units ++ products).zipWithIndex.foreach { case (t, i) => node.put(t, i) }
+      m.writeValueAsString(node)
+    }
+    val model = Gpt2Bpe.load(vocabOf(Seq("##", "###")),
+      "#version: 0.2\n# #\n## #\n")
+    assert(model.merges == Vector(("#", "#"), ("##", "#")),
+      "'#'-initial rules after the header must be kept")
+    // '##' is ONE token; '#' alone is the byte unit (id 35-33 = 2)
+    assert(Gpt2Bpe.encodeIds("##", model.ranks, model.ids).toSeq == Seq(256))
+    assert(Gpt2Bpe.encodeIds("###", model.ranks, model.ids).toSeq == Seq(257))
+    // greedy: rank-0 '# #' fires twice before rank-1 '## #' can
+    assert(Gpt2Bpe.encodeIds("####", model.ranks, model.ids).toSeq ==
+      Seq(256, 256))
+    assert(Gpt2Bpe.decode(Seq(256, 256), model) == "####")
+    // a headerless merges.txt keeps its first line as a real rule
+    val noHeader = Gpt2Bpe.load(vocabOf(Seq("##")), "# #\n")
+    assert(noHeader.merges == Vector(("#", "#")))
+    // export -> load round-trips a model whose first merge is '#'-initial
+    val re = Gpt2Bpe.load(Gpt2Bpe.exportVocabJson(noHeader),
+      Gpt2Bpe.exportMergesTxt(noHeader))
+    assert(re.merges == noHeader.merges && re.encoder == noHeader.encoder)
+  }
+
+  test("load reproduces the real pretrained GPT-2 tokenization on the " +
+       "published head of merges.txt — ' the' is token 262") {
+    // The first 25 rules of OpenAI's published gpt-2 merges.txt, in rank
+    // order. Merge products take ids 256+rank in vocab.json, so these
+    // pin widely-published real token ids: 'Ġthe' (' the') = 262,
+    // 'ing' = 278, 'at' = 265, 'is' = 271, 'he' = 258.
+    val publishedMerges = Vector(
+      "Ġ t", "Ġ a", "h e", "i n", "r e", "o n", "Ġt he", "e r", "Ġ s",
+      "a t", "Ġ w", "Ġ o", "e n", "Ġ c", "i t", "i s", "a n", "o r",
+      "e s", "Ġ b", "e d", "Ġ f", "in g", "Ġ p", "o u")
+    val products = publishedMerges.map(l => l.split(' ').mkString)
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = m.createObjectNode()
+    (Gpt2Bpe.byteUnitsInVocabOrder ++ products).zipWithIndex.foreach {
+      case (t, i) => node.put(t, i)
+    }
+    node.put("<|endoftext|>", 50256) // GPT-2's real placement
+    val model = Gpt2Bpe.load(m.writeValueAsString(node),
+      "#version: 0.2\n" + publishedMerges.mkString("\n") + "\n")
+    assert(model.encoder("Ġthe") == 262 && model.encoder("Ġt") == 256)
+    def ids(t: String) = Gpt2Bpe.encodeIds(t, model.ranks, model.ids).toSeq
+    // the famous one: ' the' is a single token, id 262, built
+    // Ġ+t (rank 0) then h+e (rank 2) then Ġt+he (rank 6)
+    assert(ids(" the") == Seq(262))
+    // words that resolve fully inside the published head
+    assert(ids("he") == Seq(258))
+    assert(ids("at") == Seq(265))
+    assert(ids("is") == Seq(271))
+    assert(ids("on") == Seq(261))
+    assert(ids("ing") == Seq(278)) // in+g via rank 22, after i+n rank 3
+    // greedy rank order, not longest-match: 'the' (no leading space)
+    // has no 't he' rule in the head, so it is [t, he] = [83, 258]
+    assert(ids("the") == Seq(83, 258))
+    // ' at': Ġ+a (rank 1) beats a+t (rank 9), leaving [Ġa, t]
+    assert(ids(" at") == Seq(257, 83))
+    // pre-tokenizer composes: ' the the' is two identical tokens
+    assert(ids(" the the") == Seq(262, 262))
+    assert(Gpt2Bpe.decode(ids(" the is at ing"), model) == " the is at ing")
+  }
+
   test("load validation refuses a vocab missing byte units or merge products") {
     val m = new com.fasterxml.jackson.databind.ObjectMapper()
     val bad1 = m.createObjectNode(); bad1.put("x", 0)
@@ -169,6 +241,67 @@ class Gpt2BpeSpec extends SparkSpec {
       assert(Gpt2Bpe.decode(ids.toSeq, model) == t,
         s"fuzz round-trip broke on ${t.map(c => f"\\u${c.toInt}%04x").mkString}")
     }
+  }
+
+  test("added tokens encode atomically: '<|endoftext|>' inside a document " +
+       "is ONE id with addedTokens, many pieces without") {
+    val d = Seq((1L, "some words to learn a few merges from, words words"))
+      .toDF("doc_id", "text")
+    val model = Gpt2Bpe.fit(d, "text", numMerges = 12)
+    val eot = "<|endoftext|>"
+    val eotId = model.encoder(eot)
+    val sp = Gpt2Bpe.specialsOf(model, Seq(eot))
+    val text = s"doc one$eot doc two"
+    val plain = Gpt2Bpe.encodeIds(text, model.ranks, model.ids).toSeq
+    val withSp = Gpt2Bpe.encodeIdsSpecial(text, model.ranks, model.ids, sp).toSeq
+    assert(!plain.contains(eotId), "plain encode must split the literal")
+    assert(withSp.count(_ == eotId) == 1, "added-token encode emits one id")
+    // the surrounding text still decodes losslessly
+    assert(Gpt2Bpe.decode(withSp, model) == text)
+    // count agrees with ids length on both paths
+    assert(Gpt2Bpe.countTokensSpecial(text, model.ranks, sp) == withSp.length)
+    assert(Gpt2Bpe.countTokens(text, model.ranks) == plain.length)
+    // segments are tokenized INDEPENDENTLY (HF behavior): the pre-token
+    // regex cannot ride a space across the boundary
+    assert(Gpt2Bpe.encodeIdsSpecial(s"$eot$eot", model.ranks, model.ids,
+      sp).toSeq == Seq(eotId, eotId))
+    // leading/trailing placement
+    assert(Gpt2Bpe.encodeIdsSpecial(eot, model.ranks, model.ids, sp).toSeq ==
+      Seq(eotId))
+    // unknown added token refuses
+    val e = intercept[IllegalArgumentException](
+      Gpt2Bpe.specialsOf(model, Seq("<|missing|>")))
+    assert(e.getMessage.contains("not in the vocab"))
+    // column API: codegen path agrees with the driver walk
+    val docs = Seq((1L, text), (2L, s"$eot alone"), (3L, "no special here"))
+      .toDF("doc_id", "text")
+    val got = docs.select(col("doc_id"),
+        Gpt2Bpe.encode(col("text"), model, Seq(eot)).as("ids"),
+        Gpt2Bpe.tokenCount(col("text"), model, Seq(eot)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Int](1), r.getLong(2)))
+      .sortBy(_._1)
+    docs.collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+      .zip(got).foreach { case ((_, t), (_, ids, n)) =>
+        assert(ids == Gpt2Bpe.encodeIdsSpecial(t, model.ranks, model.ids,
+          sp).toSeq)
+        assert(n == ids.length.toLong)
+      }
+  }
+
+  test("overlapping added tokens: longest match wins at a tied position " +
+       "(HF AddedToken semantics)") {
+    val units = Gpt2Bpe.byteUnitsInVocabOrder
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = m.createObjectNode()
+    units.zipWithIndex.foreach { case (t, i) => node.put(t, i) }
+    node.put("<s>", 256)
+    node.put("<ss>", 257)
+    val model = Gpt2Bpe.load(m.writeValueAsString(node), "")
+    val sp = Gpt2Bpe.specialsOf(model, Seq("<s>", "<ss>"))
+    // '<ss>' starts where '<s>' also matches — longest-first wins; note
+    // '<s' of a would-be '<s>' overlaps '<ss>' only as full literals
+    val ids = Gpt2Bpe.encodeIdsSpecial("<ss><s>", model.ranks, model.ids, sp)
+    assert(ids.toSeq == Seq(257, 256))
   }
 
   test("column API: codegen'd encode/tokenCount agree with the driver-side " +
