@@ -183,6 +183,64 @@ class CdfStreamSpec extends SparkSpec {
       "new commits still stream after the recovered high-water")
   }
 
+  test("Trigger.AvailableNow drains the change backlog to the prepare-time " +
+       "anchor in bounded batches and stops; post-prepare commits unread") {
+    val t = fixture("cdfsrc8")
+    t.delete("k < 5")                                    // v1: 5 deletes
+    t.update(Map("v" -> "v + 1"), Some("k = 50"))        // v2: pre+post
+    t.append(Seq((900L, 0L)).toDF("k", "v"))             // v3: 1 insert
+    val q = spark.readStream.format("graft-cdf")
+      .option("startingVersion", "1")
+      .option("maxVersionsPerTrigger", "1")
+      .load(t.location)
+      .writeStream.format("memory").queryName("cdf_an")
+      .option("checkpointLocation", tmpDir("cdfsrc8ckpt"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try {
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (q.recentProgress.isEmpty && System.nanoTime() < deadline)
+        Thread.sleep(50)
+      // postdates the anchor — must stay unread in this run
+      t.delete("k = 60")
+      assert(q.awaitTermination(120000),
+        "an AvailableNow run must terminate on its own")
+      assert(!q.isActive)
+      val got = spark.table("cdf_an")
+      assert(got.count() == 8, "5 deletes + pre/post + 1 insert, no k=60")
+      assert(got.filter(col("k") === 60).count() == 0,
+        "post-prepare commit stays unread")
+      // v1..v3 drained across >= 3 bounded (cap=1) batches
+      assert(q.recentProgress.count(_.numInputRows > 0) >= 3,
+        s"bounded drain: ${q.recentProgress.map(_.numInputRows).toSeq}")
+    } finally q.stop()
+  }
+
+  test("a second AvailableNow CDF run resumes exactly-once from the " +
+       "checkpoint and delivers only the remainder") {
+    val t = fixture("cdfsrc9")
+    t.delete("k < 3") // v1
+    val ckpt = tmpDir("cdfsrc9ckpt")
+    val out = tmpDir("cdfsrc9out")
+    def run(): Unit = {
+      val q = spark.readStream.format("graft-cdf")
+        .option("startingVersion", "1").load(t.location)
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try assert(q.awaitTermination(120000)) finally q.stop()
+    }
+    run()
+    assert(spark.read.parquet(out).count() == 3, "v1's 3 deletes")
+    t.update(Map("v" -> "v + 10"), Some("k = 40")) // v2, after the anchor
+    run()
+    val got = spark.read.parquet(out)
+    assert(got.count() == 5, "plus exactly v2's pre+post images, once")
+    assert(got.filter(col("_change_type").startsWith("update")).count() == 2)
+    assert(got.select("_commit_version").distinct().count() == 2)
+  }
+
   test("maxVersionsPerTrigger rejects non-positive values") {
     val t = fixture("cdfrate2")
     val e = intercept[Exception] {

@@ -250,6 +250,119 @@ class TableStreamSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("Trigger.AvailableNow drains the backlog to the prepare-time anchor " +
+       "in maxVersionsPerTrigger-bounded batches, then STOPS; a commit " +
+       "landing after prepare stays unread") {
+    val (loc, t) = mkTable("tsrc12")
+    (0 until 4).foreach(i =>
+      t.append(spark.range(10 + i, 11 + i).selectExpr("id AS k", "id * 10 AS v")))
+    val q = spark.readStream.format("graft")
+      .option("startingVersion", "0")
+      .option("maxVersionsPerTrigger", "1")
+      .load(loc)
+      .writeStream.format("memory").queryName("tsrc12")
+      .option("checkpointLocation", tmpDir("tsrc12ckpt"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try {
+      // land a commit while the bounded drain runs (or just after — either
+      // way it postdates the prepare-time anchor and must stay unread)
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (q.recentProgress.isEmpty && System.nanoTime() < deadline)
+        Thread.sleep(50)
+      t.append(spark.range(900, 905).selectExpr("id AS k", "id * 10 AS v"))
+      assert(q.awaitTermination(120000),
+        "an AvailableNow run must terminate on its own")
+      assert(!q.isActive)
+      // exactly the anchored history: 3 create rows + 4 appends, no 900s
+      assert(spark.table("tsrc12").as[(Long, Long)].collect().map(_._1)
+        .sorted.toSeq == Seq(0L, 1L, 2L, 10L, 11L, 12L, 13L),
+        "only commits <= the prepare-time anchor are delivered")
+      // the 5-commit backlog drained across bounded batches, not one replay
+      assert(q.recentProgress.count(_.numInputRows > 0) >= 5,
+        s"cap=1 drain: ${q.recentProgress.map(_.numInputRows).toSeq}")
+    } finally q.stop()
+  }
+
+  test("a second AvailableNow run picks up exactly the remainder — " +
+       "exactly-once across checkpoint restart (graft sink mirror)") {
+    val (loc, t) = mkTable("tsrc13")
+    (0 until 4).foreach(i =>
+      t.append(spark.range(10 + i, 11 + i).selectExpr("id AS k", "id * 10 AS v")))
+    val ckpt = tmpDir("tsrc13ckpt")
+    val mirror = tmpDir("tsrc13mirror")
+    def run(): Unit = {
+      val q = spark.readStream.format("graft")
+        .option("startingVersion", "0")
+        .option("maxVersionsPerTrigger", "2")
+        .load(loc)
+        .writeStream.format("graft")
+        .option("checkpointLocation", ckpt).option("txnAppId", "tsrc13")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start(mirror)
+      try assert(q.awaitTermination(120000)) finally q.stop()
+    }
+    run()
+    assert(ManagedTable.forPath(spark, mirror).toDF.count() == 7,
+      "first run drains the full backlog to its anchor")
+    t.append(spark.range(100, 102).selectExpr("id AS k", "id * 10 AS v"))
+    run()
+    val got = ManagedTable.forPath(spark, mirror).toDF
+      .select("k").as[Long].collect().sorted.toSeq
+    assert(got == Seq(0L, 1L, 2L, 10L, 11L, 12L, 13L, 100L, 101L),
+      s"second run delivers ONLY the new commit, once: $got")
+  }
+
+  test("AvailableNow in snapshot mode delivers batch 0 (the anchored " +
+       "snapshot) and terminates") {
+    val (loc, t) = mkTable("tsrc14")
+    t.append(spark.range(10, 12).selectExpr("id AS k", "id * 10 AS v")) // v1
+    val ckpt = tmpDir("tsrc14ckpt")
+    val out = tmpDir("tsrc14out")
+    // snapshot-mode AvailableNow: anchor == stream-start version; one
+    // batch carrying the whole snapshot, then stop (parquet sink — the
+    // memory sink cannot recover a checkpoint for the second run)
+    def run(): Unit = {
+      val q = spark.readStream.format("graft").load(loc)
+        .writeStream.format("parquet")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start(out)
+      try assert(q.awaitTermination(120000)) finally q.stop()
+    }
+    run()
+    assert(spark.read.parquet(out).count() == 5, "3 create + 2 appended rows")
+    t.append(spark.range(50, 51).selectExpr("id AS k", "id * 10 AS v"))
+    run()
+    assert(spark.read.parquet(out).as[(Long, Long)].collect().map(_._1)
+      .sorted.toSeq == Seq(0L, 1L, 2L, 10L, 11L, 50L),
+      "restarted AvailableNow run tails only the post-anchor commit")
+  }
+
+  test("continuous-trigger parity: the admission-control reroute does not " +
+       "anchor a default-trigger stream — commits landing mid-stream ARE " +
+       "read") {
+    // SupportsTriggerAvailableNow extends SupportsAdmissionControl, so
+    // EVERY trigger's discovery now flows through latestOffset; this pins
+    // that the plain path kept its r12 semantics: no prepare-time anchor,
+    // appends during the run are picked up, all-skipped triggers emit
+    // nothing, and maxVersionsPerTrigger still caps.
+    val (loc, t) = mkTable("tsrc15")
+    val q = startToMemory(loc, tmpDir("tsrc15ckpt"), "tsrc15",
+      Map("maxVersionsPerTrigger" -> "1"))
+    try {
+      q.processAllAvailable()
+      assert(spark.table("tsrc15").count() == 3, "snapshot delivered")
+      t.append(spark.range(10, 12).selectExpr("id AS k", "id * 10 AS v"))
+      t.append(spark.range(20, 22).selectExpr("id AS k", "id * 10 AS v"))
+      q.processAllAvailable()
+      assert(spark.table("tsrc15").as[(Long, Long)].collect().map(_._1)
+        .sorted.toSeq == Seq(0L, 1L, 2L, 10L, 11L, 20L, 21L),
+        "mid-stream commits are read — no anchor on the plain path")
+      assert(q.isActive, "a default-trigger stream keeps running")
+    } finally q.stop()
+  }
+
   test("round-trip: graft source feeding the graft sink mirrors appends") {
     val (loc, t) = mkTable("tsrc7")
     val mirror = tmpDir("tsrc7mirror")
