@@ -30,4 +30,63 @@ class BenchHarnessSpec extends SparkSpec {
       (s, _) => { import s.implicits._; Seq(1, 2, 3).toDF("v") })
     assert(err.isEmpty && sec > 0)
   }
+
+  /** Scripted runner: replays a fixed sequence of (seconds, error). */
+  private def scripted(runs: (Double, Option[String])*)
+      : (() => (Double, Option[String]), () => Int) = {
+    val it = runs.iterator
+    var n = 0
+    (() => { n += 1; it.next() }, () => n)
+  }
+
+  test("robustTime: two agreeing fast runs need no third iteration") {
+    val (run, calls) = scripted((1.2, None), (1.1, None))
+    val (best, rs, err) = Bench.robustTime(run)
+    assert(best == 1.1 && rs == Seq(1.2, 1.1) && err.isEmpty)
+    assert(calls() == 2)
+  }
+
+  test("robustTime: >1.5x disagreement triggers the third run; min wins") {
+    val (run, calls) = scripted((4.0, None), (2.0, None), (1.9, None))
+    val (best, rs, err) = Bench.robustTime(run)
+    assert(best == 1.9 && rs.length == 3 && err.isEmpty)
+    assert(calls() == 3)
+  }
+
+  test("robustTime: a slow query (both runs > 3 s) ALWAYS gets a third " +
+       "chance at a warm window, even when the two agree") {
+    // the r13 phantom-regression case: both iterations landed cold-ish
+    // (5.8 vs 5.5 — under the old 2x gate no third run fired) and the
+    // reported min was a cold number 1.7x the query's warm level
+    val (run, calls) = scripted((5.8, None), (5.5, None), (3.4, None))
+    val (best, rs, _) = Bench.robustTime(run)
+    assert(best == 3.4 && rs == Seq(5.8, 5.5, 3.4))
+    assert(calls() == 3)
+  }
+
+  test("robustTime: sub-second jitter never re-runs; fast agreeing pairs " +
+       "stay at two iterations") {
+    val (run, calls) = scripted((0.2, None), (0.05, None))
+    val (best, _, _) = Bench.robustTime(run)
+    assert(best == 0.05 && calls() == 2)
+  }
+
+  test("robustTime: a failed third run is discarded — the two good " +
+       "timings are reported with no error, and the fast-fail elapsed " +
+       "cannot become the min") {
+    val (run, _) = scripted((4.1, None), (3.9, None), (0.01, Some("boom")))
+    val (best, rs, err) = Bench.robustTime(run)
+    assert(best == 3.9, s"fast-fail 0.01 must not win the min (got $best)")
+    assert(rs == Seq(4.1, 3.9) && err.isEmpty)
+  }
+
+  test("robustTime: first-run failure short-circuits; second-run failure " +
+       "is reported") {
+    val (run1, calls1) = scripted((0.5, Some("crash")))
+    val r1 = Bench.robustTime(run1)
+    assert(r1._3.contains("crash") && calls1() == 1)
+    val (run2, calls2) = scripted((0.5, None), (0.4, Some("late crash")))
+    val r2 = Bench.robustTime(run2)
+    assert(r2._3.contains("late crash") && calls2() == 2)
+  }
 }
