@@ -125,9 +125,11 @@ object StreamingDedup {
     */
   private[streaming] def prunedRead(t: ManagedTable, partCol: String,
                                     values: Seq[Long]): DataFrame =
-    if (values.isEmpty)
-      t.toDF.limit(0)
-    else t.toDFWhere(s"$partCol IN (${values.mkString(",")})")
+    timed(s"prunedRead-$partCol") {
+      if (values.isEmpty)
+        t.toDF.limit(0)
+      else t.toDFWhere(s"$partCol IN (${values.mkString(",")})")
+    }
 
   private def spOf(idCol: String, parts: Int) =
     pmod(xxhash64(col(idCol)), lit(parts.toLong))
@@ -163,8 +165,8 @@ object StreamingDedup {
     // sigs commits LAST, so its recorded version proves the whole batch
     // (out, buckets, sigs) landed: a fully-replayed batch is one property
     // read, not a re-run of the dedup plan
-    val fullyApplied =
-      index.sigs.txnVersion(txn._1).exists(_ >= txn._2)
+    val fullyApplied = timed("txn-probe")(
+      index.sigs.txnVersion(txn._1).exists(_ >= txn._2))
     if (fullyApplied) return 0L
     // 1. tokenize + hash ONCE for the whole batch: this single persisted
     // frame feeds the within-batch dedup, the index candidate join, the
@@ -197,6 +199,18 @@ object StreamingDedup {
       .withColumn("__bp", pmod(col("__bh"), lit(parts.toLong)))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
+    // EMPTY-INDEX FAST PATH: until the first novel commit lands (always
+    // batch 1, and every replay of it), the index has zero live files —
+    // the residue collect, the known-id anti-join, the LSH candidate
+    // join, and the verification-pruning collect are all provable
+    // no-ops, yet two of them are full job barriers (~1 s each of fixed
+    // scheduling/collect latency at streaming batch sizes). The probe is
+    // log-metadata only (live file count of the latest snapshot), so it
+    // costs nothing at any scale.
+    val indexEmpty = timed("empty-probe")(
+      index.buckets.detail.numFiles == 0L &&
+      index.sigs.detail.numFiles == 0L)
+
     // BOTH partition-residue sets in ONE driver round-trip (at most
     // 2·`parts` longs): the id residues pruning the sigs replay read and
     // the band residues pruning the bucket read. Collected over the whole
@@ -204,52 +218,67 @@ object StreamingDedup {
     // reads only ever widen (never miss a partition a later join needs),
     // and one Spark job replaces the two sequential collects that
     // dominated small-batch latency.
-    val residues = timed("residues-collect")(
-      hashed.select(spOf(idCol, parts).as("r"), lit(0).as("kind"))
-        .union(allBands.select(col("__bp").as("r"), lit(1).as("kind")))
-        .distinct().collect())
-    val batchSp = residues.filter(_.getInt(1) == 0).map(_.getLong(0)).toSeq
-    val batchBp = residues.filter(_.getInt(1) == 1).map(_.getLong(0)).toSeq
+    val (batchSp, batchBp): (Seq[Long], Seq[Long]) =
+      if (indexEmpty) (Nil, Nil)
+      else {
+        val residues = timed("residues-collect")(
+          hashed.select(spOf(idCol, parts).as("r"), lit(0).as("kind"))
+            .union(allBands.select(col("__bp").as("r"), lit(1).as("kind")))
+            .distinct().collect())
+        (residues.filter(_.getInt(1) == 0).map(_.getLong(0)).toSeq,
+         residues.filter(_.getInt(1) == 1).map(_.getLong(0)).toSeq)
+      }
 
     // retry-idempotence: ids already indexed (an id re-arriving in a later
     // batch; replayed batches are handled by `txn`) drop. The sigs read is
     // pruned to the batch's own id-residue partitions.
-    val knownIds = prunedRead(index.sigs, "__sp", batchSp).select(col(idCol))
-    val fresh = hashed
-      .join(losers, Seq(idCol), "left_anti")
-      .join(knownIds, Seq(idCol), "left_anti")
+    val deduped = hashed.join(losers, Seq(idCol), "left_anti")
+    val fresh = (if (indexEmpty) deduped
+      else deduped.join(
+        prunedRead(index.sigs, "__sp", batchSp).select(col(idCol)),
+        Seq(idCol), "left_anti"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // 3. LSH candidates vs the index — survivors' band hashes against
     // ONLY the bucket partitions sharing the batch's residues
     val freshBands = allBands.join(fresh.select(idCol), Seq(idCol), "left_semi")
-    val idxBuckets = prunedRead(index.buckets, "__bp", batchBp)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cands = freshBands.select(col(idCol).as("__new_id"), col("__band"), col("__bh"))
-      .join(idxBuckets.select(col(idCol).as("__idx_id"), col("__band"), col("__bh")),
-        Seq("__band", "__bh"))
-      .select("__new_id", "__idx_id").distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val idxBuckets =
+      if (indexEmpty) None
+      else Some(prunedRead(index.buckets, "__bp", batchBp)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val cands = idxBuckets.map(idx =>
+      freshBands.select(col(idCol).as("__new_id"), col("__band"), col("__bh"))
+        .join(idx.select(col(idCol).as("__idx_id"), col("__band"), col("__bh")),
+          Seq("__band", "__bh"))
+        .select("__new_id", "__idx_id").distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
     // verification reads only the sigs partitions of the candidate ids
-    val candSp = timed("candSp-collect")(cands.select(
-        pmod(xxhash64(col("__idx_id")), lit(parts.toLong)).as("__sp"))
-      .distinct().collect().map(_.getLong(0)).toSeq)
-    val idxSigs = prunedRead(index.sigs, "__sp", candSp)
-    val verified = cands
-      .join(fresh.select(col(idCol).as("__new_id"), col(HH).as("__hh_new")), Seq("__new_id"))
-      .join(idxSigs.select(col(idCol).as("__idx_id"), col(HH).as("__hh_idx")), Seq("__idx_id"))
-      .withColumn("__j",
-        graft.plans.expressions.hash_jaccard(col("__hh_new"), col("__hh_idx")))
-      .filter(col("__j") >= threshold)
-      .select(col("__new_id").as(idCol)).distinct()
+    val verified = cands.map { cs =>
+      val candSp = timed("candSp-collect")(cs.select(
+          pmod(xxhash64(col("__idx_id")), lit(parts.toLong)).as("__sp"))
+        .distinct().collect().map(_.getLong(0)).toSeq)
+      val idxSigs = prunedRead(index.sigs, "__sp", candSp)
+      cs.join(fresh.select(col(idCol).as("__new_id"), col(HH).as("__hh_new")),
+          Seq("__new_id"))
+        .join(idxSigs.select(col(idCol).as("__idx_id"), col(HH).as("__hh_idx")),
+          Seq("__idx_id"))
+        .withColumn("__j",
+          graft.plans.expressions.hash_jaccard(col("__hh_new"), col("__hh_idx")))
+        .filter(col("__j") >= threshold)
+        .select(col("__new_id").as(idCol)).distinct()
+    }
 
     // 4. novel docs → out, bucket rows → buckets, signatures → sigs.
     // sigs LAST: it is the replay filter's source of truth, so a crash
     // between any two commits re-runs the batch with `fresh` unchanged,
     // and the out/buckets appends below de-dup themselves by id.
-    val novelSigs = fresh.join(verified, Seq(idCol), "left_anti")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // (Empty index: everything fresh is novel — fresh is already
+    // persisted, so reuse it rather than stacking a second persist.)
+    val novelSigs = verified.map(v =>
+      fresh.join(v, Seq(idCol), "left_anti")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      .getOrElse(fresh)
     val novelCount = timed("novelSigs-count")(novelSigs.count())
     if (novelCount > 0) {
       // size the append's file count by rows — a small batch written at
@@ -285,16 +314,25 @@ object StreamingDedup {
           .select(col(idCol), col("__band"), col("__bh"), col("__bp"))
           .repartition(partsB, col("__bp")),
         txn = Some(txn))))
-      // barrier BEFORE sigs: its commit asserts the whole batch landed.
-      // Await BOTH futures even when one fails — a rethrow that leaves
-      // the sibling append in flight would let a retried batch race the
-      // orphan on the same table/txn — then propagate the first failure.
+      // sigs' COMMIT must come last (it asserts the whole batch landed),
+      // but its WRITE job need not wait: stage the data files on this
+      // thread while the out/buckets futures run — three write jobs
+      // sharing the executor pool, one ordered commit tail. A staged
+      // write orphaned by a crash (or by a concurrent schema change,
+      // which appendStaged re-writes against) is vacuum-reclaimable,
+      // the same exposure append itself has between write and commit.
+      val sigRows = novelSigs
+        .select(col(idCol), col(HH), spOf(idCol, parts).as("__sp"))
+        .repartition(parts, col("__sp"))
+      val sigsStaged = timed("sigs-stage")(index.sigs.stageAppend(sigRows))
+      // barrier BEFORE the sigs commit. Await BOTH futures even when one
+      // fails — a rethrow that leaves the sibling append in flight would
+      // let a retried batch race the orphan on the same table/txn — then
+      // propagate the first failure.
       val outR = scala.util.Try(Await.result(outF, Duration.Inf))
       val bucketsR = scala.util.Try(Await.result(bucketsF, Duration.Inf))
       outR.get; bucketsR.get
-      timed("sigs-append")(index.sigs.append(novelSigs
-        .select(col(idCol), col(HH), spOf(idCol, parts).as("__sp"))
-        .repartition(parts, col("__sp")),
+      timed("sigs-commit")(index.sigs.appendStaged(sigRows, sigsStaged,
         txn = Some(txn)))
       // 5. bound index fragmentation (one commit dir per batch otherwise).
       // The floor scales with the partition count: a `parts`-way
@@ -305,12 +343,14 @@ object StreamingDedup {
       timed("autoOptimize-sigs")(graft.operators.TableOps.autoOptimize(index.sigs, maxFiles = maxFiles))
       timed("autoOptimize-buckets")(graft.operators.TableOps.autoOptimize(index.buckets, maxFiles = maxFiles))
     }
-    hashed.unpersist()
-    fresh.unpersist()
-    allBands.unpersist()
-    idxBuckets.unpersist()
-    cands.unpersist()
-    novelSigs.unpersist()
+    timed("unpersist") {
+      hashed.unpersist()
+      fresh.unpersist()
+      allBands.unpersist()
+      idxBuckets.foreach(_.unpersist())
+      cands.foreach(_.unpersist())
+      if (!(novelSigs eq fresh)) novelSigs.unpersist()
+    }
     novelCount
   }
 

@@ -267,7 +267,8 @@ final class ManagedTable private (val spark: SparkSession, val location: String)
       val frames = e.dirs.groupBy(_.takeWhile(_ != '/')).toSeq.map {
         case (uuid, leaves) =>
           spark.read
-            .option("mergeSchema", "true")
+            .schema(e.schema) // from the log — no footer inference (see
+                              // readFilesFiltered)
             .option("basePath", dataDir.resolve(uuid).toString)
             .parquet(leaves.map(l => dataDir.resolve(l).toString): _*)
       }
@@ -369,10 +370,21 @@ final class ManagedTable private (val spark: SparkSession, val location: String)
           s"vector ($r); time travel is limited to the vacuum retention window")
     }
     val needPos = withPos || dvRefs.nonEmpty
+    // The snapshot schema comes from the LOG, never from footer
+    // inference: `mergeSchema` here used to re-open every parquet footer
+    // at PLAN TIME (driver-side, once per commit-uuid group), so reads of
+    // a long-lived table got slower with every commit — ~0.4 s per read
+    // on a 60-commit index, pure driver latency. Files predating an
+    // evolved column simply lack it; the reader null-fills by name
+    // (standard parquet schema evolution) and [[project]] casts, which is
+    // exactly what the mergeSchema union produced. Partition columns in
+    // the schema resolve from the `k=v` path segments as before (a
+    // user-specified schema naming a partition column takes its values
+    // from the path).
     val frames = files.groupBy(_.path.takeWhile(_ != '/')).toSeq.map {
       case (uuid, fs) =>
         val r = spark.read
-          .option("mergeSchema", "true")
+          .schema(schema)
           .option("basePath", dataDir.resolve(uuid).toString)
           .parquet(fs.map(f => dataDir.resolve(f.path).toString): _*)
         if (!needPos) r
@@ -673,8 +685,68 @@ final class ManagedTable private (val spark: SparkSession, val location: String)
     */
   def append(df: DataFrame, mergeSchema: Boolean = false,
              operation: String = "APPEND",
-             txn: Option[(String, Long)] = None): Unit = {
-    var written: Option[(Seq[String], StructType, Seq[String])] = None
+             txn: Option[(String, Long)] = None): Unit =
+    appendFrom(df, mergeSchema, operation, txn, preWritten = None)
+
+  /** First half of [[append]]: write `df`'s data files against the
+    * CURRENT snapshot's schema/layout without committing them. Pass the
+    * result to [[appendStaged]] to commit. Lets a caller overlap the
+    * write jobs of SEVERAL tables (run each stage concurrently) while
+    * keeping their COMMITS strictly ordered — the streaming dedup
+    * pipeline's out/buckets/sigs tail. A staged write that is never
+    * committed (crash, replayed txn) is an orphan file set that
+    * [[vacuum]] reclaims, exactly like a crash between write and commit
+    * inside [[append]] itself.
+    */
+  private[graft] def stageAppend(df: DataFrame)
+      : (Seq[String], StructType, Seq[String]) = {
+    val e = latestEntry
+    val aligned = alignForAppend(df, e.schema)
+    (writeData(aligned, e.partitionColumns, e.properties), e.schema,
+      e.partitionColumns)
+  }
+
+  /** Second half of [[append]]: commit a [[stageAppend]] result. The
+    * normal rebase loop still runs — if the table's schema or layout
+    * changed since staging (concurrent writer), the staged files are
+    * abandoned to [[vacuum]] and `df` is rewritten against the new
+    * snapshot, so the commit is never wrong, only the overlap is lost.
+    */
+  private[graft] def appendStaged(df: DataFrame,
+                                  staged: (Seq[String], StructType, Seq[String]),
+                                  operation: String = "APPEND",
+                                  txn: Option[(String, Long)] = None): Unit =
+    appendFrom(df, mergeSchema = false, operation, txn,
+      preWritten = Some(staged))
+
+  /** Project `df` to `schema` for an append: resolve case-insensitively
+    * (exact match first), as Spark's analyzer would — a stream/batch
+    * column differing only in case must land in the table column, not
+    * silently null-fill (GraftSink's unknown-column guard admits it on
+    * the same terms); ambiguity raises, never null-fills.
+    */
+  private def alignForAppend(df: DataFrame, schema: StructType): DataFrame =
+    df.select(schema.fields.map { f =>
+      df.columns.find(_ == f.name).orElse {
+        df.columns.filter(_.equalsIgnoreCase(f.name)) match {
+          case Array(only) => Some(only)
+          case Array() => None
+          case many => throw new IllegalArgumentException(
+            s"Ambiguous columns ${many.mkString(", ")} for table " +
+              s"column '${f.name}'")
+        }
+      } match {
+        case Some(c) => df.col(c).cast(f.dataType).as(f.name)
+        case None => lit(null).cast(f.dataType).as(f.name)
+      }
+    }.toIndexedSeq: _*)
+
+  private def appendFrom(df: DataFrame, mergeSchema: Boolean,
+                         operation: String,
+                         txn: Option[(String, Long)],
+                         preWritten: Option[(Seq[String], StructType, Seq[String])])
+      : Unit = {
+    var written: Option[(Seq[String], StructType, Seq[String])] = preWritten
     var attempts = 0
     var done = false
     while (!done) {
@@ -695,26 +767,8 @@ final class ManagedTable private (val spark: SparkSession, val location: String)
         // data already on disk fits the rebased schema AND layout
         case Some((d, s, p)) if s == newSchema && p == e.partitionColumns => d
         case _ =>
-          // resolve case-insensitively (exact match first), as Spark's
-          // analyzer would: a stream/batch column differing only in case
-          // must land in the table column, not silently null-fill —
-          // GraftSink's unknown-column guard admits it on the same terms
-          val aligned = df.select(newSchema.fields.map { f =>
-            df.columns.find(_ == f.name).orElse {
-              df.columns.filter(_.equalsIgnoreCase(f.name)) match {
-                case Array(only) => Some(only)
-                case Array() => None
-                case many => throw new IllegalArgumentException(
-                  // as Spark's analyzer: ambiguity raises, never null-fills
-                  s"Ambiguous columns ${many.mkString(", ")} for table " +
-                    s"column '${f.name}'")
-              }
-            } match {
-              case Some(c) => df.col(c).cast(f.dataType).as(f.name)
-              case None => lit(null).cast(f.dataType).as(f.name)
-            }
-          }.toIndexedSeq: _*)
-          val d = writeData(aligned, e.partitionColumns, e.properties)
+          val d = writeData(alignForAppend(df, newSchema),
+            e.partitionColumns, e.properties)
           written = Some((d, newSchema, e.partitionColumns))
           d
       }
