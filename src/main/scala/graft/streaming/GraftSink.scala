@@ -160,14 +160,25 @@ class GraftSink(spark: SparkSession, path: String,
             .filter(col("__rn") === 1).drop("__rn")
             .withColumn("__cdf_delete", lit(false))
         case None =>
-          val dup = batch.groupBy(keyCols: _*).count()
-            .filter(col("count") > 1).limit(1).collect()
-          if (dup.nonEmpty) throw new IllegalStateException(
-            s"graft sink: batch $batchId carries multiple rows for key " +
-              s"${dup.head.toSeq.init.mkString("(", ", ", ")")} and no " +
-              "sequenceColumn orders them — an unordered multi-row upsert " +
-              "is nondeterministic")
-          batch.withColumn("__cdf_delete", lit(false))
+          // duplicate-key guard FOLDED into the merge's own pass: a
+          // window count over the merge keys rides the source frame and
+          // assert_true raises during the merge's source scan if any key
+          // repeats. The former standalone groupBy/collect probe cost a
+          // full extra aggregation job on EVERY micro-batch just to
+          // build this error message. The guard lives in a filter — a
+          // projected-then-dropped column would be deleted by column
+          // pruning, silently disarming it.
+          val w = Window.partitionBy(keyCols: _*)
+          val msg = concat(
+            lit(s"graft sink: batch $batchId carries multiple rows for key ("),
+            concat_ws(", ", keyCols.map(_.cast("string")): _*),
+            lit(") and no sequenceColumn orders them — an unordered " +
+              "multi-row upsert is nondeterministic"))
+          batch
+            .withColumn("__kc", count(lit(1)).over(w))
+            .filter(coalesce(assert_true(col("__kc") === 1, msg), lit(true)))
+            .drop("__kc")
+            .withColumn("__cdf_delete", lit(false))
       }
     val dataCols = reduced.columns.filterNot(_ == "__cdf_delete").toSeq
     val table =

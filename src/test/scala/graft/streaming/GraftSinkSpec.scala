@@ -206,8 +206,14 @@ class GraftSinkSpec extends SparkSpec {
       mergeSchema = false, mergeKeys = Seq("k"))
     val dup = Seq((1L, 1L, 5L), (1L, 2L, 9L), (2L, 1L, 7L))
       .toDF("k", "seq", "v")
-    val e = intercept[IllegalStateException](sink.addBatch(0L, dup))
+    // the guard is fused into the merge pass (assert_true over a window
+    // count), so it surfaces as Spark's user-raised runtime error
+    val e = intercept[Exception](sink.addBatch(0L, dup))
     assert(e.getMessage.contains("sequenceColumn"), e.getMessage)
+    assert(e.getMessage.contains("multiple rows"), e.getMessage)
+    // a refused batch must not half-commit
+    assert(!ManagedTable.exists(loc) ||
+      ManagedTable.forPath(spark, loc).toDF.count() == 0)
     val seqSink = new GraftSink(spark, loc, Nil, Some("gsinkm2"),
       mergeSchema = false, mergeKeys = Seq("k"),
       sequenceColumn = Some("seq"))
@@ -215,6 +221,67 @@ class GraftSinkSpec extends SparkSpec {
     val got = ManagedTable.forPath(spark, loc).toDF
       .select("k", "v").as[(Long, Long)].collect().sorted.toSeq
     assert(got == Seq((1L, 9L), (2L, 7L)), s"latest seq wins per key: $got")
+  }
+
+  /** Spark jobs triggered while running `body` (the ConflictSpec
+    * pattern): counted by job-group tag so concurrent suite activity on
+    * the shared context cannot inflate the count.
+    */
+  private def countJobs(body: => Unit): Int = {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    val group = s"gsinkspec-${java.util.UUID.randomUUID()}"
+    val counter = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new SparkListener {
+      override def onJobStart(jobStart: SparkListenerJobStart): Unit = {
+        val g = Option(jobStart.properties)
+          .map(_.getProperty("spark.jobGroup.id")).orNull
+        if (g == group) { counter.incrementAndGet(); () }
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    spark.sparkContext.setJobGroup(group, "GraftSinkSpec.countJobs")
+    try {
+      body
+      var last = -1
+      var settled = 0
+      val deadline = System.nanoTime() + 10_000_000_000L
+      while (settled < 3 && System.nanoTime() < deadline) {
+        val cur = counter.get()
+        if (cur == last) settled += 1 else { settled = 0; last = cur }
+        Thread.sleep(50)
+      }
+    } finally {
+      spark.sparkContext.clearJobGroup()
+      spark.sparkContext.removeSparkListener(listener)
+    }
+    counter.get()
+  }
+
+  test("the duplicate-key guard is fused into the merge pass: a merge " +
+       "batch without a sequenceColumn costs no more Spark jobs than " +
+       "one with it") {
+    val locA = tmpDir("gsinkjobsA")
+    val locB = tmpDir("gsinkjobsB")
+    def seed(loc: String) = ManagedTable.create(
+      Seq((1L, 0L, 10L)).toDF("k", "seq", "v"), loc)
+    seed(locA); seed(locB)
+    val batch = Seq((1L, 1L, 11L), (2L, 1L, 12L)).toDF("k", "seq", "v")
+    val plain = new GraftSink(spark, locA, Nil, Some("gsinkjobsA"),
+      mergeSchema = false, mergeKeys = Seq("k"))
+    val seqed = new GraftSink(spark, locB, Nil, Some("gsinkjobsB"),
+      mergeSchema = false, mergeKeys = Seq("k"),
+      sequenceColumn = Some("seq"))
+    val jobsPlain = countJobs(plain.addBatch(0L, batch))
+    val jobsSeqed = countJobs(seqed.addBatch(0L, batch))
+    assert(jobsPlain <= jobsSeqed,
+      s"no-sequenceColumn guard must not cost a separate probe job: " +
+        s"plain=$jobsPlain vs seq=$jobsSeqed")
+    // both merged correctly
+    Seq(locA, locB).foreach { loc =>
+      val got = ManagedTable.forPath(spark, loc).toDF
+        .select("k", "v").as[(Long, Long)].collect().sorted.toSeq
+      assert(got == Seq((1L, 11L), (2L, 12L)), s"$loc: $got")
+    }
   }
 
   test("applyCdf property: a seeded random DML sequence replicates " +
