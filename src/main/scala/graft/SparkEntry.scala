@@ -388,6 +388,35 @@ object SparkEntry {
       sources.DeltaImport.toDF(s, out)
     }),
 
+    // HISTORY-PRESERVING export: build a 3-commit table (create, append,
+    // delete), export every commit as its own Delta log entry, then
+    // TIME-TRAVEL the export — the mid-history read (delta v1 = full
+    // orders, asserted engine-side) and the final read (delta v2, the
+    // returned frame) must both reconstruct exactly; the oracle
+    // re-derives the final state from the same DML.
+    "delta_export_history" -> ((s, dir) => {
+      val base = "/root/repo/target/tmp/q_dexph_src"
+      val out = "/root/repo/target/tmp/q_dexph_delta"
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm); f.delete(); ()
+      }
+      Seq(base, out).foreach(p => rm(new java.io.File(p)))
+      val orders = t(s, dir, "orders")
+      val omax = orders.agg(max("o_orderkey")).head().getLong(0)
+      val tbl = ManagedTable.create(
+        orders.filter(col("o_orderkey") <= omax / 2)
+          .repartition(8, col("o_orderkey")), base)               // v0
+      tbl.append(orders.filter(col("o_orderkey") > omax / 2)
+        .repartition(8, col("o_orderkey")))                       // v1
+      tbl.delete(s"o_orderkey < ${omax / 20}")                    // v2
+      tbl.exportDelta(out, fromVersion = 0L)
+      // a receiving Delta engine can tail: delta v1 is the full table
+      val atV1 = sources.DeltaImport.toDF(s, out, versionAsOf = 1L)
+      require(atV1.count() == orders.count(),
+        "delta v1 must time-travel to the pre-delete snapshot")
+      sources.DeltaImport.toDF(s, out, versionAsOf = 2L)
+    }),
+
     // Merge-on-read DELETE (deletion vectors): two deletes that touch
     // the table's leading files must remove their rows WITHOUT rewriting
     // any data file (asserted engine-side), and the surviving contents
@@ -1719,6 +1748,10 @@ object SparkEntry {
 
     // the exported snapshot is post-DELETE: survivors only
     "delta_export" ->
+      """SELECT * FROM orders
+        |WHERE NOT (o_orderkey < (SELECT max(o_orderkey) // 20 FROM orders))""".stripMargin,
+
+    "delta_export_history" ->
       """SELECT * FROM orders
         |WHERE NOT (o_orderkey < (SELECT max(o_orderkey) // 20 FROM orders))""".stripMargin,
 

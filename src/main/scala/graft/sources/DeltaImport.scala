@@ -205,22 +205,46 @@ object DeltaImport {
   }
 
   /** Reconstruct the latest snapshot from `_delta_log`. */
-  def snapshot(tablePath: String): DeltaSnapshot = {
+  def snapshot(tablePath: String): DeltaSnapshot =
+    snapshot(tablePath, versionAsOf = Long.MaxValue)
+
+  /** Reconstruct the snapshot AS OF `versionAsOf` (Delta time travel):
+    * replay only log actions with version <= `versionAsOf`. When a
+    * checkpoint past the requested version is the only baseline, the
+    * JSON history must still reach back to version 0 (checkpoints are
+    * snapshots, not diffs — an older state cannot be carved out of a
+    * newer one); exported and young tables keep their full JSON tail,
+    * so this is the common case.
+    */
+  def snapshot(tablePath: String, versionAsOf: Long): DeltaSnapshot = {
     val logDir = Paths.get(tablePath, "_delta_log")
     require(Files.isDirectory(logDir), s"Not a Delta table: $tablePath")
 
     val JsonV = """(\d{20})\.json""".r
-    val jsonVersions = {
+    val allJsonVersions = {
       val s = Files.list(logDir)
       try s.iterator().asScala.map(_.getFileName.toString)
         .collect { case JsonV(v) => v.toLong }.toSeq.sorted
       finally s.close()
     }
+    val jsonVersions = allJsonVersions.filter(_ <= versionAsOf)
+    if (versionAsOf != Long.MaxValue)
+      require(jsonVersions.lastOption.contains(versionAsOf),
+        s"version $versionAsOf is not in $tablePath's log (json versions " +
+          s"present: ${allJsonVersions.mkString(", ")})")
 
-    // checkpoint baseline (if advertised), then the JSON tail
+    // checkpoint baseline (if advertised AND within the bound), then the
+    // JSON tail
     val lastCp = Option(logDir.resolve("_last_checkpoint"))
       .filter(Files.isRegularFile(_))
       .map(p => mapper.readTree(Files.readString(p)))
+      .filter { n =>
+        val ok = n.get("version").asLong() <= versionAsOf
+        if (!ok) require(jsonVersions.headOption.contains(0L),
+          s"time travel to $versionAsOf needs the JSON history from " +
+            s"version 0 (the only checkpoint is newer than $versionAsOf)")
+        ok
+      }
     val cpVersion = lastCp.map(_.get("version").asLong())
     val cpParts = lastCp.flatMap(n => Option(n.get("parts")).map(_.asInt()))
 
@@ -449,6 +473,11 @@ object DeltaImport {
     */
   def toDF(spark: SparkSession, tablePath: String): DataFrame =
     toDF(spark, tablePath, snapshot(tablePath))
+
+  /** Time-travel read: the table AS OF Delta version `versionAsOf`. */
+  def toDF(spark: SparkSession, tablePath: String,
+           versionAsOf: Long): DataFrame =
+    toDF(spark, tablePath, snapshot(tablePath, versionAsOf))
 
   /** [[toDF]] over an already-reconstructed snapshot (callers that just
     * built one — [[importTable]] — skip a second full log replay).

@@ -2193,26 +2193,28 @@ final class ManagedTable private (val spark: SparkSession, val location: String)
     dst
   }
 
-  /** Export the CURRENT snapshot as a standalone Delta Lake table — the
-    * reverse of [[graft.sources.DeltaImport]] (switch back, or hand the
-    * table to any Delta reader). Emits the public PROTOCOL: one
-    * `_delta_log/…0.json` commit with protocol(1,2) + metaData + one
-    * `add` per live file, hive-layout partition paths, per-file
+  /** Export this table as a standalone Delta Lake table — the reverse
+    * of [[graft.sources.DeltaImport]] (switch back, or hand the table to
+    * any Delta reader). Emits the public PROTOCOL: protocol + metaData +
+    * one `add` per live file, hive-layout partition paths, per-file
     * `stats` JSON (numRecords + min/max for numeric and string columns,
     * straight from the snapshot's footer stats — Delta engines data-skip
     * the exported table immediately).
     *
+    * This overload exports the CURRENT snapshot as one commit (the
+    * reference's copy_table contract — mack/__init__.py:287-325); see
+    * [[exportDelta(targetPath:String,fromVersion:Long)*]] for a
+    * history-preserving export a Delta engine can time-travel and tail.
+    *
     * Data files HARD-LINK into the target when the filesystem allows
     * (the export is O(metadata), no bytes move — at 100 TB this is the
     * difference between seconds and hours) and silently fall back to
-    * copies across devices. History does NOT export — the target is a
-    * single-commit table of the current snapshot, same contract as the
-    * reference's copy_table (mack/__init__.py:287-325).
+    * copies across devices.
     *
     * Live deletion vectors export AS Delta deletion vectors (the
     * `deletionVectors` reader+writer feature, protocol 3/7): the
-    * `_graft_dv` sidecar rows re-encode into one `deletion_vector_*.bin`
-    * payload ([[graft.sources.DeltaDv]] framing) and each masked add
+    * `_graft_dv` sidecar rows re-encode into `deletion_vector_*.bin`
+    * payloads ([[graft.sources.DeltaDv]] framing) and each masked add
     * carries a `u`-storage descriptor with `tightBounds: false` stats —
     * the merge-on-read state crosses WITHOUT a materializing rewrite.
     * The re-encode streams sorted `(path, pos)` rows through the driver
@@ -2221,121 +2223,68 @@ final class ManagedTable private (val spark: SparkSession, val location: String)
     *
     * @return the number of data files exported
     */
-  def exportDelta(targetPath: String): Long = {
-    val e = latestEntry
-    require(e.files.nonEmpty,
-      s"exportDelta requires a stats-bearing snapshot at $location")
+  def exportDelta(targetPath: String): Long =
+    exportDelta(targetPath, fromVersion = latestVersion)
+
+  /** HISTORY-PRESERVING export: Delta commit 0 is this table's snapshot
+    * AS OF `fromVersion`, and every later graft commit becomes its own
+    * Delta log entry — adds with that commit's per-file stats, removes
+    * with the SAME deletion-vector descriptor their matching add carried
+    * (Delta keys logical files by (path, dvId)), `dataChange: false` on
+    * OPTIMIZE rewrites (so Delta streams skip them, as ours do),
+    * `metaData` re-emitted exactly when the schema/configuration
+    * changed, `graft.txn.*` idempotent-writer markers as Delta `txn`
+    * actions (a resumed streaming writer keeps exactly-once against the
+    * export), and a `commitInfo` per commit for DESCRIBE HISTORY. A
+    * receiving Delta engine can therefore time-travel to any exported
+    * version and TAIL the table commit-by-commit — the two things a
+    * single-commit snapshot cannot give a consumer keeping a mirror in
+    * sync.
+    *
+    * Each file hard-links once no matter how many commits reference it;
+    * a range reaching past the vacuum retention window fails loud (the
+    * removed files' bytes are gone), like time travel.
+    *
+    * @return the number of data files exported (adds across all commits)
+    */
+  def exportDelta(targetPath: String, fromVersion: Long): Long = {
+    val latest = latestVersion
+    require(fromVersion >= 0 && fromVersion <= latest,
+      s"fromVersion must be in [0, $latest], got $fromVersion")
+    val entries = (fromVersion to latest).map(readEntry)
+    entries.foreach(e => require(e.files.nonEmpty || e.dirs.isEmpty,
+      s"exportDelta requires stats-bearing snapshots at $location " +
+        s"(version ${e.version} tracks directories, not files)"))
     val root = Paths.get(targetPath)
     require(!Files.exists(root) || {
       val s = Files.list(root); try !s.iterator().hasNext finally s.close()
     }, s"exportDelta target exists and is not empty: $targetPath")
-    Files.createDirectories(root)
+    val logDir = root.resolve("_delta_log")
+    Files.createDirectories(logDir)
     val mapper = ManagedTable.mapper
-    val partSet = e.partitionColumns.toSet
-    val numericCols = e.schema.fields.collect {
-      case f if f.dataType.isInstanceOf[NumericType] && !partSet(f.name) =>
-        f.name
-    }.toSet
-    val stringCols = e.schema.fields.collect {
-      case f if f.dataType == StringType && !partSet(f.name) => f.name
-    }.toSet
-    def statsJson(f: FileStat): String = {
-      val n = mapper.createObjectNode()
-      n.put("numRecords", f.rows)
-      val mins = n.putObject("minValues"); val maxs = n.putObject("maxValues")
-      def fill(src: Map[String, String],
-               dst: com.fasterxml.jackson.databind.node.ObjectNode): Unit =
-        src.foreach { case (k, v) =>
-          if (numericCols(k)) {
-            try { dst.put(k, new java.math.BigDecimal(v)); () }
-            catch { case _: NumberFormatException => }
-          } else if (stringCols(k)) { dst.put(k, v); () }
-        }
-      fill(f.min, mins); fill(f.max, maxs)
-      mapper.writeValueAsString(n)
-    }
-    // re-encode live deletion vectors into ONE Delta DV payload file:
-    // per-file Framed coordinates for the add descriptors below
-    val dvRefs = e.files.flatMap(f => f.dv.map(f.path -> _)).toMap
-    val (dvPathOrInline, dvFramed): (String, Map[String, graft.sources.DeltaDv.Framed]) =
-      if (dvRefs.isEmpty) ("", Map.empty)
-      else {
-        val byRef = dvRefs.groupBy(_._2).map { case (ref, m) => ref -> m.keySet }
-        val frames = byRef.toSeq.map { case (ref, paths) =>
-          spark.read.schema(ManagedTable.dvSchema)
-            .parquet(dvRoot.resolve(ref).toString)
-            .filter(col("path").isInCollection(paths))
-        }
-        val rows = frames.reduce(_.unionByName(_))
-          .distinct().orderBy("path", "pos")
-        val (enc, fileName) = graft.sources.DeltaDv.freshFileId()
-        Files.createDirectories(root)
-        val w = new graft.sources.DeltaDv.FileWriter(root.resolve(fileName))
-        val framed = Map.newBuilder[String, graft.sources.DeltaDv.Framed]
-        try {
-          var curPath: String = null
-          val buf = scala.collection.mutable.ArrayBuffer.empty[Long]
-          def flush(): Unit = if (curPath != null && buf.nonEmpty) {
-            framed += curPath -> w.append(buf.toArray); buf.clear()
-          }
-          val it = rows.toLocalIterator()
-          while (it.hasNext) {
-            val r = it.next()
-            val p = r.getString(0)
-            if (p != curPath) { flush(); curPath = p }
-            buf += r.getLong(1)
-          }
-          flush()
-        } finally w.close()
-        (enc, framed.result())
-      }
-    // Delta add.path values are URL-encoded, table-root-relative
+    val anyDv = entries.exists(_.files.exists(_.dv.isDefined))
+    val tableId = UUID.randomUUID().toString
+
+    // Delta add/remove path values are URL-encoded, table-root-relative;
+    // uuid-prefixed names keep files from different source commits
+    // collision-free in one hive-layout directory, and the scheme is a
+    // pure function of the graft path so adds and removes of one file
+    // agree across commits
     def encSeg(s: String): String =
       java.net.URLEncoder.encode(s, "UTF-8").replace("+", "%20")
-    val actions = Seq.newBuilder[String]
-    actions +=
-      (if (dvFramed.isEmpty)
-        """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
-      else
-        """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
-          """"readerFeatures":["deletionVectors"],""" +
-          """"writerFeatures":["deletionVectors"]}}""")
-    val meta = {
-      val n = mapper.createObjectNode(); val m = n.putObject("metaData")
-      m.put("id", UUID.randomUUID().toString)
-      val fmt = m.putObject("format")
-      fmt.put("provider", "parquet"); fmt.putObject("options")
-      m.put("schemaString", e.schema.json)
-      val pc = m.putArray("partitionColumns")
-      e.partitionColumns.foreach(pc.add)
-      val cfg = m.putObject("configuration")
-      e.properties.foreach { case (k, v) =>
-        if (!k.startsWith("graft.")) { cfg.put(k, v); () }
-      }
-      if (dvFramed.nonEmpty) { cfg.put("delta.enableDeletionVectors", "true"); () }
-      m.put("createdTime", System.currentTimeMillis())
-      mapper.writeValueAsString(n)
-    }
-    actions += meta
-    e.files.foreach { f =>
+    def relOf(f: FileStat): String = {
       val uuidSeg = f.path.takeWhile(_ != '/')
       val baseName = f.path.substring(f.path.lastIndexOf('/') + 1)
-      val leaf = ManagedTable.leafSuffix(f.leafDir) // "" or "k=v[/k=v…]"
-      // canonical hive layout; uuid-prefixed names keep files from
-      // different source commits collision-free in one directory
-      val rel = (if (leaf.isEmpty) "" else leaf + "/") +
-        s"$uuidSeg-$baseName"
-      val src = dataDir.resolve(f.path)
-      val dst = root.resolve(rel)
-      Option(dst.getParent).foreach(Files.createDirectories(_))
-      try { Files.createLink(dst, src); () }
-      catch {
-        case _: UnsupportedOperationException | _: java.nio.file.FileSystemException =>
-          Files.copy(src, dst); ()
-      }
-      val n = mapper.createObjectNode(); val a = n.putObject("add")
-      a.put("path", rel.split('/').map(encSeg).mkString("/"))
-      val pv = a.putObject("partitionValues")
+      val leaf = ManagedTable.leafSuffix(f.leafDir)
+      (if (leaf.isEmpty) "" else leaf + "/") + s"$uuidSeg-$baseName"
+    }
+    def encPath(f: FileStat): String =
+      relOf(f).split('/').map(encSeg).mkString("/")
+    def fillPartValues(
+        holder: com.fasterxml.jackson.databind.node.ObjectNode,
+        f: FileStat): Unit = {
+      val pv = holder.putObject("partitionValues")
+      val leaf = ManagedTable.leafSuffix(f.leafDir)
       if (leaf.nonEmpty) leaf.split('/').filter(_.nonEmpty).foreach { seg =>
         val i = seg.indexOf('=')
         require(i > 0, s"non-hive partition segment in $leaf")
@@ -2347,37 +2296,215 @@ final class ManagedTable private (val spark: SparkSession, val location: String)
         // '+' — unescaped by Spark — into a space)
         else { pv.put(k, FileStats.unescapePath(raw)); () }
       }
-      a.put("size", f.bytes)
-      a.put("modificationTime", Files.getLastModifiedTime(src).toMillis)
-      a.put("dataChange", true)
-      // a file can reference a vector that holds no rows for it (bounds
-      // put it in the DML candidate set but nothing matched) — that
-      // exports as a clean add
-      dvFramed.get(f.path) match {
-        case Some(fr) =>
-          val d = a.putObject("deletionVector")
-          d.put("storageType", "u")
-          d.put("pathOrInlineDv", dvPathOrInline)
-          d.put("offset", fr.offset)
-          d.put("sizeInBytes", fr.sizeInBytes)
-          d.put("cardinality", fr.cardinality)
-          // numRecords stays PHYSICAL; tightBounds=false marks min/max
-          // as possibly covering deleted rows (PROTOCOL.md, Writer
-          // Requirements for Deletion Vectors)
-          val sn = mapper.readTree(statsJson(f))
-            .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
-          sn.put("tightBounds", false)
-          a.put("stats", mapper.writeValueAsString(sn))
-        case None =>
-          a.put("stats", statsJson(f))
-      }
-      actions += mapper.writeValueAsString(n)
     }
-    val logDir = root.resolve("_delta_log")
-    Files.createDirectories(logDir)
-    Files.writeString(logDir.resolve(f"${0L}%020d.json"),
-      actions.result().mkString("\n"))
-    e.files.size.toLong
+    // per-commit-schema stats serializer (numRecords + min/max)
+    def statsFn(schema: StructType, partCols: Seq[String])
+        : FileStat => String = {
+      val partSet = partCols.toSet
+      val numericCols = schema.fields.collect {
+        case f if f.dataType.isInstanceOf[NumericType] && !partSet(f.name) =>
+          f.name
+      }.toSet
+      val stringCols = schema.fields.collect {
+        case f if f.dataType == StringType && !partSet(f.name) => f.name
+      }.toSet
+      (f: FileStat) => {
+        val n = mapper.createObjectNode()
+        n.put("numRecords", f.rows)
+        val mins = n.putObject("minValues"); val maxs = n.putObject("maxValues")
+        def fill(src: Map[String, String],
+                 dst: com.fasterxml.jackson.databind.node.ObjectNode): Unit =
+          src.foreach { case (k, v) =>
+            if (numericCols(k)) {
+              try { dst.put(k, new java.math.BigDecimal(v)); () }
+              catch { case _: NumberFormatException => }
+            } else if (stringCols(k)) { dst.put(k, v); () }
+          }
+        fill(f.min, mins); fill(f.max, maxs)
+        mapper.writeValueAsString(n)
+      }
+    }
+    // each physical file links once, however many commits reference it
+    val linked = scala.collection.mutable.HashSet.empty[String]
+    def linkFile(f: FileStat): Unit = if (linked.add(f.path)) {
+      val src = dataDir.resolve(f.path)
+      if (!Files.isRegularFile(src)) throw new IllegalStateException(
+        s"export range [$fromVersion, $latest] of $location references " +
+          s"vacuumed data (${f.path}); history export is limited to the " +
+          "vacuum retention window")
+      val dst = root.resolve(relOf(f))
+      Option(dst.getParent).foreach(Files.createDirectories(_))
+      try { Files.createLink(dst, src); () }
+      catch {
+        case _: UnsupportedOperationException | _: java.nio.file.FileSystemException =>
+          Files.copy(src, dst); ()
+      }
+    }
+    // (graft file path, sidecar ref) -> exported DV coordinates, so a
+    // later remove re-references EXACTLY the descriptor its matching add
+    // carried (Delta reconciles logical files by (path, dv uniqueId))
+    val dvDesc = scala.collection.mutable.HashMap
+      .empty[(String, String), (String, graft.sources.DeltaDv.Framed)]
+    // re-encode one commit's added vectors into ONE payload file,
+    // streaming sorted (path, pos) rows one file's vector at a time
+    def encodeDvPayload(pairs: Seq[(String, String)]): Unit =
+      if (pairs.nonEmpty) {
+        val byRef = pairs.groupBy(_._2)
+          .map { case (ref, m) => ref -> m.map(_._1).toSet }
+        val frames = byRef.toSeq.map { case (ref, paths) =>
+          spark.read.schema(ManagedTable.dvSchema)
+            .parquet(dvRoot.resolve(ref).toString)
+            .filter(col("path").isInCollection(paths))
+        }
+        val rows = frames.reduce(_.unionByName(_))
+          .distinct().orderBy("path", "pos")
+        val (enc, fileName) = graft.sources.DeltaDv.freshFileId()
+        val w = new graft.sources.DeltaDv.FileWriter(root.resolve(fileName))
+        val refOf = pairs.toMap
+        try {
+          var curPath: String = null
+          val buf = scala.collection.mutable.ArrayBuffer.empty[Long]
+          def flush(): Unit = if (curPath != null && buf.nonEmpty) {
+            dvDesc((curPath, refOf(curPath))) = (enc, w.append(buf.toArray))
+            buf.clear()
+          }
+          val it = rows.toLocalIterator()
+          while (it.hasNext) {
+            val r = it.next()
+            val p = r.getString(0)
+            if (p != curPath) { flush(); curPath = p }
+            buf += r.getLong(1)
+          }
+          flush()
+        } finally w.close()
+      }
+    def putDv(holder: com.fasterxml.jackson.databind.node.ObjectNode,
+              payload: String, fr: graft.sources.DeltaDv.Framed): Unit = {
+      val d = holder.putObject("deletionVector")
+      d.put("storageType", "u")
+      d.put("pathOrInlineDv", payload)
+      d.put("offset", fr.offset)
+      d.put("sizeInBytes", fr.sizeInBytes)
+      d.put("cardinality", fr.cardinality)
+      ()
+    }
+
+    var emittedSchemaJson: String = null
+    var emittedConfig: Map[String, String] = null
+    var prev: LogEntry = null
+    var exported = 0L
+    entries.zipWithIndex.foreach { case (e, k) =>
+      val actions = Seq.newBuilder[String]
+      val isBase = k == 0
+      if (isBase) actions +=
+        (if (anyDv)
+          """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+            """"readerFeatures":["deletionVectors"],""" +
+            """"writerFeatures":["deletionVectors"]}}"""
+        else """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""")
+      val cfg = e.properties.filterNot(_._1.startsWith("graft.")) ++
+        (if (anyDv) Map("delta.enableDeletionVectors" -> "true")
+         else Map.empty[String, String])
+      if (isBase || e.schema.json != emittedSchemaJson ||
+          cfg != emittedConfig) {
+        val n = mapper.createObjectNode(); val m = n.putObject("metaData")
+        m.put("id", tableId)
+        val fmt = m.putObject("format")
+        fmt.put("provider", "parquet"); fmt.putObject("options")
+        m.put("schemaString", e.schema.json)
+        val pc = m.putArray("partitionColumns")
+        e.partitionColumns.foreach(pc.add)
+        val c = m.putObject("configuration")
+        cfg.foreach { case (ck, cv) => c.put(ck, cv); () }
+        m.put("createdTime", entries.head.timestampMs)
+        actions += mapper.writeValueAsString(n)
+        emittedSchemaJson = e.schema.json
+        emittedConfig = cfg
+      }
+      // idempotent-writer markers cross as Delta txn actions (only when
+      // this commit moved them)
+      val txnPrefix = "graft.txn."
+      val prevProps: Map[String, String] =
+        if (prev == null) Map.empty else prev.properties
+      e.properties.foreach { case (pk, pv) =>
+        if (pk.startsWith(txnPrefix) && !prevProps.get(pk).contains(pv)) {
+          val n = mapper.createObjectNode(); val t = n.putObject("txn")
+          t.put("appId", pk.stripPrefix(txnPrefix))
+          t.put("version", pv.toLong)
+          t.put("lastUpdated", e.timestampMs)
+          actions += mapper.writeValueAsString(n)
+        }
+      }
+      locally { // commitInfo rides every commit (DESCRIBE HISTORY surface)
+        val n = mapper.createObjectNode(); val ci = n.putObject("commitInfo")
+        ci.put("timestamp", e.timestampMs)
+        ci.put("operation", if (isBase) "EXPORT" else e.operation)
+        ci.put("engineInfo", "graft-export")
+        actions += mapper.writeValueAsString(n)
+      }
+      val (added, removed) =
+        if (isBase) (e.files, Seq.empty[FileStat])
+        else {
+          def key(f: FileStat) = (f.path, f.dv)
+          val prevKeys = prev.files.map(key).toSet
+          val curKeys = e.files.map(key).toSet
+          (e.files.filterNot(f => prevKeys(key(f))),
+            prev.files.filterNot(f => curKeys(key(f))))
+        }
+      // OPTIMIZE rewrites rows-unchanged: dataChange=false lets Delta
+      // streams skip the commit, exactly as graft's own source does
+      val dataChange = e.operation != "OPTIMIZE"
+      encodeDvPayload(added.flatMap(f => f.dv.map(f.path -> _)))
+      val stats = statsFn(e.schema, e.partitionColumns)
+      removed.foreach { f =>
+        val n = mapper.createObjectNode(); val r = n.putObject("remove")
+        r.put("path", encPath(f))
+        r.put("deletionTimestamp", e.timestampMs)
+        r.put("dataChange", dataChange)
+        r.put("extendedFileMetadata", true)
+        fillPartValues(r, f)
+        r.put("size", f.bytes)
+        // the remove must carry the SAME descriptor its add did — a
+        // file whose vector held no rows exported as a clean add, so
+        // its remove stays clean too (dvDesc has no entry)
+        f.dv.foreach(ref => dvDesc.get((f.path, ref)).foreach {
+          case (payload, fr) => putDv(r, payload, fr)
+        })
+        actions += mapper.writeValueAsString(n)
+      }
+      added.foreach { f =>
+        linkFile(f)
+        val n = mapper.createObjectNode(); val a = n.putObject("add")
+        a.put("path", encPath(f))
+        fillPartValues(a, f)
+        a.put("size", f.bytes)
+        a.put("modificationTime",
+          Files.getLastModifiedTime(dataDir.resolve(f.path)).toMillis)
+        a.put("dataChange", dataChange)
+        // a file can reference a vector that holds no rows for it
+        // (bounds put it in the DML candidate set but nothing matched)
+        // — that exports as a clean add
+        f.dv.flatMap(ref => dvDesc.get((f.path, ref))) match {
+          case Some((payload, fr)) =>
+            putDv(a, payload, fr)
+            // numRecords stays PHYSICAL; tightBounds=false marks
+            // min/max as possibly covering deleted rows (PROTOCOL.md,
+            // Writer Requirements for Deletion Vectors)
+            val sn = mapper.readTree(stats(f))
+              .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+            sn.put("tightBounds", false)
+            a.put("stats", mapper.writeValueAsString(sn))
+          case None =>
+            a.put("stats", stats(f))
+        }
+        actions += mapper.writeValueAsString(n)
+        exported += 1
+      }
+      Files.writeString(logDir.resolve(f"$k%020d.json"),
+        actions.result().mkString("\n"))
+      prev = e
+    }
+    exported
   }
 }
 

@@ -215,6 +215,16 @@ object Drive {
     println(s"[26] delta export: $nExported hard-linked files + stats " +
       s"log; re-imported rows=$reread (source=${mirrored.toDF.count})")
 
+    // --- History-preserving Delta export: time-travel + tail ------------
+    val dexph = scratch("delta_export_history")
+    val histFiles = mirrored.exportDelta(dexph, fromVersion = 0L)
+    val deltaVersions = (0L to mirrored.latestVersion).map(v =>
+      graft.sources.DeltaImport.toDF(spark, dexph, versionAsOf = v).count())
+    println(s"[26b] delta history export: $histFiles files across " +
+      s"${mirrored.latestVersion + 1} Delta commits; time-travel row " +
+      s"counts ${deltaVersions.mkString("[", ", ", "]")} (latest=" +
+      s"${mirrored.toDF.count})")
+
     // --- Delta deletion-vector interop: handcrafted DV table imports ----
     val ddv = scratch("delta_dv_src")
     ord.coalesce(1).write.parquet(ddv)

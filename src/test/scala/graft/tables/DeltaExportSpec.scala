@@ -135,6 +135,156 @@ class DeltaExportSpec extends SparkSpec {
     assert(clone.toDFWhere("k < 10").count() == 0)
   }
 
+  test("history export: every graft commit becomes a Delta commit a " +
+       "receiving engine can time-travel to, version-by-version equal " +
+       "to the source") {
+    val t = ManagedTable.create(
+      spark.range(300).select(col("id").as("k"), (col("id") * 2).as("v")),
+      tmpDir("dxph1"))                                              // v0
+    t.append(spark.range(300, 400)
+      .select(col("id").as("k"), (col("id") * 2).as("v")))          // v1
+    t.delete("k < 50")                                              // v2
+    t.optimize(targetFileSizeBytes = 8 * 1024, sortBy = Seq("k"))   // v3
+    t.update(Map("v" -> "v + 7"), Some("k >= 390"))                 // v4
+    val latest = t.latestVersion
+    assert(latest == 4L)
+    val target = tmpDir("dxph1_delta")
+    t.exportDelta(target, fromVersion = 0L)
+    // one Delta commit per graft commit, 0..4
+    (0L to latest).foreach { v =>
+      assert(java.nio.file.Files.isRegularFile(java.nio.file.Paths.get(
+        target, "_delta_log", f"$v%020d.json")), s"missing commit $v")
+      val back = DeltaImport.toDF(spark, target, versionAsOf = v)
+      val src = t.toDF(v)
+      assert(back.exceptAll(src).isEmpty && src.exceptAll(back).isEmpty,
+        s"time travel to version $v must equal the source at v$v")
+    }
+    // the latest snapshot through the default (unbounded) path too
+    val back = DeltaImport.toDF(spark, target)
+    assert(back.exceptAll(t.toDF).isEmpty && t.toDF.exceptAll(back).isEmpty)
+    // tailing semantics: the per-commit snapshot DELTAS the export
+    // replays equal the source's own change feed, version by version
+    // (insert rows appear, delete rows disappear)
+    (1L to latest).foreach { v =>
+      val prev = DeltaImport.toDF(spark, target, versionAsOf = v - 1)
+      val cur = DeltaImport.toDF(spark, target, versionAsOf = v)
+      val appeared = cur.exceptAll(prev)
+      val disappeared = prev.exceptAll(cur)
+      val ch = t.changes(v - 1, v) // (from, to] — exactly version v
+      val ins = ch.filter(col("_change_type").isin("insert", "update_postimage"))
+        .select("k", "v")
+      val del = ch.filter(col("_change_type").isin("delete", "update_preimage"))
+        .select("k", "v")
+      assert(appeared.exceptAll(ins).isEmpty && ins.exceptAll(appeared).isEmpty,
+        s"v$v: appeared rows must equal the change feed's inserts")
+      assert(disappeared.exceptAll(del).isEmpty &&
+        del.exceptAll(disappeared).isEmpty,
+        s"v$v: disappeared rows must equal the change feed's deletes")
+    }
+    // OPTIMIZE exported with dataChange=false on every add and remove
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val optLog = java.nio.file.Files.readString(java.nio.file.Paths.get(
+      target, "_delta_log", f"${3L}%020d.json"))
+    val optActions = optLog.linesIterator.map(mapper.readTree).toSeq
+    val fileActs = optActions.filter(n => n.has("add") || n.has("remove"))
+    assert(fileActs.nonEmpty, "OPTIMIZE commit must carry file actions")
+    fileActs.foreach { n =>
+      val a = if (n.has("add")) n.get("add") else n.get("remove")
+      assert(!a.get("dataChange").asBoolean(),
+        "OPTIMIZE must export dataChange=false so Delta streams skip it")
+    }
+    // appends export with dataChange=true
+    val appLog = java.nio.file.Files.readString(java.nio.file.Paths.get(
+      target, "_delta_log", f"${1L}%020d.json"))
+    val appAdds = appLog.linesIterator.map(mapper.readTree)
+      .filter(_.has("add")).toSeq
+    assert(appAdds.nonEmpty && appAdds.forall(
+      _.get("add").get("dataChange").asBoolean()))
+  }
+
+  test("history export: DV-carrying DML in the tail time-travels, and " +
+       "removes re-reference the descriptor their add carried") {
+    val t = ManagedTable.create(
+      spark.range(400).select(col("id").as("k"), (col("id") % 5).as("v")),
+      tmpDir("dxph2"), properties = Map(ManagedTable.dvPropKey -> "true"))
+    t.delete("k < 40")                                              // v1: DV
+    t.delete("k >= 40 AND k < 60")                                  // v2: DV swap
+    val target = tmpDir("dxph2_delta")
+    t.exportDelta(target, fromVersion = 0L)
+    (0L to 2L).foreach { v =>
+      val back = DeltaImport.toDF(spark, target, versionAsOf = v)
+      val src = t.toDF(v)
+      assert(back.exceptAll(src).isEmpty && src.exceptAll(back).isEmpty,
+        s"DV time travel to v$v")
+    }
+    // the v2 DV swap must remove the v1 logical file WITH its original
+    // descriptor (Delta reconciles by (path, dv uniqueId) — a bare
+    // remove would cancel the wrong logical file)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val v1Adds = java.nio.file.Files.readString(java.nio.file.Paths.get(
+        target, "_delta_log", f"${1L}%020d.json"))
+      .linesIterator.map(mapper.readTree).filter(_.has("add"))
+      .map(_.get("add")).filter(a => a.has("deletionVector")).toSeq
+    assert(v1Adds.nonEmpty, "v1 must export DV-carrying adds")
+    val v2 = java.nio.file.Files.readString(java.nio.file.Paths.get(
+        target, "_delta_log", f"${2L}%020d.json"))
+      .linesIterator.map(mapper.readTree).toSeq
+    val v2Removes = v2.filter(_.has("remove")).map(_.get("remove"))
+      .filter(_.has("deletionVector"))
+    assert(v2Removes.nonEmpty, "the DV swap must remove the old logical file")
+    def dvKey(n: com.fasterxml.jackson.databind.JsonNode) = {
+      val d = n.get("deletionVector")
+      (n.get("path").asText(), d.get("pathOrInlineDv").asText(),
+        d.get("offset").asInt())
+    }
+    val addKeys = v1Adds.map(dvKey).toSet
+    v2Removes.foreach { r =>
+      assert(addKeys.contains(dvKey(r)),
+        s"remove descriptor must match the v1 add: ${dvKey(r)}")
+    }
+  }
+
+  test("history export from a mid version: commit 0 is the snapshot AS " +
+       "OF fromVersion, the tail follows, and txn markers cross as " +
+       "Delta txn actions") {
+    val t = ManagedTable.create(
+      spark.range(100).select(col("id").as("k"), col("id").as("v")),
+      tmpDir("dxph3"))                                              // v0
+    t.append(spark.range(100, 150).select(col("id").as("k"),
+      col("id").as("v")))                                           // v1
+    t.append(spark.range(150, 160).select(col("id").as("k"),
+      col("id").as("v")), txn = Some(("writerA", 7L)))              // v2
+    t.delete("k < 10")                                              // v3
+    val target = tmpDir("dxph3_delta")
+    t.exportDelta(target, fromVersion = 1L)
+    // Delta versions 0..2 map to graft versions 1..3
+    (0L to 2L).foreach { dv =>
+      val back = DeltaImport.toDF(spark, target, versionAsOf = dv)
+      val src = t.toDF(dv + 1)
+      assert(back.exceptAll(src).isEmpty && src.exceptAll(back).isEmpty,
+        s"delta v$dv must equal graft v${dv + 1}")
+    }
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    // graft v2's txn marker rides delta commit 1 as a txn action
+    val c1 = java.nio.file.Files.readString(java.nio.file.Paths.get(
+        target, "_delta_log", f"${1L}%020d.json"))
+      .linesIterator.map(mapper.readTree).toSeq
+    val txns = c1.filter(_.has("txn")).map(_.get("txn"))
+    assert(txns.map(x => (x.get("appId").asText(), x.get("version").asLong()))
+      == Seq(("writerA", 7L)),
+      "the idempotent-writer marker must cross as a Delta txn action")
+    // commit 0 carries the marker state as of the base? no marker existed
+    // at graft v1, so commit 0 has none
+    val c0 = java.nio.file.Files.readString(java.nio.file.Paths.get(
+        target, "_delta_log", f"${0L}%020d.json"))
+      .linesIterator.map(mapper.readTree).toSeq
+    assert(!c0.exists(_.has("txn")))
+    // requesting a version outside the exported log fails loud
+    val e = intercept[IllegalArgumentException](
+      DeltaImport.toDF(spark, target, versionAsOf = 9L))
+    assert(e.getMessage.contains("not in"), e.getMessage)
+  }
+
   test("non-empty target refuses; hard links share bytes with the source") {
     val t = ManagedTable.create(
       spark.range(10).select(col("id").as("k")), tmpDir("dxp5"))
