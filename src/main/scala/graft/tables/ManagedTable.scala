@@ -2504,6 +2504,126 @@ final class ManagedTable private (val spark: SparkSession, val location: String)
         actions.result().mkString("\n"))
       prev = e
     }
+    // CLASSIC CHECKPOINT at the head version (multi-commit exports
+    // only): without it a consumer snapshots by replaying EVERY json
+    // commit — O(history) at read time, the thing that makes a 10k-commit
+    // export unusable. The checkpoint parquet holds the final live state
+    // (protocol + metaData + one add per live logical file with its DV
+    // descriptor and stats, dataChange=false per PROTOCOL.md, + the
+    // latest txn per appId); `_last_checkpoint` advertises it. Time
+    // travel BELOW the checkpoint still replays the retained json tail
+    // (checkpoints are snapshots, not diffs).
+    if (entries.size > 1) {
+      val last = entries.last
+      val headV = (entries.size - 1).toLong
+      val stats = statsFn(last.schema, last.partitionColumns)
+      val cfg = last.properties.filterNot(_._1.startsWith("graft.")) ++
+        (if (anyDv) Map("delta.enableDeletionVectors" -> "true")
+         else Map.empty[String, String])
+      val txns = last.properties.toSeq.collect {
+        case (pk, pv) if pk.startsWith("graft.txn.") =>
+          (pk.stripPrefix("graft.txn."), pv.toLong)
+      }.sortBy(_._1)
+      import org.apache.spark.sql.Row
+      val dvType = StructType(Seq(
+        StructField("storageType", StringType),
+        StructField("pathOrInlineDv", StringType),
+        StructField("offset", IntegerType),
+        StructField("sizeInBytes", IntegerType),
+        StructField("cardinality", LongType)))
+      val cpSchema = StructType(Seq(
+        StructField("txn", StructType(Seq(
+          StructField("appId", StringType),
+          StructField("version", LongType),
+          StructField("lastUpdated", LongType)))),
+        StructField("add", StructType(Seq(
+          StructField("path", StringType),
+          StructField("partitionValues",
+            org.apache.spark.sql.types.MapType(StringType, StringType)),
+          StructField("size", LongType),
+          StructField("modificationTime", LongType),
+          StructField("dataChange", org.apache.spark.sql.types.BooleanType),
+          StructField("stats", StringType),
+          StructField("deletionVector", dvType))),
+        ),
+        StructField("metaData", StructType(Seq(
+          StructField("id", StringType),
+          StructField("format", StructType(Seq(
+            StructField("provider", StringType),
+            StructField("options",
+              org.apache.spark.sql.types.MapType(StringType, StringType))))),
+          StructField("schemaString", StringType),
+          StructField("partitionColumns",
+            org.apache.spark.sql.types.ArrayType(StringType)),
+          StructField("configuration",
+            org.apache.spark.sql.types.MapType(StringType, StringType)),
+          StructField("createdTime", LongType)))),
+        StructField("protocol", StructType(Seq(
+          StructField("minReaderVersion", IntegerType),
+          StructField("minWriterVersion", IntegerType),
+          StructField("readerFeatures",
+            org.apache.spark.sql.types.ArrayType(StringType)),
+          StructField("writerFeatures",
+            org.apache.spark.sql.types.ArrayType(StringType)))))))
+      def partValuesMap(f: FileStat): Map[String, String] = {
+        val leaf = ManagedTable.leafSuffix(f.leafDir)
+        if (leaf.isEmpty) Map.empty
+        else leaf.split('/').filter(_.nonEmpty).map { seg =>
+          val i = seg.indexOf('=')
+          val raw = seg.substring(i + 1)
+          seg.substring(0, i) ->
+            (if (raw == "__HIVE_DEFAULT_PARTITION__") null
+             else FileStats.unescapePath(raw))
+        }.toMap
+      }
+      val protoRow =
+        if (anyDv) Row(3, 7, Seq("deletionVectors"), Seq("deletionVectors"))
+        else Row(1, 2, null, null)
+      val metaRow = Row(tableId, Row("parquet", Map.empty[String, String]),
+        last.schema.json, last.partitionColumns, cfg,
+        entries.head.timestampMs)
+      val rows = Seq(
+        Row(null, null, null, protoRow),
+        Row(null, null, metaRow, null)) ++
+        txns.map { case (app, v) =>
+          Row(Row(app, v, last.timestampMs), null, null, null) } ++
+        last.files.map { f =>
+          val dvRow = f.dv.flatMap(ref => dvDesc.get((f.path, ref))).map {
+            case (payload, fr) =>
+              Row("u", payload, fr.offset, fr.sizeInBytes, fr.cardinality)
+          }.orNull
+          val statsStr = f.dv.flatMap(ref => dvDesc.get((f.path, ref))) match {
+            case Some(_) =>
+              val sn = mapper.readTree(stats(f))
+                .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+              sn.put("tightBounds", false)
+              mapper.writeValueAsString(sn)
+            case None => stats(f)
+          }
+          Row(null, Row(encPath(f), partValuesMap(f), f.bytes,
+            Files.getLastModifiedTime(dataDir.resolve(f.path)).toMillis,
+            false, statsStr, dvRow), null, null)
+        }
+      // the writer emits a directory; the checkpoint must be ONE file at
+      // the exact protocol name — write then move the single part file
+      val tmpDirPath = root.resolve(s".cp-tmp-${UUID.randomUUID()}")
+      spark.createDataFrame(
+          spark.sparkContext.parallelize(rows, 1), cpSchema)
+        .coalesce(1).write.parquet(tmpDirPath.toString)
+      val part = {
+        val s = Files.list(tmpDirPath)
+        try s.iterator().asScala
+          .filter(_.getFileName.toString.endsWith(".parquet")).toSeq.head
+        finally s.close()
+      }
+      Files.move(part, logDir.resolve(f"$headV%020d.checkpoint.parquet"))
+      val ds = Files.list(tmpDirPath)
+      try ds.iterator().asScala.toSeq.foreach(Files.deleteIfExists(_))
+      finally ds.close()
+      Files.deleteIfExists(tmpDirPath)
+      Files.writeString(logDir.resolve("_last_checkpoint"),
+        s"""{"version":$headV,"size":${rows.size}}""")
+    }
     exported
   }
 }

@@ -285,6 +285,40 @@ class DeltaExportSpec extends SparkSpec {
     assert(e.getMessage.contains("not in"), e.getMessage)
   }
 
+  test("history export writes a classic checkpoint: the parquet alone " +
+       "reconstructs the head state after the json tail is cleaned up") {
+    val t = ManagedTable.create(
+      spark.range(200).select(col("id").as("k"), (col("id") % 3).as("v")),
+      tmpDir("dxpcp"), properties = Map(ManagedTable.dvPropKey -> "true"))
+    t.append(spark.range(200, 260).select(col("id").as("k"),
+      (col("id") % 3).as("v")))                                     // v1
+    t.delete("k < 30")                                              // v2: DV
+    val target = tmpDir("dxpcp_delta")
+    t.exportDelta(target, fromVersion = 0L)
+    val logDir = java.nio.file.Paths.get(target, "_delta_log")
+    val headV = 2L
+    assert(java.nio.file.Files.isRegularFile(
+      logDir.resolve(f"$headV%020d.checkpoint.parquet")))
+    assert(java.nio.file.Files.isRegularFile(logDir.resolve("_last_checkpoint")))
+    // snapshot through the advertised checkpoint equals the source
+    val viaCp = DeltaImport.toDF(spark, target)
+    assert(viaCp.exceptAll(t.toDF).isEmpty && t.toDF.exceptAll(viaCp).isEmpty)
+    // Delta log cleanup deletes json commits once checkpointed — the
+    // checkpoint must be self-sufficient (protocol + metaData + DV'd
+    // adds + stats), exactly what a reader sees on an aged table
+    (0L to headV).foreach { v =>
+      java.nio.file.Files.delete(logDir.resolve(f"$v%020d.json")); ()
+    }
+    val aged = DeltaImport.toDF(spark, target)
+    assert(aged.exceptAll(t.toDF).isEmpty && t.toDF.exceptAll(aged).isEmpty,
+      "the checkpoint alone must reconstruct the head state")
+    // single-commit exports stay minimal: no checkpoint artifacts
+    val single = tmpDir("dxpcp_single")
+    t.exportDelta(single)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(
+      single, "_delta_log", "_last_checkpoint")))
+  }
+
   test("non-empty target refuses; hard links share bytes with the source") {
     val t = ManagedTable.create(
       spark.range(10).select(col("id").as("k")), tmpDir("dxp5"))
