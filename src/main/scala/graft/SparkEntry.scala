@@ -876,6 +876,31 @@ object SparkEntry {
             (acc, x) => acc + x.cast("long"))).as("ids_sum"))
     }),
 
+    // ADDED-TOKEN atomicity end-to-end (HF AddedToken semantics): each
+    // document becomes "<text><|endoftext|><text>"; with addedTokens the
+    // literal is ONE id and the two text segments tokenize independently,
+    // so per doc n_special = 2*n_plain + 1 — the per-source sums obey
+    // n_tokens_special = 2*n_tokens_plain + n_docs, and the golden
+    // literal pins the atomic count through the codegen'd scan. Without
+    // the option the literal would shatter into ~7 BPE pieces.
+    "token_bpe_special" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val fitted = text.Gpt2Bpe.fit(docs, "text", numMerges = 200)
+      val model = text.Gpt2Bpe.load(
+        text.Gpt2Bpe.exportVocabJson(fitted),
+        text.Gpt2Bpe.exportMergesTxt(fitted))
+      val eot = "<|endoftext|>"
+      docs.select(col("source"),
+          text.Gpt2Bpe.tokenCount(
+            concat(col("text"), lit(eot), col("text")), model, Seq(eot))
+            .as("__n_special"),
+          text.Gpt2Bpe.tokenCount(col("text"), model).as("__n_plain"))
+        .groupBy("source").agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("__n_special")).cast("long").as("n_tokens_special"),
+          sum(col("__n_plain")).cast("long").as("n_tokens_plain"))
+    }),
+
     // token-budget chunking over REAL ids: the encoded documents split
     // into 32-token windows with 8-token overlap (TextChunker.chunkIds —
     // the max-sequence-length split a training pipeline runs in TOKENS,
@@ -1560,7 +1585,7 @@ object SparkEntry {
     */
   private val sf001OnlyOracles: Set[String] =
     Set("dedup_simhash", "token_bpe", "token_bpe_ids", "token_chunks_ids",
-      "token_bpe_pretrained")
+      "token_bpe_pretrained", "token_bpe_special")
 
   /** The oracle map as it applies to `sfDir`: golden-literal entries are
     * dropped unless the data dir is the sf0.01 set they were pinned on.
@@ -1948,6 +1973,36 @@ object SparkEntry {
 
     // GOLDEN LITERAL pinned at sf0.01 (see token_bpe_ids): window
     // arithmetic + id checksums of the 32/8 chunking of the encoded docs
+    // ADDED-TOKEN golden (sf0.01): the relation n_tokens_special =
+    // 2*n_tokens_plain + n_docs holds per source because the injected
+    // '<|endoftext|>' is ONE atomic id and segments tokenize
+    // independently; the literal pins the whole path through codegen
+    "token_bpe_special" ->
+      """SELECT source, CAST(d AS BIGINT) AS n_docs,
+        |       CAST(ns AS BIGINT) AS n_tokens_special,
+        |       CAST(np AS BIGINT) AS n_tokens_plain
+        |FROM (VALUES
+        |  ('src0', 25, 2895, 1435),
+        |  ('src1', 25, 3105, 1540),
+        |  ('src10', 25, 2631, 1303),
+        |  ('src11', 25, 3069, 1522),
+        |  ('src12', 25, 2569, 1272),
+        |  ('src13', 25, 3131, 1553),
+        |  ('src14', 25, 2661, 1318),
+        |  ('src15', 25, 2621, 1298),
+        |  ('src16', 25, 2727, 1351),
+        |  ('src17', 25, 2771, 1373),
+        |  ('src18', 25, 2753, 1364),
+        |  ('src19', 25, 2319, 1147),
+        |  ('src2', 25, 2839, 1407),
+        |  ('src3', 25, 2793, 1384),
+        |  ('src4', 25, 2613, 1294),
+        |  ('src5', 25, 2683, 1329),
+        |  ('src6', 25, 2557, 1266),
+        |  ('src7', 25, 3039, 1507),
+        |  ('src8', 25, 2297, 1136),
+        |  ('src9', 25, 2757, 1366)) t(source, d, ns, np)""".stripMargin,
+
     "token_chunks_ids" ->
       """SELECT source, CAST(c AS BIGINT) AS n_chunks,
         |       CAST(n AS BIGINT) AS n_tokens, CAST(i AS BIGINT) AS ids_sum
