@@ -228,16 +228,21 @@ object DeltaImport {
       finally s.close()
     }
     val jsonVersions = allJsonVersions.filter(_ <= versionAsOf)
+    val advertisedCp = Option(logDir.resolve("_last_checkpoint"))
+      .filter(Files.isRegularFile(_))
+      .map(p => mapper.readTree(Files.readString(p)))
     if (versionAsOf != Long.MaxValue)
-      require(jsonVersions.lastOption.contains(versionAsOf),
+      // a version that exists only as the advertised checkpoint (its
+      // json tail cleaned up) is still fully servable from the
+      // checkpoint alone — real Delta engines do exactly that
+      require(jsonVersions.lastOption.contains(versionAsOf) ||
+          advertisedCp.exists(_.get("version").asLong() == versionAsOf),
         s"version $versionAsOf is not in $tablePath's log (json versions " +
           s"present: ${allJsonVersions.mkString(", ")})")
 
     // checkpoint baseline (if advertised AND within the bound), then the
     // JSON tail
-    val lastCp = Option(logDir.resolve("_last_checkpoint"))
-      .filter(Files.isRegularFile(_))
-      .map(p => mapper.readTree(Files.readString(p)))
+    val lastCp = advertisedCp
       .filter { n =>
         val ok = n.get("version").asLong() <= versionAsOf
         if (!ok) require(jsonVersions.headOption.contains(0L),

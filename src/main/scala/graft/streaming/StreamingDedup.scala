@@ -324,7 +324,12 @@ object StreamingDedup {
       val sigRows = novelSigs
         .select(col(idCol), col(HH), spOf(idCol, parts).as("__sp"))
         .repartition(parts, col("__sp"))
-      val sigsStaged = timed("sigs-stage")(index.sigs.stageAppend(sigRows))
+      // the staging write can throw (it is a real Spark job) — capture
+      // it, NEVER rethrow before the barrier below, or the in-flight
+      // out/buckets appends would race a retried batch on the same
+      // table/txn
+      val sigsStagedT = scala.util.Try(
+        timed("sigs-stage")(index.sigs.stageAppend(sigRows)))
       // barrier BEFORE the sigs commit. Await BOTH futures even when one
       // fails — a rethrow that leaves the sibling append in flight would
       // let a retried batch race the orphan on the same table/txn — then
@@ -332,7 +337,7 @@ object StreamingDedup {
       val outR = scala.util.Try(Await.result(outF, Duration.Inf))
       val bucketsR = scala.util.Try(Await.result(bucketsF, Duration.Inf))
       outR.get; bucketsR.get
-      timed("sigs-commit")(index.sigs.appendStaged(sigRows, sigsStaged,
+      timed("sigs-commit")(index.sigs.appendStaged(sigRows, sigsStagedT.get,
         txn = Some(txn)))
       // 5. bound index fragmentation (one commit dir per batch otherwise).
       // The floor scales with the partition count: a `parts`-way

@@ -2280,21 +2280,29 @@ final class ManagedTable private (val spark: SparkSession, val location: String)
     }
     def encPath(f: FileStat): String =
       relOf(f).split('/').map(encSeg).mkString("/")
+    // one decoder for `k=v` segments, shared by json actions and the
+    // checkpoint writer (value null = __HIVE_DEFAULT_PARTITION__).
+    // FileStats.unescapePath is the exact inverse of Spark's
+    // escapePathName; URLDecoder is NOT (it would turn a literal '+' —
+    // unescaped by Spark — into a space)
+    def partValuesOf(f: FileStat): Seq[(String, String)] = {
+      val leaf = ManagedTable.leafSuffix(f.leafDir)
+      if (leaf.isEmpty) Nil
+      else leaf.split('/').filter(_.nonEmpty).toSeq.map { seg =>
+        val i = seg.indexOf('=')
+        require(i > 0, s"non-hive partition segment in $leaf")
+        val raw = seg.substring(i + 1)
+        seg.substring(0, i) ->
+          (if (raw == "__HIVE_DEFAULT_PARTITION__") null
+           else FileStats.unescapePath(raw))
+      }
+    }
     def fillPartValues(
         holder: com.fasterxml.jackson.databind.node.ObjectNode,
         f: FileStat): Unit = {
       val pv = holder.putObject("partitionValues")
-      val leaf = ManagedTable.leafSuffix(f.leafDir)
-      if (leaf.nonEmpty) leaf.split('/').filter(_.nonEmpty).foreach { seg =>
-        val i = seg.indexOf('=')
-        require(i > 0, s"non-hive partition segment in $leaf")
-        val k = seg.substring(0, i)
-        val raw = seg.substring(i + 1)
-        if (raw == "__HIVE_DEFAULT_PARTITION__") { pv.putNull(k); () }
-        // FileStats.unescapePath is the exact inverse of Spark's
-        // escapePathName; URLDecoder is NOT (it would turn a literal
-        // '+' — unescaped by Spark — into a space)
-        else { pv.put(k, FileStats.unescapePath(raw)); () }
+      partValuesOf(f).foreach { case (k, v) =>
+        if (v == null) { pv.putNull(k); () } else { pv.put(k, v); () }
       }
     }
     // per-commit-schema stats serializer (numRecords + min/max)
@@ -2452,8 +2460,12 @@ final class ManagedTable private (val spark: SparkSession, val location: String)
             prev.files.filterNot(f => curKeys(key(f))))
         }
       // OPTIMIZE rewrites rows-unchanged: dataChange=false lets Delta
-      // streams skip the commit, exactly as graft's own source does
-      val dataChange = e.operation != "OPTIMIZE"
+      // streams skip the commit, exactly as graft's own source does.
+      // The BASE commit is a full snapshot regardless of which graft
+      // operation happened to commit it last — a base anchored on an
+      // OPTIMIZE must still stream its rows, so only TAIL commits
+      // consult the operation.
+      val dataChange = isBase || e.operation != "OPTIMIZE"
       encodeDvPayload(added.flatMap(f => f.dv.map(f.path -> _)))
       val stats = statsFn(e.schema, e.partitionColumns)
       removed.foreach { f =>
@@ -2565,17 +2577,6 @@ final class ManagedTable private (val spark: SparkSession, val location: String)
             org.apache.spark.sql.types.ArrayType(StringType)),
           StructField("writerFeatures",
             org.apache.spark.sql.types.ArrayType(StringType)))))))
-      def partValuesMap(f: FileStat): Map[String, String] = {
-        val leaf = ManagedTable.leafSuffix(f.leafDir)
-        if (leaf.isEmpty) Map.empty
-        else leaf.split('/').filter(_.nonEmpty).map { seg =>
-          val i = seg.indexOf('=')
-          val raw = seg.substring(i + 1)
-          seg.substring(0, i) ->
-            (if (raw == "__HIVE_DEFAULT_PARTITION__") null
-             else FileStats.unescapePath(raw))
-        }.toMap
-      }
       val protoRow =
         if (anyDv) Row(3, 7, Seq("deletionVectors"), Seq("deletionVectors"))
         else Row(1, 2, null, null)
@@ -2600,7 +2601,7 @@ final class ManagedTable private (val spark: SparkSession, val location: String)
               mapper.writeValueAsString(sn)
             case None => stats(f)
           }
-          Row(null, Row(encPath(f), partValuesMap(f), f.bytes,
+          Row(null, Row(encPath(f), partValuesOf(f).toMap, f.bytes,
             Files.getLastModifiedTime(dataDir.resolve(f.path)).toMillis,
             false, statsStr, dvRow), null, null)
         }

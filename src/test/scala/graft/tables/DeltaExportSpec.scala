@@ -200,6 +200,18 @@ class DeltaExportSpec extends SparkSpec {
       .filter(_.has("add")).toSeq
     assert(appAdds.nonEmpty && appAdds.forall(
       _.get("add").get("dataChange").asBoolean()))
+    // a BASE commit anchored on an OPTIMIZE is still a full snapshot: a
+    // Delta stream tailing the export from scratch must receive its
+    // rows, so the base's adds are dataChange=true regardless of the
+    // source operation (only tail commits consult it)
+    val optBase = tmpDir("dxph1_optbase")
+    t.exportDelta(optBase, fromVersion = 3L) // graft v3 == OPTIMIZE
+    val baseAdds = java.nio.file.Files.readString(java.nio.file.Paths.get(
+        optBase, "_delta_log", f"${0L}%020d.json"))
+      .linesIterator.map(mapper.readTree).filter(_.has("add")).toSeq
+    assert(baseAdds.nonEmpty && baseAdds.forall(
+      _.get("add").get("dataChange").asBoolean()),
+      "an OPTIMIZE-anchored base must still export dataChange=true adds")
   }
 
   test("history export: DV-carrying DML in the tail time-travels, and " +
@@ -312,6 +324,14 @@ class DeltaExportSpec extends SparkSpec {
     val aged = DeltaImport.toDF(spark, target)
     assert(aged.exceptAll(t.toDF).isEmpty && t.toDF.exceptAll(aged).isEmpty,
       "the checkpoint alone must reconstruct the head state")
+    // time travel TO the checkpointed version itself is served from the
+    // checkpoint even with the json tail gone (what real engines do)
+    val agedAt = DeltaImport.toDF(spark, target, versionAsOf = headV)
+    assert(agedAt.exceptAll(t.toDF).isEmpty && t.toDF.exceptAll(agedAt).isEmpty)
+    // versions BELOW the checkpoint are genuinely unreachable now
+    val e = intercept[IllegalArgumentException](
+      DeltaImport.toDF(spark, target, versionAsOf = 0L))
+    assert(e.getMessage.contains("not in"), e.getMessage)
     // single-commit exports stay minimal: no checkpoint artifacts
     val single = tmpDir("dxpcp_single")
     t.exportDelta(single)
