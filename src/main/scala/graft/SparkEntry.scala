@@ -981,6 +981,20 @@ object SparkEntry {
         text.Boilerplate.segmentsByWords(col("text"), 10), minDocs = 2)
     }),
 
+    // exact-substring dedup (Lee et al. 2021 ExactSubstr, duplicated
+    // k-window approximation): maximal char spans every k-window of
+    // which occurs verbatim >= 2 times corpus-wide are struck from the
+    // text — the sub-segment complement of dedup_boilerplate (raw
+    // offsets, no segmentation assumption). k=30 ≈ a 6-word clause at
+    // this corpus's word lengths
+    "dedup_substring" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      text.SubstrDedup.strip(docs, "doc_id", "text", k = 30)
+        .select(col("doc_id"), col("text").as("clean"),
+          col("n_spans"), col("dup_chars"),
+          length(col("text")).cast("long").as("n_clean"))
+    }),
+
     // PII scrubbing (the corpus has no organic PII, so deterministic
     // doc-derived contact lines are seeded IDENTICALLY here and in the
     // oracle): per-category counts from the raw text, then the chained
@@ -2228,6 +2242,60 @@ object SparkEntry {
         |FROM documents d
         |LEFT JOIN agg a USING (doc_id)
         |LEFT JOIN tot t2 USING (doc_id)""".stripMargin,
+
+    // same 30-char windows keyed by the literal substring (the Spark
+    // side keys by a 64-bit rolling hash — injective on this corpus),
+    // same >= 2 total-occurrence rule, same gap->k interval union,
+    // clean text rebuilt from the between-span gaps + tail
+    "dedup_substring" ->
+      """WITH pe AS (
+        |  SELECT doc_id, text,
+        |    unnest(range(0, greatest(length(text) - 29, 0))) AS pos
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id, pos, substr(text, pos + 1, 30) AS g FROM pe),
+        |dup AS (SELECT g FROM grams GROUP BY g HAVING count(*) >= 2),
+        |hits AS (
+        |  SELECT doc_id, pos FROM grams WHERE g IN (SELECT g FROM dup)),
+        |flagged AS (
+        |  SELECT doc_id, pos,
+        |    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+        |              > 30 THEN 1 ELSE 0 END AS brk
+        |  FROM hits),
+        |isl AS (
+        |  SELECT doc_id, pos,
+        |    sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        |  FROM flagged),
+        |spans AS (
+        |  SELECT doc_id, min(pos) AS s, max(pos) + 30 AS e
+        |  FROM isl GROUP BY doc_id, grp),
+        |gaps AS (
+        |  SELECT doc_id, s,
+        |    coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY s), 0) AS pv
+        |  FROM spans),
+        |pieces AS (
+        |  SELECT g2.doc_id, g2.s AS ord,
+        |    substr(d.text, g2.pv + 1, g2.s - g2.pv) AS piece
+        |  FROM gaps g2 JOIN documents d USING (doc_id)
+        |  UNION ALL
+        |  SELECT t2.doc_id, 2147483647,
+        |    substr(d.text, t2.le + 1, length(d.text) - t2.le)
+        |  FROM (SELECT doc_id, max(e) AS le FROM spans GROUP BY doc_id) t2
+        |  JOIN documents d USING (doc_id)),
+        |agg AS (
+        |  SELECT doc_id, string_agg(piece, '' ORDER BY ord) AS clean
+        |  FROM pieces GROUP BY doc_id),
+        |st AS (
+        |  SELECT doc_id, count(*) AS n_spans, sum(e - s) AS dup_chars
+        |  FROM spans GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  coalesce(a.clean, d.text) AS clean,
+        |  CAST(coalesce(st.n_spans, 0) AS BIGINT) AS n_spans,
+        |  CAST(coalesce(st.dup_chars, 0) AS BIGINT) AS dup_chars,
+        |  CAST(length(coalesce(a.clean, d.text)) AS BIGINT) AS n_clean
+        |FROM documents d
+        |LEFT JOIN agg a USING (doc_id)
+        |LEFT JOIN st USING (doc_id)""".stripMargin,
 
     // same seeding, same pattern strings (java.util.regex and RE2 agree
     // on every construct used), same pass order — byte-identical output

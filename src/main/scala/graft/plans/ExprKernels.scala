@@ -213,6 +213,39 @@ object ExprKernels {
     hashSetToArray(out)
   }
 
+  /** POSITIONAL k-gram hashes over the RAW text (see [[KgramHashes]]):
+    * element i is a 64-bit hash of chars [i, i+k) of the input, so
+    * equal substrings anywhere in the corpus collide on purpose and the
+    * index maps straight back to a character offset for span surgery.
+    * Unlike [[charNgramHashes]] there is no normalization and no
+    * dedup — offsets are the whole point. A polynomial rolling hash
+    * (mod 2⁶⁴, FNV prime) updates in O(1) per position — O(n) per
+    * document, not O(n·k) — with splitmix finalization for dispersion;
+    * the rolling state itself is never emitted. Texts shorter than k
+    * yield an empty array (no window fits — nothing to match).
+    */
+  def kgramHashes(input: UTF8String, k: Int): ArrayData = {
+    val s = input.toString
+    val n = s.length - k + 1
+    if (n <= 0) return new GenericArrayData(Array.empty[Long])
+    val out = new Array[Long](n)
+    val P = 0x100000001B3L
+    var pk = 1L
+    var i = 0
+    while (i < k - 1) { pk *= P; i += 1 }
+    var h = 0L
+    i = 0
+    while (i < k) { h = h * P + s.charAt(i); i += 1 }
+    out(0) = mix64(h)
+    i = 1
+    while (i < n) {
+      h = (h - s.charAt(i - 1) * pk) * P + s.charAt(i + k - 1)
+      out(i) = mix64(h)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** One-pass 64-bit simhash (see [[SimHash64]]). */
   def simhash64(input: ArrayData): Long = {
     val n = input.numElements()

@@ -53,6 +53,12 @@ object expressions {
   def char_ngram_hashes(text: Column, n: Int): Column =
     column(CharNgramHashes(expression(text), n))
 
+  /** POSITIONAL raw-text k-gram hashes — element i hashes chars
+    * [i, i+k) (see [[KgramHashes]]; the exact-substring-dedup primitive).
+    */
+  def kgram_hashes(text: Column, k: Int): Column =
+    column(KgramHashes(expression(text), k))
+
   /** 64-bit simhash of an `array<bigint>` of token hashes. */
   def simhash64(hashes: Column): Column = column(SimHash64(expression(hashes)))
 
@@ -267,6 +273,32 @@ case class CharNgramHashes(child: Expression, n: Int)
       s"${ev.value} = graft.plans.ExprKernels.charNgramHashes($c, $n);")
 
   override protected def withNewChildInternal(c: Expression): CharNgramHashes =
+    copy(child = c)
+}
+
+/** Text → positional hashes of every raw k-char window: element i is a
+  * 64-bit hash of chars [i, i+k), rolling-updated in O(1) per position.
+  * No normalization, no dedup — `posexplode` of the result gives exact
+  * (offset, window-hash) pairs, the primitive behind cross-document
+  * exact-substring dedup ([[graft.text.SubstrDedup]]). Texts shorter
+  * than k yield an empty array.
+  */
+case class KgramHashes(child: Expression, k: Int)
+    extends UnaryExpression {
+  require(k >= 2, s"k-gram width must be >= 2, got $k")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes() =
+    expressions.stringCheck(child, "kgram_hashes")
+
+  override def nullSafeEval(input: Any): Any =
+    ExprKernels.kgramHashes(input.asInstanceOf[UTF8String], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.ExprKernels.kgramHashes($c, $k);")
+
+  override protected def withNewChildInternal(c: Expression): KgramHashes =
     copy(child = c)
 }
 

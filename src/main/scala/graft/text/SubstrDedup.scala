@@ -1,0 +1,128 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, IntegerType, StructField, StructType}
+
+import graft.plans.expressions.kgram_hashes
+
+/** Cross-document EXACT substring deduplication (Lee et al. 2021,
+  * "Deduplicating Training Data Makes Language Models Better" —
+  * ExactSubstr): a character span that occurs verbatim elsewhere in the
+  * corpus (in another document, or again in the same one) is marked and
+  * can be surgically removed, keeping the rest of the document intact.
+  * This is the finest-grained member of the dedup family: whole-document
+  * ([[MinHashDedup]] et al.) drops copies of a document,
+  * [[Boilerplate]] strips repeated SEGMENTS (paragraph/window
+  * granularity), this strips repeated RAW SPANS with no segmentation
+  * assumption at all — the memorization-risk case the paper measures.
+  *
+  * The paper builds a corpus-wide suffix array; that is a sequential
+  * O(total-bytes) data structure with no good distributed analog. The
+  * Spark-first equivalent marks the union of duplicated k-windows:
+  * every k-char window of every document is hashed positionally
+  * ([[graft.plans.KgramHashes]], rolling O(1)/position), windows whose
+  * hash occurs >= minCount times corpus-wide are "covered", and
+  * overlapping/touching covered windows coalesce into maximal spans.
+  * Every character of a marked span lies in at least one k-window that
+  * occurs >= minCount times — for minLength = k this finds exactly the
+  * duplicated substrings of length >= k (a substring of length >= k is
+  * duplicated iff each of its k-windows is, up to 2⁻⁶⁴ hash collisions).
+  *
+  * Scale shape (no strings ever shuffle):
+  *
+  *  1. one codegen'd scan hashes all windows (rolling, O(chars));
+  *  2. the covered-window set via `groupBy(hash).count` — the only
+  *     all-instances pass, shuffling 8-byte hashes with map-side
+  *     partial aggregation;
+  *  3. a semi-join of (doc, pos, hash) against that set (AQE broadcasts
+  *     it — post-filter it is the duplicated residue, small relative to
+  *     the corpus);
+  *  4. span coalescing per document: two `Window` passes over
+  *     (doc, pos) — ONE shuffle keyed by doc id, offsets only;
+  *  5. [[strip]] joins the span lists (bounded: spans are disjoint, so
+  *     <= len/k per doc) back to the input and rebuilds the text
+  *     map-side — each document's bytes are touched exactly twice
+  *     (hash scan, rebuild), never shuffled.
+  */
+object SubstrDedup {
+
+  private val emptySpans = array().cast(ArrayType(StructType(Seq(
+    StructField("start", IntegerType, nullable = false),
+    StructField("end", IntegerType, nullable = false))), containsNull = false))
+
+  /** Per-document duplicated spans: one row per input row with `idCol`,
+    * `spans` (sorted, disjoint `array<struct<start,end>>` of 0-based
+    * char offsets, end exclusive; empty when nothing is duplicated),
+    * `n_spans`, and `dup_chars` (total chars covered). A span is the
+    * maximal union of k-char windows whose window occurs >= `minCount`
+    * times in the corpus (all occurrences count, so a string repeated
+    * within one document is a duplicate of itself — the paper's
+    * self-repeat case). NULL text carries empty spans.
+    */
+  def markSpans(df: DataFrame, idCol: String, textCol: String, k: Int,
+                minCount: Int = 2): DataFrame = {
+    require(minCount >= 2, s"minCount < 2 marks every span, got $minCount")
+    val grams = df
+      .select(col(idCol), posexplode(kgram_hashes(col(textCol), k))
+        .as(Seq("__pos", "__h")))
+    val covered = grams
+      .groupBy("__h").agg(count(lit(1)).as("__n"))
+      .filter(col("__n") >= minCount)
+      .select("__h")
+    val hits = grams.join(covered, Seq("__h"), "left_semi")
+    // interval union: windows [pos, pos+k) overlap or touch exactly when
+    // the position gap is <= k, so a gap > k starts a new island
+    val byPos = Window.partitionBy(idCol).orderBy("__pos")
+    val spans = hits
+      .withColumn("__brk",
+        when(col("__pos") - lag("__pos", 1).over(byPos) > k, 1).otherwise(0))
+      .withColumn("__grp", sum("__brk").over(byPos))
+      .groupBy(col(idCol), col("__grp"))
+      .agg(min("__pos").as("start"), (max("__pos") + k).as("end"))
+      .groupBy(col(idCol))
+      .agg(
+        sort_array(collect_list(struct(col("start"), col("end"))))
+          .as("spans"),
+        count(lit(1)).as("n_spans"),
+        sum(col("end") - col("start")).cast("long").as("dup_chars"))
+    df.select(col(idCol))
+      .join(spans, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("spans"), emptySpans).as("spans"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("dup_chars"), lit(0L)).as("dup_chars"))
+  }
+
+  /** Strip every duplicated span: one row per input row with all input
+    * columns, `textCol` REPLACED by the text with marked spans removed
+    * (characters outside spans, original order; "" when everything was
+    * duplicated; NULL text stays NULL), plus `n_spans` / `dup_chars`.
+    */
+  def strip(df: DataFrame, idCol: String, textCol: String, k: Int,
+            minCount: Int = 2): DataFrame = {
+    val marked = markSpans(df, idCol, textCol, k, minCount)
+    val others = df.columns.filter(c => c != idCol && c != textCol)
+    // fold over the (sorted, disjoint) spans: emit [cursor, start), jump
+    // the cursor to end; finish with the tail. Driver-free map-side pass;
+    // span lists are bounded (<= len/k entries) so the interpreted HOF
+    // fold is noise next to the hash scan.
+    val t = col(textCol)
+    val clean = aggregate(
+      col("spans"),
+      struct(lit("").as("acc"), lit(0).as("cursor")),
+      (a, sp) => struct(
+        concat(a("acc"), t.substr(a("cursor") + 1, sp("start") - a("cursor")))
+          .as("acc"),
+        sp("end").as("cursor")),
+      a => concat(a("acc"), t.substr(a("cursor") + 1, length(t) - a("cursor"))))
+    df.join(marked, Seq(idCol))
+      .select(
+        col(idCol) +:
+          clean.as(textCol) +:
+          others.map(col) :+
+          col("n_spans") :+
+          col("dup_chars"): _*)
+  }
+}

@@ -639,6 +639,20 @@ object Drive {
       s"${g2PackAgg.getLong(0)} shards / ${g2PackAgg.getLong(1)} tokens " +
       s"(sep=<|endoftext|>)")
 
+    // --- exact substring dedup (ExactSubstr as duplicated-k-window
+    // union): mark + strip verbatim >= 30-char spans corpus-wide, then
+    // prove conservation (clean length + struck chars = original)
+    val ssd = graft.text.SubstrDedup.strip(
+      docs.select("doc_id", "text"), "doc_id", "text", k = 30)
+    val ssdAgg = ssd.agg(
+      sum(when(col("n_spans") > 0, 1).otherwise(0)),
+      sum("dup_chars"), sum(length(col("text")))).head()
+    val origChars = docs.agg(sum(length(col("text")))).head().getLong(0)
+    println(s"[56] exact-substring dedup (k=30): ${ssdAgg.getLong(0)} of " +
+      s"${docs.count()} docs carry duplicated spans; struck " +
+      s"${ssdAgg.getLong(1)} of $origChars chars; conservation " +
+      s"${ssdAgg.getLong(1) + ssdAgg.getLong(2) == origChars}")
+
     spark.stop()
   }
 }

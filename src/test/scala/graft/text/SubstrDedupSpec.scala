@@ -1,0 +1,126 @@
+package graft.text
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.plans.ExprKernels
+import graft.plans.expressions.kgram_hashes
+import org.apache.spark.unsafe.types.UTF8String
+
+class SubstrDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  // naive per-window recompute of the kernel's polynomial hash — the
+  // rolling update must be bit-for-bit equal to direct evaluation
+  private def directHashes(s: String, k: Int): Seq[Long] =
+    (0 to s.length - k).map { i =>
+      var h = 0L
+      var j = i
+      while (j < i + k) { h = h * 0x100000001B3L + s.charAt(j); j += 1 }
+      ExprKernels.mix64(h)
+    }
+
+  test("kernel: rolling hashes equal direct recompute, length n-k+1") {
+    val texts = Seq("abcdefghij", "aaaaaaaaaa", "xy zw xy zw xy", "ab")
+    for (t <- texts; k <- Seq(2, 3, 5)) {
+      val got = ExprKernels.kgramHashes(UTF8String.fromString(t), k).toLongArray()
+      val want = directHashes(t, k)
+      assert(got.toSeq == want, s"text='$t' k=$k")
+      assert(got.length == math.max(t.length - k + 1, 0))
+    }
+    // shorter than k → empty, not a whole-text fallback (offsets matter)
+    assert(ExprKernels.kgramHashes(UTF8String.fromString("abc"), 5)
+      .numElements() == 0)
+  }
+
+  test("kernel: equal substrings collide, offsets line up") {
+    val t = "the quick brown fox ... the quick brown dog"
+    val hs = ExprKernels.kgramHashes(UTF8String.fromString(t), 15).toLongArray()
+    // "the quick brown" at offsets 0 and 24
+    assert(hs(0) == hs(24))
+    assert(hs.count(_ == hs(0)) == 2)
+  }
+
+  // 40 DISTINCT chars — no periodicity, so the only colliding windows
+  // are the ones the test plants (separators around it differ per doc,
+  // keeping boundary-straddling windows unique)
+  private val shared = "abcdefghijklmnopqrstuvwxyz0123456789!@#$"
+
+  test("cross-document duplicated span is marked with exact offsets") {
+    val docs = Seq(
+      (1L, s"aaaa_${shared}_bbbb"),
+      (2L, s"cccc-cccc-$shared"),
+      (3L, "nothing in common here at all zzzz")
+    ).toDF("doc_id", "text")
+    val out = SubstrDedup.markSpans(docs, "doc_id", "text", k = 40)
+      .collect().map(r => r.getLong(0) ->
+        (r.getSeq[Row](1).map(s => (s.getInt(0), s.getInt(1))),
+          r.getLong(2), r.getLong(3))).toMap
+    assert(out(1L) == ((Seq((5, 45)), 1L, 40L)))
+    assert(out(2L) == ((Seq((10, 50)), 1L, 40L)))
+    assert(out(3L) == ((Seq.empty, 0L, 0L)))
+  }
+
+  test("a within-document repeat is a duplicate of itself") {
+    val docs = Seq(
+      (1L, "abcdefghijkl....abcdefghijkl"),
+      (2L, "unrelated text of some length")
+    ).toDF("doc_id", "text")
+    val out = SubstrDedup.markSpans(docs, "doc_id", "text", k = 12)
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[Row](1).map(s => (s.getInt(0), s.getInt(1)))).toMap
+    assert(out(1L) == Seq((0, 12), (16, 28)))
+    assert(out(2L) == Seq.empty)
+  }
+
+  test("overlapping covered windows coalesce into one maximal span") {
+    // doc 1 shares its first 10 chars with doc 2 and chars 5..15 with
+    // doc 3: the two covered regions overlap → ONE span [0, 15)
+    val docs = Seq(
+      (1L, "ABCDEFGHIJKLMNO one"),
+      (2L, "ABCDEFGHIJ two"),
+      (3L, "xy FGHIJKLMNO!three")
+    ).toDF("doc_id", "text")
+    val out = SubstrDedup.markSpans(docs, "doc_id", "text", k = 10)
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[Row](1).map(s => (s.getInt(0), s.getInt(1)))).toMap
+    assert(out(1L) == Seq((0, 15)))
+  }
+
+  test("strip removes exactly the spans, keeps other columns") {
+    val docs = Seq(
+      (1L, s"keepA_${shared}_keepB", "web"),
+      (2L, s"$shared-keepC", "book"),
+      (3L, "totally unique document body", "web")
+    ).toDF("doc_id", "text", "source")
+    val out = SubstrDedup.strip(docs, "doc_id", "text", k = 40)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getString(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out(1L) == (("keepA__keepB", "web", 1L, 40L)))
+    assert(out(2L) == (("-keepC", "book", 1L, 40L)))
+    assert(out(3L) == (("totally unique document body", "web", 0L, 0L)))
+  }
+
+  test("a fully-duplicated document strips to empty; short text untouched") {
+    val docs = Seq(
+      (1L, "identical-twelve"),
+      (2L, "identical-twelve"),
+      (3L, "tiny")
+    ).toDF("doc_id", "text")
+    val out = SubstrDedup.strip(docs, "doc_id", "text", k = 16)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(out(1L) == (("", 1L)))
+    assert(out(2L) == (("", 1L)))
+    assert(out(3L) == (("tiny", 0L)))
+  }
+
+  test("column expression matches the kernel and survives codegen") {
+    val df = Seq("abcdefgh", "ab").toDF("t")
+      .select(col("t"), kgram_hashes(col("t"), 4).as("hs"))
+    val rows = df.collect().map(r =>
+      r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(rows("abcdefgh") ==
+      directHashes("abcdefgh", 4))
+    assert(rows("ab") == Seq.empty)
+  }
+}
