@@ -246,6 +246,36 @@ object ExprKernels {
     new GenericArrayData(out)
   }
 
+  /** Coalesce ASCENDING k-window start positions into maximal disjoint
+    * spans (see [[CoalesceSpans]]): windows [p, p+k) whose starts are
+    * <= k apart overlap or touch and merge; a gap > k closes the span.
+    * Spans shorter than `minSpan` are dropped (the ExactSubstr length
+    * threshold; 0 keeps all). Output elements are (start, end) structs,
+    * end exclusive. One pass, no allocation beyond the output.
+    */
+  def coalesceSpans(positions: ArrayData, k: Int, minSpan: Int): ArrayData = {
+    val n = positions.numElements()
+    if (n == 0) return new GenericArrayData(Array.empty[Any])
+    val out = new java.util.ArrayList[org.apache.spark.sql.catalyst.InternalRow](4)
+    var start = positions.getInt(0)
+    var last = start
+    def close(): Unit = {
+      val end = last + k
+      if (end - start >= minSpan)
+        out.add(new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](start, end)))
+    }
+    var i = 1
+    while (i < n) {
+      val p = positions.getInt(i)
+      if (p - last > k) { close(); start = p }
+      last = p
+      i += 1
+    }
+    close()
+    new GenericArrayData(out.toArray)
+  }
+
   /** One-pass 64-bit simhash (see [[SimHash64]]). */
   def simhash64(input: ArrayData): Long = {
     val n = input.numElements()

@@ -59,6 +59,13 @@ object expressions {
   def kgram_hashes(text: Column, k: Int): Column =
     column(KgramHashes(expression(text), k))
 
+  /** Ascending k-window start positions → maximal disjoint
+    * `array<struct<start,end>>` spans, >= minSpan chars (see
+    * [[CoalesceSpans]]).
+    */
+  def coalesce_spans(positions: Column, k: Int, minSpan: Int = 0): Column =
+    column(CoalesceSpans(expression(positions), k, minSpan))
+
   /** 64-bit simhash of an `array<bigint>` of token hashes. */
   def simhash64(hashes: Column): Column = column(SimHash64(expression(hashes)))
 
@@ -122,6 +129,15 @@ object expressions {
       case other =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
           s"$name expects array<bigint>, got ${other.sql}")
+    }
+
+  private[plans] def arrayOfIntCheck(e: Expression, name: String) =
+    e.dataType match {
+      case ArrayType(IntegerType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$name expects array<int>, got ${other.sql}")
     }
 
   private[graft] def stringCheck(e: Expression, name: String) =
@@ -299,6 +315,35 @@ case class KgramHashes(child: Expression, k: Int)
       s"${ev.value} = graft.plans.ExprKernels.kgramHashes($c, $k);")
 
   override protected def withNewChildInternal(c: Expression): KgramHashes =
+    copy(child = c)
+}
+
+/** Ascending k-window start positions → maximal disjoint (start, end)
+  * spans: starts <= k apart merge (their windows overlap or touch), a
+  * gap > k closes the span, spans shorter than minSpan are dropped.
+  * The per-document reduce step of exact-substring dedup
+  * ([[graft.text.SubstrDedup]]) — one kernel pass replaces two
+  * window-function passes plus two aggregations (3 exchanges → 1).
+  */
+case class CoalesceSpans(child: Expression, k: Int, minSpan: Int)
+    extends UnaryExpression {
+  require(k >= 2, s"k-gram width must be >= 2, got $k")
+  require(minSpan >= 0, s"minSpan must be >= 0, got $minSpan")
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("start", IntegerType, nullable = false),
+    StructField("end", IntegerType, nullable = false))), containsNull = false)
+  override def checkInputDataTypes() =
+    expressions.arrayOfIntCheck(child, "coalesce_spans")
+
+  override def nullSafeEval(input: Any): Any =
+    ExprKernels.coalesceSpans(input.asInstanceOf[ArrayData], k, minSpan)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.ExprKernels.coalesceSpans($c, $k, $minSpan);")
+
+  override protected def withNewChildInternal(c: Expression): CoalesceSpans =
     copy(child = c)
 }
 

@@ -1,11 +1,10 @@
 package graft.text
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{ArrayType, IntegerType, StructField, StructType}
 
-import graft.plans.expressions.kgram_hashes
+import graft.plans.expressions.{coalesce_spans, kgram_hashes}
 
 /** Cross-document EXACT substring deduplication (Lee et al. 2021,
   * "Deduplicating Training Data Makes Language Models Better" —
@@ -24,13 +23,15 @@ import graft.plans.expressions.kgram_hashes
   * every k-char window of every document is hashed positionally
   * ([[graft.plans.KgramHashes]], rolling O(1)/position), windows whose
   * hash occurs >= minCount times corpus-wide are "covered", and
-  * overlapping/touching covered windows coalesce into maximal spans.
-  * Every character of a marked span lies in at least one k-window that
-  * occurs >= minCount times — for minLength = k this finds exactly the
-  * duplicated substrings of length >= k (a substring of length >= k is
-  * duplicated iff each of its k-windows is, up to 2⁻⁶⁴ hash collisions).
+  * overlapping/touching covered windows coalesce into maximal spans
+  * ([[graft.plans.CoalesceSpans]]). Every character of a marked span
+  * lies in at least one k-window that occurs >= minCount times — for
+  * minSpan = k this finds exactly the duplicated substrings of length
+  * >= k (a substring of length >= k is duplicated iff each of its
+  * k-windows is, up to 2⁻⁶⁴ hash collisions); the paper's length
+  * threshold is the `minSpan` knob (spans below it survive).
   *
-  * Scale shape (no strings ever shuffle):
+  * Scale shape (document text never shuffles):
   *
   *  1. one codegen'd scan hashes all windows (rolling, O(chars));
   *  2. the covered-window set via `groupBy(hash).count` — the only
@@ -39,12 +40,14 @@ import graft.plans.expressions.kgram_hashes
   *  3. a semi-join of (doc, pos, hash) against that set (AQE broadcasts
   *     it — post-filter it is the duplicated residue, small relative to
   *     the corpus);
-  *  4. span coalescing per document: two `Window` passes over
-  *     (doc, pos) — ONE shuffle keyed by doc id, offsets only;
-  *  5. [[strip]] joins the span lists (bounded: spans are disjoint, so
-  *     <= len/k per doc) back to the input and rebuilds the text
-  *     map-side — each document's bytes are touched exactly twice
-  *     (hash scan, rebuild), never shuffled.
+  *  4. span coalescing per document: ONE `groupBy(doc)` shuffle of the
+  *     covered offsets, then the one-pass [[graft.plans.CoalesceSpans]]
+  *     kernel per document (no window functions, no second exchange);
+  *  5. [[strip]] left-joins the bounded span lists (spans are disjoint,
+  *     so <= len/k per doc; only documents that HAVE spans carry a row,
+  *     so AQE broadcasts the list for real-corpus duplication rates)
+  *     back to the input and rebuilds the text map-side — each
+  *     document's bytes are touched exactly twice (hash scan, rebuild).
   */
 object SubstrDedup {
 
@@ -52,17 +55,11 @@ object SubstrDedup {
     StructField("start", IntegerType, nullable = false),
     StructField("end", IntegerType, nullable = false))), containsNull = false))
 
-  /** Per-document duplicated spans: one row per input row with `idCol`,
-    * `spans` (sorted, disjoint `array<struct<start,end>>` of 0-based
-    * char offsets, end exclusive; empty when nothing is duplicated),
-    * `n_spans`, and `dup_chars` (total chars covered). A span is the
-    * maximal union of k-char windows whose window occurs >= `minCount`
-    * times in the corpus (all occurrences count, so a string repeated
-    * within one document is a duplicate of itself — the paper's
-    * self-repeat case). NULL text carries empty spans.
+  /** Span lists for documents that have at least one: idCol, `spans`
+    * (sorted disjoint (start, end) offsets), `n_spans`, `dup_chars`.
     */
-  def markSpans(df: DataFrame, idCol: String, textCol: String, k: Int,
-                minCount: Int = 2): DataFrame = {
+  private def spansFor(df: DataFrame, idCol: String, textCol: String,
+                       k: Int, minCount: Int, minSpan: Int): DataFrame = {
     require(minCount >= 2, s"minCount < 2 marks every span, got $minCount")
     val grams = df
       .select(col(idCol), posexplode(kgram_hashes(col(textCol), k))
@@ -71,29 +68,38 @@ object SubstrDedup {
       .groupBy("__h").agg(count(lit(1)).as("__n"))
       .filter(col("__n") >= minCount)
       .select("__h")
-    val hits = grams.join(covered, Seq("__h"), "left_semi")
-    // interval union: windows [pos, pos+k) overlap or touch exactly when
-    // the position gap is <= k, so a gap > k starts a new island
-    val byPos = Window.partitionBy(idCol).orderBy("__pos")
-    val spans = hits
-      .withColumn("__brk",
-        when(col("__pos") - lag("__pos", 1).over(byPos) > k, 1).otherwise(0))
-      .withColumn("__grp", sum("__brk").over(byPos))
-      .groupBy(col(idCol), col("__grp"))
-      .agg(min("__pos").as("start"), (max("__pos") + k).as("end"))
+    grams.join(covered, Seq("__h"), "left_semi")
       .groupBy(col(idCol))
-      .agg(
-        sort_array(collect_list(struct(col("start"), col("end"))))
-          .as("spans"),
-        count(lit(1)).as("n_spans"),
-        sum(col("end") - col("start")).cast("long").as("dup_chars"))
+      .agg(sort_array(collect_list(col("__pos"))).as("__ps"))
+      .select(col(idCol),
+        coalesce_spans(col("__ps"), k, minSpan).as("spans"))
+      .filter(size(col("spans")) > 0)
+      .select(col(idCol), col("spans"),
+        size(col("spans")).cast("long").as("n_spans"),
+        aggregate(col("spans"), lit(0L),
+          (a, sp) => a + sp("end") - sp("start")).as("dup_chars"))
+  }
+
+  /** Per-document duplicated spans: one row per input row with `idCol`,
+    * `spans` (sorted, disjoint `array<struct<start,end>>` of 0-based
+    * char offsets, end exclusive; empty when nothing is duplicated),
+    * `n_spans`, and `dup_chars` (total chars covered). A span is the
+    * maximal union of k-char windows whose window occurs >= `minCount`
+    * times in the corpus (all occurrences count, so a string repeated
+    * within one document is a duplicate of itself — the paper's
+    * self-repeat case); unions shorter than `minSpan` chars are NOT
+    * marked (the paper's length threshold; 0 marks every union). NULL
+    * text carries empty spans.
+    */
+  def markSpans(df: DataFrame, idCol: String, textCol: String, k: Int,
+                minCount: Int = 2, minSpan: Int = 0): DataFrame =
     df.select(col(idCol))
-      .join(spans, Seq(idCol), "left")
+      .join(spansFor(df, idCol, textCol, k, minCount, minSpan),
+        Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("spans"), emptySpans).as("spans"),
         coalesce(col("n_spans"), lit(0L)).as("n_spans"),
         coalesce(col("dup_chars"), lit(0L)).as("dup_chars"))
-  }
 
   /** Strip every duplicated span: one row per input row with all input
     * columns, `textCol` REPLACED by the text with marked spans removed
@@ -101,8 +107,8 @@ object SubstrDedup {
     * duplicated; NULL text stays NULL), plus `n_spans` / `dup_chars`.
     */
   def strip(df: DataFrame, idCol: String, textCol: String, k: Int,
-            minCount: Int = 2): DataFrame = {
-    val marked = markSpans(df, idCol, textCol, k, minCount)
+            minCount: Int = 2, minSpan: Int = 0): DataFrame = {
+    val marked = spansFor(df, idCol, textCol, k, minCount, minSpan)
     val others = df.columns.filter(c => c != idCol && c != textCol)
     // fold over the (sorted, disjoint) spans: emit [cursor, start), jump
     // the cursor to end; finish with the tail. Driver-free map-side pass;
@@ -110,19 +116,19 @@ object SubstrDedup {
     // fold is noise next to the hash scan.
     val t = col(textCol)
     val clean = aggregate(
-      col("spans"),
+      coalesce(col("spans"), emptySpans),
       struct(lit("").as("acc"), lit(0).as("cursor")),
       (a, sp) => struct(
         concat(a("acc"), t.substr(a("cursor") + 1, sp("start") - a("cursor")))
           .as("acc"),
         sp("end").as("cursor")),
       a => concat(a("acc"), t.substr(a("cursor") + 1, length(t) - a("cursor"))))
-    df.join(marked, Seq(idCol))
+    df.join(marked, Seq(idCol), "left")
       .select(
         col(idCol) +:
           clean.as(textCol) +:
           others.map(col) :+
-          col("n_spans") :+
-          col("dup_chars"): _*)
+          coalesce(col("n_spans"), lit(0L)).as("n_spans") :+
+          coalesce(col("dup_chars"), lit(0L)).as("dup_chars"): _*)
   }
 }

@@ -114,6 +114,36 @@ class SubstrDedupSpec extends SparkSpec {
     assert(out(3L) == (("tiny", 0L)))
   }
 
+  test("kernel: coalesceSpans merges gaps <= k, drops short spans") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    def spans(ps: Array[Int], k: Int, minSpan: Int): Seq[(Int, Int)] = {
+      val arr = ExprKernels.coalesceSpans(new GenericArrayData(ps), k, minSpan)
+      (0 until arr.numElements()).map { i =>
+        val r = arr.getStruct(i, 2); (r.getInt(0), r.getInt(1))
+      }
+    }
+    assert(spans(Array(0, 1, 2, 10, 25), 10, 0) == Seq((0, 20), (25, 35)))
+    assert(spans(Array(0, 1, 2, 10, 25), 10, 12) == Seq((0, 20)))
+    assert(spans(Array.empty, 10, 0) == Seq.empty)
+    assert(spans(Array(7), 5, 0) == Seq((7, 12)))
+  }
+
+  test("minSpan drops duplicated unions below the length threshold") {
+    val twelve = "ABCDEFGHIJKL"
+    val docs = Seq(
+      (1L, s"${shared}__${twelve}__tail1"),
+      (2L, s"zz-$shared"),
+      (3L, s"qq=$twelve=qq")
+    ).toDF("doc_id", "text")
+    def spansOf(minSpan: Int) =
+      SubstrDedup.markSpans(docs, "doc_id", "text", k = 12, minSpan = minSpan)
+        .collect().map(r => r.getLong(0) ->
+          r.getSeq[Row](1).map(s => (s.getInt(0), s.getInt(1)))).toMap
+    assert(spansOf(0)(1L) == Seq((0, 40), (42, 54)))
+    assert(spansOf(30)(1L) == Seq((0, 40)))
+    assert(spansOf(30)(3L) == Seq.empty)
+  }
+
   test("column expression matches the kernel and survives codegen") {
     val df = Seq("abcdefgh", "ab").toDF("t")
       .select(col("t"), kgram_hashes(col("t"), 4).as("hs"))
