@@ -995,6 +995,33 @@ object SparkEntry {
           length(col("text")).cast("long").as("n_clean"))
     }),
 
+    // TOKEN-granular ExactSubstr (the unit the paper actually dedups):
+    // duplicated >= 6-token-window unions struck from the id sequence.
+    // Word-ids from the corpus's alphabetical vocabulary stand in for
+    // BPE ids so DuckDB can re-derive the whole pipeline (the BPE path
+    // itself is pinned by token_bpe* and SubstrDedupSpec); the global
+    // row_number is over the DISTINCT-WORD vocabulary — bounded, not
+    // corpus-sized
+    "dedup_substring_tokens" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val words = docs.select(col("doc_id"),
+        posexplode(filter(split(col("text"), "\\s+"), w => length(w) > 0))
+          .as(Seq("pos", "w")))
+      val vocab = words.select("w").distinct()
+        .withColumn("wid",
+          (row_number().over(Window.orderBy("w")) - 1).cast("int"))
+      val ids = words.join(broadcast(vocab), Seq("w"))
+        .groupBy("doc_id")
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"), col("wid")))),
+          x => x("wid")).as("ids"))
+      text.SubstrDedup.stripIds(ids, "doc_id", "ids", k = 6)
+        .select(col("doc_id"), col("n_spans"), col("dup_tokens"),
+          size(col("ids")).cast("long").as("n_clean_tokens"),
+          aggregate(col("ids"), lit(0L), (a, x) => a + x).as("ids_sum"))
+    }),
+
     // PII scrubbing (the corpus has no organic PII, so deterministic
     // doc-derived contact lines are seeded IDENTICALLY here and in the
     // oracle): per-category counts from the raw text, then the chained
@@ -2296,6 +2323,74 @@ object SparkEntry {
         |FROM documents d
         |LEFT JOIN agg a USING (doc_id)
         |LEFT JOIN st USING (doc_id)""".stripMargin,
+
+    // same alphabetical word-id vocabulary, same 6-token windows keyed
+    // by the literal id tuple (Spark keys by the rolling hash —
+    // injective here), same island merge; clean-side numbers derived as
+    // totals minus the tokens inside spans
+    "dedup_substring_tokens" ->
+      """WITH words AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'),
+        |                             x -> len(x) > 0) AS ws
+        |  FROM documents),
+        |vocab AS (
+        |  SELECT w, CAST(row_number() OVER (ORDER BY w) - 1 AS INT) AS wid
+        |  FROM (SELECT DISTINCT unnest(ws) AS w FROM words)),
+        |tok AS (
+        |  SELECT doc_id, unnest(ws) AS w,
+        |    generate_subscripts(ws, 1) - 1 AS pos
+        |  FROM words),
+        |idseq AS (
+        |  SELECT t.doc_id, list(v.wid ORDER BY t.pos) AS ids
+        |  FROM tok t JOIN vocab v USING (w) GROUP BY t.doc_id),
+        |pe AS (
+        |  SELECT doc_id, ids,
+        |    unnest(range(0, greatest(len(ids) - 5, 0))) AS pos
+        |  FROM idseq),
+        |grams AS (
+        |  SELECT doc_id, pos, array_to_string(ids[pos + 1:pos + 6], ',') AS g
+        |  FROM pe),
+        |dup AS (SELECT g FROM grams GROUP BY g HAVING count(*) >= 2),
+        |hits AS (
+        |  SELECT doc_id, pos FROM grams WHERE g IN (SELECT g FROM dup)),
+        |flagged AS (
+        |  SELECT doc_id, pos,
+        |    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+        |              > 6 THEN 1 ELSE 0 END AS brk
+        |  FROM hits),
+        |isl AS (
+        |  SELECT doc_id, pos,
+        |    sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        |  FROM flagged),
+        |spans AS (
+        |  SELECT doc_id, min(pos) AS s, max(pos) + 6 AS e
+        |  FROM isl GROUP BY doc_id, grp),
+        |st AS (
+        |  SELECT doc_id, count(*) AS n_spans, sum(e - s) AS dup_tokens
+        |  FROM spans GROUP BY doc_id),
+        |tokid AS (
+        |  SELECT i.doc_id, unnest(i.ids) AS wid,
+        |    generate_subscripts(i.ids, 1) - 1 AS pos
+        |  FROM idseq i),
+        |struck AS (
+        |  SELECT t.doc_id, count(*) AS n_struck, sum(t.wid) AS struck_sum
+        |  FROM tokid t JOIN spans s2
+        |    ON t.doc_id = s2.doc_id AND t.pos >= s2.s AND t.pos < s2.e
+        |  GROUP BY t.doc_id),
+        |tot AS (
+        |  SELECT doc_id, count(*) AS n_tok, sum(wid) AS tok_sum
+        |  FROM tokid GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(st.n_spans, 0) AS BIGINT) AS n_spans,
+        |  CAST(coalesce(st.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+        |  CAST(coalesce(tot.n_tok, 0) - coalesce(sk.n_struck, 0) AS BIGINT)
+        |    AS n_clean_tokens,
+        |  CAST(coalesce(tot.tok_sum, 0) - coalesce(sk.struck_sum, 0) AS BIGINT)
+        |    AS ids_sum
+        |FROM documents d
+        |LEFT JOIN st USING (doc_id)
+        |LEFT JOIN tot USING (doc_id)
+        |LEFT JOIN struck sk USING (doc_id)""".stripMargin,
 
     // same seeding, same pattern strings (java.util.regex and RE2 agree
     // on every construct used), same pass order — byte-identical output

@@ -246,6 +246,34 @@ object ExprKernels {
     new GenericArrayData(out)
   }
 
+  /** POSITIONAL k-gram hashes over an int SEQUENCE (token ids): the
+    * [[kgramHashes]] analog at the granularity the ExactSubstr paper
+    * actually dedups — token windows, not char windows. Same rolling
+    * polynomial, same splitmix finalization; element i hashes ids
+    * [i, i+k). Sequences shorter than k yield an empty array.
+    */
+  def kgramHashesInts(ids: ArrayData, k: Int): ArrayData = {
+    val len = ids.numElements()
+    val n = len - k + 1
+    if (n <= 0) return new GenericArrayData(Array.empty[Long])
+    val out = new Array[Long](n)
+    val P = 0x100000001B3L
+    var pk = 1L
+    var i = 0
+    while (i < k - 1) { pk *= P; i += 1 }
+    var h = 0L
+    i = 0
+    while (i < k) { h = h * P + ids.getInt(i); i += 1 }
+    out(0) = mix64(h)
+    i = 1
+    while (i < n) {
+      h = (h - ids.getInt(i - 1) * pk) * P + ids.getInt(i + k - 1)
+      out(i) = mix64(h)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Coalesce ASCENDING k-window start positions into maximal disjoint
     * spans (see [[CoalesceSpans]]): windows [p, p+k) whose starts are
     * <= k apart overlap or touch and merge; a gap > k closes the span.

@@ -59,6 +59,22 @@ object GraftFunctions {
         require(args.length == 2, "graft_char_ngram_hashes(text, n)")
         CharNgramHashes(args.head, intArg("graft_char_ngram_hashes", args(1)))
       }),
+    (FunctionIdentifier("graft_kgram_hashes"),
+      info("graft_kgram_hashes",
+        "graft_kgram_hashes(text, k) - POSITIONAL rolling hashes of every raw k-char window"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_kgram_hashes(text, k)")
+        KgramHashes(args.head, intArg("graft_kgram_hashes", args(1)))
+      }),
+    (FunctionIdentifier("graft_coalesce_spans"),
+      info("graft_coalesce_spans",
+        "graft_coalesce_spans(positions, k[, minSpan]) - ascending window starts -> maximal disjoint (start, end) spans"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2 || args.length == 3,
+          "graft_coalesce_spans(positions, k[, minSpan])")
+        CoalesceSpans(args.head, intArg("graft_coalesce_spans", args(1)),
+          if (args.length == 3) intArg("graft_coalesce_spans", args(2)) else 0)
+      }),
     (FunctionIdentifier("graft_word_ngram_hashes"),
       info("graft_word_ngram_hashes",
         "graft_word_ngram_hashes(text, n) - strict word n-gram hashes (no short-doc fallback)"),

@@ -59,6 +59,12 @@ object expressions {
   def kgram_hashes(text: Column, k: Int): Column =
     column(KgramHashes(expression(text), k))
 
+  /** POSITIONAL k-gram hashes of an `array<int>` token sequence —
+    * element i hashes ids [i, i+k) (see [[KgramHashesInts]]).
+    */
+  def kgram_hashes_ints(ids: Column, k: Int): Column =
+    column(KgramHashesInts(expression(ids), k))
+
   /** Ascending k-window start positions → maximal disjoint
     * `array<struct<start,end>>` spans, >= minSpan chars (see
     * [[CoalesceSpans]]).
@@ -315,6 +321,30 @@ case class KgramHashes(child: Expression, k: Int)
       s"${ev.value} = graft.plans.ExprKernels.kgramHashes($c, $k);")
 
   override protected def withNewChildInternal(c: Expression): KgramHashes =
+    copy(child = c)
+}
+
+/** Token-id sequence → positional hashes of every k-id window, rolling
+  * O(1) per position — [[KgramHashes]] at token granularity (the unit
+  * the ExactSubstr paper dedups). Sequences shorter than k yield an
+  * empty array.
+  */
+case class KgramHashesInts(child: Expression, k: Int)
+    extends UnaryExpression {
+  require(k >= 2, s"k-gram width must be >= 2, got $k")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes() =
+    expressions.arrayOfIntCheck(child, "kgram_hashes_ints")
+
+  override def nullSafeEval(input: Any): Any =
+    ExprKernels.kgramHashesInts(input.asInstanceOf[ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.ExprKernels.kgramHashesInts($c, $k);")
+
+  override protected def withNewChildInternal(c: Expression): KgramHashesInts =
     copy(child = c)
 }
 

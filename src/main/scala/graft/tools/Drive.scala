@@ -653,6 +653,13 @@ object Drive {
       s"${ssdAgg.getLong(1)} of $origChars chars; conservation " +
       s"${ssdAgg.getLong(1) + ssdAgg.getLong(2) == origChars}")
 
+    // token-granular variant over real BPE ids (the paper's unit): strip
+    // duplicated >= 8-token windows from the gpt2-format encodings
+    val ssdT = graft.text.SubstrDedup.stripIds(g2Enc, "doc_id", "ids", k = 8)
+      .agg(sum("dup_tokens"), sum(size(col("ids")))).head()
+    println(s"[57] token-level ExactSubstr over gpt2 ids (k=8): struck " +
+      s"${ssdT.getLong(0)} tokens, ${ssdT.getLong(1)} kept")
+
     spark.stop()
   }
 }

@@ -144,6 +144,45 @@ class SubstrDedupSpec extends SparkSpec {
     assert(spansOf(30)(3L) == Seq.empty)
   }
 
+  test("kernel: int-sequence rolling hashes equal direct recompute") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    def direct(ids: Array[Int], k: Int): Seq[Long] =
+      (0 to ids.length - k).map { i =>
+        var h = 0L
+        var j = i
+        while (j < i + k) { h = h * 0x100000001B3L + ids(j); j += 1 }
+        ExprKernels.mix64(h)
+      }
+    val ids = Array(7, 7, 7, 42, -3, 0, 42, 7, 7, 7)
+    for (k <- Seq(2, 3, 5)) {
+      val got = ExprKernels.kgramHashesInts(new GenericArrayData(ids), k)
+        .toLongArray()
+      assert(got.toSeq == direct(ids, k), s"k=$k")
+    }
+    assert(ExprKernels.kgramHashesInts(new GenericArrayData(Array(1)), 2)
+      .numElements() == 0)
+  }
+
+  test("token-level: shared id runs are marked and stripped") {
+    val docs = Seq(
+      (1L, Seq(100, 1, 2, 3, 4, 5, 6, 200)),
+      (2L, Seq(1, 2, 3, 4, 5, 6, 300, 400)),
+      (3L, Seq(7, 8, 9, 42, 43))
+    ).toDF("doc_id", "ids")
+    val marked = SubstrDedup.markSpansIds(docs, "doc_id", "ids", k = 6)
+      .collect().map(r => r.getLong(0) ->
+        (r.getSeq[Row](1).map(s => (s.getInt(0), s.getInt(1))),
+          r.getLong(3))).toMap
+    assert(marked(1L) == ((Seq((1, 7)), 6L)))
+    assert(marked(2L) == ((Seq((0, 6)), 6L)))
+    assert(marked(3L) == ((Seq.empty, 0L)))
+    val stripped = SubstrDedup.stripIds(docs, "doc_id", "ids", k = 6)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(stripped(1L) == Seq(100, 200))
+    assert(stripped(2L) == Seq(300, 400))
+    assert(stripped(3L) == Seq(7, 8, 9, 42, 43))
+  }
+
   test("column expression matches the kernel and survives codegen") {
     val df = Seq("abcdefgh", "ab").toDF("t")
       .select(col("t"), kgram_hashes(col("t"), 4).as("hs"))
