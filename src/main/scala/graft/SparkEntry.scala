@@ -950,6 +950,17 @@ object SparkEntry {
     // construction in the oracle), planting every rule: a short line, a
     // punct-less line, a javascript line, and per-doc-id brace /
     // lorem-ipsum page poisons.
+    // C4's page blocklist rule (Raffel 2020 §2.2: any page containing a
+    // listed word is removed): hit counts + verdicts against a seeded
+    // two-entry list exercising both kernel paths — a single word
+    // (whole-token match) and a phrase (boundary-checked scan)
+    "quality_c4_badwords" -> ((s, dir) => {
+      val bl = Seq("slow", "merge batch")
+      t(s, dir, "documents").select(col("doc_id"),
+        text.C4Filters.blocklistHits(col("text"), bl).as("badword_hits"),
+        text.C4Filters.keepPageBlocklist(col("text"), bl).as("kept"))
+    }),
+
     "quality_c4" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val words = split(col("text"), " ")
@@ -1954,6 +1965,19 @@ object SparkEntry {
         |           THEN 1 ELSE 0 END) AS BIGINT) AS n_top
         |FROM toks t JOIN vocab v USING (word)
         |GROUP BY t.doc_id""".stripMargin,
+
+    // single words as whole [a-z0-9_] tokens (RE2/Java \w agree), the
+    // phrase as a \b-bounded regex — the kernel's two paths exactly
+    "quality_c4_badwords" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(
+        |           regexp_split_to_array(lower(text), '[^a-z0-9_]+'),
+        |           x -> x = 'slow'))
+        |       + len(regexp_extract_all(lower(text), '\bmerge batch\b'))
+        |      AS BIGINT) AS badword_hits
+        |  FROM documents)
+        |SELECT doc_id, badword_hits, badword_hits = 0 AS kept FROM h""".stripMargin,
 
     // replays the seeded re-lining and every C4 rule verbatim
     // (coalesce: DuckDB's array_to_string of an empty slice is NULL,

@@ -304,6 +304,61 @@ object ExprKernels {
     new GenericArrayData(out.toArray)
   }
 
+  /** Blocklist hit count (see [[BlocklistHits]]): occurrences of any
+    * single-word entry (one tokenization pass over ASCII-lowercased
+    * text, word chars = `[a-z0-9_]` — RE2/Java default `\w` — set
+    * lookup per token) plus boundary-checked non-overlapping substring
+    * occurrences of each PHRASE entry (entries containing whitespace;
+    * the blocklists C4 uses carry a small minority of multi-word
+    * entries, so the per-phrase scan stays cheap). Inputs arrive
+    * pre-lowercased from the expression's reference objects.
+    */
+  def blocklistHits(input: UTF8String,
+                    single: java.util.HashSet[String],
+                    phrases: Array[String]): Long = {
+    val raw = input.toString
+    val n = raw.length
+    val sb = new java.lang.StringBuilder(n)
+    var i = 0
+    while (i < n) {
+      val c = raw.charAt(i)
+      sb.append(if (c >= 'A' && c <= 'Z') (c + 32).toChar else c)
+      i += 1
+    }
+    val s = sb.toString
+    def isWord(c: Char): Boolean =
+      (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9') || c == '_'
+    var hits = 0L
+    if (!single.isEmpty) {
+      var start = -1
+      i = 0
+      while (i <= n) {
+        val w = i < n && isWord(s.charAt(i))
+        if (w && start < 0) start = i
+        else if (!w && start >= 0) {
+          if (single.contains(s.substring(start, i))) hits += 1
+          start = -1
+        }
+        i += 1
+      }
+    }
+    var p = 0
+    while (p < phrases.length) {
+      val ph = phrases(p)
+      var from = 0
+      var idx = s.indexOf(ph, from)
+      while (idx >= 0) {
+        val okL = idx == 0 || !isWord(s.charAt(idx - 1))
+        val okR = idx + ph.length >= n || !isWord(s.charAt(idx + ph.length))
+        if (okL && okR) { hits += 1; from = idx + ph.length }
+        else from = idx + 1
+        idx = if (from < n) s.indexOf(ph, from) else -1
+      }
+      p += 1
+    }
+    hits
+  }
+
   /** One-pass 64-bit simhash (see [[SimHash64]]). */
   def simhash64(input: ArrayData): Long = {
     val n = input.numElements()

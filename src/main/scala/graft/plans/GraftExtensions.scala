@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import org.apache.spark.sql.types.IntegerType
+import org.apache.spark.sql.types.{IntegerType, StringType}
 
 /** SQL surface for the engine's custom expressions. Two entry points:
   *
@@ -30,6 +30,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 }
 
 object GraftFunctions {
+
+  private def stringArg(name: String, e: Expression): String = e match {
+    case Literal(v: org.apache.spark.unsafe.types.UTF8String, StringType) =>
+      v.toString
+    case other => throw new IllegalArgumentException(
+      s"$name expects literal string arguments, got $other")
+  }
 
   private def intArg(name: String, e: Expression): Int = e match {
     case Literal(v: Int, IntegerType) => v
@@ -74,6 +81,13 @@ object GraftFunctions {
           "graft_coalesce_spans(positions, k[, minSpan])")
         CoalesceSpans(args.head, intArg("graft_coalesce_spans", args(1)),
           if (args.length == 3) intArg("graft_coalesce_spans", args(2)) else 0)
+      }),
+    (FunctionIdentifier("graft_blocklist_hits"),
+      info("graft_blocklist_hits",
+        "graft_blocklist_hits(text, word, ...) - case-insensitive C4 badwords hit count (single words match whole tokens, phrases match with boundary semantics)"),
+      (args: Seq[Expression]) => {
+        require(args.length >= 2, "graft_blocklist_hits(text, word, ...)")
+        BlocklistHits(args.head, args.tail.map(stringArg("graft_blocklist_hits", _)))
       }),
     (FunctionIdentifier("graft_word_ngram_hashes"),
       info("graft_word_ngram_hashes",

@@ -72,6 +72,13 @@ object expressions {
   def coalesce_spans(positions: Column, k: Int, minSpan: Int = 0): Column =
     column(CoalesceSpans(expression(positions), k, minSpan))
 
+  /** Blocklist hit count: single-word entries via one tokenization
+    * pass + set lookup, multi-word entries via boundary-checked
+    * substring scan (see [[BlocklistHits]]).
+    */
+  def blocklist_hits(text: Column, words: Seq[String]): Column =
+    column(BlocklistHits(expression(text), words))
+
   /** 64-bit simhash of an `array<bigint>` of token hashes. */
   def simhash64(hashes: Column): Column = column(SimHash64(expression(hashes)))
 
@@ -374,6 +381,53 @@ case class CoalesceSpans(child: Expression, k: Int, minSpan: Int)
       s"${ev.value} = graft.plans.ExprKernels.coalesceSpans($c, $k, $minSpan);")
 
   override protected def withNewChildInternal(c: Expression): CoalesceSpans =
+    copy(child = c)
+}
+
+/** Case-insensitive blocklist hit count (C4's badwords page rule,
+  * Raffel et al. 2020 §2.2: a page containing ANY listed word is
+  * dropped — the count makes the rule auditable, keep = hits == 0).
+  * Entries are word sequences; single words are counted with one
+  * `[a-z0-9_]`-tokenization pass and a set lookup per token, phrases
+  * with a boundary-checked non-overlapping substring scan — `\b…\b`
+  * regex semantics without an O(|list|) regex alternation per row.
+  * Entry lists ride codegen as reference objects, pre-lowercased and
+  * pre-split once at plan time.
+  */
+case class BlocklistHits(child: Expression, words: Seq[String])
+    extends UnaryExpression {
+  require(words.nonEmpty, "blocklist_hits needs at least one entry")
+  require(words.forall(_.trim.nonEmpty), "blocklist entries must be non-blank")
+
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes() =
+    expressions.stringCheck(child, "blocklist_hits")
+
+  @transient private lazy val singleSet: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String]()
+    words.iterator.map(_.trim.toLowerCase)
+      .filterNot(_.exists(_.isWhitespace)).foreach(s.add)
+    s
+  }
+  @transient private lazy val phraseArr: Array[String] =
+    words.iterator.map(_.trim.toLowerCase)
+      .filter(_.exists(_.isWhitespace))
+      .map(_.split("\\s+").mkString(" ")).toArray
+
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Long.valueOf(ExprKernels.blocklistHits(
+      input.asInstanceOf[UTF8String], singleSet, phraseArr))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val single = ctx.addReferenceObj("blocklistSingle", singleSet,
+      "java.util.HashSet")
+    val phrases = ctx.addReferenceObj("blocklistPhrases", phraseArr,
+      "java.lang.String[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.ExprKernels.blocklistHits($c, $single, $phrases);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): BlocklistHits =
     copy(child = c)
 }
 

@@ -36,6 +36,23 @@ object C4Filters {
       !contains(text, lit("{")) &&
       !contains(lower(text), lit("lorem ipsum"))
 
+  /** Case-insensitive hit count against a badwords list (C4's page
+    * blocklist rule, Raffel 2020 §2.2: any page containing a listed
+    * word is removed; the paper uses the public "List of Dirty,
+    * Naughty, Obscene…" list, which the CALLER supplies — this corpus
+    * ships none). Entries are word sequences: single words match whole
+    * `[a-z0-9_]` tokens, multi-word entries match with `\b…\b`
+    * boundary semantics. One fused codegen pass
+    * ([[graft.plans.BlocklistHits]]); the list rides codegen as a
+    * pre-lowercased reference object — map-only, scan speed.
+    */
+  def blocklistHits(text: Column, words: Seq[String]): Column =
+    graft.plans.expressions.blocklist_hits(text, words)
+
+  /** C4's page verdict for the blocklist rule: zero hits. */
+  def keepPageBlocklist(text: Column, words: Seq[String]): Column =
+    blocklistHits(text, words) === 0L
+
   /** Per-document C4 cleaning: `idCol`, `page_kept`, `n_lines`,
     * `n_kept`, and `clean` (surviving lines re-joined; empty when the
     * page is dropped). Downstream stages filter on `page_kept` and feed

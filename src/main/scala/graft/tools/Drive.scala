@@ -660,6 +660,16 @@ object Drive {
     println(s"[57] token-level ExactSubstr over gpt2 ids (k=8): struck " +
       s"${ssdT.getLong(0)} tokens, ${ssdT.getLong(1)} kept")
 
+    // C4 page-blocklist rule against a seeded badwords list (single
+    // word + phrase — both kernel paths)
+    val blAgg = docs.select(
+      graft.text.C4Filters.blocklistHits(col("text"),
+        Seq("slow", "merge batch")).as("h"))
+      .agg(sum(when(col("h") > 0, 1).otherwise(0)), sum("h")).head()
+    println(s"[58] C4 badwords page rule ('slow', 'merge batch'): " +
+      s"${blAgg.getLong(0)} of ${docs.count()} pages dropped, " +
+      s"${blAgg.getLong(1)} total hits")
+
     spark.stop()
   }
 }

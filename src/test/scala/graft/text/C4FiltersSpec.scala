@@ -44,6 +44,41 @@ class C4FiltersSpec extends SparkSpec {
     assert(ok.getBoolean(1) && ok.getString(4).split("\n").length == 3)
   }
 
+  test("blocklist: words match whole tokens, phrases match with boundaries") {
+    val bl = Seq("slow", "merge batch")
+    val docs = Seq(
+      (1L, "the SLOW query"),          // case-insensitive token hit
+      (2L, "slowly winding road"),     // substring of a longer token: no
+      (3L, "a slow-ish slow_ish run"), // '-' splits tokens ('slow' hits),
+                                       // '_' is a word char (no hit)
+      (4L, "please merge batch jobs"), // phrase hit
+      (5L, "please merge  batch jobs"),// double space: literal phrase, no
+      (6L, "mergebatch or merge batching"), // no boundary on either side
+      (7L, "slow slow merge batch")    // 2 word hits + 1 phrase hit
+    ).toDF("doc_id", "text")
+    val out = docs.select(col("doc_id"),
+        C4Filters.blocklistHits(col("text"), bl).as("h"),
+        C4Filters.keepPageBlocklist(col("text"), bl).as("k"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2)))
+      .toMap
+    assert(out(1L) == ((1L, false)))
+    assert(out(2L) == ((0L, true)))
+    assert(out(3L) == ((1L, false)))
+    assert(out(4L) == ((1L, false)))
+    assert(out(5L) == ((0L, true)))
+    assert(out(6L) == ((0L, true)))
+    assert(out(7L) == ((3L, false)))
+  }
+
+  test("blocklist hit count is exposed as SQL graft_blocklist_hits") {
+    Seq((1L, "a SLOW merge batch here")).toDF("id", "text")
+      .createOrReplaceTempView("bl_docs")
+    val n = spark.sql(
+      "SELECT graft_blocklist_hits(text, 'slow', 'merge batch') FROM bl_docs")
+      .head().getLong(0)
+    assert(n == 2L)
+  }
+
   test("cleaning is a map-only plan (no exchange)") {
     val df = C4Filters.clean(
       spark.read.parquet("/root/testdata/sf0.001/documents.parquet"),
