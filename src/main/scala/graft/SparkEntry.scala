@@ -809,6 +809,13 @@ object SparkEntry {
     "quality_unigram_nll" -> ((s, dir) =>
       text.VocabStats.unigramNll(t(s, dir, "documents"), "doc_id", "text")),
 
+    // interpolated bigram LM score (the word-ORDER signal unigram NLL
+    // lacks — closer to CCNet's real KenLM scorer); count triples sort
+    // as integers before the ln fold, so the oracle replays the
+    // identical sum sequence
+    "quality_bigram_nll" -> ((s, dir) =>
+      text.VocabStats.bigramNll(t(s, dir, "documents"), "doc_id", "text")),
+
     // REAL learned BPE (see text/Bpe.scala): merges trained on the corpus
     // (deterministic — full collect under the sample bound at sf0.01),
     // token counts via the greedy merge-rank kernel, aggregated per
@@ -2239,6 +2246,46 @@ object SparkEntry {
         |  round(ln(s.t + s.v)
         |    - list_sum(list_transform(cs, x -> ln(x + 1))) / n_words, 4) AS nll
         |FROM d CROSS JOIN s""".stripMargin,
+
+    // replays the interpolated bigram LM exactly: same count triples,
+    // same integer sort order, same double expressions (DuckDB's `/`
+    // on BIGINTs is float division, like Spark's Divide; 1 - 0.7 is
+    // computed in double on both sides)
+    "quality_bigram_nll" ->
+      """WITH ws AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |                w -> len(w) > 0) AS ws
+        |  FROM documents),
+        |toks AS (SELECT doc_id, unnest(ws) AS word FROM ws),
+        |vocab AS (SELECT word, count(*) AS n FROM toks GROUP BY word),
+        |s AS (SELECT sum(n) AS t, count(*) AS v FROM vocab),
+        |bgidx AS (
+        |  SELECT doc_id, ws,
+        |    unnest(generate_series(1, greatest(len(ws) - 1, 0))) AS i
+        |  FROM ws),
+        |bg AS (SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2 FROM bgidx),
+        |bcnt AS (SELECT w1, w2, count(*) AS cb FROM bg GROUP BY w1, w2),
+        |terms AS (
+        |  SELECT bg.doc_id,
+        |    {'cb': bcnt.cb, 'ch': v1.n, 'cu': v2.n} AS trm
+        |  FROM bg
+        |  JOIN bcnt USING (w1, w2)
+        |  JOIN vocab v1 ON bg.w1 = v1.word
+        |  JOIN vocab v2 ON bg.w2 = v2.word),
+        |d AS (
+        |  SELECT doc_id, count(*) AS n_bigrams, list_sort(list(trm)) AS ts
+        |  FROM terms GROUP BY doc_id),
+        |scored AS (
+        |  SELECT doc_id, n_bigrams,
+        |    round(- list_sum(list_transform(ts, x ->
+        |        ln(CAST(0.7 AS DOUBLE) * (x.cb / x.ch)
+        |           + (1 - CAST(0.7 AS DOUBLE)) * ((x.cu + 1) / (s.t + s.v)))))
+        |      / n_bigrams, 4) AS nll
+        |  FROM d CROSS JOIN s)
+        |SELECT w.doc_id, CAST(coalesce(sc.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+        |  sc.nll
+        |FROM ws w LEFT JOIN scored sc ON w.doc_id = sc.doc_id""".stripMargin,
 
     // same seeded suffix (chr() builds the identical code points), and
     // the cleanup chain spelled as nfc_normalize + three RE2 passes:

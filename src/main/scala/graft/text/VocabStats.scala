@@ -107,6 +107,74 @@ object VocabStats {
           4).as("nll"))
   }
 
+  /** Per-document interpolated BIGRAM negative log-likelihood — one
+    * step closer to CCNet's actual KenLM scorer than [[unigramNll]]
+    * (Wenzek et al. 2020 score with a 5-gram KenLM; the bigram captures
+    * the word-ORDER signal a unigram model cannot: shuffled prose and
+    * real prose share a unigram score but not a bigram one).
+    * Jelinek-Mercer interpolation with the add-one unigram as the
+    * backoff floor:
+    *
+    *   p(w2 | w1) = λ · c(w1 w2)/c(w1) + (1−λ) · (c(w2)+1)/(T+|V|)
+    *
+    *   nll(d) = mean over the doc's bigrams of −ln p(w2|w1)
+    *
+    * Counts come from the corpus itself (self-scoring, like
+    * [[unigramNll]]'s default), so every bigram has c ≥ 1 and every
+    * history c(w1) ≥ 1 — the λ term never divides by zero. Documents
+    * with fewer than two words surface with `n_bigrams = 0` and a null
+    * score.
+    *
+    * Determinism: the float fold is order-pinned on INTEGERS — each
+    * document collects its `(cb, ch, cu)` count triples, sorts the
+    * struct array (field-wise, identical in any engine), and folds the
+    * ln terms in that order; λ and 1−λ are evaluated as the same double
+    * expression on both sides and ln ulp noise is absorbed by round(4).
+    *
+    * Scale shape: bigrams come from the words array by position (a
+    * `transform` over the array — NO positional self-join); the bigram
+    * vocabulary is the canonical pair-count aggregation (map-side
+    * partials, shuffle on the pair); the per-bigram re-join hashes on
+    * the pair and the two unigram joins on the word; the (T, |V|)
+    * totals are a single broadcast row. Nothing corpus-sized ever
+    * reaches the driver.
+    */
+  def bigramNll(df: DataFrame, idCol: String, textCol: String,
+                lambda: Double = 0.7): DataFrame = {
+    require(lambda > 0.0 && lambda < 1.0, s"need 0 < lambda < 1, got $lambda")
+    val vocab = vocabulary(df, textCol)
+    val totals = vocab.agg(sum(col("n")).as("__t"), count(lit(1)).as("__v"))
+    val ws = df.select(col(idCol), words(col(textCol)).as("__ws"))
+    val bg = ws.select(col(idCol), explode(transform(
+        slice(col("__ws"), lit(1), greatest(size(col("__ws")) - 1, lit(0))),
+        (w, i) => struct(w.as("w1"),
+          element_at(col("__ws"), i + 2).as("w2")))).as("__bg"))
+      .select(col(idCol), col("__bg.w1").as("__w1"), col("__bg.w2").as("__w2"))
+    val bcnt = bg.groupBy(col("__w1"), col("__w2"))
+      .agg(count(lit(1)).as("__cb"))
+    val scored = bg
+      .join(bcnt, Seq("__w1", "__w2"))
+      .join(vocab.select(col("word").as("__w1"), col("n").as("__ch")),
+        Seq("__w1"))
+      .join(vocab.select(col("word").as("__w2"), col("n").as("__cu")),
+        Seq("__w2"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sort_array(collect_list(
+          struct(col("__cb"), col("__ch"), col("__cu")))).as("__ts"))
+      .crossJoin(broadcast(totals))
+      .select(col(idCol), col("n_bigrams"),
+        round(-aggregate(col("__ts"), lit(0.0), (a, x) =>
+            a + log(lit(lambda) * (x.getField("__cb") / x.getField("__ch")) +
+              (lit(1.0) - lit(lambda)) *
+                ((x.getField("__cu") + lit(1L)) /
+                  (col("__t") + col("__v"))))) /
+          col("n_bigrams"), 4).as("nll"))
+    df.select(col(idCol)).join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"), col("nll"))
+  }
+
   /** CCNet perplexity bucketing (Wenzek et al. 2020): documents rank by
     * their LM quality score within each language and split into
     * `buckets` equal-count tiers — head (1) / middle / tail (`buckets`)

@@ -670,6 +670,12 @@ object Drive {
       s"${blAgg.getLong(0)} of ${docs.count()} pages dropped, " +
       s"${blAgg.getLong(1)} total hits")
 
+    // interpolated bigram LM quality score (the order-aware CCNet proxy)
+    val bnll = graft.text.VocabStats.bigramNll(docs, "doc_id", "text")
+      .agg(min("nll"), max("nll"), sum("n_bigrams")).head()
+    println(f"[59] bigram LM NLL: range ${bnll.getDouble(0)}%.2f.." +
+      f"${bnll.getDouble(1)}%.2f over ${bnll.getLong(2)} bigrams")
+
     spark.stop()
   }
 }

@@ -70,6 +70,41 @@ class VocabStatsSpec extends SparkSpec {
     assert(out(2)._3 < out(0)._3)
   }
 
+  test("bigram NLL matches the hand-computed interpolated formula") {
+    // words: a=3 b=3 c=1 → T=7, V=3; bigrams: (a,b)=2 (b,a)=1 (b,c)=1
+    val d = Seq((1L, "a b a b"), (2L, "a"), (3L, "b c")).toDF("doc_id", "text")
+    val out = VocabStats.bigramNll(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+      .toMap
+    val lam = 0.7
+    def p(cb: Long, ch: Long, cu: Long): Double =
+      lam * (cb.toDouble / ch) + (1.0 - lam) * ((cu + 1.0) / (7 + 3))
+    def nll(terms: Seq[(Long, Long, Long)]): Double = {
+      val raw = -terms.sorted.map { case (cb, ch, cu) =>
+        math.log(p(cb, ch, cu)) }.sum / terms.size
+      BigDecimal(raw).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    // doc 1: (a,b) (b,a) (a,b) → triples (cb, c(w1), c(w2))
+    assert(out(1L) ==
+      ((3L, Some(nll(Seq((2, 3, 3), (1, 3, 3), (2, 3, 3)))))))
+    assert(out(2L) == ((0L, None)), "a single-word doc has no bigrams")
+    assert(out(3L) == ((1L, Some(nll(Seq((1, 3, 1)))))))
+  }
+
+  test("bigram NLL separates word order where unigram NLL cannot") {
+    // identical unigram bags, different order
+    val d = Seq((1L, "x y x y"), (2L, "x x y y")).toDF("doc_id", "text")
+    val uni = VocabStats.unigramNll(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(uni(1L) == uni(2L), "unigram model is order-blind")
+    val bi = VocabStats.bigramNll(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(bi(1L) != bi(2L), "bigram model sees the order")
+    // doc 1 repeats the corpus-frequent (x,y) transition → more likely
+    assert(bi(1L) < bi(2L))
+  }
+
   test("unigram NLL against a reference vocab: OOV words raise the score") {
     val ref = Seq(("the", 100L), ("cat", 50L)).toDF("word", "n")
     val out = VocabStats.unigramNll(docs, "doc_id", "text", vocabOf = Some(ref))
