@@ -968,6 +968,30 @@ object SparkEntry {
         text.C4Filters.keepPageBlocklist(col("text"), bl).as("kept"))
     }),
 
+    // C4's three-sentence-span dedup (Raffel 2020 §2.2: discard all but
+    // one of any three-sentence span occurring more than once). The
+    // corpus text carries no sentence punctuation, so sentence structure
+    // is seeded by construction (a period every 8 words — the oracle
+    // builds the identical re-lining): natural cross-document repeats
+    // now strike, and every tenth document also gets a shared tail so
+    // the keep-first/strike-rest rule, overlap union, and reassembly
+    // all provably fire.
+    "dedup_c4_spans" -> ((s, dir) => {
+      val toks = filter(split(col("text"), " "), w => length(w) > 0)
+      val n8 = ((size(toks) + lit(7)) / lit(8)).cast("int")
+      val sent = when(size(toks) === 0, lit(""))
+        .otherwise(concat(array_join(
+          transform(sequence(lit(0), n8 - 1), g =>
+            array_join(slice(toks, g * lit(8) + 1, lit(8)), " ")), ". "),
+          lit(".")))
+      val seeded = t(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 10 === 0,
+          concat(sent, lit(" Shared tail one. Shared tail two." +
+            " Shared tail three.")))
+          .otherwise(sent).as("text"))
+      text.C4Filters.dropRepeatedSpans(seeded, "doc_id", "text")
+    }),
+
     "quality_c4" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val words = split(col("text"), " ")
@@ -1985,6 +2009,63 @@ object SparkEntry {
         |      AS BIGINT) AS badword_hits
         |  FROM documents)
         |SELECT doc_id, badword_hits, badword_hits = 0 AS kept FROM h""".stripMargin,
+
+    // full replay of the span dedup: same seeded tail, same
+    // sentence split (no lookarounds, explicit trim class + 'g' flag),
+    // keep-first by (doc_id, position) via row_number, overlap union
+    // via DISTINCT struck indices, reassembly with DuckDB's 1-based
+    // index lambda (Spark's is 0-based — both compare against their
+    // own engine's indices)
+    "dedup_c4_spans" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(text, ' '), w -> len(w) > 0)
+        |      AS tk
+        |  FROM documents),
+        |rp AS (
+        |  SELECT doc_id, CASE WHEN len(tk) = 0 THEN '' ELSE
+        |    array_to_string(list_transform(
+        |      generate_series(0, CAST((len(tk) + 7) // 8 AS INT) - 1),
+        |      g -> array_to_string(tk[g*8+1 : g*8+8], ' ')), '. ') || '.'
+        |    END AS text
+        |  FROM tk),
+        |seeded AS (
+        |  SELECT doc_id, CASE WHEN doc_id % 10 = 0
+        |    THEN text || ' Shared tail one. Shared tail two. Shared tail three.'
+        |    ELSE text END AS text
+        |  FROM rp),
+        |sents AS (
+        |  SELECT doc_id, list_filter(list_transform(
+        |      regexp_extract_all(text, '[^.!?]*[.!?]+|[^.!?]+'),
+        |      s -> regexp_replace(s, '^[ \t\n\r]+|[ \t\n\r]+$', '', 'g')),
+        |    s -> len(s) > 0) AS ss
+        |  FROM seeded),
+        |sp AS (
+        |  SELECT doc_id, ss,
+        |    unnest(generate_series(1, greatest(len(ss) - 2, 0))) AS i
+        |  FROM sents),
+        |spans AS (
+        |  SELECT doc_id, i,
+        |    ss[i] || chr(1) || ss[i + 1] || chr(1) || ss[i + 2] AS spn
+        |  FROM sp),
+        |struck AS (
+        |  SELECT doc_id, i FROM (
+        |    SELECT doc_id, i,
+        |      row_number() OVER (PARTITION BY spn ORDER BY doc_id, i) AS rn
+        |    FROM spans) WHERE rn > 1),
+        |js AS (
+        |  SELECT doc_id, count(DISTINCT j) AS n_struck,
+        |    list(DISTINCT j) AS idx
+        |  FROM (SELECT doc_id, unnest(generate_series(i, i + 2)) AS j
+        |        FROM struck)
+        |  GROUP BY doc_id)
+        |SELECT s.doc_id,
+        |  coalesce(array_to_string(list_filter(s.ss,
+        |    (x, k) -> NOT coalesce(list_contains(j.idx, k), FALSE)), ' '),
+        |    '') AS text,
+        |  CAST(len(s.ss) AS BIGINT) AS n_sentences,
+        |  CAST(coalesce(j.n_struck, 0) AS BIGINT) AS n_removed
+        |FROM sents s LEFT JOIN js j USING (doc_id)""".stripMargin,
 
     // replays the seeded re-lining and every C4 rule verbatim
     // (coalesce: DuckDB's array_to_string of an empty slice is NULL,

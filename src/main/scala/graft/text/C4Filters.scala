@@ -53,6 +53,81 @@ object C4Filters {
   def keepPageBlocklist(text: Column, words: Seq[String]): Column =
     blocklistHits(text, words) === 0L
 
+  /** Sentences of `text`: maximal runs ending in `.`/`!`/`?` (the run
+    * keeps its terminators), plus a trailing terminator-less remainder;
+    * edge whitespace stripped, empties dropped. Expressed without
+    * lookarounds, and trimmed via an explicit `[ \t\n\r]` class rather
+    * than `trim`/`\s` (whose char sets differ between engines), so RE2
+    * engines split identically.
+    */
+  def sentences(text: Column): Column =
+    filter(transform(
+        regexp_extract_all(text, lit("[^.!?]*[.!?]+|[^.!?]+"), lit(0)),
+        s => regexp_replace(s, "^[ \\t\\n\\r]+|[ \\t\\n\\r]+$", "")),
+      s => length(s) > 0)
+
+  /** C4's three-sentence-span deduplication (Raffel 2020 §2.2: "we
+    * discarded all but one of any three-sentence span occurring more
+    * than once in the data set") — the C4 pipeline stage between the
+    * line rules and tokenization. Every `width`-sentence sliding window
+    * is keyed corpus-wide; the globally FIRST occurrence (min
+    * `(id, position)` — deterministic, engine-independent) survives,
+    * and every other occurrence has its sentences struck from its
+    * document, the rest of the document kept intact. Overlapping struck
+    * spans union their sentence indices.
+    *
+    * Returns one row per input document: every input column, `textCol`
+    * replaced by the surviving sentences re-joined with `joinSep`, plus
+    * `n_sentences` / `n_removed`. Documents with fewer than `width`
+    * sentences have no spans and pass through (whole-document dedup is
+    * [[MinHashDedup]] et al.'s job).
+    *
+    * Scale shape: spans are keyed by `xxhash64` over the window, so the
+    * global first-occurrence pass shuffles 20-byte `(hash, id, pos)`
+    * tuples with map-side `min` partials — never sentence strings; the
+    * struck-occurrence set (small at real duplication rates) joins back
+    * and AQE broadcasts it; reassembly is map-side from each document's
+    * own sentence array. Document text is never shuffled.
+    */
+  def dropRepeatedSpans(df: DataFrame, idCol: String, textCol: String,
+                        width: Int = 3, joinSep: String = " "): DataFrame = {
+    require(width >= 1, s"span width must be positive, got $width")
+    val strType = org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.StringType)
+    // NULL text = empty document, like Boilerplate.removeRepeated
+    val base = df.select(col(idCol),
+      coalesce(sentences(col(textCol)), array().cast(strType)).as("__ss"))
+    val spans = base.select(col(idCol), posexplode(
+        when(size(col("__ss")) >= width,
+          transform(sequence(lit(0), size(col("__ss")) - width), i =>
+            xxhash64(concat_ws("\u0001",
+              slice(col("__ss"), i + 1, lit(width))))))
+          .otherwise(array().cast(org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.LongType))))
+        .as(Seq("__pos", "__h")))
+    val first = spans.groupBy(col("__h"))
+      .agg(min(struct(col(idCol), col("__pos"))).as("__first"))
+    val struck = spans.join(first, Seq("__h"))
+      .filter(col("__first")(idCol) =!= col(idCol) ||
+        col("__first")("__pos") =!= col("__pos"))
+      .select(col(idCol), explode(sequence(col("__pos"),
+        col("__pos") + lit(width - 1))).as("__j"))
+      .groupBy(col(idCol)).agg(collect_set(col("__j")).as("__js"))
+    val others = df.columns.filter(c => c != idCol && c != textCol)
+    df.join(base, Seq(idCol))
+      .join(struck, Seq(idCol), "left")
+      .select(
+        col(idCol) +:
+          array_join(filter(col("__ss"), (s, i) =>
+            !array_contains(coalesce(col("__js"),
+              array().cast(org.apache.spark.sql.types.ArrayType(
+                org.apache.spark.sql.types.IntegerType))), i)),
+            joinSep).as(textCol) +:
+          others.map(col) :+
+          size(col("__ss")).cast("long").as("n_sentences") :+
+          coalesce(size(col("__js")), lit(0)).cast("long").as("n_removed"): _*)
+  }
+
   /** Per-document C4 cleaning: `idCol`, `page_kept`, `n_lines`,
     * `n_kept`, and `clean` (surviving lines re-joined; empty when the
     * page is dropped). Downstream stages filter on `page_kept` and feed

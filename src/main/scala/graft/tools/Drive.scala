@@ -676,6 +676,23 @@ object Drive {
     println(f"[59] bigram LM NLL: range ${bnll.getDouble(0)}%.2f.." +
       f"${bnll.getDouble(1)}%.2f over ${bnll.getLong(2)} bigrams")
 
+    // C4's three-sentence-span dedup — the corpus carries no sentence
+    // punctuation, so re-line it first (a period every 8 words)
+    val toks8 = filter(split(col("text"), " "), w => length(w) > 0)
+    val n8 = ((size(toks8) + lit(7)) / lit(8)).cast("int")
+    val relined = docs.select(col("doc_id"),
+      when(size(toks8) === 0, lit("")).otherwise(concat(array_join(
+        transform(sequence(lit(0), n8 - 1), g =>
+          array_join(slice(toks8, g * lit(8) + 1, lit(8)), " ")), ". "),
+        lit(".")))
+        .as("text"))
+    val spd = graft.text.C4Filters.dropRepeatedSpans(relined, "doc_id", "text")
+      .agg(sum(when(col("n_removed") > 0, 1).otherwise(0)),
+        sum("n_removed"), sum("n_sentences")).head()
+    println(s"[60] C4 span dedup (3-sentence windows, 8-word re-lining): " +
+      s"${spd.getLong(0)} docs lose ${spd.getLong(1)} of " +
+      s"${spd.getLong(2)} sentences")
+
     spark.stop()
   }
 }

@@ -79,6 +79,66 @@ class C4FiltersSpec extends SparkSpec {
     assert(n == 2L)
   }
 
+  test("sentences: terminator runs, terminator-less tail, edge trim") {
+    val out = Seq((1L, "ab.cd"), (2L, "Hi!! Yes"), (3L, " A b. \n C d? "),
+        (4L, ""), (5L, "..."))
+      .toDF("id", "t")
+      .select(col("id"), C4Filters.sentences(col("t")).as("ss"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toList).toMap
+    assert(out(1L) == List("ab.", "cd"))
+    assert(out(2L) == List("Hi!!", "Yes"))
+    assert(out(3L) == List("A b.", "C d?"))
+    assert(out(4L) == Nil)
+    assert(out(5L) == List("..."))
+  }
+
+  test("span dedup: the globally first occurrence survives, later " +
+      "occurrences lose exactly their span's sentences") {
+    val shared = "One two three. Four five! Six seven?"
+    val docs = Seq(
+      (1L, s"$shared Unique tail."),
+      (2L, s"Prefix here. $shared Another end.")
+    ).toDF("doc_id", "text")
+    val out = C4Filters.dropRepeatedSpans(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    // doc 1 holds the first occurrence — untouched (re-joined with " ")
+    assert(out(1L) ==
+      (("One two three. Four five! Six seven? Unique tail.", 4L, 0L)))
+    // doc 2's copy at position 1 is struck; its unique sentences stay
+    assert(out(2L) == (("Prefix here. Another end.", 5L, 3L)))
+  }
+
+  test("span dedup: identical documents keep one full copy; overlapping " +
+      "struck spans union their sentences") {
+    val text = "A a. B b. C c. D d. E e."
+    val docs = Seq((1L, text), (2L, text), (3L, text)).toDF("doc_id", "text")
+    val out = C4Filters.dropRepeatedSpans(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(3))).toMap
+    assert(out(1L) == ((text, 0L)))
+    assert(out(2L) == (("", 5L)))
+    assert(out(3L) == (("", 5L)))
+  }
+
+  test("span dedup: a WITHIN-document self-repeat is struck too") {
+    val docs = Seq((1L, "X x. X x. X x. X x.")).toDF("doc_id", "text")
+    val out = C4Filters.dropRepeatedSpans(docs, "doc_id", "text").head()
+    // spans at 0 and 1 hash equal; (1,0) survives, (1,1) strikes 1..3
+    assert(out.getString(1) == "X x." && out.getLong(3) == 3L)
+  }
+
+  test("span dedup: short and empty documents pass through; other " +
+      "columns survive") {
+    val docs = Seq((1L, "Only. Two here.", "en"), (2L, "", "fr"))
+      .toDF("doc_id", "text", "lang")
+    val out = C4Filters.dropRepeatedSpans(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getString(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out(1L) == (("Only. Two here.", "en", 2L, 0L)))
+    assert(out(2L) == (("", "fr", 0L, 0L)))
+  }
+
   test("cleaning is a map-only plan (no exchange)") {
     val df = C4Filters.clean(
       spark.read.parquet("/root/testdata/sf0.001/documents.parquet"),
