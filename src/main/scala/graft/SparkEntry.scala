@@ -816,6 +816,19 @@ object SparkEntry {
     "quality_bigram_nll" -> ((s, dir) =>
       text.VocabStats.bigramNll(t(s, dir, "documents"), "doc_id", "text")),
 
+    // inverted index with the standard stopword df-cut; postings render
+    // as a canonical id:tf comma-string so both engines compare the
+    // same shape
+    "index_postings" -> ((s, dir) =>
+      text.VocabStats.invertedIndex(t(s, dir, "documents"),
+        "doc_id", "text", maxDfFrac = 0.9)),
+
+    // top-5 tf-idf keywords per doc; rank on round(score,4) desc then
+    // word asc, so the cut is deterministic for both engines
+    "doc_keywords" -> ((s, dir) =>
+      text.VocabStats.tfidfKeywords(t(s, dir, "documents"),
+        "doc_id", "text", k = 5, maxDfFrac = 0.9)),
+
     // REAL learned BPE (see text/Bpe.scala): merges trained on the corpus
     // (deterministic — full collect under the sample bound at sf0.01),
     // token counts via the greedy merge-rank kernel, aggregated per
@@ -2327,6 +2340,51 @@ object SparkEntry {
         |  round(ln(s.t + s.v)
         |    - list_sum(list_transform(cs, x -> ln(x + 1))) / n_words, 4) AS nll
         |FROM d CROSS JOIN s""".stripMargin,
+
+    // same tf/df aggregation; postings compare as the canonical id:tf
+    // string (struct field names differ, the rendered order cannot)
+    "index_postings" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |                       w -> len(w) > 0)) AS word
+        |  FROM documents),
+        |nd AS (SELECT count(DISTINCT doc_id) AS nd FROM documents),
+        |tf AS (
+        |  SELECT word, doc_id, count(*) AS tf FROM toks GROUP BY word, doc_id),
+        |inv AS (
+        |  SELECT word, count(*) AS df,
+        |    array_to_string(list_transform(
+        |      list_sort(list({'i': doc_id, 't': tf})),
+        |      p -> CAST(p.i AS VARCHAR) || ':' || CAST(p.t AS VARCHAR)), ',')
+        |      AS postings
+        |  FROM tf GROUP BY word)
+        |SELECT word, df, postings FROM inv CROSS JOIN nd
+        |WHERE df <= nd * CAST(0.9 AS DOUBLE)""".stripMargin,
+
+    // identical rank key: round(tf * ln((N+1)/(df+1)), 4) desc, word asc
+    "doc_keywords" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |                       w -> len(w) > 0)) AS word
+        |  FROM documents),
+        |nd AS (SELECT count(DISTINCT doc_id) AS nd FROM documents),
+        |tf AS (
+        |  SELECT word, doc_id, count(*) AS tf FROM toks GROUP BY word, doc_id),
+        |dfq AS (SELECT word, count(*) AS df FROM tf GROUP BY word),
+        |flt AS (SELECT word, df FROM dfq CROSS JOIN nd
+        |        WHERE df <= nd * CAST(0.9 AS DOUBLE)),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.word, tf.tf, flt.df,
+        |    round(tf.tf * ln((nd.nd + 1) / (flt.df + 1)), 4) AS score
+        |  FROM tf JOIN flt USING (word) CROSS JOIN nd),
+        |r AS (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY doc_id ORDER BY score DESC, word) AS rank
+        |  FROM scored)
+        |SELECT doc_id, CAST(rank AS BIGINT) AS rank, word, tf, df, score
+        |FROM r WHERE rank <= 5""".stripMargin,
 
     // replays the interpolated bigram LM exactly: same count triples,
     // same integer sort order, same double expressions (DuckDB's `/`

@@ -226,6 +226,78 @@ object VocabStats {
         col("bucket"))
   }
 
+  /** Inverted index over the corpus: one row per surviving word with
+    * its document frequency and the full postings list
+    * `(id, tf)` sorted by id — the classic IR structure, and the fast
+    * path for corpus search / targeted decontamination probes. Words
+    * appearing in more than `maxDfFrac` of all documents are DROPPED
+    * (the standard stopword cut): their postings carry no selectivity,
+    * and at corpus scale a posting spanning half the documents is the
+    * one row that cannot be materialized — the cut is what bounds every
+    * row's size. Postings are rendered as a canonical `id:tf`
+    * comma-string so the structure is engine-portable.
+    *
+    * Scale shape: one explode, the `(word, id)` term-frequency
+    * aggregation (map-side partials), one `groupBy(word)` that shuffles
+    * only `(word, id, tf)` triples, and a broadcast one-row total for
+    * the df cut. No driver-side state.
+    */
+  def invertedIndex(df: DataFrame, idCol: String, textCol: String,
+                    maxDfFrac: Double = 0.5): DataFrame = {
+    require(maxDfFrac > 0.0 && maxDfFrac <= 1.0,
+      s"need 0 < maxDfFrac <= 1, got $maxDfFrac")
+    val total = df.agg(countDistinct(col(idCol)).as("__nd"))
+    val tf = df.select(col(idCol), explode(words(col(textCol))).as("word"))
+      .groupBy(col("word"), col(idCol)).agg(count(lit(1)).as("__tf"))
+    tf.groupBy(col("word"))
+      .agg(count(lit(1)).as("df"),
+        array_join(transform(
+          array_sort(collect_list(struct(col(idCol), col("__tf")))),
+          p => concat_ws(":", p.getField(idCol).cast("string"),
+            p.getField("__tf").cast("string"))), ",")
+          .as("postings"))
+      .crossJoin(broadcast(total))
+      .filter(col("df") <= col("__nd") * lit(maxDfFrac))
+      .select(col("word"), col("df"), col("postings"))
+  }
+
+  /** Top-`k` tf-idf keywords per document:
+    * `score = tf · ln((N+1)/(df+1))`, ranked per document with the
+    * engine-portable tie-break (score rounded to 4 — absorbing ln ulp
+    * noise — descending, then word ascending). The per-document
+    * summarization primitive (routing, labeling, cheap topicality).
+    *
+    * Scale shape: the same explode + `(word, id)` aggregation as
+    * [[invertedIndex]], a word-keyed join against the (small,
+    * df-filtered) dictionary, and a per-document window — documents are
+    * small groups, so the window never serializes a partition the way a
+    * per-corpus one would.
+    */
+  def tfidfKeywords(df: DataFrame, idCol: String, textCol: String,
+                    k: Int = 5, maxDfFrac: Double = 0.5): DataFrame = {
+    require(k >= 1, s"need k >= 1, got $k")
+    require(maxDfFrac > 0.0 && maxDfFrac <= 1.0,
+      s"need 0 < maxDfFrac <= 1, got $maxDfFrac")
+    val total = df.agg(countDistinct(col(idCol)).as("__nd"))
+    val tf = df.select(col(idCol), explode(words(col(textCol))).as("word"))
+      .groupBy(col("word"), col(idCol)).agg(count(lit(1)).as("__tf"))
+    val dfreq = tf.groupBy(col("word")).agg(count(lit(1)).as("__df"))
+      .crossJoin(broadcast(total))
+      .filter(col("__df") <= col("__nd") * lit(maxDfFrac))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol))
+      .orderBy(col("score").desc, col("word"))
+    tf.join(dfreq, Seq("word"))
+      .select(col(idCol), col("word"), col("__tf").as("tf"), col("__df").as("df"),
+        round(col("__tf") *
+          log((col("__nd") + lit(1L)) / (col("__df") + lit(1L))), 4)
+          .as("score"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("rank").cast("long").as("rank"),
+        col("word"), col("tf"), col("df"), col("score"))
+  }
+
   /** DSIR importance weights (Xie et al. 2023, "Data Selection for
     * Language Models via Importance Resampling"): each raw document
     * scored by `log p_target(doc) − log p_raw(doc)` under add-one-

@@ -693,6 +693,17 @@ object Drive {
       s"${spd.getLong(0)} docs lose ${spd.getLong(1)} of " +
       s"${spd.getLong(2)} sentences")
 
+    // inverted index + tf-idf keywords over the corpus vocabulary
+    val inv = graft.text.VocabStats.invertedIndex(docs, "doc_id", "text",
+      maxDfFrac = 0.9)
+    val kw = graft.text.VocabStats.tfidfKeywords(docs, "doc_id", "text",
+        k = 3, maxDfFrac = 0.9)
+      .filter(col("rank") === 1).groupBy("word").count()
+      .orderBy(col("count").desc, col("word")).limit(3)
+      .collect().map(r => s"${r.getString(0)}(${r.getLong(1)})").mkString(" ")
+    println(s"[61] inverted index: ${inv.count()} words survive the 0.9 " +
+      s"df-cut; top rank-1 keywords: $kw")
+
     spark.stop()
   }
 }

@@ -116,6 +116,39 @@ class VocabStatsSpec extends SparkSpec {
       "and cat=50 < the=100 mass")
   }
 
+  test("inverted index: sorted id:tf postings, df cut drops stopwords") {
+    val d = Seq((3L, "cat dog"), (1L, "cat cat fish"), (2L, "cat dog"))
+      .toDF("doc_id", "text")
+    // df: cat=3/3 docs, dog=2/3, fish=1/3 — cut at 0.7 drops cat
+    val out = VocabStats.invertedIndex(d, "doc_id", "text", maxDfFrac = 0.7)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getString(2)))
+      .toMap
+    assert(!out.contains("cat"), "df 3 > 0.7 * 3 — stopword cut")
+    assert(out("dog") == ((2L, "2:1,3:1")), "postings sort by id")
+    assert(out("fish") == ((1L, "1:1")))
+  }
+
+  test("tf-idf keywords: rare words outrank common ones, rank cut is " +
+      "deterministic") {
+    val d = Seq(
+      (1L, "cat cat cat fish"),
+      (2L, "cat dog dog"),
+      (3L, "cat bird")
+    ).toDF("doc_id", "text")
+    val out = VocabStats.tfidfKeywords(d, "doc_id", "text",
+        k = 2, maxDfFrac = 1.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getString(2), r.getLong(3), r.getLong(4))).toMap
+    // doc 1: fish (tf 1, df 1, idf ln(2)) vs cat (tf 3, df 3, idf 0) —
+    // cat's idf is ln(4/4)=0, so fish wins despite tf 1
+    assert(out((1L, 1L))._1 == "fish")
+    assert(out((1L, 2L))._1 == "cat")
+    assert(out((2L, 1L)) == (("dog", 2L, 1L)))
+    assert(out((3L, 1L))._1 == "bird")
+    // cat scores 0.0 everywhere (df == N) but still ranks by word asc
+    assert(out((3L, 2L))._1 == "cat")
+  }
+
   test("dsirWeights: target-like docs outscore off-target docs; weights " +
        "are deterministic") {
     import spark.implicits._
