@@ -816,6 +816,13 @@ object SparkEntry {
     "quality_bigram_nll" -> ((s, dir) =>
       text.VocabStats.bigramNll(t(s, dir, "documents"), "doc_id", "text")),
 
+    // BM25 top-20 for a 3-term query ('dup' is the selective term —
+    // high idf — so the ranking exercises both idf extremes); per-doc
+    // term triples sort before the float fold, cut on rounded score
+    "search_bm25" -> ((s, dir) =>
+      text.VocabStats.bm25Search(t(s, dir, "documents"), "doc_id", "text",
+        query = Seq("dup", "fast", "key"), k = 20)),
+
     // inverted index with the standard stopword df-cut; postings render
     // as a canonical id:tf comma-string so both engines compare the
     // same shape
@@ -2340,6 +2347,37 @@ object SparkEntry {
         |  round(ln(s.t + s.v)
         |    - list_sum(list_transform(cs, x -> ln(x + 1))) / n_words, 4) AS nll
         |FROM d CROSS JOIN s""".stripMargin,
+
+    // BM25 replay: same constants as CAST(… AS DOUBLE), same term-sorted
+    // fold, same (rounded score desc, id) cut
+    "search_bm25" ->
+      """WITH ws AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |                w -> len(w) > 0) AS ws
+        |  FROM documents),
+        |base AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl FROM ws),
+        |st AS (SELECT count(*) AS n, sum(dl) AS sdl FROM base),
+        |toks AS (SELECT doc_id, unnest(ws) AS word FROM ws),
+        |tf AS (
+        |  SELECT doc_id, word, count(*) AS tf FROM toks
+        |  WHERE word IN ('dup', 'fast', 'key') GROUP BY doc_id, word),
+        |dfq AS (SELECT word, count(*) AS df FROM tf GROUP BY word),
+        |ts AS (
+        |  SELECT tf.doc_id,
+        |    list_sort(list({'w': tf.word, 'f': tf.tf, 'd': dfq.df})) AS ts
+        |  FROM tf JOIN dfq USING (word) GROUP BY tf.doc_id),
+        |scored AS (
+        |  SELECT t.doc_id, b.dl,
+        |    round(list_sum(list_transform(t.ts, x ->
+        |      ln(1 + (st.n - x.d + CAST(0.5 AS DOUBLE))
+        |             / (x.d + CAST(0.5 AS DOUBLE)))
+        |      * (x.f / (x.f + CAST(1.2 AS DOUBLE)
+        |        * (1 - CAST(0.75 AS DOUBLE) + CAST(0.75 AS DOUBLE)
+        |           * (b.dl / (st.sdl / st.n))))))), 4) AS score
+        |  FROM ts t JOIN base b USING (doc_id) CROSS JOIN st)
+        |SELECT doc_id, dl, score FROM scored
+        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
 
     // same tf/df aggregation; postings compare as the canonical id:tf
     // string (struct field names differ, the rendered order cannot)

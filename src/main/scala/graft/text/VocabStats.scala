@@ -298,6 +298,58 @@ object VocabStats {
         col("word"), col("tf"), col("df"), col("score"))
   }
 
+  /** BM25 ranked retrieval (Robertson/Sparck Jones, the standard
+    * probabilistic ranking function): scores every document against a
+    * bag-of-words `query` and returns the top `k`:
+    *
+    *   score(d) = Σ_t ln(1 + (N − df_t + 0.5)/(df_t + 0.5)) ·
+    *              tf_td / (tf_td + k1·(1 − b + b·dl_d/avgdl))
+    *
+    * Determinism: each document's per-term triples `(term, tf, df)`
+    * sort before the float fold (term order — identical in any
+    * engine); `avgdl` is the same two-long division on both sides;
+    * round(4) absorbs ln ulp; the k-cut orders by rounded score then
+    * id.
+    *
+    * Scale shape: the corpus scan filters to query terms at scan speed
+    * (an `isin` over a handful of literals — codegen, pushdown-
+    * friendly); everything downstream aggregates rows that MATCHED a
+    * query term. The per-term df table is a |query|-row broadcast; the
+    * final top-k is `TakeOrderedAndProject` (per-partition heads, no
+    * global sort). Document text never shuffles.
+    */
+  def bm25Search(df: DataFrame, idCol: String, textCol: String,
+                 query: Seq[String], k: Int = 20,
+                 k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(query.nonEmpty, "bm25Search needs at least one query term")
+    require(k >= 1, s"need k >= 1, got $k")
+    val terms = query.map(_.toLowerCase).distinct
+    val ws = words(col(textCol))
+    val base = df.select(col(idCol), size(ws).cast("long").as("__dl"))
+    val stats = base.agg(count(lit(1)).as("__n"), sum(col("__dl")).as("__sdl"))
+    val tf = df.select(col(idCol), explode(ws).as("word"))
+      .filter(col("word").isin(terms: _*))
+      .groupBy(col(idCol), col("word")).agg(count(lit(1)).as("__tf"))
+    val dfq = tf.groupBy(col("word")).agg(count(lit(1)).as("__df"))
+    tf.join(broadcast(dfq), Seq("word"))
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(
+        struct(col("word"), col("__tf"), col("__df")))).as("__ts"))
+      .join(base, Seq(idCol))
+      .crossJoin(broadcast(stats))
+      .select(col(idCol), col("__dl").as("dl"),
+        round(aggregate(col("__ts"), lit(0.0), (a, x) => {
+          val tfd = x.getField("__tf")
+          val dft = x.getField("__df")
+          val idf = log(lit(1.0) +
+            (col("__n") - dft + lit(0.5)) / (dft + lit(0.5)))
+          val denom = tfd + lit(k1) * (lit(1.0) - lit(b) +
+            lit(b) * (col("__dl") / (col("__sdl") / col("__n"))))
+          a + idf * (tfd / denom)
+        }), 4).as("score"))
+      .orderBy(col("score").desc, col(idCol)).limit(k)
+  }
+
   /** DSIR importance weights (Xie et al. 2023, "Data Selection for
     * Language Models via Importance Resampling"): each raw document
     * scored by `log p_target(doc) − log p_raw(doc)` under add-one-

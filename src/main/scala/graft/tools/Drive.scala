@@ -704,6 +704,13 @@ object Drive {
     println(s"[61] inverted index: ${inv.count()} words survive the 0.9 " +
       s"df-cut; top rank-1 keywords: $kw")
 
+    // BM25 retrieval for a mixed-selectivity query
+    val bm = graft.text.VocabStats.bm25Search(docs, "doc_id", "text",
+        Seq("dup", "fast", "key"), k = 3)
+      .collect().map(r => f"${r.getLong(0)}@${r.getDouble(2)}%.2f")
+      .mkString(" ")
+    println(s"[62] BM25 top-3 for 'dup fast key': $bm")
+
     spark.stop()
   }
 }

@@ -149,6 +149,25 @@ class VocabStatsSpec extends SparkSpec {
     assert(out((3L, 2L))._1 == "cat")
   }
 
+  test("bm25: selective terms outrank common ones; length normalization " +
+      "penalizes padding; k-cut is deterministic") {
+    val d = Seq(
+      (1L, "rare cat cat cat"),             // the only 'rare' doc
+      (2L, "cat cat cat cat"),              // common term only
+      (3L, "cat cat cat cat pad pad pad pad pad pad pad pad"), // padded
+      (4L, "dog dog")                       // no query terms — unscored
+    ).toDF("doc_id", "text")
+    val out = VocabStats.bm25Search(d, "doc_id", "text",
+      query = Seq("RARE", "cat"), k = 3) // query case-folds
+      .collect().map(r => (r.getLong(0), r.getDouble(2)))
+    assert(out.map(_._1).toSet == Set(1L, 2L, 3L), "doc 4 matches nothing")
+    val score = out.toMap
+    assert(score(1L) > score(2L), "idf: the rare term dominates")
+    assert(score(2L) > score(3L), "same tf, longer doc scores lower (b)")
+    // ordered by score desc then id
+    assert(out.map(_._1).toList == List(1L, 2L, 3L))
+  }
+
   test("dsirWeights: target-like docs outscore off-target docs; weights " +
        "are deterministic") {
     import spark.implicits._
