@@ -94,9 +94,12 @@ object C4Filters {
     require(width >= 1, s"span width must be positive, got $width")
     val strType = org.apache.spark.sql.types.ArrayType(
       org.apache.spark.sql.types.StringType)
+    // every input column rides along, so the rebuild needs NO join back
+    // to the input (which would shuffle document text on the id) — the
+    // only join against the struck set stays broadcast-small.
     // NULL text = empty document, like Boilerplate.removeRepeated
-    val base = df.select(col(idCol),
-      coalesce(sentences(col(textCol)), array().cast(strType)).as("__ss"))
+    val base = df.withColumn("__ss",
+      coalesce(sentences(col(textCol)), array().cast(strType)))
     val spans = base.select(col(idCol), posexplode(
         when(size(col("__ss")) >= width,
           transform(sequence(lit(0), size(col("__ss")) - width), i =>
@@ -114,8 +117,7 @@ object C4Filters {
         col("__pos") + lit(width - 1))).as("__j"))
       .groupBy(col(idCol)).agg(collect_set(col("__j")).as("__js"))
     val others = df.columns.filter(c => c != idCol && c != textCol)
-    df.join(base, Seq(idCol))
-      .join(struck, Seq(idCol), "left")
+    base.join(struck, Seq(idCol), "left")
       .select(
         col(idCol) +:
           array_join(filter(col("__ss"), (s, i) =>
