@@ -1331,6 +1331,15 @@ object SparkEntry {
         t(s, dir, "documents"), "doc_id", "text", threshold = 0.5)
         .select("doc_id", "source", "n_chars")),
 
+    // quality survivor policy: each near-dup cluster keeps its LONGEST
+    // copy (n_chars desc, id asc) instead of the minimum id — the
+    // real-world resolution for partial duplicates
+    "dedup_keep_best" -> ((s, dir) =>
+      text.NearDupClusters.dedupKeepBest(
+        t(s, dir, "documents"), "doc_id", "text", "n_chars",
+        threshold = 0.5)
+        .select("doc_id", "source", "n_chars")),
+
     // benchmark decontamination (GPT-3/Dolma exact 8-gram rule): every
     // 50th doc plays the eval set; corpus docs sharing ANY word 8-gram
     // with it drop. The corpus side never shuffles — bench grams
@@ -3159,6 +3168,30 @@ object SparkEntry {
          |SELECT doc_id, source, n_chars FROM documents d
          |WHERE NOT EXISTS (SELECT 1 FROM reach r
          |                  WHERE r.src = d.doc_id AND r.dst < d.doc_id)""".stripMargin,
+
+    // same reachability; cluster label = min reachable id, survivor =
+    // (n_chars desc, doc_id asc) head per cluster
+    "dedup_keep_best" ->
+      s"""WITH RECURSIVE $shingleCtes,
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM mh_pairs
+         |          UNION SELECT id_b, id_a FROM mh_pairs),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+         |  WHERE e.dst <> r.src),
+         |lab AS (
+         |  SELECT d.doc_id,
+         |    least(d.doc_id, coalesce(
+         |      (SELECT min(r.dst) FROM reach r WHERE r.src = d.doc_id),
+         |      d.doc_id)) AS cluster
+         |  FROM documents d),
+         |ranked AS (
+         |  SELECT d.doc_id, row_number() OVER (
+         |    PARTITION BY l.cluster ORDER BY d.n_chars DESC, d.doc_id) AS rn
+         |  FROM documents d JOIN lab l USING (doc_id))
+         |SELECT doc_id, source, n_chars FROM documents
+         |WHERE doc_id IN (SELECT doc_id FROM ranked WHERE rn = 1)""".stripMargin,
 
     // same normalization as the Spark side ([^\p{L}]+ → space, lower,
     // empty tokens dropped), word 8-grams as space-joined strings

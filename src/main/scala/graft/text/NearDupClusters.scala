@@ -76,4 +76,31 @@ object NearDupClusters {
       .filter(col(idCol) === col("cluster"))
       .drop("cluster")
   }
+
+  /** [[dedupTransitive]] with a QUALITY survivor policy: instead of the
+    * minimum id, each near-dup cluster keeps its best document by
+    * `scoreCol` (ties break by id ascending — deterministic in any
+    * engine) — the real-world resolution when duplicates differ in
+    * completeness or cleanliness: keep the best copy, drop the rest.
+    *
+    * Scale shape: the same pair/label machinery as [[dedupTransitive]],
+    * plus ONE window partitioned by cluster — near-dup clusters are
+    * small and singletons are one-row partitions, so no group can
+    * serialize a task.
+    */
+  def dedupKeepBest(df: DataFrame, idCol: String, textCol: String,
+                    scoreCol: String,
+                    threshold: Double = 0.8, numHashes: Int = 64,
+                    bands: Int = 16, shingleWidth: Int = 3): DataFrame = {
+    val pairs = MinHashDedup.nearDupPairs(df, idCol, textCol, threshold,
+      numHashes, bands, shingleWidth)
+    val assigned = clusters(df.select(idCol), idCol, pairs)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster"))
+      .orderBy(col(scoreCol).desc, col(idCol))
+    df.join(assigned, Seq(idCol))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn", "cluster")
+  }
 }

@@ -711,6 +711,14 @@ object Drive {
       .mkString(" ")
     println(s"[62] BM25 top-3 for 'dup fast key': $bm")
 
+    // near-dup survivor policies: min-id vs keep-longest
+    val minIds = graft.text.NearDupClusters.dedupTransitive(
+      docs, "doc_id", "text", threshold = 0.5).count()
+    val best = graft.text.NearDupClusters.dedupKeepBest(
+      docs, "doc_id", "text", "n_chars", threshold = 0.5)
+    println(s"[63] near-dup survivors: min-id $minIds, keep-longest " +
+      s"${best.count()} (same clusters, ${best.agg(sum("n_chars")).head.getLong(0)} chars retained)")
+
     spark.stop()
   }
 }

@@ -45,4 +45,28 @@ class NearDupClustersSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().sorted
     assert(out.toSeq == Seq(1L, 4L), s"expected chain collapsed to {1,4}, got ${out.toSeq}")
   }
+
+  test("keep-best survivor policy keeps the highest-scoring copy, " +
+      "ties break by id") {
+    val words = (0 until 30).map(i =>
+      s"${('a' + i / 26).toChar}${('a' + i % 26).toChar}")
+    val a = words.slice(0, 20).mkString(" ")
+    val b = words.slice(4, 24).mkString(" ")
+    val c = words.slice(8, 28).mkString(" ")
+    val docs = Seq((1L, a, 10L), (2L, b, 99L), (3L, c, 50L),
+        (4L, "entirely different text about cooking pasta with garlic", 1L))
+      .toDF("doc_id", "text", "quality")
+    // chain {1,2,3}: doc 2 has the best quality and must survive —
+    // min-id dedup would have kept doc 1
+    val out = NearDupClusters.dedupKeepBest(docs, "doc_id", "text",
+        "quality", threshold = 0.5)
+      .select("doc_id").as[Long].collect().sorted
+    assert(out.toSeq == Seq(2L, 4L), s"expected {2,4}, got ${out.toSeq}")
+    // tie on score: lower id wins
+    val tied = docs.withColumn("quality", lit(7L))
+    val out2 = NearDupClusters.dedupKeepBest(tied, "doc_id", "text",
+        "quality", threshold = 0.5)
+      .select("doc_id").as[Long].collect().sorted
+    assert(out2.toSeq == Seq(1L, 4L))
+  }
 }
