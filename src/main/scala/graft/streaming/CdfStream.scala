@@ -16,6 +16,9 @@ import graft.tables.ManagedTable
   *   spark.readStream.format("graft-cdf")
   *     .option("startingVersion", "0")    // optional; default: only NEW commits
   *     .option("startingTimestamp", "2024-01-01") // or by wall clock
+  *     .option("maxVersionsPerTrigger", "10") // commits per micro-batch
+  *     .option("maxFilesPerTrigger", "100")   // or by file-delta weight
+  *     .option("maxBytesPerTrigger", "1g")    // (see TableSourceProvider)
   *     .load(tablePath)
   * }}}
   *
@@ -62,15 +65,16 @@ class CdfSourceProvider extends StreamSourceProvider with DataSourceRegister {
     val base = StreamAnchors.pinInitialVersion(fs, mPath,
       StreamAnchors.startingVersion(parameters, table).map(_ - 1)
         .getOrElse(table.latestVersion))
-    val cap = StreamAnchors.maxVersionsPerTrigger(parameters)
+    val caps = StreamAnchors.triggerCaps(parameters)
     val highWater = new StreamHighWater(fs,
-      new HadoopPath(metadataPath, "graft-cdf-hw"), enabled = cap.isDefined)
-    new CdfSource(table, base, cap, highWater)
+      new HadoopPath(metadataPath, "graft-cdf-hw"), enabled = caps.isDefined)
+    new CdfSource(table, base, caps, highWater)
   }
 }
 
 class CdfSource(table: ManagedTable, baseVersion: Long,
-                maxVersionsPerTrigger: Option[Long] = None,
+                caps: StreamAnchors.TriggerCaps =
+                  StreamAnchors.TriggerCaps(None, None, None),
                 highWater: StreamHighWater =
                   new StreamHighWater(null, null, enabled = false))
     extends Source
@@ -113,15 +117,37 @@ class CdfSource(table: ManagedTable, baseVersion: Long,
       case Some(anchor) => math.min(table.latestVersion, anchor)
       case None => table.latestVersion
     }
-    // cap the batch at maxVersionsPerTrigger COMMITS past the last
-    // offered offset (Delta's maxFilesPerTrigger analog, at the
-    // granularity our offsets have): a stream catching up on a long
-    // backlog drains it in bounded micro-batches instead of one
-    // unbounded replay batch
-    val end = maxVersionsPerTrigger match {
+    // cap the batch by commits and/or file-level weight past the last
+    // offered offset (maxVersionsPerTrigger / maxFilesPerTrigger /
+    // maxBytesPerTrigger): a stream catching up on a long backlog
+    // drains it in bounded micro-batches instead of one unbounded
+    // replay batch. A change commit's weight is its full file delta
+    // (added + removed) — the upper bound of what the change feed
+    // reads to produce its rows. At least one version per trigger.
+    val vCapped = caps.maxVersions match {
       case Some(m) => math.min(v, offered + m)
       case None => v
     }
+    val end =
+      if (!caps.needsWalk || vCapped <= offered) vCapped
+      else {
+        val maxF = caps.maxFiles.getOrElse(Long.MaxValue)
+        val maxB = caps.maxBytes.getOrElse(Long.MaxValue)
+        var e = offered
+        var files = 0L
+        var bytes = 0L
+        var full = false
+        while (!full && e < vCapped) {
+          val (added, removed, _, _) = table.commitFileDelta(e + 1)
+          val delta = added ++ removed
+          val f = delta.size.toLong
+          val b = delta.map(_.bytes).sum
+          if (e > offered && (files + f > maxF || bytes + b > maxB))
+            full = true
+          else { files += f; bytes += b; e += 1 }
+        }
+        e
+      }
     if (end <= offered) None
     else { offered = end; highWater.record(end); Some(LongOffset(end)) }
   }

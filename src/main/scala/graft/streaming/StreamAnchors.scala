@@ -82,6 +82,55 @@ private[streaming] object StreamAnchors {
       require(n > 0, s"maxVersionsPerTrigger must be positive, got $n")
       n
     }
+
+  /** Per-trigger admission caps. `maxVersions` bounds COMMITS per batch;
+    * `maxFiles`/`maxBytes` bound the batch's file-level WEIGHT (Delta's
+    * `maxFilesPerTrigger`/`maxBytesPerTrigger`) — the knobs that matter
+    * when version count says nothing about commit size. Offsets stay
+    * version-granular, so at least one version is always admitted (as
+    * Delta always admits at least one file): the caps bound batch size,
+    * they cannot wedge the stream.
+    */
+  final case class TriggerCaps(maxVersions: Option[Long],
+                               maxFiles: Option[Long],
+                               maxBytes: Option[Long]) {
+    def isDefined: Boolean =
+      maxVersions.isDefined || maxFiles.isDefined || maxBytes.isDefined
+    /** Weight-based caps need the per-commit log walk. */
+    def needsWalk: Boolean = maxFiles.isDefined || maxBytes.isDefined
+  }
+
+  /** Parse the three cap options. `maxBytesPerTrigger` accepts a plain
+    * byte count or a `k`/`m`/`g` suffix (binary multiples, Delta-style
+    * "10g" strings).
+    */
+  def triggerCaps(parameters: Map[String, String]): TriggerCaps = {
+    val files = parameters.get("maxFilesPerTrigger").map { v =>
+      val n = v.toLong
+      require(n > 0, s"maxFilesPerTrigger must be positive, got $n")
+      n
+    }
+    val bytes = parameters.get("maxBytesPerTrigger").map { raw =>
+      val s = raw.trim.toLowerCase
+      val (digits, mult) = s.takeWhile(_.isDigit) match {
+        case d if d.isEmpty =>
+          throw new IllegalArgumentException(
+            s"maxBytesPerTrigger must be <n>[k|m|g][b], got '$raw'")
+        case d => (d, s.drop(d.length) match {
+          case "" | "b" => 1L
+          case "k" | "kb" => 1L << 10
+          case "m" | "mb" => 1L << 20
+          case "g" | "gb" => 1L << 30
+          case other => throw new IllegalArgumentException(
+            s"maxBytesPerTrigger: unknown unit '$other' in '$raw'")
+        })
+      }
+      val n = digits.toLong * mult
+      require(n > 0, s"maxBytesPerTrigger must be positive, got $raw")
+      n
+    }
+    TriggerCaps(maxVersionsPerTrigger(parameters), files, bytes)
+  }
 }
 
 /** Persisted high-water of versions OFFERED via `getOffset` — the floor a

@@ -18,9 +18,19 @@ import graft.tables.ManagedTable
   *     .option("startingVersion", "3")     // optional: tail from v3, no snapshot
   *     .option("startingTimestamp", "2024-01-01 00:00:00") // or by wall clock
   *     .option("skipChangeCommits", "true") // optional: skip non-append commits
-  *     .option("maxVersionsPerTrigger", "10")
+  *     .option("maxVersionsPerTrigger", "10") // commits per micro-batch
+  *     .option("maxFilesPerTrigger", "100")   // or by file count
+  *     .option("maxBytesPerTrigger", "1g")    // or by bytes (k/m/g)
   *     .load(tablePath)
   * }}}
+  *
+  * The file/byte caps are Delta's admission-control knobs: on a table
+  * whose commits vary wildly in size, a version count says nothing
+  * about a trigger's work — the byte budget does. Whole commits are
+  * admitted up to the budget (offsets are version-granular), at least
+  * one per trigger so an oversized commit can never wedge the stream;
+  * commits that stream no rows (OPTIMIZE, skipped change commits)
+  * weigh zero.
   *
   * Default semantics match Delta: the first batch is the table's FULL
   * snapshot as of stream start, then each micro-batch carries the rows
@@ -75,18 +85,19 @@ class TableSourceProvider extends StreamSourceProvider {
     val base = StreamAnchors.pinInitialVersion(fs, mPath,
       startingVersion.map(_ - 1).getOrElse(table.latestVersion))
     val skipChanges = parameters.get("skipChangeCommits").exists(_.toBoolean)
-    val cap = StreamAnchors.maxVersionsPerTrigger(parameters)
+    val caps = StreamAnchors.triggerCaps(parameters)
     val highWater = new StreamHighWater(fs,
-      new HadoopPath(metadataPath, "graft-table-hw"), enabled = cap.isDefined)
+      new HadoopPath(metadataPath, "graft-table-hw"), enabled = caps.isDefined)
     new TableSource(sqlContext.sparkSession, table, base,
-      initialSnapshot = startingVersion.isEmpty, skipChanges, cap, highWater)
+      initialSnapshot = startingVersion.isEmpty, skipChanges, caps, highWater)
   }
 }
 
 class TableSource(spark: org.apache.spark.sql.SparkSession,
                   table: ManagedTable, baseVersion: Long,
                   initialSnapshot: Boolean, skipChangeCommits: Boolean,
-                  maxVersionsPerTrigger: Option[Long] = None,
+                  caps: StreamAnchors.TriggerCaps =
+                    StreamAnchors.TriggerCaps(None, None, None),
                   highWater: StreamHighWater =
                     new StreamHighWater(null, null, enabled = false))
     extends Source
@@ -128,15 +139,48 @@ class TableSource(spark: org.apache.spark.sql.SparkSession,
       : org.apache.spark.sql.connector.read.streaming.Offset =
     getOffset.orNull
 
+  /** End version this trigger admits, walking from `offered` toward
+    * `latest` under the caps. Version cap is arithmetic (no log reads);
+    * file/byte caps read each candidate commit's log entry and stop
+    * BEFORE the commit that would overflow — but always admit at least
+    * one version past `offered` (offsets are version-granular; a commit
+    * bigger than the cap must still flow, as Delta always admits at
+    * least one file). Commits that add nothing (OPTIMIZE, skipped
+    * change commits) weigh zero.
+    */
+  private def admitUpTo(latest: Long): Long = {
+    val vCapped = caps.maxVersions match {
+      case Some(m) => math.min(latest, offered + m)
+      case None => latest
+    }
+    if (!caps.needsWalk || vCapped <= offered) vCapped
+    else {
+      val maxF = caps.maxFiles.getOrElse(Long.MaxValue)
+      val maxB = caps.maxBytes.getOrElse(Long.MaxValue)
+      var end = offered
+      var files = 0L
+      var bytes = 0L
+      var full = false
+      while (!full && end < vCapped) {
+        val (added, removed, _, _) = table.commitFileDelta(end + 1)
+        // a commit that removes entries never streams rows here (it is
+        // OPTIMIZE, skipped, or fails the stream in getBatch) — weigh 0
+        val weighed = if (removed.nonEmpty) Nil else added
+        val f = weighed.size.toLong
+        val b = weighed.map(_.bytes).sum
+        if (end > offered && (files + f > maxF || bytes + b > maxB)) full = true
+        else { files += f; bytes += b; end += 1 }
+      }
+      end
+    }
+  }
+
   override def getOffset: Option[Offset] = {
     val latest = availableNowLimit match {
       case Some(anchor) => math.min(table.latestVersion, anchor)
       case None => table.latestVersion
     }
-    val capped = maxVersionsPerTrigger match {
-      case Some(m) => math.min(latest, offered + m)
-      case None => latest
-    }
+    val capped = admitUpTo(latest)
     if (!firstBatchDone) {
       // snapshot mode offers batch 0 even when no commit landed since
       // stream start: the initial snapshot IS version `baseVersion`

@@ -127,6 +127,27 @@ class CdfStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("maxBytesPerTrigger bounds the change feed's catch-up by commit " +
+      "weight — one commit per trigger at budget 1") {
+    val t = fixture("cdfbytes")
+    (1 to 4).foreach(i => t.delete(s"k = $i")) // v1..v4 backlog
+    // every delete commit's file delta outweighs 1 byte, so the
+    // at-least-one rule admits exactly one commit per trigger
+    val q = spark.readStream.format("graft-cdf")
+      .option("startingVersion", "1")
+      .option("maxBytesPerTrigger", "1")
+      .load(t.location)
+      .writeStream.format("memory").queryName("cdf_bytes_sink")
+      .option("checkpointLocation", tmpDir("cdfbytesckpt")).start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("cdf_bytes_sink").count() == 4)
+      val batches = q.recentProgress.filter(_.numInputRows > 0)
+      assert(batches.length == 4 && batches.forall(_.numInputRows == 1),
+        s"one commit per trigger: ${batches.map(_.numInputRows).toSeq}")
+    } finally q.stop()
+  }
+
   test("restart with maxVersionsPerTrigger resumes from the committed " +
        "offset, not the anchor (no duplicate re-delivery)") {
     val t = fixture("cdfrate3")

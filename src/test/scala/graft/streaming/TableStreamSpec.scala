@@ -218,6 +218,70 @@ class TableStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("maxBytesPerTrigger admits whole commits up to the byte budget — " +
+      "one commit per trigger at budget 1, whole backlog under a " +
+      "large budget, at least one always") {
+    val (loc, t) = mkTable("tsrc20")
+    (0 until 3).foreach(i =>
+      t.append(spark.range(10 + i, 11 + i).selectExpr("id AS k", "id * 10 AS v")))
+    // budget 1 byte < any parquet file: every trigger admits exactly one
+    // of the 4 backlog commits (v0 create + 3 appends)
+    val q = startToMemory(loc, tmpDir("tsrc20ckpt"), "tsrc20",
+      Map("startingVersion" -> "0", "maxBytesPerTrigger" -> "1"))
+    try {
+      q.processAllAvailable()
+      assert(spark.table("tsrc20").count() == 6, "3 create rows + 3 appends")
+      assert(q.recentProgress.count(_.numInputRows > 0) == 4,
+        s"one commit per trigger: ${q.recentProgress.map(_.numInputRows).toSeq}")
+    } finally q.stop()
+    // a generous budget ("1g") drains the same backlog in ONE batch
+    val q2 = startToMemory(loc, tmpDir("tsrc20ckpt2"), "tsrc20b",
+      Map("startingVersion" -> "0", "maxBytesPerTrigger" -> "1g"))
+    try {
+      q2.processAllAvailable()
+      assert(spark.table("tsrc20b").count() == 6)
+      assert(q2.recentProgress.count(_.numInputRows > 0) == 1,
+        s"uncapped-in-practice: ${q2.recentProgress.map(_.numInputRows).toSeq}")
+    } finally q2.stop()
+  }
+
+  test("maxFilesPerTrigger bounds the batch's file count (two 2-file " +
+      "append commits per 4-file trigger)") {
+    val (loc, t) = mkTable("tsrc21")
+    (0 until 3).foreach(i =>
+      t.append(spark.range(10 + i, 11 + i).selectExpr("id AS k", "id * 10 AS v")))
+    // this suite's commits measure: CREATE = 4 files, each append = 2 —
+    // a 4-file budget admits the create alone, then two appends per
+    // trigger: batches of (3, 2, 1) rows
+    val q = startToMemory(loc, tmpDir("tsrc21ckpt"), "tsrc21",
+      Map("startingVersion" -> "0", "maxFilesPerTrigger" -> "4"))
+    try {
+      q.processAllAvailable()
+      assert(spark.table("tsrc21").count() == 6)
+      assert(q.recentProgress.filter(_.numInputRows > 0)
+          .map(_.numInputRows).toSeq == Seq(3, 2, 1),
+        s"got: ${q.recentProgress.map(_.numInputRows).toSeq}")
+    } finally q.stop()
+  }
+
+  test("maxBytesPerTrigger does not spend budget on OPTIMIZE commits") {
+    val (loc, t) = mkTable("tsrc22")
+    t.append(spark.range(10, 11).selectExpr("id AS k", "id * 10 AS v")) // v1
+    t.optimize()                                                        // v2
+    t.append(spark.range(11, 12).selectExpr("id AS k", "id * 10 AS v")) // v3
+    // byte budget 1: v1 fills trigger 1; v2 (OPTIMIZE) weighs 0 and must
+    // ride ALONG with v3 in trigger 2 instead of consuming one alone
+    val q = startToMemory(loc, tmpDir("tsrc22ckpt"), "tsrc22",
+      Map("startingVersion" -> "1", "maxBytesPerTrigger" -> "1"))
+    try {
+      q.processAllAvailable()
+      assert(spark.table("tsrc22").as[(Long, Long)].collect().sorted.toSeq ==
+        Seq((10L, 100L), (11L, 110L)))
+      assert(q.recentProgress.count(_.numInputRows > 0) == 2,
+        s"OPTIMIZE is free: ${q.recentProgress.map(_.numInputRows).toSeq}")
+    } finally q.stop()
+  }
+
   test("restart with maxVersionsPerTrigger resumes from the committed " +
        "offset, not the anchor (no duplicate re-delivery)") {
     val (loc, t) = mkTable("tsrc11")
