@@ -843,6 +843,28 @@ object SparkEntry {
     // GOLDEN LITERAL pinned at sf0.01 (a regression tripwire, like
     // dedup_simhash); the algorithm's semantics are pinned against
     // hand-computed merges in BpeSpec.
+    // WordPiece in the public BERT vocab.txt format (see
+    // text/WordPiece.scala): baseline vocab fitted on the corpus,
+    // exported to the interchange format and RELOADED (the load path is
+    // what a user of a real checkpoint exercises), then codegen'd
+    // greedy longest-match encode. Full char coverage pins n_unk = 0;
+    // ids_sum pins the vocab layout + match order. Golden literal at
+    // sf0.01, like token_bpe; semantics pinned against published
+    // examples in WordPieceSpec.
+    "token_wordpiece" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val m = text.WordPiece.fit(docs, "text", vocabSize = 500)
+      val reloaded = text.WordPiece.load(text.WordPiece.exportVocabTxt(m))
+      docs.select(col("source"),
+          text.WordPiece.encode(col("text"), reloaded).as("__ids"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(col("__ids"))).cast("long").as("n_tokens"),
+          sum(aggregate(col("__ids"), lit(0L), (a, x) => a + x)).as("ids_sum"),
+          sum(size(filter(col("__ids"), x => x === lit(m.unkId))))
+            .cast("long").as("n_unk"))
+    }),
+
     "token_bpe" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val model = text.Bpe.fit(docs, "text", numMerges = 200)
@@ -2139,6 +2161,28 @@ object SparkEntry {
     // BPE merge training is not SQL-replayable; the algorithm is pinned
     // against hand-computed merges in BpeSpec, and this literal trips on
     // any regression of training determinism or the encode loop
+    // golden literal @ sf0.01 (regenerate via Verify). n_tokens is
+    // cross-pinned EQUAL to token_bpe's: on this corpus both tokenizers
+    // resolve every word to one token, so two independent
+    // implementations agreeing is part of the check; n_unk = 0 pins
+    // full char coverage
+    "token_wordpiece" ->
+      """SELECT source, CAST(d AS BIGINT) AS n_docs,
+        |       CAST(n AS BIGINT) AS n_tokens,
+        |       CAST(i AS BIGINT) AS ids_sum, CAST(u AS BIGINT) AS n_unk
+        |FROM (VALUES
+        |  ('src0', 25, 1435, 87565, 0), ('src1', 25, 1540, 93899, 0),
+        |  ('src10', 25, 1303, 79246, 0), ('src11', 25, 1522, 92234, 0),
+        |  ('src12', 25, 1272, 77020, 0), ('src13', 25, 1553, 94058, 0),
+        |  ('src14', 25, 1318, 80595, 0), ('src15', 25, 1298, 78504, 0),
+        |  ('src16', 25, 1351, 82585, 0), ('src17', 25, 1373, 83349, 0),
+        |  ('src18', 25, 1364, 82529, 0), ('src19', 25, 1147, 69737, 0),
+        |  ('src2', 25, 1407, 85851, 0), ('src3', 25, 1384, 84122, 0),
+        |  ('src4', 25, 1294, 79266, 0), ('src5', 25, 1329, 80519, 0),
+        |  ('src6', 25, 1266, 76420, 0), ('src7', 25, 1507, 90666, 0),
+        |  ('src8', 25, 1136, 69098, 0), ('src9', 25, 1366, 82956, 0))
+        |AS v(source, d, n, i, u)""".stripMargin,
+
     "token_bpe" ->
       """SELECT source, CAST(d AS BIGINT) AS n_docs,
         |       CAST(n AS BIGINT) AS n_tokens
