@@ -830,6 +830,18 @@ object SparkEntry {
       text.VocabStats.invertedIndex(t(s, dir, "documents"),
         "doc_id", "text", maxDfFrac = 0.9)),
 
+    // the same BM25 ranking served FROM the prebuilt structures
+    // (structured index + doc-length table) — document text is never
+    // re-read; terms cut by the index's df filter contribute nothing
+    "search_bm25_indexed" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      text.VocabStats.bm25SearchIndexed(
+        text.VocabStats.invertedIndexStructured(docs, "doc_id", "text",
+          maxDfFrac = 0.9),
+        text.VocabStats.docLengths(docs, "doc_id", "text"),
+        "doc_id", query = Seq("dup", "fast", "key"), k = 20)
+    }),
+
     // top-5 tf-idf keywords per doc; rank on round(score,4) desc then
     // word asc, so the cut is deterministic for both engines
     "doc_keywords" -> ((s, dir) =>
@@ -1717,9 +1729,9 @@ object SparkEntry {
     * rows-only check — a literal id list re-run at sf0.1 would produce
     * false failures (or vacuous passes) rather than verification.
     */
-  private val sf001OnlyOracles: Set[String] =
+  private[graft] val sf001OnlyOracles: Set[String] =
     Set("dedup_simhash", "token_bpe", "token_bpe_ids", "token_chunks_ids",
-      "token_bpe_pretrained", "token_bpe_special")
+      "token_bpe_pretrained", "token_bpe_special", "token_wordpiece")
 
   /** The oracle map as it applies to `sfDir`: golden-literal entries are
     * dropped unless the data dir is the sf0.01 set they were pinned on.
@@ -2420,6 +2432,44 @@ object SparkEntry {
         |  SELECT tf.doc_id,
         |    list_sort(list({'w': tf.word, 'f': tf.tf, 'd': dfq.df})) AS ts
         |  FROM tf JOIN dfq USING (word) GROUP BY tf.doc_id),
+        |scored AS (
+        |  SELECT t.doc_id, b.dl,
+        |    round(list_sum(list_transform(t.ts, x ->
+        |      ln(1 + (st.n - x.d + CAST(0.5 AS DOUBLE))
+        |             / (x.d + CAST(0.5 AS DOUBLE)))
+        |      * (x.f / (x.f + CAST(1.2 AS DOUBLE)
+        |        * (1 - CAST(0.75 AS DOUBLE) + CAST(0.75 AS DOUBLE)
+        |           * (b.dl / (st.sdl / st.n))))))), 4) AS score
+        |  FROM ts t JOIN base b USING (doc_id) CROSS JOIN st)
+        |SELECT doc_id, dl, score FROM scored
+        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+
+    // the indexed path replays as the scan-path BM25 with the index's
+    // df stopword cut applied to the query-term table (a cut term drops
+    // its contribution AND its only-matching docs — exactly what
+    // serving from the filtered index does)
+    "search_bm25_indexed" ->
+      """WITH ws AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |                w -> len(w) > 0) AS ws
+        |  FROM documents),
+        |base AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl FROM ws),
+        |st AS (SELECT count(*) AS n, sum(dl) AS sdl FROM base),
+        |nd AS (SELECT count(DISTINCT doc_id) AS nd FROM documents),
+        |toks AS (SELECT doc_id, unnest(ws) AS word FROM ws),
+        |tf AS (
+        |  SELECT doc_id, word, count(*) AS tf FROM toks
+        |  WHERE word IN ('dup', 'fast', 'key') GROUP BY doc_id, word),
+        |dfq AS (
+        |  SELECT word, count(*) AS df FROM tf GROUP BY word),
+        |surv AS (
+        |  SELECT word, df FROM dfq CROSS JOIN nd
+        |  WHERE df <= nd * CAST(0.9 AS DOUBLE)),
+        |ts AS (
+        |  SELECT tf.doc_id,
+        |    list_sort(list({'w': tf.word, 'f': tf.tf, 'd': surv.df})) AS ts
+        |  FROM tf JOIN surv USING (word) GROUP BY tf.doc_id),
         |scored AS (
         |  SELECT t.doc_id, b.dl,
         |    round(list_sum(list_transform(t.ts, x ->

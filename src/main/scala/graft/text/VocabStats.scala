@@ -233,31 +233,55 @@ object VocabStats {
     * appearing in more than `maxDfFrac` of all documents are DROPPED
     * (the standard stopword cut): their postings carry no selectivity,
     * and at corpus scale a posting spanning half the documents is the
-    * one row that cannot be materialized — the cut is what bounds every
-    * row's size. Postings are rendered as a canonical `id:tf`
-    * comma-string so the structure is engine-portable.
+    * one row that cannot be materialized. Postings are rendered as a
+    * canonical `id:tf` comma-string so the structure is engine-portable
+    * ([[invertedIndexStructured]] keeps the typed form for consumers
+    * like [[bm25SearchIndexed]]).
     *
-    * Scale shape: one explode, the `(word, id)` term-frequency
-    * aggregation (map-side partials), one `groupBy(word)` that shuffles
-    * only `(word, id, tf)` triples, and a broadcast one-row total for
-    * the df cut. No driver-side state.
+    * Scale shape — the cut happens BEFORE any postings row exists: one
+    * explode feeds the `(word, id)` term-frequency aggregation
+    * (map-side partials); a df-ONLY aggregation (count-sized rows, no
+    * lists) plus a broadcast one-row total decides the survivor set; a
+    * left-semi join drops every stopword's `(word, id, tf)` triples at
+    * the join, so the postings `collect_list` only ever sees words
+    * already under the cut — a corpus-wide stopword never lands its ~N
+    * postings in one reducer. `df` falls out of the postings
+    * aggregation itself (one triple per posting), so the survivor set
+    * is word-only.
     */
   def invertedIndex(df: DataFrame, idCol: String, textCol: String,
-                    maxDfFrac: Double = 0.5): DataFrame = {
+                    maxDfFrac: Double = 0.5): DataFrame =
+    invertedIndexStructured(df, idCol, textCol, maxDfFrac)
+      .select(col("word"), col("df"),
+        array_join(transform(col("postings"),
+          p => concat_ws(":", p.getField("id").cast("string"),
+            p.getField("tf").cast("string"))), ",")
+          .as("postings"))
+
+  /** [[invertedIndex]] with the postings kept typed:
+    * `(word, df, postings: array<struct<id, tf>>)` sorted by id — the
+    * form downstream consumers ([[bm25SearchIndexed]]) read without
+    * re-parsing. Same plan shape (df-only cut, then semi-join, then
+    * postings aggregation).
+    */
+  def invertedIndexStructured(df: DataFrame, idCol: String, textCol: String,
+                              maxDfFrac: Double = 0.5): DataFrame = {
     require(maxDfFrac > 0.0 && maxDfFrac <= 1.0,
       s"need 0 < maxDfFrac <= 1, got $maxDfFrac")
     val total = df.agg(countDistinct(col(idCol)).as("__nd"))
     val tf = df.select(col(idCol), explode(words(col(textCol))).as("word"))
       .groupBy(col("word"), col(idCol)).agg(count(lit(1)).as("__tf"))
-    tf.groupBy(col("word"))
-      .agg(count(lit(1)).as("df"),
-        array_join(transform(
-          array_sort(collect_list(struct(col(idCol), col("__tf")))),
-          p => concat_ws(":", p.getField(idCol).cast("string"),
-            p.getField("__tf").cast("string"))), ",")
-          .as("postings"))
+    // count-only df pass: 8-byte aggregation rows with map-side
+    // partials — safe for any stopword — then the broadcast cut
+    val survivors = tf.groupBy(col("word")).agg(count(lit(1)).as("__df"))
       .crossJoin(broadcast(total))
-      .filter(col("df") <= col("__nd") * lit(maxDfFrac))
+      .filter(col("__df") <= col("__nd") * lit(maxDfFrac))
+      .select(col("word"))
+    tf.join(survivors, Seq("word"), "left_semi")
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("df"),
+        array_sort(collect_list(
+          struct(col(idCol).as("id"), col("__tf").as("tf")))).as("postings"))
       .select(col("word"), col("df"), col("postings"))
   }
 
@@ -345,6 +369,62 @@ object VocabStats {
             (col("__n") - dft + lit(0.5)) / (dft + lit(0.5)))
           val denom = tfd + lit(k1) * (lit(1.0) - lit(b) +
             lit(b) * (col("__dl") / (col("__sdl") / col("__n"))))
+          a + idf * (tfd / denom)
+        }), 4).as("score"))
+      .orderBy(col("score").desc, col(idCol)).limit(k)
+  }
+
+  /** Per-document token lengths `(id, dl)` — the second half of the
+    * persisted retrieval structure next to [[invertedIndexStructured]]:
+    * build both once, then serve queries from them with
+    * [[bm25SearchIndexed]] without ever re-reading document text.
+    */
+  def docLengths(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), size(words(col(textCol))).cast("long").as("dl"))
+
+  /** [[bm25Search]] served from a prebuilt index instead of raw text:
+    * `index` is [[invertedIndexStructured]] output, `docLens` is
+    * [[docLengths]] output. Identical scoring (same fold, same
+    * sort-before-fold determinism, same round(4)/id tie-break), so the
+    * ranking matches the from-scratch scan exactly — PROVIDED every
+    * query term survived the index's `maxDfFrac` stopword cut; a term
+    * missing from the index (cut, or unseen in the corpus) contributes
+    * nothing, which for a cut term is usually the ranking you wanted
+    * anyway.
+    *
+    * Scale shape — this is why the index exists: the only touch of
+    * anything corpus-sized is the `word.isin` filter over the index
+    * (|vocab| rows, codegen) and one join of the exploded postings
+    * (Σ df over query terms rows — small for selective terms) against
+    * the `(id, dl)` table, which AQE broadcasts from the postings side.
+    * Document text is never read, never tokenized, never shuffled.
+    */
+  def bm25SearchIndexed(index: DataFrame, docLens: DataFrame, idCol: String,
+                        query: Seq[String], k: Int = 20,
+                        k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(query.nonEmpty, "bm25SearchIndexed needs at least one query term")
+    require(k >= 1, s"need k >= 1, got $k")
+    val terms = query.map(_.toLowerCase).distinct
+    val stats = docLens.agg(count(lit(1)).as("__n"),
+      sum(col("dl")).as("__sdl"))
+    val hits = index.filter(col("word").isin(terms: _*))
+      .select(col("word"), col("df").as("__df"),
+        explode(col("postings")).as("__p"))
+      .select(col("__p.id").as(idCol), col("word"),
+        col("__p.tf").as("__tf"), col("__df"))
+    hits.groupBy(col(idCol))
+      .agg(sort_array(collect_list(
+        struct(col("word"), col("__tf"), col("__df")))).as("__ts"))
+      .join(docLens, Seq(idCol))
+      .crossJoin(broadcast(stats))
+      .select(col(idCol), col("dl"),
+        round(aggregate(col("__ts"), lit(0.0), (a, x) => {
+          val tfd = x.getField("__tf")
+          val dft = x.getField("__df")
+          val idf = log(lit(1.0) +
+            (col("__n") - dft + lit(0.5)) / (dft + lit(0.5)))
+          val denom = tfd + lit(k1) * (lit(1.0) - lit(b) +
+            lit(b) * (col("dl") / (col("__sdl") / col("__n"))))
           a + idf * (tfd / denom)
         }), 4).as("score"))
       .orderBy(col("score").desc, col(idCol)).limit(k)

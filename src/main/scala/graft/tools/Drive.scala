@@ -711,6 +711,18 @@ object Drive {
       .mkString(" ")
     println(s"[62] BM25 top-3 for 'dup fast key': $bm")
 
+    // the same query served from the prebuilt structures (index +
+    // doc-length table) — must reproduce the scan ranking exactly
+    val bmIdx = graft.text.VocabStats.bm25SearchIndexed(
+        graft.text.VocabStats.invertedIndexStructured(docs, "doc_id", "text",
+          maxDfFrac = 0.9),
+        graft.text.VocabStats.docLengths(docs, "doc_id", "text"),
+        "doc_id", Seq("dup", "fast", "key"), k = 3)
+      .collect().map(r => f"${r.getLong(0)}@${r.getDouble(2)}%.2f")
+      .mkString(" ")
+    println(s"[62b] BM25-from-index top-3: $bmIdx" +
+      (if (bmIdx == bm) " (matches scan)" else s" MISMATCH vs scan: $bm"))
+
     // near-dup survivor policies: min-id vs keep-longest
     val minIds = graft.text.NearDupClusters.dedupTransitive(
       docs, "doc_id", "text", threshold = 0.5).count()

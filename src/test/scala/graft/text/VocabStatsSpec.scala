@@ -128,6 +128,61 @@ class VocabStatsSpec extends SparkSpec {
     assert(out("fish") == ((1L, "1:1")))
   }
 
+  test("inverted index plan: stopword cut happens BELOW the postings " +
+      "aggregation (semi join, not cut-after-materialize)") {
+    val d = Seq((3L, "cat dog"), (1L, "cat cat fish"), (2L, "cat dog"))
+      .toDF("doc_id", "text")
+    val plan = VocabStats.invertedIndex(d, "doc_id", "text", maxDfFrac = 0.7)
+      .queryExecution.executedPlan.toString
+    // the df-only aggregation + broadcast cut feeds a LeftSemi join that
+    // drops every stopword's (word, id, tf) triples BEFORE collect_list
+    // builds a postings row — a corpus-wide stopword never lands ~N
+    // structs in one reducer. Plan prints top-down, so the postings
+    // aggregate must appear ABOVE the semi join.
+    val semi = plan.indexOf("LeftSemi")
+    val postings = plan.indexOf("collect_list")
+    assert(semi >= 0, "expected a LeftSemi survivor join in:\n" +
+      plan.take(3000))
+    assert(postings >= 0 && postings < semi,
+      "postings collect_list must consume the semi join's output " +
+        "(cut-before-materialize):\n" + plan.take(3000))
+  }
+
+  test("bm25SearchIndexed over the prebuilt index ranks identically to " +
+      "the from-scratch scan") {
+    val d = Seq(
+      (1L, "rare cat cat cat"),
+      (2L, "cat cat cat cat"),
+      (3L, "cat cat cat cat pad pad pad pad pad pad pad pad"),
+      (4L, "dog dog")
+    ).toDF("doc_id", "text")
+    val idx = VocabStats.invertedIndexStructured(d, "doc_id", "text",
+      maxDfFrac = 1.0)
+    val dl = VocabStats.docLengths(d, "doc_id", "text")
+    val indexed = VocabStats.bm25SearchIndexed(idx, dl, "doc_id",
+        query = Seq("RARE", "cat"), k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val scratch = VocabStats.bm25Search(d, "doc_id", "text",
+        query = Seq("RARE", "cat"), k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(indexed.toList == scratch.toList,
+      "identical fold + tie-break must reproduce the scan ranking")
+  }
+
+  test("bm25SearchIndexed: a term cut from the index contributes nothing") {
+    val d = Seq(
+      (1L, "rare cat"), (2L, "cat"), (3L, "cat")
+    ).toDF("doc_id", "text")
+    // cat df=3/3 — cut at 0.7 drops it from the index entirely
+    val idx = VocabStats.invertedIndexStructured(d, "doc_id", "text",
+      maxDfFrac = 0.7)
+    val dl = VocabStats.docLengths(d, "doc_id", "text")
+    val out = VocabStats.bm25SearchIndexed(idx, dl, "doc_id",
+        query = Seq("rare", "cat"), k = 10)
+      .collect().map(_.getLong(0))
+    assert(out.toList == List(1L), "only the surviving term can match")
+  }
+
   test("tf-idf keywords: rare words outrank common ones, rank cut is " +
       "deterministic") {
     val d = Seq(
