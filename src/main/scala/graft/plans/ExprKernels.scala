@@ -214,19 +214,34 @@ object ExprKernels {
   }
 
   /** POSITIONAL k-gram hashes over the RAW text (see [[KgramHashes]]):
-    * element i is a 64-bit hash of chars [i, i+k) of the input, so
-    * equal substrings anywhere in the corpus collide on purpose and the
-    * index maps straight back to a character offset for span surgery.
-    * Unlike [[charNgramHashes]] there is no normalization and no
-    * dedup — offsets are the whole point. A polynomial rolling hash
-    * (mod 2⁶⁴, FNV prime) updates in O(1) per position — O(n) per
-    * document, not O(n·k) — with splitmix finalization for dispersion;
-    * the rolling state itself is never emitted. Texts shorter than k
-    * yield an empty array (no window fits — nothing to match).
+    * element i is a 64-bit hash of the k Unicode CODE POINTS [i, i+k)
+    * of the input, so equal substrings anywhere in the corpus collide
+    * on purpose and the index maps straight back to a character offset
+    * for span surgery. Offsets count code points — the same unit
+    * Spark's `substring`/`length` count — so downstream span removal
+    * ([[graft.text.SubstrDedup.strip]]) applies them exactly; indexing
+    * by UTF-16 code units here would silently shift every span after a
+    * supplementary character (emoji etc.). Unlike [[charNgramHashes]]
+    * there is no normalization and no dedup — offsets are the whole
+    * point. A polynomial rolling hash (mod 2⁶⁴, FNV prime) updates in
+    * O(1) per position — O(n) per document, not O(n·k) — with splitmix
+    * finalization for dispersion; the rolling state itself is never
+    * emitted. Texts shorter than k code points yield an empty array (no
+    * window fits — nothing to match).
     */
   def kgramHashes(input: UTF8String, k: Int): ArrayData = {
     val s = input.toString
-    val n = s.length - k + 1
+    // code-point array: one pass; for BMP-only text each element equals
+    // the UTF-16 char, so hashes (and every existing oracle) are
+    // identical to a char-indexed roll
+    val cps = new Array[Int](s.codePointCount(0, s.length))
+    var ci = 0
+    var si = 0
+    while (si < s.length) {
+      val cp = s.codePointAt(si)
+      cps(ci) = cp; ci += 1; si += Character.charCount(cp)
+    }
+    val n = cps.length - k + 1
     if (n <= 0) return new GenericArrayData(Array.empty[Long])
     val out = new Array[Long](n)
     val P = 0x100000001B3L
@@ -235,11 +250,11 @@ object ExprKernels {
     while (i < k - 1) { pk *= P; i += 1 }
     var h = 0L
     i = 0
-    while (i < k) { h = h * P + s.charAt(i); i += 1 }
+    while (i < k) { h = h * P + cps(i); i += 1 }
     out(0) = mix64(h)
     i = 1
     while (i < n) {
-      h = (h - s.charAt(i - 1) * pk) * P + s.charAt(i + k - 1)
+      h = (h - cps(i - 1) * pk) * P + cps(i + k - 1)
       out(i) = mix64(h)
       i += 1
     }

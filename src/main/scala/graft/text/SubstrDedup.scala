@@ -99,7 +99,9 @@ object SubstrDedup {
 
   /** Per-document duplicated spans over a TEXT column: one row per
     * input row with `idCol`, `spans` (sorted, disjoint
-    * `array<struct<start,end>>` of 0-based char offsets, end exclusive;
+    * `array<struct<start,end>>` of 0-based Unicode CODE-POINT offsets —
+    * the unit Spark's `substring`/`length` count, so [[strip]] applies
+    * them exactly even past supplementary characters — end exclusive;
     * empty when nothing is duplicated), `n_spans`, and `dup_chars`
     * (total chars covered). A span is the maximal union of k-char
     * windows whose window occurs >= `minCount` times in the corpus

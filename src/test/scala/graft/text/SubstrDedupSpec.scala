@@ -46,6 +46,33 @@ class SubstrDedupSpec extends SparkSpec {
   // keeping boundary-straddling windows unique)
   private val shared = "abcdefghijklmnopqrstuvwxyz0123456789!@#$"
 
+  test("non-BMP text: offsets count code points (Spark substr units), " +
+      "strip conserves n_clean + dup_chars") {
+    // two emoji = 4 UTF-16 code units but 2 code points: a code-unit
+    // indexer would mark (4, 44) and strip() (which counts code points)
+    // would cut the wrong range — silent corruption ADVICE r14 flagged
+    val docs = Seq(
+      (1L, "\ud83d\ude00\ud83d\ude00" + shared + "_tail"),
+      (2L, s"prefix-$shared")
+    ).toDF("doc_id", "text")
+    val marked = SubstrDedup.markSpans(docs, "doc_id", "text", k = 40)
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[Row](1).map(s => (s.getInt(0), s.getInt(1)))).toMap
+    assert(marked(1L) == Seq((2, 42)), "code-point offsets, not UTF-16")
+    assert(marked(2L) == Seq((7, 47)))
+    val out = SubstrDedup.strip(docs, "doc_id", "text", k = 40)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(3))).toMap
+    assert(out(1L) == (("\ud83d\ude00\ud83d\ude00_tail", 40L)),
+      "exactly the shared block is removed, emoji intact")
+    assert(out(2L) == (("prefix-", 40L)))
+    // conservation in code points: clean + removed == original
+    val origCps = Map(1L -> (2 + 40 + 5), 2L -> (7 + 40))
+    for ((id, (clean, dup)) <- out)
+      assert(clean.codePointCount(0, clean.length) + dup == origCps(id),
+        s"doc $id conservation")
+  }
+
   test("cross-document duplicated span is marked with exact offsets") {
     val docs = Seq(
       (1L, s"aaaa_${shared}_bbbb"),
