@@ -36,28 +36,48 @@ object Bench {
     * exceed 3 s (the high-spread case: streaming queries have ~2x
     * cold/warm spread, and a sustained noisy window can hit both
     * iterations, so a slow query always earns a third chance at a warm
-    * window). Returns (reported seconds, raw runs, error). A first-run
-    * failure short-circuits; a third-run failure after two successes is
-    * discarded — two good timings exist, and folding the fast-fail
-    * elapsed into the min (or its error into the result) would misreport
-    * a query that measured fine twice.
+    * window). Returns (reported seconds, raw runs, error, flaky error).
+    * A first-run failure short-circuits; a third-run failure after two
+    * successes keeps the min of the two good timings (folding the
+    * fast-fail elapsed into the min would misreport a query that
+    * measured fine twice) but the error surfaces in the FLAKY slot —
+    * an intermittent crash must stay visible across rounds, not vanish
+    * because two runs happened to succeed.
     */
   private[graft] def robustTime(run: () => (Double, Option[String]))
-      : (Double, Seq[Double], Option[String]) = {
+      : (Double, Seq[Double], Option[String], Option[String]) = {
     val (sec1, err1) = run()
-    if (err1.isDefined) (sec1, Seq(sec1), err1)
+    if (err1.isDefined) (sec1, Seq(sec1), err1, None)
     else {
       val (sec2, err2) = run()
       val spread = math.max(sec1, sec2) > 1.5 * math.min(sec1, sec2) &&
         math.max(sec1, sec2) > 1.0
       val needThird = err2.isEmpty && (spread || math.min(sec1, sec2) > 3.0)
-      if (!needThird) (math.min(sec1, sec2), Seq(sec1, sec2), err2)
+      if (!needThird) (math.min(sec1, sec2), Seq(sec1, sec2), err2, None)
       else {
         val (sec3, err3) = run()
-        if (err3.isDefined) (math.min(sec1, sec2), Seq(sec1, sec2), None)
-        else (Seq(sec1, sec2, sec3).min, Seq(sec1, sec2, sec3), None)
+        if (err3.isDefined) (math.min(sec1, sec2), Seq(sec1, sec2), None, err3)
+        else (Seq(sec1, sec2, sec3).min, Seq(sec1, sec2, sec3), None, None)
       }
     }
+  }
+
+  /** Fixed synthetic calibration probe: a pure-CPU range aggregation
+    * plus one small parquet scan-agg — constant work independent of the
+    * query set. Timed at bench start AND end, it anchors the whole run
+    * against the box's ambient load: a round whose queries all drift
+    * 1.3x while the probe also drifts 1.3x is a slow WINDOW, not a
+    * regression. Per-query min-of-N cannot detect that case (r13/r14
+    * both manufactured phantom regressions in sustained slow windows);
+    * a constant-work anchor can.
+    */
+  private[graft] def calibProbe(spark: SparkSession, sfDir: String): Double = {
+    val t0 = System.nanoTime()
+    spark.range(20000000L).selectExpr("sum(id * 2 + 1)").collect()
+    try spark.read.parquet(s"$sfDir/orders.parquet")
+      .agg(sum(col("o_totalprice")), count(lit(1))).collect()
+    catch { case _: Throwable => () }
+    (System.nanoTime() - t0) / 1e9
   }
 
   def main(args: Array[String]): Unit = {
@@ -87,10 +107,13 @@ object Bench {
     //
     // Timing estimator: see [[robustTime]]. (Safe to repeat: the mutating
     // queries recreate their scratch tables from scratch per invocation.)
+    val calibStart = calibProbe(spark, sfDir)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val (best, runs, err) = robustTime(() => timeQuery(spark, sfDir, name, fn))
-      (name, best, runs, err)
+      val (best, runs, err, flaky) =
+        robustTime(() => timeQuery(spark, sfDir, name, fn))
+      (name, best, runs, err, flaky)
     }
+    val calibEnd = calibProbe(spark, sfDir)
     def jstr(s: String): String = "\"" + s.flatMap {
       case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
       case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
@@ -105,15 +128,21 @@ object Bench {
     // detail line)
     def sec2(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
-    val qs = results.map { case (k, v, _, _) => s"\"" + k + "\":" + sec2(v) }
+    val qs = results.map { case (k, v, _, _, _) => s"\"" + k + "\":" + sec2(v) }
       .mkString("{", ",", "}")
     // both raw iterations (first = cold: JIT/page-cache; second = warm) so
     // cross-round regressions separate environment noise from plan changes
-    val runs = results.map { case (k, _, rs, _) =>
+    val runs = results.map { case (k, _, rs, _, _) =>
       s"\"" + k + "\":" + rs.map(sec).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
-    val errs = results.collect { case (k, _, _, Some(e)) => s"\"$k\":${jstr(e)}" }
-      .mkString("{", ",", "}")
+    val errs = results.collect {
+      case (k, _, _, Some(e), _) => s"\"$k\":${jstr(e)}"
+    }.mkString("{", ",", "}")
+    // a third-run crash after two good timings: reported time stands
+    // (min of the good runs) but the failure stays visible here
+    val flaky = results.collect {
+      case (k, _, _, _, Some(e)) => s"\"$k\":${jstr(e)}"
+    }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     // THREE lines, bulky first: the driver's output capture is
     // tail-anchored (~2000 chars), and r12 proved that even at 2-decimal
@@ -124,7 +153,7 @@ object Bench {
     // many queries exist.
     println(s"""{"metric":"total_detail","queries_runs":$runs,"sf":"$sfDir"}""")
     println(s"""{"metric":"total_queries","queries":$qs,"sf":"$sfDir"}""")
-    println(s"""{"metric":"total","value":${sec(total)},"unit":"sec","n_queries":${results.size},"errors":$errs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${sec(total)},"unit":"sec","n_queries":${results.size},"errors":$errs,"flaky":$flaky,"calib":{"start":${sec(calibStart)},"end":${sec(calibEnd)}},"sf":"$sfDir"}""")
     System.out.flush()
     spark.stop()
     if (results.exists(_._4.isDefined)) sys.exit(1)

@@ -110,16 +110,22 @@ object WordPiece {
   }
 
   /** Fit a BASELINE vocabulary on the corpus: `[UNK]`, then every
-    * single character observed (word-initial and `##`-continuation
-    * forms — FULL character coverage, so fitted models never emit
-    * `[UNK]` on their own corpus), then the most frequent whole words
-    * (count desc, word asc — deterministic) until `vocabSize`. This is
-    * the standard baseline, not BERT's likelihood-scored trainer; the
-    * point is a model that round-trips through the public format and
-    * yields stable token budgets.
+    * single character observed ANYWHERE in the corpus (word-initial and
+    * `##`-continuation forms — the inventory comes from a full-corpus
+    * distinct-characters aggregation, not just the top-`vocabSize`
+    * words, so a rare word made of characters the frequent words never
+    * use still tokenizes without `[UNK]`; the only `[UNK]` a fitted
+    * model can emit on its own corpus is a word longer than
+    * `maxInputChars`), then the most frequent whole words (count desc,
+    * word asc — deterministic) until `vocabSize`. This is the standard
+    * baseline, not BERT's likelihood-scored trainer; the point is a
+    * model that round-trips through the public format and yields stable
+    * token budgets.
     *
-    * The word count aggregation is distributed; only the top
-    * `vocabSize` rows reach the driver (TakeOrderedAndProject).
+    * Both aggregations are distributed: the character inventory is a
+    * per-document `array_distinct` then a global distinct (bounded by
+    * the alphabet, not the corpus), and only the top `vocabSize` word
+    * rows reach the driver (TakeOrderedAndProject).
     */
   def fit(df: DataFrame, textCol: String, vocabSize: Int = 8192,
           maxInputChars: Int = 100, lowerCase: Boolean = true): Model = {
@@ -131,11 +137,17 @@ object WordPiece {
       .groupBy("w").agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("w")).limit(vocabSize)
       .collect().map(r => (r.getString(0), r.getLong(1)))
-    // basic-tokenize the collected words the same way encode will, so
-    // the char inventory matches what wordpiece actually sees
+    // FULL-corpus character inventory, basic-tokenized the same way
+    // encode will (case fold, clean-text strip), so the char vocab
+    // covers every character wordpiece can actually see — not only the
+    // ones the top-vocabSize words happen to contain
+    val corpusChars = df
+      .select(explode(array_distinct(split(col(textCol), ""))).as("c"))
+      .filter(length(col("c")) > 0)
+      .distinct().collect().map(_.getString(0))
     val chars = scala.collection.mutable.SortedSet.empty[Char]
-    words.foreach { case (w, _) =>
-      basicTokens(w, lowerCase).foreach(t => t.foreach(chars += _))
+    corpusChars.foreach { s =>
+      basicTokens(s, lowerCase).foreach(t => t.foreach(chars += _))
     }
     val b = Vector.newBuilder[String]
     b += "[UNK]"

@@ -41,14 +41,14 @@ class BenchHarnessSpec extends SparkSpec {
 
   test("robustTime: two agreeing fast runs need no third iteration") {
     val (run, calls) = scripted((1.2, None), (1.1, None))
-    val (best, rs, err) = Bench.robustTime(run)
-    assert(best == 1.1 && rs == Seq(1.2, 1.1) && err.isEmpty)
+    val (best, rs, err, flaky) = Bench.robustTime(run)
+    assert(best == 1.1 && rs == Seq(1.2, 1.1) && err.isEmpty && flaky.isEmpty)
     assert(calls() == 2)
   }
 
   test("robustTime: >1.5x disagreement triggers the third run; min wins") {
     val (run, calls) = scripted((4.0, None), (2.0, None), (1.9, None))
-    val (best, rs, err) = Bench.robustTime(run)
+    val (best, rs, err, _) = Bench.robustTime(run)
     assert(best == 1.9 && rs.length == 3 && err.isEmpty)
     assert(calls() == 3)
   }
@@ -59,7 +59,7 @@ class BenchHarnessSpec extends SparkSpec {
     // (5.8 vs 5.5 — under the old 2x gate no third run fired) and the
     // reported min was a cold number 1.7x the query's warm level
     val (run, calls) = scripted((5.8, None), (5.5, None), (3.4, None))
-    val (best, rs, _) = Bench.robustTime(run)
+    val (best, rs, _, _) = Bench.robustTime(run)
     assert(best == 3.4 && rs == Seq(5.8, 5.5, 3.4))
     assert(calls() == 3)
   }
@@ -67,17 +67,18 @@ class BenchHarnessSpec extends SparkSpec {
   test("robustTime: sub-second jitter never re-runs; fast agreeing pairs " +
        "stay at two iterations") {
     val (run, calls) = scripted((0.2, None), (0.05, None))
-    val (best, _, _) = Bench.robustTime(run)
+    val (best, _, _, _) = Bench.robustTime(run)
     assert(best == 0.05 && calls() == 2)
   }
 
-  test("robustTime: a failed third run is discarded — the two good " +
-       "timings are reported with no error, and the fast-fail elapsed " +
-       "cannot become the min") {
+  test("robustTime: a failed third run keeps the two good timings (the " +
+       "fast-fail elapsed cannot become the min) but surfaces in the " +
+       "FLAKY slot so intermittent crashes stay visible") {
     val (run, _) = scripted((4.1, None), (3.9, None), (0.01, Some("boom")))
-    val (best, rs, err) = Bench.robustTime(run)
+    val (best, rs, err, flaky) = Bench.robustTime(run)
     assert(best == 3.9, s"fast-fail 0.01 must not win the min (got $best)")
     assert(rs == Seq(4.1, 3.9) && err.isEmpty)
+    assert(flaky.contains("boom"), "third-run error must not vanish")
   }
 
   test("robustTime: first-run failure short-circuits; second-run failure " +

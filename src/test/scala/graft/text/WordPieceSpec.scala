@@ -91,6 +91,21 @@ class WordPieceSpec extends SparkSpec {
     assert(row.getLong(0) == row.getLong(1))
   }
 
+  test("fit char inventory covers the WHOLE corpus, not just top-N " +
+      "words: a rare word of otherwise-unseen chars still tokenizes") {
+    import spark.implicits._
+    // top-2 words are 'aa'/'bb'; 'qz' is rank 3 and its characters
+    // appear nowhere in the top-2 — a top-N-only inventory would have
+    // no 'q'/'z' pieces and emit [UNK] (the r14 ADVICE finding)
+    val docs = Seq("aa bb", "aa bb", "aa bb qz").toDF("text")
+    val m = WordPiece.fit(docs, "text", vocabSize = 2)
+    val ids = spark.range(1)
+      .select(WordPiece.encode(lit("qz"), m).as("ids"))
+      .head().getSeq[Int](0)
+    assert(ids.nonEmpty && !ids.contains(m.unkId),
+      s"full-corpus char coverage must tokenize 'qz' without [UNK]: $ids")
+  }
+
   test("a pretrained-format vocab head encodes like the real thing") {
     // the published bert-base-uncased vocab.txt head layout: specials
     // first, then characters, then frequent pieces — hand-built slice
