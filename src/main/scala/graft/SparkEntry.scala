@@ -863,6 +863,24 @@ object SparkEntry {
     // ids_sum pins the vocab layout + match order. Golden literal at
     // sf0.01, like token_bpe; semantics pinned against published
     // examples in WordPieceSpec.
+    // unigram-LM (SentencePiece-style): fit the baseline vocab on the
+    // corpus, round-trip through the public spm_export_vocab TSV, then
+    // Viterbi-encode per row (codegen'd — no joins); per-source token
+    // budget + id checksum + unk count, like the other two tokenizers
+    "token_unigram" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val m = text.UnigramLm.fit(docs, "text", vocabSize = 500)
+      val reloaded = text.UnigramLm.loadTsv(text.UnigramLm.exportTsv(m))
+      docs.select(col("source"),
+          text.UnigramLm.encode(col("text"), reloaded).as("__ids"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(col("__ids"))).cast("long").as("n_tokens"),
+          sum(aggregate(col("__ids"), lit(0L), (a, x) => a + x)).as("ids_sum"),
+          sum(size(filter(col("__ids"), x => x === lit(reloaded.unkId))))
+            .cast("long").as("n_unk"))
+    }),
+
     "token_wordpiece" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val m = text.WordPiece.fit(docs, "text", vocabSize = 500)
@@ -1731,7 +1749,8 @@ object SparkEntry {
     */
   private[graft] val sf001OnlyOracles: Set[String] =
     Set("dedup_simhash", "token_bpe", "token_bpe_ids", "token_chunks_ids",
-      "token_bpe_pretrained", "token_bpe_special", "token_wordpiece")
+      "token_bpe_pretrained", "token_bpe_special", "token_wordpiece",
+      "token_unigram")
 
   /** The oracle map as it applies to `sfDir`: golden-literal entries are
     * dropped unless the data dir is the sf0.01 set they were pinned on.
@@ -2178,6 +2197,26 @@ object SparkEntry {
     // resolve every word to one token, so two independent
     // implementations agreeing is part of the check; n_unk = 0 pins
     // full char coverage
+    // golden literal @ sf0.01 (sf-guarded): the unigram-LM ids are a
+    // property of OUR fit/Viterbi pipeline — no SQL re-derivation
+    // exists, so the checksum is pinned from a verified run
+    "token_unigram" ->
+      """SELECT source, CAST(d AS BIGINT) AS n_docs,
+        |       CAST(n AS BIGINT) AS n_tokens,
+        |       CAST(i AS BIGINT) AS ids_sum, CAST(u AS BIGINT) AS n_unk
+        |FROM (VALUES
+        |  ('src0', 25, 1435, 60765, 0), ('src1', 25, 1540, 64410, 0),
+        |  ('src10', 25, 1303, 55703, 0), ('src11', 25, 1522, 64103, 0),
+        |  ('src12', 25, 1272, 53676, 0), ('src13', 25, 1553, 65699, 0),
+        |  ('src14', 25, 1318, 56163, 0), ('src15', 25, 1298, 55045, 0),
+        |  ('src16', 25, 1351, 56413, 0), ('src17', 25, 1373, 58110, 0),
+        |  ('src18', 25, 1364, 57323, 0), ('src19', 25, 1147, 48290, 0),
+        |  ('src2', 25, 1407, 60006, 0), ('src3', 25, 1384, 58671, 0),
+        |  ('src4', 25, 1294, 54982, 0), ('src5', 25, 1329, 56135, 0),
+        |  ('src6', 25, 1266, 53035, 0), ('src7', 25, 1507, 62883, 0),
+        |  ('src8', 25, 1136, 48015, 0), ('src9', 25, 1366, 58022, 0))
+        |AS v(source, d, n, i, u)""".stripMargin,
+
     "token_wordpiece" ->
       """SELECT source, CAST(d AS BIGINT) AS n_docs,
         |       CAST(n AS BIGINT) AS n_tokens,

@@ -526,6 +526,23 @@ object Drive {
       s"${idsPackAgg.getLong(0)} shards / ${idsPackAgg.getLong(1)} tokens " +
       s"(max ${idsPackAgg.getLong(2)})")
 
+    // --- unigram-LM (SentencePiece-style): fit -> TSV round-trip ->
+    // Viterbi encode -> detok round-trip -------------------------------
+    val ulm = graft.text.UnigramLm.fit(docs, "text", vocabSize = 300)
+    val ulmReload = graft.text.UnigramLm.loadTsv(
+      graft.text.UnigramLm.exportTsv(ulm))
+    val ulmHead = docs.orderBy("doc_id").select(col("text"),
+      graft.text.UnigramLm.encode(col("text"), ulmReload).as("ids")).head()
+    val ulmIds = ulmHead.getSeq[Int](1)
+    val ulmDecoded = graft.text.UnigramLm.decode(ulmIds.toIndexedSeq, ulmReload)
+    val ulmAgg = docs.select(
+      graft.text.UnigramLm.tokenCount(col("text"), ulmReload).as("n"))
+      .agg(sum("n"), max("n")).head()
+    println(s"[48b] unigram-lm: vocab=${ulm.pieces.size} pieces; doc0 " +
+      s"${ulmIds.take(8).mkString(",")}… detok-prefix-ok=" +
+      s"${ulmHead.getString(0).startsWith(ulmDecoded.take(20))}; " +
+      s"${ulmAgg.getLong(0)} tokens total (max ${ulmAgg.getLong(1)})")
+
     // --- IVF×PQ composed ANN: route -> ADC shortlist -> exact rerank ---
     val ivfpqModel = graft.ml.IvfPq.fit(embAll, "embedding", k = 8, m = 8,
       ksub = 16)
