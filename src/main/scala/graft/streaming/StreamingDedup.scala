@@ -246,19 +246,26 @@ object StreamingDedup {
       if (indexEmpty) None
       else Some(prunedRead(index.buckets, "__bp", batchBp)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    val cands = idxBuckets.map(idx =>
-      freshBands.select(col(idCol).as("__new_id"), col("__band"), col("__bh"))
+
+    // verification reads only the sigs partitions that can hold a
+    // candidate: the residues come from the PRUNED BUCKET rows (already
+    // persisted, a cheap distinct over a small frame) rather than from
+    // the materialized candidate join — a superset of the candidates'
+    // own residues (every candidate id is a bucket-row id), so the
+    // pruned read only ever widens. This removes what used to be the
+    // slowest per-batch barrier: persisting the LSH equality join just
+    // to collect its residues cost a full extra job; now the candidate
+    // join computes exactly once, INSIDE the verification job.
+    val verified = idxBuckets.map { idx =>
+      val candSp = timed("candSp-collect")(idx.select(
+          pmod(xxhash64(col(idCol)), lit(parts.toLong)).as("__sp"))
+        .distinct().collect().map(_.getLong(0)).toSeq)
+      val idxSigs = prunedRead(index.sigs, "__sp", candSp)
+      val cs = freshBands
+        .select(col(idCol).as("__new_id"), col("__band"), col("__bh"))
         .join(idx.select(col(idCol).as("__idx_id"), col("__band"), col("__bh")),
           Seq("__band", "__bh"))
         .select("__new_id", "__idx_id").distinct()
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-
-    // verification reads only the sigs partitions of the candidate ids
-    val verified = cands.map { cs =>
-      val candSp = timed("candSp-collect")(cs.select(
-          pmod(xxhash64(col("__idx_id")), lit(parts.toLong)).as("__sp"))
-        .distinct().collect().map(_.getLong(0)).toSeq)
-      val idxSigs = prunedRead(index.sigs, "__sp", candSp)
       cs.join(fresh.select(col(idCol).as("__new_id"), col(HH).as("__hh_new")),
           Seq("__new_id"))
         .join(idxSigs.select(col(idCol).as("__idx_id"), col(HH).as("__hh_idx")),
@@ -275,6 +282,17 @@ object StreamingDedup {
     // and the out/buckets appends below de-dup themselves by id.
     // (Empty index: everything fresh is novel — fresh is already
     // persisted, so reuse it rather than stacking a second persist.)
+    //
+    // Why NOT one multi-table commit: each ManagedTable owns its own
+    // log — there is no cross-table transaction coordinator (same
+    // limitation as Delta), and adding one buys nothing here: the three
+    // WRITE jobs already overlap (two futures + the main-thread sigs
+    // staging share the executor pool — the measured tail is
+    // max(write) ≈ 0.5 s, not the sum), the ordered COMMIT tail costs
+    // ~20 ms per table, and exactly-once already holds through the
+    // idempotent txn markers + sigs-last ordering. Fusing the logs
+    // would save ~40 ms of metadata writes at the price of a
+    // coordinating-log protocol.
     val novelSigs = verified.map(v =>
       fresh.join(v, Seq(idCol), "left_anti")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
@@ -353,7 +371,6 @@ object StreamingDedup {
       fresh.unpersist()
       allBands.unpersist()
       idxBuckets.foreach(_.unpersist())
-      cands.foreach(_.unpersist())
       if (!(novelSigs eq fresh)) novelSigs.unpersist()
     }
     novelCount
