@@ -1136,6 +1136,25 @@ object SparkEntry {
           aggregate(col("ids"), lit(0L), (a, x) => a + x).as("ids_sum"))
     }),
 
+    // the ExactSubstr PAPER configuration end-to-end: real learned-BPE
+    // ids (the same fit as token_bpe_ids) deduped at the published
+    // 50-token window/threshold — not the word-id stand-ins the
+    // SQL-replayable dedup_substring_tokens query uses. Golden at
+    // sf0.01 (BPE ids are a property of our fit pipeline).
+    "dedup_substring_bpe" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val model = text.Bpe.fit(docs, "text", numMerges = 200)
+      val ids = docs.select(col("source"), col("doc_id"),
+        text.Bpe.encode(col("text"), model).as("ids"))
+      text.SubstrDedup.stripIds(ids, "doc_id", "ids", k = 50, minSpan = 50)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("n_spans") > 0, 1L).otherwise(0L)).as("n_docs_cut"),
+          sum(col("dup_tokens")).as("dup_tokens"),
+          sum(size(col("ids"))).cast("long").as("n_clean_tokens"),
+          sum(aggregate(col("ids"), lit(0L), (a, x) => a + x)).as("ids_sum"))
+    }),
+
     // PII scrubbing (the corpus has no organic PII, so deterministic
     // doc-derived contact lines are seeded IDENTICALLY here and in the
     // oracle): per-category counts from the raw text, then the chained
@@ -1750,7 +1769,7 @@ object SparkEntry {
   private[graft] val sf001OnlyOracles: Set[String] =
     Set("dedup_simhash", "token_bpe", "token_bpe_ids", "token_chunks_ids",
       "token_bpe_pretrained", "token_bpe_special", "token_wordpiece",
-      "token_unigram")
+      "token_unigram", "dedup_substring_bpe")
 
   /** The oracle map as it applies to `sfDir`: golden-literal entries are
     * dropped unless the data dir is the sf0.01 set they were pinned on.
@@ -2718,6 +2737,38 @@ object SparkEntry {
     // by the literal id tuple (Spark keys by the rolling hash —
     // injective here), same island merge; clean-side numbers derived as
     // totals minus the tokens inside spans
+    // golden literal @ sf0.01 (sf-guarded): the paper-config run over
+    // real learned-BPE ids — the checksum pins the whole
+    // fit → encode → 50-token ExactSubstr pipeline from a verified run
+    "dedup_substring_bpe" ->
+      """SELECT source, CAST(d AS BIGINT) AS n_docs,
+        |       CAST(c AS BIGINT) AS n_docs_cut,
+        |       CAST(t AS BIGINT) AS dup_tokens,
+        |       CAST(n AS BIGINT) AS n_clean_tokens,
+        |       CAST(i AS BIGINT) AS ids_sum
+        |FROM (VALUES
+        |  ('src0', 25, 1, 80, 1355, 119928),
+        |  ('src1', 25, 2, 151, 1389, 121839),
+        |  ('src10', 25, 2, 186, 1117, 99952),
+        |  ('src11', 25, 0, 0, 1522, 133267),
+        |  ('src12', 25, 0, 0, 1272, 111406),
+        |  ('src13', 25, 3, 230, 1323, 116027),
+        |  ('src14', 25, 0, 0, 1318, 117481),
+        |  ('src15', 25, 0, 0, 1298, 114048),
+        |  ('src16', 25, 0, 0, 1351, 118137),
+        |  ('src17', 25, 0, 0, 1373, 120943),
+        |  ('src18', 25, 3, 223, 1141, 99491),
+        |  ('src19', 25, 0, 0, 1147, 100599),
+        |  ('src2', 25, 1, 59, 1348, 119931),
+        |  ('src3', 25, 1, 61, 1323, 116836),
+        |  ('src4', 25, 0, 0, 1294, 115177),
+        |  ('src5', 25, 4, 313, 1016, 89644),
+        |  ('src6', 25, 1, 61, 1205, 104624),
+        |  ('src7', 25, 2, 171, 1336, 115471),
+        |  ('src8', 25, 1, 83, 1053, 92831),
+        |  ('src9', 25, 0, 0, 1366, 120676))
+        |AS v(source, d, c, t, n, i)""".stripMargin,
+
     "dedup_substring_tokens" ->
       """WITH words AS (
         |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'),
