@@ -842,6 +842,18 @@ object SparkEntry {
         "doc_id", query = Seq("dup", "fast", "key"), k = 20)
     }),
 
+    // BATCH retrieval: two bag-of-words queries ranked in ONE corpus
+    // scan (broadcast term semi-join + per-(qid,doc) fold + rank
+    // window that lowers to WindowGroupLimit); each query's ranking
+    // equals its single-query run
+    "search_bm25_batch" -> ((s, dir) => {
+      import s.implicits._
+      val qs = Seq((1L, Seq("dup", "fast", "key")),
+        (2L, Seq("line", "small", "join"))).toDF("qid", "terms")
+      text.VocabStats.bm25SearchAll(t(s, dir, "documents"), "doc_id", "text",
+        qs, "qid", "terms", k = 10)
+    }),
+
     // top-5 tf-idf keywords per doc; rank on round(score,4) desc then
     // word asc, so the cut is deterministic for both engines
     "doc_keywords" -> ((s, dir) =>
@@ -2539,6 +2551,52 @@ object SparkEntry {
         |  FROM ts t JOIN base b USING (doc_id) CROSS JOIN st)
         |SELECT doc_id, dl, score FROM scored
         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+
+    // batch replay: the same scoring fold per (qid, doc), df over the
+    // union-term tf table (identical per-word values), rank window
+    // with the same (score desc, id) order
+    "search_bm25_batch" ->
+      """WITH q AS (
+        |  SELECT CAST(qid AS BIGINT) AS qid, terms
+        |  FROM (VALUES (1, ['dup', 'fast', 'key']),
+        |               (2, ['line', 'small', 'join'])) AS v(qid, terms)),
+        |qt AS (
+        |  SELECT DISTINCT qid, lower(unnest(terms)) AS word FROM q),
+        |ws AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |                w -> len(w) > 0) AS ws
+        |  FROM documents),
+        |base AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl FROM ws),
+        |st AS (SELECT count(*) AS n, sum(dl) AS sdl FROM base),
+        |toks AS (SELECT doc_id, unnest(ws) AS word FROM ws),
+        |tf AS (
+        |  SELECT doc_id, word, count(*) AS tf FROM toks
+        |  WHERE word IN (SELECT DISTINCT word FROM qt)
+        |  GROUP BY doc_id, word),
+        |dfq AS (SELECT word, count(*) AS df FROM tf GROUP BY word),
+        |ts AS (
+        |  SELECT qt.qid, tf.doc_id,
+        |    list_sort(list({'w': tf.word, 'f': tf.tf, 'd': dfq.df})) AS ts
+        |  FROM tf JOIN dfq USING (word) JOIN qt USING (word)
+        |  GROUP BY qt.qid, tf.doc_id),
+        |scored AS (
+        |  SELECT t.qid, t.doc_id, b.dl,
+        |    round(list_sum(list_transform(t.ts, x ->
+        |      ln(1 + (st.n - x.d + CAST(0.5 AS DOUBLE))
+        |             / (x.d + CAST(0.5 AS DOUBLE)))
+        |      * (x.f / (x.f + CAST(1.2 AS DOUBLE)
+        |        * (1 - CAST(0.75 AS DOUBLE) + CAST(0.75 AS DOUBLE)
+        |           * (b.dl / (st.sdl / st.n))))))), 4) AS score
+        |  FROM ts t JOIN base b USING (doc_id) CROSS JOIN st),
+        |ranked AS (
+        |  SELECT qid, doc_id, dl, score,
+        |    CAST(row_number() OVER (
+        |      PARTITION BY qid ORDER BY score DESC, doc_id) AS BIGINT)
+        |      AS rank
+        |  FROM scored)
+        |SELECT qid, rank, doc_id, dl, score FROM ranked
+        |WHERE rank <= 10""".stripMargin,
 
     // same tf/df aggregation; postings compare as the canonical id:tf
     // string (struct field names differ, the rendered order cannot)

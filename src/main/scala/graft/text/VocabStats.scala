@@ -430,6 +430,64 @@ object VocabStats {
       .orderBy(col("score").desc, col(idCol)).limit(k)
   }
 
+  /** BATCH BM25: score MANY queries in one job — `queries` is a
+    * DataFrame of `(qid, terms: array<string>)` and the result carries
+    * the top `k` docs per query with their rank. Scoring is identical
+    * to [[bm25Search]] (per-term idf over the full-corpus df of each
+    * term, the same sorted fold and round(4)/id determinism), so each
+    * query's ranking equals its own single-query run.
+    *
+    * Scale shape — this is the retrieval WORKLOAD form: the corpus is
+    * scanned and tokenized ONCE for all Q queries (a broadcast
+    * semi-join against the union of query terms replaces Q separate
+    * scans); the (qid → term) map and the per-term df table are
+    * broadcast (|terms| rows); per-query candidates aggregate on
+    * `(qid, id)`; and the per-query k-cut is a rank window that Spark
+    * lowers to WindowGroupLimit — per-partition top-k pruning, no
+    * full-group sort materialization. Document text never shuffles.
+    */
+  def bm25SearchAll(df: DataFrame, idCol: String, textCol: String,
+                    queries: DataFrame, qidCol: String, termsCol: String,
+                    k: Int = 20, k1: Double = 1.2,
+                    b: Double = 0.75): DataFrame = {
+    require(k >= 1, s"need k >= 1, got $k")
+    val qterms = queries
+      .select(col(qidCol), explode(col(termsCol)).as("word"))
+      .select(col(qidCol), lower(col("word")).as("word")).distinct()
+    val terms = qterms.select("word").distinct()
+    val ws = words(col(textCol))
+    val base = df.select(col(idCol), size(ws).cast("long").as("__dl"))
+    val stats = base.agg(count(lit(1)).as("__n"), sum(col("__dl")).as("__sdl"))
+    val tf = df.select(col(idCol), explode(ws).as("word"))
+      .join(broadcast(terms), Seq("word"), "left_semi")
+      .groupBy(col(idCol), col("word")).agg(count(lit(1)).as("__tf"))
+    val dfq = tf.groupBy(col("word")).agg(count(lit(1)).as("__df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(qidCol))
+      .orderBy(col("score").desc, col(idCol))
+    tf.join(broadcast(dfq), Seq("word"))
+      .join(broadcast(qterms), Seq("word"))
+      .groupBy(col(qidCol), col(idCol))
+      .agg(sort_array(collect_list(
+        struct(col("word"), col("__tf"), col("__df")))).as("__ts"))
+      .join(base, Seq(idCol))
+      .crossJoin(broadcast(stats))
+      .select(col(qidCol), col(idCol), col("__dl").as("dl"),
+        round(aggregate(col("__ts"), lit(0.0), (a, x) => {
+          val tfd = x.getField("__tf")
+          val dft = x.getField("__df")
+          val idf = log(lit(1.0) +
+            (col("__n") - dft + lit(0.5)) / (dft + lit(0.5)))
+          val denom = tfd + lit(k1) * (lit(1.0) - lit(b) +
+            lit(b) * (col("__dl") / (col("__sdl") / col("__n"))))
+          a + idf * (tfd / denom)
+        }), 4).as("score"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(qidCol), col("rank").cast("long").as("rank"),
+        col(idCol), col("dl"), col("score"))
+  }
+
   /** DSIR importance weights (Xie et al. 2023, "Data Selection for
     * Language Models via Importance Resampling"): each raw document
     * scored by `log p_target(doc) − log p_raw(doc)` under add-one-

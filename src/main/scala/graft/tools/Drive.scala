@@ -740,6 +740,19 @@ object Drive {
     println(s"[62b] BM25-from-index top-3: $bmIdx" +
       (if (bmIdx == bm) " (matches scan)" else s" MISMATCH vs scan: $bm"))
 
+    // batch retrieval: two queries, one corpus scan; query 1 must
+    // reproduce the single-query ranking above
+    val bmQs = Seq((1L, Seq("dup", "fast", "key")),
+      (2L, Seq("line", "small"))).toDF("qid", "terms")
+    val bmAll = graft.text.VocabStats.bm25SearchAll(docs, "doc_id", "text",
+        bmQs, "qid", "terms", k = 3)
+      .collect().map(r => (r.getLong(0),
+        f"${r.getLong(2)}@${r.getDouble(4)}%.2f"))
+    val bmQ1 = bmAll.filter(_._1 == 1L).map(_._2).mkString(" ")
+    println(s"[62c] BM25 batch (2 queries, 1 scan): q1 $bmQ1" +
+      (if (bmQ1 == bm) " (matches single)" else s" MISMATCH vs $bm") +
+      s"; q2 ${bmAll.filter(_._1 == 2L).map(_._2).mkString(" ")}")
+
     // near-dup survivor policies: min-id vs keep-longest
     val minIds = graft.text.NearDupClusters.dedupTransitive(
       docs, "doc_id", "text", threshold = 0.5).count()

@@ -223,6 +223,38 @@ class VocabStatsSpec extends SparkSpec {
     assert(out.map(_._1).toList == List(1L, 2L, 3L))
   }
 
+  test("bm25SearchAll: each query's ranking equals its own single-query " +
+      "run; the per-query k-cut lowers to WindowGroupLimit") {
+    val d = Seq(
+      (1L, "rare cat cat cat"),
+      (2L, "cat cat cat cat"),
+      (3L, "cat cat cat cat pad pad pad pad pad pad pad pad"),
+      (4L, "dog dog")
+    ).toDF("doc_id", "text")
+    val qs = Seq((1L, Seq("RARE", "cat")), (2L, Seq("pad", "dog")))
+      .toDF("qid", "terms")
+    val all = VocabStats.bm25SearchAll(d, "doc_id", "text",
+      qs, "qid", "terms", k = 3)
+    assert(all.queryExecution.executedPlan.toString
+      .contains("WindowGroupLimit"),
+      "rank<=k must lower to per-partition top-k pruning")
+    val got = all.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(4)))
+      .toMap
+    for ((qid, terms) <- Seq(1L -> Seq("RARE", "cat"), 2L -> Seq("pad", "dog"))) {
+      val single = VocabStats.bm25Search(d, "doc_id", "text", terms, k = 3)
+        .collect().zipWithIndex
+        .map { case (r, i) => (qid, i + 1L) -> (r.getLong(0), r.getDouble(2)) }
+      single.foreach { case (key, want) =>
+        assert(got.get(key).contains(want),
+          s"batch result for $key must equal the single-query run: " +
+            s"got ${got.get(key)}, want $want")
+      }
+    }
+    // query 2 matches docs 3 (pad) and 4 (dog) only
+    assert(got.keys.count(_._1 == 2L) == 2)
+  }
+
   test("dsirWeights: target-like docs outscore off-target docs; weights " +
        "are deterministic") {
     import spark.implicits._
