@@ -215,6 +215,42 @@ object UnigramLm {
     loadModelBytes(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(path)))
 
+  /** Serialize as a `.model` checkpoint (inverse of [[loadModelBytes]]):
+    * one length-delimited `pieces` entry per piece with the same
+    * field/wire layout the reader decodes — `piece` (field 1), `score`
+    * (field 2, little-endian fixed32), `type` (field 3, written only
+    * when not NORMAL, matching the published files' proto3 default
+    * elision). `loadModelBytes(exportModelBytes(m))` round-trips
+    * exactly, and the output is a valid minimal `ModelProto` any
+    * SentencePiece-format consumer of the pieces table can read.
+    */
+  def exportModelBytes(model: Model): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(model.pieces.size * 16)
+    def varint(n0: Int): Unit = {
+      var v = n0
+      while ((v & ~0x7f) != 0) { out.write((v & 0x7f) | 0x80); v >>>= 7 }
+      out.write(v)
+    }
+    model.pieces.foreach { case (p, score, kind) =>
+      val pb = p.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val body = new java.io.ByteArrayOutputStream(pb.length + 12)
+      def bvarint(n0: Int): Unit = {
+        var v = n0
+        while ((v & ~0x7f) != 0) { body.write((v & 0x7f) | 0x80); v >>>= 7 }
+        body.write(v)
+      }
+      body.write(0x0a); bvarint(pb.length); body.write(pb, 0, pb.length)
+      body.write(0x15)
+      val bits = java.lang.Float.floatToIntBits(score)
+      body.write(bits & 0xff); body.write((bits >> 8) & 0xff)
+      body.write((bits >> 16) & 0xff); body.write((bits >> 24) & 0xff)
+      if (kind != Normal) { body.write(0x18); bvarint(kind) }
+      out.write(0x0a); varint(body.size())
+      body.writeTo(out)
+    }
+    out.toByteArray
+  }
+
   // ------------------------------------------------------------ fitting
 
   /** Fit a BASELINE vocabulary: `<unk>`, `<s>`, `</s>` (the published

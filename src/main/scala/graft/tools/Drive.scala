@@ -529,8 +529,12 @@ object Drive {
     // --- unigram-LM (SentencePiece-style): fit -> TSV round-trip ->
     // Viterbi encode -> detok round-trip -------------------------------
     val ulm = graft.text.UnigramLm.fit(docs, "text", vocabSize = 300)
+    // round-trip BOTH public formats: the .model protobuf wire form,
+    // then the spm_export_vocab TSV
     val ulmReload = graft.text.UnigramLm.loadTsv(
-      graft.text.UnigramLm.exportTsv(ulm))
+      graft.text.UnigramLm.exportTsv(
+        graft.text.UnigramLm.loadModelBytes(
+          graft.text.UnigramLm.exportModelBytes(ulm))))
     val ulmHead = docs.orderBy("doc_id").select(col("text"),
       graft.text.UnigramLm.encode(col("text"), ulmReload).as("ids")).head()
     val ulmIds = ulmHead.getSeq[Int](1)

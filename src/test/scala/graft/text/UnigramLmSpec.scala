@@ -110,6 +110,20 @@ class UnigramLmSpec extends SparkSpec {
     assert(pieces(m, "hello") == Seq(M + "hello"))
   }
 
+  test(".model round-trip: exportModelBytes -> loadModelBytes preserves " +
+      "pieces, scores, kinds; a fitted model survives the wire format") {
+    val m = model(M + "the" -> -1.5, M -> -2.25, "x" -> -3.0)
+    val r = UnigramLm.loadModelBytes(UnigramLm.exportModelBytes(m))
+    assert(r.pieces == m.pieces)
+    val fitted = UnigramLm.fit(
+      Seq("aa bb aa", "aa bb").toDF("text"), "text", vocabSize = 8)
+    val rf = UnigramLm.loadModelBytes(UnigramLm.exportModelBytes(fitted))
+    assert(rf.pieces == fitted.pieces)
+    // the exported bytes are self-describing: NORMAL type elided,
+    // specials carry their enum — reload classifies without names
+    assert(rf.unkId == 0 && rf.pieces(1)._3 == UnigramLm.Control)
+  }
+
   test("decode concats pieces and restores spaces (the SentencePiece " +
       "detok rule); encode(decode) is stable for covered text") {
     val m = model(M + "the" -> -1.0, M + "cat" -> -1.5, "s" -> -2.0)
