@@ -153,6 +153,55 @@ class UnigramLmSpec extends SparkSpec {
     assert(row.getLong(0) == row.getLong(1))
   }
 
+  test("exhaustive cross-check: Viterbi score equals an independent " +
+      "brute-force optimum over every short {a,b,space} text") {
+    // independent recursive optimizer (no shared code with the kernel):
+    // best total score of segmenting s into vocab pieces
+    def brute(s: String, vocab: Map[String, Double]): Double = {
+      val memo = new scala.collection.mutable.HashMap[Int, Double]
+      def go(i: Int): Double =
+        if (i == s.length) 0.0
+        else memo.getOrElseUpdate(i, {
+          val opts = for {
+            j <- (i + 1) to s.length
+            sc <- vocab.get(s.substring(i, j))
+          } yield sc + go(j)
+          if (opts.isEmpty) Double.NegativeInfinity else opts.max
+        })
+      go(0)
+    }
+    // seeded vocab: every 1-char piece over the alphabet (full cover,
+    // no unk paths) plus a handful of 2-3 char pieces, scores drawn
+    // deterministically
+    val rnd = new scala.util.Random(42)
+    val alphabet = Seq("a", "b", M)
+    val multis = Seq(M + "a", M + "b", "ab", "ba", "aab", M + "ab", "bb")
+    val vocab = (alphabet ++ multis)
+      .map(p => p -> -(1.0 + math.floor(rnd.nextDouble() * 16) / 4)).toMap
+    val m = UnigramLm.Model(
+      Vector(("<unk>", 0f, UnigramLm.Unknown)) ++
+        vocab.toSeq.sortBy(_._1).map { case (p, s) =>
+          (p, s.toFloat, UnigramLm.Normal) })
+      .validated
+    def gen(k: Int): Seq[String] =
+      if (k == 0) Seq("")
+      else gen(k - 1).flatMap(p => Seq("a", "b", " ").map(p + _))
+    val distinct = (1 to 5).flatMap(gen).distinct.filter(_.trim.nonEmpty)
+    assert(distinct.size > 100, s"need real coverage, got ${distinct.size}")
+    val df = distinct.toDF("t")
+      .select(col("t"), UnigramLm.encode(col("t"), m).as("ids"))
+    df.collect().foreach { r =>
+      val t = r.getString(0)
+      val ids = r.getSeq[Int](1)
+      assert(!ids.contains(0), s"'$t': full cover means no unk")
+      val got = ids.map(id => m.pieces(id)._2.toDouble).sum
+      val want = brute(UnigramLm.normalize(t), vocab)
+      assert(math.abs(got - want) < 1e-4,
+        s"'$t' (normalized '${UnigramLm.normalize(t)}'): kernel score " +
+          s"$got != brute-force optimum $want (ids $ids)")
+    }
+  }
+
   test("column expression survives codegen and handles NULL/empty") {
     val m = model(M + "a" -> -1.0, "a" -> -2.0)
     val df = Seq(Some("a a"), Some(""), None).toDF("t")
