@@ -1514,6 +1514,27 @@ object SparkEntry {
         tau = 0.25)
     }),
 
+    // cluster-balanced sampling: deterministic centroids → cosine-argmax
+    // assignment → per-cluster cap ranked by the portable md5 order (the
+    // topic-mixing recipe: no cluster over-contributes, selection is
+    // re-run stable). Pure composition of verified operators; the cap
+    // window lowers to WindowGroupLimit via capPerGroup's two-phase form
+    "sample_cluster_balance" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id").cast(LongType).as("vec_id"),
+          transform(col("embedding"), x => x.cast("double")).as("embedding"))
+      val cents = ml.SemDedup.seedCentroids(emb, "vec_id", "embedding", k = 8)
+      val assigned = ml.SemDedup.assignClusters(emb, "vec_id", "embedding",
+        cents)
+      operators.Sampling.capPerGroup(
+        assigned.select(col("vec_id"), col("cluster_id"),
+          round(col("centroid_cosine"), 4).as("centroid_cosine")),
+        Seq("cluster_id"),
+        Seq(md5(col("vec_id").cast("string").cast("binary")).asc,
+          col("vec_id").asc),
+        n = 40)
+    }),
+
     // ---- extensions: similarity search --------------------------------
     "simsearch_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -3615,6 +3636,27 @@ object SparkEntry {
         |SELECT r.vec_id, r.cid AS cluster_id, round(r.cs, 4) AS centroid_cosine
         |FROM ranked r
         |WHERE r.vec_id NOT IN (SELECT vec_id FROM dropped)""".stripMargin,
+
+    // same centroid pick + argmax assignment as dedup_semantic; the
+    // per-cluster cap ranks by the identical portable md5 order
+    "sample_cluster_balance" ->
+      """WITH v AS (SELECT CAST(vec_id AS BIGINT) AS vec_id,
+        |                  CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |cent AS (SELECT vec_id AS cid, v AS cv FROM v
+        |         ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
+        |scored AS (SELECT a.vec_id, c.cid,
+        |                  list_cosine_similarity(a.v, c.cv) AS cs
+        |           FROM v a CROSS JOIN cent c),
+        |assign AS (SELECT vec_id, cid, cs FROM (
+        |             SELECT *, row_number() OVER (PARTITION BY vec_id
+        |                         ORDER BY cs DESC, cid) AS rn FROM scored) t
+        |           WHERE rn = 1),
+        |capped AS (SELECT vec_id, cid, cs,
+        |             row_number() OVER (PARTITION BY cid
+        |               ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rk
+        |           FROM assign)
+        |SELECT vec_id, cid AS cluster_id, round(cs, 4) AS centroid_cosine
+        |FROM capped WHERE rk <= 40""".stripMargin,
 
     // simsearch_lsh's candidate set provably contains the true top-10 on
     // this corpus (recall@10 = 1.0, gated in RecallGateSpec), so its ranked
