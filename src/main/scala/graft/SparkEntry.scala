@@ -1714,6 +1714,38 @@ object SparkEntry {
       out.toDF.select("doc_id", "source", "n_chars")
     }),
 
+    // composed streaming INGESTION pipeline (the streaming sibling of
+    // pipeline_clean_corpus): per-batch quality gate → cross-batch
+    // incremental near-dedup against the persistent signature index →
+    // managed output table. Same two-batch probe; the oracle replays
+    // the quality cut, then the exact cross-batch keep-first relation
+    // over the SURVIVING docs.
+    "pipeline_stream_ingest" -> ((s, dir) => {
+      val base = "/root/repo/target/tmp/q_stream_ingest"
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm); f.delete(); ()
+      }
+      Seq(base + "_idx", base + "_out").foreach(p => rm(new java.io.File(p)))
+      val docs = t(s, dir, "documents")
+      // 0.75 is a REAL cut on this corpus (490/500 survive at sf0.01;
+      // quality spans 0.68-0.88) — the gate must do work, not pass all
+      val good = docs.filter(
+        text.TextAnalysis.qualityScore(col("text")) >= 0.75)
+      val index = streaming.StreamingDedup.openIndex(s, base + "_idx",
+        "doc_id", docs.schema("doc_id").dataType, parts = 8)
+      val out = ManagedTable.create(
+        s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          docs.schema), base + "_out")
+      streaming.StreamingDedup.incremental(
+        good.filter(col("doc_id") < 250), "doc_id", "text", index, out,
+        txn = ("q_ingest", 0L), threshold = 0.5)
+      streaming.StreamingDedup.incremental(
+        good.filter(col("doc_id") >= 250 && col("doc_id") < 500),
+        "doc_id", "text", index, out, txn = ("q_ingest", 1L),
+        threshold = 0.5)
+      out.toDF.select("doc_id", "source", "n_chars")
+    }),
+
     // ---- extensions: multimodal (REAL ImageIO decode) -----------------
     // syntheticMedia plants genuine PNGs whose pixel rule is pure integer
     // arithmetic on (doc_id, text) — see Multimodal.pngFor — and
@@ -3570,6 +3602,67 @@ object SparkEntry {
          |SELECT doc_id, source, n_chars FROM documents
          |WHERE doc_id IN (SELECT doc_id FROM s1)
          |   OR doc_id IN (SELECT doc_id FROM s2)""".stripMargin,
+
+    // quality gate replayed from the quality_score oracle, then the
+    // identical cross-batch keep-first relation over the SURVIVORS
+    // (shingles/pairs computed on the filtered set, as the pipeline does)
+    "pipeline_stream_ingest" ->
+      """WITH qt AS (
+        |  SELECT doc_id,
+        |    CAST(length(text) AS DOUBLE) AS n,
+        |    list_filter(string_split_regex(lower(text), '[^\p{L}]+'),
+        |                x -> length(x) > 0) AS qtoks,
+        |    CAST(length(regexp_extract_all(text, '[\p{L}]')) AS DOUBLE)
+        |      AS n_alpha,
+        |    CAST(length(regexp_extract_all(text, '[[:punct:]]')) AS DOUBLE)
+        |      AS n_punct
+        |  FROM documents),
+        |qc AS (
+        |  SELECT doc_id,
+        |    round(least(greatest(
+        |      least(n / 200.0, 1.0) * 0.25 +
+        |      (CASE WHEN n > 0 THEN n_alpha / n ELSE 0 END) * 0.25 +
+        |      (CASE WHEN (CASE WHEN len(qtoks) > 0 THEN
+        |          CAST(list_sum(list_transform(qtoks, x -> length(x)))
+        |            AS DOUBLE) / len(qtoks) ELSE 0 END)
+        |         BETWEEN 3.0 AND 12.0 THEN 1.0 ELSE 0.3 END) * 0.2 +
+        |      (CASE WHEN (CASE WHEN n > 0 THEN n_punct / n ELSE 0 END) < 0.2
+        |         THEN 1.0 ELSE 0.4 END) * 0.1 +
+        |      (CASE WHEN len(qtoks) > 0 THEN
+        |          CAST(len(list_distinct(qtoks)) AS DOUBLE) / len(qtoks)
+        |          ELSE 0 END) * 0.2,
+        |      0.0), 1.0), 4) AS quality
+        |  FROM qt),
+        |good AS (
+        |  SELECT d.* FROM documents d JOIN qc USING (doc_id)
+        |  WHERE qc.quality >= 0.75),
+        |toks AS (SELECT doc_id,
+        |  list_filter(string_split_regex(lower(text), '[^\p{L}]+'),
+        |              x -> x <> '') AS t FROM good),
+        |sh AS (SELECT doc_id,
+        |  CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+        |       ELSE list_distinct(list_transform(generate_series(1, len(t) - 2),
+        |              i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+        |  END AS s FROM toks),
+        |mh_pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.s, b.s))::DOUBLE
+        |        / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+        |        >= 0.5),
+        |s1 AS (
+        |  SELECT doc_id FROM good WHERE doc_id < 250
+        |    AND doc_id NOT IN (SELECT id_b FROM mh_pairs
+        |                       WHERE id_a < 250 AND id_b < 250)),
+        |s2 AS (
+        |  SELECT doc_id FROM good WHERE doc_id >= 250 AND doc_id < 500
+        |    AND doc_id NOT IN (SELECT id_b FROM mh_pairs
+        |                       WHERE id_a >= 250 AND id_a < 500 AND id_b < 500)
+        |    AND doc_id NOT IN (SELECT p.id_b FROM mh_pairs p
+        |                       JOIN s1 ON p.id_a = s1.doc_id))
+        |SELECT doc_id, source, n_chars FROM good
+        |WHERE doc_id IN (SELECT doc_id FROM s1)
+        |   OR doc_id IN (SELECT doc_id FROM s2)""".stripMargin,
 
     // simhash features (xxhash64 token votes) are not reproducible in
     // DuckDB SQL, so this oracle is a golden literal: the loser set below
