@@ -1714,6 +1714,37 @@ object SparkEntry {
       out.toDF.select("doc_id", "source", "n_chars")
     }),
 
+    // WARC round-trip (ISO 28500 — the Common Crawl container): export
+    // the corpus as real WARC shards (half plain, half per-record-gzip,
+    // one file per partition), read them back through the file-per-task
+    // source, and verify the payload survives byte-exact via per-source
+    // char/id aggregates the oracle re-derives from the table directly
+    "source_warc" -> ((s, dir) => {
+      val base = "/root/repo/target/tmp/q_warc"
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm); f.delete(); ()
+      }
+      rm(new java.io.File(base))
+      val docs = t(s, dir, "documents")
+      def shaped(cond: org.apache.spark.sql.Column) = docs.filter(cond)
+        .repartition(4, col("doc_id"))
+        .select(concat(lit("http://corpus.local/doc/"), col("doc_id"))
+          .as("uri"), col("text").cast("binary").as("payload"))
+      sources.Warc.export(shaped(col("doc_id") % 2 === 0), "uri", "payload",
+        base, gzipPerRecord = false)
+      sources.Warc.export(shaped(col("doc_id") % 2 === 1), "uri", "payload",
+        base, gzipPerRecord = true)
+      sources.Warc.read(s, base + "/*.warc*")
+        .select(regexp_extract(col("target_uri"), "/doc/(\\d+)$", 1)
+          .cast(LongType).as("doc_id"),
+          length(col("payload").cast("string")).cast(LongType).as("__n"))
+        .join(t(s, dir, "documents").select(col("doc_id"), col("source")),
+          Seq("doc_id"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum(col("__n")).as("n_chars"),
+          sum(col("doc_id")).as("ids_sum"))
+    }),
+
     // composed streaming INGESTION pipeline (the streaming sibling of
     // pipeline_clean_corpus): per-batch quality gate → cross-batch
     // incremental near-dedup against the persistent signature index →
@@ -3602,6 +3633,15 @@ object SparkEntry {
          |SELECT doc_id, source, n_chars FROM documents
          |WHERE doc_id IN (SELECT doc_id FROM s1)
          |   OR doc_id IN (SELECT doc_id FROM s2)""".stripMargin,
+
+    // the WARC container round-trip is byte-faithful, so the aggregates
+    // re-derive from the table directly — any header/payload/gzip
+    // corruption breaks the char sums
+    "source_warc" ->
+      """SELECT source, count(*) AS n_docs,
+        |  CAST(sum(length(text)) AS BIGINT) AS n_chars,
+        |  CAST(sum(doc_id) AS BIGINT) AS ids_sum
+        |FROM documents GROUP BY source""".stripMargin,
 
     // quality gate replayed from the quality_score oracle, then the
     // identical cross-batch keep-first relation over the SURVIVORS

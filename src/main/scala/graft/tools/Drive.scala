@@ -757,6 +757,27 @@ object Drive {
       (if (bmQ1 == bm) " (matches single)" else s" MISMATCH vs $bm") +
       s"; q2 ${bmAll.filter(_._1 == 2L).map(_._2).mkString(" ")}")
 
+    // WARC container round-trip: export shards (both layouts), read back
+    val warcDir = "target/tmp/drive_warc"
+    def rmWarc(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rmWarc); f.delete(); ()
+    }
+    rmWarc(new java.io.File(warcDir))
+    val warcIn = docs.select(
+      concat(lit("http://corpus.local/doc/"), col("doc_id")).as("uri"),
+      col("text").cast("binary").as("payload"))
+    graft.sources.Warc.export(warcIn.repartition(2), "uri", "payload",
+      warcDir, gzipPerRecord = true)
+    val warcBack = graft.sources.Warc.read(spark, warcDir + "/*.warc*")
+    val wAgg = warcBack.agg(count(lit(1)),
+      sum(length(col("payload").cast("string")))).head()
+    val wOrig = docs.agg(count(lit(1)), sum(length(col("text")))).head()
+    println(s"[64] WARC round-trip: ${wAgg.getLong(0)} records / " +
+      s"${wAgg.getLong(1)} chars " +
+      (if (wAgg.getLong(0) == wOrig.getLong(0) &&
+        wAgg.getLong(1) == wOrig.getLong(1)) "(byte-faithful)"
+       else s"MISMATCH vs ${wOrig.getLong(0)}/${wOrig.getLong(1)}"))
+
     // near-dup survivor policies: min-id vs keep-longest
     val minIds = graft.text.NearDupClusters.dedupTransitive(
       docs, "doc_id", "text", threshold = 0.5).count()

@@ -1,0 +1,81 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class WarcSpec extends SparkSpec {
+
+  private def rec(i: Int, body: String,
+                  tpe: String = "resource") = Warc.Record(
+    warcType = tpe,
+    recordId = s"<urn:uuid:00000000-0000-0000-0000-${"%012d".format(i)}>",
+    targetUri = if (tpe == "warcinfo") "" else s"http://example.org/doc/$i",
+    warcDate = "2024-01-01T00:00:00Z",
+    contentType = if (tpe == "warcinfo") "application/warc-fields"
+      else "text/plain",
+    payload = body.getBytes("UTF-8"))
+
+  private val records = Seq(
+    rec(0, "software: graft-warc-writer\r\n", tpe = "warcinfo"),
+    rec(1, "hello warc world"),
+    rec(2, "second document body, a bit longer than the first"),
+    rec(3, "")) // zero-length payload is legal
+
+  test("byte round-trip: plain and per-record-gzip parse identically") {
+    for (gz <- Seq(false, true)) {
+      val got = Warc.parseAll(Warc.toBytes(records, gzipPerRecord = gz))
+      assert(got.size == records.size, s"gz=$gz")
+      got.zip(records).foreach { case (g, w) =>
+        assert(g.warcType == w.warcType && g.recordId == w.recordId &&
+          g.targetUri == w.targetUri && g.contentType == w.contentType,
+          s"gz=$gz header mismatch on ${w.recordId}")
+        assert(java.util.Arrays.equals(g.payload, w.payload),
+          s"gz=$gz payload mismatch on ${w.recordId}")
+      }
+    }
+  }
+
+  test("gzip layout is per-record multi-member (skippable), not one stream") {
+    val bytes = Warc.toBytes(records, gzipPerRecord = true)
+    // count gzip magic headers: one member per record
+    val magics = bytes.sliding(2).count(a =>
+      (a(0) & 0xff) == 0x1f && (a(1) & 0xff) == 0x8b)
+    assert(magics == records.size,
+      s"expected ${records.size} gzip members, found $magics")
+  }
+
+  test("LF-only headers and a missing final separator still parse") {
+    val strict = new String(Warc.toBytes(Seq(rec(1, "lf tolerant body"))),
+      "ISO-8859-1")
+    val lfOnly = strict.replace("\r\n", "\n")
+      .stripSuffix("\n\n") // drop the record separator entirely
+    val got = Warc.parseAll(lfOnly.getBytes("ISO-8859-1"))
+    assert(got.size == 1)
+    assert(new String(got.head.payload, "UTF-8") == "lf tolerant body")
+  }
+
+  test("read: file-per-task DataFrame surfaces every record of both " +
+      "layouts; payload bytes survive") {
+    val dir = "target/tmp/warc_spec"
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm); f.delete(); ()
+    }
+    rm(new java.io.File(dir))
+    Warc.writeFile(s"$dir/a.warc", records)
+    Warc.writeFile(s"$dir/b.warc.gz", records.map(r =>
+      r.copy(recordId = r.recordId.replace("0000-0000-0000", "0000-0000-1111"))),
+      gzipPerRecord = true)
+    val df = Warc.read(spark, s"$dir/*.warc*")
+    assert(df.count() == records.size * 2L)
+    val byType = df.groupBy("warc_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byType == Map("warcinfo" -> 2L, "resource" -> 6L))
+    val body1 = df.filter(col("target_uri") === "http://example.org/doc/1")
+      .select(col("payload").cast("string")).collect().map(_.getString(0))
+    assert(body1.toSeq == Seq("hello warc world", "hello warc world"))
+    // distribution: the plan carries no shuffle — files are the
+    // parallelism unit, records flatten map-side
+    assert(!df.queryExecution.executedPlan.toString.contains("Exchange"),
+      "WARC read must not shuffle")
+  }
+}
