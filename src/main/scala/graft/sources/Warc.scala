@@ -115,76 +115,101 @@ object Warc {
 
   // ------------------------------------------------------------ parsing
 
-  /** Parse one WARC byte stream (detects per-record gzip by magic).
-    * Tolerates LF-only header lines and a missing final separator.
+  /** STREAMING record parser — the scale path: only the CURRENT record
+    * is ever in memory (headers + one payload), never the file, never
+    * the decompressed stream. Detects per-record gzip by magic (java's
+    * GZIPInputStream reads concatenated members transparently until
+    * EOF). Tolerates LF-only header lines and a missing final
+    * separator. The caller owns closing the underlying stream;
+    * [[read]] wraps it in a close-on-exhaustion iterator.
     */
-  def parseAll(bytes: Array[Byte]): Vector[Record] = {
-    val plain =
-      if (bytes.length >= 2 && (bytes(0) & 0xff) == 0x1f &&
-        (bytes(1) & 0xff) == 0x8b) {
-        // multi-member gzip: java's GZIPInputStream reads concatenated
-        // members transparently until EOF
-        val in = new java.util.zip.GZIPInputStream(
-          new java.io.ByteArrayInputStream(bytes))
-        val buf = new java.io.ByteArrayOutputStream(bytes.length * 4)
-        val tmp = new Array[Byte](65536)
-        var n = in.read(tmp)
-        while (n >= 0) { buf.write(tmp, 0, n); n = in.read(tmp) }
-        buf.toByteArray
-      } else bytes
-    val out = Vector.newBuilder[Record]
-    var pos = 0
-    def readLine(): String = {
-      val start = pos
-      while (pos < plain.length && plain(pos) != '\n') pos += 1
-      val endRaw = pos
-      if (pos < plain.length) pos += 1 // consume \n
-      val end =
-        if (endRaw > start && plain(endRaw - 1) == '\r') endRaw - 1 else endRaw
-      new String(plain, start, end - start,
-        java.nio.charset.StandardCharsets.UTF_8)
+  def parseStream(raw: java.io.InputStream): Iterator[Record] = {
+    val pb = new java.io.PushbackInputStream(
+      new java.io.BufferedInputStream(raw, 1 << 16), 2)
+    val h1 = pb.read()
+    val h2 = if (h1 < 0) -1 else pb.read()
+    if (h2 >= 0) pb.unread(h2)
+    if (h1 >= 0) pb.unread(h1)
+    val in: java.io.InputStream =
+      if (h1 == 0x1f && h2 == 0x8b)
+        new java.io.BufferedInputStream(
+          new java.util.zip.GZIPInputStream(pb), 1 << 16)
+      else pb
+    def readLine(): Option[String] = {
+      val buf = new java.io.ByteArrayOutputStream(128)
+      var c = in.read()
+      if (c < 0) return None
+      while (c >= 0 && c != '\n') { buf.write(c); c = in.read() }
+      val b = buf.toByteArray
+      val n = if (b.nonEmpty && b(b.length - 1) == '\r') b.length - 1
+        else b.length
+      Some(new String(b, 0, n, java.nio.charset.StandardCharsets.UTF_8))
     }
-    while (pos < plain.length) {
-      // skip inter-record blank lines
-      val mark = pos
-      val first = readLine()
-      if (first.isEmpty) { if (pos == mark) pos = plain.length }
-      else {
-        require(first.startsWith("WARC/"),
-          s"not a WARC record header at byte $mark: '$first'")
-        val headers = scala.collection.mutable.LinkedHashMap.empty[String, String]
-        var line = readLine()
-        while (line.nonEmpty) {
-          val i = line.indexOf(':')
-          require(i > 0, s"malformed WARC header line: '$line'")
-          headers(line.substring(0, i).trim.toLowerCase) =
-            line.substring(i + 1).trim
-          line = readLine()
+    def readFully(len: Int): Array[Byte] = {
+      val out = new Array[Byte](len)
+      var off = 0
+      while (off < len) {
+        val n = in.read(out, off, len - off)
+        require(n >= 0, s"truncated WARC payload: need $len bytes, got $off")
+        off += n
+      }
+      out
+    }
+    new Iterator[Record] {
+      private var nextRec: Record = null
+      private def advance(): Unit = {
+        nextRec = null
+        var first = readLine()
+        while (first.exists(_.isEmpty)) first = readLine() // separators
+        first.foreach { f =>
+          require(f.startsWith("WARC/"),
+            s"not a WARC record header: '$f'")
+          val headers =
+            scala.collection.mutable.LinkedHashMap.empty[String, String]
+          var line = readLine()
+          while (line.exists(_.nonEmpty)) {
+            val l = line.get
+            val i = l.indexOf(':')
+            require(i > 0, s"malformed WARC header line: '$l'")
+            headers(l.substring(0, i).trim.toLowerCase) =
+              l.substring(i + 1).trim
+            line = readLine()
+          }
+          val len = headers.getOrElse("content-length",
+            sys.error("WARC record missing Content-Length")).toInt
+          nextRec = Record(
+            headers.getOrElse("warc-type", ""),
+            headers.getOrElse("warc-record-id", ""),
+            headers.getOrElse("warc-target-uri", ""),
+            headers.getOrElse("warc-date", ""),
+            headers.getOrElse("content-type", ""),
+            readFully(len))
         }
-        val len = headers.getOrElse("content-length",
-          sys.error("WARC record missing Content-Length")).toInt
-        require(pos + len <= plain.length,
-          s"truncated WARC payload: need $len bytes at $pos")
-        val payload = java.util.Arrays.copyOfRange(plain, pos, pos + len)
-        pos += len
-        out += Record(
-          headers.getOrElse("warc-type", ""),
-          headers.getOrElse("warc-record-id", ""),
-          headers.getOrElse("warc-target-uri", ""),
-          headers.getOrElse("warc-date", ""),
-          headers.getOrElse("content-type", ""),
-          payload)
+      }
+      advance()
+      override def hasNext: Boolean = nextRec != null
+      override def next(): Record = {
+        val r = nextRec; advance(); r
       }
     }
-    out.result()
   }
+
+  /** Parse one in-memory WARC byte stream (test/tool convenience over
+    * [[parseStream]]).
+    */
+  def parseAll(bytes: Array[Byte]): Vector[Record] =
+    parseStream(new java.io.ByteArrayInputStream(bytes)).toVector
 
   // ------------------------------------------------------------ reading
 
   /** Read WARC files under `pathGlob` into a DataFrame:
     * `(warc_file, warc_type, record_id, target_uri, warc_date,
     * content_type, payload binary)`. One task per file (the CC
-    * distribution model); nothing shuffles.
+    * distribution model); nothing shuffles. The listing projects ONLY
+    * `path` from the `binaryFile` source (column pruning keeps file
+    * bytes unread at the listing stage) and each task stream-parses its
+    * files record-by-record via [[parseStream]] — peak memory per task
+    * is one record, not one decompressed shard.
     */
   def read(spark: SparkSession, pathGlob: String): DataFrame = {
     import org.apache.spark.sql.Row
@@ -200,13 +225,29 @@ object Warc {
       StructField("payload", BinaryType, nullable = false)))
     val enc = RowEncoder.encoderFor(schema)
     spark.read.format("binaryFile").load(pathGlob)
-      .select(col("path"), col("content"))
+      .select(col("path"))
       .mapPartitions { it =>
         it.flatMap { r =>
-          val path = r.getString(0)
-          parseAll(r.getAs[Array[Byte]](1)).map(rec =>
-            Row(path, rec.warcType, rec.recordId, rec.targetUri,
-              rec.warcDate, rec.contentType, rec.payload))
+          val pathStr = r.getString(0)
+          val path = new org.apache.hadoop.fs.Path(pathStr)
+          val fs = path.getFileSystem(
+            new org.apache.hadoop.conf.Configuration())
+          val in = fs.open(path)
+          val recs = parseStream(in)
+          // close on exhaustion: the flatMap consumer drains each file's
+          // iterator fully before moving to the next row
+          new Iterator[Row] {
+            override def hasNext: Boolean = {
+              val h = recs.hasNext
+              if (!h) in.close()
+              h
+            }
+            override def next(): Row = {
+              val rec = recs.next()
+              Row(pathStr, rec.warcType, rec.recordId, rec.targetUri,
+                rec.warcDate, rec.contentType, rec.payload)
+            }
+          }
         }
       }(enc)
   }
