@@ -21,6 +21,10 @@ object BenchOne {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000).selectExpr("sum(id)").collect()
+    // same fixed-work anchor as the full bench: compare against other
+    // runs' calib values to separate box noise from plan changes
+    val calib = Bench.calibProbe(spark, sfDir)
+    println(f"calib (fixed probe): $calib%.3fs")
     names.foreach { name =>
       val fn = SparkEntry.queries.getOrElse(name,
         sys.error(s"unknown query $name"))
