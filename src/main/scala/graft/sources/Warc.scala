@@ -84,32 +84,37 @@ object Warc {
   /** Export a corpus as WARC: one file per partition (the CC sharding
     * model in reverse — partition count controls shard size), records
     * written as `resource` entries with the record id derived from the
-    * target URI (stable across re-runs). Files land under `dir` on the
-    * filesystem visible to executors — local FS in local mode; point
-    * `dir` at a shared mount for a real cluster (a Hadoop-FS variant
-    * would go through `FileSystem.create`, same record bytes).
-    * Executors write their shard and nothing shuffles.
+    * target URI (stable across re-runs). Shards are created through the
+    * Hadoop filesystem of `dir` (local paths in local mode, HDFS/shared
+    * mounts on a cluster) and records STREAM out as the partition
+    * iterator drains — one record in memory per task, never the shard.
+    * Nothing shuffles.
     */
   def export(df: DataFrame, uriCol: String, payloadCol: String, dir: String,
              gzipPerRecord: Boolean = true,
              date: String = "2024-01-01T00:00:00Z",
              contentType: String = "text/plain"): Unit = {
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
     val ext = if (gzipPerRecord) ".warc.gz" else ".warc"
     df.select(col(uriCol).cast("string").as("u"),
         col(payloadCol).cast("binary").as("p"))
       .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
-        val pid = org.apache.spark.TaskContext.getPartitionId()
-        val recs = it.map { r =>
-          val uri = r.getString(0)
-          Record("resource",
-            s"<urn:uuid:${java.util.UUID.nameUUIDFromBytes(
-              uri.getBytes(java.nio.charset.StandardCharsets.UTF_8))}>",
-            uri, date, contentType,
-            if (r.isNullAt(1)) Array.empty[Byte] else r.getAs[Array[Byte]](1))
-        }.toVector
-        if (recs.nonEmpty)
-          writeFile(f"$dir/part-$pid%05d$ext", recs, gzipPerRecord)
+        if (it.hasNext) {
+          val pid = org.apache.spark.TaskContext.getPartitionId()
+          val path = new org.apache.hadoop.fs.Path(f"$dir/part-$pid%05d$ext")
+          val fs = path.getFileSystem(
+            new org.apache.hadoop.conf.Configuration())
+          val out = fs.create(path, true)
+          try it.foreach { r =>
+            val uri = r.getString(0)
+            val rec = Record("resource",
+              s"<urn:uuid:${java.util.UUID.nameUUIDFromBytes(
+                uri.getBytes(java.nio.charset.StandardCharsets.UTF_8))}>",
+              uri, date, contentType,
+              if (r.isNullAt(1)) Array.empty[Byte]
+              else r.getAs[Array[Byte]](1))
+            out.write(toBytes(Seq(rec), gzipPerRecord))
+          } finally out.close()
+        }
       }
   }
 

@@ -54,6 +54,18 @@ class WarcSpec extends SparkSpec {
     assert(new String(got.head.payload, "UTF-8") == "lf tolerant body")
   }
 
+  test("WET-shaped conversion records (the Common Crawl extracted-text " +
+      "layout) round-trip like any other type") {
+    val wet = Seq(
+      rec(0, "software: wet-extractor\r\n", tpe = "warcinfo"),
+      rec(1, "Extracted plain text of page one.", tpe = "conversion"),
+      rec(2, "Extracted plain text of page two.", tpe = "conversion"))
+    val got = Warc.parseAll(Warc.toBytes(wet, gzipPerRecord = true))
+    assert(got.map(_.warcType) == Seq("warcinfo", "conversion", "conversion"))
+    assert(new String(got(1).payload, "UTF-8")
+      == "Extracted plain text of page one.")
+  }
+
   test("read: file-per-task DataFrame surfaces every record of both " +
       "layouts; payload bytes survive") {
     val dir = "target/tmp/warc_spec"
