@@ -155,6 +155,47 @@ class SubstrDedupSpec extends SparkSpec {
     assert(spans(Array(7), 5, 0) == Seq((7, 12)))
   }
 
+  test("kernel: coalesceSpans equals a brute-force cover union over " +
+      "every position subset of [0, 10)") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    // independent oracle: mark the union of [p, p+k) unit-by-unit, read
+    // off maximal covered runs, drop short ones — no shared code
+    def brute(ps: Seq[Int], k: Int, minSpan: Int): Seq[(Int, Int)] = {
+      if (ps.isEmpty) return Nil
+      val covered = ps.flatMap(p => p until p + k).toSet
+      val max = covered.max
+      val runs = Vector.newBuilder[(Int, Int)]
+      var i = 0
+      while (i <= max) {
+        if (covered(i)) {
+          val start = i
+          while (i <= max && covered(i)) i += 1
+          if (i - start >= minSpan) runs += ((start, i))
+        } else i += 1
+      }
+      runs.result()
+    }
+    def kernel(ps: Seq[Int], k: Int, minSpan: Int): Seq[(Int, Int)] = {
+      val arr = ExprKernels.coalesceSpans(
+        new GenericArrayData(ps.toArray), k, minSpan)
+      (0 until arr.numElements()).map { i =>
+        val r = arr.getStruct(i, 2); (r.getInt(0), r.getInt(1))
+      }
+    }
+    var cases = 0
+    for {
+      mask <- 0 until 1024 // every subset of positions 0..9 (ascending)
+      k <- Seq(2, 3, 5)
+      minSpan <- Seq(0, 4)
+    } {
+      val ps = (0 until 10).filter(i => (mask & (1 << i)) != 0)
+      assert(kernel(ps, k, minSpan) == brute(ps, k, minSpan),
+        s"ps=$ps k=$k minSpan=$minSpan")
+      cases += 1
+    }
+    assert(cases == 1024 * 6)
+  }
+
   test("minSpan drops duplicated unions below the length threshold") {
     val twelve = "ABCDEFGHIJKL"
     val docs = Seq(
