@@ -772,7 +772,7 @@ object Drive {
     val wAgg = warcBack.agg(count(lit(1)),
       sum(length(col("payload").cast("string")))).head()
     val wOrig = docs.agg(count(lit(1)), sum(length(col("text")))).head()
-    println(s"[64] WARC round-trip: ${wAgg.getLong(0)} records / " +
+    println(s"[62d] WARC round-trip: ${wAgg.getLong(0)} records / " +
       s"${wAgg.getLong(1)} chars " +
       (if (wAgg.getLong(0) == wOrig.getLong(0) &&
         wAgg.getLong(1) == wOrig.getLong(1)) "(byte-faithful)"
