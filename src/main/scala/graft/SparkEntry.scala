@@ -854,6 +854,28 @@ object SparkEntry {
         qs, "qid", "terms", k = 10)
     }),
 
+    // HYBRID retrieval: the BM25 lexical top-30 and the embedding-cosine
+    // top-30 (query = vector 0) fused by Reciprocal Rank Fusion — the
+    // standard sparse+dense recipe. Ranks re-derive from each leg's own
+    // deterministic order (rounded score desc / raw cosine desc, then
+    // id); the fusion fold adds the two 1/(60+r) terms in leg order.
+    // The leg-rank windows run over ≤30 already-cut rows, not the corpus.
+    "search_hybrid_rrf" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val sparse = text.VocabStats.bm25Search(t(s, dir, "documents"),
+          "doc_id", "text", query = Seq("dup", "fast", "key"), k = 30)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("score").desc, col("doc_id"))))
+      val emb = t(s, dir, "embeddings")
+      val dense = ml.Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+          emb.filter(col("vec_id") === 0), "vec_id", "embedding", k = 30)
+        .select(col("neighbor_id"), col("rank"))
+      ml.Fusion.rrfFuse(
+        Seq(("bm25", sparse, "doc_id", "rank"),
+          ("cosine", dense, "neighbor_id", "rank")),
+        outIdCol = "doc_id", k0 = 60, k = 15)
+    }),
+
     // top-5 tf-idf keywords per doc; rank on round(score,4) desc then
     // word asc, so the cut is deterministic for both engines
     "doc_keywords" -> ((s, dir) =>
@@ -2681,6 +2703,62 @@ object SparkEntry {
         |  FROM scored)
         |SELECT qid, rank, doc_id, dl, score FROM ranked
         |WHERE rank <= 10""".stripMargin,
+
+    // hybrid replay: each leg re-derived exactly as its own oracle
+    // (rounded-score BM25 order / raw-cosine order), full outer join,
+    // the identical leg-ordered 1/(60+r) sum
+    "search_hybrid_rrf" ->
+      """WITH ws AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |                w -> len(w) > 0) AS ws
+        |  FROM documents),
+        |base AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl FROM ws),
+        |st AS (SELECT count(*) AS n, sum(dl) AS sdl FROM base),
+        |toks AS (SELECT doc_id, unnest(ws) AS word FROM ws),
+        |tf AS (
+        |  SELECT doc_id, word, count(*) AS tf FROM toks
+        |  WHERE word IN ('dup', 'fast', 'key') GROUP BY doc_id, word),
+        |dfq AS (SELECT word, count(*) AS df FROM tf GROUP BY word),
+        |ts AS (
+        |  SELECT tf.doc_id,
+        |    list_sort(list({'w': tf.word, 'f': tf.tf, 'd': dfq.df})) AS ts
+        |  FROM tf JOIN dfq USING (word) GROUP BY tf.doc_id),
+        |scored AS (
+        |  SELECT t.doc_id,
+        |    round(list_sum(list_transform(t.ts, x ->
+        |      ln(1 + (st.n - x.d + CAST(0.5 AS DOUBLE))
+        |             / (x.d + CAST(0.5 AS DOUBLE)))
+        |      * (x.f / (x.f + CAST(1.2 AS DOUBLE)
+        |        * (1 - CAST(0.75 AS DOUBLE) + CAST(0.75 AS DOUBLE)
+        |           * (b.dl / (st.sdl / st.n))))))), 4) AS score
+        |  FROM ts t JOIN base b USING (doc_id) CROSS JOIN st),
+        |sparse AS (
+        |  SELECT doc_id,
+        |    CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
+        |      AS rank_bm25
+        |  FROM scored ORDER BY score DESC, doc_id LIMIT 30),
+        |dcos AS (
+        |  SELECT e.vec_id AS neighbor_id,
+        |         list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |                                CAST(e.embedding AS DOUBLE[])) AS c
+        |  FROM (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+        |  CROSS JOIN embeddings e WHERE e.vec_id <> 0),
+        |dense AS (
+        |  SELECT neighbor_id,
+        |    CAST(row_number() OVER (ORDER BY c DESC, neighbor_id) AS BIGINT)
+        |      AS rank_cosine
+        |  FROM dcos ORDER BY c DESC, neighbor_id LIMIT 30),
+        |fused AS (
+        |  SELECT coalesce(s.doc_id, d.neighbor_id) AS doc_id,
+        |         s.rank_bm25, d.rank_cosine
+        |  FROM sparse s FULL OUTER JOIN dense d ON s.doc_id = d.neighbor_id)
+        |SELECT doc_id, rank_bm25, rank_cosine,
+        |  round(coalesce(CAST(1.0 AS DOUBLE) / (60 + rank_bm25),
+        |                 CAST(0.0 AS DOUBLE))
+        |      + coalesce(CAST(1.0 AS DOUBLE) / (60 + rank_cosine),
+        |                 CAST(0.0 AS DOUBLE)), 6) AS rrf
+        |FROM fused ORDER BY rrf DESC, doc_id LIMIT 15""".stripMargin,
 
     // same tf/df aggregation; postings compare as the canonical id:tf
     // string (struct field names differ, the rendered order cannot)

@@ -786,6 +786,25 @@ object Drive {
     println(s"[63] near-dup survivors: min-id $minIds, keep-longest " +
       s"${best.count()} (same clusters, ${best.agg(sum("n_chars")).head.getLong(0)} chars retained)")
 
+    // hybrid retrieval: BM25 lexical leg + embedding-cosine dense leg
+    // fused by Reciprocal Rank Fusion (join-free union-pivot shape)
+    val sparseLeg = graft.text.VocabStats.bm25Search(
+        docs, "doc_id", "text", query = Seq("dup", "fast"), k = 10)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("score").desc, col("doc_id"))))
+    val denseLeg = graft.ml.Similarity.bruteForceTopK(
+      emb, "vec_id", "embedding",
+      emb.filter(col("vec_id") === 0), "vec_id", "embedding", k = 10)
+    val fusedTop = graft.ml.Fusion.rrfFuse(
+      Seq(("bm25", sparseLeg, "doc_id", "rank"),
+        ("cosine", denseLeg, "neighbor_id", "rank")),
+      outIdCol = "doc_id", k0 = 60, k = 5).collect()
+    val bothLegs = fusedTop.count(r => !r.isNullAt(1) && !r.isNullAt(2))
+    println(s"[64] hybrid RRF top-5: " +
+      fusedTop.map(r => s"doc ${r.getLong(0)} rrf=${r.getDouble(3)}")
+        .mkString(", ") + s" ($bothLegs of 5 surfaced by both legs)")
+
     spark.stop()
   }
 }
