@@ -1436,6 +1436,17 @@ object SparkEntry {
         t(s, dir, "documents"), "doc_id", "text", threshold = 0.5)
         .select("doc_id", "source", "n_chars")),
 
+    // same survivors via alternating large-star/small-star contraction
+    // (Kiveris et al. 2014) — O(log n) rounds vs label propagation's
+    // ~diameter rounds, the safe component algorithm when partial
+    // duplicates chain. Oracle is byte-identical to dedup_transitive:
+    // both compute min-id-per-component survivors.
+    "dedup_transitive_star" -> ((s, dir) =>
+      text.NearDupClusters.dedupTransitive(
+        t(s, dir, "documents"), "doc_id", "text", threshold = 0.5,
+        algo = "star")
+        .select("doc_id", "source", "n_chars")),
+
     // quality survivor policy: each near-dup cluster keeps its LONGEST
     // copy (n_chars desc, id asc) instead of the minimum id — the
     // real-world resolution for partial duplicates
@@ -3561,6 +3572,21 @@ object SparkEntry {
          |WHERE doc_id NOT IN (SELECT id_b FROM mh_pairs)""".stripMargin,
 
     "dedup_transitive" ->
+      s"""WITH RECURSIVE $shingleCtes,
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM mh_pairs
+         |          UNION SELECT id_b, id_a FROM mh_pairs),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+         |  WHERE e.dst <> r.src)
+         |SELECT doc_id, source, n_chars FROM documents d
+         |WHERE NOT EXISTS (SELECT 1 FROM reach r
+         |                  WHERE r.src = d.doc_id AND r.dst < d.doc_id)""".stripMargin,
+
+    // identical semantics (min-id survivor per component) — the star
+    // algorithm must reproduce the label-propagation answer exactly
+    "dedup_transitive_star" ->
       s"""WITH RECURSIVE $shingleCtes,
          |edges AS (SELECT id_a AS src, id_b AS dst FROM mh_pairs
          |          UNION SELECT id_b, id_a FROM mh_pairs),

@@ -63,15 +63,93 @@ object NearDupClusters {
       .select(col(idCol), coalesce(col("cluster"), col(idCol)).as("cluster"))
   }
 
+  /** Connected components by alternating large-star / small-star
+    * (Kiveris, Lattanzi, Mirrokni, Rastogi & Vassilvitskii, "Connected
+    * Components in MapReduce and Beyond", SoCC 2014) — the O(log n)-ROUND
+    * algorithm. [[clusters]]' min-label propagation needs ~diameter
+    * rounds, which is fine for shallow near-dup cliques but degrades on
+    * chained partial duplicates (A≈B≈C≈… paths, the shingled-document
+    * worst case); star contraction halves tree heights every alternation
+    * regardless of diameter.
+    *
+    *  - large-star(u): attach every neighbor v > u to m = min(Γ(u) ∪ {u})
+    *  - small-star(u): over edges oriented big→small, attach u and its
+    *    smaller neighbors to their minimum
+    *
+    * The unique fixpoint is the canonical star forest rooted at each
+    * component's minimum id, so at convergence the edge list IS the
+    * (member → cluster) map. Scale shape: every round shuffles only
+    * 16-byte id pairs (never payloads), large-star emits at most one
+    * edge per directed input edge so the set never blows up, and each
+    * round's result is localCheckpoint-ed to cut lineage.
+    */
+  def clustersStar(ids: DataFrame, idCol: String, pairs: DataFrame,
+                   maxIter: Int = 50): DataFrame = {
+    // orient every edge downward (src > dst); self-loops drop
+    var edges = pairs
+      .select(greatest(col("id_a"), col("id_b")).as("src"),
+        least(col("id_a"), col("id_b")).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+      .localCheckpoint()
+    var converged = edges.limit(1).isEmpty
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      // LARGE-STAR over the symmetric view: m = min(Γ(u) ∪ {u}), emit
+      // (v, m) for each neighbor v > u. Output stays big→small oriented.
+      val sym = edges.select(col("src").as("u"), col("dst").as("v"))
+        .union(edges.select(col("dst").as("u"), col("src").as("v")))
+      val mins = sym.groupBy("u").agg(min("v").as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      val large = sym.join(mins, Seq("u"))
+        .filter(col("v") > col("u"))
+        .select(col("v").as("src"), col("m").as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .distinct()
+      // SMALL-STAR: group by the big endpoint, re-attach it and all its
+      // smaller neighbors to their minimum
+      val sMins = large.groupBy("src").agg(min("dst").as("m"))
+      val next = large.join(sMins, Seq("src"))
+        .filter(col("dst") =!= col("m"))
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .union(sMins.select(col("src"), col("m").as("dst")))
+        .distinct()
+        .localCheckpoint()
+      // fixpoint test: both frames are distinct sets, so two anti-join
+      // emptiness probes (over checkpointed 16-byte rows) decide equality
+      converged =
+        next.join(edges, Seq("src", "dst"), "left_anti").limit(1).isEmpty &&
+          edges.join(next, Seq("src", "dst"), "left_anti").limit(1).isEmpty
+      edges = next
+      iter += 1
+    }
+    require(converged,
+      s"star contraction did not converge in $maxIter rounds (needs " +
+        "~2·log2(n); raise maxIter)")
+    val labels = edges.select(col("src").as(idCol), col("dst").as("cluster"))
+    ids.select(col(idCol))
+      .join(labels, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("cluster"), col(idCol)).as("cluster"))
+  }
+
   /** Transitive near-dedup: one survivor (the minimum id) per connected
-    * component of the verified near-dup pair graph.
+    * component of the verified near-dup pair graph. `algo` picks the
+    * component algorithm: `"labelprop"` ([[clusters]], ~diameter rounds,
+    * cheapest on shallow clique graphs) or `"star"` ([[clustersStar]],
+    * O(log n) rounds, the safe choice when duplicate CHAINS are possible).
     */
   def dedupTransitive(df: DataFrame, idCol: String, textCol: String,
                       threshold: Double = 0.8, numHashes: Int = 64,
-                      bands: Int = 16, shingleWidth: Int = 3): DataFrame = {
+                      bands: Int = 16, shingleWidth: Int = 3,
+                      algo: String = "labelprop"): DataFrame = {
     val pairs = MinHashDedup.nearDupPairs(df, idCol, textCol, threshold,
       numHashes, bands, shingleWidth)
-    val assigned = clusters(df.select(idCol), idCol, pairs)
+    val assigned = algo match {
+      case "labelprop" => clusters(df.select(idCol), idCol, pairs)
+      case "star" => clustersStar(df.select(idCol), idCol, pairs)
+      case other => throw new IllegalArgumentException(
+        s"unknown component algo '$other' (labelprop | star)")
+    }
     df.join(assigned, Seq(idCol))
       .filter(col(idCol) === col("cluster"))
       .drop("cluster")

@@ -786,6 +786,13 @@ object Drive {
     println(s"[63] near-dup survivors: min-id $minIds, keep-longest " +
       s"${best.count()} (same clusters, ${best.agg(sum("n_chars")).head.getLong(0)} chars retained)")
 
+    // same survivors from the O(log n)-round star-contraction components
+    val starIds = graft.text.NearDupClusters.dedupTransitive(
+      docs, "doc_id", "text", threshold = 0.5, algo = "star").count()
+    println(s"[63b] star-contraction components: $starIds survivors " +
+      (if (starIds == minIds) "(identical to label propagation)"
+       else s"MISMATCH vs $minIds"))
+
     // hybrid retrieval: BM25 lexical leg + embedding-cosine dense leg
     // fused by Reciprocal Rank Fusion (join-free union-pivot shape)
     val sparseLeg = graft.text.VocabStats.bm25Search(

@@ -69,4 +69,66 @@ class NearDupClustersSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().sorted
     assert(out2.toSeq == Seq(1L, 4L))
   }
+
+  test("star contraction matches label propagation on random graphs") {
+    // fixed-seed random pair graphs of several densities, cross-checked
+    // component-for-component against the label-propagation result
+    val rnd = new scala.util.Random(42)
+    for (edgeCount <- Seq(0, 5, 30, 120)) {
+      val n = 40L
+      val ids = (0L until n).toDF("id")
+      val pairRows = Seq.fill(edgeCount)(
+        (rnd.nextInt(n.toInt).toLong, rnd.nextInt(n.toInt).toLong))
+      val pairs = pairRows.toDF("id_a", "id_b")
+      val byProp = NearDupClusters.clusters(ids, "id", pairs)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val byStar = NearDupClusters.clustersStar(ids, "id", pairs)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(byStar == byProp, s"diverged at $edgeCount edges")
+    }
+  }
+
+  test("star contraction collapses a 200-node path in O(log n) rounds") {
+    // a path graph has diameter 199: label propagation would need ~199
+    // joins, star contraction must finish inside 12 alternations (the
+    // maxIter bound below IS the assertion — convergence is required)
+    val n = 200L
+    val ids = (0L until n).toDF("id")
+    // permute ids so the minimum sits mid-path, not at an endpoint
+    val perm = new scala.util.Random(7).shuffle((0L until n).toVector)
+    val pairs = (0 until n.toInt - 1)
+      .map(i => (perm(i), perm(i + 1))).toDF("id_a", "id_b")
+    val out = NearDupClusters.clustersStar(ids, "id", pairs, maxIter = 12)
+      .select("cluster").distinct().as[Long].collect()
+    assert(out.toSeq == Seq(0L))
+  }
+
+  test("star contraction handles self-loops, duplicate and reversed edges") {
+    val ids = (1L to 6L).toDF("id")
+    val pairs = Seq((2L, 1L), (1L, 2L), (2L, 2L), (3L, 2L), (5L, 4L))
+      .toDF("id_a", "id_b")
+    val out = NearDupClusters.clustersStar(ids, "id", pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      4L -> 4L, 5L -> 4L, 6L -> 6L))
+  }
+
+  test("dedupTransitive algo=star keeps the same survivors") {
+    val words = (0 until 30).map(i =>
+      s"${('a' + i / 26).toChar}${('a' + i % 26).toChar}")
+    val docs = Seq(
+      (1L, words.slice(0, 20).mkString(" ")),
+      (2L, words.slice(4, 24).mkString(" ")),
+      (3L, words.slice(8, 28).mkString(" ")),
+      (4L, "entirely different text about cooking pasta with garlic and olive oil"))
+      .toDF("doc_id", "text")
+    val out = NearDupClusters.dedupTransitive(docs, "doc_id", "text",
+        threshold = 0.5, algo = "star")
+      .select("doc_id").as[Long].collect().sorted
+    assert(out.toSeq == Seq(1L, 4L))
+    val e = intercept[IllegalArgumentException] {
+      NearDupClusters.dedupTransitive(docs, "doc_id", "text", algo = "nope")
+    }
+    assert(e.getMessage.contains("unknown component algo"))
+  }
 }
