@@ -1129,6 +1129,16 @@ object SparkEntry {
         text.Boilerplate.segmentsByWords(col("text"), 10), minDocs = 2)
     }),
 
+    // GLOBAL keep-first segment dedup (RefinedWeb recipe): the first
+    // corpus-wide occurrence of each 10-word window survives, later
+    // occurrences strike — one canonical copy stays in the corpus,
+    // where dedup_boilerplate strikes every copy
+    "dedup_paragraph_global" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text", "source")
+      text.Boilerplate.dedupKeepFirst(docs, "doc_id", "text",
+        text.Boilerplate.segmentsByWords(col("text"), 10))
+    }),
+
     // exact-substring dedup (Lee et al. 2021 ExactSubstr, duplicated
     // k-window approximation): maximal char spans every k-window of
     // which occurs verbatim >= 2 times corpus-wide are struck from the
@@ -2906,6 +2916,48 @@ object SparkEntry {
         |SELECT d.doc_id, coalesce(a.clean, '') AS text, d.source,
         |  coalesce(t2.total, 0) AS n_segments,
         |  coalesce(t2.total, 0) - coalesce(a.kept_n, 0) AS n_removed
+        |FROM documents d
+        |LEFT JOIN agg a USING (doc_id)
+        |LEFT JOIN tot t2 USING (doc_id)""".stripMargin,
+
+    // same 10-word windows keyed by the literal segment (Spark keys by
+    // xxhash64 — injective here); first occurrence = min of the
+    // (doc_id, window) pair, encoded as doc_id*1000000+g on the DuckDB
+    // side (windows per doc are far below 1e6, ids are non-negative, so
+    // the encoding preserves the lexicographic struct order Spark uses)
+    "dedup_paragraph_global" ->
+      """WITH words AS (
+        |  SELECT doc_id, source,
+        |    list_filter(regexp_split_to_array(text, '\s+'),
+        |                x -> len(x) > 0) AS w
+        |  FROM documents),
+        |chunks AS (
+        |  SELECT doc_id, unnest(range(0, cast(ceil(len(w) / 10.0) AS BIGINT)))
+        |    AS g, w
+        |  FROM words),
+        |segs AS (
+        |  SELECT doc_id, g,
+        |    array_to_string(w[(g * 10 + 1):(g * 10 + 10)], ' ') AS seg
+        |  FROM chunks),
+        |firsts AS (
+        |  SELECT seg, count(*) AS n, min(doc_id * 1000000 + g) AS k
+        |  FROM segs GROUP BY seg),
+        |struck AS (
+        |  SELECT s.doc_id, s.g FROM segs s JOIN firsts f ON s.seg = f.seg
+        |  WHERE f.n > 1 AND s.doc_id * 1000000 + s.g <> f.k),
+        |kept AS (
+        |  SELECT doc_id, g, seg FROM segs s
+        |  WHERE NOT EXISTS (SELECT 1 FROM struck x
+        |                    WHERE x.doc_id = s.doc_id AND x.g = s.g)),
+        |agg AS (
+        |  SELECT doc_id, array_to_string(list(seg ORDER BY g), ' ') AS clean,
+        |    count(*) AS kept_n
+        |  FROM kept GROUP BY doc_id),
+        |tot AS (SELECT doc_id, count(*) AS total FROM segs GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(a.clean, '') AS text, d.source,
+        |  CAST(coalesce(t2.total, 0) AS BIGINT) AS n_segments,
+        |  CAST(coalesce(t2.total, 0) - coalesce(a.kept_n, 0) AS BIGINT)
+        |    AS n_removed
         |FROM documents d
         |LEFT JOIN agg a USING (doc_id)
         |LEFT JOIN tot t2 USING (doc_id)""".stripMargin,

@@ -102,4 +102,63 @@ object Boilerplate {
           (col("__total") - coalesce(col("__kept"), lit(0L)))
             .cast("long").as("n_removed"): _*)
   }
+
+  /** GLOBAL keep-first segment dedup (the RefinedWeb / MassiveText
+    * sub-document recipe): every distinct segment keeps exactly its
+    * FIRST corpus-wide occurrence — minimum (document id, position) —
+    * and every later occurrence is struck, including repeats within one
+    * document. Complements [[removeRepeated]]: that strips boilerplate
+    * from ALL documents it infects; this preserves one canonical copy
+    * of each segment, so corpus token mass is deduplicated without
+    * destroying unique content that merely got syndicated.
+    *
+    * Same output contract as [[removeRepeated]]: every input column,
+    * `textCol` replaced by the re-joined survivors, plus
+    * `n_segments` / `n_removed`.
+    *
+    * Scale shape — document text never shuffles:
+    *
+    *  1. occurrences project to 24-byte (id, pos, xxhash64) rows at the
+    *     scan (segment strings stay behind);
+    *  2. `groupBy(hash)` with map-side partials finds each hash's count
+    *     and min (id, pos) — only hashes with count > 1 survive;
+    *  3. occurrences join that (typically small, AQE-broadcastable)
+    *     set on hash; non-first occurrences reduce to per-document
+    *     struck-position lists;
+    *  4. the struck positions join back to the input by id and the
+    *     cleaned text rebuilds MAP-SIDE with an index-aware array
+    *     filter over the re-derived segment array.
+    */
+  def dedupKeepFirst(df: DataFrame, idCol: String, textCol: String,
+                     segments: Column, joinSep: String = " "): DataFrame = {
+    val segsCol = coalesce(segments,
+      array().cast(org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.StringType)))
+    val occ = df
+      .select(col(idCol), posexplode(segsCol).as(Seq("__pos", "__seg")))
+      .select(col(idCol), col("__pos"), xxhash64(col("__seg")).as("__h"))
+    val dupFirst = occ
+      .groupBy("__h")
+      .agg(count(lit(1)).as("__n"),
+        min(struct(col(idCol), col("__pos"))).as("__first"))
+      .filter(col("__n") > 1)
+      .select(col("__h"), col("__first"))
+    val struck = occ.join(dupFirst, Seq("__h"))
+      .filter(struct(col(idCol), col("__pos")) =!= col("__first"))
+      .groupBy(col(idCol))
+      .agg(collect_set(col("__pos")).as("__struck"))
+    val others = df.columns.filter(c => c != idCol && c != textCol)
+    df.join(struck, Seq(idCol), "left")
+      .withColumn("__segs", segsCol)
+      .select(
+        col(idCol) +:
+          array_join(
+            filter(col("__segs"), (s, i) =>
+              !coalesce(array_contains(col("__struck"), i), lit(false))),
+            joinSep).as(textCol) +:
+          others.map(col) :+
+          size(col("__segs")).cast("long").as("n_segments") :+
+          coalesce(size(col("__struck")), lit(0)).cast("long")
+            .as("n_removed"): _*)
+  }
 }

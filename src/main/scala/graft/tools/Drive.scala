@@ -793,6 +793,22 @@ object Drive {
       (if (starIds == minIds) "(identical to label propagation)"
        else s"MISMATCH vs $minIds"))
 
+    // RefinedWeb keep-first: one canonical copy of each repeated segment
+    // stays; boilerplate strike removes every copy — keep-first must
+    // retain at least as much text
+    val keepFirst = graft.text.Boilerplate.dedupKeepFirst(
+      docs.select("doc_id", "text"), "doc_id", "text",
+      graft.text.Boilerplate.segmentsByWords(col("text"), 10))
+    val strikeAll = graft.text.Boilerplate.removeRepeated(
+      docs.select("doc_id", "text"), "doc_id", "text",
+      graft.text.Boilerplate.segmentsByWords(col("text"), 10), minDocs = 2)
+    val kfStats = keepFirst.agg(sum("n_removed"), sum(length(col("text")))).head()
+    val saChars = strikeAll.agg(sum(length(col("text")))).head().getLong(0)
+    println(s"[63c] keep-first segment dedup: ${kfStats.getLong(0)} windows " +
+      s"struck, ${kfStats.getLong(1)} chars kept vs strike-all's $saChars " +
+      (if (kfStats.getLong(1) >= saChars) "(canonical copies preserved)"
+       else "UNEXPECTED: keep-first kept less"))
+
     // hybrid retrieval: BM25 lexical leg + embedding-cosine dense leg
     // fused by Reciprocal Rank Fusion (join-free union-pivot shape)
     val sparseLeg = graft.text.VocabStats.bm25Search(

@@ -90,4 +90,52 @@ class BoilerplateSpec extends SparkSpec {
     assert(out(2L) == (("", 0L)))
     assert(out(3L) == (("real words live here", 2L)))
   }
+
+  test("keep-first: the minimum (doc, pos) occurrence survives, all " +
+      "later ones strike — unlike removeRepeated, which strikes every copy") {
+    val docs = Seq(
+      (2L, s"$footer\nbeta body"),       // footer's min doc is 1, strikes
+      (1L, s"alpha body\n$footer"),      // FIRST footer corpus-wide: kept
+      (3L, s"gamma body\n$footer"),
+      (4L, "delta body")
+    ).toDF("doc_id", "text")
+    val out = Boilerplate.dedupKeepFirst(docs, "doc_id", "text",
+        Boilerplate.segmentsByDelimiter(col("text")), joinSep = "\n")
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out(1L) == ((s"alpha body\n$footer", 2L, 0L)))
+    assert(out(2L) == (("beta body", 2L, 1L)))
+    assert(out(3L) == (("gamma body", 2L, 1L)))
+    assert(out(4L) == (("delta body", 1L, 0L)))
+  }
+
+  test("keep-first: a repeat WITHIN one document keeps only its first " +
+      "position; unique segments are untouched") {
+    val docs = Seq(
+      (1L, "same line\nunique one\nsame line"),
+      (2L, "unique two")
+    ).toDF("doc_id", "text")
+    val out = Boilerplate.dedupKeepFirst(docs, "doc_id", "text",
+        Boilerplate.segmentsByDelimiter(col("text")), joinSep = "\n")
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out(1L) == (("same line\nunique one", 3L, 1L)))
+    assert(out(2L) == (("unique two", 1L, 0L)))
+  }
+
+  test("keep-first: extra columns ride through and NULL text is an " +
+      "empty document") {
+    val docs = Seq(
+      (1L, "dup seg", "web"),
+      (2L, "dup seg", "books"),
+      (3L, null.asInstanceOf[String], "web")
+    ).toDF("doc_id", "text", "source")
+    val out = Boilerplate.dedupKeepFirst(docs, "doc_id", "text",
+        Boilerplate.segmentsByDelimiter(col("text")))
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getString(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out(1L) == (("dup seg", "web", 1L, 0L)))
+    assert(out(2L) == (("", "books", 1L, 1L)))
+    assert(out(3L) == (("", "web", 0L, 0L)))
+  }
 }
