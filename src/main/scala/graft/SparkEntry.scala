@@ -816,6 +816,16 @@ object SparkEntry {
     "quality_bigram_nll" -> ((s, dir) =>
       text.VocabStats.bigramNll(t(s, dir, "documents"), "doc_id", "text")),
 
+    // multinomial Naive Bayes self-classification on `source` (the
+    // seed-classifier slot: GPT-3 quality LR, CCNet fastText buckets);
+    // sparse decomposition — only c > 0 model rows join, absent words
+    // fold in closed form — and the evidence fold sorts its (c, tf)
+    // int pairs so the oracle replays the identical double sequence;
+    // argmax on the rounded score, label-ascending tie-break
+    "quality_classifier" -> ((s, dir) =>
+      text.NaiveBayes.classify(t(s, dir, "documents"),
+        "doc_id", "text", "source")),
+
     // BM25 top-20 for a 3-term query ('dup' is the selective term —
     // high idf — so the ranking exercises both idf extremes); per-doc
     // term triples sort before the float fold, cut on rounded score
@@ -1872,6 +1882,22 @@ object SparkEntry {
           round(col("decoded_video.mean_r"), 4).as("mean_r"),
           round(col("decoded_video.mean_g"), 4).as("mean_g"),
           round(col("decoded_video.mean_b"), 4).as("mean_b"))
+    }),
+
+    // image near-dup by 64-bit perceptual hash (dHash) over REAL PNG
+    // payloads: decode → BT.601 integer luma → nearest-neighbor 9×8
+    // grid → gradient-sign bits; pairs via the SimHash pigeonhole band
+    // join (chunks=4 > maxDist=3 ⇒ structurally exact recall), verified
+    // by the exact hamming filter. The planted x-gradient rule
+    // (Multimodal.pngFor) makes every bit derivable by integer
+    // arithmetic, so the oracle replays the hash instead of echoing it;
+    // rows repeat vertically under that rule, so hamming is a multiple
+    // of 8 and qualifying pairs are exactly the hash-equal ones
+    "multimodal_phash" -> ((s, dir) => {
+      val media = multimodal.Multimodal.syntheticMedia(
+        t(s, dir, "documents"), "doc_id", "text")
+      multimodal.Multimodal.imageNearDupPairs(media, "media_id", "content",
+        maxDist = 3, chunks = 4)
     })
   )
 
@@ -2866,6 +2892,53 @@ object SparkEntry {
         |  sc.nll
         |FROM ws w LEFT JOIN scored sc ON w.doc_id = sc.doc_id""".stripMargin,
 
+    // replays the sparse NB decomposition: same (c, tf) int sort before
+    // the evidence fold, same closed-form ln(alpha) term for unmatched
+    // tokens, argmax on round(score, 4) with label-ascending tie-break
+    "quality_classifier" ->
+      """WITH ws AS (
+        |  SELECT doc_id, source,
+        |    list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |                w -> len(w) > 0) AS ws
+        |  FROM documents),
+        |toks AS (SELECT doc_id, source, unnest(ws) AS word FROM ws),
+        |wc AS (SELECT source AS label, word, count(*) AS c
+        |       FROM toks GROUP BY 1, 2),
+        |ls AS (SELECT source AS label, count(*) AS n_docs
+        |       FROM documents GROUP BY 1),
+        |lt AS (SELECT source AS label, count(*) AS n_tokens
+        |       FROM toks GROUP BY 1),
+        |tot AS (SELECT (SELECT count(*) FROM documents) AS n_docs_total,
+        |               (SELECT count(DISTINCT word) FROM toks) AS vocab_size),
+        |tf AS (SELECT doc_id, word, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |ev AS (
+        |  SELECT doc_id, label,
+        |    list_sum(list_transform(
+        |      list_sort(list({'c': c, 'tf': tf})),
+        |      p -> p.tf * ln(p.c + CAST(0.5 AS DOUBLE)))) AS ev,
+        |    sum(tf) AS mtoks
+        |  FROM tf JOIN wc USING (word) GROUP BY 1, 2),
+        |base AS (
+        |  SELECT w.doc_id, CAST(coalesce(len(w.ws), 0) AS BIGINT) AS len,
+        |    l.label,
+        |    ln(CAST(l.n_docs AS DOUBLE) / t.n_docs_total) AS prior,
+        |    ln(coalesce(lt.n_tokens, 0)
+        |       + CAST(0.5 AS DOUBLE) * t.vocab_size) AS lnz
+        |  FROM ws w CROSS JOIN tot t CROSS JOIN ls l
+        |  LEFT JOIN lt ON l.label = lt.label),
+        |scored AS (
+        |  SELECT b.doc_id, b.label,
+        |    round(b.prior + coalesce(e.ev, 0)
+        |          + (b.len - coalesce(e.mtoks, 0)) * ln(CAST(0.5 AS DOUBLE))
+        |          - b.len * b.lnz, 4) AS score
+        |  FROM base b
+        |  LEFT JOIN ev e ON b.doc_id = e.doc_id AND b.label = e.label),
+        |r AS (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY doc_id ORDER BY score DESC, label) AS rk
+        |  FROM scored)
+        |SELECT doc_id, label AS pred, score FROM r WHERE rk = 1""".stripMargin,
+
     // same seeded suffix (chr() builds the identical code points), and
     // the cleanup chain spelled as nfc_normalize + three RE2 passes:
     // whitespace/Z* to space, strip Cc/Cf, collapse runs, trim
@@ -3596,6 +3669,38 @@ object SparkEntry {
         |  round(CAST(list_sum(list_transform(s.fs, f -> (p.media_id + f) % 256))
         |    AS DOUBLE) / len(s.fs), 4) AS mean_b
         |FROM par p JOIN samp s USING (media_id)""".stripMargin,
+
+    // replays the dHash from the planted x-gradient (Multimodal.pngFor):
+    // sampled gray(x) = (299·red((x·w)//9) + 587·g + 114·b) // 1000 is
+    // y-independent, so the 64-bit hash is the 8-bit gradient-sign row
+    // pattern repeated and hamming = 8 × the row-pattern hamming
+    "multimodal_phash" ->
+      """WITH d AS (
+        |  SELECT doc_id, length(text) AS nc,
+        |    CASE WHEN length(text) = 0 THEN 0
+        |         ELSE unicode(text) % 256 END AS g
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, 8 + nc % 9 AS w, nc % 256 AS base,
+        |    587 * g + 114 * (doc_id % 256) AS c
+        |  FROM d),
+        |gr AS (
+        |  SELECT doc_id,
+        |    list_transform(generate_series(0, 8),
+        |      x -> (299 * ((base + (x * w) // 9) % 256) + c) // 1000) AS gray
+        |  FROM p),
+        |fp AS (
+        |  SELECT doc_id,
+        |    CAST(list_sum(list_transform(generate_series(0, 7),
+        |      x -> CASE WHEN gray[x + 2] > gray[x + 1]
+        |                THEN 1 << x ELSE 0 END)) AS BIGINT) AS rowpat
+        |  FROM gr),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    8 * bit_count(xor(a.rowpat, b.rowpat)) AS hamming
+        |  FROM fp a JOIN fp b ON a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, CAST(hamming AS INT) AS hamming
+        |FROM pairs WHERE hamming <= 3""".stripMargin,
 
     // ---- exact formulations of the near-dup pipelines -----------------
     // (see shingleCtes scaladoc: LSH candidate recall is 1.0 on this

@@ -202,6 +202,95 @@ object Multimodal {
     out
   }
 
+  // ---- perceptual hash (dHash) ------------------------------------------
+
+  /** 64-bit difference hash of one image payload — dHash, the public
+    * pHash-family fingerprint (Krawetz): decode; grayscale each sampled
+    * pixel with the ITU-R BT.601 integer luma `(299r + 587g + 114b) / 1000`
+    * (truncating division); NEAREST-NEIGHBOR downsample to a 9×8 grid,
+    * sample point `(x·w/9, y·h/8)` in integer arithmetic — no area
+    * averaging, so an external oracle can replay every bit from the
+    * pixel rule; bit `y·8 + x` (from LSB) set iff `gray(x+1, y) >
+    * gray(x, y)`. Identical images hash identically; small local edits
+    * flip few bits, so Hamming distance is the near-dup metric. Null or
+    * undecodable payloads yield null (corrupt media must not kill the
+    * pipeline).
+    */
+  private[multimodal] def dhashOne(bytes: Array[Byte]): java.lang.Long = {
+    if (bytes == null) return null
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      catch { case _: java.io.IOException | _: RuntimeException => null }
+    if (img == null || img.getWidth == 0 || img.getHeight == 0) return null
+    val w = img.getWidth
+    val h = img.getHeight
+    val gray = new Array[Int](72) // 9 cols x 8 rows, row-major
+    var y = 0
+    while (y < 8) {
+      val py = ((y.toLong * h) / 8).toInt
+      var x = 0
+      while (x < 9) {
+        val px = ((x.toLong * w) / 9).toInt
+        val rgb = img.getRGB(px, py)
+        gray(y * 9 + x) =
+          (299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff)
+            + 114 * (rgb & 0xff)) / 1000
+        x += 1
+      }
+      y += 1
+    }
+    var hash = 0L
+    y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        if (gray(y * 9 + x + 1) > gray(y * 9 + x)) hash |= 1L << (y * 8 + x)
+        x += 1
+      }
+      y += 1
+    }
+    java.lang.Long.valueOf(hash)
+  }
+
+  /** Batched per-partition perceptual hashing: appends `outCol` (nullable
+    * long) = [[dhashOne]] of the payload. Same batch shape as
+    * [[decodeImages]]; one decode per row, no shuffle — the fingerprint
+    * is then the ONLY thing image near-dup ever shuffles.
+    */
+  def withImageDHash(df: DataFrame, binCol: String,
+                     outCol: String = "dhash",
+                     batchSize: Int = 256): DataFrame = {
+    val outSchema = StructType(df.schema.fields :+
+      StructField(outCol, LongType, nullable = true))
+    val binIdx = df.schema.fieldIndex(binCol)
+    val enc = RowEncoder.encoderFor(outSchema)
+    df.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { row =>
+          val bytes = row.get(binIdx).asInstanceOf[Array[Byte]]
+          Row.fromSeq(row.toSeq :+ dhashOne(bytes))
+        }
+      }
+    }(enc)
+  }
+
+  /** Verified image near-duplicate pairs (`id_a < id_b`,
+    * `hamming <= maxDist` over [[withImageDHash]] fingerprints): the
+    * SimHash pigeonhole machinery ([[graft.text.SimHashDedup
+    * .nearDupPairsFromFingerprints]]) on the image dHash — 64 bits split
+    * into `chunks` bands, any pair within `chunks − 1` bits shares an
+    * exact band, so candidate generation is a band-value join (no
+    * quadratic comparison; payloads and pixels never shuffle — only the
+    * 8-byte fingerprint). Null-hash rows (undecodable) never pair.
+    */
+  def imageNearDupPairs(df: DataFrame, idCol: String, binCol: String,
+                        maxDist: Int = 3, chunks: Int = 4,
+                        maxBucketSize: Int = 1000): DataFrame =
+    graft.text.SimHashDedup.nearDupPairsFromFingerprints(
+      withImageDHash(df, binCol, "__dhash").filter(col("__dhash").isNotNull),
+      idCol, "__dhash", maxDist, chunks, maxBucketSize)
+
   // ---- real audio (RIFF/WAV PCM, JDK-free codec) -----------------------
 
   /** Decoded-audio statistics appended by [[decodeAudio]]. */

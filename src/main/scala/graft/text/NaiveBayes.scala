@@ -1,0 +1,137 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Multinomial Naive Bayes document classifier — the "train a small
+  * classifier on a seed corpus, score everything" slot every public
+  * curation pipeline has (GPT-3's LR quality filter over a
+  * WebText-positive seed, CCNet's fastText domain buckets, PaLM's
+  * classifier-filtered web crawl). The reference
+  * (mack, `mack/__init__.py`) has no ML surface at all; this is part of
+  * the LLM-pipeline extension layer next to [[VocabStats.dsirWeights]]
+  * (importance weights) and the NLL scorers — NB is the aggregation-
+  * friendly member of that family: fit IS a word-count groupBy, so both
+  * phases stay exact, engine-portable, and one-pass.
+  *
+  * Model (add-α smoothing over the TRAINING vocabulary V):
+  *
+  *   score(d, l) = ln(docs_l / N)                         (prior)
+  *               + Σ_{w ∈ d} tf_w · ln(c_{w,l} + α)       (evidence)
+  *               − len_d · ln(tokens_l + α·V)             (normalizer)
+  *
+  * computed in the sparse decomposition: only (word, label) pairs with
+  * c > 0 carry model rows; a scored word absent from label l (or from V
+  * entirely) contributes tf · ln(α), folded in closed form as
+  * (len_d − matched_d,l) · ln(α). Prediction = argmax over labels on
+  * the ROUNDED score (4 dp, absorbing ln ulp skew) with label-ascending
+  * tie-break, so any engine replays the same argmax.
+  *
+  * Determinism: the per-(doc, label) evidence fold sorts its (c, tf)
+  * count pairs before summing — integer sort, so both engines fold the
+  * identical double sequence (the [[VocabStats.bigramNll]] discipline);
+  * equal (c, tf) pairs contribute equal terms, so the residual tie
+  * order is irrelevant.
+  *
+  * Scale shape (100 TB corpus, text never shuffles):
+  *   - fit: one explode → (label, word) count with map-side partials;
+  *     label stats are count-sized rows; vocab size and corpus totals
+  *     ride a broadcast one-row frame. The model is O(V · L) count
+  *     rows — millions, not corpus-sized.
+  *   - predict: one explode → (doc, word, tf) aggregation (the only
+  *     corpus-mass shuffle, 8-byte-ish triples); the model side of the
+  *     evidence join is small → AQE broadcasts it; the per-(doc, label)
+  *     fold groups bounded lists (≤ distinct-words-in-doc); the argmax
+  *     window partitions by doc over L rows — small groups, never a
+  *     corpus-wide sort.
+  */
+object NaiveBayes {
+
+  private def words(text: org.apache.spark.sql.Column) =
+    filter(split(lower(text), "\\s+"), w => length(w) > 0)
+
+  /** Fitted model: `wordCounts` (label, word, c — only c > 0 rows),
+    * `labelStats` (label, n_docs, n_tokens), `totals` (ONE row:
+    * n_docs_total, vocab_size), and the smoothing α. All three frames
+    * are lazy plans over the training input; persist the bundle via
+    * ordinary DataFrame writes if the model is reused across jobs.
+    */
+  final case class NbModel(wordCounts: DataFrame, labelStats: DataFrame,
+                           totals: DataFrame, alpha: Double)
+
+  /** Fit on a labeled corpus: one token-count aggregation per (label,
+    * word), count-only label stats, a one-row totals frame. NULL labels
+    * are dropped (unlabeled rows can't teach); NULL/empty text still
+    * counts toward the label's document prior — an empty document is
+    * evidence about the label mix, just not about words.
+    */
+  def fit(df: DataFrame, textCol: String, labelCol: String,
+          alpha: Double = 0.5): NbModel = {
+    require(alpha > 0.0, s"need alpha > 0, got $alpha")
+    val labeled = df.filter(col(labelCol).isNotNull)
+    val toks = labeled
+      .select(col(labelCol).as("label"), explode(words(col(textCol))).as("word"))
+    val wordCounts = toks.groupBy("label", "word").agg(count(lit(1)).as("c"))
+    val labelStats = labeled.groupBy(col(labelCol).as("label"))
+      .agg(count(lit(1)).as("n_docs"))
+      .join(toks.groupBy("label").agg(count(lit(1)).as("n_tokens")),
+        Seq("label"), "left")
+      .select(col("label"), col("n_docs"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"))
+    val totals = labeled.agg(count(lit(1)).as("n_docs_total"))
+      .crossJoin(broadcast(
+        toks.select("word").distinct().agg(count(lit(1)).as("vocab_size"))))
+    NbModel(wordCounts, labelStats, totals, alpha)
+  }
+
+  /** Score + argmax every document: one row per input row with `idCol`,
+    * `pred` (the argmax label; rounded-score desc, label asc), and
+    * `score` (that label's rounded joint log-likelihood). Documents
+    * with no tokens fall back to the prior-only argmax (normalizer and
+    * evidence are zero), exactly as the model says they should.
+    */
+  def predict(model: NbModel, df: DataFrame, idCol: String,
+              textCol: String): DataFrame = {
+    val a = model.alpha
+    val tf = df
+      .select(col(idCol), explode(words(col(textCol))).as("word"))
+      .groupBy(col(idCol), col("word")).agg(count(lit(1)).as("tf"))
+    // evidence over MATCHED (word, label) pairs only; sorted-int fold
+    val matched = tf.join(model.wordCounts, Seq("word"))
+      .groupBy(col(idCol), col("label"))
+      .agg(array_sort(collect_list(struct(col("c"), col("tf")))).as("__ps"),
+        sum(col("tf")).as("__mtoks"))
+      .select(col(idCol), col("label"),
+        aggregate(col("__ps"), lit(0.0d),
+          (acc, p) => acc + p("tf") * log(p("c") + lit(a))).as("__ev"),
+        col("__mtoks"))
+    val base = df
+      .select(col(idCol), coalesce(size(words(col(textCol))), lit(0))
+        .cast("long").as("__len"))
+      .crossJoin(broadcast(
+        model.labelStats.crossJoin(model.totals).select(
+          col("label"),
+          log(col("n_docs").cast("double") / col("n_docs_total")).as("__prior"),
+          log(col("n_tokens") + lit(a) * col("vocab_size")).as("__lnz"))))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("score").desc, col("label"))
+    base.join(matched, Seq(idCol, "label"), "left")
+      .select(col(idCol), col("label"),
+        round(col("__prior")
+          + coalesce(col("__ev"), lit(0.0d))
+          + (col("__len") - coalesce(col("__mtoks"), lit(0L))) * log(lit(a))
+          - col("__len") * col("__lnz"), 4).as("score"))
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1)
+      .select(col(idCol), col("label").as("pred"), col("score"))
+  }
+
+  /** Self-train + predict in one call (the corpus-as-its-own-teacher
+    * form the declared query uses — same precedent as
+    * [[VocabStats.unigramNll]]): fit on `labelCol`, score every row.
+    */
+  def classify(df: DataFrame, idCol: String, textCol: String,
+               labelCol: String, alpha: Double = 0.5): DataFrame =
+    predict(fit(df, textCol, labelCol, alpha), df, idCol, textCol)
+}

@@ -42,10 +42,26 @@ object SimHashDedup {
     */
   def nearDupPairs(df: DataFrame, idCol: String, textCol: String,
                    maxDist: Int = 3, chunks: Int = 4,
-                   maxBucketSize: Int = 1000): DataFrame = {
+                   maxBucketSize: Int = 1000): DataFrame =
+    nearDupPairsFromFingerprints(
+      df.select(col(idCol), simHash64(col(textCol)).as("__sh64fp")),
+      idCol, "__sh64fp", maxDist, chunks, maxBucketSize)
+
+  /** [[nearDupPairs]] over PRE-COMPUTED 64-bit fingerprints (`fpCol`
+    * long) — the fingerprint-generic core, shared with non-text
+    * fingerprints (e.g. the image dHash,
+    * [[graft.multimodal.Multimodal.imageNearDupPairs]]). Same pigeonhole
+    * guarantee: `chunks > maxDist` ⇒ every qualifying pair shares at
+    * least one exact chunk, so the band join misses nothing (outside
+    * capped mega-buckets) and the exact hamming filter invents nothing.
+    */
+  def nearDupPairsFromFingerprints(df: DataFrame, idCol: String,
+                                   fpCol: String, maxDist: Int = 3,
+                                   chunks: Int = 4,
+                                   maxBucketSize: Int = 1000): DataFrame = {
     require(chunks > maxDist, s"need chunks > maxDist for recall guarantee")
     val bits = 64 / chunks
-    val fp = df.select(col(idCol).as("__id"), simHash64(col(textCol)).as("__fp"))
+    val fp = df.select(col(idCol).as("__id"), col(fpCol).as("__fp"))
     val chunked = fp.select(col("__id"), col("__fp"),
       posexplode(array((0 until chunks).map { c =>
         shiftright(col("__fp"), c * bits)

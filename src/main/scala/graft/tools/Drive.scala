@@ -828,6 +828,28 @@ object Drive {
       fusedTop.map(r => s"doc ${r.getLong(0)} rrf=${r.getDouble(3)}")
         .mkString(", ") + s" ($bothLegs of 5 surfaced by both legs)")
 
+    // Naive Bayes seed classifier: self-train on `source`, report how
+    // often the argmax recovers the training label (NB is consistent on
+    // separable classes; the synthetic sources share vocabulary, so
+    // expect recovery well above the 1/|labels| prior but below 1.0)
+    val nbPred = graft.text.NaiveBayes.classify(docs, "doc_id", "text", "source")
+    val nbHit = nbPred.join(docs.select(col("doc_id"), col("source")), "doc_id")
+      .filter(col("pred") === col("source")).count()
+    val nLabels = docs.select("source").distinct().count()
+    println(s"[65] naive-bayes self-classification: $nbHit of ${docs.count()} " +
+      s"recover their source ($nLabels labels, prior ${1.0 / nLabels})")
+
+    // image perceptual hash: dHash the synthetic PNGs, pair by the
+    // pigeonhole band join; under the planted x-gradient rows repeat,
+    // so every qualifying pair is hash-identical (hamming 0)
+    val media = graft.multimodal.Multimodal.syntheticMedia(
+      docs, "doc_id", "text")
+    val phPairs = graft.multimodal.Multimodal.imageNearDupPairs(
+      media, "media_id", "content", maxDist = 3)
+    val phAgg = phPairs.agg(count(lit(1)), max(col("hamming"))).head()
+    println(s"[66] image dHash near-dup: ${phAgg.getLong(0)} pairs, " +
+      s"max hamming ${phAgg.get(1)} (planted gradient makes pairs exact)")
+
     spark.stop()
   }
 }
