@@ -414,21 +414,51 @@ case class BlocklistHits(child: Expression, words: Seq[String])
       .filter(_.exists(_.isWhitespace))
       .map(_.split("\\s+").mkString(" ")).toArray
 
+  // one goto/fail automaton for ALL phrase entries — built lazily per
+  // plan instance (driver), shipped as a reference object; matching is
+  // one pass per row however long the blocklist is. Below the measured
+  // crossover (~64 entries; tools/ProfileBlocklist) the intrinsified
+  // per-phrase indexOf scan is faster, so short lists keep it
+  private def useAutomaton: Boolean =
+    phraseArr.length >= BlocklistHits.AcThreshold
+  @transient private lazy val phraseAc: AhoCorasick =
+    if (useAutomaton) new AhoCorasick(phraseArr) else null
+
   override def nullSafeEval(input: Any): Any =
-    java.lang.Long.valueOf(ExprKernels.blocklistHits(
-      input.asInstanceOf[UTF8String], singleSet, phraseArr))
+    java.lang.Long.valueOf(
+      if (useAutomaton)
+        ExprKernels.blocklistHits(
+          input.asInstanceOf[UTF8String], singleSet, phraseAc)
+      else
+        ExprKernels.blocklistHitsScan(
+          input.asInstanceOf[UTF8String], singleSet, phraseArr))
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val single = ctx.addReferenceObj("blocklistSingle", singleSet,
       "java.util.HashSet")
-    val phrases = ctx.addReferenceObj("blocklistPhrases", phraseArr,
-      "java.lang.String[]")
-    nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.plans.ExprKernels.blocklistHits($c, $single, $phrases);")
+    if (useAutomaton) {
+      val ac = ctx.addReferenceObj("blocklistAc", phraseAc,
+        "graft.plans.AhoCorasick")
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.plans.ExprKernels.blocklistHits($c, $single, $ac);")
+    } else {
+      val phrases = ctx.addReferenceObj("blocklistPhrases", phraseArr,
+        "java.lang.String[]")
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.plans.ExprKernels.blocklistHitsScan($c, $single, $phrases);")
+    }
   }
 
   override protected def withNewChildInternal(c: Expression): BlocklistHits =
     copy(child = c)
+}
+
+object BlocklistHits {
+  /** Phrase count at which the Aho-Corasick pass overtakes the
+    * per-phrase `indexOf` scan (measured in `tools/ProfileBlocklist`:
+    * the automaton is flat in P, the scan linear; they cross ~64).
+    */
+  val AcThreshold: Int = 64
 }
 
 /** One-pass 64-bit simhash (Charikar): every input hash votes ±1 on each
