@@ -1293,6 +1293,53 @@ object SparkEntry {
         leftTime = "ts", rightTime = "ts", bucketSeconds = 6 * 3600L)
     }),
 
+    // STREAM-STREAM interval join (click→view attribution) through real
+    // graft-table streams: both sides ingest in two event-time-ordered
+    // batches split at Jan 16; the 48 h watermark (> the 24 h lookback
+    // + zero skew) bounds join state without dropping an in-order row,
+    // so the streamed pairs — including the cross-batch ones whose view
+    // arrived a micro-batch before its click — equal the batch
+    // inequality join the oracle computes
+    "streaming_interval_join" -> ((s, dir) => {
+      val base = "/root/repo/target/tmp/q_ssjoin"
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm); f.delete(); ()
+      }
+      rm(new java.io.File(base))
+      val ev = events(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          col("ts").as("click_ts"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("event_id").as("view_id"), col("user_id"),
+          col("ts").as("view_ts"))
+      val split = lit("2024-01-16").cast("timestamp")
+      val cTbl = ManagedTable.create(
+        clicks.filter(col("click_ts") < split), s"$base/clicks")
+      val vTbl = ManagedTable.create(
+        views.filter(col("view_ts") < split), s"$base/views")
+      val joined = streaming.EventStreams.intervalJoinStreams(
+        s.readStream.format("graft").load(s"$base/clicks"),
+        s.readStream.format("graft").load(s"$base/views"),
+        keys = Seq("user_id"), leftTime = "click_ts",
+        rightTime = "view_ts", lookback = "24 hours",
+        watermark = "48 hours")
+        .select(col("click_id"), col("view_id"), col("user_id"),
+          (col("click_ts").cast("long") - col("view_ts").cast("long"))
+            .as("gap_sec"))
+      val q = joined.writeStream.format("graft")
+        .option("checkpointLocation", s"$base/ckpt")
+        .option("txnAppId", "q_ssjoin")
+        .start(s"$base/out")
+      try {
+        q.processAllAvailable()
+        cTbl.append(clicks.filter(col("click_ts") >= split))
+        vTbl.append(views.filter(col("view_ts") >= split))
+        q.processAllAvailable()
+      } finally q.stop()
+      ManagedTable.forPath(s, s"$base/out").toDF
+    }),
+
     // ---- extensions: text analysis (heuristics → rows-only checks) ----
     "token_count" -> ((s, dir) =>
       t(s, dir, "documents").select(
@@ -3380,6 +3427,17 @@ object SparkEntry {
         |       v.ts AS right_ts, v.view_value AS right_view_value
         |FROM clicks c ASOF LEFT JOIN views v
         |  ON c.user_id = v.user_id AND c.ts >= v.ts""".stripMargin,
+
+    // the batch formulation of the stream-stream interval join: same
+    // 24 h lookback, same inclusive bounds; gap_sec floors each side to
+    // whole seconds before subtracting (Spark's timestamp→long cast)
+    "streaming_interval_join" ->
+      """SELECT c.event_id AS click_id, v.event_id AS view_id, c.user_id,
+        |  CAST(floor(epoch(c.ts)) - floor(epoch(v.ts)) AS BIGINT) AS gap_sec
+        |FROM events c JOIN events v
+        |  ON c.user_id = v.user_id
+        | AND c.event_type = 'click' AND v.event_type = 'view'
+        | AND v.ts BETWEEN c.ts - INTERVAL 24 HOUR AND c.ts""".stripMargin,
 
     "table_admin" ->
       """SELECT (SELECT count(*) * 2 FROM nation) AS renamed_rows,

@@ -17,6 +17,45 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object EventStreams {
 
+  /** STREAM-STREAM interval join (the attribution shape: every left
+    * event matched to the right events at most `lookback` BEFORE it,
+    * same keys — clicks to the views that may have caused them). Both
+    * sides get `watermark` on their time column, which is what lets
+    * Spark bound the join state: a right row's state is evicted once
+    * the left watermark passes `rightTime + lookback` (no match can
+    * arrive for it anymore), so state is O(rate × (lookback +
+    * lateness)) instead of O(stream) — the difference between a
+    * stream-stream join that runs forever and one that OOMs in an hour.
+    * Inner join only: every emitted pair is final, so results are
+    * deterministic and batch-replayable (the same call on two BATCH
+    * frames computes the identical join — the oracle the declared query
+    * checks against).
+    *
+    * Correct ingestion contract (cross-batch exactness): feed batches
+    * in event-time order with `watermark` ≥ `lookback` + max
+    * out-of-order skew; a row older than the current watermark when it
+    * ARRIVES is dropped as late — that is watermark semantics, not a
+    * bug in the join.
+    *
+    * Column names must be disjoint apart from `keys` (rename before the
+    * call); output carries left columns then right columns minus the
+    * duplicated keys.
+    */
+  def intervalJoinStreams(left: DataFrame, right: DataFrame,
+                          keys: Seq[String], leftTime: String,
+                          rightTime: String, lookback: String,
+                          watermark: String): DataFrame = {
+    require(keys.nonEmpty, "need at least one equality key (state keying)")
+    val l = left.withWatermark(leftTime, watermark)
+    val r = right.withWatermark(rightTime, watermark)
+    val cond = (keys.map(k => l(k) === r(k)) :+
+      (r(rightTime) >= l(leftTime) - expr(s"INTERVAL $lookback")) :+
+      (r(rightTime) <= l(leftTime))).reduce(_ && _)
+    val joined = l.join(r, cond, "inner")
+    val rightKeep = right.columns.filterNot(keys.contains)
+    joined.select(left.columns.map(l(_)) ++ rightKeep.map(r(_)): _*)
+  }
+
   /** Tumbling-window counts + sums with a watermark for late data.
     * Batch semantics: identical grouping with window boundaries computed
     * from the timestamp (the watermark is a no-op in batch mode).
