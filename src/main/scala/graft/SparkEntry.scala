@@ -1340,6 +1340,37 @@ object SparkEntry {
       ManagedTable.forPath(s, s"$base/out").toDF
     }),
 
+    // the NAIVE SQL formulation of a fingerprint near-dup join —
+    // `ON bit_count(a.fp ^ b.fp) <= 3` — which has no equality conjunct
+    // and would plan as an O(n²) nested-loop join;
+    // plans.BandedHammingJoin (injected here exactly as a cluster would
+    // via spark.sql.extensions) rewrites it into the pigeonhole band
+    // equi-join, and the require() proves the rewrite actually fired.
+    // The fingerprint is plain arithmetic on length(text), so DuckDB
+    // re-derives every bit and replays the identical join predicate
+    "neardup_hamming_sql" -> ((s, dir) => {
+      s.experimental.extraOptimizations = Seq(plans.BandedHammingJoin)
+      t(s, dir, "documents").createOrReplaceTempView("__bhj_docs")
+      val out = s.sql(
+        """WITH d AS (
+          |  SELECT doc_id, CAST(length(text) AS BIGINT) AS nc
+          |  FROM __bhj_docs),
+          |fp AS (
+          |  SELECT doc_id,
+          |    shiftleft((nc * 31) % 32768, 48)
+          |    | shiftleft((nc * 977) % 65536, 32)
+          |    | shiftleft((nc * 131) % 65536, 16)
+          |    | ((nc * 7) % 65536) AS fp
+          |  FROM d)
+          |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          |  CAST(bit_count(a.fp ^ b.fp) AS INT) AS hamming
+          |FROM fp a JOIN fp b
+          |  ON a.doc_id < b.doc_id AND bit_count(a.fp ^ b.fp) <= 3""".stripMargin)
+      require(out.queryExecution.optimizedPlan.toString.contains("__band_idx"),
+        "BandedHammingJoin did not fire — this plan would be quadratic")
+      out
+    }),
+
     // ---- extensions: text analysis (heuristics → rows-only checks) ----
     "token_count" -> ((s, dir) =>
       t(s, dir, "documents").select(
@@ -3427,6 +3458,24 @@ object SparkEntry {
         |       v.ts AS right_ts, v.view_value AS right_view_value
         |FROM clicks c ASOF LEFT JOIN views v
         |  ON c.user_id = v.user_id AND c.ts >= v.ts""".stripMargin,
+
+    // same fingerprint arithmetic, same inequality join — what the
+    // banded rewrite must be indistinguishable from
+    "neardup_hamming_sql" ->
+      """WITH d AS (
+        |  SELECT doc_id, CAST(length(text) AS BIGINT) AS nc
+        |  FROM documents),
+        |fp AS (
+        |  SELECT doc_id,
+        |    (((nc * 31) % 32768) << 48)
+        |    | (((nc * 977) % 65536) << 32)
+        |    | (((nc * 131) % 65536) << 16)
+        |    | ((nc * 7) % 65536) AS fp
+        |  FROM d)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(bit_count(xor(a.fp, b.fp)) AS INT) AS hamming
+        |FROM fp a JOIN fp b
+        |  ON a.doc_id < b.doc_id AND bit_count(xor(a.fp, b.fp)) <= 3""".stripMargin,
 
     // the batch formulation of the stream-stream interval join: same
     // 24 h lookback, same inclusive bounds; gap_sec floors each side to

@@ -26,6 +26,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // DELETE/UPDATE/OPTIMIZE/DESCRIBE HISTORY/VACUUM on graft.`path`
     // tables (delta-spark's delegating-parser pattern)
     ext.injectParser((_, delegate) => new GraftSqlParser(delegate))
+    // naive `bit_count(a ^ b) <= k` joins → pigeonhole band equi-joins
+    ext.injectOptimizerRule(_ => BandedHammingJoin)
   }
 }
 
