@@ -70,18 +70,22 @@ object NaiveBayes {
           alpha: Double = 0.5): NbModel = {
     require(alpha > 0.0, s"need alpha > 0, got $alpha")
     val labeled = df.filter(col(labelCol).isNotNull)
-    val toks = labeled
+    // ONE corpus-mass pass: the explode → (label, word) aggregation.
+    // Everything else derives from its (model-sized) output — label
+    // token totals are Σc per label, vocab size a distinct-word count
+    // over V·L rows — so the corpus text is tokenized exactly once
+    val wordCounts = labeled
       .select(col(labelCol).as("label"), explode(words(col(textCol))).as("word"))
-    val wordCounts = toks.groupBy("label", "word").agg(count(lit(1)).as("c"))
+      .groupBy("label", "word").agg(count(lit(1)).as("c"))
     val labelStats = labeled.groupBy(col(labelCol).as("label"))
       .agg(count(lit(1)).as("n_docs"))
-      .join(toks.groupBy("label").agg(count(lit(1)).as("n_tokens")),
+      .join(wordCounts.groupBy("label").agg(sum(col("c")).as("n_tokens")),
         Seq("label"), "left")
       .select(col("label"), col("n_docs"),
         coalesce(col("n_tokens"), lit(0L)).as("n_tokens"))
     val totals = labeled.agg(count(lit(1)).as("n_docs_total"))
-      .crossJoin(broadcast(
-        toks.select("word").distinct().agg(count(lit(1)).as("vocab_size"))))
+      .crossJoin(broadcast(wordCounts.select("word").distinct()
+        .agg(count(lit(1)).as("vocab_size"))))
     NbModel(wordCounts, labelStats, totals, alpha)
   }
 
