@@ -1225,6 +1225,32 @@ object SparkEntry {
           Seq(text.PiiRedact.redact(col("text")).as("clean")): _*)
     }),
 
+    // Luhn-VALIDATED card redaction: each doc gets a seeded valid card
+    // (check digit computed by the same ISO 7812 arithmetic in BOTH
+    // engines — nothing is echoed) and a shaped-but-invalid twin
+    // (check+5 mod 10); the kernel must redact exactly the valid one.
+    // The corpus itself carries zero card-shaped runs (verified), so
+    // the oracle's construction-aware replace is exact
+    "redact_pii_cards" -> ((s, dir) => {
+      val d14 = expr("(doc_id % 100) div 10")
+      val d15 = col("doc_id") % 10
+      val chk = (lit(10) - ((lit(26) + d14 +
+        when(d15 * 2 > 9, d15 * 2 - 9).otherwise(d15 * 2)) % 10)) % 10
+      val seeded = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          lit(" pay 4111 1111 1111 1"), d14.cast("string"),
+          d15.cast("string"), chk.cast("string"),
+          lit(" not 4111 1111 1111 1"), d14.cast("string"),
+          d15.cast("string"), ((chk + 5) % 10).cast("string"),
+          lit(" end")).as("text"))
+      seeded.select(col("doc_id"),
+        regexp_count(col("text"), lit(text.PiiRedact.cardPattern))
+          .cast("long").as("n_shaped"),
+        regexp_count(text.PiiRedact.redactCards(col("text")), lit("<CARD>"))
+          .cast("long").as("n_valid"),
+        text.PiiRedact.redactCards(col("text")).as("clean"))
+    }),
+
     // ---- extensions: event-time windowed aggregation ------------------
     "events_window" -> ((s, dir) =>
       events(s, dir)
@@ -3289,6 +3315,34 @@ object SparkEntry {
         |    '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g'),
         |    '\(?\d{3}\)?[ .-]\d{3}[ .-]\d{4}\b', '<PHONE>', 'g') AS clean
         |FROM seeded""".stripMargin,
+
+    // same ISO 7812 check-digit arithmetic, same candidate regex; the
+    // valid card is replaced by construction (the corpus carries zero
+    // card-shaped runs, so the replace hits exactly the kernel's match)
+    "redact_pii_cards" ->
+      """WITH c AS (
+        |  SELECT doc_id, text,
+        |    (doc_id % 100) // 10 AS d14, doc_id % 10 AS d15,
+        |    (10 - ((26 + (doc_id % 100) // 10
+        |       + CASE WHEN (doc_id % 10) * 2 > 9 THEN (doc_id % 10) * 2 - 9
+        |              ELSE (doc_id % 10) * 2 END) % 10)) % 10 AS chk
+        |  FROM documents),
+        |seeded AS (
+        |  SELECT doc_id,
+        |    text || ' pay 4111 1111 1111 1' || d14 || d15 || chk ||
+        |    ' not 4111 1111 1111 1' || d14 || d15 || ((chk + 5) % 10) ||
+        |    ' end' AS text,
+        |    '4111 1111 1111 1' || d14 || d15 || chk AS valid_card
+        |  FROM c),
+        |cleaned AS (
+        |  SELECT doc_id, text, replace(text, valid_card, '<CARD>') AS clean
+        |  FROM seeded)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '\d(?:[ -]?\d){12,18}'))
+        |    AS BIGINT) AS n_shaped,
+        |  CAST(len(regexp_extract_all(clean, '<CARD>')) AS BIGINT) AS n_valid,
+        |  clean
+        |FROM cleaned""".stripMargin,
 
     "events_window" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type,

@@ -915,6 +915,72 @@ object ExprKernels {
     * '[\s\p{Z}]', ' ', 'g'), '[\p{Cc}\p{Cf}]', '', 'g'), ' +', ' ',
     * 'g'))` — the oracle formulation (\x0B lands in Cc there and here).
     */
+  /** Luhn-validated payment-card redaction (see [[LuhnRedact]]): find
+    * card-shaped digit runs — the RE2-safe pattern
+    * `\d(?:[ -]?\d){12,18}` (13-19 digits, single space/dash
+    * separators), matched greedily left-to-right with a fresh attempt
+    * at every position exactly like `java.util.regex`
+    * (`LuhnRedactSpec` pins that equivalence on randomized inputs) —
+    * validate each candidate's digits with the Luhn checksum (ISO/IEC
+    * 7812, the public card check digit), and replace PASSING candidates
+    * with `<CARD>`. Failing candidates are emitted verbatim and skipped
+    * whole (the `Matcher.find` loop shape: a match consumes its span
+    * whether or not the callback rewrites it), so a valid suffix inside
+    * an invalid candidate is never re-examined — deterministic and
+    * replayable by an external engine that extracts the same regex
+    * candidates and applies the same checksum.
+    */
+  def luhnRedact(input: UTF8String): UTF8String = {
+    val s = input.toString
+    val n = s.length
+    def digit(c: Char): Boolean = c >= '0' && c <= '9'
+    // greedy candidate from a digit at `start`: returns end offset
+    // (exclusive, always after a digit) if 13..19 digits fit, else -1
+    def candidateEnd(start: Int): Int = {
+      var j = start
+      var digits = 0
+      var end = -1
+      var done = false
+      while (!done) {
+        if (j < n && digit(s.charAt(j)) && digits < 19) {
+          digits += 1; end = j + 1; j += 1
+        } else if (j + 1 < n && (s.charAt(j) == ' ' || s.charAt(j) == '-') &&
+            digit(s.charAt(j + 1)) && digits < 19 && digits > 0) {
+          j += 1 // separator rides only with a digit behind it
+        } else done = true
+      }
+      if (digits >= 13) end else -1
+    }
+    def luhnValid(from: Int, until: Int): Boolean = {
+      var sum = 0
+      var idx = 0
+      var k = until - 1
+      while (k >= from) {
+        val c = s.charAt(k)
+        if (digit(c)) {
+          var d = c - '0'
+          if (idx % 2 == 1) { d *= 2; if (d > 9) d -= 9 }
+          sum += d
+          idx += 1
+        }
+        k -= 1
+      }
+      sum % 10 == 0
+    }
+    val out = new java.lang.StringBuilder(n)
+    var i = 0
+    while (i < n) {
+      val c = s.charAt(i)
+      if (digit(c)) {
+        val end = candidateEnd(i)
+        if (end > 0 && luhnValid(i, end)) { out.append("<CARD>"); i = end }
+        else if (end > 0) { out.append(s, i, end); i = end }
+        else { out.append(c); i += 1 }
+      } else { out.append(c); i += 1 }
+    }
+    UTF8String.fromString(out.toString)
+  }
+
   def unicodeClean(input: UTF8String): UTF8String = {
     val s0 = input.toString
     val s =

@@ -120,6 +120,12 @@ object expressions {
   def unicode_clean(text: Column): Column =
     column(UnicodeClean(expression(text)))
 
+  /** Luhn-validated payment-card redaction in one pass (see
+    * [[LuhnRedact]]).
+    */
+  def luhn_redact(text: Column): Column =
+    column(LuhnRedact(expression(text)))
+
   /** Z-order value of an `array<double>` column (one element per Z-order
     * dimension); `bounds` holds `(1<<bits)-1` ascending quantile
     * boundaries per column, column-major (see [[ZValue]]).
@@ -593,6 +599,31 @@ case class NormalizedMd5(child: Expression) extends UnaryExpression {
   * pass (see [[ExprKernels.unicodeClean]] for the exact contract) — the
   * text-pipeline canonicalization step, codegen'd like its siblings.
   */
+/** Luhn-validated payment-card redaction (see
+  * [[ExprKernels.luhnRedact]]): card-shaped digit runs (13-19 digits,
+  * single space/dash separators) that PASS the Luhn checksum are
+  * replaced by `<CARD>`; shaped-but-invalid runs are left verbatim —
+  * the checksum is what keeps order ids and timestamps in the corpus
+  * (90% of random digit runs fail it) while real card numbers never
+  * escape. One codegen'd pass, no shuffle.
+  */
+case class LuhnRedact(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+  override def checkInputDataTypes() =
+    expressions.stringCheck(child, "luhn_redact")
+
+  override def nullSafeEval(input: Any): Any =
+    ExprKernels.luhnRedact(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.ExprKernels.luhnRedact($c);")
+
+  override protected def withNewChildInternal(c: Expression): LuhnRedact =
+    copy(child = c)
+}
+
 case class UnicodeClean(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = StringType

@@ -58,6 +58,23 @@ object PiiRedact {
       regexp_replace(c, p, tok)
     }
 
+  /** Card-shaped candidates: 13-19 digits with single space/dash
+    * separators — RE2-safe, shared verbatim by the kernel, the counts,
+    * and the external oracle.
+    */
+  val cardPattern: String = "\\d(?:[ -]?\\d){12,18}"
+
+  /** Payment-card redaction with CHECKSUM validation (the precision
+    * upgrade shape-only patterns can't give): card-shaped digit runs
+    * ([[cardPattern]]) that pass the Luhn check become `<CARD>`;
+    * shaped-but-invalid runs (order ids, timestamps — 90% of random
+    * digit runs) survive untouched. One codegen'd pass
+    * ([[graft.plans.expressions.luhn_redact]]), map-only like
+    * [[redact]].
+    */
+  def redactCards(text: Column): Column =
+    graft.plans.expressions.luhn_redact(text)
+
   /** Per-category match counts (taken BEFORE redaction), for corpus
     * audit dashboards and doc-level filtering (`n_email + n_ip + … >
     * k` → route to quarantine).
