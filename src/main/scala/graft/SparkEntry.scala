@@ -1739,6 +1739,42 @@ object SparkEntry {
         .withColumn("rank", col("rank").cast(LongType))
     }),
 
+    // the PERSISTED form of simsearch_ivf (FAISS inverted lists as a
+    // cell-partitioned managed table): build once, reload from the path
+    // alone (centroids ride in table properties), and SERVE through a
+    // pruned read — the require proves the probe skipped unprobed
+    // cells' files. Same gated regime, so the exact oracle still holds
+    "simsearch_ivf_disk" -> ((s, dir) => {
+      val base = "/root/repo/target/tmp/q_ivf_disk"
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm); f.delete(); ()
+      }
+      rm(new java.io.File(base))
+      val toDouble = transform(col("embedding"), x => x.cast("double"))
+      val orig = t(s, dir, "embeddings")
+        .select(col("vec_id").cast(LongType).as("vec_id"), toDouble.as("__v"))
+      val cents = orig.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("__c"), col("__v").as("__cv"))
+      val corpus = orig.join(broadcast(cents), col("vec_id") % 8 === col("__c"))
+        .select(col("vec_id"),
+          zip_with(col("__cv"), col("__v"),
+            (c, x) => c + lit(0.1) * x).as("embedding"))
+      val model = ml.IvfIndex.fit(corpus, "embedding", k = 8)
+      ml.IvfIndex.persist(corpus, "vec_id", "embedding", model, base)
+      val (tbl, loaded) = ml.IvfIndex.load(s, base)
+      require(loaded.k == model.k, "centroids did not round-trip")
+      val queries = corpus.filter(col("vec_id") < 5)
+      val out = ml.IvfIndex.topKPersisted(tbl, "vec_id", "embedding",
+        queries, "vec_id", "embedding", k = 10, nprobe = 2)
+        .withColumn("rank", col("rank").cast(LongType))
+      // the serve path must NOT read the whole table: probed cells only
+      val probedFiles = tbl.toDFWhere("cell IN (0,1,2,3)").inputFiles.length
+      require(probedFiles < tbl.detail.numFiles,
+        s"cell predicate read all ${tbl.detail.numFiles} files — " +
+          "partition pruning is broken")
+      out
+    }),
+
     // Product quantization in the same clustered regime as simsearch_ivf
     // (see that entry's derivation note): per-subspace codebooks trained
     // on a deterministic sample, corpus encoded to m=8 one-byte codes
@@ -4240,6 +4276,31 @@ object SparkEntry {
     // formulation. Derived vectors are pure IEEE double arithmetic
     // (cast + mul + add), bit-identical between Spark and DuckDB.
     "simsearch_ivf" ->
+      """WITH orig AS (
+        |  SELECT CAST(vec_id AS BIGINT) AS vec_id,
+        |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |corpus AS (
+        |  SELECT a.vec_id,
+        |         list_transform(generate_series(1, 64),
+        |                        i -> c.v[i] + 0.1 * a.v[i]) AS v
+        |  FROM orig a JOIN orig c ON c.vec_id = a.vec_id % 8),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM corpus WHERE vec_id < 5),
+        |scored AS (
+        |  SELECT q.query_id, e.vec_id AS neighbor_id,
+        |         list_cosine_similarity(q.qv, e.v) AS cosine
+        |  FROM q CROSS JOIN corpus e WHERE e.vec_id <> q.query_id),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id,
+        |         row_number() OVER (PARTITION BY query_id
+        |                            ORDER BY cosine DESC, neighbor_id) AS rank,
+        |         cosine
+        |  FROM scored)
+        |SELECT query_id, neighbor_id, rank, round(cosine, 4) AS cosine
+        |FROM ranked WHERE rank <= 10""".stripMargin,
+
+    // identical ranking contract served from the persisted index
+    "simsearch_ivf_disk" ->
       """WITH orig AS (
         |  SELECT CAST(vec_id AS BIGINT) AS vec_id,
         |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

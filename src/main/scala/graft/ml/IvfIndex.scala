@@ -103,6 +103,87 @@ object IvfIndex {
     * cells are ranked. Shuffles on cell id; the broadcast query side is
     * exploded nprobe-fold, the corpus is scanned once.
     */
+  // ---- persisted index (build once, serve many) -----------------------
+
+  private val centroidsProp = "graft.ivf.centroids"
+
+  private def encodeCentroids(model: Model): String =
+    model.centroids.map(_.mkString(",")).mkString(";")
+
+  private def decodeCentroids(s: String): Model =
+    Model(s.split(";").map(_.split(",").map(java.lang.Double.parseDouble)))
+
+  /** Persist the routed corpus as a CELL-PARTITIONED managed table —
+    * the FAISS "inverted lists" layout expressed as table storage:
+    * every row carries its assigned cell, the table partitions by it,
+    * and the per-file min/max stats turn a cell predicate into whole-
+    * partition pruning, so serving reads ~nprobe/k of the corpus FROM
+    * DISK instead of scanning it. The centroids ride in the table
+    * properties (k·dim doubles — kilobytes), so [[load]] reconstructs
+    * the full index from the path alone. Build once, query many — the
+    * shape a 100 TB embedding corpus actually needs, where re-routing
+    * per query batch would be the dominant cost.
+    */
+  def persist(corpus: DataFrame, idCol: String, vecCol: String,
+              model: Model, location: String): graft.tables.ManagedTable = {
+    // parquet reads arrays back with containsNull=true; log the schema
+    // that way up front so the reopened table casts cleanly
+    val vecT = corpus.schema(vecCol).dataType match {
+      case org.apache.spark.sql.types.ArrayType(et, _) =>
+        org.apache.spark.sql.types.ArrayType(et, containsNull = true)
+      case other => other
+    }
+    graft.tables.ManagedTable.create(
+      corpus.select(col(idCol), col(vecCol).cast(vecT).as(vecCol),
+        assign(col(vecCol), model).as("cell")),
+      location, partitionBy = Seq("cell"),
+      properties = Map(centroidsProp -> encodeCentroids(model)))
+  }
+
+  /** Reopen a [[persist]]ed index: (table, model). */
+  def load(spark: org.apache.spark.sql.SparkSession,
+           location: String): (graft.tables.ManagedTable, Model) = {
+    val t = graft.tables.ManagedTable.forPath(spark, location)
+    val enc = t.properties.getOrElse(centroidsProp,
+      throw new IllegalArgumentException(
+        s"$location is not an IVF index (missing $centroidsProp)"))
+    (t, decodeCentroids(enc))
+  }
+
+  /** Serve cosine top-k from a [[persist]]ed index: the distinct probe
+    * cells of the query batch (Q·nprobe ints — the driver-side "query
+    * planning" step every ANN server runs) become a pruned read that
+    * skips every unprobed partition's files; the cell column comes from
+    * storage, so corpus vectors are neither re-routed nor re-scanned.
+    * Ranking matches [[topK]] exactly.
+    */
+  def topKPersisted(table: graft.tables.ManagedTable, idCol: String,
+                    vecCol: String, queries: DataFrame, queryId: String,
+                    queryVec: String, k: Int = 10,
+                    nprobe: Int = 2): DataFrame = {
+    val model = decodeCentroids(table.properties(centroidsProp))
+    val probed = queries
+      .select(explode(probeCells(col(queryVec), model, nprobe)).as("cell"))
+      .distinct().collect().map(_.getInt(0)).sorted
+    require(probed.nonEmpty, "no probe cells — empty query batch?")
+    val pruned = table.toDFWhere(
+      probed.mkString("cell IN (", ",", ")"))
+    val q = broadcast(queries.select(col(queryId).as("query_id"),
+      col(queryVec).as("__qv"),
+      explode(probeCells(col(queryVec), model, nprobe)).as("cell")))
+    pruned.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
+        col("cell"))
+      .join(q, Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine", Similarity.cosine(col("__qv"), col("__cv")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("cosine").desc, col("neighbor_id"))))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        round(col("cosine"), 4).as("cosine"))
+  }
+
   def topK(corpus: DataFrame, corpusId: String, corpusVec: String,
            queries: DataFrame, queryId: String, queryVec: String,
            model: Model, k: Int = 10, nprobe: Int = 2): DataFrame = {

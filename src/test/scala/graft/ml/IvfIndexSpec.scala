@@ -74,4 +74,46 @@ class IvfIndexSpec extends SparkSpec {
       emb.filter($"vec_id" < 2), "vec_id", "embedding", model, k = 5, nprobe = 2)
     assert(out.count() == 10)
   }
+
+  test("persisted index: round-trips centroids, serves through a pruned " +
+      "read, and ranks exactly like the in-memory path") {
+    val base = "/root/repo/target/tmp/spec_ivf_disk"
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm); f.delete(); ()
+    }
+    rm(new java.io.File(base))
+    val df = clustered
+    val model = IvfIndex.fit(df, "embedding", k = 3, seed = 42)
+    IvfIndex.persist(df, "vec_id", "embedding", model, base)
+    val (tbl, loaded) = IvfIndex.load(spark, base)
+    // centroids round-trip exactly (Double.toString is lossless)
+    assert(loaded.centroids.map(_.toSeq).toSeq ==
+      model.centroids.map(_.toSeq).toSeq)
+    // a one-cell probe reads strictly fewer files than the table holds
+    val oneCell = tbl.toDFWhere("cell IN (0)").inputFiles.length
+    assert(oneCell > 0 && oneCell < tbl.detail.numFiles,
+      s"pruning broken: $oneCell of ${tbl.detail.numFiles}")
+    val queries = df.filter($"vec_id" < 6)
+    val served = IvfIndex.topKPersisted(tbl, "vec_id", "embedding",
+        queries, "vec_id", "embedding", k = 5, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val inMem = IvfIndex.topK(df, "vec_id", "embedding",
+        queries, "vec_id", "embedding", model, k = 5, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(served == inMem && served.nonEmpty)
+  }
+
+  test("load rejects a table that is not an IVF index") {
+    val base = "/root/repo/target/tmp/spec_ivf_notindex"
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm); f.delete(); ()
+    }
+    rm(new java.io.File(base))
+    graft.tables.ManagedTable.create(
+      Seq((1L, "x")).toDF("id", "v"), base)
+    val e = intercept[IllegalArgumentException] {
+      IvfIndex.load(spark, base)
+    }
+    assert(e.getMessage.contains("not an IVF index"))
+  }
 }
