@@ -137,6 +137,14 @@ object GraftFunctions {
         require(args.length == 1, "graft_unicode_clean(text)")
         UnicodeClean(args.head)
       }),
+    (FunctionIdentifier("graft_luhn_redact"),
+      info("graft_luhn_redact",
+        "graft_luhn_redact(text) - replace Luhn-valid card-shaped digit " +
+          "runs (13-19 digits, space/dash separators) with <CARD>"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "graft_luhn_redact(text)")
+        LuhnRedact(args.head)
+      }),
     (FunctionIdentifier("graft_gopher_stats"),
       info("graft_gopher_stats",
         "graft_gopher_stats(text) - one-pass Gopher document-quality counters " +

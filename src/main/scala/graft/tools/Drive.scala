@@ -850,6 +850,45 @@ object Drive {
     println(s"[66] image dHash near-dup: ${phAgg.getLong(0)} pairs, " +
       s"max hamming ${phAgg.get(1)} (planted gradient makes pairs exact)")
 
+    // the banded-Hamming optimizer rule: the naive SQL pair join plans
+    // as an equi-join (no nested loop) once the rule is installed
+    spark.experimental.extraOptimizations = Seq(graft.plans.BandedHammingJoin)
+    docs.selectExpr("doc_id",
+        "shiftleft(CAST(length(text) AS BIGINT) % 32768, 32) | " +
+          "(CAST(length(text) AS BIGINT) * 131 % 65536) AS fp")
+      .createOrReplaceTempView("drive_fp")
+    val bhj = spark.sql("""SELECT count(*) FROM drive_fp a JOIN drive_fp b
+      ON a.doc_id < b.doc_id AND bit_count(a.fp ^ b.fp) <= 3""")
+    val banded = bhj.queryExecution.optimizedPlan.toString.contains("__band_idx")
+    println(s"[67] banded hamming join: ${bhj.head().getLong(0)} pairs, " +
+      (if (banded) "rewritten to a band equi-join" else "NOT REWRITTEN"))
+
+    // Luhn-validated card redaction: valid test number redacts, its
+    // off-by-one twin survives
+    val luhn = docs.limit(3).select(graft.text.PiiRedact.redactCards(
+      concat(col("text"), lit(" 4111 1111 1111 1111 vs 4111 1111 1111 1112")))
+      .as("c")).collect()
+    val allGood = luhn.forall(r => r.getString(0).contains("<CARD>") &&
+      r.getString(0).contains("4111 1111 1111 1112"))
+    println(s"[68] luhn card redaction on 3 docs: " +
+      (if (allGood) "valid redacted, invalid twin kept" else "UNEXPECTED"))
+
+    // persisted IVF: build, reload from path, serve through pruned read
+    val ivfBase = "target/tmp/drive_ivf_disk"
+    def rmIvf(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rmIvf); f.delete(); ()
+    }
+    rmIvf(new java.io.File(ivfBase))
+    val ivfModel = graft.ml.IvfIndex.fit(emb, "embedding", k = 8)
+    graft.ml.IvfIndex.persist(emb, "vec_id", "embedding", ivfModel, ivfBase)
+    val (ivfTbl, _) = graft.ml.IvfIndex.load(spark, ivfBase)
+    val servedN = graft.ml.IvfIndex.topKPersisted(ivfTbl, "vec_id",
+      "embedding", emb.filter(col("vec_id") < 3), "vec_id", "embedding",
+      k = 5, nprobe = 2).count()
+    val probeFiles = ivfTbl.toDFWhere("cell IN (0,1)").inputFiles.length
+    println(s"[69] persisted IVF: $servedN results served reading " +
+      s"$probeFiles of ${ivfTbl.detail.numFiles} files")
+
     spark.stop()
   }
 }

@@ -41,6 +41,13 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(row.isNullAt(2))
   }
 
+  test("SQL graft_luhn_redact matches the Column API") {
+    val row = spark.sql(
+      """SELECT graft_luhn_redact('pay 4111 1111 1111 1111 or 4111 1111 1111 1112') AS r"""
+    ).head()
+    assert(row.getString(0) == "pay <CARD> or 4111 1111 1111 1112")
+  }
+
   test("hash_jaccard equals the array_intersect/array_union formulation") {
     import spark.implicits._
     val rnd = new scala.util.Random(3L)
