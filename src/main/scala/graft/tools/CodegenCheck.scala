@@ -76,6 +76,21 @@ object CodegenCheck {
     assert(e.head().isNullAt(0), "empty-array minhash must be null")
     println("[5] null paths OK under forced codegen")
 
+    // blocklist via the Aho-Corasick path (>= AcThreshold phrases) and
+    // the short-list indexOf path, same answer, both codegen'd
+    val manyPhrases = (0 until 70).map(i => s"w$i w${i + 1}")
+    val few = Seq("merge batch", "fast key")
+    val bl = docs.select(
+      blocklist_hits(col("text"), manyPhrases).as("big"),
+      blocklist_hits(col("text"), few).as("small"))
+    bl.agg(sum(col("big")), sum(col("small"))).head()
+    println("[6] blocklist_hits (automaton + scan paths) OK under forced codegen")
+
+    val lr = docs.select(luhn_redact(
+      concat(col("text"), lit(" 4111 1111 1111 1111"))).as("c"))
+    lr.agg(count(col("c"))).head()
+    println("[7] luhn_redact OK under forced codegen")
+
     println("--- WholeStageCodegen spans of the minhash stage ---")
     sh.explain("formatted")
     spark.stop()
