@@ -809,6 +809,12 @@ object SparkEntry {
     "quality_unigram_nll" -> ((s, dir) =>
       text.VocabStats.unigramNll(t(s, dir, "documents"), "doc_id", "text")),
 
+    // word-entropy of each document's own distribution (low = keyword
+    // stuffing / boilerplate loops); tf list sorts as ints before the
+    // fold so the oracle replays the identical double sequence
+    "quality_entropy" -> ((s, dir) =>
+      text.VocabStats.wordEntropy(t(s, dir, "documents"), "doc_id", "text")),
+
     // interpolated bigram LM score (the word-ORDER signal unigram NLL
     // lacks — closer to CCNet's real KenLM scorer); count triples sort
     // as integers before the ln fold, so the oracle replays the
@@ -2991,6 +2997,30 @@ object SparkEntry {
         |  FROM scored)
         |SELECT doc_id, CAST(rank AS BIGINT) AS rank, word, tf, df, score
         |FROM r WHERE rank <= 5""".stripMargin,
+
+    // same tf counts, same int sort before the double fold, same
+    // H = ln(len) - sum(tf ln tf)/len expression
+    "quality_entropy" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |                       w -> len(w) > 0)) AS word
+        |  FROM documents),
+        |tf AS (SELECT doc_id, word, count(*) AS tf
+        |       FROM toks GROUP BY doc_id, word),
+        |agg AS (
+        |  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+        |    count(*) AS n_types, list_sort(list(tf)) AS ts
+        |  FROM tf GROUP BY doc_id),
+        |sc AS (
+        |  SELECT doc_id, n_tokens, n_types,
+        |    round(ln(n_tokens)
+        |          - list_sum(list_transform(ts, t -> t * ln(t))) / n_tokens,
+        |      4) AS entropy
+        |  FROM agg)
+        |SELECT d.doc_id, coalesce(sc.n_tokens, 0) AS n_tokens,
+        |  coalesce(sc.n_types, 0) AS n_types, sc.entropy
+        |FROM documents d LEFT JOIN sc USING (doc_id)""".stripMargin,
 
     // replays the interpolated bigram LM exactly: same count triples,
     // same integer sort order, same double expressions (DuckDB's `/`

@@ -88,6 +88,39 @@ object VocabStats {
     * word-count shuffle, one re-join; the (T, |V|) totals are a single
     * broadcast row.
     */
+  /** Per-document word-entropy quality signal: the Shannon entropy of
+    * the document's own word distribution,
+    * `H = ln(len) − (Σ_w tf_w · ln tf_w) / len`, plus `n_tokens` /
+    * `n_types`. Low entropy = repetitive text (keyword stuffing,
+    * boilerplate loops) — the information-theoretic complement of the
+    * n-gram repetition fractions in
+    * [[graft.text.QualityFilters.repetitionStats]], which see LOCAL
+    * repeats where entropy sees the global distribution. Documents with
+    * no tokens carry NULL entropy (no distribution to measure).
+    *
+    * Determinism: the tf list sorts as integers before the double fold,
+    * so both engines sum the identical sequence; round(4) absorbs ln
+    * ulp. Scale shape: one explode → (doc, word) count with map-side
+    * partials, then a per-document aggregation of bounded tf lists —
+    * text never shuffles.
+    */
+  def wordEntropy(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tf = df.select(col(idCol), explode(words(col(textCol))).as("word"))
+      .groupBy(col(idCol), col("word")).agg(count(lit(1)).as("tf"))
+    val agg = tf.groupBy(col(idCol))
+      .agg(sum(col("tf")).as("n_tokens"), count(lit(1)).as("n_types"),
+        array_sort(collect_list(col("tf"))).as("__ts"))
+      .select(col(idCol), col("n_tokens"), col("n_types"),
+        round(log(col("n_tokens")) -
+          aggregate(col("__ts"), lit(0.0d), (a, t) => a + t * log(t))
+            / col("n_tokens"), 4).as("entropy"))
+    df.select(col(idCol)).join(agg, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_types"), lit(0L)).as("n_types"),
+        col("entropy"))
+  }
+
   def unigramNll(df: DataFrame, idCol: String, textCol: String,
                  vocabOf: Option[DataFrame] = None): DataFrame = {
     val vocab = vocabOf.getOrElse(vocabulary(df, textCol))

@@ -34,6 +34,26 @@ class VocabStatsSpec extends SparkSpec {
     assert(out(3L) == 0L)
   }
 
+  test("word entropy: uniform = ln(types), repeated = 0, empty = null") {
+    val d = Seq(
+      (1L, "a b c d"),       // uniform over 4 types -> ln 4
+      (2L, "spam spam spam"),// one type -> 0
+      (3L, ""),              // no tokens -> null entropy
+      (4L, "a a b")          // H = ln3 - (2 ln2)/3
+    ).toDF("doc_id", "text")
+    val out = VocabStats.wordEntropy(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    def r4(x: Double) =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(1L) == ((4L, 4L, Some(r4(math.log(4))))))
+    assert(out(2L) == ((3L, 1L, Some(0.0))))
+    assert(out(3L) == ((0L, 0L, None)))
+    assert(out(4L) ==
+      ((3L, 2L, Some(r4(math.log(3) - 2 * math.log(2) / 3)))))
+  }
+
   test("a reference vocabulary marks unseen words as rare (OOV)") {
     val ref = Seq(("the", 100L), ("cat", 50L)).toDF("word", "n")
     val out = VocabStats.vocabSignals(docs, "doc_id", "text",
