@@ -1231,6 +1231,15 @@ object SparkEntry {
           Seq(text.PiiRedact.redact(col("text")).as("clean")): _*)
     }),
 
+    // deequ-style column profiling: exact null/distinct/mode counts,
+    // native-type min/max rendered as strings; modal ties break to the
+    // smallest value string in both engines. Two passes by design: the
+    // min/max/null header is one aggregation node, exact distinct+mode
+    // is the melt shuffle
+    "table_profile" -> ((s, dir) =>
+      Profile.profile(t(s, dir, "orders"),
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"))),
+
     // Luhn-VALIDATED card redaction: each doc gets a seeded valid card
     // (check digit computed by the same ISO 7812 arithmetic in BOTH
     // engines — nothing is echoed) and a shaped-but-invalid twin
@@ -3578,6 +3587,24 @@ object SparkEntry {
         |       v.ts AS right_ts, v.view_value AS right_view_value
         |FROM clicks c ASOF LEFT JOIN views v
         |  ON c.user_id = v.user_id AND c.ts >= v.ts""".stripMargin,
+
+    // per-column scalar re-derivations; the modal tie-break (count
+    // desc, value-string asc) is spelled identically
+    "table_profile" -> Seq("o_orderkey", "o_custkey", "o_orderstatus",
+      "o_orderpriority").map { c =>
+      s"""SELECT '$c' AS column,
+         |  (SELECT count(*) FROM orders) AS n_rows,
+         |  (SELECT count(*) - count($c) FROM orders) AS n_nulls,
+         |  (SELECT count(DISTINCT $c) FROM orders) AS n_distinct,
+         |  (SELECT CAST(min($c) AS VARCHAR) FROM orders) AS min_value,
+         |  (SELECT CAST(max($c) AS VARCHAR) FROM orders) AS max_value,
+         |  (SELECT CAST($c AS VARCHAR) AS v FROM orders WHERE $c IS NOT NULL
+         |   GROUP BY v ORDER BY count(*) DESC, v LIMIT 1) AS top_value,
+         |  (SELECT count(*) AS n FROM orders WHERE $c IS NOT NULL
+         |   GROUP BY CAST($c AS VARCHAR)
+         |   ORDER BY n DESC, CAST($c AS VARCHAR) LIMIT 1) AS top_count"""
+        .stripMargin
+    }.mkString("", "\nUNION ALL\n", ""),
 
     // same fingerprint arithmetic, same inequality join — what the
     // banded rewrite must be indistinguishable from
