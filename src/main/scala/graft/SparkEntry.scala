@@ -1231,6 +1231,22 @@ object SparkEntry {
           Seq(text.PiiRedact.redact(col("text")).as("clean")): _*)
     }),
 
+    // HTML→text extraction (the WARC ingest step): each doc wraps in a
+    // seeded page — head/script to drop, tags to strip, a comment, a
+    // named + numeric entity, an NBSP — and the kernel must recover
+    // exactly the derivable main text; n_chars pins the length too
+    "source_html_extract" -> ((s, dir) => {
+      val page = concat(
+        lit("<html><head><title>T</title><script>var x=1;</script></head>"),
+        lit("<body><h1>Header "), col("doc_id").cast("string"),
+        lit("</h1><p>"), col("text"),
+        lit("</p><!-- hidden --><div>tail &amp; more&nbsp;"),
+        lit("&#101;nd</div></body></html>"))
+      t(s, dir, "documents").select(col("doc_id"),
+        text.HtmlText.extract(page).as("clean"))
+        .withColumn("n_chars", length(col("clean")).cast("long"))
+    }),
+
     // deequ-style column profiling: exact null/distinct/mode counts,
     // native-type min/max rendered as strings; modal ties break to the
     // smallest value string in both engines. Two passes by design: the
@@ -3587,6 +3603,15 @@ object SparkEntry {
         |       v.ts AS right_ts, v.view_value AS right_view_value
         |FROM clicks c ASOF LEFT JOIN views v
         |  ON c.user_id = v.user_id AND c.ts >= v.ts""".stripMargin,
+
+    // the template's derivable main text: head/script/comment dropped,
+    // tags become collapsed spaces, &amp;->&, &nbsp;->space, &#101;->e
+    "source_html_extract" ->
+      """SELECT doc_id,
+        |  'Header ' || doc_id || ' ' || text || ' tail & more end' AS clean,
+        |  CAST(length('Header ' || doc_id || ' ' || text
+        |    || ' tail & more end') AS BIGINT) AS n_chars
+        |FROM documents""".stripMargin,
 
     // per-column scalar re-derivations; the modal tie-break (count
     // desc, value-string asc) is spelled identically

@@ -915,6 +915,108 @@ object ExprKernels {
     * '[\s\p{Z}]', ' ', 'g'), '[\p{Cc}\p{Cf}]', '', 'g'), ' +', ' ',
     * 'g'))` — the oracle formulation (\x0B lands in Cc there and here).
     */
+  /** HTML main-text extraction (see [[HtmlExtract]]) — the WARC→text
+    * ingest step every web-corpus pipeline runs before any quality or
+    * dedup pass (the simplified-readability slot of trafilatura /
+    * jusText; BOILERPLATE removal is deliberately out of scope here —
+    * that is [[graft.text.Boilerplate]]'s job downstream, on extracted
+    * text). Deterministic single pass:
+    *
+    *  - `<head>…</head>`, `<script>…</script>`, `<style>…</style>`, and
+    *    `<!-- comments -->` are dropped whole (case-insensitive tag
+    *    match, closed at the matching end tag or end of input);
+    *  - every other tag (`<` followed by a letter, `/` or `!`) is
+    *    replaced by ONE space so `a</td><td>b` never glues — a stray
+    *    `<` not starting a tag is text, like real parsers treat it;
+    *  - character entities decode: the HTML named core (amp, lt, gt,
+    *    quot, apos, nbsp) plus numeric `&#123;` / `&#x1F;`; unknown
+    *    entities stay verbatim;
+    *  - whitespace (including decoded NBSP) collapses to single spaces,
+    *    leading/trailing trimmed.
+    */
+  def htmlExtract(input: UTF8String): UTF8String = {
+    val s = input.toString
+    val n = s.length
+    val sb = new java.lang.StringBuilder(n)
+    var lastSpace = true
+    def emit(c: Char): Unit = {
+      if (Character.isWhitespace(c) || c == '\u00A0') { // NBSP collapses
+        if (!lastSpace) { sb.append(' '); lastSpace = true }
+      } else { sb.append(c); lastSpace = false }
+    }
+    def emitCp(cp: Int): Unit = {
+      if (cp <= 0xFFFF) emit(cp.toChar)
+      else { sb.appendCodePoint(cp); lastSpace = false }
+    }
+    // does s(i) open `<tag` (case-insensitive) with a proper boundary?
+    def opensTag(i: Int, tag: String): Boolean =
+      s.regionMatches(true, i + 1, tag, 0, tag.length) && {
+        val after = i + 1 + tag.length
+        after >= n || s.charAt(after) == '>' || s.charAt(after) == '/' ||
+          Character.isWhitespace(s.charAt(after))
+      }
+    // index just past `</tag …>`, or n if unterminated
+    def skipElement(i: Int, tag: String): Int = {
+      var j = i
+      while (j < n) {
+        if (s.charAt(j) == '<' && j + 1 < n && s.charAt(j + 1) == '/' &&
+            s.regionMatches(true, j + 2, tag, 0, tag.length)) {
+          val gt = s.indexOf('>', j)
+          return if (gt < 0) n else gt + 1
+        }
+        j += 1
+      }
+      n
+    }
+    def decodeEntity(ent: String): Int = ent match {
+      case "amp" => '&'
+      case "lt" => '<'
+      case "gt" => '>'
+      case "quot" => '"'
+      case "apos" => '\''
+      case "nbsp" => 0xA0
+      case _ =>
+        try {
+          if (ent.startsWith("#x") || ent.startsWith("#X"))
+            Integer.parseInt(ent.substring(2), 16)
+          else if (ent.startsWith("#")) Integer.parseInt(ent.substring(1))
+          else -1
+        } catch { case _: NumberFormatException => -1 }
+    }
+    var i = 0
+    while (i < n) {
+      val c = s.charAt(i)
+      if (c == '<') {
+        if (s.regionMatches(false, i, "<!--", 0, 4)) {
+          val e = s.indexOf("-->", i + 4)
+          i = if (e < 0) n else e + 3
+        } else if (opensTag(i, "script")) i = skipElement(i + 1, "script")
+        else if (opensTag(i, "style")) i = skipElement(i + 1, "style")
+        else if (opensTag(i, "head")) i = skipElement(i + 1, "head")
+        else if (i + 1 < n && {
+          val c1 = s.charAt(i + 1)
+          (c1 >= 'a' && c1 <= 'z') || (c1 >= 'A' && c1 <= 'Z') ||
+            c1 == '/' || c1 == '!'
+        }) {
+          val gt = s.indexOf('>', i)
+          emit(' ')
+          i = if (gt < 0) n else gt + 1
+        } else { emit(c); i += 1 }
+      } else if (c == '&') {
+        val semi = s.indexOf(';', i + 1)
+        if (semi > i + 1 && semi - i <= 10) {
+          val cp = decodeEntity(s.substring(i + 1, semi))
+          if (cp >= 0 && Character.isValidCodePoint(cp)) {
+            emitCp(cp); i = semi + 1
+          } else { emit(c); i += 1 }
+        } else { emit(c); i += 1 }
+      } else { emit(c); i += 1 }
+    }
+    while (sb.length > 0 && sb.charAt(sb.length - 1) == ' ')
+      sb.setLength(sb.length - 1)
+    UTF8String.fromString(sb.toString)
+  }
+
   /** Luhn-validated payment-card redaction (see [[LuhnRedact]]): find
     * card-shaped digit runs — the RE2-safe pattern
     * `\d(?:[ -]?\d){12,18}` (13-19 digits, single space/dash

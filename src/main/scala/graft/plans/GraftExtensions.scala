@@ -145,6 +145,15 @@ object GraftFunctions {
         require(args.length == 1, "graft_luhn_redact(text)")
         LuhnRedact(args.head)
       }),
+    (FunctionIdentifier("graft_html_extract"),
+      info("graft_html_extract",
+        "graft_html_extract(html) - main text of an HTML payload: drop " +
+          "head/script/style/comments, strip tags, decode entities, " +
+          "collapse whitespace"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "graft_html_extract(html)")
+        HtmlExtract(args.head)
+      }),
     (FunctionIdentifier("graft_gopher_stats"),
       info("graft_gopher_stats",
         "graft_gopher_stats(text) - one-pass Gopher document-quality counters " +

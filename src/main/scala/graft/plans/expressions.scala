@@ -126,6 +126,10 @@ object expressions {
   def luhn_redact(text: Column): Column =
     column(LuhnRedact(expression(text)))
 
+  /** HTML main-text extraction in one pass (see [[HtmlExtract]]). */
+  def html_extract(html: Column): Column =
+    column(HtmlExtract(expression(html)))
+
   /** Z-order value of an `array<double>` column (one element per Z-order
     * dimension); `bounds` holds `(1<<bits)-1` ascending quantile
     * boundaries per column, column-major (see [[ZValue]]).
@@ -599,6 +603,28 @@ case class NormalizedMd5(child: Expression) extends UnaryExpression {
   * pass (see [[ExprKernels.unicodeClean]] for the exact contract) — the
   * text-pipeline canonicalization step, codegen'd like its siblings.
   */
+/** HTML main-text extraction (see [[ExprKernels.htmlExtract]]): drop
+  * head/script/style/comments, strip tags to single-space separators,
+  * decode core + numeric entities, collapse whitespace. One codegen'd
+  * pass — the WARC→text ingest step.
+  */
+case class HtmlExtract(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+  override def checkInputDataTypes() =
+    expressions.stringCheck(child, "html_extract")
+
+  override def nullSafeEval(input: Any): Any =
+    ExprKernels.htmlExtract(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.ExprKernels.htmlExtract($c);")
+
+  override protected def withNewChildInternal(c: Expression): HtmlExtract =
+    copy(child = c)
+}
+
 /** Luhn-validated payment-card redaction (see
   * [[ExprKernels.luhnRedact]]): card-shaped digit runs (13-19 digits,
   * single space/dash separators) that PASS the Luhn checksum are
