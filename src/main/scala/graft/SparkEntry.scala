@@ -1231,6 +1231,40 @@ object SparkEntry {
           Seq(text.PiiRedact.redact(col("text")).as("clean")): _*)
     }),
 
+    // the full crawl-ingest recipe END TO END in one query: WARC shards
+    // of real HTML pages → record-streaming container read → main-text
+    // extraction → quality gate (0.75, a real cut on this corpus) →
+    // exact keep-first dedup → managed table. Every stage is an
+    // already-verified operator; the composition pins that they agree
+    // on boundaries (binary→string, extraction exactness, gate parity)
+    "pipeline_warc_ingest" -> ((s, dir) => {
+      val base = "/root/repo/target/tmp/q_warc_ingest"
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm); f.delete(); ()
+      }
+      rm(new java.io.File(base))
+      val docs = t(s, dir, "documents")
+      val pages = docs.repartition(4, col("doc_id")).select(
+        concat(lit("http://corpus.local/page/"), col("doc_id")).as("uri"),
+        concat(
+          lit("<html><head><script>var n=1;</script></head><body><p>"),
+          col("text"), lit("</p></body></html>")).cast("binary").as("payload"))
+      sources.Warc.export(pages, "uri", "payload", base + "/shards",
+        gzipPerRecord = true)
+      val extracted = sources.Warc.read(s, base + "/shards/*.warc*")
+        .select(regexp_extract(col("target_uri"), "/page/(\\d+)$", 1)
+          .cast(LongType).as("doc_id"),
+          text.HtmlText.extract(col("payload").cast("string")).as("text"))
+      val gated = extracted.filter(
+        text.TextAnalysis.qualityScore(col("text")) >= 0.75)
+        .withColumn("__h", md5(col("text")))
+      val clean = Dedup.dropDuplicatesPkey(gated, "doc_id", Seq("__h"))
+        .join(docs.select(col("doc_id"), col("source"), col("n_chars")),
+          Seq("doc_id"))
+        .select("doc_id", "source", "n_chars")
+      ManagedTable.create(clean, base + "/out").toDF
+    }),
+
     // HTML→text extraction (the WARC ingest step): each doc wraps in a
     // seeded page — head/script to drop, tags to strip, a comment, a
     // named + numeric entity, an NBSP — and the kernel must recover
@@ -2118,6 +2152,38 @@ object SparkEntry {
     * the same parquet tables. Omitted for non-SQL-expressible ops →
     * driver records a weaker rows-only check.
     */
+  /** The quality_score re-derivation (doc_id, quality) — shared by
+    * the standalone oracle and the composed ingest pipelines.
+    */
+  private val qualityScoreSql: String =
+      """WITH t AS (
+        |  SELECT doc_id, text,
+        |    CAST(length(text) AS DOUBLE) AS n,
+        |    list_filter(string_split_regex(lower(text), '[^\p{L}]+'),
+        |                x -> length(x) > 0) AS toks,
+        |    CAST(length(regexp_extract_all(text, '[\p{L}]')) AS DOUBLE) AS n_alpha,
+        |    CAST(length(regexp_extract_all(text, '[[:punct:]]')) AS DOUBLE) AS n_punct
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n,
+        |    CASE WHEN n > 0 THEN n_alpha / n ELSE 0 END AS alpha_ratio,
+        |    CASE WHEN n > 0 THEN n_punct / n ELSE 0 END AS punct_ratio,
+        |    CAST(len(toks) AS DOUBLE) AS n_toks,
+        |    CASE WHEN len(toks) > 0 THEN
+        |      CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks)
+        |      ELSE 0 END AS mean_word_len,
+        |    CASE WHEN len(toks) > 0 THEN
+        |      CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+        |      ELSE 0 END AS distinct_ratio
+        |  FROM t)
+        |SELECT doc_id,
+        |  round(least(greatest(
+        |    least(n / 200.0, 1.0) * 0.25 + alpha_ratio * 0.25 +
+        |    (CASE WHEN mean_word_len BETWEEN 3.0 AND 12.0 THEN 1.0 ELSE 0.3 END) * 0.2 +
+        |    (CASE WHEN punct_ratio < 0.2 THEN 1.0 ELSE 0.4 END) * 0.1 +
+        |    distinct_ratio * 0.2, 0.0), 1.0), 4) AS quality
+        |FROM c""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
@@ -3604,6 +3670,21 @@ object SparkEntry {
         |FROM clicks c ASOF LEFT JOIN views v
         |  ON c.user_id = v.user_id AND c.ts >= v.ts""".stripMargin,
 
+    // the WARC round-trip + extraction recover text exactly, so the
+    // pipeline replays as: quality gate (same score re-derivation) →
+    // keep-first per identical text
+    "pipeline_warc_ingest" ->
+      s"""WITH q AS ($qualityScoreSql),
+         |gated AS (
+         |  SELECT d.doc_id, d.text, d.source, d.n_chars
+         |  FROM documents d JOIN q USING (doc_id)
+         |  WHERE q.quality >= CAST(0.75 AS DOUBLE)),
+         |kept AS (
+         |  SELECT doc_id, source, n_chars,
+         |    row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+         |  FROM gated)
+         |SELECT doc_id, source, n_chars FROM kept WHERE rn = 1""".stripMargin,
+
     // the template's derivable main text: head/script/comment dropped,
     // tags become collapsed spaces, &amp;->&, &nbsp;->space, &#101;->e
     "source_html_extract" ->
@@ -3668,34 +3749,7 @@ object SparkEntry {
         |  true AS sizes_line_ok,
         |  (SELECT count(*) * 2 FROM nation) AS source_rows""".stripMargin,
 
-    "quality_score" ->
-      """WITH t AS (
-        |  SELECT doc_id, text,
-        |    CAST(length(text) AS DOUBLE) AS n,
-        |    list_filter(string_split_regex(lower(text), '[^\p{L}]+'),
-        |                x -> length(x) > 0) AS toks,
-        |    CAST(length(regexp_extract_all(text, '[\p{L}]')) AS DOUBLE) AS n_alpha,
-        |    CAST(length(regexp_extract_all(text, '[[:punct:]]')) AS DOUBLE) AS n_punct
-        |  FROM documents),
-        |c AS (
-        |  SELECT doc_id, n,
-        |    CASE WHEN n > 0 THEN n_alpha / n ELSE 0 END AS alpha_ratio,
-        |    CASE WHEN n > 0 THEN n_punct / n ELSE 0 END AS punct_ratio,
-        |    CAST(len(toks) AS DOUBLE) AS n_toks,
-        |    CASE WHEN len(toks) > 0 THEN
-        |      CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks)
-        |      ELSE 0 END AS mean_word_len,
-        |    CASE WHEN len(toks) > 0 THEN
-        |      CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
-        |      ELSE 0 END AS distinct_ratio
-        |  FROM t)
-        |SELECT doc_id,
-        |  round(least(greatest(
-        |    least(n / 200.0, 1.0) * 0.25 + alpha_ratio * 0.25 +
-        |    (CASE WHEN mean_word_len BETWEEN 3.0 AND 12.0 THEN 1.0 ELSE 0.3 END) * 0.2 +
-        |    (CASE WHEN punct_ratio < 0.2 THEN 1.0 ELSE 0.4 END) * 0.1 +
-        |    distinct_ratio * 0.2, 0.0), 1.0), 4) AS quality
-        |FROM c""".stripMargin,
+    "quality_score" -> qualityScoreSql,
 
     // full SQL re-derivation of the repetition kernel: lines via split +
     // group-by, word n-grams via window lead() over the token stream;
