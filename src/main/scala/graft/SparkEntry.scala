@@ -1431,6 +1431,49 @@ object SparkEntry {
       ManagedTable.forPath(s, s"$base/out").toDF
     }),
 
+    // arbitrary stateful processing: gap sessionization through
+    // flatMapGroupsWithState with event-time timeout, fed from a graft
+    // table stream. Two out-of-band sentinel batches (user -1, far past
+    // every real gap horizon) advance the watermark so every real
+    // session CLOSES via timeout — the emitted set then equals the batch
+    // re-derivation exactly (closed-only emission is append-mode
+    // semantics; without the flush, each user's final session would
+    // stay open forever and the query would undercount)
+    "streaming_sessionize" -> ((s, dir) => {
+      val base = "/root/repo/target/tmp/q_ssess"
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm); f.delete(); ()
+      }
+      rm(new java.io.File(base))
+      import s.implicits._
+      val ev = events(s, dir).select(col("user_id"), col("ts"), col("value"))
+      val tbl = ManagedTable.create(ev, s"$base/in")
+      val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
+      val sessions = streaming.EventStreams.sessionizeStateful(
+        s.readStream.format("graft").load(s"$base/in"),
+        gap = "30 minutes", watermark = "1 hour")
+      val q = sessions.toDF()
+        .filter(col("user_id") >= 0)
+        .select(col("user_id"), col("session_start"), col("session_end"),
+          col("n_events"), col("session_value"))
+        .writeStream.format("graft")
+        .option("checkpointLocation", s"$base/ckpt")
+        .option("txnAppId", "q_ssess")
+        .start(s"$base/out")
+      try {
+        q.processAllAvailable()
+        def sentinel(days: Long) = Seq((-1L,
+          new java.sql.Timestamp(maxTs.getTime + days * 86400000L),
+          0.0)).toDF("user_id", "ts", "value")
+        // sentinel 1 advances the watermark past every real horizon;
+        // sentinel 2's batch runs WITH that watermark (watermark lags
+        // one batch), firing every real user's event-time timeout
+        tbl.append(sentinel(60)); q.processAllAvailable()
+        tbl.append(sentinel(120)); q.processAllAvailable()
+      } finally q.stop()
+      ManagedTable.forPath(s, s"$base/out").toDF
+    }),
+
     // the NAIVE SQL formulation of a fingerprint near-dup join —
     // `ON bit_count(a.fp ^ b.fp) <= 3` — which has no equality conjunct
     // and would plan as an O(n²) nested-loop join;
@@ -3740,6 +3783,25 @@ object SparkEntry {
         |  ON c.user_id = v.user_id
         | AND c.event_type = 'click' AND v.event_type = 'view'
         | AND v.ts BETWEEN c.ts - INTERVAL 24 HOUR AND c.ts""".stripMargin,
+
+    // the sentinel flush closes EVERY real session, so the streaming
+    // result equals the full batch gap-sessionization
+    "streaming_sessionize" ->
+      """WITH d AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |s AS (
+        |  SELECT user_id, ts, value,
+        |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+        |                        ROWS UNBOUNDED PRECEDING) AS sess_id
+        |  FROM d)
+        |SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+        |  count(*) AS n_events, round(sum(value), 2) AS session_value
+        |FROM s GROUP BY user_id, sess_id""".stripMargin,
 
     "table_admin" ->
       """SELECT (SELECT count(*) * 2 FROM nation) AS renamed_rows,

@@ -104,8 +104,13 @@ object EventStreams {
 
   // ---- custom state: flatMapGroupsWithState ---------------------------
 
-  /** Mutable per-user session accumulator for [[sessionizeStateful]]. */
-  final case class SessionAcc(startMs: Long, lastMs: Long,
+  /** Mutable per-user session accumulator for [[sessionizeStateful]].
+    * Times are MICROSECONDS since the epoch — Spark timestamps carry µs
+    * and the gap comparison must happen at full precision or an event
+    * pair within 1 ms of exactly `gap` apart classifies differently here
+    * than in a µs-exact batch re-derivation.
+    */
+  final case class SessionAcc(startUs: Long, lastUs: Long,
                               nEvents: Long, sumValue: Double)
 
   /** A closed session emitted once its gap elapses past the watermark. */
@@ -118,8 +123,12 @@ object EventStreams {
   // FlatMapGroupsWithState child plan)
   final case class SessionEvent(user_id: Long, ts: java.sql.Timestamp,
                                         value: Double) {
-    def tsMs: Long = ts.getTime
+    // full µs precision: getTime truncates to ms, the nanos field holds
+    // the whole sub-second part
+    def tsUs: Long =
+      Math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
   }
+
 
   /** Gap-based sessionization via `flatMapGroupsWithState` — the
     * arbitrary-stateful-processing formulation of [[sessionize]], for
@@ -142,11 +151,18 @@ object EventStreams {
     val iv = org.apache.spark.sql.catalyst.util.IntervalUtils
       .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(gap))
     require(iv.months == 0, s"calendar-month gaps are not supported: $gap")
-    val gapMs = iv.days * 86400000L + iv.microseconds / 1000L
+    val gapUs = iv.days * 86400000000L + iv.microseconds
+
+    // local (not an object method): the task closure must not capture
+    // the non-serializable enclosing module
+    def usToTimestamp(us: Long): java.sql.Timestamp = {
+      val t = new java.sql.Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+      t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+      t
+    }
 
     def close(u: Long, s: SessionAcc): ClosedSession =
-      ClosedSession(u, new java.sql.Timestamp(s.startMs),
-        new java.sql.Timestamp(s.lastMs),
+      ClosedSession(u, usToTimestamp(s.startUs), usToTimestamp(s.lastUs),
         s.nEvents, math.rint(s.sumValue * 100) / 100)
 
     def update(user: Long, events: Iterator[SessionEvent],
@@ -156,28 +172,31 @@ object EventStreams {
         state.remove()
         out
       } else {
-        val sorted = events.toSeq.sortBy(_.tsMs)
+        val sorted = events.toSeq.sortBy(_.tsUs)
         var acc = state.getOption.orNull
         val closed = Seq.newBuilder[ClosedSession]
         sorted.foreach { e =>
           acc match {
             case null =>
-              acc = SessionAcc(e.tsMs, e.tsMs, 1, e.value)
-            case a if e.tsMs - a.lastMs >= gapMs =>
+              acc = SessionAcc(e.tsUs, e.tsUs, 1, e.value)
+            case a if e.tsUs - a.lastUs >= gapUs =>
               closed += close(user, a)
-              acc = SessionAcc(e.tsMs, e.tsMs, 1, e.value)
+              acc = SessionAcc(e.tsUs, e.tsUs, 1, e.value)
             case a =>
-              acc = a.copy(lastMs = math.max(a.lastMs, e.tsMs),
+              acc = a.copy(lastUs = math.max(a.lastUs, e.tsUs),
                 nEvents = a.nEvents + 1, sumValue = a.sumValue + e.value)
           }
         }
         if (acc != null) {
           state.update(acc)
-          // evict once the watermark passes the session's gap horizon;
-          // clamp above the current watermark — a late event can put
-          // lastMs+gap below it, which setTimeoutTimestamp rejects
+          // evict once the watermark passes the session's gap horizon
+          // (timeouts are ms-granular: round the µs horizon UP so the
+          // timeout can never fire early); clamp above the current
+          // watermark — a late event can put lastUs+gap below it, which
+          // setTimeoutTimestamp rejects
           state.setTimeoutTimestamp(
-            math.max(acc.lastMs + gapMs, state.getCurrentWatermarkMs + 1))
+            math.max(Math.floorDiv(acc.lastUs + gapUs + 999L, 1000L),
+              state.getCurrentWatermarkMs + 1))
         }
         closed.result().iterator
       }
