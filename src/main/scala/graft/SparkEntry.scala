@@ -2005,13 +2005,20 @@ object SparkEntry {
       // bounded probe (ids < 500 — the full sf0.01 corpus): this query
       // verifies the cross-batch SEMANTICS; the underlying kernels'
       // scale behavior is benched by dedup_minhash on the full table
+      // persist each micro-batch: incremental() touches its input twice
+      // (signature compute + the novel-rows semi-join); a real
+      // foreachBatch frame arrives materialized, so the probe should too
+      val b0 = docs.filter(col("doc_id") < 250).persist()
       streaming.StreamingDedup.incremental(
-        docs.filter(col("doc_id") < 250), "doc_id", "text", index, out,
+        b0, "doc_id", "text", index, out,
         txn = ("q_stream", 0L), threshold = 0.5)
+      b0.unpersist()
+      val b1 = docs.filter(col("doc_id") >= 250 && col("doc_id") < 500)
+        .persist()
       streaming.StreamingDedup.incremental(
-        docs.filter(col("doc_id") >= 250 && col("doc_id") < 500),
-        "doc_id", "text", index, out, txn = ("q_stream", 1L),
+        b1, "doc_id", "text", index, out, txn = ("q_stream", 1L),
         threshold = 0.5)
+      b1.unpersist()
       out.toDF.select("doc_id", "source", "n_chars")
     }),
 
@@ -2068,13 +2075,21 @@ object SparkEntry {
       val out = ManagedTable.create(
         s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
           docs.schema), base + "_out")
+      // persist each micro-batch: incremental() touches its input twice
+      // (signature compute + the novel-rows semi-join), and the input
+      // here is a quality-kernel scan worth running once, as a real
+      // foreachBatch frame would be
+      val b0 = good.filter(col("doc_id") < 250).persist()
       streaming.StreamingDedup.incremental(
-        good.filter(col("doc_id") < 250), "doc_id", "text", index, out,
+        b0, "doc_id", "text", index, out,
         txn = ("q_ingest", 0L), threshold = 0.5)
+      b0.unpersist()
+      val b1 = good.filter(col("doc_id") >= 250 && col("doc_id") < 500)
+        .persist()
       streaming.StreamingDedup.incremental(
-        good.filter(col("doc_id") >= 250 && col("doc_id") < 500),
-        "doc_id", "text", index, out, txn = ("q_ingest", 1L),
+        b1, "doc_id", "text", index, out, txn = ("q_ingest", 1L),
         threshold = 0.5)
+      b1.unpersist()
       out.toDF.select("doc_id", "source", "n_chars")
     }),
 
