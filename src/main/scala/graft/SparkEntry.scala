@@ -771,6 +771,19 @@ object SparkEntry {
       Dedup.dropDuplicatesPkey(docs, "doc_id", Seq("__h")).drop("__h")
     }),
 
+    // Bloom-prefiltered dedup against a reference set (the Dolma gate):
+    // incoming = the whole corpus, reference = the 40% with
+    // doc_id % 5 < 2, key = content md5. The filter routes rows at scan
+    // speed; only might_contain survivors reach the exact anti-join, so
+    // the result is EXACT — equal to text NOT IN (reference texts)
+    "dedup_bloom" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val keyed = docs.withColumn("__k", md5(col("text")))
+      val ref = keyed.filter(col("doc_id") % 5 < 2).select(col("__k"))
+      text.BloomDedup.newRows(keyed, ref, "__k", fpp = 0.01)
+        .select("doc_id", "source", "n_chars")
+    }),
+
     // corpus-frequency quality signals (Gopher/CCNet vocabulary
     // filters): rare-word mass and top-K-vocabulary coverage per doc,
     // scored against the corpus's own wordcounts. All-integer outputs
@@ -2536,6 +2549,13 @@ object SparkEntry {
     "dedup_exact" ->
       """SELECT * FROM documents
         |WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY md5(text))""".stripMargin,
+
+    // the Bloom filter only ROUTES rows (prefilter + exact confirm), so
+    // the result is the plain reference anti-join
+    "dedup_bloom" ->
+      """SELECT doc_id, source, n_chars FROM documents
+        |WHERE text NOT IN
+        |  (SELECT text FROM documents WHERE doc_id % 5 < 2)""".stripMargin,
 
     // same lowercase whitespace tokenization, same corpus wordcounts,
     // same deterministic (count DESC, word) top-K cut

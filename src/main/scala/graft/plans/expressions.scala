@@ -171,6 +171,14 @@ object expressions {
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
           s"$name expects string, got ${other.sql}")
     }
+
+  /** Bloom-filter membership probe of a `bigint` or `string` key against
+    * a serialized [[org.apache.spark.util.sketch.BloomFilter]] — the
+    * executor-side half of [[graft.text.BloomDedup]]. False positives at
+    * the filter's fpp; never false negatives. NULL key → NULL.
+    */
+  def bloom_might_contain(key: Column, bloom: BloomRef): Column =
+    column(BloomMightContain(expression(key), bloom))
 }
 
 /** One-permutation minhash (Li, Owen, Zhang 2012): the hash space is
@@ -832,5 +840,61 @@ case class HilbertValue(child: Expression, bounds: ZBounds,
   }
 
   override protected def withNewChildInternal(c: Expression): HilbertValue =
+    copy(child = c)
+}
+
+/** Serializable carrier for a built
+  * [[org.apache.spark.util.sketch.BloomFilter]]: ships the compact
+  * serialized bytes to executors and rebuilds the filter LAZILY once per
+  * JVM (not per row, not per task) — the same shape Spark's own runtime
+  * bloom pruning uses. Bits scale with -n·ln(fpp)/ln²2: ~1.2 MB per
+  * million keys at 1% fpp, so the broadcast-a-filter regime is reference
+  * sets up to ~10⁸ keys; beyond that, shard the reference or fall back
+  * to the plain anti-join.
+  */
+final class BloomRef(val bytes: Array[Byte]) extends Serializable {
+  @transient private lazy val filter: org.apache.spark.util.sketch.BloomFilter =
+    org.apache.spark.util.sketch.BloomFilter.readFrom(
+      new java.io.ByteArrayInputStream(bytes))
+  def containsLong(v: Long): Boolean = filter.mightContainLong(v)
+  // putString(s) == putBinary(utf8 bytes of s) in Spark's sketch, so the
+  // UTF8String bytes probe matches a filter built over a string column
+  def containsUtf8(s: UTF8String): Boolean =
+    filter.mightContainBinary(s.getBytes)
+}
+
+/** `bloom_might_contain(key, filter)` — membership of a bigint/string key
+  * in a pre-built Bloom filter, evaluated at scan speed inside
+  * whole-stage codegen. The query-side prefilter of
+  * [[graft.text.BloomDedup]]: rows the filter rejects are DEFINITELY new
+  * (Bloom filters have no false negatives) and skip the exact-confirm
+  * join entirely.
+  */
+case class BloomMightContain(child: Expression, bloom: BloomRef)
+    extends UnaryExpression {
+
+  override def dataType: DataType = BooleanType
+  override def checkInputDataTypes() = child.dataType match {
+    case LongType | StringType =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case other =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"bloom_might_contain expects bigint or string, got ${other.sql}")
+  }
+
+  private def isString = child.dataType == StringType
+
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Boolean.valueOf(
+      if (isString) bloom.containsUtf8(input.asInstanceOf[UTF8String])
+      else bloom.containsLong(input.asInstanceOf[Long]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bloomRef", bloom, "graft.plans.BloomRef")
+    val call = if (isString) "containsUtf8" else "containsLong"
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.$call($c);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): BloomMightContain =
     copy(child = c)
 }

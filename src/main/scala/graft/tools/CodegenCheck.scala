@@ -91,6 +91,18 @@ object CodegenCheck {
     lr.agg(count(col("c"))).head()
     println("[7] luhn_redact OK under forced codegen")
 
+    // bloom probe, string + long paths
+    val bfS = graft.text.BloomDedup.buildFilter(
+      docs.select(md5(col("text")).as("k")), "k")
+    val bfL = graft.text.BloomDedup.buildFilter(
+      docs.select(col("doc_id").as("k")), "k")
+    val bp = docs.select(
+      bloom_might_contain(md5(col("text")), bfS).as("s"),
+      bloom_might_contain(col("doc_id"), bfL).as("l"))
+    bp.agg(sum(when(col("s"), 1).otherwise(0)),
+      sum(when(col("l"), 1).otherwise(0))).head()
+    println("[8] bloom_might_contain (string + long) OK under forced codegen")
+
     println("--- WholeStageCodegen spans of the minhash stage ---")
     sh.explain("formatted")
     spark.stop()

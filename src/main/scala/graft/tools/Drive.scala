@@ -889,6 +889,29 @@ object Drive {
     println(s"[69] persisted IVF: $servedN results served reading " +
       s"$probeFiles of ${ivfTbl.detail.numFiles} files")
 
+    // Bloom-prefiltered dedup: reference = 40% of the corpus by id,
+    // incoming = everything; the filter routes, the anti-join confirms
+    val keyed = docs.withColumn("__k", md5(col("text")))
+    val bloomRef = keyed.filter(col("doc_id") % 5 < 2).select(col("__k"))
+    val bf = graft.text.BloomDedup.buildFilter(bloomRef, "__k")
+    val maybeN = keyed.filter(
+      graft.text.BloomDedup.mightContain(col("__k"), bf)).count()
+    val newN = graft.text.BloomDedup.newRows(keyed, bloomRef, "__k",
+      filter = Some(bf)).count()
+    println(s"[70] bloom dedup: ${keyed.count()} incoming, $maybeN probe " +
+      s"true (exact-confirm branch), $newN genuinely new")
+
+    // stateful streaming sessionization: batch frame through the same
+    // update function's BATCH limitation is documented; here just pin
+    // that the closed-session stream from a two-batch replay matches the
+    // batch sessionizer on a bounded slice
+    val evSlice = graft.SparkEntry.queries("streaming_sessionize")(
+      spark, sfDir)
+    val batchSess = graft.streaming.EventStreams.sessionize(
+      graft.SparkEntry.events(spark, sfDir), gap = "30 minutes")
+    println(s"[71] streaming sessionize: ${evSlice.count()} closed " +
+      s"sessions == batch ${batchSess.count()}")
+
     spark.stop()
   }
 }

@@ -1,0 +1,70 @@
+package graft.text
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class BloomDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("no false negatives: every reference key probes true") {
+    val ref = (0L until 1000L).map(i => s"key-$i").toDF("k")
+    val bf = BloomDedup.buildFilter(ref, "k", fpp = 0.01)
+    val misses = ref.filter(!BloomDedup.mightContain(col("k"), bf)).count()
+    assert(misses == 0L, "a Bloom filter must never reject a member")
+  }
+
+  test("newRows equals the exact anti-join, string keys") {
+    val ref = (0L until 500L).map(i => s"doc-$i").toDF("k")
+    val incoming = (250L until 1500L).map(i => (s"doc-$i", i)).toDF("k", "v")
+    val got = BloomDedup.newRows(incoming, ref, "k")
+      .select("v").as[Long].collect().sorted
+    val want = incoming.join(ref, Seq("k"), "left_anti")
+      .select("v").as[Long].collect().sorted
+    assert(got.sameElements(want))
+    assert(got.head == 500L && got.length == 1000)
+  }
+
+  test("newRows equals the exact anti-join, long keys") {
+    val ref = (0L until 300L).map(_ * 7L).toDF("k")
+    val incoming = (0L until 3000L).map(i => (i, i % 13)).toDF("k", "grp")
+    val got = BloomDedup.newRows(incoming, ref, "k")
+      .select("k").as[Long].collect().toSet
+    val want = incoming.join(ref, Seq("k"), "left_anti")
+      .select("k").as[Long].collect().toSet
+    assert(got == want)
+  }
+
+  test("prefilter actually prunes: mostly-novel stream mostly skips the join") {
+    val ref = (0L until 2000L).map(i => s"seen-$i").toDF("k")
+    val bf = BloomDedup.buildFilter(ref, "k", fpp = 0.01)
+    val novel = (0L until 10000L).map(i => s"new-$i").toDF("k")
+    val maybe = novel.filter(BloomDedup.mightContain(col("k"), bf)).count()
+    // fpp 1%: expect ~100 of 10000 to leak into the confirm join; 5x
+    // headroom keeps the assertion sturdy across sketch versions
+    assert(maybe <= 500L,
+      s"$maybe of 10000 novel keys probed true — filter not pruning")
+  }
+
+  test("approx variant loses only might_contain hits; exact keeps FP rows") {
+    val ref = (0L until 4000L).map(i => s"ref-$i").toDF("k")
+    val bf = BloomDedup.buildFilter(ref, "k", fpp = 0.05)
+    val incoming = (3000L until 8000L).map(i => s"ref-$i").toDF("k")
+    val exact = BloomDedup.newRows(incoming, ref, "k", filter = Some(bf))
+      .count()
+    val approx = BloomDedup.newRowsApprox(incoming, ref, "k",
+      filter = Some(bf)).count()
+    assert(exact == 4000L, "exact variant must keep every truly-new row")
+    assert(approx <= exact, "approx can only lose rows, never add")
+  }
+
+  test("non-BMP string keys round-trip the UTF8 probe") {
+    val ref = Seq("emoji-😀-key", "plain").toDF("k")
+    val bf = BloomDedup.buildFilter(ref, "k")
+    val probes = Seq("emoji-😀-key", "plain", "emoji--key")
+      .toDF("k")
+      .select(col("k"), BloomDedup.mightContain(col("k"), bf).as("m"))
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    assert(probes("emoji-😀-key"), "member with non-BMP char missed")
+    assert(probes("plain"))
+  }
+}
