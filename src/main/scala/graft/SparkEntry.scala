@@ -1070,6 +1070,25 @@ object SparkEntry {
     // is seeded IDENTICALLY here and in the oracle; the engine's fused
     // one-pass kernel must agree byte-for-byte with the oracle's
     // nfc_normalize + three-regex chain
+    // URL canonicalization (the crawl URL-dedup step): every doc gets a
+    // seeded messy URL — uppercase scheme/host, default port, trailing
+    // slash on every third path, utm_/gclid tracking params out of
+    // order, a fragment — and the kernel must produce the derivable
+    // canonical form (oracle rebuilds it from the same template)
+    "normalize_url" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val messy = concat(
+        lit("HTTP://CraWL-"), col("source"), lit(".ExAmple.COM:80/Docs/"),
+        col("doc_id"),
+        when(col("doc_id") % 3 === 0, lit("/")).otherwise(lit("")),
+        lit("?utm_source=feed&b="), col("doc_id") % 7,
+        lit("&a="), col("doc_id") % 5,
+        when(col("doc_id") % 2 === 0, lit("&gclid=zzz")).otherwise(lit("")),
+        lit("#frag"))
+      docs.select(col("doc_id"),
+        plans.expressions.canonicalize_url(messy).as("url"))
+    }),
+
     "normalize_text" -> ((s, dir) => {
       // suffix: decomposed e+ACUTE (NFC composes), ZERO WIDTH SPACE,
       // tab, A+RING (composes), IDEOGRAPHIC SPACE, SOFT HYPHEN, a
@@ -3277,6 +3296,16 @@ object SparkEntry {
         |    PARTITION BY doc_id ORDER BY score DESC, label) AS rk
         |  FROM scored)
         |SELECT doc_id, label AS pred, score FROM r WHERE rk = 1""".stripMargin,
+
+    // the seeded template's derivable canonical form: lowercase
+    // scheme/host, no default port, tracking params gone, a before b,
+    // no trailing slash, no fragment
+    "normalize_url" ->
+      """SELECT doc_id,
+        |  'http://crawl-' || lower(source) || '.example.com/Docs/'
+        |    || doc_id || '?a=' || (doc_id % 5) || '&b=' || (doc_id % 7)
+        |    AS url
+        |FROM documents""".stripMargin,
 
     // same seeded suffix (chr() builds the identical code points), and
     // the cleanup chain spelled as nfc_normalize + three RE2 passes:

@@ -1499,4 +1499,125 @@ object ExprKernels {
     }
     s
   }
+
+  /** URL canonicalization for crawl-frontier / URL-level dedup, one pass:
+    *
+    *  - scheme and host lowercase; userinfo and PATH CASE preserved
+    *  - default ports stripped (http:80, https:443), as is a bare `:`
+    *  - fragment dropped
+    *  - tracking params dropped: exact names in `dropNames` (lowercase)
+    *    plus any name starting with a `dropPrefixes` entry,
+    *    case-insensitively
+    *  - surviving query params sorted by name (byte order), STABLE —
+    *    equal keys keep their original relative order (param order is
+    *    not semantic per RFC 3986 §6, but duplicate-key order can be)
+    *  - trailing path `/` stripped except the root path; an empty path
+    *    with an authority becomes `/`
+    *
+    * NOT done (documented, deliberately): percent-decoding of unreserved
+    * characters and IDN host folding — both need full escape-table /
+    * punycode handling to be round-trip safe, and a partial version
+    * would MERGE urls that differ. Inputs without a `://` scheme pass
+    * through trimmed-only: not parseable as absolute URLs, and inventing
+    * a scheme would fabricate distinctions.
+    */
+  def canonicalizeUrl(input: UTF8String,
+                      dropNames: java.util.HashSet[String],
+                      dropPrefixes: Array[String]): UTF8String = {
+    val raw = input.toString.trim
+    val ss = raw.indexOf("://")
+    if (ss <= 0) return UTF8String.fromString(raw)
+    val scheme = raw.substring(0, ss)
+    var i = 0
+    var schemeOk = true
+    while (schemeOk && i < scheme.length) {
+      val c = scheme.charAt(i)
+      val ok = (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
+        (i > 0 && ((c >= '0' && c <= '9') || c == '+' || c == '-' || c == '.'))
+      if (!ok) schemeOk = false
+      i += 1
+    }
+    if (!schemeOk) return UTF8String.fromString(raw)
+    val schemeLc = scheme.toLowerCase(java.util.Locale.ROOT)
+
+    val rest = raw.substring(ss + 3)
+    var authEnd = rest.length
+    var j = 0
+    var found = false
+    while (!found && j < rest.length) {
+      val c = rest.charAt(j)
+      if (c == '/' || c == '?' || c == '#') { authEnd = j; found = true }
+      j += 1
+    }
+    var auth = rest.substring(0, authEnd)
+    val tail = rest.substring(authEnd)
+
+    // authority = [userinfo@]host[:port]; host lowercases, the default
+    // port (and a dangling ':') drops
+    val at = auth.lastIndexOf('@')
+    val userinfo = if (at >= 0) auth.substring(0, at + 1) else ""
+    var hostPort = if (at >= 0) auth.substring(at + 1) else auth
+    // IPv6 literals carry ':' inside brackets — only split on a ':'
+    // after the closing bracket (or anywhere when unbracketed)
+    val cb = hostPort.lastIndexOf(']')
+    val colon = hostPort.indexOf(':', if (cb >= 0) cb else 0)
+    var host = if (colon >= 0) hostPort.substring(0, colon) else hostPort
+    var port = if (colon >= 0) hostPort.substring(colon + 1) else ""
+    host = host.toLowerCase(java.util.Locale.ROOT)
+    val defaultPort =
+      (schemeLc == "http" && port == "80") ||
+      (schemeLc == "https" && port == "443")
+    val portPart =
+      if (colon < 0 || port.isEmpty || defaultPort) "" else ":" + port
+    auth = userinfo + host + portPart
+
+    // split tail into path / query / fragment (fragment drops)
+    val hash = tail.indexOf('#')
+    val noFrag = if (hash >= 0) tail.substring(0, hash) else tail
+    val qm = noFrag.indexOf('?')
+    var path = if (qm >= 0) noFrag.substring(0, qm) else noFrag
+    val query = if (qm >= 0) noFrag.substring(qm + 1) else null
+
+    if (path.isEmpty) path = "/"
+    else if (path.length > 1 && path.charAt(path.length - 1) == '/')
+      path = path.substring(0, path.length - 1)
+
+    var queryPart = ""
+    if (query != null && query.nonEmpty) {
+      val params = query.split("&", -1)
+      val kept = new java.util.ArrayList[String](params.length)
+      var p = 0
+      while (p < params.length) {
+        val param = params(p)
+        if (param.nonEmpty) {
+          val eq = param.indexOf('=')
+          val name = (if (eq >= 0) param.substring(0, eq) else param)
+            .toLowerCase(java.util.Locale.ROOT)
+          var drop = dropNames.contains(name)
+          var pi = 0
+          while (!drop && pi < dropPrefixes.length) {
+            if (name.startsWith(dropPrefixes(pi))) drop = true
+            pi += 1
+          }
+          if (!drop) kept.add(param)
+        }
+        p += 1
+      }
+      if (!kept.isEmpty) {
+        // stable sort BY NAME only — duplicate keys keep arrival order
+        val arr = new Array[String](kept.size())
+        kept.toArray(arr)
+        java.util.Arrays.sort(arr, new java.util.Comparator[String] {
+          override def compare(a: String, b: String): Int = {
+            val ea = a.indexOf('='); val eb = b.indexOf('=')
+            val ka = if (ea >= 0) a.substring(0, ea) else a
+            val kb = if (eb >= 0) b.substring(0, eb) else b
+            ka.compareTo(kb)
+          }
+        })
+        queryPart = "?" + String.join("&", arr: _*)
+      }
+    }
+    UTF8String.fromString(schemeLc + "://" + auth + path + queryPart)
+  }
 }

@@ -154,6 +154,17 @@ object GraftFunctions {
         require(args.length == 1, "graft_html_extract(html)")
         HtmlExtract(args.head)
       }),
+    (FunctionIdentifier("graft_canonicalize_url"),
+      info("graft_canonicalize_url",
+        "graft_canonicalize_url(url) - canonical URL for url-level dedup: " +
+          "scheme/host lowercase, default port + fragment dropped, " +
+          "tracking params (utm_*, gclid, ...) removed, params sorted, " +
+          "trailing path slash trimmed"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "graft_canonicalize_url(url)")
+        UrlCanonicalize(args.head, UrlCanonicalize.DefaultDropNames,
+          UrlCanonicalize.DefaultDropPrefixes)
+      }),
     (FunctionIdentifier("graft_gopher_stats"),
       info("graft_gopher_stats",
         "graft_gopher_stats(text) - one-pass Gopher document-quality counters " +

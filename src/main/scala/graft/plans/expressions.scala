@@ -130,6 +130,15 @@ object expressions {
   def html_extract(html: Column): Column =
     column(HtmlExtract(expression(html)))
 
+  /** URL canonicalization for URL-level dedup, in one pass (see
+    * [[UrlCanonicalize]]); the default drop set strips the common
+    * tracking params (utm_*, gclid, fbclid, ...).
+    */
+  def canonicalize_url(url: Column,
+                       dropNames: Seq[String] = UrlCanonicalize.DefaultDropNames,
+                       dropPrefixes: Seq[String] = UrlCanonicalize.DefaultDropPrefixes): Column =
+    column(UrlCanonicalize(expression(url), dropNames, dropPrefixes))
+
   /** Z-order value of an `array<double>` column (one element per Z-order
     * dimension); `bounds` holds `(1<<bits)-1` ascending quantile
     * boundaries per column, column-major (see [[ZValue]]).
@@ -897,4 +906,55 @@ case class BloomMightContain(child: Expression, bloom: BloomRef)
 
   override protected def withNewChildInternal(c: Expression): BloomMightContain =
     copy(child = c)
+}
+
+/** `canonicalize_url(url)` — RFC-3986-style URL canonicalization for
+  * URL-level dedup (see [[ExprKernels.canonicalizeUrl]] for the exact
+  * rule set): scheme/host lowercase, default ports and fragments
+  * dropped, tracking params removed, surviving params stably sorted by
+  * name, trailing path slash trimmed. One pass per row under
+  * whole-stage codegen; non-URL inputs pass through trimmed-only.
+  */
+case class UrlCanonicalize(child: Expression,
+                           dropNames: Seq[String],
+                           dropPrefixes: Seq[String])
+    extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+  override def checkInputDataTypes() =
+    expressions.stringCheck(child, "canonicalize_url")
+
+  @transient private lazy val nameSet: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String]()
+    dropNames.foreach(n => s.add(n.toLowerCase(java.util.Locale.ROOT)))
+    s
+  }
+  @transient private lazy val prefixArr: Array[String] =
+    dropPrefixes.map(_.toLowerCase(java.util.Locale.ROOT)).toArray
+
+  override def nullSafeEval(input: Any): Any =
+    ExprKernels.canonicalizeUrl(
+      input.asInstanceOf[UTF8String], nameSet, prefixArr)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val names = ctx.addReferenceObj("urlDropNames", nameSet,
+      "java.util.HashSet")
+    val prefixes = ctx.addReferenceObj("urlDropPrefixes", prefixArr,
+      "java.lang.String[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.ExprKernels.canonicalizeUrl($c, $names, $prefixes);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): UrlCanonicalize =
+    copy(child = c)
+}
+
+object UrlCanonicalize {
+  /** The default tracking-param strip set: the click/campaign ids the
+    * major platforms append (all documented publicly; none carry
+    * content semantics).
+    */
+  val DefaultDropNames: Seq[String] =
+    Seq("gclid", "fbclid", "msclkid", "mc_eid", "igshid", "mkt_tok")
+  val DefaultDropPrefixes: Seq[String] = Seq("utm_")
 }

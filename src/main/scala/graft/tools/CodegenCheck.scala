@@ -103,6 +103,12 @@ object CodegenCheck {
       sum(when(col("l"), 1).otherwise(0))).head()
     println("[8] bloom_might_contain (string + long) OK under forced codegen")
 
+    val cu = docs.select(canonicalize_url(
+      concat(lit("HTTP://Ex.COM:80/p/"), col("doc_id"),
+        lit("?utm_s=1&b=2&a=1#f"))).as("u"))
+    cu.agg(count(col("u"))).head()
+    println("[9] canonicalize_url OK under forced codegen")
+
     println("--- WholeStageCodegen spans of the minhash stage ---")
     sh.explain("formatted")
     spark.stop()
