@@ -1003,6 +1003,29 @@ object SparkEntry {
     // byte-level encode loop end-to-end. ids_sum pins the id values
     // (byte-unit layout ids 0..255 + merge products in rank order).
     // Golden literal at sf0.01, like token_bpe_ids.
+    // the .tiktoken rank-table format (the cl100k-era interchange file):
+    // fit a byte-level model, convert to a rank table, ROUND-TRIP it
+    // through the published base64 line format, encode with tiktoken's
+    // rank-lookup merge loop, and pin in-row that the rank-table encode
+    // equals the merges-list encode (n_mismatch column, golden 0)
+    "token_tiktoken" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val fitted = text.Gpt2Bpe.fit(docs, "text", numMerges = 200)
+      val table = text.Tiktoken.load(
+        text.Tiktoken.export(text.Tiktoken.fromGpt2(fitted)),
+        pattern = text.Tiktoken.Gpt2Pattern)
+      docs.select(col("source"),
+          text.Tiktoken.encode(col("text"), table).as("__ids"),
+          text.Gpt2Bpe.encode(col("text"), fitted).as("__gids"))
+        .groupBy("source").agg(
+          count(lit(1)).as("n_docs"),
+          sum(size(col("__ids"))).cast("long").as("n_tokens"),
+          sum(aggregate(col("__ids"), lit(0L),
+            (acc, x) => acc + x.cast("long"))).as("ids_sum"),
+          sum(when(col("__ids") =!= col("__gids"), 1L).otherwise(0L))
+            .as("n_mismatch"))
+    }),
+
     "token_bpe_pretrained" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val fitted = text.Gpt2Bpe.fit(docs, "text", numMerges = 200)
@@ -2229,7 +2252,7 @@ object SparkEntry {
   private[graft] val sf001OnlyOracles: Set[String] =
     Set("dedup_simhash", "token_bpe", "token_bpe_ids", "token_chunks_ids",
       "token_bpe_pretrained", "token_bpe_special", "token_wordpiece",
-      "token_unigram", "dedup_substring_bpe")
+      "token_unigram", "token_tiktoken", "dedup_substring_bpe")
 
   /** The oracle map as it applies to `sfDir`: golden-literal entries are
     * dropped unless the data dir is the sf0.01 set they were pinned on.
@@ -2831,6 +2854,35 @@ object SparkEntry {
     // word fully merges in both tokenizers, so both count words+symbols)
     // — an independent cross-implementation check; ids_sum differs (the
     // byte-level id space: units 0..255 + merge products) and pins it.
+    // golden literal @ sf0.01 — identical aggregates to
+    // token_bpe_pretrained (the rank-table encode must equal the
+    // merges-list encode) PLUS the in-row parity counter pinned to 0
+    "token_tiktoken" ->
+      """SELECT source, CAST(d AS BIGINT) AS n_docs,
+        |       CAST(n AS BIGINT) AS n_tokens, CAST(i AS BIGINT) AS ids_sum,
+        |       CAST(0 AS BIGINT) AS n_mismatch
+        |FROM (VALUES
+        |  ('src0', 25, 1435, 470689),
+        |  ('src1', 25, 1540, 503688),
+        |  ('src10', 25, 1303, 428346),
+        |  ('src11', 25, 1522, 497165),
+        |  ('src12', 25, 1272, 416072),
+        |  ('src13', 25, 1553, 508294),
+        |  ('src14', 25, 1318, 433084),
+        |  ('src15', 25, 1298, 425251),
+        |  ('src16', 25, 1351, 441797),
+        |  ('src17', 25, 1373, 449485),
+        |  ('src18', 25, 1364, 445977),
+        |  ('src19', 25, 1147, 375791),
+        |  ('src2', 25, 1407, 462241),
+        |  ('src3', 25, 1384, 453468),
+        |  ('src4', 25, 1294, 425787),
+        |  ('src5', 25, 1329, 434809),
+        |  ('src6', 25, 1266, 413170),
+        |  ('src7', 25, 1507, 490416),
+        |  ('src8', 25, 1136, 372362),
+        |  ('src9', 25, 1366, 447466)) AS t(source, d, n, i)""".stripMargin,
+
     "token_bpe_pretrained" ->
       """SELECT source, CAST(d AS BIGINT) AS n_docs,
         |       CAST(n AS BIGINT) AS n_tokens, CAST(i AS BIGINT) AS ids_sum
