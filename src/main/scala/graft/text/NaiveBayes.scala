@@ -110,9 +110,16 @@ object NaiveBayes {
         aggregate(col("__ps"), lit(0.0d),
           (acc, p) => acc + p("tf") * log(p("c") + lit(a))).as("__ev"),
         col("__mtoks"))
+    // __len = Σtf per doc — derived from the aggregation the evidence
+    // pass already ran, NOT a second tokenization of the corpus (at
+    // corpus scale a full text re-scan costs more than this 8-byte
+    // aggregate); the id-only left join keeps zero-token docs on the
+    // prior-only path, and its scan prunes to the id column
+    val lens = tf.groupBy(col(idCol)).agg(sum(col("tf")).as("__len"))
     val base = df
-      .select(col(idCol), coalesce(size(words(col(textCol))), lit(0))
-        .cast("long").as("__len"))
+      .select(col(idCol))
+      .join(lens, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("__len"), lit(0L)).as("__len"))
       .crossJoin(broadcast(
         model.labelStats.crossJoin(model.totals).select(
           col("label"),

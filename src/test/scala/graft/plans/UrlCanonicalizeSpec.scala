@@ -76,6 +76,18 @@ class UrlCanonicalizeSpec extends SparkSpec {
     assert(viaSql == "http://example.com/P?a=1&b=2")
   }
 
+  test("canonicalization is idempotent: canon(canon(u)) == canon(u)") {
+    val messy = Seq(
+      "HTTP://ExAmPle.COM:80/Path/?utm_source=x&b=2&a=1#frag",
+      "https://Example.com:443/",
+      "http://User:pw@Host.COM/x?flag&a=1",
+      "http://[2001:DB8::1]:8080/x?z=1&y=2",
+      "not a url", "mailto:a@b.c")
+    val once = canon(messy: _*)
+    val twice = canon(once: _*)
+    assert(twice == once, "a canonical form must be a fixed point")
+  }
+
   test("url-level dedup: tracked and fragment variants collapse") {
     val urls = Seq(
       "https://news.site/Article/42?utm_source=tw&utm_medium=s",
