@@ -1112,6 +1112,26 @@ object SparkEntry {
         plans.expressions.canonicalize_url(messy).as("url"))
     }),
 
+    // URL-level dedup (crawl recrawl collapse): the same page fetched
+    // under tracking-param / fragment / default-port variants must
+    // count once. Variant URLs are seeded per doc (doc_id % 4 picks the
+    // variant); canonicalization collapses them to one key per
+    // (doc_id % 125) page group, and keep-first picks the min doc_id
+    "dedup_url" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val page = col("doc_id") % 125
+      val messy = concat(
+        when(col("doc_id") % 4 === 0, lit("https://Site.COM/page/"))
+          .when(col("doc_id") % 4 === 1, lit("HTTPS://site.com/page/"))
+          .otherwise(lit("https://site.com:443/page/")),
+        page,
+        when(col("doc_id") % 4 === 2, lit("?utm_source=x")).otherwise(lit("")),
+        when(col("doc_id") % 4 === 3, lit("#top")).otherwise(lit("")))
+      val keyed = docs.select(col("doc_id"), col("source"),
+        plans.expressions.canonicalize_url(messy).as("url"))
+      Dedup.dropDuplicatesPkey(keyed, "doc_id", Seq("url"))
+    }),
+
     "normalize_text" -> ((s, dir) => {
       // suffix: decomposed e+ACUTE (NFC composes), ZERO WIDTH SPACE,
       // tab, A+RING (composes), IDEOGRAPHIC SPACE, SOFT HYPHEN, a
@@ -3348,6 +3368,15 @@ object SparkEntry {
         |    PARTITION BY doc_id ORDER BY score DESC, label) AS rk
         |  FROM scored)
         |SELECT doc_id, label AS pred, score FROM r WHERE rk = 1""".stripMargin,
+
+    // all four variants canonicalize to https://site.com/page/<id%125>,
+    // so keep-first is min(doc_id) per page group
+    "dedup_url" ->
+      """SELECT doc_id, source,
+        |  'https://site.com/page/' || (doc_id % 125) AS url
+        |FROM documents
+        |WHERE doc_id IN (
+        |  SELECT min(doc_id) FROM documents GROUP BY doc_id % 125)""".stripMargin,
 
     // the seeded template's derivable canonical form: lowercase
     // scheme/host, no default port, tracking params gone, a before b,

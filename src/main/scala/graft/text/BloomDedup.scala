@@ -52,10 +52,14 @@ object BloomDedup {
   def buildFilter(ref: DataFrame, keyCol: String, expectedItems: Long = 0L,
                   fpp: Double = 0.01): BloomRef = {
     require(fpp > 0.0 && fpp < 1.0, s"need 0 < fpp < 1, got $fpp")
-    val n =
-      if (expectedItems > 0L) expectedItems
-      else math.max(1L, ref.count())
-    val bf: BloomFilter = ref.stat.bloomFilter(keyCol, n, fpp)
+    // the count also guards the empty reference: Spark's stat.bloomFilter
+    // NPEs on an empty frame (its aggregate returns null bytes), and an
+    // empty reference legitimately means "everything is new"
+    val actual = ref.count()
+    val bf: BloomFilter =
+      if (actual == 0L) BloomFilter.create(1L, fpp)
+      else ref.stat.bloomFilter(keyCol,
+        if (expectedItems > 0L) expectedItems else actual, fpp)
     val bos = new java.io.ByteArrayOutputStream()
     bf.writeTo(bos)
     new BloomRef(bos.toByteArray)

@@ -912,6 +912,21 @@ object Drive {
     println(s"[71] streaming sessionize: ${evSlice.count()} closed " +
       s"sessions == batch ${batchSess.count()}")
 
+    // URL canonicalization + .tiktoken round-trip on the live session
+    val canonN = docs.select(graft.plans.expressions.canonicalize_url(
+        concat(lit("HTTP://Site.COM:80/d/"), col("doc_id") % 50,
+          lit("?utm_s=x&b=2&a=1#f"))).as("u"))
+      .distinct().count()
+    val tik = graft.text.Tiktoken.load(
+      graft.text.Tiktoken.export(graft.text.Tiktoken.fromGpt2(
+        graft.text.Gpt2Bpe.fit(docs, "text", numMerges = 60))),
+      pattern = graft.text.Tiktoken.Gpt2Pattern)
+    val tikToks = docs.select(
+        sum(size(graft.text.Tiktoken.encode(col("text"), tik))).as("n"))
+      .head().getLong(0)
+    println(s"[72] url canon: 500 tracked variants -> $canonN canonical; " +
+      s"tiktoken round-trip encodes $tikToks tokens")
+
     spark.stop()
   }
 }

@@ -57,6 +57,13 @@ class BloomDedupSpec extends SparkSpec {
     assert(approx <= exact, "approx can only lose rows, never add")
   }
 
+  test("empty reference: everything is new, nothing crashes") {
+    val ref = Seq.empty[String].toDF("k")
+    val incoming = (0L until 100L).map(i => s"x-$i").toDF("k")
+    assert(BloomDedup.newRows(incoming, ref, "k").count() == 100L)
+    assert(BloomDedup.newRowsApprox(incoming, ref, "k").count() == 100L)
+  }
+
   test("non-BMP string keys round-trip the UTF8 probe") {
     val ref = Seq("emoji-😀-key", "plain").toDF("k")
     val bf = BloomDedup.buildFilter(ref, "k")
