@@ -1391,6 +1391,23 @@ object SparkEntry {
         text.PiiRedact.redactCards(col("text")).as("clean"))
     }),
 
+    // semi-structured props: from_json with an EXPLICIT schema (the
+    // scale-sane path — schema inference would burn a full corpus scan
+    // before the real one; a production pipeline pins the contract),
+    // then an ordinary columnar aggregation per event type
+    "events_json_props" -> ((s, dir) => {
+      val kSchema = StructType(Seq(StructField("k", LongType)))
+      events(s, dir)
+        .select(col("event_type"),
+          from_json(col("props"), kSchema).getField("k").as("__k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          sum("__k").as("k_sum"),
+          round(avg("__k"), 4).as("k_avg"),
+          min("__k").as("k_min"),
+          max("__k").as("k_max"))
+    }),
+
     // ---- extensions: event-time windowed aggregation ------------------
     "events_window" -> ((s, dir) =>
       events(s, dir)
@@ -3693,6 +3710,15 @@ object SparkEntry {
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
         |  count(*) AS n_events, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "events_json_props" ->
+      """SELECT event_type, count(*) AS n_events,
+        |  CAST(sum(k) AS BIGINT) AS k_sum, round(avg(k), 4) AS k_avg,
+        |  min(k) AS k_min, max(k) AS k_max
+        |FROM (SELECT event_type,
+        |        CAST(json_extract(props, '$.k') AS BIGINT) AS k
+        |      FROM events)
+        |GROUP BY event_type""".stripMargin,
 
     "events_skew_join" ->
       """SELECT e.user_id, e.event_id, e.event_type,
