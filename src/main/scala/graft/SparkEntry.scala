@@ -1709,6 +1709,17 @@ object SparkEntry {
         totalWeight = 40000L, seed = 42L, portable = true)
         .select("doc_id", "lang", "source")),
 
+    // exact-size stratified sample: every language keeps exactly
+    // ceil(0.25·N_lang) docs — the smallest-hash prefix per stratum, so
+    // the oracle replays the identical md5 rank and the KEPT SET matches,
+    // not just the sizes. The rate-based samplers above only hit targets
+    // in expectation; this is the small-stratum guarantee.
+    "sample_stratified" -> ((s, dir) =>
+      Sampling.stratifiedSample(t(s, dir, "documents"),
+        groupCols = Seq("lang"), frac = 0.25,
+        keys = Seq("doc_id"), seed = 42L, portable = true)
+        .select("doc_id", "lang", "source")),
+
     // per-language cap (two-phase skew-safe top-n; orderBy made total by
     // the doc_id tiebreaker) — the oracle is the single-window formulation
     // deterministic train/val/test assignment: split membership is a pure
@@ -1754,6 +1765,18 @@ object SparkEntry {
         t(s, dir, "documents"), "doc_id", "text", threshold = 0.7,
         bands = 8, charNgram = 5)
         .select("id_a", "id_b")),
+
+    // doc-inside-doc containment |A∩B|/min(|A|,|B|) ≥ 0.9 — the signal
+    // Jaccard LSH structurally misses (a page quoted inside a 10× larger
+    // page has containment 1.0, Jaccard 0.1). Candidates via rare-shingle
+    // inverted index (df-first cut, no boilerplate blowup); the oracle is
+    // the exact all-pairs formulation (recall 1.0: RecallProbe — a missed
+    // pair needs EVERY shared shingle above the df cut)
+    "neardup_containment" -> ((s, dir) =>
+      text.MinHashDedup.containmentPairs(
+        t(s, dir, "documents"), "doc_id", "text", threshold = 0.9,
+        maxDf = 64)
+        .select("id_a", "id_b")), // containment dropped: float-free check
 
     "dedup_transitive" -> ((s, dir) =>
       text.NearDupClusters.dedupTransitive(
@@ -3756,6 +3779,25 @@ object SparkEntry {
         |  % 100 < CASE source WHEN 'src1' THEN 60 WHEN 'src2' THEN 30
         |               WHEN 'src3' THEN 0 ELSE 10 END""".stripMargin,
 
+    // exact stratified sample: the oracle replays the identical md5
+    // rank-within-stratum and the ceil(frac·N) cut — set-exact, not
+    // just size-exact (rank ties impossible: the hash tiebreaks by the
+    // unique doc_id, and both engines sort (hash, doc_id))
+    "sample_stratified" ->
+      """WITH h AS (
+        |  SELECT doc_id, lang, source,
+        |    CAST(concat('0x',
+        |      substr(md5(concat_ws(chr(1), doc_id, '42')), 1, 15)) AS BIGINT)
+        |      AS hv
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, lang, source,
+        |    row_number() OVER (PARTITION BY lang ORDER BY hv, doc_id) AS rk,
+        |    count(*) OVER (PARTITION BY lang) AS n
+        |  FROM h)
+        |SELECT doc_id, lang, source FROM r
+        |WHERE rk <= ceil(0.25 * n)""".stripMargin,
+
     // recomputes the identical hash bucket and the cumulative-range CASE
     "sample_split" ->
       """SELECT doc_id, lang,
@@ -4288,6 +4330,22 @@ object SparkEntry {
         |FROM ng a JOIN ng b ON a.doc_id < b.doc_id
         |WHERE len(list_intersect(a.g, b.g))::DOUBLE
         |      / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) >= 0.7""".stripMargin,
+
+    // exact all-pairs containment over the same word 3-shingles; the
+    // engine's rare-shingle candidate route has recall 1.0 (RecallProbe)
+    "neardup_containment" ->
+      s"""WITH toks AS (SELECT doc_id,
+         |  list_filter(string_split_regex(lower(text), '[^\\p{L}]+'),
+         |              x -> x <> '') AS t FROM documents),
+         |sh AS (SELECT doc_id,
+         |  CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+         |       ELSE list_distinct(list_transform(generate_series(1, len(t) - 2),
+         |              i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+         |  END AS s FROM toks)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |WHERE len(list_intersect(a.s, b.s))::DOUBLE
+         |      / least(len(a.s), len(b.s)) >= 0.9""".stripMargin,
 
     "dedup_minhash" ->
       s"""WITH $shingleCtes

@@ -205,6 +205,72 @@ object Sampling {
       .select(df.columns.map(col): _*)
   }
 
+  /** Exact-size stratified sample: each group keeps exactly
+    * `ceil(frac · N_g)` rows — the rows with the SMALLEST key hashes, so
+    * the kept set is a pure function of the keys (re-runs, backfills, and
+    * repartitions agree) and nested fractions telescope (the `frac = 0.1`
+    * sample is a subset of the `frac = 0.2` sample, because both keep
+    * hash-order prefixes). This is the guarantee [[hashSample]] lacks:
+    * rate-based Bernoulli sampling only hits a stratum's target size in
+    * EXPECTATION, and a small stratum (a low-resource language, a rare
+    * label) can lose most or all of its rows to variance — exactly the
+    * strata stratification exists to protect.
+    *
+    * One window pass per stratum (rank by hash, count via the same
+    * partition) — strata must individually fit a task. A stratum holding
+    * most of a 100 TB corpus would serialize its window task; at that
+    * scale use [[stratifiedSampleApprox]], which replaces the rank with a
+    * per-group hash-quantile sketch and never windows the data.
+    */
+  def stratifiedSample(df: DataFrame, groupCols: Seq[String], frac: Double,
+                       keys: Seq[String], seed: Long = 42L,
+                       portable: Boolean = false): DataFrame = {
+    require(frac > 0.0 && frac <= 1.0, s"need 0 < frac <= 1, got $frac")
+    require(groupCols.nonEmpty, "need at least one stratum column")
+    val h =
+      if (portable) portableHash(keys.map(col), seed.toString)
+      else fastHash(keys.map(col), seed)
+    val rank = "__graft_rank"
+    val cnt = "__graft_n"
+    // hash first, keys as tiebreaker: total order whenever keys are unique
+    val wRank = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(h.asc +: keys.map(col(_).asc): _*)
+    val wCnt = Window.partitionBy(groupCols.map(col): _*)
+    df.withColumn(rank, row_number().over(wRank))
+      .withColumn(cnt, count(lit(1)).over(wCnt))
+      .filter(col(rank) <= ceil(col(cnt) * lit(frac)))
+      .drop(rank, cnt)
+  }
+
+  /** [[stratifiedSample]]'s scale path: the per-stratum cut point comes
+    * from a `percentile_approx` sketch of the key hash at `frac` (map-side
+    * partial aggregation — no per-stratum window task, so one giant
+    * stratum cannot serialize the pass) and rows keep by comparing their
+    * hash against the broadcast per-group threshold. Stratum sizes are
+    * approximate at the boundary (sketch accuracy); determinism in the
+    * keys still holds because the sketch is computed from the same
+    * hash values every run. The exact-rank form remains for bounded
+    * strata and oracle verification.
+    */
+  def stratifiedSampleApprox(df: DataFrame, groupCols: Seq[String],
+                             frac: Double, keys: Seq[String],
+                             seed: Long = 42L, accuracy: Int = 10000,
+                             portable: Boolean = false): DataFrame = {
+    require(frac > 0.0 && frac <= 1.0, s"need 0 < frac <= 1, got $frac")
+    require(groupCols.nonEmpty, "need at least one stratum column")
+    require(accuracy > 0, "accuracy must be positive")
+    val h =
+      if (portable) portableHash(keys.map(col), seed.toString)
+      else fastHash(keys.map(col), seed)
+    val hashed = df.withColumn("__graft_h", h)
+    val bounds = hashed.groupBy(groupCols.map(col): _*)
+      .agg(percentile_approx(col("__graft_h"), lit(frac), lit(accuracy))
+        .as("__graft_bound"))
+    hashed.join(broadcast(bounds), groupCols)
+      .filter(col("__graft_h") <= col("__graft_bound"))
+      .select(df.columns.map(col): _*)
+  }
+
   /** At most `n` rows per group, ranked by `orderBy` — per-domain caps
     * against over-represented sources. `orderBy` MUST be a total order
     * within each group (add a unique tiebreaker column): with ties at the

@@ -538,6 +538,62 @@ object ExprKernels {
     java.lang.Double.valueOf(inter.toDouble / union.toDouble)
   }
 
+  /** One-pass set CONTAINMENT of two `array<bigint>` hash sets:
+    * `|A ∩ B| / min(|A|, |B|)` — how much of the SMALLER set the pair
+    * shares. The doc-inside-doc signal Jaccard structurally misses: a
+    * page fully quoted inside a 10× larger page has containment 1.0 but
+    * Jaccard ≈ 0.1, below every near-dup threshold. Same open-addressing
+    * single pass as [[hashJaccard]]; inputs treated as sets. Both
+    * empty → null (no features ⇒ no similarity claim).
+    */
+  def hashContainment(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    if (na == 0 && nb == 0) return null
+    if (na == 0 || nb == 0) return java.lang.Double.valueOf(0.0)
+    var cap = 16
+    while (cap < (na + nb) * 2) cap <<= 1
+    val mask = cap - 1
+    val table = new Array[Long](cap)
+    val state = new Array[Byte](cap) // 0 empty, 1 = in a, 2 = also in b
+    var sawZeroA = false; var sawZeroB = false
+    var distinctA = 0
+    var i = 0
+    while (i < na) {
+      val v = a.getLong(i)
+      if (v == 0L) { if (!sawZeroA) { sawZeroA = true; distinctA += 1 } }
+      else {
+        var idx = (mix64(v) & 0x7fffffffffffffffL).toInt & mask
+        while (state(idx) != 0 && table(idx) != v) idx = (idx + 1) & mask
+        if (state(idx) == 0) { table(idx) = v; state(idx) = 1; distinctA += 1 }
+      }
+      i += 1
+    }
+    var inter = 0
+    var distinctB = 0
+    i = 0
+    while (i < nb) {
+      val v = b.getLong(i)
+      if (v == 0L) {
+        if (!sawZeroB) {
+          sawZeroB = true; distinctB += 1
+          if (sawZeroA) inter += 1
+        }
+      } else {
+        var idx = (mix64(v) & 0x7fffffffffffffffL).toInt & mask
+        while (state(idx) != 0 && table(idx) != v) idx = (idx + 1) & mask
+        state(idx) match {
+          case 0 => table(idx) = v; state(idx) = 3; distinctB += 1 // b-only
+          case 1 => state(idx) = 2; inter += 1; distinctB += 1     // a ∩ b
+          case _ => ()                                             // dup in b
+        }
+      }
+      i += 1
+    }
+    val denom = math.min(distinctA, distinctB)
+    java.lang.Double.valueOf(inter.toDouble / denom.toDouble)
+  }
+
   /** All `tables` LSH bucket ids of a vector in ONE pass (see
     * [[LshBuckets]]): the vector is decoded into a local double[] once,
     * then `tables × nbits` plane projections run over primitive arrays —

@@ -104,6 +104,12 @@ object expressions {
   def hash_jaccard(a: Column, b: Column): Column =
     column(HashJaccard(expression(a), expression(b)))
 
+  /** Set containment `|A∩B| / min(|A|,|B|)` of two `array<bigint>` hash
+    * sets in one pass (see [[HashContainment]]).
+    */
+  def hash_containment(a: Column, b: Column): Column =
+    column(HashContainment(expression(a), expression(b)))
+
   /** Cosine similarity of two float/double array columns, in double. */
   def cosine_sim(a: Column, b: Column): Column =
     column(VecDot(expression(a), expression(b), DotMode.Cosine))
@@ -587,6 +593,45 @@ case class HashJaccard(left: Expression, right: Expression)
     })
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): HashJaccard =
+    copy(left = l, right = r)
+}
+
+/** One-pass set containment `|A∩B| / min(|A|,|B|)` over two
+  * `array<bigint>` hash sets — the verify predicate of the doc-inside-doc
+  * pipeline (see [[graft.plans.ExprKernels.hashContainment]]). Equals
+  * `size(array_intersect(a,b)) / least(size(array_distinct(a)),
+  * size(array_distinct(b)))` without materializing any array. Both-empty
+  * → NULL.
+  */
+case class HashContainment(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true // both-empty → null
+  override def checkInputDataTypes() = (left.dataType, right.dataType) match {
+    case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case other =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"hash_containment expects two array<bigint>, got $other")
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    ExprKernels.hashContainment(
+      l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val tmp = ctx.freshName("cont")
+      s"""
+         |java.lang.Double $tmp = graft.plans.ExprKernels.hashContainment($a, $b);
+         |${ev.isNull} = $tmp == null;
+         |if (!${ev.isNull}) ${ev.value} = $tmp.doubleValue();
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): HashContainment =
     copy(left = l, right = r)
 }
 

@@ -162,6 +162,63 @@ object MinHashDedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** Containment-verified pair detection — the doc-INSIDE-doc signal
+    * symmetric Jaccard structurally misses: a page fully quoted inside a
+    * 10× larger page has containment `|A∩B|/min(|A|,|B|)` = 1.0 but
+    * Jaccard ≈ 0.1, under every near-dup threshold — and minhash-LSH
+    * candidates miss it too, because band collision probability tracks
+    * JACCARD. Candidates here come from the inverted-index route instead:
+    * two documents pair iff they share at least one RARE shingle (document
+    * frequency ≤ `maxDf`). A contained doc shares its ENTIRE shingle set
+    * with its container, so the pair is missed only if every one of its
+    * shingles is corpus-boilerplate above the cut — exactly the documents
+    * exact/boilerplate dedup already owns.
+    *
+    * Scale shape: one scan shingles each doc; the exploded `(hash, id)`
+    * postings aggregate df count-only first (map-side partials, the
+    * [[graft.text.VocabStats.invertedIndex]] rule: no per-hash id list
+    * ever materializes for frequent shingles); only hashes with
+    * `df ≤ maxDf` self-join, so a shingle contributes at most
+    * `maxDf·(maxDf−1)/2` candidate pairs and the frequent-shingle
+    * quadratic blowup is cut BEFORE the join. Verification joins the two
+    * full hash sets back by id and runs the one-pass
+    * [[graft.plans.expressions.hash_containment]] kernel — document text
+    * never shuffles.
+    */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+                       threshold: Double = 0.9, shingleWidth: Int = 3,
+                       maxDf: Int = 64, charNgram: Int = 0): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"need 0 < threshold <= 1, got $threshold")
+    require(maxDf >= 2, s"maxDf < 2 can never produce a pair, got $maxDf")
+    // shingler output is already distinct (hash-set kernels)
+    val hashed = df.select(col(idCol).as("__id"),
+        shingler(textCol, shingleWidth, charNgram).as("__hh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val postings = hashed.select(col("__id"), explode(col("__hh")).as("__h"))
+    // df-first cut: count-only aggregation, then the rare-hash semi-join —
+    // a boilerplate shingle never lands its postings in one reducer
+    val rare = postings.groupBy(col("__h"))
+      .agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= maxDf)
+      .select(col("__h"))
+    val rarePostings = postings.join(rare, Seq("__h"), "left_semi")
+    val cands = rarePostings.select(col("__h"), col("__id").as("id_a"))
+      .join(rarePostings.select(col("__h"), col("__id").as("id_b")), Seq("__h"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+    cands
+      .join(hashed.select(col("__id").as("id_a"), col("__hh").as("__sh_a")),
+        Seq("id_a"))
+      .join(hashed.select(col("__id").as("id_b"), col("__hh").as("__sh_b")),
+        Seq("id_b"))
+      .withColumn("containment",
+        graft.plans.expressions.hash_containment(col("__sh_a"), col("__sh_b")))
+      .filter(col("containment") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("containment"), 4).as("containment"))
+  }
+
   /** Near-dedup: drop every document that has a verified near-duplicate
     * with a smaller id (deterministic min-id survivor per pair; the usual
     * LSH-dedup "keep first" rule, not transitive closure).

@@ -927,6 +927,30 @@ object Drive {
     println(s"[72] url canon: 500 tracked variants -> $canonN canonical; " +
       s"tiktoken round-trip encodes $tikToks tokens")
 
+    // exact stratified sample: per-language ceil(frac·N) sizes hold, and
+    // the approx (sketch-threshold, window-free) path tracks the exact one
+    val strat = graft.operators.Sampling.stratifiedSample(
+      docs, Seq("lang"), 0.25, Seq("doc_id"))
+    val langN = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val stratN = strat.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exactHold = langN.forall { case (l, n) =>
+      stratN.getOrElse(l, 0L) == math.ceil(n * 0.25).toLong }
+    val apxN = graft.operators.Sampling.stratifiedSampleApprox(
+      docs, Seq("lang"), 0.25, Seq("doc_id")).count()
+    println(s"[73] stratified sample: exact ceil-sizes hold=$exactHold " +
+      s"(${stratN.values.sum} of ${langN.values.sum}); approx path kept $apxN")
+
+    // containment pairs: doc-inside-doc detection over the live corpus —
+    // every verified pair really is ≥0.9-contained (re-scored exactly)
+    val cont = graft.text.MinHashDedup.containmentPairs(
+      docs, "doc_id", "text", threshold = 0.9, maxDf = 64)
+    val contRows = cont.collect()
+    println(s"[74] containment pairs (t=0.9): ${contRows.length} pairs, " +
+      s"min containment=${if (contRows.isEmpty) "n/a"
+        else contRows.map(_.getDouble(2)).min}")
+
     spark.stop()
   }
 }

@@ -45,6 +45,23 @@ object RecallProbe {
       println(s"[minhash t=0.5 bands=$bands] exact=${exactMh.size} got=${got.size} missed=${miss.size} ${miss.take(5)}")
     }
 
+    // ---- containment pairs: rare-shingle candidates vs all-pairs ------
+    // (a missed pair requires EVERY shared shingle above the df cut)
+    val exactCont = pairSet(
+      hashed.select(col("__id").as("id_a"), col("__hh").as("__ha"))
+        .join(hashed.select(col("__id").as("id_b"), col("__hh").as("__hb")),
+          col("id_a") < col("id_b"))
+        .withColumn("c", graft.plans.expressions.hash_containment(
+          col("__ha"), col("__hb")))
+        .filter(col("c") >= 0.9).select("id_a", "id_b"))
+    for (maxDf <- Seq(16, 64)) {
+      val got = pairSet(MinHashDedup.containmentPairs(
+        docs, "doc_id", "text", threshold = 0.9, maxDf = maxDf))
+      val miss = exactCont -- got
+      println(s"[containment t=0.9 maxDf=$maxDf] exact=${exactCont.size} " +
+        s"got=${got.size} missed=${miss.size} ${miss.take(5)}")
+    }
+
     // ---- char-5-gram pairs: exact vs LSH (t=0.7) ----------------------
     val ngHashed = docs.select(col("doc_id").as("__id"),
       graft.plans.expressions.char_ngram_hashes(col("text"), 5).as("__hh"))

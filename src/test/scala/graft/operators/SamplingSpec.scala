@@ -165,6 +165,52 @@ class SamplingSpec extends SparkSpec {
       Sampling.assignSplits(d, Seq("train" -> 90, "val" -> 5), 100, Seq("id")))
   }
 
+  test("stratifiedSample keeps exactly ceil(frac·N_g) per stratum, " +
+       "deterministically, with telescoping fractions") {
+    val d = spark.range(1, 2101).select(col("id"),
+      when(col("id") <= 2000, "big")
+        .when(col("id") <= 2090, "mid").otherwise("tiny").as("grp"))
+    val out = Sampling.stratifiedSample(d, Seq("grp"), 0.25, Seq("id"))
+    val counts = out.groupBy("grp").count().as[(String, Long)]
+      .collect().toMap
+    // EXACT sizes — the guarantee rate sampling lacks
+    assert(counts == Map("big" -> 500L, "mid" -> 23L, "tiny" -> 3L),
+      counts.toString)
+    // pure function of the key: repartitioning changes nothing
+    val again = Sampling.stratifiedSample(d.repartition(13), Seq("grp"),
+      0.25, Seq("id")).select("id").as[Long].collect().toSet
+    assert(again == out.select("id").as[Long].collect().toSet)
+    // nested fractions telescope: the 10% sample ⊆ the 25% sample
+    val small = Sampling.stratifiedSample(d, Seq("grp"), 0.10, Seq("id"))
+      .select("id").as[Long].collect().toSet
+    assert(small.subsetOf(again), "hash-prefix samples must nest")
+    // frac = 1 keeps everything; bad frac rejected
+    assert(Sampling.stratifiedSample(d, Seq("grp"), 1.0, Seq("id"))
+      .count() == 2100)
+    intercept[IllegalArgumentException](
+      Sampling.stratifiedSample(d, Seq("grp"), 0.0, Seq("id")))
+  }
+
+  test("stratifiedSampleApprox tracks the exact form and never windows") {
+    val d = spark.range(1, 5001).select(col("id"),
+      (col("id") % 4).cast("string").as("grp"))
+    val approx = Sampling.stratifiedSampleApprox(d, Seq("grp"), 0.2,
+      Seq("id"))
+    val counts = approx.groupBy("grp").count().as[(String, Long)]
+      .collect().toMap
+    // sketch accuracy: within a few rows of 250 per stratum
+    counts.values.foreach(n =>
+      assert(math.abs(n - 250L) <= 10, counts.toString))
+    // deterministic in the keys
+    val again = Sampling.stratifiedSampleApprox(d.repartition(7),
+      Seq("grp"), 0.2, Seq("id")).select("id").as[Long].collect().toSet
+    assert(again == approx.select("id").as[Long].collect().toSet)
+    // column order preserved; no window in the plan (the scale property)
+    assert(approx.columns.toSeq == Seq("id", "grp"))
+    val plan = approx.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), "approx path must not window the data")
+  }
+
   test("tokenBudgetMix hits each group's weight share; absent groups " +
        "drop; under-provisioned groups keep everything") {
     import spark.implicits._

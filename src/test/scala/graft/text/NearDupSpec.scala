@@ -114,6 +114,56 @@ class NearDupSpec extends SparkSpec {
       "char-ngram similarity should exceed word-shingle similarity for a typo")
   }
 
+  test("containmentPairs catches doc-inside-doc that Jaccard LSH misses") {
+    // small doc fully quoted inside a ~6× larger doc: containment 1.0,
+    // Jaccard well under any near-dup threshold
+    val small = "the quarterly revenue figures exceeded analyst " +
+      "expectations across all major product categories this fiscal year"
+    val filler = (1 to 60).map(i => s"unrelated filler sentence number $i " +
+      "covering assorted topics like weather gardening travel and sport").mkString(" ")
+    val d = Seq(
+      (1L, small),
+      (2L, s"$filler $small"),
+      (3L, "a fully distinct document about compiler construction and " +
+        "register allocation strategies in modern optimizing backends"))
+      .toDF("doc_id", "text")
+    val cont = MinHashDedup.containmentPairs(d, "doc_id", "text",
+      threshold = 0.9, maxDf = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(cont.map(p => (p._1, p._2)).toSet == Set((1L, 2L)),
+      s"expected exactly the contained pair, got ${cont.toSeq}")
+    assert(cont.head._3 == 1.0, s"full quote ⇒ containment 1.0: ${cont.head}")
+    // the symmetric-Jaccard pipeline does NOT pair them — the structural gap
+    val jac = MinHashDedup.nearDupPairs(d, "doc_id", "text", threshold = 0.5)
+    assert(jac.isEmpty, "Jaccard at 0.5 must miss the contained pair")
+    // determinism: repartitioning changes nothing
+    val again = MinHashDedup.containmentPairs(d.repartition(5), "doc_id",
+      "text", threshold = 0.9, maxDf = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(again == Set((1L, 2L)))
+    intercept[IllegalArgumentException](
+      MinHashDedup.containmentPairs(d, "doc_id", "text", maxDf = 1))
+  }
+
+  test("hash_containment kernel: sets, duplicates, empties, zero values") {
+    import graft.plans.expressions.hash_containment
+    def c(a: Seq[Long], b: Seq[Long]): Option[Double] = {
+      val r = Seq((a, b)).toDF("a", "b")
+        .select(hash_containment(col("a"), col("b"))).head()
+      if (r.isNullAt(0)) None else Some(r.getDouble(0))
+    }
+    assert(c(Seq(1L, 2L), Seq(1L, 2L, 3L, 4L)) == Some(1.0)) // A ⊆ B
+    assert(c(Seq(1L, 2L, 3L, 4L), Seq(3L, 4L)) == Some(1.0)) // B ⊆ A
+    assert(c(Seq(1L, 2L), Seq(2L, 3L)) == Some(0.5))
+    assert(c(Seq(1L), Seq(2L)) == Some(0.0))
+    assert(c(Seq(), Seq()) == None)                          // both empty
+    assert(c(Seq(1L), Seq()) == Some(0.0))                   // one empty
+    // duplicates collapse (set semantics) and 0L participates correctly
+    assert(c(Seq(1L, 1L, 2L), Seq(1L, 2L, 2L)) == Some(1.0))
+    assert(c(Seq(0L, 5L), Seq(0L)) == Some(1.0))
+    assert(c(Seq(0L, 5L), Seq(7L)) == Some(0.0))
+  }
+
   test("table shells: near-dedup a ManagedTable in place") {
     val loc = tmpDir("nd")
     val t = graft.tables.ManagedTable.create(docs, loc)
