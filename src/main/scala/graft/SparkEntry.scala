@@ -828,6 +828,20 @@ object SparkEntry {
     "quality_entropy" -> ((s, dir) =>
       text.VocabStats.wordEntropy(t(s, dir, "documents"), "doc_id", "text")),
 
+    // deflate compression-ratio distribution (the model-free both-tail
+    // quality signal: near 0 = machine-repetitive, ≥ 1 = incompressible
+    // noise). DuckDB has no zlib surface, so the oracle is a GOLDEN
+    // LITERAL of the per-(lang, decile-bucket) counts at sf0.01 —
+    // counts-only (no floats cross engines), deterministic on the pinned
+    // JVM's zlib
+    "quality_compression" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("lang"),
+          floor(text.QualityFilters.compressionRatio(col("text")) * 10)
+            .cast("long").as("bucket"))
+        .groupBy("lang", "bucket")
+        .agg(count(lit(1)).as("n"))),
+
     // interpolated bigram LM score (the word-ORDER signal unigram NLL
     // lacks — closer to CCNet's real KenLM scorer); count triples sort
     // as integers before the ln fold, so the oracle replays the
@@ -2312,7 +2326,8 @@ object SparkEntry {
   private[graft] val sf001OnlyOracles: Set[String] =
     Set("dedup_simhash", "token_bpe", "token_bpe_ids", "token_chunks_ids",
       "token_bpe_pretrained", "token_bpe_special", "token_wordpiece",
-      "token_unigram", "token_tiktoken", "dedup_substring_bpe")
+      "token_unigram", "token_tiktoken", "dedup_substring_bpe",
+      "quality_compression")
 
   /** The oracle map as it applies to `sfDir`: golden-literal entries are
     * dropped unless the data dir is the sf0.01 set they were pinned on.
@@ -2817,6 +2832,25 @@ object SparkEntry {
         |  ('src6', 25, 1266, 53035, 0), ('src7', 25, 1507, 62883, 0),
         |  ('src8', 25, 1136, 48015, 0), ('src9', 25, 1366, 58022, 0))
         |AS v(source, d, n, i, u)""".stripMargin,
+
+    // golden literal @ sf0.01 (DuckDB has no zlib surface): deflate
+    // decile-bucket counts per language — counts-only, so nothing float
+    // crosses engines; deterministic on the pinned JVM's zlib
+    "quality_compression" ->
+      """SELECT lang, CAST(b AS BIGINT) AS bucket, CAST(c AS BIGINT) AS n
+        |FROM (VALUES
+        |  ('de', 3, 1), ('de', 4, 35), ('de', 5, 20),
+        |  ('de', 6, 7), ('de', 7, 3), ('de', 8, 3),
+        |  ('de', 9, 1), ('en', 3, 1), ('en', 4, 116),
+        |  ('en', 5, 48), ('en', 6, 31), ('en', 7, 13),
+        |  ('en', 8, 8), ('en', 9, 1), ('es', 3, 2),
+        |  ('es', 4, 35), ('es', 5, 17), ('es', 6, 15),
+        |  ('es', 7, 3), ('es', 8, 1), ('fr', 3, 1),
+        |  ('fr', 4, 40), ('fr', 5, 12), ('fr', 6, 3),
+        |  ('fr', 7, 6), ('fr', 8, 2), ('zh', 3, 2),
+        |  ('zh', 4, 38), ('zh', 5, 19), ('zh', 6, 10),
+        |  ('zh', 7, 3), ('zh', 8, 3))
+        |AS v(lang, b, c)""".stripMargin,
 
     "token_wordpiece" ->
       """SELECT source, CAST(d AS BIGINT) AS n_docs,

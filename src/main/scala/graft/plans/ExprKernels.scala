@@ -899,6 +899,38 @@ object ExprKernels {
       java.security.MessageDigest.getInstance("MD5")
   }
 
+  private val localDeflater = new ThreadLocal[java.util.zip.Deflater] {
+    // raw deflate (nowrap: no zlib header/checksum — 6 bytes of overhead
+    // that would bias short documents), default level 6
+    override def initialValue(): java.util.zip.Deflater =
+      new java.util.zip.Deflater(java.util.zip.Deflater.DEFAULT_COMPRESSION,
+        true)
+  }
+
+  /** Deflate compression ratio of the text's UTF-8 bytes:
+    * `compressed_len / raw_len`, raw-deflate at zlib's default level.
+    * The cheap model-free quality signal several published pipelines cut
+    * on from BOTH tails: near-zero ratios mean machine-repetitive
+    * content (a ratio of 0.05 is a page that is one paragraph pasted 20
+    * times — word-ngram repetition stats saturate long before that),
+    * while ratios near/above 1.0 mean incompressible noise (minified
+    * blobs, base64, binary-in-text). Empty text → 1.0 (nothing to
+    * judge). One native pass per row; the Deflater is thread-local and
+    * reset per call, so no per-row native allocation.
+    */
+  def deflateRatio(input: UTF8String): Double = {
+    val raw = input.getBytes
+    if (raw.length == 0) return 1.0
+    val d = localDeflater.get()
+    d.reset()
+    d.setInput(raw)
+    d.finish()
+    val buf = new Array[Byte](8192)
+    var total = 0L
+    while (!d.finished()) total += d.deflate(buf)
+    total.toDouble / raw.length
+  }
+
   private val hexDigits = "0123456789abcdef".toCharArray
 
   /** One-pass normalized content fingerprint (see [[NormalizedMd5]]):

@@ -137,6 +137,14 @@ object GraftFunctions {
         require(args.length == 1, "graft_unicode_clean(text)")
         UnicodeClean(args.head)
       }),
+    (FunctionIdentifier("graft_deflate_ratio"),
+      info("graft_deflate_ratio",
+        "graft_deflate_ratio(text) - deflate compression ratio of the " +
+          "UTF-8 bytes (both-tail quality signal)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "graft_deflate_ratio(text)")
+        DeflateRatio(args.head)
+      }),
     (FunctionIdentifier("graft_luhn_redact"),
       info("graft_luhn_redact",
         "graft_luhn_redact(text) - replace Luhn-valid card-shaped digit " +

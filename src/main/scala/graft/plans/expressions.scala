@@ -117,6 +117,12 @@ object expressions {
   /** Whitespace/case-normalized md5 fingerprint of a text column, fused
     * into one pass (see [[NormalizedMd5]]).
     */
+  /** Deflate compression ratio of the text's UTF-8 bytes (see
+    * [[DeflateRatio]]) — both-tail quality cut: repetition AND noise.
+    */
+  def deflate_ratio(text: Column): Column =
+    column(DeflateRatio(expression(text)))
+
   def normalized_md5(text: Column): Column =
     column(NormalizedMd5(expression(text)))
 
@@ -658,6 +664,29 @@ case class NormalizedMd5(child: Expression) extends UnaryExpression {
       s"${ev.value} = graft.plans.ExprKernels.normalizedMd5($c);")
 
   override protected def withNewChildInternal(c: Expression): NormalizedMd5 =
+    copy(child = c)
+}
+
+/** Deflate compression ratio `compressed_len / raw_len` of the text's
+  * UTF-8 bytes (see [[ExprKernels.deflateRatio]]) — the model-free
+  * quality signal that cuts BOTH tails: near-zero = machine-repetitive,
+  * near/above 1.0 = incompressible noise. Codegen'd; thread-local
+  * Deflater, no per-row native allocation.
+  */
+case class DeflateRatio(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes() =
+    expressions.stringCheck(child, "deflate_ratio")
+
+  override def nullSafeEval(input: Any): Any =
+    ExprKernels.deflateRatio(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.ExprKernels.deflateRatio($c);")
+
+  override protected def withNewChildInternal(c: Expression): DeflateRatio =
     copy(child = c)
 }
 

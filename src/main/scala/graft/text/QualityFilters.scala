@@ -133,4 +133,29 @@ object QualityFilters {
   def filterGopherQuality(df: org.apache.spark.sql.DataFrame, textCol: String)
       : org.apache.spark.sql.DataFrame =
     df.filter(gopherQualityKeep(col(textCol)))
+
+  /** Deflate compression ratio of the document (compressed bytes / raw
+    * bytes, raw-deflate at zlib level 6) — the model-free signal that
+    * catches BOTH failure tails the word-statistics rules can saturate
+    * on: a page that is one paragraph pasted 50 times compresses to a
+    * ratio near 0.02 (Gopher's dup-ngram fractions cap at 1.0 long
+    * before distinguishing 10× from 50× repetition), while minified
+    * blobs / base64 / binary-in-text sit near or above 1.0. One codegen
+    * pass, thread-local native state — scan speed.
+    */
+  def compressionRatio(text: Column): Column =
+    graft.plans.expressions.deflate_ratio(text)
+
+  /** Keep documents whose compression ratio lies inside
+    * `[minRatio, maxRatio]` — the published both-tail band cut. Defaults
+    * bound the obviously-degenerate tails; tune per corpus (prose
+    * typically deflates to 0.3-0.5).
+    */
+  def filterCompressible(df: org.apache.spark.sql.DataFrame, textCol: String,
+                         minRatio: Double = 0.1, maxRatio: Double = 0.9)
+      : org.apache.spark.sql.DataFrame = {
+    require(minRatio >= 0.0 && minRatio < maxRatio,
+      s"need 0 <= minRatio < maxRatio, got [$minRatio, $maxRatio]")
+    df.filter(compressionRatio(col(textCol)).between(minRatio, maxRatio))
+  }
 }

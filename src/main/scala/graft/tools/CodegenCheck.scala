@@ -109,6 +109,10 @@ object CodegenCheck {
     cu.agg(count(col("u"))).head()
     println("[9] canonicalize_url OK under forced codegen")
 
+    val dr = docs.select(deflate_ratio(col("text")).as("r"))
+    dr.agg(min(col("r")), max(col("r"))).head()
+    println("[10] deflate_ratio OK under forced codegen")
+
     println("--- WholeStageCodegen spans of the minhash stage ---")
     sh.explain("formatted")
     spark.stop()

@@ -126,6 +126,39 @@ class QualityFiltersSpec extends SparkSpec {
       r.getDouble(4) == 0.0 && r.getLong(6) == 0L)
   }
 
+  test("compressionRatio separates prose, repetition, and noise; " +
+       "filterCompressible cuts both tails") {
+    val prose = "The committee reviewed the proposal in detail and " +
+      "suggested several amendments before the final vote was scheduled " +
+      "for the following quarter, citing budget concerns and timelines."
+    val repetitive = "spam spam spam " * 200
+    val noise = (1 to 400).map(i => graft.plans.ExprKernels.mix64(i)
+      .toHexString).mkString("")
+    val d = Seq((1L, prose), (2L, repetitive), (3L, noise), (4L, ""))
+      .toDF("doc_id", "t")
+    val r = d.select(col("doc_id"),
+        QualityFilters.compressionRatio(col("t")).as("r"))
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(r(1L) > 0.3 && r(1L) < 0.9, s"prose mid-band: ${r(1L)}")
+    assert(r(2L) < 0.05, s"50×-pasted text near zero: ${r(2L)}")
+    // hex carries 4 bits/byte, so 0.5 is its entropy floor — deflate
+    // should land just above it, far from prose's dictionary wins
+    assert(r(3L) > 0.55, s"hex noise sits at its entropy floor: ${r(3L)}")
+    assert(r(4L) == 1.0, "empty text pins to 1.0")
+    // deterministic: the same document always gets the same ratio
+    val again = d.select(col("doc_id"),
+        QualityFilters.compressionRatio(col("t")).as("r"))
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(again == r)
+    val kept = QualityFilters.filterCompressible(d, "t",
+        minRatio = 0.1, maxRatio = 0.9)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 3L) || kept == Set(1L),
+      s"repetition and empty cut; prose kept: $kept")
+    intercept[IllegalArgumentException](
+      QualityFilters.filterCompressible(d, "t", minRatio = 0.9, maxRatio = 0.1))
+  }
+
   test("gopherQualityKeep applies the published thresholds") {
     val good = ("the and of to that have be with word " * 8).trim // 72 words, all rules pass
     val tooShort = "the and of short"
