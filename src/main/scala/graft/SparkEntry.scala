@@ -2156,6 +2156,34 @@ object SparkEntry {
     // one file per partition), read them back through the file-per-task
     // source, and verify the payload survives byte-exact via per-source
     // char/id aggregates the oracle re-derives from the table directly
+    // JSONL round-trip + corrupt-line isolation: documents export as
+    // gzip JSON-Lines shards, a planted malformed shard joins them, and
+    // the pinned-schema PERMISSIVE read must recover every clean row
+    // bit-exact (per-source counts/chars/id sums) while quarantining
+    // exactly the 3 bad lines — schema inference never runs
+    "source_jsonl" -> ((s, dir) => {
+      val base = "/root/repo/target/tmp/q_jsonl"
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm); f.delete(); ()
+      }
+      rm(new java.io.File(base))
+      val docs = t(s, dir, "documents")
+        .select("doc_id", "text", "lang", "source")
+      sources.Jsonl.export(docs.repartition(4, col("doc_id")), base)
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(base, "bad-shard.json"),
+        "{oops\nnot json at all\n{\"doc_id\": 12\n"
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val schema = new org.apache.spark.sql.types.StructType()
+        .add("doc_id", LongType).add("text", StringType)
+        .add("lang", StringType).add("source", StringType)
+      sources.Jsonl.read(s, base, schema)
+        .groupBy(coalesce(col("source"), lit("__corrupt")).as("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          coalesce(sum(length(col("text"))), lit(0L)).as("n_chars"),
+          coalesce(sum(col("doc_id")), lit(0L)).as("ids_sum"))
+    }),
+
     "source_warc" -> ((s, dir) => {
       val base = "/root/repo/target/tmp/q_warc"
       def rm(f: java.io.File): Unit = {
@@ -4561,6 +4589,17 @@ object SparkEntry {
         |  CAST(sum(length(text)) AS BIGINT) AS n_chars,
         |  CAST(sum(doc_id) AS BIGINT) AS ids_sum
         |FROM documents GROUP BY source""".stripMargin,
+
+    // clean rows round-trip bit-exact; the quarantine row counts exactly
+    // the 3 planted malformed lines
+    "source_jsonl" ->
+      """SELECT source, count(*) AS n_docs,
+        |  CAST(sum(length(text)) AS BIGINT) AS n_chars,
+        |  CAST(sum(doc_id) AS BIGINT) AS ids_sum
+        |FROM documents GROUP BY source
+        |UNION ALL
+        |SELECT '__corrupt', CAST(3 AS BIGINT), CAST(0 AS BIGINT),
+        |       CAST(0 AS BIGINT)""".stripMargin,
 
     // quality gate replayed from the quality_score oracle, then the
     // identical cross-batch keep-first relation over the SURVIVORS
