@@ -1830,6 +1830,18 @@ object SparkEntry {
         .select("doc_id", "source", "n_chars")
     }),
 
+    // per-document contamination RATE against the same held-out slice
+    // (the audit number studies publish; the any-hit rule above is too
+    // blunt for long docs that merely quote a sentence). Rate is the raw
+    // IEEE division — bit-identical across engines, no rounding hazard
+    "decontaminate_rate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      text.Decontaminate.contaminationRate(
+        docs.filter(col("doc_id") % 50 =!= 0),
+        docs.filter(col("doc_id") % 50 === 0),
+        "doc_id", "text", n = 8)
+    }),
+
     // fuzzy complement of `decontaminate`: shingle-Jaccard against the
     // same held-out slice (threshold 0.5 = the recall-1.0 regime pinned
     // for this corpus in RecallGateSpec, so LSH output == the oracle's
@@ -4468,6 +4480,38 @@ object SparkEntry {
 
     // same normalization as the Spark side ([^\p{L}]+ → space, lower,
     // empty tokens dropped), word 8-grams as space-joined strings
+    // replays the distinct-8-gram hit fraction; docs under 8 words keep
+    // (0, 0, NULL); rate is the raw division (IEEE-identical both sides)
+    "decontaminate_rate" ->
+      """WITH words AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(trim(
+        |      regexp_replace(lower(text), '[^\p{L}]+', ' ', 'g')), ' '),
+        |      x -> len(x) > 0) AS w
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(w) >= 8 THEN
+        |      list_distinct(list_transform(generate_series(1, len(w) - 7),
+        |        i -> array_to_string(w[i:i+7], ' ')))
+        |    ELSE []::VARCHAR[] END AS g
+        |  FROM words),
+        |bg AS (SELECT DISTINCT unnest(g) AS gram FROM grams
+        |       WHERE doc_id % 50 = 0),
+        |cg AS (SELECT doc_id, unnest(g) AS gram FROM grams
+        |       WHERE doc_id % 50 <> 0),
+        |agg AS (
+        |  SELECT cg.doc_id, count(*) AS ng,
+        |    sum(CASE WHEN bg.gram IS NOT NULL THEN 1 ELSE 0 END) AS nh
+        |  FROM cg LEFT JOIN bg USING (gram) GROUP BY cg.doc_id)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(a.ng, 0) AS BIGINT) AS n_grams,
+        |  CAST(coalesce(a.nh, 0) AS BIGINT) AS n_hit,
+        |  CASE WHEN coalesce(a.ng, 0) > 0
+        |       THEN CAST(a.nh AS DOUBLE) / a.ng END AS rate
+        |FROM (SELECT doc_id FROM documents WHERE doc_id % 50 <> 0) d
+        |LEFT JOIN agg a USING (doc_id)""".stripMargin,
+
     "decontaminate" ->
       """WITH words AS (
         |  SELECT doc_id,

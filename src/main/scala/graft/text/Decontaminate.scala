@@ -69,6 +69,44 @@ object Decontaminate {
       .select(idCol).distinct()
   }
 
+  /** Per-document contamination RATE against `bench`: the fraction of
+    * the document's distinct word `n`-grams that appear anywhere in the
+    * benchmark — the audit number contamination studies publish (and the
+    * knob behind "drop if > x% overlap" policies, where the binary
+    * any-hit rule of [[contaminatedIds]] is too blunt for long documents
+    * that merely quote a sentence). Documents with fewer than `n` words
+    * report 0 hits over 0 grams (rate null) — they cannot carry a gram.
+    *
+    * Output: `(id, n_grams, n_hit, rate)`. The rate is the RAW double
+    * division `n_hit / n_grams` — one IEEE-754 op, bit-identical in any
+    * engine, so no rounding is needed (rounding would ADD a cross-engine
+    * hazard at half-way decimals, e.g. k/32).
+    *
+    * Scale shape: identical to [[contaminatedIds]] — the benchmark gram
+    * set broadcasts, the corpus aggregates its own exploded grams with
+    * map-side partials, and the hit flag is evaluated inside the scan's
+    * projection. The corpus never shuffles text, and the only exchange
+    * carries `(id, two longs)`.
+    */
+  def contaminationRate(corpus: DataFrame, bench: DataFrame,
+                        idCol: String, textCol: String,
+                        n: Int = 8): DataFrame = {
+    val benchGrams = bench
+      .select(explode(graft.plans.expressions.word_ngram_hashes(
+        col(textCol), n)).as("__gram")).distinct()
+    corpus
+      .select(col(idCol), explode_outer(graft.plans.expressions.word_ngram_hashes(
+        col(textCol), n)).as("__gram"))
+      .join(broadcast(benchGrams.withColumn("__hit", lit(1L))),
+        Seq("__gram"), "left")
+      .groupBy(col(idCol))
+      .agg(count(col("__gram")).as("n_grams"),
+        coalesce(sum(col("__hit")), lit(0L)).as("n_hit"))
+      .select(col(idCol), col("n_grams"), col("n_hit"),
+        when(col("n_grams") > 0,
+          col("n_hit").cast("double") / col("n_grams")).as("rate"))
+  }
+
   /** `corpus` minus every document contaminated by `bench` (schema
     * preserved; the benchmark rows themselves are NOT part of `corpus`
     * here — pass a corpus that excludes them, as a real pipeline holds

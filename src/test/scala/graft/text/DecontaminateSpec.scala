@@ -132,4 +132,31 @@ class DecontaminateSpec extends SparkSpec {
       corpus, bench, "doc_id", "text", threshold = 0.9)
     assert(ids.as[Long].collect().toSeq == Seq(1L))
   }
+
+  test("contaminationRate: exact gram fractions, short docs report 0/0") {
+    val secret = "alpha beta gamma delta epsilon zeta eta theta" // 8 words
+    val corpus = Seq(
+      // 9 words = 2 distinct 8-grams, 1 of them benchmark-contaminated
+      (1L, s"$secret iota"),
+      // 8 clean words = 1 gram, 0 hits
+      (2L, "one two three four five six seven eight"),
+      // under 8 words: no grams at all
+      (3L, "too short to carry any gram")
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, s"quoting $secret here")).toDF("doc_id", "text")
+    val rows = Decontaminate.contaminationRate(
+        corpus, bench, "doc_id", "text", n = 8)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(rows(1L) == ((2L, 1L, Some(0.5))), rows.toString)
+    assert(rows(2L) == ((1L, 0L, Some(0.0))), rows.toString)
+    assert(rows(3L) == ((0L, 0L, None)), "gram-free doc: 0/0, null rate")
+    // every corpus doc appears exactly once
+    assert(rows.keySet == Set(1L, 2L, 3L))
+    // the binary rule agrees with rate > 0
+    val binary = Decontaminate.contaminatedIds(
+      corpus, bench, "doc_id", "text", n = 8).as[Long].collect().toSet
+    assert(binary == rows.filter(_._2._3.exists(_ > 0)).keySet)
+  }
 }
