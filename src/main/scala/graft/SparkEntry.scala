@@ -2024,6 +2024,52 @@ object SparkEntry {
       out
     }),
 
+    // incremental index maintenance: build the IVF index on 6/7 of the
+    // corpus, APPEND the rest through frozen-centroid routing (no refit,
+    // nothing rewritten), and serve. Routing is deterministic, so the
+    // appended table is bit-equal to a from-scratch build — the oracle is
+    // the same exact cosine formulation over the full corpus. The query
+    // requires metadata-only cell counts to account for every appended
+    // row and partition pruning to survive the append
+    "simsearch_ivf_append" -> ((s, dir) => {
+      val base = "/root/repo/target/tmp/q_ivf_append"
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm); f.delete(); ()
+      }
+      rm(new java.io.File(base))
+      val toDouble = transform(col("embedding"), x => x.cast("double"))
+      val orig = t(s, dir, "embeddings")
+        .select(col("vec_id").cast(LongType).as("vec_id"), toDouble.as("__v"))
+      val cents = orig.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("__c"), col("__v").as("__cv"))
+      val corpus = orig.join(broadcast(cents), col("vec_id") % 8 === col("__c"))
+        .select(col("vec_id"),
+          zip_with(col("__cv"), col("__v"),
+            (c, x) => c + lit(0.1) * x).as("embedding"))
+      // centroids from the FULL corpus (the model is a config artifact);
+      // storage starts with 6/7 of the rows, the delta arrives later
+      val model = ml.IvfIndex.fit(corpus, "embedding", k = 8)
+      val tbl = ml.IvfIndex.persist(
+        corpus.filter(col("vec_id") % 7 =!= 0), "vec_id", "embedding",
+        model, base)
+      val before = ml.IvfIndex.cellStats(tbl).values.sum
+      ml.IvfIndex.append(tbl, "vec_id", "embedding",
+        corpus.filter(col("vec_id") % 7 === 0))
+      val total = corpus.count()
+      val after = ml.IvfIndex.cellStats(tbl)
+      require(after.values.sum == total && before < total,
+        s"metadata cell counts must account for the append: " +
+          s"$before -> ${after.values.sum} of $total")
+      val queries = corpus.filter(col("vec_id") < 5)
+      val out = ml.IvfIndex.topKPersisted(tbl, "vec_id", "embedding",
+        queries, "vec_id", "embedding", k = 10, nprobe = 2)
+        .withColumn("rank", col("rank").cast(LongType))
+      val probedFiles = tbl.toDFWhere("cell IN (0,1,2,3)").inputFiles.length
+      require(probedFiles < tbl.detail.numFiles,
+        "partition pruning must survive the append")
+      out
+    }),
+
     // Product quantization in the same clustered regime as simsearch_ivf
     // (see that entry's derivation note): per-subspace codebooks trained
     // on a deterministic sample, corpus encoded to m=8 one-byte codes
@@ -4845,6 +4891,32 @@ object SparkEntry {
 
     // identical ranking contract served from the persisted index
     "simsearch_ivf_disk" ->
+      """WITH orig AS (
+        |  SELECT CAST(vec_id AS BIGINT) AS vec_id,
+        |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |corpus AS (
+        |  SELECT a.vec_id,
+        |         list_transform(generate_series(1, 64),
+        |                        i -> c.v[i] + 0.1 * a.v[i]) AS v
+        |  FROM orig a JOIN orig c ON c.vec_id = a.vec_id % 8),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM corpus WHERE vec_id < 5),
+        |scored AS (
+        |  SELECT q.query_id, e.vec_id AS neighbor_id,
+        |         list_cosine_similarity(q.qv, e.v) AS cosine
+        |  FROM q CROSS JOIN corpus e WHERE e.vec_id <> q.query_id),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id,
+        |         row_number() OVER (PARTITION BY query_id
+        |                            ORDER BY cosine DESC, neighbor_id) AS rank,
+        |         cosine
+        |  FROM scored)
+        |SELECT query_id, neighbor_id, rank, round(cosine, 4) AS cosine
+        |FROM ranked WHERE rank <= 10""".stripMargin,
+
+    // identical to simsearch_ivf_disk: frozen-centroid append routing is
+    // deterministic, so the appended index serves the same exact top-k
+    "simsearch_ivf_append" ->
       """WITH orig AS (
         |  SELECT CAST(vec_id AS BIGINT) AS vec_id,
         |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

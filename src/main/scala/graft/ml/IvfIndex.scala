@@ -140,6 +140,42 @@ object IvfIndex {
       properties = Map(centroidsProp -> encodeCentroids(model)))
   }
 
+  /** Incrementally add vectors to a [[persist]]ed index WITHOUT a refit
+    * — the standard IVF maintenance path (FAISS `add`): each new row
+    * routes to its nearest EXISTING centroid and appends into that cell
+    * partition. Centroids stay frozen, so (a) already-served rankings
+    * can only gain candidates, never re-shuffle cells, and (b) the
+    * append is a pure scan-shaped projection + partitioned write —
+    * nothing existing is read or rewritten, which is what daily
+    * embedding deltas against a 100 TB index require. The cost of never
+    * refitting is drift: cells fatten unevenly as the distribution
+    * moves, and a fat cell serves slower (probe reads more rows).
+    * Watch [[cellStats]] and refit when the imbalance crosses the
+    * caller's threshold.
+    */
+  def append(table: graft.tables.ManagedTable, idCol: String,
+             vecCol: String, rows: DataFrame): Unit = {
+    val model = decodeCentroids(table.properties(centroidsProp))
+    val vecT = rows.schema(vecCol).dataType match {
+      case org.apache.spark.sql.types.ArrayType(et, _) =>
+        org.apache.spark.sql.types.ArrayType(et, containsNull = true)
+      case other => other
+    }
+    table.append(rows.select(col(idCol), col(vecCol).cast(vecT).as(vecCol),
+      assign(col(vecCol), model).as("cell")))
+  }
+
+  /** Live rows per cell from table METADATA alone (log stats, zero data
+    * scan) — the drift/balance probe behind the refit decision. Missing
+    * cells (never populated) are absent from the map.
+    */
+  def cellStats(table: graft.tables.ManagedTable): Map[Int, Long] =
+    table.partitionRowCounts.map { case (k, n) =>
+      require(k.nonEmpty && k.head._1 == "cell",
+        s"not an IVF cell-partitioned table: partition key $k")
+      k.head._2.toInt -> n
+    }
+
   /** Reopen a [[persist]]ed index: (table, model). */
   def load(spark: org.apache.spark.sql.SparkSession,
            location: String): (graft.tables.ManagedTable, Model) = {

@@ -514,6 +514,44 @@ final class ManagedTable private (val spark: SparkSession, val location: String)
       if (f.dv.isDefined) fallback.getOrElse(f.path, 0L) else 0L)).sum
   }
 
+  /** Live row count PER PARTITION from metadata alone (log footer counts
+    * minus recorded DV cardinalities — same accounting as [[numRows]],
+    * grouped by the file's `k=v` partition path). Zero data scan: the
+    * balance probe behind maintenance decisions (skewed partitions →
+    * re-cluster; an IVF index's drifted cells → refit) answers from the
+    * log in O(files) driver arithmetic. Keys are the decoded partition
+    * values in `partitionColumns` order; an unpartitioned table returns
+    * one entry with an empty key. Files whose DV predates the dvRows
+    * field pay one sidecar read (the [[numRows]] fallback).
+    */
+  def partitionRowCounts: Map[Seq[(String, String)], Long] = {
+    val e = latestEntry
+    val missing = e.files.filter(f => f.dv.isDefined && f.dvRows.isEmpty)
+    val fallback: Map[String, Long] =
+      if (missing.isEmpty) Map.empty
+      else spark.read.schema(ManagedTable.dvSchema)
+        .parquet(missing.map(f => dvRoot.resolve(f.dv.get).toString)
+          .distinct: _*)
+        .filter(col("path").isInCollection(missing.map(_.path)))
+        .groupBy("path").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    e.files.groupBy { f =>
+      val leaf = ManagedTable.leafSuffix(f.leafDir)
+      if (leaf.isEmpty) Seq.empty[(String, String)]
+      else leaf.split('/').filter(_.nonEmpty).toSeq.map { seg =>
+        val i = seg.indexOf('=')
+        require(i > 0, s"non-hive partition segment in $leaf")
+        val raw = seg.substring(i + 1)
+        seg.substring(0, i) ->
+          (if (raw == "__HIVE_DEFAULT_PARTITION__") null
+           else FileStats.unescapePath(raw))
+      }
+    }.map { case (k, fs) =>
+      k -> fs.map(f => f.rows - f.dvRows.getOrElse(
+        if (f.dv.isDefined) fallback.getOrElse(f.path, 0L) else 0L)).sum
+    }
+  }
+
   /** history() analog (mack/__init__.py:626): one row per committed
     * version. Reads the compact checkpoint for everything it covers and
     * per-version entries only for the tail — O(checkpointInterval) entry

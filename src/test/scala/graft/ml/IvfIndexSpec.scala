@@ -103,6 +103,73 @@ class IvfIndexSpec extends SparkSpec {
     assert(served == inMem && served.nonEmpty)
   }
 
+  test("append routes through frozen centroids: appended index == " +
+      "from-scratch build, pruning survives, cellStats is metadata-only") {
+    val baseA = "/root/repo/target/tmp/spec_ivf_append_a"
+    val baseB = "/root/repo/target/tmp/spec_ivf_append_b"
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm); f.delete(); ()
+    }
+    rm(new java.io.File(baseA)); rm(new java.io.File(baseB))
+    val df = clustered
+    val model = IvfIndex.fit(df, "embedding", k = 3, seed = 42)
+    // incremental: 2/3 at build time, 1/3 appended later
+    val tblA = IvfIndex.persist(df.filter($"vec_id" % 3 =!= 0),
+      "vec_id", "embedding", model, baseA)
+    IvfIndex.append(tblA, "vec_id", "embedding",
+      df.filter($"vec_id" % 3 === 0).select("vec_id", "embedding"))
+    // from-scratch build over the union, same frozen model
+    IvfIndex.persist(df, "vec_id", "embedding", model, baseB)
+    val (tblB, _) = IvfIndex.load(spark, baseB)
+    def rows(t: graft.tables.ManagedTable) =
+      t.toDF.select("vec_id", "cell").as[(Long, Int)].collect().toSet
+    assert(rows(tblA) == rows(tblB),
+      "appended rows must land in exactly the cells a full build assigns")
+    // metadata-only per-cell counts account for every row
+    val stats = IvfIndex.cellStats(tblA)
+    assert(stats.values.sum == 90L && stats.keySet == Set(0, 1, 2),
+      stats.toString)
+    assert(stats == IvfIndex.cellStats(tblB))
+    // pruning still skips unprobed cells after the append
+    val oneCell = tblA.toDFWhere("cell IN (0)").inputFiles.length
+    assert(oneCell > 0 && oneCell < tblA.detail.numFiles)
+    // serving equality on the appended table
+    val queries = df.filter($"vec_id" < 6)
+    val servedA = IvfIndex.topKPersisted(tblA, "vec_id", "embedding",
+        queries, "vec_id", "embedding", k = 5, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val servedB = IvfIndex.topKPersisted(tblB, "vec_id", "embedding",
+        queries, "vec_id", "embedding", k = 5, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(servedA == servedB && servedA.nonEmpty)
+  }
+
+  test("partitionRowCounts: per-partition live counts from the log, " +
+      "DV-aware, empty key for unpartitioned tables") {
+    val base = "/root/repo/target/tmp/spec_partcounts"
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm); f.delete(); ()
+    }
+    rm(new java.io.File(base))
+    val t = graft.tables.ManagedTable.create(
+      (1L to 20L).map(i => (i, (i % 4).toInt, s"v$i"))
+        .toDF("id", "p", "v"),
+      base, partitionBy = Seq("p"))
+    val counts = t.partitionRowCounts
+    assert(counts == Map(
+      Seq("p" -> "0") -> 5L, Seq("p" -> "1") -> 5L,
+      Seq("p" -> "2") -> 5L, Seq("p" -> "3") -> 5L), counts.toString)
+    // a DV delete shows up in the metadata count without any data scan
+    // (p=2 holds ids 2,6,10,14,18 — the predicate deletes 2 and 6)
+    t.delete("p = 2 AND id <= 6")
+    val after = t.partitionRowCounts
+    assert(after(Seq("p" -> "2")) == 3L, after.toString)
+    // unpartitioned: single empty key totalling numRows
+    val u = graft.tables.ManagedTable.create(
+      (1L to 7L).toDF("id"), base + "_u")
+    assert(u.partitionRowCounts == Map(Seq.empty -> 7L))
+  }
+
   test("load rejects a table that is not an IVF index") {
     val base = "/root/repo/target/tmp/spec_ivf_notindex"
     def rm(f: java.io.File): Unit = {
