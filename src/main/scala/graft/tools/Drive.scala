@@ -951,6 +951,49 @@ object Drive {
       s"min containment=${if (contRows.isEmpty) "n/a"
         else contRows.map(_.getDouble(2)).min}")
 
+    // compression-ratio quality band + contamination-rate audit
+    val crKept = graft.text.QualityFilters.filterCompressible(
+      docs, "text", minRatio = 0.1, maxRatio = 0.9).count()
+    val contam = graft.text.Decontaminate.contaminationRate(
+      docs.filter(col("doc_id") % 50 =!= 0),
+      docs.filter(col("doc_id") % 50 === 0), "doc_id", "text", n = 8)
+    val hot = contam.filter(col("rate") > 0.5).count()
+    println(s"[75] compression band keeps $crKept of ${docs.count()}; " +
+      s"contamination rate > 0.5 flags $hot docs")
+
+    // JSONL round-trip with a planted corrupt shard
+    val jsonlDir = scratch("jsonl")
+    graft.sources.Jsonl.export(
+      docs.select("doc_id", "text", "lang").repartition(2), jsonlDir)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(jsonlDir, "bad.json"),
+      "{oops\n".getBytes("UTF-8"))
+    val jl = graft.sources.Jsonl.read(spark, jsonlDir,
+      new org.apache.spark.sql.types.StructType()
+        .add("doc_id", org.apache.spark.sql.types.LongType)
+        .add("text", org.apache.spark.sql.types.StringType)
+        .add("lang", org.apache.spark.sql.types.StringType)).persist()
+    val (jlClean, jlBad) = graft.sources.Jsonl.partitionCorrupt(jl)
+    println(s"[76] jsonl: ${jlClean.count()} clean rows round-trip, " +
+      s"${jlBad.count()} corrupt line quarantined")
+    jl.unpersist()
+
+    // incremental IVF: append a delta through frozen centroids
+    val ivfDir = scratch("ivf_append")
+    val embAll2 = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id").cast("long").as("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("embedding"))
+    val ivfModel2 = graft.ml.IvfIndex.fit(embAll2, "embedding", k = 4)
+    val ivfTbl2 = graft.ml.IvfIndex.persist(
+      embAll2.filter(col("vec_id") % 5 =!= 0), "vec_id", "embedding",
+      ivfModel2, ivfDir)
+    graft.ml.IvfIndex.append(ivfTbl2, "vec_id", "embedding",
+      embAll2.filter(col("vec_id") % 5 === 0))
+    val cells = graft.ml.IvfIndex.cellStats(ivfTbl2)
+    println(s"[77] ivf append: metadata cell counts ${cells.toSeq.sorted
+      .map { case (c, n) => s"$c:$n" }.mkString(", ")} " +
+      s"(sum ${cells.values.sum} == ${embAll2.count()})")
+
     spark.stop()
   }
 }
