@@ -828,6 +828,21 @@ object SparkEntry {
     "quality_entropy" -> ((s, dir) =>
       text.VocabStats.wordEntropy(t(s, dir, "documents"), "doc_id", "text")),
 
+    // mojibake repair (the ftfy core rule): the query mangles each doc
+    // in-plan — UTF-8 bytes mis-decoded as Latin-1, DOUBLY for half the
+    // corpus, untouched control slice every 7th — and the repaired text
+    // must md5-match the pristine original, which is all the oracle
+    // knows. Valid accented text can't be damaged: the fix applies only
+    // when a strict UTF-8 re-decode succeeds
+    "normalize_mojibake" -> ((s, dir) => {
+      val once = decode(encode(col("text"), "UTF-8"), "ISO-8859-1")
+      val twice = decode(encode(once, "UTF-8"), "ISO-8859-1")
+      val mangled = when(col("doc_id") % 7 === 0, col("text"))
+        .when(col("doc_id") % 2 === 0, twice).otherwise(once)
+      t(s, dir, "documents").select(col("doc_id"),
+        md5(graft.plans.expressions.fix_mojibake(mangled)).as("h"))
+    }),
+
     // deflate compression-ratio distribution (the model-free both-tail
     // quality signal: near 0 = machine-repetitive, ≥ 1 = incompressible
     // noise). DuckDB has no zlib surface, so the oracle is a GOLDEN
@@ -2918,6 +2933,11 @@ object SparkEntry {
         |  ('src6', 25, 1266, 53035, 0), ('src7', 25, 1507, 62883, 0),
         |  ('src8', 25, 1136, 48015, 0), ('src9', 25, 1366, 58022, 0))
         |AS v(source, d, n, i, u)""".stripMargin,
+
+    // the repaired text must equal the pristine original byte-for-byte;
+    // the oracle never sees the mangling at all
+    "normalize_mojibake" ->
+      "SELECT doc_id, md5(text) AS h FROM documents",
 
     // golden literal @ sf0.01 (DuckDB has no zlib surface): deflate
     // decile-bucket counts per language — counts-only, so nothing float

@@ -899,6 +899,45 @@ object ExprKernels {
       java.security.MessageDigest.getInstance("MD5")
   }
 
+  /** Mojibake repair (the ftfy core rule): text that is really UTF-8
+    * bytes mis-decoded as Latin-1 ("Ã©" for "é", "ä¸­æ–‡" for CJK) is
+    * re-encoded byte-for-byte and strictly re-decoded as UTF-8; the fix
+    * applies only when that decode SUCCEEDS and changes the string —
+    * valid text can never be damaged, because a string that decodes
+    * strictly as UTF-8-in-Latin-1 and differs from itself is, by
+    * construction, the mis-decoding. Up to 3 rounds unwind doubly
+    * mis-decoded text (each pass inverts one Latin-1 layer exactly:
+    * Latin-1 maps bytes 0x00-0xFF to code points 0x00-0xFF bijectively).
+    * Strings containing any code point above 0xFF are returned unchanged
+    * in that round — they cannot be a Latin-1 mis-decode.
+    */
+  def fixMojibake(input: UTF8String): UTF8String = {
+    var s = input.toString
+    var rounds = 0
+    var changed = true
+    while (changed && rounds < 3) {
+      changed = false
+      val n = s.length
+      var ok = n > 0
+      var i = 0
+      while (ok && i < n) { if (s.charAt(i) > 0xFF) ok = false; i += 1 }
+      if (ok) {
+        val bytes = new Array[Byte](n)
+        i = 0
+        while (i < n) { bytes(i) = s.charAt(i).toByte; i += 1 }
+        try {
+          val dec = java.nio.charset.StandardCharsets.UTF_8.newDecoder()
+            .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+            .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
+          val fixed = dec.decode(java.nio.ByteBuffer.wrap(bytes)).toString
+          if (fixed != s) { s = fixed; changed = true }
+        } catch { case _: java.nio.charset.CharacterCodingException => () }
+      }
+      rounds += 1
+    }
+    UTF8String.fromString(s)
+  }
+
   private val localDeflater = new ThreadLocal[java.util.zip.Deflater] {
     // raw deflate (nowrap: no zlib header/checksum — 6 bytes of overhead
     // that would bias short documents), default level 6

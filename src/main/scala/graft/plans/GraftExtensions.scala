@@ -137,6 +137,14 @@ object GraftFunctions {
         require(args.length == 1, "graft_unicode_clean(text)")
         UnicodeClean(args.head)
       }),
+    (FunctionIdentifier("graft_fix_mojibake"),
+      info("graft_fix_mojibake",
+        "graft_fix_mojibake(text) - unwind UTF-8-as-Latin-1 mis-decodes " +
+          "(up to 3 layers); never alters text that is not one"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "graft_fix_mojibake(text)")
+        FixMojibake(args.head)
+      }),
     (FunctionIdentifier("graft_deflate_ratio"),
       info("graft_deflate_ratio",
         "graft_deflate_ratio(text) - deflate compression ratio of the " +

@@ -123,6 +123,10 @@ object expressions {
   def deflate_ratio(text: Column): Column =
     column(DeflateRatio(expression(text)))
 
+  /** ftfy-style mojibake repair (see [[FixMojibake]]). */
+  def fix_mojibake(text: Column): Column =
+    column(FixMojibake(expression(text)))
+
   def normalized_md5(text: Column): Column =
     column(NormalizedMd5(expression(text)))
 
@@ -664,6 +668,27 @@ case class NormalizedMd5(child: Expression) extends UnaryExpression {
       s"${ev.value} = graft.plans.ExprKernels.normalizedMd5($c);")
 
   override protected def withNewChildInternal(c: Expression): NormalizedMd5 =
+    copy(child = c)
+}
+
+/** Mojibake repair (see [[ExprKernels.fixMojibake]]): UTF-8-as-Latin-1
+  * mis-decodes ("Ã©" → "é") unwound up to 3 layers; applies only when a
+  * strict UTF-8 re-decode succeeds, so valid text is never damaged.
+  */
+case class FixMojibake(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+  override def checkInputDataTypes() =
+    expressions.stringCheck(child, "fix_mojibake")
+
+  override def nullSafeEval(input: Any): Any =
+    ExprKernels.fixMojibake(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.ExprKernels.fixMojibake($c);")
+
+  override protected def withNewChildInternal(c: Expression): FixMojibake =
     copy(child = c)
 }
 

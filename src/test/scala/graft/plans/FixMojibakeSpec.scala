@@ -1,0 +1,53 @@
+package graft.plans
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class FixMojibakeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fix(s: String): String =
+    Seq(s).toDF("t")
+      .select(expressions.fix_mojibake(col("t"))).head().getString(0)
+
+  private def mangle(s: String): String =
+    new String(s.getBytes("UTF-8"), "ISO-8859-1")
+
+  test("unwinds single, double, and triple Latin-1 mis-decodes exactly") {
+    for (orig <- Seq("café résumé über",
+        "中文文本", // CJK
+        "emoji 😀 and accents àèì",
+        "plain ascii stays plain ascii")) {
+      assert(fix(mangle(orig)) == orig, s"1 layer: $orig")
+      assert(fix(mangle(mangle(orig))) == orig, s"2 layers: $orig")
+      assert(fix(mangle(mangle(mangle(orig)))) == orig, s"3 layers: $orig")
+    }
+  }
+
+  test("never damages text that is not a mis-decode") {
+    for (valid <- Seq(
+        "café résumé",        // accented Latin-1-range text
+        "中文 mixed with ascii",     // cp > 0xFF: can't be Latin-1
+        "", "   ", "tabs\tand\nnewlines")) {
+      assert(fix(valid) == valid, s"must be identity: '$valid'")
+    }
+  }
+
+  test("the fix gate is strict UTF-8 decodability, not heuristics") {
+    // a lone 0xE9 between letters is invalid UTF-8 -> untouched
+    assert(fix("aéb") == "aéb")
+    // literal "Ã©" IS the mis-decode of "é" (the documented stance:
+    // decodable-and-different means fix)
+    assert(fix("Ã©") == "é")
+  }
+
+  test("null-safe and SQL-exposed") {
+    val r = Seq[(java.lang.Long, String)]((1L, null), (2L, mangle("ü")))
+      .toDF("id", "t")
+    r.createOrReplaceTempView("mj")
+    val out = spark.sql(
+      "SELECT id, graft_fix_mojibake(t) AS f FROM mj ORDER BY id").collect()
+    assert(out(0).isNullAt(1))
+    assert(out(1).getString(1) == "ü")
+  }
+}
