@@ -1807,6 +1807,14 @@ object SparkEntry {
         maxDf = 64)
         .select("id_a", "id_b")), // containment dropped: float-free check
 
+    // the audit counterpart of dedup_transitive: every doc maps to the
+    // survivor that absorbed it (itself when kept) — the table takedown
+    // propagation and provenance resolution consult; same machinery,
+    // the cluster assignment published instead of discarded
+    "dedup_lineage" -> ((s, dir) =>
+      text.NearDupClusters.dedupLineage(
+        t(s, dir, "documents"), "doc_id", "text", threshold = 0.5)),
+
     "dedup_transitive" -> ((s, dir) =>
       text.NearDupClusters.dedupTransitive(
         t(s, dir, "documents"), "doc_id", "text", threshold = 0.5)
@@ -4491,6 +4499,22 @@ object SparkEntry {
       s"""WITH $shingleCtes
          |SELECT doc_id, source, n_chars FROM documents
          |WHERE doc_id NOT IN (SELECT id_b FROM mh_pairs)""".stripMargin,
+
+    // survivor = min id reachable in the pair graph (self when isolated)
+    "dedup_lineage" ->
+      s"""WITH RECURSIVE $shingleCtes,
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM mh_pairs
+         |          UNION SELECT id_b, id_a FROM mh_pairs),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+         |  WHERE e.dst <> r.src)
+         |SELECT d.doc_id,
+         |  CAST(least(d.doc_id,
+         |    coalesce((SELECT min(r.dst) FROM reach r WHERE r.src = d.doc_id),
+         |             d.doc_id)) AS BIGINT) AS survivor_id
+         |FROM documents d""".stripMargin,
 
     "dedup_transitive" ->
       s"""WITH RECURSIVE $shingleCtes,

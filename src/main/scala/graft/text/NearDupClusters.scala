@@ -155,6 +155,31 @@ object NearDupClusters {
       .drop("cluster")
   }
 
+  /** Dedup LINEAGE: `(id, survivor_id)` for every document — survivors
+    * map to themselves, dropped documents to the min-id representative
+    * of their near-dup component. The audit counterpart of
+    * [[dedupTransitive]] a real pipeline has to retain: takedown and
+    * consent requests propagate through it ("which kept document
+    * absorbed mine"), eval-example provenance resolves through it, and
+    * re-crawls consult it instead of re-clustering. Same pair/label
+    * machinery, zero extra shuffles — this IS the cluster assignment,
+    * published instead of discarded.
+    */
+  def dedupLineage(df: DataFrame, idCol: String, textCol: String,
+                   threshold: Double = 0.8, numHashes: Int = 64,
+                   bands: Int = 16, shingleWidth: Int = 3,
+                   algo: String = "labelprop"): DataFrame = {
+    val pairs = MinHashDedup.nearDupPairs(df, idCol, textCol, threshold,
+      numHashes, bands, shingleWidth)
+    val assigned = algo match {
+      case "labelprop" => clusters(df.select(idCol), idCol, pairs)
+      case "star" => clustersStar(df.select(idCol), idCol, pairs)
+      case other => throw new IllegalArgumentException(
+        s"unknown component algo '$other' (labelprop | star)")
+    }
+    assigned.select(col(idCol), col("cluster").as("survivor_id"))
+  }
+
   /** [[dedupTransitive]] with a QUALITY survivor policy: instead of the
     * minimum id, each near-dup cluster keeps its best document by
     * `scoreCol` (ties break by id ascending — deterministic in any

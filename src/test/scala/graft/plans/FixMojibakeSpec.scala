@@ -41,6 +41,31 @@ class FixMojibakeSpec extends SparkSpec {
     assert(fix("Ã©") == "é")
   }
 
+  test("property over random unicode: fix is idempotent and " +
+       "mangle-invariant (both converge to the same fixpoint)") {
+    val rnd = new scala.util.Random(2026L)
+    // mixed alphabets incl. supplementary planes and Latin-1-range chars
+    val pool = "abz ÀÉÜàéü中文日本語κόσμε мир😀🎉\t\n0129'\"\\"
+    val cps = pool.codePoints().toArray
+    (1 to 300).foreach { _ =>
+      val n = rnd.nextInt(24)
+      val sb = new java.lang.StringBuilder()
+      (0 until n).foreach(_ => sb.appendCodePoint(cps(rnd.nextInt(cps.length))))
+      val s = sb.toString
+      val f = fix(s)
+      // idempotence: a repaired string has nothing left to repair
+      assert(fix(f) == f, s"not idempotent on '$s'")
+      // mangling never changes the fixpoint (an adversarial s that
+      // already LOOKS mis-decoded converges to the same repair)
+      assert(fix(mangle(s)) == f, s"mangle changed the fixpoint of '$s'")
+      // pristine strings whose repair differs must themselves be
+      // strict-UTF-8 reinterpretable (the documented fix gate)
+      if (f != s) {
+        assert(s.forall(_ <= 0xFF), s"gate violated on '$s'")
+      }
+    }
+  }
+
   test("null-safe and SQL-exposed") {
     val r = Seq[(java.lang.Long, String)]((1L, null), (2L, mangle("ü")))
       .toDF("id", "t")

@@ -131,4 +131,27 @@ class NearDupClustersSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("unknown component algo"))
   }
+
+  test("dedupLineage maps every doc to its absorbing survivor, " +
+       "consistent with dedupTransitive, total over the corpus") {
+    val words = (1 to 40).map(i => s"w$i")
+    val docs = Seq(
+      (1L, words.slice(0, 20).mkString(" ")),   // chain 1-2-3
+      (2L, words.slice(4, 24).mkString(" ")),
+      (3L, words.slice(8, 28).mkString(" ")),
+      (4L, "entirely different text about cooking pasta with garlic and olive oil"))
+      .toDF("doc_id", "text")
+    for (algo <- Seq("labelprop", "star")) {
+      val lin = NearDupClusters.dedupLineage(docs, "doc_id", "text",
+          threshold = 0.5, algo = algo)
+        .as[(Long, Long)].collect().toMap
+      assert(lin == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L),
+        s"$algo: $lin")
+      // agreement: survivors are exactly the self-mapped ids
+      val survivors = NearDupClusters.dedupTransitive(docs, "doc_id",
+          "text", threshold = 0.5, algo = algo)
+        .select("doc_id").as[Long].collect().toSet
+      assert(lin.filter { case (k, v) => k == v }.keySet == survivors)
+    }
+  }
 }
