@@ -545,6 +545,57 @@ object SparkEntry {
       ManagedTable.forPath(s, base + "_mirror").toDF
     }),
 
+    // STREAMING dimension maintenance: the reference's flagship SCD2
+    // upsert applied per micro-batch from a graft table stream
+    // (foreachBatch, one commit per trigger via maxVersionsPerTrigger=1,
+    // so update waves land in commit order). Every U1 key also appears
+    // in U2 (bal > 7000 ⊂ bal > 3000), so the final state exercises all
+    // five histories: never-updated, updated-once, updated-twice,
+    // inserted-then-updated, inserted-last. The oracle derives that
+    // state per key class in closed form
+    "streaming_scd2" -> ((s, dir) => {
+      val base = "/root/repo/target/tmp/q_stream_scd2"
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm); f.delete(); ()
+      }
+      Seq(base + "_dim", base + "_upd", base + "_ckpt")
+        .foreach(p => rm(new java.io.File(p)))
+      val cust = t(s, dir, "customer")
+      val ts = (d: String) => lit(java.sql.Timestamp.valueOf(d))
+      val dim = ManagedTable.create(
+        cust.filter(col("c_custkey") % 10 =!= 0).select(
+          col("c_custkey").as("pkey"),
+          col("c_mktsegment").as("attr"),
+          lit(true).as("is_current"),
+          ts("2019-01-01 00:00:00").as("effective_time"),
+          lit(null).cast(TimestampType).as("end_time")),
+        base + "_dim")
+      val upd = ManagedTable.create(
+        cust.filter(col("c_acctbal") > 7000).select(
+          col("c_custkey").as("pkey"),
+          concat(col("c_mktsegment"), lit("_U1")).as("attr"),
+          ts("2020-01-01 00:00:00").as("effective_time")).repartition(1),
+        base + "_upd")
+      upd.append(cust.filter(col("c_acctbal") > 3000).select(
+        col("c_custkey").as("pkey"),
+        concat(col("c_mktsegment"), lit("_U2")).as("attr"),
+        ts("2021-01-01 00:00:00").as("effective_time")).repartition(1))
+      // tail from v0 (no merged snapshot batch — the two waves must
+      // arrive as separate micro-batches, in commit order)
+      val q = s.readStream.format("graft")
+        .option("startingVersion", "0")
+        .option("maxVersionsPerTrigger", "1")
+        .load(base + "_upd")
+        .writeStream
+        .option("checkpointLocation", base + "_ckpt")
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          Scd2.upsert(dim, batch, "pkey", Seq("attr")); ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      dim.toDF
+    }),
+
     "table_cdf_stream" -> ((s, dir) => {
       val base = "/root/repo/target/tmp/q_cdf_stream"
       def rm(f: java.io.File): Unit = {
@@ -4499,6 +4550,31 @@ object SparkEntry {
       s"""WITH $shingleCtes
          |SELECT doc_id, source, n_chars FROM documents
          |WHERE doc_id NOT IN (SELECT id_b FROM mh_pairs)""".stripMargin,
+
+    // closed-form final SCD2 state after the two commit-ordered update
+    // waves (U1 = bal > 7000 at 2020, U2 = bal > 3000 at 2021, U1 ⊂ U2)
+    "streaming_scd2" ->
+      """WITH c AS (
+        |  SELECT c_custkey AS pkey, c_mktsegment AS seg, c_acctbal AS bal,
+        |         c_custkey % 10 <> 0 AS in_base
+        |  FROM customer)
+        |SELECT pkey, seg AS attr, TRUE AS is_current,
+        |       TIMESTAMP '2019-01-01 00:00:00' AS effective_time,
+        |       CAST(NULL AS TIMESTAMP) AS end_time
+        |FROM c WHERE in_base AND bal <= 3000
+        |UNION ALL
+        |SELECT pkey, seg, FALSE, TIMESTAMP '2019-01-01 00:00:00',
+        |       CASE WHEN bal > 7000 THEN TIMESTAMP '2020-01-01 00:00:00'
+        |            ELSE TIMESTAMP '2021-01-01 00:00:00' END
+        |FROM c WHERE in_base AND bal > 3000
+        |UNION ALL
+        |SELECT pkey, seg || '_U1', FALSE, TIMESTAMP '2020-01-01 00:00:00',
+        |       TIMESTAMP '2021-01-01 00:00:00'
+        |FROM c WHERE bal > 7000
+        |UNION ALL
+        |SELECT pkey, seg || '_U2', TRUE, TIMESTAMP '2021-01-01 00:00:00',
+        |       CAST(NULL AS TIMESTAMP)
+        |FROM c WHERE bal > 3000""".stripMargin,
 
     // survivor = min id reachable in the pair graph (self when isolated)
     "dedup_lineage" ->
