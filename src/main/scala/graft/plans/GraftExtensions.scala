@@ -137,6 +137,22 @@ object GraftFunctions {
         require(args.length == 1, "graft_unicode_clean(text)")
         UnicodeClean(args.head)
       }),
+    (FunctionIdentifier("graft_hash_jaccard"),
+      info("graft_hash_jaccard",
+        "graft_hash_jaccard(a, b) - one-pass set Jaccard of two " +
+          "array<bigint> hash sets (the near-dup verify predicate)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_hash_jaccard(a, b)")
+        HashJaccard(args(0), args(1))
+      }),
+    (FunctionIdentifier("graft_hash_containment"),
+      info("graft_hash_containment",
+        "graft_hash_containment(a, b) - |A∩B| / min(|A|,|B|) of two " +
+          "array<bigint> hash sets (the doc-inside-doc predicate)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_hash_containment(a, b)")
+        HashContainment(args(0), args(1))
+      }),
     (FunctionIdentifier("graft_fix_mojibake"),
       info("graft_fix_mojibake",
         "graft_fix_mojibake(text) - unwind UTF-8-as-Latin-1 mis-decodes " +

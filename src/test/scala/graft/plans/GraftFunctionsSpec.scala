@@ -73,6 +73,33 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(z.head().isNullAt(0))
   }
 
+  test("hash_containment equals the intersect/least-distinct formulation " +
+       "in SQL and Column form") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5L)
+    val rows = (1 to 200).map { i =>
+      def arr(n: Int) = Seq.fill(n)(rnd.nextInt(30).toLong - 5L)
+      (i.toLong, arr(1 + rnd.nextInt(40)), arr(1 + rnd.nextInt(40)))
+    } :+ (900L, Seq(0L, 0L, 1L), Seq(0L, 2L))
+    val df = rows.toDF("id", "a", "b")
+    df.createOrReplaceTempView("hc")
+    val both = spark.sql(
+      """SELECT id, graft_hash_containment(a, b) AS kernel,
+        |  CAST(size(array_intersect(a, b)) AS DOUBLE) /
+        |    least(size(array_distinct(a)), size(array_distinct(b))) AS builtin
+        |FROM hc""".stripMargin).collect()
+    both.foreach { r =>
+      assert(r.getDouble(1) == r.getDouble(2),
+        s"id ${r.getLong(0)}: ${r.getDouble(1)} != ${r.getDouble(2)}")
+    }
+    // SQL == Column API; graft_hash_jaccard is registered too
+    val cmp = df.selectExpr("graft_hash_jaccard(a, b) AS s").collect().toSeq
+    val api = df.select(
+      graft.plans.expressions.hash_jaccard(col("a"), col("b")).as("s"))
+      .collect().toSeq
+    assert(cmp == api)
+  }
+
   test("non-literal width argument raises a clear error") {
     val e = intercept[Exception] {
       spark.sql("SELECT graft_shingle_hashes('abc', CAST(rand() * 3 AS INT))").collect()
