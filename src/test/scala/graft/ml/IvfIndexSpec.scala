@@ -150,7 +150,7 @@ class IvfIndexSpec extends SparkSpec {
     def rm(f: java.io.File): Unit = {
       if (f.isDirectory) f.listFiles().foreach(rm); f.delete(); ()
     }
-    rm(new java.io.File(base))
+    rm(new java.io.File(base)); rm(new java.io.File(base + "_u"))
     val t = graft.tables.ManagedTable.create(
       (1L to 20L).map(i => (i, (i % 4).toInt, s"v$i"))
         .toDF("id", "p", "v"),
