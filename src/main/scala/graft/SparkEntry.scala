@@ -835,6 +835,20 @@ object SparkEntry {
         .select("doc_id", "source", "n_chars")
     }),
 
+    // the SHARDED bank variant of dedup_bloom — the reference-set regime
+    // past the single-filter broadcast ceiling: keys route to
+    // pmod(xxhash64, shards), each shard's filter builds in ONE
+    // distributed BloomFilterAggregate pass; semantics stay exact, so
+    // the oracle is the same anti-join
+    "dedup_bloom_sharded" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val keyed = docs.withColumn("__k", md5(col("text")))
+      val ref = keyed.filter(col("doc_id") % 5 < 2).select(col("__k"))
+      text.BloomDedup.newRowsSharded(keyed, ref, "__k", shards = 8,
+        fpp = 0.01)
+        .select("doc_id", "source", "n_chars")
+    }),
+
     // corpus-frequency quality signals (Gopher/CCNet vocabulary
     // filters): rare-word mass and top-K-vocabulary coverage per doc,
     // scored against the corpus's own wordcounts. All-integer outputs
@@ -2830,6 +2844,12 @@ object SparkEntry {
     // the Bloom filter only ROUTES rows (prefilter + exact confirm), so
     // the result is the plain reference anti-join
     "dedup_bloom" ->
+      """SELECT doc_id, source, n_chars FROM documents
+        |WHERE text NOT IN
+        |  (SELECT text FROM documents WHERE doc_id % 5 < 2)""".stripMargin,
+
+    // exact semantics are shard-invariant: same anti-join oracle
+    "dedup_bloom_sharded" ->
       """SELECT doc_id, source, n_chars FROM documents
         |WHERE text NOT IN
         |  (SELECT text FROM documents WHERE doc_id % 5 < 2)""".stripMargin,

@@ -204,6 +204,10 @@ object expressions {
     */
   def bloom_might_contain(key: Column, bloom: BloomRef): Column =
     column(BloomMightContain(expression(key), bloom))
+
+  /** Sharded-bank membership probe (see [[BloomBankMightContain]]). */
+  def bloom_bank_might_contain(key: Column, bank: BloomBankRef): Column =
+    column(BloomBankMightContain(expression(key), bank))
 }
 
 /** One-permutation minhash (Li, Owen, Zhang 2012): the hash space is
@@ -969,6 +973,77 @@ final class BloomRef(val bytes: Array[Byte]) extends Serializable {
   // UTF8String bytes probe matches a filter built over a string column
   def containsUtf8(s: UTF8String): Boolean =
     filter.mightContainBinary(s.getBytes)
+}
+
+/** A SHARDED Bloom filter bank — the reference-set regime past the
+  * single-filter broadcast ceiling (~10⁸ keys ≈ 120 MB at 1% fpp).
+  * Keys route to shard `pmod(xxhash64(key), shards)` and membership is
+  * `shard.mightContainLong(xxhash64(key))` — the filters store the
+  * 64-bit key hashes (exactly what Spark's own runtime bloom pruning
+  * inserts), so build and probe agree by construction and a build can
+  * run as ONE distributed aggregation (`BloomFilterAggregate` per
+  * shard group) instead of a driver-merged whole-filter reduction.
+  * Rebuilds lazily once per JVM, same as [[BloomRef]].
+  *
+  * Hash parity note: routing and membership use the IDENTICAL
+  * `xxhash64` the SQL function computes (XXH64, seed 42; UTF8String
+  * hashed over its bytes), pinned by spec — a drifted hash would break
+  * the no-false-negative guarantee silently.
+  */
+final class BloomBankRef(val shardBytes: Array[Array[Byte]])
+    extends Serializable {
+  @transient private lazy val filters
+      : Array[org.apache.spark.util.sketch.BloomFilter] =
+    shardBytes.map { b =>
+      if (b == null || b.isEmpty) null
+      else org.apache.spark.util.sketch.BloomFilter.readFrom(
+        new java.io.ByteArrayInputStream(b))
+    }
+  def shards: Int = shardBytes.length
+  private def contains(h: Long): Boolean = {
+    val n = filters.length
+    val s = (((h % n) + n) % n).toInt
+    val f = filters(s)
+    f != null && f.mightContainLong(h)
+  }
+  def containsLong(v: Long): Boolean =
+    contains(org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(v, 42L))
+  def containsUtf8(s: UTF8String): Boolean =
+    contains(org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+      s.getBaseObject, s.getBaseOffset, s.numBytes, 42L))
+}
+
+/** `bloom_bank_might_contain(key, bank)` — the [[BloomBankRef]] probe at
+  * scan speed: one xxhash64, one shard pick, one filter query per row.
+  */
+case class BloomBankMightContain(child: Expression, bank: BloomBankRef)
+    extends UnaryExpression {
+
+  override def dataType: DataType = BooleanType
+  override def checkInputDataTypes() = child.dataType match {
+    case LongType | StringType =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case other =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"bloom_bank_might_contain expects bigint or string, got ${other.sql}")
+  }
+
+  private def isString = child.dataType == StringType
+
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Boolean.valueOf(
+      if (isString) bank.containsUtf8(input.asInstanceOf[UTF8String])
+      else bank.containsLong(input.asInstanceOf[Long]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bloomBankRef", bank,
+      "graft.plans.BloomBankRef")
+    val call = if (isString) "containsUtf8" else "containsLong"
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.$call($c);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): BloomBankMightContain =
+    copy(child = c)
 }
 
 /** `bloom_might_contain(key, filter)` — membership of a bigint/string key

@@ -33,9 +33,10 @@ import graft.plans.BloomRef
   * Sizing honesty (see [[graft.plans.BloomRef]]): bits = -n·ln(fpp)/ln²2
   * ≈ 1.2 MB per million reference keys at 1% — a driver-built,
   * task-broadcast filter is the right call up to ~10⁸ keys. Past that,
-  * shard the reference (one filter per key range) or use the plain
-  * anti-join; [[newRows]] takes the built filter so callers control that
-  * trade.
+  * [[buildBank]] shards the reference into a filter bank built in one
+  * distributed aggregation ([[newRowsSharded]] probes it with the same
+  * exact semantics); [[newRows]] takes the built filter so callers
+  * control that trade.
   *
   * Reference behavior: MrPowers/mack `append_without_duplicates`
   * (mack/__init__.py:441) is the same contract served by a bare
@@ -70,6 +71,73 @@ object BloomDedup {
     */
   def mightContain(key: Column, filter: BloomRef): Column =
     graft.plans.expressions.bloom_might_contain(key, filter)
+
+  /** Build a SHARDED filter bank over `ref`'s `keyCol` — the regime past
+    * [[buildFilter]]'s single-broadcast ceiling (~10⁸ keys ≈ 120 MB at
+    * 1% fpp). Keys route to shard `pmod(xxhash64(key), shards)` and each
+    * shard aggregates its hashes into its own filter via Spark's
+    * `BloomFilterAggregate` — ONE distributed pass with map-side partial
+    * bitset merges, instead of `stat.bloomFilter`'s whole-filter
+    * driver-merged reduction (whose every partial is the FULL filter's
+    * size) or one job per shard. The bank broadcasts once per executor;
+    * per-shard bits size to the MEASURED shard cardinality, so skew
+    * degrades a hot shard's fpp, never correctness. Past the point where
+    * even the bank fits an executor (~10⁹-10¹⁰ keys), partition-route
+    * the probe side instead — documented, not automatic.
+    */
+  def buildBank(ref: DataFrame, keyCol: String, shards: Int,
+                fpp: Double = 0.01): graft.plans.BloomBankRef = {
+    require(shards >= 1, s"need shards >= 1, got $shards")
+    require(fpp > 0.0 && fpp < 1.0, s"need 0 < fpp < 1, got $fpp")
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    val h = xxhash64(col(keyCol))
+    val hashed = ref.select(h.as("__h"),
+      pmod(h, lit(shards.toLong)).cast("int").as("__s"))
+    // shard cardinalities first (count-only rows) — the filters size to
+    // the real distribution, and empty shards simply stay absent
+    val counts = hashed.groupBy(col("__s")).agg(count(lit(1)).as("__n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val bytes = new Array[Array[Byte]](shards)
+    if (counts.nonEmpty) {
+      // one aggregation job builds every shard's filter; numBits is a
+      // per-bank constant sized to the LARGEST shard (BloomFilterAggregate
+      // takes literals), so skewed shards keep their fpp
+      val maxN = counts.values.max
+      val numBits = org.apache.spark.util.sketch.BloomFilter
+        .optimalNumOfBits(maxN, fpp)
+      import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+      val agg = column(new BloomFilterAggregate(
+        expression(col("__h")),
+        Literal(maxN), Literal(numBits)).toAggregateExpression())
+      hashed.groupBy(col("__s")).agg(agg.as("__f"))
+        .collect().foreach { r =>
+          bytes(r.getInt(0)) = r.getAs[Array[Byte]](1)
+        }
+    }
+    new graft.plans.BloomBankRef(bytes)
+  }
+
+  /** Scan-speed bank membership probe (see [[buildBank]]). */
+  def mightContainBank(key: Column,
+                       bank: graft.plans.BloomBankRef): Column =
+    graft.plans.expressions.bloom_bank_might_contain(key, bank)
+
+  /** [[newRows]] against a SHARDED bank — identical exact semantics
+    * (prefilter routes, the anti-join decides), for reference sets past
+    * the single-filter broadcast ceiling.
+    */
+  def newRowsSharded(incoming: DataFrame, ref: DataFrame, keyCol: String,
+                     shards: Int, fpp: Double = 0.01,
+                     bank: Option[graft.plans.BloomBankRef] = None)
+      : DataFrame = {
+    val bk = bank.getOrElse(buildBank(ref, keyCol, shards, fpp))
+    val probe = mightContainBank(col(keyCol), bk)
+    val definiteNew = incoming.filter(!probe)
+    val confirmed = incoming.filter(probe)
+      .join(ref.select(col(keyCol)).distinct(), Seq(keyCol), "left_anti")
+    definiteNew.unionByName(confirmed)
+  }
 
   /** EXACT new-rows: incoming rows whose `keyCol` is not present in
     * `ref` — equal to `incoming LEFT ANTI JOIN ref ON key`, computed as

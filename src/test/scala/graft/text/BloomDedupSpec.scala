@@ -74,4 +74,48 @@ class BloomDedupSpec extends SparkSpec {
     assert(probes("emoji-😀-key"), "member with non-BMP char missed")
     assert(probes("plain"))
   }
+
+  test("sharded bank: no false negatives, routing matches SQL xxhash64, " +
+       "string + long keys, empty shards tolerated") {
+    val ref = (0L until 2000L).map(i => s"key-$i").toDF("k")
+    val bank = BloomDedup.buildBank(ref, "k", shards = 7, fpp = 0.01)
+    assert(bank.shards == 7)
+    val misses = ref.filter(!BloomDedup.mightContainBank(col("k"), bank))
+      .count()
+    assert(misses == 0L, "a bank must never reject a member of any shard")
+    // kernel routing parity with the SQL xxhash64 the build used: keys
+    // the SQL routes to shard s must be members (already covered by the
+    // no-false-negative check) AND non-members mostly reject
+    val novel = (5000L until 6000L).map(i => s"key-$i").toDF("k")
+    val fps = novel.filter(BloomDedup.mightContainBank(col("k"), bank))
+      .count()
+    assert(fps < 50, s"~1% fpp expected, got $fps/1000")
+    // long keys and a bank with EMPTY shards (3 keys over 16 shards)
+    val tiny = Seq(10L, 11L, 12L).toDF("k")
+    val tinyBank = BloomDedup.buildBank(tiny, "k", shards = 16)
+    assert(tiny.filter(!BloomDedup.mightContainBank(col("k"), tinyBank))
+      .count() == 0L)
+    assert(Seq(99L).toDF("k")
+      .filter(BloomDedup.mightContainBank(col("k"), tinyBank))
+      .count() == 0L, "empty/near-empty shards reject non-members")
+    intercept[IllegalArgumentException](
+      BloomDedup.buildBank(tiny, "k", shards = 0))
+  }
+
+  test("newRowsSharded equals the exact anti-join and the single-filter " +
+       "path") {
+    val ref = (0L until 500L).map(i => s"doc-$i").toDF("k")
+    val incoming = (250L until 1500L).map(i => (s"doc-$i", i)).toDF("k", "v")
+    val sharded = BloomDedup.newRowsSharded(incoming, ref, "k", shards = 5)
+      .select("v").as[Long].collect().sorted
+    val single = BloomDedup.newRows(incoming, ref, "k")
+      .select("v").as[Long].collect().sorted
+    val want = incoming.join(ref, Seq("k"), "left_anti")
+      .select("v").as[Long].collect().sorted
+    assert(sharded.sameElements(want) && single.sameElements(want))
+    // empty reference through the bank path: everything is new
+    val none = BloomDedup.newRowsSharded(incoming,
+      ref.filter(lit(false)), "k", shards = 5)
+    assert(none.count() == incoming.count())
+  }
 }
