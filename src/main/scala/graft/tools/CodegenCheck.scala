@@ -113,6 +113,27 @@ object CodegenCheck {
     dr.agg(min(col("r")), max(col("r"))).head()
     println("[10] deflate_ratio OK under forced codegen")
 
+    val bank = graft.text.BloomDedup.buildBank(
+      docs.select(md5(col("text")).as("k")), "k", shards = 4)
+    val bp2 = docs.select(
+      bloom_bank_might_contain(md5(col("text")), bank).as("s"),
+      bloom_bank_might_contain(col("doc_id"), graft.text.BloomDedup
+        .buildBank(docs.select(col("doc_id").as("k")), "k", 4)).as("l"))
+    bp2.agg(sum(when(col("s"), 1).otherwise(0)),
+      sum(when(col("l"), 1).otherwise(0))).head()
+    println("[11] bloom_bank_might_contain (string + long) OK under forced codegen")
+
+    val mj = docs.select(fix_mojibake(
+      decode(encode(col("text"), "UTF-8"), "ISO-8859-1")).as("f"))
+    mj.agg(count(col("f"))).head()
+    println("[12] fix_mojibake OK under forced codegen")
+
+    val hc = docs.select(hash_containment(
+      shingle_hashes(col("text"), 3),
+      shingle_hashes(reverse(col("text")), 3)).as("c"))
+    hc.agg(min(col("c")), max(col("c"))).head()
+    println("[13] hash_containment OK under forced codegen")
+
     println("--- WholeStageCodegen spans of the minhash stage ---")
     sh.explain("formatted")
     spark.stop()
