@@ -2503,12 +2503,26 @@ object SparkEntry {
       "token_unigram", "token_tiktoken", "dedup_substring_bpe",
       "quality_compression")
 
+  /** Approximate-path queries whose oracle EXACTNESS (not correctness of
+    * the oracle SQL) is a property of the sf0.01-pinned regime: the PQ
+    * shortlist (100) exceeds that corpus's planted-cluster size (~63),
+    * so ADC + exact-rerank provably coincides with brute force there
+    * (RecallGateSpec), and the LSH probe budget covers the exact top-k.
+    * At sf0.1 clusters grow ~10× past the shortlist and the guarantee —
+    * by design — no longer holds (measured: 49/50 PQ rows reorder).
+    * [[oracleSqlFor]] drops these outside sf0.01 so a larger-scale
+    * verify records the driver's rows-only check instead of
+    * manufacturing failures the declared regime never promised to pass.
+    */
+  private[graft] val sf001RegimeOracles: Set[String] =
+    Set("simsearch_lsh", "simsearch_pq", "simsearch_ivfpq")
+
   /** The oracle map as it applies to `sfDir`: golden-literal entries are
     * dropped unless the data dir is the sf0.01 set they were pinned on.
     */
   def oracleSqlFor(sfDir: String): Map[String, String] =
     if (sfDir.replaceAll("/+$", "").endsWith("sf0.01")) oracleSql
-    else oracleSql -- sf001OnlyOracles
+    else oracleSql -- sf001OnlyOracles -- sf001RegimeOracles
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops →
@@ -3277,7 +3291,8 @@ object SparkEntry {
         |SELECT doc_id, n_words,
         |  round(list_sum(list_transform(cts, x -> ln(x + 1)))
         |      - list_sum(list_transform(crs, x -> ln(x + 1)))
-        |      + n_words * (ln(s.tr + s.v) - ln(s.tt + s.v)), 4) AS dsir_weight
+        |      + n_words * (ln(s.tr + s.v) - ln(s.tt + s.v)), 4)
+        |    + 0.0 AS dsir_weight
         |FROM d CROSS JOIN s""".stripMargin,
 
     // replays the order-pinned fold: counts sorted ascending, summed in

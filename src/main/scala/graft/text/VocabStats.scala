@@ -569,11 +569,14 @@ object VocabStats {
         sort_array(collect_list(col("__dr"))).as("__crs"))
       .crossJoin(broadcast(totals))
       .select(col(idCol), col("n_words"),
-        round(
+        // + 0.0 normalizes IEEE -0.0 to +0.0: a weight rounding to zero
+        // from below must stringify/hash identically in every engine
+        // (DuckDB's round keeps the sign, BigDecimal drops it)
+        (round(
           aggregate(col("__cts"), lit(0.0), (a, c) => a + log(c + lit(1))) -
             aggregate(col("__crs"), lit(0.0), (a, c) => a + log(c + lit(1))) +
             col("n_words") *
               (log(col("__tr") + col("__v")) - log(col("__tt") + col("__v"))),
-          4).as("dsir_weight"))
+          4) + lit(0.0)).as("dsir_weight"))
   }
 }
