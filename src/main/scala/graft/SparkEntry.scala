@@ -2112,6 +2112,30 @@ object SparkEntry {
       out
     }),
 
+    // binary (1-bit) embedding retrieval: sign-bit codes prefilter by
+    // Hamming at scan speed (32× smaller than the floats, which rejected
+    // rows' scorer never touches), exact cosine reranks the shortlist.
+    // In the clustered corpus same-cluster codes differ by a few bits
+    // and cross-cluster by ~32, so maxHamming=16 makes the shortlist a
+    // superset of every true top-10 — output EQUALS brute force and the
+    // oracle is the exact formulation (SimilaritySpec pins the equality
+    // structurally)
+    "simsearch_binary" -> ((s, dir) => {
+      val toDouble = transform(col("embedding"), x => x.cast("double"))
+      val orig = t(s, dir, "embeddings")
+        .select(col("vec_id").cast(LongType).as("vec_id"), toDouble.as("__v"))
+      val cents = orig.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("__c"), col("__v").as("__cv"))
+      val corpus = orig.join(broadcast(cents), col("vec_id") % 8 === col("__c"))
+        .select(col("vec_id"),
+          zip_with(col("__cv"), col("__v"),
+            (c, x) => c + lit(0.1) * x).as("embedding"))
+      val queries = corpus.filter(col("vec_id") < 5)
+      ml.Similarity.binaryTopK(corpus, "vec_id", "embedding",
+        queries, "vec_id", "embedding", k = 10, maxHamming = 16)
+        .withColumn("rank", col("rank").cast(LongType))
+    }),
+
     // incremental index maintenance: build the IVF index on 6/7 of the
     // corpus, APPEND the rest through frozen-centroid routing (no refit,
     // nothing rewritten), and serve. Routing is deterministic, so the
@@ -5046,6 +5070,33 @@ object SparkEntry {
 
     // identical ranking contract served from the persisted index
     "simsearch_ivf_disk" ->
+      """WITH orig AS (
+        |  SELECT CAST(vec_id AS BIGINT) AS vec_id,
+        |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |corpus AS (
+        |  SELECT a.vec_id,
+        |         list_transform(generate_series(1, 64),
+        |                        i -> c.v[i] + 0.1 * a.v[i]) AS v
+        |  FROM orig a JOIN orig c ON c.vec_id = a.vec_id % 8),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM corpus WHERE vec_id < 5),
+        |scored AS (
+        |  SELECT q.query_id, e.vec_id AS neighbor_id,
+        |         list_cosine_similarity(q.qv, e.v) AS cosine
+        |  FROM q CROSS JOIN corpus e WHERE e.vec_id <> q.query_id),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id,
+        |         row_number() OVER (PARTITION BY query_id
+        |                            ORDER BY cosine DESC, neighbor_id) AS rank,
+        |         cosine
+        |  FROM scored)
+        |SELECT query_id, neighbor_id, rank, round(cosine, 4) AS cosine
+        |FROM ranked WHERE rank <= 10""".stripMargin,
+
+    // the Hamming shortlist is a superset of every true top-10 in this
+    // corpus (cross-cluster codes sit ~32 bits away, the cut is 16), and
+    // the rerank is exact — so the oracle is the same exact top-k
+    "simsearch_binary" ->
       """WITH orig AS (
         |  SELECT CAST(vec_id AS BIGINT) AS vec_id,
         |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

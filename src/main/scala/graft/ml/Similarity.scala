@@ -56,6 +56,59 @@ object Similarity {
         round(col("cosine"), 4).as("cosine"))
   }
 
+  /** Sign-bit binary code of the vector: `array<bigint>`, bit i of block
+    * i/64 set iff component i > 0 — the 1-bit embedding (32× smaller than
+    * float32) binary-retrieval stacks prefilter with.
+    */
+  def signBits(vec: Column): Column = graft.plans.expressions.sign_bits(vec)
+
+  /** Hamming distance between two sign-bit codes (long, block-wise
+    * popcount of the xor). Tiny arrays — the HOF stays cheap.
+    */
+  def hammingBits(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => bit_count(x.bitwiseXOR(y)).cast("long")),
+      lit(0L), (acc, h) => acc + h)
+
+  /** Binary-quantized cosine top-k — the modern 1-bit retrieval shape:
+    * corpus vectors prefilter by HAMMING distance of their sign-bit
+    * codes against the broadcast query codes (popcounts at scan speed —
+    * the float vectors of rejected rows are never touched by the
+    * scorer), and only the `maxHamming` shortlist pays the exact cosine
+    * rerank + per-query top-k. Sign bits approximate angle (each
+    * agreeing bit is an agreeing half-space), so the shortlist contains
+    * the true neighbors whenever `maxHamming` exceeds the in-neighbor
+    * bit-flip rate — with an exact rerank on top, output EQUALS brute
+    * force whenever no true top-k neighbor is farther than `maxHamming`
+    * bits (the gated-regime claim, spec-checked; at 64 dims random
+    * vectors sit ~32 bits apart, near-duplicates a handful).
+    *
+    * Scale shape: one scan computes codes + popcounts (Q per row,
+    * broadcast queries), the shortlist is the only thing entering the
+    * rerank window, and corpus floats never shuffle. For large Q swap
+    * the broadcast for the banded pigeonhole join
+    * ([[graft.plans.BandedHammingJoin]]'s shape).
+    */
+  def binaryTopK(corpus: DataFrame, corpusId: String, corpusVec: String,
+                 queries: DataFrame, queryId: String, queryVec: String,
+                 k: Int = 10, maxHamming: Int = 16): DataFrame = {
+    require(k >= 1 && maxHamming >= 0)
+    val q = broadcast(queries.select(
+      col(queryId).as("query_id"), col(queryVec).as("__qv"),
+      signBits(col(queryVec)).as("__qf")))
+    corpus.select(col(corpusId).as("neighbor_id"), col(corpusVec).as("__cv"),
+        signBits(col(corpusVec)).as("__cf"))
+      .crossJoin(q)
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .filter(hammingBits(col("__cf"), col("__qf")) <= maxHamming)
+      .withColumn("cosine", cosine(col("__qv"), col("__cv")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("cosine").desc, col("neighbor_id"))))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        round(col("cosine"), 4).as("cosine"))
+  }
+
   // ---- int8 scalar quantization (SQ8) ----------------------------------
 
   /** Per-vector int8 scalar quantization: `scale = max|xᵢ|/127`, `codes =

@@ -480,6 +480,26 @@ object ExprKernels {
     dot
   }
 
+  /** Sign-bit binary quantization of a float/double vector: bit i of
+    * block i/64 is set iff `vec[i] > 0` — the 1-bit embedding code
+    * (32× smaller than float32) modern binary-retrieval stacks prefilter
+    * with; Hamming distance on the blocks approximates angle, and an
+    * exact rerank of the shortlist restores exact top-k. Zeros quantize
+    * to 0 bits (sign(0) has no information either way). d ≤ 64 packs
+    * into a single block.
+    */
+  def signBits(vec: ArrayData, isFloat: Boolean): ArrayData = {
+    val n = vec.numElements()
+    val blocks = new Array[Long](math.max(1, (n + 63) / 64))
+    var i = 0
+    while (i < n) {
+      val x = if (isFloat) vec.getFloat(i).toDouble else vec.getDouble(i)
+      if (x > 0.0) blocks(i >> 6) |= 1L << (i & 63)
+      i += 1
+    }
+    new GenericArrayData(blocks)
+  }
+
   /** Set-Jaccard of two `array<bigint>` hash sets in one pass (see
     * [[HashJaccard]]): |a ∩ b| / |a ∪ b| with an open-addressed probe
     * table — replaces the `size(array_intersect)/size(array_union)`

@@ -114,6 +114,10 @@ object expressions {
   def cosine_sim(a: Column, b: Column): Column =
     column(VecDot(expression(a), expression(b), DotMode.Cosine))
 
+  /** Sign-bit binary code of a float/double vector (see [[SignBits]]). */
+  def sign_bits(vec: Column): Column =
+    column(SignBits(expression(vec)))
+
   /** Whitespace/case-normalized md5 fingerprint of a text column, fused
     * into one pass (see [[NormalizedMd5]]).
     */
@@ -793,6 +797,39 @@ private[plans] object DotMode extends Enumeration { val Dot, Cosine = Value }
   * columns (float or double elements), accumulating in double. Cosine of a
   * zero vector → NULL.
   */
+/** Sign-bit binary quantization of a float/double vector (see
+  * [[ExprKernels.signBits]]): `array<bigint>` of ceil(d/64) blocks, bit
+  * set iff the component is positive — the 1-bit embedding code binary
+  * retrieval prefilters with.
+  */
+case class SignBits(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  private def elemType = child.dataType match {
+    case ArrayType(t, _) => t
+    case _ => NullType
+  }
+  override def checkInputDataTypes() = elemType match {
+    case FloatType | DoubleType =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case other =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"sign_bits expects array<float|double>, got $other")
+  }
+
+  private lazy val isFloat = elemType == FloatType
+
+  override def nullSafeEval(input: Any): Any =
+    ExprKernels.signBits(input.asInstanceOf[ArrayData], isFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.ExprKernels.signBits($c, $isFloat);")
+
+  override protected def withNewChildInternal(c: Expression): SignBits =
+    copy(child = c)
+}
+
 case class VecDot(left: Expression, right: Expression,
                   mode: DotMode.Value)
     extends BinaryExpression {

@@ -179,4 +179,60 @@ class SimilaritySpec extends SparkSpec {
     val r0 = recall(0); val r4 = recall(4)
     assert(r4 >= r0, s"multi-probe recall $r4 below single-bucket $r0")
   }
+
+  test("signBits packs positive components; >64 dims span blocks") {
+    import org.apache.spark.sql.functions.col
+    val v = Seq(
+      (1L, Array(1.0f, -2.0f, 0.0f, 3.0f)),            // bits 0 and 3
+      (2L, Array.tabulate(70)(i => if (i % 3 == 0) 1.0f else -1.0f)))
+      .toDF("id", "v")
+    val got = v.select(col("id"), Similarity.signBits(col("v")))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(got(1L) == Seq((1L << 0) | (1L << 3)), got(1L).toString)
+    assert(got(2L).length == 2, "70 dims need two blocks")
+    // bit i set iff i % 3 == 0 (block-local)
+    val b = got(2L)
+    (0 until 70).foreach { i =>
+      val set = ((b(i >> 6) >> (i & 63)) & 1L) == 1L
+      assert(set == (i % 3 == 0), s"bit $i")
+    }
+    // hamming of a code with itself is 0; flipping one sign flips 1 bit
+    val pair = Seq((Array(1.0f, -1.0f, 1.0f), Array(1.0f, 1.0f, 1.0f)))
+      .toDF("a", "b")
+      .select(Similarity.hammingBits(
+        Similarity.signBits(col("a")), Similarity.signBits(col("b"))))
+    assert(pair.head().getLong(0) == 1L)
+  }
+
+  test("binaryTopK equals brute force when the Hamming cut covers the " +
+       "true neighbors, and the prefilter actually prunes") {
+    import org.apache.spark.sql.functions._
+    // 3 tight clusters in 16d: in-cluster sign flips ≈ 0-2 bits,
+    // cross-cluster ≈ 8 — maxHamming = 4 splits them
+    val rnd = new scala.util.Random(11)
+    val base = Array.tabulate(3, 16)((c, i) =>
+      if ((i + c) % 3 == 0) 1.0f else -1.0f) // 3 DISTINCT sign patterns
+                                             // (~10/16 bits apart pairwise)
+    val docs = (0 until 90).map { i =>
+      val c = i % 3
+      (i.toLong, base(c).map(x => x + (rnd.nextFloat() - 0.5f) * 0.2f))
+    }.toDF("vec_id", "embedding")
+    val queries = docs.filter(col("vec_id") < 3)
+    val got = Similarity.binaryTopK(docs, "vec_id", "embedding",
+        queries, "vec_id", "embedding", k = 5, maxHamming = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val want = Similarity.bruteForceTopK(docs, "vec_id", "embedding",
+        queries, "vec_id", "embedding", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == want && got.nonEmpty)
+    // the shortlist really prunes: cross-cluster candidates never rerank
+    val q1 = queries.filter(col("vec_id") === 0L)
+    val shortlist = docs
+      .crossJoin(broadcast(q1.select(
+        Similarity.signBits(col("embedding")).as("__qf"))))
+      .filter(Similarity.hammingBits(
+        Similarity.signBits(col("embedding")), col("__qf")) <= 4)
+      .count()
+    assert(shortlist <= 35, s"expected ~1 cluster of 30, got $shortlist")
+  }
 }
