@@ -137,6 +137,14 @@ object GraftFunctions {
         require(args.length == 1, "graft_unicode_clean(text)")
         UnicodeClean(args.head)
       }),
+    (FunctionIdentifier("graft_sign_bits"),
+      info("graft_sign_bits",
+        "graft_sign_bits(vec) - sign-bit binary code of a float/double " +
+          "vector (array<bigint> blocks; the 1-bit retrieval prefilter)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "graft_sign_bits(vec)")
+        SignBits(args.head)
+      }),
     (FunctionIdentifier("graft_hash_jaccard"),
       info("graft_hash_jaccard",
         "graft_hash_jaccard(a, b) - one-pass set Jaccard of two " +

@@ -98,6 +98,11 @@ class GraftFunctionsSpec extends SparkSpec {
       graft.plans.expressions.hash_jaccard(col("a"), col("b")).as("s"))
       .collect().toSeq
     assert(cmp == api)
+    // graft_sign_bits: SQL == Column API on a float vector
+    val v = Seq(Tuple1(Array(1.0f, -2.0f, 0.5f))).toDF("v")
+    assert(v.selectExpr("graft_sign_bits(v)").head().getSeq[Long](0) ==
+      v.select(graft.plans.expressions.sign_bits(col("v")))
+        .head().getSeq[Long](0))
   }
 
   test("non-literal width argument raises a clear error") {
