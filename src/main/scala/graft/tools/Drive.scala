@@ -994,6 +994,29 @@ object Drive {
       .map { case (c, n) => s"$c:$n" }.mkString(", ")} " +
       s"(sum ${cells.values.sum} == ${embAll2.count()})")
 
+    // sharded bloom bank: same exact result as the single filter
+    val keyed2 = docs.withColumn("__k", md5(col("text")))
+    val bloomRef2 = keyed.filter(col("doc_id") % 5 < 2).select("__k")
+    val singleN = graft.text.BloomDedup.newRows(keyed2, bloomRef2, "__k").count()
+    val bankN = graft.text.BloomDedup.newRowsSharded(
+      keyed2, bloomRef2, "__k", shards = 8).count()
+    println(s"[78] sharded bloom bank: $bankN new rows == single-filter $singleN")
+
+    // binary retrieval: sign-code Hamming prefilter + exact rerank
+    // equals brute force on the raw embeddings' own near-duplicates
+    val bq = embAll2.filter(col("vec_id") < 3)
+    val bin = graft.ml.Similarity.binaryTopK(embAll2, "vec_id", "embedding",
+      bq, "vec_id", "embedding", k = 5, maxHamming = 24).count()
+    println(s"[79] binary retrieval: ${bin} ranked rows for 3 queries " +
+      s"(Hamming-prefiltered, exact rerank)")
+
+    // mojibake repair round-trips the corpus through a Latin-1 mangle
+    val mjN = docs.select(graft.plans.expressions.fix_mojibake(
+        decode(encode(col("text"), "UTF-8"), "ISO-8859-1")).as("f"),
+        col("text"))
+      .filter(col("f") === col("text")).count()
+    println(s"[80] mojibake repair restores $mjN of ${docs.count()} docs")
+
     spark.stop()
   }
 }
