@@ -1524,6 +1524,17 @@ object SparkEntry {
 
     // gap-based session windows (same code path Structured Streaming runs;
     // see graft.streaming.EventStreams.sessionize)
+    // ordered funnel (view → click → purchase within 1 hour of first
+    // view): greedy-earliest step chaining is exists-exact for "reached
+    // step k"; horizon anchored at the first entry (the funnel-tool
+    // convention). Per-entrant rows — the oracle replays the same
+    // min-chain in closed CTEs
+    "events_funnel" -> ((s, dir) =>
+      operators.Funnel.funnelReport(t(s, dir, "events"),
+        "user_id", "event_type", "ts",
+        steps = Seq("view", "click", "purchase"),
+        within = Some("1 HOUR"))),
+
     "events_sessionize" -> ((s, dir) =>
       streaming.EventStreams.sessionize(events(s, dir), gap = "30 minutes")
         .select("session_start", "user_id", "n_events", "session_value")),
@@ -4005,6 +4016,31 @@ object SparkEntry {
       """SELECT e.user_id, e.event_id, e.event_type,
         |       c.c_mktsegment AS segment
         |FROM events e JOIN customer c ON e.user_id = c.c_custkey""".stripMargin,
+
+    // greedy min-chain: ts1 = first view; ts2 = first click after ts1;
+    // ts3 = first purchase after ts2; completed iff ts3 within 1h of ts1
+    "events_funnel" ->
+      """WITH s1 AS (
+        |  SELECT user_id, min(ts) AS ts1 FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |s2 AS (
+        |  SELECT e.user_id, s1.ts1, min(e.ts) AS ts2
+        |  FROM events e JOIN s1 USING (user_id)
+        |  WHERE e.event_type = 'click' AND e.ts > s1.ts1
+        |  GROUP BY e.user_id, s1.ts1),
+        |s3 AS (
+        |  SELECT e.user_id, s2.ts1, s2.ts2, min(e.ts) AS ts3
+        |  FROM events e JOIN s2 USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ts > s2.ts2
+        |  GROUP BY e.user_id, s2.ts1, s2.ts2)
+        |SELECT s1.user_id,
+        |  CAST(CASE WHEN s3.ts3 IS NOT NULL THEN 3
+        |            WHEN s2.ts2 IS NOT NULL THEN 2
+        |            ELSE 1 END AS BIGINT) AS steps_completed,
+        |  coalesce(s3.ts3 <= s1.ts1 + INTERVAL 1 HOUR, FALSE) AS completed
+        |FROM s1
+        |LEFT JOIN s2 USING (user_id)
+        |LEFT JOIN s3 USING (user_id)""".stripMargin,
 
     "events_sessionize" ->
       """WITH d AS (
