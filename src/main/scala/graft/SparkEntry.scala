@@ -1535,6 +1535,13 @@ object SparkEntry {
         steps = Seq("view", "click", "purchase"),
         within = Some("1 HOUR"))),
 
+    // weekly cohort retention (the analytics triangle): cohort = ISO
+    // week of first event, cells count distinct users active N whole
+    // weeks later — all-integer, engine-portable
+    "events_retention" -> ((s, dir) =>
+      operators.Funnel.weeklyRetention(t(s, dir, "events"),
+        "user_id", "ts")),
+
     "events_sessionize" -> ((s, dir) =>
       streaming.EventStreams.sessionize(events(s, dir), gap = "30 minutes")
         .select("session_start", "user_id", "n_events", "session_value")),
@@ -4016,6 +4023,22 @@ object SparkEntry {
       """SELECT e.user_id, e.event_id, e.event_type,
         |       c.c_mktsegment AS segment
         |FROM events e JOIN customer c ON e.user_id = c.c_custkey""".stripMargin,
+
+    // same truncation (date_trunc week = ISO Monday in both engines),
+    // whole-week integer offsets, distinct-user cells
+    "events_retention" ->
+      """WITH fw AS (
+        |  SELECT user_id,
+        |         CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+        |  FROM events GROUP BY user_id),
+        |act AS (
+        |  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS w
+        |  FROM events)
+        |SELECT fw.cohort_week,
+        |  CAST((act.w - fw.cohort_week) / 7 AS BIGINT) AS week_offset,
+        |  count(DISTINCT act.user_id) AS n_users
+        |FROM act JOIN fw USING (user_id)
+        |GROUP BY fw.cohort_week, week_offset""".stripMargin,
 
     // greedy min-chain: ts1 = first view; ts2 = first click after ts1;
     // ts3 = first purchase after ts2; completed iff ts3 within 1h of ts1

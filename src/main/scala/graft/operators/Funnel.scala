@@ -74,4 +74,31 @@ object Funnel {
       reached.as("steps_completed"),
       coalesce(inWindow, lit(false)).as("completed"))
   }
+
+  /** Weekly cohort retention — the other classic product-analytics
+    * operator: users cohort by the ISO week of their FIRST event, and
+    * each (cohort, week-offset) cell counts the distinct users active
+    * that many weeks later. Offsets are exact integers (truncated weeks
+    * differ by whole weeks), so the triangle is engine-portable with no
+    * float anywhere.
+    *
+    * Scale shape: one scan feeds both the per-user first-event
+    * aggregation (partial min) and the distinct (user, week) activity
+    * projection; the join is user-keyed; the final cell aggregation is
+    * |cohorts × offsets|-sized. Events never shuffle wider than
+    * (user, week) pairs.
+    */
+  def weeklyRetention(events: DataFrame, userCol: String,
+                      tsCol: String): DataFrame = {
+    val firstWeek = events.groupBy(col(userCol))
+      .agg(to_date(date_trunc("week", min(col(tsCol)))).as("cohort_week"))
+    val active = events
+      .select(col(userCol), to_date(date_trunc("week", col(tsCol))).as("__w"))
+      .distinct()
+    active.join(firstWeek, Seq(userCol))
+      .withColumn("week_offset",
+        (datediff(col("__w"), col("cohort_week")) / 7).cast("long"))
+      .groupBy(col("cohort_week"), col("week_offset"))
+      .agg(count_distinct(col(userCol)).as("n_users"))
+  }
 }

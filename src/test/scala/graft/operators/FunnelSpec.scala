@@ -58,6 +58,27 @@ class FunnelSpec extends SparkSpec {
     assert(open(1L) && open(2L))
   }
 
+  test("weeklyRetention: cohorts by first-event week, whole-week offsets, " +
+       "distinct users per cell") {
+    def t(d: String) = java.sql.Timestamp.valueOf(s"$d 12:00:00")
+    // 2024-01-01 is a Monday: week boundaries are unambiguous
+    val d = Seq(
+      (1L, t("2024-01-01")), (1L, t("2024-01-03")), // w0 twice -> 1 cell
+      (1L, t("2024-01-10")),                        // w1
+      (2L, t("2024-01-02")),                        // cohort w0, w0 only
+      (3L, t("2024-01-09")), (3L, t("2024-01-22"))) // cohort w1; offsets 0, 2
+      .toDF("user_id", "ts")
+    val cells = Funnel.weeklyRetention(d, "user_id", "ts")
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1)) -> r.getLong(2))
+      .toMap
+    assert(cells == Map(
+      ("2024-01-01", 0L) -> 2L,  // users 1 and 2 in cohort w0, active w0
+      ("2024-01-01", 1L) -> 1L,  // user 1 back in w1
+      ("2024-01-08", 0L) -> 1L,  // user 3's own cohort
+      ("2024-01-08", 2L) -> 1L), // user 3 back two weeks later
+      cells.toString)
+  }
+
   test("repeated steps rejected; ties at the same timestamp stay strict") {
     val d = ev((1L, "view", 0), (1L, "click", 0), (1L, "purchase", 1))
     // click at the SAME instant as the view is not strictly after
