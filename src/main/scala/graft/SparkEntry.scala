@@ -2344,6 +2344,26 @@ object SparkEntry {
     // one file per partition), read them back through the file-per-task
     // source, and verify the payload survives byte-exact via per-source
     // char/id aggregates the oracle re-derives from the table directly
+    // NumPy .npy round-trip (the embedding interchange format): paired
+    // .vec.npy float32 / .ids.npy int64 shards export and read back
+    // BIT-exactly; the per-row ordered double fold covers every
+    // component, so a mis-paired id or a byte-order slip hash-mismatches
+    "source_npy" -> ((s, dir) => {
+      val base = "/root/repo/target/tmp/q_npy"
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm); f.delete(); ()
+      }
+      rm(new java.io.File(base))
+      val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+      sources.Npy.export(emb.repartition(4, col("vec_id")),
+        "vec_id", "embedding", base)
+      sources.Npy.readPaired(s, base)
+        .select(col("id").as("vec_id"),
+          size(col("vec")).cast(LongType).as("dim"),
+          aggregate(transform(col("vec"), x => x.cast("double")),
+            lit(0.0), (a, x) => a + x).as("vec_sum"))
+    }),
+
     // JSONL round-trip + corrupt-line isolation: documents export as
     // gzip JSON-Lines shards, a planted malformed shard joins them, and
     // the pinned-schema PERMISSIVE read must recover every clean row
@@ -4917,6 +4937,14 @@ object SparkEntry {
         |  CAST(sum(length(text)) AS BIGINT) AS n_chars,
         |  CAST(sum(doc_id) AS BIGINT) AS ids_sum
         |FROM documents GROUP BY source""".stripMargin,
+
+    // float32 bits round-trip exactly: the same left-fold over the same
+    // doubles on both sides, no tolerance anywhere
+    "source_npy" ->
+      """SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim,
+        |  list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)))
+        |    AS vec_sum
+        |FROM embeddings""".stripMargin,
 
     // clean rows round-trip bit-exact; the quarantine row counts exactly
     // the 3 planted malformed lines
