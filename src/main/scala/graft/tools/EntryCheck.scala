@@ -37,6 +37,22 @@ object EntryCheck {
         overGuarded.toSeq.sorted.mkString(", "))
     println(s"guarded golden literals = ${literal.toSeq.sorted.mkString(", ")}")
 
+    // declared-query ⟷ oracle totality: every query has an oracle and
+    // every oracle (and guard-set member) names a real query — a typo in
+    // either direction silently weakens or skips verification
+    val qs = graft.SparkEntry.queries.keySet
+    val os = graft.SparkEntry.oracleSql.keySet
+    require((qs -- os).isEmpty,
+      s"queries without an oracle: ${(qs -- os).toSeq.sorted.mkString(", ")}")
+    require((os -- qs).isEmpty,
+      s"oracles without a query: ${(os -- qs).toSeq.sorted.mkString(", ")}")
+    val guards = graft.SparkEntry.sf001OnlyOracles ++
+      graft.SparkEntry.sf001RegimeOracles
+    require((guards -- qs).isEmpty,
+      s"guard entries naming no query: ${(guards -- qs).toSeq.sorted.mkString(", ")}")
+    println(s"query/oracle totality holds over ${qs.size} queries " +
+      s"(${guards.size} sf-guarded)")
+
     val spark = org.apache.spark.sql.SparkSession.builder()
       .master("local[4]").config("spark.ui.enabled","false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
