@@ -2364,6 +2364,25 @@ object SparkEntry {
             lit(0.0), (a, x) => a + x).as("vec_sum"))
     }),
 
+    // safetensors round-trip (the modern tensor interchange): the same
+    // paired vectors+ids convention as .npy in the length-prefixed-JSON
+    // format; same no-tolerance ordered-fold oracle
+    "source_safetensors" -> ((s, dir) => {
+      val base = "/root/repo/target/tmp/q_safetensors"
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm); f.delete(); ()
+      }
+      rm(new java.io.File(base))
+      val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+      sources.Safetensors.export(emb.repartition(4, col("vec_id")),
+        "vec_id", "embedding", base)
+      sources.Safetensors.read(s, base)
+        .select(col("id").as("vec_id"),
+          size(col("vec")).cast(LongType).as("dim"),
+          aggregate(transform(col("vec"), x => x.cast("double")),
+            lit(0.0), (a, x) => a + x).as("vec_sum"))
+    }),
+
     // JSONL round-trip + corrupt-line isolation: documents export as
     // gzip JSON-Lines shards, a planted malformed shard joins them, and
     // the pinned-schema PERMISSIVE read must recover every clean row
@@ -4937,6 +4956,13 @@ object SparkEntry {
         |  CAST(sum(length(text)) AS BIGINT) AS n_chars,
         |  CAST(sum(doc_id) AS BIGINT) AS ids_sum
         |FROM documents GROUP BY source""".stripMargin,
+
+    // identical contract to source_npy: bit-exact float32 round trip
+    "source_safetensors" ->
+      """SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim,
+        |  list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)))
+        |    AS vec_sum
+        |FROM embeddings""".stripMargin,
 
     // float32 bits round-trip exactly: the same left-fold over the same
     // doubles on both sides, no tolerance anywhere
