@@ -1575,6 +1575,20 @@ object SparkEntry {
         leftTime = "ts", rightTime = "ts")
     }),
 
+    // NEAREST as-of (pandas merge_asof direction="nearest" parity):
+    // both directional passes, row-local pick by µs-exact gap, ties
+    // backward; oracle composes DuckDB's two ASOF directions
+    "events_asof_nearest" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts")
+      val views = ev.filter(col("event_type") === "view")
+        .groupBy("user_id", "ts")
+        .agg(round(max("value"), 2).as("view_value"))
+      AsOfJoin.asOfJoin(clicks, views, keys = Seq("user_id"),
+        leftTime = "ts", rightTime = "ts", direction = "nearest")
+    }),
+
     // the SKEW-SAFE as-of variant (per-task input bounded by time bucket,
     // hot keys spread across tasks) — same semantics, same ASOF oracle
     "events_asof_bucketed" -> ((s, dir) => {
@@ -4269,6 +4283,34 @@ object SparkEntry {
         |       v.ts AS right_ts, v.view_value AS right_view_value
         |FROM clicks c ASOF LEFT JOIN views v
         |  ON c.user_id = v.user_id AND c.ts >= v.ts""".stripMargin,
+
+    // two ASOF directions composed; epoch_us keeps the gap compare
+    // µs-exact; ties (equal gaps) go backward
+    "events_asof_nearest" ->
+      """WITH clicks AS (
+        |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+        |views AS (
+        |  SELECT user_id, ts, round(max(value), 2) AS view_value
+        |  FROM events WHERE event_type = 'view' GROUP BY user_id, ts),
+        |b AS (
+        |  SELECT c.event_id, c.user_id, c.ts,
+        |         v.ts AS bts, v.view_value AS bval
+        |  FROM clicks c ASOF LEFT JOIN views v
+        |    ON c.user_id = v.user_id AND c.ts >= v.ts),
+        |f AS (
+        |  SELECT c.event_id, v.ts AS fts, v.view_value AS fval
+        |  FROM clicks c ASOF LEFT JOIN views v
+        |    ON c.user_id = v.user_id AND c.ts <= v.ts)
+        |SELECT b.event_id, b.user_id, b.ts,
+        |  CASE WHEN b.bts IS NOT NULL AND (f.fts IS NULL OR
+        |         epoch_us(b.ts) - epoch_us(b.bts)
+        |           <= epoch_us(f.fts) - epoch_us(b.ts))
+        |       THEN b.bts ELSE f.fts END AS right_ts,
+        |  CASE WHEN b.bts IS NOT NULL AND (f.fts IS NULL OR
+        |         epoch_us(b.ts) - epoch_us(b.bts)
+        |           <= epoch_us(f.fts) - epoch_us(b.ts))
+        |       THEN b.bval ELSE f.fval END AS right_view_value
+        |FROM b JOIN f USING (event_id)""".stripMargin,
 
     // the bucketed variant computes the SAME relation
     "events_asof_bucketed" ->

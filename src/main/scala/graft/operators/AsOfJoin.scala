@@ -37,7 +37,55 @@ object AsOfJoin {
   def asOfJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                leftTime: String, rightTime: String,
                rightPrefix: String = "right_",
-               toleranceSeconds: Option[Long] = None): DataFrame = {
+               toleranceSeconds: Option[Long] = None,
+               direction: String = "backward"): DataFrame = direction match {
+    case "backward" =>
+      directional(left, right, keys, leftTime, rightTime, rightPrefix,
+        toleranceSeconds, forward = false)
+    case "forward" =>
+      directional(left, right, keys, leftTime, rightTime, rightPrefix,
+        toleranceSeconds, forward = true)
+    case "nearest" =>
+      // both directional passes, then a row-local pick: the smaller
+      // |Δt| wins, ties go BACKWARD (the pandas merge_asof rule).
+      // Each pass is the one-shuffle union+window; the passes join back
+      // on the left row identity (same keys + left time + a row tag)
+      val tag = "__asof_row"
+      val tagged = left.withColumn(tag, monotonically_increasing_id())
+      val b = directional(tagged, right, keys, leftTime, rightTime,
+        "__b_", toleranceSeconds, forward = false)
+      val f = directional(tagged, right, keys, leftTime, rightTime,
+        "__f_", toleranceSeconds, forward = true)
+      val rightPayload = right.columns.filterNot(keys.contains).toSeq
+      val fOnly = f.select((tag +: rightPayload.map(c => s"__f_$c")).map(col): _*)
+      // µs-exact gap comparison (a seconds cast would truncate and
+      // misdecide sub-second ties — the sessionize µs lesson)
+      val bt = unix_micros(col(s"__b_$rightTime"))
+      val ft = unix_micros(col(s"__f_$rightTime"))
+      val lt = unix_micros(col(leftTime))
+      val useBack = col(s"__b_$rightTime").isNotNull &&
+        (col(s"__f_$rightTime").isNull || (lt - bt) <= (ft - lt))
+      b.join(fOnly, Seq(tag))
+        .select(left.columns.map(col).toSeq ++ rightPayload.map(c =>
+          when(useBack, col(s"__b_$c")).otherwise(col(s"__f_$c"))
+            .as(s"$rightPrefix$c")): _*)
+    case other => throw new IllegalArgumentException(
+      s"unknown as-of direction '$other' (backward | forward | nearest)")
+  }
+
+  /** The directional core: backward = most recent right row at-or-before
+    * each left time (the classic as-of); forward = the FIRST right row
+    * at-or-after (pandas `direction="forward"`). Forward is the same
+    * union + window machinery run over DESCENDING time — the running
+    * `last(payload)` then carries the nearest FOLLOWING right row, with
+    * the identical tie rule (equal times match, right sorts first).
+    * Tolerance bounds the match window on the matching side.
+    */
+  private def directional(left: DataFrame, right: DataFrame,
+                          keys: Seq[String], leftTime: String,
+                          rightTime: String, rightPrefix: String,
+                          toleranceSeconds: Option[Long],
+                          forward: Boolean): DataFrame = {
     require(keys.nonEmpty, "as-of join requires at least one key column")
     require(!keys.contains(rightTime),
       "rightTime must be a payload column, not a join key")
@@ -67,18 +115,23 @@ object AsOfJoin {
         else lit(null).cast(left.schema(c).dataType).as(c)) ++
         Seq(col(t), col(side), col(payload)): _*)
 
+    val timeOrder = if (forward) col(t).desc else col(t).asc
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col(t), col(side))
+      .orderBy(timeOrder, col(side))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val joined = lAligned.unionByName(rAligned)
       .withColumn(payload, last(col(payload), ignoreNulls = true).over(w))
       .filter(col(side) === 1)
 
     val withTolerance = toleranceSeconds match {
-      case Some(tol) => joined.withColumn(payload,
-        when(col(s"$payload.$rightTime").isNotNull &&
-          col(s"$payload.$rightTime").cast("long") >= col(t).cast("long") - tol,
-          col(payload)).otherwise(lit(null).cast(joined.schema(payload).dataType)))
+      case Some(tol) =>
+        val rt = col(s"$payload.$rightTime").cast("long")
+        val lt = col(t).cast("long")
+        val inWindow =
+          if (forward) rt <= lt + tol else rt >= lt - tol
+        joined.withColumn(payload,
+          when(col(s"$payload.$rightTime").isNotNull && inWindow,
+            col(payload)).otherwise(lit(null).cast(joined.schema(payload).dataType)))
       case None => joined
     }
 

@@ -36,6 +36,51 @@ class AsOfJoinSpec extends SparkSpec {
       5L -> null)) // key 30 has no right rows
   }
 
+  test("forward direction picks the FIRST right row at-or-after; " +
+       "nearest picks the smaller gap with ties backward") {
+    val fwd = AsOfJoin.asOfJoin(left, right, Seq("k"), "t", "t",
+        direction = "forward")
+      .select("id", "right_v").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1)).orNull).toMap
+    assert(fwd == Map(
+      1L -> "b", // equal time matches inclusively in BOTH directions
+      2L -> null, // nothing at or after 11:00 for key 10
+      3L -> "a", // 09:00 looks forward to 09:30
+      4L -> null, // key 20's only right row is earlier
+      5L -> null), fwd.toString)
+    // nearest: id 2 has only a backward match; id 3 only forward;
+    // id 1 ties at distance 0 -> backward (same row here)
+    val near = AsOfJoin.asOfJoin(left, right, Seq("k"), "t", "t",
+        direction = "nearest")
+      .select("id", "right_v").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1)).orNull).toMap
+    assert(near == Map(
+      1L -> "b", 2L -> "c", 3L -> "a", 4L -> "x", 5L -> null),
+      near.toString)
+    // a genuine two-sided case: 10:20 sits 20 min after "b", 25 min
+    // before "c" -> nearest takes the backward "b"
+    val mid = Seq((9L, 10L, ts("2024-01-01 10:20:00"))).toDF("id", "k", "t")
+    val nm = AsOfJoin.asOfJoin(mid, right, Seq("k"), "t", "t",
+        direction = "nearest")
+      .select("right_v").head().getString(0)
+    assert(nm == "b")
+    // and with the forward side strictly closer, forward wins
+    val mid2 = Seq((9L, 10L, ts("2024-01-01 10:40:00"))).toDF("id", "k", "t")
+    val nm2 = AsOfJoin.asOfJoin(mid2, right, Seq("k"), "t", "t",
+        direction = "nearest")
+      .select("right_v").head().getString(0)
+    assert(nm2 == "c")
+    // forward tolerance bounds the window on the matching side
+    val ft = AsOfJoin.asOfJoin(left, right, Seq("k"), "t", "t",
+        direction = "forward", toleranceSeconds = Some(600))
+      .select("id", "right_v").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1)).orNull).toMap
+    assert(ft(3L) == null, "09:30 is 30 min after 09:00 — out of a 10-min window")
+    assert(ft(1L) == "b")
+    intercept[IllegalArgumentException](
+      AsOfJoin.asOfJoin(left, right, Seq("k"), "t", "t", direction = "sideways"))
+  }
+
   test("tolerance voids matches older than the window") {
     val out = AsOfJoin.asOfJoin(left, right, Seq("k"), "t", "t",
         toleranceSeconds = Some(30 * 60))
