@@ -1010,6 +1010,29 @@ object Drive {
     println(s"[79] binary retrieval: ${bin} ranked rows for 3 queries " +
       s"(Hamming-prefiltered, exact rerank)")
 
+    // funnel + retention over live events; nearest as-of parity
+    val evAll = spark.read.parquet(s"$sfDir/events.parquet")
+    val fun = graft.operators.Funnel.funnelReport(evAll, "user_id",
+        "event_type", "ts", Seq("view", "click", "purchase"),
+        within = Some("1 HOUR"))
+      .groupBy("steps_completed").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ret = graft.operators.Funnel.weeklyRetention(evAll, "user_id", "ts")
+      .count()
+    println(s"[81] funnel steps histogram ${fun.toSeq.sorted.mkString(", ")}; " +
+      s"retention triangle has $ret cells")
+
+    // npy + safetensors round-trips on the embeddings
+    val ioDir = scratch("tensor_io")
+    graft.sources.Npy.export(embAll2.repartition(2), "vec_id", "embedding",
+      ioDir + "/npy")
+    graft.sources.Safetensors.export(embAll2.repartition(2), "vec_id",
+      "embedding", ioDir + "/st")
+    val npyN = graft.sources.Npy.readPaired(spark, ioDir + "/npy").count()
+    val stN = graft.sources.Safetensors.read(spark, ioDir + "/st").count()
+    println(s"[82] tensor interchange: .npy round-trips $npyN rows, " +
+      s"safetensors $stN")
+
     // mojibake repair round-trips the corpus through a Latin-1 mangle
     val mjN = docs.select(graft.plans.expressions.fix_mojibake(
         decode(encode(col("text"), "UTF-8"), "ISO-8859-1")).as("f"),
