@@ -24,6 +24,23 @@ class NpySpec extends SparkSpec {
     assert(back == want, "bit-exact float32 round trip with correct pairing")
   }
 
+  test("non-finite floats round-trip bit-exactly (NaN payloads, ±Inf, -0.0)") {
+    val special = Seq(
+      (1L, Array(Float.NaN, Float.PositiveInfinity,
+        Float.NegativeInfinity, -0.0f)),
+      (2L, Array(java.lang.Float.intBitsToFloat(0x7fc00001), // payload NaN
+        Float.MinPositiveValue, Float.MaxValue, 1.5f)))
+      .toDF("vec_id", "embedding")
+    val dir = tmpDir("npy_nan")
+    Npy.export(special.coalesce(1), "vec_id", "embedding", dir)
+    val back = Npy.readPaired(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(java.lang.Float.floatToRawIntBits)).toMap
+    val want = special.collect().map(r => r.getLong(0) ->
+      r.getSeq[Float](1).map(java.lang.Float.floatToRawIntBits)).toMap
+    assert(back == want, "raw float32 bit patterns must survive the container")
+  }
+
   test("the header is NumPy spec v1.0: magic, version, 64-byte alignment") {
     val dir = tmpDir("npy_hdr")
     Npy.export(vecs.coalesce(1), "vec_id", "embedding", dir)

@@ -44,6 +44,23 @@ class SafetensorsSpec extends SparkSpec {
     assert(first == 0.0f * 0.25f - 0 * 1.5f)
   }
 
+  test("non-finite floats round-trip bit-exactly") {
+    val special = Seq(
+      (1L, Array(Float.NaN, Float.PositiveInfinity,
+        Float.NegativeInfinity, -0.0f)),
+      (2L, Array(java.lang.Float.intBitsToFloat(0x7fc00001),
+        Float.MinPositiveValue, Float.MaxValue, 1.5f)))
+      .toDF("vec_id", "embedding")
+    val dir = tmpDir("st_nan")
+    Safetensors.export(special.coalesce(1), "vec_id", "embedding", dir)
+    val back = Safetensors.read(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(java.lang.Float.floatToRawIntBits)).toMap
+    val want = special.collect().map(r => r.getLong(0) ->
+      r.getSeq[Float](1).map(java.lang.Float.floatToRawIntBits)).toMap
+    assert(back == want)
+  }
+
   test("malformed or foreign files refuse loudly") {
     val dir = tmpDir("st_bad")
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
