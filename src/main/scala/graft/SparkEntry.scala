@@ -1857,6 +1857,17 @@ object SparkEntry {
         denominator = 100, keys = Seq("doc_id"), seed = 42L, portable = true)
         .select("doc_id", "lang", "split")),
 
+    // per-source TOKEN budget (the curation form row caps can't say):
+    // keep each source's largest docs until 5000 chars are spent,
+    // best-first, whole rows only
+    "group_weight_cap" -> ((s, dir) =>
+      Sampling.capWeightPerGroup(
+        t(s, dir, "documents").select("doc_id", "source", "n_chars"),
+        groupCols = Seq("source"),
+        orderBy = Seq(col("n_chars").desc, col("doc_id").asc),
+        weightCol = "n_chars", budget = 5000L)
+        .select("doc_id", "source", "n_chars")),
+
     "group_cap" -> ((s, dir) =>
       Sampling.capPerGroup(
         t(s, dir, "documents").select("doc_id", "lang", "n_chars"),
@@ -4211,6 +4222,16 @@ object SparkEntry {
         |WHERE CAST(concat('0x',
         |    substr(md5(concat_ws(chr(1), d.doc_id, '42')), 1, 15)) AS BIGINT)
         |  % 1000000 < r.num""".stripMargin,
+
+    // the same running sum in the same total order
+    "group_weight_cap" ->
+      """SELECT doc_id, source, n_chars FROM (
+        |  SELECT doc_id, source, n_chars,
+        |    sum(n_chars) OVER (PARTITION BY source
+        |      ORDER BY n_chars DESC, doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM documents)
+        |WHERE cum <= 5000""".stripMargin,
 
     "group_cap" ->
       """SELECT doc_id, lang FROM (

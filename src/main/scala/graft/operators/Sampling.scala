@@ -271,6 +271,35 @@ object Sampling {
       .select(df.columns.map(col): _*)
   }
 
+  /** Cap each group at a WEIGHT budget instead of a row count — "keep
+    * each source's best documents until its token budget is spent", the
+    * curation form row caps can't express (a source of ten-token
+    * fragments and one of novels need very different row counts for the
+    * same token mass). Rows keep while the running `weightCol` sum in
+    * `orderBy` order stays ≤ `budget` — best-first, deterministic given
+    * a total order (add a unique tiebreaker), and a row that would
+    * cross the budget is dropped whole (no partial documents).
+    *
+    * Scale note: the running sum serializes each group in one task —
+    * fine for config-sized group counts (sources, languages). For a
+    * group holding most of the corpus, pre-cut with [[capPerGroup]]
+    * (budget/min-weight rows bounds the survivors) and apply this to
+    * the remainder; the composition stays exact because the row cap
+    * keeps a superset of any budget-feasible prefix.
+    */
+  def capWeightPerGroup(df: DataFrame, groupCols: Seq[String],
+                        orderBy: Seq[Column], weightCol: String,
+                        budget: Long): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val cum = "__graft_cum"
+    val w = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(orderBy: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn(cum, sum(col(weightCol)).over(w))
+      .filter(col(cum) <= budget)
+      .drop(cum)
+  }
+
   /** At most `n` rows per group, ranked by `orderBy` — per-domain caps
     * against over-represented sources. `orderBy` MUST be a total order
     * within each group (add a unique tiebreaker column): with ties at the

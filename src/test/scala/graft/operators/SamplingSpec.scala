@@ -165,6 +165,31 @@ class SamplingSpec extends SparkSpec {
       Sampling.assignSplits(d, Seq("train" -> 90, "val" -> 5), 100, Seq("id")))
   }
 
+  test("capWeightPerGroup spends each group's budget best-first, " +
+       "whole rows only") {
+    val d = Seq(
+      ("a", 1L, 40L), ("a", 2L, 30L), ("a", 3L, 25L), ("a", 4L, 10L),
+      ("b", 5L, 100L), ("b", 6L, 5L),
+      ("c", 7L, 200L)) // first row alone exceeds the budget
+      .toDF("grp", "id", "w")
+    val got = Sampling.capWeightPerGroup(d, Seq("grp"),
+        Seq(col("w").desc, col("id").asc), "w", budget = 70L)
+      .select("id").as[Long].collect().toSet
+    // a: 40 + 30 = 70 fits; 25 would cross -> dropped (and so is 10,
+    // prefix semantics). b: 100 > 70 alone? no — ordered desc: 100
+    // crosses, so NOTHING from b? cum(100) = 100 > 70 -> dropped;
+    // next row's cum is 105 -> also dropped (running sum includes the
+    // dropped head: the budget is spent by ORDER, not by fit)
+    assert(got == Set(1L, 2L), got.toString)
+    // deterministic under repartition
+    val again = Sampling.capWeightPerGroup(d.repartition(5), Seq("grp"),
+        Seq(col("w").desc, col("id").asc), "w", budget = 70L)
+      .select("id").as[Long].collect().toSet
+    assert(again == got)
+    intercept[IllegalArgumentException](
+      Sampling.capWeightPerGroup(d, Seq("grp"), Seq(col("w")), "w", 0L))
+  }
+
   test("stratifiedSample keeps exactly ceil(frac·N_g) per stratum, " +
        "deterministically, with telescoping fractions") {
     val d = spark.range(1, 2101).select(col("id"),
