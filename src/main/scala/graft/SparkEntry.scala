@@ -1734,6 +1734,15 @@ object SparkEntry {
       t(s, dir, "documents").select(
         col("doc_id"), text.TextAnalysis.langId(col("text")).as("lang_detected"))),
 
+    // declared-vs-detected language confusion matrix — the audit view
+    // behind CCNet's drop-on-mismatch rule (and the fastest way to spot
+    // a mislabeled source at corpus scale)
+    "quality_lang_mismatch" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"), col("lang"),
+          text.TextAnalysis.langId(col("text")).as("lang_detected"))
+        .groupBy("lang", "lang_detected")
+        .agg(count(lit(1)).as("n"))),
+
     "quality_score" -> ((s, dir) =>
       t(s, dir, "documents").select(
         col("doc_id"), text.TextAnalysis.qualityScore(col("text")).as("quality"))),
@@ -2634,6 +2643,47 @@ object SparkEntry {
     * the same parquet tables. Omitted for non-SQL-expressible ops →
     * driver records a weaker rows-only check.
     */
+  /** The lang_id re-derivation (doc_id, lang_detected) — shared by the
+    * standalone oracle and the language-mismatch confusion matrix.
+    */
+  private val langIdSql: String =
+    """WITH t AS (
+        |  SELECT doc_id, text, CAST(length(text) AS DOUBLE) AS n,
+        |    list_distinct(list_filter(string_split_regex(lower(text), '[^\p{L}]+'),
+        |                  x -> length(x) > 0)) AS toks
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, n,
+        |    CASE WHEN n > 0 THEN length(regexp_extract_all(text, '[\x{4E00}-\x{9FFF}]')) / n ELSE 0 END AS cjk,
+        |    CASE WHEN n > 0 THEN length(regexp_extract_all(text, '[\x{3040}-\x{30FF}]')) / n ELSE 0 END AS kana,
+        |    CASE WHEN n > 0 THEN length(regexp_extract_all(text, '[\x{AC00}-\x{D7AF}]')) / n ELSE 0 END AS hangul,
+        |    CASE WHEN n > 0 THEN length(regexp_extract_all(text, '[\x{0400}-\x{04FF}]')) / n ELSE 0 END AS cyr,
+        |    CASE WHEN n > 0 THEN length(regexp_extract_all(text, '[\x{0600}-\x{06FF}]')) / n ELSE 0 END AS arab,
+        |    len(list_intersect(toks, ['the','and','of','to','is','that','with','for','was','this','are','have','not','you','they'])) AS s_en,
+        |    len(list_intersect(toks, ['der','die','das','und','ist','nicht','ein','eine','mit','für','auf','sich','dass','von','wir'])) AS s_de,
+        |    len(list_intersect(toks, ['le','la','les','et','est','une','pour','dans','que','pas','des','vous','avec','sur','nous'])) AS s_fr,
+        |    len(list_intersect(toks, ['el','la','los','las','es','una','para','que','con','por','del','se','su','como','más'])) AS s_es,
+        |    len(list_intersect(toks, ['il','la','che','di','non','per','una','sono','con','del','gli','ma','questo','anche','come'])) AS s_it,
+        |    len(list_intersect(toks, ['o','a','os','as','que','não','uma','para','com','por','do','da','em','se','mais'])) AS s_pt
+        |  FROM t)
+        |SELECT doc_id,
+        |  CASE
+        |    WHEN kana > 0.05 THEN 'ja'
+        |    WHEN cjk > 0.1 THEN 'zh'
+        |    WHEN hangul > 0.1 THEN 'ko'
+        |    WHEN cyr > 0.2 THEN 'ru'
+        |    WHEN arab > 0.2 THEN 'ar'
+        |    ELSE (CASE
+        |      WHEN greatest(s_en, s_de, s_fr, s_es, s_it, s_pt) = 0 THEN 'und'
+        |      WHEN s_en = greatest(s_en, s_de, s_fr, s_es, s_it, s_pt) THEN 'en'
+        |      WHEN s_de = greatest(s_en, s_de, s_fr, s_es, s_it, s_pt) THEN 'de'
+        |      WHEN s_fr = greatest(s_en, s_de, s_fr, s_es, s_it, s_pt) THEN 'fr'
+        |      WHEN s_es = greatest(s_en, s_de, s_fr, s_es, s_it, s_pt) THEN 'es'
+        |      WHEN s_it = greatest(s_en, s_de, s_fr, s_es, s_it, s_pt) THEN 'it'
+        |      ELSE 'pt' END)
+        |  END AS lang_detected
+        |FROM s""".stripMargin
+
   /** The quality_score re-derivation (doc_id, quality) — shared by
     * the standalone oracle and the composed ingest pipelines.
     */
@@ -4563,43 +4613,15 @@ object SparkEntry {
         |    AND fa >= 0.8 AND sh >= 1) AS keep
         |FROM s""".stripMargin,
 
-    "lang_id" ->
-      """WITH t AS (
-        |  SELECT doc_id, text, CAST(length(text) AS DOUBLE) AS n,
-        |    list_distinct(list_filter(string_split_regex(lower(text), '[^\p{L}]+'),
-        |                  x -> length(x) > 0)) AS toks
-        |  FROM documents),
-        |s AS (
-        |  SELECT doc_id, n,
-        |    CASE WHEN n > 0 THEN length(regexp_extract_all(text, '[\x{4E00}-\x{9FFF}]')) / n ELSE 0 END AS cjk,
-        |    CASE WHEN n > 0 THEN length(regexp_extract_all(text, '[\x{3040}-\x{30FF}]')) / n ELSE 0 END AS kana,
-        |    CASE WHEN n > 0 THEN length(regexp_extract_all(text, '[\x{AC00}-\x{D7AF}]')) / n ELSE 0 END AS hangul,
-        |    CASE WHEN n > 0 THEN length(regexp_extract_all(text, '[\x{0400}-\x{04FF}]')) / n ELSE 0 END AS cyr,
-        |    CASE WHEN n > 0 THEN length(regexp_extract_all(text, '[\x{0600}-\x{06FF}]')) / n ELSE 0 END AS arab,
-        |    len(list_intersect(toks, ['the','and','of','to','is','that','with','for','was','this','are','have','not','you','they'])) AS s_en,
-        |    len(list_intersect(toks, ['der','die','das','und','ist','nicht','ein','eine','mit','für','auf','sich','dass','von','wir'])) AS s_de,
-        |    len(list_intersect(toks, ['le','la','les','et','est','une','pour','dans','que','pas','des','vous','avec','sur','nous'])) AS s_fr,
-        |    len(list_intersect(toks, ['el','la','los','las','es','una','para','que','con','por','del','se','su','como','más'])) AS s_es,
-        |    len(list_intersect(toks, ['il','la','che','di','non','per','una','sono','con','del','gli','ma','questo','anche','come'])) AS s_it,
-        |    len(list_intersect(toks, ['o','a','os','as','que','não','uma','para','com','por','do','da','em','se','mais'])) AS s_pt
-        |  FROM t)
-        |SELECT doc_id,
-        |  CASE
-        |    WHEN kana > 0.05 THEN 'ja'
-        |    WHEN cjk > 0.1 THEN 'zh'
-        |    WHEN hangul > 0.1 THEN 'ko'
-        |    WHEN cyr > 0.2 THEN 'ru'
-        |    WHEN arab > 0.2 THEN 'ar'
-        |    ELSE (CASE
-        |      WHEN greatest(s_en, s_de, s_fr, s_es, s_it, s_pt) = 0 THEN 'und'
-        |      WHEN s_en = greatest(s_en, s_de, s_fr, s_es, s_it, s_pt) THEN 'en'
-        |      WHEN s_de = greatest(s_en, s_de, s_fr, s_es, s_it, s_pt) THEN 'de'
-        |      WHEN s_fr = greatest(s_en, s_de, s_fr, s_es, s_it, s_pt) THEN 'fr'
-        |      WHEN s_es = greatest(s_en, s_de, s_fr, s_es, s_it, s_pt) THEN 'es'
-        |      WHEN s_it = greatest(s_en, s_de, s_fr, s_es, s_it, s_pt) THEN 'it'
-        |      ELSE 'pt' END)
-        |  END AS lang_detected
-        |FROM s""".stripMargin,
+    "lang_id" -> langIdSql,
+
+    // declared-vs-detected confusion matrix (the CCNet mismatch-drop
+    // rule's audit view) — the detector is re-derived by the shared CTE
+    "quality_lang_mismatch" ->
+      s"""WITH li AS ($langIdSql)
+         |SELECT d.lang, li.lang_detected, count(*) AS n
+         |FROM documents d JOIN li USING (doc_id)
+         |GROUP BY d.lang, li.lang_detected""".stripMargin,
 
     "token_count" ->
       """SELECT doc_id,
