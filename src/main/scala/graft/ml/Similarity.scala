@@ -99,7 +99,16 @@ object Similarity {
         signBits(col(corpusVec)).as("__cf"))
       .crossJoin(q)
       .filter(col("neighbor_id") =!= col("query_id"))
-      .filter(hammingBits(col("__cf"), col("__qf")) <= maxHamming)
+      // fail loudly on mismatched embedding dims: zip_with pads the
+      // shorter code with null, bit_count(null ^ x) nulls the whole sum,
+      // and the Hamming filter would silently drop every such pair
+      .filter(when(size(col("__cf")) === size(col("__qf")),
+        hammingBits(col("__cf"), col("__qf")))
+        .otherwise(raise_error(format_string(
+          "binaryTopK: embedding dimension mismatch (%d-block vs " +
+            "%d-block sign codes) — corpus and query vectors must share " +
+            "one dimensionality",
+          size(col("__cf")), size(col("__qf"))))) <= maxHamming)
       .withColumn("cosine", cosine(col("__qv"), col("__cv")))
       .withColumn("rank", row_number().over(
         Window.partitionBy("query_id")

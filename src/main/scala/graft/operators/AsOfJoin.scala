@@ -46,31 +46,93 @@ object AsOfJoin {
       directional(left, right, keys, leftTime, rightTime, rightPrefix,
         toleranceSeconds, forward = true)
     case "nearest" =>
-      // both directional passes, then a row-local pick: the smaller
-      // |Δt| wins, ties go BACKWARD (the pandas merge_asof rule).
-      // Each pass is the one-shuffle union+window; the passes join back
-      // on the left row identity (same keys + left time + a row tag)
-      val tag = "__asof_row"
-      val tagged = left.withColumn(tag, monotonically_increasing_id())
-      val b = directional(tagged, right, keys, leftTime, rightTime,
-        "__b_", toleranceSeconds, forward = false)
-      val f = directional(tagged, right, keys, leftTime, rightTime,
-        "__f_", toleranceSeconds, forward = true)
-      val rightPayload = right.columns.filterNot(keys.contains).toSeq
-      val fOnly = f.select((tag +: rightPayload.map(c => s"__f_$c")).map(col): _*)
-      // µs-exact gap comparison (a seconds cast would truncate and
-      // misdecide sub-second ties — the sessionize µs lesson)
-      val bt = unix_micros(col(s"__b_$rightTime"))
-      val ft = unix_micros(col(s"__f_$rightTime"))
-      val lt = unix_micros(col(leftTime))
-      val useBack = col(s"__b_$rightTime").isNotNull &&
-        (col(s"__f_$rightTime").isNull || (lt - bt) <= (ft - lt))
-      b.join(fOnly, Seq(tag))
-        .select(left.columns.map(col).toSeq ++ rightPayload.map(c =>
-          when(useBack, col(s"__b_$c")).otherwise(col(s"__f_$c"))
-            .as(s"$rightPrefix$c")): _*)
+      nearest(left, right, keys, leftTime, rightTime, rightPrefix,
+        toleranceSeconds)
     case other => throw new IllegalArgumentException(
       s"unknown as-of direction '$other' (backward | forward | nearest)")
+  }
+
+  /** Nearest direction: the smaller |Δt| wins, ties go BACKWARD (the
+    * pandas `merge_asof` rule). ONE union + ONE shuffle: the backward
+    * and forward candidates come from two window frames over the same
+    * hash partitioning — an ascending and a descending intra-partition
+    * sort — then a row-local µs-exact pick. No join-back and no row tag:
+    * an earlier formulation tagged left rows with
+    * `monotonically_increasing_id()` and joined two directional passes
+    * on the tag, but that expression is nondeterministic and each pass
+    * re-evaluated it independently — a shuffled/AQE-replanned left input
+    * could re-order between passes and silently mis-pair rows. Two
+    * frames over one Exchange is both deterministic and cheaper (the
+    * old shape shuffled the left side three times).
+    */
+  private def nearest(left: DataFrame, right: DataFrame, keys: Seq[String],
+                      leftTime: String, rightTime: String,
+                      rightPrefix: String,
+                      toleranceSeconds: Option[Long]): DataFrame = {
+    require(keys.nonEmpty, "as-of join requires at least one key column")
+    require(!keys.contains(rightTime),
+      "rightTime must be a payload column, not a join key")
+    val rightPayload = right.columns.filterNot(keys.contains).toSeq
+    val t = "__asof_t"
+    val side = "__asof_side"
+    val payload = "__asof_payload"
+    val bp = "__asof_back"
+    val fp = "__asof_fwd"
+    val payloadType = org.apache.spark.sql.types.StructType(
+      right.schema.fields.filterNot(f => keys.contains(f.name)))
+
+    val leftCols = left.columns.toSeq
+    val lAligned = left
+      .withColumn(t, col(leftTime))
+      .withColumn(side, lit(1))
+      .withColumn(payload, lit(null).cast(payloadType))
+    val rAligned = right.filter(col(rightTime).isNotNull).select(
+        keys.map(col) ++ Seq(
+          col(rightTime).as(t), lit(0).as(side),
+          struct(rightPayload.map(col): _*).as(payload)): _*)
+      .select(
+        leftCols.map(c => if (keys.contains(c)) col(c)
+          else lit(null).cast(left.schema(c).dataType).as(c)) ++
+          Seq(col(t), col(side), col(payload)): _*)
+
+    // same tie rule both directions: right (side 0) sorts before left at
+    // equal time, so equal-time right rows are visible to both frames.
+    // NULL left times sort FIRST in both orders (explicitly — desc
+    // defaults to nulls-last, which would hand a NULL-time left row the
+    // earliest right payload) so they carry nothing and come out
+    // unmatched, matching DuckDB ASOF / pandas.
+    val wB = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(t).asc_nulls_first, col(side))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wF = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(t).desc_nulls_first, col(side))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val both = lAligned.unionByName(rAligned)
+      .withColumn(bp, last(col(payload), ignoreNulls = true).over(wB))
+      .withColumn(fp, last(col(payload), ignoreNulls = true).over(wF))
+      .filter(col(side) === 1)
+
+    val withTol = toleranceSeconds match {
+      case Some(tol) =>
+        val lt = col(t).cast("long")
+        both
+          .withColumn(bp, when(
+            col(s"$bp.$rightTime").cast("long") >= lt - tol, col(bp)))
+          .withColumn(fp, when(
+            col(s"$fp.$rightTime").cast("long") <= lt + tol, col(fp)))
+      case None => both
+    }
+
+    // µs-exact gap comparison (a seconds cast would truncate and
+    // misdecide sub-second ties — the sessionize µs lesson)
+    val bt = unix_micros(col(s"$bp.$rightTime"))
+    val ft = unix_micros(col(s"$fp.$rightTime"))
+    val lt = unix_micros(col(t))
+    val useBack = col(s"$bp.$rightTime").isNotNull &&
+      (col(s"$fp.$rightTime").isNull || (lt - bt) <= (ft - lt))
+    val chosen = when(useBack, col(bp)).otherwise(col(fp))
+    withTol.select(leftCols.map(col) ++ rightPayload.map(c =>
+      chosen.getField(c).as(s"$rightPrefix$c")): _*)
   }
 
   /** The directional core: backward = most recent right row at-or-before
@@ -115,7 +177,11 @@ object AsOfJoin {
         else lit(null).cast(left.schema(c).dataType).as(c)) ++
         Seq(col(t), col(side), col(payload)): _*)
 
-    val timeOrder = if (forward) col(t).desc else col(t).asc
+    // NULL left times must sort FIRST in both directions (desc defaults
+    // to nulls-last, which would hand a NULL-time left row the earliest
+    // right payload in the forward pass) so they carry nothing
+    val timeOrder =
+      if (forward) col(t).desc_nulls_first else col(t).asc_nulls_first
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(timeOrder, col(side))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

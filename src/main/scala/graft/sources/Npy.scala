@@ -52,6 +52,7 @@ object Npy {
     */
   def export(df: DataFrame, idCol: String, vecCol: String,
              dir: String): Unit = {
+    val hconf = SerializableHadoopConf.from(df.sparkSession)
     df.select(col(idCol).cast("long").as("i"),
         transform(col(vecCol), x => x.cast("float")).as("v"))
       .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
@@ -62,10 +63,9 @@ object Npy {
           require(rows.forall(_._2.length == d),
             s"ragged vectors in one shard: expected dim $d")
           val pid = org.apache.spark.TaskContext.getPartitionId()
-          val conf = new org.apache.hadoop.conf.Configuration()
           val vecPath = new org.apache.hadoop.fs.Path(
             f"$dir/part-$pid%05d.vec.npy")
-          val fs = vecPath.getFileSystem(conf)
+          val fs = vecPath.getFileSystem(hconf.value)
           val vout = fs.create(vecPath, true)
           try {
             vout.write(header("<f4", s"(${rows.length}, $d)"))
@@ -130,14 +130,14 @@ object Npy {
       StructField("vec", ArrayType(FloatType, containsNull = false),
         nullable = false)))
     val enc = RowEncoder.encoderFor(schema)
+    val hconf = SerializableHadoopConf.from(spark)
     spark.read.format("binaryFile").load(s"$dir/*.vec.npy")
       .select(col("path"))
       .mapPartitions { it =>
         it.flatMap { r =>
           val vecPathStr = r.getString(0)
-          val conf = new org.apache.hadoop.conf.Configuration()
           val vecPath = new org.apache.hadoop.fs.Path(vecPathStr)
-          val fs = vecPath.getFileSystem(conf)
+          val fs = vecPath.getFileSystem(hconf.value)
           val idPath = new org.apache.hadoop.fs.Path(
             vecPathStr.replaceAll("\\.vec\\.npy$", ".ids.npy"))
           // ids are rows × 8 bytes — read the sidecar fully, stream vecs

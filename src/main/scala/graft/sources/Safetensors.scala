@@ -28,6 +28,7 @@ object Safetensors {
     */
   def export(df: DataFrame, idCol: String, vecCol: String,
              dir: String): Unit = {
+    val hconf = SerializableHadoopConf.from(df.sparkSession)
     df.select(col(idCol).cast("long").as("i"),
         transform(col(vecCol), x => x.cast("float")).as("v"))
       .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
@@ -50,8 +51,7 @@ object Safetensors {
           val pid = org.apache.spark.TaskContext.getPartitionId()
           val path = new org.apache.hadoop.fs.Path(
             f"$dir/part-$pid%05d.safetensors")
-          val fs = path.getFileSystem(
-            new org.apache.hadoop.conf.Configuration())
+          val fs = path.getFileSystem(hconf.value)
           val out = fs.create(path, true)
           try {
             val len = java.nio.ByteBuffer.allocate(8)
@@ -113,13 +113,13 @@ object Safetensors {
       StructField("vec", ArrayType(FloatType, containsNull = false),
         nullable = false)))
     val enc = RowEncoder.encoderFor(schema)
+    val hconf = SerializableHadoopConf.from(spark)
     spark.read.format("binaryFile").load(s"$dir/*.safetensors")
       .select(col("path"))
       .mapPartitions { it =>
         it.flatMap { r =>
           val path = new org.apache.hadoop.fs.Path(r.getString(0))
-          val fs = path.getFileSystem(
-            new org.apache.hadoop.conf.Configuration())
+          val fs = path.getFileSystem(hconf.value)
           val in = new java.io.DataInputStream(
             new java.io.BufferedInputStream(fs.open(path), 1 << 16))
           val lenBytes = new Array[Byte](8)
@@ -160,7 +160,19 @@ object Safetensors {
             k += 1
           }
           idsIn.close()
-          require(vOff(0) == 0 || { in.skipBytes(vOff(0).toInt); true })
+          // consume the full gap to the vectors tensor (a foreign file
+          // may lay tensors in any order). skip() may short-skip through
+          // the BufferedInputStream, and the offset is a long — loop
+          // until fully consumed and fail loudly on premature EOF.
+          var toSkip = vOff(0)
+          while (toSkip > 0) {
+            val skipped = in.skip(toSkip)
+            if (skipped > 0) toSkip -= skipped
+            else if (in.read() < 0)
+              sys.error(s"safetensors $path truncated: vectors tensor " +
+                s"offset ${vOff(0)} lies past EOF")
+            else toSkip -= 1
+          }
           val rowBytes = new Array[Byte](d * 4)
           var i = 0
           new Iterator[Row] {

@@ -95,14 +95,14 @@ object Warc {
              date: String = "2024-01-01T00:00:00Z",
              contentType: String = "text/plain"): Unit = {
     val ext = if (gzipPerRecord) ".warc.gz" else ".warc"
+    val hconf = SerializableHadoopConf.from(df.sparkSession)
     df.select(col(uriCol).cast("string").as("u"),
         col(payloadCol).cast("binary").as("p"))
       .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
         if (it.hasNext) {
           val pid = org.apache.spark.TaskContext.getPartitionId()
           val path = new org.apache.hadoop.fs.Path(f"$dir/part-$pid%05d$ext")
-          val fs = path.getFileSystem(
-            new org.apache.hadoop.conf.Configuration())
+          val fs = path.getFileSystem(hconf.value)
           val out = fs.create(path, true)
           try it.foreach { r =>
             val uri = r.getString(0)
@@ -229,14 +229,14 @@ object Warc {
       StructField("content_type", StringType, nullable = false),
       StructField("payload", BinaryType, nullable = false)))
     val enc = RowEncoder.encoderFor(schema)
+    val hconf = SerializableHadoopConf.from(spark)
     spark.read.format("binaryFile").load(pathGlob)
       .select(col("path"))
       .mapPartitions { it =>
         it.flatMap { r =>
           val pathStr = r.getString(0)
           val path = new org.apache.hadoop.fs.Path(pathStr)
-          val fs = path.getFileSystem(
-            new org.apache.hadoop.conf.Configuration())
+          val fs = path.getFileSystem(hconf.value)
           val in = fs.open(path)
           val recs = parseStream(in)
           // close on exhaustion: the flatMap consumer drains each file's

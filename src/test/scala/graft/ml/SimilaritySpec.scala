@@ -235,4 +235,22 @@ class SimilaritySpec extends SparkSpec {
       .count()
     assert(shortlist <= 35, s"expected ~1 cluster of 30, got $shortlist")
   }
+
+  test("binaryTopK fails loudly on mismatched embedding dimensions") {
+    // zip_with pads the shorter sign code with null and the Hamming sum
+    // nulls out — before the guard, every mismatched pair silently
+    // dropped instead of erroring
+    val docs = Seq((1L, Array.fill(128)(1.0f)), (2L, Array.fill(128)(-1.0f)))
+      .toDF("vec_id", "embedding")
+    val queries = Seq((9L, Array.fill(64)(1.0f))).toDF("vec_id", "embedding")
+    val e = intercept[Exception] {
+      Similarity.binaryTopK(docs, "vec_id", "embedding",
+        queries, "vec_id", "embedding", k = 1, maxHamming = 64).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("dimension mismatch")),
+      s"expected the dimension-mismatch raise_error, got: $e")
+  }
 }

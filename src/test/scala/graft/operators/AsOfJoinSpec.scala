@@ -111,6 +111,46 @@ class AsOfJoinSpec extends SparkSpec {
       2L -> null)) // NULL left time: unmatched
   }
 
+  test("nearest runs in ONE shuffle with no join-back or row tag, and " +
+       "NULL left times stay unmatched in every direction") {
+    val near = AsOfJoin.asOfJoin(left, right, Seq("k"), "t", "t",
+      direction = "nearest")
+    near.collect()
+    val plan = near.queryExecution.executedPlan.toString
+    // AQE renders shuffles as ShuffleQueryStage; non-AQE as ShuffleExchange
+    val exchanges = "ShuffleQueryStage \\d|ShuffleExchange".r
+      .findAllMatchIn(plan).length
+    assert(exchanges == 1,
+      s"nearest must be one union + one hash exchange (two window frames " +
+        s"over the same partitioning), saw $exchanges:\n${plan.take(3000)}")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("HashJoin"),
+      "nearest must not join two directional passes back together")
+    // the nondeterministic-tag hazard the old shape had: a NULL left time
+    // must come out unmatched in forward AND nearest (desc ordering
+    // defaults nulls-LAST, which would carry the earliest right payload)
+    val nullLeft = Seq(
+      (1L, 10L, ts("2024-01-01 10:00:00")),
+      (2L, 10L, null.asInstanceOf[Timestamp])
+    ).toDF("id", "k", "t")
+    for (dir <- Seq("backward", "forward", "nearest")) {
+      val out = AsOfJoin.asOfJoin(nullLeft, right, Seq("k"), "t", "t",
+          direction = dir)
+        .select("id", "right_v").collect()
+        .map(r => r.getLong(0) -> Option(r.getString(1)).orNull).toMap
+      assert(out(2L) == null, s"direction=$dir must leave NULL left time unmatched")
+      assert(out(1L) == "b", s"direction=$dir") // equal-time tie -> backward
+    }
+    // nearest tolerance bounds BOTH directions independently: at 10:20
+    // the backward "b" is 20 min old (in a 25-min window) and the forward
+    // "c" 25 min ahead (outside) -> backward despite forward proximity rules
+    val mid = Seq((9L, 10L, ts("2024-01-01 10:21:00"))).toDF("id", "k", "t")
+    val tol = AsOfJoin.asOfJoin(mid, right, Seq("k"), "t", "t",
+        direction = "nearest", toleranceSeconds = Some(22 * 60))
+      .select("right_v").head().getString(0)
+    assert(tol == "b",
+      "forward candidate (24 min ahead) must be voided by the 22-min window")
+  }
+
   test("bucketed variant equals the plain as-of join (fixture, nulls, tolerance)") {
     for (bucketSecs <- Seq(60L, 1800L, 7 * 86400L)) {
       val plain = AsOfJoin.asOfJoin(left, right, Seq("k"), "t", "t")
