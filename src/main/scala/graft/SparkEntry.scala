@@ -1636,16 +1636,41 @@ object SparkEntry {
         .select(col("click_id"), col("view_id"), col("user_id"),
           (col("click_ts").cast("long") - col("view_ts").cast("long"))
             .as("gap_sec"))
-      val q = joined.writeStream.format("graft")
-        .option("checkpointLocation", s"$base/ckpt")
-        .option("txnAppId", "q_ssjoin")
-        .start(s"$base/out")
+      // State sizing, measured (tools/ProfileIntervalJoin, sf0.1): a
+      // stream-stream join commits FOUR state stores per shuffle
+      // partition per micro-batch (left/right × keyToNumValues/
+      // keyWithIndexToValue); at the session's 32 partitions that is 128
+      // HDFS-backed store commits × 5 micro-batches — summed commit time
+      // 35-54 s/batch, ~13 s of the query's 18.9 s wall. This ~30k-row
+      // stream wants 4 state partitions (18.9 → 9.5 s cold / 5.4 warm);
+      // size state partitions to rows-per-batch (≳10k rows/partition
+      // before compute dominates commit overhead) — at production rates
+      // the session default is right. The two no-data micro-batches only
+      // evict state: an inner interval join emits pairs eagerly, so
+      // skipping them is semantics-neutral HERE (not for sessionize,
+      // whose event-time timeouts fire IN no-data batches — it keeps
+      // them). Both confs are scoped to this stream and restored.
+      val partsKey = "spark.sql.shuffle.partitions"
+      val noDataKey = "spark.sql.streaming.noDataMicroBatches.enabled"
+      val prevParts = s.conf.get(partsKey)
+      val prevNoData = s.conf.get(noDataKey)
+      s.conf.set(partsKey, "4")
+      s.conf.set(noDataKey, "false")
       try {
-        q.processAllAvailable()
-        cTbl.append(clicks.filter(col("click_ts") >= split))
-        vTbl.append(views.filter(col("view_ts") >= split))
-        q.processAllAvailable()
-      } finally q.stop()
+        val q = joined.writeStream.format("graft")
+          .option("checkpointLocation", s"$base/ckpt")
+          .option("txnAppId", "q_ssjoin")
+          .start(s"$base/out")
+        try {
+          q.processAllAvailable()
+          cTbl.append(clicks.filter(col("click_ts") >= split))
+          vTbl.append(views.filter(col("view_ts") >= split))
+          q.processAllAvailable()
+        } finally q.stop()
+      } finally {
+        s.conf.set(partsKey, prevParts)
+        s.conf.set(noDataKey, prevNoData)
+      }
       ManagedTable.forPath(s, s"$base/out").toDF
     }),
 
@@ -1670,25 +1695,35 @@ object SparkEntry {
       val sessions = streaming.EventStreams.sessionizeStateful(
         s.readStream.format("graft").load(s"$base/in"),
         gap = "30 minutes", watermark = "1 hour")
-      val q = sessions.toDF()
-        .filter(col("user_id") >= 0)
-        .select(col("user_id"), col("session_start"), col("session_end"),
-          col("n_events"), col("session_value"))
-        .writeStream.format("graft")
-        .option("checkpointLocation", s"$base/ckpt")
-        .option("txnAppId", "q_ssess")
-        .start(s"$base/out")
+      // same state-partition sizing as streaming_interval_join (see the
+      // measured note there): flatMapGroupsWithState commits one state
+      // store per shuffle partition per micro-batch; this ~60k-row
+      // stream fits 4. No-data micro-batches STAY enabled — event-time
+      // timeouts (how every session here closes) fire in them.
+      val partsKey = "spark.sql.shuffle.partitions"
+      val prevParts = s.conf.get(partsKey)
+      s.conf.set(partsKey, "4")
       try {
-        q.processAllAvailable()
-        def sentinel(days: Long) = Seq((-1L,
-          new java.sql.Timestamp(maxTs.getTime + days * 86400000L),
-          0.0)).toDF("user_id", "ts", "value")
-        // sentinel 1 advances the watermark past every real horizon;
-        // sentinel 2's batch runs WITH that watermark (watermark lags
-        // one batch), firing every real user's event-time timeout
-        tbl.append(sentinel(60)); q.processAllAvailable()
-        tbl.append(sentinel(120)); q.processAllAvailable()
-      } finally q.stop()
+        val q = sessions.toDF()
+          .filter(col("user_id") >= 0)
+          .select(col("user_id"), col("session_start"), col("session_end"),
+            col("n_events"), col("session_value"))
+          .writeStream.format("graft")
+          .option("checkpointLocation", s"$base/ckpt")
+          .option("txnAppId", "q_ssess")
+          .start(s"$base/out")
+        try {
+          q.processAllAvailable()
+          def sentinel(days: Long) = Seq((-1L,
+            new java.sql.Timestamp(maxTs.getTime + days * 86400000L),
+            0.0)).toDF("user_id", "ts", "value")
+          // sentinel 1 advances the watermark past every real horizon;
+          // sentinel 2's batch runs WITH that watermark (watermark lags
+          // one batch), firing every real user's event-time timeout
+          tbl.append(sentinel(60)); q.processAllAvailable()
+          tbl.append(sentinel(120)); q.processAllAvailable()
+        } finally q.stop()
+      } finally s.conf.set(partsKey, prevParts)
       ManagedTable.forPath(s, s"$base/out").toDF
     }),
 
