@@ -208,6 +208,112 @@ object VocabStats {
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"), col("nll"))
   }
 
+  /** Per-document interpolated KNESER-NEY trigram negative
+    * log-likelihood — the real CCNet scorer class (Wenzek et al. 2020
+    * filter with a 5-gram modified-KN KenLM; this is interpolated KN at
+    * trigram order, self-scored on the corpus — the top of the repo's
+    * LM ladder above [[unigramNll]]'s add-one and [[bigramNll]]'s
+    * Jelinek-Mercer). Chen & Goodman (1999) interpolated form, one
+    * absolute discount `d` per order:
+    *
+    *   p(w3|w1w2) = max(c(w1w2w3)−d, 0)/c(w1w2)
+    *                + d·N1+(w1w2·)/c(w1w2) · p(w3|w2)
+    *   p(w3|w2)   = max(N1+(·w2w3)−d, 0)/N1+(·w2·)
+    *                + d·N1+(w2·)/N1+(·w2·) · p(w3)
+    *   p(w3)      = N1+(·w3) / N1+(··)
+    *
+    * The N1+ are TYPE (continuation) counts — the lower orders ask "how
+    * many distinct contexts precede this n-gram", not how often it
+    * occurs: the KN insight that demotes words frequent only inside one
+    * collocation ("Francisco" scores low as a continuation even though
+    * "San Francisco" is frequent). Self-scoring keeps every evaluated
+    * trigram's counts ≥ 1, so with d < 1 every term is positive and no
+    * normalizer is zero. Documents under three words surface with
+    * `n_trigrams = 0` and a null score.
+    *
+    * Determinism (the [[bigramNll]] discipline): each document collects
+    * its 7-int count tuples (c3, ch, n3f, cc2, nmid, n2f, cc1), sorts
+    * the struct array field-wise, and folds the ln terms in that order;
+    * the probability expression is written with the identical
+    * association on both engines and ulp noise is absorbed by round(4).
+    *
+    * Scale shape: trigrams/bigrams come from the words array by
+    * position (a `transform` — no positional self-joins); ALL
+    * continuation counts derive from the trigram/bigram TYPE tables
+    * (far below token mass); the aux joins assemble a trigram-level
+    * MODEL table at type mass, and the only token-mass join is the
+    * single hash join of occurrences against that model on
+    * (w1,w2,w3). The N1+(··) total is one broadcast row. Nothing
+    * corpus-sized reaches the driver.
+    */
+  def trigramKnNll(df: DataFrame, idCol: String, textCol: String,
+                   discount: Double = 0.75): DataFrame = {
+    require(discount > 0.0 && discount < 1.0,
+      s"need 0 < discount < 1, got $discount")
+    val d = lit(discount)
+    val ws = df.select(col(idCol), words(col(textCol)).as("__ws"))
+    val bg = ws.select(col(idCol), explode(transform(
+        slice(col("__ws"), lit(1), greatest(size(col("__ws")) - 1, lit(0))),
+        (w, i) => struct(w.as("w1"),
+          element_at(col("__ws"), i + 2).as("w2")))).as("__bg"))
+      .select(col("__bg.w1").as("__w1"), col("__bg.w2").as("__w2"))
+    val tg = ws.select(col(idCol), explode(transform(
+        slice(col("__ws"), lit(1), greatest(size(col("__ws")) - 2, lit(0))),
+        (w, i) => struct(w.as("w1"),
+          element_at(col("__ws"), i + 2).as("w2"),
+          element_at(col("__ws"), i + 3).as("w3")))).as("__tg"))
+      .select(col(idCol), col("__tg.w1").as("__w1"),
+        col("__tg.w2").as("__w2"), col("__tg.w3").as("__w3"))
+
+    // token-mass counts
+    val bcnt = bg.groupBy(col("__w1"), col("__w2"))
+      .agg(count(lit(1)).as("__ch")) // c(w1 w2) as trigram history
+    val tcnt = tg.groupBy(col("__w1"), col("__w2"), col("__w3"))
+      .agg(count(lit(1)).as("__c3"))
+    // type-mass continuation counts (each from a TYPE table group-by)
+    val n3f = tcnt.groupBy(col("__w1"), col("__w2"))
+      .agg(count(lit(1)).as("__n3f")) // N1+(w1w2·)
+    val cc2 = tcnt.groupBy(col("__w2"), col("__w3"))
+      .agg(count(lit(1)).as("__cc2")) // N1+(·w2w3)
+    val auxMid = tcnt.groupBy(col("__w2"))
+      .agg(count(lit(1)).as("__nmid")) // N1+(·w2·)
+      .join(bcnt.groupBy(col("__w1")).agg(count(lit(1)).as("__n2f"))
+        .withColumnRenamed("__w1", "__w2"), Seq("__w2")) // N1+(w2·)
+    val cc1 = bcnt.groupBy(col("__w2")).agg(count(lit(1)).as("__cc1"))
+      .withColumnRenamed("__w2", "__w3") // N1+(·w3)
+    val btot = bcnt.agg(count(lit(1)).as("__b")) // N1+(··)
+
+    // the model: every aux joined at TYPE mass onto the trigram table
+    val model = tcnt
+      .join(bcnt, Seq("__w1", "__w2"))
+      .join(n3f, Seq("__w1", "__w2"))
+      .join(cc2, Seq("__w2", "__w3"))
+      .join(auxMid, Seq("__w2"))
+      .join(cc1, Seq("__w3"))
+
+    val scored = tg
+      .join(model, Seq("__w1", "__w2", "__w3")) // the one token-mass join
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_trigrams"),
+        sort_array(collect_list(struct(
+          col("__c3"), col("__ch"), col("__n3f"), col("__cc2"),
+          col("__nmid"), col("__n2f"), col("__cc1")))).as("__ts"))
+      .crossJoin(broadcast(btot))
+      .select(col(idCol), col("n_trigrams"),
+        round(-aggregate(col("__ts"), lit(0.0), (a, x) => {
+          val puni = x.getField("__cc1") / col("__b")
+          val pmid =
+            greatest(x.getField("__cc2") - d, lit(0.0)) / x.getField("__nmid") +
+              d * x.getField("__n2f") / x.getField("__nmid") * puni
+          a + log(
+            greatest(x.getField("__c3") - d, lit(0.0)) / x.getField("__ch") +
+              d * x.getField("__n3f") / x.getField("__ch") * pmid)
+        }) / col("n_trigrams"), 4).as("nll"))
+    df.select(col(idCol)).join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_trigrams"), lit(0L)).as("n_trigrams"), col("nll"))
+  }
+
   /** CCNet perplexity bucketing (Wenzek et al. 2020): documents rank by
     * their LM quality score within each language and split into
     * `buckets` equal-count tiers — head (1) / middle / tail (`buckets`)

@@ -1033,6 +1033,14 @@ object Drive {
     println(s"[82] tensor interchange: .npy round-trips $npyN rows, " +
       s"safetensors $stN")
 
+    // Kneser-Ney trigram LM (the real CCNet scorer class): NLL must be
+    // finite on every >=3-word doc and ORDER-SENSITIVE — higher than the
+    // bigram score's information floor on average
+    val knAgg = graft.text.VocabStats.trigramKnNll(docs, "doc_id", "text")
+      .agg(min("nll"), max("nll"), sum("n_trigrams")).head()
+    println(f"[83] KN trigram NLL: range ${knAgg.getDouble(0)}%.2f.." +
+      f"${knAgg.getDouble(1)}%.2f over ${knAgg.getLong(2)} trigrams")
+
     // mojibake repair round-trips the corpus through a Latin-1 mangle
     val mjN = docs.select(graft.plans.expressions.fix_mojibake(
         decode(encode(col("text"), "UTF-8"), "ISO-8859-1")).as("f"),
