@@ -1213,6 +1213,56 @@ object SparkEntry {
         plans.expressions.canonicalize_url(messy).as("url"))
     }),
 
+    // registrable-domain (eTLD+1) extraction under public-suffix
+    // semantics — the grouping key between URL canonicalization and
+    // per-domain caps. Seeded URLs exercise case folding, subdomain
+    // stripping, two-level suffixes (co.uk), a private-registry suffix
+    // (github.io), the PSL wildcard (*.ck) and exception (!www.ck)
+    // rules, an IPv4 literal, and a bare public suffix (-> null); the
+    // oracle derives each template's expected domain arithmetically
+    "normalize_domain" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val generic = concat(
+        lit("HTTPS://"),
+        when(col("doc_id") % 3 === 0, lit("WWW."))
+          .when(col("doc_id") % 3 === 1, lit("a.B."))
+          .otherwise(lit("")),
+        lit("Site"), col("doc_id") % 7, lit("-"), col("source"),
+        when(col("doc_id") % 4 === 0, lit(".COM"))
+          .when(col("doc_id") % 4 === 1, lit(".co.uk"))
+          .when(col("doc_id") % 4 === 2, lit(".GitHub.IO"))
+          .otherwise(lit(".org")),
+        lit(":8443/p/"), col("doc_id"), lit("?x=1#f"))
+      val messy = when(col("doc_id") % 31 === 0, lit("http://x.y.CK/path"))
+        .when(col("doc_id") % 31 === 1, lit("https://sub.WWW.ck"))
+        .when(col("doc_id") % 31 === 2, lit("http://user@192.168.3.44:8080/a"))
+        .when(col("doc_id") % 31 === 3, lit("CO.UK."))
+        .otherwise(generic)
+      docs.select(col("doc_id"),
+        plans.expressions.registrable_domain(messy).as("domain"))
+    }),
+
+    // the composition those two normalizers exist for: per-registrable-
+    // domain caps over crawl docs (the anti-SEO-farm curation rule) —
+    // registrable_domain as the group key into the salted two-phase
+    // capPerGroup, doc_id as the total order
+    "domain_cap" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val url = concat(lit("https://"),
+        when(col("doc_id") % 3 === 0, lit("www."))
+          .when(col("doc_id") % 3 === 1, lit("m.")).otherwise(lit("")),
+        lit("crawl-"), col("source"),
+        when(col("doc_id") % 4 === 0, lit(".com"))
+          .when(col("doc_id") % 4 === 1, lit(".co.uk"))
+          .when(col("doc_id") % 4 === 2, lit(".github.io"))
+          .otherwise(lit(".org")),
+        lit("/d/"), col("doc_id"))
+      val withDomain = docs.select(col("doc_id"),
+        plans.expressions.registrable_domain(url).as("domain"))
+      operators.Sampling.capPerGroup(withDomain, Seq("domain"),
+        Seq(col("doc_id").asc), n = 3)
+    }),
+
     // URL-level dedup (crawl recrawl collapse): the same page fetched
     // under tracking-param / fragment / default-port variants must
     // count once. Variant URLs are seeded per doc (doc_id % 4 picks the
@@ -3916,6 +3966,36 @@ object SparkEntry {
         |    || doc_id || '?a=' || (doc_id % 5) || '&b=' || (doc_id % 7)
         |    AS url
         |FROM documents""".stripMargin,
+
+    // replays the public-suffix outcomes of each seeded template
+    // arithmetically: wildcard/exception/IP/bare-suffix specials by
+    // doc_id % 31, else lowercase site + the modulus-selected suffix
+    "normalize_domain" ->
+      """SELECT doc_id,
+        |  CASE
+        |    WHEN doc_id % 31 = 0 THEN 'x.y.ck'
+        |    WHEN doc_id % 31 = 1 THEN 'www.ck'
+        |    WHEN doc_id % 31 = 2 THEN '192.168.3.44'
+        |    WHEN doc_id % 31 = 3 THEN NULL
+        |    ELSE 'site' || (doc_id % 7) || '-' || lower(source) ||
+        |      CASE doc_id % 4 WHEN 0 THEN '.com' WHEN 1 THEN '.co.uk'
+        |        WHEN 2 THEN '.github.io' ELSE '.org' END
+        |  END AS domain
+        |FROM documents""".stripMargin,
+
+    // the cap is exact for a total order, so row_number replays it
+    "domain_cap" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    'crawl-' || lower(source) ||
+        |      CASE doc_id % 4 WHEN 0 THEN '.com' WHEN 1 THEN '.co.uk'
+        |        WHEN 2 THEN '.github.io' ELSE '.org' END AS domain
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, domain,
+        |    row_number() OVER (PARTITION BY domain ORDER BY doc_id) AS rk
+        |  FROM u)
+        |SELECT doc_id, domain FROM r WHERE rk <= 3""".stripMargin,
 
     // same seeded suffix (chr() builds the identical code points), and
     // the cleanup chain spelled as nfc_normalize + three RE2 passes:

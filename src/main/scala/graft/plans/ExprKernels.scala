@@ -1767,4 +1767,93 @@ object ExprKernels {
     }
     UTF8String.fromString(schemeLc + "://" + auth + path + queryPart)
   }
+
+  private def joinLabels(labels: Array[String], from: Int): String = {
+    val sb = new java.lang.StringBuilder()
+    var i = from
+    while (i < labels.length) {
+      if (i > from) sb.append('.')
+      sb.append(labels(i))
+      i += 1
+    }
+    sb.toString
+  }
+
+  /** Registrable ("eTLD+1") domain of a URL or bare host, public-suffix
+    * semantics (publicsuffix.org algorithm): host extracted as in
+    * [[canonicalizeUrl]] (userinfo/port stripped), lowercased, trailing
+    * dot dropped; among the rule matches an EXCEPTION rule prevails
+    * (its own domain is the registrable domain), else the LONGEST
+    * exact/wildcard suffix wins, else the implicit `*` rule makes the
+    * last label the suffix; the registrable domain is the suffix plus
+    * one label. Returns null when the host is malformed (empty label)
+    * or is itself a public suffix; IP literals pass through unchanged
+    * (they are their own grouping key).
+    */
+  def registrableDomain(input: UTF8String, table: SuffixTable): UTF8String = {
+    val raw = input.toString.trim
+    if (raw.isEmpty) return null
+    var host = {
+      val ss = raw.indexOf("://")
+      val rest = if (ss > 0) raw.substring(ss + 3) else raw
+      var end = rest.length
+      var j = 0
+      var found = false
+      while (!found && j < rest.length) {
+        val c = rest.charAt(j)
+        if (c == '/' || c == '?' || c == '#') { end = j; found = true }
+        j += 1
+      }
+      var auth = rest.substring(0, end)
+      val at = auth.lastIndexOf('@')
+      if (at >= 0) auth = auth.substring(at + 1)
+      val cb = auth.lastIndexOf(']')
+      val colon = auth.indexOf(':', if (cb >= 0) cb else 0)
+      if (colon >= 0) auth.substring(0, colon) else auth
+    }
+    host = host.toLowerCase(java.util.Locale.ROOT)
+    if (host.nonEmpty && host.charAt(host.length - 1) == '.')
+      host = host.substring(0, host.length - 1)
+    if (host.isEmpty) return null
+    if (host.charAt(0) == '[') return UTF8String.fromString(host) // IPv6
+    val labels = host.split('.')
+    val n = labels.length
+    if (n == 0) return null
+    var allNumeric = true
+    var li = 0
+    while (li < n) {
+      val l = labels(li)
+      if (l.isEmpty) return null
+      var ci = 0
+      while (allNumeric && ci < l.length) {
+        val c = l.charAt(ci)
+        if (c < '0' || c > '9') allNumeric = false
+        ci += 1
+      }
+      li += 1
+    }
+    if (allNumeric && n == 4) return UTF8String.fromString(host) // IPv4
+    // exception rules prevail: the rule itself IS the registrable domain
+    var s = 0
+    while (s < n) {
+      val cand = joinLabels(labels, s)
+      if (table.exceptions.contains(cand)) return UTF8String.fromString(cand)
+      s += 1
+    }
+    // longest exact/wildcard suffix (scan longest-first); default rule
+    // `*` = the bare TLD
+    var suffixStart = n - 1
+    var matched = false
+    s = 0
+    while (!matched && s < n) {
+      if (table.exact.contains(joinLabels(labels, s)) ||
+          (s + 1 < n && table.wildcardParents.contains(joinLabels(labels, s + 1)))) {
+        suffixStart = s
+        matched = true
+      }
+      s += 1
+    }
+    if (suffixStart == 0) null // the host is itself a public suffix
+    else UTF8String.fromString(joinLabels(labels, suffixStart - 1))
+  }
 }

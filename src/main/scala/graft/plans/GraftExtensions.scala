@@ -205,6 +205,16 @@ object GraftFunctions {
         UrlCanonicalize(args.head, UrlCanonicalize.DefaultDropNames,
           UrlCanonicalize.DefaultDropPrefixes)
       }),
+    (FunctionIdentifier("graft_registrable_domain"),
+      info("graft_registrable_domain",
+        "graft_registrable_domain(url) - registrable (eTLD+1) domain of " +
+          "a URL or bare host under public-suffix semantics: longest " +
+          "suffix rule wins, exceptions prevail, null for bare suffixes " +
+          "and malformed hosts"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "graft_registrable_domain(url)")
+        RegistrableDomain(args.head, RegistrableDomain.DefaultRules)
+      }),
     (FunctionIdentifier("graft_gopher_stats"),
       info("graft_gopher_stats",
         "graft_gopher_stats(text) - one-pass Gopher document-quality counters " +

@@ -159,6 +159,14 @@ object expressions {
                        dropPrefixes: Seq[String] = UrlCanonicalize.DefaultDropPrefixes): Column =
     column(UrlCanonicalize(expression(url), dropNames, dropPrefixes))
 
+  /** Registrable ("eTLD+1") domain of a URL or bare host — the
+    * per-domain crawl-curation grouping key (see [[RegistrableDomain]];
+    * null for malformed hosts and bare public suffixes).
+    */
+  def registrable_domain(url: Column,
+                         rules: Seq[String] = RegistrableDomain.DefaultRules): Column =
+    column(RegistrableDomain(expression(url), rules))
+
   /** Z-order value of an `array<double>` column (one element per Z-order
     * dimension); `bounds` holds `(1<<bits)-1` ascending quantile
     * boundaries per column, column-major (see [[ZValue]]).
@@ -1168,4 +1176,71 @@ object UrlCanonicalize {
   val DefaultDropNames: Seq[String] =
     Seq("gclid", "fbclid", "msclkid", "mc_eid", "igshid", "mkt_tok")
   val DefaultDropPrefixes: Seq[String] = Seq("utm_")
+}
+
+/** `registrable_domain(url)` — the eTLD+1 grouping key per-domain crawl
+  * curation caps on (see [[ExprKernels.registrableDomain]] for the
+  * public-suffix algorithm). The rule table is caller-supplied
+  * publicsuffix.org syntax and rides codegen as one reference object;
+  * returns null for malformed hosts and bare public suffixes.
+  */
+case class RegistrableDomain(child: Expression, rules: Seq[String])
+    extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def checkInputDataTypes() =
+    expressions.stringCheck(child, "registrable_domain")
+
+  @transient private lazy val table = new SuffixTable(rules)
+
+  override def nullSafeEval(input: Any): Any =
+    ExprKernels.registrableDomain(input.asInstanceOf[UTF8String], table)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("suffixTable", table,
+      "graft.plans.SuffixTable")
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.plans.ExprKernels.registrableDomain($c, $ref);
+      if (${ev.value} == null) { ${ev.isNull} = true; }
+    """)
+  }
+
+  override protected def withNewChildInternal(c: Expression): RegistrableDomain =
+    copy(child = c)
+}
+
+object RegistrableDomain {
+  /** Starter rule set: a small slice of the public suffix list — the
+    * generic TLDs plus the common two-level country suffixes and the
+    * canonical wildcard/exception pair. Production callers feed the
+    * FULL publicsuffix.org list (one rule per line) instead; the
+    * algorithm and table are list-size-independent.
+    */
+  val DefaultRules: Seq[String] = Seq(
+    "com", "org", "net", "edu", "gov", "mil", "int", "info", "biz",
+    "io", "co", "ai", "dev", "app", "me", "tv", "cc", "xyz",
+    "de", "fr", "it", "nl", "es", "se", "no", "fi", "dk", "pl", "cz",
+    "ch", "at", "be", "pt", "gr", "ro", "hu", "ie", "ru", "cn", "jp",
+    "kr", "ca", "mx", "ar", "br", "cl", "in", "id", "th", "vn", "tr",
+    "il", "sa", "ae", "eg", "ng", "ke", "za", "au", "nz", "uk",
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "me.uk", "ltd.uk", "plc.uk",
+    "com.au", "net.au", "org.au", "edu.au", "gov.au",
+    "co.nz", "org.nz", "net.nz", "govt.nz",
+    "co.jp", "or.jp", "ne.jp", "ac.jp", "go.jp",
+    "co.kr", "or.kr", "re.kr", "go.kr",
+    "com.cn", "net.cn", "org.cn", "gov.cn", "edu.cn",
+    "com.br", "net.br", "org.br", "gov.br",
+    "co.in", "net.in", "org.in", "gov.in", "ac.in",
+    "co.za", "org.za", "net.za", "gov.za",
+    "com.mx", "org.mx", "gob.mx",
+    "com.ar", "org.ar", "gob.ar",
+    "com.tr", "org.tr", "gov.tr",
+    "co.il", "org.il", "gov.il",
+    // private-registry suffixes (user sites are separate domains)
+    "github.io", "gitlab.io", "blogspot.com", "netlify.app",
+    "vercel.app", "web.app", "pages.dev", "herokuapp.com",
+    "s3.amazonaws.com", "cloudfront.net",
+    // the canonical wildcard + exception pair from the PSL
+    "*.ck", "!www.ck")
 }

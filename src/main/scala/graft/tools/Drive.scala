@@ -1041,6 +1041,18 @@ object Drive {
     println(f"[83] KN trigram NLL: range ${knAgg.getDouble(0)}%.2f.." +
       f"${knAgg.getDouble(1)}%.2f over ${knAgg.getLong(2)} trigrams")
 
+    // registrable-domain extraction + the per-domain cap it feeds
+    val domUrls = docs.select(col("doc_id"),
+      concat(lit("https://www.crawl-"), col("source"), lit(".co.uk/d/"),
+        col("doc_id")).as("u"))
+    val domains = domUrls.select(col("doc_id"),
+      graft.plans.expressions.registrable_domain(col("u")).as("domain"))
+    val nDom = domains.select("domain").distinct().count()
+    val capped = graft.operators.Sampling.capPerGroup(
+      domains, Seq("domain"), Seq(col("doc_id").asc), n = 2).count()
+    println(s"[84] registrable domains: ${domains.count()} urls -> " +
+      s"$nDom domains, per-domain cap 2 keeps $capped")
+
     // mojibake repair round-trips the corpus through a Latin-1 mangle
     val mjN = docs.select(graft.plans.expressions.fix_mojibake(
         decode(encode(col("text"), "UTF-8"), "ISO-8859-1")).as("f"),
