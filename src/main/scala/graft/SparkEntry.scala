@@ -1989,6 +1989,18 @@ object SparkEntry {
         "doc_id", "n_tokens", capacity = 500, groups = 8)
         .select("doc_id", "n_tokens", "pack_id")),
 
+    // best-fit-decreasing packing (the packed-pretraining bin rule:
+    // sort by length desc, tightest open bin that fits, lowest index on
+    // ties). groups = 1 here so the DuckDB oracle can replay the
+    // sequential placement exactly via a recursive CTE; the operator
+    // salts into independent groups for scale, spec-pinned
+    "doc_packing_bfd" -> ((s, dir) =>
+      text.TextChunker.shardByTokenBudgetBfd(
+        t(s, dir, "documents").select(col("doc_id"),
+          text.TextAnalysis.tokenCountWhitespace(col("text")).as("n_tokens")),
+        "doc_id", "n_tokens", capacity = 500, groups = 1)
+        .select("doc_id", "n_tokens", "pack_id")),
+
     // ---- extensions: near-duplicate detection -------------------------
     "neardup_minhash_pairs" -> ((s, dir) =>
       text.MinHashDedup.nearDupPairs(
@@ -4500,6 +4512,43 @@ object SparkEntry {
         |SELECT doc_id, n_tokens,
         |  concat(grp, '_', CAST(cb // 500 AS BIGINT)) AS pack_id
         |FROM w""".stripMargin,
+
+    // replays best-fit-decreasing placement SEQUENTIALLY: a recursive
+    // CTE steps one doc per iteration in (n_tokens desc, doc_id) order,
+    // carrying the open-bin remainder list; the tightest fitting bin
+    // (lowest index on ties) is argmin by list_sort on (remainder,
+    // index) structs — the exact TreeMap.ceilingEntry rule
+    "doc_packing_bfd" ->
+      """WITH RECURSIVE c AS (
+        |  SELECT doc_id, CAST(length(list_filter(string_split_regex(text, '\s+'),
+        |    x -> length(x) > 0)) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |d AS (
+        |  SELECT doc_id, n_tokens,
+        |    row_number() OVER (ORDER BY n_tokens DESC, doc_id) AS rk
+        |  FROM c),
+        |pack AS (
+        |  SELECT CAST(0 AS BIGINT) AS rk, CAST(NULL AS BIGINT) AS doc_id,
+        |         CAST(NULL AS BIGINT) AS bin, CAST([] AS BIGINT[]) AS bins
+        |  UNION ALL
+        |  SELECT rk, doc_id,
+        |    CASE WHEN j IS NULL THEN len(bins) ELSE j - 1 END,
+        |    CASE WHEN j IS NULL THEN list_append(bins, 500 - n_tokens)
+        |         ELSE list_transform(range(1, len(bins) + 1),
+        |           i -> CASE WHEN i = j THEN bins[i] - n_tokens
+        |                ELSE bins[i] END) END
+        |  FROM (
+        |    SELECT rk, doc_id, n_tokens, bins,
+        |      CASE WHEN len(cands) = 0 THEN NULL
+        |           ELSE list_sort(cands)[1].j END AS j
+        |    FROM (
+        |      SELECT d.rk, d.doc_id, d.n_tokens, p.bins,
+        |        [{'r': p.bins[i], 'j': i} FOR i IN range(1, len(p.bins) + 1)
+        |           IF p.bins[i] >= d.n_tokens] AS cands
+        |      FROM pack p JOIN d ON d.rk = p.rk + 1)))
+        |SELECT p.doc_id, c.n_tokens, '0_' || p.bin AS pack_id
+        |FROM pack p JOIN c ON p.doc_id = c.doc_id
+        |WHERE p.rk > 0""".stripMargin,
 
     "events_range_join" ->
       """WITH d AS (

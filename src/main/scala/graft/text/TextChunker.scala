@@ -162,4 +162,123 @@ object TextChunker {
           s => s.getField("__ids"))).as("input_ids"))
       .withColumn("n_tokens", size(col("input_ids")).cast("long"))
   }
+
+  /** BEST-FIT-DECREASING token-budget sharding — the greedy bin packer
+    * the training literature actually uses (Krell 2021's packed BERT
+    * pretraining and its descendants): within each of `groups` hash
+    * groups, documents sort by length DESCENDING (id ascending as the
+    * tiebreaker) and each goes to the open bin with the LEAST remaining
+    * capacity that still fits (ties to the lowest bin index); no fit
+    * opens a new bin. Unlike [[shardByTokenBudget]]'s id-ordered fill —
+    * which wastes budget whenever a long document straggles past a
+    * nearly-full shard — BFD ends within 11/9·OPT + 6/9 bins (the
+    * classic Johnson bound), and in practice near-optimal when docs are
+    * small against `capacity`. Bins never overflow except for a single
+    * document longer than `capacity`, which gets a bin of its own.
+    *
+    * Deterministic: the assignment is a pure function of each group's
+    * (length, id) multiset — partitioning-independent.
+    *
+    * Scale shape: the packer itself is inherently sequential, so rows
+    * salt into `groups` independent streams (same contract as
+    * [[shardByTokenBudget]]): one shuffle + intra-partition sort of
+    * 24-byte `(grp, n, id)` tuples — never the payload — then ONE
+    * streaming pass per group with O(log bins) placement (a TreeMap of
+    * remainder → bin indices), memory O(bins-per-group). The payload
+    * joins the 16-byte assignment table back by id afterwards.
+    */
+  def shardByTokenBudgetBfd(df: DataFrame, idCol: String,
+                            tokenCountCol: String, capacity: Long,
+                            groups: Int = 64): DataFrame = {
+    require(capacity > 0, "capacity must be positive")
+    require(groups >= 1, "groups must be >= 1")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val slim = df.select(
+        pmod(col(idCol).cast("long"), lit(groups.toLong)).as("g"),
+        col(tokenCountCol).cast("long").as("n"),
+        col(idCol).cast("long").as("id"))
+      .as[(Long, Long, Long)]
+    val assigned = slim
+      .repartition(col("g"))
+      .sortWithinPartitions(col("g").asc, col("n").desc, col("id").asc)
+      .mapPartitions { it =>
+        // remainder -> bin indices with that remainder (ascending), so
+        // ceilingEntry(n) is the tightest fit and .first() the tie rule
+        var grp = Long.MinValue
+        var nextBin = 0L
+        val byRemainder = new java.util.TreeMap[Long, java.util.TreeSet[Long]]()
+        def place(n: Long): Long = {
+          val e = byRemainder.ceilingEntry(n)
+          if (e == null) {
+            val bin = nextBin
+            nextBin += 1
+            val rem = capacity - n // may go negative: oversized doc, own bin
+            if (rem >= 0)
+              byRemainder.computeIfAbsent(rem,
+                _ => new java.util.TreeSet[Long]()).add(bin)
+            bin
+          } else {
+            val rem = e.getKey
+            val bins = e.getValue
+            val bin = bins.first()
+            bins.remove(bin)
+            if (bins.isEmpty) byRemainder.remove(rem)
+            val left = rem - n
+            byRemainder.computeIfAbsent(left,
+              _ => new java.util.TreeSet[Long]()).add(bin)
+            bin
+          }
+        }
+        it.map { case (g, n, id) =>
+          if (g != grp) { grp = g; nextBin = 0L; byRemainder.clear() }
+          (id, s"${g}_${place(n)}")
+        }
+      }.toDF("__bfd_id", "pack_id")
+    df.join(assigned, df(idCol).cast("long") === col("__bfd_id"))
+      .drop("__bfd_id")
+  }
+
+  /** [[packSequences]] over the [[shardByTokenBudgetBfd]] shards:
+    * identical output shape (`pack_id`, `n_docs`, `input_ids`,
+    * `n_tokens`, id-ordered concatenation within each pack), better
+    * budget utilization.
+    */
+  def packSequencesBfd(df: DataFrame, idCol: String, idsCol: String,
+                       capacity: Long, groups: Int = 64,
+                       sepId: Option[Int] = None): DataFrame = {
+    val sized = df.withColumn("__n_ids", size(col(idsCol)).cast("long"))
+    val sharded = shardByTokenBudgetBfd(sized, idCol, "__n_ids", capacity,
+      groups)
+    val docIds = sepId match {
+      case Some(sep) => concat(col(idsCol), array(lit(sep)))
+      case None => col(idsCol)
+    }
+    sharded
+      .select(col("pack_id"), col(idCol).cast("long").as("__oid"),
+        docIds.as("__ids"))
+      .groupBy("pack_id")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        flatten(transform(
+          array_sort(collect_list(struct(col("__oid"), col("__ids")))),
+          s => s.getField("__ids"))).as("input_ids"))
+      .withColumn("n_tokens", size(col("input_ids")).cast("long"))
+  }
+
+  /** Packing-efficiency audit for a sharded frame: one row of
+    * `(n_packs, n_tokens, waste_frac)` where `waste_frac` is the unused
+    * fraction of the allocated budget, Σ max(capacity − packTokens, 0)
+    * / (n_packs · capacity) — oversized single-doc packs count as full,
+    * not negative. The number `shardByTokenBudgetBfd` exists to push
+    * down.
+    */
+  def packingEfficiency(sharded: DataFrame, tokenCountCol: String,
+                        capacity: Long): DataFrame =
+    sharded.groupBy(col("pack_id"))
+      .agg(sum(col(tokenCountCol).cast("long")).as("__pt"))
+      .agg(count(lit(1)).as("n_packs"),
+        sum(col("__pt")).as("n_tokens"),
+        round(sum(greatest(lit(capacity) - col("__pt"), lit(0L))) /
+          (count(lit(1)) * lit(capacity)), 4).as("waste_frac"))
 }

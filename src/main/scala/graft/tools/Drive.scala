@@ -1053,6 +1053,20 @@ object Drive {
     println(s"[84] registrable domains: ${domains.count()} urls -> " +
       s"$nDom domains, per-domain cap 2 keeps $capped")
 
+    // best-fit-decreasing packing vs the id-ordered fill: waste must drop
+    val packIn = docs.select(col("doc_id"),
+      graft.text.TextAnalysis.tokenCountWhitespace(col("text")).as("n_tokens"))
+    def wasteOf(sh: org.apache.spark.sql.DataFrame) =
+      graft.text.TextChunker.packingEfficiency(sh, "n_tokens", 500L)
+        .head()
+    val wId = wasteOf(graft.text.TextChunker.shardByTokenBudget(
+      packIn, "doc_id", "n_tokens", 500L, groups = 8))
+    val wBfd = wasteOf(graft.text.TextChunker.shardByTokenBudgetBfd(
+      packIn, "doc_id", "n_tokens", 500L, groups = 8))
+    println(f"[85] packing: id-ordered ${wId.getLong(0)} packs waste " +
+      f"${wId.getDouble(2)}%.4f; BFD ${wBfd.getLong(0)} packs waste " +
+      f"${wBfd.getDouble(2)}%.4f")
+
     // mojibake repair round-trips the corpus through a Latin-1 mangle
     val mjN = docs.select(graft.plans.expressions.fix_mojibake(
         decode(encode(col("text"), "UTF-8"), "ISO-8859-1")).as("f"),

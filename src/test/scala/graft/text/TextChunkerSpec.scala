@@ -113,4 +113,101 @@ class TextChunkerSpec extends SparkSpec {
         s"$pid holds docs of its own salt group only")
     }
   }
+
+  test("BFD sharding: no bin overflows (except oversized single docs), " +
+       "placement matches a reference best-fit, and efficiency >= the " +
+       "id-ordered baseline") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rnd = new scala.util.Random(3L)
+    val docs = (0L until 400L).map(i =>
+      (i, 1L + rnd.nextInt(99))).toDF("doc_id", "n_tokens")
+    val cap = 100L
+    val bfd = TextChunker.shardByTokenBudgetBfd(docs, "doc_id", "n_tokens",
+      cap, groups = 1)
+    val packTotals = bfd.groupBy("pack_id")
+      .agg(sum("n_tokens").as("t"), count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(packTotals.forall { case (_, t, n) => t <= cap || n == 1 },
+      "a multi-doc bin overflowed the capacity")
+    // reference BFD over the same (length desc, id asc) order
+    val sorted = docs.collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy { case (id, n) => (-n, id) }
+    val bins = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val want = scala.collection.mutable.Map.empty[Long, String]
+    sorted.foreach { case (id, n) =>
+      val fits = bins.zipWithIndex.filter(_._1 >= n)
+      if (fits.isEmpty) { bins += (cap - n); want(id) = s"0_${bins.size - 1}" }
+      else {
+        val (_, j) = fits.minBy { case (r, i) => (r, i) }
+        bins(j) -= n; want(id) = s"0_$j"
+      }
+    }
+    val got = bfd.select("doc_id", "pack_id").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == want.toMap)
+    // waste: BFD must not be worse than the id-ordered fill
+    def waste(sharded: org.apache.spark.sql.DataFrame): Double =
+      TextChunker.packingEfficiency(sharded, "n_tokens", cap)
+        .head().getDouble(2)
+    val idOrdered = TextChunker.shardByTokenBudget(docs, "doc_id",
+      "n_tokens", cap, groups = 1)
+    assert(waste(bfd) <= waste(idOrdered),
+      s"BFD waste ${waste(bfd)} vs id-ordered ${waste(idOrdered)}")
+  }
+
+  test("BFD: oversized docs take a bin alone; grouped run is " +
+       "deterministic across partitionings and respects salt groups") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val docs = Seq((1L, 250L), (2L, 40L), (3L, 80L), (4L, 30L), (5L, 70L),
+      (6L, 260L), (7L, 10L), (8L, 55L)).toDF("doc_id", "n_tokens")
+    val out = TextChunker.shardByTokenBudgetBfd(docs, "doc_id", "n_tokens",
+      capacity = 100L, groups = 1)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[String]("pack_id")).toMap
+    // 250 and 260 exceed capacity: alone in their bins
+    val oversizedBins = Set(out(1L), out(6L))
+    assert(oversizedBins.size == 2)
+    assert(out.filterNot(kv => kv._1 == 1L || kv._1 == 6L)
+      .values.toSet.intersect(oversizedBins).isEmpty)
+    // determinism: 1 vs 13 input partitions, same assignment
+    val repartitioned = TextChunker.shardByTokenBudgetBfd(
+      docs.repartition(13), "doc_id", "n_tokens", 100L, groups = 1)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[String]("pack_id")).toMap
+    assert(repartitioned == out)
+    // groups = 3: every pack holds only its own salt group's docs
+    val grouped = TextChunker.shardByTokenBudgetBfd(docs, "doc_id",
+      "n_tokens", 100L, groups = 3)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("pack_id")))
+    grouped.foreach { case (id, pid) =>
+      assert(pid.split("_")(0).toLong == id % 3, s"doc $id in pack $pid")
+    }
+  }
+
+  test("packSequencesBfd assembles id-ordered packs over BFD shards") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // doc i has i tokens (value i repeated), ids 1..12, capacity 20
+    val docs = (1 to 12).map(i => (i.toLong, Array.fill(i)(i))).toDF("doc_id", "ids")
+    val packs = TextChunker.packSequencesBfd(docs, "doc_id", "ids",
+      capacity = 20L, groups = 1, sepId = Some(-1))
+      .collect().map(r => (r.getAs[String]("pack_id"),
+        r.getAs[Long]("n_docs"),
+        r.getAs[scala.collection.Seq[Int]]("input_ids").toArray,
+        r.getAs[Long]("n_tokens")))
+    // coverage: every doc's ids appear exactly once across all packs
+    val allIds = packs.flatMap(_._3).filter(_ != -1)
+    assert(allIds.groupBy(identity).map { case (v, a) => v -> a.length } ==
+      (1 to 12).map(i => i -> i).toMap)
+    packs.foreach { case (pid, nDocs, ids, nTokens) =>
+      assert(ids.length == nTokens)
+      assert(ids.count(_ == -1) == nDocs, s"$pid one sep per doc")
+      assert(nTokens - nDocs <= 20, s"$pid: BFD bins never overflow " +
+        "(no doc here exceeds the capacity)")
+      val order = ids.filter(_ != -1).distinct
+      assert(order.toSeq == order.sorted.toSeq, s"$pid id-ordered concat")
+    }
+  }
 }
