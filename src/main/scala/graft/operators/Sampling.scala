@@ -284,8 +284,9 @@ object Sampling {
     * fine for config-sized group counts (sources, languages). For a
     * group holding most of the corpus, pre-cut with [[capPerGroup]]
     * (budget/min-weight rows bounds the survivors) and apply this to
-    * the remainder; the composition stays exact because the row cap
-    * keeps a superset of any budget-feasible prefix.
+    * the remainder (the composition stays exact because the row cap
+    * keeps a superset of any budget-feasible prefix), or switch to the
+    * sketch-based [[capWeightPerGroupApprox]], which never windows.
     */
   def capWeightPerGroup(df: DataFrame, groupCols: Seq[String],
                         orderBy: Seq[Column], weightCol: String,
@@ -298,6 +299,73 @@ object Sampling {
     df.withColumn(cum, sum(col(weightCol)).over(w))
       .filter(col(cum) <= budget)
       .drop(cum)
+  }
+
+  /** WINDOW-FREE approximation of [[capWeightPerGroup]] for the
+    * hot-group case the exact form documents away (one group = half the
+    * corpus serializes its running sum on one task): per group, a
+    * `percentile_approx` sketch splits the priority score into `bins`
+    * quantile bins, one aggregation sums each bin's weight, and a tiny
+    * per-group fold keeps the longest PREFIX of bins whose cumulative
+    * weight fits `budget` — the kept-set boundary broadcasts back as a
+    * score threshold (the [[stratifiedSampleApprox]] shape, made
+    * weight-aware). Rows keep while `scoreCol` ≤ the group's boundary:
+    * best-first at bin granularity.
+    *
+    * `scoreCol` is the ascending priority (smaller = kept first) — the
+    * single-column form of the exact API's `orderBy`; negate for
+    * "largest first". Guarantees: the kept weight NEVER exceeds
+    * `budget` (whole bins only, so the approximation always
+    * under-keeps, by at most one bin's weight plus sketch error);
+    * equal scores keep or drop together (value-deterministic — ties
+    * cannot straddle the cut as they can under the exact form's
+    * tiebreaker). Agreement with the exact form is spec-pinned ≥ 90 %
+    * at the default 64 bins.
+    *
+    * Scale shape: two corpus-mass hash aggregations (sketch, bin
+    * weights) + two broadcast joins — no window, nothing serializes a
+    * group, skew-immune. Increase `bins`/`accuracy` to tighten.
+    */
+  def capWeightPerGroupApprox(df: DataFrame, groupCols: Seq[String],
+                              scoreCol: Column, weightCol: String,
+                              budget: Long, bins: Int = 64,
+                              accuracy: Int = 10000): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    require(bins >= 2, "need at least 2 bins")
+    require(groupCols.nonEmpty, "need at least one group column")
+    val s = "__graft_score"
+    val scored = df.withColumn(s, scoreCol.cast("double"))
+    val probs = array((1 to bins).map(i => lit(i.toDouble / bins)): _*)
+    val bounds = scored.groupBy(groupCols.map(col): _*)
+      .agg(percentile_approx(col(s), probs, lit(accuracy))
+        .as("__graft_bounds"))
+    // bin = number of boundaries strictly below the score (ties go to
+    // the LOWER bin, so equal scores always land together)
+    val withBin = scored.join(broadcast(bounds), groupCols)
+      .withColumn("__graft_bin",
+        size(filter(col("__graft_bounds"), b => b < col(s))))
+    val perBin = withBin
+      .groupBy((groupCols :+ "__graft_bin").map(col): _*)
+      .agg(sum(col(weightCol).cast("long")).as("__graft_w"))
+    // per-group fold over ≤ `bins` rows: longest prefix fitting budget
+    val thresh = perBin.groupBy(groupCols.map(col): _*)
+      .agg(sort_array(collect_list(
+        struct(col("__graft_bin"), col("__graft_w")))).as("__bw"))
+      .select(groupCols.map(col) :+
+        aggregate(col("__bw"),
+          struct(lit(0L).as("cum"), lit(false).as("done"),
+            lit(-1).as("keep")),
+          (acc, x) => {
+            val cum = acc.getField("cum") + x.getField("__graft_w")
+            val done = acc.getField("done") || cum > budget
+            struct(cum.as("cum"), done.as("done"),
+              when(!done, x.getField("__graft_bin"))
+                .otherwise(acc.getField("keep")).as("keep"))
+          },
+          acc => acc.getField("keep")).as("__graft_keep_bin"): _*)
+    withBin.join(broadcast(thresh), groupCols)
+      .filter(col("__graft_bin") <= col("__graft_keep_bin"))
+      .select(df.columns.map(col): _*)
   }
 
   /** At most `n` rows per group, ranked by `orderBy` — per-domain caps

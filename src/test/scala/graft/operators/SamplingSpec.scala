@@ -236,6 +236,44 @@ class SamplingSpec extends SparkSpec {
     assert(!plan.contains("Window"), "approx path must not window the data")
   }
 
+  test("capWeightPerGroupApprox: >=90% agreement with the exact cap, " +
+       "budget never overshot, and no window in the plan") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17L)
+    // 4 groups x 800 docs, weights 1..200 — keep best (heaviest) first
+    val docs = (1 to 3200).map { i =>
+      (i.toLong, s"g${i % 4}", 1L + rnd.nextInt(200))
+    }.toDF("id", "grp", "w")
+    val budget = 8000L
+    val exact = Sampling.capWeightPerGroup(docs, Seq("grp"),
+      Seq(col("w").desc, col("id").asc), "w", budget)
+      .select("id").as[Long].collect().toSet
+    val approx = Sampling.capWeightPerGroupApprox(docs, Seq("grp"),
+      -col("w"), "w", budget)
+    val approxIds = approx.select("id").as[Long].collect().toSet
+    // agreement on the union (symmetric): the sets overlap >= 90%
+    val overlap = (exact & approxIds).size.toDouble /
+      math.max(exact.size, approxIds.size)
+    assert(overlap >= 0.9, f"agreement $overlap%.3f (exact ${exact.size}, " +
+      f"approx ${approxIds.size})")
+    // hard guarantee: kept weight per group never exceeds the budget
+    val keptW = approx.groupBy("grp").agg(sum("w").as("kw"))
+      .as[(String, Long)].collect().toMap
+    keptW.foreach { case (g, kw) =>
+      assert(kw <= budget, s"group $g kept weight $kw > budget") }
+    // column order preserved; window-free (the scale property)
+    assert(approx.columns.toSeq == Seq("id", "grp", "w"))
+    val plan = approx.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), "approx path must not window the data")
+    // equal scores keep or drop together
+    val byW = docs.join(approx.select(col("id").as("kid")),
+        col("id") === col("kid"), "left")
+      .groupBy("grp", "w")
+      .agg(count(lit(1)).as("n"), count(col("kid")).as("k"))
+      .filter(col("k") > 0 && col("k") < col("n")).count()
+    assert(byW == 0L, "ties straddled the cut")
+  }
+
   test("tokenBudgetMix hits each group's weight share; absent groups " +
        "drop; under-provisioned groups keep everything") {
     import spark.implicits._
