@@ -107,13 +107,49 @@ object Bench {
     //
     // Timing estimator: see [[robustTime]]. (Safe to repeat: the mutating
     // queries recreate their scratch tables from scratch per invocation.)
+    val wall0 = System.nanoTime()
+    def now(): Double = (System.nanoTime() - wall0) / 1e9
     val calibStart = calibProbe(spark, sfDir)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val tCalibStart = now()
+    val named = SparkEntry.queries.toSeq.sortBy(_._1)
+    val midIdx = named.size / 2
+    var calibMid = calibStart
+    var tCalibMid = tCalibStart
+    val results = named.zipWithIndex.map { case ((name, fn), i) =>
+      if (i == midIdx) {
+        calibMid = calibProbe(spark, sfDir)
+        tCalibMid = now()
+      }
       val (best, runs, err, flaky) =
         robustTime(() => timeQuery(spark, sfDir, name, fn))
-      (name, best, runs, err, flaky)
+      (name, best, runs, err, flaky, now())
     }
     val calibEnd = calibProbe(spark, sfDir)
+    val tCalibEnd = now()
+    // Calib-normalized view (the r15 ask): each query's seconds divided
+    // by the AMBIENT ratio at its position in the run — c(t) piecewise-
+    // linear between the start/mid/end probes, over CalibRef (a nominal
+    // fast-window probe value for this box; r13-r15 fast windows read
+    // 0.45-0.55 s). A query timed in a 2x-slow window normalizes back
+    // to its fast-window level, so BENCH_rN diffs separate ambient
+    // drift from real plan changes mechanically instead of by judge
+    // adjudication. Raw values stay primary; the _norm view is the
+    // cross-round comparator.
+    val CalibRef = 0.5
+    def calibAt(t: Double): Double = {
+      val c =
+        if (t <= tCalibStart) calibStart
+        else if (t <= tCalibMid && tCalibMid > tCalibStart)
+          calibStart + (calibMid - calibStart) *
+            ((t - tCalibStart) / (tCalibMid - tCalibStart))
+        else if (t <= tCalibEnd && tCalibEnd > tCalibMid)
+          calibMid + (calibEnd - calibMid) *
+            ((t - tCalibMid) / (tCalibEnd - tCalibMid))
+        else calibEnd
+      math.max(c, 0.05) // probe noise floor: never divide by ~0
+    }
+    def normalize(secs: Double, tDone: Double): Double =
+      secs * CalibRef / calibAt(tDone)
     def jstr(s: String): String = "\"" + s.flatMap {
       case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
       case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
@@ -128,22 +164,28 @@ object Bench {
     // detail line)
     def sec2(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
-    val qs = results.map { case (k, v, _, _, _) => s"\"" + k + "\":" + sec2(v) }
+    val qs = results.map { case (k, v, _, _, _, _) => s"\"" + k + "\":" + sec2(v) }
       .mkString("{", ",", "}")
+    // the calib-normalized per-query view (see normalize above)
+    val qsNorm = results.map { case (k, v, _, _, _, t) =>
+      s"\"" + k + "\":" + sec2(normalize(v, t))
+    }.mkString("{", ",", "}")
     // both raw iterations (first = cold: JIT/page-cache; second = warm) so
     // cross-round regressions separate environment noise from plan changes
-    val runs = results.map { case (k, _, rs, _, _) =>
+    val runs = results.map { case (k, _, rs, _, _, _) =>
       s"\"" + k + "\":" + rs.map(sec).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     val errs = results.collect {
-      case (k, _, _, Some(e), _) => s"\"$k\":${jstr(e)}"
+      case (k, _, _, Some(e), _, _) => s"\"$k\":${jstr(e)}"
     }.mkString("{", ",", "}")
     // a third-run crash after two good timings: reported time stands
     // (min of the good runs) but the failure stays visible here
     val flaky = results.collect {
-      case (k, _, _, _, Some(e)) => s"\"$k\":${jstr(e)}"
+      case (k, _, _, _, Some(e), _) => s"\"$k\":${jstr(e)}"
     }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    val totalNorm = results.map { case (_, v, _, _, _, t) =>
+      normalize(v, t) }.sum
     // THREE lines, bulky first: the driver's output capture is
     // tail-anchored (~2000 chars), and r12 proved that even at 2-decimal
     // precision an 86-query dict overflows it — the totals line lost its
@@ -152,8 +194,9 @@ object Bench {
     // errors only, no per-query dict) that parses alone no matter how
     // many queries exist.
     println(s"""{"metric":"total_detail","queries_runs":$runs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total_queries_norm","queries":$qsNorm,"calib_ref":$CalibRef,"sf":"$sfDir"}""")
     println(s"""{"metric":"total_queries","queries":$qs,"sf":"$sfDir"}""")
-    println(s"""{"metric":"total","value":${sec(total)},"unit":"sec","n_queries":${results.size},"errors":$errs,"flaky":$flaky,"calib":{"start":${sec(calibStart)},"end":${sec(calibEnd)}},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${sec(total)},"value_norm":${sec(totalNorm)},"unit":"sec","n_queries":${results.size},"errors":$errs,"flaky":$flaky,"calib":{"start":${sec(calibStart)},"mid":${sec(calibMid)},"end":${sec(calibEnd)},"ref":$CalibRef},"sf":"$sfDir"}""")
     System.out.flush()
     spark.stop()
     if (results.exists(_._4.isDefined)) sys.exit(1)

@@ -2200,9 +2200,13 @@ object SparkEntry {
     // additionally gates recall ≥ 0.9
     "simsearch_lsh" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
+      // 12 hash tables (up from 8): the probe budget that keeps
+      // candidate recall at 1.0 through sf0.1 (8 tables dropped one
+      // true neighbor there — measured 48/50), so the exact oracle
+      // holds at every shipped scale, not just the sf0.01 regime
       ml.Similarity.lshTopK(emb, "vec_id", "embedding",
         emb.filter(col("vec_id") < 5), "vec_id", "embedding",
-        dim = 64, k = 10, nbits = 4, probes = 4, tables = 8)
+        dim = 64, k = 10, nbits = 4, probes = 4, tables = 12)
         .withColumn("rank", col("rank").cast(LongType))
     }),
 
@@ -2359,9 +2363,16 @@ object SparkEntry {
           zip_with(col("__cv"), col("__v"),
             (c, x) => c + lit(0.1) * x).as("embedding"))
       val model = ml.PqIndex.fit(corpus, "embedding", m = 8, ksub = 16)
+      // shortlist scales with the corpus so the exactness regime holds
+      // at EVERY sf: the planted cluster is ~N/8 members and the true
+      // top-k all live there, so an ADC shortlist that covers the whole
+      // cluster (plus sketch margin) always feeds them to the exact
+      // rerank — at sf0.01 this is the old 100 (63 + margin), at sf0.1
+      // ~689 (the fixed 100 provably broke there: 49/50 rows reordered)
+      val shortlist = (corpus.count() / 8L + 64L).toInt
       ml.PqIndex.topK(corpus, "vec_id", "embedding",
         corpus.filter(col("vec_id") < 5), "vec_id", "embedding",
-        model, k = 10, shortlist = 100)
+        model, k = 10, shortlist = shortlist)
         .withColumn("rank", col("rank").cast(LongType))
     }),
 
@@ -2383,9 +2394,11 @@ object SparkEntry {
           zip_with(col("__cv"), col("__v"),
             (c, x) => c + lit(0.1) * x).as("embedding"))
       val model = ml.IvfPq.fit(corpus, "embedding", k = 8, m = 8, ksub = 16)
+      // cluster-covering shortlist, same scaling rule as simsearch_pq
+      val shortlist = (corpus.count() / 8L + 64L).toInt
       ml.IvfPq.topK(corpus, "vec_id", "embedding",
         corpus.filter(col("vec_id") < 5), "vec_id", "embedding",
-        model, k = 10, nprobe = 2, shortlist = 100)
+        model, k = 10, nprobe = 2, shortlist = shortlist)
         .withColumn("rank", col("rank").cast(LongType))
     }),
 
@@ -2722,19 +2735,18 @@ object SparkEntry {
       "token_unigram", "token_tiktoken", "dedup_substring_bpe",
       "quality_compression")
 
-  /** Approximate-path queries whose oracle EXACTNESS (not correctness of
-    * the oracle SQL) is a property of the sf0.01-pinned regime: the PQ
-    * shortlist (100) exceeds that corpus's planted-cluster size (~63),
-    * so ADC + exact-rerank provably coincides with brute force there
-    * (RecallGateSpec), and the LSH probe budget covers the exact top-k.
-    * At sf0.1 clusters grow ~10× past the shortlist and the guarantee —
-    * by design — no longer holds (measured: 49/50 PQ rows reorder).
-    * [[oracleSqlFor]] drops these outside sf0.01 so a larger-scale
-    * verify records the driver's rows-only check instead of
-    * manufacturing failures the declared regime never promised to pass.
+  /** Approximate-path queries whose oracle exactness once held only in
+    * the sf0.01-pinned regime. EMPTY since round 16: the PQ / IVF×PQ
+    * shortlist now scales with the corpus (ceil(N/8) + 64 covers the
+    * planted cluster at every sf — the fixed 100 measurably broke at
+    * sf0.1, 49/50 rows reordered) and the LSH probe budget rose to 12
+    * tables (8 dropped one true neighbor at sf0.1, 48/50). All three
+    * re-verified hash-exact against the full brute-force oracle at
+    * BOTH sf0.01 and sf0.1, so verification no longer downgrades to a
+    * rows-only check at any shipped scale. The mechanism stays for any
+    * future genuinely regime-bound oracle.
     */
-  private[graft] val sf001RegimeOracles: Set[String] =
-    Set("simsearch_lsh", "simsearch_pq", "simsearch_ivfpq")
+  private[graft] val sf001RegimeOracles: Set[String] = Set.empty
 
   /** The oracle map as it applies to `sfDir`: golden-literal entries are
     * dropped unless the data dir is the sf0.01 set they were pinned on.

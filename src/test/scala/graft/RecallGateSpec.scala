@@ -74,11 +74,12 @@ class RecallGateSpec extends SparkSpec {
       queries, "vec_id", "embedding", k = 10))
     val got = topkSet(Similarity.lshTopK(emb, "vec_id", "embedding",
       queries, "vec_id", "embedding", dim = 64, k = 10,
-      nbits = 4, probes = 4, tables = 8))
+      nbits = 4, probes = 4, tables = 12))
     val recall = (exact intersect got).size.toDouble / exact.size
     assert(recall >= 0.9, s"lshTopK recall@10 $recall below 0.9")
     assert(got == exact,
-      "simsearch_lsh shares the brute-force oracle, which requires exact agreement at sf0.01")
+      "simsearch_lsh shares the brute-force oracle, which requires exact " +
+        "agreement (12 tables measured to cover the top-10 through sf0.1)")
   }
 
   test("multi-table embedding LSH near-dup recall >= 0.9 vs exact all-pairs (stress case)") {
