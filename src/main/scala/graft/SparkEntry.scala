@@ -1507,6 +1507,31 @@ object SparkEntry {
         .withColumn("n_chars", length(col("clean")).cast("long"))
     }),
 
+    // outlink extraction → the crawl-frontier composition: every <a
+    // href> on the page (quoted, single-quoted, unquoted; entities in
+    // the href; tags + entities in the anchor; href-less anchors
+    // skipped), each href fed straight into registrable-domain
+    // extraction — the HtmlText.extract → frontier path
+    "source_html_links" -> ((s, dir) => {
+      val page = concat(
+        lit("<html><head><script>var a='<a href=\"no\">';</script></head>"),
+        lit("<body><p>intro</p>"),
+        lit("<a href=\"https://News-"), col("source"),
+        lit(".Example.com/a/"), col("doc_id"),
+        lit("?utm_source=x&amp;p=1\">First &amp; <b>bold</b> link</a>"),
+        lit("<a href='/relative/"), col("doc_id"), lit("'>rel  link</a>"),
+        lit("<a href=page"), col("doc_id") % 5, lit(".html>unquoted</a>"),
+        lit("<a name=\"x\">no href</a>"),
+        lit("<!-- <a href=\"commented\">x</a> --></body></html>"))
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          posexplode(plans.expressions.html_links(page))
+            .as(Seq("link_no", "__l")))
+        .select(col("doc_id"), col("link_no").cast(LongType).as("link_no"),
+          col("__l.href").as("href"), col("__l.anchor").as("anchor"),
+          plans.expressions.registrable_domain(col("__l.href")).as("domain"))
+    }),
+
     // deequ-style column profiling: exact null/distinct/mode counts,
     // native-type min/max rendered as strings; modal ties break to the
     // smallest value string in both engines. Two passes by design: the
@@ -3990,6 +4015,25 @@ object SparkEntry {
         |    || doc_id || '?a=' || (doc_id % 5) || '&b=' || (doc_id % 7)
         |    AS url
         |FROM documents""".stripMargin,
+
+    // replays each seeded link slot arithmetically: href as concatenated
+    // (entity-decoded) text, anchor after tag-strip + collapse, and the
+    // registrable domain of each href (relative hrefs have none)
+    "source_html_links" ->
+      """SELECT doc_id, i AS link_no,
+        |  CASE i
+        |    WHEN 0 THEN 'https://News-' || source || '.Example.com/a/'
+        |      || doc_id || '?utm_source=x&p=1'
+        |    WHEN 1 THEN '/relative/' || doc_id
+        |    ELSE 'page' || (doc_id % 5) || '.html' END AS href,
+        |  CASE i WHEN 0 THEN 'First & bold link'
+        |         WHEN 1 THEN 'rel link'
+        |         ELSE 'unquoted' END AS anchor,
+        |  CASE i WHEN 0 THEN 'example.com'
+        |         WHEN 1 THEN NULL
+        |         ELSE 'page' || (doc_id % 5) || '.html' END AS domain
+        |FROM documents
+        |CROSS JOIN (SELECT unnest(generate_series(0, 2)) AS i) s""".stripMargin,
 
     // replays the public-suffix outcomes of each seeded template
     // arithmetically: wildcard/exception/IP/bare-suffix specials by

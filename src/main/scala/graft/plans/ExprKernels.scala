@@ -1081,6 +1081,22 @@ object ExprKernels {
     *  - whitespace (including decoded NBSP) collapses to single spaces,
     *    leading/trailing trimmed.
     */
+  private def htmlEntity(ent: String): Int = ent match {
+    case "amp" => '&'
+    case "lt" => '<'
+    case "gt" => '>'
+    case "quot" => '"'
+    case "apos" => '\''
+    case "nbsp" => 0xA0
+    case _ =>
+      try {
+        if (ent.startsWith("#x") || ent.startsWith("#X"))
+          Integer.parseInt(ent.substring(2), 16)
+        else if (ent.startsWith("#")) Integer.parseInt(ent.substring(1))
+        else -1
+      } catch { case _: NumberFormatException => -1 }
+  }
+
   def htmlExtract(input: UTF8String): UTF8String = {
     val s = input.toString
     val n = s.length
@@ -1115,21 +1131,7 @@ object ExprKernels {
       }
       n
     }
-    def decodeEntity(ent: String): Int = ent match {
-      case "amp" => '&'
-      case "lt" => '<'
-      case "gt" => '>'
-      case "quot" => '"'
-      case "apos" => '\''
-      case "nbsp" => 0xA0
-      case _ =>
-        try {
-          if (ent.startsWith("#x") || ent.startsWith("#X"))
-            Integer.parseInt(ent.substring(2), 16)
-          else if (ent.startsWith("#")) Integer.parseInt(ent.substring(1))
-          else -1
-        } catch { case _: NumberFormatException => -1 }
-    }
+    def decodeEntity(ent: String): Int = htmlEntity(ent)
     var i = 0
     while (i < n) {
       val c = s.charAt(i)
@@ -1855,5 +1857,149 @@ object ExprKernels {
     }
     if (suffixStart == 0) null // the host is itself a public suffix
     else UTF8String.fromString(joinLabels(labels, suffixStart - 1))
+  }
+
+  /** Decode HTML entities (and optionally strip tags + collapse
+    * whitespace) from a raw fragment — the anchor-text / href cleanup
+    * shared by [[htmlLinks]].
+    */
+  private def htmlDecode(s: String, stripTags: Boolean,
+                         collapse: Boolean): String = {
+    val n = s.length
+    val sb = new java.lang.StringBuilder(n)
+    var lastSpace = true
+    def emit(c: Char): Unit =
+      if (collapse && (Character.isWhitespace(c) || c == ' ')) {
+        if (!lastSpace) { sb.append(' '); lastSpace = true }
+      } else { sb.append(c); lastSpace = false }
+    var i = 0
+    while (i < n) {
+      val c = s.charAt(i)
+      if (stripTags && c == '<') {
+        val gt = s.indexOf('>', i)
+        emit(' ')
+        i = if (gt < 0) n else gt + 1
+      } else if (c == '&') {
+        val semi = s.indexOf(';', i + 1)
+        if (semi > i + 1 && semi - i <= 10) {
+          val cp = htmlEntity(s.substring(i + 1, semi))
+          if (cp >= 0 && Character.isValidCodePoint(cp)) {
+            if (cp <= 0xFFFF) emit(cp.toChar)
+            else { sb.appendCodePoint(cp); lastSpace = false }
+            i = semi + 1
+          } else { emit(c); i += 1 }
+        } else { emit(c); i += 1 }
+      } else { emit(c); i += 1 }
+    }
+    val out = sb.toString
+    if (collapse) out.trim else out
+  }
+
+  /** The `href` attribute value inside an `<a ...>` tag's attribute
+    * span: case-insensitive name at an attribute boundary, quoted
+    * (single/double) or unquoted value. Null when absent.
+    */
+  private def findHref(attrs: String): String = {
+    val n = attrs.length
+    var i = 0
+    while (i < n) {
+      if (attrs.regionMatches(true, i, "href", 0, 4) &&
+          (i == 0 || Character.isWhitespace(attrs.charAt(i - 1)))) {
+        var j = i + 4
+        while (j < n && Character.isWhitespace(attrs.charAt(j))) j += 1
+        if (j < n && attrs.charAt(j) == '=') {
+          j += 1
+          while (j < n && Character.isWhitespace(attrs.charAt(j))) j += 1
+          if (j >= n) return null
+          val q = attrs.charAt(j)
+          if (q == '"' || q == '\'') {
+            val e = attrs.indexOf(q, j + 1)
+            return attrs.substring(j + 1, if (e < 0) n else e).trim
+          }
+          var e = j
+          while (e < n && !Character.isWhitespace(attrs.charAt(e))) e += 1
+          return attrs.substring(j, e).trim
+        }
+      }
+      i += 1
+    }
+    null
+  }
+
+  /** Outlink extraction (see [[graft.plans.HtmlLinks]]): one pass over
+    * the page collecting `(href, anchor)` for every `<a>` carrying an
+    * `href` — the crawl-frontier feed between [[htmlExtract]] and the
+    * URL normalizers. Hrefs are entity-decoded verbatim (relative links
+    * stay relative — resolution is the caller's frontier policy);
+    * anchor text is tag-stripped, entity-decoded, and
+    * whitespace-collapsed like the main-text extractor. Links inside
+    * comments and script/style blocks are skipped.
+    */
+  def htmlLinks(input: UTF8String)
+      : org.apache.spark.sql.catalyst.util.ArrayData = {
+    val s = input.toString
+    val n = s.length
+    val rows =
+      new scala.collection.mutable.ArrayBuffer[
+        org.apache.spark.sql.catalyst.InternalRow]()
+    def tagBoundary(pos: Int): Boolean =
+      pos >= n || s.charAt(pos) == '>' || s.charAt(pos) == '/' ||
+        Character.isWhitespace(s.charAt(pos))
+    def skipElement(i: Int, tag: String): Int = {
+      var j = i
+      while (j < n) {
+        if (s.charAt(j) == '<' && j + 1 < n && s.charAt(j + 1) == '/' &&
+            s.regionMatches(true, j + 2, tag, 0, tag.length)) {
+          val gt = s.indexOf('>', j)
+          return if (gt < 0) n else gt + 1
+        }
+        j += 1
+      }
+      n
+    }
+    var i = 0
+    while (i < n) {
+      if (s.charAt(i) == '<') {
+        if (s.regionMatches(false, i, "<!--", 0, 4)) {
+          val e = s.indexOf("-->", i + 4)
+          i = if (e < 0) n else e + 3
+        } else if (s.regionMatches(true, i + 1, "script", 0, 6) &&
+            tagBoundary(i + 7)) i = skipElement(i + 1, "script")
+        else if (s.regionMatches(true, i + 1, "style", 0, 5) &&
+            tagBoundary(i + 6)) i = skipElement(i + 1, "style")
+        else if (s.regionMatches(true, i + 1, "a", 0, 1) &&
+            tagBoundary(i + 2)) {
+          val gt = s.indexOf('>', i)
+          if (gt < 0) i = n
+          else {
+            val href = findHref(s.substring(i + 2, gt))
+            // anchor runs to the matching </a> (HTML forbids nesting)
+            var j = gt + 1
+            var end = -1
+            while (end < 0 && j < n) {
+              if (s.charAt(j) == '<' && j + 1 < n && s.charAt(j + 1) == '/' &&
+                  s.regionMatches(true, j + 2, "a", 0, 1) &&
+                  (j + 3 >= n || s.charAt(j + 3) == '>' ||
+                    Character.isWhitespace(s.charAt(j + 3)))) end = j
+              j += 1
+            }
+            val anchorRaw = s.substring(gt + 1, if (end < 0) n else end)
+            if (href != null)
+              rows += org.apache.spark.sql.catalyst.InternalRow(
+                UTF8String.fromString(
+                  htmlDecode(href, stripTags = false, collapse = false)),
+                UTF8String.fromString(
+                  htmlDecode(anchorRaw, stripTags = true, collapse = true)))
+            i = if (end < 0) n
+            else {
+              val g2 = s.indexOf('>', end)
+              if (g2 < 0) n else g2 + 1
+            }
+          }
+        } else i += 1
+      } else i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      rows.toArray[Any])
   }
 }

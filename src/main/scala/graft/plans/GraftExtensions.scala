@@ -205,6 +205,16 @@ object GraftFunctions {
         UrlCanonicalize(args.head, UrlCanonicalize.DefaultDropNames,
           UrlCanonicalize.DefaultDropPrefixes)
       }),
+    (FunctionIdentifier("graft_html_links"),
+      info("graft_html_links",
+        "graft_html_links(html) - array<struct<href, anchor>> of the " +
+          "page's <a href=...> outlinks: hrefs entity-decoded verbatim, " +
+          "anchor text tag-stripped and whitespace-collapsed; " +
+          "comment/script/style content skipped"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "graft_html_links(html)")
+        HtmlLinks(args.head)
+      }),
     (FunctionIdentifier("graft_registrable_domain"),
       info("graft_registrable_domain",
         "graft_registrable_domain(url) - registrable (eTLD+1) domain of " +

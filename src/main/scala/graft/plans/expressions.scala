@@ -150,6 +150,12 @@ object expressions {
   def html_extract(html: Column): Column =
     column(HtmlExtract(expression(html)))
 
+  /** Outlink extraction: `array<struct<href, anchor>>` per page (see
+    * [[HtmlLinks]]) — the crawl-frontier feed.
+    */
+  def html_links(html: Column): Column =
+    column(HtmlLinks(expression(html)))
+
   /** URL canonicalization for URL-level dedup, in one pass (see
     * [[UrlCanonicalize]]); the default drop set strips the common
     * tracking params (utm_*, gclid, fbclid, ...).
@@ -1176,6 +1182,33 @@ object UrlCanonicalize {
   val DefaultDropNames: Seq[String] =
     Seq("gclid", "fbclid", "msclkid", "mc_eid", "igshid", "mkt_tok")
   val DefaultDropPrefixes: Seq[String] = Seq("utm_")
+}
+
+/** `html_links(html)` — outlink extraction for the crawl frontier:
+  * `array<struct<href, anchor>>`, one element per `<a>` tag carrying an
+  * `href` (see [[ExprKernels.htmlLinks]]). Hrefs entity-decoded
+  * verbatim; anchors tag-stripped + collapsed. One pass per row under
+  * whole-stage codegen.
+  */
+case class HtmlLinks(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("href", StringType, nullable = false),
+      StructField("anchor", StringType, nullable = false))),
+    containsNull = false)
+  override def checkInputDataTypes() =
+    expressions.stringCheck(child, "html_links")
+
+  override def nullSafeEval(input: Any): Any =
+    ExprKernels.htmlLinks(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.ExprKernels.htmlLinks($c);")
+
+  override protected def withNewChildInternal(c: Expression): HtmlLinks =
+    copy(child = c)
 }
 
 /** `registrable_domain(url)` — the eTLD+1 grouping key per-domain crawl

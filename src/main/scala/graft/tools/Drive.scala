@@ -1067,6 +1067,19 @@ object Drive {
       f"${wId.getDouble(2)}%.4f; BFD ${wBfd.getLong(0)} packs waste " +
       f"${wBfd.getDouble(2)}%.4f")
 
+    // outlink extraction feeding the frontier (href -> domain)
+    val linkPages = docs.select(col("doc_id"), concat(
+      lit("<p>t</p><a href=\"https://site-"), col("source"),
+      lit(".example.com/d/"), col("doc_id"), lit("\">doc "), col("doc_id"),
+      lit("</a><a href='/rel'>rel</a>")).as("h"))
+    val outlinks = linkPages.select(
+      explode(graft.plans.expressions.html_links(col("h"))).as("l"))
+    val linkDomains = outlinks
+      .select(graft.plans.expressions.registrable_domain(col("l.href"))
+        .as("d")).filter(col("d").isNotNull).distinct().count()
+    println(s"[86] outlinks: ${outlinks.count()} links from " +
+      s"${linkPages.count()} pages -> $linkDomains frontier domains")
+
     // mojibake repair round-trips the corpus through a Latin-1 mangle
     val mjN = docs.select(graft.plans.expressions.fix_mojibake(
         decode(encode(col("text"), "UTF-8"), "ISO-8859-1")).as("f"),
