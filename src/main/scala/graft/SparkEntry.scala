@@ -1925,6 +1925,15 @@ object SparkEntry {
         numerator = 3, denominator = 10, seed = 42L, portable = true)
         .select("doc_id", "lang", "source")),
 
+    // deterministic training-order shuffle: balanced hash shards + an
+    // independently-salted within-shard order — the export step's
+    // reproducible "global shuffle" without a global sort
+    "sample_shuffle_shards" -> ((s, dir) =>
+      Sampling.shuffleShards(t(s, dir, "documents")
+          .select("doc_id", "source"),
+        keys = Seq("doc_id"), shards = 8, seed = 7L, portable = true)
+        .select("doc_id", "source", "shard", "position")),
+
     // per-source corpus mixing (deterministic weighted sampling): the
     // oracle recomputes the identical md5-derived hash and CASE rates,
     // so the MIXED SET itself must match, not just per-source counts
@@ -4456,6 +4465,23 @@ object SparkEntry {
         |    substr(md5(concat_ws(chr(1), doc_id, '42')), 1, 15)) AS BIGINT)
         |  % 100 < CASE source WHEN 'src1' THEN 60 WHEN 'src2' THEN 30
         |               WHEN 'src3' THEN 0 ELSE 10 END""".stripMargin,
+
+    // replays both md5 hashes: the routing hash mod 8 and the
+    // independently-salted order hash ranked within each shard
+    "sample_shuffle_shards" ->
+      """WITH h AS (
+        |  SELECT doc_id, source,
+        |    CAST(CAST(concat('0x',
+        |      substr(md5(concat_ws(chr(1), doc_id, '7_shard')), 1, 15))
+        |      AS BIGINT) % 8 AS INT) AS shard,
+        |    CAST(concat('0x',
+        |      substr(md5(concat_ws(chr(1), doc_id, '7_order')), 1, 15))
+        |      AS BIGINT) AS ho
+        |  FROM documents)
+        |SELECT doc_id, source, shard,
+        |  CAST(row_number() OVER (PARTITION BY shard ORDER BY ho, doc_id)
+        |    - 1 AS BIGINT) AS position
+        |FROM h""".stripMargin,
 
     // exact stratified sample: the oracle replays the identical md5
     // rank-within-stratum and the ceil(frac·N) cut — set-exact, not

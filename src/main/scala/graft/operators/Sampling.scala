@@ -368,6 +368,38 @@ object Sampling {
       .select(df.columns.map(col): _*)
   }
 
+  /** Deterministic training-order shuffle + balanced shard assignment —
+    * the step between curation and export: every row gets a `shard` in
+    * `[0, shards)` and a 0-based `position` within its shard, both pure
+    * functions of `(keys, seed)`. Training runs want data order
+    * DECORRELATED from ingest order (adjacent crawl rows share
+    * topic/time; sequential reads would feed correlated batches) yet
+    * exactly reproducible across reruns — hashing gives both: `shard` =
+    * routing-hash mod `shards` (balanced to ±O(√(n/shards)) without any
+    * global sort), `position` = rank of an INDEPENDENTLY-salted hash
+    * within the shard, keys as the tiebreaker, so within-shard order
+    * carries no trace of the routing hash.
+    *
+    * Scale shape: one shuffle on the shard key; the per-shard rank
+    * window parallelizes across shards (shard count ≈ export-file
+    * count — thousands at 100 TB, far above core counts, and each
+    * shard's window task holds n/shards rows by construction). With
+    * `portable = true` both hashes are the md5 form an external engine
+    * replays exactly.
+    */
+  def shuffleShards(df: DataFrame, keys: Seq[String], shards: Int,
+                    seed: Long = 42L, portable: Boolean = false): DataFrame = {
+    require(shards >= 1, s"need shards >= 1, got $shards")
+    require(keys.nonEmpty, "need at least one key column")
+    def h(salt: String): Column =
+      if (portable) portableHash(keys.map(col), s"${seed}_$salt")
+      else fastHash(keys.map(col), seed ^ salt.hashCode.toLong)
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(h("order").asc +: keys.map(col(_).asc): _*)
+    df.withColumn("shard", pmod(h("shard"), lit(shards.toLong)).cast("int"))
+      .withColumn("position", (row_number().over(w) - 1).cast("long"))
+  }
+
   /** At most `n` rows per group, ranked by `orderBy` — per-domain caps
     * against over-represented sources. `orderBy` MUST be a total order
     * within each group (add a unique tiebreaker column): with ties at the

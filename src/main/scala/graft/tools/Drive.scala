@@ -1080,6 +1080,14 @@ object Drive {
     println(s"[86] outlinks: ${outlinks.count()} links from " +
       s"${linkPages.count()} pages -> $linkDomains frontier domains")
 
+    // deterministic training-order shuffle into balanced shards
+    val shuf = graft.operators.Sampling.shuffleShards(
+      docs.select(col("doc_id")), Seq("doc_id"), shards = 8, seed = 11L)
+    val shufSizes = shuf.groupBy("shard").count()
+      .agg(min("count"), max("count")).head()
+    println(s"[87] shuffle shards: ${shuf.count()} docs -> 8 shards, " +
+      s"sizes ${shufSizes.getLong(0)}..${shufSizes.getLong(1)}")
+
     // mojibake repair round-trips the corpus through a Latin-1 mangle
     val mjN = docs.select(graft.plans.expressions.fix_mojibake(
         decode(encode(col("text"), "UTF-8"), "ISO-8859-1")).as("f"),

@@ -274,6 +274,41 @@ class SamplingSpec extends SparkSpec {
     assert(byW == 0L, "ties straddled the cut")
   }
 
+  test("shuffleShards: balanced shards, positions form a permutation, " +
+       "deterministic across partitionings, order decorrelated from keys") {
+    import spark.implicits._
+    val d = spark.range(0, 4000).select(col("id"))
+    val out = Sampling.shuffleShards(d, Seq("id"), shards = 16, seed = 5L)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    // balance: hash routing keeps shards within ~4 sigma of n/shards
+    val sizes = out.groupBy(_._2).map(_._2.length)
+    assert(sizes.size == 16)
+    sizes.foreach(n => assert(math.abs(n - 250) < 70, s"shard size $n"))
+    // positions are exactly 0..size-1 within each shard
+    out.groupBy(_._2).foreach { case (s, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (0L until rows.length).toSeq,
+        s"shard $s positions")
+    }
+    // deterministic across input partitionings
+    val again = Sampling.shuffleShards(d.repartition(11), Seq("id"),
+        shards = 16, seed = 5L)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(again == out.toSet)
+    // a different seed reshuffles
+    val other = Sampling.shuffleShards(d, Seq("id"), Seq(16).head, seed = 6L)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(other != out.toSet)
+    // within-shard order is decorrelated from key order: the id sequence
+    // read in position order must not be monotone
+    val shard0 = out.filter(_._2 == 0).sortBy(_._3).map(_._1)
+    assert(shard0.zip(shard0.drop(1)).count { case (a, b) => a < b } <
+      shard0.length * 3 / 4, "shuffle left ingest order mostly intact")
+    // portable and fast forms agree on the CONTRACT (not the values)
+    val p = Sampling.shuffleShards(d, Seq("id"), 16, 5L, portable = true)
+      .groupBy("shard").count().collect()
+    assert(p.length == 16)
+  }
+
   test("tokenBudgetMix hits each group's weight share; absent groups " +
        "drop; under-provisioned groups keep everything") {
     import spark.implicits._
