@@ -1532,6 +1532,33 @@ object SparkEntry {
           plans.expressions.registrable_domain(col("__l.href")).as("domain"))
     }),
 
+    // RFC 9309 robots.txt gate — the crawl step after the frontier
+    // normalizers: one seeded two-group robots body (with a wildcard
+    // group, an allow-overrides-disallow pair, a $-anchored rule, an
+    // agent-specific group, comments and an unknown directive), paths
+    // by doc_id slot, evaluated for BOTH the '*' agent and 'graftbot'
+    "crawl_robots_gate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val robotsBody = concat(lit("# robots for "), col("source"), lit("\n"),
+        lit("User-agent: *\nDisallow: /private/\nAllow: /private/ok/\n" +
+          "Disallow: /tmp$\nCrawl-delay: 5\n\n" +
+          "User-agent: graftbot\nDisallow: /bot-only/\n"))
+      val path = when(col("doc_id") % 5 === 0,
+          concat(lit("/public/"), col("doc_id")))
+        .when(col("doc_id") % 5 === 1, concat(lit("/private/"), col("doc_id")))
+        .when(col("doc_id") % 5 === 2,
+          concat(lit("/private/ok/"), col("doc_id")))
+        .when(col("doc_id") % 5 === 3,
+          when(col("doc_id") % 10 === 3, lit("/tmp"))
+            .otherwise(concat(lit("/tmp-"), col("doc_id"))))
+        .otherwise(concat(lit("/bot-only/"), col("doc_id")))
+      docs.select(col("doc_id"), path.as("path"),
+        plans.expressions.robots_allowed(robotsBody, path)
+          .as("allowed_star"),
+        plans.expressions.robots_allowed(robotsBody, path,
+          agent = "graftbot").as("allowed_bot"))
+    }),
+
     // deequ-style column profiling: exact null/distinct/mode counts,
     // native-type min/max rendered as strings; modal ties break to the
     // smallest value string in both engines. Two passes by design: the
@@ -4023,6 +4050,25 @@ object SparkEntry {
         |  'http://crawl-' || lower(source) || '.example.com/Docs/'
         |    || doc_id || '?a=' || (doc_id % 5) || '&b=' || (doc_id % 7)
         |    AS url
+        |FROM documents""".stripMargin,
+
+    // replays the RFC outcomes per path slot: /private/ disallowed for
+    // * (but not graftbot, whose group overrides), /private/ok/ allowed
+    // (longer allow wins), '/tmp' blocked only exactly ($ anchor),
+    // /bot-only/ blocked only for graftbot
+    "crawl_robots_gate" ->
+      """SELECT doc_id,
+        |  CASE doc_id % 5
+        |    WHEN 0 THEN '/public/' || doc_id
+        |    WHEN 1 THEN '/private/' || doc_id
+        |    WHEN 2 THEN '/private/ok/' || doc_id
+        |    WHEN 3 THEN CASE WHEN doc_id % 10 = 3 THEN '/tmp'
+        |                     ELSE '/tmp-' || doc_id END
+        |    ELSE '/bot-only/' || doc_id END AS path,
+        |  CASE WHEN doc_id % 5 = 1 THEN FALSE
+        |       WHEN doc_id % 10 = 3 THEN FALSE
+        |       ELSE TRUE END AS allowed_star,
+        |  CASE WHEN doc_id % 5 = 4 THEN FALSE ELSE TRUE END AS allowed_bot
         |FROM documents""".stripMargin,
 
     // replays each seeded link slot arithmetically: href as concatenated

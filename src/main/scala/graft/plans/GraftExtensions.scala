@@ -205,6 +205,15 @@ object GraftFunctions {
         UrlCanonicalize(args.head, UrlCanonicalize.DefaultDropNames,
           UrlCanonicalize.DefaultDropPrefixes)
       }),
+    (FunctionIdentifier("graft_robots_allowed"),
+      info("graft_robots_allowed",
+        "graft_robots_allowed(robots_txt, path) - RFC 9309 evaluation " +
+          "for the '*' agent: longest-pattern rule wins, allow beats " +
+          "disallow on ties, * wildcards and $ anchors"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_robots_allowed(robots_txt, path)")
+        RobotsAllowed(args.head, args(1), "*")
+      }),
     (FunctionIdentifier("graft_html_links"),
       info("graft_html_links",
         "graft_html_links(html) - array<struct<href, anchor>> of the " +

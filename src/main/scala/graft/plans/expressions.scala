@@ -173,6 +173,13 @@ object expressions {
                          rules: Seq[String] = RegistrableDomain.DefaultRules): Column =
     column(RegistrableDomain(expression(url), rules))
 
+  /** RFC 9309 robots.txt gate: may `agent` fetch `path` under this
+    * site's robots body? (see [[RobotsAllowed]]).
+    */
+  def robots_allowed(robotsTxt: Column, path: Column,
+                     agent: String = "*"): Column =
+    column(RobotsAllowed(expression(robotsTxt), expression(path), agent))
+
   /** Z-order value of an `array<double>` column (one element per Z-order
     * dimension); `bounds` holds `(1<<bits)-1` ascending quantile
     * boundaries per column, column-major (see [[ZValue]]).
@@ -1209,6 +1216,42 @@ case class HtmlLinks(child: Expression) extends UnaryExpression {
 
   override protected def withNewChildInternal(c: Expression): HtmlLinks =
     copy(child = c)
+}
+
+/** `robots_allowed(robots_txt, path)` — RFC 9309 robots.txt evaluation
+  * for the crawl gate (see [[graft.text.RobotsTxt]]): group selection
+  * by longest user-agent prefix with `*` fallback, most-specific
+  * (longest-pattern) rule wins with allow beating disallow on ties,
+  * `*` wildcards and `$` anchors. The per-domain body parse is
+  * memoized, so the per-row cost is the rule scan.
+  */
+case class RobotsAllowed(left: Expression, right: Expression, agent: String)
+    extends BinaryExpression {
+
+  override def dataType: DataType = BooleanType
+  override def checkInputDataTypes() = {
+    val l = expressions.stringCheck(left, "robots_allowed")
+    if (l != org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+        .TypeCheckSuccess) l
+    else expressions.stringCheck(right, "robots_allowed")
+  }
+
+  override def nullSafeEval(robots: Any, path: Any): Any =
+    java.lang.Boolean.valueOf(graft.text.RobotsTxt.allowedCached(
+      robots.asInstanceOf[UTF8String].toString, agent,
+      path.asInstanceOf[UTF8String].toString))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val agentRef = ctx.addReferenceObj("robotsAgent", agent,
+      "java.lang.String")
+    nullSafeCodeGen(ctx, ev, (r, p) =>
+      s"""${ev.value} = graft.text.RobotsTxt.allowedCached(
+         |  $r.toString(), $agentRef, $p.toString());""".stripMargin)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): RobotsAllowed =
+    copy(left = newLeft, right = newRight)
 }
 
 /** `registrable_domain(url)` — the eTLD+1 grouping key per-domain crawl

@@ -1,0 +1,153 @@
+package graft.text
+
+/** robots.txt evaluation (RFC 9309, the public Robots Exclusion
+  * Protocol) — the crawl-pipeline gate between outlink extraction and
+  * the frontier: given a site's robots.txt body and a target path, may
+  * `agent` fetch it?
+  *
+  * Semantics implemented (all from the RFC + the original 1994
+  * convention it codifies):
+  *  - groups: consecutive `User-agent:` lines share the rule block that
+  *    follows; group selection picks the LONGEST user-agent token that
+  *    is a case-insensitive prefix of `agent`, falling back to the `*`
+  *    group; no matching group ⇒ allowed.
+  *  - rules: `Allow:` / `Disallow:` path patterns with `*` wildcards
+  *    and a `$` end anchor, matched against the percent-path; the
+  *    MOST-SPECIFIC (longest-pattern) match wins, `allow` beating
+  *    `disallow` on equal length. An empty `Disallow:` value matches
+  *    nothing (allow all) — the classic "blank disallow" rule.
+  *  - comments (`#` to end of line) and unknown directives (crawl-delay,
+  *    sitemap, ...) are ignored; directive names are case-insensitive.
+  *
+  * Parsing is memoized per task through a small bounded cache keyed on
+  * the robots body (a corpus carries one body per domain repeated
+  * across thousands of rows, so the amortized per-row cost is the rule
+  * scan, not the parse).
+  */
+object RobotsTxt {
+
+  final case class Rule(allow: Boolean, pattern: String)
+
+  /** One parsed robots.txt: user-agent tokens (lowercased) → rules. */
+  final case class Robots(groups: Seq[(Seq[String], Seq[Rule])]) {
+    /** The rule block for `agent`: longest matching UA token wins,
+      * `*` as the fallback.
+      */
+    def rulesFor(agent: String): Seq[Rule] = {
+      val a = agent.toLowerCase(java.util.Locale.ROOT)
+      var bestLen = -1
+      var best: Seq[Rule] = null
+      var star: Seq[Rule] = null
+      groups.foreach { case (uas, rules) =>
+        uas.foreach { ua =>
+          if (ua == "*") { if (star == null) star = rules }
+          else if (a.startsWith(ua) && ua.length > bestLen) {
+            bestLen = ua.length; best = rules
+          }
+        }
+      }
+      if (best != null) best else if (star != null) star else Seq.empty
+    }
+  }
+
+  def parse(body: String): Robots = {
+    val groups = scala.collection.mutable.ArrayBuffer
+      .empty[(scala.collection.mutable.ArrayBuffer[String],
+        scala.collection.mutable.ArrayBuffer[Rule])]
+    var inUaRun = false // consecutive user-agent lines share one group
+    body.split("\n", -1).foreach { raw =>
+      val noComment = {
+        val h = raw.indexOf('#')
+        if (h >= 0) raw.substring(0, h) else raw
+      }
+      val line = noComment.trim
+      val colon = line.indexOf(':')
+      if (colon > 0) {
+        val key = line.substring(0, colon).trim
+          .toLowerCase(java.util.Locale.ROOT)
+        val value = line.substring(colon + 1).trim
+        key match {
+          case "user-agent" =>
+            if (!inUaRun || groups.isEmpty) {
+              groups += ((scala.collection.mutable.ArrayBuffer.empty[String],
+                scala.collection.mutable.ArrayBuffer.empty[Rule]))
+              inUaRun = true
+            }
+            groups.last._1 += value.toLowerCase(java.util.Locale.ROOT)
+          case "allow" | "disallow" =>
+            inUaRun = false
+            if (groups.nonEmpty && value.nonEmpty)
+              groups.last._2 += Rule(key == "allow", value)
+          // an empty Disallow: matches nothing — drop it (allow-all)
+          case _ => inUaRun = false // crawl-delay, sitemap, unknown
+        }
+      }
+    }
+    Robots(groups.map { case (uas, rules) => (uas.toSeq, rules.toSeq) }.toSeq)
+  }
+
+  /** `pattern` matches `path` from the start, `*` spanning any run,
+    * `$` (only meaningful at pattern end) anchoring to the path end.
+    * Iterative greedy-with-backtrack — no regex compilation per row.
+    */
+  private[text] def matches(pattern: String, path: String): Boolean = {
+    val anchored = pattern.nonEmpty && pattern.charAt(pattern.length - 1) == '$'
+    val pat = if (anchored) pattern.substring(0, pattern.length - 1) else pattern
+    val pn = pat.length
+    val n = path.length
+    var pi = 0
+    var si = 0
+    var starPi = -1
+    var starSi = -1
+    while (si < n) {
+      if (pi < pn && pat.charAt(pi) == '*') { starPi = pi; pi += 1; starSi = si }
+      else if (pi < pn && pat.charAt(pi) == path.charAt(si)) { pi += 1; si += 1 }
+      else if (starPi >= 0) { starSi += 1; si = starSi; pi = starPi + 1 }
+      else return false
+      // consumed the whole pattern: prefix-match succeeds unless anchored
+      if (pi == pn && !anchored) return true
+    }
+    while (pi < pn && pat.charAt(pi) == '*') pi += 1
+    pi == pn && (!anchored || si == n)
+  }
+
+  /** Effective pattern length for specificity (RFC: "most specific
+    * match, measured by the LENGTH of the path pattern").
+    */
+  private def specificity(r: Rule): Int = r.pattern.length
+
+  /** Is `path` fetchable for `agent` under `robots`? */
+  def allowed(robots: Robots, agent: String, path: String): Boolean = {
+    val rules = robots.rulesFor(agent)
+    val p = if (path.isEmpty) "/" else path
+    var bestLen = -1
+    var bestAllow = true // no matching rule ⇒ allowed
+    rules.foreach { r =>
+      if (matches(r.pattern, p)) {
+        val len = specificity(r)
+        if (len > bestLen || (len == bestLen && r.allow && !bestAllow)) {
+          bestLen = len; bestAllow = r.allow
+        }
+      }
+    }
+    bestAllow
+  }
+
+  // bounded per-JVM parse memo: a corpus repeats one body per domain
+  // across many rows; 256 entries cover far more domains than one task
+  // ever holds, and the synchronized map is uncontended per-executor
+  private val cache =
+    new java.util.LinkedHashMap[String, Robots](64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, Robots]): Boolean = size() > 256
+    }
+
+  def allowedCached(body: String, agent: String, path: String): Boolean = {
+    val robots = cache.synchronized {
+      val hit = cache.get(body)
+      if (hit != null) hit
+      else { val r = parse(body); cache.put(body, r); r }
+    }
+    allowed(robots, agent, path)
+  }
+}

@@ -1088,6 +1088,17 @@ object Drive {
     println(s"[87] shuffle shards: ${shuf.count()} docs -> 8 shards, " +
       s"sizes ${shufSizes.getLong(0)}..${shufSizes.getLong(1)}")
 
+    // robots.txt gate over the frontier paths
+    val robotsBody = "User-agent: *\nDisallow: /private/\nAllow: /private/ok/\n"
+    val gated = docs.select(col("doc_id"),
+      concat(lit("/private/"), col("doc_id")).as("p"))
+      .select(graft.plans.expressions.robots_allowed(
+        lit(robotsBody), col("p")).as("ok"))
+      .groupBy("ok").count().collect()
+      .map(r => r.getBoolean(0) -> r.getLong(1)).toMap
+    println(s"[88] robots gate: /private/* paths -> " +
+      s"${gated.getOrElse(false, 0L)} blocked, ${gated.getOrElse(true, 0L)} allowed")
+
     // mojibake repair round-trips the corpus through a Latin-1 mangle
     val mjN = docs.select(graft.plans.expressions.fix_mojibake(
         decode(encode(col("text"), "UTF-8"), "ISO-8859-1")).as("f"),

@@ -1,0 +1,93 @@
+package graft.text
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class RobotsTxtSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val body =
+    """# example robots
+      |User-agent: *
+      |Disallow: /private/
+      |Allow: /private/ok/
+      |Disallow: /*.pdf$
+      |Disallow: /tmp$
+      |Crawl-delay: 10
+      |Sitemap: https://x.com/sitemap.xml
+      |
+      |User-agent: graftbot
+      |User-agent: otherbot
+      |Disallow: /bot-only/
+      |Disallow:
+      |""".stripMargin
+
+  private val robots = RobotsTxt.parse(body)
+
+  test("group selection: longest UA prefix wins, * is the fallback, " +
+       "stacked user-agent lines share a group") {
+    assert(RobotsTxt.allowed(robots, "*", "/private/x") == false)
+    // graftbot's own group has no /private/ rule
+    assert(RobotsTxt.allowed(robots, "graftbot", "/private/x") == true)
+    assert(RobotsTxt.allowed(robots, "otherbot", "/bot-only/x") == false)
+    assert(RobotsTxt.allowed(robots, "graftbot/1.0", "/bot-only/x") == false,
+      "UA token matches by prefix (product/version forms)")
+    // no groups at all => allowed
+    assert(RobotsTxt.allowed(RobotsTxt.parse("# nothing"), "*", "/x"))
+  }
+
+  test("most-specific rule wins; allow beats disallow on ties") {
+    assert(!RobotsTxt.allowed(robots, "*", "/private/secret"))
+    assert(RobotsTxt.allowed(robots, "*", "/private/ok/file"),
+      "the longer Allow: /private/ok/ overrides Disallow: /private/")
+    val tie = RobotsTxt.parse(
+      "User-agent: *\nDisallow: /a/\nAllow: /a*/\n") // hmm different lens
+    assert(RobotsTxt.allowed(
+      RobotsTxt.parse("User-agent: *\nDisallow: /dir/\nAllow: /dir/\n"),
+      "*", "/dir/x"), "equal-length allow wins the tie")
+    assert(tie != null)
+  }
+
+  test("wildcards and $ anchors") {
+    assert(!RobotsTxt.allowed(robots, "*", "/docs/report.pdf"),
+      "/*.pdf$ blocks any pdf path")
+    assert(RobotsTxt.allowed(robots, "*", "/docs/report.pdf.html"),
+      "$ anchors to the very end")
+    assert(!RobotsTxt.allowed(robots, "*", "/tmp"))
+    assert(RobotsTxt.allowed(robots, "*", "/tmp2"))
+    assert(RobotsTxt.allowed(robots, "*", "/tmpX/file"))
+    // mid-pattern wildcard
+    val w = RobotsTxt.parse("User-agent: *\nDisallow: /a/*/c\n")
+    assert(!RobotsTxt.allowed(w, "*", "/a/b/c"))
+    assert(!RobotsTxt.allowed(w, "*", "/a/b/b2/cc"),
+      "prefix semantics after the wildcard segment")
+    assert(RobotsTxt.allowed(w, "*", "/a/b"))
+  }
+
+  test("empty Disallow matches nothing; comments and unknown directives " +
+       "are ignored; empty path defaults to /") {
+    val allowAll = RobotsTxt.parse(
+      "User-agent: *\nDisallow:\n# Disallow: /fake\n")
+    assert(RobotsTxt.allowed(allowAll, "*", "/anything"))
+    val blockRoot = RobotsTxt.parse("User-agent: *\nDisallow: /\n")
+    assert(!RobotsTxt.allowed(blockRoot, "*", ""))
+    assert(!RobotsTxt.allowed(blockRoot, "*", "/x"))
+  }
+
+  test("column API + SQL registration parity; memoized path matches " +
+       "direct evaluation") {
+    val df = Seq(("/private/a", body), ("/private/ok/a", body),
+      ("/free", body)).toDF("p", "r")
+    val viaCol = df.select(
+      graft.plans.expressions.robots_allowed(col("r"), col("p")))
+      .collect().map(_.getBoolean(0)).toSeq
+    assert(viaCol == Seq(false, true, true))
+    df.createOrReplaceTempView("__robots_probe")
+    val viaSql = spark.sql(
+      "SELECT graft_robots_allowed(r, p) FROM __robots_probe")
+      .collect().map(_.getBoolean(0)).toSeq
+    assert(viaSql == viaCol)
+    assert(RobotsTxt.allowedCached(body, "*", "/private/a") ==
+      RobotsTxt.allowed(robots, "*", "/private/a"))
+  }
+}
