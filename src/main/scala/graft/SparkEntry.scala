@@ -936,6 +936,13 @@ object SparkEntry {
     "quality_kn_nll" -> ((s, dir) =>
       text.VocabStats.trigramKnNll(t(s, dir, "documents"), "doc_id", "text")),
 
+    // CCNet tiering ranked by the KN trigram score — the published
+    // recipe's actual scorer class driving the actual bucketing (the
+    // unigram-proxy form stays as quality_ccnet_bucket)
+    "quality_kn_bucket" -> ((s, dir) =>
+      text.VocabStats.knBuckets(t(s, dir, "documents"),
+        "doc_id", "text", "lang", buckets = 3)),
+
     // multinomial Naive Bayes self-classification on `source` (the
     // seed-classifier slot: GPT-3 quality LR, CCNet fastText buckets);
     // sparse decomposition — only c > 0 model rows join, absent words
@@ -2784,6 +2791,65 @@ object SparkEntry {
       |  WHERE len(list_intersect(a.s, b.s))::DOUBLE
       |        / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5)""".stripMargin
 
+  /** Shared interpolated-KN trigram CTE stack (the SQL twin of
+    * [[graft.text.VocabStats.trigramKnNll]]); ends in
+    * `knscored(doc_id, n_trigrams, nll)` covering every document.
+    * Used by the quality_kn_nll and quality_kn_bucket oracles.
+    */
+  private val knNllCtes =
+    """kws AS (
+      |  SELECT doc_id,
+      |    list_filter(regexp_split_to_array(lower(text), '\s+'),
+      |                w -> len(w) > 0) AS ws
+      |  FROM documents),
+      |bgidx AS (
+      |  SELECT doc_id, ws,
+      |    unnest(generate_series(1, greatest(len(ws) - 1, 0))) AS i
+      |  FROM kws),
+      |bg AS (SELECT ws[i] AS w1, ws[i + 1] AS w2 FROM bgidx),
+      |bcnt AS (SELECT w1, w2, count(*) AS ch FROM bg GROUP BY w1, w2),
+      |tgidx AS (
+      |  SELECT doc_id, ws,
+      |    unnest(generate_series(1, greatest(len(ws) - 2, 0))) AS i
+      |  FROM kws),
+      |tg AS (SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2, ws[i + 2] AS w3
+      |       FROM tgidx),
+      |tcnt AS (SELECT w1, w2, w3, count(*) AS c3 FROM tg GROUP BY w1, w2, w3),
+      |n3f AS (SELECT w1, w2, count(*) AS n3f FROM tcnt GROUP BY w1, w2),
+      |cc2 AS (SELECT w2, w3, count(*) AS cc2 FROM tcnt GROUP BY w2, w3),
+      |nmid AS (SELECT w2, count(*) AS nmid FROM tcnt GROUP BY w2),
+      |n2f AS (SELECT w1 AS w2, count(*) AS n2f FROM bcnt GROUP BY w1),
+      |cc1 AS (SELECT w2 AS w3, count(*) AS cc1 FROM bcnt GROUP BY w2),
+      |btot AS (SELECT count(*) AS b FROM bcnt),
+      |terms AS (
+      |  SELECT tg.doc_id,
+      |    {'c3': tcnt.c3, 'ch': bc.ch, 'n3f': n3f.n3f, 'cc2': cc2.cc2,
+      |     'nmid': nmid.nmid, 'n2f': n2f.n2f, 'cc1': cc1.cc1} AS trm
+      |  FROM tg
+      |  JOIN tcnt USING (w1, w2, w3)
+      |  JOIN bcnt bc ON tg.w1 = bc.w1 AND tg.w2 = bc.w2
+      |  JOIN n3f ON tg.w1 = n3f.w1 AND tg.w2 = n3f.w2
+      |  JOIN cc2 ON tg.w2 = cc2.w2 AND tg.w3 = cc2.w3
+      |  JOIN nmid ON tg.w2 = nmid.w2
+      |  JOIN n2f ON tg.w2 = n2f.w2
+      |  JOIN cc1 ON tg.w3 = cc1.w3),
+      |kd AS (
+      |  SELECT doc_id, count(*) AS n_trigrams, list_sort(list(trm)) AS ts
+      |  FROM terms GROUP BY doc_id),
+      |kscored AS (
+      |  SELECT doc_id, n_trigrams,
+      |    round(- list_sum(list_transform(ts, x ->
+      |        ln(greatest(x.c3 - CAST(0.75 AS DOUBLE), CAST(0 AS DOUBLE)) / x.ch
+      |           + CAST(0.75 AS DOUBLE) * x.n3f / x.ch *
+      |             (greatest(x.cc2 - CAST(0.75 AS DOUBLE), CAST(0 AS DOUBLE)) / x.nmid
+      |              + CAST(0.75 AS DOUBLE) * x.n2f / x.nmid * (x.cc1 / b)))))
+      |      / n_trigrams, 4) AS nll
+      |  FROM kd CROSS JOIN btot),
+      |knscored AS (
+      |  SELECT w.doc_id,
+      |    CAST(coalesce(sc.n_trigrams, 0) AS BIGINT) AS n_trigrams, sc.nll
+      |  FROM kws w LEFT JOIN kscored sc ON w.doc_id = sc.doc_id)""".stripMargin
+
   /** Query names whose oracle is a GOLDEN LITERAL valid only for the
     * sf0.01 dataset (see the dedup_simhash entry). [[oracleSqlFor]] omits
     * them at any other scale factor, falling back to the driver's
@@ -3932,59 +3998,20 @@ object SparkEntry {
     // replays interpolated Kneser-Ney exactly: same continuation counts
     // from the trigram/bigram TYPE tables, same 7-int struct sort, same
     // double association in the probability expression (all discounts
-    // CAST AS DOUBLE so DuckDB never drops into DECIMAL arithmetic)
+    // CAST AS DOUBLE so DuckDB never drops into DECIMAL arithmetic);
+    // CTE stack shared with quality_kn_bucket via knNllCtes
     "quality_kn_nll" ->
-      """WITH ws AS (
-        |  SELECT doc_id,
-        |    list_filter(regexp_split_to_array(lower(text), '\s+'),
-        |                w -> len(w) > 0) AS ws
-        |  FROM documents),
-        |bgidx AS (
-        |  SELECT doc_id, ws,
-        |    unnest(generate_series(1, greatest(len(ws) - 1, 0))) AS i
-        |  FROM ws),
-        |bg AS (SELECT ws[i] AS w1, ws[i + 1] AS w2 FROM bgidx),
-        |bcnt AS (SELECT w1, w2, count(*) AS ch FROM bg GROUP BY w1, w2),
-        |tgidx AS (
-        |  SELECT doc_id, ws,
-        |    unnest(generate_series(1, greatest(len(ws) - 2, 0))) AS i
-        |  FROM ws),
-        |tg AS (SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2, ws[i + 2] AS w3
-        |       FROM tgidx),
-        |tcnt AS (SELECT w1, w2, w3, count(*) AS c3 FROM tg GROUP BY w1, w2, w3),
-        |n3f AS (SELECT w1, w2, count(*) AS n3f FROM tcnt GROUP BY w1, w2),
-        |cc2 AS (SELECT w2, w3, count(*) AS cc2 FROM tcnt GROUP BY w2, w3),
-        |nmid AS (SELECT w2, count(*) AS nmid FROM tcnt GROUP BY w2),
-        |n2f AS (SELECT w1 AS w2, count(*) AS n2f FROM bcnt GROUP BY w1),
-        |cc1 AS (SELECT w2 AS w3, count(*) AS cc1 FROM bcnt GROUP BY w2),
-        |btot AS (SELECT count(*) AS b FROM bcnt),
-        |terms AS (
-        |  SELECT tg.doc_id,
-        |    {'c3': tcnt.c3, 'ch': bc.ch, 'n3f': n3f.n3f, 'cc2': cc2.cc2,
-        |     'nmid': nmid.nmid, 'n2f': n2f.n2f, 'cc1': cc1.cc1} AS trm
-        |  FROM tg
-        |  JOIN tcnt USING (w1, w2, w3)
-        |  JOIN bcnt bc ON tg.w1 = bc.w1 AND tg.w2 = bc.w2
-        |  JOIN n3f ON tg.w1 = n3f.w1 AND tg.w2 = n3f.w2
-        |  JOIN cc2 ON tg.w2 = cc2.w2 AND tg.w3 = cc2.w3
-        |  JOIN nmid ON tg.w2 = nmid.w2
-        |  JOIN n2f ON tg.w2 = n2f.w2
-        |  JOIN cc1 ON tg.w3 = cc1.w3),
-        |d AS (
-        |  SELECT doc_id, count(*) AS n_trigrams, list_sort(list(trm)) AS ts
-        |  FROM terms GROUP BY doc_id),
-        |scored AS (
-        |  SELECT doc_id, n_trigrams,
-        |    round(- list_sum(list_transform(ts, x ->
-        |        ln(greatest(x.c3 - CAST(0.75 AS DOUBLE), CAST(0 AS DOUBLE)) / x.ch
-        |           + CAST(0.75 AS DOUBLE) * x.n3f / x.ch *
-        |             (greatest(x.cc2 - CAST(0.75 AS DOUBLE), CAST(0 AS DOUBLE)) / x.nmid
-        |              + CAST(0.75 AS DOUBLE) * x.n2f / x.nmid * (x.cc1 / b)))))
-        |      / n_trigrams, 4) AS nll
-        |  FROM d CROSS JOIN btot)
-        |SELECT w.doc_id, CAST(coalesce(sc.n_trigrams, 0) AS BIGINT) AS n_trigrams,
-        |  sc.nll
-        |FROM ws w LEFT JOIN scored sc ON w.doc_id = sc.doc_id""".stripMargin,
+      s"""WITH $knNllCtes
+         |SELECT doc_id, n_trigrams, nll FROM knscored""".stripMargin,
+
+    // the KN score driving the CCNet tiers: same per-language ntile as
+    // quality_ccnet_bucket, ranked on knscored.nll (nulls last, id ties)
+    "quality_kn_bucket" ->
+      s"""WITH $knNllCtes
+         |SELECT k.doc_id, d.lang, k.n_trigrams, k.nll,
+         |  CAST(ntile(3) OVER (PARTITION BY d.lang
+         |    ORDER BY k.nll NULLS LAST, k.doc_id) AS BIGINT) AS bucket
+         |FROM knscored k JOIN documents d ON k.doc_id = d.doc_id""".stripMargin,
 
     // replays the sparse NB decomposition: same (c, tf) int sort before
     // the evidence fold, same closed-form ln(alpha) term for unmatched

@@ -336,6 +336,29 @@ object VocabStats {
         col("bucket").cast("long").as("bucket"))
   }
 
+  /** [[nllBuckets]] ranked by the KNESER-NEY trigram scorer instead of
+    * the unigram proxy — the closest in-repo analog of CCNet's actual
+    * KenLM tiering (Wenzek 2020 rank by 5-gram-KN perplexity): same
+    * per-language ntile tiers, score = [[trigramKnNll]]. Documents too
+    * short to score (< 3 words, null nll) sort LAST within their
+    * language (id tiebreak) and land in the tail tier — the
+    * conservative choice for unscoreable text. Same one-window-pass
+    * scale shape as [[nllBuckets]].
+    */
+  def knBuckets(df: DataFrame, idCol: String, textCol: String,
+                langCol: String, buckets: Int = 3,
+                discount: Double = 0.75): DataFrame = {
+    require(buckets >= 2, s"need >= 2 buckets, got $buckets")
+    val scored = trigramKnNll(df, idCol, textCol, discount)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(langCol))
+      .orderBy(col("nll").asc_nulls_last, col(idCol))
+    scored.join(df.select(col(idCol), col(langCol)), Seq(idCol))
+      .withColumn("bucket", ntile(buckets).over(w))
+      .select(col(idCol), col(langCol), col("n_trigrams"), col("nll"),
+        col("bucket").cast("long").as("bucket"))
+  }
+
   /** [[nllBuckets]]'s scale path: tier boundaries come from a
     * per-language `percentile_approx` sketch (map-side partial
     * aggregation — no per-language window task, so a language holding

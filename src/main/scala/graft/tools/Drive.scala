@@ -1099,6 +1099,13 @@ object Drive {
     println(s"[88] robots gate: /private/* paths -> " +
       s"${gated.getOrElse(false, 0L)} blocked, ${gated.getOrElse(true, 0L)} allowed")
 
+    // KN-ranked CCNet tiers: head tier must score lower than the tail
+    val knb = graft.text.VocabStats.knBuckets(docs, "doc_id", "text", "lang")
+      .groupBy("bucket").agg(round(avg("nll"), 2).as("avg_nll"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    println(s"[89] KN ccnet tiers: avg nll by bucket " +
+      s"${knb.toSeq.sorted.map { case (b, v) => s"$b:$v" }.mkString(", ")}")
+
     // mojibake repair round-trips the corpus through a Latin-1 mangle
     val mjN = docs.select(graft.plans.expressions.fix_mojibake(
         decode(encode(col("text"), "UTF-8"), "ISO-8859-1")).as("f"),

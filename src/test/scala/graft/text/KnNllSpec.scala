@@ -101,6 +101,23 @@ class KnNllSpec extends SparkSpec {
     assert(D * ref.n3f("a", "b") / ref.bcnt(("a", "b")) > 0.0)
   }
 
+  test("knBuckets tiers by the KN score per language; unscoreable docs " +
+       "land in the tail tier") {
+    val docs = texts.map { case (id, t) => (id, t, if (id <= 2) "en" else "de") }
+      .toDF("doc_id", "text", "lang")
+    val out = VocabStats.knBuckets(docs, "doc_id", "text", "lang",
+        buckets = 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(4))).toMap
+    assert(out.size == 4)
+    // de language: doc 3 (scoreable) tiers ahead of doc 4 (2 words, null)
+    assert(out(3L) == (("de", 1L)) && out(4L) == (("de", 2L)),
+      s"null-nll docs must land in the tail tier: $out")
+    // en language: the two docs split across the two tiers by nll order
+    val en = Seq(1L, 2L).map(out(_)._2).sorted
+    assert(en == Seq(1L, 2L), s"en tiers: $out")
+  }
+
   test("KN demotes the one-collocation word below a spread word " +
        "(the 'Francisco' property)") {
     // "sf" appears 4 times but ONLY after "visit": high raw frequency,
