@@ -943,6 +943,20 @@ object SparkEntry {
       text.VocabStats.knBuckets(t(s, dir, "documents"),
         "doc_id", "text", "lang", buckets = 3)),
 
+    // ...and the sampling rule the tiers exist FOR (CCNet keeps/
+    // re-weights tiers rather than hard-thresholding): head kept
+    // whole, middle at 50 %, tail at 10 %, via the portable per-row
+    // hash — tier cut and keep set both engine-replayable
+    "quality_ccnet_sample" -> ((s, dir) => {
+      val tiers = text.VocabStats.knBuckets(t(s, dir, "documents"),
+        "doc_id", "text", "lang", buckets = 3)
+      val rate = when(col("bucket") === 1, lit(100))
+        .when(col("bucket") === 2, lit(50)).otherwise(lit(10))
+      tiers.filter(pmod(operators.Sampling.portableHash(
+        Seq(col("doc_id")), "13"), lit(100)) < rate)
+        .select("doc_id", "lang", "bucket")
+    }),
+
     // multinomial Naive Bayes self-classification on `source` (the
     // seed-classifier slot: GPT-3 quality LR, CCNet fastText buckets);
     // sparse decomposition — only c > 0 model rows join, absent words
@@ -1788,6 +1802,82 @@ object SparkEntry {
         s.conf.set(noDataKey, prevNoData)
       }
       ManagedTable.forPath(s, s"$base/out").toDF
+    }),
+
+    // the LEFT OUTER form: matches emit eagerly; an unmatched click
+    // emits null-padded only when the watermark proves no view can
+    // still pair with it, which happens in the no-data micro-batches
+    // (kept ON here, unlike the inner form) after the far-future
+    // sentinel appends advance both watermarks past every real row —
+    // the sessionize flush pattern applied to join state. Result
+    // equals the batch LEFT JOIN the oracle computes
+    "streaming_interval_join_outer" -> ((s, dir) => {
+      val base = "/root/repo/target/tmp/q_ssjoin_outer"
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm); f.delete(); ()
+      }
+      rm(new java.io.File(base))
+      import s.implicits._
+      val ev = events(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          col("ts").as("click_ts"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("event_id").as("view_id"), col("user_id"),
+          col("ts").as("view_ts"))
+      val split = lit("2024-01-16").cast("timestamp")
+      val cTbl = ManagedTable.create(
+        clicks.filter(col("click_ts") < split), s"$base/clicks")
+      val vTbl = ManagedTable.create(
+        views.filter(col("view_ts") < split), s"$base/views")
+      val joined = streaming.EventStreams.intervalJoinStreams(
+        s.readStream.format("graft").load(s"$base/clicks"),
+        s.readStream.format("graft").load(s"$base/views"),
+        keys = Seq("user_id"), leftTime = "click_ts",
+        rightTime = "view_ts", lookback = "24 hours",
+        watermark = "48 hours", joinType = "left_outer")
+        // NO pre-sink sentinel filter: a filter on a source column gets
+        // pushed below the EventTimeWatermark node into the scan, so the
+        // sentinels would never reach the watermark collector and the
+        // flush would silently stall at maxTs - delay (measured: the
+        // last 48 h of unmatched clicks never emitted). Sentinels are
+        // removed at READBACK instead.
+        .select(col("click_id"), col("view_id"), col("user_id"),
+          when(col("view_ts").isNotNull,
+            col("click_ts").cast("long") - col("view_ts").cast("long"))
+            .as("gap_sec"))
+      val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
+      def sentC(days: Long) = Seq((-1L, -1L,
+        new java.sql.Timestamp(maxTs.getTime + days * 86400000L)))
+        .toDF("click_id", "user_id", "click_ts")
+      def sentV(days: Long) = Seq((-2L, -2L,
+        new java.sql.Timestamp(maxTs.getTime + days * 86400000L)))
+        .toDF("view_id", "user_id", "view_ts")
+      val partsKey = "spark.sql.shuffle.partitions"
+      val prevParts = s.conf.get(partsKey)
+      s.conf.set(partsKey, "4") // same measured state sizing as inner
+      try {
+        val q = joined.writeStream.format("graft")
+          .option("checkpointLocation", s"$base/ckpt")
+          .option("txnAppId", "q_ssjoin_o")
+          .start(s"$base/out")
+        try {
+          q.processAllAvailable()
+          cTbl.append(clicks.filter(col("click_ts") >= split))
+          vTbl.append(views.filter(col("view_ts") >= split))
+          q.processAllAvailable()
+          // watermark lags one batch: two sentinel rounds flush every
+          // remaining unmatched click (distinct sentinel users, so the
+          // sentinels never pair with each other; verified stable
+          // across repeated runs)
+          cTbl.append(sentC(60)); vTbl.append(sentV(60))
+          q.processAllAvailable()
+          cTbl.append(sentC(120)); vTbl.append(sentV(120))
+          q.processAllAvailable()
+        } finally q.stop()
+      } finally s.conf.set(partsKey, prevParts)
+      ManagedTable.forPath(s, s"$base/out").toDF
+        .filter(col("user_id") >= 0) // sentinel rows out at readback
     }),
 
     // arbitrary stateful processing: gap sessionization through
@@ -4013,6 +4103,20 @@ object SparkEntry {
          |    ORDER BY k.nll NULLS LAST, k.doc_id) AS BIGINT) AS bucket
          |FROM knscored k JOIN documents d ON k.doc_id = d.doc_id""".stripMargin,
 
+    // tier cut + keep set both replayed: the same KN ntile, then the
+    // md5 per-row hash against the per-tier keep rate (100/50/10)
+    "quality_ccnet_sample" ->
+      s"""WITH $knNllCtes,
+         |tiers AS (
+         |  SELECT k.doc_id, d.lang,
+         |    CAST(ntile(3) OVER (PARTITION BY d.lang
+         |      ORDER BY k.nll NULLS LAST, k.doc_id) AS BIGINT) AS bucket
+         |  FROM knscored k JOIN documents d ON k.doc_id = d.doc_id)
+         |SELECT doc_id, lang, bucket FROM tiers
+         |WHERE CAST(concat('0x',
+         |    substr(md5(concat_ws(chr(1), doc_id, '13')), 1, 15)) AS BIGINT)
+         |  % 100 < CASE bucket WHEN 1 THEN 100 WHEN 2 THEN 50 ELSE 10 END""".stripMargin,
+
     // replays the sparse NB decomposition: same (c, tf) int sort before
     // the evidence fold, same closed-form ln(alpha) term for unmatched
     // tokens, argmax on round(score, 4) with label-ascending tie-break
@@ -4848,6 +4952,19 @@ object SparkEntry {
         |  ON c.user_id = v.user_id
         | AND c.event_type = 'click' AND v.event_type = 'view'
         | AND v.ts BETWEEN c.ts - INTERVAL 24 HOUR AND c.ts""".stripMargin,
+
+    // the batch LEFT JOIN the outer stream equals once the sentinel
+    // flush expires every unmatched click: left filter in WHERE,
+    // right-side conditions in ON (LEFT JOIN semantics), null gap for
+    // the null-padded rows
+    "streaming_interval_join_outer" ->
+      """SELECT c.event_id AS click_id, v.event_id AS view_id, c.user_id,
+        |  CAST(floor(epoch(c.ts)) - floor(epoch(v.ts)) AS BIGINT) AS gap_sec
+        |FROM events c LEFT JOIN events v
+        |  ON c.user_id = v.user_id
+        | AND v.event_type = 'view'
+        | AND v.ts BETWEEN c.ts - INTERVAL 24 HOUR AND c.ts
+        |WHERE c.event_type = 'click'""".stripMargin,
 
     // the sentinel flush closes EVERY real session, so the streaming
     // result equals the full batch gap-sessionization

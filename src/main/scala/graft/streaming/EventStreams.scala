@@ -44,17 +44,30 @@ object EventStreams {
   def intervalJoinStreams(left: DataFrame, right: DataFrame,
                           keys: Seq[String], leftTime: String,
                           rightTime: String, lookback: String,
-                          watermark: String): DataFrame = {
+                          watermark: String,
+                          joinType: String = "inner"): DataFrame = {
     require(keys.nonEmpty, "need at least one equality key (state keying)")
+    require(joinType == "inner" || joinType == "left_outer",
+      s"interval join supports inner | left_outer, got $joinType")
     val l = left.withWatermark(leftTime, watermark)
     val r = right.withWatermark(rightTime, watermark)
     val cond = (keys.map(k => l(k) === r(k)) :+
       (r(rightTime) >= l(leftTime) - expr(s"INTERVAL $lookback")) :+
       (r(rightTime) <= l(leftTime))).reduce(_ && _)
-    val joined = l.join(r, cond, "inner")
+    val joined = l.join(r, cond, joinType)
     val rightKeep = right.columns.filterNot(keys.contains)
     joined.select(left.columns.map(l(_)) ++ rightKeep.map(r(_)): _*)
   }
+
+  // left_outer note (the part that differs from the inner contract):
+  // matches still emit eagerly, but an UNMATCHED left row emits its
+  // null-padded form only when the watermark proves no future right row
+  // can pair with it — i.e. in the no-data micro-batches that advance
+  // eviction. Callers that drain a bounded feed must push the watermark
+  // past every real row (far-future sentinel appends, the sessionize
+  // flush pattern) or final unmatched rows stay pending forever; and
+  // no-data micro-batches MUST stay enabled for this shape, unlike the
+  // inner join where they only evict state.
 
   /** Tumbling-window counts + sums with a watermark for late data.
     * Batch semantics: identical grouping with window boundaries computed

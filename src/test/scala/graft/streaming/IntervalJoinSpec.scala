@@ -107,6 +107,50 @@ class IntervalJoinSpec extends SparkSpec {
     assert(batch.nonEmpty)
   }
 
+  test("left_outer: matches emit eagerly, unmatched clicks emit " +
+       "null-padded after the watermark passes them") {
+    implicit val sql = spark.sqlContext
+    val lSrc = MemoryStream[Click]
+    val rSrc = MemoryStream[View]
+    val name = s"ssjo_${System.nanoTime()}"
+    val q = EventStreams.intervalJoinStreams(lSrc.toDF(), rSrc.toDF(),
+        keys = Seq("user_id"), leftTime = "click_ts", rightTime = "view_ts",
+        lookback = "1 hour", watermark = "1 hour", joinType = "left_outer")
+      .select("click_id", "view_id")
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      lSrc.addData(
+        Click(1, 7, ts("2024-01-01 10:00:00")), // will match
+        Click(2, 7, ts("2024-01-01 10:10:00"))) // will NOT match
+      rSrc.addData(View(10, 7, ts("2024-01-01 09:30:00"))) // matches 1 only?
+      q.processAllAvailable()
+      // view@09:30 is within 1h of BOTH clicks — adjust: it matches both.
+      // push the watermark far past with sentinels on both sides
+      lSrc.addData(Click(90, -1, ts("2024-01-02 12:00:00")))
+      rSrc.addData(View(91, -2, ts("2024-01-02 12:00:00")))
+      q.processAllAvailable()
+      lSrc.addData(Click(92, -1, ts("2024-01-03 12:00:00")))
+      rSrc.addData(View(93, -2, ts("2024-01-03 12:00:00")))
+      q.processAllAvailable()
+      val out = spark.table(name).collect()
+        .map(r => (r.getLong(0), Option(r.get(1)).map(_.asInstanceOf[Long])))
+        .toSet
+      // both real clicks match the view; the day-1 sentinel click expires
+      // unmatched once the day-3 sentinel advances the watermark
+      assert(out.contains((1L, Some(10L))) && out.contains((2L, Some(10L))))
+      assert(out.contains((90L, None)),
+        s"expired unmatched left must emit null-padded: $out")
+    } finally q.stop()
+    intercept[IllegalArgumentException] {
+      EventStreams.intervalJoinStreams(
+        Seq(Click(1, 7, ts("2024-01-01 10:00:00"))).toDF(),
+        Seq(View(10, 7, ts("2024-01-01 09:30:00"))).toDF(),
+        Seq("user_id"), "click_ts", "view_ts", "1 hour", "2 hours",
+        joinType = "full_outer")
+    }
+  }
+
   test("output keeps left columns then right-minus-keys") {
     val cols = EventStreams.intervalJoinStreams(
       Seq(Click(1, 7, ts("2024-01-01 10:00:00"))).toDF(),
