@@ -1263,6 +1263,23 @@ object SparkEntry {
         plans.expressions.registrable_domain(messy).as("domain"))
     }),
 
+    // the last crawl step: per-domain politeness lanes — fetch order by
+    // the portable url hash within each registrable domain, spaced
+    // 1000 ms apart
+    "crawl_schedule" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val url = concat(lit("https://crawl-"), col("source"),
+        when(col("doc_id") % 4 === 0, lit(".com"))
+          .when(col("doc_id") % 4 === 1, lit(".co.uk"))
+          .when(col("doc_id") % 4 === 2, lit(".github.io"))
+          .otherwise(lit(".org")),
+        lit("/d/"), col("doc_id"))
+      operators.Frontier.schedule(
+        docs.select(col("doc_id"), url.as("url")), "url",
+        delayMs = 1000L, seed = 9L, portable = true)
+        .select("doc_id", "domain", "fetch_order", "scheduled_ms")
+    }),
+
     // the composition those two normalizers exist for: per-registrable-
     // domain caps over crawl docs (the anti-SEO-farm curation rule) —
     // registrable_domain as the group key into the salted two-phase
@@ -4236,6 +4253,32 @@ object SparkEntry {
         |        WHEN 2 THEN '.github.io' ELSE '.org' END
         |  END AS domain
         |FROM documents""".stripMargin,
+
+    // replays the lane assignment: same domain arithmetic as
+    // domain_cap, same md5 url hash, rank within domain
+    "crawl_schedule" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    'https://crawl-' || source ||
+        |      CASE doc_id % 4 WHEN 0 THEN '.com' WHEN 1 THEN '.co.uk'
+        |        WHEN 2 THEN '.github.io' ELSE '.org' END
+        |      || '/d/' || doc_id AS url,
+        |    'crawl-' || lower(source) ||
+        |      CASE doc_id % 4 WHEN 0 THEN '.com' WHEN 1 THEN '.co.uk'
+        |        WHEN 2 THEN '.github.io' ELSE '.org' END AS domain
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id, domain,
+        |    CAST(concat('0x',
+        |      substr(md5(concat_ws(chr(1), url, '9')), 1, 15)) AS BIGINT)
+        |      AS hv, url
+        |  FROM u)
+        |SELECT doc_id, domain,
+        |  CAST(row_number() OVER (PARTITION BY domain ORDER BY hv, url)
+        |    - 1 AS BIGINT) AS fetch_order,
+        |  CAST((row_number() OVER (PARTITION BY domain ORDER BY hv, url)
+        |    - 1) * 1000 AS BIGINT) AS scheduled_ms
+        |FROM h""".stripMargin,
 
     // the cap is exact for a total order, so row_number replays it
     "domain_cap" ->

@@ -1,0 +1,50 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Crawl-frontier politeness scheduling — the step after
+  * `html_links → canonicalize_url → registrable_domain →
+  * robots_allowed → domain_cap`: order the surviving fetches per
+  * registrable domain and space them a politeness delay apart (the
+  * per-host rate rule every polite crawler implements; RFC 9309 leaves
+  * the rate to the crawler, and one lane per registrable domain is the
+  * standard conservative choice).
+  *
+  * Each row gets:
+  *  - `domain`       — its registrable domain (the politeness lane);
+  *  - `fetch_order`  — its 0-based position within the lane, ordered by
+  *    a seeded hash of the URL (url as tiebreaker): a stable
+  *    pseudo-random order, so one site's deep pages don't fetch in path
+  *    order and reruns schedule identically;
+  *  - `scheduled_ms` — `fetch_order × delayMs`, the earliest polite
+  *    fetch offset within the lane.
+  *
+  * URLs with no registrable domain (relative links, malformed hosts)
+  * share the null lane — filter or resolve them upstream.
+  *
+  * Scale shape: one shuffle on the domain; the rank window
+  * parallelizes across lanes (a frontier has orders of magnitude more
+  * domains than cores, and a lane's row count is already bounded by
+  * [[Sampling.capPerGroup]] upstream). `portable = true` uses the md5
+  * hash form an external engine replays exactly.
+  */
+object Frontier {
+
+  def schedule(df: DataFrame, urlCol: String, delayMs: Long = 1000L,
+               seed: Long = 42L, portable: Boolean = false,
+               suffixRules: Seq[String] =
+                 graft.plans.RegistrableDomain.DefaultRules): DataFrame = {
+    require(delayMs >= 0, s"need delayMs >= 0, got $delayMs")
+    val h: Column =
+      if (portable) Sampling.portableHash(Seq(col(urlCol)), seed.toString)
+      else Sampling.fastHash(Seq(col(urlCol)), seed)
+    val w = Window.partitionBy(col("domain"))
+      .orderBy(h.asc, col(urlCol).asc)
+    df.withColumn("domain",
+        graft.plans.expressions.registrable_domain(col(urlCol), suffixRules))
+      .withColumn("fetch_order", (row_number().over(w) - 1).cast("long"))
+      .withColumn("scheduled_ms", col("fetch_order") * delayMs)
+  }
+}

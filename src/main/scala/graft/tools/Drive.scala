@@ -1106,6 +1106,15 @@ object Drive {
     println(s"[89] KN ccnet tiers: avg nll by bucket " +
       s"${knb.toSeq.sorted.map { case (b, v) => s"$b:$v" }.mkString(", ")}")
 
+    // politeness schedule over the outlink frontier
+    val sched = graft.operators.Frontier.schedule(
+      outlinks.select(col("l.href").as("url")).filter(
+        col("url").startsWith("http")), "url", delayMs = 1000L)
+    val maxLane = sched.groupBy("domain").agg(max("scheduled_ms").as("m"))
+      .agg(max("m")).head().getLong(0)
+    println(s"[90] frontier schedule: ${sched.count()} fetches, busiest " +
+      s"lane spans ${maxLane} ms at 1 req/s")
+
     // mojibake repair round-trips the corpus through a Latin-1 mangle
     val mjN = docs.select(graft.plans.expressions.fix_mojibake(
         decode(encode(col("text"), "UTF-8"), "ISO-8859-1")).as("f"),
