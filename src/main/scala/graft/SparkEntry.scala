@@ -1066,6 +1066,25 @@ object SparkEntry {
             .cast("long").as("n_unk"))
     }),
 
+    // the EM-TRAINED unigram model (Viterbi hard-EM: substring seed →
+    // distributed E-steps over distinct words → usage-mass pruning),
+    // round-tripped through the .model wire format before encoding
+    "token_unigram_em" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val m = text.UnigramLm.fitEm(docs, "text", vocabSize = 400,
+        emIters = 2)
+      val reloaded = text.UnigramLm.loadModelBytes(
+        text.UnigramLm.exportModelBytes(m))
+      docs.select(col("source"),
+          text.UnigramLm.encode(col("text"), reloaded).as("__ids"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(col("__ids"))).cast("long").as("n_tokens"),
+          sum(aggregate(col("__ids"), lit(0L), (a, x) => a + x)).as("ids_sum"),
+          sum(size(filter(col("__ids"), x => x === lit(reloaded.unkId))))
+            .cast("long").as("n_unk"))
+    }),
+
     "token_wordpiece" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val m = text.WordPiece.fit(docs, "text", vocabSize = 500)
@@ -2966,8 +2985,8 @@ object SparkEntry {
   private[graft] val sf001OnlyOracles: Set[String] =
     Set("dedup_simhash", "token_bpe", "token_bpe_ids", "token_chunks_ids",
       "token_bpe_pretrained", "token_bpe_special", "token_wordpiece",
-      "token_unigram", "token_tiktoken", "dedup_substring_bpe",
-      "quality_compression")
+      "token_unigram", "token_unigram_em", "token_tiktoken",
+      "dedup_substring_bpe", "quality_compression")
 
   /** Approximate-path queries whose oracle exactness once held only in
     * the sf0.01-pinned regime. EMPTY since round 16: the PQ / IVF×PQ
@@ -3531,6 +3550,26 @@ object SparkEntry {
         |  ('src4', 25, 1294, 54982, 0), ('src5', 25, 1329, 56135, 0),
         |  ('src6', 25, 1266, 53035, 0), ('src7', 25, 1507, 62883, 0),
         |  ('src8', 25, 1136, 48015, 0), ('src9', 25, 1366, 58022, 0))
+        |AS v(source, d, n, i, u)""".stripMargin,
+
+    // golden literal @ sf0.01 (guarded in sf001OnlyOracles): the
+    // EM-trained unigram encode — zero unks everywhere is itself part
+    // of the pin (full char coverage survived training + wire round-trip)
+    "token_unigram_em" ->
+      """SELECT source, CAST(d AS BIGINT) AS n_docs,
+        |       CAST(n AS BIGINT) AS n_tokens,
+        |       CAST(i AS BIGINT) AS ids_sum, CAST(u AS BIGINT) AS n_unk
+        |FROM (VALUES
+        |  ('src0', 25, 1494, 62358, 0), ('src1', 25, 1590, 65763, 0),
+        |  ('src10', 25, 1357, 57160, 0), ('src11', 25, 1566, 65301, 0),
+        |  ('src12', 25, 1317, 54892, 0), ('src13', 25, 1593, 66790, 0),
+        |  ('src14', 25, 1361, 57324, 0), ('src15', 25, 1354, 56545, 0),
+        |  ('src16', 25, 1400, 57741, 0), ('src17', 25, 1413, 59193, 0),
+        |  ('src18', 25, 1409, 58548, 0), ('src19', 25, 1187, 49365, 0),
+        |  ('src2', 25, 1453, 61249, 0), ('src3', 25, 1436, 60065, 0),
+        |  ('src4', 25, 1346, 56372, 0), ('src5', 25, 1372, 57301, 0),
+        |  ('src6', 25, 1311, 54239, 0), ('src7', 25, 1554, 64155, 0),
+        |  ('src8', 25, 1177, 49124, 0), ('src9', 25, 1409, 59182, 0))
         |AS v(source, d, n, i, u)""".stripMargin,
 
     // the repaired text must equal the pristine original byte-for-byte;

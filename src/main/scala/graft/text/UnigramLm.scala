@@ -312,6 +312,135 @@ object UnigramLm {
     Model(b.result()).validated
   }
 
+  /** EM-TRAINED unigram model — the Viterbi ("hard-EM") variant of the
+    * published SentencePiece trainer, the step [[fit]]'s whole-word
+    * initializer deliberately skips:
+    *
+    *  1. SEED: the highest `freq × len` substrings (≤ `maxPieceLen`) of
+    *     the corpus's distinct `▁`-prefixed words — the spm seeding
+    *     heuristic — plus EVERY single character (coverage guarantee,
+    *     never pruned).
+    *  2. E-step, DISTRIBUTED: every distinct word, weighted by its
+    *     corpus count, re-segments by Viterbi (the same [[encodeData]]
+    *     kernel inference uses) under the broadcast current scores and
+    *     emits per-piece usage counts — corpus text is touched exactly
+    *     once (the distinct-word aggregation); every EM pass runs over
+    *     the far smaller word table.
+    *  3. M-step: scores re-estimate as log relative frequency of the
+    *     Viterbi usage mass (chars add-one-floored so coverage never
+    *     dies); zero-use multi-char pieces drop.
+    *  4. PRUNE: multi-char pieces rank by usage mass (piece tiebreak)
+    *     and shrink geometrically (keep 75 %) toward the
+    *     `vocabSize − specials − chars` budget, hard-capped after the
+    *     final round.
+    *
+    * Differences from `spm_train` are documented, not hidden: spm's
+    * E-step computes full lattice marginals (soft EM) and prunes by
+    * held-out likelihood loss; the Viterbi form keeps the same
+    * fixed-point shape with deterministic integer counts — which is
+    * what makes the result reproducible across partitionings and
+    * engines. Deterministic: every rank orders by (mass, piece).
+    */
+  def fitEm(df: DataFrame, textCol: String, vocabSize: Int = 8192,
+            seedSize: Int = 0, emIters: Int = 3, maxPieceLen: Int = 8,
+            lowerCase: Boolean = false): Model = {
+    require(vocabSize >= 8, s"vocabSize must be >= 8, got $vocabSize")
+    require(emIters >= 1 && maxPieceLen >= 2)
+    val targetSeed = if (seedSize > 0) seedSize else vocabSize * 4
+    val spark = df.sparkSession
+    import spark.implicits._
+    val t0 = if (lowerCase) lower(col(textCol)) else col(textCol)
+    val dw = df.select(explode(split(t0, "\\s+")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("n"))
+      .as[(String, Long)].persist()
+    try {
+      val metaStr = Meta.toString
+      val subs = dw.flatMap { case (w, n) =>
+        val s = metaStr + w
+        val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+        var i = 0
+        while (i < s.length) {
+          var j = i + 1
+          val lim = math.min(s.length, i + maxPieceLen)
+          while (j <= lim) { out += ((s.substring(i, j), n)); j += 1 }
+          i += 1
+        }
+        out
+      }.toDF("p", "n").groupBy("p").agg(sum("n").as("n")).persist()
+      val chars = subs.filter(length(col("p")) === 1)
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+        .sortBy(_._1)
+      var multi: Array[(String, Long)] = subs
+        .filter(length(col("p")) > 1)
+        .orderBy((col("n") * length(col("p"))).desc, col("p"))
+        .limit(targetSeed)
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      subs.unpersist()
+      val budget = math.max(vocabSize - 3 - chars.length, 1)
+
+      def build(charScores: Map[String, Double],
+                multiScores: Seq[(String, Double)]): Model = {
+        val b = Vector.newBuilder[(String, Float, Int)]
+        b += (("<unk>", 0f, Unknown))
+        b += (("<s>", 0f, Control))
+        b += (("</s>", 0f, Control))
+        chars.foreach { case (c, n) =>
+          b += ((c, charScores.getOrElse(c,
+            math.log(n.toDouble).toFloat.toDouble).toFloat, Normal))
+        }
+        multiScores.foreach { case (p, sc) => b += ((p, sc.toFloat, Normal)) }
+        Model(b.result()).validated
+      }
+
+      // init scores: log relative seed frequency over the joint mass
+      val initTotal = (chars.map(_._2).sum + multi.map(_._2).sum).toDouble
+      var charScores = chars.map { case (c, n) =>
+        c -> math.log((n + 1).toDouble / initTotal) }.toMap
+      var multiScores: Seq[(String, Double)] = multi.map { case (p, n) =>
+        p -> math.log(n.toDouble / initTotal) }.toSeq
+
+      var iter = 0
+      while (iter < emIters) {
+        val model = build(charScores, multiScores)
+        val bc = spark.sparkContext.broadcast(model)
+        val counts = dw.flatMap { case (w, n) =>
+          val m = bc.value
+          val arr = encodeData(
+            org.apache.spark.unsafe.types.UTF8String.fromString(w),
+            m.table, m.scores, m.unkId, m.unkScore, m.maxPieceLen)
+          (0 until arr.numElements()).map(i => (arr.getInt(i), n))
+        }.toDF("id", "n").groupBy("id").agg(sum("n").as("cn"))
+          .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+        val pieceCount: Map[String, Long] =
+          model.pieces.zipWithIndex.collect {
+            case ((p, _, k), id) if k == Normal =>
+              p -> counts.getOrElse(id, 0L)
+          }.toMap
+        val total = math.max(pieceCount.values.sum, 1L).toDouble
+        // M-step: chars floored (coverage), zero-use multis drop
+        charScores = chars.map { case (c, _) =>
+          c -> math.log((pieceCount.getOrElse(c, 0L) + 1).toDouble /
+            (total + chars.length))
+        }.toMap
+        var survivors = multiScores.map(_._1)
+          .map(p => p -> pieceCount.getOrElse(p, 0L))
+          .filter(_._2 > 0L)
+          .sortBy { case (p, c) => (-c, p) }
+        // geometric prune toward the budget; hard cap on the last round
+        val keep =
+          if (iter == emIters - 1) budget
+          else math.max(budget, (survivors.size * 3) / 4)
+        survivors = survivors.take(keep)
+        multiScores = survivors.map { case (p, c) =>
+          p -> math.log(c.toDouble / total) }
+        bc.unpersist()
+        iter += 1
+      }
+      build(charScores, multiScores)
+    } finally dw.unpersist()
+  }
+
   // --------------------------------------------------------------- core
 
   /** Normalize for the lattice: runs of whitespace collapse to one

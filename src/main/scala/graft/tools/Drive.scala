@@ -1115,6 +1115,17 @@ object Drive {
     println(s"[90] frontier schedule: ${sched.count()} fetches, busiest " +
       s"lane spans ${maxLane} ms at 1 req/s")
 
+    // EM-trained unigram tokenizer: fewer tokens than the whole-word
+    // initializer at the SAME budget proves the subwords earn their keep
+    val emModel = graft.text.UnigramLm.fitEm(docs, "text",
+      vocabSize = 300, emIters = 2)
+    val wordModel = graft.text.UnigramLm.fit(docs, "text", vocabSize = 300)
+    def toks(m: graft.text.UnigramLm.Model) =
+      docs.select(sum(graft.text.UnigramLm.tokenCount(col("text"), m)))
+        .head().getLong(0)
+    println(s"[91] unigram EM @300 pieces: ${toks(emModel)} tokens vs " +
+      s"whole-word init ${toks(wordModel)}")
+
     // mojibake repair round-trips the corpus through a Latin-1 mangle
     val mjN = docs.select(graft.plans.expressions.fix_mojibake(
         decode(encode(col("text"), "UTF-8"), "ISO-8859-1")).as("f"),
