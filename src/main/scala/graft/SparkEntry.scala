@@ -936,6 +936,12 @@ object SparkEntry {
     "quality_kn_nll" -> ((s, dir) =>
       text.VocabStats.trigramKnNll(t(s, dir, "documents"), "doc_id", "text")),
 
+    // MODIFIED Kneser-Ney (KenLM's actual discounting): three
+    // count-of-count-estimated discounts per order, γ = removed mass
+    "quality_mkn_nll" -> ((s, dir) =>
+      text.VocabStats.trigramModKnNll(t(s, dir, "documents"),
+        "doc_id", "text")),
+
     // CCNet tiering ranked by the KN trigram score — the published
     // recipe's actual scorer class driving the actual bucketing (the
     // unigram-proxy form stays as quality_ccnet_bucket)
@@ -4149,6 +4155,104 @@ object SparkEntry {
     "quality_kn_nll" ->
       s"""WITH $knNllCtes
          |SELECT doc_id, n_trigrams, nll FROM knscored""".stripMargin,
+
+    // replays modified KN: the same nine corpus integers drive the same
+    // IEEE discount expressions (CAST AS DOUBLE literals — DuckDB's
+    // bare decimals are DECIMAL-typed), bucketed CASE discounts inside
+    // the same sorted 11-int fold
+    "quality_mkn_nll" ->
+      """WITH mws AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |                w -> len(w) > 0) AS ws
+        |  FROM documents),
+        |mbgidx AS (
+        |  SELECT doc_id, ws,
+        |    unnest(generate_series(1, greatest(len(ws) - 1, 0))) AS i
+        |  FROM mws),
+        |mbg AS (SELECT ws[i] AS w1, ws[i + 1] AS w2 FROM mbgidx),
+        |mbcnt AS (SELECT w1, w2, count(*) AS ch FROM mbg GROUP BY w1, w2),
+        |mtgidx AS (
+        |  SELECT doc_id, ws,
+        |    unnest(generate_series(1, greatest(len(ws) - 2, 0))) AS i
+        |  FROM mws),
+        |mtg AS (SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2, ws[i + 2] AS w3
+        |        FROM mtgidx),
+        |mtcnt AS (SELECT w1, w2, w3, count(*) AS c3 FROM mtg
+        |          GROUP BY w1, w2, w3),
+        |mcc2 AS (SELECT w2, w3, count(*) AS cc2 FROM mtcnt GROUP BY w2, w3),
+        |mhaux AS (
+        |  SELECT w1, w2,
+        |    count(*) FILTER (WHERE c3 = 1) AS n1h,
+        |    count(*) FILTER (WHERE c3 = 2) AS n2h,
+        |    count(*) FILTER (WHERE c3 >= 3) AS n3h
+        |  FROM mtcnt GROUP BY w1, w2),
+        |mnmid AS (SELECT w2, count(*) AS nmid FROM mtcnt GROUP BY w2),
+        |mmaux AS (
+        |  SELECT w2,
+        |    count(*) FILTER (WHERE cc2 = 1) AS m1,
+        |    count(*) FILTER (WHERE cc2 = 2) AS m2,
+        |    count(*) FILTER (WHERE cc2 >= 3) AS m3
+        |  FROM mcc2 GROUP BY w2),
+        |mcc1 AS (SELECT w2 AS w3, count(*) AS cc1 FROM mbcnt GROUP BY w2),
+        |mstat AS (
+        |  SELECT count(*) FILTER (WHERE c3 = 1) AS t1,
+        |         count(*) FILTER (WHERE c3 = 2) AS t2,
+        |         count(*) FILTER (WHERE c3 = 3) AS t3,
+        |         count(*) FILTER (WHERE c3 = 4) AS t4
+        |  FROM mtcnt),
+        |ustat AS (
+        |  SELECT count(*) FILTER (WHERE cc2 = 1) AS u1,
+        |         count(*) FILTER (WHERE cc2 = 2) AS u2,
+        |         count(*) FILTER (WHERE cc2 = 3) AS u3,
+        |         count(*) FILTER (WHERE cc2 = 4) AS u4
+        |  FROM mcc2),
+        |mbtot AS (SELECT count(*) AS b FROM mbcnt),
+        |dsc0 AS (
+        |  SELECT t1, t2, t3, t4, u1, u2, u3, u4, b,
+        |    t1 / (t1 + 2 * t2) AS yt, u1 / (u1 + 2 * u2) AS ym
+        |  FROM mstat CROSS JOIN ustat CROSS JOIN mbtot),
+        |dsc AS (
+        |  SELECT b,
+        |    CAST(1 AS DOUBLE) - CAST(2 AS DOUBLE) * yt * t2 / t1 AS d1,
+        |    CAST(2 AS DOUBLE) - CAST(3 AS DOUBLE) * yt * t3 / t2 AS d2,
+        |    CAST(3 AS DOUBLE) - CAST(4 AS DOUBLE) * yt * t4 / t3 AS d3,
+        |    CAST(1 AS DOUBLE) - CAST(2 AS DOUBLE) * ym * u2 / u1 AS e1,
+        |    CAST(2 AS DOUBLE) - CAST(3 AS DOUBLE) * ym * u3 / u2 AS e2,
+        |    CAST(3 AS DOUBLE) - CAST(4 AS DOUBLE) * ym * u4 / u3 AS e3
+        |  FROM dsc0),
+        |mterms AS (
+        |  SELECT mtg.doc_id,
+        |    {'c3': mtcnt.c3, 'ch': bc.ch, 'n1h': mhaux.n1h,
+        |     'n2h': mhaux.n2h, 'n3h': mhaux.n3h, 'cc2': mcc2.cc2,
+        |     'nmid': mnmid.nmid, 'm1': mmaux.m1, 'm2': mmaux.m2,
+        |     'm3': mmaux.m3, 'cc1': mcc1.cc1} AS trm
+        |  FROM mtg
+        |  JOIN mtcnt USING (w1, w2, w3)
+        |  JOIN mbcnt bc ON mtg.w1 = bc.w1 AND mtg.w2 = bc.w2
+        |  JOIN mhaux ON mtg.w1 = mhaux.w1 AND mtg.w2 = mhaux.w2
+        |  JOIN mcc2 ON mtg.w2 = mcc2.w2 AND mtg.w3 = mcc2.w3
+        |  JOIN mnmid ON mtg.w2 = mnmid.w2
+        |  JOIN mmaux ON mtg.w2 = mmaux.w2
+        |  JOIN mcc1 ON mtg.w3 = mcc1.w3),
+        |md AS (
+        |  SELECT doc_id, count(*) AS n_trigrams, list_sort(list(trm)) AS ts
+        |  FROM mterms GROUP BY doc_id),
+        |mscored AS (
+        |  SELECT doc_id, n_trigrams,
+        |    round(- list_sum(list_transform(ts, x ->
+        |      ln((x.c3 - CASE x.c3 WHEN 1 THEN d1 WHEN 2 THEN d2
+        |                  ELSE d3 END) / x.ch
+        |         + (d1 * x.n1h + d2 * x.n2h + d3 * x.n3h) / x.ch *
+        |           ((x.cc2 - CASE x.cc2 WHEN 1 THEN e1 WHEN 2 THEN e2
+        |                     ELSE e3 END) / x.nmid
+        |            + (e1 * x.m1 + e2 * x.m2 + e3 * x.m3) / x.nmid *
+        |              (x.cc1 / b)))))
+        |      / n_trigrams, 4) AS nll
+        |  FROM md CROSS JOIN dsc)
+        |SELECT w.doc_id, CAST(coalesce(sc.n_trigrams, 0) AS BIGINT)
+        |  AS n_trigrams, sc.nll
+        |FROM mws w LEFT JOIN mscored sc ON w.doc_id = sc.doc_id""".stripMargin,
 
     // the KN score driving the CCNet tiers: same per-language ntile as
     // quality_ccnet_bucket, ranked on knscored.nll (nulls last, id ties)

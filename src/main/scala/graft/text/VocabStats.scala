@@ -336,6 +336,147 @@ object VocabStats {
         col("bucket").cast("long").as("bucket"))
   }
 
+  /** MODIFIED Kneser-Ney trigram NLL — the discounting KenLM actually
+    * implements (Chen & Goodman 1999 §3's "modified" variant, the
+    * strongest member of this repo's LM ladder): instead of
+    * [[trigramKnNll]]'s single absolute discount, each order carries
+    * THREE discounts (for counts of 1, 2, and ≥ 3) estimated from the
+    * order's count-of-count statistics:
+    *
+    *   Y  = n1 / (n1 + 2·n2)
+    *   D1 = 1 − 2·Y·n2/n1,  D2 = 2 − 3·Y·n3/n2,  D3 = 3 − 4·Y·n4/n3
+    *
+    * with (n1..n4) the number of trigram types occurring exactly 1..4
+    * times for the top order, and of bigram CONTINUATION counts for the
+    * middle order. The backoff weight becomes the discount mass
+    * actually removed, γ(h) = (D1·N1(h·) + D2·N2(h·) + D3·N3+(h·)) /
+    * c(h), so the model stays properly normalized per history. The
+    * continuation unigram is undiscounted ([[trigramKnNll]]'s rule).
+    *
+    * Determinism: the six discounts derive from nine corpus INTEGERS
+    * (collected once, folded as literals with the same IEEE expression
+    * tree the oracle computes); the per-doc fold is order-pinned on the
+    * sorted 11-int count tuples; round(4) absorbs ulp noise.
+    *
+    * Requires every count-of-count n1..n4 > 0 at both orders (true for
+    * any natural corpus; a synthetic corpus without singletons has no
+    * modified-KN estimate — the require names the failing statistic).
+    * A corpus whose count-of-counts are non-monotone can put a
+    * discount outside its (0, k) range — the same formula outcome
+    * KenLM rejects at training time; here the score stays well-defined
+    * (every p > 0) and the oracle replays it exactly, so the estimate
+    * is reported rather than refused. Natural corpora (including every
+    * shipped sf) have decreasing n_k and in-range discounts.
+    *
+    * Scale shape identical to [[trigramKnNll]]: type-mass aux tables
+    * assemble a trigram-level model, one token-mass hash join, the
+    * count-of-count scalars are one tiny aggregated row.
+    */
+  def trigramModKnNll(df: DataFrame, idCol: String,
+                      textCol: String): DataFrame = {
+    val ws = df.select(col(idCol), words(col(textCol)).as("__ws"))
+    val bg = ws.select(col(idCol), explode(transform(
+        slice(col("__ws"), lit(1), greatest(size(col("__ws")) - 1, lit(0))),
+        (w, i) => struct(w.as("w1"),
+          element_at(col("__ws"), i + 2).as("w2")))).as("__bg"))
+      .select(col("__bg.w1").as("__w1"), col("__bg.w2").as("__w2"))
+    val tg = ws.select(col(idCol), explode(transform(
+        slice(col("__ws"), lit(1), greatest(size(col("__ws")) - 2, lit(0))),
+        (w, i) => struct(w.as("w1"),
+          element_at(col("__ws"), i + 2).as("w2"),
+          element_at(col("__ws"), i + 3).as("w3")))).as("__tg"))
+      .select(col(idCol), col("__tg.w1").as("__w1"),
+        col("__tg.w2").as("__w2"), col("__tg.w3").as("__w3"))
+
+    val bcnt = bg.groupBy(col("__w1"), col("__w2"))
+      .agg(count(lit(1)).as("__ch"))
+    val tcnt = tg.groupBy(col("__w1"), col("__w2"), col("__w3"))
+      .agg(count(lit(1)).as("__c3"))
+    val cc2 = tcnt.groupBy(col("__w2"), col("__w3"))
+      .agg(count(lit(1)).as("__cc2"))
+    // per-history type counts BY COUNT BUCKET (the γ numerators)
+    val hAux = tcnt.groupBy(col("__w1"), col("__w2")).agg(
+      count(when(col("__c3") === 1, 1)).as("__n1h"),
+      count(when(col("__c3") === 2, 1)).as("__n2h"),
+      count(when(col("__c3") >= 3, 1)).as("__n3h"))
+    val midAux = tcnt.groupBy(col("__w2"))
+      .agg(count(lit(1)).as("__nmid"))
+      .join(cc2.groupBy(col("__w2")).agg(
+        count(when(col("__cc2") === 1, 1)).as("__m1"),
+        count(when(col("__cc2") === 2, 1)).as("__m2"),
+        count(when(col("__cc2") >= 3, 1)).as("__m3")), Seq("__w2"))
+    val cc1 = bcnt.groupBy(col("__w2")).agg(count(lit(1)).as("__cc1"))
+      .withColumnRenamed("__w2", "__w3")
+
+    // the nine corpus integers the discounts derive from (one tiny row)
+    val statsRow = tcnt.agg(
+        count(when(col("__c3") === 1, 1)).as("t1"),
+        count(when(col("__c3") === 2, 1)).as("t2"),
+        count(when(col("__c3") === 3, 1)).as("t3"),
+        count(when(col("__c3") === 4, 1)).as("t4"))
+      .crossJoin(cc2.agg(
+        count(when(col("__cc2") === 1, 1)).as("u1"),
+        count(when(col("__cc2") === 2, 1)).as("u2"),
+        count(when(col("__cc2") === 3, 1)).as("u3"),
+        count(when(col("__cc2") === 4, 1)).as("u4")))
+      .crossJoin(bcnt.agg(count(lit(1)).as("b")))
+      .head()
+    val Seq(t1, t2, t3, t4, u1, u2, u3, u4, b) =
+      (0 until 9).map(statsRow.getLong)
+    Seq(("trigram n1", t1), ("trigram n2", t2), ("trigram n3", t3),
+      ("trigram n4", t4), ("continuation n1", u1), ("continuation n2", u2),
+      ("continuation n3", u3), ("continuation n4", u4)).foreach {
+      case (nm, v) => require(v > 0L,
+        s"modified KN needs $nm > 0 (no estimate without it)")
+    }
+    // EXACTLY the oracle's IEEE expression tree: int-to-double exact,
+    // then the same left-associated double ops
+    val yT = t1.toDouble / (t1 + 2 * t2).toDouble
+    val d1 = 1.0 - 2.0 * yT * t2 / t1
+    val d2 = 2.0 - 3.0 * yT * t3 / t2
+    val d3 = 3.0 - 4.0 * yT * t4 / t3
+    val yM = u1.toDouble / (u1 + 2 * u2).toDouble
+    val e1 = 1.0 - 2.0 * yM * u2 / u1
+    val e2 = 2.0 - 3.0 * yM * u3 / u2
+    val e3 = 3.0 - 4.0 * yM * u4 / u3
+
+    val model = tcnt
+      .join(bcnt, Seq("__w1", "__w2"))
+      .join(hAux, Seq("__w1", "__w2"))
+      .join(cc2, Seq("__w2", "__w3"))
+      .join(midAux, Seq("__w2"))
+      .join(cc1, Seq("__w3"))
+
+    def disc(c: Column, a: Double, bb: Double, cch: Double): Column =
+      when(c === 1, lit(a)).when(c === 2, lit(bb)).otherwise(lit(cch))
+
+    val scored = tg
+      .join(model, Seq("__w1", "__w2", "__w3"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_trigrams"),
+        sort_array(collect_list(struct(
+          col("__c3"), col("__ch"), col("__n1h"), col("__n2h"),
+          col("__n3h"), col("__cc2"), col("__nmid"), col("__m1"),
+          col("__m2"), col("__m3"), col("__cc1")))).as("__ts"))
+      .select(col(idCol), col("n_trigrams"),
+        round(-aggregate(col("__ts"), lit(0.0), (a, x) => {
+          val puni = x.getField("__cc1") / lit(b)
+          val pmid =
+            (x.getField("__cc2") - disc(x.getField("__cc2"), e1, e2, e3)) /
+              x.getField("__nmid") +
+              (lit(e1) * x.getField("__m1") + lit(e2) * x.getField("__m2") +
+                lit(e3) * x.getField("__m3")) / x.getField("__nmid") * puni
+          a + log(
+            (x.getField("__c3") - disc(x.getField("__c3"), d1, d2, d3)) /
+              x.getField("__ch") +
+              (lit(d1) * x.getField("__n1h") + lit(d2) * x.getField("__n2h") +
+                lit(d3) * x.getField("__n3h")) / x.getField("__ch") * pmid)
+        }) / col("n_trigrams"), 4).as("nll"))
+    df.select(col(idCol)).join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_trigrams"), lit(0L)).as("n_trigrams"), col("nll"))
+  }
+
   /** [[nllBuckets]] ranked by the KNESER-NEY trigram scorer instead of
     * the unigram proxy — the closest in-repo analog of CCNet's actual
     * KenLM tiering (Wenzek 2020 rank by 5-gram-KN perplexity): same

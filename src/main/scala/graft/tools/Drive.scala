@@ -1126,6 +1126,14 @@ object Drive {
     println(s"[91] unigram EM @300 pieces: ${toks(emModel)} tokens vs " +
       s"whole-word init ${toks(wordModel)}")
 
+    // modified-KN vs single-discount KN: same docs, different smoothing
+    val mknAgg = graft.text.VocabStats.trigramModKnNll(docs, "doc_id", "text")
+      .agg(round(avg("nll"), 3)).head().getDouble(0)
+    val knAgg2 = graft.text.VocabStats.trigramKnNll(docs, "doc_id", "text")
+      .agg(round(avg("nll"), 3)).head().getDouble(0)
+    println(s"[92] LM ladder top: modified-KN avg nll $mknAgg vs " +
+      s"single-D KN $knAgg2")
+
     // mojibake repair round-trips the corpus through a Latin-1 mangle
     val mjN = docs.select(graft.plans.expressions.fix_mojibake(
         decode(encode(col("text"), "UTF-8"), "ISO-8859-1")).as("f"),

@@ -118,6 +118,91 @@ class KnNllSpec extends SparkSpec {
     assert(en == Seq(1L, 2L), s"en tiers: $out")
   }
 
+  test("trigramModKnNll equals a brute-force modified-KN reference; " +
+       "discounts sit in their theoretical ranges") {
+    // the corpus must have n1..n4 > 0 at both orders for the estimate:
+    // engineer repeats so trigram counts 1,2,3,4 all occur
+    val mtexts = Seq(
+      (1L, "a b c a b c a b c a b c x"), // (a,b,c) x4
+      (2L, "a b d a b d a b d q r s"),   // (a,b,d) x3
+      (3L, "a b e a b e t u v w"),       // (a,b,e) x2
+      (4L, "a b f g h i j k"),           // (a,b,f) x1
+      (5L, "c a b d a b e a b f a"),
+      // continuation spread: (b,c) preceded by {a,x}=2, (b,d) by
+      // {a,y,x}=3, (b,e) by {a,x,y,z}=4 -> continuation n2..n4 > 0
+      (6L, "x b c y b d x b d x b e y b e z b e"))
+    val toks = mtexts.map(_._2.split("\\s+").toSeq)
+    val bcnt = toks.flatMap(ws => ws.zip(ws.drop(1)))
+      .groupBy(identity).view.mapValues(_.size).toMap
+    val tcnt = toks.flatMap(ws =>
+      ws.lazyZip(ws.drop(1)).lazyZip(ws.drop(2)).toSeq)
+      .groupBy(identity).view.mapValues(_.size).toMap
+    val cc2 = tcnt.keys.groupBy(t => (t._2, t._3)).view.mapValues(_.size).toMap
+    def coc(m: Iterable[Int], k: Int) = m.count(_ == k)
+    val (t1c, t2c, t3c, t4c) = (coc(tcnt.values, 1), coc(tcnt.values, 2),
+      coc(tcnt.values, 3), coc(tcnt.values, 4))
+    val (u1c, u2c, u3c, u4c) = (coc(cc2.values, 1), coc(cc2.values, 2),
+      coc(cc2.values, 3), coc(cc2.values, 4))
+    assert(t1c > 0 && t2c > 0 && t3c > 0 && t4c > 0, "fixture must cover n1..n4")
+    assert(u1c > 0 && u2c > 0 && u3c > 0 && u4c > 0, "fixture continuation n1..n4")
+    val yT = t1c.toDouble / (t1c + 2 * t2c)
+    val d = Array(0.0, 1.0 - 2.0 * yT * t2c / t1c, 2.0 - 3.0 * yT * t3c / t2c,
+      3.0 - 4.0 * yT * t4c / t3c)
+    val yM = u1c.toDouble / (u1c + 2 * u2c)
+    val e = Array(0.0, 1.0 - 2.0 * yM * u2c / u1c, 2.0 - 3.0 * yM * u3c / u2c,
+      3.0 - 4.0 * yM * u4c / u3c)
+    // theoretical ranges: 0 < D1 < 1, 0 < D2 < 2, 0 < D3 < 3
+    assert(d(1) > 0 && d(1) < 1 && d(2) > 0 && d(2) < 2 && d(3) > 0 && d(3) < 3,
+      d.toSeq.toString)
+    def dd(c: Int, ds: Array[Double]) = ds(math.min(c, 3))
+    val nmid = tcnt.keys.groupBy(_._2).view.mapValues(_.size).toMap
+    val mAux = cc2.groupBy(_._1._1).map { case (w2, m) =>
+      w2 -> (coc(m.values, 1), coc(m.values, 2), m.values.count(_ >= 3)) }
+    val cc1 = bcnt.keys.groupBy(_._2).view.mapValues(_.size).toMap
+    val b = bcnt.size
+    def pTri(w1: String, w2: String, w3: String): Double = {
+      val c3 = tcnt((w1, w2, w3)); val ch = bcnt((w1, w2))
+      // .toSeq first: tcnt.keys is a SET, and mapping it through tcnt
+      // would deduplicate equal counts in the history
+      val hist = tcnt.keys.toSeq.filter(t => t._1 == w1 && t._2 == w2)
+        .map(tcnt)
+      val (n1h, n2h, n3h) = (coc(hist, 1), coc(hist, 2), hist.count(_ >= 3))
+      val cc = cc2((w2, w3)); val nm = nmid(w2)
+      val (m1, m2, m3) = mAux(w2)
+      val puni = cc1(w3).toDouble / b
+      val pmid = (cc - dd(cc, e)) / nm + (e(1) * m1 + e(2) * m2 + e(3) * m3) / nm * puni
+      (c3 - dd(c3, d)) / ch + (d(1) * n1h + d(2) * n2h + d(3) * n3h) / ch * pmid
+    }
+    val out = VocabStats.trigramModKnNll(mtexts.toDF("doc_id", "text"),
+        "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Double]))).toMap
+    mtexts.foreach { case (id, text) =>
+      val ws = text.split("\\s+").toSeq
+      val tgs = ws.lazyZip(ws.drop(1)).lazyZip(ws.drop(2)).toSeq
+      val want =
+        if (tgs.isEmpty) None
+        else Some(-tgs.map { case (x, y, z) => math.log(pTri(x, y, z)) }.sum
+          / tgs.size)
+      val (n, got) = out(id)
+      assert(n == tgs.size)
+      (got, want) match {
+        case (Some(g), Some(w)) => assert(math.abs(g - w) < 5e-5,
+          s"doc $id: library $g vs reference $w")
+        case (None, None) => ()
+        case other => fail(s"doc $id: $other")
+      }
+    }
+    // and modified KN is genuinely a different model than single-D KN
+    val plain = VocabStats.trigramKnNll(mtexts.toDF("doc_id", "text"),
+        "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> Option(r.get(2))).toMap
+    assert(mtexts.exists { case (id, _) =>
+      out(id)._2.map(v => Some(v) != plain(id)).getOrElse(false) ||
+        (out(id)._2.isDefined && plain(id).isDefined &&
+          out(id)._2.get != plain(id).get.asInstanceOf[Double]) })
+  }
+
   test("KN demotes the one-collocation word below a spread word " +
        "(the 'Francisco' property)") {
     // "sf" appears 4 times but ONLY after "visit": high raw frequency,
