@@ -4210,17 +4210,55 @@ object SparkEntry {
         |mbtot AS (SELECT count(*) AS b FROM mbcnt),
         |dsc0 AS (
         |  SELECT t1, t2, t3, t4, u1, u2, u3, u4, b,
-        |    t1 / (t1 + 2 * t2) AS yt, u1 / (u1 + 2 * u2) AS ym
+        |    t1 > 0 AND t2 > 0 AND t3 > 0 AND t4 > 0 AS triok,
+        |    u1 > 0 AND u2 > 0 AND u3 > 0 AND u4 > 0 AS midok,
+        |    CASE WHEN t1 > 0 THEN t1 / (t1 + 2 * t2)
+        |         ELSE CAST(0 AS DOUBLE) END AS yt,
+        |    CASE WHEN u1 > 0 THEN u1 / (u1 + 2 * u2)
+        |         ELSE CAST(0 AS DOUBLE) END AS ym
         |  FROM mstat CROSS JOIN ustat CROSS JOIN mbtot),
+        |dsc1 AS (
+        |  SELECT b, triok, midok,
+        |    CASE WHEN triok THEN
+        |      CAST(1 AS DOUBLE) - CAST(2 AS DOUBLE) * yt * t2 / t1
+        |      ELSE CAST(0.75 AS DOUBLE) END AS d1r,
+        |    CASE WHEN triok THEN
+        |      CAST(2 AS DOUBLE) - CAST(3 AS DOUBLE) * yt * t3 / t2
+        |      ELSE CAST(0.75 AS DOUBLE) END AS d2r,
+        |    CASE WHEN triok THEN
+        |      CAST(3 AS DOUBLE) - CAST(4 AS DOUBLE) * yt * t4 / t3
+        |      ELSE CAST(0.75 AS DOUBLE) END AS d3r,
+        |    CASE WHEN midok THEN
+        |      CAST(1 AS DOUBLE) - CAST(2 AS DOUBLE) * ym * u2 / u1
+        |      ELSE CAST(0.75 AS DOUBLE) END AS e1r,
+        |    CASE WHEN midok THEN
+        |      CAST(2 AS DOUBLE) - CAST(3 AS DOUBLE) * ym * u3 / u2
+        |      ELSE CAST(0.75 AS DOUBLE) END AS e2r,
+        |    CASE WHEN midok THEN
+        |      CAST(3 AS DOUBLE) - CAST(4 AS DOUBLE) * ym * u4 / u3
+        |      ELSE CAST(0.75 AS DOUBLE) END AS e3r
+        |  FROM dsc0),
         |dsc AS (
         |  SELECT b,
-        |    CAST(1 AS DOUBLE) - CAST(2 AS DOUBLE) * yt * t2 / t1 AS d1,
-        |    CAST(2 AS DOUBLE) - CAST(3 AS DOUBLE) * yt * t3 / t2 AS d2,
-        |    CAST(3 AS DOUBLE) - CAST(4 AS DOUBLE) * yt * t4 / t3 AS d3,
-        |    CAST(1 AS DOUBLE) - CAST(2 AS DOUBLE) * ym * u2 / u1 AS e1,
-        |    CAST(2 AS DOUBLE) - CAST(3 AS DOUBLE) * ym * u3 / u2 AS e2,
-        |    CAST(3 AS DOUBLE) - CAST(4 AS DOUBLE) * ym * u4 / u3 AS e3
-        |  FROM dsc0),
+        |    CASE WHEN triok AND d1r >= 0 AND d1r <= 1 AND d2r >= 0
+        |          AND d2r <= 2 AND d3r >= 0 AND d3r <= 3
+        |         THEN d1r ELSE CAST(0.75 AS DOUBLE) END AS d1,
+        |    CASE WHEN triok AND d1r >= 0 AND d1r <= 1 AND d2r >= 0
+        |          AND d2r <= 2 AND d3r >= 0 AND d3r <= 3
+        |         THEN d2r ELSE CAST(0.75 AS DOUBLE) END AS d2,
+        |    CASE WHEN triok AND d1r >= 0 AND d1r <= 1 AND d2r >= 0
+        |          AND d2r <= 2 AND d3r >= 0 AND d3r <= 3
+        |         THEN d3r ELSE CAST(0.75 AS DOUBLE) END AS d3,
+        |    CASE WHEN midok AND e1r >= 0 AND e1r <= 1 AND e2r >= 0
+        |          AND e2r <= 2 AND e3r >= 0 AND e3r <= 3
+        |         THEN e1r ELSE CAST(0.75 AS DOUBLE) END AS e1,
+        |    CASE WHEN midok AND e1r >= 0 AND e1r <= 1 AND e2r >= 0
+        |          AND e2r <= 2 AND e3r >= 0 AND e3r <= 3
+        |         THEN e2r ELSE CAST(0.75 AS DOUBLE) END AS e2,
+        |    CASE WHEN midok AND e1r >= 0 AND e1r <= 1 AND e2r >= 0
+        |          AND e2r <= 2 AND e3r >= 0 AND e3r <= 3
+        |         THEN e3r ELSE CAST(0.75 AS DOUBLE) END AS e3
+        |  FROM dsc1),
         |mterms AS (
         |  SELECT mtg.doc_id,
         |    {'c3': mtcnt.c3, 'ch': bc.ch, 'n1h': mhaux.n1h,

@@ -358,15 +358,17 @@ object VocabStats {
     * tree the oracle computes); the per-doc fold is order-pinned on the
     * sorted 11-int count tuples; round(4) absorbs ulp noise.
     *
-    * Requires every count-of-count n1..n4 > 0 at both orders (true for
-    * any natural corpus; a synthetic corpus without singletons has no
-    * modified-KN estimate — the require names the failing statistic).
-    * A corpus whose count-of-counts are non-monotone can put a
-    * discount outside its (0, k) range — the same formula outcome
-    * KenLM rejects at training time; here the score stays well-defined
-    * (every p > 0) and the oracle replays it exactly, so the estimate
-    * is reported rather than refused. Natural corpora (including every
-    * shipped sf) have decreasing n_k and in-range discounts.
+    * When an order's estimate is UNSOUND — count-of-counts n1..n4 not
+    * all positive (no estimate exists; KenLM aborts training on such
+    * corpora), or an estimated discount outside its sound range
+    * (0 ≤ D1 ≤ 1, 0 ≤ D2 ≤ 2, 0 ≤ D3 ≤ 3 — outside it a probability
+    * can go NEGATIVE via a negative backoff weight) — THAT ORDER falls
+    * back to the single absolute discount D1 = D2 = D3 = 0.75: the
+    * standard practical fallback, applied per order and replayed
+    * identically by the oracle. The synthetic sf0.1 corpus hits BOTH
+    * cases: its small vocabulary leaves no singleton continuation
+    * bigrams (u1 = 0) and its trigram count-of-counts are
+    * non-monotone (n3 > n2), driving D2/D3 negative.
     *
     * Scale shape identical to [[trigramKnNll]]: type-mass aux tables
     * assemble a trigram-level model, one token-mass hash join, the
@@ -423,22 +425,22 @@ object VocabStats {
       .head()
     val Seq(t1, t2, t3, t4, u1, u2, u3, u4, b) =
       (0 until 9).map(statsRow.getLong)
-    Seq(("trigram n1", t1), ("trigram n2", t2), ("trigram n3", t3),
-      ("trigram n4", t4), ("continuation n1", u1), ("continuation n2", u2),
-      ("continuation n3", u3), ("continuation n4", u4)).foreach {
-      case (nm, v) => require(v > 0L,
-        s"modified KN needs $nm > 0 (no estimate without it)")
-    }
     // EXACTLY the oracle's IEEE expression tree: int-to-double exact,
-    // then the same left-associated double ops
-    val yT = t1.toDouble / (t1 + 2 * t2).toDouble
-    val d1 = 1.0 - 2.0 * yT * t2 / t1
-    val d2 = 2.0 - 3.0 * yT * t3 / t2
-    val d3 = 3.0 - 4.0 * yT * t4 / t3
-    val yM = u1.toDouble / (u1 + 2 * u2).toDouble
-    val e1 = 1.0 - 2.0 * yM * u2 / u1
-    val e2 = 2.0 - 3.0 * yM * u3 / u2
-    val e3 = 3.0 - 4.0 * yM * u4 / u3
+    // then the same left-associated double ops; an order whose
+    // estimate is unsound (see scaladoc) falls back to 0.75s
+    def discounts(n1: Long, n2: Long, n3: Long,
+                  n4: Long): (Double, Double, Double) = {
+      val haveN = n1 > 0 && n2 > 0 && n3 > 0 && n4 > 0
+      val y = if (n1 > 0) n1.toDouble / (n1 + 2 * n2).toDouble else 0.0
+      val a = if (haveN) 1.0 - 2.0 * y * n2 / n1 else 0.75
+      val bb = if (haveN) 2.0 - 3.0 * y * n3 / n2 else 0.75
+      val c = if (haveN) 3.0 - 4.0 * y * n4 / n3 else 0.75
+      val sound = haveN && a >= 0.0 && a <= 1.0 &&
+        bb >= 0.0 && bb <= 2.0 && c >= 0.0 && c <= 3.0
+      if (sound) (a, bb, c) else (0.75, 0.75, 0.75)
+    }
+    val (d1, d2, d3) = discounts(t1, t2, t3, t4)
+    val (e1, e2, e3) = discounts(u1, u2, u3, u4)
 
     val model = tcnt
       .join(bcnt, Seq("__w1", "__w2"))

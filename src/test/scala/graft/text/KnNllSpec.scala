@@ -145,15 +145,25 @@ class KnNllSpec extends SparkSpec {
       coc(cc2.values, 3), coc(cc2.values, 4))
     assert(t1c > 0 && t2c > 0 && t3c > 0 && t4c > 0, "fixture must cover n1..n4")
     assert(u1c > 0 && u2c > 0 && u3c > 0 && u4c > 0, "fixture continuation n1..n4")
-    val yT = t1c.toDouble / (t1c + 2 * t2c)
-    val d = Array(0.0, 1.0 - 2.0 * yT * t2c / t1c, 2.0 - 3.0 * yT * t3c / t2c,
-      3.0 - 4.0 * yT * t4c / t3c)
-    val yM = u1c.toDouble / (u1c + 2 * u2c)
-    val e = Array(0.0, 1.0 - 2.0 * yM * u2c / u1c, 2.0 - 3.0 * yM * u3c / u2c,
-      3.0 - 4.0 * yM * u4c / u3c)
-    // theoretical ranges: 0 < D1 < 1, 0 < D2 < 2, 0 < D3 < 3
+    def refDisc(n1: Int, n2: Int, n3: Int, n4: Int): Array[Double] = {
+      val haveN = n1 > 0 && n2 > 0 && n3 > 0 && n4 > 0
+      val y = if (n1 > 0) n1.toDouble / (n1 + 2 * n2) else 0.0
+      val a = if (haveN) 1.0 - 2.0 * y * n2 / n1 else 0.75
+      val bb = if (haveN) 2.0 - 3.0 * y * n3 / n2 else 0.75
+      val c = if (haveN) 3.0 - 4.0 * y * n4 / n3 else 0.75
+      val sound = haveN && a >= 0 && a <= 1 && bb >= 0 && bb <= 2 &&
+        c >= 0 && c <= 3
+      if (sound) Array(0.0, a, bb, c) else Array(0.0, 0.75, 0.75, 0.75)
+    }
+    val d = refDisc(t1c, t2c, t3c, t4c)
+    val e = refDisc(u1c, u2c, u3c, u4c)
+    // this fixture's trigram order estimates soundly; its middle order
+    // does NOT (continuation n3 > n2 drives E2 negative) and must have
+    // fallen back — both paths exercised in one fixture
     assert(d(1) > 0 && d(1) < 1 && d(2) > 0 && d(2) < 2 && d(3) > 0 && d(3) < 3,
       d.toSeq.toString)
+    assert(e.drop(1).forall(_ == 0.75),
+      s"mid order must fall back on this fixture: ${e.toSeq}")
     def dd(c: Int, ds: Array[Double]) = ds(math.min(c, 3))
     val nmid = tcnt.keys.groupBy(_._2).view.mapValues(_.size).toMap
     val mAux = cc2.groupBy(_._1._1).map { case (w2, m) =>
@@ -201,6 +211,69 @@ class KnNllSpec extends SparkSpec {
       out(id)._2.map(v => Some(v) != plain(id)).getOrElse(false) ||
         (out(id)._2.isDefined && plain(id).isDefined &&
           out(id)._2.get != plain(id).get.asInstanceOf[Double]) })
+  }
+
+  test("modified KN falls back to the 0.75 absolute discount per order " +
+       "when that order's count-of-counts are incomplete") {
+    // the plain-KN fixture has no continuation count >= 2 nuance: all
+    // u-statistics beyond u1 vanish, so the MIDDLE order must fall back
+    // while the trigram order may or may not estimate — compute both
+    // with the same fallback rule the library uses
+    val ftexts = texts.filter(_._1 <= 3) // drop the 2-word doc
+    val toks = ftexts.map(_._2.split("\\s+").toSeq)
+    val bcnt = toks.flatMap(ws => ws.zip(ws.drop(1)))
+      .groupBy(identity).view.mapValues(_.size).toMap
+    val tcnt = toks.flatMap(ws =>
+      ws.lazyZip(ws.drop(1)).lazyZip(ws.drop(2)).toSeq)
+      .groupBy(identity).view.mapValues(_.size).toMap
+    val cc2 = tcnt.keys.toSeq.groupBy(t => (t._2, t._3))
+      .view.mapValues(_.size).toMap
+    def coc(m: Iterable[Int], k: Int) = m.count(_ == k)
+    def disc(n: Seq[Int]): Array[Double] = {
+      val ok = n.forall(_ > 0)
+      val y = if (n(0) > 0) n(0).toDouble / (n(0) + 2 * n(1)) else 0.0
+      val a = if (ok) 1.0 - 2.0 * y * n(1) / n(0) else 0.75
+      val bb = if (ok) 2.0 - 3.0 * y * n(2) / n(1) else 0.75
+      val c = if (ok) 3.0 - 4.0 * y * n(3) / n(2) else 0.75
+      val sound = ok && a >= 0 && a <= 1 && bb >= 0 && bb <= 2 &&
+        c >= 0 && c <= 3
+      if (sound) Array(0.0, a, bb, c) else Array(0.0, 0.75, 0.75, 0.75)
+    }
+    val d = disc(Seq(coc(tcnt.values, 1), coc(tcnt.values, 2),
+      coc(tcnt.values, 3), coc(tcnt.values, 4)))
+    val e = disc(Seq(coc(cc2.values, 1), coc(cc2.values, 2),
+      coc(cc2.values, 3), coc(cc2.values, 4)))
+    assert(e.drop(1).forall(_ == 0.75), "fixture must trip the mid fallback")
+    def dd(c: Int, ds: Array[Double]) = ds(math.min(c, 3))
+    val nmid = tcnt.keys.toSeq.groupBy(_._2).view.mapValues(_.size).toMap
+    val mAux = cc2.groupBy(_._1._1).map { case (w2, m) =>
+      w2 -> (coc(m.values, 1), coc(m.values, 2), m.values.count(_ >= 3)) }
+    val cc1 = bcnt.keys.toSeq.groupBy(_._2).view.mapValues(_.size).toMap
+    val bTot = bcnt.size
+    def pTri(w1: String, w2: String, w3: String): Double = {
+      val c3 = tcnt((w1, w2, w3)); val ch = bcnt((w1, w2))
+      val hist = tcnt.keys.toSeq.filter(t => t._1 == w1 && t._2 == w2)
+        .map(tcnt)
+      val (n1h, n2h, n3h) = (coc(hist, 1), coc(hist, 2), hist.count(_ >= 3))
+      val cc = cc2((w2, w3)); val nm = nmid(w2)
+      val (m1, m2, m3) = mAux(w2)
+      val puni = cc1(w3).toDouble / bTot
+      val pmid = (cc - dd(cc, e)) / nm +
+        (e(1) * m1 + e(2) * m2 + e(3) * m3) / nm * puni
+      (c3 - dd(c3, d)) / ch +
+        (d(1) * n1h + d(2) * n2h + d(3) * n3h) / ch * pmid
+    }
+    val out = VocabStats.trigramModKnNll(ftexts.toDF("doc_id", "text"),
+        "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        Option(r.get(2)).map(_.asInstanceOf[Double])).toMap
+    ftexts.foreach { case (id, text) =>
+      val ws = text.split("\\s+").toSeq
+      val tgs = ws.lazyZip(ws.drop(1)).lazyZip(ws.drop(2)).toSeq
+      val want = -tgs.map { case (x, y, z) =>
+        math.log(pTri(x, y, z)) }.sum / tgs.size
+      assert(math.abs(out(id).get - want) < 5e-5, s"doc $id")
+    }
   }
 
   test("KN demotes the one-collocation word below a spread word " +
