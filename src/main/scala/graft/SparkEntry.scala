@@ -1905,14 +1905,18 @@ object SparkEntry {
           .start(s"$base/out")
         try {
           q.processAllAvailable()
-          cTbl.append(clicks.filter(col("click_ts") >= split))
-          vTbl.append(views.filter(col("view_ts") >= split))
-          q.processAllAvailable()
-          // watermark lags one batch: two sentinel rounds flush every
-          // remaining unmatched click (distinct sentinel users, so the
-          // sentinels never pair with each other; verified stable
-          // across repeated runs)
-          cTbl.append(sentC(60)); vTbl.append(sentV(60))
+          // batch 2 rides in ONE table version per side WITH the first
+          // sentinel round: rows in the same batch are never late
+          // against each other (the watermark only advances at batch
+          // end), so merging is semantics-neutral and halves the
+          // micro-batch rounds (each drain costs ~4 batch cycles of
+          // state-store commits). Round 2 then runs with the advanced
+          // watermark — the one-batch lag — and flushes every real
+          // unmatched click; verified hash-stable across repeated runs
+          cTbl.append(clicks.filter(col("click_ts") >= split)
+            .unionByName(sentC(60)))
+          vTbl.append(views.filter(col("view_ts") >= split)
+            .unionByName(sentV(60)))
           q.processAllAvailable()
           cTbl.append(sentC(120)); vTbl.append(sentV(120))
           q.processAllAvailable()
