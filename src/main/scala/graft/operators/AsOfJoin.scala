@@ -112,14 +112,21 @@ object AsOfJoin {
       .withColumn(fp, last(col(payload), ignoreNulls = true).over(wF))
       .filter(col(side) === 1)
 
+    // µs-exact tolerance bounds (tol is whole seconds, so scale it to
+    // µs rather than truncating the timestamps to seconds — a cast("long")
+    // here would let a right row up to ~1s OUTSIDE the tolerance pass,
+    // the same truncation trap the gap comparison below avoids)
     val withTol = toleranceSeconds match {
       case Some(tol) =>
-        val lt = col(t).cast("long")
+        val ltMicros = unix_micros(col(t))
+        val tolMicros = tol * 1000000L
         both
           .withColumn(bp, when(
-            col(s"$bp.$rightTime").cast("long") >= lt - tol, col(bp)))
+            unix_micros(col(s"$bp.$rightTime")) >= ltMicros - tolMicros,
+            col(bp)))
           .withColumn(fp, when(
-            col(s"$fp.$rightTime").cast("long") <= lt + tol, col(fp)))
+            unix_micros(col(s"$fp.$rightTime")) <= ltMicros + tolMicros,
+            col(fp)))
       case None => both
     }
 
@@ -189,12 +196,15 @@ object AsOfJoin {
       .withColumn(payload, last(col(payload), ignoreNulls = true).over(w))
       .filter(col(side) === 1)
 
+    // µs-exact tolerance (see nearest: cast("long") truncates to whole
+    // seconds and misjudges sub-second boundary rows)
     val withTolerance = toleranceSeconds match {
       case Some(tol) =>
-        val rt = col(s"$payload.$rightTime").cast("long")
-        val lt = col(t).cast("long")
+        val rt = unix_micros(col(s"$payload.$rightTime"))
+        val lt = unix_micros(col(t))
+        val tolMicros = tol * 1000000L
         val inWindow =
-          if (forward) rt <= lt + tol else rt >= lt - tol
+          if (forward) rt <= lt + tolMicros else rt >= lt - tolMicros
         joined.withColumn(payload,
           when(col(s"$payload.$rightTime").isNotNull && inWindow,
             col(payload)).otherwise(lit(null).cast(joined.schema(payload).dataType)))
@@ -290,10 +300,13 @@ object AsOfJoin {
     val merged = joined.join(carry, keys :+ bucket, "left")
       .withColumn(payload, coalesce(col(payload), col(carryIn)))
 
+    // µs-exact tolerance like the unbucketed paths (cast("long")
+    // truncates to whole seconds and misjudges sub-second boundary rows)
     val withTolerance = toleranceSeconds match {
       case Some(tol) => merged.withColumn(payload,
         when(col(s"$payload.$rightTime").isNotNull &&
-          col(s"$payload.$rightTime").cast("long") >= col(t).cast("long") - tol,
+          unix_micros(col(s"$payload.$rightTime")) >=
+            unix_micros(col(t)) - tol * 1000000L,
           col(payload)).otherwise(lit(null).cast(merged.schema(payload).dataType)))
       case None => merged
     }

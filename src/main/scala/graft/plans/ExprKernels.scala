@@ -1896,32 +1896,48 @@ object ExprKernels {
   }
 
   /** The `href` attribute value inside an `<a ...>` tag's attribute
-    * span: case-insensitive name at an attribute boundary, quoted
-    * (single/double) or unquoted value. Null when absent.
+    * span: case-insensitive name, quoted (single/double) or unquoted
+    * value. Null when absent. The span is tokenized attribute-by-
+    * attribute (names scanned, quoted values skipped whole) rather than
+    * substring-searched, so an `href=` occurring INSIDE another
+    * attribute's value (`<a title="see href=evil" href="/real">`) is
+    * never mistaken for the attribute itself.
     */
   private def findHref(attrs: String): String = {
     val n = attrs.length
     var i = 0
     while (i < n) {
-      if (attrs.regionMatches(true, i, "href", 0, 4) &&
-          (i == 0 || Character.isWhitespace(attrs.charAt(i - 1)))) {
-        var j = i + 4
+      // skip whitespace and stray '/' between attributes
+      while (i < n && (Character.isWhitespace(attrs.charAt(i)) ||
+          attrs.charAt(i) == '/')) i += 1
+      if (i >= n) return null
+      // attribute name: up to whitespace, '=', or end
+      val nameStart = i
+      while (i < n && !Character.isWhitespace(attrs.charAt(i)) &&
+          attrs.charAt(i) != '=') i += 1
+      val isHref = i - nameStart == 4 &&
+        attrs.regionMatches(true, nameStart, "href", 0, 4)
+      // optional whitespace, then '=' introduces a value
+      var j = i
+      while (j < n && Character.isWhitespace(attrs.charAt(j))) j += 1
+      if (j < n && attrs.charAt(j) == '=') {
+        j += 1
         while (j < n && Character.isWhitespace(attrs.charAt(j))) j += 1
-        if (j < n && attrs.charAt(j) == '=') {
-          j += 1
-          while (j < n && Character.isWhitespace(attrs.charAt(j))) j += 1
-          if (j >= n) return null
-          val q = attrs.charAt(j)
-          if (q == '"' || q == '\'') {
-            val e = attrs.indexOf(q, j + 1)
-            return attrs.substring(j + 1, if (e < 0) n else e).trim
-          }
+        if (j >= n) return null
+        val q = attrs.charAt(j)
+        if (q == '"' || q == '\'') {
+          val e = attrs.indexOf(q, j + 1)
+          val end = if (e < 0) n else e
+          if (isHref) return attrs.substring(j + 1, end).trim
+          i = if (e < 0) n else e + 1
+        } else {
           var e = j
           while (e < n && !Character.isWhitespace(attrs.charAt(e))) e += 1
-          return attrs.substring(j, e).trim
+          if (isHref) return attrs.substring(j, e).trim
+          i = e
         }
       }
-      i += 1
+      // valueless attribute (e.g. `download`): loop continues from i
     }
     null
   }

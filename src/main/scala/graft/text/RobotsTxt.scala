@@ -31,22 +31,31 @@ object RobotsTxt {
   /** One parsed robots.txt: user-agent tokens (lowercased) → rules. */
   final case class Robots(groups: Seq[(Seq[String], Seq[Rule])]) {
     /** The rule block for `agent`: longest matching UA token wins,
-      * `*` as the fallback.
+      * `*` as the fallback. RFC 9309 §2.2.1: "crawlers MUST merge the
+      * groups" that match the same user-agent — real robots.txt files
+      * repeat `User-agent: *` blocks, so ALL groups whose best token
+      * ties the winning length are concatenated (and all `*` groups
+      * when falling back), not just the first.
       */
     def rulesFor(agent: String): Seq[Rule] = {
       val a = agent.toLowerCase(java.util.Locale.ROOT)
       var bestLen = -1
-      var best: Seq[Rule] = null
-      var star: Seq[Rule] = null
-      groups.foreach { case (uas, rules) =>
+      groups.foreach { case (uas, _) =>
         uas.foreach { ua =>
-          if (ua == "*") { if (star == null) star = rules }
-          else if (a.startsWith(ua) && ua.length > bestLen) {
-            bestLen = ua.length; best = rules
-          }
+          if (ua != "*" && a.startsWith(ua) && ua.length > bestLen)
+            bestLen = ua.length
         }
       }
-      if (best != null) best else if (star != null) star else Seq.empty
+      if (bestLen >= 0) {
+        groups.collect {
+          case (uas, rules)
+              if uas.exists(ua =>
+                ua != "*" && ua.length == bestLen && a.startsWith(ua)) =>
+            rules
+        }.flatten
+      } else {
+        groups.collect { case (uas, rules) if uas.contains("*") => rules }.flatten
+      }
     }
   }
 
@@ -133,21 +142,26 @@ object RobotsTxt {
     bestAllow
   }
 
-  // bounded per-JVM parse memo: a corpus repeats one body per domain
-  // across many rows; 256 entries cover far more domains than one task
-  // ever holds, and the synchronized map is uncontended per-executor
+  // bounded PER-THREAD parse memo: a corpus repeats one body per domain
+  // across many rows, so the amortized per-row cost is the rule scan.
+  // ThreadLocal (one LRU per executor core) rather than a shared
+  // synchronized map — accessOrder=true mutates on get, so even cache
+  // HITS would take the monitor and serialize all codegen threads of
+  // the task JVM on one lock. Worst case is a parse per thread per
+  // domain — still O(domains × cores) parses per JVM, amortized away.
   private val cache =
-    new java.util.LinkedHashMap[String, Robots](64, 0.75f, true) {
-      override def removeEldestEntry(
-          e: java.util.Map.Entry[String, Robots]): Boolean = size() > 256
+    new ThreadLocal[java.util.LinkedHashMap[String, Robots]] {
+      override def initialValue(): java.util.LinkedHashMap[String, Robots] =
+        new java.util.LinkedHashMap[String, Robots](64, 0.75f, true) {
+          override def removeEldestEntry(
+              e: java.util.Map.Entry[String, Robots]): Boolean = size() > 256
+        }
     }
 
   def allowedCached(body: String, agent: String, path: String): Boolean = {
-    val robots = cache.synchronized {
-      val hit = cache.get(body)
-      if (hit != null) hit
-      else { val r = parse(body); cache.put(body, r); r }
-    }
+    val c = cache.get()
+    var robots = c.get(body)
+    if (robots == null) { robots = parse(body); c.put(body, robots) }
     allowed(robots, agent, path)
   }
 }

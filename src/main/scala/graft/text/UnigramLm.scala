@@ -356,15 +356,24 @@ object UnigramLm {
       .as[(String, Long)].persist()
     try {
       val metaStr = Meta.toString
+      // substring windows advance by CODE POINT, not UTF-16 unit — a
+      // per-unit walk would split supplementary-plane characters into
+      // lone surrogates, which are not valid Unicode scalar values and
+      // don't round-trip the UTF-8 .model wire format; the "every single
+      // character survives" coverage guarantee must hold per code point
       val subs = dw.flatMap { case (w, n) =>
         val s = metaStr + w
         val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
         var i = 0
         while (i < s.length) {
-          var j = i + 1
-          val lim = math.min(s.length, i + maxPieceLen)
-          while (j <= lim) { out += ((s.substring(i, j), n)); j += 1 }
-          i += 1
+          var j = i
+          var cps = 0
+          while (j < s.length && cps < maxPieceLen) {
+            j = s.offsetByCodePoints(j, 1)
+            cps += 1
+            out += ((s.substring(i, j), n))
+          }
+          i = s.offsetByCodePoints(i, 1)
         }
         out
       }.toDF("p", "n").groupBy("p").agg(sum("n").as("n")).persist()

@@ -91,6 +91,37 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out(1L) == "b" && out(2L) == "c")
   }
 
+  test("tolerance bounds are µs-exact: a right row a fraction of a second " +
+       "outside the window is voided (no whole-second truncation)") {
+    // real gap 1.9s; truncated-to-seconds gap would be 60-59 = 1s and a
+    // seconds-cast check would wrongly pass it under tol=1
+    val l = Seq((1L, 10L, ts("2024-01-01 10:00:00.9"))).toDF("id", "k", "t")
+    val rOut = Seq((10L, ts("2024-01-01 09:59:59.0"), "late"))
+      .toDF("k", "t", "v")
+    val rIn = Seq((10L, ts("2024-01-01 10:00:00.05"), "fresh"))
+      .toDF("k", "t", "v")
+    for (dir <- Seq("backward", "nearest")) {
+      val out = AsOfJoin.asOfJoin(l, rOut, Seq("k"), "t", "t",
+          toleranceSeconds = Some(1), direction = dir)
+        .select("right_v").head()
+      assert(out.isNullAt(0), s"$dir: 1.9s-old row must void under tol=1s")
+      val in = AsOfJoin.asOfJoin(l, rIn, Seq("k"), "t", "t",
+          toleranceSeconds = Some(1), direction = dir)
+        .select("right_v").head()
+      assert(in.getString(0) == "fresh", s"$dir: 0.85s-old row must match")
+    }
+    // forward mirror: right 1.9s AFTER left under tol=1 voids
+    val lF = Seq((1L, 10L, ts("2024-01-01 09:59:59.0"))).toDF("id", "k", "t")
+    val rF = Seq((10L, ts("2024-01-01 10:00:00.9"), "far")).toDF("k", "t", "v")
+    assert(AsOfJoin.asOfJoin(lF, rF, Seq("k"), "t", "t",
+        toleranceSeconds = Some(1), direction = "forward")
+      .select("right_v").head().isNullAt(0))
+    // bucketed variant shares the µs-exact bound
+    assert(AsOfJoin.asOfJoinBucketed(l, rOut, Seq("k"), "t", "t",
+        bucketSeconds = 3600, toleranceSeconds = Some(1))
+      .select("right_v").head().isNullAt(0))
+  }
+
   test("NULL right timestamps never match; NULL left timestamps stay unmatched") {
     // DuckDB ASOF / pandas merge_asof semantics: a NULL-time right row is
     // not a candidate for any left row (it would otherwise sort nulls-first

@@ -47,6 +47,20 @@ class HtmlLinksSpec extends SparkSpec {
       """<a href="/v">tail unclosed""") == Seq(("/v", "tail unclosed")))
   }
 
+  test("'href=' inside ANOTHER attribute's quoted value is not the href: " +
+       "the attribute span tokenizes attribute-by-attribute") {
+    assert(links("""<a title="see href=evil" href="/real">t</a>""") ==
+      Seq(("/real", "t")),
+      "href= inside a quoted title value must not win")
+    assert(links("""<a data-x='href="/fake"' href=/good>u</a>""") ==
+      Seq(("/good", "u")))
+    // valueless attributes before the real href don't derail the scan
+    assert(links("""<a download title="href=no" href="/dl">v</a>""") ==
+      Seq(("/dl", "v")))
+    // an anchor whose ONLY href-ish text sits inside another value has none
+    assert(links("""<a title="href=/only-inside">w</a>""") == Seq.empty)
+  }
+
   test("SQL registration parity and empty/no-link pages") {
     Seq("""<p>no links at all</p>""").toDF("h")
       .createOrReplaceTempView("__hl_pages")

@@ -74,6 +74,51 @@ class RobotsTxtSpec extends SparkSpec {
     assert(!RobotsTxt.allowed(blockRoot, "*", "/x"))
   }
 
+  test("RFC 9309 §2.2.1 group MERGE: repeated user-agent groups for the " +
+       "same token concatenate — later Disallow rules are not ignored") {
+    // real-world shape: two separate `User-agent: *` blocks
+    val split = RobotsTxt.parse(
+      """User-agent: *
+        |Disallow: /a/
+        |
+        |User-agent: *
+        |Disallow: /b/
+        |""".stripMargin)
+    assert(!RobotsTxt.allowed(split, "anybot", "/a/x"))
+    assert(!RobotsTxt.allowed(split, "anybot", "/b/x"),
+      "the SECOND * group's rules must apply too")
+    assert(RobotsTxt.allowed(split, "anybot", "/c/x"))
+    // specific-UA groups merge the same way when the winning token ties
+    val specific = RobotsTxt.parse(
+      """User-agent: graftbot
+        |Disallow: /one/
+        |
+        |User-agent: graftbot
+        |Allow: /one/ok/
+        |Disallow: /two/
+        |
+        |User-agent: *
+        |Disallow: /star-only/
+        |""".stripMargin)
+    assert(!RobotsTxt.allowed(specific, "graftbot", "/one/x"))
+    assert(!RobotsTxt.allowed(specific, "graftbot", "/two/x"))
+    assert(RobotsTxt.allowed(specific, "graftbot", "/one/ok/x"),
+      "allow from the merged second group must beat the first's disallow")
+    assert(RobotsTxt.allowed(specific, "graftbot", "/star-only/x"),
+      "a matched specific group excludes the * fallback entirely")
+    // a LONGER matching token still excludes shorter ones from the merge
+    val tiers = RobotsTxt.parse(
+      """User-agent: graft
+        |Disallow: /short/
+        |
+        |User-agent: graftbot
+        |Disallow: /long/
+        |""".stripMargin)
+    assert(RobotsTxt.allowed(tiers, "graftbot", "/short/x"),
+      "only the longest-token groups participate")
+    assert(!RobotsTxt.allowed(tiers, "graftbot", "/long/x"))
+  }
+
   test("column API + SQL registration parity; memoized path matches " +
        "direct evaluation") {
     val df = Seq(("/private/a", body), ("/private/ok/a", body),

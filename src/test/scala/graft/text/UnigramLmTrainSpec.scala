@@ -59,6 +59,46 @@ class UnigramLmTrainSpec extends SparkSpec {
     }
   }
 
+  test("fitEm seeds by CODE POINT: supplementary-plane characters never " +
+       "split into lone surrogates and round-trip the .model wire format") {
+    // U+1D54F (𝕏) and U+1F600 (😀) are surrogate PAIRS in UTF-16 — a
+    // per-code-unit substring walk would enumerate lone surrogates as
+    // vocab "chars", which are not valid Unicode scalar values
+    val astral = Seq("𝕏ray data 𝕏ray scan",
+      "😀 happy 😀 happy data").zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val m = UnigramLm.fitEm(astral, "text", vocabSize = 40, emIters = 2,
+      maxPieceLen = 4)
+    m.pieces.foreach { case (p, _, _) =>
+      var i = 0
+      while (i < p.length) {
+        val c = p.charAt(i)
+        if (Character.isHighSurrogate(c)) {
+          assert(i + 1 < p.length && Character.isLowSurrogate(p.charAt(i + 1)),
+            s"piece '$p' holds a lone high surrogate")
+          i += 2
+        } else {
+          assert(!Character.isLowSurrogate(c),
+            s"piece '$p' holds a lone low surrogate")
+          i += 1
+        }
+      }
+    }
+    // both astral chars survive as single-code-point pieces (coverage)
+    val pieceSet = m.pieces.map(_._1).toSet
+    assert(pieceSet.contains("𝕏") &&
+      pieceSet.contains("😀"))
+    // wire-format round-trip is byte-stable and encoding has no unks
+    val reloaded = UnigramLm.loadModelBytes(UnigramLm.exportModelBytes(m))
+    assert(reloaded.pieces == m.pieces)
+    astral.collect().map(_.getString(1)).foreach { t =>
+      val ids = Seq(t).toDF("text")
+        .select(UnigramLm.encode(col("text"), m).as("i"))
+        .head().getSeq[Int](0)
+      assert(UnigramLm.decode(ids.map(_.toInt), m) == t)
+    }
+  }
+
   test("EM segmentations improve over the seed-frequency baseline: " +
        "later iterations never tokenize the corpus worse") {
     def tokens(iters: Int): Long =
