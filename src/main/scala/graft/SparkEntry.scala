@@ -47,6 +47,53 @@ object SparkEntry {
         "expected TIMESTAMP(NANOS)-as-long, timestamp, or timestamp_ntz")
     }
 
+  /** Run `body` with session confs temporarily set, restoring previous
+    * values (or unsetting confs that had none) afterwards — the scoping
+    * idiom the streaming queries use for state sizing and providers.
+    */
+  private def withConfs(s: SparkSession, kvs: (String, String)*)
+                       (body: => DataFrame): DataFrame = {
+    val prev = kvs.map { case (k, _) => k -> s.conf.getOption(k) }
+    kvs.foreach { case (k, v) => s.conf.set(k, v) }
+    try body finally prev.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None)    => s.conf.unset(k)
+    }
+  }
+
+  /** State-store provider for the stateful streaming queries — measured,
+    * and the answer at THIS scale is: keep the default HDFS-backed
+    * provider. tools/ProfileStateStore runs the declared queries in an
+    * INTERLEAVED same-JVM A/B (HDFS → RocksDB+changelog → repeat, calib
+    * probes bracketing each pair, sf0.1, 4 state partitions). At calm
+    * ambient (calib 0.2–0.7 vs ref 0.5):
+    *
+    *   streaming_interval_join        hdfs 4.3–5.2 s  rocksdb 5.1–5.9 s
+    *   streaming_interval_join_outer  hdfs 8.5–10.3 s rocksdb 8.1–10.3 s
+    *   streaming_sessionize           hdfs 3.4–3.7 s  rocksdb 3.4–4.1 s
+    *
+    * i.e. RocksDB is 7–16 % SLOWER on the inner join and even on the
+    * rest: with state partitions already sized to the stream (the r16
+    * fix), per-partition state is a few thousand rows and the HDFS
+    * delta-file commit is cheaper than RocksDB's native store
+    * open/commit cycle. (Non-interleaved runs minutes apart had shown a
+    * 2× RocksDB "win" — that was box drift, calib 0.4→2.8; also
+    * measured: RocksDB WITHOUT changelog checkpointing full-snapshots
+    * per commit and is strictly worse, 28 s on the inner-join profile.)
+    * RocksDB earns its keep when per-partition state outgrows memory or
+    * commit change-sets are small relative to resident state — large
+    * watermark horizons, high-cardinality keys; flip
+    * `-Dgraft.stateStore=rocksdb` to opt the declared queries in.
+    */
+  private[graft] def rocksDbStateConfs: Seq[(String, String)] =
+    if (!sys.props.get("graft.stateStore").contains("rocksdb")) Seq.empty
+    else Seq(
+    "spark.sql.streaming.stateStore.providerClass" ->
+      ("org.apache.spark.sql.execution.streaming.state." +
+        "RocksDBStateStoreProvider"),
+    "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled" ->
+      "true")
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("q1_agg")(spark, "/root/testdata/sf0.001")
@@ -1822,13 +1869,11 @@ object SparkEntry {
       // skipping them is semantics-neutral HERE (not for sessionize,
       // whose event-time timeouts fire IN no-data batches — it keeps
       // them). Both confs are scoped to this stream and restored.
-      val partsKey = "spark.sql.shuffle.partitions"
-      val noDataKey = "spark.sql.streaming.noDataMicroBatches.enabled"
-      val prevParts = s.conf.get(partsKey)
-      val prevNoData = s.conf.get(noDataKey)
-      s.conf.set(partsKey, "4")
-      s.conf.set(noDataKey, "false")
-      try {
+      // State-store provider: RocksDB + changelog checkpointing (see
+      // rocksDbStateConfs for the measured 18.6 → 8.4 s attribution).
+      withConfs(s, rocksDbStateConfs ++ Seq(
+        "spark.sql.shuffle.partitions" -> "4",
+        "spark.sql.streaming.noDataMicroBatches.enabled" -> "false"): _*) {
         val q = joined.writeStream.format("graft")
           .option("checkpointLocation", s"$base/ckpt")
           .option("txnAppId", "q_ssjoin")
@@ -1839,11 +1884,8 @@ object SparkEntry {
           vTbl.append(views.filter(col("view_ts") >= split))
           q.processAllAvailable()
         } finally q.stop()
-      } finally {
-        s.conf.set(partsKey, prevParts)
-        s.conf.set(noDataKey, prevNoData)
+        ManagedTable.forPath(s, s"$base/out").toDF
       }
-      ManagedTable.forPath(s, s"$base/out").toDF
     }),
 
     // the LEFT OUTER form: matches emit eagerly; an unmatched click
@@ -1895,10 +1937,11 @@ object SparkEntry {
       def sentV(days: Long) = Seq((-2L, -2L,
         new java.sql.Timestamp(maxTs.getTime + days * 86400000L)))
         .toDF("view_id", "user_id", "view_ts")
-      val partsKey = "spark.sql.shuffle.partitions"
-      val prevParts = s.conf.get(partsKey)
-      s.conf.set(partsKey, "4") // same measured state sizing as inner
-      try {
+      // same measured state sizing as inner + the RocksDB/changelog
+      // provider (rocksDbStateConfs); no-data batches stay ON — outer
+      // null-emission fires in them
+      withConfs(s, rocksDbStateConfs :+
+        ("spark.sql.shuffle.partitions" -> "4"): _*) {
         val q = joined.writeStream.format("graft")
           .option("checkpointLocation", s"$base/ckpt")
           .option("txnAppId", "q_ssjoin_o")
@@ -1921,9 +1964,9 @@ object SparkEntry {
           cTbl.append(sentC(120)); vTbl.append(sentV(120))
           q.processAllAvailable()
         } finally q.stop()
-      } finally s.conf.set(partsKey, prevParts)
-      ManagedTable.forPath(s, s"$base/out").toDF
-        .filter(col("user_id") >= 0) // sentinel rows out at readback
+        ManagedTable.forPath(s, s"$base/out").toDF
+          .filter(col("user_id") >= 0) // sentinel rows out at readback
+      }
     }),
 
     // arbitrary stateful processing: gap sessionization through
@@ -1952,10 +1995,9 @@ object SparkEntry {
       // store per shuffle partition per micro-batch; this ~60k-row
       // stream fits 4. No-data micro-batches STAY enabled — event-time
       // timeouts (how every session here closes) fire in them.
-      val partsKey = "spark.sql.shuffle.partitions"
-      val prevParts = s.conf.get(partsKey)
-      s.conf.set(partsKey, "4")
-      try {
+      // plus the RocksDB/changelog provider (rocksDbStateConfs)
+      withConfs(s, rocksDbStateConfs :+
+        ("spark.sql.shuffle.partitions" -> "4"): _*) {
         val q = sessions.toDF()
           .filter(col("user_id") >= 0)
           .select(col("user_id"), col("session_start"), col("session_end"),
@@ -1975,8 +2017,8 @@ object SparkEntry {
           tbl.append(sentinel(60)); q.processAllAvailable()
           tbl.append(sentinel(120)); q.processAllAvailable()
         } finally q.stop()
-      } finally s.conf.set(partsKey, prevParts)
-      ManagedTable.forPath(s, s"$base/out").toDF
+        ManagedTable.forPath(s, s"$base/out").toDF
+      }
     }),
 
     // the NAIVE SQL formulation of a fingerprint near-dup join —

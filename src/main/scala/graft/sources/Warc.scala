@@ -81,6 +81,38 @@ object Warc {
     ()
   }
 
+  /** One gzip MEMBER (RFC 1952) from a reusable `Deflater`/`CRC32` —
+    * the per-record compressor for [[export]]'s `warc.gz` path. A fresh
+    * `GZIPOutputStream` per record would allocate (and leak until GC
+    * finalization) a native zlib Deflater each time — measured as the
+    * dominant cost of a per-record-gzip export at corpus cadence;
+    * resetting one Deflater per task keeps the native buffers hot.
+    * Wire-identical to GZIPOutputStream's output: the fixed 10-byte
+    * header (no mtime/name), raw deflate body, CRC32+ISIZE trailer.
+    */
+  private def writeGzipMember(data: Array[Byte],
+                              deflater: java.util.zip.Deflater,
+                              crc: java.util.zip.CRC32,
+                              out: java.io.OutputStream,
+                              buf: Array[Byte]): Unit = {
+    out.write(Array[Byte](0x1f, 0x8b.toByte, 8, 0, 0, 0, 0, 0, 0, 0))
+    deflater.reset()
+    deflater.setInput(data)
+    deflater.finish()
+    while (!deflater.finished()) {
+      val n = deflater.deflate(buf)
+      if (n > 0) out.write(buf, 0, n)
+    }
+    crc.reset()
+    crc.update(data)
+    def le32(v: Long): Unit = {
+      out.write((v & 0xff).toInt); out.write(((v >> 8) & 0xff).toInt)
+      out.write(((v >> 16) & 0xff).toInt); out.write(((v >> 24) & 0xff).toInt)
+    }
+    le32(crc.getValue)
+    le32(data.length.toLong & 0xffffffffL)
+  }
+
   /** Export a corpus as WARC: one file per partition (the CC sharding
     * model in reverse — partition count controls shard size), records
     * written as `resource` entries with the record id derived from the
@@ -88,7 +120,9 @@ object Warc {
     * Hadoop filesystem of `dir` (local paths in local mode, HDFS/shared
     * mounts on a cluster) and records STREAM out as the partition
     * iterator drains — one record in memory per task, never the shard.
-    * Nothing shuffles.
+    * Nothing shuffles. Per-record gzip reuses ONE native Deflater per
+    * task (see [[writeGzipMember]]) and all writes go through a 64 KiB
+    * buffer rather than hitting the filesystem stream per header line.
     */
   def export(df: DataFrame, uriCol: String, payloadCol: String, dir: String,
              gzipPerRecord: Boolean = true,
@@ -103,7 +137,14 @@ object Warc {
           val pid = org.apache.spark.TaskContext.getPartitionId()
           val path = new org.apache.hadoop.fs.Path(f"$dir/part-$pid%05d$ext")
           val fs = path.getFileSystem(hconf.value)
-          val out = fs.create(path, true)
+          val out = new java.io.BufferedOutputStream(
+            fs.create(path, true), 1 << 16)
+          val deflater = if (gzipPerRecord)
+            new java.util.zip.Deflater(
+              java.util.zip.Deflater.DEFAULT_COMPRESSION, true)
+          else null
+          val crc = new java.util.zip.CRC32()
+          val buf = new Array[Byte](1 << 16)
           try it.foreach { r =>
             val uri = r.getString(0)
             val rec = Record("resource",
@@ -112,8 +153,13 @@ object Warc {
               uri, date, contentType,
               if (r.isNullAt(1)) Array.empty[Byte]
               else r.getAs[Array[Byte]](1))
-            out.write(toBytes(Seq(rec), gzipPerRecord))
-          } finally out.close()
+            val plain = toBytes(Seq(rec), gzipPerRecord = false)
+            if (gzipPerRecord) writeGzipMember(plain, deflater, crc, out, buf)
+            else out.write(plain)
+          } finally {
+            out.close()
+            if (deflater != null) deflater.end()
+          }
         }
       }
   }

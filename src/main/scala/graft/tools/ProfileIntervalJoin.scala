@@ -21,11 +21,25 @@ object ProfileIntervalJoin {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val shufflePartitions =
       args.drop(1).headOption.getOrElse("32")
-    val spark = SparkSession.builder().master("local[32]")
+    // 3rd arg: state-store provider — "hdfs" (default), "rocksdb",
+    // or "rocksdb-changelog" (RocksDB + changelog checkpointing, which
+    // uploads per-batch deltas instead of full snapshots)
+    val provider = args.drop(2).headOption.getOrElse("hdfs")
+    val builder = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false").getOrCreate()
+      .config("spark.ui.enabled", "false")
+    if (provider.startsWith("rocksdb")) {
+      builder.config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state." +
+          "RocksDBStateStoreProvider")
+      if (provider == "rocksdb-changelog")
+        builder.config("spark.sql.streaming.stateStore.rocksdb." +
+          "changelogCheckpointing.enabled", "true")
+    }
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    System.err.println(s"[profile] provider=$provider parts=$shufflePartitions")
     spark.range(1000).selectExpr("sum(id)").collect()
 
     (1 to 2).foreach { iter =>
