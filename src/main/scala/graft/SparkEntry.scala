@@ -989,6 +989,41 @@ object SparkEntry {
       text.VocabStats.trigramModKnNll(t(s, dir, "documents"),
         "doc_id", "text")),
 
+    // FIT-ONCE / SCORE-MANY — the production CCNet serving shape (a
+    // PRETRAINED KenLM scores each snapshot; nobody re-counts the
+    // reference corpus per query): the KN count-model fits once,
+    // persists as parquet, and scoring serves from the RELOADED table —
+    // the text contributes only trigram occurrences, never re-counted.
+    // The ARPA interchange leg (the KenLM/SRILM .arpa wire format) is
+    // exercised in-query: the probability view exports, re-imports, and
+    // must round-trip BIT-exactly (Double.toString shortest-repr), the
+    // require() making a drifted serialization fail loudly rather than
+    // silently passing rows through. Scores hash-match quality_kn_nll's
+    // oracle — serving from the persisted model is count-identical.
+    "quality_kn_from_model" -> ((s, dir) => {
+      val base = "/root/repo/target/tmp/q_kn_model"
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm); f.delete(); ()
+      }
+      rm(new java.io.File(base))
+      val docs = t(s, dir, "documents")
+      text.VocabStats.fitKnModel(docs, "text")
+        .write.parquet(s"$base/model") // fit once
+      val served = s.read.parquet(s"$base/model") // score many
+      val arpa = text.Arpa.fromKnModel(served)
+      text.Arpa.write(arpa, s"$base/model.arpa")
+      val back = text.Arpa.read(s, s"$base/model.arpa")
+      // one-pass order-insensitive bit-exact compare: row hashes XOR-fold
+      def sig(d: org.apache.spark.sql.DataFrame) = d.select(
+        xxhash64(col("order"), col("ngram"),
+          col("logprob").cast("string"),
+          coalesce(col("backoff").cast("string"), lit(""))).as("__h"))
+        .agg(count(lit(1)).as("n"), expr("bit_xor(__h)").as("h")).head()
+      require(sig(arpa) == sig(back),
+        "ARPA round-trip drifted: written and re-read models differ")
+      text.VocabStats.knNllFromModel(served, docs, "doc_id", "text")
+    }),
+
     // CCNet tiering ranked by the KN trigram score — the published
     // recipe's actual scorer class driving the actual bucketing (the
     // unigram-proxy form stays as quality_ccnet_bucket)
@@ -4199,6 +4234,14 @@ object SparkEntry {
     // CAST AS DOUBLE so DuckDB never drops into DECIMAL arithmetic);
     // CTE stack shared with quality_kn_bucket via knNllCtes
     "quality_kn_nll" ->
+      s"""WITH $knNllCtes
+         |SELECT doc_id, n_trigrams, nll FROM knscored""".stripMargin,
+
+    // fit-once/score-many serves the SAME counts from the persisted
+    // model table, so the oracle is quality_kn_nll's verbatim — the
+    // query's extra legs (parquet round-trip, ARPA export/import
+    // bit-equality) are require()-asserted inside the query itself
+    "quality_kn_from_model" ->
       s"""WITH $knNllCtes
          |SELECT doc_id, n_trigrams, nll FROM knscored""".stripMargin,
 

@@ -1,0 +1,215 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** ARPA n-gram interchange (the Doug Paul / MIT-LL text format every LM
+  * toolchain speaks — KenLM, SRILM, IRSTLM read and emit it): a `\data\`
+  * header with per-order counts, then one `\N-grams:` section per order
+  * of `log10prob<TAB>w1 … wN[<TAB>log10backoff]` lines, `\end\` last.
+  * This is the interchange layer for [[VocabStats.fitKnModel]] — the
+  * fit-once/score-many split's PORTABLE leg, alongside the parquet
+  * count-model (hash-exact serving) the declared query uses.
+  *
+  * In-engine the ARPA model is a DataFrame of
+  * `(order INT, ngram STRING, logprob DOUBLE, backoff DOUBLE?)` — the
+  * row form the sections flatten to (order is recoverable from the
+  * ngram's word count, which is how [[read]] parses files without
+  * tracking section state).
+  *
+  * Probabilities serialize via `Double.toString` (the shortest string
+  * that round-trips the IEEE value), so write → read is BIT-exact —
+  * pinned by ArpaSpec. Standard ARPA conventions: a missing backoff
+  * field means backoff weight 1 (log10 = 0); the top order carries no
+  * backoff; `-99` is the customary stand-in for log10(0) entries
+  * ([[fromKnModel]] never needs it — KN continuation probabilities of
+  * entries in the model's support are positive).
+  *
+  * Scale shape: an .arpa is a MODEL artifact (type mass, not corpus
+  * mass). [[write]] streams one sorted section at a time through a
+  * single Hadoop-FS file via `toLocalIterator` — only one partition of
+  * model rows is resident at once, matching the repo's model-sized
+  * collect rule; [[read]] parses distributed (`spark.read.text`, every
+  * data line self-describing).
+  */
+object Arpa {
+
+  /** The probability VIEW of a [[VocabStats.fitKnModel]] count table,
+    * in interpolated-KN backoff form (Chen & Goodman 1999: interpolated
+    * models written as ARPA store the INTERPOLATED probability on each
+    * entry and the discount mass as the context's backoff weight):
+    *
+    *  - 3-grams: every model row, p(w3|w1w2) — the full interpolated
+    *    trigram probability (what self-scoring folds).
+    *  - 2-grams: every distinct (w2,w3), p(w3|w2) — the interpolated
+    *    middle order; backoff γ(w2,w3) = d·N1+(w2w3·)/c(w2w3) attached
+    *    where the pair also occurs as a trigram HISTORY (absent pairs
+    *    back off with weight 1, the ARPA missing-field rule).
+    *  - 1-grams: every distinct w3, p(w) = N1+(·w)/N1+(··); backoff
+    *    γ(w) = d·N1+(w·)/N1+(·w·) attached where the word occurs as a
+    *    bigram context.
+    *
+    * Support is the trigram model's own: words/pairs that never occur
+    * inside a trigram are not entries (the model never scores them).
+    */
+  def fromKnModel(model: DataFrame, discount: Double = 0.75): DataFrame = {
+    require(discount > 0.0 && discount < 1.0,
+      s"need 0 < discount < 1, got $discount")
+    val d = lit(discount)
+    val log10e = lit(1.0 / math.log(10.0)) // ln → log10
+    def l10(p: org.apache.spark.sql.Column) = log(p) * log10e
+
+    val uniP = l10(col("cc1") / col("b")).as("logprob")
+    val pmid =
+      greatest(col("cc2") - d, lit(0.0)) / col("nmid") +
+        d * col("n2f") / col("nmid") * (col("cc1") / col("b"))
+    val ptri =
+      greatest(col("c3") - d, lit(0.0)) / col("ch") +
+        d * col("n3f") / col("ch") * pmid
+
+    // per-word and per-pair slices of the model (type mass throughout)
+    val uni = model.select(col("w3"), col("cc1"), col("b")).distinct()
+      .select(lit(1).as("order"), col("w3").as("ngram"), uniP)
+    // backoff of the unigram CONTEXT w: γ(w) = d·n2f(w)/nmid(w)
+    val uniBo = model.select(col("w2").as("ngram"),
+        (l10(d * col("n2f") / col("nmid"))).as("backoff")).distinct()
+    val bi = model.select(col("w2"), col("w3"), col("cc2"), col("nmid"),
+        col("n2f"), col("cc1"), col("b")).distinct()
+      .select(lit(2).as("order"),
+        concat_ws(" ", col("w2"), col("w3")).as("ngram"),
+        l10(pmid).as("logprob"))
+    // backoff of the bigram CONTEXT (w1,w2): γ = d·n3f/ch
+    val biBo = model.select(
+        concat_ws(" ", col("w1"), col("w2")).as("ngram"),
+        l10(d * col("n3f") / col("ch")).as("backoff")).distinct()
+    val tri = model.select(lit(3).as("order"),
+      concat_ws(" ", col("w1"), col("w2"), col("w3")).as("ngram"),
+      l10(ptri).as("logprob"))
+
+    uni.join(uniBo, Seq("ngram"), "left")
+      .select(col("order"), col("ngram"), col("logprob"), col("backoff"))
+      .unionByName(bi.join(biBo, Seq("ngram"), "left")
+        .select(col("order"), col("ngram"), col("logprob"), col("backoff")))
+      .unionByName(tri.withColumn("backoff",
+        lit(null).cast("double")))
+  }
+
+  /** Write the `(order, ngram, logprob, backoff)` frame as one `.arpa`
+    * file (ngram-sorted sections for determinism). Model-sized driver
+    * streaming — see the object doc.
+    */
+  def write(arpa: DataFrame, path: String): Unit = {
+    val spark = arpa.sparkSession
+    val counts = arpa.groupBy("order").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val orders = counts.keys.toSeq.sorted
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
+      fs.create(p, true), java.nio.charset.StandardCharsets.UTF_8), 1 << 16)
+    try {
+      out.write("\\data\\\n")
+      orders.foreach(o => out.write(s"ngram $o=${counts(o)}\n"))
+      orders.foreach { o =>
+        out.write(s"\n\\$o-grams:\n")
+        val it = arpa.filter(col("order") === o)
+          .select("logprob", "ngram", "backoff")
+          .orderBy("ngram").toLocalIterator()
+        while (it.hasNext) {
+          val r = it.next()
+          out.write(r.getDouble(0).toString)
+          out.write('\t')
+          out.write(r.getString(1))
+          if (!r.isNullAt(2)) { out.write('\t'); out.write(r.getDouble(2).toString) }
+          out.write('\n')
+        }
+      }
+      out.write("\n\\end\\\n")
+    } finally out.close()
+  }
+
+  /** Read an `.arpa` back to the `(order, ngram, logprob, backoff)`
+    * frame. Distributed: every data line is self-describing
+    * (`float<TAB>words[<TAB>float]` — the order is the ngram's word
+    * count), so no section-state tracking is needed and the text source
+    * parallelizes freely. Header (`ngram N=...`), section markers, and
+    * blank lines filter out structurally.
+    */
+  def read(spark: SparkSession, path: String): DataFrame = {
+    val lines = spark.read.text(path)
+    lines
+      .filter(col("value").contains("\t"))
+      .select(split(col("value"), "\t").as("f"))
+      .select(
+        size(split(element_at(col("f"), 2), " ")).as("order"),
+        element_at(col("f"), 2).as("ngram"),
+        element_at(col("f"), 1).cast("double").as("logprob"),
+        when(size(col("f")) >= 3, element_at(col("f"), 3).cast("double"))
+          .as("backoff"))
+  }
+
+  /** Score documents' trigrams against an ARPA model with the FULL
+    * backoff chain (what a KenLM consumer does for text the model has
+    * never seen): p(w3|w1w2) = 3-gram entry if present, else
+    * backoff(w1w2)·p(w3|w2), p(w3|w2) = 2-gram entry else
+    * backoff(w2)·p(w3), missing contexts backing off with weight 1;
+    * trigrams whose w3 is out of vocabulary score `floorLog10` (the
+    * ARPA `-99` convention). Output matches [[VocabStats.trigramKnNll]]
+    * shape: (idCol, n_trigrams, nll) with nll = −mean ln p rounded to 4.
+    *
+    * Scale shape: three broadcast-or-hash joins of the doc trigram
+    * stream against model-sized slices — the model never shuffles at
+    * corpus mass, the text is never re-counted.
+    */
+  def nll(arpa: DataFrame, df: DataFrame, idCol: String, textCol: String,
+          floorLog10: Double = -99.0): DataFrame = {
+    val ws = df.select(col(idCol),
+      filter(split(lower(col(textCol)), "\\s+"), w => length(w) > 0)
+        .as("__ws"))
+    val tg = ws.select(col(idCol), explode(transform(
+        slice(col("__ws"), lit(1), greatest(size(col("__ws")) - 2, lit(0))),
+        (w, i) => struct(w.as("w1"),
+          element_at(col("__ws"), i + 2).as("w2"),
+          element_at(col("__ws"), i + 3).as("w3")))).as("__t"))
+      .select(col(idCol), col("__t.w1").as("__w1"),
+        col("__t.w2").as("__w2"), col("__t.w3").as("__w3"))
+    val tri = arpa.filter(col("order") === 3).select(
+      split(col("ngram"), " ").as("__p"), col("logprob").as("__lp3"))
+      .select(element_at(col("__p"), 1).as("__w1"),
+        element_at(col("__p"), 2).as("__w2"),
+        element_at(col("__p"), 3).as("__w3"), col("__lp3"))
+    val bi = arpa.filter(col("order") === 2).select(
+      split(col("ngram"), " ").as("__p"), col("logprob").as("__lp2"),
+      col("backoff").as("__bo2"))
+      .select(element_at(col("__p"), 1).as("__u1"),
+        element_at(col("__p"), 2).as("__u2"), col("__lp2"), col("__bo2"))
+    val uni = arpa.filter(col("order") === 1).select(
+      col("ngram").as("__v"), col("logprob").as("__lp1"),
+      col("backoff").as("__bo1"))
+
+    val joined = tg
+      .join(tri, Seq("__w1", "__w2", "__w3"), "left")
+      // the (w2,w3) bigram entry + the (w1,w2) context's backoff
+      .join(bi.select(col("__u1").as("__w2"), col("__u2").as("__w3"),
+        col("__lp2")), Seq("__w2", "__w3"), "left")
+      .join(bi.select(col("__u1").as("__w1"), col("__u2").as("__w2"),
+        col("__bo2").as("__boCtx")), Seq("__w1", "__w2"), "left")
+      // the w3 unigram + the w2 unigram's backoff
+      .join(uni.select(col("__v").as("__w3"), col("__lp1")),
+        Seq("__w3"), "left")
+      .join(uni.select(col("__v").as("__w2"), col("__bo1").as("__boW2")),
+        Seq("__w2"), "left")
+    val lp2Chain = coalesce(col("__lp2"),
+      coalesce(col("__boW2"), lit(0.0)) + col("__lp1"))
+    val lp = coalesce(col("__lp3"),
+      coalesce(col("__boCtx"), lit(0.0)) + lp2Chain, lit(floorLog10))
+    val ln10 = math.log(10.0)
+    val scored = joined
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_trigrams"),
+        round(-sum(lp * lit(ln10)) / count(lit(1)), 4).as("nll"))
+    df.select(col(idCol)).join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_trigrams"), lit(0L)).as("n_trigrams"), col("nll"))
+  }
+}

@@ -247,10 +247,16 @@ object VocabStats {
     * corpus-sized reaches the driver.
     */
   def trigramKnNll(df: DataFrame, idCol: String, textCol: String,
-                   discount: Double = 0.75): DataFrame = {
-    require(discount > 0.0 && discount < 1.0,
-      s"need 0 < discount < 1, got $discount")
-    val d = lit(discount)
+                   discount: Double = 0.75): DataFrame =
+    knNllFromModel(fitKnModel(df, textCol), df, idCol, textCol, discount)
+
+  /** The words → positional-transform bigram/trigram extraction shared
+    * by [[fitKnModel]] and [[knNllFromModel]] (no positional
+    * self-joins — each n-gram is built inside one `transform` over the
+    * words array).
+    */
+  private def knGrams(df: DataFrame, idCol: String, textCol: String)
+      : (DataFrame, DataFrame) = {
     val ws = df.select(col(idCol), words(col(textCol)).as("__ws"))
     val bg = ws.select(col(idCol), explode(transform(
         slice(col("__ws"), lit(1), greatest(size(col("__ws")) - 1, lit(0))),
@@ -264,7 +270,31 @@ object VocabStats {
           element_at(col("__ws"), i + 3).as("w3")))).as("__tg"))
       .select(col(idCol), col("__tg.w1").as("__w1"),
         col("__tg.w2").as("__w2"), col("__tg.w3").as("__w3"))
+    (bg, tg)
+  }
 
+  /** FIT the interpolated-KN trigram model ONCE as a persistable table —
+    * the fit-once/score-many split the production CCNet shape needs (a
+    * PRETRAINED KenLM scores each crawl snapshot; nobody re-counts the
+    * reference corpus per query). One row per corpus trigram type
+    * carrying every count the scorer folds — (w1, w2, w3, c3, ch, n3f,
+    * cc2, nmid, n2f, cc1) — plus the one corpus scalar `b` (= N1+(··))
+    * as a constant column, so the model round-trips a single parquet
+    * write/read (the `search_bm25_indexed` pattern). COUNTS, not
+    * probabilities: [[knNllFromModel]] folds the identical IEEE
+    * expression tree from the integers whether the model was just fit
+    * or read back from disk, so serving from the persisted model is
+    * hash-identical to the one-shot [[trigramKnNll]]. The probability
+    * VIEW of the same model (for interchange with KenLM/SRILM
+    * toolchains) is [[Arpa.fromKnModel]].
+    *
+    * Scale shape: everything here is TYPE mass (trigram/bigram type
+    * tables and their group-bys); the token-mass n-gram streams reduce
+    * map-side into the type tables and nothing corpus-sized survives.
+    */
+  def fitKnModel(df: DataFrame, textCol: String): DataFrame = {
+    val idCol = "__kn_id"
+    val (bg, tg) = knGrams(df.withColumn(idCol, lit(0L)), idCol, textCol)
     // token-mass counts
     val bcnt = bg.groupBy(col("__w1"), col("__w2"))
       .agg(count(lit(1)).as("__ch")) // c(w1 w2) as trigram history
@@ -284,21 +314,49 @@ object VocabStats {
     val btot = bcnt.agg(count(lit(1)).as("__b")) // N1+(··)
 
     // the model: every aux joined at TYPE mass onto the trigram table
-    val model = tcnt
+    tcnt
       .join(bcnt, Seq("__w1", "__w2"))
       .join(n3f, Seq("__w1", "__w2"))
       .join(cc2, Seq("__w2", "__w3"))
       .join(auxMid, Seq("__w2"))
       .join(cc1, Seq("__w3"))
+      .crossJoin(broadcast(btot))
+      .select(col("__w1").as("w1"), col("__w2").as("w2"),
+        col("__w3").as("w3"), col("__c3").as("c3"), col("__ch").as("ch"),
+        col("__n3f").as("n3f"), col("__cc2").as("cc2"),
+        col("__nmid").as("nmid"), col("__n2f").as("n2f"),
+        col("__cc1").as("cc1"), col("__b").as("b"))
+  }
 
+  /** SCORE documents from a fitted (possibly persisted-and-reloaded)
+    * [[fitKnModel]] table: the text contributes only its trigram
+    * OCCURRENCES (one positional transform — never re-counted); every
+    * count folds out of the model via the single token-mass hash join.
+    * Trigrams absent from the model are dropped from the fold (and from
+    * `n_trigrams`) — self-scoring never hits that branch; scoring NEW
+    * text against a frozen model skips unseen trigrams, the documented
+    * serving semantic (a full backoff evaluation for unseen n-grams is
+    * the ARPA consumers' path).
+    */
+  def knNllFromModel(model: DataFrame, df: DataFrame, idCol: String,
+                     textCol: String,
+                     discount: Double = 0.75): DataFrame = {
+    require(discount > 0.0 && discount < 1.0,
+      s"need 0 < discount < 1, got $discount")
+    val d = lit(discount)
+    val (_, tg) = knGrams(df, idCol, textCol)
+    val m = model.select(col("w1").as("__w1"), col("w2").as("__w2"),
+      col("w3").as("__w3"), col("c3").as("__c3"), col("ch").as("__ch"),
+      col("n3f").as("__n3f"), col("cc2").as("__cc2"),
+      col("nmid").as("__nmid"), col("n2f").as("__n2f"),
+      col("cc1").as("__cc1"), col("b").as("__b"))
     val scored = tg
-      .join(model, Seq("__w1", "__w2", "__w3")) // the one token-mass join
+      .join(m, Seq("__w1", "__w2", "__w3")) // the one token-mass join
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_trigrams"),
+      .agg(count(lit(1)).as("n_trigrams"), first(col("__b")).as("__b"),
         sort_array(collect_list(struct(
           col("__c3"), col("__ch"), col("__n3f"), col("__cc2"),
           col("__nmid"), col("__n2f"), col("__cc1")))).as("__ts"))
-      .crossJoin(broadcast(btot))
       .select(col(idCol), col("n_trigrams"),
         round(-aggregate(col("__ts"), lit(0.0), (a, x) => {
           val puni = x.getField("__cc1") / col("__b")
@@ -502,32 +560,61 @@ object VocabStats {
         col("bucket").cast("long").as("bucket"))
   }
 
-  /** [[nllBuckets]]'s scale path: tier boundaries come from a
-    * per-language `percentile_approx` sketch (map-side partial
-    * aggregation — no per-language window task, so a language holding
-    * most of a 100 TB corpus cannot serialize the pass) and rows bucket
-    * by comparing against the broadcast boundaries. Tier sizes are
-    * approximate at the boundary (sketch accuracy), which is exactly
-    * how CCNet computes its tiers; the exact-ntile form remains for
-    * oracle-exact verification at test scale.
+  /** The WINDOW-FREE tier pass over ANY scored frame — the scale core
+    * shared by [[nllBucketsApprox]] and [[knBucketsApprox]]: tier
+    * boundaries come from a per-language `percentile_approx` sketch
+    * (map-side partial aggregation — no per-language window task, so a
+    * language holding most of a 100 TB corpus cannot serialize the
+    * pass) and rows bucket by comparing against the broadcast
+    * boundaries. Tier sizes are approximate at the boundary (sketch
+    * accuracy), which is exactly how CCNet computes its tiers; the
+    * exact-ntile forms remain for oracle-exact verification at test
+    * scale. NULL scores (documents too short for the scorer) land in
+    * the LAST tier — [[knBuckets]]'s conservative nulls-last rule.
+    */
+  def bucketsBySketch(scored: DataFrame, langCol: String,
+                      scoreCol: String, buckets: Int = 3,
+                      accuracy: Int = 10000): DataFrame = {
+    require(buckets >= 2, s"need >= 2 buckets, got $buckets")
+    val probs = (1 until buckets).map(_.toDouble / buckets)
+    val bounds = scored.groupBy(col(langCol)).agg(
+      percentile_approx(col(scoreCol),
+        array(probs.map(lit): _*), lit(accuracy)).as("__bnd"))
+    scored.join(broadcast(bounds), Seq(langCol))
+      .withColumn("bucket",
+        when(col(scoreCol).isNull, lit(buckets.toLong)).otherwise(
+          lit(1L) + aggregate(col("__bnd"), lit(0L),
+            (acc, b) => acc + when(col(scoreCol) > b, 1L).otherwise(0L))))
+      .drop("__bnd")
+  }
+
+  /** [[nllBuckets]]'s scale path — [[bucketsBySketch]] over the unigram
+    * score.
     */
   def nllBucketsApprox(df: DataFrame, idCol: String, textCol: String,
                        langCol: String, buckets: Int = 3,
                        accuracy: Int = 10000,
                        vocabOf: Option[DataFrame] = None): DataFrame = {
-    require(buckets >= 2, s"need >= 2 buckets, got $buckets")
     val scored = unigramNll(df, idCol, textCol, vocabOf)
       .join(df.select(col(idCol), col(langCol)), Seq(idCol))
-    val probs = (1 until buckets).map(_.toDouble / buckets)
-    val bounds = scored.groupBy(col(langCol)).agg(
-      percentile_approx(col("nll"),
-        array(probs.map(lit): _*), lit(accuracy)).as("__bnd"))
-    scored.join(broadcast(bounds), Seq(langCol))
-      .withColumn("bucket",
-        (lit(1L) + aggregate(col("__bnd"), lit(0L),
-          (acc, b) => acc + when(col("nll") > b, 1L).otherwise(0L)))
-          .as("bucket"))
+    bucketsBySketch(scored, langCol, "nll", buckets, accuracy)
       .select(col(idCol), col(langCol), col("n_words"), col("nll"),
+        col("bucket"))
+  }
+
+  /** [[knBuckets]]'s scale path — [[bucketsBySketch]] over the KN
+    * trigram score, so the CCNet-style KN tier pass has a window-free
+    * form too (the exact ntile serializes each language onto one task;
+    * the sketch keeps a hot language fully parallel).
+    */
+  def knBucketsApprox(df: DataFrame, idCol: String, textCol: String,
+                      langCol: String, buckets: Int = 3,
+                      discount: Double = 0.75,
+                      accuracy: Int = 10000): DataFrame = {
+    val scored = trigramKnNll(df, idCol, textCol, discount)
+      .join(df.select(col(idCol), col(langCol)), Seq(idCol))
+    bucketsBySketch(scored, langCol, "nll", buckets, accuracy)
+      .select(col(idCol), col(langCol), col("n_trigrams"), col("nll"),
         col("bucket"))
   }
 

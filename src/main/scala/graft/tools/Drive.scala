@@ -1136,6 +1136,35 @@ object Drive {
     println(s"[92] LM ladder top: modified-KN avg nll $mknAgg vs " +
       s"single-D KN $knAgg2")
 
+    // fit-once/score-many: the persisted KN model serves scores that
+    // equal the one-shot computation; the ARPA leg round-trips
+    val knmBase = scratch("kn_model")
+    graft.text.VocabStats.fitKnModel(docs, "text")
+      .write.parquet(s"$knmBase/model")
+    val knServed = spark.read.parquet(s"$knmBase/model")
+    val knFromModel = graft.text.VocabStats.knNllFromModel(
+      knServed, docs, "doc_id", "text")
+      .agg(round(avg("nll"), 3)).head().getDouble(0)
+    graft.text.Arpa.write(graft.text.Arpa.fromKnModel(knServed),
+      s"$knmBase/model.arpa")
+    val arpaRows = graft.text.Arpa.read(spark, s"$knmBase/model.arpa")
+    val arpaNll = graft.text.Arpa.nll(arpaRows, docs, "doc_id", "text")
+      .agg(round(avg("nll"), 3)).head().getDouble(0)
+    println(s"[93] KN serving: persisted-model avg nll $knFromModel " +
+      s"(one-shot $knAgg2); .arpa has ${arpaRows.count()} entries, " +
+      s"backoff-chain scorer avg nll $arpaNll")
+
+    // window-free KN tier pass tracks the exact ntile tiers
+    val knbExact = graft.text.VocabStats.knBuckets(
+      docs, "doc_id", "text", "lang").select("doc_id", "bucket")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val knbApprox = graft.text.VocabStats.knBucketsApprox(
+      docs, "doc_id", "text", "lang").select("doc_id", "bucket")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val knbAgree = knbExact.count { case (id, b) => knbApprox(id) == b }
+    println(s"[94] KN tier sketch path: $knbAgree of ${knbExact.size} " +
+      "docs agree with the exact ntile tiers")
+
     // mojibake repair round-trips the corpus through a Latin-1 mangle
     val mjN = docs.select(graft.plans.expressions.fix_mojibake(
         decode(encode(col("text"), "UTF-8"), "ISO-8859-1")).as("f"),

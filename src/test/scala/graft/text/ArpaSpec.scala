@@ -1,0 +1,127 @@
+package graft.text
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class ArpaSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(name: String): String = {
+    val dir = new java.io.File(s"target/tmp/arpa_spec/$name")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm); f.delete(); ()
+    }
+    rm(dir); dir.getParentFile.mkdirs()
+    dir.getPath
+  }
+
+  private lazy val docs =
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+  private lazy val model = VocabStats.fitKnModel(docs, "text")
+
+  test("write -> read round-trips the probability model BIT-exactly " +
+       "(Double.toString shortest-repr) including missing backoffs") {
+    val arpa = Arpa.fromKnModel(model)
+    val path = tmp("roundtrip") + "/m.arpa"
+    Arpa.write(arpa, path)
+    val back = Arpa.read(spark, path)
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.select("order", "ngram", "logprob", "backoff")
+        .collect().map(r => (r.getInt(0), r.getString(1), r.getDouble(2),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+        .sortBy(t => (t._1, t._2)).toSeq
+    assert(rows(back) == rows(arpa))
+    // the \data\ header's counts match the sections
+    val text = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(path)), "UTF-8")
+    val counts = arpa.groupBy("order").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    counts.foreach { case (o, n) =>
+      assert(text.contains(s"ngram $o=$n"), s"header must carry order $o")
+    }
+    assert(text.startsWith("\\data\\\n") && text.endsWith("\\end\\\n"))
+  }
+
+  test("self-scoring through the ARPA file matches trigramKnNll (every " +
+       "corpus trigram is an entry, so the backoff chain never fires)") {
+    val path = tmp("selfscore") + "/m.arpa"
+    Arpa.write(Arpa.fromKnModel(model), path)
+    val viaArpa = Arpa.nll(Arpa.read(spark, path), docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+      .toMap
+    val direct = VocabStats.trigramKnNll(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+      .toMap
+    assert(viaArpa.keySet == direct.keySet)
+    direct.foreach { case (id, (n, nll)) =>
+      val (na, nlla) = viaArpa(id)
+      assert(na == n, s"doc $id trigram count")
+      (nll, nlla) match {
+        case (Some(x), Some(y)) =>
+          // same probabilities; only the fold association differs
+          // (sorted ln fold vs sum of log10), absorbed well inside 4dp
+          assert(math.abs(x - y) <= 2e-4, s"doc $id: direct $x arpa $y")
+        case (a, b) => assert(a == b, s"doc $id nullability")
+      }
+    }
+  }
+
+  test("backoff chain on UNSEEN text: missing trigram backs off through " +
+       "the (w1,w2) weight; OOV continuation hits the -99 floor") {
+    // tiny corpus with full trigram coverage of 'a b c a b d'
+    val corpus = Seq((1L, "a b c a b d")).toDF("doc_id", "text")
+    val m = VocabStats.fitKnModel(corpus, "text")
+    val arpa = Arpa.fromKnModel(m).cache()
+    def entry(o: Int, g: String): (Double, Option[Double]) = {
+      val r = arpa.filter(col("order") === o && col("ngram") === g)
+        .select("logprob", "backoff").head()
+      (r.getDouble(0), if (r.isNullAt(1)) None else Some(r.getDouble(1)))
+    }
+    val ln10 = math.log(10.0)
+    def score(text: String): Double =
+      Arpa.nll(arpa, Seq((1L, text)).toDF("doc_id", "text"),
+        "doc_id", "text").head().getDouble(2)
+    // seen trigram: exact entry
+    val (lpAbc, _) = entry(3, "a b c")
+    assert(math.abs(score("a b c") - (-lpAbc * ln10)) <= 1e-4)
+    // unseen trigram (c a d): backoff(c a) + p(a d -> 'd'|'a')... the
+    // bigram (a d) IS an entry ('a b d' ends with d after b — check the
+    // actual support first)
+    val biAd = arpa.filter(col("order") === 2 && col("ngram") === "a d")
+    assert(biAd.isEmpty, "a d never occurs as a trigram continuation")
+    // unseen trigram whose bigram IS in support: (c, a, b): seen. Use
+    // (b, a, b): backoff(b a) missing -> weight 1; bigram (a b) entry
+    val (lpAb, _) = entry(2, "a b")
+    assert(math.abs(score("b a b") - (-lpAb * ln10)) <= 1e-4,
+      "missing (b,a) context backs off with weight 1 to the (a,b) entry")
+    // OOV continuation: 'a b z' -> floor
+    assert(math.abs(score("a b z") - (99.0 * ln10)) <= 1e-4)
+    // present context backoff actually applies: (a b) has a backoff
+    // weight (it is a trigram history); trigram (x a b) missing ->
+    // chain = bo(?) ... context (x a) missing -> weight 1 -> bigram
+    // (a b). Same value as above but through the x-prefixed path
+    assert(math.abs(score("x a b") - (-lpAb * ln10)) <= 1e-4)
+    arpa.unpersist()
+    ()
+  }
+
+  test("read tolerates a hand-written KenLM-style file (headers, blank " +
+       "lines, no trailing backoffs on the top order)") {
+    val dir = tmp("handwritten")
+    val path = s"$dir/hand.arpa"
+    new java.io.File(dir).mkdirs()
+    java.nio.file.Files.write(java.nio.file.Paths.get(path),
+      ("\\data\\\nngram 1=2\nngram 2=1\n\n\\1-grams:\n" +
+        "-0.30103\tthe\t-0.25\n-1.0\tcat\n\n\\2-grams:\n" +
+        "-0.5\tthe cat\n\n\\end\\\n").getBytes("UTF-8"))
+    val back = Arpa.read(spark, path).orderBy("order", "ngram")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getDouble(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toSeq
+    assert(back == Seq(
+      (1, "cat", -1.0, None),
+      (1, "the", -0.30103, Some(-0.25)),
+      (2, "the cat", -0.5, None)))
+  }
+}

@@ -357,4 +357,28 @@ class VocabStatsSpec extends SparkSpec {
     assert(!plan.contains("WindowExec") && !plan.contains("RunningWindow"),
       "the scale path must not contain a window operator")
   }
+
+  test("knBucketsApprox (the KN tier pass's window-free scale path) " +
+       "agrees >=90% with the exact ntile tiers and plans no window") {
+    import spark.implicits._
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val exact = VocabStats.knBuckets(docs, "doc_id", "text", "lang", 3)
+      .select("doc_id", "bucket").as[(Long, Long)].collect().toMap
+    val approxDf = VocabStats.knBucketsApprox(docs, "doc_id", "text",
+      "lang", 3)
+    val approx = approxDf.select("doc_id", "bucket").as[(Long, Long)]
+      .collect().toMap
+    assert(approx.keySet == exact.keySet)
+    val agree = exact.count { case (id, b) => approx(id) == b }
+    assert(agree >= (exact.size * 0.9).toInt,
+      s"sketch KN tiers must track exact tiers: $agree of ${exact.size}")
+    // unscoreable docs (null nll) land in the LAST tier, like the exact
+    // form's nulls-last rule
+    approxDf.filter(col("nll").isNull).select("bucket").as[Long]
+      .collect().foreach(b => assert(b == 3L))
+    val plan = approxDf.queryExecution.executedPlan.toString
+    assert(!plan.contains("WindowExec") && !plan.contains("RunningWindow"),
+      "the KN scale path must not contain a window operator")
+  }
 }
