@@ -989,6 +989,15 @@ object SparkEntry {
       text.VocabStats.trigramModKnNll(t(s, dir, "documents"),
         "doc_id", "text")),
 
+    // the published CCNet ORDER: Wenzek 2020's KenLM is a 5-GRAM
+    // modified-KN — the same generic type-table recursion as
+    // quality_mkn_nll (order is a parameter; the order-3 instance is
+    // pinned by that query's hand-written oracle), scored here at the
+    // paper's order with per-level count-of-count discounts
+    "quality_mkn5_nll" -> ((s, dir) =>
+      text.VocabStats.ngramModKnNll(t(s, dir, "documents"),
+        "doc_id", "text", order = 5)),
+
     // FIT-ONCE / SCORE-MANY — the production CCNet serving shape (a
     // PRETRAINED KenLM scores each snapshot; nobody re-counts the
     // reference corpus per query): the KN count-model fits once,
@@ -3063,6 +3072,155 @@ object SparkEntry {
       |    CAST(coalesce(sc.n_trigrams, 0) AS BIGINT) AS n_trigrams, sc.nll
       |  FROM kws w LEFT JOIN kscored sc ON w.doc_id = sc.doc_id)""".stripMargin
 
+  /** DuckDB replay of [[text.VocabStats.ngramModKnNll]] at `order` —
+    * GENERATED with the same loops that build the Spark plan, so the
+    * two stay structurally locked: the same type-table recursion
+    * (continuation counts per middle level from the raw (k+1)-gram type
+    * table), the same per-order count-of-count discount expressions
+    * with the same soundness fallback, the same
+    * (5·(order−1)+1)-field struct sort, and the same nested fold
+    * association. The order-3 instance of this recursion is pinned by
+    * the hand-written quality_mkn_nll oracle matching the same generic
+    * Scala path.
+    */
+  private def mknOracleSql(order: Int): String = {
+    val n = order
+    val sb = new StringBuilder
+    sb ++= s"""WITH x5ws AS (
+      |  SELECT doc_id,
+      |    list_filter(regexp_split_to_array(lower(text), '\\s+'),
+      |                w -> len(w) > 0) AS ws
+      |  FROM documents),\n""".stripMargin
+    // k-gram occurrence streams + type tables
+    for (k <- 2 to n) {
+      val cols = (1 to k).map(j => s"ws[i + ${j - 1}] AS w$j").mkString(", ")
+      val names = (1 to k).map("w" + _).mkString(", ")
+      sb ++= s"""xg$k AS (
+        |  SELECT doc_id, $cols FROM (
+        |    SELECT doc_id, ws,
+        |      unnest(generate_series(1, greatest(len(ws) - ${k - 1}, 0))) AS i
+        |    FROM x5ws)),
+        |xq$k AS (SELECT $names, count(*) AS c FROM xg$k GROUP BY $names),\n""".stripMargin
+    }
+    val histNames = (1 until n).map("w" + _).mkString(", ")
+    sb ++= s"""xhist AS (SELECT $histNames, c AS ch FROM xq${n - 1}),
+      |xtbkt AS (
+      |  SELECT $histNames,
+      |    count(*) FILTER (WHERE c = 1) AS n1h,
+      |    count(*) FILTER (WHERE c = 2) AS n2h,
+      |    count(*) FILTER (WHERE c >= 3) AS n3h
+      |  FROM xq$n GROUP BY $histNames),\n""".stripMargin
+    // middle levels: G_{k+1} column j is N-gram position n-k-1+j
+    def pos(k: Int, j: Int): String = s"w${n - k - 1 + j}"
+    for (k <- (n - 1) to 2 by -1) {
+      val contSel = (2 to k + 1).map(j => s"w$j AS ${pos(k, j)}").mkString(", ")
+      val contGrp = (2 to k + 1).map("w" + _).mkString(", ")
+      val ctxNames = (2 to k).map(pos(k, _)).mkString(", ")
+      sb ++= s"""xc$k AS (SELECT $contSel, count(*) AS cc$k
+        |  FROM xq${k + 1} GROUP BY $contGrp),
+        |xd$k AS (SELECT ${(2 to k).map(j => s"w$j AS ${pos(k, j)}").mkString(", ")},
+        |    count(*) AS den$k
+        |  FROM xq${k + 1} GROUP BY ${(2 to k).map("w" + _).mkString(", ")}),
+        |xm$k AS (
+        |  SELECT $ctxNames,
+        |    count(*) FILTER (WHERE cc$k = 1) AS m${k}1,
+        |    count(*) FILTER (WHERE cc$k = 2) AS m${k}2,
+        |    count(*) FILTER (WHERE cc$k >= 3) AS m${k}3
+        |  FROM xc$k GROUP BY $ctxNames),\n""".stripMargin
+    }
+    sb ++= s"""xcc1 AS (SELECT w2 AS w$n, count(*) AS cc1 FROM xq2 GROUP BY w2),
+      |xbtot AS (SELECT count(*) AS b FROM xq2),\n""".stripMargin
+    // per-level count-of-count stats + staged discount CTEs (the
+    // hand-written trigram oracle's dsc0/dsc1/dsc per level)
+    for (k <- n to 2 by -1) {
+      val (src, ccol) = if (k == n) (s"xq$n", "c") else (s"xc$k", s"cc$k")
+      sb ++= s"""xst$k AS (
+        |  SELECT count(*) FILTER (WHERE $ccol = 1) AS a1,
+        |         count(*) FILTER (WHERE $ccol = 2) AS a2,
+        |         count(*) FILTER (WHERE $ccol = 3) AS a3,
+        |         count(*) FILTER (WHERE $ccol = 4) AS a4
+        |  FROM $src),
+        |xdl${k}0 AS (
+        |  SELECT a1, a2, a3, a4,
+        |    a1 > 0 AND a2 > 0 AND a3 > 0 AND a4 > 0 AS ok,
+        |    CASE WHEN a1 > 0 THEN a1 / (a1 + 2 * a2)
+        |         ELSE CAST(0 AS DOUBLE) END AS y
+        |  FROM xst$k),
+        |xdl${k}1 AS (
+        |  SELECT ok,
+        |    CASE WHEN ok THEN
+        |      CAST(1 AS DOUBLE) - CAST(2 AS DOUBLE) * y * a2 / a1
+        |      ELSE CAST(0.75 AS DOUBLE) END AS r1,
+        |    CASE WHEN ok THEN
+        |      CAST(2 AS DOUBLE) - CAST(3 AS DOUBLE) * y * a3 / a2
+        |      ELSE CAST(0.75 AS DOUBLE) END AS r2,
+        |    CASE WHEN ok THEN
+        |      CAST(3 AS DOUBLE) - CAST(4 AS DOUBLE) * y * a4 / a3
+        |      ELSE CAST(0.75 AS DOUBLE) END AS r3
+        |  FROM xdl${k}0),
+        |xdl$k AS (
+        |  SELECT
+        |    CASE WHEN ok AND r1 >= 0 AND r1 <= 1 AND r2 >= 0 AND r2 <= 2
+        |          AND r3 >= 0 AND r3 <= 3
+        |         THEN r1 ELSE CAST(0.75 AS DOUBLE) END AS d${k}1,
+        |    CASE WHEN ok AND r1 >= 0 AND r1 <= 1 AND r2 >= 0 AND r2 <= 2
+        |          AND r3 >= 0 AND r3 <= 3
+        |         THEN r2 ELSE CAST(0.75 AS DOUBLE) END AS d${k}2,
+        |    CASE WHEN ok AND r1 >= 0 AND r1 <= 1 AND r2 >= 0 AND r2 <= 2
+        |          AND r3 >= 0 AND r3 <= 3
+        |         THEN r3 ELSE CAST(0.75 AS DOUBLE) END AS d${k}3
+        |  FROM xdl${k}1),\n""".stripMargin
+    }
+    // terms: the one token-mass join, struct fields in fold-sort order
+    val structFields = (Seq("'c': q.c", "'ch': xhist.ch",
+      "'n1h': xtbkt.n1h", "'n2h': xtbkt.n2h", "'n3h': xtbkt.n3h") ++
+      ((n - 1) to 2 by -1).flatMap(k => Seq(
+        s"'cc$k': xc$k.cc$k", s"'den$k': xd$k.den$k",
+        s"'m${k}1': xm$k.m${k}1", s"'m${k}2': xm$k.m${k}2",
+        s"'m${k}3': xm$k.m${k}3")) :+
+      "'cc1': xcc1.cc1").mkString(",\n        ")
+    val midJoins = ((n - 1) to 2 by -1).map { k =>
+      s"""  JOIN xc$k USING (${(2 to k + 1).map(pos(k, _)).mkString(", ")})
+         |  JOIN xd$k USING (${(2 to k).map(pos(k, _)).mkString(", ")})
+         |  JOIN xm$k USING (${(2 to k).map(pos(k, _)).mkString(", ")})""".stripMargin
+    }.mkString("\n")
+    sb ++= s"""xterms AS (
+      |  SELECT g.doc_id,
+      |    {$structFields} AS trm
+      |  FROM xg$n g
+      |  JOIN xq$n q USING (${(1 to n).map("w" + _).mkString(", ")})
+      |  JOIN xhist USING ($histNames)
+      |  JOIN xtbkt USING ($histNames)
+      |$midJoins
+      |  JOIN xcc1 USING (w$n)),
+      |xkd AS (
+      |  SELECT doc_id, count(*) AS n_ngrams, list_sort(list(trm)) AS ts
+      |  FROM xterms GROUP BY doc_id),\n""".stripMargin
+    // the nested fold expression, innermost unigram outward
+    var p = "(x.cc1 / b)"
+    for (k <- 2 until n) {
+      p = s"""((x.cc$k - CASE x.cc$k WHEN 1 THEN d${k}1 WHEN 2 THEN d${k}2
+        |                  ELSE d${k}3 END) / x.den$k
+        |            + (d${k}1 * x.m${k}1 + d${k}2 * x.m${k}2 +
+        |               d${k}3 * x.m${k}3) / x.den$k * $p)""".stripMargin
+    }
+    val top = s"""(x.c - CASE x.c WHEN 1 THEN d${n}1 WHEN 2 THEN d${n}2
+      |                  ELSE d${n}3 END) / x.ch
+      |         + (d${n}1 * x.n1h + d${n}2 * x.n2h + d${n}3 * x.n3h)
+      |           / x.ch * $p""".stripMargin
+    val dscJoins = (n to 2 by -1).map(k => s"CROSS JOIN xdl$k").mkString(" ")
+    sb ++= s"""xsc AS (
+      |  SELECT doc_id, n_ngrams,
+      |    round(- list_sum(list_transform(ts, x ->
+      |      ln($top)))
+      |      / n_ngrams, 4) AS nll
+      |  FROM xkd CROSS JOIN xbtot $dscJoins)
+      |SELECT w.doc_id,
+      |  CAST(coalesce(sc.n_ngrams, 0) AS BIGINT) AS n_ngrams, sc.nll
+      |FROM x5ws w LEFT JOIN xsc sc ON w.doc_id = sc.doc_id""".stripMargin
+    sb.toString
+  }
+
   /** Query names whose oracle is a GOLDEN LITERAL valid only for the
     * sf0.01 dataset (see the dedup_simhash entry). [[oracleSqlFor]] omits
     * them at any other scale factor, falling back to the driver's
@@ -4244,6 +4402,10 @@ object SparkEntry {
     "quality_kn_from_model" ->
       s"""WITH $knNllCtes
          |SELECT doc_id, n_trigrams, nll FROM knscored""".stripMargin,
+
+    // GENERATED replay of the generic mKN recursion at the CCNet order
+    // (see mknOracleSql — built by the same loops as the Spark plan)
+    "quality_mkn5_nll" -> mknOracleSql(5),
 
     // replays modified KN: the same nine corpus integers drive the same
     // IEEE discount expressions (CAST AS DOUBLE literals — DuckDB's

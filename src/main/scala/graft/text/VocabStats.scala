@@ -433,59 +433,113 @@ object VocabStats {
     * count-of-count scalars are one tiny aggregated row.
     */
   def trigramModKnNll(df: DataFrame, idCol: String,
-                      textCol: String): DataFrame = {
+                      textCol: String): DataFrame =
+    ngramModKnNll(df, idCol, textCol, order = 3)
+      .withColumnRenamed("n_ngrams", "n_trigrams")
+
+  /** [[trigramModKnNll]] at ANY order — the published CCNet recipe is a
+    * 5-GRAM modified-KN KenLM (Wenzek et al. 2020 §3.2), and the
+    * type-table recursion is uniform, so the order is a parameter:
+    *
+    *  - top order N scores from TOKEN counts c(w1..wN) over the token
+    *    history c(w1..w_{N−1});
+    *  - every middle order k scores from CONTINUATION counts
+    *    N1+(·g) computed on the RAW (k+1)-gram TYPE table (the SRILM /
+    *    KenLM rule: lower orders see type mass, never token mass), the
+    *    denominator N1+(·u·) from the same table grouped by the
+    *    context, and its own removed-mass backoff weight
+    *    γ(u) = (D1·N1(u·) + D2·N2(u·) + D3·N3+(u·)) / N1+(·u·);
+    *  - the continuation unigram N1+(·w)/N1+(··) is undiscounted.
+    *
+    * Each order estimates its OWN (D1, D2, D3) from its count-of-count
+    * statistics with the per-order UNSOUND-estimate fallback to 0.75
+    * ([[trigramModKnNll]]'s rule, applied per order). Determinism: the
+    * discounts derive from 4·(N−1)+1 corpus integers collected once and
+    * folded as literals; the per-doc fold sorts its (5·(N−1)+1)-int
+    * count tuples; round(4) absorbs ulp noise.
+    *
+    * Scale shape independent of order: every aux table is TYPE mass
+    * (the k-gram type tables shrink as k falls), the model assembles at
+    * top-order type mass, and the single token-mass join is the
+    * occurrence stream against that model. Order only widens the tuple.
+    */
+  def ngramModKnNll(df: DataFrame, idCol: String, textCol: String,
+                    order: Int = 3): DataFrame = {
+    // order 3 is the floor: the bigram slot in the ladder is bigramNll's
+    // Jelinek-Mercer form; an order-2 mKN would need token unigram
+    // histories the type recursion below doesn't build
+    require(order >= 3 && order <= 8, s"need 3 <= order <= 8, got $order")
+    val n = order
     val ws = df.select(col(idCol), words(col(textCol)).as("__ws"))
-    val bg = ws.select(col(idCol), explode(transform(
-        slice(col("__ws"), lit(1), greatest(size(col("__ws")) - 1, lit(0))),
-        (w, i) => struct(w.as("w1"),
-          element_at(col("__ws"), i + 2).as("w2")))).as("__bg"))
-      .select(col("__bg.w1").as("__w1"), col("__bg.w2").as("__w2"))
-    val tg = ws.select(col(idCol), explode(transform(
-        slice(col("__ws"), lit(1), greatest(size(col("__ws")) - 2, lit(0))),
-        (w, i) => struct(w.as("w1"),
-          element_at(col("__ws"), i + 2).as("w2"),
-          element_at(col("__ws"), i + 3).as("w3")))).as("__tg"))
-      .select(col(idCol), col("__tg.w1").as("__w1"),
-        col("__tg.w2").as("__w2"), col("__tg.w3").as("__w3"))
 
-    val bcnt = bg.groupBy(col("__w1"), col("__w2"))
-      .agg(count(lit(1)).as("__ch"))
-    val tcnt = tg.groupBy(col("__w1"), col("__w2"), col("__w3"))
-      .agg(count(lit(1)).as("__c3"))
-    val cc2 = tcnt.groupBy(col("__w2"), col("__w3"))
-      .agg(count(lit(1)).as("__cc2"))
-    // per-history type counts BY COUNT BUCKET (the γ numerators)
-    val hAux = tcnt.groupBy(col("__w1"), col("__w2")).agg(
-      count(when(col("__c3") === 1, 1)).as("__n1h"),
-      count(when(col("__c3") === 2, 1)).as("__n2h"),
-      count(when(col("__c3") >= 3, 1)).as("__n3h"))
-    val midAux = tcnt.groupBy(col("__w2"))
-      .agg(count(lit(1)).as("__nmid"))
-      .join(cc2.groupBy(col("__w2")).agg(
-        count(when(col("__cc2") === 1, 1)).as("__m1"),
-        count(when(col("__cc2") === 2, 1)).as("__m2"),
-        count(when(col("__cc2") >= 3, 1)).as("__m3")), Seq("__w2"))
-    val cc1 = bcnt.groupBy(col("__w2")).agg(count(lit(1)).as("__cc1"))
-      .withColumnRenamed("__w2", "__w3")
+    // k-gram occurrence stream by positional transform (no self-joins);
+    // columns __w1.. __wK name the positions inside the k-gram
+    def grams(k: Int, withId: Boolean): DataFrame = {
+      val g = ws.select(col(idCol), explode(transform(
+          slice(col("__ws"), lit(1),
+            greatest(size(col("__ws")) - (k - 1), lit(0))),
+          (w, i) => struct(w.as("g1") +: (2 to k).map(j =>
+            element_at(col("__ws"), i + j).as(s"g$j")): _*))).as("__g"))
+      val out = (1 to k).map(j => col(s"__g.g$j").as(s"__w$j"))
+      g.select((if (withId) Seq(col(idCol)) else Seq.empty) ++ out: _*)
+    }
+    // G_k: the k-gram TYPE table with token counts
+    def typeTable(k: Int): DataFrame = grams(k, withId = false)
+      .groupBy((1 to k).map(j => col(s"__w$j")): _*)
+      .agg(count(lit(1)).as("__c"))
+    val gTables: Map[Int, DataFrame] =
+      (2 to n).map(k => k -> typeTable(k)).toMap
 
-    // the nine corpus integers the discounts derive from (one tiny row)
-    val statsRow = tcnt.agg(
-        count(when(col("__c3") === 1, 1)).as("t1"),
-        count(when(col("__c3") === 2, 1)).as("t2"),
-        count(when(col("__c3") === 3, 1)).as("t3"),
-        count(when(col("__c3") === 4, 1)).as("t4"))
-      .crossJoin(cc2.agg(
-        count(when(col("__cc2") === 1, 1)).as("u1"),
-        count(when(col("__cc2") === 2, 1)).as("u2"),
-        count(when(col("__cc2") === 3, 1)).as("u3"),
-        count(when(col("__cc2") === 4, 1)).as("u4")))
-      .crossJoin(bcnt.agg(count(lit(1)).as("b")))
+    val topT = gTables(n) // c(w1..wN)
+    val hist = gTables(n - 1) // token history c(w1..w_{N-1})
+      .withColumnRenamed("__c", "__ch")
+    val topBuckets = topT
+      .groupBy((1 until n).map(j => col(s"__w$j")): _*).agg(
+        count(when(col("__c") === 1, 1)).as("__n1h"),
+        count(when(col("__c") === 2, 1)).as("__n2h"),
+        count(when(col("__c") >= 3, 1)).as("__n3h"))
+
+    // level k (1 <= k < N): continuation table C_k keyed by the N-gram
+    // POSITIONS it matches — G_{k+1}'s column j maps to position
+    // N-k-1+j — with its context denominator and γ bucket counts
+    def pos(k: Int, j: Int): String = s"__w${n - k - 1 + j}"
+    def contTable(k: Int): DataFrame = gTables(k + 1)
+      .groupBy((2 to k + 1).map(j => col(s"__w$j")): _*)
+      .agg(count(lit(1)).as(s"__cc$k"))
+      .select((2 to k + 1).map(j => col(s"__w$j").as(pos(k, j))) :+
+        col(s"__cc$k"): _*)
+    def denTable(k: Int): DataFrame = gTables(k + 1)
+      .groupBy((2 to k).map(j => col(s"__w$j")): _*)
+      .agg(count(lit(1)).as(s"__den$k"))
+      .select((2 to k).map(j => col(s"__w$j").as(pos(k, j))) :+
+        col(s"__den$k"): _*)
+    def bucketTable(k: Int): DataFrame = contTable(k)
+      .groupBy((2 to k).map(j => col(pos(k, j))): _*).agg(
+        count(when(col(s"__cc$k") === 1, 1)).as(s"__m${k}1"),
+        count(when(col(s"__cc$k") === 2, 1)).as(s"__m${k}2"),
+        count(when(col(s"__cc$k") >= 3, 1)).as(s"__m${k}3"))
+
+    val cc1 = gTables(2).groupBy(col("__w2"))
+      .agg(count(lit(1)).as("__cc1"))
+      .withColumnRenamed("__w2", s"__w$n")
+
+    // the 4·(N−1)+1 corpus integers: top count-of-counts, each middle
+    // level's continuation count-of-counts, and N1+(··) — one tiny row
+    def coc(src: DataFrame, c: String, pfx: String): DataFrame = src.agg(
+      count(when(col(c) === 1, 1)).as(s"${pfx}1"),
+      count(when(col(c) === 2, 1)).as(s"${pfx}2"),
+      count(when(col(c) === 3, 1)).as(s"${pfx}3"),
+      count(when(col(c) === 4, 1)).as(s"${pfx}4"))
+    val statsRow = ((n - 1) to 2 by -1)
+      .foldLeft(coc(topT, "__c", s"s$n")) { (acc, k) =>
+        acc.crossJoin(coc(contTable(k), s"__cc$k", s"s$k"))
+      }
+      .crossJoin(gTables(2).agg(count(lit(1)).as("b")))
       .head()
-    val Seq(t1, t2, t3, t4, u1, u2, u3, u4, b) =
-      (0 until 9).map(statsRow.getLong)
+    val b = statsRow.getLong(statsRow.length - 1)
     // EXACTLY the oracle's IEEE expression tree: int-to-double exact,
-    // then the same left-associated double ops; an order whose
-    // estimate is unsound (see scaladoc) falls back to 0.75s
+    // then the same left-associated double ops; an order whose estimate
+    // is unsound (see trigramModKnNll) falls back to 0.75s
     def discounts(n1: Long, n2: Long, n3: Long,
                   n4: Long): (Double, Double, Double) = {
       val haveN = n1 > 0 && n2 > 0 && n3 > 0 && n4 > 0
@@ -497,44 +551,66 @@ object VocabStats {
         bb >= 0.0 && bb <= 2.0 && c >= 0.0 && c <= 3.0
       if (sound) (a, bb, c) else (0.75, 0.75, 0.75)
     }
-    val (d1, d2, d3) = discounts(t1, t2, t3, t4)
-    val (e1, e2, e3) = discounts(u1, u2, u3, u4)
+    // discount triple per scoring level, top (index n) down to 2
+    val dsc: Map[Int, (Double, Double, Double)] =
+      (n to 2 by -1).map { k =>
+        val base = (n - k) * 4
+        k -> discounts(statsRow.getLong(base), statsRow.getLong(base + 1),
+          statsRow.getLong(base + 2), statsRow.getLong(base + 3))
+      }.toMap
 
-    val model = tcnt
-      .join(bcnt, Seq("__w1", "__w2"))
-      .join(hAux, Seq("__w1", "__w2"))
-      .join(cc2, Seq("__w2", "__w3"))
-      .join(midAux, Seq("__w2"))
-      .join(cc1, Seq("__w3"))
+    // the model: every aux joined at TYPE mass onto the top-order table
+    val model = ((n - 1) to 2 by -1).foldLeft(
+      topT
+        .join(hist, (1 until n).map(s"__w" + _))
+        .join(topBuckets, (1 until n).map(s"__w" + _))) { (acc, k) =>
+      acc
+        .join(contTable(k), (2 to k + 1).map(pos(k, _)))
+        .join(denTable(k), (2 to k).map(pos(k, _)))
+        .join(bucketTable(k), (2 to k).map(pos(k, _)))
+    }.join(cc1, Seq(s"__w$n"))
 
-    def disc(c: Column, a: Double, bb: Double, cch: Double): Column =
-      when(c === 1, lit(a)).when(c === 2, lit(bb)).otherwise(lit(cch))
+    def disc(c: Column, t: (Double, Double, Double)): Column =
+      when(c === 1, lit(t._1)).when(c === 2, lit(t._2)).otherwise(lit(t._3))
 
-    val scored = tg
-      .join(model, Seq("__w1", "__w2", "__w3"))
+    // tuple fields in the FOLD-SORT order the oracle replays: top
+    // (c, ch, n1h..n3h), then each middle level's (cc, den, m1..m3)
+    // descending, unigram cc1 last
+    val tupleCols: Seq[Column] =
+      Seq(col("__c"), col("__ch"), col("__n1h"), col("__n2h"),
+        col("__n3h")) ++
+        ((n - 1) to 2 by -1).flatMap(k => Seq(col(s"__cc$k"),
+          col(s"__den$k"), col(s"__m${k}1"), col(s"__m${k}2"),
+          col(s"__m${k}3"))) :+
+        col("__cc1")
+
+    val scored = grams(n, withId = true)
+      .join(model, (1 to n).map(s"__w" + _)) // the one token-mass join
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_trigrams"),
-        sort_array(collect_list(struct(
-          col("__c3"), col("__ch"), col("__n1h"), col("__n2h"),
-          col("__n3h"), col("__cc2"), col("__nmid"), col("__m1"),
-          col("__m2"), col("__m3"), col("__cc1")))).as("__ts"))
-      .select(col(idCol), col("n_trigrams"),
+      .agg(count(lit(1)).as("n_ngrams"),
+        sort_array(collect_list(struct(tupleCols: _*))).as("__ts"))
+      .select(col(idCol), col("n_ngrams"),
         round(-aggregate(col("__ts"), lit(0.0), (a, x) => {
           val puni = x.getField("__cc1") / lit(b)
-          val pmid =
-            (x.getField("__cc2") - disc(x.getField("__cc2"), e1, e2, e3)) /
-              x.getField("__nmid") +
-              (lit(e1) * x.getField("__m1") + lit(e2) * x.getField("__m2") +
-                lit(e3) * x.getField("__m3")) / x.getField("__nmid") * puni
+          val pTop = (2 to n - 1).foldLeft(puni) { (lower, k) =>
+            val e = dsc(k)
+            (x.getField(s"__cc$k") - disc(x.getField(s"__cc$k"), e)) /
+              x.getField(s"__den$k") +
+              (lit(e._1) * x.getField(s"__m${k}1") +
+                lit(e._2) * x.getField(s"__m${k}2") +
+                lit(e._3) * x.getField(s"__m${k}3")) /
+                x.getField(s"__den$k") * lower
+          }
+          val d = dsc(n)
           a + log(
-            (x.getField("__c3") - disc(x.getField("__c3"), d1, d2, d3)) /
+            (x.getField("__c") - disc(x.getField("__c"), d)) /
               x.getField("__ch") +
-              (lit(d1) * x.getField("__n1h") + lit(d2) * x.getField("__n2h") +
-                lit(d3) * x.getField("__n3h")) / x.getField("__ch") * pmid)
-        }) / col("n_trigrams"), 4).as("nll"))
+              (lit(d._1) * x.getField("__n1h") + lit(d._2) * x.getField("__n2h") +
+                lit(d._3) * x.getField("__n3h")) / x.getField("__ch") * pTop)
+        }) / col("n_ngrams"), 4).as("nll"))
     df.select(col(idCol)).join(scored, Seq(idCol), "left")
       .select(col(idCol),
-        coalesce(col("n_trigrams"), lit(0L)).as("n_trigrams"), col("nll"))
+        coalesce(col("n_ngrams"), lit(0L)).as("n_ngrams"), col("nll"))
   }
 
   /** [[nllBuckets]] ranked by the KNESER-NEY trigram scorer instead of

@@ -288,4 +288,92 @@ class KnNllSpec extends SparkSpec {
     assert(d.pUni("ok") > d.pUni("sf"),
       s"continuation p: ok=${d.pUni("ok")} must exceed sf=${d.pUni("sf")}")
   }
+
+  test("ngramModKnNll at order 5 equals an independent brute-force " +
+       "reference of the generic type-table recursion") {
+    // repetition so some 5-gram counts reach 2+ (the discount buckets
+    // and γ numerators see non-trivial values even where the
+    // count-of-count estimates fall back)
+    val texts5 = Seq(
+      (1L, "the cat sat on the mat and the cat sat on the mat again"),
+      (2L, "the dog sat on the mat and then slept on the mat"),
+      (3L, "a cat and a dog sat on the mat near the door"),
+      (4L, "the cat sat on the rug and the dog sat on the rug"),
+      (5L, "short words only")) // < 5 words → null score
+    val docsTok = texts5.map(_._2.split("\\s+").toSeq)
+    val n = 5
+    def grams(k: Int): Seq[Seq[String]] =
+      docsTok.flatMap(_.sliding(k).filter(_.size == k).map(_.toList))
+    val gcnt: Map[Int, Map[Seq[String], Int]] = (2 to n).map(k =>
+      k -> grams(k).groupBy(identity).view.mapValues(_.size).toMap).toMap
+    // level-k continuation counts from the raw (k+1)-gram TYPE table
+    def cont(k: Int): Map[Seq[String], Int] =
+      gcnt(k + 1).keys.toSeq.groupBy(_.tail).view.mapValues(_.size).toMap
+    def den(k: Int): Map[Seq[String], Int] =
+      gcnt(k + 1).keys.toSeq.groupBy(_.slice(1, k))
+        .view.mapValues(_.size).toMap
+    def mBuckets(k: Int): Map[Seq[String], (Int, Int, Int)] =
+      cont(k).groupBy(_._1.init).map { case (u, m) =>
+        u -> (m.values.count(_ == 1), m.values.count(_ == 2),
+          m.values.count(_ >= 3)) }
+    def disc(vals: Iterable[Int]): Array[Double] = {
+      val cs = (1 to 4).map(j => vals.count(_ == j))
+      val ok = cs.forall(_ > 0)
+      val y = if (cs(0) > 0) cs(0).toDouble / (cs(0) + 2 * cs(1)) else 0.0
+      val a = if (ok) 1.0 - 2.0 * y * cs(1) / cs(0) else 0.75
+      val bb = if (ok) 2.0 - 3.0 * y * cs(2) / cs(1) else 0.75
+      val c = if (ok) 3.0 - 4.0 * y * cs(3) / cs(2) else 0.75
+      val sound = ok && a >= 0 && a <= 1 && bb >= 0 && bb <= 2 &&
+        c >= 0 && c <= 3
+      if (sound) Array(0.0, a, bb, c) else Array(0.0, 0.75, 0.75, 0.75)
+    }
+    val dTop = disc(gcnt(n).values)
+    val dMid = (2 until n).map(k => k -> disc(cont(k).values)).toMap
+    def dd(c: Int, ds: Array[Double]) = ds(math.min(c, 3))
+    val b = gcnt(2).size
+    def p1(w: String): Double = cont(1)(Seq(w)).toDouble / b
+    def pk(k: Int, g: Seq[String]): Double =
+      if (k == 1) p1(g.last)
+      else {
+        val e = dMid(k)
+        val cc = cont(k)(g)
+        val dn = den(k)(g.init)
+        val (m1, m2, m3) = mBuckets(k)(g.init)
+        (cc - dd(cc, e)) / dn +
+          (e(1) * m1 + e(2) * m2 + e(3) * m3) / dn * pk(k - 1, g.tail)
+      }
+    def pTop(g: Seq[String]): Double = {
+      val c = gcnt(n)(g)
+      val ch = gcnt(n - 1)(g.init)
+      val hist = gcnt(n).collect { case (t, v) if t.init == g.init => v }
+      val (n1h, n2h, n3h) = (hist.count(_ == 1), hist.count(_ == 2),
+        hist.count(_ >= 3))
+      (c - dd(c, dTop)) / ch +
+        (dTop(1) * n1h + dTop(2) * n2h + dTop(3) * n3h) / ch *
+          pk(n - 1, g.tail)
+    }
+    val out = VocabStats.ngramModKnNll(texts5.toDF("doc_id", "text"),
+        "doc_id", "text", order = 5)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1),
+        Option(r.get(2)).map(_.asInstanceOf[Double]))).toMap
+    texts5.foreach { case (id, text) =>
+      val ws = text.split("\\s+").toSeq
+      val gs = ws.sliding(n).filter(_.size == n).map(_.toList).toSeq
+      val (gotN, gotNll) = out(id)
+      assert(gotN == gs.size, s"doc $id n_ngrams")
+      if (gs.isEmpty) assert(gotNll.isEmpty, s"doc $id must be unscored")
+      else {
+        val want = -gs.map(g => math.log(pTop(g))).sum / gs.size
+        assert(math.abs(gotNll.get - want) < 5e-5,
+          s"doc $id: got ${gotNll.get} want $want")
+      }
+    }
+    // deterministic across partitionings
+    val again = VocabStats.ngramModKnNll(
+        texts5.toDF("doc_id", "text").repartition(7),
+        "doc_id", "text", order = 5)
+      .collect().map(r => r.getLong(0) ->
+        Option(r.get(2)).map(_.asInstanceOf[Double])).toMap
+    assert(again == out.view.mapValues(_._2).toMap)
+  }
 }
