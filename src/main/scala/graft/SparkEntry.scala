@@ -94,6 +94,20 @@ object SparkEntry {
     "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled" ->
       "true")
 
+  /** The seeded page template for the WET/WAT round-trip queries: the
+    * source_html_extract boilerplate plus two outlinks, so both the
+    * extracted TEXT (WET) and the link METADATA (WAT) have closed-form
+    * oracles over `documents`.
+    */
+  private def wetPage: org.apache.spark.sql.Column = concat(
+    lit("<html><head><title>T</title><script>var x=1;</script></head>"),
+    lit("<body><h1>Header "), col("doc_id").cast("string"),
+    lit("</h1><p>"), col("text"),
+    lit("</p><a href=\"/doc/"), (col("doc_id") + 1).cast("string"),
+    lit("\">next doc</a><a href='https://corpus.local/'>home</a>"),
+    lit("<!-- hidden --><div>tail &amp; more&nbsp;&#101;nd</div>"),
+    lit("</body></html>"))
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("q1_agg")(spark, "/root/testdata/sf0.001")
@@ -1649,6 +1663,78 @@ object SparkEntry {
     // seeded page — head/script to drop, tags to strip, a comment, a
     // named + numeric entity, an NBSP — and the kernel must recover
     // exactly the derivable main text; n_chars pins the length too
+    // WET round-trip (the Common Crawl extracted-text sibling): seeded
+    // HTML pages export as ISO 28500 `conversion` records — the
+    // HtmlText kernel runs IN the export plan — and the read-back
+    // plain-text payloads must equal the closed-form extraction the
+    // oracle derives from the template (the same contract as
+    // source_html_extract, proven through the container)
+    "source_wet" -> ((s, dir) => {
+      val base = "/root/repo/target/tmp/q_wet"
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm); f.delete(); ()
+      }
+      rm(new java.io.File(base))
+      val pages = t(s, dir, "documents")
+        .repartition(4, col("doc_id"))
+        .select(concat(lit("http://corpus.local/doc/"), col("doc_id"))
+          .as("uri"), wetPage.as("html"))
+      sources.Warc.exportWet(pages, "uri", "html", base)
+      sources.Warc.read(s, base + "/*.warc*")
+        .filter(col("warc_type") === "conversion")
+        .select(regexp_extract(col("target_uri"), "/doc/(\\d+)$", 1)
+          .cast(LongType).as("doc_id"),
+          col("payload").cast("string").as("clean"))
+        .withColumn("n_chars", length(col("clean")).cast(LongType))
+    }),
+
+    // WAT round-trip (the metadata sibling): `metadata` records whose
+    // JSON payload carries the CC Envelope shape with the page's
+    // OUTLINKS from the HtmlLinks kernel; read back, the parsed link
+    // lists must equal the closed-form links the template seeds
+    "source_wat" -> ((s, dir) => {
+      val base = "/root/repo/target/tmp/q_wat"
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm); f.delete(); ()
+      }
+      rm(new java.io.File(base))
+      val pages = t(s, dir, "documents")
+        .repartition(4, col("doc_id"))
+        .select(concat(lit("http://corpus.local/doc/"), col("doc_id"))
+          .as("uri"), wetPage.as("html"))
+      sources.Warc.exportWat(pages, "uri", "html", base)
+      val linksType = org.apache.spark.sql.types.StructType(Seq(
+        StructField("Envelope", org.apache.spark.sql.types.StructType(Seq(
+          StructField("WARC-Header-Metadata",
+            org.apache.spark.sql.types.StructType(Seq(
+              StructField("WARC-Target-URI", StringType)))),
+          StructField("Payload-Metadata",
+            org.apache.spark.sql.types.StructType(Seq(
+              StructField("HTTP-Response-Metadata",
+                org.apache.spark.sql.types.StructType(Seq(
+                  StructField("HTML-Metadata",
+                    org.apache.spark.sql.types.StructType(Seq(
+                      StructField("Links",
+                        org.apache.spark.sql.types.ArrayType(
+                          org.apache.spark.sql.types.StructType(Seq(
+                            StructField("url", StringType),
+                            StructField("text", StringType)))))))))))))))))))
+      sources.Warc.read(s, base + "/*.warc*")
+        .filter(col("warc_type") === "metadata")
+        .select(regexp_extract(col("target_uri"), "/doc/(\\d+)$", 1)
+          .cast(LongType).as("doc_id"),
+          from_json(col("payload").cast("string"), linksType).as("__j"))
+        .select(col("doc_id"),
+          col("__j.Envelope.Payload-Metadata.HTTP-Response-Metadata" +
+            ".HTML-Metadata.Links").as("__links"),
+          col("__j.Envelope.WARC-Header-Metadata.WARC-Target-URI")
+            .as("hdr_uri"))
+        .select(col("doc_id"), col("hdr_uri"),
+          size(col("__links")).cast(LongType).as("n_links"),
+          element_at(col("__links"), 1).getField("url").as("first_url"),
+          element_at(col("__links"), 2).getField("text").as("second_anchor"))
+    }),
+
     "source_html_extract" -> ((s, dir) => {
       val page = concat(
         lit("<html><head><title>T</title><script>var x=1;</script></head>"),
@@ -5379,6 +5465,26 @@ object SparkEntry {
         |  'Header ' || doc_id || ' ' || text || ' tail & more end' AS clean,
         |  CAST(length('Header ' || doc_id || ' ' || text
         |    || ' tail & more end') AS BIGINT) AS n_chars
+        |FROM documents""".stripMargin,
+
+    // the WET payload is the template's closed-form extraction (the
+    // two seeded anchors contribute their anchor TEXT to the main text)
+    "source_wet" ->
+      """SELECT doc_id,
+        |  'Header ' || doc_id || ' ' || text
+        |    || ' next doc home tail & more end' AS clean,
+        |  CAST(length('Header ' || doc_id || ' ' || text
+        |    || ' next doc home tail & more end') AS BIGINT) AS n_chars
+        |FROM documents""".stripMargin,
+
+    // the WAT payload's parsed links are the template's two seeded
+    // outlinks; the envelope header echoes the record URI
+    "source_wat" ->
+      """SELECT doc_id,
+        |  'http://corpus.local/doc/' || doc_id AS hdr_uri,
+        |  CAST(2 AS BIGINT) AS n_links,
+        |  '/doc/' || (doc_id + 1) AS first_url,
+        |  'home' AS second_anchor
         |FROM documents""".stripMargin,
 
     // per-column scalar re-derivations; the modal tie-break (count

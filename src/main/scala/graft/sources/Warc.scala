@@ -127,7 +127,8 @@ object Warc {
   def export(df: DataFrame, uriCol: String, payloadCol: String, dir: String,
              gzipPerRecord: Boolean = true,
              date: String = "2024-01-01T00:00:00Z",
-             contentType: String = "text/plain"): Unit = {
+             contentType: String = "text/plain",
+             warcType: String = "resource"): Unit = {
     val ext = if (gzipPerRecord) ".warc.gz" else ".warc"
     val hconf = SerializableHadoopConf.from(df.sparkSession)
     df.select(col(uriCol).cast("string").as("u"),
@@ -147,7 +148,7 @@ object Warc {
           val buf = new Array[Byte](1 << 16)
           try it.foreach { r =>
             val uri = r.getString(0)
-            val rec = Record("resource",
+            val rec = Record(warcType,
               s"<urn:uuid:${java.util.UUID.nameUUIDFromBytes(
                 uri.getBytes(java.nio.charset.StandardCharsets.UTF_8))}>",
               uri, date, contentType,
@@ -162,6 +163,55 @@ object Warc {
           }
         }
       }
+  }
+
+  /** WET export (the Common Crawl `*.warc.wet.gz` sibling): the SAME
+    * ISO 28500 container carrying `conversion` records whose payload is
+    * the EXTRACTED plain text of each page — what most pretraining
+    * pipelines actually consume instead of raw WARC. Pure composition:
+    * [[graft.text.HtmlText.extract]] (the codegen main-text kernel)
+    * runs in-plan on the HTML column and [[export]] streams the
+    * records; same one-file-per-partition sharding, no shuffle.
+    * Read back with [[read]] — WET needs no sibling parser, the
+    * records filter by `warc_type = 'conversion'`.
+    */
+  def exportWet(df: DataFrame, uriCol: String, htmlCol: String,
+                dir: String, gzipPerRecord: Boolean = true,
+                date: String = "2024-01-01T00:00:00Z"): Unit =
+    export(
+      df.select(col(uriCol),
+        graft.text.HtmlText.extract(col(htmlCol)).cast("binary")
+          .as("__wet_text")),
+      uriCol, "__wet_text", dir, gzipPerRecord, date,
+      contentType = "text/plain", warcType = "conversion")
+
+  /** WAT export (the `*.warc.wat.gz` metadata sibling): `metadata`
+    * records whose JSON payload carries the envelope header and the
+    * page's extracted OUTLINKS — the Common Crawl WAT `Envelope/
+    * Payload-Metadata/HTTP-Response-Metadata/HTML-Metadata/Links`
+    * shape, built in-plan from the [[graft.plans.HtmlLinks]] kernel via
+    * `to_json` (no per-row driver work, no UDF). Links serialize as
+    * `{"url": href, "text": anchor}` like CC's `{"path","url"}` rows.
+    */
+  def exportWat(df: DataFrame, uriCol: String, htmlCol: String,
+                dir: String, gzipPerRecord: Boolean = true,
+                date: String = "2024-01-01T00:00:00Z"): Unit = {
+    val links = graft.plans.expressions.html_links(col(htmlCol))
+    val meta = to_json(struct(
+      struct(
+        struct(col(uriCol).as("WARC-Target-URI"))
+          .as("WARC-Header-Metadata"),
+        struct(struct(struct(
+          transform(links, l => struct(
+            l.getField("href").as("url"),
+            l.getField("anchor").as("text"))).as("Links"))
+          .as("HTML-Metadata")).as("HTTP-Response-Metadata"))
+          .as("Payload-Metadata"))
+        .as("Envelope")))
+    export(
+      df.select(col(uriCol), meta.cast("binary").as("__wat_json")),
+      uriCol, "__wat_json", dir, gzipPerRecord, date,
+      contentType = "application/json", warcType = "metadata")
   }
 
   // ------------------------------------------------------------ parsing

@@ -1136,6 +1136,23 @@ object Drive {
     println(s"[92] LM ladder top: modified-KN avg nll $mknAgg vs " +
       s"single-D KN $knAgg2")
 
+    // WET/WAT siblings: extracted-text and link-metadata records
+    // through the same ISO 28500 container
+    val wwBase = scratch("wetwat")
+    val wwPages = docs.limit(50).select(
+      concat(lit("http://corpus.local/doc/"), col("doc_id")).as("uri"),
+      concat(lit("<html><body><p>"), col("text"),
+        lit("</p><a href=\"/doc/0\">home</a></body></html>")).as("html"))
+    graft.sources.Warc.exportWet(wwPages, "uri", "html", s"$wwBase/wet")
+    graft.sources.Warc.exportWat(wwPages, "uri", "html", s"$wwBase/wat")
+    val wetN = graft.sources.Warc.read(spark, s"$wwBase/wet/*.warc*")
+      .filter(col("warc_type") === "conversion").count()
+    val watLinks = graft.sources.Warc.read(spark, s"$wwBase/wat/*.warc*")
+      .filter(col("payload").cast("string").contains("\"url\":\"/doc/0\""))
+      .count()
+    println(s"[95] WET/WAT: $wetN conversion records, " +
+      s"$watLinks WAT payloads carry the seeded outlink")
+
     // fit-once/score-many: the persisted KN model serves scores that
     // equal the one-shot computation; the ARPA leg round-trips
     val knmBase = scratch("kn_model")

@@ -66,6 +66,46 @@ class WarcSpec extends SparkSpec {
       == "Extracted plain text of page one.")
   }
 
+  test("exportWet/exportWat: the distributed WET and WAT siblings — " +
+      "conversion text equals the in-plan kernel extraction, WAT JSON " +
+      "carries the envelope URI and the page's outlinks") {
+    import spark.implicits._
+    val dir = "target/tmp/warc_spec_wetwat"
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm); f.delete(); ()
+    }
+    rm(new java.io.File(dir))
+    val pages = Seq(
+      ("http://x.org/p/1",
+        """<html><body><h1>One</h1><p>alpha beta</p>""" +
+          """<a href="/p/2">next</a><script>x()</script></body></html>"""),
+      ("http://x.org/p/2",
+        """<html><body><p>gamma &amp; delta</p></body></html>"""))
+      .toDF("uri", "html")
+    Warc.exportWet(pages, "uri", "html", s"$dir/wet")
+    Warc.exportWat(pages, "uri", "html", s"$dir/wat")
+    val wet = Warc.read(spark, s"$dir/wet/*.warc*")
+      .select("warc_type", "content_type", "target_uri", "payload")
+      .collect().map(r => r.getString(2) ->
+        (r.getString(0), r.getString(1),
+          new String(r.getAs[Array[Byte]](3), "UTF-8"))).toMap
+    assert(wet("http://x.org/p/1") ==
+      ("conversion", "text/plain", "One alpha beta next"))
+    assert(wet("http://x.org/p/2") ==
+      ("conversion", "text/plain", "gamma & delta"))
+    val wat = Warc.read(spark, s"$dir/wat/*.warc*")
+      .select("warc_type", "content_type", "target_uri", "payload")
+      .collect().map(r => r.getString(2) ->
+        (r.getString(0), r.getString(1),
+          new String(r.getAs[Array[Byte]](3), "UTF-8"))).toMap
+    val (t1, ct1, j1) = wat("http://x.org/p/1")
+    assert(t1 == "metadata" && ct1 == "application/json")
+    assert(j1.contains("\"WARC-Target-URI\":\"http://x.org/p/1\""))
+    assert(j1.contains("\"url\":\"/p/2\"") && j1.contains("\"text\":\"next\""))
+    val (_, _, j2) = wat("http://x.org/p/2")
+    assert(j2.contains("\"Links\":[]"), s"no links on page 2: $j2")
+  }
+
   test("read: file-per-task DataFrame surfaces every record of both " +
       "layouts; payload bytes survive") {
     val dir = "target/tmp/warc_spec"
