@@ -1410,6 +1410,49 @@ object SparkEntry {
         .select("doc_id", "domain", "fetch_order", "scheduled_ms")
     }),
 
+    // sitemap.xml ingestion (sitemaps.org): seeded urlset shards — half
+    // plain, half .xml.gz — plus the sitemapindex indirection round-trip
+    // through the file source and the codegen parser, then COMPOSE into
+    // the frontier's politeness schedule: the crawl chain can now seed
+    // from sitemaps, not just outlink discovery. The in-query require
+    // pins the index leg (one <sitemap> entry per shard); the oracle
+    // replays the urlset entries + the portable schedule in closed form
+    "source_sitemap" -> ((s, dir) => {
+      val base = "/root/repo/target/tmp/q_sitemap"
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm); f.delete(); ()
+      }
+      rm(new java.io.File(base))
+      val docs = t(s, dir, "documents")
+      val url = concat(lit("https://crawl-"), col("source"),
+        when(col("doc_id") % 4 === 0, lit(".com"))
+          .when(col("doc_id") % 4 === 1, lit(".co.uk"))
+          .when(col("doc_id") % 4 === 2, lit(".github.io"))
+          .otherwise(lit(".org")),
+        lit("/d/"), col("doc_id"))
+      val pages = docs.select(url.as("loc"),
+        format_string("2024-01-%02d", col("doc_id") % 28 + 1).as("lastmod"),
+        col("doc_id"))
+      sources.Sitemap.export(pages.filter(col("doc_id") % 2 === 0)
+        .repartition(2, col("doc_id")), "loc", Some("lastmod"), base)
+      sources.Sitemap.export(pages.filter(col("doc_id") % 2 === 1)
+        .repartition(2, col("doc_id")), "loc", Some("lastmod"), base,
+        gzip = true)
+      sources.Sitemap.writeIndex(s, base, "https://crawl.local/maps")
+      val back = sources.Sitemap.read(s, base + "/sitemap*")
+      val nShards = new java.io.File(base).listFiles()
+        .count(f => f.getName.startsWith("sitemap-"))
+      val nIndexed = back.filter(col("kind") === "sitemap").count()
+      require(nIndexed == nShards,
+        s"sitemap_index must list every shard: $nIndexed of $nShards")
+      operators.Frontier.schedule(
+        back.filter(col("kind") === "url").select("loc", "lastmod"),
+        "loc", delayMs = 1000L, seed = 11L, portable = true)
+        .select(regexp_extract(col("loc"), "/d/(\\d+)$", 1)
+          .cast(LongType).as("doc_id"), col("lastmod"), col("domain"),
+          col("fetch_order"), col("scheduled_ms"))
+    }),
+
     // the composition those two normalizers exist for: per-registrable-
     // domain caps over crawl docs (the anti-SEO-farm curation rule) —
     // registrable_domain as the group key into the salted two-phase
@@ -4795,6 +4838,34 @@ object SparkEntry {
         |  CAST(row_number() OVER (PARTITION BY domain ORDER BY hv, url)
         |    - 1 AS BIGINT) AS fetch_order,
         |  CAST((row_number() OVER (PARTITION BY domain ORDER BY hv, url)
+        |    - 1) * 1000 AS BIGINT) AS scheduled_ms
+        |FROM h""".stripMargin,
+
+    // the urlset entries and the portable schedule both replay in
+    // closed form (the index leg is require()-pinned in the query)
+    "source_sitemap" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    'https://crawl-' || source ||
+        |      CASE doc_id % 4 WHEN 0 THEN '.com' WHEN 1 THEN '.co.uk'
+        |        WHEN 2 THEN '.github.io' ELSE '.org' END
+        |      || '/d/' || doc_id AS loc,
+        |    '2024-01-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
+        |      AS lastmod,
+        |    'crawl-' || lower(source) ||
+        |      CASE doc_id % 4 WHEN 0 THEN '.com' WHEN 1 THEN '.co.uk'
+        |        WHEN 2 THEN '.github.io' ELSE '.org' END AS domain
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id, lastmod, domain,
+        |    CAST(concat('0x',
+        |      substr(md5(concat_ws(chr(1), loc, '11')), 1, 15)) AS BIGINT)
+        |      AS hv, loc
+        |  FROM u)
+        |SELECT doc_id, lastmod, domain,
+        |  CAST(row_number() OVER (PARTITION BY domain ORDER BY hv, loc)
+        |    - 1 AS BIGINT) AS fetch_order,
+        |  CAST((row_number() OVER (PARTITION BY domain ORDER BY hv, loc)
         |    - 1) * 1000 AS BIGINT) AS scheduled_ms
         |FROM h""".stripMargin,
 

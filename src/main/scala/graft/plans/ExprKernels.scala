@@ -1942,6 +1942,77 @@ object ExprKernels {
     null
   }
 
+  /** `<tag>value</tag>` inside an XML block: boundary-checked open tag
+    * (attributes allowed), entity-decoded, trimmed. Null when absent —
+    * the per-field extractor for [[sitemapEntries]].
+    */
+  private def xmlTagValue(block: String, tag: String): String = {
+    val open = "<" + tag
+    val n = block.length
+    var i = block.indexOf(open)
+    while (i >= 0) {
+      val after = i + open.length
+      if (after < n && (block.charAt(after) == '>' ||
+          Character.isWhitespace(block.charAt(after)))) {
+        val gt = block.indexOf('>', i)
+        if (gt < 0) return null
+        val close = block.indexOf("</" + tag, gt + 1)
+        if (close < 0) return null
+        return htmlDecode(block.substring(gt + 1, close),
+          stripTags = false, collapse = false).trim
+      }
+      i = block.indexOf(open, i + 1)
+    }
+    null
+  }
+
+  /** Sitemap parsing (the public sitemaps.org protocol — the crawl
+    * frontier's SEED source alongside outlink discovery): one pass over
+    * the XML collecting `(loc, lastmod, kind)` for every `<url>` entry
+    * of a `<urlset>` (kind `url`) and every `<sitemap>` entry of a
+    * `<sitemapindex>` (kind `sitemap` — the nested-index indirection
+    * real sites shard large maps with). Entries keep document order;
+    * `loc` and `lastmod` are entity-decoded and trimmed; entries
+    * without a `<loc>` are skipped (the protocol makes loc mandatory).
+    * Boundary checks keep `<urlset>`/`<sitemapindex>` themselves from
+    * matching as entries.
+    */
+  def sitemapEntries(input: UTF8String)
+      : org.apache.spark.sql.catalyst.util.ArrayData = {
+    val s = input.toString
+    val n = s.length
+    val rows =
+      new scala.collection.mutable.ArrayBuffer[
+        org.apache.spark.sql.catalyst.InternalRow]()
+    def scanBlocks(tag: String, kind: String): Unit = {
+      val open = "<" + tag
+      val close = "</" + tag
+      var i = s.indexOf(open)
+      while (i >= 0) {
+        val after = i + open.length
+        if (after < n && (s.charAt(after) == '>' ||
+            Character.isWhitespace(s.charAt(after)))) {
+          val end = s.indexOf(close, i)
+          val stop = if (end < 0) n else end
+          val block = s.substring(i, stop)
+          val loc = xmlTagValue(block, "loc")
+          if (loc != null && loc.nonEmpty) {
+            val lastmod = xmlTagValue(block, "lastmod")
+            rows += org.apache.spark.sql.catalyst.InternalRow(
+              UTF8String.fromString(loc),
+              if (lastmod == null || lastmod.isEmpty) null
+              else UTF8String.fromString(lastmod),
+              UTF8String.fromString(kind))
+          }
+          i = s.indexOf(open, stop + 1)
+        } else i = s.indexOf(open, i + 1)
+      }
+    }
+    scanBlocks("url", "url")
+    scanBlocks("sitemap", "sitemap")
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(rows.toArray)
+  }
+
   /** Outlink extraction (see [[graft.plans.HtmlLinks]]): one pass over
     * the page collecting `(href, anchor)` for every `<a>` carrying an
     * `href` — the crawl-frontier feed between [[htmlExtract]] and the

@@ -224,6 +224,16 @@ object GraftFunctions {
         require(args.length == 1, "graft_html_links(html)")
         HtmlLinks(args.head)
       }),
+    (FunctionIdentifier("graft_sitemap_entries"),
+      info("graft_sitemap_entries",
+        "graft_sitemap_entries(xml) - array<struct<loc, lastmod, kind>> " +
+          "of a sitemaps.org document: urlset <url> entries (kind " +
+          "'url') and sitemapindex <sitemap> entries (kind 'sitemap'), " +
+          "loc/lastmod entity-decoded, entries without a loc skipped"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "graft_sitemap_entries(xml)")
+        SitemapEntries(args.head)
+      }),
     (FunctionIdentifier("graft_registrable_domain"),
       info("graft_registrable_domain",
         "graft_registrable_domain(url) - registrable (eTLD+1) domain of " +

@@ -156,6 +156,12 @@ object expressions {
   def html_links(html: Column): Column =
     column(HtmlLinks(expression(html)))
 
+  /** Sitemap parsing: `array<struct<loc, lastmod, kind>>` per document
+    * (see [[SitemapEntries]]) — the crawl frontier's seed source.
+    */
+  def sitemap_entries(xml: Column): Column =
+    column(SitemapEntries(expression(xml)))
+
   /** URL canonicalization for URL-level dedup, in one pass (see
     * [[UrlCanonicalize]]); the default drop set strips the common
     * tracking params (utm_*, gclid, fbclid, ...).
@@ -1197,6 +1203,32 @@ object UrlCanonicalize {
   * verbatim; anchors tag-stripped + collapsed. One pass per row under
   * whole-stage codegen.
   */
+/** Sitemap entries (sitemaps.org): `array<struct<loc, lastmod, kind>>`
+  * of a sitemap or sitemap-index document — the crawl frontier's seed
+  * source. See [[ExprKernels.sitemapEntries]].
+  */
+case class SitemapEntries(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("loc", StringType, nullable = false),
+      StructField("lastmod", StringType, nullable = true),
+      StructField("kind", StringType, nullable = false))),
+    containsNull = false)
+  override def checkInputDataTypes() =
+    expressions.stringCheck(child, "sitemap_entries")
+
+  override def nullSafeEval(input: Any): Any =
+    ExprKernels.sitemapEntries(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.ExprKernels.sitemapEntries($c);")
+
+  override protected def withNewChildInternal(c: Expression): SitemapEntries =
+    copy(child = c)
+}
+
 case class HtmlLinks(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(

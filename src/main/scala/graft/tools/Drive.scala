@@ -1153,6 +1153,22 @@ object Drive {
     println(s"[95] WET/WAT: $wetN conversion records, " +
       s"$watLinks WAT payloads carry the seeded outlink")
 
+    // sitemap seeding: urlset shards + index round-trip into the
+    // frontier schedule
+    val smBase = scratch("sitemap")
+    graft.sources.Sitemap.export(
+      docs.limit(60).select(concat(lit("https://crawl-"), col("source"),
+        lit(".org/d/"), col("doc_id")).as("loc")).repartition(2),
+      "loc", None, smBase, gzip = true)
+    graft.sources.Sitemap.writeIndex(spark, smBase, "https://c.local/m")
+    val smBack = graft.sources.Sitemap.read(spark, s"$smBase/sitemap*")
+    val smSched = graft.operators.Frontier.schedule(
+      smBack.filter(col("kind") === "url").select("loc"), "loc")
+    println(s"[96] sitemap seed: ${smBack.filter(col("kind") === "url")
+      .count()} urls from ${smBack.filter(col("kind") === "sitemap")
+      .count()} indexed shards -> ${smSched.select("domain").distinct()
+      .count()} politeness lanes")
+
     // fit-once/score-many: the persisted KN model serves scores that
     // equal the one-shot computation; the ARPA leg round-trips
     val knmBase = scratch("kn_model")
