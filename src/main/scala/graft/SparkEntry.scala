@@ -1410,6 +1410,32 @@ object SparkEntry {
         .select("doc_id", "domain", "fetch_order", "scheduled_ms")
     }),
 
+    // the DISCOVERY hop ahead of sitemap ingestion: real crawlers find
+    // sitemaps through robots.txt `Sitemap:` directives (RFC 9309
+    // §2.2.4 — group-independent, so extraction ignores user-agent
+    // structure; comments strip, directive name is case-insensitive).
+    // Seeded bodies carry one or two directives per doc; the oracle
+    // replays the extraction in closed form
+    "crawl_sitemap_discovery" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val body = concat(
+        lit("# robots for crawl-"), col("source"),
+        lit("\nUser-agent: *\nDisallow: /private/\nSitemap: https://crawl-"),
+        col("source"), lit(".org/sitemap-"), col("doc_id") % 5,
+        lit(".xml\n"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit("siteMAP: https://crawl-"), col("source"),
+            lit(".org/extra.xml.gz # index shard\n")))
+          .otherwise(lit("Crawl-delay: 2\n")))
+      docs.select(col("doc_id"),
+          plans.expressions.robots_sitemaps(body).as("__sm"))
+        .select(col("doc_id"),
+          size(col("__sm")).cast(LongType).as("n_sitemaps"),
+          element_at(col("__sm"), 1).as("first_sitemap"),
+          when(size(col("__sm")) >= 2, element_at(col("__sm"), 2))
+            .as("second_sitemap"))
+    }),
+
     // sitemap.xml ingestion (sitemaps.org): seeded urlset shards — half
     // plain, half .xml.gz — plus the sitemapindex indirection round-trip
     // through the file source and the codegen parser, then COMPOSE into
@@ -4840,6 +4866,19 @@ object SparkEntry {
         |  CAST((row_number() OVER (PARTITION BY domain ORDER BY hv, url)
         |    - 1) * 1000 AS BIGINT) AS scheduled_ms
         |FROM h""".stripMargin,
+
+    // the seeded Sitemap: directives replay in closed form (the second
+    // one exists only on doc_id % 3 = 0 rows; comments strip)
+    "crawl_sitemap_discovery" ->
+      """SELECT doc_id,
+        |  CAST(CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 1 END AS BIGINT)
+        |    AS n_sitemaps,
+        |  'https://crawl-' || source || '.org/sitemap-' || (doc_id % 5)
+        |    || '.xml' AS first_sitemap,
+        |  CASE WHEN doc_id % 3 = 0 THEN
+        |    'https://crawl-' || source || '.org/extra.xml.gz'
+        |    ELSE NULL END AS second_sitemap
+        |FROM documents""".stripMargin,
 
     // the urlset entries and the portable schedule both replay in
     // closed form (the index leg is require()-pinned in the query)

@@ -224,6 +224,15 @@ object GraftFunctions {
         require(args.length == 1, "graft_html_links(html)")
         HtmlLinks(args.head)
       }),
+    (FunctionIdentifier("graft_robots_sitemaps"),
+      info("graft_robots_sitemaps",
+        "graft_robots_sitemaps(robots_txt) - array<string> of the " +
+          "body's Sitemap: directives in document order " +
+          "(group-independent per RFC 9309 §2.2.4)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "graft_robots_sitemaps(robots_txt)")
+        RobotsSitemaps(args.head)
+      }),
     (FunctionIdentifier("graft_sitemap_entries"),
       info("graft_sitemap_entries",
         "graft_sitemap_entries(xml) - array<struct<loc, lastmod, kind>> " +

@@ -186,6 +186,12 @@ object expressions {
                      agent: String = "*"): Column =
     column(RobotsAllowed(expression(robotsTxt), expression(path), agent))
 
+  /** `Sitemap:` directives of a robots.txt body, in document order (see
+    * [[RobotsSitemaps]]) — the robots → sitemap discovery hop.
+    */
+  def robots_sitemaps(robotsTxt: Column): Column =
+    column(RobotsSitemaps(expression(robotsTxt)))
+
   /** Z-order value of an `array<double>` column (one element per Z-order
     * dimension); `bounds` holds `(1<<bits)-1` ascending quantile
     * boundaries per column, column-major (see [[ZValue]]).
@@ -1257,6 +1263,28 @@ case class HtmlLinks(child: Expression) extends UnaryExpression {
   * `*` wildcards and `$` anchors. The per-domain body parse is
   * memoized, so the per-row cost is the rule scan.
   */
+/** `Sitemap:` directives of a robots.txt body — `array<string>` in
+  * document order (group-independent per RFC 9309 §2.2.4). The
+  * discovery hop robots.txt → [[graft.sources.Sitemap]] → frontier.
+  */
+case class RobotsSitemaps(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType =
+    ArrayType(StringType, containsNull = false)
+  override def checkInputDataTypes() =
+    expressions.stringCheck(child, "robots_sitemaps")
+
+  override def nullSafeEval(input: Any): Any =
+    graft.text.RobotsTxt.sitemapUrlsData(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.text.RobotsTxt.sitemapUrlsData($c);")
+
+  override protected def withNewChildInternal(c: Expression): RobotsSitemaps =
+    copy(child = c)
+}
+
 case class RobotsAllowed(left: Expression, right: Expression, agent: String)
     extends BinaryExpression {
 

@@ -142,6 +142,43 @@ object RobotsTxt {
     bestAllow
   }
 
+  /** The `Sitemap:` directives of a robots.txt body (RFC 9309 §2.2.4 /
+    * sitemaps.org discovery: the directive is GROUP-INDEPENDENT — it
+    * applies regardless of user-agent, so extraction ignores group
+    * structure entirely). Returned in document order, duplicates kept
+    * (the caller's frontier dedups by canonical URL like any other
+    * discovered link). This is the discovery hop between the robots
+    * gate and [[graft.sources.Sitemap]]: robots.txt → sitemap URLs →
+    * urlset/sitemapindex → frontier.
+    */
+  def sitemapUrls(body: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    body.split("\n", -1).foreach { raw =>
+      val noComment = {
+        val h = raw.indexOf('#')
+        if (h >= 0) raw.substring(0, h) else raw
+      }
+      val line = noComment.trim
+      val colon = line.indexOf(':')
+      if (colon > 0 &&
+          line.substring(0, colon).trim
+            .equalsIgnoreCase("sitemap")) {
+        val value = line.substring(colon + 1).trim
+        if (value.nonEmpty) out += value
+      }
+    }
+    out.toSeq
+  }
+
+  /** [[sitemapUrls]] in the Catalyst wire types — the codegen entry the
+    * `robots_sitemaps` expression calls per row.
+    */
+  def sitemapUrlsData(body: org.apache.spark.unsafe.types.UTF8String)
+      : org.apache.spark.sql.catalyst.util.ArrayData =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      sitemapUrls(body.toString).map(
+        org.apache.spark.unsafe.types.UTF8String.fromString).toArray[Any])
+
   // bounded PER-THREAD parse memo: a corpus repeats one body per domain
   // across many rows, so the amortized per-row cost is the rule scan.
   // ThreadLocal (one LRU per executor core) rather than a shared

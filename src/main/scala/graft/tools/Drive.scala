@@ -1164,10 +1164,17 @@ object Drive {
     val smBack = graft.sources.Sitemap.read(spark, s"$smBase/sitemap*")
     val smSched = graft.operators.Frontier.schedule(
       smBack.filter(col("kind") === "url").select("loc"), "loc")
+    // ...and the discovery hop in front of it: Sitemap: directives out
+    // of robots.txt bodies
+    val smDisc = docs.limit(60).select(
+      graft.plans.expressions.robots_sitemaps(concat(
+        lit("User-agent: *\nDisallow: /p/\nSitemap: https://crawl-"),
+        col("source"), lit(".org/map.xml\n"))).as("sm"))
+      .select(explode(col("sm"))).distinct().count()
     println(s"[96] sitemap seed: ${smBack.filter(col("kind") === "url")
       .count()} urls from ${smBack.filter(col("kind") === "sitemap")
       .count()} indexed shards -> ${smSched.select("domain").distinct()
-      .count()} politeness lanes")
+      .count()} politeness lanes; robots discovery yields $smDisc maps")
 
     // fit-once/score-many: the persisted KN model serves scores that
     // equal the one-shot computation; the ARPA leg round-trips

@@ -119,6 +119,35 @@ class RobotsTxtSpec extends SparkSpec {
     assert(!RobotsTxt.allowed(tiers, "graftbot", "/long/x"))
   }
 
+  test("Sitemap: directives extract group-independently in document " +
+       "order; comments strip; case-insensitive; column + SQL parity") {
+    val b =
+      """# head comment
+        |Sitemap: https://a.org/s1.xml
+        |User-agent: *
+        |Disallow: /x/
+        |siteMAP: https://a.org/s2.xml.gz # trailing comment
+        |User-agent: bot
+        |Sitemap: https://a.org/s3.xml
+        |Sitemap:
+        |""".stripMargin
+    assert(RobotsTxt.sitemapUrls(b) == Seq(
+      "https://a.org/s1.xml", "https://a.org/s2.xml.gz",
+      "https://a.org/s3.xml"),
+      "directives collect across ALL groups; empty values drop")
+    assert(RobotsTxt.sitemapUrls("User-agent: *\nDisallow: /\n") == Seq())
+    val df = Seq(b).toDF("r")
+    val viaCol = df.select(
+      graft.plans.expressions.robots_sitemaps(col("r")))
+      .head().getSeq[String](0)
+    assert(viaCol == RobotsTxt.sitemapUrls(b))
+    df.createOrReplaceTempView("__robots_sm_probe")
+    val viaSql = spark.sql(
+      "SELECT graft_robots_sitemaps(r) FROM __robots_sm_probe")
+      .head().getSeq[String](0)
+    assert(viaSql == viaCol)
+  }
+
   test("column API + SQL registration parity; memoized path matches " +
        "direct evaluation") {
     val df = Seq(("/private/a", body), ("/private/ok/a", body),
