@@ -1479,6 +1479,32 @@ object SparkEntry {
           col("fetch_order"), col("scheduled_ms"))
     }),
 
+    // ...and the schedule honoring each domain's OWN Crawl-delay (the
+    // de-facto extension Yandex/Bing honor): the delay extracts from
+    // the seeded robots body riding each row — group-scoped, fractional
+    // seconds, comment-tolerant, one domain leaving it undeclared to
+    // exercise the default — and lane spacing becomes ceil(s×1000) ms
+    "crawl_schedule_delay" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val url = concat(lit("https://crawl-"), col("source"),
+        when(col("doc_id") % 4 === 0, lit(".com"))
+          .when(col("doc_id") % 4 === 1, lit(".co.uk"))
+          .when(col("doc_id") % 4 === 2, lit(".github.io"))
+          .otherwise(lit(".org")),
+        lit("/d/"), col("doc_id"))
+      val robots = concat(lit("User-agent: *\nDisallow: /private/\n"),
+        when(col("doc_id") % 4 === 0, lit("Crawl-delay: 2\n"))
+          .when(col("doc_id") % 4 === 1, lit("Crawl-delay: 0.5\n"))
+          .when(col("doc_id") % 4 === 3, lit("crawl-DELAY: 1.5 # polite\n"))
+          .otherwise(lit("")))
+      operators.Frontier.scheduleWithDelays(
+        docs.select(col("doc_id"), url.as("url"),
+          plans.expressions.robots_crawl_delay(robots).as("cd")),
+        "url", "cd", defaultDelayMs = 1000L, seed = 13L, portable = true)
+        .select("doc_id", "domain", "fetch_order", "delay_ms",
+          "scheduled_ms")
+    }),
+
     // the composition those two normalizers exist for: per-registrable-
     // domain caps over crawl docs (the anti-SEO-farm curation rule) —
     // registrable_domain as the group key into the salted two-phase
@@ -4865,6 +4891,36 @@ object SparkEntry {
         |    - 1 AS BIGINT) AS fetch_order,
         |  CAST((row_number() OVER (PARTITION BY domain ORDER BY hv, url)
         |    - 1) * 1000 AS BIGINT) AS scheduled_ms
+        |FROM h""".stripMargin,
+
+    // per-domain delays replay in closed form: the tld bucket (doc_id%4)
+    // determines the domain AND its declared Crawl-delay, so delay_ms
+    // is a CASE over the same bucket; schedule window as crawl_schedule
+    "crawl_schedule_delay" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    'https://crawl-' || source ||
+        |      CASE doc_id % 4 WHEN 0 THEN '.com' WHEN 1 THEN '.co.uk'
+        |        WHEN 2 THEN '.github.io' ELSE '.org' END
+        |      || '/d/' || doc_id AS url,
+        |    'crawl-' || lower(source) ||
+        |      CASE doc_id % 4 WHEN 0 THEN '.com' WHEN 1 THEN '.co.uk'
+        |        WHEN 2 THEN '.github.io' ELSE '.org' END AS domain,
+        |    CAST(CASE doc_id % 4 WHEN 0 THEN 2000 WHEN 1 THEN 500
+        |      WHEN 2 THEN 1000 ELSE 1500 END AS BIGINT) AS delay_ms
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id, domain, delay_ms,
+        |    CAST(concat('0x',
+        |      substr(md5(concat_ws(chr(1), url, '13')), 1, 15)) AS BIGINT)
+        |      AS hv, url
+        |  FROM u)
+        |SELECT doc_id, domain,
+        |  CAST(row_number() OVER (PARTITION BY domain ORDER BY hv, url)
+        |    - 1 AS BIGINT) AS fetch_order,
+        |  delay_ms,
+        |  CAST((row_number() OVER (PARTITION BY domain ORDER BY hv, url)
+        |    - 1) * delay_ms AS BIGINT) AS scheduled_ms
         |FROM h""".stripMargin,
 
     // the seeded Sitemap: directives replay in closed form (the second

@@ -47,4 +47,35 @@ object Frontier {
       .withColumn("fetch_order", (row_number().over(w) - 1).cast("long"))
       .withColumn("scheduled_ms", col("fetch_order") * delayMs)
   }
+
+  /** [[schedule]] honoring each domain's OWN politeness rate: rows
+    * carry a nullable crawl-delay seconds column (the
+    * `robots_crawl_delay` extraction over that domain's robots.txt),
+    * and the lane spacing becomes `ceil(delaySeconds × 1000)` ms —
+    * `defaultDelayMs` where the site declares none. Same one-shuffle
+    * shape; the delay is a per-row value so no second join is needed
+    * (the robots body rode the row from the fetch that produced it,
+    * which is how a real frontier sees it).
+    */
+  def scheduleWithDelays(df: DataFrame, urlCol: String,
+                         delaySecondsCol: String,
+                         defaultDelayMs: Long = 1000L,
+                         seed: Long = 42L, portable: Boolean = false,
+                         suffixRules: Seq[String] =
+                           graft.plans.RegistrableDomain.DefaultRules)
+      : DataFrame = {
+    require(defaultDelayMs >= 0, s"need defaultDelayMs >= 0")
+    val h: Column =
+      if (portable) Sampling.portableHash(Seq(col(urlCol)), seed.toString)
+      else Sampling.fastHash(Seq(col(urlCol)), seed)
+    val w = Window.partitionBy(col("domain"))
+      .orderBy(h.asc, col(urlCol).asc)
+    val delayMs = coalesce(
+      ceil(col(delaySecondsCol) * 1000).cast("long"), lit(defaultDelayMs))
+    df.withColumn("domain",
+        graft.plans.expressions.registrable_domain(col(urlCol), suffixRules))
+      .withColumn("fetch_order", (row_number().over(w) - 1).cast("long"))
+      .withColumn("delay_ms", delayMs)
+      .withColumn("scheduled_ms", col("fetch_order") * col("delay_ms"))
+  }
 }

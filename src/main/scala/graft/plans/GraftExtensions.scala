@@ -224,6 +224,15 @@ object GraftFunctions {
         require(args.length == 1, "graft_html_links(html)")
         HtmlLinks(args.head)
       }),
+    (FunctionIdentifier("graft_robots_crawl_delay"),
+      info("graft_robots_crawl_delay",
+        "graft_robots_crawl_delay(robots_txt) - effective Crawl-delay " +
+          "seconds for the '*' agent (group-scoped, same merge rule as " +
+          "the allow gate); NULL when no matching group declares one"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "graft_robots_crawl_delay(robots_txt)")
+        RobotsCrawlDelay(args.head, "*")
+      }),
     (FunctionIdentifier("graft_robots_sitemaps"),
       info("graft_robots_sitemaps",
         "graft_robots_sitemaps(robots_txt) - array<string> of the " +

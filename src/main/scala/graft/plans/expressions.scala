@@ -192,6 +192,13 @@ object expressions {
   def robots_sitemaps(robotsTxt: Column): Column =
     column(RobotsSitemaps(expression(robotsTxt)))
 
+  /** Effective `Crawl-delay` seconds for `agent`, null when undeclared
+    * (see [[RobotsCrawlDelay]]) — feeds the frontier's per-domain
+    * politeness spacing.
+    */
+  def robots_crawl_delay(robotsTxt: Column, agent: String = "*"): Column =
+    column(RobotsCrawlDelay(expression(robotsTxt), agent))
+
   /** Z-order value of an `array<double>` column (one element per Z-order
     * dimension); `bounds` holds `(1<<bits)-1` ascending quantile
     * boundaries per column, column-major (see [[ZValue]]).
@@ -1282,6 +1289,39 @@ case class RobotsSitemaps(child: Expression) extends UnaryExpression {
       s"${ev.value} = graft.text.RobotsTxt.sitemapUrlsData($c);")
 
   override protected def withNewChildInternal(c: Expression): RobotsSitemaps =
+    copy(child = c)
+}
+
+/** Effective `Crawl-delay` seconds of a robots.txt body for `agent` —
+  * nullable double; group-scoped selection with the same merge rule as
+  * the allow gate. The frontier scheduler's per-domain politeness
+  * input. See [[graft.text.RobotsTxt.crawlDelay]].
+  */
+case class RobotsCrawlDelay(child: Expression, agent: String)
+    extends UnaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def checkInputDataTypes() =
+    expressions.stringCheck(child, "robots_crawl_delay")
+
+  override def nullSafeEval(input: Any): Any =
+    graft.text.RobotsTxt.crawlDelayBoxed(
+      input.asInstanceOf[UTF8String], agent)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val agentRef = ctx.addReferenceObj("robotsAgent", agent,
+      "java.lang.String")
+    val boxed = ctx.freshName("crawlDelayBoxed")
+    nullSafeCodeGen(ctx, ev, c => s"""
+      java.lang.Double $boxed =
+        graft.text.RobotsTxt.crawlDelayBoxed($c, $agentRef);
+      if ($boxed == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = $boxed.doubleValue(); }
+    """)
+  }
+
+  override protected def withNewChildInternal(c: Expression): RobotsCrawlDelay =
     copy(child = c)
 }
 

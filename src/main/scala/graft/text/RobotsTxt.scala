@@ -170,6 +170,83 @@ object RobotsTxt {
     out.toSeq
   }
 
+  /** The effective `Crawl-delay` (seconds) for `agent`: the directive
+    * is GROUP-SCOPED (unlike `Sitemap:`), so group selection follows
+    * [[Robots.rulesFor]]'s rule — all groups whose best user-agent
+    * token ties the winning length are merged and the FIRST parseable
+    * crawl-delay among them wins ('*' groups as the fallback). NaN /
+    * negative / unparseable values are ignored (real robots.txt files
+    * carry junk here). Returns None when no matching group declares
+    * one — the caller keeps its default politeness delay.
+    *
+    * Crawl-delay is a de-facto extension (not in RFC 9309; Yandex/Bing
+    * honor it, Google ignores it) — implemented because the frontier
+    * scheduler is the consumer and per-domain delays are how real
+    * crawl etiquette varies.
+    */
+  def crawlDelay(body: String, agent: String = "*"): Option[Double] = {
+    val a = agent.toLowerCase(java.util.Locale.ROOT)
+    // group structure with crawl-delay kept per group: re-walk the
+    // lines with the same run-sharing rule as parse()
+    val groups = scala.collection.mutable.ArrayBuffer
+      .empty[(scala.collection.mutable.ArrayBuffer[String],
+        scala.collection.mutable.ArrayBuffer[Double])]
+    var inUaRun = false
+    body.split("\n", -1).foreach { raw =>
+      val noComment = {
+        val h = raw.indexOf('#')
+        if (h >= 0) raw.substring(0, h) else raw
+      }
+      val line = noComment.trim
+      val colon = line.indexOf(':')
+      if (colon > 0) {
+        val key = line.substring(0, colon).trim
+          .toLowerCase(java.util.Locale.ROOT)
+        val value = line.substring(colon + 1).trim
+        key match {
+          case "user-agent" =>
+            if (!inUaRun || groups.isEmpty) {
+              groups += ((scala.collection.mutable.ArrayBuffer.empty[String],
+                scala.collection.mutable.ArrayBuffer.empty[Double]))
+              inUaRun = true
+            }
+            groups.last._1 += value.toLowerCase(java.util.Locale.ROOT)
+          case "crawl-delay" =>
+            inUaRun = false
+            if (groups.nonEmpty) {
+              val d = try value.toDouble catch { case _: Throwable => -1.0 }
+              if (!d.isNaN && !d.isInfinite && d >= 0) groups.last._2 += d
+            }
+          case _ => inUaRun = false
+        }
+      }
+    }
+    var bestLen = -1
+    groups.foreach { case (uas, _) =>
+      uas.foreach { ua =>
+        if (ua != "*" && a.startsWith(ua) && ua.length > bestLen)
+          bestLen = ua.length
+      }
+    }
+    val selected =
+      if (bestLen >= 0)
+        groups.collect {
+          case (uas, ds)
+              if uas.exists(ua =>
+                ua != "*" && ua.length == bestLen && a.startsWith(ua)) =>
+            ds
+        }.flatten
+      else groups.collect { case (uas, ds) if uas.contains("*") => ds }
+        .flatten
+    selected.headOption
+  }
+
+  /** [[crawlDelay]] boxed for the codegen path (null = no directive). */
+  def crawlDelayBoxed(body: org.apache.spark.unsafe.types.UTF8String,
+                      agent: String): java.lang.Double =
+    crawlDelay(body.toString, agent)
+      .map(java.lang.Double.valueOf).orNull
+
   /** [[sitemapUrls]] in the Catalyst wire types — the codegen entry the
     * `robots_sitemaps` expression calls per row.
     */

@@ -524,40 +524,43 @@ object VocabStats {
       .withColumnRenamed("__w2", s"__w$n")
 
     // the 4·(N−1)+1 corpus integers: top count-of-counts, each middle
-    // level's continuation count-of-counts, and N1+(··) — one tiny row
+    // level's continuation count-of-counts, and N1+(··) — ONE tiny row
+    // that stays IN-PLAN (broadcast onto the scored aggregation below)
+    // rather than collecting through a separate job: a head() here
+    // would execute the whole 2..N-gram type-table pipeline TWICE
+    // (once for the discounts, once for the scores — measured as ~2×
+    // the query at order 5); in-plan, the shared aggregations dedupe
+    // through exchange reuse. The discount EXPRESSIONS are the same
+    // IEEE tree the oracle's dsc CTEs spell (int-to-double exact, same
+    // left association), evaluated from the same one-row integers, so
+    // determinism is unchanged.
     def coc(src: DataFrame, c: String, pfx: String): DataFrame = src.agg(
       count(when(col(c) === 1, 1)).as(s"${pfx}1"),
       count(when(col(c) === 2, 1)).as(s"${pfx}2"),
       count(when(col(c) === 3, 1)).as(s"${pfx}3"),
       count(when(col(c) === 4, 1)).as(s"${pfx}4"))
-    val statsRow = ((n - 1) to 2 by -1)
-      .foldLeft(coc(topT, "__c", s"s$n")) { (acc, k) =>
-        acc.crossJoin(coc(contTable(k), s"__cc$k", s"s$k"))
+    val statsDf = ((n - 1) to 2 by -1)
+      .foldLeft(coc(topT, "__c", s"__s$n")) { (acc, k) =>
+        acc.crossJoin(coc(contTable(k), s"__cc$k", s"__s$k"))
       }
-      .crossJoin(gTables(2).agg(count(lit(1)).as("b")))
-      .head()
-    val b = statsRow.getLong(statsRow.length - 1)
-    // EXACTLY the oracle's IEEE expression tree: int-to-double exact,
-    // then the same left-associated double ops; an order whose estimate
-    // is unsound (see trigramModKnNll) falls back to 0.75s
-    def discounts(n1: Long, n2: Long, n3: Long,
-                  n4: Long): (Double, Double, Double) = {
-      val haveN = n1 > 0 && n2 > 0 && n3 > 0 && n4 > 0
-      val y = if (n1 > 0) n1.toDouble / (n1 + 2 * n2).toDouble else 0.0
-      val a = if (haveN) 1.0 - 2.0 * y * n2 / n1 else 0.75
-      val bb = if (haveN) 2.0 - 3.0 * y * n3 / n2 else 0.75
-      val c = if (haveN) 3.0 - 4.0 * y * n4 / n3 else 0.75
-      val sound = haveN && a >= 0.0 && a <= 1.0 &&
-        bb >= 0.0 && bb <= 2.0 && c >= 0.0 && c <= 3.0
-      if (sound) (a, bb, c) else (0.75, 0.75, 0.75)
+      .crossJoin(gTables(2).agg(count(lit(1)).as("__b")))
+    // per-level discount COLUMNS over the stats row (oracle's dsc CTEs)
+    def discountCols(k: Int): (Column, Column, Column) = {
+      val s1 = col(s"__s${k}1"); val s2 = col(s"__s${k}2")
+      val s3 = col(s"__s${k}3"); val s4 = col(s"__s${k}4")
+      val ok = s1 > 0 && s2 > 0 && s3 > 0 && s4 > 0
+      val y = when(s1 > 0, s1 / (s1 + lit(2L) * s2)).otherwise(lit(0.0))
+      val r1 = when(ok, lit(1.0) - lit(2.0) * y * s2 / s1).otherwise(lit(0.75))
+      val r2 = when(ok, lit(2.0) - lit(3.0) * y * s3 / s2).otherwise(lit(0.75))
+      val r3 = when(ok, lit(3.0) - lit(4.0) * y * s4 / s3).otherwise(lit(0.75))
+      val sound = ok && r1 >= 0.0 && r1 <= 1.0 &&
+        r2 >= 0.0 && r2 <= 2.0 && r3 >= 0.0 && r3 <= 3.0
+      (when(sound, r1).otherwise(lit(0.75)),
+        when(sound, r2).otherwise(lit(0.75)),
+        when(sound, r3).otherwise(lit(0.75)))
     }
-    // discount triple per scoring level, top (index n) down to 2
-    val dsc: Map[Int, (Double, Double, Double)] =
-      (n to 2 by -1).map { k =>
-        val base = (n - k) * 4
-        k -> discounts(statsRow.getLong(base), statsRow.getLong(base + 1),
-          statsRow.getLong(base + 2), statsRow.getLong(base + 3))
-      }.toMap
+    val dsc: Map[Int, (Column, Column, Column)] =
+      (n to 2 by -1).map(k => k -> discountCols(k)).toMap
 
     // the model: every aux joined at TYPE mass onto the top-order table
     val model = ((n - 1) to 2 by -1).foldLeft(
@@ -570,8 +573,8 @@ object VocabStats {
         .join(bucketTable(k), (2 to k).map(pos(k, _)))
     }.join(cc1, Seq(s"__w$n"))
 
-    def disc(c: Column, t: (Double, Double, Double)): Column =
-      when(c === 1, lit(t._1)).when(c === 2, lit(t._2)).otherwise(lit(t._3))
+    def disc(c: Column, t: (Column, Column, Column)): Column =
+      when(c === 1, t._1).when(c === 2, t._2).otherwise(t._3)
 
     // tuple fields in the FOLD-SORT order the oracle replays: top
     // (c, ch, n1h..n3h), then each middle level's (cc, den, m1..m3)
@@ -589,24 +592,25 @@ object VocabStats {
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_ngrams"),
         sort_array(collect_list(struct(tupleCols: _*))).as("__ts"))
+      .crossJoin(broadcast(statsDf))
       .select(col(idCol), col("n_ngrams"),
         round(-aggregate(col("__ts"), lit(0.0), (a, x) => {
-          val puni = x.getField("__cc1") / lit(b)
+          val puni = x.getField("__cc1") / col("__b")
           val pTop = (2 to n - 1).foldLeft(puni) { (lower, k) =>
             val e = dsc(k)
             (x.getField(s"__cc$k") - disc(x.getField(s"__cc$k"), e)) /
               x.getField(s"__den$k") +
-              (lit(e._1) * x.getField(s"__m${k}1") +
-                lit(e._2) * x.getField(s"__m${k}2") +
-                lit(e._3) * x.getField(s"__m${k}3")) /
+              (e._1 * x.getField(s"__m${k}1") +
+                e._2 * x.getField(s"__m${k}2") +
+                e._3 * x.getField(s"__m${k}3")) /
                 x.getField(s"__den$k") * lower
           }
           val d = dsc(n)
           a + log(
             (x.getField("__c") - disc(x.getField("__c"), d)) /
               x.getField("__ch") +
-              (lit(d._1) * x.getField("__n1h") + lit(d._2) * x.getField("__n2h") +
-                lit(d._3) * x.getField("__n3h")) / x.getField("__ch") * pTop)
+              (d._1 * x.getField("__n1h") + d._2 * x.getField("__n2h") +
+                d._3 * x.getField("__n3h")) / x.getField("__ch") * pTop)
         }) / col("n_ngrams"), 4).as("nll"))
     df.select(col(idCol)).join(scored, Seq(idCol), "left")
       .select(col(idCol),

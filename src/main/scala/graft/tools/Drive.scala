@@ -1176,6 +1176,22 @@ object Drive {
       .count()} indexed shards -> ${smSched.select("domain").distinct()
       .count()} politeness lanes; robots discovery yields $smDisc maps")
 
+    // per-domain Crawl-delay politeness: domains declaring a delay get
+    // their own lane spacing, the rest keep the default
+    val cdBody = concat(lit("User-agent: *\n"),
+      when(col("doc_id") % 2 === 0, lit("Crawl-delay: 3\n"))
+        .otherwise(lit("Disallow: /tmp/\n")))
+    val cdSched = graft.operators.Frontier.scheduleWithDelays(
+      docs.limit(100).select(
+        concat(lit("https://cd-"), col("doc_id") % 2, lit(".org/d/"),
+          col("doc_id")).as("url"),
+        graft.plans.expressions.robots_crawl_delay(cdBody).as("cd")),
+      "url", "cd", defaultDelayMs = 500L)
+    val cdSpacing = cdSched.groupBy("domain").agg(max("delay_ms").as("d"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    println(s"[97] crawl-delay lanes: ${cdSpacing.toSeq.sorted
+      .map { case (d, ms) => s"$d@${ms}ms" }.mkString(", ")}")
+
     // fit-once/score-many: the persisted KN model serves scores that
     // equal the one-shot computation; the ARPA leg round-trips
     val knmBase = scratch("kn_model")

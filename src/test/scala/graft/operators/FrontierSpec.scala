@@ -51,4 +51,44 @@ class FrontierSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(c != a)
   }
+
+  test("scheduleWithDelays spaces each lane by ITS delay (ceil(s*1000)); " +
+       "null delays fall back to the default; order matches schedule") {
+    val rows = Seq(
+      (1L, "https://slow.org/a", Some(2.5)),
+      (2L, "https://slow.org/b", Some(2.5)),
+      (3L, "https://slow.org/c", Some(2.5)),
+      (4L, "https://fast.org/a", Some(0.1)),
+      (5L, "https://fast.org/b", Some(0.1)),
+      (6L, "https://plain.org/a", None),
+      (7L, "https://plain.org/b", None))
+      .map { case (i, u, d) => (i, u, d.map(Double.box).orNull) }
+      .toDF("id", "url", "cd")
+      .select(col("id"), col("url"), col("cd").cast("double"))
+    val out = Frontier.scheduleWithDelays(rows, "url", "cd",
+        defaultDelayMs = 750L, seed = 5L)
+      .select("id", "domain", "fetch_order", "delay_ms", "scheduled_ms")
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    out.foreach { case (id, (dom, order, delay, sched)) =>
+      val wantDelay = dom match {
+        case "slow.org"  => 2500L
+        case "fast.org"  => 100L
+        case "plain.org" => 750L
+      }
+      assert(delay == wantDelay, s"id $id delay")
+      assert(sched == order * wantDelay, s"id $id spacing")
+    }
+    // per-lane positions are a permutation
+    Seq("slow.org" -> 3, "fast.org" -> 2, "plain.org" -> 2).foreach {
+      case (d, n) =>
+        val orders = out.values.filter(_._1 == d).map(_._2).toSeq.sorted
+        assert(orders == (0L until n.toLong), s"$d lane")
+    }
+    // same hash order as the fixed-delay form
+    val fixed = Frontier.schedule(rows, "url", seed = 5L)
+      .select("id", "fetch_order").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.view.mapValues(_._2).toMap == fixed)
+  }
 }

@@ -148,6 +148,48 @@ class RobotsTxtSpec extends SparkSpec {
     assert(viaSql == viaCol)
   }
 
+  test("Crawl-delay: group-scoped with the same merge rule as the allow " +
+       "gate; fractional values; junk ignored; None when undeclared") {
+    val b =
+      """User-agent: *
+        |Crawl-delay: 2
+        |
+        |User-agent: graftbot
+        |Disallow: /x/
+        |crawl-delay: 0.5 # be nice
+        |
+        |User-agent: junkbot
+        |Crawl-delay: fast
+        |""".stripMargin
+    assert(RobotsTxt.crawlDelay(b, "anybot") == Some(2.0),
+      "unmatched agents use the * group's delay")
+    assert(RobotsTxt.crawlDelay(b, "graftbot/1.0") == Some(0.5),
+      "a matched specific group wins; fractional seconds parse")
+    assert(RobotsTxt.crawlDelay(b, "junkbot") == None,
+      "an unparseable value is ignored, and a matched group does NOT " +
+        "fall back to *")
+    assert(RobotsTxt.crawlDelay("User-agent: *\nDisallow: /\n") == None)
+    assert(RobotsTxt.crawlDelay("User-agent: *\nCrawl-delay: -3\n") == None,
+      "negative delays are junk")
+    // merged same-token groups: first parseable delay wins
+    val merged = RobotsTxt.crawlDelay(
+      "User-agent: *\nDisallow: /a/\n\nUser-agent: *\nCrawl-delay: 7\n")
+    assert(merged == Some(7.0))
+    // column + SQL parity, nullable result
+    val df = Seq(b, "User-agent: *\nDisallow: /\n").toDF("r")
+    val viaCol = df.select(
+      graft.plans.expressions.robots_crawl_delay(col("r")))
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+      .toSeq
+    assert(viaCol == Seq(Some(2.0), None))
+    df.createOrReplaceTempView("__robots_cd_probe")
+    val viaSql = spark.sql(
+      "SELECT graft_robots_crawl_delay(r) FROM __robots_cd_probe")
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+      .toSeq
+    assert(viaSql == viaCol)
+  }
+
   test("column API + SQL registration parity; memoized path matches " +
        "direct evaluation") {
     val df = Seq(("/private/a", body), ("/private/ok/a", body),
