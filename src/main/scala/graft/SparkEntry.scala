@@ -1505,6 +1505,38 @@ object SparkEntry {
           "scheduled_ms")
     }),
 
+    // PageRank over the outlink DOMAIN graph — the frontier
+    // prioritization signal. Pages are seeded HTML (each doc hosts on
+    // site-{id%101}.com and links to a rotated site-*, a second
+    // partner site on every third doc, and a cdn-*.net asset host that
+    // never links out — 13 dangling sinks), extracted by the REAL
+    // chain: html_links → registrable_domain → dedupe/self-loop drop →
+    // 8 fixed-point integer power iterations. docs with
+    // doc_id ≡ 50 (mod 101) self-link, exercising the loop filter.
+    // All-integer arithmetic: bit-identical under any partitioning and
+    // replayed exactly by the generated 8-iteration oracle
+    // (see pagerankOracleSql)
+    "crawl_pagerank" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val page = concat(
+        lit("<html><body><p>seed</p>"),
+        lit("<a href=\"https://site-"), (col("doc_id") * 7 + 3) % 101,
+        lit(".com/p/"), col("doc_id"), lit("\">next</a>"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit("<a href='https://site-"), (col("doc_id") + 50) % 101,
+            lit(".com/q'>partner</a>"))).otherwise(lit("")),
+        lit("<a href=https://cdn-"), col("doc_id") % 13,
+        lit(".net/asset.js>cdn</a>"),
+        lit("</body></html>"))
+      val links = docs
+        .select(concat(lit("site-"), col("doc_id") % 101, lit(".com"))
+          .as("src"),
+          explode(plans.expressions.html_links(page)).as("__l"))
+        .select(col("src"),
+          plans.expressions.registrable_domain(col("__l.href")).as("dst"))
+      operators.PageRank.ranks(links, "src", "dst", iterations = 8)
+    }),
+
     // the composition those two normalizers exist for: per-registrable-
     // domain caps over crawl docs (the anti-SEO-farm curation rule) —
     // registrable_domain as the group key into the salted two-phase
@@ -3033,6 +3065,64 @@ object SparkEntry {
           coalesce(sum(col("doc_id")), lit(0L)).as("ids_sum"))
     }),
 
+    // TFRecord round-trip (the TF training-data container): half the
+    // corpus exported as plain shards, half as whole-file-gzip shards
+    // (TF's GZIP compression_type), read back under one glob with
+    // per-file magic detection. Framing CRC32Cs verify on every
+    // record; string/int64 features round-trip bit-exact, so the
+    // oracle is the table itself
+    "source_tfrecord" -> ((s, dir) => {
+      val base = "/root/repo/target/tmp/q_tfrecord"
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm); f.delete(); ()
+      }
+      rm(new java.io.File(base))
+      val docs = t(s, dir, "documents")
+        .select("doc_id", "text", "lang", "source", "n_chars")
+      sources.Tfrecord.export(
+        docs.filter(col("doc_id") % 2 === 0).repartition(3, col("doc_id")),
+        base, gzip = false)
+      sources.Tfrecord.export(
+        docs.filter(col("doc_id") % 2 === 1).repartition(3, col("doc_id")),
+        base, gzip = true)
+      val schema = new org.apache.spark.sql.types.StructType()
+        .add("doc_id", LongType).add("text", StringType)
+        .add("lang", StringType).add("source", StringType)
+        .add("n_chars", LongType)
+      sources.Tfrecord.read(s, base + "/part-*", schema)
+    }),
+
+    // WebDataset round-trip (the multimodal tar-shard convention):
+    // each doc becomes a sample of two modalities — {key}.txt (the
+    // text bytes) + {key}.json (lang/source metadata via to_json) —
+    // half the corpus as plain tar shards, half as .tar.gz, read back
+    // under one glob with adjacency grouping and magic detection. The
+    // ustar layer is spec-pinned against GNU tar in WebDatasetSpec
+    "source_webdataset" -> ((s, dir) => {
+      val base = "/root/repo/target/tmp/q_wds"
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm); f.delete(); ()
+      }
+      rm(new java.io.File(base))
+      val docs = t(s, dir, "documents")
+        .select(lpad(col("doc_id").cast("string"), 8, "0").as("key"),
+          col("doc_id"), col("text"),
+          to_json(struct(col("lang"), col("source"))).as("meta"))
+      val extCols = Seq("text" -> "txt", "meta" -> "json")
+      sources.WebDataset.export(
+        docs.filter(col("doc_id") % 2 === 0).repartition(3, col("doc_id")),
+        "key", extCols, base, gzip = false)
+      sources.WebDataset.export(
+        docs.filter(col("doc_id") % 2 === 1).repartition(3, col("doc_id")),
+        "key", extCols, base, gzip = true)
+      val meta = element_at(col("parts"), "json").cast("string")
+      sources.WebDataset.read(s, base + "/shard-*")
+        .select(col("key").cast(LongType).as("doc_id"),
+          element_at(col("parts"), "txt").cast("string").as("text"),
+          get_json_object(meta, "$.lang").as("lang"),
+          get_json_object(meta, "$.source").as("source"))
+    }),
+
     "source_warc" -> ((s, dir) => {
       val base = "/root/repo/target/tmp/q_warc"
       def rm(f: java.io.File): Unit = {
@@ -3399,6 +3489,62 @@ object SparkEntry {
       |SELECT w.doc_id,
       |  CAST(coalesce(sc.n_ngrams, 0) AS BIGINT) AS n_ngrams, sc.nll
       |FROM x5ws w LEFT JOIN xsc sc ON w.doc_id = sc.doc_id""".stripMargin
+    sb.toString
+  }
+
+  /** crawl_pagerank oracle — the 8-iteration fixed-point recurrence
+    * unrolled as plain CTEs by the same loop count the Spark plan
+    * runs. Every quantity is a BIGINT (`//` is DuckDB's integer floor
+    * division = Spark's `div` on the nonnegative values here; DuckDB
+    * SUM(BIGINT) widens to HUGEINT, so each sum is cast back), so the
+    * replay is bit-exact with no FP summation order to adjudicate —
+    * the property the fixed-point design exists for.
+    */
+  private def pagerankOracleSql(iterations: Int): String = {
+    val S = "1000000000000"
+    val sb = new StringBuilder
+    sb ++= s"""WITH prl AS (
+      |  SELECT 'site-' || (doc_id % 101) || '.com' AS src,
+      |    'site-' || ((doc_id * 7 + 3) % 101) || '.com' AS dst
+      |  FROM documents
+      |  UNION ALL
+      |  SELECT 'site-' || (doc_id % 101) || '.com',
+      |    'site-' || ((doc_id + 50) % 101) || '.com'
+      |  FROM documents WHERE doc_id % 3 = 0
+      |  UNION ALL
+      |  SELECT 'site-' || (doc_id % 101) || '.com',
+      |    'cdn-' || (doc_id % 13) || '.net'
+      |  FROM documents),
+      |pre AS (SELECT DISTINCT src, dst FROM prl WHERE src <> dst),
+      |prdeg AS (SELECT src, count(*) AS deg FROM pre GROUP BY src),
+      |prn0 AS (SELECT src AS node FROM pre UNION SELECT dst FROM pre),
+      |prnn AS (SELECT count(*) AS n FROM prn0),
+      |pr0 AS (SELECT node, $S // n AS r FROM prn0 CROSS JOIN prnn),\n""".stripMargin
+    for (k <- 1 to iterations) {
+      sb ++= s"""prd$k AS (
+        |  SELECT COALESCE(CAST(SUM(p.r) AS BIGINT), 0) AS d
+        |  FROM pr${k - 1} p LEFT JOIN prdeg o ON p.node = o.src
+        |  WHERE o.src IS NULL),
+        |prm$k AS (
+        |  SELECT e.dst AS node, CAST(SUM(p.r // o.deg) AS BIGINT) AS s
+        |  FROM pre e JOIN pr${k - 1} p ON e.src = p.node
+        |  JOIN prdeg o ON e.src = o.src
+        |  GROUP BY e.dst),
+        |pr$k AS (
+        |  SELECT n0.node,
+        |    ((15 * $S) // 100) // nn.n
+        |      + (85 * (COALESCE(m.s, 0) + (dd.d // nn.n))) // 100 AS r
+        |  FROM prn0 n0 CROSS JOIN prnn nn CROSS JOIN prd$k dd
+        |  LEFT JOIN prm$k m ON n0.node = m.node),\n""".stripMargin
+    }
+    sb ++= s"""prfin AS (SELECT node, r FROM pr$iterations)
+      |SELECT n0.node AS node,
+      |  CAST(COALESCE(o.deg, 0) AS BIGINT) AS out_degree,
+      |  i.r AS rank_fp,
+      |  CAST(i.r AS DOUBLE) / 1e12 AS rank
+      |FROM prn0 n0
+      |LEFT JOIN prdeg o ON n0.node = o.src
+      |JOIN prfin i ON n0.node = i.node""".stripMargin
     sb.toString
   }
 
@@ -4936,6 +5082,11 @@ object SparkEntry {
         |    ELSE NULL END AS second_sitemap
         |FROM documents""".stripMargin,
 
+    // the seeded link rule replays in closed form; the 8 power
+    // iterations unroll as generated CTEs over all-BIGINT arithmetic
+    // (see pagerankOracleSql — built by the same loop as the Spark plan)
+    "crawl_pagerank" -> pagerankOracleSql(8),
+
     // the urlset entries and the portable schedule both replay in
     // closed form (the index leg is require()-pinned in the query)
     "source_sitemap" ->
@@ -6314,6 +6465,16 @@ object SparkEntry {
         |UNION ALL
         |SELECT '__corrupt', CAST(3 AS BIGINT), CAST(0 AS BIGINT),
         |       CAST(0 AS BIGINT)""".stripMargin,
+
+    // string/int64 features round-trip the Example wire format
+    // bit-exact, so the read-back IS the table
+    "source_tfrecord" ->
+      "SELECT doc_id, text, lang, source, n_chars FROM documents",
+
+    // text and metadata round-trip the tar container bit-exact, so the
+    // read-back is the table (the json detour replays as identity)
+    "source_webdataset" ->
+      "SELECT doc_id, text, lang, source FROM documents",
 
     // quality gate replayed from the quality_score oracle, then the
     // identical cross-batch keep-first relation over the SURVIVORS

@@ -1228,6 +1228,47 @@ object Drive {
       .filter(col("f") === col("text")).count()
     println(s"[80] mojibake repair restores $mjN of ${docs.count()} docs")
 
+    // PageRank over a seeded outlink domain graph: hubs beat sinks and
+    // the fixed-point integer mass stays conserved up to truncation
+    val prEdges = docs.select(
+      concat(lit("site-"), col("doc_id") % 11, lit(".com")).as("src"),
+      concat(lit("site-"), (col("doc_id") * 3 + 1) % 11, lit(".com"))
+        .as("dst"))
+    val pr = graft.operators.PageRank.ranks(prEdges, "src", "dst")
+    val prTotal = pr.agg(sum("rank_fp")).head().getLong(0)
+    val prTop = pr.orderBy(col("rank_fp").desc).limit(1)
+      .select("node", "rank").head()
+    println(f"[98] pagerank: ${pr.count()} domains, total fp mass " +
+      f"$prTotal (of 1e12), top ${prTop.getString(0)} @ " +
+      f"${prTop.getDouble(1)}%.4f")
+
+    // TFRecord: docs -> framed Example shards -> read-back equality
+    val tfrBase = scratch("tfrecord")
+    graft.sources.Tfrecord.export(
+      docs.select("doc_id", "text", "lang").repartition(2), tfrBase)
+    val tfrSchema = new org.apache.spark.sql.types.StructType()
+      .add("doc_id", org.apache.spark.sql.types.LongType)
+      .add("text", org.apache.spark.sql.types.StringType)
+      .add("lang", org.apache.spark.sql.types.StringType)
+    val tfrBack = graft.sources.Tfrecord.read(
+      spark, tfrBase + "/part-*", tfrSchema)
+    val tfrMatch = tfrBack.join(docs.select(col("doc_id"),
+        col("text").as("t0")), Seq("doc_id"))
+      .filter(col("text") === col("t0")).count()
+    println(s"[99] tfrecord: $tfrMatch of ${docs.count()} docs " +
+      "round-trip the Example wire format bit-exact")
+
+    // WebDataset: two-modality tar samples -> adjacency-grouped read
+    val wdsBase = scratch("webdataset")
+    graft.sources.WebDataset.export(
+      docs.select(lpad(col("doc_id").cast("string"), 6, "0").as("k"),
+        col("text"), col("lang")).repartition(2),
+      "k", Seq("text" -> "txt", "lang" -> "cls"), wdsBase)
+    val wdsBack = graft.sources.WebDataset.read(spark, wdsBase + "/shard-*")
+    val wdsTwo = wdsBack.filter(size(col("parts")) === 2).count()
+    println(s"[100] webdataset: ${wdsBack.count()} tar samples, " +
+      s"$wdsTwo carrying both modalities")
+
     spark.stop()
   }
 }
