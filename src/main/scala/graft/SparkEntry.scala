@@ -1078,6 +1078,34 @@ object SparkEntry {
       text.NaiveBayes.classify(t(s, dir, "documents"),
         "doc_id", "text", "source")),
 
+    // the TRAINED member of the seed-classifier family: 5 full-batch
+    // epochs of the integer perceptron on en-vs-rest over integer
+    // count features (bias/tokens/chars/digits/punct). All-BIGINT
+    // updates are bit-deterministic under any partitioning and the
+    // generated oracle replays the entire fit epoch by epoch (see
+    // perceptronOracleSql — built by the same loop count as the fit)
+    "quality_perceptron" -> ((s, dir) => {
+      val feats = t(s, dir, "documents").select(col("doc_id"),
+        when(col("lang") === "en", 1L).otherwise(-1L).as("label"),
+        lit(1L).as("x_bias"),
+        text.TextAnalysis.tokenCountWhitespace(col("text"))
+          .cast(LongType).as("x_tokens"),
+        // chars BUCKETED per the Perceptron scaling contract (raw
+        // magnitudes make the unit-step batch iterate limit-cycle)
+        expr("length(text) div 100").as("x_chars"),
+        (length(col("text")) -
+          length(regexp_replace(col("text"), "[0-9]", "")))
+          .cast(LongType).as("x_digits"),
+        (length(col("text")) -
+          length(regexp_replace(col("text"), "[.,!?;:]", "")))
+          .cast(LongType).as("x_punct"))
+      val cols = Seq("x_bias", "x_tokens", "x_chars", "x_digits",
+        "x_punct")
+      val model = ml.Perceptron.fit(feats, cols, "label", epochs = 5)
+      ml.Perceptron.score(feats, model)
+        .select(col("doc_id"), col("label"), col("score"), col("pred"))
+    }),
+
     // BM25 top-20 for a 3-term query ('dup' is the selective term —
     // high idf — so the ranking exercises both idf extremes); per-doc
     // term triples sort before the float fold, cut on rounded score
@@ -3548,6 +3576,52 @@ object SparkEntry {
     sb.toString
   }
 
+  /** quality_perceptron oracle — the full-batch integer-perceptron fit
+    * unrolled epoch by epoch (same loop count as the Spark fit). The
+    * one-row weight vector threads through the epochs as a CTE; `max`
+    * over the cross-joined constants avoids a GROUP BY so there is no
+    * alias-shadowing ambiguity, and every SUM casts back from DuckDB's
+    * HUGEINT. All-BIGINT, so the replay is bit-exact.
+    */
+  private def perceptronOracleSql(epochs: Int): String = {
+    val js = 0 until 5
+    val margin = js.map(j => s"pw.w$j * f.x$j").mkString(" + ")
+    val sb = new StringBuilder
+    sb ++= """WITH pf AS (
+      |  SELECT doc_id,
+      |    CASE WHEN lang = 'en' THEN CAST(1 AS BIGINT)
+      |      ELSE CAST(-1 AS BIGINT) END AS y,
+      |    CAST(1 AS BIGINT) AS x0,
+      |    CAST(length(list_filter(string_split_regex(text, '\s+'),
+      |      x -> length(x) > 0)) AS BIGINT) AS x1,
+      |    CAST(length(text) // 100 AS BIGINT) AS x2,
+      |    CAST(length(text)
+      |      - length(regexp_replace(text, '[0-9]', '', 'g'))
+      |      AS BIGINT) AS x3,
+      |    CAST(length(text)
+      |      - length(regexp_replace(text, '[.,!?;:]', '', 'g'))
+      |      AS BIGINT) AS x4
+      |  FROM documents),
+      |pe0 AS (SELECT """.stripMargin
+    sb ++= js.map(j => s"CAST(0 AS BIGINT) AS w$j").mkString(", ")
+    sb ++= "),\n"
+    for (k <- 1 to epochs) {
+      val ws = js.map { j =>
+        s"""    max(pw.w$j) + COALESCE(CAST(SUM(CASE
+           |      WHEN f.y * ($margin) <= 0
+           |      THEN f.y * f.x$j END) AS BIGINT), 0) AS w$j""".stripMargin
+      }.mkString(",\n")
+      sb ++= s"pe$k AS (\n  SELECT\n$ws\n  FROM pf f CROSS JOIN pe${k - 1} pw),\n"
+    }
+    val score = js.map(j => s"w.w$j * f.x$j").mkString(" + ")
+    sb ++= s"""pfin AS (SELECT * FROM pe$epochs)
+      |SELECT f.doc_id, f.y AS label,
+      |  ($score) AS score,
+      |  ($score) > 0 AS pred
+      |FROM pf f CROSS JOIN pfin w""".stripMargin
+    sb.toString
+  }
+
   /** Query names whose oracle is a GOLDEN LITERAL valid only for the
     * sf0.01 dataset (see the dedup_simhash entry). [[oracleSqlFor]] omits
     * them at any other scale factor, falling back to the driver's
@@ -4892,6 +4966,10 @@ object SparkEntry {
          |WHERE CAST(concat('0x',
          |    substr(md5(concat_ws(chr(1), doc_id, '13')), 1, 15)) AS BIGINT)
          |  % 100 < CASE bucket WHEN 1 THEN 100 WHEN 2 THEN 50 ELSE 10 END""".stripMargin,
+
+    // the 5-epoch integer-perceptron fit replayed epoch by epoch in
+    // all-BIGINT arithmetic (see perceptronOracleSql)
+    "quality_perceptron" -> perceptronOracleSql(5),
 
     // replays the sparse NB decomposition: same (c, tf) int sort before
     // the evidence fold, same closed-form ln(alpha) term for unmatched

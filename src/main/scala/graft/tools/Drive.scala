@@ -1269,6 +1269,23 @@ object Drive {
     println(s"[100] webdataset: ${wdsBack.count()} tar samples, " +
       s"$wdsTwo carrying both modalities")
 
+    // integer perceptron on a separable, roughly BALANCED target
+    // (chars >= 300, near the corpus median) over a BUCKETED feature
+    // (chars div 100 — the integer feature-scaling the scaladoc
+    // requires); the trainer should drive mistakes to ~zero, and the
+    // base rate can't fake it
+    val pFeats = docs.select(
+      lit(1L).as("bias"),
+      expr("length(text) div 100").as("cbkt"))
+      .withColumn("label",
+        when(col("cbkt") >= 3, 1L).otherwise(-1L))
+    val pModel = graft.ml.Perceptron.fit(pFeats,
+      Seq("bias", "cbkt"), "label", epochs = 25)
+    val pAcc = graft.ml.Perceptron.score(pFeats, pModel)
+      .filter((col("label") === 1L) === col("pred")).count()
+    println(s"[101] perceptron: w=${pModel.weights.mkString("[", ",", "]")}" +
+      s" recovers the chars>=300 threshold on $pAcc of ${docs.count()} docs")
+
     spark.stop()
   }
 }
