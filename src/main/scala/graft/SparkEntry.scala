@@ -2033,6 +2033,21 @@ object SparkEntry {
     // step k"; horizon anchored at the first entry (the funnel-tool
     // convention). Per-entrant rows — the oracle replays the same
     // min-chain in closed CTEs
+    // exact top-10 heavy hitters via the two-pass Misra-Gries sweep:
+    // 13 heavy keys carry ~70% of events, the tail is per-event
+    // singletons (cardinality >> the 512-counter budget, so the MG
+    // decrement path really runs); the in-operator certificate
+    // (cnt_k·(capacity+1) > N) proves the result exact, which is why a
+    // plain groupBy top-k oracle replays it
+    "events_heavy_hitters" -> ((s, dir) => {
+      val key = when(col("user_id") % 10 < 7,
+          concat(lit("heavy-"), col("user_id") % 13))
+        .otherwise(concat(lit("one-"), col("event_id")))
+      operators.HeavyHitters.topK(
+        t(s, dir, "events").select(key.as("hh_key")), "hh_key",
+        k = 10, capacity = 512)
+    }),
+
     "events_funnel" -> ((s, dir) =>
       operators.Funnel.funnelReport(t(s, dir, "events"),
         "user_id", "event_type", "ts",
@@ -5545,6 +5560,20 @@ object SparkEntry {
 
     // greedy min-chain: ts1 = first view; ts2 = first click after ts1;
     // ts3 = first purchase after ts2; completed iff ts3 within 1h of ts1
+    // the certificate makes the two-pass sweep exact, so the oracle is
+    // the plain top-k with the same (cnt desc, key asc) tie-break
+    "events_heavy_hitters" ->
+      """WITH hk AS (
+        |  SELECT CASE WHEN user_id % 10 < 7
+        |    THEN 'heavy-' || (user_id % 13)
+        |    ELSE 'one-' || event_id END AS key
+        |  FROM events),
+        |c AS (SELECT key, count(*) AS cnt FROM hk GROUP BY key),
+        |r AS (SELECT key, cnt,
+        |  row_number() OVER (ORDER BY cnt DESC, key) AS rank FROM c)
+        |SELECT key, cnt, CAST(rank AS BIGINT) AS rank
+        |FROM r WHERE rank <= 10""".stripMargin,
+
     "events_funnel" ->
       """WITH s1 AS (
         |  SELECT user_id, min(ts) AS ts1 FROM events

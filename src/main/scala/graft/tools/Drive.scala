@@ -1286,6 +1286,17 @@ object Drive {
     println(s"[101] perceptron: w=${pModel.weights.mkString("[", ",", "]")}" +
       s" recovers the chars>=300 threshold on $pAcc of ${docs.count()} docs")
 
+    // heavy hitters: two-pass MG sweep with the exactness certificate,
+    // over a synthetic skew (hot sources over singleton tails)
+    val hhKey = when(col("doc_id") % 5 < 4,
+        concat(lit("hot-"), col("doc_id") % 3))
+      .otherwise(concat(lit("solo-"), col("doc_id")))
+    val hh = graft.operators.HeavyHitters.topK(
+      docs.select(hhKey.as("k")), "k", k = 3, capacity = 64).collect()
+    println(s"[102] heavy hitters: top-3 " +
+      hh.map(r => s"${r.getString(0)}=${r.getLong(1)}").mkString(", ") +
+      " (certificate held)")
+
     spark.stop()
   }
 }
