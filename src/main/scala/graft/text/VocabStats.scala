@@ -470,7 +470,10 @@ object VocabStats {
     // histories the type recursion below doesn't build
     require(order >= 3 && order <= 8, s"need 3 <= order <= 8, got $order")
     val n = order
+    // tokenization feeds every k-gram stream (k = 2..N, plus the scored
+    // top-order stream) — persist it once
     val ws = df.select(col(idCol), words(col(textCol)).as("__ws"))
+      .persist()
 
     // k-gram occurrence stream by positional transform (no self-joins);
     // columns __w1.. __wK name the positions inside the k-gram
@@ -508,16 +511,23 @@ object VocabStats {
       .agg(count(lit(1)).as(s"__cc$k"))
       .select((2 to k + 1).map(j => col(s"__w$j").as(pos(k, j))) :+
         col(s"__cc$k"): _*)
-    def denTable(k: Int): DataFrame = gTables(k + 1)
-      .groupBy((2 to k).map(j => col(s"__w$j")): _*)
-      .agg(count(lit(1)).as(s"__den$k"))
-      .select((2 to k).map(j => col(s"__w$j").as(pos(k, j))) :+
-        col(s"__den$k"): _*)
-    def bucketTable(k: Int): DataFrame = contTable(k)
+    // den + γ buckets + the exact-3/exact-4 cells the discount stats
+    // need, in ONE aggregation over the continuation table: the
+    // denominator c(w2..wk·) counts (w1, w_{k+1}) TYPE pairs, which is
+    // exactly Σ over w_{k+1} of the continuation counts — so deriving
+    // it here saves a separate full aggregation (and join) per level,
+    // and the global count-of-counts below reduce to sums of these
+    // per-context cells instead of re-aggregating the level
+    def denBucketTable(k: Int): DataFrame = contTable(k)
       .groupBy((2 to k).map(j => col(pos(k, j))): _*).agg(
+        sum(col(s"__cc$k")).as(s"__den$k"),
         count(when(col(s"__cc$k") === 1, 1)).as(s"__m${k}1"),
         count(when(col(s"__cc$k") === 2, 1)).as(s"__m${k}2"),
-        count(when(col(s"__cc$k") >= 3, 1)).as(s"__m${k}3"))
+        count(when(col(s"__cc$k") >= 3, 1)).as(s"__m${k}3"),
+        count(when(col(s"__cc$k") === 3, 1)).as(s"__m${k}3x"),
+        count(when(col(s"__cc$k") === 4, 1)).as(s"__m${k}4x"))
+    val denBuckets: Map[Int, DataFrame] =
+      (2 until n).map(k => k -> denBucketTable(k)).toMap
 
     val cc1 = gTables(2).groupBy(col("__w2"))
       .agg(count(lit(1)).as("__cc1"))
@@ -541,7 +551,13 @@ object VocabStats {
       count(when(col(c) === 4, 1)).as(s"${pfx}4"))
     val statsDf = ((n - 1) to 2 by -1)
       .foldLeft(coc(topT, "__c", s"__s$n")) { (acc, k) =>
-        acc.crossJoin(coc(contTable(k), s"__cc$k", s"__s$k"))
+        // middle-level count-of-counts = sums of the per-context cells
+        // already aggregated in denBuckets (s_k,i = Σ_contexts m_k,i)
+        acc.crossJoin(denBuckets(k).agg(
+          coalesce(sum(s"__m${k}1"), lit(0L)).as(s"__s${k}1"),
+          coalesce(sum(s"__m${k}2"), lit(0L)).as(s"__s${k}2"),
+          coalesce(sum(s"__m${k}3x"), lit(0L)).as(s"__s${k}3"),
+          coalesce(sum(s"__m${k}4x"), lit(0L)).as(s"__s${k}4")))
       }
       .crossJoin(gTables(2).agg(count(lit(1)).as("__b")))
     // per-level discount COLUMNS over the stats row (oracle's dsc CTEs)
@@ -569,8 +585,8 @@ object VocabStats {
         .join(topBuckets, (1 until n).map(s"__w" + _))) { (acc, k) =>
       acc
         .join(contTable(k), (2 to k + 1).map(pos(k, _)))
-        .join(denTable(k), (2 to k).map(pos(k, _)))
-        .join(bucketTable(k), (2 to k).map(pos(k, _)))
+        .join(denBuckets(k).drop(s"__m${k}3x", s"__m${k}4x"),
+          (2 to k).map(pos(k, _)))
     }.join(cc1, Seq(s"__w$n"))
 
     def disc(c: Column, t: (Column, Column, Column)): Column =
