@@ -1312,6 +1312,13 @@ object SparkEntry {
       val model = text.Gpt2Bpe.load(
         text.Gpt2Bpe.exportVocabJson(fitted),
         text.Gpt2Bpe.exportMergesTxt(fitted))
+      // the MODERN single-file format must carry the identical model:
+      // tokenizer.json export -> load lands on the same encoder+merges
+      // (output-neutral pin; the format itself is spec-tested)
+      val (hfModel, _) = text.Gpt2Bpe.loadTokenizerJson(
+        text.Gpt2Bpe.exportTokenizerJson(fitted))
+      require(hfModel == model,
+        "tokenizer.json round-trip diverged from vocab.json+merges.txt")
       docs.select(col("source"),
           text.Gpt2Bpe.encode(col("text"), model).as("__ids"))
         .groupBy("source").agg(
@@ -1563,6 +1570,46 @@ object SparkEntry {
         .select(col("src"),
           plans.expressions.registrable_domain(col("__l.href")).as("dst"))
       operators.PageRank.ranks(links, "src", "dst", iterations = 8)
+    }),
+
+    // the composition the rank exists for: PageRank feeds the frontier
+    // — every fetch gets its domain's rank and a global domain
+    // priority (rank desc, domain asc), alongside the politeness lane
+    // order from Frontier.schedule (portable hash, seed 17). Same
+    // seeded graph as crawl_pagerank; the priority window runs over
+    // the DOMAIN table (|V| rows), not the fetch rows
+    "crawl_priority" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val page = concat(
+        lit("<html><body><p>seed</p>"),
+        lit("<a href=\"https://site-"), (col("doc_id") * 7 + 3) % 101,
+        lit(".com/p/"), col("doc_id"), lit("\">next</a>"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit("<a href='https://site-"), (col("doc_id") + 50) % 101,
+            lit(".com/q'>partner</a>"))).otherwise(lit("")),
+        lit("<a href=https://cdn-"), col("doc_id") % 13,
+        lit(".net/asset.js>cdn</a>"),
+        lit("</body></html>"))
+      val links = docs
+        .select(concat(lit("site-"), col("doc_id") % 101, lit(".com"))
+          .as("src"),
+          explode(plans.expressions.html_links(page)).as("__l"))
+        .select(col("src"),
+          plans.expressions.registrable_domain(col("__l.href")).as("dst"))
+      val ranks = operators.PageRank.ranks(links, "src", "dst", 8)
+      import org.apache.spark.sql.expressions.Window
+      val domPrio = ranks.select(col("node").as("domain"), col("rank_fp"),
+        row_number().over(
+          Window.orderBy(col("rank_fp").desc, col("node").asc))
+          .cast(LongType).as("priority"))
+      val urls = docs.select(col("doc_id"),
+        concat(lit("https://site-"), col("doc_id") % 101, lit(".com/p/"),
+          col("doc_id")).as("url"))
+      operators.Frontier.schedule(urls, "url", delayMs = 1000L,
+        seed = 17L, portable = true)
+        .join(domPrio, Seq("domain"))
+        .select(col("doc_id"), col("domain"), col("fetch_order"),
+          col("rank_fp"), col("priority"))
     }),
 
     // the composition those two normalizers exist for: per-registrable-
@@ -3543,10 +3590,14 @@ object SparkEntry {
     * replay is bit-exact with no FP summation order to adjudicate —
     * the property the fixed-point design exists for.
     */
-  private def pagerankOracleSql(iterations: Int): String = {
+  /** Shared CTE body for the PageRank oracles: seeded edges, degrees,
+    * nodes, and the unrolled fixed-point iterations through
+    * `prfin(node, r)`.
+    */
+  private def pagerankOracleCtes(iterations: Int): String = {
     val S = "1000000000000"
     val sb = new StringBuilder
-    sb ++= s"""WITH prl AS (
+    sb ++= s"""prl AS (
       |  SELECT 'site-' || (doc_id % 101) || '.com' AS src,
       |    'site-' || ((doc_id * 7 + 3) % 101) || '.com' AS dst
       |  FROM documents
@@ -3580,7 +3631,12 @@ object SparkEntry {
         |  FROM prn0 n0 CROSS JOIN prnn nn CROSS JOIN prd$k dd
         |  LEFT JOIN prm$k m ON n0.node = m.node),\n""".stripMargin
     }
-    sb ++= s"""prfin AS (SELECT node, r FROM pr$iterations)
+    sb ++= s"""prfin AS (SELECT node, r FROM pr$iterations)""".stripMargin
+    sb.toString
+  }
+
+  private def pagerankOracleSql(iterations: Int): String =
+    s"""WITH ${pagerankOracleCtes(iterations)}
       |SELECT n0.node AS node,
       |  CAST(COALESCE(o.deg, 0) AS BIGINT) AS out_degree,
       |  i.r AS rank_fp,
@@ -3588,8 +3644,36 @@ object SparkEntry {
       |FROM prn0 n0
       |LEFT JOIN prdeg o ON n0.node = o.src
       |JOIN prfin i ON n0.node = i.node""".stripMargin
-    sb.toString
-  }
+
+  /** crawl_priority oracle: the PageRank body, a global domain
+    * priority (rank_fp desc, domain asc), and the portable-hash
+    * politeness lanes replayed in closed form (the source_sitemap
+    * pattern) — the seeded page URLs' registrable domain is
+    * `site-{doc_id%101}.com` by construction.
+    */
+  private def crawlPriorityOracleSql(iterations: Int): String =
+    s"""WITH ${pagerankOracleCtes(iterations)},
+      |dp AS (
+      |  SELECT n0.node AS domain, i.r AS rank_fp,
+      |    CAST(row_number() OVER (ORDER BY i.r DESC, n0.node)
+      |      AS BIGINT) AS priority
+      |  FROM prn0 n0 JOIN prfin i ON n0.node = i.node),
+      |pu AS (
+      |  SELECT doc_id,
+      |    'https://site-' || (doc_id % 101) || '.com/p/' || doc_id AS url,
+      |    'site-' || (doc_id % 101) || '.com' AS domain
+      |  FROM documents),
+      |ph AS (
+      |  SELECT doc_id, domain, url,
+      |    CAST(concat('0x',
+      |      substr(md5(concat_ws(chr(1), url, '17')), 1, 15)) AS BIGINT)
+      |      AS hv
+      |  FROM pu)
+      |SELECT ph.doc_id, ph.domain,
+      |  CAST(row_number() OVER (PARTITION BY ph.domain ORDER BY hv, url)
+      |    - 1 AS BIGINT) AS fetch_order,
+      |  dp.rank_fp, dp.priority
+      |FROM ph JOIN dp ON ph.domain = dp.domain""".stripMargin
 
   /** quality_perceptron oracle — the full-batch integer-perceptron fit
     * unrolled epoch by epoch (same loop count as the Spark fit). The
@@ -5179,6 +5263,11 @@ object SparkEntry {
     // iterations unroll as generated CTEs over all-BIGINT arithmetic
     // (see pagerankOracleSql — built by the same loop as the Spark plan)
     "crawl_pagerank" -> pagerankOracleSql(8),
+
+    // rank body shared with crawl_pagerank; lanes replay via the
+    // portable md5 hash, priority via the same (rank desc, domain)
+    // window (see crawlPriorityOracleSql)
+    "crawl_priority" -> crawlPriorityOracleSql(8),
 
     // the urlset entries and the portable schedule both replay in
     // closed form (the index leg is require()-pinned in the query)

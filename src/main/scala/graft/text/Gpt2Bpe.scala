@@ -210,6 +210,101 @@ object Gpt2Bpe {
     ("#version: 0.2" +: model.merges.map { case (a, b) => s"$a $b" })
       .mkString("\n") + "\n"
 
+  /** Parse the MODERN single-file format — huggingface/tokenizers'
+    * `tokenizer.json` (the file every HF `PreTrainedTokenizerFast`
+    * ships): `model.type` must be `"BPE"`, `model.vocab` is the
+    * token→id object, and `model.merges` is an array of either
+    * `"a b"` strings (tokenizers < 0.20) or `["a", "b"]` pairs
+    * (0.20+) — both published encodings accepted. Returns the model
+    * plus the `added_tokens` contents flagged `special: true`, ready
+    * for [[specialsOf]]/`addedTokens`-aware encoding. The
+    * normalizer / pre_tokenizer / decoder specs are NOT interpreted —
+    * this loader targets byte-level-BPE files whose pre-tokenization
+    * is the GPT-2 convention [[preTokenize]] implements; a file
+    * declaring some other scheme still loads, but encoding follows the
+    * GPT-2 rules (same stance as the `.tiktoken` loader).
+    */
+  def loadTokenizerJson(json: String): (Model, Vector[String]) = {
+    val root = mapper.readTree(json)
+    val m = root.get("model")
+    require(m != null && m.isObject, "tokenizer.json: missing model object")
+    val tpe = Option(m.get("type")).map(_.asText()).getOrElse("")
+    require(tpe == "BPE", s"tokenizer.json: model.type '$tpe' is not BPE")
+    val vocabNode = m.get("vocab")
+    require(vocabNode != null && vocabNode.isObject,
+      "tokenizer.json: model.vocab must be an object")
+    val enc = Map.newBuilder[String, Int]
+    val it = vocabNode.fields()
+    while (it.hasNext) {
+      val e = it.next()
+      enc += e.getKey -> e.getValue.asInt()
+    }
+    val mergesNode = m.get("merges")
+    require(mergesNode != null && mergesNode.isArray,
+      "tokenizer.json: model.merges must be an array")
+    val merges = Vector.newBuilder[(String, String)]
+    val mit = mergesNode.elements()
+    while (mit.hasNext) {
+      val n = mit.next()
+      if (n.isArray) {
+        require(n.size == 2,
+          s"tokenizer.json: merge pair arity ${n.size}")
+        merges += ((n.get(0).asText(), n.get(1).asText()))
+      } else {
+        val l = n.asText()
+        val sp = l.indexOf(' ')
+        require(sp > 0 && l.indexOf(' ', sp + 1) < 0,
+          s"tokenizer.json: merge is not one space-separated pair: '$l'")
+        merges += ((l.substring(0, sp), l.substring(sp + 1)))
+      }
+    }
+    val specials = Vector.newBuilder[String]
+    val added = root.get("added_tokens")
+    if (added != null && added.isArray) {
+      val ait = added.elements()
+      while (ait.hasNext) {
+        val a = ait.next()
+        if (Option(a.get("special")).exists(_.asBoolean(false)))
+          specials += a.get("content").asText()
+      }
+    }
+    (Model(enc.result(), merges.result()).validated, specials.result())
+  }
+
+  /** [[loadTokenizerJson]] from a local file (driver-side). */
+  def loadTokenizerJsonFile(path: String): (Model, Vector[String]) =
+    loadTokenizerJson(new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
+      java.nio.charset.StandardCharsets.UTF_8))
+
+  /** Serialize as a minimal valid `tokenizer.json` (BPE model, merges
+    * in the `"a b"` string form both tokenizers generations read,
+    * `added_tokens` marked special). `loadTokenizerJson` round-trips
+    * it exactly.
+    */
+  def exportTokenizerJson(model: Model,
+                          specials: Seq[String] = Nil): String = {
+    val root = mapper.createObjectNode()
+    root.put("version", "1.0")
+    val addedArr = root.putArray("added_tokens")
+    specials.zipWithIndex.foreach { case (t, i) =>
+      val a = addedArr.addObject()
+      // an added token may already hold a vocab id (GPT-2 places
+      // <|endoftext|> in the encoder); fresh ones append after it
+      a.put("id", model.encoder.getOrElse(t, model.encoder.size + i))
+      a.put("content", t)
+      a.put("special", true)
+      ()
+    }
+    val m = root.putObject("model")
+    m.put("type", "BPE")
+    val v = m.putObject("vocab")
+    model.encoder.toSeq.sortBy(_._2).foreach { case (t, i) => v.put(t, i) }
+    val ma = m.putArray("merges")
+    model.merges.foreach { case (a, b) => ma.add(s"$a $b") }
+    mapper.writeValueAsString(root)
+  }
+
   /** Learn a byte-level model from a bounded corpus sample — the same
     * deterministic pair-frequency loop as [[Bpe.fit]], but over
     * case-preserving GPT-2 pre-tokens in byte-unit space (EVERY pre-token

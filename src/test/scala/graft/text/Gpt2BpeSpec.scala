@@ -330,4 +330,65 @@ class Gpt2BpeSpec extends SparkSpec {
         }
       }
   }
+
+  test("tokenizer.json round-trips and reads both merge encodings") {
+    import spark.implicits._
+    val model = Gpt2Bpe.fit(
+      Seq("hello hi hello world", "hi there hello").toDF("text"),
+      "text", numMerges = 10)
+    val (back, specials) = Gpt2Bpe.loadTokenizerJson(
+      Gpt2Bpe.exportTokenizerJson(model, Seq("<|endoftext|>")))
+    assert(back == model)
+    assert(specials == Vector("<|endoftext|>"))
+    // the tokenizers >= 0.20 pair-array merge encoding parses
+    // identically: rewrite the exported "a b" strings into ["a","b"]
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.readTree(Gpt2Bpe.exportTokenizerJson(model))
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    val m = root.get("model")
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    val pairs = mapper.createArrayNode()
+    m.get("merges").elements().forEachRemaining { n =>
+      val sp = n.asText().indexOf(' ')
+      val arr = mapper.createArrayNode()
+      arr.add(n.asText().substring(0, sp))
+      arr.add(n.asText().substring(sp + 1))
+      pairs.add(arr)
+      ()
+    }
+    m.set("merges", pairs)
+    val (fromPairs, none) =
+      Gpt2Bpe.loadTokenizerJson(mapper.writeValueAsString(root))
+    assert(fromPairs == model)
+    assert(none.isEmpty)
+    // non-BPE files are refused, not mis-read
+    val e = intercept[IllegalArgumentException] {
+      Gpt2Bpe.loadTokenizerJson(
+        """{"model": {"type": "WordPiece", "vocab": {}}}""")
+    }
+    assert(e.getMessage.contains("not BPE"))
+  }
+
+  test("tokenizer.json specials: only special:true added_tokens surface") {
+    import spark.implicits._
+    val model = Gpt2Bpe.fit(Seq("some text here").toDF("text"),
+      "text", numMerges = 5)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.readTree(Gpt2Bpe.exportTokenizerJson(model))
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    val added = root.putArray("added_tokens")
+    val a1 = added.addObject()
+    a1.put("id", model.encoder.size)
+    a1.put("content", "<|endoftext|>")
+    a1.put("special", true)
+    val a2 = added.addObject()
+    a2.put("id", model.encoder.size + 1)
+    a2.put("content", "madeupword")
+    a2.put("special", false)
+    val (m2, specials) =
+      Gpt2Bpe.loadTokenizerJson(mapper.writeValueAsString(root))
+    assert(m2 == model)
+    assert(specials == Vector("<|endoftext|>"),
+      "non-special added tokens must not become specials")
+  }
 }
