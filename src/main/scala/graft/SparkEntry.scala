@@ -1833,6 +1833,59 @@ object SparkEntry {
     // exact keep-first dedup → managed table. Every stage is an
     // already-verified operator; the composition pins that they agree
     // on boundaries (binary→string, extraction exactness, gate parity)
+    // the FRONTIER recipe end to end: seeded pages → html_links →
+    // canonicalize_url → registrable_domain → RFC 9309 robots gate
+    // (per-domain body: /private/ everywhere, /asset/ on cdn hosts) →
+    // Bloom-prefiltered unseen against the already-crawled set (exact
+    // composition) → per-domain cap → politeness schedule. Two
+    // require()s pin that the gate and the seen-filter really dropped
+    // their branches (the oracle can only replay the survivors)
+    "pipeline_crawl_frontier" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val d = col("doc_id")
+      val page = concat(
+        lit("<html><body>"),
+        lit("<a href=\"https://Site-"), (d * 7 + 3) % 101,
+        lit(".COM/page/"), d, lit("?utm_source=x&amp;q="), d % 7,
+        lit("#top\">next</a>"),
+        when(d % 3 === 0,
+          concat(lit("<a href='https://site-"), (d + 50) % 101,
+            lit(".com/private/"), d, lit("'>priv</a>"))).otherwise(lit("")),
+        lit("<a href=https://cdn-"), d % 13, lit(".net/asset/"), d,
+        lit(">cdn</a>"),
+        lit("</body></html>"))
+      val links = docs
+        .select(explode(plans.expressions.html_links(page)).as("__l"))
+        .select(plans.expressions.canonicalize_url(col("__l.href"))
+          .as("url"))
+        .select(col("url"),
+          plans.expressions.registrable_domain(col("url")).as("domain"),
+          regexp_extract(col("url"), "^https?://[^/]+([^?]*)", 1)
+            .as("__path"))
+      val robotsBody = concat(
+        lit("User-agent: *\nDisallow: /private/\n"),
+        when(col("domain").startsWith("cdn-"),
+          lit("Disallow: /asset/\n")).otherwise(lit("")))
+      val gated = links.filter(
+        plans.expressions.robots_allowed(robotsBody, col("__path")))
+      require(links.filter(col("__path").startsWith("/private/"))
+        .count() > 0, "seed must produce disallowed links")
+      require(gated.filter(col("__path").startsWith("/private/"))
+        .count() == 0, "robots gate must drop /private/")
+      val seen = docs.filter(d % 4 === 0).select(
+        concat(lit("https://site-"), (d * 7 + 3) % 101, lit(".com/page/"),
+          d, lit("?q="), d % 7).as("url"))
+      val unseen = text.BloomDedup.newRows(gated, seen, "url")
+      require(gated.count() - unseen.count() == seen.count(),
+        "seen-filter must drop exactly the already-crawled urls")
+      val capped = operators.Sampling.capPerGroup(
+        unseen.select("url", "domain"), Seq("domain"),
+        Seq(col("url").asc), n = 2)
+      operators.Frontier.schedule(capped.select("url"), "url",
+        delayMs = 500L, seed = 23L, portable = true)
+        .select("url", "domain", "fetch_order", "scheduled_ms")
+    }),
+
     "pipeline_warc_ingest" -> ((s, dir) => {
       val base = "/root/repo/target/tmp/q_warc_ingest"
       def rm(f: java.io.File): Unit = {
@@ -5959,6 +6012,35 @@ object SparkEntry {
     // the WARC round-trip + extraction recover text exactly, so the
     // pipeline replays as: quality gate (same score re-derivation) →
     // keep-first per identical text
+    // every stage replays closed-form: canonical link1 survives robots
+    // always, /private/ and cdn /asset/ drop at the gate, the seen set
+    // is exactly link1 of doc_id % 4 = 0, cap 2 by url, md5 lanes
+    "pipeline_crawl_frontier" ->
+      """WITH pcl AS (
+        |  SELECT
+        |    'https://site-' || ((doc_id * 7 + 3) % 101) || '.com/page/'
+        |      || doc_id || '?q=' || (doc_id % 7) AS url,
+        |    'site-' || ((doc_id * 7 + 3) % 101) || '.com' AS domain
+        |  FROM documents
+        |  WHERE doc_id % 4 <> 0),
+        |pcc AS (
+        |  SELECT url, domain FROM (
+        |    SELECT url, domain,
+        |      row_number() OVER (PARTITION BY domain ORDER BY url) AS rn
+        |    FROM pcl) WHERE rn <= 2),
+        |pch AS (
+        |  SELECT url, domain,
+        |    CAST(concat('0x',
+        |      substr(md5(concat_ws(chr(1), url, '23')), 1, 15)) AS BIGINT)
+        |      AS hv
+        |  FROM pcc)
+        |SELECT url, domain,
+        |  CAST(row_number() OVER (PARTITION BY domain ORDER BY hv, url)
+        |    - 1 AS BIGINT) AS fetch_order,
+        |  CAST((row_number() OVER (PARTITION BY domain ORDER BY hv, url)
+        |    - 1) * 500 AS BIGINT) AS scheduled_ms
+        |FROM pch""".stripMargin,
+
     "pipeline_warc_ingest" ->
       s"""WITH q AS ($qualityScoreSql),
          |gated AS (
