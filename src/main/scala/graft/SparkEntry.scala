@@ -2839,6 +2839,20 @@ object SparkEntry {
         .withColumn("rank", col("rank").cast(LongType))
     }),
 
+    // hard-negative mining (the contrastive-training data op): top-5
+    // most CONFUSABLE corpus vectors per query — highest cosine among
+    // those with a DIFFERENT (seeded vec_id % 7) label. Same broadcast
+    // shape as simsearch_topk with the label gate before the rank cut
+    "ml_hard_negatives" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"),
+          (col("vec_id") % 7).as("label"))
+      ml.Similarity.hardNegatives(emb, "vec_id", "embedding", "label",
+        emb.filter(col("vec_id") < 5), "vec_id", "embedding", "label",
+        k = 5)
+        .withColumn("rank", col("rank").cast(LongType))
+    }),
+
     // multi-table multi-probe LSH sized for this corpus geometry
     // (near-orthogonal vectors ⇒ small nbits, recall from tables+probes):
     // measured candidate recall@10 = 1.0 at sf0.01, so the ranked output
@@ -6323,6 +6337,27 @@ object SparkEntry {
         |  FROM scored)
         |SELECT query_id, neighbor_id, rank, round(cosine, 4) AS cosine
         |FROM ranked WHERE rank <= 10""".stripMargin,
+
+    // simsearch_topk's scoring with the label-disagreement gate before
+    // the rank cut (labels are the seeded vec_id % 7)
+    "ml_hard_negatives" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv,
+        |                  vec_id % 7 AS ql
+        |           FROM embeddings WHERE vec_id < 5),
+        |scored AS (
+        |  SELECT q.query_id, e.vec_id AS neighbor_id,
+        |         list_cosine_similarity(CAST(q.qv AS DOUBLE[]),
+        |                                CAST(e.embedding AS DOUBLE[])) AS cosine
+        |  FROM q CROSS JOIN embeddings e
+        |  WHERE e.vec_id <> q.query_id AND e.vec_id % 7 <> q.ql),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id,
+        |         row_number() OVER (PARTITION BY query_id
+        |                            ORDER BY cosine DESC, neighbor_id) AS rank,
+        |         cosine
+        |  FROM scored)
+        |SELECT query_id, neighbor_id, rank, round(cosine, 4) AS cosine
+        |FROM ranked WHERE rank <= 5""".stripMargin,
 
     // derives the DECODED statistics from the planted pixel rule
     // (Multimodal.pngFor): the engine must encode → decode a real PNG and

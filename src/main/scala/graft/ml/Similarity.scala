@@ -56,6 +56,37 @@ object Similarity {
         round(col("cosine"), 4).as("cosine"))
   }
 
+  /** Hard-negative mining — the contrastive-training data op (retriever
+    * / CLIP-style models train on (anchor, positive, HARD negative)
+    * triples, and the hard negatives are exactly the highest-similarity
+    * corpus items with a DIFFERENT label): [[bruteForceTopK]]'s scoring
+    * with a label-disagreement gate before the rank cut. Same scale
+    * shape — queries broadcast, corpus never shuffles, per-query top-k
+    * via the partitioned window; the label filter runs before ranking
+    * so negatives ranked k are the k most CONFUSABLE, not the k
+    * nearest overall minus positives.
+    */
+  def hardNegatives(corpus: DataFrame, corpusId: String, corpusVec: String,
+                    corpusLabel: String,
+                    queries: DataFrame, queryId: String, queryVec: String,
+                    queryLabel: String, k: Int = 10): DataFrame = {
+    val q = broadcast(queries.select(
+      col(queryId).as("query_id"), col(queryVec).as("__qv"),
+      col(queryLabel).as("__ql")))
+    corpus.select(col(corpusId).as("neighbor_id"),
+        col(corpusVec).as("__cv"), col(corpusLabel).as("__cl"))
+      .crossJoin(q)
+      .filter(col("neighbor_id") =!= col("query_id") &&
+        !(col("__cl") <=> col("__ql")))
+      .withColumn("cosine", cosine(col("__qv"), col("__cv")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("cosine").desc, col("neighbor_id"))))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        round(col("cosine"), 4).as("cosine"))
+  }
+
   /** Sign-bit binary code of the vector: `array<bigint>`, bit i of block
     * i/64 set iff component i > 0 — the 1-bit embedding (32× smaller than
     * float32) binary-retrieval stacks prefilter with.

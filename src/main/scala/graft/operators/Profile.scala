@@ -94,4 +94,44 @@ object Profile {
   /** Profile a managed table in place. */
   def profile(table: graft.tables.ManagedTable): DataFrame =
     profile(table.toDF)
+
+  /** The SCALE path: a one-pass sketch profile — counts, null counts,
+    * HyperLogLog++ distinct estimates (`rsd` relative error), and
+    * native-type min/max, all in a SINGLE aggregation node. Nothing
+    * but the one-row aggregate ever moves: no melt, no value shuffle —
+    * the shape that holds when the exact profile's per-value
+    * aggregation (distinct + mode need it) would shuffle 100 TB of
+    * values. No modal value here: an approximate mode needs a
+    * heavy-hitter pass ([[HeavyHitters.topK]] per column is that tool
+    * when a column's mode is actually needed).
+    */
+  def profileApprox(df: DataFrame, cols: Seq[String] = Nil,
+                    rsd: Double = 0.05): DataFrame = {
+    val targets = if (cols.isEmpty) df.columns.toSeq else cols
+    targets.foreach(c => require(df.columns.contains(c), s"no column $c"))
+    require(rsd > 0 && rsd < 0.4, s"need 0 < rsd < 0.4, got $rsd")
+    val spark = df.sparkSession
+    val aggs = count(lit(1)).as("__n") +:
+      targets.flatMap { c =>
+        Seq(count(col(c)).as(s"__nn_$c"),
+          approx_count_distinct(col(c), rsd).as(s"__nd_$c"),
+          min(col(c)).cast(StringType).as(s"__min_$c"),
+          max(col(c)).cast(StringType).as(s"__max_$c"))
+      }
+    val h = df.agg(aggs.head, aggs.tail: _*).head()
+    val nRows = h.getAs[Long]("__n")
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(targets.map { c =>
+        Row(c, nRows, nRows - h.getAs[Long](s"__nn_$c"),
+          h.getAs[Long](s"__nd_$c"),
+          h.getAs[String](s"__min_$c"), h.getAs[String](s"__max_$c"))
+      }, 1),
+      StructType(Seq(
+        StructField("column", StringType, nullable = false),
+        StructField("n_rows", LongType, nullable = false),
+        StructField("n_nulls", LongType, nullable = false),
+        StructField("n_distinct_approx", LongType, nullable = false),
+        StructField("min_value", StringType, nullable = true),
+        StructField("max_value", StringType, nullable = true))))
+  }
 }

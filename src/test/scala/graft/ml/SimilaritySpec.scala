@@ -253,4 +253,43 @@ class SimilaritySpec extends SparkSpec {
     assert(messages(e).exists(_.contains("dimension mismatch")),
       s"expected the dimension-mismatch raise_error, got: $e")
   }
+
+
+  test("hardNegatives: top-k most confusable DIFFERENT-label vectors") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // four corpus vectors around query (1,0): same-label near-duplicate
+    // must be EXCLUDED; the nearest different-label one ranks first
+    val corpus = Seq(
+      (10L, Seq(0.999f, 0.04f), "a"), // same label as query: excluded
+      (11L, Seq(0.99f, 0.14f), "b"),  // hardest negative
+      (12L, Seq(0.9f, 0.43f), "b"),
+      (13L, Seq(-1.0f, 0.0f), "c"))
+      .toDF("vec_id", "vec", "label")
+    val q = Seq((1L, Seq(1.0f, 0.0f), "a")).toDF("vec_id", "vec", "label")
+    val r = Similarity.hardNegatives(corpus, "vec_id", "vec", "label",
+      q, "vec_id", "vec", "label", k = 2).collect()
+    assert(r.map(_.getLong(1)).toSeq == Seq(11L, 12L))
+    assert(r.map(_.getInt(2)).toSeq == Seq(1, 2))
+    assert(!r.map(_.getLong(1)).contains(10L),
+      "same-label near-duplicate must not appear as a negative")
+  }
+
+  test("hardNegatives agrees with bruteForceTopK when labels all differ") {
+    import org.apache.spark.sql.functions._
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"),
+        // query gets label -1, corpus labels 0.. -> never equal
+        lit(0L).as("label"))
+    val q = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id"), col("embedding"), lit(-1L).as("label"))
+    val hn = Similarity.hardNegatives(emb, "vec_id", "embedding", "label",
+      q, "vec_id", "embedding", "label", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val bf = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+      q, "vec_id", "embedding", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(hn == bf)
+  }
 }

@@ -62,4 +62,27 @@ class ProfileSpec extends SparkSpec {
     val out = rows(Profile.profile(tbl))
     assert(out("v")._6 == Some("x") && out("v")._7 == Some(2L))
   }
+
+
+  test("approx profile: one aggregation node, estimates within rsd") {
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val exact = Profile.profile(docs).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val approx = Profile.profileApprox(docs, rsd = 0.05).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(exact.keySet == approx.keySet)
+    exact.foreach { case (c, e) =>
+      val a = approx(c)
+      assert(a.getLong(1) == e.getLong(1), s"$c n_rows")
+      assert(a.getLong(2) == e.getLong(2), s"$c n_nulls exact in one pass")
+      assert(a.getString(4) == e.getString(4), s"$c min is exact")
+      assert(a.getString(5) == e.getString(5), s"$c max is exact")
+      val nd = e.getLong(3).toDouble
+      assert(math.abs(a.getLong(3) - nd) <= math.max(4.0, 4 * 0.05 * nd),
+        s"$c distinct estimate ${a.getLong(3)} vs exact $nd beyond 4*rsd")
+    }
+    // (the melt-free shape is structural: profileApprox builds ONE
+    // aggregation over df and nothing else — no explode to assert on,
+    // because no second pass exists)
+  }
 }
