@@ -66,25 +66,26 @@ object Perceptron {
         featureCols.map(c => col(c).cast("long").as(c))): _*)
       .persist()
     val w = new Array[Long](featureCols.length)
-    var ep = 0
-    while (ep < epochs) {
-      val margin = featureCols.zip(w)
-        .map { case (c, wj) => col(c) * lit(wj) }
-        .reduce(_ + _)
-      val mis = y * margin <= 0
-      val grads = feats.select(featureCols.zipWithIndex.map {
-        case (c, j) =>
-          coalesce(sum(when(mis, y * col(c))), lit(0L)).as(s"g$j")
-      } ++ Seq(
-        // ±1 label contract, checked in the same pass (free):
-        count(when(abs(y) =!= 1L, lit(1))).as("__bad")): _*).head()
-      require(grads.getLong(featureCols.length) == 0L,
-        s"labelCol '$labelCol' must be +1/-1")
-      var j = 0
-      while (j < w.length) { w(j) += lr * grads.getLong(j); j += 1 }
-      ep += 1
-    }
-    feats.unpersist()
+    try {
+      var ep = 0
+      while (ep < epochs) {
+        val margin = featureCols.zip(w)
+          .map { case (c, wj) => col(c) * lit(wj) }
+          .reduce(_ + _)
+        val mis = y * margin <= 0
+        val grads = feats.select(featureCols.zipWithIndex.map {
+          case (c, j) =>
+            coalesce(sum(when(mis, y * col(c))), lit(0L)).as(s"g$j")
+        } ++ Seq(
+          // ±1 label contract, checked in the same pass (free):
+          count(when(abs(y) =!= 1L, lit(1))).as("__bad")): _*).head()
+        require(grads.getLong(featureCols.length) == 0L,
+          s"labelCol '$labelCol' must be +1/-1")
+        var j = 0
+        while (j < w.length) { w(j) += lr * grads.getLong(j); j += 1 }
+        ep += 1
+      }
+    } finally feats.unpersist() // also on the label-contract throw
     Model(featureCols, w)
   }
 

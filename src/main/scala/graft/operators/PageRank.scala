@@ -107,6 +107,14 @@ object PageRank {
     // it stays on — skew joins in inMass are exactly its job there
     if (loopP < sessionP) sp.conf.set("spark.sql.adaptive.enabled", "false")
     try {
+      // deterministically drop a superseded round's checkpoint blocks
+      // (the GraphX unpersist idiom — waiting for GC-driven cleanup
+      // would hold up to `iterations` rank-vector copies in executor
+      // memory at once)
+      def dropCheckpoint(df: DataFrame): Unit =
+        df.queryExecution.analyzed.collectFirst {
+          case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd
+        }.foreach { r => r.unpersist(blocking = false); () }
       // the carried state is ONE checkpointed vector per round:
       // (node, n, out_degree, r) — n rides as a column so no rejoin,
       // out_degree = 0 marks dangling so the re-injection aggregate is
@@ -125,6 +133,7 @@ object PageRank {
           .groupBy("dst").agg(sum("c").as("s"))
         val dangling = broadcast(state.filter(col("out_degree") === 0L)
           .agg(coalesce(sum("r"), lit(0L)).as("d")))
+        val prev = state
         state = state.drop("r")
           .join(inMass.withColumnRenamed("dst", "node"), Seq("node"),
             "left")
@@ -143,8 +152,13 @@ object PageRank {
           // LogicalRDD deep, and the O(|V|) state vector is the only
           // carried data.
           .localCheckpoint()
+        dropCheckpoint(prev) // this round is materialized; k−1 is dead
         iter += 1
       }
+      // only the final rank vector stays materialized (it IS the
+      // result); the loop-scoped edge caches are dead now too
+      e.unpersist(blocking = false)
+      edgesDeg.unpersist(blocking = false)
       state.select(col("node"), col("out_degree"), col("r").as("rank_fp"),
         (col("r").cast("double") / lit(scale.toDouble)).as("rank"))
     } finally {

@@ -215,6 +215,61 @@ object UnigramLm {
     loadModelBytes(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(path)))
 
+  /** Parse a huggingface/tokenizers `tokenizer.json` whose
+    * `model.type` is `"Unigram"` (the single-file format T5/mBART-class
+    * checkpoints ship): `model.vocab` is an array of `[piece, score]`
+    * pairs in id order, `model.unk_id` indexes the UNKNOWN piece, and
+    * `added_tokens` flagged `special: true` load as CONTROL pieces
+    * (never matched from text, the SentencePiece convention the
+    * `.model` loader follows too). The BPE sibling lives in
+    * [[Gpt2Bpe.loadTokenizerJson]].
+    */
+  def loadTokenizerJson(json: String): Model = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.readTree(json)
+    val m = root.get("model")
+    require(m != null && m.isObject, "tokenizer.json: missing model object")
+    val tpe = Option(m.get("type")).map(_.asText()).getOrElse("")
+    require(tpe == "Unigram",
+      s"tokenizer.json: model.type '$tpe' is not Unigram")
+    val vocab = m.get("vocab")
+    require(vocab != null && vocab.isArray,
+      "tokenizer.json: model.vocab must be an array of [piece, score]")
+    val unkId = Option(m.get("unk_id")).filter(!_.isNull).map(_.asInt())
+      .getOrElse(0)
+    val specials: Set[String] = {
+      val added = root.get("added_tokens")
+      if (added == null || !added.isArray) Set.empty
+      else {
+        val b = Set.newBuilder[String]
+        val it = added.elements()
+        while (it.hasNext) {
+          val a = it.next()
+          if (Option(a.get("special")).exists(_.asBoolean(false)))
+            b += a.get("content").asText()
+        }
+        b.result()
+      }
+    }
+    val pieces = Vector.newBuilder[(String, Float, Int)]
+    var i = 0
+    val it = vocab.elements()
+    while (it.hasNext) {
+      val e = it.next()
+      require(e.isArray && e.size == 2,
+        s"tokenizer.json: vocab entry $i is not a [piece, score] pair")
+      val piece = e.get(0).asText()
+      val score = e.get(1).asDouble().toFloat
+      val kind =
+        if (i == unkId) Unknown
+        else if (specials.contains(piece)) Control
+        else Normal
+      pieces += ((piece, score, kind))
+      i += 1
+    }
+    Model(pieces.result()).validated
+  }
+
   /** Serialize as a `.model` checkpoint (inverse of [[loadModelBytes]]):
     * one length-delimited `pieces` entry per piece with the same
     * field/wire layout the reader decodes — `piece` (field 1), `score`

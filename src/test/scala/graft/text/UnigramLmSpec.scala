@@ -214,4 +214,33 @@ class UnigramLmSpec extends SparkSpec {
     assert(rows(1).getSeq[Int](0).size <= 1)
     assert(rows(2).isNullAt(0))
   }
+
+
+  test("tokenizer.json (Unigram) loads: unk_id, specials as control") {
+    val json =
+      """{"added_tokens": [
+        |   {"id": 2, "content": "</s>", "special": true}],
+        | "model": {"type": "Unigram", "unk_id": 0,
+        |  "vocab": [["<unk>", 0.0], ["\u2581the", -2.5],
+        |            ["</s>", 0.0], ["he", -3.0], ["t", -4.0],
+        |            ["\u2581", -1.0], ["e", -4.5], ["h", -4.5]]}}"""
+        .stripMargin
+    val m = UnigramLm.loadTokenizerJson(json)
+    assert(m.pieces.length == 8)
+    assert(m.unkId == 0)
+    assert(m.pieces(1) == (("\u2581the", -2.5f, UnigramLm.Normal)))
+    assert(m.pieces(2)._3 == UnigramLm.Control,
+      "special added_token must load as CONTROL (never matched)")
+    // Viterbi over the loaded pieces: "the" -> [▁the] (single best piece)
+    val ids = spark.range(1)
+      .select(UnigramLm.encode(
+        org.apache.spark.sql.functions.lit("the"), m).as("ids"))
+      .head().getSeq[Int](0)
+    assert(ids == Seq(1), s"expected the single \u2581the piece, got $ids")
+    // a non-Unigram file is refused
+    val e = intercept[IllegalArgumentException] {
+      UnigramLm.loadTokenizerJson("""{"model": {"type": "BPE"}}""")
+    }
+    assert(e.getMessage.contains("not Unigram"))
+  }
 }
