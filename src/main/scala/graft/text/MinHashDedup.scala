@@ -25,6 +25,49 @@ import org.apache.spark.sql.functions._
   */
 object MinHashDedup {
 
+  /** Pick `(bands, rowsPerBand)` for a target Jaccard `threshold` and a
+    * signature budget of `numHashes` — the standard S-curve fit every
+    * LSH deployment needs (datasketch's `MinHashLSH` solves the same
+    * optimization; re-derived here from the published objective): the
+    * candidate probability of a pair at similarity s under (b, r)
+    * banding is `P(s) = 1 − (1 − s^r)^b`, and the chosen split
+    * minimizes
+    * `fnWeight·∫_t^1 (1−P) ds + fpWeight·∫_0^t P ds`
+    * (midpoint rule, 1000 cells — deterministic), i.e. missed true
+    * pairs above the threshold plus spurious candidates below it.
+    * Only exact divisors of `numHashes` are considered so the banding
+    * actually tiles the signature. Driver-side arithmetic over ≤
+    * numHashes candidates — nothing distributed to tune.
+    */
+  def tuneBands(threshold: Double, numHashes: Int = 64,
+                fpWeight: Double = 0.5, fnWeight: Double = 0.5)
+      : (Int, Int) = {
+    require(threshold > 0 && threshold < 1,
+      s"need 0 < threshold < 1, got $threshold")
+    require(numHashes >= 2, s"need numHashes >= 2, got $numHashes")
+    require(fpWeight >= 0 && fnWeight >= 0 && fpWeight + fnWeight > 0,
+      "need non-negative weights, not both zero")
+    val cells = 1000
+    def candidateP(s: Double, b: Int, r: Int): Double =
+      1.0 - math.pow(1.0 - math.pow(s, r), b)
+    def cost(b: Int, r: Int): Double = {
+      var fp = 0.0
+      var fn = 0.0
+      var i = 0
+      while (i < cells) {
+        val s = (i + 0.5) / cells
+        val p = candidateP(s, b, r)
+        if (s < threshold) fp += p else fn += 1.0 - p
+        i += 1
+      }
+      (fpWeight * fp + fnWeight * fn) / cells
+    }
+    val splits = (1 to numHashes)
+      .filter(numHashes % _ == 0)
+      .map(b => (b, numHashes / b))
+    splits.minBy { case (b, r) => (cost(b, r), b) }
+  }
+
   /** w-shingles from an already-tokenized array. Pass an ATTRIBUTE (a
     * staged projection column): `toks` is referenced four times here, and
     * an inline expression subtree would be recomputed four times per row —

@@ -1297,6 +1297,33 @@ object Drive {
       hh.map(r => s"${r.getString(0)}=${r.getLong(1)}").mkString(", ") +
       " (certificate held)")
 
+    // sketch profile: one pass, HLL estimates near the exact melt
+    val pExact = graft.operators.Profile.profile(docs,
+      Seq("doc_id", "lang", "source")).collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    val pApprox = graft.operators.Profile.profileApprox(docs,
+      Seq("doc_id", "lang", "source")).collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    println(s"[103] sketch profile: distinct estimates " +
+      pApprox.toSeq.sorted.map { case (c, v) =>
+        s"$c=$v(exact ${pExact(c)})" }.mkString(", "))
+
+    // LSH parameter fit: the S-curve split for three thresholds
+    val fits = Seq(0.3, 0.5, 0.8).map(t =>
+      t -> graft.text.MinHashDedup.tuneBands(t, 128))
+    println(s"[104] LSH tuning @128 hashes: " + fits.map {
+      case (t, (b, r)) => s"t=$t -> $b bands x $r rows" }.mkString(", "))
+
+    // hard negatives: most confusable different-label embedding
+    val embD = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"),
+        (col("vec_id") % 7).as("label"))
+    val hn1 = graft.ml.Similarity.hardNegatives(embD, "vec_id",
+      "embedding", "label", embD.filter(col("vec_id") === 0), "vec_id",
+      "embedding", "label", k = 1).head()
+    println(s"[105] hard negative for vec 0: vec ${hn1.getLong(1)} " +
+      s"cosine ${hn1.getDouble(3)} (different label by construction)")
+
     spark.stop()
   }
 }

@@ -171,4 +171,38 @@ class NearDupSpec extends SparkSpec {
     assert(t.toDF.count() == 4) // same survivors as the pure core test
     assert(t.latestVersion == 1)
   }
+
+
+  test("tuneBands: the S-curve fit behaves like the published optimum") {
+    // P(s) = 1-(1-s^r)^b; the chosen split must tile the signature and
+    // put the curve's steep region at the threshold
+    def p(s: Double, br: (Int, Int)) =
+      1.0 - math.pow(1.0 - math.pow(s, br._2), br._1)
+    Seq(0.3, 0.5, 0.8).foreach { t =>
+      val br = MinHashDedup.tuneBands(t, numHashes = 64)
+      assert(br._1 * br._2 == 64, s"banding must tile the signature: $br")
+      assert(p(math.min(t + 0.2, 0.99), br) > 0.9,
+        s"well above t=$t must be near-certain: $br -> ${p(t + 0.2, br)}")
+      assert(p(math.max(t - 0.25, 0.01), br) < 0.5,
+        s"well below t=$t must be unlikely: $br")
+    }
+    // monotonicity: a higher threshold wants longer rows (steeper, later)
+    val loose = MinHashDedup.tuneBands(0.3, 128)
+    val strict = MinHashDedup.tuneBands(0.8, 128)
+    assert(strict._2 >= loose._2,
+      s"rows must not shrink as the threshold rises: $loose vs $strict")
+    // asymmetric weights shift the curve the right way: punishing false
+    // positives more must not DECREASE rows (longer rows = stricter)
+    val fpAverse = MinHashDedup.tuneBands(0.5, 64, fpWeight = 0.9,
+      fnWeight = 0.1)
+    val fnAverse = MinHashDedup.tuneBands(0.5, 64, fpWeight = 0.1,
+      fnWeight = 0.9)
+    assert(fpAverse._2 >= fnAverse._2)
+    // the documented default (64, 16 bands of 4) is what a 0.8-ish
+    // threshold with fp-averse weighting actually selects
+    val e = intercept[IllegalArgumentException] {
+      MinHashDedup.tuneBands(1.5)
+    }
+    assert(e.getMessage.contains("threshold"))
+  }
 }
