@@ -257,7 +257,11 @@ object VocabStats {
     */
   private def knGrams(df: DataFrame, idCol: String, textCol: String)
       : (DataFrame, DataFrame) = {
+    // both gram streams and their downstream type tables re-read the
+    // tokenized corpus several times per query — persist it once (the
+    // same measured win as the order-N path's ws)
     val ws = df.select(col(idCol), words(col(textCol)).as("__ws"))
+      .persist()
     val bg = ws.select(col(idCol), explode(transform(
         slice(col("__ws"), lit(1), greatest(size(col("__ws")) - 1, lit(0))),
         (w, i) => struct(w.as("w1"),
