@@ -1047,6 +1047,27 @@ object SparkEntry {
       text.VocabStats.knNllFromModel(served, docs, "doc_id", "text")
     }),
 
+    // fit-once/score-many at the LADDER'S TOP — Wenzek 2020's actual
+    // production shape is a PRETRAINED 5-gram modified-KN KenLM: the
+    // order-5 model persists as one parquet count table (discount
+    // stats ride as constant columns) and mknNllFromModel scores the
+    // corpus from the RELOADED table, text never re-counted. Serving
+    // is bit-identical to the one-shot, so the generated order-5
+    // oracle replays it unchanged
+    "quality_mkn5_from_model" -> ((s, dir) => {
+      val base = "/root/repo/target/tmp/q_mkn5_model"
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm); f.delete(); ()
+      }
+      rm(new java.io.File(base))
+      val docs = t(s, dir, "documents")
+      text.VocabStats.fitMknModel(docs, "text", order = 5)
+        .write.parquet(s"$base/model") // fit once
+      val served = s.read.parquet(s"$base/model") // score many
+      text.VocabStats.mknNllFromModel(served, docs, "doc_id", "text",
+        order = 5)
+    }),
+
     // CCNet tiering ranked by the KN trigram score — the published
     // recipe's actual scorer class driving the actual bucketing (the
     // unigram-proxy form stays as quality_ccnet_bucket)
@@ -4973,6 +4994,10 @@ object SparkEntry {
     // GENERATED replay of the generic mKN recursion at the CCNet order
     // (see mknOracleSql — built by the same loops as the Spark plan)
     "quality_mkn5_nll" -> mknOracleSql(5),
+
+    // serving from the persisted order-5 model is bit-identical to the
+    // one-shot fit+score, so the same generated oracle replays it
+    "quality_mkn5_from_model" -> mknOracleSql(5),
 
     // replays modified KN: the same nine corpus integers drive the same
     // IEEE discount expressions (CAST AS DOUBLE literals — DuckDB's

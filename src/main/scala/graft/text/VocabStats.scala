@@ -468,30 +468,49 @@ object VocabStats {
     * occurrence stream against that model. Order only widens the tuple.
     */
   def ngramModKnNll(df: DataFrame, idCol: String, textCol: String,
-                    order: Int = 3): DataFrame = {
+                    order: Int = 3): DataFrame =
+    mknNllFromModel(fitMknModel(df, textCol, order), df, idCol, textCol,
+      order)
+
+  /** FIT the order-N modified-KN model ONCE as a persistable table —
+    * the fit-once/score-many split at the ladder's top, mirroring
+    * [[fitKnModel]] for the interpolated-KN trigram: one row per
+    * corpus top-order n-gram type carrying every integer the scorer
+    * folds (top counts + history buckets, each middle level's
+    * continuation/denominator/γ-bucket cells, the continuation
+    * unigram) plus the 4·(N−1)+1 discount statistics and N1+(··) as
+    * CONSTANT columns (RLE — they cost nothing in parquet and make the
+    * model one self-contained table). COUNTS, not probabilities:
+    * [[mknNllFromModel]] folds the identical IEEE expression tree from
+    * the integers whether the model was just fit or read back from
+    * disk, so serving is hash-identical to the one-shot
+    * [[ngramModKnNll]].
+    *
+    * Scale shape: everything is TYPE mass; the token-mass streams
+    * reduce map-side into the type tables and nothing corpus-sized
+    * survives into the model.
+    */
+  def fitMknModel(df: DataFrame, textCol: String,
+                  order: Int = 3): DataFrame = {
     // order 3 is the floor: the bigram slot in the ladder is bigramNll's
     // Jelinek-Mercer form; an order-2 mKN would need token unigram
     // histories the type recursion below doesn't build
     require(order >= 3 && order <= 8, s"need 3 <= order <= 8, got $order")
     val n = order
-    // tokenization feeds every k-gram stream (k = 2..N, plus the scored
-    // top-order stream) — persist it once
-    val ws = df.select(col(idCol), words(col(textCol)).as("__ws"))
-      .persist()
+    // tokenization feeds every k-gram stream — persist it once
+    val ws = df.select(words(col(textCol)).as("__ws")).persist()
 
-    // k-gram occurrence stream by positional transform (no self-joins);
-    // columns __w1.. __wK name the positions inside the k-gram
-    def grams(k: Int, withId: Boolean): DataFrame = {
-      val g = ws.select(col(idCol), explode(transform(
+    // k-gram occurrence stream by positional transform (no self-joins)
+    def grams(k: Int): DataFrame = {
+      val g = ws.select(explode(transform(
           slice(col("__ws"), lit(1),
             greatest(size(col("__ws")) - (k - 1), lit(0))),
           (w, i) => struct(w.as("g1") +: (2 to k).map(j =>
             element_at(col("__ws"), i + j).as(s"g$j")): _*))).as("__g"))
-      val out = (1 to k).map(j => col(s"__g.g$j").as(s"__w$j"))
-      g.select((if (withId) Seq(col(idCol)) else Seq.empty) ++ out: _*)
+      g.select((1 to k).map(j => col(s"__g.g$j").as(s"__w$j")): _*)
     }
     // G_k: the k-gram TYPE table with token counts
-    def typeTable(k: Int): DataFrame = grams(k, withId = false)
+    def typeTable(k: Int): DataFrame = grams(k)
       .groupBy((1 to k).map(j => col(s"__w$j")): _*)
       .agg(count(lit(1)).as("__c"))
     val gTables: Map[Int, DataFrame] =
@@ -539,15 +558,7 @@ object VocabStats {
 
     // the 4·(N−1)+1 corpus integers: top count-of-counts, each middle
     // level's continuation count-of-counts, and N1+(··) — ONE tiny row
-    // that stays IN-PLAN (broadcast onto the scored aggregation below)
-    // rather than collecting through a separate job: a head() here
-    // would execute the whole 2..N-gram type-table pipeline TWICE
-    // (once for the discounts, once for the scores — measured as ~2×
-    // the query at order 5); in-plan, the shared aggregations dedupe
-    // through exchange reuse. The discount EXPRESSIONS are the same
-    // IEEE tree the oracle's dsc CTEs spell (int-to-double exact, same
-    // left association), evaluated from the same one-row integers, so
-    // determinism is unchanged.
+    // whose columns ride every model row as constants
     def coc(src: DataFrame, c: String, pfx: String): DataFrame = src.agg(
       count(when(col(c) === 1, 1)).as(s"${pfx}1"),
       count(when(col(c) === 2, 1)).as(s"${pfx}2"),
@@ -564,7 +575,57 @@ object VocabStats {
           coalesce(sum(s"__m${k}4x"), lit(0L)).as(s"__s${k}4")))
       }
       .crossJoin(gTables(2).agg(count(lit(1)).as("__b")))
-    // per-level discount COLUMNS over the stats row (oracle's dsc CTEs)
+
+    // the model: every aux joined at TYPE mass onto the top-order table
+    val model = ((n - 1) to 2 by -1).foldLeft(
+      topT
+        .join(hist, (1 until n).map(s"__w" + _))
+        .join(topBuckets, (1 until n).map(s"__w" + _))) { (acc, k) =>
+      acc
+        .join(contTable(k), (2 to k + 1).map(pos(k, _)))
+        .join(denBuckets(k).drop(s"__m${k}3x", s"__m${k}4x"),
+          (2 to k).map(pos(k, _)))
+    }.join(cc1, Seq(s"__w$n"))
+
+    val withStats = model.crossJoin(broadcast(statsDf))
+    withStats.select(withStats.columns.toSeq
+      .map(c => col(c).as(c.stripPrefix("__"))): _*)
+  }
+
+  /** Score documents from a persisted/reloaded [[fitMknModel]] table —
+    * the served twin of [[ngramModKnNll]] (which IS this call over a
+    * just-fit model). One token-mass join of the document top-order
+    * n-gram stream against the model; per-doc fold order-pinned on the
+    * integer tuple; the discount expressions evaluate from the model's
+    * constant stat columns (surfaced per group via `first` — every row
+    * carries the same corpus integers), so the result is bit-identical
+    * whether the model came from the fit or from parquet. N-grams
+    * absent from the model are SKIPPED — the documented serving
+    * semantic shared with [[knNllFromModel]] (full backoff for unseen
+    * n-grams is the ARPA consumers' path).
+    */
+  def mknNllFromModel(model: DataFrame, df: DataFrame, idCol: String,
+                      textCol: String, order: Int = 3): DataFrame = {
+    require(order >= 3 && order <= 8, s"need 3 <= order <= 8, got $order")
+    val n = order
+    (1 to n).foreach(j => require(model.columns.contains(s"w$j"),
+      s"model lacks column w$j — was it fit at order $order?"))
+    // the model feeds two consumers (the one-row stats view and the
+    // token-mass join); persisted, a just-fit model's type-table
+    // pipeline materializes once instead of once per consumer — for a
+    // parquet-backed model this is just a cached scan
+    val m = model.select(model.columns.toSeq
+      .map(c => col(c).as("__" + c)): _*).persist()
+    val ws = df.select(col(idCol), words(col(textCol)).as("__ws"))
+    val topStream = ws.select(col(idCol), explode(transform(
+        slice(col("__ws"), lit(1),
+          greatest(size(col("__ws")) - (n - 1), lit(0))),
+        (w, i) => struct(w.as("g1") +: (2 to n).map(j =>
+          element_at(col("__ws"), i + j).as(s"g$j")): _*))).as("__g"))
+      .select(col(idCol) +:
+        (1 to n).map(j => col(s"__g.g$j").as(s"__w$j")): _*)
+
+    // per-level discount COLUMNS over the (constant) stat columns
     def discountCols(k: Int): (Column, Column, Column) = {
       val s1 = col(s"__s${k}1"); val s2 = col(s"__s${k}2")
       val s3 = col(s"__s${k}3"); val s4 = col(s"__s${k}4")
@@ -581,18 +642,6 @@ object VocabStats {
     }
     val dsc: Map[Int, (Column, Column, Column)] =
       (n to 2 by -1).map(k => k -> discountCols(k)).toMap
-
-    // the model: every aux joined at TYPE mass onto the top-order table
-    val model = ((n - 1) to 2 by -1).foldLeft(
-      topT
-        .join(hist, (1 until n).map(s"__w" + _))
-        .join(topBuckets, (1 until n).map(s"__w" + _))) { (acc, k) =>
-      acc
-        .join(contTable(k), (2 to k + 1).map(pos(k, _)))
-        .join(denBuckets(k).drop(s"__m${k}3x", s"__m${k}4x"),
-          (2 to k).map(pos(k, _)))
-    }.join(cc1, Seq(s"__w$n"))
-
     def disc(c: Column, t: (Column, Column, Column)): Column =
       when(c === 1, t._1).when(c === 2, t._2).otherwise(t._3)
 
@@ -606,13 +655,23 @@ object VocabStats {
           col(s"__den$k"), col(s"__m${k}1"), col(s"__m${k}2"),
           col(s"__m${k}3"))) :+
         col("__cc1")
+    val statNames: Seq[String] =
+      (n to 2 by -1).flatMap(k => (1 to 4).map(i => s"__s$k$i")) :+ "__b"
 
-    val scored = grams(n, withId = true)
-      .join(model, (1 to n).map(s"__w" + _)) // the one token-mass join
+    // the constant stat columns must NOT ride the token-mass join
+    // (they would widen every scored n-gram row by 17 longs); strip
+    // them off the join side and bring ONE row back onto the per-doc
+    // aggregate — every model row carries identical values, so limit(1)
+    // is deterministic
+    val statsRow = broadcast(
+      m.select(statNames.map(col): _*).limit(1))
+    val mCore = m.drop(statNames: _*)
+    val scored = topStream
+      .join(mCore, (1 to n).map(s"__w" + _)) // the one token-mass join
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_ngrams"),
         sort_array(collect_list(struct(tupleCols: _*))).as("__ts"))
-      .crossJoin(broadcast(statsDf))
+      .crossJoin(statsRow)
       .select(col(idCol), col("n_ngrams"),
         round(-aggregate(col("__ts"), lit(0.0), (a, x) => {
           val puni = x.getField("__cc1") / col("__b")
