@@ -293,6 +293,33 @@ object SparkEntry {
       tbl.toDF
     }),
 
+    // NET snapshot diff by primary key (CDF answers what each commit
+    // did; this answers what changed END TO END between two versions,
+    // across compactions): seeded deletes (%10=3), value-changing
+    // updates (%10=4), a NO-OP update wave (%10=5 rewritten to its own
+    // value — must NOT appear in the diff), and appended fresh keys;
+    // one full-outer join on the key, change class + changed column
+    // list out
+    "table_version_diff" -> ((s, dir) => {
+      val base = "/root/repo/target/tmp/q_vdiff"
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm); f.delete(); ()
+      }
+      rm(new java.io.File(base))
+      val orders = t(s, dir, "orders")
+      val tbl = ManagedTable.create(orders, base)
+      val omax = orders.agg(max("o_orderkey")).head().getLong(0)
+      tbl.delete("o_orderkey % 10 = 3")
+      tbl.update(Map("o_orderpriority" ->
+        "concat('Z-RECLASS-', o_orderkey)"),
+        Some("o_orderkey % 10 = 4"))
+      tbl.update(Map("o_orderstatus" -> "o_orderstatus"),
+        Some("o_orderkey % 10 = 5")) // rewrite to the same value: no-op
+      tbl.append(orders.filter(col("o_orderkey") % 10 === 6)
+        .withColumn("o_orderkey", col("o_orderkey") + omax))
+      operators.TableOps.versionDiff(tbl, 0L, -1L, Seq("o_orderkey"))
+    }),
+
     // MERGE with WHEN NOT MATCHED BY SOURCE (Delta 2.3 semantics): the
     // source drives matched updates while the bySource clauses age out
     // or delete target rows the source no longer carries — the standard
@@ -4048,6 +4075,21 @@ object SparkEntry {
         |       ELSE o_orderpriority END AS o_orderpriority
         |FROM orders
         |WHERE NOT (o_orderkey < (SELECT max(o_orderkey) // 10 FROM orders))""".stripMargin,
+
+    // the seeded DML replays as change classes: %10=3 deleted, %10=4
+    // updated on exactly o_orderpriority (the Z- literal always
+    // differs from TPC-H priorities), %10=5's same-value rewrite is
+    // ABSENT, appended shifted keys are inserts
+    "table_version_diff" ->
+      """WITH omax AS (SELECT max(o_orderkey) AS mx FROM orders)
+        |SELECT o_orderkey, 'delete' AS change, '' AS changed_columns
+        |FROM orders WHERE o_orderkey % 10 = 3
+        |UNION ALL
+        |SELECT o_orderkey, 'update', 'o_orderpriority'
+        |FROM orders WHERE o_orderkey % 10 = 4
+        |UNION ALL
+        |SELECT o_orderkey + omax.mx, 'insert', ''
+        |FROM orders CROSS JOIN omax WHERE o_orderkey % 10 = 6""".stripMargin,
 
     // matched (key % 3 = 0): price doubled; unmatched: deleted when
     // key % 5 = 0, else priority aged — the first-clause-wins order

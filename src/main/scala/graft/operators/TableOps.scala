@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import graft.GraftTypeError
 import graft.functions.{humanizeBytes, humanizeBytesBinary}
@@ -88,4 +89,67 @@ object TableOps {
     */
   def renameToCatalog(table: ManagedTable, newTableName: String): Unit =
     table.toDF.write.format("parquet").mode("overwrite").saveAsTable(newTableName)
+
+  /** Row-level diff of two frames by primary key — the audit view
+    * "what changed between snapshot A and B" that a curation experiment
+    * or a replication check actually reads (CDF answers "what did each
+    * COMMIT do"; this answers the end-to-end NET question across any
+    * two versions, including ones compacted or vacuumed in between).
+    * One row per differing key:
+    *
+    *  - `change = 'insert'`  — key only in `newDf`;
+    *  - `change = 'delete'`  — key only in `oldDf`;
+    *  - `change = 'update'`  — key in both with ≥ 1 differing value
+    *    column; `changed_columns` lists them comma-joined in schema
+    *    order (a STRING, not an array — engine-portable). Null-safe
+    *    comparison (`<=>`), so null→value and value→null both count
+    *    and null→null does not. Keys whose rows are identical are
+    *    ABSENT — a no-op rewrite produces an empty diff.
+    *
+    * Columns present in only one side compare against null (schema
+    * evolution shows up as updates on the new column). Scale shape:
+    * ONE full-outer shuffle join on the key — no window, no collect;
+    * both sides prune to key + compared columns at the scan.
+    */
+  def diff(oldDf: DataFrame, newDf: DataFrame,
+           pkey: Seq[String]): DataFrame = {
+    require(pkey.nonEmpty, "need at least one primary-key column")
+    pkey.foreach { k =>
+      require(oldDf.columns.contains(k) && newDf.columns.contains(k),
+        s"primary-key column $k must exist on both sides") }
+    val valueCols =
+      (oldDf.columns ++ newDf.columns).distinct.toSeq.filterNot(pkey.contains)
+    def side(df: DataFrame, tag: String) = df.select(
+      pkey.map(col) ++
+        valueCols.map(c =>
+          (if (df.columns.contains(c)) col(c)
+           else lit(null)).as(s"__${tag}_$c")) :+
+        lit(1).as(s"__${tag}_present"): _*)
+    val joined = side(oldDf, "o")
+      .join(side(newDf, "n"), pkey, "full_outer")
+    val change = when(col("__o_present").isNull, lit("insert"))
+      .when(col("__n_present").isNull, lit("delete"))
+      .otherwise(lit("update"))
+    val changed = concat_ws(",", filter(
+      array(valueCols.map(c =>
+        when(!(col(s"__o_$c") <=> col(s"__n_$c")), lit(c))): _*),
+      x => x.isNotNull))
+    joined
+      .select(pkey.map(col) :+ change.as("change") :+
+        // only meaningful for updates; inserts/deletes would otherwise
+        // list every non-null column
+        when(change === "update", changed).otherwise(lit(""))
+          .as("changed_columns"): _*)
+      .filter(col("change") =!= "update" || col("changed_columns") =!= "")
+  }
+
+  /** [[diff]] between two versions of a managed table (time travel on
+    * both sides; `toVersion = -1` means the latest).
+    */
+  def versionDiff(table: ManagedTable, fromVersion: Long, toVersion: Long,
+                  pkey: Seq[String]): DataFrame = {
+    val newDf =
+      if (toVersion < 0) table.toDF else table.toDF(toVersion)
+    diff(table.toDF(fromVersion), newDf, pkey)
+  }
 }

@@ -113,4 +113,57 @@ class KeysAndUtilSpec extends SparkSpec {
     assertThrows[graft.GraftTypeError](TableOps.copyTableToCatalog(t, ""))
   }
 
+
+
+  test("diff classifies inserts/deletes/updates; no-ops are absent") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = new StructType().add("k", LongType).add("a", StringType)
+      .add("b", LongType)
+    val oldDf = df(schema, Seq(
+      Row(1L, "same", 10L), // untouched -> absent
+      Row(2L, "was", 20L),  // a changes
+      Row(3L, "x", 30L),    // deleted
+      Row(4L, null, 40L),   // null -> value: update on a
+      Row(5L, "y", null)))  // value -> null: update on b
+    val newDf = df(schema, Seq(
+      Row(1L, "same", 10L),
+      Row(2L, "now", 20L),
+      Row(4L, "filled", 40L),
+      Row(5L, "y", null),   // null == null under <=>: NOT an update
+      Row(6L, "fresh", 60L)))
+    val got = TableOps.diff(oldDf, newDf, Seq("k")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(got == Set(
+      (2L, "update", "a"),
+      (3L, "delete", ""),
+      (4L, "update", "a"),
+      (6L, "insert", "")))
+  }
+
+  test("diff sees schema evolution as updates on the new column") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val oldDf = df(new StructType().add("k", LongType).add("a", StringType),
+      Seq(Row(1L, "x")))
+    val newDf = df(new StructType().add("k", LongType).add("a", StringType)
+      .add("extra", LongType), Seq(Row(1L, "x", 9L)))
+    val got = TableOps.diff(oldDf, newDf, Seq("k")).collect()
+    assert(got.length == 1)
+    assert(got.head.getString(1) == "update")
+    assert(got.head.getString(2) == "extra")
+  }
+
+  test("diff of identical frames is empty; multi-column changes list " +
+    "in schema order") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = new StructType().add("k", LongType).add("a", StringType)
+      .add("b", LongType)
+    val d1 = df(schema, Seq(Row(1L, "x", 1L)))
+    assert(TableOps.diff(d1, d1, Seq("k")).count() == 0)
+    val d2 = df(schema, Seq(Row(1L, "y", 2L)))
+    val r = TableOps.diff(d1, d2, Seq("k")).head()
+    assert(r.getString(2) == "a,b")
+  }
 }
