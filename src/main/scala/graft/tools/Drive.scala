@@ -1324,6 +1324,33 @@ object Drive {
     println(s"[105] hard negative for vec 0: vec ${hn1.getLong(1)} " +
       s"cosine ${hn1.getDouble(3)} (different label by construction)")
 
+    // mKN-5 fit/serve split: the served score equals the one-shot
+    val mknBase = scratch("mkn5_model")
+    graft.text.VocabStats.fitMknModel(docs, "text", order = 5)
+      .write.parquet(s"$mknBase/model")
+    val mknServed = graft.text.VocabStats.mknNllFromModel(
+      spark.read.parquet(s"$mknBase/model"), docs, "doc_id", "text",
+      order = 5).agg(round(avg("nll"), 3)).head().getDouble(0)
+    val mknOneShot = graft.text.VocabStats.ngramModKnNll(
+      docs, "doc_id", "text", order = 5)
+      .agg(round(avg("nll"), 3)).head().getDouble(0)
+    println(s"[106] mKN-5 serving: persisted-model avg nll $mknServed " +
+      s"(one-shot $mknOneShot)")
+
+    // version diff: seeded DML nets out to exactly its change classes
+    val vdBase = scratch("vdiff")
+    val vdTbl = graft.tables.ManagedTable.create(
+      docs.select("doc_id", "lang", "source"), vdBase)
+    vdTbl.delete("doc_id % 7 = 0")
+    vdTbl.update(Map("lang" -> "'xx'"), Some("doc_id % 7 = 1"))
+    val vd = graft.operators.TableOps.versionDiff(
+      vdTbl, 0L, -1L, Seq("doc_id"))
+      .groupBy("change").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    println(s"[107] version diff: ${vd.getOrElse("delete", 0L)} deletes, " +
+      s"${vd.getOrElse("update", 0L)} updates, " +
+      s"${vd.getOrElse("insert", 0L)} inserts between v0 and head")
+
     spark.stop()
   }
 }
