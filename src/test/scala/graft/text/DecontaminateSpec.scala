@@ -85,16 +85,26 @@ class DecontaminateSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().sorted.toSeq
     assert(exactKept == Seq(1L, 2L),
       "the paraphrase shares no exact 8-gram, so exact keeps it")
+    // snapshot the cache BEFORE the call: the assertion below is about
+    // dropContaminatedFuzzy's own hygiene, and a global-emptiness check
+    // would flake on GC timing of other suites' plan-referenced caches
+    // (operators that return lazy plans over persisted intermediates —
+    // the KN model/tokenization caches — are cleaned by the context
+    // cleaner only after their DataFrames are collected)
+    val cachedBefore = spark.sparkContext.getPersistentRDDs.keySet
     val fuzzyKept = Decontaminate
       .dropContaminatedFuzzy(corpus, bench, "doc_id", "text",
         threshold = 0.5)
       .select("doc_id").as[Long].collect().sorted.toSeq
     assert(fuzzyKept == Seq(2L),
       "shingle Jaccard ~0.54 >= 0.5 must drop the paraphrase")
-    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
-      "dropContaminatedFuzzy must leave no cached state behind — a " +
-        "corpus-sized persist outliving the call accumulates executor " +
-        "memory/disk pressure across invocations in a long session")
+    val leaked =
+      spark.sparkContext.getPersistentRDDs.keySet.diff(cachedBefore)
+    assert(leaked.isEmpty,
+      s"dropContaminatedFuzzy must leave no cached state behind (new " +
+        s"cached RDDs: $leaked) — a corpus-sized persist outliving the " +
+        "call accumulates executor memory/disk pressure across " +
+        "invocations in a long session")
   }
 
   test("fuzzy equals the exact all-pairs Jaccard on real documents " +
