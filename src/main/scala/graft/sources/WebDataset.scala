@@ -186,10 +186,18 @@ object WebDataset {
             require(readFully(skip), "tar: truncated entry padding")
           }
           val typeflag = h(156)
+          // long-name mechanisms carry the REAL name out of band; the
+          // 100-byte field we just read is truncated, and grouping by a
+          // truncated key would silently merge distinct samples —
+          // refuse loudly instead (our writer never emits these)
+          require(typeflag != 'L' && typeflag != 'K' &&
+            typeflag != 'x' && typeflag != 'g',
+            s"tar: long-name/pax entry (typeflag '${typeflag.toChar}') " +
+              s"near '$name' — names over 100 bytes are not supported")
           if (typeflag == '0' || typeflag == 0) { // regular file only
             nextE = (name, data)
             more = false
-          } // else: skip dirs/links/pax headers and keep scanning
+          } // else: skip dirs/links and keep scanning
         }
       }
       advance()

@@ -119,4 +119,27 @@ class WebDatasetSpec extends SparkSpec {
     assert(new String(parts("txt"), "UTF-8") == "gnu payload")
     assert(new String(parts("json"), "UTF-8") == """{"by":"gnu"}""")
   }
+
+
+  test("long tar names refuse loudly instead of mis-grouping") {
+    import scala.sys.process._
+    val dir = tmpDir("wds_long")
+    val src = new java.io.File(dir, "src")
+    src.mkdirs()
+    val longBase = "k" * 120 // forces a GNU longname ('L') entry
+    java.nio.file.Files.write(
+      new java.io.File(src, longBase + ".txt").toPath,
+      "x".getBytes("UTF-8"))
+    val tarFile = new java.io.File(dir, "shard-long.tar")
+    assert(Seq("tar", "-cf", tarFile.getAbsolutePath, "-C",
+      src.getAbsolutePath, longBase + ".txt").! == 0)
+    val e = intercept[org.apache.spark.SparkException] {
+      WebDataset.read(spark, dir + "/shard-long.tar").collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("long-name")),
+      s"expected the loud long-name refusal, got: $e")
+  }
 }
