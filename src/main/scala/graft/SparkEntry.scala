@@ -16,6 +16,30 @@ import graft.tables.ManagedTable
   */
 object SparkEntry {
 
+  /** The seeded outlink graph shared by crawl_pagerank and
+    * crawl_priority — pages built per doc, extracted through the REAL
+    * html_links → registrable_domain chain. MUST stay in lockstep with
+    * pagerankOracleCtes, which replays the link rule in closed form.
+    */
+  private def seededCrawlLinks(docs: DataFrame): DataFrame = {
+    val page = concat(
+      lit("<html><body><p>seed</p>"),
+      lit("<a href=\"https://site-"), (col("doc_id") * 7 + 3) % 101,
+      lit(".com/p/"), col("doc_id"), lit("\">next</a>"),
+      when(col("doc_id") % 3 === 0,
+        concat(lit("<a href='https://site-"), (col("doc_id") + 50) % 101,
+          lit(".com/q'>partner</a>"))).otherwise(lit("")),
+      lit("<a href=https://cdn-"), col("doc_id") % 13,
+      lit(".net/asset.js>cdn</a>"),
+      lit("</body></html>"))
+    docs
+      .select(concat(lit("site-"), col("doc_id") % 101, lit(".com"))
+        .as("src"),
+        explode(plans.expressions.html_links(page)).as("__l"))
+      .select(col("src"),
+        plans.expressions.registrable_domain(col("__l.href")).as("dst"))
+  }
+
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
@@ -1605,22 +1629,7 @@ object SparkEntry {
     // (see pagerankOracleSql)
     "crawl_pagerank" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val page = concat(
-        lit("<html><body><p>seed</p>"),
-        lit("<a href=\"https://site-"), (col("doc_id") * 7 + 3) % 101,
-        lit(".com/p/"), col("doc_id"), lit("\">next</a>"),
-        when(col("doc_id") % 3 === 0,
-          concat(lit("<a href='https://site-"), (col("doc_id") + 50) % 101,
-            lit(".com/q'>partner</a>"))).otherwise(lit("")),
-        lit("<a href=https://cdn-"), col("doc_id") % 13,
-        lit(".net/asset.js>cdn</a>"),
-        lit("</body></html>"))
-      val links = docs
-        .select(concat(lit("site-"), col("doc_id") % 101, lit(".com"))
-          .as("src"),
-          explode(plans.expressions.html_links(page)).as("__l"))
-        .select(col("src"),
-          plans.expressions.registrable_domain(col("__l.href")).as("dst"))
+      val links = seededCrawlLinks(docs)
       operators.PageRank.ranks(links, "src", "dst", iterations = 8)
     }),
 
@@ -1632,22 +1641,7 @@ object SparkEntry {
     // the DOMAIN table (|V| rows), not the fetch rows
     "crawl_priority" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val page = concat(
-        lit("<html><body><p>seed</p>"),
-        lit("<a href=\"https://site-"), (col("doc_id") * 7 + 3) % 101,
-        lit(".com/p/"), col("doc_id"), lit("\">next</a>"),
-        when(col("doc_id") % 3 === 0,
-          concat(lit("<a href='https://site-"), (col("doc_id") + 50) % 101,
-            lit(".com/q'>partner</a>"))).otherwise(lit("")),
-        lit("<a href=https://cdn-"), col("doc_id") % 13,
-        lit(".net/asset.js>cdn</a>"),
-        lit("</body></html>"))
-      val links = docs
-        .select(concat(lit("site-"), col("doc_id") % 101, lit(".com"))
-          .as("src"),
-          explode(plans.expressions.html_links(page)).as("__l"))
-        .select(col("src"),
-          plans.expressions.registrable_domain(col("__l.href")).as("dst"))
+      val links = seededCrawlLinks(docs)
       val ranks = operators.PageRank.ranks(links, "src", "dst", 8)
       import org.apache.spark.sql.expressions.Window
       val domPrio = ranks.select(col("node").as("domain"), col("rank_fp"),
@@ -3314,7 +3308,9 @@ object SparkEntry {
       }
       rm(new java.io.File(base))
       val docs = t(s, dir, "documents")
-        .select(lpad(col("doc_id").cast("string"), 8, "0").as("key"),
+        // format_string widens past 8 digits instead of lpad's silent
+        // TRUNCATION (doc_id >= 1e8 would otherwise collide keys)
+        .select(format_string("%08d", col("doc_id")).as("key"),
           col("doc_id"), col("text"),
           to_json(struct(col("lang"), col("source"))).as("meta"))
       val extCols = Seq("text" -> "txt", "meta" -> "json")

@@ -78,7 +78,8 @@ object Perceptron {
             coalesce(sum(when(mis, y * col(c))), lit(0L)).as(s"g$j")
         } ++ Seq(
           // ±1 label contract, checked in the same pass (free):
-          count(when(abs(y) =!= 1L, lit(1))).as("__bad")): _*).head()
+          count(when(y.isNull || abs(y) =!= 1L, lit(1)))
+            .as("__bad")): _*).head()
         require(grads.getLong(featureCols.length) == 0L,
           s"labelCol '$labelCol' must be +1/-1")
         var j = 0

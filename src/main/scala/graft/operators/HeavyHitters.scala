@@ -47,8 +47,12 @@ object HeavyHitters {
     require(capacity > k, s"need capacity > k, got $capacity <= $k")
     val spark = df.sparkSession
     import spark.implicits._
+    // persisted for the operator's duration: the MG pass, the exact
+    // recount, and the certificate's N all read the SAME materialized
+    // rows (one upstream computation, and a nondeterministic input
+    // cannot desynchronize the certificate from the counted passes)
     val keyed = df.select(col(keyCol).cast("string").as("key"))
-      .filter(col("key").isNotNull)
+      .filter(col("key").isNotNull).persist()
 
     // pass 1: per-partition Misra-Gries, union of kept keys. A live
     // counter is always >= 1, so getOrDefault 0 means absent.
@@ -80,7 +84,8 @@ object HeavyHitters {
 
     // pass 2: exact counts for candidates only; non-candidate rows are
     // filtered at scan speed by the broadcast semi-join
-    val top = keyed
+    try {
+      val top = keyed
       .join(broadcast(candidates), Seq("key"), "left_semi")
       .groupBy("key").agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("key").asc)
@@ -112,5 +117,6 @@ object HeavyHitters {
       StructType(Seq(StructField("key", StringType, nullable = false),
         StructField("cnt", LongType, nullable = false),
         StructField("rank", LongType, nullable = false))))
+    } finally keyed.unpersist(blocking = false) // also on the throw
   }
 }

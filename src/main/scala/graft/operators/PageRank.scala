@@ -84,28 +84,35 @@ object PageRank {
     val loopP = loopPartitions.getOrElse(
       math.max(1, math.min(sessionP.toLong, eCount / 20000L + 1L).toInt))
 
-    val outdeg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    val outdeg0 = e.groupBy("src").agg(count(lit(1)).as("deg"))
     // edges carry their src's degree so every iteration's contribution
     // is a single equi-join on src — degrees never re-derive
-    val edgesDeg = e.join(outdeg, "src").persist()
-    val nodeUnion = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct()
+    val edgesDegSp = e.join(outdeg0, "src").persist()
+
+    // the loop runs in a CHILD session (same SparkContext, same cache,
+    // its own SQLConf): the iteration wants loop-sized shuffles and —
+    // in the small-graph regime — AQE off (its sequential query-stage
+    // materialization is pure latency on an explicitly-sized tiny
+    // exchange; at full width it stays on for skew handling in
+    // inMass). Mutating the CALLER's session conf instead would race
+    // concurrent queries on a shared driver. The bridge is a global
+    // temp view, resolved eagerly at Dataset creation, dropped before
+    // returning.
+    val sp2 = sp.newSession()
+    sp2.conf.set("spark.sql.shuffle.partitions", loopP.toString)
+    if (loopP < sessionP) sp2.conf.set("spark.sql.adaptive.enabled", "false")
+    val tag = "graft_pr_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    edgesDegSp.createOrReplaceGlobalTempView(tag)
+    val edgesDeg = sp2.table(s"global_temp.$tag") // (src, dst, deg)
+    val outdeg = edgesDeg.select("src", "deg").distinct()
+    val nodeUnion = edgesDeg.select(col("src").as("node"))
+      .union(edgesDeg.select(col("dst").as("node"))).distinct()
     // N as a broadcast one-row column, not a driver-side count
     val nTotal = broadcast(nodeUnion.agg(count(lit(1)).as("n")))
 
     val teleport: Column =
       expr(s"((${dampDen - dampNum} * ${scale}L) div $dampDen) div n")
-    // every iteration's work is EAGER (localCheckpoint), so scoping the
-    // shuffle width to the loop is contained here — the returned plan
-    // builds and runs under the caller's session settings
-    val prevP = sp.conf.get("spark.sql.shuffle.partitions")
-    val prevAqe = sp.conf.get("spark.sql.adaptive.enabled")
-    sp.conf.set("spark.sql.shuffle.partitions", loopP.toString)
-    // AQE coalescing has nothing to add once the loop width is sized
-    // from |E|, and its sequential query-stage materialization costs
-    // real wall-clock per tiny iteration; at full width (big graphs)
-    // it stays on — skew joins in inMass are exactly its job there
-    if (loopP < sessionP) sp.conf.set("spark.sql.adaptive.enabled", "false")
     try {
       // deterministically drop a superseded round's checkpoint blocks
       // (the GraphX unpersist idiom — waiting for GC-driven cleanup
@@ -155,15 +162,24 @@ object PageRank {
         dropCheckpoint(prev) // this round is materialized; k−1 is dead
         iter += 1
       }
-      // only the final rank vector stays materialized (it IS the
-      // result); the loop-scoped edge caches are dead now too
-      e.unpersist(blocking = false)
-      edgesDeg.unpersist(blocking = false)
-      state.select(col("node"), col("out_degree"), col("r").as("rank_fp"),
-        (col("r").cast("double") / lit(scale.toDouble)).as("rank"))
+      // hand the checkpointed result back to the CALLER's session (its
+      // plan is one LogicalRDD — analysis resolves the view eagerly,
+      // so dropping the bridge views below is safe)
+      val outTag = tag + "_out"
+      state.createOrReplaceGlobalTempView(outTag)
+      val out = sp.table(s"global_temp.$outTag")
+        .select(col("node"), col("out_degree"), col("r").as("rank_fp"),
+          (col("r").cast("double") / lit(scale.toDouble)).as("rank"))
+      sp.catalog.dropGlobalTempView(outTag)
+      out
     } finally {
-      sp.conf.set("spark.sql.shuffle.partitions", prevP)
-      sp.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      sp.catalog.dropGlobalTempView(tag)
+      // loop-scoped caches release on BOTH paths — a task failure
+      // mid-iteration must not pin two copies of the edge list for the
+      // session's lifetime (only the final checkpointed rank vector,
+      // which IS the result, stays materialized)
+      e.unpersist(blocking = false)
+      edgesDegSp.unpersist(blocking = false)
     }
   }
 

@@ -174,27 +174,39 @@ object Tfrecord {
       }
       v
     }
+    // every length/offset is bounds-checked against `end`: a record
+    // whose frame CRC is fine but whose proto is malformed (foreign
+    // writer, bit rot past the checksum) must fail with the same
+    // labeled error contract as the framing layer, not a raw
+    // ArrayIndexOutOfBounds from inside the decoder
+    private def declared(n0: Long): Int = {
+      require(n0 >= 0 && pos + n0 <= end,
+        s"tfrecord: truncated proto field (declares $n0 bytes, " +
+          s"${end - pos} remain)")
+      n0.toInt
+    }
     def skip(wire: Int): Unit = wire match {
       case 0 => varint(); ()
-      case 1 => pos += 8
-      case 2 => val n = varint().toInt; pos += n
-      case 5 => pos += 4
+      case 1 => pos += declared(8L)
+      case 2 => pos += declared(varint())
+      case 5 => pos += declared(4L)
       case w =>
         throw new IllegalArgumentException(s"tfrecord: wire type $w")
     }
     def sub(): ProtoIn = {
-      val n = varint().toInt
+      val n = declared(varint())
       val s = new ProtoIn(bytes, pos, pos + n)
       pos += n
       s
     }
     def slice(): Array[Byte] = {
-      val n = varint().toInt
+      val n = declared(varint())
       val out = java.util.Arrays.copyOfRange(bytes, pos, pos + n)
       pos += n
       out
     }
     def fixed32(): Int = {
+      require(pos + 4 <= end, "tfrecord: truncated fixed32")
       val v = (bytes(pos) & 0xff) | ((bytes(pos + 1) & 0xff) << 8) |
         ((bytes(pos + 2) & 0xff) << 16) | ((bytes(pos + 3) & 0xff) << 24)
       pos += 4

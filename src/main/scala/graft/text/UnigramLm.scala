@@ -235,8 +235,12 @@ object UnigramLm {
     val vocab = m.get("vocab")
     require(vocab != null && vocab.isArray,
       "tokenizer.json: model.vocab must be an array of [piece, score]")
-    val unkId = Option(m.get("unk_id")).filter(!_.isNull).map(_.asInt())
-      .getOrElse(0)
+    val unkNode = Option(m.get("unk_id")).filter(!_.isNull)
+    require(unkNode.isDefined,
+      "tokenizer.json: model.unk_id is absent/null (a byte-fallback " +
+        "model without an unk piece) — this engine requires an UNKNOWN " +
+        "piece; defaulting to piece 0 would silently reclassify it")
+    val unkId = unkNode.get.asInt()
     val specials: Set[String] = {
       val added = root.get("added_tokens")
       if (added == null || !added.isArray) Set.empty

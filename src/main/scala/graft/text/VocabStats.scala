@@ -610,10 +610,18 @@ object VocabStats {
     val n = order
     (1 to n).foreach(j => require(model.columns.contains(s"w$j"),
       s"model lacks column w$j — was it fit at order $order?"))
+    require(!model.columns.contains(s"w${n + 1}"),
+      s"model carries w${n + 1} — it was fit at a HIGHER order than " +
+        s"$order, and joining on a prefix would score each n-gram once " +
+        "per continuation")
     // the model feeds two consumers (the one-row stats view and the
     // token-mass join); persisted, a just-fit model's type-table
     // pipeline materializes once instead of once per consumer — for a
-    // parquet-backed model this is just a cached scan
+    // parquet-backed model this is just a cached scan. Cache lifetime:
+    // until the returned plan's last action plus ContextCleaner GC —
+    // a long-lived service scoring MANY corpora should hold one scorer
+    // per model rather than re-calling this per request, or rely on
+    // LRU eviction (the caches are MEMORY_AND_DISK and re-derivable)
     val m = model.select(model.columns.toSeq
       .map(c => col(c).as("__" + c)): _*).persist()
     val ws = df.select(col(idCol), words(col(textCol)).as("__ws"))

@@ -1261,7 +1261,7 @@ object Drive {
     // WebDataset: two-modality tar samples -> adjacency-grouped read
     val wdsBase = scratch("webdataset")
     graft.sources.WebDataset.export(
-      docs.select(lpad(col("doc_id").cast("string"), 6, "0").as("k"),
+      docs.select(format_string("%06d", col("doc_id")).as("k"),
         col("text"), col("lang")).repartition(2),
       "k", Seq("text" -> "txt", "lang" -> "cls"), wdsBase)
     val wdsBack = graft.sources.WebDataset.read(spark, wdsBase + "/shard-*")
