@@ -87,7 +87,7 @@ object PageRank {
     val outdeg0 = e.groupBy("src").agg(count(lit(1)).as("deg"))
     // edges carry their src's degree so every iteration's contribution
     // is a single equi-join on src — degrees never re-derive
-    val edgesDegSp = e.join(outdeg0, "src").persist()
+    val edgesDegSp = e.join(outdeg0, "src")
 
     // the loop runs in a CHILD session (same SparkContext, same cache,
     // its own SQLConf): the iteration wants loop-sized shuffles and —
@@ -104,7 +104,11 @@ object PageRank {
     val tag = "graft_pr_" +
       java.util.UUID.randomUUID().toString.replace("-", "")
     edgesDegSp.createOrReplaceGlobalTempView(tag)
-    val edgesDeg = sp2.table(s"global_temp.$tag") // (src, dst, deg)
+    // persist on the CHILD-session side of the bridge: the loop's
+    // consumers reference this exact Dataset, so cache hits are by
+    // object identity rather than depending on the cache manager
+    // matching a View-wrapped plan against a parent-session entry
+    val edgesDeg = sp2.table(s"global_temp.$tag").persist() // (src,dst,deg)
     val outdeg = edgesDeg.select("src", "deg").distinct()
     val nodeUnion = edgesDeg.select(col("src").as("node"))
       .union(edgesDeg.select(col("dst").as("node"))).distinct()
@@ -179,7 +183,7 @@ object PageRank {
       // session's lifetime (only the final checkpointed rank vector,
       // which IS the result, stays materialized)
       e.unpersist(blocking = false)
-      edgesDegSp.unpersist(blocking = false)
+      edgesDeg.unpersist(blocking = false)
     }
   }
 
