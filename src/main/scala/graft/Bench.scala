@@ -111,7 +111,16 @@ object Bench {
     def now(): Double = (System.nanoTime() - wall0) / 1e9
     val calibStart = calibProbe(spark, sfDir)
     val tCalibStart = now()
-    val named = SparkEntry.queries.toSeq.sortBy(_._1)
+    // SPARK_GRAFT_ONLY=q1,q2 restricts the run to the named queries —
+    // for per-query attribution work (e.g. back-to-back variance runs
+    // of one family); the driver never sets it, so round benches are
+    // always the full suite
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val named = {
+      val all = SparkEntry.queries.toSeq.sortBy(_._1)
+      only.map(o => all.filter(kv => o(kv._1))).getOrElse(all)
+    }
     val midIdx = named.size / 2
     var calibMid = calibStart
     var tCalibMid = tCalibStart
@@ -126,16 +135,26 @@ object Bench {
     }
     val calibEnd = calibProbe(spark, sfDir)
     val tCalibEnd = now()
-    // Calib-normalized view (the r15 ask): each query's seconds divided
-    // by the AMBIENT ratio at its position in the run — c(t) piecewise-
-    // linear between the start/mid/end probes, over CalibRef (a nominal
-    // fast-window probe value for this box; r13-r15 fast windows read
-    // 0.45-0.55 s). A query timed in a 2x-slow window normalizes back
-    // to its fast-window level, so BENCH_rN diffs separate ambient
-    // drift from real plan changes mechanically instead of by judge
-    // adjudication. Raw values stay primary; the _norm view is the
-    // cross-round comparator.
+    // Calib-normalized view, v2 (the r17 ask — v1 over-corrected: two
+    // same-code runs whose RAW totals agreed within 2 % produced
+    // normalized totals 34 % apart, because dividing by an ABSOLUTE
+    // pure-CPU probe value scales IO/overhead-bound queries by the full
+    // CPU-ambient ratio they only partly feel). v2 changes two things:
+    //  1. WITHIN-RUN centering: the correction is against the run's own
+    //     mean probe, not the absolute CalibRef — a uniformly slower or
+    //     faster box gets NO correction (raw is the cross-run signal,
+    //     and RAW IS PRIMARY), only within-run drift (slow start,
+    //     thermal sag) is normalized away;
+    //  2. DAMPING: the ratio enters at exponent α = 0.5, splitting the
+    //     difference between "queries are pure CPU" (α = 1) and
+    //     "queries don't feel ambient at all" (α = 0) — the r16/r17
+    //     A/B showed real queries sit between the two.
+    // Back-to-back same-box verification (this round): raw totals and
+    // v2-normalized totals now agree to the same order (see BENCHNOTES
+    // .md). CalibRef stays in the output for cross-round context only.
     val CalibRef = 0.5
+    val NormAlpha = 0.5
+    val calibRun = (calibStart + calibMid + calibEnd) / 3
     def calibAt(t: Double): Double = {
       val c =
         if (t <= tCalibStart) calibStart
@@ -149,7 +168,7 @@ object Bench {
       math.max(c, 0.05) // probe noise floor: never divide by ~0
     }
     def normalize(secs: Double, tDone: Double): Double =
-      secs * CalibRef / calibAt(tDone)
+      secs * math.pow(calibRun / calibAt(tDone), NormAlpha)
     def jstr(s: String): String = "\"" + s.flatMap {
       case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
       case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
@@ -194,7 +213,7 @@ object Bench {
     // errors only, no per-query dict) that parses alone no matter how
     // many queries exist.
     println(s"""{"metric":"total_detail","queries_runs":$runs,"sf":"$sfDir"}""")
-    println(s"""{"metric":"total_queries_norm","queries":$qsNorm,"calib_ref":$CalibRef,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total_queries_norm","queries":$qsNorm,"calib_ref":$CalibRef,"calib_run":${sec(calibRun)},"alpha":$NormAlpha,"sf":"$sfDir"}""")
     println(s"""{"metric":"total_queries","queries":$qs,"sf":"$sfDir"}""")
     println(s"""{"metric":"total","value":${sec(total)},"value_norm":${sec(totalNorm)},"unit":"sec","n_queries":${results.size},"errors":$errs,"flaky":$flaky,"calib":{"start":${sec(calibStart)},"mid":${sec(calibMid)},"end":${sec(calibEnd)},"ref":$CalibRef},"sf":"$sfDir"}""")
     System.out.flush()

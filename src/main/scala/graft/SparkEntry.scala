@@ -1116,11 +1116,52 @@ object SparkEntry {
       }
       rm(new java.io.File(base))
       val docs = t(s, dir, "documents")
-      text.VocabStats.fitMknModel(docs, "text", order = 5)
-        .write.parquet(s"$base/model") // fit once
+      val fit = text.VocabStats.fitMknModel(docs, "text", order = 5)
+      fit.write.parquet(s"$base/model") // fit once
+      fit.unpersist() // the fit's only surviving cache — freed on write
       val served = s.read.parquet(s"$base/model") // score many
       text.VocabStats.mknNllFromModel(served, docs, "doc_id", "text",
         order = 5)
+    }),
+
+    // the ORDER-5 ARPA interchange leg (KenLM's production artifact is
+    // an order-5 modified-KN .arpa, the `lmplz -o 5` output): fit the
+    // order-5 model on a DETERMINISTIC 10 % document sample (portable
+    // hash, replayed by the oracle), export the probability view,
+    // re-import, and require() the round trip BIT-exact — the
+    // quality_kn_from_model discipline generalized to the ladder's top
+    // order. Sampled on purpose: interchange correctness is a property
+    // of the FORMAT, not of corpus size, and the full-corpus ARPA
+    // write is a model-mass driver stream the bench top line shouldn't
+    // carry (measured: ~8× the sampled cost at sf0.1); scoring serves
+    // from the same sampled model so the whole chain — fit → .arpa →
+    // re-read → serve — is oracle-verified end to end
+    "quality_mkn5_arpa" -> ((s, dir) => {
+      val base = "/root/repo/target/tmp/q_mkn5_arpa"
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm); f.delete(); ()
+      }
+      rm(new java.io.File(base))
+      val docs = operators.Sampling.hashSample(t(s, dir, "documents"),
+        Seq("doc_id"), numerator = 1, denominator = 10, seed = 7L,
+        portable = true)
+      val fit = text.VocabStats.fitMknModel(docs, "text", order = 5)
+      val arpa = text.Arpa.fromMknModel(fit, order = 5).persist()
+      text.Arpa.write(arpa, s"$base/model.arpa")
+      val back = text.Arpa.read(s, s"$base/model.arpa")
+      def sig(d: org.apache.spark.sql.DataFrame) = d.select(
+        xxhash64(col("order"), col("ngram"),
+          col("logprob").cast("string"),
+          coalesce(col("backoff").cast("string"), lit(""))).as("__h"))
+        .agg(count(lit(1)).as("n"), expr("bit_xor(__h)").as("h")).head()
+      require(sig(arpa) == sig(back),
+        "order-5 ARPA round-trip drifted: written and re-read differ")
+      arpa.unpersist()
+      // fit stays persisted until the returned plan materializes (the
+      // documented fitMknModel contract: the model is the call's only
+      // surviving cache — model-sized, freed by ContextCleaner)
+      text.VocabStats.mknNllFromModel(fit, docs,
+        "doc_id", "text", order = 5)
     }),
 
     // CCNet tiering ranked by the KN trigram score — the published
@@ -3559,14 +3600,15 @@ object SparkEntry {
     * the hand-written quality_mkn_nll oracle matching the same generic
     * Scala path.
     */
-  private def mknOracleSql(order: Int): String = {
+  private def mknOracleSql(order: Int, docWhere: String = ""): String = {
     val n = order
+    val where = if (docWhere.isEmpty) "" else s"\n  WHERE $docWhere"
     val sb = new StringBuilder
     sb ++= s"""WITH x5ws AS (
       |  SELECT doc_id,
       |    list_filter(regexp_split_to_array(lower(text), '\\s+'),
       |                w -> len(w) > 0) AS ws
-      |  FROM documents),\n""".stripMargin
+      |  FROM documents$where),\n""".stripMargin
     // k-gram occurrence streams + type tables
     for (k <- 2 to n) {
       val cols = (1 to k).map(j => s"ws[i + ${j - 1}] AS w$j").mkString(", ")
@@ -5040,6 +5082,14 @@ object SparkEntry {
     // serving from the persisted order-5 model is bit-identical to the
     // one-shot fit+score, so the same generated oracle replays it
     "quality_mkn5_from_model" -> mknOracleSql(5),
+
+    // the ARPA sibling fits/scores on the portable-hash 10 % sample;
+    // the oracle replays the same generated recursion over the same
+    // WHERE (the round-trip require() is engine-side: a drifted .arpa
+    // serialization fails the query before any rows surface)
+    "quality_mkn5_arpa" -> mknOracleSql(5,
+      docWhere = "CAST(concat('0x', substr(md5(concat_ws(chr(1), " +
+        "doc_id, '7')), 1, 15)) AS BIGINT) % 10 < 1"),
 
     // replays modified KN: the same nine corpus integers drive the same
     // IEEE discount expressions (CAST AS DOUBLE literals — DuckDB's

@@ -59,15 +59,41 @@ object PageRank {
     * query). Returns `(node, out_degree, rank_fp, rank)`: the
     * fixed-point `BIGINT` rank and its exact `rank_fp / scale` double
     * view.
+    *
+    * Fault tolerance: by default the carried state rides
+    * `localCheckpoint()` — executor-LOCAL blocks whose lineage is cut,
+    * so an executor loss past iteration k cannot recompute (the job
+    * fails and must restart from the edges). That is the right local /
+    * single-JVM trade (no FS round trip per iteration); a
+    * 1000-executor production run should set `reliableEvery = N` to
+    * write a RELIABLE `checkpoint()` to the SparkContext's checkpoint
+    * directory every N rounds (the GraphX `checkpointInterval` idiom —
+    * rounds between reliable cuts still use local checkpoints, and an
+    * executor loss replays at most N−1 rounds from the last reliable
+    * cut). Requires `SparkContext.setCheckpointDir` to have been
+    * called; iteration results are BIT-identical with the option on or
+    * off (integer arithmetic — pinned by PageRankSpec). Reliable
+    * checkpoint files live until context stop (or the
+    * `spark.cleaner.referenceTracking.cleanCheckpoints` GC path).
+    *
+    * The returned vector stays materialized (it IS the result); a
+    * caller done with it frees the blocks with [[release]].
     */
   def ranks(edges: DataFrame, srcCol: String, dstCol: String,
             iterations: Int = 8, scale: Long = 1000000000000L,
             dampNum: Long = 85, dampDen: Long = 100,
-            loopPartitions: Option[Int] = None): DataFrame = {
+            loopPartitions: Option[Int] = None,
+            reliableEvery: Int = 0): DataFrame = {
     require(iterations >= 1, s"need iterations >= 1, got $iterations")
     require(dampNum > 0 && dampNum < dampDen,
       s"need 0 < dampNum < dampDen, got $dampNum/$dampDen")
     require(scale >= 1000L, s"need scale >= 1000, got $scale")
+    require(reliableEvery >= 0,
+      s"need reliableEvery >= 0, got $reliableEvery")
+    require(reliableEvery == 0 ||
+      edges.sparkSession.sparkContext.getCheckpointDir.isDefined,
+      "reliableEvery > 0 needs SparkContext.setCheckpointDir — " +
+        "reliable checkpoints write to the checkpoint directory")
     val sp = edges.sparkSession
     val e = edges.select(col(srcCol).cast("string").as("src"),
       col(dstCol).cast("string").as("dst")).distinct()
@@ -130,6 +156,14 @@ object PageRank {
       // (node, n, out_degree, r) — n rides as a column so no rejoin,
       // out_degree = 0 marks dangling so the re-injection aggregate is
       // a filter over the state itself, not another join
+      // lineage cut per round: local blocks by default; every
+      // `reliableEvery`-th round a RELIABLE checkpoint when requested
+      // (see the scaladoc's fault-tolerance note). Both are EAGER, so
+      // the drop of the superseded round below is always safe.
+      def cut(df: DataFrame, round: Int): DataFrame =
+        if (reliableEvery > 0 && round % reliableEvery == 0)
+          df.checkpoint()
+        else df.localCheckpoint()
       var state = nodeUnion.crossJoin(nTotal)
         .join(outdeg.withColumnRenamed("src", "node"), Seq("node"), "left")
         .select(col("node"), col("n"),
@@ -162,7 +196,7 @@ object PageRank {
           // recomputation. After the cut each round's plan is one
           // LogicalRDD deep, and the O(|V|) state vector is the only
           // carried data.
-          .localCheckpoint()
+        state = cut(state, iter + 1)
         dropCheckpoint(prev) // this round is materialized; k−1 is dead
         iter += 1
       }
@@ -193,4 +227,16 @@ object PageRank {
   def fromEdges(links: DataFrame, srcCol: String, dstCol: String,
                 iterations: Int = 8): DataFrame =
     ranks(links, srcCol, dstCol, iterations)
+
+  /** Free the checkpoint blocks behind a [[ranks]] result once the
+    * caller is done with it (a long-lived session computing many
+    * graphs should not wait for GC-driven ContextCleaner cleanup —
+    * the same deterministic-release discipline the loop applies to
+    * its superseded rounds). Safe on any DataFrame: unpersists every
+    * `LogicalRDD` leaf in the plan and nothing else.
+    */
+  def release(result: DataFrame): Unit =
+    result.queryExecution.analyzed.collect {
+      case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd
+    }.foreach { r => r.unpersist(blocking = false); () }
 }

@@ -399,16 +399,32 @@ object Tfrecord {
       }
     }
 
+  // int64 wire values narrowing to a caller-declared smaller type are
+  // RANGE-CHECKED: a foreign file carrying 2^40 read under IntegerType
+  // must refuse with the framing layer's labeled error contract, not
+  // wrap silently — the read side keeps the same bit-exact-or-refuse
+  // stance as the export side (which refuses DoubleType for the same
+  // reason)
+  private def narrow(v: Long, lo: Long, hi: Long, t: String): Long = {
+    require(v >= lo && v <= hi,
+      s"tfrecord: int64 value $v out of range for declared $t " +
+        s"[$lo, $hi] — widen the schema column to LONG")
+    v
+  }
+
   private def toValue(dt: DataType, f: Feat): Any = dt match {
     case StringType => f.bytes.headOption.map(new String(_, Utf8)).orNull
     case BinaryType => f.bytes.headOption.orNull
     case LongType => f.ints.headOption.map(java.lang.Long.valueOf).orNull
     case IntegerType =>
-      f.ints.headOption.map(v => java.lang.Integer.valueOf(v.toInt)).orNull
+      f.ints.headOption.map(v => java.lang.Integer.valueOf(
+        narrow(v, Int.MinValue, Int.MaxValue, "INT").toInt)).orNull
     case ShortType =>
-      f.ints.headOption.map(v => java.lang.Short.valueOf(v.toShort)).orNull
+      f.ints.headOption.map(v => java.lang.Short.valueOf(
+        narrow(v, Short.MinValue, Short.MaxValue, "SHORT").toShort)).orNull
     case ByteType =>
-      f.ints.headOption.map(v => java.lang.Byte.valueOf(v.toByte)).orNull
+      f.ints.headOption.map(v => java.lang.Byte.valueOf(
+        narrow(v, Byte.MinValue, Byte.MaxValue, "BYTE").toByte)).orNull
     case BooleanType =>
       f.ints.headOption.map(v => java.lang.Boolean.valueOf(v != 0L)).orNull
     case FloatType =>
@@ -416,7 +432,8 @@ object Tfrecord {
     case ArrayType(StringType, _) => f.bytes.map(new String(_, Utf8))
     case ArrayType(BinaryType, _) => f.bytes
     case ArrayType(LongType, _) => f.ints
-    case ArrayType(IntegerType, _) => f.ints.map(_.toInt)
+    case ArrayType(IntegerType, _) =>
+      f.ints.map(v => narrow(v, Int.MinValue, Int.MaxValue, "INT").toInt)
     case ArrayType(FloatType, _) => f.floats
     case other => throw new IllegalArgumentException(
       s"tfrecord: unsupported read type $other")

@@ -12,9 +12,13 @@ import org.apache.spark.sql.types._
   * the whole point: shards stream sequentially off object storage with
   * zero random access, and any tar tool can inspect them.
   *
-  * Key rule (the published one): the key is the basename up to the
-  * FIRST dot; the extension is everything after it — so
-  * `x.seg.json` groups under key `x` as modality `seg.json`.
+  * Key rule (webdataset's published `base_plus_ext`): the key is the
+  * full path up to the FIRST dot of the basename — the directory
+  * prefix stays in the key — and the extension is everything after
+  * that dot. So `x.seg.json` groups under key `x` as modality
+  * `seg.json`, and a foreign tar's adjacent `a/0001.jpg` /
+  * `b/0001.txt` are keys `a/0001` and `b/0001`: two samples, never
+  * silently merged.
   *
   * [[export]] writes one `shard-NNNNN.tar[.gz]` per partition through
   * the Hadoop filesystem of `dir`, samples streaming out as the
@@ -212,11 +216,16 @@ object WebDataset {
       Iterator[(String, Map[String, Array[Byte]])] =
     new Iterator[(String, Map[String, Array[Byte]])] {
       private val buf = es.buffered
+      // the published WebDataset key rule (webdataset's base_plus_ext):
+      // key = the full path up to the FIRST dot of the BASENAME — the
+      // directory prefix stays in the key, so a foreign tar's adjacent
+      // 'a/0001.jpg' and 'b/0001.txt' are two samples, never silently
+      // merged. Our writer emits dot/slash-free keys, so exports group
+      // identically under either rule.
       private def keyExt(name: String): (String, String) = {
-        val base = name.substring(name.lastIndexOf('/') + 1)
-        val dot = base.indexOf('.')
-        if (dot < 0) (base, "") else
-          (base.substring(0, dot), base.substring(dot + 1))
+        val dot = name.indexOf('.', name.lastIndexOf('/') + 1)
+        if (dot < 0) (name, "") else
+          (name.substring(0, dot), name.substring(dot + 1))
       }
       override def hasNext: Boolean = buf.hasNext
       override def next(): (String, Map[String, Array[Byte]]) = {

@@ -94,6 +94,116 @@ object Arpa {
         lit(null).cast("double")))
   }
 
+  /** The probability VIEW of a [[VocabStats.fitMknModel]] count table at
+    * ANY order — the interchange form of KenLM's actual production
+    * artifact (an order-5 modified-KN `.arpa`; `lmplz` emits exactly
+    * this shape). Generalizes the trigram [[fromKnModel]] section
+    * construction to N sections:
+    *
+    *  - N-grams: every model row, the full interpolated top-order
+    *    probability (what [[VocabStats.mknNllFromModel]] folds); no
+    *    backoff field (the ARPA top-order rule).
+    *  - k-grams (1 ≤ k < N): every distinct length-k SUFFIX
+    *    (w_{N−k+1} … w_N) with the interpolated level-k probability —
+    *    well-defined per suffix because every count p_k reads
+    *    (cc_j, den_j, m_j·, cc1, b) is keyed by suffix positions.
+    *    Backoff: γ of the SAME k words read as the level-(k+1)
+    *    CONTEXT (w_{N−k} … w_{N−1}) — γ_{k+1} = (D1·m1 + D2·m2 +
+    *    D3·m3)/den for middle levels, (D1·n1h + D2·n2h + D3·n3h)/ch
+    *    for the top — attached where those words occur as a context,
+    *    absent entries backing off with weight 1 (the ARPA
+    *    missing-field rule). The per-order (D1, D2, D3) evaluate from
+    *    the model's constant stat columns with the same
+    *    unsound-estimate → 0.75 fallback the scorer applies, so the
+    *    view is consistent with in-engine serving.
+    *
+    * Support is the top-order model's own (suffixes that never occur
+    * inside a top-order n-gram are not entries — the model never
+    * scores them). A context whose removed mass is exactly zero writes
+    * the customary `-99` stand-in rather than log10(0).
+    *
+    * Scale shape: per-section `distinct()` over suffix columns — type
+    * mass shrinking with k; no corpus-mass work.
+    */
+  def fromMknModel(model: DataFrame, order: Int): DataFrame = {
+    val n = order
+    require(n >= 3 && n <= 8, s"need 3 <= order <= 8, got $n")
+    (1 to n).foreach(j => require(model.columns.contains(s"w$j"),
+      s"model lacks column w$j — was it fit at order $n?"))
+    require(!model.columns.contains(s"w${n + 1}"),
+      s"model carries w${n + 1} — it was fit at a higher order than $n")
+    val log10e = lit(1.0 / math.log(10.0))
+    def l10(p: org.apache.spark.sql.Column) = log(p) * log10e
+
+    // per-order discounts from the constant stat columns — the exact
+    // expression [[VocabStats.mknNllFromModel]] evaluates (incl. the
+    // unsound-estimate fallback to the single 0.75 discount)
+    type C = org.apache.spark.sql.Column
+    def discounts(k: Int): (C, C, C) = {
+      val s1 = col(s"s${k}1"); val s2 = col(s"s${k}2")
+      val s3 = col(s"s${k}3"); val s4 = col(s"s${k}4")
+      val ok = s1 > 0 && s2 > 0 && s3 > 0 && s4 > 0
+      val y = when(s1 > 0, s1 / (s1 + lit(2L) * s2)).otherwise(lit(0.0))
+      val r1 = when(ok, lit(1.0) - lit(2.0) * y * s2 / s1).otherwise(lit(0.75))
+      val r2 = when(ok, lit(2.0) - lit(3.0) * y * s3 / s2).otherwise(lit(0.75))
+      val r3 = when(ok, lit(3.0) - lit(4.0) * y * s4 / s3).otherwise(lit(0.75))
+      val sound = ok && r1 >= 0.0 && r1 <= 1.0 &&
+        r2 >= 0.0 && r2 <= 2.0 && r3 >= 0.0 && r3 <= 3.0
+      (when(sound, r1).otherwise(lit(0.75)),
+        when(sound, r2).otherwise(lit(0.75)),
+        when(sound, r3).otherwise(lit(0.75)))
+    }
+    val dsc = (2 to n).map(k => k -> discounts(k)).toMap
+    def disc(c: C, t: (C, C, C)): C =
+      when(c === 1, t._1).when(c === 2, t._2).otherwise(t._3)
+
+    // interpolated level-k probability over a model row (suffix-keyed)
+    def pk(k: Int): C =
+      if (k == 1) col("cc1") / col("b")
+      else if (k < n) {
+        val e = dsc(k)
+        (col(s"cc$k") - disc(col(s"cc$k"), e)) / col(s"den$k") +
+          (e._1 * col(s"m${k}1") + e._2 * col(s"m${k}2") +
+            e._3 * col(s"m${k}3")) / col(s"den$k") * pk(k - 1)
+      } else {
+        val e = dsc(n)
+        (col("c") - disc(col("c"), e)) / col("ch") +
+          (e._1 * col("n1h") + e._2 * col("n2h") +
+            e._3 * col("n3h")) / col("ch") * pk(n - 1)
+      }
+
+    def sfx(k: Int): Seq[C] = (n - k + 1 to n).map(j => col(s"w$j"))
+    def ctx(k: Int): Seq[C] = (n - k to n - 1).map(j => col(s"w$j"))
+
+    def entries(k: Int): DataFrame = model
+      .select(concat_ws(" ", sfx(k): _*).as("ngram"),
+        l10(pk(k)).as("logprob")).distinct()
+      .select(lit(k).as("order"), col("ngram"), col("logprob"))
+    def backoffs(k: Int): DataFrame = {
+      val g: C = if (k + 1 == n) {
+        val e = dsc(n)
+        (e._1 * col("n1h") + e._2 * col("n2h") + e._3 * col("n3h")) /
+          col("ch")
+      } else {
+        val e = dsc(k + 1)
+        (e._1 * col(s"m${k + 1}1") + e._2 * col(s"m${k + 1}2") +
+          e._3 * col(s"m${k + 1}3")) / col(s"den${k + 1}")
+      }
+      model.select(concat_ws(" ", ctx(k): _*).as("ngram"),
+        when(g > 0, l10(g)).otherwise(lit(-99.0)).as("backoff"))
+        .distinct()
+    }
+
+    val top = model.select(lit(n).as("order"),
+      concat_ws(" ", (1 to n).map(j => col(s"w$j")): _*).as("ngram"),
+      l10(pk(n)).as("logprob"), lit(null).cast("double").as("backoff"))
+    (1 until n).map { k =>
+      entries(k).join(backoffs(k), Seq("ngram"), "left")
+        .select(col("order"), col("ngram"), col("logprob"),
+          col("backoff"))
+    }.reduce(_ unionByName _).unionByName(top)
+  }
+
   /** Write the `(order, ngram, logprob, backoff)` frame as one `.arpa`
     * file (ngram-sorted sections for determinism). Model-sized driver
     * streaming — see the object doc.
@@ -110,19 +220,24 @@ object Arpa {
     try {
       out.write("\\data\\\n")
       orders.foreach(o => out.write(s"ngram $o=${counts(o)}\n"))
-      orders.foreach { o =>
-        out.write(s"\n\\$o-grams:\n")
-        val it = arpa.filter(col("order") === o)
-          .select("logprob", "ngram", "backoff")
-          .orderBy("ngram").toLocalIterator()
-        while (it.hasNext) {
-          val r = it.next()
-          out.write(r.getDouble(0).toString)
-          out.write('\t')
-          out.write(r.getString(1))
-          if (!r.isNullAt(2)) { out.write('\t'); out.write(r.getDouble(2).toString) }
-          out.write('\n')
-        }
+      // ONE global (order, ngram) sort streamed once through the
+      // driver, section markers emitted at order boundaries — not a
+      // sort + full-plan re-evaluation per section (at order 5 the
+      // per-section form re-ran the model-mass plan five times and
+      // dominated the export; byte-identical output either way)
+      val it = arpa
+        .select(col("order"), col("logprob"), col("ngram"), col("backoff"))
+        .orderBy("order", "ngram").toLocalIterator()
+      var cur = Int.MinValue
+      while (it.hasNext) {
+        val r = it.next()
+        val o = r.getInt(0)
+        if (o != cur) { out.write(s"\n\\$o-grams:\n"); cur = o }
+        out.write(r.getDouble(1).toString)
+        out.write('\t')
+        out.write(r.getString(2))
+        if (!r.isNullAt(3)) { out.write('\t'); out.write(r.getDouble(3).toString) }
+        out.write('\n')
       }
       out.write("\n\\end\\\n")
     } finally out.close()

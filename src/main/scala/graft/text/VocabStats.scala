@@ -255,13 +255,15 @@ object VocabStats {
     * self-joins — each n-gram is built inside one `transform` over the
     * words array).
     */
-  private def knGrams(df: DataFrame, idCol: String, textCol: String)
-      : (DataFrame, DataFrame) = {
-    // both gram streams and their downstream type tables re-read the
-    // tokenized corpus several times per query — persist it once (the
-    // same measured win as the order-N path's ws)
-    val ws = df.select(col(idCol), words(col(textCol)).as("__ws"))
-      .persist()
+  private def knGrams(df: DataFrame, idCol: String, textCol: String,
+                      persistWs: Boolean)
+      : (DataFrame, DataFrame, DataFrame) = {
+    // in the FIT both gram streams read the tokenized corpus — persist
+    // it once there (the caller unpersists when its tables
+    // materialize); in SERVING only the trigram stream is consumed,
+    // exactly once, so a cache would be a pure leak — skip it
+    val ws0 = df.select(col(idCol), words(col(textCol)).as("__ws"))
+    val ws = if (persistWs) ws0.persist() else ws0
     val bg = ws.select(col(idCol), explode(transform(
         slice(col("__ws"), lit(1), greatest(size(col("__ws")) - 1, lit(0))),
         (w, i) => struct(w.as("w1"),
@@ -274,7 +276,7 @@ object VocabStats {
           element_at(col("__ws"), i + 3).as("w3")))).as("__tg"))
       .select(col(idCol), col("__tg.w1").as("__w1"),
         col("__tg.w2").as("__w2"), col("__tg.w3").as("__w3"))
-    (bg, tg)
+    (bg, tg, ws)
   }
 
   /** FIT the interpolated-KN trigram model ONCE as a persistable table —
@@ -298,12 +300,18 @@ object VocabStats {
     */
   def fitKnModel(df: DataFrame, textCol: String): DataFrame = {
     val idCol = "__kn_id"
-    val (bg, tg) = knGrams(df.withColumn(idCol, lit(0L)), idCol, textCol)
-    // token-mass counts
+    val (bg, tg, ws) =
+      knGrams(df.withColumn(idCol, lit(0L)), idCol, textCol,
+        persistWs = true)
+    // token-mass counts, persisted: bcnt feeds 4 consumers (model
+    // join, N1+(w2·), N1+(·w3), N1+(··)) and tcnt 4 (model base, n3f,
+    // cc2, nmid) — unpersisted, each consumer reruns the token-mass
+    // explode + groupBy (the same measured ~2/3-of-wall-clock cost as
+    // the order-N fit's type tables)
     val bcnt = bg.groupBy(col("__w1"), col("__w2"))
-      .agg(count(lit(1)).as("__ch")) // c(w1 w2) as trigram history
+      .agg(count(lit(1)).as("__ch")).persist() // c(w1 w2) = tri history
     val tcnt = tg.groupBy(col("__w1"), col("__w2"), col("__w3"))
-      .agg(count(lit(1)).as("__c3"))
+      .agg(count(lit(1)).as("__c3")).persist()
     // type-mass continuation counts (each from a TYPE table group-by)
     val n3f = tcnt.groupBy(col("__w1"), col("__w2"))
       .agg(count(lit(1)).as("__n3f")) // N1+(w1w2·)
@@ -317,8 +325,12 @@ object VocabStats {
       .withColumnRenamed("__w2", "__w3") // N1+(·w3)
     val btot = bcnt.agg(count(lit(1)).as("__b")) // N1+(··)
 
-    // the model: every aux joined at TYPE mass onto the trigram table
-    tcnt
+    // the model: every aux joined at TYPE mass onto the trigram table.
+    // Eager, like [[fitMknModel]]: the model persists and counts here
+    // so every intermediate cache can be freed before returning — the
+    // model is then the call's ONLY surviving cache (callers done with
+    // the in-memory copy should `model.unpersist()`)
+    val out = tcnt
       .join(bcnt, Seq("__w1", "__w2"))
       .join(n3f, Seq("__w1", "__w2"))
       .join(cc2, Seq("__w2", "__w3"))
@@ -330,6 +342,10 @@ object VocabStats {
         col("__n3f").as("n3f"), col("__cc2").as("cc2"),
         col("__nmid").as("nmid"), col("__n2f").as("n2f"),
         col("__cc1").as("cc1"), col("__b").as("b"))
+      .persist()
+    out.count()
+    Seq(bcnt, tcnt, ws).foreach(_.unpersist(blocking = false))
+    out
   }
 
   /** SCORE documents from a fitted (possibly persisted-and-reloaded)
@@ -348,7 +364,7 @@ object VocabStats {
     require(discount > 0.0 && discount < 1.0,
       s"need 0 < discount < 1, got $discount")
     val d = lit(discount)
-    val (_, tg) = knGrams(df, idCol, textCol)
+    val (_, tg, _) = knGrams(df, idCol, textCol, persistWs = false)
     val m = model.select(col("w1").as("__w1"), col("w2").as("__w2"),
       col("w3").as("__w3"), col("c3").as("__c3"), col("ch").as("__ch"),
       col("n3f").as("__n3f"), col("cc2").as("__cc2"),
@@ -489,6 +505,20 @@ object VocabStats {
     * Scale shape: everything is TYPE mass; the token-mass streams
     * reduce map-side into the type tables and nothing corpus-sized
     * survives into the model.
+    *
+    * Materialization & cache hygiene: the k-gram type tables feed 2–6
+    * consumers each (the top table alone feeds the model join, the
+    * history buckets, the discount statistics, AND the level-(N−1)
+    * continuation table), so each is persisted for the duration of the
+    * fit — without the persist the token-mass explode + groupBy reruns
+    * once per consumer, which measured as ~2/3 of the whole
+    * fit-and-serve wall-clock at order 5. The fit is therefore EAGER:
+    * the returned model is persisted and counted here, every
+    * intermediate cache (tokenization included) is unpersisted before
+    * returning, and the ONLY cache that outlives the call is the
+    * model itself (type-mass, self-contained). A caller that writes
+    * the model to parquet and is done with the in-memory copy should
+    * `model.unpersist()` — the returned Dataset is the persisted one.
     */
   def fitMknModel(df: DataFrame, textCol: String,
                   order: Int = 3): DataFrame = {
@@ -509,12 +539,13 @@ object VocabStats {
             element_at(col("__ws"), i + j).as(s"g$j")): _*))).as("__g"))
       g.select((1 to k).map(j => col(s"__g.g$j").as(s"__w$j")): _*)
     }
-    // G_k: the k-gram TYPE table with token counts
+    // G_k: the k-gram TYPE table with token counts — persisted: each
+    // feeds 2+ downstream consumers (see the scaladoc's cost note)
     def typeTable(k: Int): DataFrame = grams(k)
       .groupBy((1 to k).map(j => col(s"__w$j")): _*)
       .agg(count(lit(1)).as("__c"))
     val gTables: Map[Int, DataFrame] =
-      (2 to n).map(k => k -> typeTable(k)).toMap
+      (2 to n).map(k => k -> typeTable(k).persist()).toMap
 
     val topT = gTables(n) // c(w1..wN)
     val hist = gTables(n - 1) // token history c(w1..w_{N-1})
@@ -534,6 +565,10 @@ object VocabStats {
       .agg(count(lit(1)).as(s"__cc$k"))
       .select((2 to k + 1).map(j => col(s"__w$j").as(pos(k, j))) :+
         col(s"__cc$k"): _*)
+    // each continuation table feeds the model join AND its den/bucket
+    // aggregation (which itself has two consumers) — persist
+    val contTables: Map[Int, DataFrame] =
+      (2 until n).map(k => k -> contTable(k).persist()).toMap
     // den + γ buckets + the exact-3/exact-4 cells the discount stats
     // need, in ONE aggregation over the continuation table: the
     // denominator c(w2..wk·) counts (w1, w_{k+1}) TYPE pairs, which is
@@ -541,7 +576,7 @@ object VocabStats {
     // it here saves a separate full aggregation (and join) per level,
     // and the global count-of-counts below reduce to sums of these
     // per-context cells instead of re-aggregating the level
-    def denBucketTable(k: Int): DataFrame = contTable(k)
+    def denBucketTable(k: Int): DataFrame = contTables(k)
       .groupBy((2 to k).map(j => col(pos(k, j))): _*).agg(
         sum(col(s"__cc$k")).as(s"__den$k"),
         count(when(col(s"__cc$k") === 1, 1)).as(s"__m${k}1"),
@@ -550,7 +585,7 @@ object VocabStats {
         count(when(col(s"__cc$k") === 3, 1)).as(s"__m${k}3x"),
         count(when(col(s"__cc$k") === 4, 1)).as(s"__m${k}4x"))
     val denBuckets: Map[Int, DataFrame] =
-      (2 until n).map(k => k -> denBucketTable(k)).toMap
+      (2 until n).map(k => k -> denBucketTable(k).persist()).toMap
 
     val cc1 = gTables(2).groupBy(col("__w2"))
       .agg(count(lit(1)).as("__cc1"))
@@ -582,14 +617,19 @@ object VocabStats {
         .join(hist, (1 until n).map(s"__w" + _))
         .join(topBuckets, (1 until n).map(s"__w" + _))) { (acc, k) =>
       acc
-        .join(contTable(k), (2 to k + 1).map(pos(k, _)))
+        .join(contTables(k), (2 to k + 1).map(pos(k, _)))
         .join(denBuckets(k).drop(s"__m${k}3x", s"__m${k}4x"),
           (2 to k).map(pos(k, _)))
     }.join(cc1, Seq(s"__w$n"))
 
     val withStats = model.crossJoin(broadcast(statsDf))
-    withStats.select(withStats.columns.toSeq
-      .map(c => col(c).as(c.stripPrefix("__"))): _*)
+    val out = withStats.select(withStats.columns.toSeq
+      .map(c => col(c).as(c.stripPrefix("__"))): _*).persist()
+    out.count() // materialize the model; free every upstream cache
+    (gTables.values ++ contTables.values ++ denBuckets.values)
+      .foreach(_.unpersist(blocking = false))
+    ws.unpersist(blocking = false)
+    out
   }
 
   /** Score documents from a persisted/reloaded [[fitMknModel]] table —
@@ -615,15 +655,14 @@ object VocabStats {
         s"$order, and joining on a prefix would score each n-gram once " +
         "per continuation")
     // the model feeds two consumers (the one-row stats view and the
-    // token-mass join); persisted, a just-fit model's type-table
-    // pipeline materializes once instead of once per consumer — for a
-    // parquet-backed model this is just a cached scan. Cache lifetime:
-    // until the returned plan's last action plus ContextCleaner GC —
-    // a long-lived service scoring MANY corpora should hold one scorer
-    // per model rather than re-calling this per request, or rely on
-    // LRU eviction (the caches are MEMORY_AND_DISK and re-derivable)
+    // token-mass join) — NO cache here: a parquet-backed model costs
+    // one column-pruned limit(1) scan plus one join scan, and a
+    // just-fit model is already persisted by [[fitMknModel]] (which is
+    // eager and frees its own intermediates). This call adds no cache
+    // of its own, so repeated scoring in a long session accumulates
+    // nothing.
     val m = model.select(model.columns.toSeq
-      .map(c => col(c).as("__" + c)): _*).persist()
+      .map(c => col(c).as("__" + c)): _*)
     val ws = df.select(col(idCol), words(col(textCol)).as("__ws"))
     val topStream = ws.select(col(idCol), explode(transform(
         slice(col("__ws"), lit(1),

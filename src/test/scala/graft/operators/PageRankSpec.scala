@@ -82,4 +82,47 @@ class PageRankSpec extends SparkSpec {
     assert(drift < Scale / 50L,
       s"iterates 8 vs 16 drifted by $drift — not contracting")
   }
+
+  test("reliableEvery: results BIT-identical with reliable checkpoints " +
+       "on, and the option refuses without a checkpoint dir") {
+    val edges = (0L until 300L)
+      .map(i => (s"n${i % 23}", s"n${(i * 7 + 3) % 23}"))
+    val df = edges.toDF("src", "dst")
+    // no checkpoint dir set -> loud refusal
+    assert(spark.sparkContext.getCheckpointDir.isEmpty)
+    val e = intercept[IllegalArgumentException] {
+      PageRank.ranks(df, "src", "dst", 8, reliableEvery = 2)
+    }
+    assert(e.getMessage.contains("setCheckpointDir"))
+    // with a dir: every-2-rounds reliable cuts, identical integers
+    spark.sparkContext.setCheckpointDir("target/tmp/pr_ckpt")
+    try {
+      val plain = rankMap(edges)
+      val reliable = PageRank.ranks(df, "src", "dst", 8,
+          reliableEvery = 2)
+        .collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      assert(plain == reliable,
+        "reliable-checkpoint path must not change a single rank bit")
+    } finally {
+      // reset so later suites keep the no-dir default
+      spark.sparkContext.setCheckpointDir(null)
+    }
+  }
+
+  test("release frees the result's checkpoint blocks") {
+    val r = PageRank.ranks(Seq("a" -> "b", "b" -> "a").toDF("src", "dst"),
+      "src", "dst", 4)
+    assert(r.count() == 2)
+    PageRank.release(r)
+    // the observable contract: every LogicalRDD leaf's storage level
+    // dropped to NONE (the blocks are freed; re-reading the released
+    // result is the caller's bug, as with any unpersisted checkpoint)
+    val rdds = r.queryExecution.analyzed.collect {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+    }
+    assert(rdds.nonEmpty)
+    assert(rdds.forall(_.getStorageLevel ==
+      org.apache.spark.storage.StorageLevel.NONE))
+  }
 }

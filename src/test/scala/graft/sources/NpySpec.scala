@@ -59,12 +59,14 @@ class NpySpec extends SparkSpec {
     assert(bytes.length == 10 + hlen + 50 * 8 * 4)
   }
 
-  test("reads files written by REAL NumPy (np.save), when present") {
-    // /tmp/npy_cross is produced by the repo's cross-validation step
-    // (np.save of a float32 matrix + int64 ids); skip when absent so
-    // the suite stays hermetic
-    val dir = new java.io.File("/tmp/npy_cross")
-    assume(dir.exists, "cross-validation fixtures not generated")
+  test("reads files written by REAL NumPy (np.save) — vendored fixtures") {
+    // src/test/resources/npy_cross is written by np.save (see
+    // tools/gen_npy_fixtures.py: seed-42 float32 (20,8) + int64 ids)
+    // and COMMITTED, so the real-NumPy interop runs on every box with
+    // no Python toolchain required
+    val dir = new java.io.File("src/test/resources/npy_cross")
+    assert(dir.exists, s"vendored fixtures missing at $dir — " +
+      "regenerate with tools/gen_npy_fixtures.py")
     val back = Npy.readPaired(spark, dir.getAbsolutePath)
     assert(back.count() == 20)
     val ids = back.select("id").as[Long].collect().sorted
@@ -77,7 +79,7 @@ class NpySpec extends SparkSpec {
     // the reference sum came from numpy's float32 accumulation; ours
     // folds in double — agreement to float32 epsilon proves the BITS
     // round-tripped (a mis-parse would be off by whole values)
-    assert(math.abs(total - -4.61212158203125) < 1e-5,
+    assert(math.abs(total - -10.816282272338867) < 1e-5,
       s"numpy-written payload sum mismatch: $total")
   }
 

@@ -104,6 +104,31 @@ class TfrecordSpec extends SparkSpec {
     assert(e2.getMessage.contains("double is refused"))
   }
 
+  test("int64 wire values out of a declared narrow type's range refuse " +
+       "loudly instead of wrapping") {
+    // write with LONG (the wire type), read back under INT: in-range
+    // values narrow fine, a 2^40 value must fail with the labeled
+    // error — not wrap to garbage
+    val dir = tmpDir("tfr_narrow")
+    Tfrecord.export(
+      df(new StructType().add("id", LongType).add("v", LongType),
+        Seq(Row(1L, 42L), Row(2L, 1L << 40))).coalesce(1), dir)
+    val narrow = new StructType().add("id", LongType).add("v", IntegerType)
+    val e = intercept[org.apache.spark.SparkException] {
+      Tfrecord.read(spark, s"$dir/*.tfrecord", narrow).collect()
+    }
+    val msg = e.getMessage +
+      Option(e.getCause).map(_.getMessage).getOrElse("")
+    assert(msg.contains("out of range for declared INT"), msg)
+    // the in-range sibling narrows cleanly under the same schema
+    val okDir = tmpDir("tfr_narrow_ok")
+    Tfrecord.export(df(new StructType().add("id", LongType)
+        .add("v", LongType), Seq(Row(1L, 42L))).coalesce(1), okDir)
+    val back = Tfrecord.read(spark, s"$okDir/*.tfrecord", narrow)
+      .select("v").collect().map(_.getInt(0)).toSeq
+    assert(back == Seq(42))
+  }
+
   test("frame layout matches the published TFRecord spec byte-for-byte") {
     // independent re-derivation: CRC32C known-answer vector, the
     // published mask formula, and a hand-assembled Example proto for

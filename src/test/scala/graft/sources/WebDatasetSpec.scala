@@ -121,6 +121,29 @@ class WebDatasetSpec extends SparkSpec {
   }
 
 
+  test("directory prefixes stay in the key (base_plus_ext): adjacent " +
+       "a/0001.* and b/0001.* are distinct samples, not merged") {
+    import scala.sys.process._
+    val dir = tmpDir("wds_dirkeys")
+    val src = new java.io.File(dir, "src")
+    new java.io.File(src, "a").mkdirs()
+    new java.io.File(src, "b").mkdirs()
+    java.nio.file.Files.write(new java.io.File(src, "a/0001.jpg").toPath,
+      Array[Byte](1, 2, 3))
+    java.nio.file.Files.write(new java.io.File(src, "b/0001.txt").toPath,
+      "other sample".getBytes("UTF-8"))
+    val tar = new java.io.File(dir, "shards/shard-0.tar")
+    tar.getParentFile.mkdirs()
+    assert(Seq("tar", "-cf", tar.getAbsolutePath, "-C",
+      src.getAbsolutePath, "a/0001.jpg", "b/0001.txt").! == 0)
+    val rows = WebDataset.read(spark, dir + "/shards/shard-*.tar")
+      .collect().map(r => r.getString(1) ->
+        r.getMap[String, Array[Byte]](2).keys.toSet).toMap
+    assert(rows.keySet == Set("a/0001", "b/0001"),
+      s"got keys ${rows.keySet}")
+    assert(rows("a/0001") == Set("jpg") && rows("b/0001") == Set("txt"))
+  }
+
   test("long tar names refuse loudly instead of mis-grouping") {
     import scala.sys.process._
     val dir = tmpDir("wds_long")

@@ -107,6 +107,108 @@ class ArpaSpec extends SparkSpec {
     ()
   }
 
+  // ---- arbitrary-order interchange: fromMknModel (KenLM's production
+  // artifact is an ORDER-5 modified-KN .arpa) ----
+
+  private lazy val mkn5 = VocabStats.fitMknModel(docs, "text", order = 5)
+
+  test("fromMknModel order 5: write -> read round-trips BIT-exactly " +
+       "with per-order header counts and five sections") {
+    val arpa = Arpa.fromMknModel(mkn5, order = 5)
+    val path = tmp("mkn5_roundtrip") + "/m.arpa"
+    Arpa.write(arpa, path)
+    val back = Arpa.read(spark, path)
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.select("order", "ngram", "logprob", "backoff")
+        .collect().map(r => (r.getInt(0), r.getString(1), r.getDouble(2),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+        .sortBy(t => (t._1, t._2)).toSeq
+    assert(rows(back) == rows(arpa))
+    val text = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(path)), "UTF-8")
+    val counts = arpa.groupBy("order").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(counts.keySet == Set(1, 2, 3, 4, 5))
+    counts.foreach { case (o, n) =>
+      assert(text.contains(s"ngram $o=$n"), s"header must carry order $o")
+    }
+  }
+
+  test("fromMknModel at any order: each section's support is the " +
+       "distinct top-order SUFFIX set, and a k-gram entry carries a " +
+       "backoff weight exactly where its words occur as a " +
+       "level-(k+1) CONTEXT; the top order carries none") {
+    for (n <- Seq(3, 4)) {
+      val m = VocabStats.fitMknModel(docs, "text", order = n)
+      val arpa = Arpa.fromMknModel(m, order = n).cache()
+      val top = arpa.filter(col("order") === n)
+      assert(top.filter(col("backoff").isNotNull).isEmpty,
+        s"order $n: top section must carry no backoff")
+      val tops = top.select("ngram").collect().map(_.getString(0))
+      def sfx(g: String, k: Int) = g.split(" ").takeRight(k).mkString(" ")
+      def ctx(g: String, k: Int) =
+        g.split(" ").dropRight(1).takeRight(k).mkString(" ")
+      for (k <- 1 until n) {
+        val sec = arpa.filter(col("order") === k)
+          .select("ngram", "backoff").collect()
+          .map(r => r.getString(0) ->
+            (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+        // support = distinct suffixes of the top section
+        assert(sec.keySet == tops.map(sfx(_, k)).toSet,
+          s"order $n section $k support")
+        // backoff attachment rule: present iff the words occur as a
+        // level-(k+1) context (= positions N-k..N-1 of some top entry)
+        val contexts = tops.map(ctx(_, k)).toSet
+        sec.foreach { case (g, bo) =>
+          assert(bo.isDefined == contexts(g),
+            s"order $n: $k-gram '$g' backoff presence")
+        }
+      }
+      arpa.unpersist()
+    }
+  }
+
+  test("fromMknModel top section self-scores identically to " +
+       "mknNllFromModel on in-support text (entry probabilities are " +
+       "the interpolated probabilities the engine folds)") {
+    import org.apache.spark.sql.functions.{filter => afilter}
+    val n = 5
+    val arpa = Arpa.fromMknModel(mkn5, order = n)
+    val top = arpa.filter(col("order") === n)
+      .select(col("ngram"), col("logprob"))
+    // doc 5-gram stream with the engine's tokenizer
+    val ws = docs.select(col("doc_id"),
+      afilter(split(lower(col("text")), "\\s+"), w => length(w) > 0)
+        .as("__ws"))
+    val grams = ws.select(col("doc_id"), explode(transform(
+        slice(col("__ws"), lit(1),
+          greatest(size(col("__ws")) - (n - 1), lit(0))),
+        (w, i) => concat_ws(" ",
+          w +: (2 to n).map(j => element_at(col("__ws"), i + j)): _*)))
+      .as("ngram"))
+    val ln10 = math.log(10.0)
+    val viaArpa = grams.join(top, Seq("ngram"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_ngrams"),
+        round(-sum(col("logprob") * lit(ln10)) / count(lit(1)), 4)
+          .as("nll"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    val direct = VocabStats.mknNllFromModel(mkn5, docs, "doc_id", "text",
+        order = n)
+      .filter(col("n_ngrams") > 0)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    assert(viaArpa.keySet == direct.keySet)
+    direct.foreach { case (id, (cnt, nll)) =>
+      val (ca, nlla) = viaArpa(id)
+      assert(ca == cnt, s"doc $id 5-gram count")
+      // identical probabilities; only fold association differs (sorted
+      // ln fold vs sum of log10), absorbed well inside 4dp
+      assert(math.abs(nll - nlla) <= 2e-4, s"doc $id: $nll vs $nlla")
+    }
+  }
+
   test("read tolerates a hand-written KenLM-style file (headers, blank " +
        "lines, no trailing backoffs on the top order)") {
     val dir = tmp("handwritten")
