@@ -154,7 +154,11 @@ object Bench {
     // .md). CalibRef stays in the output for cross-round context only.
     val CalibRef = 0.5
     val NormAlpha = 0.5
-    val calibRun = (calibStart + calibMid + calibEnd) / 3
+    // MEDIAN, not mean: the start probe runs JVM-cold (JIT, page
+    // cache) and reads 2-4x the steady-state probes, so a mean would
+    // let one cold probe shift the whole run's center; the median is
+    // the steady-state ambient level (5-run A/B in BENCHNOTES.md)
+    val calibRun = Seq(calibStart, calibMid, calibEnd).sorted.apply(1)
     def calibAt(t: Double): Double = {
       val c =
         if (t <= tCalibStart) calibStart

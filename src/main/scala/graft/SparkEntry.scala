@@ -1699,6 +1699,36 @@ object SparkEntry {
           col("rank_fp"), col("priority"))
     }),
 
+    // freshness-driven RECRAWL priority — sitemap <lastmod> composed
+    // into the frontier ordering (Cho & Garcia-Molina's refresh
+    // policy; the signal the sitemaps protocol exists to feed): per
+    // URL, age since the planted lastmod spread against a PINNED as-of
+    // date (never the wall clock), rank_fp × (1 + age) as the
+    // cross-domain dispatch key, stalest-first order within each
+    // politeness lane. Every 11th URL plants a NULL lastmod to
+    // exercise the unknown-freshness default. All-BIGINT, replayed by
+    // the oracle including the PageRank recurrence
+    "crawl_priority_fresh" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val links = seededCrawlLinks(docs)
+      val ranks = operators.PageRank.ranks(links, "src", "dst", 8)
+      val urls = docs.select(col("doc_id"),
+        concat(lit("https://site-"), col("doc_id") % 101, lit(".com/p/"),
+          col("doc_id")).as("url"),
+        concat(lit("site-"), col("doc_id") % 101, lit(".com"))
+          .as("domain"),
+        when(col("doc_id") % 11 === 0, lit(null).cast("date"))
+          .otherwise(to_date(concat(lit("2024-01-"),
+            lpad((col("doc_id") % 28 + 1).cast("string"), 2, "0"))))
+          .as("lastmod"))
+      operators.Frontier.freshOrder(
+        urls.join(ranks.select(col("node").as("domain"), col("rank_fp")),
+          Seq("domain")),
+        "url", "domain", "lastmod", "rank_fp", asOf = "2024-02-15")
+        .select(col("doc_id"), col("domain"), col("age_days"),
+          col("fresh_score"), col("fresh_order"))
+    }),
+
     // the composition those two normalizers exist for: per-registrable-
     // domain caps over crawl docs (the anti-SEO-farm curation rule) —
     // registrable_domain as the group key into the salted two-phase
@@ -2549,6 +2579,18 @@ object SparkEntry {
     "lang_id" -> ((s, dir) =>
       t(s, dir, "documents").select(
         col("doc_id"), text.TextAnalysis.langId(col("text")).as("lang_detected"))),
+
+    // the TRAINED language-id slot (CCNet runs fastText lid.176, a
+    // trained char-ngram linear classifier — the heuristic one-pass
+    // label above is its stand-in): Naive Bayes over hashed char
+    // 2/3-gram counts taught by the declared `lang` label, served at
+    // scan speed. The fit replays in-oracle token for token (portable
+    // md5 bucket hash, same sparse NB decomposition as
+    // quality_classifier); the trained-vs-heuristic confusion matrix
+    // is published by the Drive audit step
+    "lang_id_trained" -> ((s, dir) =>
+      text.LangId.trained(t(s, dir, "documents"), "doc_id", "text",
+        "lang")),
 
     // declared-vs-detected language confusion matrix — the audit view
     // behind CCNet's drop-on-mismatch rule (and the fastest way to spot
@@ -5453,6 +5495,37 @@ object SparkEntry {
     // window (see crawlPriorityOracleSql)
     "crawl_priority" -> crawlPriorityOracleSql(8),
 
+    // the freshness composition: same unrolled PageRank CTEs, then the
+    // planted lastmod spread (NULL every 11th), age vs the pinned
+    // as-of date, BIGINT score product, stalest-first lane window
+    "crawl_priority_fresh" ->
+      s"""WITH ${pagerankOracleCtes(8)},
+        |fdp AS (
+        |  SELECT n0.node AS domain, i.r AS rank_fp
+        |  FROM prn0 n0 JOIN prfin i ON n0.node = i.node),
+        |fu AS (
+        |  SELECT doc_id,
+        |    'https://site-' || (doc_id % 101) || '.com/p/' || doc_id AS url,
+        |    'site-' || (doc_id % 101) || '.com' AS domain,
+        |    CASE WHEN doc_id % 11 = 0 THEN NULL
+        |      ELSE CAST('2024-01-' ||
+        |        lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') AS DATE)
+        |    END AS lastmod
+        |  FROM documents),
+        |fa AS (
+        |  SELECT f.doc_id, f.domain, f.url, d.rank_fp,
+        |    CASE WHEN f.lastmod IS NULL THEN 30
+        |      ELSE greatest(
+        |        datediff('day', f.lastmod, DATE '2024-02-15'), 0)
+        |    END AS age_days
+        |  FROM fu f JOIN fdp d USING (domain))
+        |SELECT doc_id, domain, CAST(age_days AS BIGINT) AS age_days,
+        |  CAST(rank_fp * (1 + age_days) AS BIGINT) AS fresh_score,
+        |  CAST(row_number() OVER (
+        |    PARTITION BY domain ORDER BY age_days DESC, url) - 1
+        |    AS BIGINT) AS fresh_order
+        |FROM fa""".stripMargin,
+
     // the urlset entries and the portable schedule both replay in
     // closed form (the index leg is require()-pinned in the query)
     "source_sitemap" ->
@@ -6421,6 +6494,70 @@ object SparkEntry {
         |FROM s""".stripMargin,
 
     "lang_id" -> langIdSql,
+
+    // replays the trained language-id end to end: the hashed char
+    // 2/3-gram featurization (portable md5 bucket hash, seed '5',
+    // 4096 buckets) and the same sparse NB decomposition as
+    // quality_classifier — (c, tf) int sort before the evidence fold,
+    // closed-form ln(alpha) for unmatched buckets, argmax on
+    // round(score, 4) with label-ascending tie-break
+    "lang_id_trained" ->
+      """WITH lt AS (SELECT doc_id, lang, lower(text) AS t FROM documents),
+        |g2 AS (
+        |  SELECT doc_id, lang,
+        |    CAST(CAST(concat('0x', substr(md5(concat_ws(chr(1),
+        |        substr(t, i, 2), '5')), 1, 15)) AS BIGINT) % 4096
+        |      AS VARCHAR) AS word
+        |  FROM (SELECT doc_id, lang, t,
+        |          unnest(generate_series(1, greatest(len(t) - 1, 0))) AS i
+        |        FROM lt)),
+        |g3 AS (
+        |  SELECT doc_id, lang,
+        |    CAST(CAST(concat('0x', substr(md5(concat_ws(chr(1),
+        |        substr(t, i, 3), '5')), 1, 15)) AS BIGINT) % 4096
+        |      AS VARCHAR) AS word
+        |  FROM (SELECT doc_id, lang, t,
+        |          unnest(generate_series(1, greatest(len(t) - 2, 0))) AS i
+        |        FROM lt)),
+        |toks AS (SELECT * FROM g2 UNION ALL SELECT * FROM g3),
+        |wc AS (SELECT lang AS label, word, count(*) AS c
+        |       FROM toks GROUP BY 1, 2),
+        |ls AS (SELECT lang AS label, count(*) AS n_docs
+        |       FROM documents GROUP BY 1),
+        |ltok AS (SELECT lang AS label, count(*) AS n_tokens
+        |        FROM toks GROUP BY 1),
+        |tot AS (SELECT (SELECT count(*) FROM documents) AS n_docs_total,
+        |               (SELECT count(DISTINCT word) FROM toks) AS vocab_size),
+        |tf AS (SELECT doc_id, word, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |lens AS (SELECT doc_id, count(*) AS len FROM toks GROUP BY 1),
+        |ev AS (
+        |  SELECT doc_id, label,
+        |    list_sum(list_transform(
+        |      list_sort(list({'c': c, 'tf': tf})),
+        |      p -> p.tf * ln(p.c + CAST(0.5 AS DOUBLE)))) AS ev,
+        |    sum(tf) AS mtoks
+        |  FROM tf JOIN wc USING (word) GROUP BY 1, 2),
+        |base AS (
+        |  SELECT d.doc_id, CAST(coalesce(ln2.len, 0) AS BIGINT) AS len,
+        |    l.label,
+        |    ln(CAST(l.n_docs AS DOUBLE) / t.n_docs_total) AS prior,
+        |    ln(coalesce(ltok.n_tokens, 0)
+        |       + CAST(0.5 AS DOUBLE) * t.vocab_size) AS lnz
+        |  FROM documents d CROSS JOIN tot t CROSS JOIN ls l
+        |  LEFT JOIN ltok ON l.label = ltok.label
+        |  LEFT JOIN lens ln2 ON d.doc_id = ln2.doc_id),
+        |scored AS (
+        |  SELECT b.doc_id, b.label,
+        |    round(b.prior + coalesce(e.ev, 0)
+        |          + (b.len - coalesce(e.mtoks, 0)) * ln(CAST(0.5 AS DOUBLE))
+        |          - b.len * b.lnz, 4) AS score
+        |  FROM base b
+        |  LEFT JOIN ev e ON b.doc_id = e.doc_id AND b.label = e.label),
+        |r AS (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY doc_id ORDER BY score DESC, label) AS rk
+        |  FROM scored)
+        |SELECT doc_id, label AS pred, score FROM r WHERE rk = 1""".stripMargin,
 
     // declared-vs-detected confusion matrix (the CCNet mismatch-drop
     // rule's audit view) — the detector is re-derived by the shared CTE

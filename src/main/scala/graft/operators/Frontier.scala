@@ -78,4 +78,54 @@ object Frontier {
       .withColumn("delay_ms", delayMs)
       .withColumn("scheduled_ms", col("fetch_order") * col("delay_ms"))
   }
+
+  /** Freshness-driven RECRAWL ordering — the signal [[schedule]]'s
+    * pseudo-random lane order deliberately lacks: once a frontier has
+    * fetched everything once, real crawlers re-visit by CONTENT AGE
+    * (sitemap `<lastmod>` is exactly this signal — Cho &
+    * Garcia-Molina 2003's freshness-driven refresh policy, and what
+    * the sitemaps protocol exists to feed). Each row gets:
+    *
+    *  - `age_days`    — whole days from `lastmodCol` to the caller's
+    *    `asOf` date (a pinned literal, NEVER the wall clock — reruns
+    *    must schedule identically), floored at 0 for future-dated
+    *    lastmods; rows with NO lastmod get `defaultAgeDays` (unknown
+    *    freshness is treated as stale-ish, the conservative refresh
+    *    choice);
+    *  - `fresh_score` — `rank_fp × (1 + age_days)`, all-BIGINT: the
+    *    cross-domain dispatch key combining the domain's PageRank
+    *    importance with staleness (importance × age is the canonical
+    *    refresh-priority product);
+    *  - `fresh_order` — 0-based position WITHIN the politeness lane,
+    *    stalest first (age desc, url asc): inside one lane the domain
+    *    rank is constant, so staleness IS the lane order.
+    *
+    * The global dispatch order is deliberately NOT materialized as a
+    * row_number: a global window over corpus-mass URLs is a
+    * single-partition sort — the dispatcher orders by
+    * (`fresh_score` desc) via a range-partitioned sort at write time,
+    * or interleaves lanes by score, both scale-safe. One shuffle on
+    * the domain key, integer arithmetic throughout (engine-portable,
+    * deterministic under any partitioning).
+    */
+  def freshOrder(df: DataFrame, urlCol: String, domainCol: String,
+                 lastmodCol: String, rankFpCol: String, asOf: String,
+                 defaultAgeDays: Long = 30L): DataFrame = {
+    require(defaultAgeDays >= 0,
+      s"need defaultAgeDays >= 0, got $defaultAgeDays")
+    val asOfD = lit(java.sql.Date.valueOf(asOf))
+    // explicit null branch: greatest() SKIPS nulls (greatest(null, 0)
+    // is 0, not null), so a coalesce-after-greatest would silently
+    // treat unknown lastmod as perfectly fresh — the opposite of the
+    // conservative default
+    val age = when(col(lastmodCol).isNull, lit(defaultAgeDays))
+      .otherwise(greatest(datediff(asOfD, col(lastmodCol)).cast("long"),
+        lit(0L)))
+    val w = Window.partitionBy(col(domainCol))
+      .orderBy(col("age_days").desc, col(urlCol).asc)
+    df.withColumn("age_days", age)
+      .withColumn("fresh_score",
+        col(rankFpCol) * (lit(1L) + col("age_days")))
+      .withColumn("fresh_order", (row_number().over(w) - 1).cast("long"))
+  }
 }

@@ -67,7 +67,9 @@ object NaiveBayes {
     * evidence about the label mix, just not about words.
     */
   def fit(df: DataFrame, textCol: String, labelCol: String,
-          alpha: Double = 0.5): NbModel = {
+          alpha: Double = 0.5,
+          tokens: org.apache.spark.sql.Column => org.apache.spark.sql.Column
+            = words): NbModel = {
     require(alpha > 0.0, s"need alpha > 0, got $alpha")
     val labeled = df.filter(col(labelCol).isNotNull)
     // ONE corpus-mass pass: the explode → (label, word) aggregation.
@@ -75,7 +77,7 @@ object NaiveBayes {
     // token totals are Σc per label, vocab size a distinct-word count
     // over V·L rows — so the corpus text is tokenized exactly once
     val wordCounts = labeled
-      .select(col(labelCol).as("label"), explode(words(col(textCol))).as("word"))
+      .select(col(labelCol).as("label"), explode(tokens(col(textCol))).as("word"))
       .groupBy("label", "word").agg(count(lit(1)).as("c"))
     val labelStats = labeled.groupBy(col(labelCol).as("label"))
       .agg(count(lit(1)).as("n_docs"))
@@ -96,9 +98,11 @@ object NaiveBayes {
     * evidence are zero), exactly as the model says they should.
     */
   def predict(model: NbModel, df: DataFrame, idCol: String,
-              textCol: String): DataFrame =
+              textCol: String,
+              tokens: org.apache.spark.sql.Column => org.apache.spark.sql.Column
+                = words): DataFrame =
     predictFromTf(model, df, idCol,
-      df.select(col(idCol), explode(words(col(textCol))).as("word"))
+      df.select(col(idCol), explode(tokens(col(textCol))).as("word"))
         .groupBy(col(idCol), col("word")).agg(count(lit(1)).as("tf")))
 
   /** [[predict]] from a PRE-AGGREGATED `(id, word, tf)` frame — the
@@ -160,6 +164,9 @@ object NaiveBayes {
     * scale where the model still broadcasts.
     */
   def classify(df: DataFrame, idCol: String, textCol: String,
-               labelCol: String, alpha: Double = 0.5): DataFrame =
-    predict(fit(df, textCol, labelCol, alpha), df, idCol, textCol)
+               labelCol: String, alpha: Double = 0.5,
+               tokens: org.apache.spark.sql.Column => org.apache.spark.sql.Column
+                 = words): DataFrame =
+    predict(fit(df, textCol, labelCol, alpha, tokens), df, idCol, textCol,
+      tokens)
 }

@@ -1351,6 +1351,43 @@ object Drive {
       s"${vd.getOrElse("update", 0L)} updates, " +
       s"${vd.getOrElse("insert", 0L)} inserts between v0 and head")
 
+    // trained language-id vs the heuristic label: the published
+    // confusion audit (the trained NB is taught by the declared lang;
+    // the heuristic is the one-pass n-gram label) + agreement with the
+    // declared label for both
+    val liTrained = graft.text.LangId.trained(docs, "doc_id", "text",
+      "lang").select(col("doc_id"), col("pred"))
+    val liBoth = docs.select(col("doc_id"), col("lang"),
+        graft.text.TextAnalysis.langId(col("text")).as("heur"))
+      .join(liTrained, Seq("doc_id"))
+    val liN = liBoth.count()
+    val accT = liBoth.filter(col("pred") === col("lang")).count()
+    val accH = liBoth.filter(col("heur") === col("lang")).count()
+    println(f"[108] lang-id vs declared: trained ${accT * 100.0 / liN}%.1f%% " +
+      f"vs heuristic ${accH * 100.0 / liN}%.1f%% (n=$liN)")
+    val liConf = liBoth.groupBy("heur", "pred").count()
+      .orderBy(col("count").desc).limit(6).collect()
+      .map(r => s"${r.getString(0)}->${r.getString(1)}:${r.getLong(2)}")
+      .mkString(", ")
+    println(s"[109] trained-vs-heuristic confusion (top cells): $liConf")
+
+    // freshness recrawl ordering: stalest URL leads its lane
+    val frUrls = docs.limit(200).select(col("doc_id"),
+      concat(lit("https://site-"), col("doc_id") % 5, lit(".com/p/"),
+        col("doc_id")).as("url"),
+      concat(lit("site-"), col("doc_id") % 5, lit(".com")).as("domain"),
+      to_date(concat(lit("2024-01-"),
+        lpad((col("doc_id") % 28 + 1).cast("string"), 2, "0")))
+        .as("lastmod"),
+      lit(1000000L).as("rank_fp"))
+    val fr = graft.operators.Frontier.freshOrder(frUrls, "url", "domain",
+      "lastmod", "rank_fp", asOf = "2024-02-15")
+    val frHead = fr.filter(col("fresh_order") === 0)
+      .agg(min("age_days"), max("age_days")).head()
+    println(s"[110] fresh recrawl: lane leaders are the stalest " +
+      s"(age range ${frHead.getLong(0)}..${frHead.getLong(1)} days; " +
+      s"global dispatch key = rank_fp x (1 + age))")
+
     spark.stop()
   }
 }

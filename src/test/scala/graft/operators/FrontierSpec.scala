@@ -91,4 +91,39 @@ class FrontierSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(out.view.mapValues(_._2).toMap == fixed)
   }
+
+  test("freshOrder: stalest-first within the lane, pinned as-of date, " +
+       "null lastmod takes the default age, future lastmod floors at 0, " +
+       "score = rank_fp x (1 + age)") {
+    val rows = Seq(
+      // one lane, ages 14 / 45 / default(30) / future->0
+      (1L, "https://s.org/a", "s.org", "2024-02-01", 1000L),
+      (2L, "https://s.org/b", "s.org", "2024-01-01", 1000L),
+      (3L, "https://s.org/c", "s.org", null, 1000L),
+      (4L, "https://s.org/d", "s.org", "2024-03-09", 1000L),
+      // second lane with a different rank
+      (5L, "https://t.org/a", "t.org", "2024-02-05", 7L))
+      .toDF("id", "url", "domain", "lm", "rank_fp")
+      .withColumn("lastmod", to_date(col("lm")))
+    val out = Frontier.freshOrder(rows, "url", "domain", "lastmod",
+        "rank_fp", asOf = "2024-02-15")
+      .select("id", "age_days", "fresh_score", "fresh_order")
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(out(1L) == ((14L, 15000L, 2L)))
+    assert(out(2L) == ((45L, 46000L, 0L)), "stalest leads the lane")
+    assert(out(3L) == ((30L, 31000L, 1L)), "null lastmod -> default 30")
+    assert(out(4L) == ((0L, 1000L, 3L)), "future lastmod floors at 0")
+    assert(out(5L) == ((10L, 77L, 0L)), "lanes rank independently")
+    // deterministic under repartitioning (integer arithmetic + pinned
+    // window tiebreak)
+    val again = Frontier.freshOrder(rows.repartition(5), "url", "domain",
+        "lastmod", "rank_fp", asOf = "2024-02-15")
+      .select("id", "age_days", "fresh_score", "fresh_order")
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(again == out)
+  }
 }
