@@ -263,68 +263,72 @@ object Arpa {
           .as("backoff"))
   }
 
-  /** Score documents' trigrams against an ARPA model with the FULL
+  /** Score documents against an ARPA model of ANY order with the FULL
     * backoff chain (what a KenLM consumer does for text the model has
-    * never seen): p(w3|w1w2) = 3-gram entry if present, else
-    * backoff(w1w2)·p(w3|w2), p(w3|w2) = 2-gram entry else
-    * backoff(w2)·p(w3), missing contexts backing off with weight 1;
-    * trigrams whose w3 is out of vocabulary score `floorLog10` (the
-    * ARPA `-99` convention). Output matches [[VocabStats.trigramKnNll]]
-    * shape: (idCol, n_trigrams, nll) with nll = −mean ln p rounded to 4.
+    * never seen): p(w_N|w_1..w_{N−1}) = the N-gram entry if present,
+    * else backoff(w_1..w_{N−1}) · p(w_N|w_2..w_{N−1}) recursively down
+    * to the unigram, missing contexts backing off with weight 1 (the
+    * ARPA missing-field rule); n-grams whose whole chain is absent
+    * (OOV continuation) score `floorLog10` (the `-99` convention).
+    * Output shape `(idCol, n_ngrams, nll)` with nll = −mean ln p
+    * rounded to 4.
     *
-    * Scale shape: three broadcast-or-hash joins of the doc trigram
-    * stream against model-sized slices — the model never shuffles at
-    * corpus mass, the text is never re-counted.
+    * Scale shape: 2N−1 broadcast-or-hash joins of the doc n-gram
+    * stream against model-sized section slices (each section joins
+    * once as the ENTRY at suffix positions and once as the CONTEXT
+    * backoff one position left) — the model never shuffles at corpus
+    * mass, the text is never re-counted.
     */
   def nll(arpa: DataFrame, df: DataFrame, idCol: String, textCol: String,
-          floorLog10: Double = -99.0): DataFrame = {
+          floorLog10: Double = -99.0, order: Int = 3): DataFrame = {
+    val n = order
+    require(n >= 2 && n <= 8, s"need 2 <= order <= 8, got $n")
     val ws = df.select(col(idCol),
       filter(split(lower(col(textCol)), "\\s+"), w => length(w) > 0)
         .as("__ws"))
     val tg = ws.select(col(idCol), explode(transform(
-        slice(col("__ws"), lit(1), greatest(size(col("__ws")) - 2, lit(0))),
-        (w, i) => struct(w.as("w1"),
-          element_at(col("__ws"), i + 2).as("w2"),
-          element_at(col("__ws"), i + 3).as("w3")))).as("__t"))
-      .select(col(idCol), col("__t.w1").as("__w1"),
-        col("__t.w2").as("__w2"), col("__t.w3").as("__w3"))
-    val tri = arpa.filter(col("order") === 3).select(
-      split(col("ngram"), " ").as("__p"), col("logprob").as("__lp3"))
-      .select(element_at(col("__p"), 1).as("__w1"),
-        element_at(col("__p"), 2).as("__w2"),
-        element_at(col("__p"), 3).as("__w3"), col("__lp3"))
-    val bi = arpa.filter(col("order") === 2).select(
-      split(col("ngram"), " ").as("__p"), col("logprob").as("__lp2"),
-      col("backoff").as("__bo2"))
-      .select(element_at(col("__p"), 1).as("__u1"),
-        element_at(col("__p"), 2).as("__u2"), col("__lp2"), col("__bo2"))
-    val uni = arpa.filter(col("order") === 1).select(
-      col("ngram").as("__v"), col("logprob").as("__lp1"),
-      col("backoff").as("__bo1"))
+        slice(col("__ws"), lit(1),
+          greatest(size(col("__ws")) - (n - 1), lit(0))),
+        (w, i) => struct(w.as("g1") +: (2 to n).map(j =>
+          element_at(col("__ws"), i + j).as(s"g$j")): _*))).as("__t"))
+      .select(col(idCol) +:
+        (1 to n).map(j => col(s"__t.g$j").as(s"__w$j")): _*)
 
-    val joined = tg
-      .join(tri, Seq("__w1", "__w2", "__w3"), "left")
-      // the (w2,w3) bigram entry + the (w1,w2) context's backoff
-      .join(bi.select(col("__u1").as("__w2"), col("__u2").as("__w3"),
-        col("__lp2")), Seq("__w2", "__w3"), "left")
-      .join(bi.select(col("__u1").as("__w1"), col("__u2").as("__w2"),
-        col("__bo2").as("__boCtx")), Seq("__w1", "__w2"), "left")
-      // the w3 unigram + the w2 unigram's backoff
-      .join(uni.select(col("__v").as("__w3"), col("__lp1")),
-        Seq("__w3"), "left")
-      .join(uni.select(col("__v").as("__w2"), col("__bo1").as("__boW2")),
-        Seq("__w2"), "left")
-    val lp2Chain = coalesce(col("__lp2"),
-      coalesce(col("__boW2"), lit(0.0)) + col("__lp1"))
-    val lp = coalesce(col("__lp3"),
-      coalesce(col("__boCtx"), lit(0.0)) + lp2Chain, lit(floorLog10))
+    def sec(k: Int): DataFrame = arpa.filter(col("order") === k).select(
+      split(col("ngram"), " ").as("__p"),
+      col("logprob").as(s"__lp$k"), col("backoff").as(s"__bo$k"))
+
+    var joined = tg
+    // entry joins: section k keyed at suffix positions N−k+1..N
+    for (k <- n to 1 by -1) {
+      val e = sec(k).select((1 to k).map(i =>
+        element_at(col("__p"), i).as(s"__w${n - k + i}")) :+
+        col(s"__lp$k"): _*)
+      joined = joined.join(e, (n - k + 1 to n).map("__w" + _), "left")
+    }
+    // context-backoff joins: section j keyed one position LEFT
+    // (N−j..N−1) — the weight paid when the (j+1)-gram entry is absent
+    for (j <- 1 until n) {
+      val b = sec(j).select((1 to j).map(i =>
+        element_at(col("__p"), i).as(s"__w${n - j - 1 + i}")) :+
+        col(s"__bo$j").as(s"__boc$j"): _*)
+      joined = joined.join(b, (n - j to n - 1).map("__w" + _), "left")
+    }
+    // the chain, unigram outward; a null anywhere below propagates so
+    // the outer coalesce lands on the floor exactly when the whole
+    // chain is absent
+    var chain: org.apache.spark.sql.Column = col("__lp1")
+    for (k <- 2 to n)
+      chain = coalesce(col(s"__lp$k"),
+        coalesce(col(s"__boc${k - 1}"), lit(0.0)) + chain)
+    val lp = coalesce(chain, lit(floorLog10))
     val ln10 = math.log(10.0)
     val scored = joined
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_trigrams"),
+      .agg(count(lit(1)).as("n_ngrams"),
         round(-sum(lp * lit(ln10)) / count(lit(1)), 4).as("nll"))
     df.select(col(idCol)).join(scored, Seq(idCol), "left")
       .select(col(idCol),
-        coalesce(col("n_trigrams"), lit(0L)).as("n_trigrams"), col("nll"))
+        coalesce(col("n_ngrams"), lit(0L)).as("n_ngrams"), col("nll"))
   }
 }

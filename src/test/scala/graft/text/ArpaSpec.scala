@@ -209,6 +209,59 @@ class ArpaSpec extends SparkSpec {
     }
   }
 
+  test("generic backoff chain (order 4): entry hit, single-level " +
+       "backoff, full fall-through to the unigram, and the OOV floor") {
+    val corpus = Seq((1L, "a b c d a b c e")).toDF("doc_id", "text")
+    val m = VocabStats.fitMknModel(corpus, "text", order = 4)
+    val arpa = Arpa.fromMknModel(m, order = 4).cache()
+    def lp(o: Int, g: String): Double =
+      arpa.filter(col("order") === o && col("ngram") === g)
+        .select("logprob").head().getDouble(0)
+    def score(text: String): Double =
+      Arpa.nll(arpa, Seq((1L, text)).toDF("doc_id", "text"),
+        "doc_id", "text", order = 4).head().getDouble(2)
+    val ln10 = math.log(10.0)
+    // direct 4-gram entry
+    assert(math.abs(score("a b c d") - (-lp(4, "a b c d") * ln10)) <= 1e-4)
+    // (x b c d): 4-gram absent, context (x b c) absent -> weight 1 ->
+    // trigram entry (b c d)
+    assert(math.abs(score("x b c d") - (-lp(3, "b c d") * ln10)) <= 1e-4)
+    // (x y z d): falls all the way through to the unigram (d)
+    assert(math.abs(score("x y z d") - (-lp(1, "d") * ln10)) <= 1e-4)
+    // (c a b c): 4-gram absent, (c a b) not an entry -> weight 1 ->
+    // trigram (a b c) present
+    assert(math.abs(score("c a b c") - (-lp(3, "a b c") * ln10)) <= 1e-4)
+    // OOV continuation: the -99 floor
+    assert(math.abs(score("a b c q") - (99.0 * ln10)) <= 1e-4)
+    arpa.unpersist()
+    ()
+  }
+
+  test("order-5 self-scoring through the generic chain matches " +
+       "mknNllFromModel (every corpus 5-gram is an entry, the chain " +
+       "never fires)") {
+    val arpa = Arpa.fromMknModel(mkn5, order = 5)
+    val viaArpa = Arpa.nll(arpa, docs, "doc_id", "text", order = 5)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+      .toMap
+    val direct = VocabStats.mknNllFromModel(mkn5, docs, "doc_id", "text",
+        order = 5)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+      .toMap
+    assert(viaArpa.keySet == direct.keySet)
+    direct.foreach { case (id, (cnt, nll)) =>
+      val (ca, nlla) = viaArpa(id)
+      assert(ca == cnt, s"doc $id 5-gram count")
+      (nll, nlla) match {
+        case (Some(x), Some(y)) =>
+          assert(math.abs(x - y) <= 2e-4, s"doc $id: direct $x arpa $y")
+        case (a, b) => assert(a == b, s"doc $id nullability")
+      }
+    }
+  }
+
   test("read tolerates a hand-written KenLM-style file (headers, blank " +
        "lines, no trailing backoffs on the top order)") {
     val dir = tmp("handwritten")
