@@ -1136,17 +1136,42 @@ object SparkEntry {
     // carry (measured: ~8× the sampled cost at sf0.1); scoring serves
     // from the same sampled model so the whole chain — fit → .arpa →
     // re-read → serve — is oracle-verified end to end
-    "quality_mkn5_arpa" -> ((s, dir) => {
+    "quality_mkn5_arpa" -> ((s0, dir) => {
       val base = "/root/repo/target/tmp/q_mkn5_arpa"
       def rm(f: java.io.File): Unit = {
         if (f.isDirectory) f.listFiles().foreach(rm); f.delete(); ()
       }
       rm(new java.io.File(base))
+      // 5 % portable-hash sample: interchange correctness is a FORMAT
+      // property, not a corpus-size one, and the 9 section jobs +
+      // driver-streamed write are model-mass costs the bench should
+      // pay at sample scale. The whole chain is ~50 SMALL stages
+      // (five type-table levels, nine ARPA sections, the sort) over a
+      // sample-sized model, so it runs in a NARROW child session —
+      // the PageRank small-regime idiom: width sized from the
+      // measured sample, AQE's per-stage materialization off below
+      // session width (pure latency on explicitly-sized tiny
+      // exchanges), caller's session conf never mutated. Production
+      // fits over full corpora keep their session width — this
+      // scoping is the declared query's, not the library's.
+      val nSample = operators.Sampling.hashSample(
+        t(s0, dir, "documents").select("doc_id"),
+        Seq("doc_id"), numerator = 1, denominator = 20, seed = 7L,
+        portable = true).count()
+      val sessionP = s0.conf.get("spark.sql.shuffle.partitions").toInt
+      val loopP =
+        math.max(1L, math.min(sessionP.toLong, nSample / 100L + 1L)).toInt
+      val s = s0.newSession()
+      s.conf.set("spark.sql.shuffle.partitions", loopP.toString)
+      if (loopP < sessionP) s.conf.set("spark.sql.adaptive.enabled", "false")
       val docs = operators.Sampling.hashSample(t(s, dir, "documents"),
-        Seq("doc_id"), numerator = 1, denominator = 10, seed = 7L,
+        Seq("doc_id"), numerator = 1, denominator = 20, seed = 7L,
         portable = true)
       val fit = text.VocabStats.fitMknModel(docs, "text", order = 5)
-      val arpa = text.Arpa.fromMknModel(fit, order = 5).persist()
+      fit.write.parquet(s"$base/model")
+      fit.unpersist() // query leaves NO caches; sections scan parquet
+      val served = s.read.parquet(s"$base/model")
+      val arpa = text.Arpa.fromMknModel(served, order = 5).persist()
       text.Arpa.write(arpa, s"$base/model.arpa")
       val back = text.Arpa.read(s, s"$base/model.arpa")
       def sig(d: org.apache.spark.sql.DataFrame) = d.select(
@@ -1157,10 +1182,7 @@ object SparkEntry {
       require(sig(arpa) == sig(back),
         "order-5 ARPA round-trip drifted: written and re-read differ")
       arpa.unpersist()
-      // fit stays persisted until the returned plan materializes (the
-      // documented fitMknModel contract: the model is the call's only
-      // surviving cache — model-sized, freed by ContextCleaner)
-      text.VocabStats.mknNllFromModel(fit, docs,
+      text.VocabStats.mknNllFromModel(served, docs,
         "doc_id", "text", order = 5)
     }),
 
@@ -5125,13 +5147,13 @@ object SparkEntry {
     // one-shot fit+score, so the same generated oracle replays it
     "quality_mkn5_from_model" -> mknOracleSql(5),
 
-    // the ARPA sibling fits/scores on the portable-hash 10 % sample;
+    // the ARPA sibling fits/scores on the portable-hash 5 % sample;
     // the oracle replays the same generated recursion over the same
     // WHERE (the round-trip require() is engine-side: a drifted .arpa
     // serialization fails the query before any rows surface)
     "quality_mkn5_arpa" -> mknOracleSql(5,
       docWhere = "CAST(concat('0x', substr(md5(concat_ws(chr(1), " +
-        "doc_id, '7')), 1, 15)) AS BIGINT) % 10 < 1"),
+        "doc_id, '7')), 1, 15)) AS BIGINT) % 20 < 1"),
 
     // replays modified KN: the same nine corpus integers drive the same
     // IEEE discount expressions (CAST AS DOUBLE literals — DuckDB's
@@ -6497,46 +6519,51 @@ object SparkEntry {
 
     // replays the trained language-id end to end: the hashed char
     // 2/3-gram featurization (portable md5 bucket hash, seed '5',
-    // 4096 buckets) and the same sparse NB decomposition as
-    // quality_classifier — (c, tf) int sort before the evidence fold,
-    // closed-form ln(alpha) for unmatched buckets, argmax on
-    // round(score, 4) with label-ascending tie-break
+    // 4096 buckets), the FIXED-POINT integer evidence (lnfp =
+    // round(ln(c + alpha)*1e9) per model cell, evidence = sum of
+    // tf*lnfp — an order-free BIGINT sum, no sorted fold), closed-form
+    // ln(alpha) for unmatched buckets, argmax on round(score, 4) with
+    // label-ascending tie-break
     "lang_id_trained" ->
-      """WITH lt AS (SELECT doc_id, lang, lower(text) AS t FROM documents),
+      """WITH lt AS (SELECT doc_id, lower(text) AS t FROM documents),
         |g2 AS (
-        |  SELECT doc_id, lang,
-        |    CAST(CAST(concat('0x', substr(md5(concat_ws(chr(1),
-        |        substr(t, i, 2), '5')), 1, 15)) AS BIGINT) % 4096
-        |      AS VARCHAR) AS word
-        |  FROM (SELECT doc_id, lang, t,
+        |  SELECT doc_id,
+        |    CAST(concat('0x', substr(md5(concat_ws(chr(1),
+        |        substr(t, i, 2), '5')), 1, 15)) AS BIGINT) % 4096 AS word
+        |  FROM (SELECT doc_id, t,
         |          unnest(generate_series(1, greatest(len(t) - 1, 0))) AS i
         |        FROM lt)),
         |g3 AS (
-        |  SELECT doc_id, lang,
-        |    CAST(CAST(concat('0x', substr(md5(concat_ws(chr(1),
-        |        substr(t, i, 3), '5')), 1, 15)) AS BIGINT) % 4096
-        |      AS VARCHAR) AS word
-        |  FROM (SELECT doc_id, lang, t,
+        |  SELECT doc_id,
+        |    CAST(concat('0x', substr(md5(concat_ws(chr(1),
+        |        substr(t, i, 3), '5')), 1, 15)) AS BIGINT) % 4096 AS word
+        |  FROM (SELECT doc_id, t,
         |          unnest(generate_series(1, greatest(len(t) - 2, 0))) AS i
         |        FROM lt)),
         |toks AS (SELECT * FROM g2 UNION ALL SELECT * FROM g3),
-        |wc AS (SELECT lang AS label, word, count(*) AS c
-        |       FROM toks GROUP BY 1, 2),
-        |ls AS (SELECT lang AS label, count(*) AS n_docs
-        |       FROM documents GROUP BY 1),
-        |ltok AS (SELECT lang AS label, count(*) AS n_tokens
-        |        FROM toks GROUP BY 1),
-        |tot AS (SELECT (SELECT count(*) FROM documents) AS n_docs_total,
-        |               (SELECT count(DISTINCT word) FROM toks) AS vocab_size),
         |tf AS (SELECT doc_id, word, count(*) AS tf FROM toks GROUP BY 1, 2),
-        |lens AS (SELECT doc_id, count(*) AS len FROM toks GROUP BY 1),
+        |lbl AS (SELECT doc_id, lang AS label FROM documents
+        |        WHERE lang IS NOT NULL),
+        |wc AS (SELECT l.label, t.word, CAST(sum(t.tf) AS BIGINT) AS c
+        |       FROM tf t JOIN lbl l USING (doc_id) GROUP BY 1, 2),
+        |wcf AS (SELECT label, word,
+        |          CAST(round(ln(c + CAST(0.5 AS DOUBLE))
+        |            * CAST(1000000000 AS DOUBLE)) AS BIGINT) AS lnfp
+        |        FROM wc),
         |ev AS (
-        |  SELECT doc_id, label,
-        |    list_sum(list_transform(
-        |      list_sort(list({'c': c, 'tf': tf})),
-        |      p -> p.tf * ln(p.c + CAST(0.5 AS DOUBLE)))) AS ev,
-        |    sum(tf) AS mtoks
-        |  FROM tf JOIN wc USING (word) GROUP BY 1, 2),
+        |  SELECT t.doc_id, w.label,
+        |    CAST(sum(t.tf * w.lnfp) AS BIGINT) AS evfp,
+        |    CAST(sum(t.tf) AS BIGINT) AS mtoks
+        |  FROM tf t JOIN wcf w USING (word) GROUP BY 1, 2),
+        |lens AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS len
+        |         FROM tf GROUP BY 1),
+        |ls AS (SELECT lang AS label, count(*) AS n_docs
+        |       FROM documents WHERE lang IS NOT NULL GROUP BY 1),
+        |ltok AS (SELECT label, CAST(sum(c) AS BIGINT) AS n_tokens
+        |        FROM wc GROUP BY 1),
+        |tot AS (SELECT (SELECT count(*) FROM documents
+        |                WHERE lang IS NOT NULL) AS n_docs_total,
+        |               (SELECT count(DISTINCT word) FROM wc) AS vocab_size),
         |base AS (
         |  SELECT d.doc_id, CAST(coalesce(ln2.len, 0) AS BIGINT) AS len,
         |    l.label,
@@ -6548,7 +6575,8 @@ object SparkEntry {
         |  LEFT JOIN lens ln2 ON d.doc_id = ln2.doc_id),
         |scored AS (
         |  SELECT b.doc_id, b.label,
-        |    round(b.prior + coalesce(e.ev, 0)
+        |    round(b.prior
+        |          + coalesce(e.evfp, 0) / CAST(1000000000 AS DOUBLE)
         |          + (b.len - coalesce(e.mtoks, 0)) * ln(CAST(0.5 AS DOUBLE))
         |          - b.len * b.lnz, 4) AS score
         |  FROM base b

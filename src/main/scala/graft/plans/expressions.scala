@@ -134,6 +134,14 @@ object expressions {
   def normalized_md5(text: Column): Column =
     column(NormalizedMd5(expression(text)))
 
+  /** Hashed char-n-gram bucket ids for each order in `ns` (see
+    * [[Md5BucketNgrams]]) — the language-id featurization at kernel
+    * speed, bit-identical to the portable md5/conv/pmod column form.
+    */
+  def md5_bucket_ngrams(text: Column, ns: Seq[Int], buckets: Int,
+                        seed: String): Column =
+    column(Md5BucketNgrams(expression(text), ns, buckets, seed))
+
   /** NFC + whitespace/control cleanup of a text column in one pass (see
     * [[UnicodeClean]]).
     */
@@ -377,6 +385,44 @@ case class TokenHashes(child: Expression) extends UnaryExpression {
   * [[ShingleHashes]]: robust to word-boundary edits and typos, the
   * standard n-gram-Jaccard dedup primitive.
   */
+/** Text → md5-bucket ids of every char n-gram for each order in `ns` —
+  * the fastText language-id featurization, bit-identical to the
+  * portable column form (see [[ExprKernels.md5BucketNgrams]] for the
+  * equivalences) at kernel speed. Seed rides as UTF-8 bytes; output is
+  * nonnegative `% buckets`, so an external engine replays it with the
+  * documented md5/conv/pmod SQL.
+  */
+case class Md5BucketNgrams(child: Expression, ns: Seq[Int], buckets: Int,
+                           seed: String)
+    extends UnaryExpression {
+  require(ns.nonEmpty && ns.forall(n => n >= 1 && n <= 8),
+    s"need 1 <= n <= 8 char-gram orders, got $ns")
+  require(buckets >= 2, s"need >= 2 buckets, got $buckets")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes() =
+    expressions.stringCheck(child, "md5_bucket_ngrams")
+
+  @transient private lazy val nsArr: Array[Int] = ns.toArray
+  @transient private lazy val seedBytes: Array[Byte] =
+    seed.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+
+  override def nullSafeEval(input: Any): Any =
+    ExprKernels.md5BucketNgrams(input.asInstanceOf[UTF8String], nsArr,
+      buckets.toLong, seedBytes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val nsRef = ctx.addReferenceObj("nsArr", nsArr, "int[]")
+    val seedRef = ctx.addReferenceObj("seedBytes", seedBytes, "byte[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.ExprKernels.md5BucketNgrams(" +
+        s"$c, $nsRef, ${buckets}L, $seedRef);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Md5BucketNgrams =
+    copy(child = c)
+}
+
 case class CharNgramHashes(child: Expression, n: Int)
     extends UnaryExpression {
   require(n >= 2)

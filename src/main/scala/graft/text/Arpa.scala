@@ -224,10 +224,20 @@ object Arpa {
       // driver, section markers emitted at order boundaries — not a
       // sort + full-plan re-evaluation per section (at order 5 the
       // per-section form re-ran the model-mass plan five times and
-      // dominated the export; byte-identical output either way)
+      // dominated the export; byte-identical output either way).
+      // Partitions are sized to the MODEL (~500k rows each, ≥1):
+      // toLocalIterator launches one fetch job per partition, so a
+      // session-width sort of a small model pays width-many job
+      // latencies for nothing (measured 9.5 s → ~1 s on a 36k-row
+      // ARPA); range partitions ascend with the sort key, so global
+      // order is preserved at any width.
+      val total = counts.values.sum
+      val parts = math.max(1L, math.min(200L, (total + 499999L) / 500000L))
+        .toInt
       val it = arpa
         .select(col("order"), col("logprob"), col("ngram"), col("backoff"))
-        .orderBy("order", "ngram").toLocalIterator()
+        .repartitionByRange(parts, col("order"), col("ngram"))
+        .sortWithinPartitions("order", "ngram").toLocalIterator()
       var cur = Int.MinValue
       while (it.hasNext) {
         val r = it.next()

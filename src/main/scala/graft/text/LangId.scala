@@ -30,41 +30,108 @@ object LangId {
   /** Hashed char-n-gram featurization (fastText's): for each order n in
     * `ns`, every character n-gram of `lower(text)` — spaces and
     * punctuation INCLUDED, word boundaries are a language signal —
-    * hashed into `buckets` via the portable md5 hash and surfaced as
-    * the bucket id string. Deterministic, engine-replayable, and
-    * evaluated inline at scan speed (no UDF).
+    * hashed into `buckets` via the portable md5 hash, surfaced as the
+    * BIGINT bucket id. Runs as the [[graft.plans.Md5BucketNgrams]]
+    * kernel (one digest reused per thread, no per-gram string churn —
+    * the column form below measured ~16 s of the query's wall-clock on
+    * string allocation alone at sf0.1) and stays bit-identical to the
+    * engine-replayable column definition, pinned by LangIdSpec:
+    * `pmod(conv(substring(md5(concat_ws('\\u0001', gram, seed)), 1,
+    * 15), 16, 10), buckets)` over code-point windows of lower(text).
     */
   def hashedCharNgrams(text: Column, ns: Seq[Int], buckets: Int,
-                       seed: String): Column = {
-    require(ns.nonEmpty && ns.forall(n => n >= 1 && n <= 8),
-      s"need 1 <= n <= 8 char-gram orders, got $ns")
-    require(buckets >= 2, s"need >= 2 buckets, got $buckets")
-    val t = lower(text)
-    ns.map { n =>
-      // sequence() is direction-inferring (1..0 yields [1, 0], not
-      // empty) — guard the short-text case to an explicit empty array
-      val cnt = greatest(length(t) - (n - 1), lit(0))
-      val idx = when(cnt >= 1, sequence(lit(1), cnt))
-        .otherwise(array().cast("array<int>"))
-      transform(idx, i =>
-        pmod(graft.operators.Sampling.portableHash(
-            Seq(t.substr(i, lit(n))), seed),
-          lit(buckets.toLong)).cast("string"))
-    }.reduce(concat(_, _))
-  }
+                       seed: String): Column =
+    // null text featurizes to NO tokens (an empty array), not null —
+    // the contract the zero-token prior-only scoring path relies on
+    coalesce(
+      graft.plans.expressions.md5_bucket_ngrams(lower(text), ns, buckets,
+        seed),
+      array().cast("array<bigint>"))
 
   /** Train-and-label in one call (the corpus-as-its-own-teacher form
-    * the declared query uses, like [[NaiveBayes.classify]]): fit NB
-    * over hashed char-n-gram counts with `labelCol` (the declared
-    * language) as teacher, then argmax-label every document. Output
-    * `(idCol, pred, score)`; compose with the declared label for the
-    * CCNet mismatch-drop rule, and with [[TextAnalysis.langId]] for
-    * the trained-vs-heuristic confusion audit.
+    * the declared query uses, like [[NaiveBayes.classify]]): fit
+    * multinomial NB over hashed char-n-gram counts with `labelCol`
+    * (the declared language) as teacher, then argmax-label every
+    * document. Output `(idCol, pred, score)`; compose with the
+    * declared label for the CCNet mismatch-drop rule, and with
+    * [[TextAnalysis.langId]] for the trained-vs-heuristic confusion
+    * audit.
+    *
+    * Unlike [[NaiveBayes.predict]]'s sorted-double fold, the evidence
+    * here is FIXED-POINT INTEGER (the engine's perceptron/PageRank
+    * discipline): each model cell carries
+    * `lnfp = round(ln(c + α) · 1e9)` as a BIGINT, and a document's
+    * evidence is the plain integer sum Σ tf·lnfp — associative-
+    * commutative, so no collect_list, no per-group sort, and partial
+    * aggregation/AQE cannot change a bit. That matters HERE because
+    * char-gram featurization puts thousands of distinct buckets on
+    * every document (vs hundreds of words): the sorted-struct fold
+    * over |doc-buckets| × |languages| rows measured ~4× the entire
+    * remaining plan. The final score folds the integer back at
+    * `round(·, 4)`, which absorbs the ≤1e-9-per-cell quantization
+    * exactly like the ladder's ulp absorption. Tokenization runs ONCE
+    * (the tf aggregation feeds fit and scoring; identical subtrees
+    * reuse the shuffle exchange).
+    *
+    * Scale shape: one corpus-mass explode → (id, bucket) tf
+    * aggregation; the model is O(buckets × languages) rows (broadcast
+    * at any corpus size); the evidence join streams through a
+    * map-side-combinable hash aggregate; the argmax window partitions
+    * by document over |languages| rows.
     */
   def trained(df: DataFrame, idCol: String, textCol: String,
               labelCol: String, ns: Seq[Int] = Seq(2, 3),
               buckets: Int = 4096, alpha: Double = 0.5,
-              seed: String = "5"): DataFrame =
-    NaiveBayes.classify(df, idCol, textCol, labelCol, alpha,
-      tokens = c => hashedCharNgrams(c, ns, buckets, seed))
+              seed: String = "5"): DataFrame = {
+    require(alpha > 0.0, s"need alpha > 0, got $alpha")
+    val LnScale = 1.0e9
+    val tf = df
+      .select(col(idCol),
+        explode(hashedCharNgrams(col(textCol), ns, buckets, seed))
+          .as("word"))
+      .groupBy(col(idCol), col("word")).agg(count(lit(1)).as("tf"))
+    val labels = df.filter(col(labelCol).isNotNull)
+      .select(col(idCol), col(labelCol).as("label"))
+    // (label, bucket) counts derive from the SAME tf aggregation the
+    // scorer consumes — text is tokenized once
+    val wc = tf.join(labels, Seq(idCol))
+      .groupBy(col("label"), col("word")).agg(sum(col("tf")).as("c"))
+    val wcF = wc.select(col("label"), col("word"),
+      round(log(col("c") + lit(alpha)) * lit(LnScale)).cast("long")
+        .as("lnfp"))
+    val matched = tf.join(wcF, Seq("word"))
+      .groupBy(col(idCol), col("label"))
+      .agg(sum(col("tf") * col("lnfp")).as("__evfp"),
+        sum(col("tf")).as("__mtoks"))
+    val lens = tf.groupBy(col(idCol)).agg(sum(col("tf")).as("__len"))
+    val labelStats = labels.groupBy("label")
+      .agg(count(lit(1)).as("n_docs"))
+      .join(wc.groupBy("label").agg(sum(col("c")).as("n_tokens")),
+        Seq("label"), "left")
+    val totals = labels.agg(count(lit(1)).as("n_docs_total"))
+      .crossJoin(broadcast(wc.select("word").distinct()
+        .agg(count(lit(1)).as("vocab_size"))))
+    val base = df.select(col(idCol))
+      .join(lens, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("__len"), lit(0L)).as("__len"))
+      .crossJoin(broadcast(labelStats.crossJoin(totals).select(
+        col("label"),
+        log(col("n_docs").cast("double") / col("n_docs_total"))
+          .as("__prior"),
+        log(coalesce(col("n_tokens"), lit(0L)) +
+          lit(alpha) * col("vocab_size")).as("__lnz"))))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol))
+      .orderBy(col("score").desc, col("label"))
+    base.join(matched, Seq(idCol, "label"), "left")
+      .select(col(idCol), col("label"),
+        round(col("__prior")
+          + coalesce(col("__evfp"), lit(0L)) / lit(LnScale)
+          + (col("__len") - coalesce(col("__mtoks"), lit(0L))) *
+            log(lit(alpha))
+          - col("__len") * col("__lnz"), 4).as("score"))
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1)
+      .select(col(idCol), col("label").as("pred"), col("score"))
+  }
 }

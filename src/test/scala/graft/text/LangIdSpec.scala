@@ -41,29 +41,37 @@ class LangIdSpec extends SparkSpec {
     val g = df.filter(col("id").isin(1L, 6L))
       .select(col("id"),
         LangId.hashedCharNgrams(col("t"), Seq(2, 3), 64, "5").as("g"))
-      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
     assert(g(1L) == g(6L), "lowercasing must make AbCd == abcd")
   }
 
-  test("bucket ids stay inside [0, buckets) and the hash is the " +
-       "portable md5 form (engine-replayable)") {
-    val ids = Seq((1L, "the quick brown fox jumps over the lazy dog"))
+  test("the kernel is bit-identical to the portable md5 column form " +
+       "(pmod(conv(substring(md5(concat_ws(sep, gram, seed)),1,15),16," +
+       "10), buckets)) — including multi-byte code points") {
+    val texts = Seq((1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "wörld ✓ ünïcode мир 中文 text"), (3L, "ab"))
       .toDF("id", "t")
-      .select(explode(LangId.hashedCharNgrams(col("t"), Seq(3), 97, "5"))
-        .as("b"))
-      .collect().map(_.getString(0).toLong)
+    for (n <- Seq(2, 3)) {
+      // reference: the engine-replayable column definition over
+      // code-point windows of lower(t)
+      val tl = lower(col("t"))
+      val cnt = greatest(length(tl) - (n - 1), lit(0))
+      val idx = when(cnt >= 1, sequence(lit(1), cnt))
+        .otherwise(array().cast("array<int>"))
+      val ref = texts.select(col("id"), transform(idx, i =>
+        pmod(conv(substring(md5(concat_ws("",
+          tl.substr(i, lit(n)), lit("5"))), 1, 15), 16, 10)
+          .cast("long"), lit(97L))).as("g"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      val viaKernel = texts.select(col("id"),
+          LangId.hashedCharNgrams(col("t"), Seq(n), 97, "5").as("g"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      assert(viaKernel == ref, s"order $n kernel vs column form")
+    }
+    val ids = texts.select(explode(
+        LangId.hashedCharNgrams(col("t"), Seq(3), 97, "5")).as("b"))
+      .collect().map(_.getLong(0))
     assert(ids.nonEmpty && ids.forall(b => b >= 0 && b < 97))
-    // spot-pin one bucket against the md5 definition computed directly
-    val direct = Seq((1L, "the"))
-      .toDF("id", "g")
-      .select(pmod(conv(substring(md5(concat_ws("\u0001", col("g"),
-        lit("5"))), 1, 15), 16, 10).cast("long"), lit(97L)).as("b"))
-      .head().getLong(0)
-    val viaFeat = Seq((1L, "the")).toDF("id", "t")
-      .select(element_at(
-        LangId.hashedCharNgrams(col("t"), Seq(3), 97, "5"), 1).as("b"))
-      .head().getString(0).toLong
-    assert(viaFeat == direct)
   }
 
   test("prediction is deterministic under repartitioning") {
