@@ -1118,7 +1118,7 @@ object SparkEntry {
       val docs = t(s, dir, "documents")
       val fit = text.VocabStats.fitMknModel(docs, "text", order = 5)
       fit.write.parquet(s"$base/model") // fit once
-      fit.unpersist() // the fit's only surviving cache — freed on write
+      text.VocabStats.releaseModel(fit) // blocks freed once written
       val served = s.read.parquet(s"$base/model") // score many
       text.VocabStats.mknNllFromModel(served, docs, "doc_id", "text",
         order = 5)
@@ -1169,7 +1169,7 @@ object SparkEntry {
         portable = true)
       val fit = text.VocabStats.fitMknModel(docs, "text", order = 5)
       fit.write.parquet(s"$base/model")
-      fit.unpersist() // query leaves NO caches; sections scan parquet
+      text.VocabStats.releaseModel(fit) // no caches; sections scan parquet
       val served = s.read.parquet(s"$base/model")
       val arpa = text.Arpa.fromMknModel(served, order = 5).persist()
       text.Arpa.write(arpa, s"$base/model.arpa")

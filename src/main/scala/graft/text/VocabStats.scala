@@ -513,12 +513,13 @@ object VocabStats {
     * fit — without the persist the token-mass explode + groupBy reruns
     * once per consumer, which measured as ~2/3 of the whole
     * fit-and-serve wall-clock at order 5. The fit is therefore EAGER:
-    * the returned model is persisted and counted here, every
-    * intermediate cache (tokenization included) is unpersisted before
-    * returning, and the ONLY cache that outlives the call is the
-    * model itself (type-mass, self-contained). A caller that writes
-    * the model to parquet and is done with the in-memory copy should
-    * `model.unpersist()` — the returned Dataset is the persisted one.
+    * the model materializes here (an eager localCheckpoint — see the
+    * bridge note in the body), every intermediate cache (tokenization
+    * included) is freed before returning, and the ONLY blocks that
+    * outlive the call are the model's own (type-mass,
+    * self-contained). A caller that writes the model to parquet and
+    * is done with the in-memory copy frees them with
+    * [[releaseModel]].
     */
   def fitMknModel(df: DataFrame, textCol: String,
                   order: Int = 3): DataFrame = {
@@ -527,8 +528,35 @@ object VocabStats {
     // histories the type recursion below doesn't build
     require(order >= 3 && order <= 8, s"need 3 <= order <= 8, got $order")
     val n = order
-    // tokenization feeds every k-gram stream — persist it once
-    val ws = df.select(words(col(textCol)).as("__ws")).persist()
+    // WIDTH SIZED FROM THE MEASURED TOKEN MASS (the PageRank
+    // small-regime idiom): the fit is ~35 small stages (N−1 type-table
+    // levels, their continuation/bucket aggregations, the model joins,
+    // the stats row), so on a small corpus a session-width fit pays
+    // width × stage-count task latencies — and AQE's per-exchange
+    // stage materialization — for shuffles of a few MB (measured: the
+    // whole-stage graph, not the aggregation work, dominated the fit
+    // at sf0.1). The fit is EAGER, so it can scope both safely: it
+    // runs in a CHILD session (same SparkContext and cache, its own
+    // SQLConf — the caller's conf is never mutated, concurrent queries
+    // can't race) whose shuffle width is tokens/50k capped at the
+    // session width; at production mass the cap leaves the session
+    // width and AQE untouched. The tokenization is bridged via a
+    // global temp view and persisted on the CHILD side so cache hits
+    // are by object identity (the PageRank bridging rule).
+    val sp = df.sparkSession
+    val sp2 = sp.newSession()
+    val tag = "graft_mkn_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    df.select(words(col(textCol)).as("__ws"))
+      .createOrReplaceGlobalTempView(tag)
+    val ws = sp2.table(s"global_temp.$tag").persist()
+    val tokens = ws.agg(coalesce(sum(size(col("__ws"))), lit(0L)))
+      .head().getLong(0) // one job: warms the ws cache AND measures
+    val sessionP = sp.conf.get("spark.sql.shuffle.partitions").toInt
+    val fitP = math.max(1L,
+      math.min(sessionP.toLong, tokens / 50000L + 1L)).toInt
+    sp2.conf.set("spark.sql.shuffle.partitions", fitP.toString)
+    if (fitP < sessionP) sp2.conf.set("spark.sql.adaptive.enabled", "false")
 
     // k-gram occurrence stream by positional transform (no self-joins)
     def grams(k: Int): DataFrame = {
@@ -623,14 +651,44 @@ object VocabStats {
     }.join(cc1, Seq(s"__w$n"))
 
     val withStats = model.crossJoin(broadcast(statsDf))
-    val out = withStats.select(withStats.columns.toSeq
-      .map(c => col(c).as(c.stripPrefix("__"))): _*).persist()
-    out.count() // materialize the model; free every upstream cache
-    (gTables.values ++ contTables.values ++ denBuckets.values)
-      .foreach(_.unpersist(blocking = false))
-    ws.unpersist(blocking = false)
-    out
+    try {
+      // EAGER localCheckpoint (the PageRank bridge rule): the model
+      // materializes once in the child session and its LogicalRDD is
+      // identity-based — every caller-session consumer reads the
+      // blocks directly, with no cache-manager plan matching to miss
+      // and no lineage to recompute (a view-bridged persist measured
+      // as a partial recompute per consumer). The blocks live until
+      // [[releaseModel]] or GC-driven cleanup; like any checkpoint
+      // they are executor-local, so a production run that must
+      // survive executor loss should write the model to storage
+      // (which the fit-once/score-many queries do anyway) and serve
+      // from the file.
+      val out = withStats.select(withStats.columns.toSeq
+        .map(c => col(c).as(c.stripPrefix("__"))): _*).localCheckpoint()
+      val outTag = tag + "_out"
+      out.createOrReplaceGlobalTempView(outTag)
+      val result = sp.table(s"global_temp.$outTag")
+      result.queryExecution.assertAnalyzed()
+      sp.catalog.dropGlobalTempView(outTag)
+      result
+    } finally {
+      sp.catalog.dropGlobalTempView(tag)
+      // loop-scoped caches release on BOTH paths — a failure mid-fit
+      // must not pin the type tables for the session's lifetime
+      (gTables.values ++ contTables.values ++ denBuckets.values)
+        .foreach(_.unpersist(blocking = false))
+      ws.unpersist(blocking = false)
+    }
   }
+
+  /** Free the checkpoint blocks behind a just-fit [[fitMknModel]]
+    * result once the caller is done with the in-memory copy (e.g.
+    * after writing it to parquet) — delegates to the shared
+    * LogicalRDD-release helper. A parquet-reloaded model needs no
+    * release (nothing is materialized).
+    */
+  def releaseModel(model: DataFrame): Unit =
+    graft.operators.PageRank.release(model)
 
   /** Score documents from a persisted/reloaded [[fitMknModel]] table —
     * the served twin of [[ngramModKnNll]] (which IS this call over a

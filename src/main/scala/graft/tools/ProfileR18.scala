@@ -64,6 +64,28 @@ object ProfileR18 {
         "doc_id", "text", order = 5))
     }
 
+    // ---- quality_mkn5_from_model legs (full corpus) ----
+    val base2 = "/root/repo/target/tmp/profile_mkn5_full"
+    rm(new java.io.File(base2))
+    val fitF = timed("fitMknModel(full, order 5)") {
+      graft.text.VocabStats.fitMknModel(docsAll, "text", order = 5)
+    }
+    timed("full fit.count (cache-hit probe)") {
+      println(s"[profile] full model rows = ${fitF.count()}")
+    }
+    timed("full fit.count again") { fitF.count() }
+    timed("full fit.write.parquet") { fitF.write.parquet(s"$base2/model") }
+    timed("full fit.unpersist") { fitF.unpersist(blocking = true) }
+    val servedF = spark.read.parquet(s"$base2/model")
+    timed("full mknNllFromModel serve") {
+      sink(graft.text.VocabStats.mknNllFromModel(servedF, docsAll,
+        "doc_id", "text", order = 5))
+    }
+    timed("full serve again (warm)") {
+      sink(graft.text.VocabStats.mknNllFromModel(servedF, docsAll,
+        "doc_id", "text", order = 5))
+    }
+
     // ---- lang_id_trained legs ----
     val tf = docsAll.select(col("doc_id"),
         explode(graft.text.LangId.hashedCharNgrams(col("text"),
