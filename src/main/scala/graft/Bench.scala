@@ -173,6 +173,10 @@ object Bench {
     }
     def normalize(secs: Double, tDone: Double): Double =
       secs * math.pow(calibRun / calibAt(tDone), NormAlpha)
+    // which probe segment a completion time fell in: 0 = start→mid,
+    // 1 = mid→end, 2 = after the end probe (clock skew only)
+    def calibSeg(t: Double): Int =
+      if (t <= tCalibMid) 0 else if (t <= tCalibEnd) 1 else 2
     def jstr(s: String): String = "\"" + s.flatMap {
       case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
       case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
@@ -198,6 +202,14 @@ object Bench {
     val runs = results.map { case (k, _, rs, _, _, _) =>
       s"\"" + k + "\":" + rs.map(sec).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
+    // per-query ambient pairing (the r18 ask: outlier adjudication was
+    // hand-matching a query's position against three probes): each
+    // query's interpolated probe level AT ITS COMPLETION TIME plus the
+    // probe segment it fell in — an outlier dispute is now arithmetic
+    // (seconds vs calib_at on the same line), not forensics
+    val calibAtQ = results.map { case (k, _, _, _, _, t) =>
+      s"\"" + k + "\":[" + sec2(calibAt(t)) + "," + calibSeg(t) + "]"
+    }.mkString("{", ",", "}")
     val errs = results.collect {
       case (k, _, _, Some(e), _, _) => s"\"$k\":${jstr(e)}"
     }.mkString("{", ",", "}")
@@ -216,10 +228,16 @@ object Bench {
     // own line; the FINAL line is a compact fixed-size total (value +
     // errors only, no per-query dict) that parses alone no matter how
     // many queries exist.
-    println(s"""{"metric":"total_detail","queries_runs":$runs,"sf":"$sfDir"}""")
+    // a filtered run must be self-describing: without this marker a
+    // SPARK_GRAFT_ONLY subset's totals could be mistaken for a
+    // full-suite bench (only n_queries hinted at it)
+    val onlyField = only.fold("") { o =>
+      s""","only":${o.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")}"""
+    }
+    println(s"""{"metric":"total_detail","queries_runs":$runs,"calib_at":$calibAtQ,"sf":"$sfDir"$onlyField}""")
     println(s"""{"metric":"total_queries_norm","queries":$qsNorm,"calib_ref":$CalibRef,"calib_run":${sec(calibRun)},"alpha":$NormAlpha,"sf":"$sfDir"}""")
     println(s"""{"metric":"total_queries","queries":$qs,"sf":"$sfDir"}""")
-    println(s"""{"metric":"total","value":${sec(total)},"value_norm":${sec(totalNorm)},"unit":"sec","n_queries":${results.size},"errors":$errs,"flaky":$flaky,"calib":{"start":${sec(calibStart)},"mid":${sec(calibMid)},"end":${sec(calibEnd)},"ref":$CalibRef},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${sec(total)},"value_norm":${sec(totalNorm)},"unit":"sec","n_queries":${results.size},"errors":$errs,"flaky":$flaky,"calib":{"start":${sec(calibStart)},"mid":${sec(calibMid)},"end":${sec(calibEnd)},"ref":$CalibRef},"sf":"$sfDir"$onlyField}""")
     System.out.flush()
     spark.stop()
     if (results.exists(_._4.isDefined)) sys.exit(1)

@@ -1751,6 +1751,39 @@ object SparkEntry {
           col("fresh_score"), col("fresh_order"))
     }),
 
+    // the GLOBAL dispatch order freshOrder's scaladoc promises,
+    // exercised: the same fresh frontier, totally ordered
+    // (fresh_score desc, url asc) via the range-partitioned write-time
+    // sort — 8-way shards, per-shard ordinal + broadcast shard-manifest
+    // offsets, NO corpus-mass window (Frontier.dispatchOrder require()s
+    // the range exchange really ran 8-wide). The oracle replays the
+    // total order as one row_number; shard placement is deliberately
+    // not part of the contract (boundary sampling moves rows between
+    // shards, never reorders them — url uniqueness makes the order
+    // total)
+    "crawl_dispatch" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val links = seededCrawlLinks(docs)
+      val ranks = operators.PageRank.ranks(links, "src", "dst", 8)
+      val urls = docs.select(col("doc_id"),
+        concat(lit("https://site-"), col("doc_id") % 101, lit(".com/p/"),
+          col("doc_id")).as("url"),
+        concat(lit("site-"), col("doc_id") % 101, lit(".com"))
+          .as("domain"),
+        when(col("doc_id") % 11 === 0, lit(null).cast("date"))
+          .otherwise(to_date(concat(lit("2024-01-"),
+            lpad((col("doc_id") % 28 + 1).cast("string"), 2, "0"))))
+          .as("lastmod"))
+      val fresh = operators.Frontier.freshOrder(
+        urls.join(ranks.select(col("node").as("domain"), col("rank_fp")),
+          Seq("domain")),
+        "url", "domain", "lastmod", "rank_fp", asOf = "2024-02-15")
+      operators.Frontier.dispatchOrder(fresh, "fresh_score", "url",
+          shards = 8)
+        .select(col("doc_id"), col("domain"), col("fresh_score"),
+          col("dispatch_order"))
+    }),
+
     // the composition those two normalizers exist for: per-registrable-
     // domain caps over crawl docs (the anti-SEO-farm curation rule) —
     // registrable_domain as the group key into the salted two-phase
@@ -2613,6 +2646,24 @@ object SparkEntry {
     "lang_id_trained" -> ((s, dir) =>
       text.LangId.trained(t(s, dir, "documents"), "doc_id", "text",
         "lang")),
+
+    // trained-vs-heuristic language-id confusion matrix — CCNet's
+    // operational drop-on-disagreement rule as a declared query (the
+    // audit previously lived only in the Drive [108]/[109] steps): the
+    // NB prediction crossed with the one-pass heuristic detector, one
+    // count per (pred, detected) cell. Both sides replay in-oracle;
+    // the join is doc-key equi (the trained side's argmax window runs
+    // over |languages| rows per doc, the matrix is |langs|² rows)
+    "lang_id_confusion" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val trained = text.LangId.trained(docs, "doc_id", "text", "lang")
+        .select(col("doc_id"), col("pred"))
+      val det = docs.select(col("doc_id"),
+        text.TextAnalysis.langId(col("text")).as("lang_detected"))
+      trained.join(det, Seq("doc_id"))
+        .groupBy(col("pred"), col("lang_detected"))
+        .agg(count(lit(1)).as("n"))
+    }),
 
     // declared-vs-detected language confusion matrix — the audit view
     // behind CCNet's drop-on-mismatch rule (and the fastest way to spot
@@ -4018,6 +4069,79 @@ object SparkEntry {
         |      ELSE 'pt' END)
         |  END AS lang_detected
         |FROM s""".stripMargin
+
+  /** The lang_id_trained re-derivation (doc_id, pred, score) — shared
+    * by the standalone oracle and the trained-vs-heuristic confusion
+    * matrix. Replays the trained language-id end to end: the hashed
+    * char 2/3-gram featurization (portable md5 bucket hash, seed '5',
+    * 4096 buckets), the FIXED-POINT integer evidence (lnfp =
+    * round(ln(c + alpha)*1e9) per model cell, evidence = sum of
+    * tf*lnfp — an order-free BIGINT sum, no sorted fold), closed-form
+    * ln(alpha) for unmatched buckets, argmax on round(score, 4) with
+    * label-ascending tie-break.
+    */
+  private val langIdTrainedSql: String =
+    """WITH lt AS (SELECT doc_id, lower(text) AS t FROM documents),
+      |g2 AS (
+      |  SELECT doc_id,
+      |    CAST(concat('0x', substr(md5(concat_ws(chr(1),
+      |        substr(t, i, 2), '5')), 1, 15)) AS BIGINT) % 4096 AS word
+      |  FROM (SELECT doc_id, t,
+      |          unnest(generate_series(1, greatest(len(t) - 1, 0))) AS i
+      |        FROM lt)),
+      |g3 AS (
+      |  SELECT doc_id,
+      |    CAST(concat('0x', substr(md5(concat_ws(chr(1),
+      |        substr(t, i, 3), '5')), 1, 15)) AS BIGINT) % 4096 AS word
+      |  FROM (SELECT doc_id, t,
+      |          unnest(generate_series(1, greatest(len(t) - 2, 0))) AS i
+      |        FROM lt)),
+      |toks AS (SELECT * FROM g2 UNION ALL SELECT * FROM g3),
+      |tf AS (SELECT doc_id, word, count(*) AS tf FROM toks GROUP BY 1, 2),
+      |lbl AS (SELECT doc_id, lang AS label FROM documents
+      |        WHERE lang IS NOT NULL),
+      |wc AS (SELECT l.label, t.word, CAST(sum(t.tf) AS BIGINT) AS c
+      |       FROM tf t JOIN lbl l USING (doc_id) GROUP BY 1, 2),
+      |wcf AS (SELECT label, word,
+      |          CAST(round(ln(c + CAST(0.5 AS DOUBLE))
+      |            * CAST(1000000000 AS DOUBLE)) AS BIGINT) AS lnfp
+      |        FROM wc),
+      |ev AS (
+      |  SELECT t.doc_id, w.label,
+      |    CAST(sum(t.tf * w.lnfp) AS BIGINT) AS evfp,
+      |    CAST(sum(t.tf) AS BIGINT) AS mtoks
+      |  FROM tf t JOIN wcf w USING (word) GROUP BY 1, 2),
+      |lens AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS len
+      |         FROM tf GROUP BY 1),
+      |ls AS (SELECT lang AS label, count(*) AS n_docs
+      |       FROM documents WHERE lang IS NOT NULL GROUP BY 1),
+      |ltok AS (SELECT label, CAST(sum(c) AS BIGINT) AS n_tokens
+      |        FROM wc GROUP BY 1),
+      |tot AS (SELECT (SELECT count(*) FROM documents
+      |                WHERE lang IS NOT NULL) AS n_docs_total,
+      |               (SELECT count(DISTINCT word) FROM wc) AS vocab_size),
+      |base AS (
+      |  SELECT d.doc_id, CAST(coalesce(ln2.len, 0) AS BIGINT) AS len,
+      |    l.label,
+      |    ln(CAST(l.n_docs AS DOUBLE) / t.n_docs_total) AS prior,
+      |    ln(coalesce(ltok.n_tokens, 0)
+      |       + CAST(0.5 AS DOUBLE) * t.vocab_size) AS lnz
+      |  FROM documents d CROSS JOIN tot t CROSS JOIN ls l
+      |  LEFT JOIN ltok ON l.label = ltok.label
+      |  LEFT JOIN lens ln2 ON d.doc_id = ln2.doc_id),
+      |scored AS (
+      |  SELECT b.doc_id, b.label,
+      |    round(b.prior
+      |          + coalesce(e.evfp, 0) / CAST(1000000000 AS DOUBLE)
+      |          + (b.len - coalesce(e.mtoks, 0)) * ln(CAST(0.5 AS DOUBLE))
+      |          - b.len * b.lnz, 4) AS score
+      |  FROM base b
+      |  LEFT JOIN ev e ON b.doc_id = e.doc_id AND b.label = e.label),
+      |r AS (
+      |  SELECT *, row_number() OVER (
+      |    PARTITION BY doc_id ORDER BY score DESC, label) AS rk
+      |  FROM scored)
+      |SELECT doc_id, label AS pred, score FROM r WHERE rk = 1""".stripMargin
 
   /** The quality_score re-derivation (doc_id, quality) — shared by
     * the standalone oracle and the composed ingest pipelines.
@@ -5548,6 +5672,40 @@ object SparkEntry {
         |    AS BIGINT) AS fresh_order
         |FROM fa""".stripMargin,
 
+    // the global dispatch order replays as ONE total-order window —
+    // what the engine computes WITHOUT a global window, via the
+    // range-partitioned sort + shard-offset construction
+    "crawl_dispatch" ->
+      s"""WITH ${pagerankOracleCtes(8)},
+        |fdp AS (
+        |  SELECT n0.node AS domain, i.r AS rank_fp
+        |  FROM prn0 n0 JOIN prfin i ON n0.node = i.node),
+        |fu AS (
+        |  SELECT doc_id,
+        |    'https://site-' || (doc_id % 101) || '.com/p/' || doc_id AS url,
+        |    'site-' || (doc_id % 101) || '.com' AS domain,
+        |    CASE WHEN doc_id % 11 = 0 THEN NULL
+        |      ELSE CAST('2024-01-' ||
+        |        lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') AS DATE)
+        |    END AS lastmod
+        |  FROM documents),
+        |fa AS (
+        |  SELECT f.doc_id, f.domain, f.url, d.rank_fp,
+        |    CASE WHEN f.lastmod IS NULL THEN 30
+        |      ELSE greatest(
+        |        datediff('day', f.lastmod, DATE '2024-02-15'), 0)
+        |    END AS age_days
+        |  FROM fu f JOIN fdp d USING (domain)),
+        |fs AS (
+        |  SELECT doc_id, domain, url,
+        |    CAST(rank_fp * (1 + age_days) AS BIGINT) AS fresh_score
+        |  FROM fa)
+        |SELECT doc_id, domain, fresh_score,
+        |  CAST(row_number() OVER (
+        |    ORDER BY fresh_score DESC, url ASC) - 1
+        |    AS BIGINT) AS dispatch_order
+        |FROM fs""".stripMargin,
+
     // the urlset entries and the portable schedule both replay in
     // closed form (the index leg is require()-pinned in the query)
     "source_sitemap" ->
@@ -6517,75 +6675,15 @@ object SparkEntry {
 
     "lang_id" -> langIdSql,
 
-    // replays the trained language-id end to end: the hashed char
-    // 2/3-gram featurization (portable md5 bucket hash, seed '5',
-    // 4096 buckets), the FIXED-POINT integer evidence (lnfp =
-    // round(ln(c + alpha)*1e9) per model cell, evidence = sum of
-    // tf*lnfp — an order-free BIGINT sum, no sorted fold), closed-form
-    // ln(alpha) for unmatched buckets, argmax on round(score, 4) with
-    // label-ascending tie-break
-    "lang_id_trained" ->
-      """WITH lt AS (SELECT doc_id, lower(text) AS t FROM documents),
-        |g2 AS (
-        |  SELECT doc_id,
-        |    CAST(concat('0x', substr(md5(concat_ws(chr(1),
-        |        substr(t, i, 2), '5')), 1, 15)) AS BIGINT) % 4096 AS word
-        |  FROM (SELECT doc_id, t,
-        |          unnest(generate_series(1, greatest(len(t) - 1, 0))) AS i
-        |        FROM lt)),
-        |g3 AS (
-        |  SELECT doc_id,
-        |    CAST(concat('0x', substr(md5(concat_ws(chr(1),
-        |        substr(t, i, 3), '5')), 1, 15)) AS BIGINT) % 4096 AS word
-        |  FROM (SELECT doc_id, t,
-        |          unnest(generate_series(1, greatest(len(t) - 2, 0))) AS i
-        |        FROM lt)),
-        |toks AS (SELECT * FROM g2 UNION ALL SELECT * FROM g3),
-        |tf AS (SELECT doc_id, word, count(*) AS tf FROM toks GROUP BY 1, 2),
-        |lbl AS (SELECT doc_id, lang AS label FROM documents
-        |        WHERE lang IS NOT NULL),
-        |wc AS (SELECT l.label, t.word, CAST(sum(t.tf) AS BIGINT) AS c
-        |       FROM tf t JOIN lbl l USING (doc_id) GROUP BY 1, 2),
-        |wcf AS (SELECT label, word,
-        |          CAST(round(ln(c + CAST(0.5 AS DOUBLE))
-        |            * CAST(1000000000 AS DOUBLE)) AS BIGINT) AS lnfp
-        |        FROM wc),
-        |ev AS (
-        |  SELECT t.doc_id, w.label,
-        |    CAST(sum(t.tf * w.lnfp) AS BIGINT) AS evfp,
-        |    CAST(sum(t.tf) AS BIGINT) AS mtoks
-        |  FROM tf t JOIN wcf w USING (word) GROUP BY 1, 2),
-        |lens AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS len
-        |         FROM tf GROUP BY 1),
-        |ls AS (SELECT lang AS label, count(*) AS n_docs
-        |       FROM documents WHERE lang IS NOT NULL GROUP BY 1),
-        |ltok AS (SELECT label, CAST(sum(c) AS BIGINT) AS n_tokens
-        |        FROM wc GROUP BY 1),
-        |tot AS (SELECT (SELECT count(*) FROM documents
-        |                WHERE lang IS NOT NULL) AS n_docs_total,
-        |               (SELECT count(DISTINCT word) FROM wc) AS vocab_size),
-        |base AS (
-        |  SELECT d.doc_id, CAST(coalesce(ln2.len, 0) AS BIGINT) AS len,
-        |    l.label,
-        |    ln(CAST(l.n_docs AS DOUBLE) / t.n_docs_total) AS prior,
-        |    ln(coalesce(ltok.n_tokens, 0)
-        |       + CAST(0.5 AS DOUBLE) * t.vocab_size) AS lnz
-        |  FROM documents d CROSS JOIN tot t CROSS JOIN ls l
-        |  LEFT JOIN ltok ON l.label = ltok.label
-        |  LEFT JOIN lens ln2 ON d.doc_id = ln2.doc_id),
-        |scored AS (
-        |  SELECT b.doc_id, b.label,
-        |    round(b.prior
-        |          + coalesce(e.evfp, 0) / CAST(1000000000 AS DOUBLE)
-        |          + (b.len - coalesce(e.mtoks, 0)) * ln(CAST(0.5 AS DOUBLE))
-        |          - b.len * b.lnz, 4) AS score
-        |  FROM base b
-        |  LEFT JOIN ev e ON b.doc_id = e.doc_id AND b.label = e.label),
-        |r AS (
-        |  SELECT *, row_number() OVER (
-        |    PARTITION BY doc_id ORDER BY score DESC, label) AS rk
-        |  FROM scored)
-        |SELECT doc_id, label AS pred, score FROM r WHERE rk = 1""".stripMargin,
+    "lang_id_trained" -> langIdTrainedSql,
+
+    // trained-vs-heuristic confusion matrix: both sides re-derived by
+    // their shared CTEs, crossed on the doc key
+    "lang_id_confusion" ->
+      s"""WITH tr AS ($langIdTrainedSql), li AS ($langIdSql)
+         |SELECT tr.pred, li.lang_detected, count(*) AS n
+         |FROM tr JOIN li USING (doc_id)
+         |GROUP BY tr.pred, li.lang_detected""".stripMargin,
 
     // declared-vs-detected confusion matrix (the CCNet mismatch-drop
     // rule's audit view) — the detector is re-derived by the shared CTE

@@ -128,4 +128,74 @@ object Frontier {
         col(rankFpCol) * (lit(1L) + col("age_days")))
       .withColumn("fresh_order", (row_number().over(w) - 1).cast("long"))
   }
+
+  /** The GLOBAL dispatch order [[freshOrder]]'s scaladoc promises —
+    * materialized the scale-safe way, as a range-partitioned sort at
+    * write time rather than a global window: the dispatcher hands
+    * fetches out highest-`fresh_score` first across ALL lanes, and
+    * that total order must exist WITHOUT ever putting corpus mass in
+    * one partition.
+    *
+    * Shape (the classic distributed-ranking construction):
+    *  1. `repartitionByRange(shards, score desc, tie asc)` — shard i
+    *     holds keys strictly before shard i+1 in dispatch order (and
+    *     a (score, tie) pair lands in exactly one shard, so equal
+    *     boundary keys cannot split);
+    *  2. per-shard `row_number` window — partitions by the SHARD id,
+    *     so every window is ~|rows|/shards wide, never global;
+    *  3. the shard manifest — `(shard, n)` for all shards, a
+    *     shards-row table — prefix-sums into per-shard offsets via a
+    *     window over that TINY table, and
+    *     `dispatch_order = offset(shard) + local ordinal`.
+    *
+    * Because `tieCol` must be unique (require()d by totality of the
+    * oracle's replay), the resulting order is a total order identical
+    * to `row_number() OVER (ORDER BY score DESC, tie ASC) − 1`
+    * regardless of where the sampled range boundaries land — boundary
+    * placement moves rows between shards, never reorders them. Shard
+    * ids are NOT part of the verified contract for exactly that
+    * reason (they are sampling-dependent); the global ordinal is.
+    *
+    * Returns the frame plus `dispatch_order` (0-based global rank).
+    * Asserts in-plan that the sort really ran at `shards`-way
+    * parallelism — a silent fallback to one partition would be the
+    * exact scale hazard this exists to dodge.
+    */
+  def dispatchOrder(df: DataFrame, scoreCol: String, tieCol: String,
+                    shards: Int): DataFrame = {
+    require(shards > 1, s"need shards > 1, got $shards — a one-shard " +
+      "dispatch is the global single-partition sort this avoids")
+    val ord = Seq(col(scoreCol).desc, col(tieCol).asc)
+    // ONE corpus-mass exchange total: the shard id and the in-shard
+    // ordinal both come from monotonically_increasing_id over the
+    // range-sorted partitions (partition id in the high 31 bits,
+    // in-partition record number in the low 33 — a published Spark
+    // contract), so no second shuffle and no per-shard window is
+    // needed. 2^33 rows per shard bounds nothing real (size shards to
+    // executor memory long before 8.6B rows each).
+    val sorted = df.repartitionByRange(shards, ord: _*)
+      .sortWithinPartitions(ord: _*)
+      .withColumn("__mid", monotonically_increasing_id())
+      .withColumn("__shard", shiftright(col("__mid"), 33))
+      .withColumn("__local", col("__mid").bitwiseAND(lit((1L << 33) - 1)))
+      .drop("__mid")
+    // no-single-partition assertion: the range exchange must actually
+    // fan out (boundary sampling can produce FEWER shards than asked
+    // on tiny/skewed input, but the plan must never collapse to 1)
+    val nParts = sorted.rdd.getNumPartitions
+    require(nParts == shards,
+      s"range-partitioned dispatch sort ran at $nParts partitions, " +
+        s"asked $shards — the write-time sort is not parallel")
+    // shard manifest: one row per shard (map-side-combined count), the
+    // offset prefix-sum windowing over `shards` rows total
+    val wOff = Window.orderBy(col("__shard").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
+    val manifest = sorted.groupBy(col("__shard"))
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__offset", coalesce(sum(col("__n")).over(wOff), lit(0L)))
+    sorted.join(broadcast(manifest.select(col("__shard"), col("__offset"))),
+        Seq("__shard"))
+      .withColumn("dispatch_order", col("__offset") + col("__local"))
+      .drop("__shard", "__local", "__offset")
+  }
 }

@@ -161,9 +161,15 @@ object PageRank {
       // (see the scaladoc's fault-tolerance note). Both are EAGER, so
       // the drop of the superseded round below is always safe.
       def cut(df: DataFrame, round: Int): DataFrame =
-        if (reliableEvery > 0 && round % reliableEvery == 0)
-          df.checkpoint()
-        else df.localCheckpoint()
+        if (reliableEvery > 0 && round % reliableEvery == 0) {
+          // persist-before-checkpoint: a reliable checkpoint runs a
+          // SECOND job to write the files — on an unpersisted plan that
+          // job recomputes the round's joins from lineage (every
+          // reliable round computed twice); cached, it re-reads blocks
+          val cached = df.persist()
+          try cached.checkpoint()
+          finally { cached.unpersist(blocking = false); () }
+        } else df.localCheckpoint()
       var state = nodeUnion.crossJoin(nTotal)
         .join(outdeg.withColumnRenamed("src", "node"), Seq("node"), "left")
         .select(col("node"), col("n"),

@@ -122,6 +122,16 @@ object Arpa {
     * scores them). A context whose removed mass is exactly zero writes
     * the customary `-99` stand-in rather than log10(0).
     *
+    * DELIBERATE DEVIATION from `lmplz`: backoffs attach via a left
+    * join FROM the suffix-entry set, so a k-gram occurring ONLY as a
+    * level-(k+1) context (e.g. a document-initial window that never
+    * appears in suffix position) is not an entry and its computed
+    * gamma is dropped — external consumers back off with weight 1
+    * there (the ARPA missing-field rule), where lmplz would union the
+    * context into the entry set and emit its gamma. Round-trip,
+    * self-scoring, and the DuckDB oracle are unaffected (none evaluate
+    * the dropped branch); pinned by ArpaSpec.
+    *
     * Scale shape: per-section `distinct()` over suffix columns — type
     * mass shrinking with k; no corpus-mass work.
     */
@@ -253,15 +263,158 @@ object Arpa {
     } finally out.close()
   }
 
+  /** [[write]]'s single driver-streamed file is the right FORMAT (one
+    * sorted text file is what external toolchains consume) but the only
+    * serial stage left in the quality ladder — a production order-5
+    * model is tens of GB of type mass. `writeSharded` is the scale
+    * path: each order's section splits into `ceil(n/rowsPerShard)`
+    * range-partitioned, within-shard-sorted shard files written IN
+    * PARALLEL by executors (`df.write.text`, no driver streaming at
+    * all), plus a `manifest.json` recording per-order counts and the
+    * shard files in global ngram order. Lines are byte-identical to
+    * [[write]]'s (`Double.toString` shortest-repr), so
+    * [[assemble]]-ing the shards reproduces the single-file form
+    * BIT-exactly, and [[read]] accepts the sharded directory directly
+    * (the manifest is detected; data lines stay self-describing).
+    */
+  def writeSharded(arpa: DataFrame, dir: String,
+                   rowsPerShard: Long = 500000L): Unit = {
+    require(rowsPerShard > 0, s"need rowsPerShard > 0, got $rowsPerShard")
+    val spark = arpa.sparkSession
+    val counts = arpa.groupBy("order").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val orders = counts.keys.toSeq.sorted
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(root, true)
+    fs.mkdirs(root)
+    val fmt = org.apache.spark.sql.Encoders.STRING
+    val manifest = orders.map { o =>
+      val n = counts(o)
+      val parts = math.max(1L, (n + rowsPerShard - 1L) / rowsPerShard)
+        .toInt
+      val sec = arpa.filter(col("order") === o)
+        .select(col("logprob"), col("ngram"), col("backoff"))
+        .repartitionByRange(parts, col("ngram"))
+        .sortWithinPartitions("ngram")
+        // exact Double.toString formatting, matching [[write]] byte for
+        // byte (a cast-to-string column would follow Spark's cast
+        // rules, not Java's shortest-repr)
+        .map { r =>
+          val sb = new java.lang.StringBuilder(64)
+          sb.append(java.lang.Double.toString(r.getDouble(0)))
+          sb.append('\t').append(r.getString(1))
+          if (!r.isNullAt(2))
+            sb.append('\t').append(java.lang.Double.toString(r.getDouble(2)))
+          sb.toString
+        }(fmt)
+      sec.write.mode("overwrite").text(s"$dir/order=$o")
+      // list what actually landed (empty tasks may write no file);
+      // part-file names ascend with partition id, and range partitions
+      // ascend with the sort key, so filename order IS global order
+      val files = fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/order=$o"))
+        .map(_.getPath.getName)
+        .filter(f => f.startsWith("part-") && !f.endsWith(".crc"))
+        .sorted.toSeq
+      (o, n, files)
+    }
+    val json = {
+      val secs = manifest.map { case (o, n, files) =>
+        val named = files.map(f => "\"order=" + o + "/" + f + "\"")
+        s"""{"order":$o,"count":$n,"files":${named.mkString("[", ",", "]")}}"""
+      }
+      s"""{"format":"graft-arpa-sharded","version":1,"orders":${secs.mkString("[", ",", "]")}}"""
+    }
+    val out = fs.create(new org.apache.hadoop.fs.Path(root, "manifest.json"),
+      true)
+    try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Reassemble a [[writeSharded]] directory into the single-file form
+    * for external consumers — a pure byte-copy concatenation (header
+    * from the manifest counts, shard files streamed in manifest order,
+    * section markers at order boundaries), never recomputing the
+    * model. Output is BIT-identical to what [[write]] would have
+    * produced from the same frame (pinned by ArpaSpec).
+    */
+  def assemble(spark: SparkSession, shardedDir: String,
+               outPath: String): Unit = {
+    val root = new org.apache.hadoop.fs.Path(shardedDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val mf = readManifest(fs, root)
+    val p = new org.apache.hadoop.fs.Path(outPath)
+    val out = new java.io.BufferedOutputStream(fs.create(p, true), 1 << 16)
+    try {
+      def w(s: String): Unit =
+        out.write(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      w("\\data\\\n")
+      mf.foreach { case (o, n, _) => w(s"ngram $o=$n\n") }
+      mf.foreach { case (o, _, files) =>
+        w(s"\n\\$o-grams:\n")
+        files.foreach { f =>
+          val in = fs.open(new org.apache.hadoop.fs.Path(root, f))
+          try {
+            val buf = new Array[Byte](1 << 16)
+            var k = in.read(buf)
+            while (k >= 0) { if (k > 0) out.write(buf, 0, k); k = in.read(buf) }
+          } finally in.close()
+        }
+      }
+      w("\n\\end\\\n")
+    } finally out.close()
+  }
+
+  /** Parse `manifest.json` → ordered (order, count, files). */
+  private def readManifest(fs: org.apache.hadoop.fs.FileSystem,
+                           root: org.apache.hadoop.fs.Path)
+      : Seq[(Int, Long, Seq[String])] = {
+    val in = fs.open(new org.apache.hadoop.fs.Path(root, "manifest.json"))
+    val bytes =
+      try {
+        val bo = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](1 << 16)
+        var k = in.read(buf)
+        while (k >= 0) { if (k > 0) bo.write(buf, 0, k); k = in.read(buf) }
+        bo.toByteArray
+      } finally in.close()
+    val node = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(bytes)
+    require(node.path("format").asText() == "graft-arpa-sharded",
+      s"not a sharded .arpa manifest: ${node.path("format").asText()}")
+    val it = node.path("orders").elements()
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, Long, Seq[String])]
+    while (it.hasNext) {
+      val o = it.next()
+      val fit = o.path("files").elements()
+      val files = scala.collection.mutable.ArrayBuffer.empty[String]
+      while (fit.hasNext) files += fit.next().asText()
+      out += ((o.path("order").asInt(), o.path("count").asLong(),
+        files.toSeq))
+    }
+    out.sortBy(_._1).toSeq
+  }
+
   /** Read an `.arpa` back to the `(order, ngram, logprob, backoff)`
     * frame. Distributed: every data line is self-describing
     * (`float<TAB>words[<TAB>float]` — the order is the ngram's word
     * count), so no section-state tracking is needed and the text source
     * parallelizes freely. Header (`ngram N=...`), section markers, and
-    * blank lines filter out structurally.
+    * blank lines filter out structurally. A [[writeSharded]] directory
+    * (detected by its `manifest.json`) reads the same way, over the
+    * shard files.
     */
   def read(spark: SparkSession, path: String): DataFrame = {
-    val lines = spark.read.text(path)
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a manifest under the path marks the sharded layout (under a
+    // FILE path the child can't exist, so no isDirectory probe needed)
+    val isSharded =
+      fs.exists(new org.apache.hadoop.fs.Path(root, "manifest.json"))
+    val lines =
+      if (isSharded) spark.read.text(s"$path/order=*")
+      else spark.read.text(path)
     lines
       .filter(col("value").contains("\t"))
       .select(split(col("value"), "\t").as("f"))

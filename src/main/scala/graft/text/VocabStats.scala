@@ -343,8 +343,10 @@ object VocabStats {
         col("__nmid").as("nmid"), col("__n2f").as("n2f"),
         col("__cc1").as("cc1"), col("__b").as("b"))
       .persist()
-    out.count()
-    Seq(bcnt, tcnt, ws).foreach(_.unpersist(blocking = false))
+    // finally, matching fitMknModel's discipline: a failure mid-count
+    // must not pin bcnt/tcnt/ws for the session's lifetime
+    try out.count()
+    finally Seq(bcnt, tcnt, ws).foreach(_.unpersist(blocking = false))
     out
   }
 

@@ -126,4 +126,32 @@ class FrontierSpec extends SparkSpec {
       .toMap
     assert(again == out)
   }
+
+  test("dispatchOrder: the range-partitioned write-time sort equals the " +
+       "global row_number total order, at the asked parallelism, " +
+       "deterministically under repartitioning") {
+    // unique urls make (score desc, url asc) a total order; duplicate
+    // scores exercise the tiebreak across shard boundaries
+    val rows = (0L until 500L).map(i =>
+      (i, f"https://s-${i % 97}.org/p/$i%03d", (i % 13) * 100L))
+      .toDF("id", "url", "score")
+    val out = Frontier.dispatchOrder(rows, "score", "url", shards = 8)
+    assert(out.rdd.getNumPartitions > 1, "must not collapse to one partition")
+    val got = out.select("url", "dispatch_order").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val expect = rows.collect().map(r => (r.getString(1), r.getLong(2)))
+      .sortBy { case (u, s) => (-s, u) }
+      .zipWithIndex.map { case ((u, _), i) => u -> i.toLong }.toMap
+    assert(got == expect)
+    // same order no matter how the input arrives
+    val again = Frontier.dispatchOrder(rows.repartition(7), "score", "url",
+        shards = 8)
+      .select("url", "dispatch_order").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(again == expect)
+    // a one-shard dispatch is exactly the global sort this avoids
+    intercept[IllegalArgumentException] {
+      Frontier.dispatchOrder(rows, "score", "url", shards = 1)
+    }
+  }
 }

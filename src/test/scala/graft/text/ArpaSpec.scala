@@ -279,4 +279,53 @@ class ArpaSpec extends SparkSpec {
       (1, "the", -0.30103, Some(-0.25)),
       (2, "the cat", -0.5, None)))
   }
+
+  test("sharded layout: writeSharded -> read round-trips BIT-exactly, " +
+       "the manifest covers every section, and assemble reproduces the " +
+       "single-file bytes identically") {
+    val arpa = Arpa.fromKnModel(model)
+    val dir = tmp("sharded")
+    // small rowsPerShard to force genuinely multi-shard sections
+    Arpa.writeSharded(arpa, dir, rowsPerShard = 500L)
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.select("order", "ngram", "logprob", "backoff")
+        .collect().map(r => (r.getInt(0), r.getString(1), r.getDouble(2),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+        .sortBy(t => (t._1, t._2)).toSeq
+    assert(rows(Arpa.read(spark, dir)) == rows(arpa))
+    // manifest: counts match the frame, files exist, >1 shard somewhere
+    val mf = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+      java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(dir, "manifest.json")))
+    assert(mf.path("format").asText() == "graft-arpa-sharded")
+    val counts = arpa.groupBy("order").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val it = mf.path("orders").elements()
+    var nFiles = 0
+    var seen = Set.empty[Int]
+    while (it.hasNext) {
+      val o = it.next()
+      seen += o.path("order").asInt()
+      assert(o.path("count").asLong() == counts(o.path("order").asInt()))
+      val fit = o.path("files").elements()
+      while (fit.hasNext) {
+        nFiles += 1
+        assert(java.nio.file.Files.exists(
+          java.nio.file.Paths.get(dir, fit.next().asText())))
+      }
+    }
+    assert(seen == counts.keySet)
+    assert(nFiles > counts.size, "rowsPerShard=500 must force >1 shard")
+    // assemble == write, byte for byte (the external-consumer contract)
+    val single = tmp("sharded-single") + "/m.arpa"
+    new java.io.File(single).getParentFile.mkdirs()
+    Arpa.write(arpa, single)
+    val asm = tmp("sharded-asm") + "/m.arpa"
+    new java.io.File(asm).getParentFile.mkdirs()
+    Arpa.assemble(spark, dir, asm)
+    val a = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(asm))
+    val b = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(single))
+    assert(java.util.Arrays.equals(a, b),
+      s"assembled ${a.length}B != single-file ${b.length}B")
+  }
 }
