@@ -438,6 +438,31 @@ object SparkEntry {
       sources.DeltaImport.importTable(s, base, clone).toDF
     }),
 
+    // The ICEBERG migration path (the open-lakehouse sibling of
+    // delta_import): round-trip through a REAL Iceberg v2 layout —
+    // orders becomes a managed table, exportTable writes spec-shaped
+    // metadata (hand-coded Avro manifest list + manifest, table-
+    // metadata JSON, version-hint) that REFERENCES the live parquet
+    // zero-copy, and importTable adopts it back through the manifest
+    // chain (current-snapshot-id → manifest list → manifests →
+    // data files, v2 delete forms refused loud). The imported contents
+    // must hash-match the source table exactly; the in-query require
+    // pins the manifest/footer row-count integrity cross-check
+    "iceberg_import" -> ((s, dir) => {
+      val src = "/root/repo/target/tmp/q_iceberg_src"
+      val ice = "/root/repo/target/tmp/q_iceberg_ice"
+      val clone = "/root/repo/target/tmp/q_iceberg_clone"
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm); f.delete(); ()
+      }
+      Seq(src, ice, clone).foreach(p => rm(new java.io.File(p)))
+      val orders = t(s, dir, "orders")
+      val tbl = ManagedTable.create(orders, src)
+      val nFiles = sources.Iceberg.exportTable(tbl, ice)
+      require(nFiles >= 1, "export must reference at least one data file")
+      sources.Iceberg.importTable(s, ice, clone).toDF
+    }),
+
     // CONVERT TO DELTA analog: adopt the raw testdata parquet AS a
     // managed table (hard links, footer stats, no rewrite), then prove
     // the adopted stats work by running file-granular DML on it — the
@@ -4353,6 +4378,7 @@ object SparkEntry {
         |WHERE o_orderkey >= (SELECT k FROM kk) AND o_totalprice > 400000""".stripMargin,
 
     "delta_import" -> "SELECT * FROM orders",
+    "iceberg_import" -> "SELECT * FROM orders",
 
     // the clone is the PRE-delete snapshot, unaffected by the source's
     // later DML + vacuum

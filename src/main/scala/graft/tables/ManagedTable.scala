@@ -462,6 +462,37 @@ final class ManagedTable private (val spark: SparkSession, val location: String)
       .filter(_.nonEmpty).distinct.sorted
   def properties: Map[String, String] = latestEntry.properties
 
+  /** The current snapshot's per-file stats — the file-granular view
+    * interop EXPORTERS need (paths data-dir-relative; rows/bytes from
+    * footer stats). Stats-bearing snapshots only, like [[exportDelta]].
+    */
+  private[graft] def currentFileStats: Seq[FileStat] = {
+    val e = latestEntry
+    require(e.files.nonEmpty || e.dirs.isEmpty,
+      s"export requires a stats-bearing snapshot at $location " +
+        s"(version ${e.version} tracks directories, not files)")
+    e.files
+  }
+
+  /** Absolute filesystem path of a snapshot-relative data file. */
+  private[graft] def dataFilePath(rel: String): Path = dataDir.resolve(rel)
+
+  /** A file's hive `k=v` partition values decoded to raw strings
+    * (null = default partition) — empty for an unpartitioned file.
+    */
+  private[graft] def hivePartitionValues(f: FileStat): Seq[(String, String)] = {
+    val leaf = ManagedTable.leafSuffix(f.leafDir)
+    if (leaf.isEmpty) Nil
+    else leaf.split('/').filter(_.nonEmpty).toSeq.map { seg =>
+      val i = seg.indexOf('=')
+      require(i > 0, s"non-hive partition segment in $leaf")
+      val raw = seg.substring(i + 1)
+      seg.substring(0, i) ->
+        (if (raw == "__HIVE_DEFAULT_PARTITION__") null
+         else FileStats.unescapePath(raw))
+    }
+  }
+
   /** detail() analog (reference: delta_table.detail() at mack/__init__.py:277,
     * :310, :469, :658): location, partition columns, properties, file stats.
     */

@@ -1,0 +1,389 @@
+package graft.sources
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+import graft.SparkSpec
+import graft.tables.ManagedTable
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+
+/** Iceberg interop: the hand-coded Avro layer pinned against BYTES
+  * constructed independently from the published spec (not our own
+  * writer), the zero-copy export -> import round trip, table
+  * relocation, and every documented refusal (v2 row-level deletes in
+  * both forms, non-identity transforms, format v3, non-parquet files,
+  * metadata/data row-count disagreement).
+  */
+class IcebergSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(name: String): String = {
+    val dir = new java.io.File(s"target/tmp/iceberg_spec/$name")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm); f.delete(); ()
+    }
+    rm(dir); dir.getParentFile.mkdirs()
+    dir.getPath
+  }
+
+  // ---- Avro layer ------------------------------------------------------
+
+  /** Independent byte construction straight from the Avro spec (zigzag
+    * varints, length-prefixed strings, container framing) — validates
+    * the DECODER without trusting our encoder.
+    */
+  test("Avro reader decodes a container hand-built from the spec bytes") {
+    val bo = new java.io.ByteArrayOutputStream()
+    def vint(v: Long): Unit = { // zigzag + varint, written from the spec
+      var n = (v << 1) ^ (v >> 63)
+      while ((n & ~0x7fL) != 0) { bo.write(((n & 0x7f) | 0x80).toInt); n >>>= 7 }
+      bo.write(n.toInt)
+    }
+    def str(s: String): Unit = {
+      val b = s.getBytes("UTF-8"); vint(b.length.toLong); bo.write(b)
+    }
+    val schema =
+      """{"type":"record","name":"t","fields":[""" +
+        """{"name":"a","type":"long"},{"name":"b","type":"string"},""" +
+        """{"name":"c","type":["null","int"],"default":null}]}"""
+    bo.write(Array[Byte]('O', 'b', 'j', 1)) // magic
+    vint(2L) // metadata map: one block of 2 entries
+    str("avro.schema"); str(schema)
+    str("avro.codec"); str("null")
+    vint(0L) // map terminator
+    val sync = Array.tabulate[Byte](16)(i => (i + 1).toByte)
+    bo.write(sync)
+    // one block, two records: (1,"x",null), (-2,"yz",7)
+    val block = new java.io.ByteArrayOutputStream()
+    val saved = bo.toByteArray
+    bo.reset()
+    vint(1L); str("x"); vint(0L) // union branch 0 = null
+    vint(-2L); str("yz"); vint(1L); vint(7L) // branch 1 = int 7
+    val data = bo.toByteArray
+    bo.reset(); bo.write(saved)
+    vint(2L); vint(data.length.toLong); bo.write(data); bo.write(sync)
+    block.close()
+
+    val c = Avro.readContainer(
+      new java.io.ByteArrayInputStream(bo.toByteArray))
+    assert(c.records.size == 2)
+    val r0 = c.records(0).asInstanceOf[Map[String, Any]]
+    val r1 = c.records(1).asInstanceOf[Map[String, Any]]
+    assert(r0("a") == 1L && r0("b") == "x" && r0("c") == null)
+    assert(r1("a") == -2L && r1("b") == "yz" && r1("c") == 7)
+  }
+
+  test("Avro writer -> reader round-trips records, arrays, maps, " +
+       "unions, enums, fixed; deflate blocks decode") {
+    val schema =
+      """{"type":"record","name":"t","fields":[
+        |{"name":"l","type":"long"},
+        |{"name":"d","type":"double"},
+        |{"name":"fl","type":"float"},
+        |{"name":"bo","type":"boolean"},
+        |{"name":"by","type":"bytes"},
+        |{"name":"fx","type":{"type":"fixed","name":"f4","size":4}},
+        |{"name":"en","type":{"type":"enum","name":"e","symbols":["A","B"]}},
+        |{"name":"ar","type":{"type":"array","items":"long"}},
+        |{"name":"mp","type":{"type":"map","values":"string"}},
+        |{"name":"un","type":["null","string"],"default":null},
+        |{"name":"fx2","type":"f4"}]}""".stripMargin.replace("\n", "")
+    val rec = Map[String, Any](
+      "l" -> 123456789L, "d" -> 3.5, "fl" -> 2.25f, "bo" -> true,
+      "by" -> Array[Byte](1, 2), "fx" -> Array[Byte](9, 8, 7, 6),
+      "en" -> "B", "ar" -> Vector(1L, -5L, 0L),
+      "mp" -> Map("k" -> "v", "k2" -> "w"),
+      "un" -> "s", "fx2" -> Array[Byte](4, 3, 2, 1))
+    val bo = new java.io.ByteArrayOutputStream()
+    Avro.writeContainer(bo, schema, Seq(rec, rec.updated("un", null)))
+    val back = Avro.readContainer(
+      new java.io.ByteArrayInputStream(bo.toByteArray))
+    val b0 = back.records(0).asInstanceOf[Map[String, Any]]
+    assert(b0("l") == 123456789L && b0("d") == 3.5 && b0("fl") == 2.25f)
+    assert(b0("bo") == true && b0("en") == "B" && b0("un") == "s")
+    assert(b0("by").asInstanceOf[Array[Byte]].toSeq == Seq[Byte](1, 2))
+    assert(b0("fx").asInstanceOf[Array[Byte]].toSeq == Seq[Byte](9, 8, 7, 6))
+    assert(b0("fx2").asInstanceOf[Array[Byte]].toSeq == Seq[Byte](4, 3, 2, 1))
+    assert(b0("ar") == Vector(1L, -5L, 0L))
+    assert(b0("mp") == Map("k" -> "v", "k2" -> "w"))
+    assert(back.records(1).asInstanceOf[Map[String, Any]]("un") == null)
+
+    // deflate: re-frame the same records with a deflate-compressed block
+    val plain = bo.toByteArray
+    val c0 = Avro.readContainer(new java.io.ByteArrayInputStream(plain))
+    val e = new Avro.Encoder()
+    e.writeFixed(Array[Byte]('O', 'b', 'j', 1))
+    e.writeLong(2L)
+    e.writeString("avro.schema"); e.writeBytes(schema.getBytes("UTF-8"))
+    e.writeString("avro.codec"); e.writeBytes("deflate".getBytes("UTF-8"))
+    e.writeLong(0L)
+    val sync = Array.tabulate[Byte](16)(_.toByte)
+    e.writeFixed(sync)
+    val be = new Avro.Encoder()
+    c0.records.foreach(Avro.encode(be, c0.schema, _))
+    val raw = be.toBytes
+    val defl = {
+      val d = new java.util.zip.Deflater(
+        java.util.zip.Deflater.DEFAULT_COMPRESSION, true)
+      d.setInput(raw); d.finish()
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](1 << 14)
+      while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+      d.end(); out.toByteArray
+    }
+    e.writeLong(c0.records.size.toLong)
+    e.writeLong(defl.length.toLong)
+    e.writeFixed(defl)
+    e.writeFixed(sync)
+    val inflated = Avro.readContainer(
+      new java.io.ByteArrayInputStream(e.toBytes))
+    // Array[Byte] compares by reference — normalize to Seq recursively
+    def norm(v: Any): Any = v match {
+      case a: Array[Byte] => a.toSeq
+      case m: Map[_, _] => m.map { case (k, x) => k -> norm(x) }
+      case s: Seq[_] => s.map(norm)
+      case x => x
+    }
+    assert(inflated.records.map(norm) == c0.records.map(norm))
+  }
+
+  // ---- export -> import round trips -----------------------------------
+
+  private def ordersDf = {
+    val rows = Seq(
+      Row(1L, "alice", java.sql.Date.valueOf("2024-01-05"), 10.5, 1),
+      Row(2L, "bob", java.sql.Date.valueOf("2024-02-06"), -3.25, 1),
+      Row(3L, null, java.sql.Date.valueOf("2024-01-07"), 0.0, 2))
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("name", StringType, nullable = true),
+      StructField("d", DateType, nullable = true),
+      StructField("v", DoubleType, nullable = true),
+      StructField("bucket", IntegerType, nullable = true)))
+    df(schema, rows)
+  }
+
+  test("export -> import round-trips an unpartitioned table exactly, " +
+       "zero-copy in both directions") {
+    val src = tmp("rt-src"); val ice = tmp("rt-ice"); val dst = tmp("rt-dst")
+    val tbl = ManagedTable.create(ordersDf, src)
+    val n = Iceberg.exportTable(tbl, ice)
+    assert(n >= 1)
+    // zero-copy export: no parquet under the iceberg dir
+    assert(!Files.walk(Paths.get(ice)).iterator().asScala
+      .exists(_.toString.endsWith(".parquet")),
+      "export must reference, not copy, the data")
+    val back = Iceberg.importTable(spark, ice, dst)
+    assertDfEquality(back.toDF, ordersDf)
+    assert(back.numRows == 3L)
+  }
+
+  test("identity-partitioned export -> import: values land in the " +
+       "manifest partition record, and import resolves them via the " +
+       "spec's column-projection rule (hive placement — the files " +
+       "lack the source column)") {
+    val src = tmp("part-src"); val ice = tmp("part-ice")
+    val dst = tmp("part-dst")
+    val data = ordersDf
+    val tbl = ManagedTable.create(data, src, partitionBy = Seq("bucket"))
+    Iceberg.exportTable(tbl, ice)
+    // the manifest really carries typed identity partition values
+    val meta = Paths.get(ice, "metadata")
+    val manifest = Avro.readContainer(
+      Files.newInputStream(meta.resolve("graft-m0.avro")))
+    val pvs = manifest.records.map(_.asInstanceOf[Map[String, Any]])
+      .map(_("data_file").asInstanceOf[Map[String, Any]]
+        ("partition").asInstanceOf[Map[String, Any]]("bucket"))
+    assert(pvs.toSet == Set(1, 2))
+    val back = Iceberg.importTable(spark, ice, dst)
+    assert(back.partitionColumns == Seq("bucket"),
+      "manifest-resolved identity values must become real partitions")
+    assertDfEquality(
+      back.toDF.select(data.columns.map(org.apache.spark.sql.functions.col)
+        .toIndexedSeq: _*),
+      data)
+  }
+
+  test("a MOVED table still imports: embedded absolute paths re-root " +
+       "onto the directory actually being read") {
+    val src = tmp("mv-src"); val ice = tmp("mv-ice")
+    val moved = tmp("mv-moved"); val dst = tmp("mv-dst")
+    // data must live INSIDE the table dir for the move to carry it:
+    // import from a clone whose files sit under the iceberg location
+    val tbl = ManagedTable.create(ordersDf, src)
+    Iceberg.exportTable(tbl, ice)
+    // relocate the whole iceberg dir; also relocate the REFERENCED data
+    // by first importing (hard links under dst) — instead simply move
+    // the metadata dir and keep data where it is: the re-rooting rule
+    // applies to paths under the embedded location only, and the
+    // manifest-list/manifest paths ARE under it.
+    Files.move(Paths.get(ice), Paths.get(moved))
+    val back = Iceberg.importTable(spark, moved, dst)
+    assertDfEquality(back.toDF, ordersDf)
+  }
+
+  test("v1 metadata with inline manifests[] and partition-spec reads") {
+    val src = tmp("v1-src"); val ice = tmp("v1-ice"); val dst = tmp("v1-dst")
+    val tbl = ManagedTable.create(ordersDf, src)
+    Iceberg.exportTable(tbl, ice)
+    val meta = Paths.get(ice, "metadata")
+    val md = Files.readString(meta.resolve("v1.metadata.json"))
+    val node = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(md).asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    val manifestPath = s"file://${meta.resolve("graft-m0.avro").toAbsolutePath}"
+    node.put("format-version", 1)
+    node.remove("schemas"); node.remove("current-schema-id")
+    node.remove("partition-specs"); node.remove("default-spec-id")
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    // v1: inline schema + partition-spec + snapshot.manifests
+    val schemas = mapper.readTree(md).get("schemas")
+    node.set[com.fasterxml.jackson.databind.JsonNode]("schema", schemas.get(0))
+    node.set[com.fasterxml.jackson.databind.JsonNode]("partition-spec",
+      mapper.createArrayNode())
+    val snap = node.get("snapshots").get(0)
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    snap.remove("manifest-list")
+    snap.putArray("manifests").add(manifestPath)
+    Files.writeString(meta.resolve("v1.metadata.json"),
+      mapper.writeValueAsString(node))
+    val back = Iceberg.importTable(spark, ice, dst)
+    assertDfEquality(back.toDF, ordersDf)
+  }
+
+  // ---- refusals ---------------------------------------------------------
+
+  /** Exports a healthy table, hands its pieces to `doctor`, expects the
+    * import to refuse with `needle` in the message.
+    */
+  private def refusal(name: String, needle: String)(
+      doctor: java.nio.file.Path => Unit): Unit = {
+    val src = tmp(s"$name-src"); val ice = tmp(s"$name-ice")
+    val dst = tmp(s"$name-dst")
+    val tbl = ManagedTable.create(ordersDf, src)
+    Iceberg.exportTable(tbl, ice)
+    doctor(Paths.get(ice, "metadata"))
+    val e = intercept[Exception] {
+      Iceberg.importTable(spark, ice, dst)
+    }
+    assert(Option(e.getMessage).exists(_.contains(needle)),
+      s"expected '$needle' in: ${e.getMessage}")
+  }
+
+  test("refuses v2 DELETE MANIFESTS in the manifest list (row-level " +
+       "deletes, manifest-list form)") {
+    refusal("del-ml", "row-level deletes") { meta =>
+      val lp = meta.resolve("snap-1-1-graft.avro")
+      val c = Avro.readContainer(Files.newInputStream(lp))
+      val doctored = c.records.map(_.asInstanceOf[Map[String, Any]])
+        .map(_.updated("content", 1))
+      val out = Files.newOutputStream(lp)
+      try Avro.writeContainer(out, c.schemaJson, doctored)
+      finally out.close()
+    }
+  }
+
+  test("refuses position/equality-delete DATA FILE entries (row-level " +
+       "deletes, manifest-entry form)") {
+    refusal("del-df", "row-level deletes") { meta =>
+      val mp = meta.resolve("graft-m0.avro")
+      val c = Avro.readContainer(Files.newInputStream(mp))
+      val doctored = c.records.map(_.asInstanceOf[Map[String, Any]]).map { e =>
+        val df0 = e("data_file").asInstanceOf[Map[String, Any]]
+        e.updated("data_file", df0.updated("content", 1))
+      }
+      val extra = c.meta.collect {
+        case (k, v) if k.startsWith("partition") || k == "schema" ||
+          k == "format-version" || k == "content" =>
+          k -> new String(v, "UTF-8")
+      }
+      val out = Files.newOutputStream(mp)
+      try Avro.writeContainer(out, c.schemaJson, doctored, extra)
+      finally out.close()
+    }
+  }
+
+  test("refuses non-identity partition transforms loud (bucket)") {
+    refusal("bucket", "partition transform") { meta =>
+      // inject a bucket[16] field into the (empty) default spec
+      val p = meta.resolve("v1.metadata.json")
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val node = mapper.readTree(Files.readString(p))
+      val fields = node.get("partition-specs").get(0).get("fields")
+        .asInstanceOf[com.fasterxml.jackson.databind.node.ArrayNode]
+      val f = fields.addObject()
+      f.put("name", "name_bucket")
+      f.put("transform", "bucket[16]")
+      f.put("source-id", 2)
+      f.put("field-id", 1001)
+      Files.writeString(p, mapper.writeValueAsString(node))
+    }
+  }
+
+  test("refuses format-version 3") {
+    refusal("v3", "format-version") { meta =>
+      val p = meta.resolve("v1.metadata.json")
+      Files.writeString(p, Files.readString(p)
+        .replace("\"format-version\" : 2", "\"format-version\" : 3"))
+    }
+  }
+
+  test("refuses non-parquet data files") {
+    refusal("orc", "non-parquet") { meta =>
+      val mp = meta.resolve("graft-m0.avro")
+      val c = Avro.readContainer(Files.newInputStream(mp))
+      val doctored = c.records.map(_.asInstanceOf[Map[String, Any]]).map { e =>
+        val df0 = e("data_file").asInstanceOf[Map[String, Any]]
+        e.updated("data_file", df0.updated("file_format", "ORC"))
+      }
+      val out = Files.newOutputStream(mp)
+      try Avro.writeContainer(out, c.schemaJson, doctored)
+      finally out.close()
+    }
+  }
+
+  test("refuses when manifests' record_count disagrees with the " +
+       "parquet footers (metadata/data integrity)") {
+    refusal("rows", "integrity") { meta =>
+      val mp = meta.resolve("graft-m0.avro")
+      val c = Avro.readContainer(Files.newInputStream(mp))
+      val doctored = c.records.map(_.asInstanceOf[Map[String, Any]]).map { e =>
+        val df0 = e("data_file").asInstanceOf[Map[String, Any]]
+        e.updated("data_file",
+          df0.updated("record_count",
+            df0("record_count").asInstanceOf[Long] + 5L))
+      }
+      val out = Files.newOutputStream(mp)
+      try Avro.writeContainer(out, c.schemaJson, doctored)
+      finally out.close()
+    }
+  }
+
+  test("export refuses deletion-vector snapshots (they would need v2 " +
+       "delete files)") {
+    val src = tmp("dv-src"); val ice = tmp("dv-ice")
+    val tbl = ManagedTable.create(ordersDf, src,
+      properties = Map(ManagedTable.dvPropKey -> "true"))
+    tbl.delete("id = 2")
+    val e = intercept[IllegalArgumentException] {
+      Iceberg.exportTable(tbl, ice)
+    }
+    assert(e.getMessage.contains("deletion-vector"))
+  }
+
+  test("empty table (no current snapshot) imports as an empty managed " +
+       "table with the schema") {
+    val src = tmp("empty-src"); val ice = tmp("empty-ice")
+    val dst = tmp("empty-dst")
+    val tbl = ManagedTable.create(ordersDf, src)
+    Iceberg.exportTable(tbl, ice)
+    val meta = Paths.get(ice, "metadata")
+    val p = meta.resolve("v1.metadata.json")
+    Files.writeString(p, Files.readString(p)
+      .replace("\"current-snapshot-id\" : 1", "\"current-snapshot-id\" : -1"))
+    val back = Iceberg.importTable(spark, ice, dst)
+    assert(back.toDF.count() == 0)
+    assert(back.schema.fieldNames.toSeq ==
+      Seq("id", "name", "d", "v", "bucket"))
+  }
+
+}
