@@ -467,7 +467,11 @@ object Arpa {
       val e = sec(k).select((1 to k).map(i =>
         element_at(col("__p"), i).as(s"__w${n - k + i}")) :+
         col(s"__lp$k"): _*)
-      joined = joined.join(e, (n - k + 1 to n).map("__w" + _), "left")
+      // broadcast: sections are MODEL mass; without the hint a
+      // file-read arpa's size estimate falls to sort-merge and
+      // shuffles the corpus n-gram stream once per section
+      joined = joined.join(broadcast(e),
+        (n - k + 1 to n).map("__w" + _), "left")
     }
     // context-backoff joins: section j keyed one position LEFT
     // (N−j..N−1) — the weight paid when the (j+1)-gram entry is absent
@@ -475,7 +479,8 @@ object Arpa {
       val b = sec(j).select((1 to j).map(i =>
         element_at(col("__p"), i).as(s"__w${n - j - 1 + i}")) :+
         col(s"__bo$j").as(s"__boc$j"): _*)
-      joined = joined.join(b, (n - j to n - 1).map("__w" + _), "left")
+      joined = joined.join(broadcast(b),
+        (n - j to n - 1).map("__w" + _), "left")
     }
     // the chain, unigram outward; a null anywhere below propagates so
     // the outer coalesce lands on the floor exactly when the whole

@@ -373,7 +373,11 @@ object VocabStats {
       col("nmid").as("__nmid"), col("n2f").as("__n2f"),
       col("cc1").as("__cc1"), col("b").as("__b"))
     val scored = tg
-      .join(m, Seq("__w1", "__w2", "__w3")) // the one token-mass join
+      // broadcast: the model is type-mass at every scale, but a
+      // parquet-reloaded model's size estimate routinely exceeds the
+      // auto threshold and the fallback sort-merge join shuffles the
+      // corpus trigram stream (see mknNllFromModel's note)
+      .join(broadcast(m), Seq("__w1", "__w2", "__w3")) // the one token-mass join
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_trigrams"), first(col("__b")).as("__b"),
         sort_array(collect_list(struct(
@@ -772,7 +776,14 @@ object VocabStats {
     // is deterministic
     val statsRow = broadcast(
       m.select(statNames.map(col): _*).limit(1))
-    val mCore = m.drop(statNames: _*)
+    // BROADCAST the model side explicitly: it is TYPE mass (bounded by
+    // vocabulary, not corpus) at every scale, but a parquet-reloaded
+    // model's size estimate routinely exceeds the auto-broadcast
+    // threshold, and the silent fallback is a sort-merge join that
+    // shuffles the corpus n-gram STREAM on 5 string keys — measured at
+    // ~2x the whole serve leg at sf0.1 (BENCHNOTES r19). Results are
+    // bit-identical (join strategy only).
+    val mCore = broadcast(m.drop(statNames: _*))
     val scored = topStream
       .join(mCore, (1 to n).map(s"__w" + _)) // the one token-mass join
       .groupBy(col(idCol))

@@ -1388,6 +1388,28 @@ object Drive {
       s"(age range ${frHead.getLong(0)}..${frHead.getLong(1)} days; " +
       s"global dispatch key = rank_fp x (1 + age))")
 
+    // global dispatch order: write-time range sort == the total order
+    val disp = graft.operators.Frontier.dispatchOrder(
+      fr.select(col("url"), col("fresh_score")), "fresh_score", "url",
+      shards = 4)
+    val dispTop = disp.orderBy("dispatch_order").limit(2)
+      .select("dispatch_order", "fresh_score").collect()
+      .map(r => s"#${r.getLong(0)}@${r.getLong(1)}").mkString(", ")
+    println(s"[111] global dispatch order (range-sort, no global " +
+      s"window): head $dispTop of ${disp.count()} fetches")
+
+    // Iceberg round trip: export the managed table zero-copy, re-import
+    val iceDir = scratch("iceberg")
+    val iceBack = scratch("iceberg_back")
+    val iceSrcTbl = graft.tables.ManagedTable.create(
+      docs.select("doc_id", "lang", "source").limit(300),
+      scratch("iceberg_src"))
+    val nIce = graft.sources.Iceberg.exportTable(iceSrcTbl, iceDir)
+    val iceTbl = graft.sources.Iceberg.importTable(spark, iceDir, iceBack)
+    println(s"[112] iceberg round trip: exported $nIce file refs " +
+      s"(zero-copy), re-imported ${iceTbl.numRows} rows, " +
+      s"schema ${iceTbl.schema.fieldNames.mkString("/")}")
+
     spark.stop()
   }
 }
