@@ -43,7 +43,14 @@ import graft.tables.{FileStat, ManagedTable}
   * honoring it wrongly corrupts pruning), v2 ROW-LEVEL DELETES in
   * either form (delete manifests in the manifest list, or
   * position/equality-delete data-file entries), non-parquet data files,
-  * and unsupported column types (uuid/fixed/time).
+  * unsupported column types (uuid/fixed/time), and RENAMED COLUMNS —
+  * the spec resolves columns by field id, so a renamed column's files
+  * carry the old name; when footers stamp parquet field ids (Iceberg
+  * writers always do) any id whose footer name differs from the
+  * schema's refuses rather than null-filling (footers without ids are
+  * uncheckable and trusted by name — the documented boundary).
+  * [[snapshot]]/[[importTable]] take an optional `snapshotId` for TIME
+  * TRAVEL to any snapshot still listed in the metadata.
   *
   * Import integrity: the adopted table's metadata row count (parquet
   * footer sum) must equal the manifests' `record_count` sum — a
@@ -185,8 +192,12 @@ object Iceberg {
     candidate
   }
 
-  /** Load and validate the current snapshot. */
-  def snapshot(tableDir: String): Snapshot = {
+  /** Load and validate the current snapshot — or, for TIME TRAVEL, the
+    * explicit `snapshotId` (any snapshot still listed in the metadata's
+    * `snapshots[]`; an unknown id fails loud listing what exists, like
+    * `toDF(version)` on a vacuumed managed table).
+    */
+  def snapshot(tableDir: String, snapshotId: Option[Long] = None): Snapshot = {
     val metaPath = currentMetadataFile(tableDir)
     val root = mapper.readTree(Files.readString(metaPath))
     val fv = root.path("format-version").asInt(1)
@@ -243,15 +254,22 @@ object Iceberg {
       case _ => Map.empty[String, String]
     }
 
-    // snapshot: absent / -1 => empty table
-    val curId = root.path("current-snapshot-id").asLong(-1L)
+    // snapshot: explicit time-travel id, else current; absent / -1 =>
+    // empty table
+    val curId = snapshotId.getOrElse(
+      root.path("current-snapshot-id").asLong(-1L))
     if (curId == -1L)
       return Snapshot(fv, schema, idToName, identityFields, properties,
         Nil)
     val snap = root.path("snapshots").elements().asScala
       .find(_.path("snapshot-id").asLong() == curId)
-      .getOrElse(throw new IllegalArgumentException(
-        s"current-snapshot-id $curId not in snapshots[]"))
+      .getOrElse {
+        val known = root.path("snapshots").elements().asScala
+          .map(_.path("snapshot-id").asLong()).toSeq.sorted
+        throw new IllegalArgumentException(
+          s"snapshot-id $curId not in snapshots[] (available: " +
+            s"${known.mkString(", ")})")
+      }
 
     // manifest paths: v2 manifest-list file, or v1 inline manifests[]
     val manifestPaths: Seq[Path] =
@@ -329,8 +347,9 @@ object Iceberg {
     * the supported/refused matrix and the integrity checks.
     */
   def importTable(spark: SparkSession, tableDir: String,
-                  targetPath: String): ManagedTable = {
-    val snap = snapshot(tableDir)
+                  targetPath: String,
+                  snapshotId: Option[Long] = None): ManagedTable = {
+    val snap = snapshot(tableDir, snapshotId)
     if (snap.files.isEmpty)
       return ManagedTable.create(
         spark.createDataFrame(new java.util.ArrayList[Row](), snap.schema),
@@ -342,6 +361,29 @@ object Iceberg {
     }
     val resolved = snap.files.map(f =>
       (resolvePath(f.path, location, tableDir), f))
+    // RENAMED-COLUMN detection (the spec resolves columns by FIELD ID,
+    // this import by NAME): a table that renamed a column leaves files
+    // whose footers carry the OLD name — a name-based scan would
+    // null-fill the new name silently, the worst failure mode. When
+    // the footers carry parquet field ids (Iceberg writers always
+    // stamp them), any id whose footer name differs from the table
+    // schema's name for that id refuses loud. Footers WITHOUT ids
+    // (foreign/migrated files) can't be checked this way — documented
+    // boundary, names are then trusted.
+    locally {
+      val conf = spark.sparkContext.hadoopConfiguration
+      resolved.foreach { case (p, _) =>
+        parquetFieldIds(conf, p).foreach { case (id, fileName) =>
+          snap.fieldIdToName.get(id).foreach { schemaName =>
+            require(schemaName == fileName,
+              s"column renamed: field id $id is '$fileName' in data " +
+                s"file $p but '$schemaName' in the table schema — " +
+                "name-based adoption would null-fill it silently; " +
+                "rewrite the files or re-import under the old name")
+          }
+        }
+      }
+    }
     // identity-partition handling per the spec's COLUMN PROJECTION rule
     // (iceberg spec "Column Projection" #2: a field absent from a data
     // file whose id is an identity partition source resolves to the
@@ -417,6 +459,23 @@ object Iceberg {
       s"Iceberg import integrity failure: manifests claim $expected rows, " +
         s"parquet footers carry $got — metadata and data disagree")
     tbl
+  }
+
+  /** Top-level (field id -> name) of one parquet file, for fields that
+    * carry ids; empty when the writer stamped none.
+    */
+  private def parquetFieldIds(
+      conf: org.apache.hadoop.conf.Configuration, file: Path)
+      : Map[Int, String] = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val in = HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(file.toUri), conf)
+    val reader = ParquetFileReader.open(in)
+    try reader.getFooter.getFileMetaData.getSchema.getFields.asScala
+      .flatMap(f => Option(f.getId).map(id => id.intValue() -> f.getName))
+      .toMap
+    finally reader.close()
   }
 
   /** Top-level column names of one parquet file, from its footer. */

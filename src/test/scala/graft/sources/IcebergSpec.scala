@@ -370,6 +370,82 @@ class IcebergSpec extends SparkSpec {
     assert(e.getMessage.contains("deletion-vector"))
   }
 
+  test("snapshot TIME TRAVEL: an explicit snapshot-id imports that " +
+       "snapshot; an unknown id fails loud listing what exists") {
+    val src = tmp("tt-src"); val ice = tmp("tt-ice")
+    val dstCur = tmp("tt-dst-cur"); val dstOld = tmp("tt-dst-old")
+    val tbl = ManagedTable.create(ordersDf, src)
+    Iceberg.exportTable(tbl, ice)
+    val meta = Paths.get(ice, "metadata")
+    // snapshot 2 (current) = an EMPTY manifest list; snapshot 1 keeps
+    // the data — the classic truncate-after-load history
+    val lp = meta.resolve("snap-1-1-graft.avro")
+    val c = Avro.readContainer(Files.newInputStream(lp))
+    val emptyList = meta.resolve("snap-2-empty.avro")
+    val out = Files.newOutputStream(emptyList)
+    try Avro.writeContainer(out, c.schemaJson, Nil) finally out.close()
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val p = meta.resolve("v1.metadata.json")
+    val node = mapper.readTree(Files.readString(p))
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    node.put("current-snapshot-id", 2L)
+    val snaps = node.get("snapshots")
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ArrayNode]
+    val s2 = snaps.addObject()
+    s2.put("snapshot-id", 2L); s2.put("timestamp-ms", 2L)
+    s2.put("sequence-number", 2L)
+    s2.put("manifest-list", s"file://${emptyList.toAbsolutePath}")
+    s2.putObject("summary").put("operation", "delete")
+    s2.put("schema-id", 0)
+    Files.writeString(p, mapper.writeValueAsString(node))
+    // current = empty; time travel to 1 = the data
+    assert(Iceberg.importTable(spark, ice, dstCur).toDF.count() == 0)
+    assertDfEquality(
+      Iceberg.importTable(spark, ice, dstOld, snapshotId = Some(1L)).toDF,
+      ordersDf)
+    val e = intercept[IllegalArgumentException] {
+      Iceberg.snapshot(ice, snapshotId = Some(99L))
+    }
+    assert(e.getMessage.contains("available: 1, 2"))
+  }
+
+  test("RENAMED columns refuse loud: a footer whose parquet field id " +
+       "maps to a different name than the table schema would null-fill " +
+       "silently under name-based adoption") {
+    val src = tmp("ren-src"); val ice = tmp("ren-ice")
+    val dst = tmp("ren-dst")
+    // write data files that CARRY parquet field ids (as every Iceberg
+    // writer does) matching the export's 1..n assignment
+    val withIds = StructType(ordersDf.schema.fields.zipWithIndex.map {
+      case (f, i) =>
+        f.copy(metadata = new MetadataBuilder().withMetadata(f.metadata)
+          .putLong("parquet.field.id", i + 1L).build())
+    })
+    val prev = spark.conf.getOption("spark.sql.parquet.fieldId.write.enabled")
+    spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+    val tbl =
+      try ManagedTable.create(
+        spark.createDataFrame(ordersDf.collect().toIndexedSeq.asJava,
+          withIds), src)
+      finally prev match {
+        case Some(v) => spark.conf.set(
+          "spark.sql.parquet.fieldId.write.enabled", v)
+        case None => spark.conf.unset(
+          "spark.sql.parquet.fieldId.write.enabled")
+      }
+    Iceberg.exportTable(tbl, ice)
+    // the table renames column 'name' (id 2) to 'customer' — files keep
+    // the old name under the same id
+    val p = Paths.get(ice, "metadata", "v1.metadata.json")
+    Files.writeString(p, Files.readString(p)
+      .replace("\"name\" : \"name\"", "\"name\" : \"customer\""))
+    val e = intercept[IllegalArgumentException] {
+      Iceberg.importTable(spark, ice, dst)
+    }
+    assert(e.getMessage.contains("column renamed"), e.getMessage)
+    assert(e.getMessage.contains("customer"))
+  }
+
   test("empty table (no current snapshot) imports as an empty managed " +
        "table with the schema") {
     val src = tmp("empty-src"); val ice = tmp("empty-ice")
