@@ -166,36 +166,36 @@ object Frontier {
     require(shards > 1, s"need shards > 1, got $shards — a one-shard " +
       "dispatch is the global single-partition sort this avoids")
     val ord = Seq(col(scoreCol).desc, col(tieCol).asc)
-    // ONE corpus-mass exchange total: the shard id and the in-shard
-    // ordinal both come from monotonically_increasing_id over the
-    // range-sorted partitions (partition id in the high 31 bits,
-    // in-partition record number in the low 33 — a published Spark
-    // contract), so no second shuffle and no per-shard window is
-    // needed. 2^33 rows per shard bounds nothing real (size shards to
-    // executor memory long before 8.6B rows each).
+    // ONE corpus-mass shuffle, COMPUTED ONCE: the classic distributed
+    // ranking construction — range-shuffle + within-shard sort, then
+    // `zipWithIndex` attaches the global ordinal (a count pass over
+    // per-shard sizes, then per-row offsets). This deliberately drops
+    // to the RDD for the ordinal: RDD-level shuffle reuse is by OBJECT
+    // identity, so the count pass and the index pass read the same
+    // shuffle files. The pure-DataFrame alternative (ordinal from
+    // monotonically_increasing_id + a broadcast shard-count manifest)
+    // COMPUTED THE CORPUS EXCHANGE TWICE — per-consumer column pruning
+    // made the manifest's exchange subtree canonically different from
+    // the stream's, so neither planner-level exchange reuse nor AQE
+    // stage reuse fired (found by reading the executed adaptive plan,
+    // not the static explain). A terminal write-time step, so leaving
+    // whole-stage codegen at the boundary costs one row conversion.
     val sorted = df.repartitionByRange(shards, ord: _*)
       .sortWithinPartitions(ord: _*)
-      .withColumn("__mid", monotonically_increasing_id())
-      .withColumn("__shard", shiftright(col("__mid"), 33))
-      .withColumn("__local", col("__mid").bitwiseAND(lit((1L << 33) - 1)))
-      .drop("__mid")
+    val rdd = sorted.rdd // ONE RDD object — both jobs share its shuffle
     // no-single-partition assertion: the range exchange must actually
     // fan out (boundary sampling can produce FEWER shards than asked
     // on tiny/skewed input, but the plan must never collapse to 1)
-    val nParts = sorted.rdd.getNumPartitions
+    val nParts = rdd.getNumPartitions
     require(nParts == shards,
       s"range-partitioned dispatch sort ran at $nParts partitions, " +
         s"asked $shards — the write-time sort is not parallel")
-    // shard manifest: one row per shard (map-side-combined count), the
-    // offset prefix-sum windowing over `shards` rows total
-    val wOff = Window.orderBy(col("__shard").asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
-    val manifest = sorted.groupBy(col("__shard"))
-      .agg(count(lit(1)).as("__n"))
-      .withColumn("__offset", coalesce(sum(col("__n")).over(wOff), lit(0L)))
-    sorted.join(broadcast(manifest.select(col("__shard"), col("__offset"))),
-        Seq("__shard"))
-      .withColumn("dispatch_order", col("__offset") + col("__local"))
-      .drop("__shard", "__local", "__offset")
+    val withIdx = rdd.zipWithIndex.map { case (r, i) =>
+      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i)
+    }
+    df.sparkSession.createDataFrame(withIdx,
+      org.apache.spark.sql.types.StructType(sorted.schema.fields :+
+        org.apache.spark.sql.types.StructField("dispatch_order",
+          org.apache.spark.sql.types.LongType, nullable = false)))
   }
 }
