@@ -234,10 +234,26 @@ object Bench {
     val onlyField = only.fold("") { o =>
       s""","only":${o.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")}"""
     }
-    println(s"""{"metric":"total_detail","queries_runs":$runs,"calib_at":$calibAtQ,"sf":"$sfDir"$onlyField}""")
-    println(s"""{"metric":"total_queries_norm","queries":$qsNorm,"calib_ref":$CalibRef,"calib_run":${sec(calibRun)},"alpha":$NormAlpha,"sf":"$sfDir"}""")
-    println(s"""{"metric":"total_queries","queries":$qs,"sf":"$sfDir"}""")
-    println(s"""{"metric":"total","value":${sec(total)},"value_norm":${sec(totalNorm)},"unit":"sec","n_queries":${results.size},"errors":$errs,"flaky":$flaky,"calib":{"start":${sec(calibStart)},"mid":${sec(calibMid)},"end":${sec(calibEnd)},"ref":$CalibRef},"sf":"$sfDir"$onlyField}""")
+    val lines = Seq(
+      s"""{"metric":"total_detail","queries_runs":$runs,"calib_at":$calibAtQ,"sf":"$sfDir"$onlyField}""",
+      s"""{"metric":"total_queries_norm","queries":$qsNorm,"calib_ref":$CalibRef,"calib_run":${sec(calibRun)},"alpha":$NormAlpha,"sf":"$sfDir"}""",
+      s"""{"metric":"total_queries","queries":$qs,"sf":"$sfDir"}""",
+      s"""{"metric":"total","value":${sec(total)},"value_norm":${sec(totalNorm)},"unit":"sec","n_queries":${results.size},"errors":$errs,"flaky":$flaky,"calib":{"start":${sec(calibStart)},"mid":${sec(calibMid)},"end":${sec(calibEnd)},"ref":$CalibRef},"sf":"$sfDir"$onlyField}""")
+    lines.foreach(println)
+    // The driver's output capture is tail-anchored (~2000 chars), which
+    // hides the per-query detail and calib pairing from the committed
+    // BENCH_r{N}.json — so the FULL detail also lands on disk, where it
+    // is committed alongside the round artifacts (BENCH_DETAIL_r{N}
+    // .json) and adjudication reads a self-sufficient file instead of
+    // builder logs.
+    try {
+      val p = java.nio.file.Paths.get("target", "bench_detail.json")
+      Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
+      java.nio.file.Files.writeString(p, lines.mkString("", "\n", "\n"))
+      System.err.println(s"[bench] full detail written to $p")
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write detail file: $e")
+    }
     System.out.flush()
     spark.stop()
     if (results.exists(_._4.isDefined)) sys.exit(1)

@@ -1779,9 +1779,11 @@ object SparkEntry {
     // the GLOBAL dispatch order freshOrder's scaladoc promises,
     // exercised: the same fresh frontier, totally ordered
     // (fresh_score desc, url asc) via the range-partitioned write-time
-    // sort — 8-way shards, per-shard ordinal + broadcast shard-manifest
-    // offsets, NO corpus-mass window (Frontier.dispatchOrder require()s
-    // the range exchange really ran 8-wide). The oracle replays the
+    // sort — 8-way range shuffle + per-shard sort, then RDD
+    // zipWithIndex attaches the global ordinal (count pass + offset
+    // pass over the SAME shuffle files), NO corpus-mass window and the
+    // corpus exchange computed ONCE (Frontier.dispatchOrder require()s
+    // the range exchange really fanned out). The oracle replays the
     // total order as one row_number; shard placement is deliberately
     // not part of the contract (boundary sampling moves rows between
     // shards, never reorders them — url uniqueness makes the order

@@ -137,16 +137,16 @@ object Frontier {
     * one partition.
     *
     * Shape (the classic distributed-ranking construction):
-    *  1. `repartitionByRange(shards, score desc, tie asc)` — shard i
-    *     holds keys strictly before shard i+1 in dispatch order (and
-    *     a (score, tie) pair lands in exactly one shard, so equal
-    *     boundary keys cannot split);
-    *  2. per-shard `row_number` window — partitions by the SHARD id,
-    *     so every window is ~|rows|/shards wide, never global;
-    *  3. the shard manifest — `(shard, n)` for all shards, a
-    *     shards-row table — prefix-sums into per-shard offsets via a
-    *     window over that TINY table, and
-    *     `dispatch_order = offset(shard) + local ordinal`.
+    *  1. `repartitionByRange(shards, score desc, tie asc)` +
+    *     `sortWithinPartitions` — shard i holds keys strictly before
+    *     shard i+1 in dispatch order (and a (score, tie) pair lands in
+    *     exactly one shard, so equal boundary keys cannot split), each
+    *     shard sorted locally — ONE corpus-mass shuffle;
+    *  2. `rdd.zipWithIndex` attaches the global ordinal: a count pass
+    *     over per-shard sizes (O(shards) driver state), then per-row
+    *     `shard offset + local index` — both passes read the SAME
+    *     shuffle files because RDD-level shuffle reuse is by object
+    *     identity, so the corpus exchange is computed once.
     *
     * Because `tieCol` must be unique (require()d by totality of the
     * oracle's replay), the resulting order is a total order identical
@@ -157,9 +157,12 @@ object Frontier {
     * reason (they are sampling-dependent); the global ordinal is.
     *
     * Returns the frame plus `dispatch_order` (0-based global rank).
-    * Asserts in-plan that the sort really ran at `shards`-way
-    * parallelism — a silent fallback to one partition would be the
-    * exact scale hazard this exists to dodge.
+    * Asserts that the sort really fanned out — range-boundary
+    * sampling may legitimately produce FEWER shards than asked on
+    * tiny/skewed input (fewer distinct sampled boundaries than
+    * requested partitions), but a collapse to ONE partition is the
+    * exact global-single-partition-sort hazard this exists to dodge
+    * and fails loud.
     */
   def dispatchOrder(df: DataFrame, scoreCol: String, tieCol: String,
                     shards: Int): DataFrame = {
@@ -185,9 +188,10 @@ object Frontier {
     val rdd = sorted.rdd // ONE RDD object — both jobs share its shuffle
     // no-single-partition assertion: the range exchange must actually
     // fan out (boundary sampling can produce FEWER shards than asked
-    // on tiny/skewed input, but the plan must never collapse to 1)
+    // on tiny/skewed input — legitimate — but the plan must never
+    // collapse to 1, and never exceed what was asked)
     val nParts = rdd.getNumPartitions
-    require(nParts == shards,
+    require(nParts > 1 && nParts <= shards,
       s"range-partitioned dispatch sort ran at $nParts partitions, " +
         s"asked $shards — the write-time sort is not parallel")
     val withIdx = rdd.zipWithIndex.map { case (r, i) =>

@@ -76,8 +76,10 @@ object Avro {
     n.path("type").asText() match {
       case "record" =>
         val name = n.path("name").asText()
-        // two-phase so self-references resolve (not needed by Iceberg's
-        // schemas, but cheap to be correct about)
+        // registered AFTER its fields parse: EARLIER-defined named
+        // types resolve by reference (all Iceberg manifests need);
+        // self-referential records fail loud as an unresolved
+        // named-type reference rather than looping
         val fields = n.path("fields").elements().asScala.map { f =>
           SField(f.path("name").asText(),
             parseNode(f.get("type"), named), f.has("default"))

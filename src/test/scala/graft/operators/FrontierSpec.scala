@@ -154,4 +154,25 @@ class FrontierSpec extends SparkSpec {
       Frontier.dispatchOrder(rows, "score", "url", shards = 1)
     }
   }
+
+  test("dispatchOrder: tiny input where range sampling yields fewer " +
+       "partitions than asked still orders exactly (the guard accepts " +
+       "1 < nParts <= shards)") {
+    // 6 rows, 8 shards asked: the range sampler cannot cut 8 ways —
+    // a legitimate small dispatch, not the single-partition hazard
+    val rows = Seq(
+      (1L, "https://a.org/1", 300L), (2L, "https://a.org/2", 300L),
+      (3L, "https://b.org/1", 200L), (4L, "https://b.org/2", 100L),
+      (5L, "https://c.org/1", 100L), (6L, "https://c.org/2", 500L))
+      .toDF("id", "url", "score")
+    val out = Frontier.dispatchOrder(rows, "score", "url", shards = 8)
+    val n = out.rdd.getNumPartitions
+    assert(n > 1 && n <= 8, s"got $n partitions")
+    val got = out.select("url", "dispatch_order").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val expect = rows.collect().map(r => (r.getString(1), r.getLong(2)))
+      .sortBy { case (u, s) => (-s, u) }
+      .zipWithIndex.map { case ((u, _), i) => u -> i.toLong }.toMap
+    assert(got == expect)
+  }
 }
