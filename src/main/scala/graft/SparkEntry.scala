@@ -463,6 +463,36 @@ object SparkEntry {
       sources.Iceberg.importTable(s, ice, clone).toDF
     }),
 
+    // The MERGE-ON-READ Iceberg migration (the common production
+    // shape): a deletion-vector snapshot — DELETE leaves RoaringBitmap
+    // masks, zero data rewrite — exports as v2 POSITION DELETES (one
+    // spec-shaped (file_path, pos) parquet + a content=1 delete
+    // manifest) and imports back with the mask adopted into the native
+    // _graft_dv sidecar, still zero data movement in either direction.
+    // Both DV legs are require()d so a silent fall-back to
+    // rewrite-on-delete can never fake the hash. The delete predicate
+    // is a modulus (not max-derived) so the oracle replays it verbatim.
+    "iceberg_dv_import" -> ((s, dir) => {
+      val src = "/root/repo/target/tmp/q_icedv_src"
+      val ice = "/root/repo/target/tmp/q_icedv_ice"
+      val clone = "/root/repo/target/tmp/q_icedv_clone"
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm); f.delete(); ()
+      }
+      Seq(src, ice, clone).foreach(p => rm(new java.io.File(p)))
+      val orders = t(s, dir, "orders")
+      val tbl = ManagedTable.create(orders, src,
+        properties = Map(ManagedTable.dvPropKey -> "true"))
+      tbl.delete("o_orderkey % 10 = 3")
+      require(tbl.currentFileStats.exists(_.dv.isDefined),
+        "the DELETE must be merge-on-read (deletion vectors), not a rewrite")
+      sources.Iceberg.exportTable(tbl, ice)
+      val back = sources.Iceberg.importTable(s, ice, clone)
+      require(back.currentFileStats.exists(_.dv.isDefined),
+        "the import must adopt the position deletes as a DV sidecar")
+      back.toDF
+    }),
+
     // CONVERT TO DELTA analog: adopt the raw testdata parquet AS a
     // managed table (hard links, footer stats, no rewrite), then prove
     // the adopted stats work by running file-granular DML on it — the
@@ -4381,6 +4411,10 @@ object SparkEntry {
 
     "delta_import" -> "SELECT * FROM orders",
     "iceberg_import" -> "SELECT * FROM orders",
+    // merge-on-read round trip: the position deletes mask exactly the
+    // deleted keys
+    "iceberg_dv_import" ->
+      "SELECT * FROM orders WHERE NOT (o_orderkey % 10 = 3)",
 
     // the clone is the PRE-delete snapshot, unaffected by the source's
     // later DML + vacuum

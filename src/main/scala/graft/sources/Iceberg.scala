@@ -1,12 +1,13 @@
 package graft.sources
 
-import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions.{broadcast, col}
 import org.apache.spark.sql.types._
 import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 import com.fasterxml.jackson.databind.node.ObjectNode
 import java.nio.file.{Files, Path, Paths}
 import scala.jdk.CollectionConverters._
-import graft.tables.{FileStat, ManagedTable}
+import graft.tables.ManagedTable
 
 /** Read-only access to, and zero-copy export of, Apache ICEBERG tables —
   * the open-lakehouse sibling of [[DeltaImport]] and the second-most-
@@ -21,54 +22,91 @@ import graft.tables.{FileStat, ManagedTable}
   * Supported: format versions 1 and 2, `version-hint.text` and
   * catalog-style (`00000-<uuid>`) metadata naming, v1 inline `manifests`
   * lists and v2 `manifest-list` files, snapshot resolution by
-  * `current-snapshot-id`, schema by `current-schema-id`, identity (and
-  * no-op `void`) partition transforms, metadata paths re-rooted when the
-  * table has MOVED since its metadata was written (the embedded
-  * `location` prefix is rewritten to the directory being read — the
-  * HadoopTables relocation rule). Identity partitioning honors the
-  * spec's COLUMN PROJECTION rule: data files that carry the source
-  * columns (the Iceberg java writer's output) adopt flat — per-file
-  * min/max footer stats give the managed scan equivalent pruning —
-  * while files that LACK them (Hive-migrated data, where the spec says
-  * readers resolve the value from the manifest's partition record)
-  * adopt into synthesized `k=v` dirs from those manifest values, so the
-  * managed scan serves the same constants an Iceberg reader would.
-  * Every adopted footer is CHECKED for which regime it is in; a mixed
-  * or partial carry refuses loud — the failure mode dodged is a silent
+  * `current-snapshot-id`, schema by `current-schema-id` (TIME TRAVEL by
+  * an explicit `snapshotId` resolves the SNAPSHOT'S OWN `schema-id`
+  * instead, the spec's rule — a pre-rename snapshot reads under the
+  * names it was written with), v2 POSITION DELETES (merge-on-read:
+  * delete manifests' parquet files of `(file_path, pos)` adopt into the
+  * managed table's native RoaringBitmap-backed `_graft_dv` sidecars —
+  * O(deleted rows), no data rewrite; see [[DeltaDv]] for the sidecar
+  * codec), all partition transforms whose data files CARRY the source
+  * columns, and RENAMED columns whenever data-file footers stamp
+  * parquet field ids (Iceberg writers always do): the adopted schema
+  * keeps the spec ids as `parquet.field.id` field metadata and the
+  * managed scan resolves columns BY ID (Spark's native
+  * `spark.sql.parquet.fieldId.read.enabled` path, switched on by the
+  * scan when its schema carries ids), so files written before a rename
+  * serve the renamed column correctly at any nesting depth.
+  *
+  * Partition handling honors the spec's COLUMN PROJECTION rule
+  * (iceberg spec "Column Projection" #2). Identity transforms: data
+  * files that carry the source columns (the Iceberg java writer's
+  * output) adopt flat — per-file min/max footer stats give the managed
+  * scan equivalent pruning — while files that LACK them (Hive-migrated
+  * data, where readers resolve the value from the manifest's partition
+  * record) adopt into synthesized `k=v` dirs from those manifest
+  * values. Non-identity transforms (bucket/truncate/year/month/day/
+  * hour) are LAYOUT HINTS: Iceberg-written data files carry the real
+  * source columns, so they adopt FLAT and footer min/max stats provide
+  * pruning; only files that LACK a transform's source column are
+  * unresolvable and refuse. A PARTIAL identity carry (mixed layouts in
+  * one table) refuses loud — the failure mode dodged is a silent
   * null-fill.
   *
   * Refused loud (silently misreading a table would be worse than
-  * failing): format version 3+, non-identity partition transforms
-  * (bucket/truncate/year/month/day/hour — the layout hint is lossy and
-  * honoring it wrongly corrupts pruning), v2 ROW-LEVEL DELETES in
-  * either form (delete manifests in the manifest list, or
-  * position/equality-delete data-file entries), non-parquet data files,
-  * unsupported column types (uuid/fixed/time), and RENAMED COLUMNS —
-  * the spec resolves columns by field id, so a renamed column's files
-  * carry the old name; when footers stamp parquet field ids (Iceberg
-  * writers always do) any id whose footer name differs from the
-  * schema's refuses rather than null-filling (footers without ids are
-  * uncheckable and trusted by name — the documented boundary).
-  * [[snapshot]]/[[importTable]] take an optional `snapshotId` for TIME
-  * TRAVEL to any snapshot still listed in the metadata.
+  * failing): format version 3+, v2 EQUALITY deletes (resolving them
+  * needs a scan of every data file — compact on the Iceberg side
+  * first), delete-file entries inside data manifests (and vice versa —
+  * malformed metadata), non-parquet data files, unsupported column
+  * types (uuid/fixed/time), unknown partition transforms, non-identity
+  * transforms whose sources are missing from the data files, RENAMED
+  * columns whose footers lack complete field ids (uncheckable by id,
+  * and a name-based scan would null-fill silently — footers entirely
+  * without ids are trusted by name, the documented boundary; footers
+  * WITH ids are cross-checked recursively through nested structs), and
+  * a rename whose STALE name collides with a different current column
+  * (per-file footer stats would cross-bind to the wrong column and
+  * corrupt file skipping). [[snapshot]]/[[importTable]] take an
+  * optional `snapshotId` for TIME TRAVEL to any snapshot still listed
+  * in the metadata.
   *
   * Import integrity: the adopted table's metadata row count (parquet
-  * footer sum) must equal the manifests' `record_count` sum — a
-  * mismatch means the metadata and the files disagree and the import
-  * aborts.
+  * footer sum minus adopted delete cardinality) must equal the
+  * manifests' `record_count` sum minus the matched position deletes —
+  * a mismatch means the metadata and the files disagree and the import
+  * aborts. Delete files are additionally checked row-for-row against
+  * their manifests' `record_count`.
   *
   * Scale shape: manifests are file-granular METADATA, parsed
   * driver-side exactly like Delta's `_delta_log` (same as
   * [[DeltaImport]]'s snapshot reconstruction); the data itself never
   * moves — files hard-link via [[ManagedTable.adoptFiles]] and the
-  * managed scan is a plain distributed parquet read. [[exportTable]] is
-  * zero-copy in the other direction: the written metadata REFERENCES
-  * the managed table's live data files by absolute URI, so publishing a
-  * 100 TB table to an Iceberg reader writes only O(files) metadata.
+  * managed scan is a plain distributed parquet read. Position-delete
+  * ROWS are the one O(deleted rows) mass and they move through a
+  * distributed read + one broadcast join against the O(files) path map,
+  * never through the driver. [[exportTable]] is zero-copy in the other
+  * direction: the written metadata REFERENCES the managed table's live
+  * data files by absolute URI, so publishing a 100 TB table to an
+  * Iceberg reader writes only O(files) metadata — plus O(deleted rows)
+  * of spec-shaped position-delete parquet when the snapshot carries
+  * deletion vectors.
   */
 object Iceberg {
 
   private val mapper = new ObjectMapper()
+
+  /** Spark's parquet field-id metadata key (`ParquetUtils
+    * .FIELD_ID_METADATA_KEY`): a read schema whose fields carry it
+    * resolves parquet columns by id instead of name once
+    * `spark.sql.parquet.fieldId.read.enabled` is on.
+    */
+  private[sources] val FieldIdKey = "parquet.field.id"
+
+  /** Reserved field ids of position-delete file columns (spec
+    * "Position Delete Files").
+    */
+  private val PosDeletePathId = 2147483546L
+  private val PosDeletePosId = 2147483545L
 
   // ---- schema conversion (Iceberg JSON -> Spark) ----------------------
 
@@ -102,11 +140,78 @@ object Iceberg {
         s"unsupported Iceberg nested type: $other")
     }
 
+  /** Struct fields keep their spec field ids as [[FieldIdKey]] metadata
+    * (at every nesting depth) — the id-resolved adoption regime commits
+    * this schema so the managed scan can match renamed columns by id.
+    */
   private[sources] def toStructType(struct: JsonNode): StructType =
     StructType(struct.path("fields").elements().asScala.map { f =>
-      StructField(f.path("name").asText(), toSparkType(f.get("type")),
+      val base = StructField(f.path("name").asText(),
+        toSparkType(f.get("type")),
         nullable = !f.path("required").asBoolean(false))
+      if (f.has("id"))
+        base.copy(metadata = new MetadataBuilder()
+          .putLong(FieldIdKey, f.get("id").asLong()).build())
+      else base
     }.toSeq)
+
+  /** The same schema without [[FieldIdKey]] metadata — committed in the
+    * name-trust regime, where id-resolution must NOT engage (footers
+    * lack complete ids, and Spark refuses id-bearing read schemas over
+    * id-less files).
+    */
+  private[sources] def stripFieldIds(t: StructType): StructType =
+    StructType(t.fields.map { f =>
+      val dt = f.dataType match {
+        case s: StructType => stripFieldIds(s)
+        case a: ArrayType => a.elementType match {
+          case s: StructType => a.copy(elementType = stripFieldIds(s))
+          case _ => a
+        }
+        case m: MapType =>
+          val k = m.keyType match {
+            case s: StructType => stripFieldIds(s); case o => o
+          }
+          val v = m.valueType match {
+            case s: StructType => stripFieldIds(s); case o => o
+          }
+          m.copy(keyType = k, valueType = v)
+        case o => o
+      }
+      f.copy(dataType = dt, metadata = new MetadataBuilder()
+        .withMetadata(f.metadata).remove(FieldIdKey).build())
+    })
+
+  /** (field id -> name) of every NAMED struct field in an Iceberg
+    * schema node, at ALL nesting depths (recursing through structs,
+    * list elements, and map keys/values). List element / map key/value
+    * ids are deliberately EXCLUDED: their parquet counterparts carry
+    * synthetic names (`element`, `key`, `value`), so a name comparison
+    * there is meaningless.
+    */
+  private[sources] def structFieldIds(struct: JsonNode): Map[Int, String] = {
+    val out = Map.newBuilder[Int, String]
+    def walkType(t: JsonNode): Unit =
+      if (t != null && t.isObject) t.path("type").asText() match {
+        case "struct" =>
+          t.path("fields").elements().asScala.foreach { f =>
+            if (f.has("id"))
+              out += f.get("id").asInt() -> f.path("name").asText()
+            walkType(f.get("type"))
+          }
+        case "list" => walkType(t.get("element"))
+        case "map" => walkType(t.get("key")); walkType(t.get("value"))
+        case _ => ()
+      }
+    walkType(struct)
+    out.result()
+  }
+
+  /** Top-level (field id -> name) only. */
+  private[sources] def topFieldIds(struct: JsonNode): Map[Int, String] =
+    struct.path("fields").elements().asScala
+      .filter(_.has("id"))
+      .map(f => f.get("id").asInt() -> f.path("name").asText()).toMap
 
   // ---- snapshot model --------------------------------------------------
 
@@ -117,15 +222,30 @@ object Iceberg {
                                  */
                                partition: Map[String, Any])
 
+  /** One default-spec partition field: spec field name, resolved
+    * top-level source column, its field id, and the transform string
+    * (`identity`, `bucket[16]`, `truncate[4]`, `year`, ...).
+    */
+  final case class SpecField(name: String, sourceCol: String,
+                             sourceId: Int, transform: String) {
+    def isIdentity: Boolean = transform == "identity"
+  }
+
   final case class Snapshot(formatVersion: Int,
                             schema: StructType,
+                            /** named struct fields at all depths. */
                             fieldIdToName: Map[Int, String],
-                            /** identity spec fields:
-                              * (spec field name, source column name).
-                              */
-                            identityFields: Seq[(String, String)],
+                            /** top-level fields only. */
+                            topIdToName: Map[Int, String],
+                            specFields: Seq[SpecField],
                             properties: Map[String, String],
-                            files: Seq[DataFileRef]) {
+                            files: Seq[DataFileRef],
+                            /** position-delete files (parquet of
+                              * `(file_path, pos)`).
+                              */
+                            deleteFiles: Seq[DataFileRef]) {
+    def identityFields: Seq[(String, String)] =
+      specFields.filter(_.isIdentity).map(f => f.name -> f.sourceCol)
     def partitionSourceCols: Seq[String] = identityFields.map(_._2)
   }
 
@@ -192,10 +312,21 @@ object Iceberg {
     candidate
   }
 
+  /** Partition transforms whose data files carry the real source
+    * column (every transform the java writer emits except `void`):
+    * their layout hint is droppable — flat adoption with footer stats
+    * is faithful.
+    */
+  private val CarriedTransformRe =
+    """identity|bucket\[\d+\]|truncate\[\d+\]|year|month|day|hour""".r
+
   /** Load and validate the current snapshot — or, for TIME TRAVEL, the
     * explicit `snapshotId` (any snapshot still listed in the metadata's
     * `snapshots[]`; an unknown id fails loud listing what exists, like
-    * `toDF(version)` on a vacuumed managed table).
+    * `toDF(version)` on a vacuumed managed table). Time travel resolves
+    * the SNAPSHOT'S OWN `schema-id` (spec rule: a snapshot reads under
+    * the schema it was committed with), falling back to
+    * `current-schema-id` when the snapshot predates the field.
     */
   def snapshot(tableDir: String, snapshotId: Option[Long] = None): Snapshot = {
     val metaPath = currentMetadataFile(tableDir)
@@ -205,24 +336,48 @@ object Iceberg {
       s"unsupported Iceberg format-version $fv (1 and 2 are supported)")
     val location = root.path("location").asText("")
 
-    // schema: v2 schemas[] by current-schema-id, else v1 inline "schema"
+    // snapshot FIRST: time travel scopes the schema to the snapshot
+    val curId = snapshotId.getOrElse(
+      root.path("current-snapshot-id").asLong(-1L))
+    val snapNode: Option[JsonNode] =
+      if (curId == -1L) None
+      else Some(root.path("snapshots").elements().asScala
+        .find(_.path("snapshot-id").asLong() == curId)
+        .getOrElse {
+          val known = root.path("snapshots").elements().asScala
+            .map(_.path("snapshot-id").asLong()).toSeq.sorted
+          throw new IllegalArgumentException(
+            s"snapshot-id $curId not in snapshots[] (available: " +
+              s"${known.mkString(", ")})")
+        })
+
+    // schema: v2 schemas[] — by the snapshot's own schema-id under
+    // explicit time travel, else current-schema-id; v1 inline "schema"
     val schemaNode: JsonNode =
-      if (root.has("schemas") && root.has("current-schema-id")) {
-        val id = root.get("current-schema-id").asInt()
+      if (root.has("schemas")) {
+        val wantId = snapNode
+          .filter(_ => snapshotId.isDefined)
+          .filter(_.hasNonNull("schema-id"))
+          .map(_.get("schema-id").asInt())
+          .getOrElse {
+            require(root.has("current-schema-id"),
+              "Iceberg metadata has schemas[] but no current-schema-id")
+            root.get("current-schema-id").asInt()
+          }
         root.get("schemas").elements().asScala
-          .find(_.path("schema-id").asInt(-1) == id)
+          .find(_.path("schema-id").asInt(-1) == wantId)
           .getOrElse(throw new IllegalArgumentException(
-            s"current-schema-id $id not in schemas[]"))
+            s"schema-id $wantId not in schemas[]"))
       } else root.path("schema")
     require(schemaNode != null && schemaNode.has("fields"),
       "Iceberg metadata lacks a schema")
     val schema = toStructType(schemaNode)
-    val idToName = schemaNode.path("fields").elements().asScala.map(f =>
-      f.path("id").asInt() -> f.path("name").asText()).toMap
+    val idToName = structFieldIds(schemaNode)
+    val topIds = topFieldIds(schemaNode)
 
     // partition spec: v2 partition-specs[] by default-spec-id, else v1
     // inline "partition-spec"
-    val specFields: Seq[JsonNode] =
+    val rawSpecFields: Seq[JsonNode] =
       if (root.has("partition-specs")) {
         val id = root.path("default-spec-id").asInt(0)
         root.get("partition-specs").elements().asScala
@@ -233,18 +388,20 @@ object Iceberg {
       } else if (root.has("partition-spec"))
         root.get("partition-spec").elements().asScala.toSeq
       else Nil
-    val identityFields = specFields.flatMap { f =>
+    val specFields = rawSpecFields.flatMap { f =>
       f.path("transform").asText() match {
-        case "identity" =>
-          val src = idToName.getOrElse(f.path("source-id").asInt(),
-            throw new IllegalArgumentException(
-              s"partition source-id ${f.path("source-id").asInt()} not in schema"))
-          Some(f.path("name").asText(src) -> src)
         case "void" => None // always-null transform: no data dependency
+        case tr @ CarriedTransformRe() =>
+          val sid = f.path("source-id").asInt()
+          val src = topIds.getOrElse(sid,
+            throw new IllegalArgumentException(
+              if (idToName.contains(sid))
+                s"partition source-id $sid (${idToName(sid)}) is a NESTED " +
+                  "field — nested partition sources are not supported"
+              else s"partition source-id $sid not in schema"))
+          Some(SpecField(f.path("name").asText(src), src, sid, tr))
         case other => throw new IllegalArgumentException(
-          s"unsupported Iceberg partition transform: $other " +
-            "(identity is honored; bucket/truncate/date transforms are " +
-            "refused rather than mis-honored)")
+          s"unsupported Iceberg partition transform: $other")
       }
     }
 
@@ -254,25 +411,15 @@ object Iceberg {
       case _ => Map.empty[String, String]
     }
 
-    // snapshot: explicit time-travel id, else current; absent / -1 =>
-    // empty table
-    val curId = snapshotId.getOrElse(
-      root.path("current-snapshot-id").asLong(-1L))
-    if (curId == -1L)
-      return Snapshot(fv, schema, idToName, identityFields, properties,
-        Nil)
-    val snap = root.path("snapshots").elements().asScala
-      .find(_.path("snapshot-id").asLong() == curId)
-      .getOrElse {
-        val known = root.path("snapshots").elements().asScala
-          .map(_.path("snapshot-id").asLong()).toSeq.sorted
-        throw new IllegalArgumentException(
-          s"snapshot-id $curId not in snapshots[] (available: " +
-            s"${known.mkString(", ")})")
-      }
+    if (snapNode.isEmpty) // absent / -1 current snapshot: empty table
+      return Snapshot(fv, schema, idToName, topIds, specFields, properties,
+        Nil, Nil)
+    val snap = snapNode.get
 
-    // manifest paths: v2 manifest-list file, or v1 inline manifests[]
-    val manifestPaths: Seq[Path] =
+    // manifest paths + content kind: v2 manifest-list file (content:
+    // 0 = data manifest, 1 = delete manifest), or v1 inline manifests[]
+    // (data by definition)
+    val manifests: Seq[(Path, Int)] =
       if (snap.has("manifest-list")) {
         val mlPath = resolvePath(snap.get("manifest-list").asText(),
           location, tableDir)
@@ -283,56 +430,85 @@ object Iceberg {
             case Some(l: Long) => l.toInt
             case _ => 0 // v1 lists carry no content field: all data
           }
-          require(content == 0,
-            s"v2 row-level deletes present (delete manifest " +
-              s"${r("manifest_path")}) — merge-on-read Iceberg tables are " +
-              "refused; compact with rewrite_data_files first")
-          resolvePath(r("manifest_path").asInstanceOf[String], location,
-            tableDir)
+          require(content == 0 || content == 1,
+            s"unknown manifest content kind $content in $mlPath")
+          (resolvePath(r("manifest_path").asInstanceOf[String], location,
+            tableDir), content)
         }
       } else if (snap.has("manifests"))
         snap.get("manifests").elements().asScala.toSeq
-          .map(m => resolvePath(m.asText(), location, tableDir))
+          .map(m => (resolvePath(m.asText(), location, tableDir), 0))
       else throw new IllegalArgumentException(
         "snapshot has neither manifest-list nor manifests")
 
-    val files = manifestPaths.flatMap { mp =>
+    def entryContent(e: Map[String, Any], df: Map[String, Any]): Int =
+      df.get("content") match {
+        case Some(i: Int) => i
+        case Some(l: Long) => l.toInt
+        case _ => 0 // v1 entries: data by definition
+      }
+
+    def readEntries(mp: Path, kind: Int): Seq[(Map[String, Any], Int)] = {
       val c = readAvro(mp)
+      // the manifest's own content stamp must agree with the list's
       c.meta.get("content")
         .map(new String(_, java.nio.charset.StandardCharsets.UTF_8))
-        .foreach(ct => require(ct == "data",
-          s"v2 row-level deletes present (manifest $mp has content=$ct)"))
+        .foreach { ct =>
+          val want = if (kind == 0) "data" else "deletes"
+          require(ct == want,
+            s"manifest list says content=$kind but manifest $mp stamps " +
+              s"content=$ct — malformed metadata")
+        }
       c.records.map(_.asInstanceOf[Map[String, Any]]).flatMap { e =>
         val status = e("status").asInstanceOf[Int]
-        val df = e("data_file").asInstanceOf[Map[String, Any]]
-        val dfContent = df.get("content") match {
-          case Some(i: Int) => i
-          case Some(l: Long) => l.toInt
-          case _ => 0 // v1 entries: data by definition
-        }
-        require(dfContent == 0,
-          s"v2 row-level deletes present (data_file content=$dfContent " +
-            s"in $mp) — position/equality deletes are refused")
         if (status == 2) None // DELETED: not live in this snapshot
         else {
-          val fmt = df("file_format").asInstanceOf[String]
-          require(fmt.equalsIgnoreCase("PARQUET"),
-            s"non-parquet Iceberg data file ($fmt): ${df("file_path")}")
-          Some(DataFileRef(df("file_path").asInstanceOf[String],
-            df("record_count").asInstanceOf[Long],
-            df.get("file_size_in_bytes") match {
-              case Some(l: Long) => l; case Some(i: Int) => i.toLong
-              case _ => 0L
-            },
-            df.get("partition") match {
-              case Some(m: Map[_, _]) =>
-                m.asInstanceOf[Map[String, Any]]
-              case _ => Map.empty
-            }))
+          val df = e("data_file").asInstanceOf[Map[String, Any]]
+          Some((df, entryContent(e, df)))
         }
       }
     }
-    Snapshot(fv, schema, idToName, identityFields, properties, files)
+
+    def toRef(df: Map[String, Any], mp: Path): DataFileRef = {
+      val fmt = df("file_format").asInstanceOf[String]
+      require(fmt.equalsIgnoreCase("PARQUET"),
+        s"non-parquet Iceberg file ($fmt): ${df("file_path")} in $mp")
+      DataFileRef(df("file_path").asInstanceOf[String],
+        df("record_count").asInstanceOf[Long],
+        df.get("file_size_in_bytes") match {
+          case Some(l: Long) => l; case Some(i: Int) => i.toLong
+          case _ => 0L
+        },
+        df.get("partition") match {
+          case Some(m: Map[_, _]) => m.asInstanceOf[Map[String, Any]]
+          case _ => Map.empty
+        })
+    }
+
+    val files = manifests.filter(_._2 == 0).flatMap { case (mp, _) =>
+      readEntries(mp, 0).map { case (df, c) =>
+        require(c == 0,
+          s"delete-file entry (content=$c) inside a DATA manifest $mp — " +
+            "malformed metadata")
+        toRef(df, mp)
+      }
+    }
+    val deleteFiles = manifests.filter(_._2 == 1).flatMap { case (mp, _) =>
+      readEntries(mp, 1).map { case (df, c) =>
+        c match {
+          case 1 => toRef(df, mp) // position deletes: adoptable
+          case 2 => throw new IllegalArgumentException(
+            s"equality deletes are refused (${df("file_path")} in $mp) — " +
+              "resolving them needs a scan of every data file; compact " +
+              "with rewrite_data_files on the Iceberg side first")
+          case other => throw new IllegalArgumentException(
+            s"data-file entry (content=$other) inside a DELETE manifest " +
+              s"$mp — malformed metadata")
+        }
+      }
+    }
+    Snapshot(fv, schema, idToName, topIds, specFields, properties, files,
+      deleteFiles)
   }
 
   private def readAvro(p: Path): Avro.Container = {
@@ -342,9 +518,46 @@ object Iceberg {
 
   // ---- import ----------------------------------------------------------
 
+  /** One data file's footer facts, read in a single metadata pass:
+    * all recursive (field id -> name) pairs, the top-level pairs, does
+    * EVERY top-level field carry an id, and the top-level column names.
+    */
+  private final case class FooterMeta(allIds: Map[Int, String],
+                                      topIds: Map[Int, String],
+                                      topIdsComplete: Boolean,
+                                      topCols: Set[String])
+
+  private def parquetFooterMeta(
+      conf: org.apache.hadoop.conf.Configuration, file: Path): FooterMeta = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.parquet.schema.GroupType
+    val in = HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(file.toUri), conf)
+    val reader = ParquetFileReader.open(in)
+    try {
+      val top = reader.getFooter.getFileMetaData.getSchema.getFields.asScala
+      val all = scala.collection.mutable.Map.empty[Int, String]
+      def walk(t: org.apache.parquet.schema.Type): Unit = {
+        Option(t.getId).foreach(id => all(id.intValue()) = t.getName)
+        t match {
+          case g: GroupType => g.getFields.asScala.foreach(walk)
+          case _ => ()
+        }
+      }
+      top.foreach(walk)
+      val topIds = top.flatMap(f =>
+        Option(f.getId).map(id => id.intValue() -> f.getName)).toMap
+      FooterMeta(all.toMap, topIds,
+        top.nonEmpty && topIds.size == top.size,
+        top.map(_.getName).toSet)
+    } finally reader.close()
+  }
+
   /** Import the current snapshot as a [[ManagedTable]] at `targetPath` —
-    * zero-copy (hard links) like the Delta path. See the object doc for
-    * the supported/refused matrix and the integrity checks.
+    * zero-copy (hard links) like the Delta path; position deletes adopt
+    * into `_graft_dv` sidecars. See the object doc for the supported/
+    * refused matrix and the integrity checks.
     */
   def importTable(spark: SparkSession, tableDir: String,
                   targetPath: String,
@@ -352,7 +565,8 @@ object Iceberg {
     val snap = snapshot(tableDir, snapshotId)
     if (snap.files.isEmpty)
       return ManagedTable.create(
-        spark.createDataFrame(new java.util.ArrayList[Row](), snap.schema),
+        spark.createDataFrame(new java.util.ArrayList[Row](),
+          stripFieldIds(snap.schema)),
         targetPath, properties = snap.properties)
     val location = {
       // re-read the metadata location for path re-rooting
@@ -360,30 +574,84 @@ object Iceberg {
       root.path("location").asText("")
     }
     val resolved = snap.files.map(f =>
-      (resolvePath(f.path, location, tableDir), f))
-    // RENAMED-COLUMN detection (the spec resolves columns by FIELD ID,
-    // this import by NAME): a table that renamed a column leaves files
-    // whose footers carry the OLD name — a name-based scan would
-    // null-fill the new name silently, the worst failure mode. When
-    // the footers carry parquet field ids (Iceberg writers always
-    // stamp them), any id whose footer name differs from the table
-    // schema's name for that id refuses loud. Footers WITHOUT ids
-    // (foreign/migrated files) can't be checked this way — documented
-    // boundary, names are then trusted.
-    locally {
-      val conf = spark.sparkContext.hadoopConfiguration
+      (resolvePath(f.path, location, tableDir), f)).sortBy(_._1.toString)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val footers: Map[Path, FooterMeta] =
+      resolved.map { case (p, _) => p -> parquetFooterMeta(conf, p) }.toMap
+
+    // RENAMED-COLUMN handling. The spec resolves columns by FIELD ID.
+    //  - Every footer stamps an id on every top-level field (Iceberg
+    //    writers always do): commit the id-bearing schema and let the
+    //    managed scan resolve BY ID (renames — at any struct depth —
+    //    read correctly, including files written under the old name).
+    //    The one refusal left is the stats-cross-bind swap: a stale
+    //    footer name that equals a DIFFERENT current column would bind
+    //    that file's min/max bounds to the wrong column and corrupt
+    //    file skipping.
+    //  - Otherwise (id-less or partially-stamped footers): adopt by
+    //    NAME with ids stripped; any id a footer DOES carry is
+    //    cross-checked recursively against the schema's named struct
+    //    fields and refuses on mismatch (a name-based scan would
+    //    null-fill the renamed column silently, the worst failure
+    //    mode). Footers entirely without ids are uncheckable and
+    //    trusted by name — the documented boundary.
+    val idComplete = resolved.forall { case (p, _) => footers(p).topIdsComplete }
+    if (idComplete) {
+      val topNames = snap.schema.fieldNames.toSet
       resolved.foreach { case (p, _) =>
-        parquetFieldIds(conf, p).foreach { case (id, fileName) =>
+        footers(p).topIds.foreach { case (id, fileName) =>
+          snap.topIdToName.get(id).foreach { schemaName =>
+            require(schemaName == fileName || !topNames.contains(fileName),
+              s"column swap-renamed: field id $id is '$fileName' in data " +
+                s"file $p but '$schemaName' in the table schema, and " +
+                s"'$fileName' now names a different column — per-file " +
+                "footer stats would cross-bind and corrupt file " +
+                "skipping; rewrite the files first")
+          }
+        }
+      }
+      // the managed scan switches spark.sql.parquet.fieldId.read.enabled
+      // on whenever its committed schema carries ids; set it here too so
+      // the very first read after import plans id-resolved
+      spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+    } else {
+      resolved.foreach { case (p, _) =>
+        footers(p).allIds.foreach { case (id, fileName) =>
           snap.fieldIdToName.get(id).foreach { schemaName =>
             require(schemaName == fileName,
               s"column renamed: field id $id is '$fileName' in data " +
-                s"file $p but '$schemaName' in the table schema — " +
-                "name-based adoption would null-fill it silently; " +
-                "rewrite the files or re-import under the old name")
+                s"file $p but '$schemaName' in the table schema, and the " +
+                "file's footers lack COMPLETE field ids for id-resolved " +
+                "reads — name-based adoption would null-fill it " +
+                "silently; rewrite the files or re-import under the old " +
+                "name")
           }
         }
       }
     }
+    val commitSchema =
+      if (idComplete) snap.schema else stripFieldIds(snap.schema)
+
+    // NON-IDENTITY transforms (bucket/truncate/year/...) are layout
+    // hints: adoption is FLAT, which is faithful iff every data file
+    // carries the transform's source column (Iceberg-written files do;
+    // Hive-migrated files under a non-identity transform are
+    // unresolvable — the manifest stores only the TRANSFORMED value)
+    val nonIdentity = snap.specFields.filterNot(_.isIdentity)
+    def carries(p: Path, sf: SpecField): Boolean =
+      footers(p).topCols.contains(sf.sourceCol) ||
+        footers(p).topIds.contains(sf.sourceId)
+    nonIdentity.foreach { sf =>
+      resolved.foreach { case (p, _) =>
+        require(carries(p, sf),
+          s"data file $p lacks '${sf.sourceCol}', the source column of " +
+            s"non-identity partition transform ${sf.transform} — only " +
+            "files that CARRY the sources (the Iceberg writer's output) " +
+            "can adopt flat; the transformed partition value alone is " +
+            "unresolvable")
+      }
+    }
+
     // identity-partition handling per the spec's COLUMN PROJECTION rule
     // (iceberg spec "Column Projection" #2: a field absent from a data
     // file whose id is an identity partition source resolves to the
@@ -396,25 +664,36 @@ object Iceberg {
     //     the managed scan serves the constants the way an Iceberg
     //     reader would.
     // A PARTIAL carry (some columns, or some files) is refused loud —
-    // blending both rules in one table risks a silent null-fill.
+    // blending both rules in one table risks a silent null-fill. With
+    // non-identity transforms in the spec, identity sources must be
+    // carried too (a mixed flat/hive layout cannot exist).
+    val idFields = snap.specFields.filter(_.isIdentity)
     val hivePlaced: Boolean =
-      if (snap.partitionSourceCols.isEmpty) false
-      else {
-        val conf = spark.sparkContext.hadoopConfiguration
-        val carries = resolved.map { case (p, _) =>
-          val cols = parquetTopLevelColumns(conf, p)
-          val present = snap.partitionSourceCols.count(cols.contains)
-          require(present == 0 || present == snap.partitionSourceCols.size,
+      if (idFields.isEmpty) false
+      else if (nonIdentity.nonEmpty) {
+        idFields.foreach { sf =>
+          resolved.foreach { case (p, _) =>
+            require(carries(p, sf),
+              s"data file $p lacks identity partition source " +
+                s"'${sf.sourceCol}' while the spec also has non-identity " +
+                "transforms — mixed hive/flat layouts are refused")
+          }
+        }
+        false
+      } else {
+        val carried = resolved.map { case (p, _) =>
+          val present = idFields.count(sf => carries(p, sf))
+          require(present == 0 || present == idFields.size,
             s"data file $p carries only part of the identity partition " +
               s"sources ${snap.partitionSourceCols.mkString(", ")} — " +
               "mixed layouts are refused (silent null-fill hazard)")
           present > 0
         }
-        require(carries.forall(_ == carries.head),
+        require(carried.forall(_ == carried.head),
           "some data files carry the identity partition sources and " +
             "some rely on manifest partition values — mixed tables are " +
             "refused (silent null-fill hazard)")
-        !carries.head
+        !carried.head
       }
     // hive segment (k=v) per file from the manifest partition record,
     // typed per the source column (dates ride Avro as epoch days)
@@ -437,7 +716,7 @@ object Iceberg {
     // (same collision rule as the Delta import's non-hive layout)
     val uuid = java.util.UUID.randomUUID().toString
     val seen = scala.collection.mutable.Map.empty[String, Int]
-    val links = resolved.sortBy(_._1.toString).map { case (src, f) =>
+    val links = resolved.map { case (src, f) =>
       val base = src.toString.split('/').filter(_.nonEmpty).takeRight(3)
         .mkString("-")
       val segs = hiveSegs(f)
@@ -447,48 +726,61 @@ object Iceberg {
       val name =
         if (n == 0) base
         else base.stripSuffix(".parquet") + s"-dup$n.parquet"
-      (src, (uuid +: segs :+ name).mkString("/"))
+      (src, f, (uuid +: segs :+ name).mkString("/"))
     }
-    val tbl = ManagedTable.adoptFiles(spark, targetPath, links,
-      schema = snap.schema,
+
+    // POSITION DELETES adopt into the native DV sidecar: the delete
+    // parquet rows (file_path, pos) are read DISTRIBUTED, mapped to the
+    // adopted relative paths via one broadcast join against the
+    // O(files) path map, dedup'd, and handed to adoptFiles the same way
+    // the Delta DV import hands its decoded bitmaps. Delete rows whose
+    // file_path matches no live data file are DANGLING (their target
+    // was compacted away without rewriting the delete file) and are
+    // ignored, per the spec's reader rule.
+    val relByRaw: Map[String, String] =
+      links.map { case (_, f, rel) => f.path -> rel }.toMap
+    val dv: Option[ManagedTable.AdoptedDv] =
+      if (snap.deleteFiles.isEmpty) None
+      else {
+        val delPaths = snap.deleteFiles.map(f =>
+          resolvePath(f.path, location, tableDir).toString)
+        val delSchema = StructType(Seq(
+          StructField("file_path", StringType, nullable = false),
+          StructField("pos", LongType, nullable = false)))
+        val delRows = spark.read.schema(delSchema).parquet(delPaths: _*)
+        val claimed = snap.deleteFiles.map(_.recordCount).sum
+        val got = delRows.count()
+        require(got == claimed,
+          s"Iceberg position-delete integrity failure: delete manifests " +
+            s"claim $claimed rows, the delete files carry $got")
+        val mapDf = spark.createDataFrame(
+          relByRaw.toSeq.map { case (k, v) => Row(k, v) }.asJava,
+          StructType(Seq(
+            StructField("file_path", StringType, nullable = false),
+            StructField("__rel", StringType, nullable = false))))
+        val matched = delRows.join(broadcast(mapDf), Seq("file_path"))
+          .select(col("__rel").as("path"), col("pos")).distinct()
+        val maskedRel = delRows.select("file_path").distinct()
+          .collect().map(_.getString(0)).flatMap(relByRaw.get).toSet
+        if (maskedRel.isEmpty) None
+        else Some(ManagedTable.AdoptedDv(matched, maskedRel))
+      }
+
+    val tbl = ManagedTable.adoptFiles(spark, targetPath,
+      links.map { case (src, _, rel) => (src, rel) },
+      schema = commitSchema,
       partitionBy = if (hivePlaced) snap.partitionSourceCols else Nil,
-      properties = snap.properties)
-    val expected = snap.files.map(_.recordCount).sum
+      properties = snap.properties,
+      dv = dv)
+    val masked = tbl.currentFileStats.flatMap(_.dvRows).sum
+    val expected = snap.files.map(_.recordCount).sum - masked
     val got = tbl.numRows
     require(got == expected,
-      s"Iceberg import integrity failure: manifests claim $expected rows, " +
-        s"parquet footers carry $got — metadata and data disagree")
+      s"Iceberg import integrity failure: manifests claim $expected live " +
+        s"rows (${snap.files.map(_.recordCount).sum} written - $masked " +
+        s"position-deleted), parquet footers carry $got — metadata and " +
+        "data disagree")
     tbl
-  }
-
-  /** Top-level (field id -> name) of one parquet file, for fields that
-    * carry ids; empty when the writer stamped none.
-    */
-  private def parquetFieldIds(
-      conf: org.apache.hadoop.conf.Configuration, file: Path)
-      : Map[Int, String] = {
-    import org.apache.parquet.hadoop.ParquetFileReader
-    import org.apache.parquet.hadoop.util.HadoopInputFile
-    val in = HadoopInputFile.fromPath(
-      new org.apache.hadoop.fs.Path(file.toUri), conf)
-    val reader = ParquetFileReader.open(in)
-    try reader.getFooter.getFileMetaData.getSchema.getFields.asScala
-      .flatMap(f => Option(f.getId).map(id => id.intValue() -> f.getName))
-      .toMap
-    finally reader.close()
-  }
-
-  /** Top-level column names of one parquet file, from its footer. */
-  private def parquetTopLevelColumns(
-      conf: org.apache.hadoop.conf.Configuration, file: Path): Set[String] = {
-    import org.apache.parquet.hadoop.ParquetFileReader
-    import org.apache.parquet.hadoop.util.HadoopInputFile
-    val in = HadoopInputFile.fromPath(
-      new org.apache.hadoop.fs.Path(file.toUri), conf)
-    val reader = ParquetFileReader.open(in)
-    try reader.getFooter.getFileMetaData.getSchema.getFields.asScala
-      .map(_.getName).toSet
-    finally reader.close()
   }
 
   // ---- export ----------------------------------------------------------
@@ -546,29 +838,40 @@ object Iceberg {
     }
 
   /** Export the table's CURRENT snapshot as an Iceberg v2 table at
-    * `targetDir` — ZERO-COPY: the metadata references the managed
-    * table's live data files by absolute `file:` URI (Iceberg paths are
-    * location-independent URIs by spec), so no data moves; only
-    * O(files) Avro/JSON metadata is written. Identity partitioning is
-    * carried over (partition values from the hive layout typed per the
-    * schema); the data files of a hive-partitioned managed table do not
-    * contain the partition columns, which is exactly the layout the
-    * spec's COLUMN PROJECTION rule exists for — Iceberg readers resolve
-    * identity values from the manifest partition record (and
-    * [[importTable]] round-trips them the same way). Deletion-vector
-    * snapshots refuse loud (Iceberg v2
-    * expresses masks as delete files this exporter does not write —
-    * materialize with OPTIMIZE first). Readers: any Iceberg client that
-    * speaks HadoopTables layout (`metadata/v1.metadata.json` +
-    * `version-hint.text`).
+    * `targetDir` — ZERO-COPY for data: the metadata references the
+    * managed table's live data files by absolute `file:` URI (Iceberg
+    * paths are location-independent URIs by spec), so no row mass
+    * moves; only O(files) Avro/JSON metadata is written. Identity
+    * partitioning is carried over (partition values from the hive
+    * layout typed per the schema); the data files of a hive-partitioned
+    * managed table do not contain the partition columns, which is
+    * exactly the layout the spec's COLUMN PROJECTION rule exists for —
+    * Iceberg readers resolve identity values from the manifest
+    * partition record (and [[importTable]] round-trips them the same
+    * way).
+    *
+    * DELETION-VECTOR snapshots of an UNPARTITIONED table export as v2
+    * POSITION DELETES (merge-on-read, the spec's own expression of a
+    * mask): the sidecar's (path, pos) rows become one spec-shaped
+    * position-delete parquet — columns `file_path`/`pos` under the
+    * reserved field ids, sorted by (file_path, pos) as the spec
+    * requires — referenced from a delete manifest (content=1) beside
+    * the data manifest. That is O(deleted rows) of new bytes; the data
+    * files still never move. DV snapshots of PARTITIONED tables refuse
+    * loud (their delete manifests would need partition-scoped entries
+    * this exporter does not write — run OPTIMIZE to materialize
+    * first). Readers: any Iceberg client that speaks HadoopTables
+    * layout (`metadata/v1.metadata.json` + `version-hint.text`).
     *
     * @return number of data files referenced
     */
   def exportTable(table: ManagedTable, targetDir: String): Long = {
     val stats = table.currentFileStats
-    require(stats.forall(_.dv.isEmpty),
-      s"cannot export deletion-vector snapshots to Iceberg " +
-        "(masks would need v2 delete files); run OPTIMIZE to materialize")
+    val dvStats = stats.filter(_.dv.isDefined)
+    require(dvStats.isEmpty || table.partitionColumns.isEmpty,
+      "cannot export deletion-vector snapshots of a PARTITIONED table " +
+        "to Iceberg (delete manifests would need partition-scoped " +
+        "entries); run OPTIMIZE to materialize first")
     val root = Paths.get(targetDir)
     require(!Files.exists(root) || {
       val s = Files.list(root); try !s.iterator().hasNext finally s.close()
@@ -652,33 +955,107 @@ object Iceberg {
         case other => throw new IllegalArgumentException(s"$other")
       }
     }
-    val entries: Seq[Any] = stats.map { f =>
-      val abs = table.dataFilePath(f.path).toAbsolutePath
-      val pv = table.hivePartitionValues(f).toMap
+    def entryOf(content: Int, path: String, rows: Long,
+                bytes: Long, partition: Map[String, Any]): Any =
       Map[String, Any](
         "status" -> 1,
         "snapshot_id" -> 1L,
         "sequence_number" -> null,
         "file_sequence_number" -> null,
         "data_file" -> Map[String, Any](
-          "content" -> 0,
-          "file_path" -> s"file://$abs",
+          "content" -> content,
+          "file_path" -> path,
           "file_format" -> "PARQUET",
-          "partition" -> partCols.map(c =>
-            c -> partValue(c, pv.getOrElse(c, null))).toMap,
-          "record_count" -> f.rows,
-          "file_size_in_bytes" -> f.bytes))
+          "partition" -> partition,
+          "record_count" -> rows,
+          "file_size_in_bytes" -> bytes))
+    val entries: Seq[Any] = stats.map { f =>
+      val abs = table.dataFilePath(f.path).toAbsolutePath
+      val pv = table.hivePartitionValues(f).toMap
+      entryOf(0, s"file://$abs", f.rows, f.bytes,
+        partCols.map(c => c -> partValue(c, pv.getOrElse(c, null))).toMap)
     }
     val manifestPath = metaDir.resolve("graft-m0.avro")
     val mout = Files.newOutputStream(manifestPath)
-    try Avro.writeContainer(mout, manifestEntrySchema, entries, Map(
+    val manifestMeta = Map(
       "schema" -> mapper.writeValueAsString(schemaNode),
       "partition-spec" -> mapper.writeValueAsString(specNode.get("fields")),
       "partition-spec-id" -> "0",
-      "format-version" -> "2",
-      "content" -> "data"))
+      "format-version" -> "2")
+    try Avro.writeContainer(mout, manifestEntrySchema, entries,
+      manifestMeta + ("content" -> "data"))
     finally mout.close()
     val manifestLen = Files.size(manifestPath)
+
+    // ---- position-delete leg (DV snapshots, unpartitioned): ONE
+    // spec-shaped delete parquet sorted by (file_path, pos) under the
+    // reserved field ids, referenced by a delete manifest
+    val deleteLeg: Option[(Path, Long, Long)] = if (dvStats.isEmpty) None
+    else {
+      val spark = table.toDF.sparkSession
+      val uriByRel = stats.map(f =>
+        f.path -> s"file://${table.dataFilePath(f.path).toAbsolutePath}")
+      val mapDf = spark.createDataFrame(
+        uriByRel.map { case (k, v) => Row(k, v) }.asJava,
+        StructType(Seq(
+          StructField("path", StringType, nullable = false),
+          StructField("__uri", StringType, nullable = false))))
+      val outSchema = StructType(Seq(
+        StructField("file_path", StringType, nullable = false,
+          metadata = new MetadataBuilder()
+            .putLong(FieldIdKey, PosDeletePathId).build()),
+        StructField("pos", LongType, nullable = false,
+          metadata = new MetadataBuilder()
+            .putLong(FieldIdKey, PosDeletePosId).build())))
+      val sorted = table.currentDvRows
+        .join(broadcast(mapDf), Seq("path"))
+        .select(col("__uri").as("file_path"), col("pos"))
+        .repartition(1).sortWithinPartitions("file_path", "pos")
+      val withIds = spark.createDataFrame(sorted.rdd, outSchema)
+      val tmpOut = root.resolve(s"_tmp-posdel-${java.util.UUID.randomUUID()}")
+      val prevWrite =
+        spark.conf.getOption("spark.sql.parquet.fieldId.write.enabled")
+      spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+      try withIds.write.parquet(tmpOut.toString)
+      finally prevWrite match {
+        case Some(v) =>
+          spark.conf.set("spark.sql.parquet.fieldId.write.enabled", v)
+        case None =>
+          spark.conf.unset("spark.sql.parquet.fieldId.write.enabled")
+      }
+      val part = {
+        val s = Files.list(tmpOut)
+        try s.iterator().asScala
+          .find(_.getFileName.toString.endsWith(".parquet"))
+          .getOrElse(throw new IllegalStateException(
+            s"no parquet part written under $tmpOut"))
+        finally s.close()
+      }
+      val dataDir = root.resolve("data")
+      Files.createDirectories(dataDir)
+      val target = dataDir.resolve(
+        s"graft-pos-delete-${java.util.UUID.randomUUID()}.parquet")
+      Files.move(part, target)
+      // clear the temp dir (part crc/_SUCCESS markers)
+      val leftovers = Files.walk(tmpOut)
+      try leftovers.iterator().asScala.toSeq.reverse.foreach(p =>
+        try Files.delete(p) catch { case _: java.io.IOException => () })
+      finally leftovers.close()
+      // cardinality from the log's DV accounting (metadata-only)
+      val delCount = dvStats.flatMap(_.dvRows).sum
+      Some((target, delCount, Files.size(target)))
+    }
+    val deleteManifest: Option[(Path, Long, Long)] = deleteLeg.map {
+      case (delFile, delCount, delBytes) =>
+        val p = metaDir.resolve("graft-del-m0.avro")
+        val out = Files.newOutputStream(p)
+        try Avro.writeContainer(out, manifestEntrySchema, Seq(
+          entryOf(1, s"file://${delFile.toAbsolutePath}", delCount,
+            delBytes, Map.empty)),
+          manifestMeta + ("content" -> "deletes"))
+        finally out.close()
+        (p, delCount, Files.size(p))
+    }
 
     // ---- manifest list
     val manifestListSchema =
@@ -697,22 +1074,29 @@ object Iceberg {
         |{"name":"existing_rows_count","type":"long","field-id":513},
         |{"name":"deleted_rows_count","type":"long","field-id":514}
         |]}""".stripMargin.replace("\n", "")
-    val listPath = metaDir.resolve("snap-1-1-graft.avro")
-    val lout = Files.newOutputStream(listPath)
-    try Avro.writeContainer(lout, manifestListSchema, Seq(Map[String, Any](
-      "manifest_path" -> s"file://${manifestPath.toAbsolutePath}",
-      "manifest_length" -> manifestLen,
+    def listEntry(path: Path, length: Long, content: Int, files: Int,
+                  rows: Long): Map[String, Any] = Map[String, Any](
+      "manifest_path" -> s"file://${path.toAbsolutePath}",
+      "manifest_length" -> length,
       "partition_spec_id" -> 0,
-      "content" -> 0,
+      "content" -> content,
       "sequence_number" -> 1L,
       "min_sequence_number" -> 1L,
       "added_snapshot_id" -> 1L,
-      "added_files_count" -> stats.size,
+      "added_files_count" -> files,
       "existing_files_count" -> 0,
       "deleted_files_count" -> 0,
-      "added_rows_count" -> stats.map(_.rows).sum,
+      "added_rows_count" -> rows,
       "existing_rows_count" -> 0L,
-      "deleted_rows_count" -> 0L)))
+      "deleted_rows_count" -> 0L)
+    val listPath = metaDir.resolve("snap-1-1-graft.avro")
+    val lout = Files.newOutputStream(listPath)
+    try Avro.writeContainer(lout, manifestListSchema,
+      listEntry(manifestPath, manifestLen, 0, stats.size,
+        stats.map(_.rows).sum) +:
+        deleteManifest.toSeq.map { case (p, delCount, len) =>
+          listEntry(p, len, 1, 1, delCount)
+        })
     finally lout.close()
 
     // ---- table metadata json + version hint
@@ -746,7 +1130,8 @@ object Iceberg {
     sn.put("sequence-number", 1L)
     sn.put("manifest-list", s"file://${listPath.toAbsolutePath}")
     val summary = sn.putObject("summary")
-    summary.put("operation", "append")
+    summary.put("operation",
+      if (deleteLeg.isDefined) "overwrite" else "append")
     sn.put("schema-id", 0)
     Files.writeString(metaDir.resolve("v1.metadata.json"),
       mapper.writerWithDefaultPrettyPrinter().writeValueAsString(md))

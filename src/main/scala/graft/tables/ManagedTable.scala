@@ -250,7 +250,20 @@ final class ManagedTable private (val spark: SparkSession, val location: String)
       cdc = Nil))
   }
 
+  /** Schemas carrying `parquet.field.id` metadata (Iceberg imports of
+    * renamed tables) must resolve parquet columns BY ID — a name-based
+    * read would silently null-fill every column whose file predates its
+    * rename. Spark's id-resolution is conf-gated, so any scan of such a
+    * schema switches it on for the session (idempotent; schemas without
+    * ids are unaffected by the conf, and the commit path only keeps id
+    * metadata when every adopted footer stamps ids).
+    */
+  private def ensureFieldIdRead(schema: StructType): Unit =
+    if (schema.fields.exists(_.metadata.contains("parquet.field.id")))
+      spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+
   private def snapshotDF(e: LogEntry): DataFrame = {
+    ensureFieldIdRead(e.schema)
     if (e.files.nonEmpty) readFilesDF(e.files, e.schema, e.version)
     else if (e.dirs.isEmpty) {
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], e.schema)
@@ -352,6 +365,7 @@ final class ManagedTable private (val spark: SparkSession, val location: String)
   private def readFilesFiltered(files: Seq[FileStat], schema: StructType,
                                 version: Long, withPos: Boolean): DataFrame = {
     import ManagedTable.{FP, POS}
+    ensureFieldIdRead(schema)
     if (files.isEmpty) {
       val empty = spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
       return if (!withPos) empty
@@ -476,6 +490,26 @@ final class ManagedTable private (val spark: SparkSession, val location: String)
 
   /** Absolute filesystem path of a snapshot-relative data file. */
   private[graft] def dataFilePath(rel: String): Path = dataDir.resolve(rel)
+
+  /** The current snapshot's deletion-vector rows — (path, pos) in
+    * [[ManagedTable.dvSchema]], restricted to the files each sidecar
+    * actually masks NOW and dedup'd (a sidecar can hold rows for files
+    * re-referenced across commits). Distributed read; O(deleted rows)
+    * mass never touches the driver. Empty frame for DV-less snapshots.
+    * Interop exporters ([[graft.sources.Iceberg.exportTable]]'s
+    * position-delete leg) consume this.
+    */
+  private[graft] def currentDvRows: DataFrame = {
+    val masked = latestEntry.files.filter(_.dv.isDefined)
+    if (masked.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+        ManagedTable.dvSchema)
+    else masked.groupBy(_.dv.get).toSeq.map { case (ref, fs) =>
+      spark.read.schema(ManagedTable.dvSchema)
+        .parquet(dvRoot.resolve(ref).toString)
+        .filter(col("path").isInCollection(fs.map(_.path)))
+    }.reduce(_.unionByName(_)).distinct()
+  }
 
   /** A file's hive `k=v` partition values decoded to raw strings
     * (null = default partition) — empty for an unpartitioned file.

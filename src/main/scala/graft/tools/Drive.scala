@@ -1410,6 +1410,22 @@ object Drive {
       s"(zero-copy), re-imported ${iceTbl.numRows} rows, " +
       s"schema ${iceTbl.schema.fieldNames.mkString("/")}")
 
+    // merge-on-read Iceberg: DV snapshot -> v2 position deletes -> DV
+    val dvIceSrc = graft.tables.ManagedTable.create(
+      docs.select("doc_id", "lang", "source").limit(300),
+      scratch("iceberg_dv_src"),
+      properties = Map(graft.tables.ManagedTable.dvPropKey -> "true"))
+    dvIceSrc.delete("doc_id % 7 = 0")
+    val dvIceDir = scratch("iceberg_dv")
+    graft.sources.Iceberg.exportTable(dvIceSrc, dvIceDir)
+    val dvIceBack = graft.sources.Iceberg.importTable(spark, dvIceDir,
+      scratch("iceberg_dv_back"))
+    println(s"[113] iceberg merge-on-read round trip: " +
+      s"${dvIceSrc.numRows} live rows exported as position deletes, " +
+      s"re-imported ${dvIceBack.numRows} " +
+      s"(DV sidecar: ${dvIceBack.currentFileStats.count(_.dv.isDefined)} " +
+      "masked files)")
+
     spark.stop()
   }
 }

@@ -10,9 +10,14 @@ import scala.jdk.CollectionConverters._
 /** Iceberg interop: the hand-coded Avro layer pinned against BYTES
   * constructed independently from the published spec (not our own
   * writer), the zero-copy export -> import round trip, table
-  * relocation, and every documented refusal (v2 row-level deletes in
-  * both forms, non-identity transforms, format v3, non-parquet files,
-  * metadata/data row-count disagreement).
+  * relocation, the merge-on-read round trip (DV snapshot -> v2
+  * position deletes -> DV sidecar), field-id-resolved renamed-column
+  * reads, snapshot-scoped time-travel schemas, flat adoption of
+  * non-identity transforms, and every documented refusal (equality
+  * deletes, malformed manifest content kinds, unknown transforms,
+  * transforms whose sources aren't carried, partial-id renames, swap
+  * renames, format v3, non-parquet files, metadata/data row-count
+  * disagreement, partitioned DV export).
   */
 class IcebergSpec extends SparkSpec {
   import spark.implicits._
@@ -269,9 +274,9 @@ class IcebergSpec extends SparkSpec {
       s"expected '$needle' in: ${e.getMessage}")
   }
 
-  test("refuses v2 DELETE MANIFESTS in the manifest list (row-level " +
-       "deletes, manifest-list form)") {
-    refusal("del-ml", "row-level deletes") { meta =>
+  test("a manifest the list calls a DELETE manifest but whose own stamp " +
+       "says data refuses (malformed metadata)") {
+    refusal("del-ml", "malformed metadata") { meta =>
       val lp = meta.resolve("snap-1-1-graft.avro")
       val c = Avro.readContainer(Files.newInputStream(lp))
       val doctored = c.records.map(_.asInstanceOf[Map[String, Any]])
@@ -282,9 +287,9 @@ class IcebergSpec extends SparkSpec {
     }
   }
 
-  test("refuses position/equality-delete DATA FILE entries (row-level " +
-       "deletes, manifest-entry form)") {
-    refusal("del-df", "row-level deletes") { meta =>
+  test("delete-file entries inside a DATA manifest refuse (malformed " +
+       "metadata)") {
+    refusal("del-df", "inside a DATA manifest") { meta =>
       val mp = meta.resolve("graft-m0.avro")
       val c = Avro.readContainer(Files.newInputStream(mp))
       val doctored = c.records.map(_.asInstanceOf[Map[String, Any]]).map { e =>
@@ -302,21 +307,47 @@ class IcebergSpec extends SparkSpec {
     }
   }
 
-  test("refuses non-identity partition transforms loud (bucket)") {
-    refusal("bucket", "partition transform") { meta =>
-      // inject a bucket[16] field into the (empty) default spec
-      val p = meta.resolve("v1.metadata.json")
-      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-      val node = mapper.readTree(Files.readString(p))
-      val fields = node.get("partition-specs").get(0).get("fields")
-        .asInstanceOf[com.fasterxml.jackson.databind.node.ArrayNode]
-      val f = fields.addObject()
-      f.put("name", "name_bucket")
-      f.put("transform", "bucket[16]")
-      f.put("source-id", 2)
-      f.put("field-id", 1001)
-      Files.writeString(p, mapper.writeValueAsString(node))
+  test("non-identity transforms (bucket) adopt FLAT when the data files " +
+       "carry the source column — the layout hint is droppable, footer " +
+       "stats provide the pruning") {
+    val src = tmp("bkt-src"); val ice = tmp("bkt-ice"); val dst = tmp("bkt-dst")
+    val tbl = ManagedTable.create(ordersDf, src)
+    Iceberg.exportTable(tbl, ice)
+    // doctor a bucket[16] spec field over 'name' (id 2) — the
+    // unpartitioned export's files CARRY every column
+    val p = Paths.get(ice, "metadata", "v1.metadata.json")
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = mapper.readTree(Files.readString(p))
+    val fields = node.get("partition-specs").get(0).get("fields")
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ArrayNode]
+    val f = fields.addObject()
+    f.put("name", "name_bucket")
+    f.put("transform", "bucket[16]")
+    f.put("source-id", 2)
+    f.put("field-id", 1001)
+    Files.writeString(p, mapper.writeValueAsString(node))
+    val back = Iceberg.importTable(spark, ice, dst)
+    assert(back.partitionColumns.isEmpty,
+      "a transform layout hint must not become a physical partition")
+    assertDfEquality(back.toDF, ordersDf)
+  }
+
+  test("non-identity transforms refuse when the data files LACK the " +
+       "source column (Hive-migrated layout — the transformed value " +
+       "alone is unresolvable)") {
+    val src = tmp("bktref-src"); val ice = tmp("bktref-ice")
+    val dst = tmp("bktref-dst")
+    // identity-partitioned export: the files genuinely lack 'bucket'
+    val tbl = ManagedTable.create(ordersDf, src, partitionBy = Seq("bucket"))
+    Iceberg.exportTable(tbl, ice)
+    val p = Paths.get(ice, "metadata", "v1.metadata.json")
+    Files.writeString(p, Files.readString(p)
+      .replace("\"transform\" : \"identity\"", "\"transform\" : \"bucket[4]\""))
+    val e = intercept[IllegalArgumentException] {
+      Iceberg.importTable(spark, ice, dst)
     }
+    assert(e.getMessage.contains("lacks"), e.getMessage)
+    assert(e.getMessage.contains("bucket[4]"), e.getMessage)
   }
 
   test("refuses format-version 3") {
@@ -358,16 +389,97 @@ class IcebergSpec extends SparkSpec {
     }
   }
 
-  test("export refuses deletion-vector snapshots (they would need v2 " +
-       "delete files)") {
-    val src = tmp("dv-src"); val ice = tmp("dv-ice")
+  test("deletion-vector snapshots round-trip through v2 POSITION " +
+       "DELETES: export writes a spec-shaped delete file + delete " +
+       "manifest, import adopts it back into a _graft_dv sidecar") {
+    val src = tmp("dv-src"); val ice = tmp("dv-ice"); val dst = tmp("dv-dst")
     val tbl = ManagedTable.create(ordersDf, src,
       properties = Map(ManagedTable.dvPropKey -> "true"))
     tbl.delete("id = 2")
+    assert(tbl.currentFileStats.exists(_.dv.isDefined),
+      "precondition: the delete must be merge-on-read")
+    val n = Iceberg.exportTable(tbl, ice)
+    assert(n >= 1)
+    // the delete leg is real: a position-delete parquet under data/
+    // and a delete manifest in the list
+    val delFiles = {
+      val s = Files.list(Paths.get(ice, "data"))
+      try s.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.endsWith(".parquet")).toSeq
+      finally s.close()
+    }
+    assert(delFiles.size == 1, delFiles.toString)
+    val list = Avro.readContainer(Files.newInputStream(
+      Paths.get(ice, "metadata", "snap-1-1-graft.avro")))
+    val kinds = list.records.map(_.asInstanceOf[Map[String, Any]])
+      .map(r => r("content")).toSet
+    assert(kinds == Set(0, 1), s"expected data+delete manifests: $kinds")
+    // and the delete parquet itself is sorted (file_path, pos) with rows
+    val delDf = spark.read.parquet(
+      Paths.get(ice, "data", delFiles.head).toString)
+    assert(delDf.columns.toSeq == Seq("file_path", "pos"))
+    assert(delDf.count() == 1L)
+    val back = Iceberg.importTable(spark, ice, dst)
+    assertDfEquality(back.toDF, ordersDf.filter("id <> 2"))
+    assert(back.numRows == 2L)
+    assert(back.currentFileStats.exists(_.dv.isDefined),
+      "import must adopt the mask, not rewrite the data")
+  }
+
+  test("equality deletes refuse loud (resolving them needs a scan)") {
+    val src = tmp("eq-src"); val ice = tmp("eq-ice"); val dst = tmp("eq-dst")
+    val tbl = ManagedTable.create(ordersDf, src,
+      properties = Map(ManagedTable.dvPropKey -> "true"))
+    tbl.delete("id = 2")
+    Iceberg.exportTable(tbl, ice)
+    val mp = Paths.get(ice, "metadata", "graft-del-m0.avro")
+    val c = Avro.readContainer(Files.newInputStream(mp))
+    val doctored = c.records.map(_.asInstanceOf[Map[String, Any]]).map { e =>
+      val df0 = e("data_file").asInstanceOf[Map[String, Any]]
+      e.updated("data_file", df0.updated("content", 2))
+    }
+    val extra = c.meta.collect {
+      case (k, v) if k.startsWith("partition") || k == "schema" ||
+        k == "format-version" || k == "content" =>
+        k -> new String(v, "UTF-8")
+    }
+    val out = Files.newOutputStream(mp)
+    try Avro.writeContainer(out, c.schemaJson, doctored, extra)
+    finally out.close()
+    val e = intercept[IllegalArgumentException] {
+      Iceberg.importTable(spark, ice, dst)
+    }
+    assert(e.getMessage.contains("equality deletes"), e.getMessage)
+  }
+
+  test("export refuses DV snapshots of PARTITIONED tables (their delete " +
+       "manifests would need partition-scoped entries)") {
+    val src = tmp("dvpart-src"); val ice = tmp("dvpart-ice")
+    val tbl = ManagedTable.create(ordersDf, src,
+      partitionBy = Seq("bucket"),
+      properties = Map(ManagedTable.dvPropKey -> "true"))
+    tbl.delete("id = 2")
+    assert(tbl.currentFileStats.exists(_.dv.isDefined))
     val e = intercept[IllegalArgumentException] {
       Iceberg.exportTable(tbl, ice)
     }
-    assert(e.getMessage.contains("deletion-vector"))
+    assert(e.getMessage.contains("PARTITIONED"), e.getMessage)
+  }
+
+  test("unknown partition transforms still refuse loud") {
+    refusal("zorder", "partition transform") { meta =>
+      val p = meta.resolve("v1.metadata.json")
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val node = mapper.readTree(Files.readString(p))
+      val fields = node.get("partition-specs").get(0).get("fields")
+        .asInstanceOf[com.fasterxml.jackson.databind.node.ArrayNode]
+      val f = fields.addObject()
+      f.put("name", "name_z")
+      f.put("transform", "zorder")
+      f.put("source-id", 2)
+      f.put("field-id", 1001)
+      Files.writeString(p, mapper.writeValueAsString(node))
+    }
   }
 
   test("snapshot TIME TRAVEL: an explicit snapshot-id imports that " +
@@ -409,33 +521,59 @@ class IcebergSpec extends SparkSpec {
     assert(e.getMessage.contains("available: 1, 2"))
   }
 
-  test("RENAMED columns refuse loud: a footer whose parquet field id " +
-       "maps to a different name than the table schema would null-fill " +
-       "silently under name-based adoption") {
-    val src = tmp("ren-src"); val ice = tmp("ren-ice")
-    val dst = tmp("ren-dst")
-    // write data files that CARRY parquet field ids (as every Iceberg
-    // writer does) matching the export's 1..n assignment
+  /** A managed table over `ordersDf` whose data files CARRY parquet
+    * field ids 1..n (as every Iceberg writer's files do) — optionally
+    * only on the first `onlyFirst` columns, to construct the
+    * partially-stamped regime.
+    */
+  private def tableWithFieldIds(src: String,
+                                onlyFirst: Int = Int.MaxValue): ManagedTable = {
     val withIds = StructType(ordersDf.schema.fields.zipWithIndex.map {
       case (f, i) =>
-        f.copy(metadata = new MetadataBuilder().withMetadata(f.metadata)
-          .putLong("parquet.field.id", i + 1L).build())
+        if (i < onlyFirst)
+          f.copy(metadata = new MetadataBuilder().withMetadata(f.metadata)
+            .putLong("parquet.field.id", i + 1L).build())
+        else f
     })
     val prev = spark.conf.getOption("spark.sql.parquet.fieldId.write.enabled")
     spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
-    val tbl =
-      try ManagedTable.create(
-        spark.createDataFrame(ordersDf.collect().toIndexedSeq.asJava,
-          withIds), src)
-      finally prev match {
-        case Some(v) => spark.conf.set(
-          "spark.sql.parquet.fieldId.write.enabled", v)
-        case None => spark.conf.unset(
-          "spark.sql.parquet.fieldId.write.enabled")
-      }
+    try ManagedTable.create(
+      spark.createDataFrame(ordersDf.collect().toIndexedSeq.asJava,
+        withIds), src)
+    finally prev match {
+      case Some(v) => spark.conf.set(
+        "spark.sql.parquet.fieldId.write.enabled", v)
+      case None => spark.conf.unset(
+        "spark.sql.parquet.fieldId.write.enabled")
+    }
+  }
+
+  test("RENAMED columns read BY FIELD ID when every footer stamps " +
+       "parquet field ids (the spec's resolution rule): files written " +
+       "under the old name serve the renamed column") {
+    val src = tmp("ren-src"); val ice = tmp("ren-ice")
+    val dst = tmp("ren-dst")
+    val tbl = tableWithFieldIds(src)
     Iceberg.exportTable(tbl, ice)
     // the table renames column 'name' (id 2) to 'customer' — files keep
     // the old name under the same id
+    val p = Paths.get(ice, "metadata", "v1.metadata.json")
+    Files.writeString(p, Files.readString(p)
+      .replace("\"name\" : \"name\"", "\"name\" : \"customer\""))
+    val back = Iceberg.importTable(spark, ice, dst)
+    assert(back.schema.fieldNames.toSeq ==
+      Seq("id", "customer", "d", "v", "bucket"))
+    assertDfEquality(back.toDF, ordersDf.withColumnRenamed("name", "customer"))
+  }
+
+  test("RENAMED columns refuse loud when footers lack COMPLETE field " +
+       "ids: id-resolution is unavailable and a name-based scan would " +
+       "null-fill silently") {
+    val src = tmp("renp-src"); val ice = tmp("renp-ice")
+    val dst = tmp("renp-dst")
+    // ids stamped on only the first two columns: the partial regime
+    val tbl = tableWithFieldIds(src, onlyFirst = 2)
+    Iceberg.exportTable(tbl, ice)
     val p = Paths.get(ice, "metadata", "v1.metadata.json")
     Files.writeString(p, Files.readString(p)
       .replace("\"name\" : \"name\"", "\"name\" : \"customer\""))
@@ -444,6 +582,65 @@ class IcebergSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("column renamed"), e.getMessage)
     assert(e.getMessage.contains("customer"))
+  }
+
+  test("a SWAP-rename (stale footer name collides with a different " +
+       "current column) refuses even under id-resolution: footer stats " +
+       "would cross-bind and corrupt file skipping") {
+    val src = tmp("swap-src"); val ice = tmp("swap-ice")
+    val dst = tmp("swap-dst")
+    val tbl = tableWithFieldIds(src)
+    Iceberg.exportTable(tbl, ice)
+    // schema swap: field id 2 ('name') becomes 'v', field id 4 ('v')
+    // becomes 'name' — the files' stale 'name'/'v' footer names now
+    // each point at the OTHER column
+    val p = Paths.get(ice, "metadata", "v1.metadata.json")
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = mapper.readTree(Files.readString(p))
+    val fields = node.get("schemas").get(0).get("fields")
+    fields.get(1).asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+      .put("name", "v")
+    fields.get(3).asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+      .put("name", "name")
+    Files.writeString(p, mapper.writeValueAsString(node))
+    val e = intercept[IllegalArgumentException] {
+      Iceberg.importTable(spark, ice, dst)
+    }
+    assert(e.getMessage.contains("swap-renamed"), e.getMessage)
+  }
+
+  test("time travel resolves the SNAPSHOT'S OWN schema-id: a pre-rename " +
+       "snapshot reads under the names it was written with") {
+    val src = tmp("ttsch-src"); val ice = tmp("ttsch-ice")
+    val dstCur = tmp("ttsch-cur"); val dstOld = tmp("ttsch-old")
+    val tbl = tableWithFieldIds(src)
+    Iceberg.exportTable(tbl, ice)
+    // doctor: schema 1 renames 'name' -> 'customer' and becomes
+    // current; snapshot 1 keeps schema-id 0 (the pre-rename schema)
+    val p = Paths.get(ice, "metadata", "v1.metadata.json")
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = mapper.readTree(Files.readString(p))
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    val schemas = node.get("schemas")
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ArrayNode]
+    val s1 = schemas.get(0).deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]()
+    s1.put("schema-id", 1)
+    s1.get("fields").get(1)
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+      .put("name", "customer")
+    schemas.add(s1)
+    node.put("current-schema-id", 1)
+    Files.writeString(p, mapper.writeValueAsString(node))
+    // current state: the renamed schema, values served by field id
+    val cur = Iceberg.importTable(spark, ice, dstCur)
+    assert(cur.schema.fieldNames.toSeq ==
+      Seq("id", "customer", "d", "v", "bucket"))
+    // time travel to snapshot 1: its own schema-id 0, the old names
+    val old = Iceberg.importTable(spark, ice, dstOld, snapshotId = Some(1L))
+    assert(old.schema.fieldNames.toSeq ==
+      Seq("id", "name", "d", "v", "bucket"))
+    assertDfEquality(old.toDF, ordersDf)
+    assertDfEquality(cur.toDF, ordersDf.withColumnRenamed("name", "customer"))
   }
 
   test("empty table (no current snapshot) imports as an empty managed " +
