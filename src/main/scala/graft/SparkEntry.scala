@@ -1236,6 +1236,27 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), expr("bit_xor(__h)").as("h")).head()
       require(sig(arpa) == sig(back),
         "order-5 ARPA round-trip drifted: written and re-read differ")
+      // the PRODUCTION-scale interchange layout sits under the same
+      // gate: the sharded write (per-order range-partitioned shard
+      // files + manifest — the tens-of-GB path where one driver-
+      // streamed file won't do) must read back to the identical model.
+      // rowsPerShard is forced small so the sample really exercises
+      // multi-shard sections, not a degenerate one-file layout.
+      text.Arpa.writeSharded(arpa, s"$base/model_arpa_sharded",
+        rowsPerShard = 400L)
+      val backSharded = text.Arpa.read(s, s"$base/model_arpa_sharded")
+      val nShards = {
+        val root = new org.apache.hadoop.fs.Path(s"$base/model_arpa_sharded")
+        val hfs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+        hfs.listStatus(root).filter(_.isDirectory).map(d =>
+          hfs.listStatus(d.getPath)
+            .count(_.getPath.getName.startsWith("part-"))).sum
+      }
+      require(nShards > 5, // 5 orders: >5 files means real sharding
+        s"the sharded leg must produce multi-shard sections, got $nShards")
+      require(sig(arpa) == sig(backSharded),
+        "sharded .arpa round-trip drifted: the sharded layout must " +
+          "equal the single-file model")
       arpa.unpersist()
       text.VocabStats.mknNllFromModel(served, docs,
         "doc_id", "text", order = 5)

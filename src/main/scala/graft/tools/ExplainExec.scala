@@ -16,7 +16,11 @@ object ExplainExec {
       println(s"==== $q")
       val df = graft.SparkEntry.queries(q)(spark, dir)
       df.collect()
-      println(df.queryExecution.executedPlan.toString.take(8000))
+      // big enough that the deep joins (where a silent strategy
+      // fallback hides) survive; sys.prop override for spelunking
+      val cap = sys.props.get("graft.explain.cap").map(_.toInt)
+        .getOrElse(120000)
+      println(df.queryExecution.executedPlan.toString.take(cap))
     }
     spark.stop()
   }
