@@ -1240,10 +1240,14 @@ object SparkEntry {
       // gate: the sharded write (per-order range-partitioned shard
       // files + manifest — the tens-of-GB path where one driver-
       // streamed file won't do) must read back to the identical model.
-      // rowsPerShard is forced small so the sample really exercises
-      // multi-shard sections, not a degenerate one-file layout.
+      // rowsPerShard derives from the MODEL size (~a tenth of the
+      // entries) so the sample genuinely exercises multi-shard
+      // sections at every sf WITHOUT fragmenting into O(100) tiny
+      // shard jobs at the larger scales (a fixed small constant did
+      // exactly that at sf0.1 — +11 s of pure per-shard job latency)
+      val nArpa = arpa.count()
       text.Arpa.writeSharded(arpa, s"$base/model_arpa_sharded",
-        rowsPerShard = 400L)
+        rowsPerShard = math.max(400L, nArpa / 10L))
       val backSharded = text.Arpa.read(s, s"$base/model_arpa_sharded")
       val nShards = {
         val root = new org.apache.hadoop.fs.Path(s"$base/model_arpa_sharded")
