@@ -609,6 +609,98 @@ class IcebergSpec extends SparkSpec {
     assert(e.getMessage.contains("swap-renamed"), e.getMessage)
   }
 
+  test("NESTED struct-field renames resolve by field id too — the " +
+       "null-fill gap a top-level-only check would miss") {
+    val src = tmp("nest-src"); val ice = tmp("nest-ice")
+    val dst = tmp("nest-dst")
+    val inner = StructType(Seq(
+      StructField("name", StringType, nullable = true, metadata =
+        new MetadataBuilder().putLong("parquet.field.id", 3L).build()),
+      StructField("v", LongType, nullable = true, metadata =
+        new MetadataBuilder().putLong("parquet.field.id", 4L).build())))
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false, metadata =
+        new MetadataBuilder().putLong("parquet.field.id", 1L).build()),
+      StructField("info", inner, nullable = true, metadata =
+        new MetadataBuilder().putLong("parquet.field.id", 2L).build())))
+    val rows = Seq(Row(1L, Row("alice", 10L)), Row(2L, Row("bob", 20L)))
+    val prev = spark.conf.getOption("spark.sql.parquet.fieldId.write.enabled")
+    spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+    val tbl =
+      try ManagedTable.create(
+        spark.createDataFrame(rows.asJava, schema), src)
+      finally prev match {
+        case Some(v) => spark.conf.set(
+          "spark.sql.parquet.fieldId.write.enabled", v)
+        case None => spark.conf.unset(
+          "spark.sql.parquet.fieldId.write.enabled")
+      }
+    Iceberg.exportTable(tbl, ice)
+    // the export assigns top-level ids 1..2 and nested ids 3..4 in
+    // field order — matching the stamped metadata; sanity-pin that
+    val md0 = Files.readString(Paths.get(ice, "metadata", "v1.metadata.json"))
+    assert(md0.contains("\"last-column-id\" : 4"), md0.take(400))
+    // rename the NESTED field 'name' (id 3) -> 'label'
+    val p = Paths.get(ice, "metadata", "v1.metadata.json")
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = mapper.readTree(Files.readString(p))
+    node.get("schemas").get(0).get("fields").get(1).get("type")
+      .get("fields").get(0)
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+      .put("name", "label")
+    Files.writeString(p, mapper.writeValueAsString(node))
+    val back = Iceberg.importTable(spark, ice, dst)
+    val info = back.schema("info").dataType.asInstanceOf[StructType]
+    assert(info.fieldNames.toSeq == Seq("label", "v"))
+    val got = back.toDF
+      .selectExpr("id", "info.label", "info.v").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sortBy(_._1)
+      .toSeq
+    assert(got == Seq((1L, "alice", 10L), (2L, "bob", 20L)), got.toString)
+  }
+
+  test("a NESTED rename refuses under the name-trust regime (partial " +
+       "top-level ids): the recursive cross-check catches it") {
+    val src = tmp("nestref-src"); val ice = tmp("nestref-ice")
+    val dst = tmp("nestref-dst")
+    val inner = StructType(Seq(
+      StructField("name", StringType, nullable = true, metadata =
+        new MetadataBuilder().putLong("parquet.field.id", 3L).build()),
+      StructField("v", LongType, nullable = true)))
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("info", inner, nullable = true, metadata =
+        new MetadataBuilder().putLong("parquet.field.id", 2L).build())))
+    // top-level 'id' carries NO parquet id -> topIdsComplete false ->
+    // name-trust regime; the nested 'name' DOES carry id 3
+    val rows = Seq(Row(1L, Row("alice", 10L)))
+    val prev = spark.conf.getOption("spark.sql.parquet.fieldId.write.enabled")
+    spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+    val tbl =
+      try ManagedTable.create(
+        spark.createDataFrame(rows.asJava, schema), src)
+      finally prev match {
+        case Some(v) => spark.conf.set(
+          "spark.sql.parquet.fieldId.write.enabled", v)
+        case None => spark.conf.unset(
+          "spark.sql.parquet.fieldId.write.enabled")
+      }
+    Iceberg.exportTable(tbl, ice)
+    val p = Paths.get(ice, "metadata", "v1.metadata.json")
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = mapper.readTree(Files.readString(p))
+    node.get("schemas").get(0).get("fields").get(1).get("type")
+      .get("fields").get(0)
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+      .put("name", "label")
+    Files.writeString(p, mapper.writeValueAsString(node))
+    val e = intercept[IllegalArgumentException] {
+      Iceberg.importTable(spark, ice, dst)
+    }
+    assert(e.getMessage.contains("column renamed"), e.getMessage)
+    assert(e.getMessage.contains("label"), e.getMessage)
+  }
+
   test("time travel resolves the SNAPSHOT'S OWN schema-id: a pre-rename " +
        "snapshot reads under the names it was written with") {
     val src = tmp("ttsch-src"); val ice = tmp("ttsch-ice")
