@@ -95,12 +95,13 @@ object Iceberg {
 
   private val mapper = new ObjectMapper()
 
-  /** Spark's parquet field-id metadata key (`ParquetUtils
-    * .FIELD_ID_METADATA_KEY`): a read schema whose fields carry it
-    * resolves parquet columns by id instead of name once
-    * `spark.sql.parquet.fieldId.read.enabled` is on.
+  /** Spark's parquet field-id metadata key: a read schema whose fields
+    * carry it resolves parquet columns by id instead of name once
+    * `spark.sql.parquet.fieldId.read.enabled` is on. One shared
+    * constant — [[ManagedTable]]'s scan switch and write re-stamping
+    * key off the same name.
     */
-  private[sources] val FieldIdKey = "parquet.field.id"
+  private[sources] val FieldIdKey = ManagedTable.FieldIdMetadataKey
 
   /** Reserved field ids of position-delete file columns (spec
     * "Position Delete Files").
@@ -160,27 +161,19 @@ object Iceberg {
     * lack complete ids, and Spark refuses id-bearing read schemas over
     * id-less files).
     */
+  private def stripType(dt: DataType): DataType = dt match {
+    case s: StructType => StructType(s.fields.map(f =>
+      f.copy(dataType = stripType(f.dataType),
+        metadata = new MetadataBuilder()
+          .withMetadata(f.metadata).remove(FieldIdKey).build())))
+    case a: ArrayType => a.copy(elementType = stripType(a.elementType))
+    case m: MapType => m.copy(keyType = stripType(m.keyType),
+      valueType = stripType(m.valueType))
+    case o => o
+  }
+
   private[sources] def stripFieldIds(t: StructType): StructType =
-    StructType(t.fields.map { f =>
-      val dt = f.dataType match {
-        case s: StructType => stripFieldIds(s)
-        case a: ArrayType => a.elementType match {
-          case s: StructType => a.copy(elementType = stripFieldIds(s))
-          case _ => a
-        }
-        case m: MapType =>
-          val k = m.keyType match {
-            case s: StructType => stripFieldIds(s); case o => o
-          }
-          val v = m.valueType match {
-            case s: StructType => stripFieldIds(s); case o => o
-          }
-          m.copy(keyType = k, valueType = v)
-        case o => o
-      }
-      f.copy(dataType = dt, metadata = new MetadataBuilder()
-        .withMetadata(f.metadata).remove(FieldIdKey).build())
-    })
+    stripType(t).asInstanceOf[StructType]
 
   /** (field id -> name) of every NAMED struct field in an Iceberg
     * schema node, at ALL nesting depths (recursing through structs,
@@ -519,12 +512,23 @@ object Iceberg {
   // ---- import ----------------------------------------------------------
 
   /** One data file's footer facts, read in a single metadata pass:
-    * all recursive (field id -> name) pairs, the top-level pairs, does
-    * EVERY top-level field carry an id, and the top-level column names.
+    * all recursive (field id -> name) pairs, the top-level pairs, the
+    * top-level column names, and the id-stamping CLASS —
+    * `fullIds` = every field the file contains carries an id at every
+    * depth (parquet LIST/MAP repetition wrappers exempt: they have no
+    * Iceberg identity; their element/key/value children do), `anyId` =
+    * at least one id anywhere. `anyId && !fullIds` is the PARTIAL
+    * class, which the import refuses as malformed: an id-resolved scan
+    * of such a file would silently null-fill its unstamped fields, and
+    * a name-trusted read could not see a rename on them. A file that
+    * IS fully stamped but predates a later-ADDED column stays `full` —
+    * completeness is over the fields the file has, so schema evolution
+    * null-fills the new column by id absence, which is correct.
     */
   private final case class FooterMeta(allIds: Map[Int, String],
                                       topIds: Map[Int, String],
-                                      topIdsComplete: Boolean,
+                                      fullIds: Boolean,
+                                      anyId: Boolean,
                                       topCols: Set[String])
 
   private def parquetFooterMeta(
@@ -532,6 +536,8 @@ object Iceberg {
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
     import org.apache.parquet.schema.GroupType
+    import org.apache.parquet.schema.LogicalTypeAnnotation.{
+      ListLogicalTypeAnnotation, MapLogicalTypeAnnotation}
     val in = HadoopInputFile.fromPath(
       new org.apache.hadoop.fs.Path(file.toUri), conf)
     val reader = ParquetFileReader.open(in)
@@ -546,10 +552,31 @@ object Iceberg {
         }
       }
       top.foreach(walk)
+      // completeness: every NAMED field stamped, wrappers exempt
+      def fieldOk(t: org.apache.parquet.schema.Type): Boolean =
+        t.getId != null && childrenOk(t)
+      def childrenOk(t: org.apache.parquet.schema.Type): Boolean = t match {
+        case g: GroupType =>
+          val listOrMap = g.getLogicalTypeAnnotation match {
+            case _: ListLogicalTypeAnnotation |
+                 _: MapLogicalTypeAnnotation => true
+            case _ => false
+          }
+          if (!listOrMap) g.getFields.asScala.forall(fieldOk)
+          else g.getFields.asScala.forall {
+            // the repeated `list` / `key_value` wrapper carries no
+            // Iceberg identity; its children are real fields again
+            case w: GroupType if w.getId == null =>
+              w.getFields.asScala.forall(fieldOk)
+            case other => fieldOk(other)
+          }
+        case _ => true
+      }
       val topIds = top.flatMap(f =>
         Option(f.getId).map(id => id.intValue() -> f.getName)).toMap
       FooterMeta(all.toMap, topIds,
-        top.nonEmpty && topIds.size == top.size,
+        top.nonEmpty && top.forall(fieldOk),
+        all.nonEmpty,
         top.map(_.getName).toSet)
     } finally reader.close()
   }
@@ -580,22 +607,33 @@ object Iceberg {
       resolved.map { case (p, _) => p -> parquetFooterMeta(conf, p) }.toMap
 
     // RENAMED-COLUMN handling. The spec resolves columns by FIELD ID.
-    //  - Every footer stamps an id on every top-level field (Iceberg
-    //    writers always do): commit the id-bearing schema and let the
-    //    managed scan resolve BY ID (renames — at any struct depth —
-    //    read correctly, including files written under the old name).
-    //    The one refusal left is the stats-cross-bind swap: a stale
-    //    footer name that equals a DIFFERENT current column would bind
-    //    that file's min/max bounds to the wrong column and corrupt
-    //    file skipping.
-    //  - Otherwise (id-less or partially-stamped footers): adopt by
-    //    NAME with ids stripped; any id a footer DOES carry is
-    //    cross-checked recursively against the schema's named struct
-    //    fields and refuses on mismatch (a name-based scan would
-    //    null-fill the renamed column silently, the worst failure
-    //    mode). Footers entirely without ids are uncheckable and
-    //    trusted by name — the documented boundary.
-    val idComplete = resolved.forall { case (p, _) => footers(p).topIdsComplete }
+    // Each footer is one of three classes (see [[FooterMeta]]):
+    //  - FULLY stamped at every depth (Iceberg writers always do):
+    //    commit the id-bearing schema and let the managed scan resolve
+    //    BY ID (renames — at any struct depth — read correctly,
+    //    including files written under the old name). The one refusal
+    //    left is the stats-cross-bind swap: a stale footer name that
+    //    equals a DIFFERENT current column would bind that file's
+    //    min/max bounds to the wrong column and corrupt file skipping.
+    //  - Entirely ID-LESS (foreign/migrated files): trusted by name —
+    //    the documented boundary (renames on such files are
+    //    undetectable by construction).
+    //  - PARTIALLY stamped: refused as malformed — an id-resolved scan
+    //    would silently NULL-FILL the unstamped fields (Spark's id
+    //    matching has no per-field name fallback), and a name-trusted
+    //    read could not see a rename on them; no safe regime exists.
+    // A mix of full and id-less files adopts by NAME, with every id
+    // the full footers carry cross-checked recursively against the
+    // schema's named struct fields (mismatch = rename = refusal).
+    resolved.foreach { case (p, _) =>
+      val f = footers(p)
+      require(!f.anyId || f.fullIds,
+        s"data file $p is PARTIALLY stamped with parquet field ids — " +
+          "malformed (Iceberg writers stamp every field); an id-resolved " +
+          "scan would null-fill the unstamped fields silently; rewrite " +
+          "the file")
+    }
+    val idComplete = resolved.forall { case (p, _) => footers(p).fullIds }
     if (idComplete) {
       val topNames = snap.schema.fieldNames.toSet
       resolved.foreach { case (p, _) =>
@@ -739,6 +777,10 @@ object Iceberg {
     // ignored, per the spec's reader rule.
     val relByRaw: Map[String, String] =
       links.map { case (_, f, rel) => f.path -> rel }.toMap
+    // persisted through the integrity count, the masked-path pull, and
+    // adoptFiles' sidecar write — without it the delete files would be
+    // re-read from disk three times
+    var delRowsCached: Option[org.apache.spark.sql.DataFrame] = None
     val dv: Option[ManagedTable.AdoptedDv] =
       if (snap.deleteFiles.isEmpty) None
       else {
@@ -748,6 +790,8 @@ object Iceberg {
           StructField("file_path", StringType, nullable = false),
           StructField("pos", LongType, nullable = false)))
         val delRows = spark.read.schema(delSchema).parquet(delPaths: _*)
+          .persist()
+        delRowsCached = Some(delRows)
         val claimed = snap.deleteFiles.map(_.recordCount).sum
         val got = delRows.count()
         require(got == claimed,
@@ -772,6 +816,7 @@ object Iceberg {
       partitionBy = if (hivePlaced) snap.partitionSourceCols else Nil,
       properties = snap.properties,
       dv = dv)
+    delRowsCached.foreach(_.unpersist())
     val masked = tbl.currentFileStats.flatMap(_.dvRows).sum
     val expected = snap.files.map(_.recordCount).sum - masked
     val got = tbl.numRows
@@ -1007,9 +1052,15 @@ object Iceberg {
         StructField("pos", LongType, nullable = false,
           metadata = new MetadataBuilder()
             .putLong(FieldIdKey, PosDeletePosId).build())))
-      val sorted = table.currentDvRows
+      val posDel = table.currentDvRows
         .join(broadcast(mapDf), Seq("path"))
-        .select(col("__uri").as("file_path"), col("pos"))
+        .select(col("__uri").as("file_path"), col("pos")).persist()
+      // manifest record_count = the rows actually in the delete file —
+      // counted from the frame, NOT summed from FileStat.dvRows, which
+      // is None on legacy log entries predating the field (numRowsAt
+      // re-reads the sidecar for exactly that case) and would undercount
+      val delCount = posDel.count()
+      val sorted = posDel
         .repartition(1).sortWithinPartitions("file_path", "pos")
       val withIds = spark.createDataFrame(sorted.rdd, outSchema)
       val tmpOut = root.resolve(s"_tmp-posdel-${java.util.UUID.randomUUID()}")
@@ -1041,8 +1092,7 @@ object Iceberg {
       try leftovers.iterator().asScala.toSeq.reverse.foreach(p =>
         try Files.delete(p) catch { case _: java.io.IOException => () })
       finally leftovers.close()
-      // cardinality from the log's DV accounting (metadata-only)
-      val delCount = dvStats.flatMap(_.dvRows).sum
+      posDel.unpersist()
       Some((target, delCount, Files.size(target)))
     }
     val deleteManifest: Option[(Path, Long, Long)] = deleteLeg.map {

@@ -255,11 +255,13 @@ final class ManagedTable private (val spark: SparkSession, val location: String)
     * read would silently null-fill every column whose file predates its
     * rename. Spark's id-resolution is conf-gated, so any scan of such a
     * schema switches it on for the session (idempotent; schemas without
-    * ids are unaffected by the conf, and the commit path only keeps id
-    * metadata when every adopted footer stamps ids).
+    * ids are unaffected by the conf, the commit path only keeps id
+    * metadata when every adopted footer stamps COMPLETE ids, and
+    * writeData re-stamps ids into every later write, so all of an
+    * id-bearing table's files are id-resolvable).
     */
   private def ensureFieldIdRead(schema: StructType): Unit =
-    if (schema.fields.exists(_.metadata.contains("parquet.field.id")))
+    if (ManagedTable.hasFieldIds(schema))
       spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
 
   private def snapshotDF(e: LogEntry): DataFrame = {
@@ -717,9 +719,30 @@ final class ManagedTable private (val spark: SparkSession, val location: String)
     */
   private def writeData(df: DataFrame, parts: Seq[String],
                         props: Map[String, String],
-                        alreadyOrdered: Boolean = false): Seq[String] = {
+                        alreadyOrdered: Boolean = false,
+                        tableSchema: StructType = null): Seq[String] = {
     val id = UUID.randomUUID().toString
     val out = dataDir.resolve(id)
+    // Writes to an ID-BEARING table (Iceberg imports of renamed tables
+    // scan by parquet field id) must STAMP the ids into the new files:
+    // catalyst aliases/casts drop field metadata, so an aligned frame
+    // would otherwise write id-LESS files that the table's id-resolved
+    // scans NULL-FILL silently — Spark's id matching has no name
+    // fallback, and `fieldId.read.ignoreMissing=true` null-fills too
+    // (verified empirically). Re-select with the committed schema's
+    // metadata (top-level) and cast to its types (restores nested
+    // struct ids, which live in the DataType).
+    val df1 = Option(tableSchema).filter(ManagedTable.hasFieldIds) match {
+      case None => df
+      case Some(ts) =>
+        spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+        df.select(df.columns.map { c =>
+          ts.fields.find(_.name == c) match {
+            case Some(f) => col(c).cast(f.dataType).as(c, f.metadata)
+            case None => col(c)
+          }
+        }.toIndexedSeq: _*)
+    }
     // sorted writes (the `graft.write.sortBy` table property — Delta's
     // optimized-writes + sort practice): each write RANGE-partitions by
     // the configured columns (partition columns lead, so hive dirs keep
@@ -740,9 +763,9 @@ final class ManagedTable private (val spark: SparkSession, val location: String)
         .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
         .getOrElse(Nil).filter(df.columns.contains)
     val staged =
-      if (sortCols.isEmpty) enforced(df, props)
+      if (sortCols.isEmpty) enforced(df1, props)
       else {
-        val e = enforced(df, props)
+        val e = enforced(df1, props)
         val keys = (parts.filter(df.columns.contains) ++ sortCols)
           .distinct.map(col)
         val n = math.max(1, e.rdd.getNumPartitions)
@@ -805,7 +828,8 @@ final class ManagedTable private (val spark: SparkSession, val location: String)
       : (Seq[String], StructType, Seq[String]) = {
     val e = latestEntry
     val aligned = alignForAppend(df, e.schema)
-    (writeData(aligned, e.partitionColumns, e.properties), e.schema,
+    (writeData(aligned, e.partitionColumns, e.properties,
+      tableSchema = e.schema), e.schema,
       e.partitionColumns)
   }
 
@@ -871,7 +895,7 @@ final class ManagedTable private (val spark: SparkSession, val location: String)
         case Some((d, s, p)) if s == newSchema && p == e.partitionColumns => d
         case _ =>
           val d = writeData(alignForAppend(df, newSchema),
-            e.partitionColumns, e.properties)
+            e.partitionColumns, e.properties, tableSchema = newSchema)
           written = Some((d, newSchema, e.partitionColumns))
           d
       }
@@ -927,7 +951,8 @@ final class ManagedTable private (val spark: SparkSession, val location: String)
     val aligned = df.select(e.schema.fields.map { f =>
       col(f.name).cast(f.dataType).as(f.name)
     }.toIndexedSeq: _*)
-    val dirs = writeData(aligned, e.partitionColumns, e.properties)
+    val dirs = writeData(aligned, e.partitionColumns, e.properties,
+      tableSchema = e.schema)
     val newStats = statsFor(dirs, e.schema)
     commit(LogEntry(baseVersion + 1, System.currentTimeMillis(), operation,
       dirs, e.schema, e.partitionColumns, withTxnProp(e.properties, txn),
@@ -1044,7 +1069,8 @@ final class ManagedTable private (val spark: SparkSession, val location: String)
     val aligned = df.select(base.schema.fields.map { f =>
       col(f.name).cast(f.dataType).as(f.name)
     }.toIndexedSeq: _*)
-    val newLeaves = writeData(aligned, parts, base.properties)
+    val newLeaves = writeData(aligned, parts, base.properties,
+      tableSchema = base.schema)
     val stray = newLeaves.map(leafSuffix).filterNot(affected)
     require(stray.isEmpty,
       s"overwritePartitions: df contains rows outside the replaced " +
@@ -1121,7 +1147,7 @@ final class ManagedTable private (val spark: SparkSession, val location: String)
       col(f.name).cast(f.dataType).as(f.name)
     }.toIndexedSeq: _*)
     val newDirs = writeData(aligned, base.partitionColumns, base.properties,
-      alreadyOrdered = alreadyOrdered)
+      alreadyOrdered = alreadyOrdered, tableSchema = base.schema)
     val newStats = statsFor(newDirs, base.schema)
     var attempts = 0
     var done = false
@@ -1504,7 +1530,7 @@ final class ManagedTable private (val spark: SparkSession, val location: String)
         alreadyOrdered = true)
     else {
       val dirs = writeData(ordered, e.partitionColumns, e.properties,
-        alreadyOrdered = true)
+        alreadyOrdered = true, tableSchema = e.schema)
       val newStats = statsFor(dirs, e.schema)
       commit(LogEntry(e.version + 1, System.currentTimeMillis(), "OPTIMIZE",
         dirs, e.schema, e.partitionColumns, e.properties, newStats,
@@ -1786,7 +1812,8 @@ final class ManagedTable private (val spark: SparkSession, val location: String)
       val newStats = replacementOf.fold(Seq.empty[FileStat]) { rep =>
         val posts = project(rep(matched), base.schema)
           .coalesce(math.max(1L, n / 1000000L).toInt)
-        val dirs = writeData(posts, base.partitionColumns, base.properties)
+        val dirs = writeData(posts, base.partitionColumns,
+          base.properties, tableSchema = base.schema)
         statsFor(dirs, base.schema)
       }
       var attempts = 0
@@ -2886,6 +2913,25 @@ object ManagedTable {
     */
   private[tables] val FP = "__graft_fpath"
   private[tables] val POS = "__graft_fpos"
+  /** Spark's parquet field-id metadata key (`ParquetUtils
+    * .FIELD_ID_METADATA_KEY`) — the single name for the contract shared
+    * by the Iceberg import (attaches ids), [[hasFieldIds]], the scan
+    * path's id-resolution switch, and writeData's id re-stamping.
+    */
+  private[graft] val FieldIdMetadataKey = "parquet.field.id"
+
+  private def typeHasFieldIds(dt: DataType): Boolean = dt match {
+    case s: StructType => s.fields.exists(f =>
+      f.metadata.contains(FieldIdMetadataKey) || typeHasFieldIds(f.dataType))
+    case a: ArrayType => typeHasFieldIds(a.elementType)
+    case m: MapType =>
+      typeHasFieldIds(m.keyType) || typeHasFieldIds(m.valueType)
+    case _ => false
+  }
+
+  /** Does the schema carry parquet field ids anywhere (any depth)? */
+  private[graft] def hasFieldIds(t: StructType): Boolean = typeHasFieldIds(t)
+
   private[graft] val dvSchema: StructType = StructType(Seq(
     StructField("path", StringType, nullable = false),
     StructField("pos", LongType, nullable = false)))
@@ -3235,7 +3281,8 @@ object ManagedTable {
              properties: Map[String, String] = Map.empty): ManagedTable = {
     require(!exists(location), s"Table already exists: $location")
     val t = new ManagedTable(df.sparkSession, location)
-    val dirs = t.writeData(df, partitionBy, properties)
+    val dirs = t.writeData(df, partitionBy, properties,
+      tableSchema = df.schema)
     val stats = t.statsFor(dirs, df.schema)
     t.commit(LogEntry(0L, System.currentTimeMillis(), "CREATE",
       dirs, df.schema, partitionBy, properties, stats,

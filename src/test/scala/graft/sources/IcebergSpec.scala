@@ -566,14 +566,63 @@ class IcebergSpec extends SparkSpec {
     assertDfEquality(back.toDF, ordersDf.withColumnRenamed("name", "customer"))
   }
 
-  test("RENAMED columns refuse loud when footers lack COMPLETE field " +
-       "ids: id-resolution is unavailable and a name-based scan would " +
-       "null-fill silently") {
+  test("PARTIALLY-stamped footers refuse as malformed: no safe regime " +
+       "exists (id-resolution would null-fill the unstamped fields, " +
+       "name-trust couldn't see a rename on them)") {
     val src = tmp("renp-src"); val ice = tmp("renp-ice")
     val dst = tmp("renp-dst")
-    // ids stamped on only the first two columns: the partial regime
+    // ids stamped on only the first two columns: the partial class
     val tbl = tableWithFieldIds(src, onlyFirst = 2)
     Iceberg.exportTable(tbl, ice)
+    val e = intercept[IllegalArgumentException] {
+      Iceberg.importTable(spark, ice, dst)
+    }
+    assert(e.getMessage.contains("PARTIALLY stamped"), e.getMessage)
+  }
+
+  test("RENAMED columns refuse loud in a MIXED full/id-less table: the " +
+       "recursive cross-check sees the rename on the stamped file") {
+    val src = tmp("mix-src"); val ice = tmp("mix-ice")
+    val dst = tmp("mix-dst")
+    // graft itself can no longer produce mixed files (writeData
+    // re-stamps ids on id-bearing tables — see the post-import
+    // mutation test), so the id-less member is manufactured by
+    // REWRITING one exported data file in place without ids, the way a
+    // foreign tool compacting an Iceberg table might
+    val tbl = tableWithFieldIds(src)
+    Iceberg.exportTable(tbl, ice)
+    val dataFiles = {
+      val s = Files.walk(Paths.get(src, "data"))
+      try s.iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+      finally s.close()
+    }
+    assert(dataFiles.size >= 2,
+      s"fixture needs >=2 data files, got ${dataFiles.size}")
+    val victim = dataFiles.head
+    // spark.read does not surface footer ids as schema metadata, so
+    // this round trip writes the same rows id-LESS
+    val plain = spark.read.parquet(victim.toString)
+    val rw = tmp("mix-rw")
+    val prev = spark.conf.getOption("spark.sql.parquet.fieldId.write.enabled")
+    spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "false")
+    try plain.coalesce(1).write.parquet(rw)
+    finally prev match {
+      case Some(v) => spark.conf.set(
+        "spark.sql.parquet.fieldId.write.enabled", v)
+      case None => spark.conf.unset(
+        "spark.sql.parquet.fieldId.write.enabled")
+    }
+    val part = {
+      val s = Files.list(Paths.get(rw))
+      try s.iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      finally s.close()
+    }
+    Files.delete(victim); Files.move(part, victim)
+    // drop hadoop's stale checksum sidecar for the replaced file
+    Files.deleteIfExists(victim.getParent.resolve(
+      "." + victim.getFileName.toString + ".crc"))
     val p = Paths.get(ice, "metadata", "v1.metadata.json")
     Files.writeString(p, Files.readString(p)
       .replace("\"name\" : \"name\"", "\"name\" : \"customer\""))
@@ -581,7 +630,30 @@ class IcebergSpec extends SparkSpec {
       Iceberg.importTable(spark, ice, dst)
     }
     assert(e.getMessage.contains("column renamed"), e.getMessage)
-    assert(e.getMessage.contains("customer"))
+    assert(e.getMessage.contains("customer"), e.getMessage)
+  }
+
+  test("post-import MUTATIONS of an id-resolved table keep it readable: " +
+       "writeData re-stamps the ids, so append/UPDATE files id-resolve " +
+       "like the adopted ones") {
+    val src = tmp("mut-src"); val ice = tmp("mut-ice")
+    val dst = tmp("mut-dst")
+    val tbl = tableWithFieldIds(src)
+    Iceberg.exportTable(tbl, ice)
+    val p = Paths.get(ice, "metadata", "v1.metadata.json")
+    Files.writeString(p, Files.readString(p)
+      .replace("\"name\" : \"name\"", "\"name\" : \"customer\""))
+    val back = Iceberg.importTable(spark, ice, dst)
+    // append under the CURRENT (renamed) schema, then update a row —
+    // both write fresh files through writeData
+    back.append(spark.createDataFrame(
+      Seq(Row(4L, "dana", java.sql.Date.valueOf("2024-04-01"), 7.5, 2))
+        .asJava, back.schema))
+    back.update(Map("customer" -> "'ALICE'"), Some("id = 1"))
+    val got = back.toDF.selectExpr("id", "customer").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    assert(got == Seq((1L, "ALICE"), (2L, "bob"), (3L, null),
+      (4L, "dana")), got.toString)
   }
 
   test("a SWAP-rename (stale footer name collides with a different " +
@@ -659,20 +731,22 @@ class IcebergSpec extends SparkSpec {
     assert(got == Seq((1L, "alice", 10L), (2L, "bob", 20L)), got.toString)
   }
 
-  test("a NESTED rename refuses under the name-trust regime (partial " +
-       "top-level ids): the recursive cross-check catches it") {
+  test("a file stamping top-level ids but NOT a nested field is the " +
+       "PARTIAL class and refuses — the nested null-fill an id-resolved " +
+       "scan would otherwise commit silently") {
     val src = tmp("nestref-src"); val ice = tmp("nestref-ice")
     val dst = tmp("nestref-dst")
     val inner = StructType(Seq(
-      StructField("name", StringType, nullable = true, metadata =
-        new MetadataBuilder().putLong("parquet.field.id", 3L).build()),
-      StructField("v", LongType, nullable = true)))
+      // nested 'name' carries NO id — the hole a top-level-only
+      // completeness check used to wave through
+      StructField("name", StringType, nullable = true),
+      StructField("v", LongType, nullable = true, metadata =
+        new MetadataBuilder().putLong("parquet.field.id", 4L).build())))
     val schema = StructType(Seq(
-      StructField("id", LongType, nullable = false),
+      StructField("id", LongType, nullable = false, metadata =
+        new MetadataBuilder().putLong("parquet.field.id", 1L).build()),
       StructField("info", inner, nullable = true, metadata =
         new MetadataBuilder().putLong("parquet.field.id", 2L).build())))
-    // top-level 'id' carries NO parquet id -> topIdsComplete false ->
-    // name-trust regime; the nested 'name' DOES carry id 3
     val rows = Seq(Row(1L, Row("alice", 10L)))
     val prev = spark.conf.getOption("spark.sql.parquet.fieldId.write.enabled")
     spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
@@ -686,19 +760,10 @@ class IcebergSpec extends SparkSpec {
           "spark.sql.parquet.fieldId.write.enabled")
       }
     Iceberg.exportTable(tbl, ice)
-    val p = Paths.get(ice, "metadata", "v1.metadata.json")
-    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-    val node = mapper.readTree(Files.readString(p))
-    node.get("schemas").get(0).get("fields").get(1).get("type")
-      .get("fields").get(0)
-      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
-      .put("name", "label")
-    Files.writeString(p, mapper.writeValueAsString(node))
     val e = intercept[IllegalArgumentException] {
       Iceberg.importTable(spark, ice, dst)
     }
-    assert(e.getMessage.contains("column renamed"), e.getMessage)
-    assert(e.getMessage.contains("label"), e.getMessage)
+    assert(e.getMessage.contains("PARTIALLY stamped"), e.getMessage)
   }
 
   test("time travel resolves the SNAPSHOT'S OWN schema-id: a pre-rename " +
