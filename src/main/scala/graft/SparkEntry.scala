@@ -493,6 +493,53 @@ object SparkEntry {
       back.toDF
     }),
 
+    // The RENAMED-COLUMN migration (the spec's field-id resolution rule
+    // under the oracle gate): data files written with parquet field ids
+    // under the OLD column name, the table schema renamed afterwards —
+    // the import must serve the renamed column BY ID from the old-named
+    // footers (a name-based adoption would null-fill it silently, which
+    // the hash against the oracle's aliased SELECT would catch). The
+    // source frame keeps its distribution (createDataFrame over the
+    // same rows with id-bearing fields — no collect), and the in-query
+    // require()s pin both the rename taking effect and the id-resolved
+    // regime being the one exercised.
+    "iceberg_rename_import" -> ((s, dir) => {
+      val src = "/root/repo/target/tmp/q_iceren_src"
+      val ice = "/root/repo/target/tmp/q_iceren_ice"
+      val clone = "/root/repo/target/tmp/q_iceren_clone"
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm); f.delete(); ()
+      }
+      Seq(src, ice, clone).foreach(p => rm(new java.io.File(p)))
+      val orders = t(s, dir, "orders")
+      // stamp spec field ids 1..n (what every Iceberg writer's files
+      // carry) so the rename is id-resolvable
+      val withIds = org.apache.spark.sql.types.StructType(
+        orders.schema.fields.zipWithIndex.map { case (f, i) =>
+          f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(f.metadata)
+            .putLong("parquet.field.id", i + 1L).build())
+        })
+      s.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+      val tbl = ManagedTable.create(
+        s.createDataFrame(orders.rdd, withIds), src)
+      sources.Iceberg.exportTable(tbl, ice)
+      // the table renames o_orderpriority -> priority_note; the files
+      // keep the old name under the same field id
+      val p = java.nio.file.Paths.get(ice, "metadata", "v1.metadata.json")
+      java.nio.file.Files.writeString(p,
+        java.nio.file.Files.readString(p).replace(
+          "\"name\" : \"o_orderpriority\"", "\"name\" : \"priority_note\""))
+      val back = sources.Iceberg.importTable(s, ice, clone)
+      require(back.schema.fieldNames.contains("priority_note") &&
+          !back.schema.fieldNames.contains("o_orderpriority"),
+        "the rename must land in the adopted schema")
+      require(back.schema.fields.forall(
+          _.metadata.contains("parquet.field.id")),
+        "the adoption must be the id-resolved regime, not name trust")
+      back.toDF
+    }),
+
     // CONVERT TO DELTA analog: adopt the raw testdata parquet AS a
     // managed table (hard links, footer stats, no rewrite), then prove
     // the adopted stats work by running file-granular DML on it — the
@@ -4440,6 +4487,11 @@ object SparkEntry {
     // deleted keys
     "iceberg_dv_import" ->
       "SELECT * FROM orders WHERE NOT (o_orderkey % 10 = 3)",
+    // renamed-column round trip: same rows, the renamed column served
+    // by field id from old-named footers
+    "iceberg_rename_import" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |o_orderdate, o_orderpriority AS priority_note FROM orders""".stripMargin,
 
     // the clone is the PRE-delete snapshot, unaffected by the source's
     // later DML + vacuum
