@@ -59,14 +59,20 @@ import graft.tables.ManagedTable
   * first), delete-file entries inside data manifests (and vice versa —
   * malformed metadata), non-parquet data files, unsupported column
   * types (uuid/fixed/time), unknown partition transforms, non-identity
-  * transforms whose sources are missing from the data files, RENAMED
-  * columns whose footers lack complete field ids (uncheckable by id,
-  * and a name-based scan would null-fill silently — footers entirely
-  * without ids are trusted by name, the documented boundary; footers
-  * WITH ids are cross-checked recursively through nested structs), and
-  * a rename whose STALE name collides with a different current column
+  * transforms whose sources are missing from the data files,
+  * PARTIALLY-id-stamped footers (no safe regime exists: an id-resolved
+  * scan would null-fill the unstamped fields, a name-trusted read
+  * could not see a rename on them — footers are FULLY stamped, entirely
+  * id-less, or refused), RENAMED columns in tables with any entirely
+  * id-less footer (those files are trusted by name, the documented
+  * boundary; every id a fully-stamped footer carries is cross-checked
+  * recursively through nested structs and a mismatch refuses), and a
+  * rename whose STALE name collides with a different current column
   * (per-file footer stats would cross-bind to the wrong column and
-  * corrupt file skipping). [[snapshot]]/[[importTable]] take an
+  * corrupt file skipping). After an id-resolved import, every graft
+  * write to the table RE-STAMPS the ids ([[ManagedTable]]'s write
+  * path), so append/UPDATE/OPTIMIZE files id-resolve like the adopted
+  * ones. [[snapshot]]/[[importTable]] take an
   * optional `snapshotId` for TIME TRAVEL to any snapshot still listed
   * in the metadata.
   *
