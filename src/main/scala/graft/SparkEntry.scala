@@ -520,24 +520,28 @@ object SparkEntry {
             .withMetadata(f.metadata)
             .putLong("parquet.field.id", i + 1L).build())
         })
-      s.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
-      val tbl = ManagedTable.create(
-        s.createDataFrame(orders.rdd, withIds), src)
-      sources.Iceberg.exportTable(tbl, ice)
-      // the table renames o_orderpriority -> priority_note; the files
-      // keep the old name under the same field id
-      val p = java.nio.file.Paths.get(ice, "metadata", "v1.metadata.json")
-      java.nio.file.Files.writeString(p,
-        java.nio.file.Files.readString(p).replace(
-          "\"name\" : \"o_orderpriority\"", "\"name\" : \"priority_note\""))
-      val back = sources.Iceberg.importTable(s, ice, clone)
-      require(back.schema.fieldNames.contains("priority_note") &&
-          !back.schema.fieldNames.contains("o_orderpriority"),
-        "the rename must land in the adopted schema")
-      require(back.schema.fields.forall(
-          _.metadata.contains("parquet.field.id")),
-        "the adoption must be the id-resolved regime, not name trust")
-      back.toDF
+      // conf scoped by withConfs (save/restore, never a session-global
+      // flip left behind): the id-stamped CREATE is eager, so the flag
+      // is only needed inside the body
+      withConfs(s, "spark.sql.parquet.fieldId.write.enabled" -> "true") {
+        val tbl = ManagedTable.create(
+          s.createDataFrame(orders.rdd, withIds), src)
+        sources.Iceberg.exportTable(tbl, ice)
+        // the table renames o_orderpriority -> priority_note; the files
+        // keep the old name under the same field id
+        val p = java.nio.file.Paths.get(ice, "metadata", "v1.metadata.json")
+        java.nio.file.Files.writeString(p,
+          java.nio.file.Files.readString(p).replace(
+            "\"name\" : \"o_orderpriority\"", "\"name\" : \"priority_note\""))
+        val back = sources.Iceberg.importTable(s, ice, clone)
+        require(back.schema.fieldNames.contains("priority_note") &&
+            !back.schema.fieldNames.contains("o_orderpriority"),
+          "the rename must land in the adopted schema")
+        require(back.schema.fields.forall(
+            _.metadata.contains("parquet.field.id")),
+          "the adoption must be the id-resolved regime, not name trust")
+        back.toDF
+      }
     }),
 
     // CONVERT TO DELTA analog: adopt the raw testdata parquet AS a

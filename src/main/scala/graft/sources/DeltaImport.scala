@@ -708,7 +708,10 @@ object DeltaImport {
                 "the scan's _metadata.file_path"))
         val rows = dvPositionRows(spark, deltaPath, masked.toSeq,
           "path", "pos")
-        Some(ManagedTable.AdoptedDv(rows, masked.keySet))
+        // nRows from the descriptors' cardinalities (exact per the Delta
+        // spec) sizes the sidecar write's shard count
+        Some(ManagedTable.AdoptedDv(rows, masked.keySet,
+          masked.valuesIterator.map(_.cardinality).sum))
       }
     ManagedTable.adoptFiles(spark, targetPath, links,
       schema = logicalSchema(snap), partitionBy = snap.partitionColumns,

@@ -351,22 +351,39 @@ object Iceberg {
         })
 
     // schema: v2 schemas[] — by the snapshot's own schema-id under
-    // explicit time travel, else current-schema-id; v1 inline "schema"
+    // explicit time travel, else current-schema-id; v1 inline "schema".
+    // Writers that emit schemas[] WITHOUT current-schema-id fall back
+    // to the inline schema node, else the SOLE schemas[] entry — the
+    // require stays only where the choice is genuinely ambiguous
+    // (multiple schemas, no pointer)
     val schemaNode: JsonNode =
       if (root.has("schemas")) {
-        val wantId = snapNode
+        val wantId: Option[Int] = snapNode
           .filter(_ => snapshotId.isDefined)
           .filter(_.hasNonNull("schema-id"))
           .map(_.get("schema-id").asInt())
-          .getOrElse {
-            require(root.has("current-schema-id"),
-              "Iceberg metadata has schemas[] but no current-schema-id")
-            root.get("current-schema-id").asInt()
-          }
-        root.get("schemas").elements().asScala
-          .find(_.path("schema-id").asInt(-1) == wantId)
-          .getOrElse(throw new IllegalArgumentException(
-            s"schema-id $wantId not in schemas[]"))
+          .orElse(
+            if (root.has("current-schema-id"))
+              Some(root.get("current-schema-id").asInt())
+            else None)
+        wantId match {
+          case Some(want) =>
+            root.get("schemas").elements().asScala
+              .find(_.path("schema-id").asInt(-1) == want)
+              .getOrElse(throw new IllegalArgumentException(
+                s"schema-id $want not in schemas[]"))
+          case None =>
+            val inline = root.path("schema")
+            if (inline.has("fields")) inline
+            else {
+              val all = root.get("schemas").elements().asScala.toSeq
+              require(all.size == 1,
+                "Iceberg metadata has schemas[] but no current-schema-id, " +
+                  "no inline schema, and more than one schemas[] entry — " +
+                  "the choice is ambiguous")
+              all.head
+            }
+        }
       } else root.path("schema")
     require(schemaNode != null && schemaNode.has("fields"),
       "Iceberg metadata lacks a schema")
@@ -813,7 +830,9 @@ object Iceberg {
         val maskedRel = delRows.select("file_path").distinct()
           .collect().map(_.getString(0)).flatMap(relByRaw.get).toSet
         if (maskedRel.isEmpty) None
-        else Some(ManagedTable.AdoptedDv(matched, maskedRel))
+        // nRows: the verified delete-file row count (an upper bound on
+        // the post-distinct mask) sizes the sidecar write's shard count
+        else Some(ManagedTable.AdoptedDv(matched, maskedRel, got))
       }
 
     val tbl = ManagedTable.adoptFiles(spark, targetPath,
@@ -934,23 +953,79 @@ object Iceberg {
     partCols.foreach(c => require(schema.fieldNames.contains(c),
       s"partition column $c missing from schema"))
 
-    // ---- schema JSON with stable field ids (top-level 1..n first,
-    // nested ids appended after — the Iceberg java writer's rule)
+    // ---- schema JSON field ids: positional (top-level 1..n first,
+    // nested ids appended after — the Iceberg java writer's rule) for
+    // id-LESS schemas. A schema that CARRIES parquet.field.id metadata
+    // (an id-resolved import, possibly non-positional after drop/
+    // late-add evolution) exports its METADATA ids instead: writeData
+    // re-stamps exactly those ids into every data file, and external
+    // Iceberg readers resolve columns BY ID, so positional metadata ids
+    // that disagree with the stamped files would misbind or null-fill
+    // silently — the silent-misread class the import side refuses
+    // loudly. Partial coverage (some fields stamped, some not) refuses:
+    // no assignment can agree with the files.
+    val useMetaIds = ManagedTable.hasFieldIds(schema)
     var id = schema.fields.length
     val nextId = () => { id += 1; id }
+    def metaIdOf(f: StructField, path: String): Int = {
+      require(f.metadata.contains(FieldIdKey),
+        s"cannot export: schema carries $FieldIdKey metadata but field " +
+          s"$path lacks one — partial id coverage cannot agree with the " +
+          "ids stamped in the data files")
+      val v = f.metadata.getLong(FieldIdKey)
+      require(v >= 1L && v <= Int.MaxValue.toLong,
+        s"field $path has out-of-range $FieldIdKey $v")
+      v.toInt
+    }
+    val usedMetaIds = scala.collection.mutable.ArrayBuffer.empty[Int]
+    def toIcebergTypeMeta(dt: DataType, path: String): Object = dt match {
+      case s: StructType =>
+        val o = mapper.createObjectNode()
+        o.put("type", "struct")
+        val fs = o.putArray("fields")
+        s.fields.foreach { f =>
+          val fid = metaIdOf(f, s"$path.${f.name}")
+          usedMetaIds += fid
+          val fo = fs.addObject()
+          fo.put("id", fid)
+          fo.put("name", f.name)
+          fo.put("required", !f.nullable)
+          putType(fo, "type", toIcebergTypeMeta(f.dataType, s"$path.${f.name}"))
+        }
+        o
+      case _: ArrayType | _: MapType =>
+        // Spark field metadata cannot carry list-element / map-key/value
+        // ids, so an id-bearing schema's collection ids cannot be proven
+        // to match the stamped files — refuse rather than guess
+        throw new IllegalArgumentException(
+          s"cannot export collection-typed field $path from an " +
+            "id-bearing schema: element/key/value ids are not " +
+            "representable in Spark field metadata")
+      case prim => toIcebergType(prim, nextId) // primitives consume no ids
+    }
     val schemaNode = mapper.createObjectNode()
     schemaNode.put("type", "struct")
     schemaNode.put("schema-id", 0)
     val sf = schemaNode.putArray("fields")
     schema.fields.zipWithIndex.foreach { case (f, i) =>
+      val fid =
+        if (useMetaIds) { val x = metaIdOf(f, f.name); usedMetaIds += x; x }
+        else i + 1
       val fo = sf.addObject()
-      fo.put("id", i + 1)
+      fo.put("id", fid)
       fo.put("name", f.name)
       fo.put("required", !f.nullable)
-      putType(fo, "type", toIcebergType(f.dataType, nextId))
+      putType(fo, "type",
+        if (useMetaIds) toIcebergTypeMeta(f.dataType, f.name)
+        else toIcebergType(f.dataType, nextId))
     }
-    val fieldId = schema.fieldNames.zipWithIndex.map { case (n, i) =>
-      n -> (i + 1)
+    if (useMetaIds)
+      require(usedMetaIds.distinct.size == usedMetaIds.size,
+        s"cannot export: duplicate $FieldIdKey values in schema " +
+          s"(${usedMetaIds.groupBy(identity).collect {
+            case (k, vs) if vs.size > 1 => k }.toSeq.sorted.mkString(", ")})")
+    val fieldId = schema.fields.zipWithIndex.map { case (f, i) =>
+      f.name -> (if (useMetaIds) metaIdOf(f, f.name) else i + 1)
     }.toMap
 
     // ---- partition spec (identity over the table's partition columns)
@@ -1038,10 +1113,17 @@ object Iceberg {
     finally mout.close()
     val manifestLen = Files.size(manifestPath)
 
-    // ---- position-delete leg (DV snapshots, unpartitioned): ONE
+    // ---- position-delete leg (DV snapshots, unpartitioned):
     // spec-shaped delete parquet sorted by (file_path, pos) under the
-    // reserved field ids, referenced by a delete manifest
-    val deleteLeg: Option[(Path, Long, Long)] = if (dvStats.isEmpty) None
+    // reserved field ids, referenced by a delete manifest. The spec
+    // explicitly allows MANY delete files, so the write range-
+    // partitions into a bounded shard count derived from the mask's
+    // row count (ManagedTable.dvShardCount — no O(deleted rows)
+    // single-task funnel); each shard is globally range-disjoint and
+    // sorted within, so every written file satisfies the spec's
+    // (file_path, pos) ordering rule, and each gets its own manifest
+    // entry. Small masks keep the single-file layout.
+    val deleteLeg: Seq[(Path, Long, Long)] = if (dvStats.isEmpty) Nil
     else {
       val spark = table.toDF.sparkSession
       val uriByRel = stats.map(f =>
@@ -1066,8 +1148,10 @@ object Iceberg {
       // is None on legacy log entries predating the field (numRowsAt
       // re-reads the sidecar for exactly that case) and would undercount
       val delCount = posDel.count()
+      val nShards = graft.tables.ManagedTable.dvShardCount(spark, delCount)
       val sorted = posDel
-        .repartition(1).sortWithinPartitions("file_path", "pos")
+        .repartitionByRange(nShards, col("file_path"), col("pos"))
+        .sortWithinPartitions("file_path", "pos")
       val withIds = spark.createDataFrame(sorted.rdd, outSchema)
       val tmpOut = root.resolve(s"_tmp-posdel-${java.util.UUID.randomUUID()}")
       val prevWrite =
@@ -1080,38 +1164,59 @@ object Iceberg {
         case None =>
           spark.conf.unset("spark.sql.parquet.fieldId.write.enabled")
       }
-      val part = {
+      // part-file names ascend with partition id and range partitions
+      // ascend with the sort key, so moving in name order preserves the
+      // global (file_path, pos) order across the shard files
+      val parts = {
         val s = Files.list(tmpOut)
         try s.iterator().asScala
-          .find(_.getFileName.toString.endsWith(".parquet"))
-          .getOrElse(throw new IllegalStateException(
-            s"no parquet part written under $tmpOut"))
+          .filter(_.getFileName.toString.endsWith(".parquet"))
+          .toSeq.sortBy(_.getFileName.toString)
         finally s.close()
       }
+      require(parts.nonEmpty, s"no parquet part written under $tmpOut")
       val dataDir = root.resolve("data")
       Files.createDirectories(dataDir)
-      val target = dataDir.resolve(
-        s"graft-pos-delete-${java.util.UUID.randomUUID()}.parquet")
-      Files.move(part, target)
+      val moved = parts.zipWithIndex.map { case (part, i) =>
+        val target = dataDir.resolve(
+          f"graft-pos-delete-$i%05d-${java.util.UUID.randomUUID()}.parquet")
+        Files.move(part, target)
+        // manifest record_count = the rows actually in each delete file,
+        // read from its own footer (one O(shards) driver pass)
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(target.toUri),
+          spark.sessionState.newHadoopConf())
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        val rows =
+          try r.getFooter.getBlocks.asScala.map(_.getRowCount).sum
+          finally r.close()
+        (target, rows, Files.size(target))
+      }
+      require(moved.map(_._2).sum == delCount,
+        s"position-delete export drifted: wrote ${moved.map(_._2).sum} " +
+          s"rows across ${moved.size} files, mask carries $delCount")
       // clear the temp dir (part crc/_SUCCESS markers)
       val leftovers = Files.walk(tmpOut)
       try leftovers.iterator().asScala.toSeq.reverse.foreach(p =>
         try Files.delete(p) catch { case _: java.io.IOException => () })
       finally leftovers.close()
       posDel.unpersist()
-      Some((target, delCount, Files.size(target)))
+      moved
     }
-    val deleteManifest: Option[(Path, Long, Long)] = deleteLeg.map {
-      case (delFile, delCount, delBytes) =>
+    val deleteManifest: Option[(Path, Long, Long)] =
+      if (deleteLeg.isEmpty) None
+      else {
         val p = metaDir.resolve("graft-del-m0.avro")
         val out = Files.newOutputStream(p)
-        try Avro.writeContainer(out, manifestEntrySchema, Seq(
-          entryOf(1, s"file://${delFile.toAbsolutePath}", delCount,
-            delBytes, Map.empty)),
+        try Avro.writeContainer(out, manifestEntrySchema,
+          deleteLeg.map { case (delFile, rows, bytes) =>
+            entryOf(1, s"file://${delFile.toAbsolutePath}", rows, bytes,
+              Map.empty)
+          },
           manifestMeta + ("content" -> "deletes"))
         finally out.close()
-        (p, delCount, Files.size(p))
-    }
+        Some((p, deleteLeg.map(_._2).sum, Files.size(p)))
+      }
 
     // ---- manifest list
     val manifestListSchema =
@@ -1151,7 +1256,7 @@ object Iceberg {
       listEntry(manifestPath, manifestLen, 0, stats.size,
         stats.map(_.rows).sum) +:
         deleteManifest.toSeq.map { case (p, delCount, len) =>
-          listEntry(p, len, 1, 1, delCount)
+          listEntry(p, len, 1, deleteLeg.size, delCount)
         })
     finally lout.close()
 
@@ -1163,7 +1268,8 @@ object Iceberg {
     md.put("location", root.toAbsolutePath.toString)
     md.put("last-sequence-number", 1L)
     md.put("last-updated-ms", 1L)
-    md.put("last-column-id", id)
+    md.put("last-column-id",
+      if (useMetaIds) usedMetaIds.max else id)
     md.put("current-schema-id", 0)
     md.set[ObjectNode]("schemas",
       mapper.createArrayNode().add(schemaNode))
@@ -1187,7 +1293,7 @@ object Iceberg {
     sn.put("manifest-list", s"file://${listPath.toAbsolutePath}")
     val summary = sn.putObject("summary")
     summary.put("operation",
-      if (deleteLeg.isDefined) "overwrite" else "append")
+      if (deleteLeg.nonEmpty) "overwrite" else "append")
     sn.put("schema-id", 0)
     Files.writeString(metaDir.resolve("v1.metadata.json"),
       mapper.writerWithDefaultPrettyPrinter().writeValueAsString(md))

@@ -732,7 +732,13 @@ final class ManagedTable private (val spark: SparkSession, val location: String)
     // (verified empirically). Re-select with the committed schema's
     // metadata (top-level) and cast to its types (restores nested
     // struct ids, which live in the DataType).
-    val df1 = Option(tableSchema).filter(ManagedTable.hasFieldIds) match {
+    val idSchema = Option(tableSchema).filter(ManagedTable.hasFieldIds)
+    // save/restore around the write (not a permanent session flip): the
+    // flag only stamps fields that carry metadata, but a library call
+    // must not leave a global conf mutated behind it
+    val prevIdWrite = idSchema.map(_ =>
+      spark.conf.getOption("spark.sql.parquet.fieldId.write.enabled"))
+    val df1 = idSchema match {
       case None => df
       case Some(ts) =>
         spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
@@ -743,39 +749,46 @@ final class ManagedTable private (val spark: SparkSession, val location: String)
           }
         }.toIndexedSeq: _*)
     }
-    // sorted writes (the `graft.write.sortBy` table property — Delta's
-    // optimized-writes + sort practice): each write RANGE-partitions by
-    // the configured columns (partition columns lead, so hive dirs keep
-    // one writer each) and sorts within tasks, so every commit's files
-    // are bound-DISJOINT on the leading sort column and probes skip
-    // inside fresh appends without waiting for an OPTIMIZE rewrite. A
-    // per-task sort alone would only tighten row-group stats — file
-    // min/max needs the range shuffle, the documented cost of the
-    // opt-in. The caller's task count is preserved, so file sizing
-    // decisions (small-batch coalesce, compaction targets) survive.
-    // `alreadyOrdered` frames (OPTIMIZE's z-/Hilbert-/sort-clustered
-    // rewrites) bypass the staging: re-range-partitioning a frame the
-    // caller just multi-dimensionally clustered would silently destroy
-    // that clustering while recording the commit as OPTIMIZE.
-    val sortCols =
-      if (alreadyOrdered) Nil
-      else props.get(ManagedTable.writeSortPropKey)
-        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
-        .getOrElse(Nil).filter(df.columns.contains)
-    val staged =
-      if (sortCols.isEmpty) enforced(df1, props)
-      else {
-        val e = enforced(df1, props)
-        val keys = (parts.filter(df.columns.contains) ++ sortCols)
-          .distinct.map(col)
-        val n = math.max(1, e.rdd.getNumPartitions)
-        e.repartitionByRange(n, keys: _*).sortWithinPartitions(keys: _*)
-      }
-    val w = staged.write.mode("overwrite")
-      .options(BloomSkip.writeOptions(props))
-    (if (parts.nonEmpty) w.partitionBy(parts: _*) else w).parquet(out.toString)
-    if (parts.isEmpty) Seq(id)
-    else leafDirs(out, parts.length).map(l => id + "/" + out.relativize(l).toString)
+    try {
+      // sorted writes (the `graft.write.sortBy` table property — Delta's
+      // optimized-writes + sort practice): each write RANGE-partitions by
+      // the configured columns (partition columns lead, so hive dirs keep
+      // one writer each) and sorts within tasks, so every commit's files
+      // are bound-DISJOINT on the leading sort column and probes skip
+      // inside fresh appends without waiting for an OPTIMIZE rewrite. A
+      // per-task sort alone would only tighten row-group stats — file
+      // min/max needs the range shuffle, the documented cost of the
+      // opt-in. The caller's task count is preserved, so file sizing
+      // decisions (small-batch coalesce, compaction targets) survive.
+      // `alreadyOrdered` frames (OPTIMIZE's z-/Hilbert-/sort-clustered
+      // rewrites) bypass the staging: re-range-partitioning a frame the
+      // caller just multi-dimensionally clustered would silently destroy
+      // that clustering while recording the commit as OPTIMIZE.
+      val sortCols =
+        if (alreadyOrdered) Nil
+        else props.get(ManagedTable.writeSortPropKey)
+          .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+          .getOrElse(Nil).filter(df.columns.contains)
+      val staged =
+        if (sortCols.isEmpty) enforced(df1, props)
+        else {
+          val e = enforced(df1, props)
+          val keys = (parts.filter(df.columns.contains) ++ sortCols)
+            .distinct.map(col)
+          val n = math.max(1, e.rdd.getNumPartitions)
+          e.repartitionByRange(n, keys: _*).sortWithinPartitions(keys: _*)
+        }
+      val w = staged.write.mode("overwrite")
+        .options(BloomSkip.writeOptions(props))
+      (if (parts.nonEmpty) w.partitionBy(parts: _*) else w).parquet(out.toString)
+      if (parts.isEmpty) Seq(id)
+      else leafDirs(out, parts.length).map(l => id + "/" + out.relativize(l).toString)
+    } finally prevIdWrite.foreach {
+      case Some(v) =>
+        spark.conf.set("spark.sql.parquet.fieldId.write.enabled", v)
+      case None =>
+        spark.conf.unset("spark.sql.parquet.fieldId.write.enabled")
+    }
   }
 
   /** The partition directories exactly `depth` levels below `root`. */
@@ -1795,8 +1808,18 @@ final class ManagedTable private (val spark: SparkSession, val location: String)
           .parquet(priorRefs.map(r => dvRoot.resolve(r).toString): _*)
           .filter(col("path").isInCollection(touchedPaths))
       val dvId = UUID.randomUUID().toString
-      prior.unionByName(matched.select(col(FP).as("path"), col(POS).as("pos")))
-        .coalesce(1)
+      // sharded sidecar write: one task per ~rowsPerShard mask rows,
+      // partitioned by data-file path (see [[ManagedTable.dvShardCount]]
+      // — a bulk DELETE must not serialize O(deleted rows) through one
+      // task). Prior mass is known from the touched files' dvRows
+      // (legacy entries without the field just undercount the estimate,
+      // which only makes shards larger, never wrong).
+      val mask =
+        prior.unionByName(matched.select(col(FP).as("path"), col(POS).as("pos")))
+      val nShards = ManagedTable.dvShardCount(
+        spark, n + touched.flatMap(_.dvRows).sum)
+      (if (nShards == 1) mask.coalesce(1)
+       else mask.repartition(nShards, col("path")))
         .write.parquet(dvRoot.resolve(dvId).toString)
       // per-file masked counts off the just-written sidecar (one read of
       // a file sized O(deleted rows)) — the metadata-only numRows input
@@ -2944,6 +2967,36 @@ object ManagedTable {
     */
   private[graft] val dvBroadcastThresholdDefault: Long = 64L * 1024 * 1024
 
+  /** Rows per DV-sidecar shard file (override with
+    * `spark.graft.dv.rowsPerShard`). Sidecar writes used to funnel
+    * O(deleted rows) through ONE task (`coalesce(1)`) — fine for point
+    * deletes, a serial wall on a bulk DELETE masking 1% of a large
+    * table. [[dvShardCount]] derives a bounded shard count from the
+    * mask's row count (the `Arpa.writeSharded` sizing idiom: derived
+    * from the data, never a fixed small constant that fragments); the
+    * write then hash-repartitions by data-file path so each shard file
+    * holds whole per-file runs and the per-task mass is bounded by the
+    * largest single data file's deleted rows. The read side
+    * directory-globs the sidecar (`parquet(dir)`), so the layout is
+    * invisible to scans, vacuum (whole-dir removal), and
+    * conflict-rebase. At or below one shard the write keeps the
+    * single-file `coalesce(1)` form — point deletes pay nothing new.
+    */
+  private[graft] val dvRowsPerShardDefault: Long = 4L * 1000 * 1000
+
+  /** Bounded shard count for an O(deleted rows) sidecar write: ceil
+    * (rows / rowsPerShard) clamped to [1, 512]. 512 shards × 4M rows
+    * covers ~2G masked rows per commit before shards grow past the
+    * target; beyond that shards grow (bounded growth beats unbounded
+    * file counts in the manifest).
+    */
+  private[graft] def dvShardCount(spark: SparkSession, rows: Long): Int = {
+    val per = spark.conf.getOption("spark.graft.dv.rowsPerShard")
+      .map(_.toLong).getOrElse(dvRowsPerShardDefault)
+    require(per > 0, s"spark.graft.dv.rowsPerShard must be > 0, got $per")
+    math.max(1L, math.min(512L, (rows + per - 1L) / per)).toInt
+  }
+
   /** Memoized on-disk size of a DV sidecar dir (immutable once
     * committed). Bounded: the cache resets past 100k entries — refs are
     * globally unique uuid dirs, so collisions across tables are moot.
@@ -3156,9 +3209,15 @@ object ManagedTable {
     * [[dvSchema]] (path = data-dir-relative ADOPTED path, pos = row
     * index) plus the set of adopted paths the vector masks — the v0
     * commit's [[FileStat]]s point those files at the written sidecar.
+    * `nRows` is the caller's mask row count (importers know it from
+    * their source metadata: delete-manifest record counts, DV
+    * descriptor cardinalities), used only to size the sidecar write's
+    * shard count ([[dvShardCount]]) — an UPPER bound is fine, an extra
+    * count job over the delete mass is not.
     */
   private[graft] final case class AdoptedDv(rows: DataFrame,
-                                            maskedPaths: Set[String])
+                                            maskedPaths: Set[String],
+                                            nRows: Long)
 
   private[graft] def adoptFiles(spark: SparkSession, location: String,
                                 files: Seq[(Path, String)],
@@ -3205,20 +3264,38 @@ object ManagedTable {
     // same layout a native merge-on-read DELETE would leave
     val stats = dv.fold(stats0) { d =>
       val ref = UUID.randomUUID().toString
-      d.rows.select(col("path").cast(StringType).as("path"),
-          col("pos").cast(LongType).as("pos"))
-        .coalesce(1)
+      val mask = d.rows.select(col("path").cast(StringType).as("path"),
+        col("pos").cast(LongType).as("pos"))
+      // sharded sidecar write sized from the caller's mask row count —
+      // see [[dvShardCount]]; one-shard masks keep the single-file form
+      val nShards = dvShardCount(spark, d.nRows)
+      (if (nShards == 1) mask.coalesce(1)
+       else mask.repartition(nShards, col("path")))
         .write.parquet(Paths.get(location, "_graft_dv", ref).toString)
       val unmatched = d.maskedPaths.diff(stats0.map(_.path).toSet)
       require(unmatched.isEmpty,
         s"adopted deletion vectors reference unknown files: $unmatched")
       val byPath = spark.read.schema(dvSchema)
         .parquet(Paths.get(location, "_graft_dv", ref).toString)
-        .groupBy("path").count()
-        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        .groupBy("path").agg(count(lit(1)).as("n"), max("pos").as("maxPos"))
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+        .toMap
+      // an adopted mask must be consistent with the footers it masks: a
+      // corrupt delete row with pos >= the file's row count would
+      // inflate dvRows and silently undercount metadata numRows (the
+      // final import integrity check subtracts the same bad count from
+      // both sides, so only a per-file bound catches it here)
+      val rowsByPath = stats0.map(f => f.path -> f.rows).toMap
+      byPath.foreach { case (p, (cnt, maxPos)) =>
+        val fileRows = rowsByPath.getOrElse(p, 0L)
+        require(cnt <= fileRows && maxPos < fileRows,
+          s"adopted deletion vector is inconsistent with $p: $cnt delete " +
+            s"rows (max pos $maxPos) against $fileRows data rows")
+      }
       stats0.map(f =>
         if (d.maskedPaths(f.path))
-          f.copy(dv = Some(ref), dvRows = Some(byPath.getOrElse(f.path, 0L)))
+          f.copy(dv = Some(ref),
+            dvRows = Some(byPath.get(f.path).map(_._1).getOrElse(0L)))
         else f)
     }
     t.commit(LogEntry(0L, System.currentTimeMillis(), operation,

@@ -571,9 +571,48 @@ class IcebergSpec extends SparkSpec {
        "name-trust couldn't see a rename on them)") {
     val src = tmp("renp-src"); val ice = tmp("renp-ice")
     val dst = tmp("renp-dst")
-    // ids stamped on only the first two columns: the partial class
-    val tbl = tableWithFieldIds(src, onlyFirst = 2)
+    // graft can no longer produce this table end to end (export refuses
+    // partial-id SCHEMAS outright — see the partial-coverage export
+    // test), so the partial FOOTER is manufactured the foreign-tool
+    // way, like the mixed-table test below: export a fully-stamped
+    // table, then rewrite one data file in place with ids on only its
+    // first two columns
+    val tbl = tableWithFieldIds(src)
     Iceberg.exportTable(tbl, ice)
+    val victim = {
+      val s = Files.walk(Paths.get(src, "data"))
+      try s.iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet")).toSeq.head
+      finally s.close()
+    }
+    val partialSchema = StructType(ordersDf.schema.fields.zipWithIndex.map {
+      case (f, i) =>
+        if (i < 2)
+          f.copy(metadata = new MetadataBuilder().withMetadata(f.metadata)
+            .putLong("parquet.field.id", i + 1L).build())
+        else f
+    })
+    val victimRows = spark.read.parquet(victim.toString).collect().toIndexedSeq
+    val rw = tmp("renp-rw")
+    val prev = spark.conf.getOption("spark.sql.parquet.fieldId.write.enabled")
+    spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+    try spark.createDataFrame(victimRows.asJava, partialSchema)
+      .coalesce(1).write.parquet(rw)
+    finally prev match {
+      case Some(v) => spark.conf.set(
+        "spark.sql.parquet.fieldId.write.enabled", v)
+      case None => spark.conf.unset(
+        "spark.sql.parquet.fieldId.write.enabled")
+    }
+    val part = {
+      val s = Files.list(Paths.get(rw))
+      try s.iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      finally s.close()
+    }
+    Files.delete(victim); Files.move(part, victim)
+    Files.deleteIfExists(victim.getParent.resolve(
+      "." + victim.getFileName.toString + ".crc"))
     val e = intercept[IllegalArgumentException] {
       Iceberg.importTable(spark, ice, dst)
     }
@@ -736,13 +775,12 @@ class IcebergSpec extends SparkSpec {
        "scan would otherwise commit silently") {
     val src = tmp("nestref-src"); val ice = tmp("nestref-ice")
     val dst = tmp("nestref-dst")
-    val inner = StructType(Seq(
-      // nested 'name' carries NO id — the hole a top-level-only
-      // completeness check used to wave through
-      StructField("name", StringType, nullable = true),
+    val innerFull = StructType(Seq(
+      StructField("name", StringType, nullable = true, metadata =
+        new MetadataBuilder().putLong("parquet.field.id", 3L).build()),
       StructField("v", LongType, nullable = true, metadata =
         new MetadataBuilder().putLong("parquet.field.id", 4L).build())))
-    val schema = StructType(Seq(
+    def outer(inner: StructType): StructType = StructType(Seq(
       StructField("id", LongType, nullable = false, metadata =
         new MetadataBuilder().putLong("parquet.field.id", 1L).build()),
       StructField("info", inner, nullable = true, metadata =
@@ -752,7 +790,7 @@ class IcebergSpec extends SparkSpec {
     spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
     val tbl =
       try ManagedTable.create(
-        spark.createDataFrame(rows.asJava, schema), src)
+        spark.createDataFrame(rows.asJava, outer(innerFull)), src)
       finally prev match {
         case Some(v) => spark.conf.set(
           "spark.sql.parquet.fieldId.write.enabled", v)
@@ -760,6 +798,38 @@ class IcebergSpec extends SparkSpec {
           "spark.sql.parquet.fieldId.write.enabled")
       }
     Iceberg.exportTable(tbl, ice)
+    // the partial FOOTER is manufactured by an in-place rewrite (export
+    // refuses partial-id schemas outright): nested 'name' loses its id —
+    // the hole a top-level-only completeness check used to wave through
+    val innerPartial = StructType(Seq(
+      StructField("name", StringType, nullable = true),
+      StructField("v", LongType, nullable = true, metadata =
+        new MetadataBuilder().putLong("parquet.field.id", 4L).build())))
+    val victim = {
+      val s = Files.walk(Paths.get(src, "data"))
+      try s.iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet")).toSeq.head
+      finally s.close()
+    }
+    val rw = tmp("nestref-rw")
+    spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+    try spark.createDataFrame(rows.asJava, outer(innerPartial))
+      .coalesce(1).write.parquet(rw)
+    finally prev match {
+      case Some(v) => spark.conf.set(
+        "spark.sql.parquet.fieldId.write.enabled", v)
+      case None => spark.conf.unset(
+        "spark.sql.parquet.fieldId.write.enabled")
+    }
+    val part = {
+      val s = Files.list(Paths.get(rw))
+      try s.iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      finally s.close()
+    }
+    Files.delete(victim); Files.move(part, victim)
+    Files.deleteIfExists(victim.getParent.resolve(
+      "." + victim.getFileName.toString + ".crc"))
     val e = intercept[IllegalArgumentException] {
       Iceberg.importTable(spark, ice, dst)
     }
@@ -814,6 +884,192 @@ class IcebergSpec extends SparkSpec {
     assert(back.toDF.count() == 0)
     assert(back.schema.fieldNames.toSeq ==
       Seq("id", "name", "d", "v", "bucket"))
+  }
+
+  // ---- sharded position-delete export / sharded sidecar adoption ------
+
+  test("a BULK DV mask exports as SHARDED position-delete files — many " +
+       "range-disjoint sorted files, one manifest entry each — and the " +
+       "import adopts them through a SHARDED sidecar write") {
+    import org.apache.spark.sql.functions.col
+    val src = tmp("dvsh-src"); val ice = tmp("dvsh-ice")
+    val dst = tmp("dvsh-dst")
+    val big = spark.range(3000).select(col("id"), (col("id") * 7).as("v"))
+    val tbl = ManagedTable.create(big, src,
+      properties = Map(ManagedTable.dvPropKey -> "true"))
+    tbl.optimize(targetFileSizeBytes = 16 * 1024, sortBy = Seq("id"))
+    val prev = spark.conf.getOption("spark.graft.dv.rowsPerShard")
+    spark.conf.set("spark.graft.dv.rowsPerShard", "100")
+    try {
+      assert(tbl.delete("id % 3 = 0") == 1000)
+      Iceberg.exportTable(tbl, ice)
+      // many delete files under data/ (name order = global order)
+      val delFiles = {
+        val s = Files.list(Paths.get(ice, "data"))
+        try s.iterator().asScala.map(_.getFileName.toString)
+          .filter(_.endsWith(".parquet")).toSeq.sorted
+        finally s.close()
+      }
+      assert(delFiles.size > 1,
+        s"a 1000-row mask at 100 rows/shard must shard, got ${delFiles.size}")
+      // one manifest entry per shard, record_count = that file's rows
+      val mc = Avro.readContainer(Files.newInputStream(
+        Paths.get(ice, "metadata", "graft-del-m0.avro")))
+      val entries = mc.records.map(_.asInstanceOf[Map[String, Any]])
+        .map(_("data_file").asInstanceOf[Map[String, Any]])
+      assert(entries.size == delFiles.size)
+      assert(entries.forall(_("content") == 1))
+      val byPath = entries.map(e =>
+        e("file_path").toString.split('/').last ->
+          e("record_count").asInstanceOf[Long]).toMap
+      var total = 0L
+      val ranges = delFiles.map { f =>
+        val rows = spark.read
+          .parquet(Paths.get(ice, "data", f).toString)
+          .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+        assert(byPath(f) == rows.size.toLong,
+          s"manifest record_count for $f must match the footer")
+        // the spec's ordering rule holds WITHIN each file
+        assert(rows == rows.sorted, s"$f must be sorted by (file_path, pos)")
+        total += rows.size
+        (rows.head, rows.last)
+      }
+      assert(total == 1000L)
+      // range partitioning keeps files DISJOINT in global order
+      ranges.sliding(2).foreach {
+        case Seq((_, hi), (lo, _)) =>
+          assert(implicitly[Ordering[(String, Long)]].lt(hi, lo),
+            s"shard ranges must be disjoint in name order: $hi !< $lo")
+        case _ => ()
+      }
+      // the import side shards its sidecar write too
+      val back = Iceberg.importTable(spark, ice, dst)
+      val refs = back.currentFileStats.flatMap(_.dv).distinct
+      assert(refs.size == 1)
+      val sidecarParts = {
+        val s = Files.list(Paths.get(dst, "_graft_dv", refs.head))
+        try s.iterator().asScala.map(_.getFileName.toString)
+          .filter(_.endsWith(".parquet")).toSeq
+        finally s.close()
+      }
+      assert(sidecarParts.size > 1,
+        s"the adopted sidecar must shard, got ${sidecarParts.size} file(s)")
+      assertDfEquality(back.toDF, big.filter("id % 3 <> 0"))
+      assert(back.numRows == 2000L)
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.graft.dv.rowsPerShard", v)
+      case None => spark.conf.unset("spark.graft.dv.rowsPerShard")
+    }
+  }
+
+  test("adopted position deletes inconsistent with the file's row count " +
+       "refuse loud (pos past the footer rows)") {
+    val src = tmp("dvbad-src"); val ice = tmp("dvbad-ice")
+    val dst = tmp("dvbad-dst")
+    val tbl = ManagedTable.create(ordersDf, src,
+      properties = Map(ManagedTable.dvPropKey -> "true"))
+    tbl.delete("id = 2")
+    Iceberg.exportTable(tbl, ice)
+    // doctor the delete file: shift pos far past any file's row count,
+    // and stamp the manifest with the same count so the delete-integrity
+    // pre-check passes and the per-file bound is what must catch it
+    val delFile = {
+      val s = Files.list(Paths.get(ice, "data"))
+      try s.iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet")).toSeq.head
+      finally s.close()
+    }
+    val rows = spark.read.parquet(delFile.toString)
+    val doctored = rows.selectExpr("file_path", "pos + 1000000 AS pos")
+    val tmpD = Paths.get(tmp("dvbad-tmp"))
+    doctored.coalesce(1).write.parquet(tmpD.toString)
+    val newPart = {
+      val s = Files.list(tmpD)
+      try s.iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet")).toSeq.head
+      finally s.close()
+    }
+    Files.delete(delFile)
+    Files.copy(newPart, delFile)
+    // fix the manifest's file_size (rewrite changed it); record_count
+    // is unchanged (same rows, shifted positions)
+    val e = intercept[IllegalArgumentException] {
+      Iceberg.importTable(spark, ice, dst)
+    }
+    assert(e.getMessage.contains("inconsistent"), e.getMessage)
+  }
+
+  // ---- metadata field ids on export ------------------------------------
+
+  private def idSchema(ids: Map[String, Long]): StructType = StructType(Seq(
+    StructField("a", LongType, nullable = false),
+    StructField("b", StringType, nullable = true)).map { f =>
+    ids.get(f.name).fold(f) { i =>
+      f.copy(metadata = new MetadataBuilder()
+        .putLong("parquet.field.id", i).build())
+    }
+  })
+
+  test("export emits the schema's parquet.field.id metadata ids (NOT " +
+       "positional): external readers resolve BY ID against the ids " +
+       "writeData stamps into the files") {
+    val src = tmp("mid-src"); val ice = tmp("mid-ice"); val dst = tmp("mid-dst")
+    val data = df(idSchema(Map("a" -> 7L, "b" -> 3L)),
+      Seq(Row(1L, "x"), Row(2L, "y")))
+    val prev = spark.conf.getOption("spark.sql.parquet.fieldId.write.enabled")
+    spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+    val tbl =
+      try ManagedTable.create(data, src)
+      finally prev match {
+        case Some(v) =>
+          spark.conf.set("spark.sql.parquet.fieldId.write.enabled", v)
+        case None =>
+          spark.conf.unset("spark.sql.parquet.fieldId.write.enabled")
+      }
+    Iceberg.exportTable(tbl, ice)
+    val md = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(Files.readString(Paths.get(ice, "metadata", "v1.metadata.json")))
+    val fields = md.path("schemas").get(0).path("fields")
+      .elements().asScala.toSeq
+    assert(fields.map(f => (f.path("name").asText(), f.path("id").asInt()))
+      == Seq(("a", 7), ("b", 3)),
+      "exported ids must be the metadata ids, not positional 1..n")
+    assert(md.path("last-column-id").asInt() == 7)
+    // the exported metadata agrees with the stamped files: a RENAME in
+    // the metadata still serves the column by id on re-import
+    val p = Paths.get(ice, "metadata", "v1.metadata.json")
+    Files.writeString(p, Files.readString(p)
+      .replace("\"name\" : \"b\"", "\"name\" : \"tag\""))
+    val back = Iceberg.importTable(spark, ice, dst)
+    assertDfEquality(back.toDF,
+      data.withColumnRenamed("b", "tag"))
+  }
+
+  test("export refuses PARTIAL parquet.field.id coverage (no id " +
+       "assignment can agree with the stamped files)") {
+    val src = tmp("pid-src"); val ice = tmp("pid-ice")
+    val data = df(idSchema(Map("a" -> 7L)), Seq(Row(1L, "x")))
+    val tbl = ManagedTable.create(data, src)
+    val e = intercept[IllegalArgumentException] {
+      Iceberg.exportTable(tbl, ice)
+    }
+    assert(e.getMessage.contains("partial id coverage"), e.getMessage)
+  }
+
+  test("metadata with schemas[] but NO current-schema-id imports via " +
+       "the sole entry (writers that omit the pointer)") {
+    val src = tmp("nocsi-src"); val ice = tmp("nocsi-ice")
+    val dst = tmp("nocsi-dst")
+    val tbl = ManagedTable.create(ordersDf, src)
+    Iceberg.exportTable(tbl, ice)
+    val p = Paths.get(ice, "metadata", "v1.metadata.json")
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.readTree(Files.readString(p))
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    root.remove("current-schema-id")
+    Files.writeString(p, mapper.writeValueAsString(root))
+    val back = Iceberg.importTable(spark, ice, dst)
+    assertDfEquality(back.toDF, ordersDf)
   }
 
 }

@@ -3,6 +3,7 @@ package graft.tables
 import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
 import graft.SparkSpec
+import scala.jdk.CollectionConverters._
 
 /** Merge-on-read DELETE via deletion vectors
   * (`graft.enableDeletionVectors`): deletes record (file, position)
@@ -269,5 +270,61 @@ class DvSpec extends SparkSpec {
     val renamed = t2.rename(t2.location + "_moved")
     assert(renamed.toDF.count() == 993)
     assert(renamed.toDF.filter("k < 7").count() == 0)
+  }
+
+  private def sidecarParts(t: ManagedTable, ref: String): Seq[String] = {
+    val dir = java.nio.file.Paths.get(t.location, "_graft_dv", ref)
+    val s = java.nio.file.Files.list(dir)
+    try s.iterator().asScala.map(_.getFileName.toString)
+      .filter(_.endsWith(".parquet")).toSeq.sorted
+    finally s.close()
+  }
+
+  test("a BULK delete writes its sidecar SHARDED (many files, >1 task) " +
+       "and every DV path — reads, carry-forward, OPTIMIZE, vacuum — " +
+       "is layout-blind") {
+    val t = fixture("dvshard")
+    val prev = spark.conf.getOption("spark.graft.dv.rowsPerShard")
+    // shard target far below the mask size so the bulk path engages at
+    // fixture scale (production default is 4M rows/shard)
+    spark.conf.set("spark.graft.dv.rowsPerShard", "50")
+    try {
+      assert(t.delete("k % 2 = 0") == 500)
+      val refs1 = t.fileStats.flatMap(_.dv).distinct
+      assert(refs1.size == 1)
+      val parts1 = sidecarParts(t, refs1.head)
+      assert(parts1.size > 1,
+        s"a 500-row mask at 50 rows/shard must shard, got ${parts1.size} file(s)")
+      assert(t.toDF.count() == 500)
+      assert(t.toDF.filter("k % 2 = 0").count() == 0)
+      // a second DML carries the sharded prior vectors forward intact
+      assert(t.delete("k = 1") == 1)
+      assert(t.toDF.count() == 499)
+      assert(t.toDF.filter("k % 2 = 0 OR k = 1").count() == 0)
+      // CDC off the sharded mask still matches the DML semantics
+      val feed = t.changes(t.latestVersion - 1).select("k")
+        .collect().map(_.getLong(0)).toSeq
+      assert(feed == Seq(1L))
+      // OPTIMIZE materializes the sharded vectors away; vacuum reclaims
+      t.optimize(targetFileSizeBytes = 128L * 1024 * 1024)
+      assert(t.fileStats.forall(_.dv.isEmpty))
+      t.vacuum(retainVersions = 1, minAgeMillis = 0)
+      assert(!java.nio.file.Files.isDirectory(
+        java.nio.file.Paths.get(t.location, "_graft_dv", refs1.head)),
+        "vacuum must reclaim the sharded sidecar dir whole")
+      assert(t.toDF.count() == 499)
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.graft.dv.rowsPerShard", v)
+      case None => spark.conf.unset("spark.graft.dv.rowsPerShard")
+    }
+  }
+
+  test("a point delete keeps the single-file sidecar form (no sharding " +
+       "overhead below one shard)") {
+    val t = fixture("dvpoint")
+    assert(t.delete("k = 3") == 1)
+    val refs = t.fileStats.flatMap(_.dv).distinct
+    assert(refs.size == 1)
+    assert(sidecarParts(t, refs.head).size == 1)
   }
 }
