@@ -1285,7 +1285,11 @@ object SparkEntry {
           col("logprob").cast("string"),
           coalesce(col("backoff").cast("string"), lit(""))).as("__h"))
         .agg(count(lit(1)).as("n"), expr("bit_xor(__h)").as("h")).head()
-      require(sig(arpa) == sig(back),
+      // computed ONCE: the same signature gates both round-trip legs,
+      // and its count field is the model size the shard sizing needs —
+      // re-deriving either was 3 extra jobs over the persisted model
+      val sigArpa = sig(arpa)
+      require(sigArpa == sig(back),
         "order-5 ARPA round-trip drifted: written and re-read differ")
       // the PRODUCTION-scale interchange layout sits under the same
       // gate: the sharded write (per-order range-partitioned shard
@@ -1296,7 +1300,7 @@ object SparkEntry {
       // sections at every sf WITHOUT fragmenting into O(100) tiny
       // shard jobs at the larger scales (a fixed small constant did
       // exactly that at sf0.1 — +11 s of pure per-shard job latency)
-      val nArpa = arpa.count()
+      val nArpa = sigArpa.getLong(0)
       text.Arpa.writeSharded(arpa, s"$base/model_arpa_sharded",
         rowsPerShard = math.max(400L, nArpa / 10L))
       val backSharded = text.Arpa.read(s, s"$base/model_arpa_sharded")
@@ -1309,7 +1313,7 @@ object SparkEntry {
       }
       require(nShards > 5, // 5 orders: >5 files means real sharding
         s"the sharded leg must produce multi-shard sections, got $nShards")
-      require(sig(arpa) == sig(backSharded),
+      require(sigArpa == sig(backSharded),
         "sharded .arpa round-trip drifted: the sharded layout must " +
           "equal the single-file model")
       arpa.unpersist()

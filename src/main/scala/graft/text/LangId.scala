@@ -99,11 +99,50 @@ object LangId {
     val wcF = wc.select(col("label"), col("word"),
       round(log(col("c") + lit(alpha)) * lit(LnScale)).cast("long")
         .as("lnfp"))
-    val matched = tf.join(wcF, Seq("word"))
-      .groupBy(col(idCol), col("label"))
-      .agg(sum(col("tf") * col("lnfp")).as("__evfp"),
-        sum(col("tf")).as("__mtoks"))
-    val lens = tf.groupBy(col(idCol)).agg(sum(col("tf")).as("__len"))
+    // EVIDENCE, densely (the r21 rework — measured 8.7–11.4 s of the
+    // query's ~13.5 s at sf0.1): the row form `tf ⋈ wcF` multiplied
+    // every (doc, bucket) tf row by |languages| before the (id, label)
+    // hash aggregate — a ×L blow-up of the corpus-mass stream keyed on
+    // a string pair, at every scale. The model is instead pivoted ONCE
+    // into per-word lnfp/presence ARRAYS over the sorted label
+    // universe (still O(buckets × languages), broadcast), tf joins it
+    // ONCE at its own mass, and one hash aggregate folds 2L+1 integer
+    // sums per document (len rides the same pass — the separate
+    // `lens` aggregation is gone too). Integer sums are associative-
+    // commutative, so every __evfp/__mtoks/__len is BIT-identical to
+    // the row form's; the (id, label) rows reappear only after the
+    // aggregate, at document mass. The label universe collect is
+    // O(|languages|) — the model-sized-pull rule.
+    val labelSeq: Seq[String] = labels.select("label").distinct()
+      .collect().map(_.getString(0)).sorted.toSeq
+    require(labelSeq.nonEmpty, s"no non-null $labelCol labels to fit on")
+    val nL = labelSeq.length
+    val labelLit = array(labelSeq.map(lit): _*)
+    val mdlArr = wcF.groupBy("word").agg(
+      map_from_entries(collect_list(struct(col("label"), col("lnfp"))))
+        .as("__m"))
+      .select(col("word"),
+        transform(labelLit, l => coalesce(element_at(col("__m"), l),
+          lit(0L))).as("__lnfp"),
+        transform(labelLit, l =>
+          when(element_at(col("__m"), l).isNotNull, lit(1L))
+            .otherwise(lit(0L))).as("__pres"))
+    val evAggs = (0 until nL).map(i =>
+      sum(when(col("__lnfp").isNull, lit(0L)).otherwise(
+        col("tf") * element_at(col("__lnfp"), i + 1))).as(s"__ev$i"))
+    val mtAggs = (0 until nL).map(i =>
+      sum(when(col("__pres").isNull, lit(0L)).otherwise(
+        col("tf") * element_at(col("__pres"), i + 1))).as(s"__mt$i"))
+    val agg = tf.join(broadcast(mdlArr), Seq("word"), "left")
+      .groupBy(col(idCol))
+      .agg(sum(col("tf")).as("__len"), (evAggs ++ mtAggs): _*)
+    val perLabel = agg.select(col(idCol), col("__len"),
+        posexplode(array((0 until nL).map(i =>
+          struct(col(s"__ev$i").as("ev"), col(s"__mt$i").as("mt"))): _*))
+          .as(Seq("__i", "__s")))
+      .select(col(idCol), col("__len"),
+        element_at(labelLit, col("__i") + 1).as("label"),
+        col("__s.ev").as("__evfp"), col("__s.mt").as("__mtoks"))
     val labelStats = labels.groupBy("label")
       .agg(count(lit(1)).as("n_docs"))
       .join(wc.groupBy("label").agg(sum(col("c")).as("n_tokens")),
@@ -112,8 +151,6 @@ object LangId {
       .crossJoin(broadcast(wc.select("word").distinct()
         .agg(count(lit(1)).as("vocab_size"))))
     val base = df.select(col(idCol))
-      .join(lens, Seq(idCol), "left")
-      .select(col(idCol), coalesce(col("__len"), lit(0L)).as("__len"))
       .crossJoin(broadcast(labelStats.crossJoin(totals).select(
         col("label"),
         log(col("n_docs").cast("double") / col("n_docs_total"))
@@ -123,13 +160,13 @@ object LangId {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(idCol))
       .orderBy(col("score").desc, col("label"))
-    base.join(matched, Seq(idCol, "label"), "left")
+    base.join(perLabel, Seq(idCol, "label"), "left")
       .select(col(idCol), col("label"),
         round(col("__prior")
           + coalesce(col("__evfp"), lit(0L)) / lit(LnScale)
-          + (col("__len") - coalesce(col("__mtoks"), lit(0L))) *
-            log(lit(alpha))
-          - col("__len") * col("__lnz"), 4).as("score"))
+          + (coalesce(col("__len"), lit(0L))
+            - coalesce(col("__mtoks"), lit(0L))) * log(lit(alpha))
+          - coalesce(col("__len"), lit(0L)) * col("__lnz"), 4).as("score"))
       .withColumn("__rk", row_number().over(w))
       .filter(col("__rk") === 1)
       .select(col(idCol), col("label").as("pred"), col("score"))
