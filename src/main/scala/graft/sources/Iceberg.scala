@@ -353,9 +353,11 @@ object Iceberg {
     // schema: v2 schemas[] — by the snapshot's own schema-id under
     // explicit time travel, else current-schema-id; v1 inline "schema".
     // Writers that emit schemas[] WITHOUT current-schema-id fall back
-    // to the inline schema node, else the SOLE schemas[] entry — the
-    // require stays only where the choice is genuinely ambiguous
-    // (multiple schemas, no pointer)
+    // to the SOLE schemas[] entry; the deprecated inline v1 node is
+    // consulted only when schemas[] is empty (r21 ADVICE: inline-first
+    // let a stale inline schema silently win over a multi-entry v2
+    // list — upstream Iceberg refuses such metadata outright, and so
+    // does the genuinely ambiguous multi-entry/no-pointer case here)
     val schemaNode: JsonNode =
       if (root.has("schemas")) {
         val wantId: Option[Int] = snapNode
@@ -373,16 +375,15 @@ object Iceberg {
               .getOrElse(throw new IllegalArgumentException(
                 s"schema-id $want not in schemas[]"))
           case None =>
+            val all = root.get("schemas").elements().asScala.toSeq
             val inline = root.path("schema")
-            if (inline.has("fields")) inline
-            else {
-              val all = root.get("schemas").elements().asScala.toSeq
-              require(all.size == 1,
-                "Iceberg metadata has schemas[] but no current-schema-id, " +
-                  "no inline schema, and more than one schemas[] entry — " +
-                  "the choice is ambiguous")
-              all.head
-            }
+            if (all.size == 1) all.head
+            else if (all.isEmpty && inline.has("fields")) inline
+            else throw new IllegalArgumentException(
+              "Iceberg metadata has more than one schemas[] entry but " +
+                "no current-schema-id — the choice is ambiguous (a " +
+                "deprecated inline schema node cannot adjudicate a v2 " +
+                "schema list)")
         }
       } else root.path("schema")
     require(schemaNode != null && schemaNode.has("fields"),

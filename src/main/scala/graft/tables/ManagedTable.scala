@@ -1809,17 +1809,19 @@ final class ManagedTable private (val spark: SparkSession, val location: String)
           .filter(col("path").isInCollection(touchedPaths))
       val dvId = UUID.randomUUID().toString
       // sharded sidecar write: one task per ~rowsPerShard mask rows,
-      // partitioned by data-file path (see [[ManagedTable.dvShardCount]]
-      // — a bulk DELETE must not serialize O(deleted rows) through one
-      // task). Prior mass is known from the touched files' dvRows
-      // (legacy entries without the field just undercount the estimate,
-      // which only makes shards larger, never wrong).
+      // partitioned by (data-file path, pos bucket) — see
+      // [[ManagedTable.dvShardKeys]]: a bulk DELETE must not serialize
+      // O(deleted rows) through one task, even when the whole mask
+      // lands in ONE large data file. Prior mass is known from the
+      // touched files' dvRows (legacy entries without the field just
+      // undercount the estimate, which only makes shards larger,
+      // never wrong).
       val mask =
         prior.unionByName(matched.select(col(FP).as("path"), col(POS).as("pos")))
       val nShards = ManagedTable.dvShardCount(
         spark, n + touched.flatMap(_.dvRows).sum)
       (if (nShards == 1) mask.coalesce(1)
-       else mask.repartition(nShards, col("path")))
+       else mask.repartition(nShards, ManagedTable.dvShardKeys(spark): _*))
         .write.parquet(dvRoot.resolve(dvId).toString)
       // per-file masked counts off the just-written sidecar (one read of
       // a file sized O(deleted rows)) — the metadata-only numRows input
@@ -2990,11 +2992,31 @@ object ManagedTable {
     * target; beyond that shards grow (bounded growth beats unbounded
     * file counts in the manifest).
     */
-  private[graft] def dvShardCount(spark: SparkSession, rows: Long): Int = {
+  private[graft] def dvRowsPerShard(spark: SparkSession): Long = {
     val per = spark.conf.getOption("spark.graft.dv.rowsPerShard")
       .map(_.toLong).getOrElse(dvRowsPerShardDefault)
     require(per > 0, s"spark.graft.dv.rowsPerShard must be > 0, got $per")
+    per
+  }
+
+  private[graft] def dvShardCount(spark: SparkSession, rows: Long): Int = {
+    val per = dvRowsPerShard(spark)
     math.max(1L, math.min(512L, (rows + per - 1L) / per)).toInt
+  }
+
+  /** Sharded-sidecar partitioning key: data-file path SALTED with a
+    * pos-derived bucket (`pos div rowsPerShard`), so a bulk DELETE
+    * whose mask concentrates in ONE large data file still spans
+    * shards — path alone re-created the single-task funnel in the
+    * skewed case (each (path, bucket) group holds ≤ rowsPerShard mask
+    * rows, so per-task mass is bounded regardless of how the deletion
+    * distributes over files). Readers directory-glob the sidecar, so
+    * the layout stays invisible to scans/vacuum/conflict-rebase.
+    */
+  private[graft] def dvShardKeys(spark: SparkSession)
+      : Seq[org.apache.spark.sql.Column] = {
+    val per = dvRowsPerShard(spark)
+    Seq(col("path"), (col("pos") / lit(per)).cast("long"))
   }
 
   /** Memoized on-disk size of a DV sidecar dir (immutable once
@@ -3267,10 +3289,12 @@ object ManagedTable {
       val mask = d.rows.select(col("path").cast(StringType).as("path"),
         col("pos").cast(LongType).as("pos"))
       // sharded sidecar write sized from the caller's mask row count —
-      // see [[dvShardCount]]; one-shard masks keep the single-file form
+      // see [[dvShardCount]]; one-shard masks keep the single-file
+      // form. Keys salted with the pos bucket ([[dvShardKeys]]) so a
+      // mask concentrated in one data file still spans shards.
       val nShards = dvShardCount(spark, d.nRows)
       (if (nShards == 1) mask.coalesce(1)
-       else mask.repartition(nShards, col("path")))
+       else mask.repartition(nShards, dvShardKeys(spark): _*))
         .write.parquet(Paths.get(location, "_graft_dv", ref).toString)
       val unmatched = d.maskedPaths.diff(stats0.map(_.path).toSet)
       require(unmatched.isEmpty,

@@ -115,7 +115,22 @@ object LangId {
     // O(|languages|) — the model-sized-pull rule.
     val labelSeq: Seq[String] = labels.select("label").distinct()
       .collect().map(_.getString(0)).sorted.toSeq
-    require(labelSeq.nonEmpty, s"no non-null $labelCol labels to fit on")
+    // a corpus with zero non-null labels fits nothing — return the
+    // empty (id, pred, score) frame the row-form plan returned here
+    // (r21 ADVICE: the dense rework briefly made this a loud throw,
+    // a behavior change for callers fitting on unlabeled slices)
+    if (labelSeq.isEmpty)
+      return df.select(col(idCol), lit(null).cast("string").as("pred"),
+        lit(null).cast("double").as("score")).where(lit(false))
+    // |labels| bound (documented, not clamped): the dense aggregate
+    // below builds 2·|labels|+1 aggregate expressions plus two
+    // |labels|-wide array literals per model row. Past a few hundred
+    // labels whole-stage codegen / the constant pool give up and Spark
+    // falls back to interpreted evaluation — still correct, just
+    // slower; language ID label universes (tens to ~200) sit well
+    // inside the fast path. A row-form fallback above a threshold was
+    // considered and rejected: it would double the code for a regime
+    // no declared workload reaches.
     val nL = labelSeq.length
     val labelLit = array(labelSeq.map(lit): _*)
     val mdlArr = wcF.groupBy("word").agg(

@@ -258,10 +258,11 @@ object VocabStats {
   private def knGrams(df: DataFrame, idCol: String, textCol: String,
                       persistWs: Boolean)
       : (DataFrame, DataFrame, DataFrame) = {
-    // in the FIT both gram streams read the tokenized corpus — persist
-    // it once there (the caller unpersists when its tables
-    // materialize); in SERVING only the trigram stream is consumed,
-    // exactly once, so a cache would be a pure leak — skip it
+    // in the FIT the trigram stream AND the bigram-derivation's
+    // doc-mass boundary stream read the tokenized corpus — persist it
+    // once there (the caller unpersists when its tables materialize);
+    // in SERVING only the trigram stream is consumed, exactly once,
+    // so a cache would be a pure leak — skip it
     val ws0 = df.select(col(idCol), words(col(textCol)).as("__ws"))
     val ws = if (persistWs) ws0.persist() else ws0
     val bg = ws.select(col(idCol), explode(transform(
@@ -300,23 +301,39 @@ object VocabStats {
     */
   def fitKnModel(df: DataFrame, textCol: String): DataFrame = {
     val idCol = "__kn_id"
-    val (bg, tg, ws) =
+    val (_, tg, ws) =
       knGrams(df.withColumn(idCol, lit(0L)), idCol, textCol,
         persistWs = true)
-    // token-mass counts, persisted: bcnt feeds 4 consumers (model
-    // join, N1+(w2·), N1+(·w3), N1+(··)) and tcnt 4 (model base, n3f,
-    // cc2, nmid) — unpersisted, each consumer reruns the token-mass
-    // explode + groupBy (the same measured ~2/3-of-wall-clock cost as
-    // the order-N fit's type tables)
-    val bcnt = bg.groupBy(col("__w1"), col("__w2"))
-      .agg(count(lit(1)).as("__ch")).persist() // c(w1 w2) = tri history
+    // tcnt is the fit's ONE token-mass explode + groupBy (persisted:
+    // it feeds the model base, n3f, nmid, and the merged level).
+    // bcnt = c(w1 w2) AND cc2 = N1+(·w2w3) both come off ONE
+    // suffix-keyed aggregation over tcnt ([[suffixTypeMerge]]): the
+    // suffix sums are the bigram token counts (plus each document's
+    // FIRST bigram as the boundary term) and the per-group real-row
+    // count is exactly the continuation count — the bigram explode
+    // and its exchange disappear, and cc2's separate aggregation
+    // folds into the same exchange (guide §2 do-fewer-shuffles).
+    // Exact over integers: bit-identical to the exploded bigram
+    // counts (MknTypeTableDerivationSpec). m2 persists — its bcnt
+    // view feeds 4 consumers (model join, N1+(w2·), N1+(·w3),
+    // N1+(··)) and its cc2 view the model join.
+    // NO history-keyed repartition here (the fitMknModel order ≥ 4
+    // trick): at order 3 map-side partial aggregation collapses the
+    // token stream far below type mass, so a raw history-keyed
+    // exchange SHIPS MORE (measured at sf0.1: 1.4 → 6.2 MiB total)
     val tcnt = tg.groupBy(col("__w1"), col("__w2"), col("__w3"))
       .agg(count(lit(1)).as("__c3")).persist()
+    val m2 = suffixTypeMerge(
+      tcnt.withColumnRenamed("__c3", "__c"), ws, 2).persist()
+    val bcnt = m2.select(col("__w1"), col("__w2"),
+      col("__c").as("__ch")) // c(w1 w2) = tri history
+    val cc2 = m2.where(col("__cc") > 0) // boundary-only bigrams out:
+      // the view is then EXACTLY the old tcnt.groupBy(w2,w3) table
+      .select(col("__w1").as("__w2"), col("__w2").as("__w3"),
+        col("__cc").as("__cc2")) // N1+(·w2w3)
     // type-mass continuation counts (each from a TYPE table group-by)
     val n3f = tcnt.groupBy(col("__w1"), col("__w2"))
       .agg(count(lit(1)).as("__n3f")) // N1+(w1w2·)
-    val cc2 = tcnt.groupBy(col("__w2"), col("__w3"))
-      .agg(count(lit(1)).as("__cc2")) // N1+(·w2w3)
     val auxMid = tcnt.groupBy(col("__w2"))
       .agg(count(lit(1)).as("__nmid")) // N1+(·w2·)
       .join(bcnt.groupBy(col("__w1")).agg(count(lit(1)).as("__n2f"))
@@ -346,7 +363,7 @@ object VocabStats {
     // finally, matching fitMknModel's discipline: a failure mid-count
     // must not pin bcnt/tcnt/ws for the session's lifetime
     try out.count()
-    finally Seq(bcnt, tcnt, ws).foreach(_.unpersist(blocking = false))
+    finally Seq(m2, tcnt, ws).foreach(_.unpersist(blocking = false))
     out
   }
 
@@ -494,6 +511,44 @@ object VocabStats {
     mknNllFromModel(fitMknModel(df, textCol, order), df, idCol, textCol,
       order)
 
+  /** G_k AND the level-k continuation counts from ONE suffix-keyed
+    * aggregation over G_{k+1} — no token-mass pass, no extra exchange.
+    *
+    * Count identity: a document w_1..w_T has k-gram occurrences at
+    * positions 1..T−k+1 and (k+1)-gram occurrences at 1..T−k; the
+    * (k+1)-gram at position i has the k-gram at position i+1 as its
+    * SUFFIX, so summing G_{k+1}'s counts over the first word covers
+    * every k-gram occurrence except each document's FIRST one
+    * (position 1, which no (k+1)-gram precedes). Hence
+    * `c_k(g) = Σ_w c_{k+1}(w·g) + #{docs with T ≥ k whose first k
+    * tokens are g}` — exact over integers, bit-identical to the
+    * explode+groupBy it replaces (pinned by the derivation spec).
+    *
+    * The SUFFIX direction (not prefix) is what makes it free: the fit
+    * already aggregates G_{k+1} by its last k words for the
+    * continuation table N1+(·g) = #{w : c(w·g) > 0}, so the same
+    * exchange yields both — `__cc` counts the real G_{k+1} rows per
+    * group (`__t` = 1, boundary rows 0) while `__c` sums their counts
+    * plus the doc-mass boundary stream. Output: `__w1..__wk` (the
+    * suffix words, re-based to 1), `__c` = c_k, `__cc` = N1+(·g).
+    *
+    * `ws` must carry the tokenized corpus as `__ws`; `gHigher` the
+    * (k+1)-gram type table keyed `__w1..__w{k+1}` with count `__c`.
+    */
+  private[text] def suffixTypeMerge(gHigher: DataFrame, ws: DataFrame,
+                                    k: Int): DataFrame = {
+    val fromHigher = gHigher.select(
+      (1 to k).map(j => col(s"__w${j + 1}").as(s"__w$j")) :+
+        col("__c") :+ lit(1L).as("__t"): _*)
+    val boundary = ws.where(size(col("__ws")) >= k)
+      .select((1 to k).map(j =>
+        element_at(col("__ws"), j).as(s"__w$j")) :+
+        lit(1L).as("__c") :+ lit(0L).as("__t"): _*)
+    fromHigher.unionByName(boundary)
+      .groupBy((1 to k).map(j => col(s"__w$j")): _*)
+      .agg(sum(col("__c")).as("__c"), sum(col("__t")).as("__cc"))
+  }
+
   /** FIT the order-N modified-KN model ONCE as a persistable table —
     * the fit-once/score-many split at the ladder's top, mirroring
     * [[fitKnModel]] for the interpolated-KN trigram: one row per
@@ -563,6 +618,17 @@ object VocabStats {
       math.min(sessionP.toLong, tokens / 50000L + 1L)).toInt
     sp2.conf.set("spark.sql.shuffle.partitions", fitP.toString)
     if (fitP < sessionP) sp2.conf.set("spark.sql.adaptive.enabled", "false")
+    // the model-assembly joins are planned from REAL cached sizes (the
+    // merged levels materialize eagerly below), so the broadcast
+    // decision is finally sound — but the default 10 MB threshold was
+    // tuned for ESTIMATES, and the aux tables' true in-memory sizes
+    // sit just above it at small corpora (measured: losing the
+    // broadcasts cost the bench trio ~45%). 64 MB is still far below
+    // executor memory (guide §3: a few hundred MB broadcast is fine),
+    // and at production mass the type tables exceed any threshold and
+    // take the co-partitioned sort-merge path. Child-session scoped.
+    sp2.conf.set("spark.sql.autoBroadcastJoinThreshold",
+      (64L * 1024 * 1024).toString)
 
     // k-gram occurrence stream by positional transform (no self-joins)
     def grams(k: Int): DataFrame = {
@@ -573,16 +639,70 @@ object VocabStats {
             element_at(col("__ws"), i + j).as(s"g$j")): _*))).as("__g"))
       g.select((1 to k).map(j => col(s"__g.g$j").as(s"__w$j")): _*)
     }
-    // G_k: the k-gram TYPE table with token counts — persisted: each
-    // feeds 2+ downstream consumers (see the scaladoc's cost note)
-    def typeTable(k: Int): DataFrame = grams(k)
-      .groupBy((1 to k).map(j => col(s"__w$j")): _*)
-      .agg(count(lit(1)).as("__c"))
-    val gTables: Map[Int, DataFrame] =
-      (2 to n).map(k => k -> typeTable(k).persist()).toMap
+    // G_N: the fit's ONE token-mass explode + groupBy. Every lower
+    // level is then ONE suffix-keyed type-mass aggregation over
+    // G_{k+1} ([[suffixTypeMerge]]) yielding BOTH G_k and the level-k
+    // continuation counts — the aggregation the continuation table
+    // below always ran, now also carrying the suffix sums plus the
+    // doc-mass boundary stream (each doc's FIRST k tokens), so the
+    // N−2 token-mass explode+groupBy passes and their exchanges
+    // (≈Σ_{k<N} |G_k| partial-aggregated rows) disappear WITHOUT any
+    // new exchange (guide §2 do-fewer-shuffles, §1.2 algorithm-first;
+    // the prefix-direction derivation was measured and rejected — it
+    // re-shuffles |G_{k+1}| per level, 38→95 MiB on the sf0.1
+    // profile). Exact over integers — every count bit-identical to
+    // the exploded form's (MknTypeTableDerivationSpec pins both
+    // outputs against explode-built references). Each merged level
+    // persists: it feeds G_k's consumers AND the continuation
+    // consumers.
+    // At order ≥ 4 the corpus-mass exchange is keyed by the HISTORY
+    // (w1..w_{N-1}), not the full N-gram: HashPartitioning on a subset
+    // of the grouping key satisfies the aggregation's distribution,
+    // and (w1..w_{N-1}) is exactly the key of the model's hist join
+    // AND the topBuckets aggregation — both then run WITHOUT an
+    // exchange (hist = merged(N−1) is already hash(w1..w_{N-1})-
+    // partitioned from its own groupBy at the same width, so the join
+    // co-partitions). Cost: the raw gram stream shuffles un-partially-
+    // aggregated — at order ≥ 4 on natural text type mass ≈ token
+    // mass, so the penalty is small against dropping two type-mass
+    // re-exchanges (measured at sf0.1: total fit shuffle 38→24 MiB).
+    // At order 3 partial aggregation collapses the stream far below
+    // type mass and the raw exchange would ship MORE (measured on the
+    // trigram fit: 1.4→6.2 MiB) — keep the classic full-key exchange.
+    val topGrams = grams(n)
+    val topKeyed =
+      if (n >= 4)
+        topGrams.repartition(fitP, (1 until n).map(j => col(s"__w$j")): _*)
+      else topGrams
+    val topT = topKeyed
+      .groupBy((1 to n).map(j => col(s"__w$j")): _*)
+      .agg(count(lit(1)).as("__c")).persist() // c(w1..wN)
+    val merged: Map[Int, DataFrame] =
+      ((n - 1) to 2 by -1).foldLeft(Map.empty[Int, DataFrame]) {
+        (acc, k) =>
+          val higher = if (k == n - 1) topT else acc(k + 1)
+          acc + (k -> suffixTypeMerge(higher, ws, k).persist())
+      }
+    // materialize the whole chain NOW with ONE count job (merged(2)
+    // reads merged(3) reads … reads topT, so one pass fills every
+    // cache): the model joins below are then planned from REAL cached
+    // sizes instead of the lazy plan's estimates, which the boundary
+    // stream (a second cached-ws consumer per level, compounding down
+    // the chain) inflates past the broadcast threshold — left lazy,
+    // every aux side of the model join lost its BroadcastHashJoin and
+    // the assembly fell to a chain of model-mass exchanges (measured
+    // on the sf0.1 profile: 38→98 MiB shuffled). With real sizes the
+    // planner broadcasts exactly the tables that are genuinely small,
+    // at any scale (threshold note at the session setup above).
+    merged(2).count()
+    // the G_k view of a merged level: keys + count — a projection
+    // over the persisted merged table, never a recompute
+    def gT(k: Int): DataFrame =
+      if (k == n) topT
+      else merged(k).select((1 to k).map(j => col(s"__w$j")) :+
+        col("__c"): _*)
 
-    val topT = gTables(n) // c(w1..wN)
-    val hist = gTables(n - 1) // token history c(w1..w_{N-1})
+    val hist = gT(n - 1) // token history c(w1..w_{N-1})
       .withColumnRenamed("__c", "__ch")
     val topBuckets = topT
       .groupBy((1 until n).map(j => col(s"__w$j")): _*).agg(
@@ -591,18 +711,22 @@ object VocabStats {
         count(when(col("__c") >= 3, 1)).as("__n3h"))
 
     // level k (1 <= k < N): continuation table C_k keyed by the N-gram
-    // POSITIONS it matches — G_{k+1}'s column j maps to position
-    // N-k-1+j — with its context denominator and γ bucket counts
+    // POSITIONS it matches — G_{k+1}'s column j sits at merged column
+    // j−1 and maps to position N-k-1+j. The counts come straight off
+    // the merged level's __cc (no aggregation here anymore).
     def pos(k: Int, j: Int): String = s"__w${n - k - 1 + j}"
-    def contTable(k: Int): DataFrame = gTables(k + 1)
-      .groupBy((2 to k + 1).map(j => col(s"__w$j")): _*)
-      .agg(count(lit(1)).as(s"__cc$k"))
-      .select((2 to k + 1).map(j => col(s"__w$j").as(pos(k, j))) :+
-        col(s"__cc$k"): _*)
-    // each continuation table feeds the model join AND its den/bucket
-    // aggregation (which itself has two consumers) — persist
+    // __cc > 0 drops the boundary-only groups (k-grams no (k+1)-gram
+    // covers — G_k entries, but not continuation entries), making the
+    // view EXACTLY the table the old aggregation built
+    def contTable(k: Int): DataFrame = merged(k)
+      .where(col("__cc") > 0)
+      .select((2 to k + 1).map(j =>
+        col(s"__w${j - 1}").as(pos(k, j))) :+
+        col("__cc").as(s"__cc$k"): _*)
+    // projections of the persisted merged levels (the den/bucket
+    // aggregation and the model join both read the same cache)
     val contTables: Map[Int, DataFrame] =
-      (2 until n).map(k => k -> contTable(k).persist()).toMap
+      (2 until n).map(k => k -> contTable(k)).toMap
     // den + γ buckets + the exact-3/exact-4 cells the discount stats
     // need, in ONE aggregation over the continuation table: the
     // denominator c(w2..wk·) counts (w1, w_{k+1}) TYPE pairs, which is
@@ -621,7 +745,7 @@ object VocabStats {
     val denBuckets: Map[Int, DataFrame] =
       (2 until n).map(k => k -> denBucketTable(k).persist()).toMap
 
-    val cc1 = gTables(2).groupBy(col("__w2"))
+    val cc1 = gT(2).groupBy(col("__w2"))
       .agg(count(lit(1)).as("__cc1"))
       .withColumnRenamed("__w2", s"__w$n")
 
@@ -643,7 +767,7 @@ object VocabStats {
           coalesce(sum(s"__m${k}3x"), lit(0L)).as(s"__s${k}3"),
           coalesce(sum(s"__m${k}4x"), lit(0L)).as(s"__s${k}4")))
       }
-      .crossJoin(gTables(2).agg(count(lit(1)).as("__b")))
+      .crossJoin(gT(2).agg(count(lit(1)).as("__b")))
 
     // the model: every aux joined at TYPE mass onto the top-order table
     val model = ((n - 1) to 2 by -1).foldLeft(
@@ -681,7 +805,8 @@ object VocabStats {
       sp.catalog.dropGlobalTempView(tag)
       // loop-scoped caches release on BOTH paths — a failure mid-fit
       // must not pin the type tables for the session's lifetime
-      (gTables.values ++ contTables.values ++ denBuckets.values)
+      // (contTables are projections of the merged levels, not caches)
+      (Seq(topT) ++ merged.values ++ denBuckets.values)
         .foreach(_.unpersist(blocking = false))
       ws.unpersist(blocking = false)
     }

@@ -1072,4 +1072,43 @@ class IcebergSpec extends SparkSpec {
     assertDfEquality(back.toDF, ordersDf)
   }
 
+  test("no current-schema-id: the SOLE schemas[] entry beats a stale " +
+       "inline schema node, and a multi-entry schemas[] refuses even " +
+       "when an inline node exists") {
+    val src = tmp("staleinline-src"); val ice = tmp("staleinline-ice")
+    val dst = tmp("staleinline-dst"); val dst2 = tmp("staleinline-dst2")
+    val tbl = ManagedTable.create(ordersDf, src)
+    Iceberg.exportTable(tbl, ice)
+    val p = Paths.get(ice, "metadata", "v1.metadata.json")
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.readTree(Files.readString(p))
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    root.remove("current-schema-id")
+    // plant a STALE inline v1 schema (one bogus field): if the reader
+    // preferred inline over the sole schemas[] entry, the import would
+    // misbind and fail equality below
+    val stale = mapper.createObjectNode()
+    stale.put("type", "struct")
+    val fields = mapper.createArrayNode()
+    val f = mapper.createObjectNode()
+    f.put("id", 1); f.put("name", "bogus"); f.put("required", false)
+    f.put("type", "long")
+    fields.add(f); stale.set("fields", fields)
+    root.set("schema", stale)
+    Files.writeString(p, mapper.writeValueAsString(root))
+    val back = Iceberg.importTable(spark, ice, dst)
+    assertDfEquality(back.toDF, ordersDf)
+    // multi-entry schemas[] with no pointer: ambiguous — refuse loud
+    val dup = root.get("schemas").get(0).deepCopy()
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    dup.put("schema-id", 99)
+    root.get("schemas")
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ArrayNode].add(dup)
+    Files.writeString(p, mapper.writeValueAsString(root))
+    val e = intercept[IllegalArgumentException] {
+      Iceberg.importTable(spark, ice, dst2)
+    }
+    assert(e.getMessage.contains("ambiguous"), e.getMessage)
+  }
+
 }

@@ -319,6 +319,44 @@ class DvSpec extends SparkSpec {
     }
   }
 
+  test("a bulk delete whose mask lands in ONE data file still shards " +
+       "(pos-bucket salt — path alone would funnel the skewed mask " +
+       "through a single task)") {
+    // single-file table: every masked (path, pos) row shares the path
+    val t = ManagedTable.create(
+      spark.range(1000).coalesce(1)
+        .select(col("id").as("k"), (col("id") * 3).as("v")),
+      tmpDir("dvshard_skew"),
+      properties = Map(ManagedTable.dvPropKey -> "true"))
+    assert(t.fileStats.size == 1, "setup: one data file")
+    val prev = spark.conf.getOption("spark.graft.dv.rowsPerShard")
+    spark.conf.set("spark.graft.dv.rowsPerShard", "50")
+    try {
+      assert(t.delete("k % 2 = 0") == 500)
+      val refs = t.fileStats.flatMap(_.dv).distinct
+      assert(refs.size == 1)
+      val parts = sidecarParts(t, refs.head)
+      assert(parts.size > 1,
+        s"a 500-row single-file mask at 50 rows/shard must shard, " +
+          s"got ${parts.size} file(s)")
+      // per-shard mass bounded: the pos buckets spread the one path's
+      // rows, so no shard may hold the whole mask
+      val dir = java.nio.file.Paths.get(t.location, "_graft_dv", refs.head)
+      val perShard = spark.read.schema(ManagedTable.dvSchema)
+        .parquet(dir.toString)
+        .withColumn("__f", input_file_name())
+        .groupBy("__f").count().collect().map(_.getLong(1))
+      assert(perShard.max < 500,
+        s"one shard holds the entire mask: ${perShard.mkString(",")}")
+      // reads stay layout-blind
+      assert(t.toDF.count() == 500)
+      assert(t.toDF.filter("k % 2 = 0").count() == 0)
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.graft.dv.rowsPerShard", v)
+      case None => spark.conf.unset("spark.graft.dv.rowsPerShard")
+    }
+  }
+
   test("a point delete keeps the single-file sidecar form (no sharding " +
        "overhead below one shard)") {
     val t = fixture("dvpoint")
