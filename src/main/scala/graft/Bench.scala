@@ -221,6 +221,20 @@ object Bench {
     val total = results.map(_._2).sum
     val totalNorm = results.map { case (_, v, _, _, _, t) =>
       normalize(v, t) }.sum
+    // gust summary (r21 VERDICT Next #5 — additions only, timing
+    // untouched): iteration spread per query, folded to three fixed
+    // numbers on the compact totals line so a contaminated window is
+    // diagnosable from the tail capture alone. A query "gusts" when
+    // its iterations disagree >1.5x (>3x for the hard count) above
+    // the 1 s jitter floor; excess_sec is the summed max-min over
+    // gusting queries — the wall-clock the window injected beyond the
+    // reported minimums.
+    val spreads = results.map { case (_, _, rs, _, _, _) =>
+      (rs.min, rs.max) }
+    def gusty(f: Double) = spreads.count { case (lo, hi) =>
+      hi > f * lo && hi > 1.0 }
+    val gustExcess = spreads.collect { case (lo, hi)
+      if hi > 1.5 * lo && hi > 1.0 => hi - lo }.sum
     // THREE lines, bulky first: the driver's output capture is
     // tail-anchored (~2000 chars), and r12 proved that even at 2-decimal
     // precision an 86-query dict overflows it — the totals line lost its
@@ -238,7 +252,7 @@ object Bench {
       s"""{"metric":"total_detail","queries_runs":$runs,"calib_at":$calibAtQ,"sf":"$sfDir"$onlyField}""",
       s"""{"metric":"total_queries_norm","queries":$qsNorm,"calib_ref":$CalibRef,"calib_run":${sec(calibRun)},"alpha":$NormAlpha,"sf":"$sfDir"}""",
       s"""{"metric":"total_queries","queries":$qs,"sf":"$sfDir"}""",
-      s"""{"metric":"total","value":${sec(total)},"value_norm":${sec(totalNorm)},"unit":"sec","n_queries":${results.size},"errors":$errs,"flaky":$flaky,"calib":{"start":${sec(calibStart)},"mid":${sec(calibMid)},"end":${sec(calibEnd)},"ref":$CalibRef},"sf":"$sfDir"$onlyField}""")
+      s"""{"metric":"total","value":${sec(total)},"value_norm":${sec(totalNorm)},"unit":"sec","n_queries":${results.size},"errors":$errs,"flaky":$flaky,"calib":{"start":${sec(calibStart)},"mid":${sec(calibMid)},"end":${sec(calibEnd)},"ref":$CalibRef},"gust":{"n1_5x":${gusty(1.5)},"n3x":${gusty(3.0)},"excess_sec":${sec2(gustExcess)}},"sf":"$sfDir"$onlyField}""")
     lines.foreach(println)
     // The driver's output capture is tail-anchored (~2000 chars), which
     // hides the per-query detail and calib pairing from the committed

@@ -168,11 +168,47 @@ object StreamingDedup {
     val fullyApplied = timed("txn-probe")(
       index.sigs.txnVersion(txn._1).exists(_ >= txn._2))
     if (fullyApplied) return 0L
+    // WIDTH-SCOPED CHILD SESSION for the per-batch pipeline (the
+    // PageRank/mkn small-regime idiom): the dedup plan is ~10 small
+    // joins/aggregations per batch, and at session width every one of
+    // them shuffles a toy-sized frame across the full partition count
+    // — measured (tools/StreamProfile, sf0.1 probe): the same two
+    // batches cost 11.6 s at width 32 and 6.5 s at width 4, all of it
+    // task-scheduling and tiny-exchange overhead. The width derives
+    // from the index's OWN scale knob: `parts` is pinned at creation
+    // to the corpus (10⁹ docs → 4096 per the scaladoc), so at
+    // production scale min(parts, sessionP) = sessionP and nothing
+    // changes; only the small-index/small-batch regime narrows. AQE
+    // off below session width per the established policy (its
+    // per-exchange stage materialization is pure latency on
+    // explicitly-sized tiny exchanges). The child session shares the
+    // SparkContext and cache; the caller's conf is never mutated.
+    // Frames cross via global temp views (resolved eagerly, dropped
+    // in the finally); the appends receive child-session frames and
+    // execute their writes at pipeline width — their file layout is
+    // unaffected (each append repartitions/coalesces explicitly).
+    val sp = batch.sparkSession
+    val sessionP = sp.conf.get("spark.sql.shuffle.partitions").toInt
+    val pipeP = math.max(1, math.min(parts, sessionP))
+    val sp2 = sp.newSession()
+    sp2.conf.set("spark.sql.shuffle.partitions", pipeP.toString)
+    if (pipeP < sessionP) sp2.conf.set("spark.sql.adaptive.enabled", "false")
+    val viewTag = "graft_sdd_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val views = scala.collection.mutable.Buffer[String]()
+    def bridge(df: DataFrame): DataFrame = {
+      val t = viewTag + "_" + views.size
+      df.createOrReplaceGlobalTempView(t)
+      views += t
+      sp2.table(s"global_temp.$t")
+    }
+    try {
+    val batchB = bridge(batch)
     // 1. tokenize + hash ONCE for the whole batch: this single persisted
     // frame feeds the within-batch dedup, the index candidate join, the
     // verification, and the index append (tokenization dominates the
     // pipeline; an earlier formulation ran it twice per batch)
-    val hashed = batch.select(col(idCol),
+    val hashed = batchB.select(col(idCol),
         graft.plans.expressions.shingle_hashes(col(textCol), shingleWidth).as(HH))
       .withColumn("__sig",
         MinHashDedup.minHashFromHashes(col(HH), numHashes))
@@ -235,7 +271,7 @@ object StreamingDedup {
     val deduped = hashed.join(losers, Seq(idCol), "left_anti")
     val fresh = (if (indexEmpty) deduped
       else deduped.join(
-        prunedRead(index.sigs, "__sp", batchSp).select(col(idCol)),
+        bridge(prunedRead(index.sigs, "__sp", batchSp)).select(col(idCol)),
         Seq(idCol), "left_anti"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
@@ -244,7 +280,7 @@ object StreamingDedup {
     val freshBands = allBands.join(fresh.select(idCol), Seq(idCol), "left_semi")
     val idxBuckets =
       if (indexEmpty) None
-      else Some(prunedRead(index.buckets, "__bp", batchBp)
+      else Some(bridge(prunedRead(index.buckets, "__bp", batchBp))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
     // verification reads only the sigs partitions that can hold a
@@ -260,7 +296,7 @@ object StreamingDedup {
       val candSp = timed("candSp-collect")(idx.select(
           pmod(xxhash64(col(idCol)), lit(parts.toLong)).as("__sp"))
         .distinct().collect().map(_.getLong(0)).toSeq)
-      val idxSigs = prunedRead(index.sigs, "__sp", candSp)
+      val idxSigs = bridge(prunedRead(index.sigs, "__sp", candSp))
       val cs = freshBands
         .select(col(idCol).as("__new_id"), col("__band"), col("__bh"))
         .join(idx.select(col(idCol).as("__idx_id"), col("__band"), col("__bh")),
@@ -306,7 +342,7 @@ object StreamingDedup {
       val novelIds = novelSigs.select(col(idCol))
       // replay protection is the idempotent txn commit alone (O(1) — no
       // guard read of any table)
-      val outRows = batch.join(novelIds, Seq(idCol), "left_semi")
+      val outRows = batchB.join(novelIds, Seq(idCol), "left_semi")
       // out and buckets are independent commits (different tables, both
       // individually replay-idempotent; only sigs' LAST position matters),
       // so their write jobs overlap on the driver — two threads sharing
@@ -374,6 +410,11 @@ object StreamingDedup {
       if (!(novelSigs eq fresh)) novelSigs.unpersist()
     }
     novelCount
+    } finally {
+      // bridge views resolve eagerly at Dataset creation, so dropping
+      // them here (success or failure) is always safe
+      views.foreach(t => sp.catalog.dropGlobalTempView(t))
+    }
   }
 
   /** Streaming shell: wire a streaming `docs` frame through

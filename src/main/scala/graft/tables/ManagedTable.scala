@@ -735,13 +735,19 @@ final class ManagedTable private (val spark: SparkSession, val location: String)
     val idSchema = Option(tableSchema).filter(ManagedTable.hasFieldIds)
     // save/restore around the write (not a permanent session flip): the
     // flag only stamps fields that carry metadata, but a library call
-    // must not leave a global conf mutated behind it
+    // must not leave a global conf mutated behind it. Set on the
+    // FRAME's session, not the table's: the write executes with the
+    // frame's SQLConf, and a caller may hand over a frame built in a
+    // width-scoped child session (the streaming-dedup per-batch
+    // pipeline) — flipping the table session's flag there would
+    // silently skip the id stamping.
+    val wsp = df.sparkSession
     val prevIdWrite = idSchema.map(_ =>
-      spark.conf.getOption("spark.sql.parquet.fieldId.write.enabled"))
+      wsp.conf.getOption("spark.sql.parquet.fieldId.write.enabled"))
     val df1 = idSchema match {
       case None => df
       case Some(ts) =>
-        spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+        wsp.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
         df.select(df.columns.map { c =>
           ts.fields.find(_.name == c) match {
             case Some(f) => col(c).cast(f.dataType).as(c, f.metadata)
@@ -785,9 +791,9 @@ final class ManagedTable private (val spark: SparkSession, val location: String)
       else leafDirs(out, parts.length).map(l => id + "/" + out.relativize(l).toString)
     } finally prevIdWrite.foreach {
       case Some(v) =>
-        spark.conf.set("spark.sql.parquet.fieldId.write.enabled", v)
+        wsp.conf.set("spark.sql.parquet.fieldId.write.enabled", v)
       case None =>
-        spark.conf.unset("spark.sql.parquet.fieldId.write.enabled")
+        wsp.conf.unset("spark.sql.parquet.fieldId.write.enabled")
     }
   }
 

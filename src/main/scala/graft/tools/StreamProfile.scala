@@ -13,8 +13,11 @@ import graft.tables.ManagedTable
 object StreamProfile {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    // 2nd arg: shuffle width (default 32 = the bench session's) — for
+    // the width-scoping A/B on the per-batch pipeline
+    val width = args.lift(1).getOrElse("32")
     val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.shuffle.partitions", width)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -29,7 +32,7 @@ object StreamProfile {
       val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       val t0 = System.nanoTime()
       val index = graft.streaming.StreamingDedup.openIndex(spark, base + "_idx",
-        "doc_id", docs.schema("doc_id").dataType)
+        "doc_id", docs.schema("doc_id").dataType, parts = 8)
       val out = ManagedTable.create(
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
           docs.schema), base + "_out")
